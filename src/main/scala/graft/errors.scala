@@ -1,0 +1,41 @@
+package graft
+
+/** Error taxonomy mirroring the reference's custom error surface
+  * (reference: mssql_dataframe/core/custom_errors.py:1-71), re-expressed
+  * for a Spark-native engine.
+  */
+sealed abstract class GraftException(msg: String) extends RuntimeException(msg)
+
+object errors {
+  final case class TableDoesNotExist(table: String)
+      extends GraftException(s"table does not exist: $table")
+
+  final case class TableAlreadyExists(table: String)
+      extends GraftException(s"table already exists: $table")
+
+  final case class ColumnDoesNotExist(table: String, columns: Seq[String])
+      extends GraftException(
+        s"column(s) do not exist in table $table: ${columns.mkString(", ")}")
+
+  final case class DataFrameColumnDoesNotExist(columns: Seq[String])
+      extends GraftException(
+        s"column(s) do not exist in dataframe: ${columns.mkString(", ")}")
+
+  final case class InvalidSyntax(detail: String)
+      extends GraftException(s"invalid syntax: $detail")
+
+  final case class UndefinedPrimaryKey(table: String)
+      extends GraftException(s"table has no primary key: $table")
+
+  final case class InsufficientColumnSize(column: String, detail: String)
+      extends GraftException(s"insufficient column size for $column: $detail")
+
+  final case class UndefinedConversionRule(detail: String)
+      extends GraftException(s"undefined conversion rule: $detail")
+
+  final case class InvalidLengthObjectName(name: String)
+      extends GraftException(s"object name too long (>128): $name")
+
+  final case class InvalidValue(column: String, detail: String)
+      extends GraftException(s"invalid value for column $column: $detail")
+}

@@ -1,0 +1,102 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+import graft.errors
+
+/** A SQL-surface data type (the strings a user of the reference writes,
+  * e.g. "VARCHAR(10)", "TINYINT", "DECIMAL(12,2)"), mapped onto Spark
+  * Catalyst types plus the validation bounds the reference enforces.
+  *
+  * Mirrors the conversion-rule table of the reference
+  * (mssql_dataframe/core/conversion_rules.py:8-165) without copying its
+  * mechanism: rules here are compile-time Scala, validation happens as
+  * distributed Column expressions, never per-row driver code.
+  *
+  * Notes:
+  *  - SQL TINYINT is unsigned 0..255; Spark ByteType is signed, so
+  *    TINYINT maps to ShortType with a [0, 255] range check.
+  *  - TIME maps to LongType microseconds-of-day (Spark has no time-of-day
+  *    type); DATETIME/DATETIME2/SMALLDATETIME map to TimestampType.
+  */
+final case class SqlType(
+    name: String,                 // canonical lowercase sql type name
+    spark: DataType,
+    maxLength: Option[Int] = None,      // char/varchar/binary length, None = max
+    intRange: Option[(Long, Long)] = None) {
+
+  def render: String = {
+    val size = maxLength.map(n => s"($n)").getOrElse {
+      name match {
+        case "varchar" | "nvarchar" | "varbinary" => "(max)"
+        case _ => ""
+      }
+    }
+    spark match {
+      case d: DecimalType => s"$name(${d.precision},${d.scale})"
+      case _              => s"$name$size"
+    }
+  }
+}
+
+object SqlType {
+
+  private val Sized = """^(char|nchar|varchar|nvarchar|varbinary|binary)\s*\(\s*(\d+|max)\s*\)$""".r
+  private val Dec = """^(decimal|numeric)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$""".r
+
+  /** Parse a SQL type declaration string into an [[SqlType]].
+    * Accepts the surface the reference accepts via `dynamic.column_spec`
+    * (mssql_dataframe/core/dynamic.py:139-166).
+    */
+  def parse(declaration: String): SqlType = {
+    val s = declaration.trim.toLowerCase
+    s match {
+      case "bit"           => SqlType("bit", BooleanType)
+      case "tinyint"       => SqlType("tinyint", ShortType, intRange = Some((0L, 255L)))
+      case "smallint"      => SqlType("smallint", ShortType, intRange = Some((Short.MinValue.toLong, Short.MaxValue.toLong)))
+      case "int" | "integer" => SqlType("int", IntegerType, intRange = Some((Int.MinValue.toLong, Int.MaxValue.toLong)))
+      case "bigint"        => SqlType("bigint", LongType, intRange = Some((Long.MinValue, Long.MaxValue)))
+      case "real"          => SqlType("real", FloatType)
+      case "float"         => SqlType("float", DoubleType)
+      case "date"          => SqlType("date", DateType)
+      case "datetime" | "datetime2" | "smalldatetime" => SqlType("datetime2", TimestampType)
+      case "time"          => SqlType("time", LongType)
+      case "text" | "varchar" | "nvarchar" => SqlType(if (s == "text") "varchar" else s, StringType)
+      case "char" | "nchar" => SqlType(s, StringType, maxLength = Some(1))
+      case "varbinary" | "binary" => SqlType("varbinary", BinaryType)
+      case Dec(n, p, sc) =>
+        val prec = p.toInt
+        val scale = if (sc == null) 0 else sc.toInt
+        if (prec < 1 || prec > 38 || scale > prec)
+          throw errors.UndefinedConversionRule(s"bad decimal spec: $declaration")
+        SqlType(n, DecimalType(prec, scale))
+      case Sized(n, len) =>
+        val ml = if (len == "max") None else Some(len.toInt)
+        val base = n match {
+          case "varbinary" | "binary" => BinaryType
+          case _                      => StringType
+        }
+        SqlType(if (n == "binary") "varbinary" else n, base, maxLength = ml)
+      case other =>
+        throw errors.UndefinedConversionRule(s"unrecognized sql type: $other")
+    }
+  }
+
+  /** Default SQL type for a Spark type (used when persisting inferred
+    * schemas; inverse of the widest parse mapping). */
+  def forSpark(dt: DataType): SqlType = dt match {
+    case BooleanType    => parse("bit")
+    case ByteType       => parse("tinyint")
+    case ShortType      => parse("smallint")
+    case IntegerType    => parse("int")
+    case LongType       => parse("bigint")
+    case FloatType      => parse("real")
+    case DoubleType     => parse("float")
+    case d: DecimalType => parse(s"decimal(${d.precision},${d.scale})")
+    case DateType       => parse("date")
+    case TimestampType  => parse("datetime2")
+    case StringType     => parse("varchar")
+    case BinaryType     => parse("varbinary")
+    case other          => throw errors.UndefinedConversionRule(s"no sql type for spark type $other")
+  }
+}
