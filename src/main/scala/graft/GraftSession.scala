@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table loading for the graft engine.
+  *
+  * Mirrors the role of the reference's connection/session object
+  * (`mssql_dataframe/package.py:21` `SQLServer`, `connect.py`): one
+  * entry point that owns engine-level options. Here the "connection"
+  * is a SparkSession tuned for the workload:
+  *
+  *  - AQE on: runtime skew-join handling + shuffle coalescing, which
+  *    is the 100 TB answer to skewed keys without hand-salting.
+  *  - shuffle.partitions sized for the local harness (32); on a real
+  *    cluster this is overridden per-deploy (or left to AQE's
+  *    coalescing with a high initial value).
+  *  - UTC session timezone so date_trunc / window semantics are
+  *    environment-independent (see ADVICE r1 on Infer determinism).
+  */
+object GraftSession {
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load one of the test tables from a scale-factor directory.
+    *
+    * Parquet TIMESTAMP(NANOS) columns are read as Long (via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and normalized here to
+    * micro-precision timestamps (floor division — matching how
+    * micro-precision engines, incl. the DuckDB oracle, truncate nanos). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}

@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A-block: the analytics/read surface a user of the reference drives
+  * through `read.table` + pandas (reference `core/read.py:23`), pushed
+  * down into the engine so it runs distributed at 100 TB instead of on
+  * a single pandas client.
+  *
+  * Design rules (SURVEY §5/§6):
+  *  - money/quantity aggregation is decimal-exact (order-independent →
+  *    identical results under any partitioning, and vs the DuckDB oracle);
+  *  - every query ends in a deterministic total ORDER BY;
+  *  - small dimension tables are broadcast explicitly;
+  *  - no collect() anywhere — top-k via window/limit, which Spark pushes
+  *    down (RankLimit / TakeOrderedAndProject).
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.GraftSession.table(s, dir, name)
+
+  /** Exact 2-dp decimal view of a double column: order-independent sums. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** revenue term: extendedprice * (1 - discount), decimal-exact. */
+  private def revenue: Column =
+    dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+
+  // ── A1: grouped aggregation (TPC-H Q1 shape) ────────────────────────────
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(revenue).cast(DecimalType(18, 4)).as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ── A2: join + agg + topN (TPC-H Q3 shape) ──────────────────────────────
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revenue).cast(DecimalType(18, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ── A3: 5-way star join (TPC-H Q5 shape) ────────────────────────────────
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nat = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    // Fact (lineitem) stays un-shuffled: every dimension side is broadcast.
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast(DecimalType(18, 4)).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  // ── A4: anti join (NOT EXISTS): customers with no pending order ─────────
+  def existsAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val pending = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    cust.join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // ── A4b: semi join (EXISTS): customers with a big urgent order ──────────
+  def existsSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  // ── A5: window functions (running sum / rank / lag) ─────────────────────
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("running_spend",
+        sum(dec2(col("o_totalprice"))).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DecimalType(18, 2)))
+      .withColumn("spend_rank",
+        rank().over(Window.partitionBy("o_custkey").orderBy(dec2(col("o_totalprice")).desc, col("o_orderkey"))))
+      .withColumn("prev_order_date", lag(col("o_orderdate"), 1).over(ord))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend", "spend_rank", "prev_order_date")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ── A7: rollup subtotals ────────────────────────────────────────────────
+  def rollupSubtotals(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  // ── A8: pivot (long → wide) ─────────────────────────────────────────────
+  def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)))
+      .orderBy("o_orderpriority")
+  }
+
+  // ── A9: top-k per group ─────────────────────────────────────────────────
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(dec2(col("o_totalprice")).desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("totalprice", dec2(col("o_totalprice")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "o_orderkey", "totalprice", "rn")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  // ── A10: as-of join (most recent prior click per purchase) ──────────────
+  /** Single-shuffle as-of: union both streams, carry the left-side
+    * timestamp forward with a running max over an ordered window — no
+    * range join, no cross product; scales linearly per user partition. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("event_type").isin("click", "purchase"))
+    val tagged = e.withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged.withColumn("asof_click_ts", max(col("click_ts")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "asof_click_ts")
+      .orderBy("user_id", "event_id")
+  }
+
+  // ── A11: time-bucketed aggregation (tumbling window, batch) ─────────────
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(DecimalType(18, 4)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // ── A12: sessionization (30-minute gap) ─────────────────────────────────
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(ord)
+    val isNew = when(lagTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(lagTs) > 1800L * 1000000L, 1).otherwise(0)
+    t(s, dir, "events")
+      .withColumn("is_new", isNew)
+      .withColumn("session_seq",
+        sum(col("is_new")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // ── A13: approximate distinct (HLL) — rows-only (sketch is engine-specific)
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // ── A14: deterministic hash sampling — rows-only (xxhash64 is engine-specific)
+  /** Reproducible ~10% sample at any scale: pmod(xxhash64(key), 100) < 10.
+    * Unlike TABLESAMPLE, the sampled set is a pure function of the keys —
+    * identical across runs, partitionings and cluster sizes. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(100)) < 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "exists_anti_join" -> existsAntiJoin,
+    "exists_semi_join" -> existsSemiJoin,
+    "window_running" -> windowRunning,
+    "rollup_subtotals" -> rollupSubtotals,
+    "pivot_status" -> pivotStatus,
+    "topk_per_group" -> topkPerGroup,
+    "asof_join" -> asofJoin,
+    "events_tumbling" -> eventsTumbling,
+    "events_sessionize" -> eventsSessionize,
+    "approx_distinct" -> approxDistinct,
+    "sample_hash" -> sampleHash,
+  )
+
+  /** DuckDB oracles. Shared conventions: same decimal casts, same final
+    * ORDER BY, aggregate aliases identical to the Spark side. */
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "exists_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "exists_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT' AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
+        | RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS spend_rank,
+        | LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order_date
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rollup_subtotals" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS F,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS O,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, totalprice, rn FROM (
+        | SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "asof_join" ->
+      """WITH tagged AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        | FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        | SELECT *, MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_ts
+        | FROM tagged)
+        |SELECT user_id, event_id, ts, asof_click_ts FROM w
+        |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events),
+        |s AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM g)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
+  )
+}
