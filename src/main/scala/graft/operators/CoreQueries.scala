@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.{Filters, GraftSession}
+import graft.store.TableStore
+
+/** C-block: driver-verified queries exercising the full reference
+  * surface — create/modify/read/insert/update/upsert/merge plus the
+  * where-parser, metadata timestamps, and auto-adjust
+  * (SURVEY §2 C1–C17). Each query builds a scratch TableStore under
+  * java.io.tmpdir, performs real store mutations, and returns the final
+  * table state; the DuckDB oracle recomputes the same final state from
+  * the original parquet tables with plain SQL.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  private def newStore(s: SparkSession, tag: String): TableStore = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store/${tag}_${System.nanoTime()}"
+    new TableStore(s, root)
+  }
+
+  // C2/C14: explicit SQL-type schema + cast on insert
+  def createTableCast(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "create_cast")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint",
+      "c_name" -> "varchar(40)",
+      "c_nationkey" -> "int",
+      "c_acctbal" -> "decimal(12,2)",
+      "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"))
+    store.insert("cust", t(s, dir, "customer"))
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+  }
+
+  // C3: smallest-type inference
+  def createInferNarrow(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "infer")
+    store.createTableFromDataFrame("li",
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
+    store.describe("li").orderBy("column_name")
+  }
+
+  // C4: add / alter / drop column
+  def modifyColumns(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "modify")
+    store.createTableFromDataFrame("nat", t(s, dir, "nation"), infer = false)
+    store.addColumn("nat", "n_comment", "varchar(max)")
+    store.alterColumn("nat", "n_regionkey", "bigint")
+    store.dropColumn("nat", "n_name")
+    store.readTable("nat", orderBy = Seq("n_nationkey"))
+  }
+
+  // C5: PK uniqueness violations
+  def primaryKeyViolations(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "pk")
+    store.createTableFromDataFrame("cust", t(s, dir, "customer"), Seq("c_custkey"), infer = false)
+    store.insert("cust", t(s, dir, "customer").filter(col("c_custkey") < 50))
+    store.primaryKeyViolations("cust").orderBy("c_custkey")
+  }
+
+  // C6 (+C7): projection / where / order / limit with pushdown
+  def readProjectionFilter(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "read")
+    store.createTableFromDataFrame("li", t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"), infer = false)
+    store.readTable("li",
+      columns = Seq("l_quantity", "l_shipdate"),
+      where = Some("l_quantity >= 45 AND l_returnflag = 'A'"),
+      orderBy = Seq("l_orderkey", "l_linenumber"),
+      limit = Some(500))
+  }
+
+  // C7/C17: where-string parser features
+  def whereParser(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(Filters.parseWhere(o,
+      "(o_totalprice >= 400000 OR o_orderpriority LIKE '1-%') AND o_orderstatus IN ('O', 'F') AND o_orderdate IS NOT NULL"))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  // C8: bulk append
+  def insertAppend(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "insert")
+    store.createTableFromDataFrame("reg", t(s, dir, "region"), Seq("r_regionkey"), infer = false)
+    store.insert("reg", t(s, dir, "nation").select(
+      (col("n_nationkey") + 100).cast("int").as("r_regionkey"),
+      col("n_name").as("r_name")))
+    store.readTable("reg", orderBy = Seq("r_regionkey"))
+  }
+
+  // C9: keyed update
+  def updateByKey(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "update")
+    store.createTableFromDataFrame("cust", t(s, dir, "customer"), Seq("c_custkey"), infer = false)
+    val src = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"))
+    store.update("cust", src)
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+  }
+
+  // C10: upsert (update matched + insert unmatched, no deletes)
+  def upsertByKey(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "upsert")
+    val cust = t(s, dir, "customer")
+    store.createTableFromDataFrame("cust", cust, Seq("c_custkey"), infer = false)
+    val updates = cust.filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + 50).as("c_acctbal"), col("c_mktsegment"))
+    val news = cust.filter(col("c_custkey") < 20)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("NEW#"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), lit("NEW").as("c_mktsegment"))
+    store.upsert("cust", updates.unionByName(news))
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+  }
+
+  // C11: full merge — update matched, insert new, delete unmatched
+  def mergeFull(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "merge")
+    store.createTableFromDataFrame("ord",
+      t(s, dir, "orders").filter(col("o_orderkey") < 10000), Seq("o_orderkey"), infer = false)
+    val src = t(s, dir, "orders")
+      .filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 12000)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1).as("o_totalprice"))
+    store.merge("ord", src)
+    store.readTable("ord", orderBy = Seq("o_orderkey"))
+  }
+
+  // C12: merge with delete_requires incremental guard
+  def mergeDeleteRequires(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "merge_dr")
+    store.createTableFromDataFrame("ev",
+      t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+      Seq("event_id"), infer = false)
+    val src = t(s, dir, "events")
+      .filter(col("user_id") < 50 && col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), (col("value") + 1).as("value"))
+    store.merge("ev", src, deleteRequires = Seq("user_id"))
+    store.readTable("ev", orderBy = Seq("event_id"))
+  }
+
+  // C13: metadata timestamps through insert + merge with injected clock
+  def mergeTimestamps(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "merge_ts")
+    val clock0 = Some(lit("2025-01-01 00:00:00").cast(TimestampType))
+    val clock1 = Some(lit("2026-01-01 00:00:00").cast(TimestampType))
+    store.createTable("reg", Seq("r_regionkey" -> "int", "r_name" -> "varchar(30)"), Seq("r_regionkey"))
+    store.insert("reg", t(s, dir, "region"), timeInsert = clock0)
+    val src = t(s, dir, "region").filter(col("r_regionkey") < 3)
+      .select(col("r_regionkey"), concat(col("r_name"), lit("_v2")).as("r_name"))
+      .unionByName(t(s, dir, "nation").filter(col("n_nationkey") < 3)
+        .select((col("n_nationkey") + 100).cast("int").as("r_regionkey"),
+          col("n_name").as("r_name")))
+    store.merge("reg", src, timeInsert = clock1, timeUpdate = clock1)
+    store.readTable("reg", orderBy = Seq("r_regionkey"))
+  }
+
+  // C15: auto-adjust — widen types + add column on insert
+  def autoadjustWiden(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "widen")
+    store.createTable("sup", Seq(
+      "s_suppkey" -> "smallint",
+      "s_name" -> "varchar(25)",
+      "s_nationkey" -> "tinyint",
+      "s_acctbal" -> "decimal(8,2)"), Seq("s_suppkey"))
+    store.insert("sup", t(s, dir, "supplier"))
+    val extra = t(s, dir, "supplier").select(
+      (col("s_suppkey") + 100000).as("s_suppkey"),
+      col("s_name"),
+      col("s_nationkey"),
+      (col("s_acctbal") * 1000).as("s_acctbal"),
+      lit("widened batch").as("s_comment"))
+    store.insert("sup", extra, autoAdjust = true)
+    store.readTable("sup", orderBy = Seq("s_suppkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "create_table_cast" -> createTableCast,
+    "create_infer_narrow" -> createInferNarrow,
+    "modify_columns" -> modifyColumns,
+    "primary_key_violations" -> primaryKeyViolations,
+    "read_projection_filter" -> readProjectionFilter,
+    "where_parser" -> whereParser,
+    "insert_append" -> insertAppend,
+    "update_by_key" -> updateByKey,
+    "upsert_by_key" -> upsertByKey,
+    "merge_full" -> mergeFull,
+    "merge_delete_requires" -> mergeDeleteRequires,
+    "merge_timestamps" -> mergeTimestamps,
+    "autoadjust_widen" -> autoadjustWiden,
+  )
+
+  private def inferCase(c: String): String =
+    s"""CASE WHEN MIN($c) >= 0 AND MAX($c) <= 255 THEN 'tinyint'
+       |     WHEN MIN($c) >= -32768 AND MAX($c) <= 32767 THEN 'smallint'
+       |     WHEN MIN($c) >= -2147483648 AND MAX($c) <= 2147483647 THEN 'int'
+       |     ELSE 'bigint' END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "create_table_cast" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "create_infer_narrow" ->
+      s"""SELECT 'l_orderkey' AS column_name, ${inferCase("l_orderkey")} AS sql_type FROM lineitem
+         |UNION ALL
+         |SELECT 'l_linenumber', ${inferCase("l_linenumber")} FROM lineitem
+         |UNION ALL
+         |SELECT 'l_quantity',
+         |  CASE WHEN bool_and(l_quantity = floor(l_quantity)) THEN ${inferCase("l_quantity")}
+         |       ELSE 'float' END FROM lineitem
+         |UNION ALL
+         |SELECT 'l_returnflag', 'varchar(' || CAST(MAX(length(l_returnflag)) AS VARCHAR) || ')' FROM lineitem
+         |UNION ALL
+         |SELECT 'l_shipdate',
+         |  CASE WHEN bool_and(epoch_us(l_shipdate) % 86400000000 = 0) THEN 'date' ELSE 'datetime2' END
+         |FROM lineitem
+         |ORDER BY column_name""".stripMargin,
+    "modify_columns" ->
+      """SELECT n_nationkey, CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        | CAST(NULL AS VARCHAR) AS n_comment
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "primary_key_violations" ->
+      """SELECT c_custkey, COUNT(*) AS n FROM (
+        | SELECT c_custkey FROM customer
+        | UNION ALL
+        | SELECT c_custkey FROM customer WHERE c_custkey < 50) u
+        |GROUP BY c_custkey HAVING COUNT(*) > 1 ORDER BY c_custkey""".stripMargin,
+    "read_projection_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_quantity >= 45 AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "where_parser" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+        |WHERE (o_totalprice >= 400000 OR o_orderpriority LIKE '1-%')
+        |  AND o_orderstatus IN ('O', 'F') AND o_orderdate IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "insert_append" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS INT) AS r_regionkey, n_name AS r_name FROM nation
+        |ORDER BY r_regionkey""".stripMargin,
+    "update_by_key" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        | CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "upsert_by_key" ->
+      """WITH src AS (
+        | SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50 AS c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey < 100
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR), c_nationkey, c_acctbal, 'NEW'
+        | FROM customer WHERE c_custkey < 20)
+        |SELECT COALESCE(s.c_custkey, c.c_custkey) AS c_custkey,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE c.c_name END AS c_name,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+        |FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "merge_full" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1 AS o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 10000
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), o_totalprice + 1,
+        |       CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
+        |FROM orders WHERE o_orderkey >= 10000 AND o_orderkey < 12000
+        |ORDER BY o_orderkey""".stripMargin,
+    "merge_delete_requires" ->
+      """WITH src AS (
+        | SELECT event_id, user_id, value + 1 AS value FROM events
+        | WHERE user_id < 50 AND event_type = 'click')
+        |SELECT e.event_id, e.user_id, e.event_type,
+        | CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE e.value END AS value
+        |FROM events e LEFT JOIN src s ON e.event_id = s.event_id
+        |WHERE s.event_id IS NOT NULL OR e.user_id NOT IN (SELECT DISTINCT user_id FROM src)
+        |ORDER BY e.event_id""".stripMargin,
+    "merge_timestamps" ->
+      """SELECT r_regionkey, r_name || '_v2' AS r_name,
+        | TIMESTAMP '2025-01-01 00:00:00' AS _time_insert,
+        | TIMESTAMP '2026-01-01 00:00:00' AS _time_update
+        |FROM region WHERE r_regionkey < 3
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS INT), n_name,
+        | TIMESTAMP '2026-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |FROM nation WHERE n_nationkey < 3
+        |ORDER BY r_regionkey""".stripMargin,
+    "autoadjust_widen" ->
+      """SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, CAST(s_nationkey AS SMALLINT) AS s_nationkey,
+        | CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, CAST(NULL AS VARCHAR) AS s_comment
+        |FROM supplier
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 100000 AS INT), s_name, CAST(s_nationkey AS SMALLINT),
+        | CAST(s_acctbal * 1000 AS DECIMAL(18,2)), 'widened batch'
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+  )
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.errors
+
+/** Keyed mutation of a target relation from a source relation — the
+  * Spark-native re-expression of the reference's write surface:
+  * `write.update` (mssql_dataframe/core/write/update.py:14),
+  * `write.merge` incl. `upsert` and `delete_requires`
+  * (mssql_dataframe/core/write/merge.py:13, :27-39, :46).
+  *
+  * The reference issues a T-SQL MERGE against a server; here every
+  * mutation is ONE keyed join producing the new target relation:
+  *
+  *  - `update`:  left join target ← source; matched rows take source
+  *    values for the source's non-key columns.
+  *  - `merge`:   full-outer join; matched → update, source-only →
+  *    insert, target-only → delete (guarded by `deleteRequires`,
+  *    suppressed entirely by `upsert`).
+  *
+  * Scale design (SURVEY §5): the source is typically ≪ target, so we
+  * `broadcast(source)` for update (left join allows it); merge needs
+  * full-outer, which Spark executes as a shuffle join — with AQE
+  * handling skew. No collect(), no driver loops: the output is a plan,
+  * and the caller (TableStore) controls materialization, where a
+  * lakehouse-style store would rewrite only the files whose key range
+  * intersects the source keys.
+  *
+  * Metadata timestamps mirror `include_metadata_timestamps`
+  * (package.py:68-118): `_time_update` set on updated rows,
+  * `_time_insert` on inserted rows, both from an injected clock column
+  * for determinism (the reference uses GETDATE()).
+  */
+object Mutations {
+
+  val TimeInsert = "_time_insert"
+  val TimeUpdate = "_time_update"
+
+  private def srcAlias(c: String) = s"__src_$c"
+
+  private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty) throw errors.DataFrameColumnDoesNotExist(missing.map(c => s"$what.$c"))
+  }
+
+  /** Ensure `df` has a nullable timestamp column `name` (the reference
+    * auto-creates metadata-timestamp columns on first use,
+    * core/write/_exceptions.py:16-50). */
+  private def ensureTimeCol(df: DataFrame, name: String): DataFrame =
+    if (df.columns.contains(name)) df
+    else df.withColumn(name, lit(null).cast(TimestampType))
+
+  /** Update matched rows of `target` from `source`.
+    *
+    * Updated columns = source columns minus `matchCols`. Unmatched
+    * target rows are unchanged; source rows with no match are ignored
+    * (same as SQL UPDATE ... FROM). Result schema = target schema
+    * (+ `_time_update` when `timeUpdate` is set).
+    */
+  def update(
+      target: DataFrame,
+      source: DataFrame,
+      matchCols: Seq[String],
+      timeUpdate: Option[Column] = None): DataFrame = {
+    requireCols(target, matchCols, "target")
+    requireCols(source, matchCols, "source")
+    val updateCols = source.columns.filterNot(matchCols.contains).toSeq
+    requireCols(target, updateCols, "target")
+
+    val t0 = if (timeUpdate.isDefined) ensureTimeCol(target, TimeUpdate) else target
+    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
+      .withColumn("__matched", lit(true))
+    val joined = t0.join(
+      broadcast(s),
+      matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _),
+      "left")
+
+    val outCols = t0.columns.map { c =>
+      if (updateCols.contains(c))
+        when(col("__matched"), col(srcAlias(c)).cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
+      else if (c == TimeUpdate && timeUpdate.isDefined)
+        when(col("__matched"), timeUpdate.get.cast(TimestampType)).otherwise(t0(c)).as(c)
+      else t0(c).as(c)
+    }
+    joined.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Upsert: update matched, insert unmatched — merge with deletes off
+    * (reference merge.py:46 `upsert=True`). */
+  def upsert(
+      target: DataFrame,
+      source: DataFrame,
+      matchCols: Seq[String],
+      timeInsert: Option[Column] = None,
+      timeUpdate: Option[Column] = None): DataFrame =
+    merge(target, source, matchCols, upsertOnly = true, Seq.empty, timeInsert, timeUpdate)
+
+  /** Full merge: update matched, insert source-only, delete target-only
+    * (unless `upsertOnly`), with `deleteRequires` restricting deletes to
+    * rows whose guard-column values appear in the source
+    * (reference merge.py:27-39: `WHEN NOT MATCHED BY SOURCE AND
+    * _target.g IN (SELECT g FROM source) THEN DELETE`).
+    */
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      matchCols: Seq[String],
+      upsertOnly: Boolean = false,
+      deleteRequires: Seq[String] = Seq.empty,
+      timeInsert: Option[Column] = None,
+      timeUpdate: Option[Column] = None): DataFrame = {
+    if (upsertOnly && deleteRequires.nonEmpty)
+      throw new IllegalArgumentException("deleteRequires can only be specified if upsertOnly=false")
+    requireCols(target, matchCols, "target")
+    requireCols(source, matchCols, "source")
+    val updateCols = source.columns.filterNot(matchCols.contains).toSeq
+    requireCols(target, updateCols, "target")
+    requireCols(source, deleteRequires, "source")
+
+    var t0 = target
+    if (timeInsert.isDefined) t0 = ensureTimeCol(t0, TimeInsert)
+    if (timeUpdate.isDefined) t0 = ensureTimeCol(t0, TimeUpdate)
+
+    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
+      .withColumn("__s", lit(true))
+    val joinCond = matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _)
+    var j = t0.withColumn("__t", lit(true)).join(s, joinCond, "full_outer")
+
+    // deleteRequires guard: target-only rows are deletable only if every
+    // guard column's value occurs in the source. One broadcast semi-ish
+    // join per guard column against the source's distinct guard values.
+    var guardAll: Column = lit(true)
+    deleteRequires.zipWithIndex.foreach { case (g, i) =>
+      val flag = s"__guard_$i"
+      val vals = source.select(col(g).as(s"__gv_$i")).distinct()
+        .withColumn(flag, lit(true))
+      j = j.join(broadcast(vals), j(g) === vals(s"__gv_$i"), "left")
+      guardAll = guardAll && col(flag).isNotNull
+    }
+
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val insertOnly = col("__t").isNull
+    val targetOnly = col("__s").isNull
+    val deletable = if (upsertOnly) lit(false) else guardAll
+
+    val kept = j.filter(matched || insertOnly || (targetOnly && !deletable))
+
+    val outCols = t0.columns.map { c =>
+      val dt = t0.schema(c).dataType
+      val base =
+        if (matchCols.contains(c))
+          when(insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
+        else if (updateCols.contains(c))
+          when(matched || insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
+        else if (c == TimeInsert && timeInsert.isDefined)
+          when(insertOnly, timeInsert.get.cast(TimestampType)).otherwise(t0(c)).as(c)
+        else if (c == TimeUpdate && timeUpdate.isDefined)
+          when(matched, timeUpdate.get.cast(TimestampType)).otherwise(t0(c)).as(c)
+        else t0(c).as(c) // target-only column: null for inserted rows
+      base
+    }
+    kept.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Insert-all append algebra (reference write.insert, insert.py:38):
+    * source columns aligned to the target schema by name, missing
+    * columns null-filled, `_time_insert` stamped when requested. */
+  def insertAll(
+      target: DataFrame,
+      source: DataFrame,
+      timeInsert: Option[Column] = None): DataFrame = {
+    val t0 = if (timeInsert.isDefined) ensureTimeCol(target, TimeInsert) else target
+    val aligned = t0.columns.map { c =>
+      val dt = t0.schema(c).dataType
+      if (source.columns.contains(c)) source(c).cast(dt).as(c)
+      else if (c == TimeInsert && timeInsert.isDefined) timeInsert.get.cast(TimestampType).as(c)
+      else lit(null).cast(dt).as(c)
+    }
+    t0.unionByName(source.select(aligned.toIndexedSeq: _*))
+  }
+}

@@ -1,0 +1,378 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+
+import graft.{errors, Filters, Identifiers}
+import graft.operators.Mutations
+import graft.types.{Infer, SqlType}
+
+/** Managed parquet tables with a SQL-type schema, primary-key metadata
+  * and keyed mutation — the Spark-native re-expression of the
+  * reference's table surface:
+  *
+  *  - create.table / create.table_from_dataframe (core/create.py:29,160)
+  *  - modify.column / modify.primary_key          (core/modify.py:21,141)
+  *  - read.table                                  (core/read.py:23)
+  *  - write.insert/update/merge                   (core/write/ modules)
+  *  - auto-adjust on insert                       (core/write/_exceptions.py)
+  *
+  * Layout: `<root>/<table>/meta.json` (SQL-type schema + PK) and
+  * parquet files under `<root>/<table>/data/`.
+  *
+  * Scale notes (SURVEY §5):
+  *  - add/drop column are METADATA-ONLY (no data rewrite) — reads
+  *    reconcile files against the meta schema, like SQL Server's
+  *    ALTER TABLE ADD / lakehouse schema evolution.
+  *  - insert is an append of new files; bounds validation is one
+  *    aggregate over the incoming batch only.
+  *  - update/upsert/merge rewrite via Mutations' single-join algebra.
+  *    Locally the whole table is rewritten; the algebra itself is
+  *    partition-agnostic, so a production store would rewrite only the
+  *    files whose key ranges intersect the source keys.
+  *  - atomic swap: new data is written to `data.tmp` then renamed.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private val mapper = new ObjectMapper()
+
+  private def tablePath(name: String) = new Path(root, name)
+  private def dataPath(name: String) = new Path(tablePath(name), "data")
+  private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  final case class Meta(columns: Seq[(String, SqlType)], primaryKey: Seq[String]) {
+    def sparkSchema: StructType =
+      StructType(columns.map { case (n, t) => StructField(n, t.spark, nullable = true) })
+  }
+
+  // ── metadata ────────────────────────────────────────────────────────────
+
+  private def writeMeta(name: String, meta: Meta): Unit = {
+    val o: ObjectNode = mapper.createObjectNode()
+    val cols: ArrayNode = o.putArray("columns")
+    meta.columns.foreach { case (n, t) =>
+      val c = cols.addObject()
+      c.put("name", n)
+      c.put("sqlType", t.render)
+    }
+    val pk: ArrayNode = o.putArray("primaryKey")
+    meta.primaryKey.foreach(pk.add)
+    val out = fs.create(metaPath(name), true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
+    out.close()
+  }
+
+  def meta(name: String): Meta = {
+    if (!exists(name)) throw errors.TableDoesNotExist(name)
+    val in = fs.open(metaPath(name))
+    val node: JsonNode = try mapper.readTree(in) finally in.close()
+    val cols = (0 until node.get("columns").size()).map { i =>
+      val c = node.get("columns").get(i)
+      c.get("name").asText() -> SqlType.parse(c.get("sqlType").asText())
+    }
+    val pk = (0 until node.get("primaryKey").size()).map(node.get("primaryKey").get(_).asText())
+    Meta(cols, pk)
+  }
+
+  def exists(name: String): Boolean = fs.exists(metaPath(name))
+
+  /** (column_name, sql_type) schema description, like the reference's
+    * get_schema surface (core/conversion.py get_schema). */
+  def describe(name: String): DataFrame = {
+    import spark.implicits._
+    meta(name).columns.map { case (n, t) => (n, t.render) }.toDF("column_name", "sql_type")
+  }
+
+  // ── create ──────────────────────────────────────────────────────────────
+
+  /** Explicit-schema create (reference create.table, create.py:29). */
+  def createTable(
+      name: String,
+      columns: Seq[(String, String)],
+      primaryKey: Seq[String] = Seq.empty): Unit = {
+    if (exists(name)) throw errors.TableAlreadyExists(name)
+    Identifiers.quote(name) // length validation
+    columns.foreach { case (n, _) => Identifiers.quote(n) }
+    val m = Meta(columns.map { case (n, decl) => n -> SqlType.parse(decl) }, primaryKey)
+    val missingPk = primaryKey.filterNot(m.columns.map(_._1).contains)
+    if (missingPk.nonEmpty) throw errors.ColumnDoesNotExist(name, missingPk)
+    writeMeta(name, m)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
+      .write.mode("overwrite").parquet(dataPath(name).toString)
+  }
+
+  /** Inferred-schema create (reference create.table_from_dataframe,
+    * create.py:160): smallest-SQL-type inference via one stats pass. */
+  def createTableFromDataFrame(
+      name: String,
+      df: DataFrame,
+      primaryKey: Seq[String] = Seq.empty,
+      infer: Boolean = true): Unit = {
+    val cols =
+      if (infer) Infer.narrowSchema(df)
+      else df.schema.fields.toSeq.map(f => f.name -> SqlType.forSpark(f.dataType))
+    createTable(name, cols.map { case (n, t) => n -> t.render }, primaryKey)
+    insert(name, df)
+  }
+
+  // ── modify ──────────────────────────────────────────────────────────────
+
+  /** Metadata-only column add (reference modify.column add, modify.py:21).
+    * Existing files simply lack the column; reads null-fill it. */
+  def addColumn(name: String, column: String, sqlType: String): Unit = {
+    val m = meta(name)
+    if (m.columns.exists(_._1 == column)) throw errors.TableAlreadyExists(s"$name.$column")
+    writeMeta(name, m.copy(columns = m.columns :+ (column -> SqlType.parse(sqlType))))
+  }
+
+  /** Column type change (reference modify.column alter). Data is cast and
+    * rewritten; a format with metadata casts (lakehouse) would skip the
+    * rewrite for widening changes. */
+  def alterColumn(name: String, column: String, sqlType: String): Unit = {
+    val m = meta(name)
+    if (!m.columns.exists(_._1 == column)) throw errors.ColumnDoesNotExist(name, Seq(column))
+    val newMeta = m.copy(columns = m.columns.map {
+      case (n, _) if n == column => n -> SqlType.parse(sqlType)
+      case other                 => other
+    })
+    val df = read(name) // materialized under OLD meta
+    writeMeta(name, newMeta)
+    overwriteData(name, alignTo(df, newMeta))
+  }
+
+  /** Metadata-only column drop (reference modify.column drop). */
+  def dropColumn(name: String, column: String): Unit = {
+    val m = meta(name)
+    if (!m.columns.exists(_._1 == column)) throw errors.ColumnDoesNotExist(name, Seq(column))
+    writeMeta(name, m.copy(
+      columns = m.columns.filterNot(_._1 == column),
+      primaryKey = m.primaryKey.filterNot(_ == column)))
+  }
+
+  /** Add/drop the primary key (reference modify.primary_key, modify.py:141). */
+  def setPrimaryKey(name: String, primaryKey: Seq[String]): Unit = {
+    val m = meta(name)
+    val missing = primaryKey.filterNot(m.columns.map(_._1).contains)
+    if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
+    writeMeta(name, m.copy(primaryKey = primaryKey))
+  }
+
+  /** Rows violating PK uniqueness: one hash aggregation on the key. */
+  def primaryKeyViolations(name: String): DataFrame = {
+    val m = meta(name)
+    if (m.primaryKey.isEmpty) throw errors.UndefinedPrimaryKey(name)
+    read(name).groupBy(m.primaryKey.map(c => col(Identifiers.quote(c))): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
+
+  // ── read ────────────────────────────────────────────────────────────────
+
+  /** Raw table scan reconciled to the meta schema (null-fill added
+    * columns, drop dropped ones, cast to meta types). */
+  def read(name: String): DataFrame = {
+    val m = meta(name)
+    // mergeSchema: files written before a metadata-only addColumn lack
+    // the new column; the merged footer schema keeps it visible.
+    val raw = spark.read.option("mergeSchema", "true").parquet(dataPath(name).toString)
+    alignTo(raw, m)
+  }
+
+  private def alignTo(df: DataFrame, m: Meta): DataFrame = {
+    val out = m.columns.map { case (n, t) =>
+      if (df.columns.contains(n)) col(Identifiers.quote(n)).cast(t.spark).as(n)
+      else lit(null).cast(t.spark).as(n)
+    }
+    df.select(out.toIndexedSeq: _*)
+  }
+
+  /** Projection / where / order / limit read surface (reference
+    * read.table, core/read.py:23). PK columns are always included, like
+    * the reference returns them as the dataframe index. The where string
+    * is parsed into a Catalyst predicate (→ parquet pushdown), and the
+    * projection prunes the scan's ReadSchema. */
+  def readTable(
+      name: String,
+      columns: Seq[String] = Seq.empty,
+      where: Option[String] = None,
+      limit: Option[Int] = None,
+      orderBy: Seq[String] = Seq.empty,
+      orderDesc: Boolean = false): DataFrame = {
+    val m = meta(name)
+    var df = read(name)
+    where.foreach(w => df = df.filter(Filters.parseWhere(df, w)))
+    if (columns.nonEmpty) {
+      val missing = columns.filterNot(m.columns.map(_._1).contains)
+      if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
+      val proj = (m.primaryKey ++ columns.filterNot(m.primaryKey.contains))
+      df = df.select(proj.map(c => col(Identifiers.quote(c))): _*)
+    }
+    if (orderBy.nonEmpty) {
+      val missing = orderBy.filterNot(m.columns.map(_._1).contains)
+      if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
+      val ord = orderBy.map(c => if (orderDesc) col(Identifiers.quote(c)).desc else col(Identifiers.quote(c)))
+      df = df.orderBy(ord: _*)
+    }
+    limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  // ── write ───────────────────────────────────────────────────────────────
+
+  /** Append `df` (reference write.insert, insert.py:38) with the
+    * reference's auto-adjust ladder on mismatch
+    * (core/write/_exceptions.py:11-50):
+    *   table missing        → create from dataframe      (autoAdjust)
+    *   column missing       → add column, inferred type  (autoAdjust)
+    *   value out of bounds  → widen column type          (autoAdjust)
+    * otherwise the corresponding GraftException is raised.
+    * Bounds validation is ONE aggregate over the incoming batch. */
+  def insert(
+      name: String,
+      df: DataFrame,
+      autoAdjust: Boolean = false,
+      timeInsert: Option[Column] = None): Unit = {
+    if (!exists(name)) {
+      if (autoAdjust) { createTableFromDataFrame(name, df); return }
+      else throw errors.TableDoesNotExist(name)
+    }
+    var m = meta(name)
+
+    // columns present in df but not in the table
+    val extra = df.columns.filterNot(c => m.columns.exists(_._1 == c)).toSeq
+    if (extra.nonEmpty) {
+      if (!autoAdjust) throw errors.ColumnDoesNotExist(name, extra)
+      val inferred = Infer.narrowSchema(df.select(extra.map(c => col(Identifiers.quote(c))): _*))
+      inferred.foreach { case (n, t) => addColumn(name, n, t.render) }
+      m = meta(name)
+    }
+
+    // one-pass bounds validation of incoming values against table types
+    val checks = m.columns.flatMap { case (n, t) =>
+      if (df.columns.contains(n))
+        t.violation(col(Identifiers.quote(n))).map(v => sum(when(v, 1).otherwise(0)).as(n))
+      else None
+    }
+    if (checks.nonEmpty) {
+      val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+      val violated = m.columns.map(_._1).filter(n =>
+        row.schema.fieldNames.contains(n) && row.getAs[Long](n) > 0)
+      if (violated.nonEmpty) {
+        if (!autoAdjust) {
+          val (n, t) = m.columns.find(c => violated.contains(c._1)).get
+          if (t.maxLength.isDefined)
+            throw errors.InsufficientColumnSize(n, s"values exceed ${t.render}")
+          else throw errors.InvalidValue(n, s"values out of range for ${t.render}")
+        }
+        // widen each violated column to cover the incoming data
+        val byName = df.select(violated.map(c => col(Identifiers.quote(c))): _*)
+        val widened = Infer.narrowSchema(byName)
+        widened.foreach { case (n, t) =>
+          val cur = m.columns.find(_._1 == n).get._2
+          alterColumn(name, n, widen(cur, t).render)
+        }
+        m = meta(name)
+      }
+    }
+
+    if (timeInsert.isDefined && !m.columns.exists(_._1 == Mutations.TimeInsert)) {
+      addColumn(name, Mutations.TimeInsert, "datetime2")
+      m = meta(name)
+    }
+
+    val target = read(name)
+    val appended = Mutations.insertAll(target.limit(0), df, timeInsert)
+    val out = fs.makeQualified(dataPath(name))
+    appended.write.mode("append").parquet(out.toString)
+  }
+
+  /** Smallest type covering both current and incoming (widening only). */
+  private def widen(cur: SqlType, incoming: SqlType): SqlType = {
+    import org.apache.spark.sql.types._
+    (cur.spark, incoming.spark) match {
+      case (_: DecimalType, _) | (_, _: DecimalType) =>
+        val curScale = cur.spark match { case d: DecimalType => d.scale; case _ => 2 }
+        SqlType.parse(s"decimal(18,$curScale)")
+      case (a, b) if a == b && cur.maxLength.isDefined =>
+        // string/binary length: take incoming length (inference maxes it)
+        incoming
+      case _ =>
+        val order = Seq("tinyint", "smallint", "int", "bigint", "float")
+        val i = math.max(order.indexOf(cur.name), order.indexOf(incoming.name))
+        if (i >= 0) SqlType.parse(order(i)) else incoming
+    }
+  }
+
+  /** Keyed update (reference write.update, update.py:14). */
+  def update(
+      name: String,
+      source: DataFrame,
+      matchCols: Seq[String] = Seq.empty,
+      timeUpdate: Option[Column] = None): Unit = {
+    val m = meta(name)
+    val keys = resolveKeys(name, m, matchCols)
+    rewrite(name, Mutations.update(read(name), source, keys, timeUpdate), timeUpdate.isDefined)
+  }
+
+  /** Keyed upsert (reference merge(upsert=True), merge.py:46). */
+  def upsert(
+      name: String,
+      source: DataFrame,
+      matchCols: Seq[String] = Seq.empty,
+      timeInsert: Option[Column] = None,
+      timeUpdate: Option[Column] = None): Unit = {
+    val m = meta(name)
+    val keys = resolveKeys(name, m, matchCols)
+    rewrite(name, Mutations.upsert(read(name), source, keys, timeInsert, timeUpdate),
+      timeInsert.isDefined || timeUpdate.isDefined)
+  }
+
+  /** Full merge (reference write.merge, merge.py:13). */
+  def merge(
+      name: String,
+      source: DataFrame,
+      matchCols: Seq[String] = Seq.empty,
+      deleteRequires: Seq[String] = Seq.empty,
+      timeInsert: Option[Column] = None,
+      timeUpdate: Option[Column] = None): Unit = {
+    val m = meta(name)
+    val keys = resolveKeys(name, m, matchCols)
+    rewrite(name,
+      Mutations.merge(read(name), source, keys, upsertOnly = false, deleteRequires, timeInsert, timeUpdate),
+      timeInsert.isDefined || timeUpdate.isDefined)
+  }
+
+  private def resolveKeys(name: String, m: Meta, matchCols: Seq[String]): Seq[String] =
+    if (matchCols.nonEmpty) matchCols
+    else if (m.primaryKey.nonEmpty) m.primaryKey
+    else throw errors.UndefinedPrimaryKey(name)
+
+  /** Materialize a mutation result and swap it in atomically. Also
+    * registers metadata-timestamp columns the mutation introduced. */
+  private def rewrite(name: String, result: DataFrame, mayAddTimeCols: Boolean): Unit = {
+    if (mayAddTimeCols) {
+      var m = meta(name)
+      Seq(Mutations.TimeInsert, Mutations.TimeUpdate).foreach { c =>
+        if (result.columns.contains(c) && !m.columns.exists(_._1 == c)) {
+          m = m.copy(columns = m.columns :+ (c -> SqlType.parse("datetime2")))
+          writeMeta(name, m)
+        }
+      }
+    }
+    overwriteData(name, result)
+  }
+
+  private def overwriteData(name: String, df: DataFrame): Unit = {
+    val tmp = new Path(tablePath(name), "data.tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dst = dataPath(name)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"atomic swap failed for table $name")
+  }
+}

@@ -17,31 +17,31 @@ import org.apache.spark.sql.types._
   */
 object Infer {
 
-  final case class ColumnStats(
-      minL: Option[Long], maxL: Option[Long],      // integral range (or integral-valued doubles)
-      allWhole: Boolean,                            // doubles: every value is a whole number
-      maxLen: Option[Int],                          // strings: max length
-      allMidnight: Boolean)                         // timestamps: no time-of-day component
-
   /** Infer the narrowest SqlType per column. Column order preserved. */
   def narrowSchema(df: DataFrame): Seq[(String, SqlType)] = {
     val fields = df.schema.fields
 
-    // build one wide aggregation: few stats per column
-    val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+    // One wide aggregation; aliases are positional (__c<i>__stat) so
+    // they cannot collide with data column names, and columns are
+    // referenced via df.col-safe backtick quoting (ADVICE r1).
+    def c(f: StructField) = col(s"`${f.name}`")
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       f.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
-          Seq(min(c.cast(LongType)).as(s"${f.name}__min"),
-              max(c.cast(LongType)).as(s"${f.name}__max"))
+          Seq(min(c(f).cast(LongType)).as(s"__c${i}__min"),
+              max(c(f).cast(LongType)).as(s"__c${i}__max"))
         case FloatType | DoubleType =>
-          Seq(min(c.cast(DoubleType)).as(s"${f.name}__min"),
-              max(c.cast(DoubleType)).as(s"${f.name}__max"),
-              min(c === floor(c)).as(s"${f.name}__whole"))
+          Seq(min(c(f).cast(DoubleType)).as(s"__c${i}__min"),
+              max(c(f).cast(DoubleType)).as(s"__c${i}__max"),
+              min(c(f) === floor(c(f))).as(s"__c${i}__whole"))
         case StringType =>
-          Seq(max(length(c)).as(s"${f.name}__len"))
-        case TimestampType =>
-          Seq(min(c === date_trunc("DAY", c)).as(s"${f.name}__mid"))
+          Seq(max(length(c(f))).as(s"__c${i}__len"))
+        case TimestampType | TimestampNTZType =>
+          // "no time-of-day component" must not depend on the session
+          // timezone (ADVICE r1): test true UTC midnight via epoch micros
+          // (sessions pin UTC, so the NTZ→TZ cast is identity on values).
+          Seq(min(unix_micros(c(f).cast(TimestampType)) % (86400L * 1000000L) === 0L)
+            .as(s"__c${i}__mid"))
         case _ => Seq.empty
       }
     }
@@ -62,27 +62,33 @@ object Infer {
       if (row.schema.fieldNames.contains(n) && !row.isNullAt(row.fieldIndex(n)))
         Some(row.getAs[Double](n)) else None
 
-    fields.map { f =>
+    fields.zipWithIndex.map { case (f, i) =>
       val t = f.dataType match {
         case BooleanType => SqlType.parse("bit")
         case ByteType | ShortType | IntegerType | LongType =>
-          narrowestIntegral(longAt(s"${f.name}__min"), longAt(s"${f.name}__max"))
+          // all-null → keep the source dtype's own width (the reference
+          // keeps the pandas dtype's category for all-null columns)
+          longAt(s"__c${i}__min") match {
+            case None => SqlType.forSpark(f.dataType)
+            case mn   => narrowestIntegral(mn, longAt(s"__c${i}__max"))
+          }
         case FloatType | DoubleType =>
-          val whole = boolAt(s"${f.name}__whole")
-          val mn = dblAt(s"${f.name}__min")
-          val mx = dblAt(s"${f.name}__max")
-          if (whole && mn.nonEmpty && mx.nonEmpty &&
+          val whole = boolAt(s"__c${i}__whole")
+          val mn = dblAt(s"__c${i}__min")
+          val mx = dblAt(s"__c${i}__max")
+          if (mn.isEmpty) SqlType.forSpark(f.dataType) // all-null: keep float category
+          else if (whole &&
               mn.get >= Long.MinValue.toDouble && mx.get <= Long.MaxValue.toDouble)
             narrowestIntegral(mn.map(_.toLong), mx.map(_.toLong))
           else SqlType.parse("float")
         case StringType =>
-          val len = longAt(s"${f.name}__len").map(_.toInt).getOrElse(0).max(1)
+          val len = longAt(s"__c${i}__len").map(_.toInt).getOrElse(0).max(1)
           SqlType.parse(s"varchar($len)")
-        case TimestampType =>
-          if (boolAt(s"${f.name}__mid")) SqlType.parse("date") else SqlType.parse("datetime2")
+        case TimestampType | TimestampNTZType =>
+          if (boolAt(s"__c${i}__mid")) SqlType.parse("date") else SqlType.parse("datetime2")
         case DateType => SqlType.parse("date")
         case d: DecimalType => SqlType.parse(s"decimal(${d.precision},${d.scale})")
-        case BinaryType => SqlType.parse("varbinary")
+        case BinaryType => SqlType.parse("varbinary(max)")
         case other => SqlType.forSpark(other)
       }
       f.name -> t
@@ -98,6 +104,6 @@ object Infer {
       else if (mn >= Short.MinValue && mx <= Short.MaxValue) SqlType.parse("smallint")
       else if (mn >= Int.MinValue && mx <= Int.MaxValue) SqlType.parse("int")
       else SqlType.parse("bigint")
-    case _ => SqlType.parse("bigint") // all-null column: widest integral
+    case _ => SqlType.parse("bigint")
   }
 }

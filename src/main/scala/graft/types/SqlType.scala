@@ -28,13 +28,42 @@ final case class SqlType(
   def render: String = {
     val size = maxLength.map(n => s"($n)").getOrElse {
       name match {
-        case "varchar" | "nvarchar" | "varbinary" => "(max)"
+        case "varchar" | "nvarchar" | "varbinary" | "binary" | "char" | "nchar" => "(max)"
         case _ => ""
       }
     }
     spark match {
       case d: DecimalType => s"$name(${d.precision},${d.scale})"
       case _              => s"$name$size"
+    }
+  }
+
+  /** Predicate matching values that VIOLATE this type's bounds — the
+    * distributed analog of the reference's pre-insert check
+    * (mssql_dataframe/core/conversion.py precheck_dataframe). Evaluated
+    * as one Column inside the insert scan: no driver-side row loops.
+    * None = type has no bounds to enforce. */
+  def violation(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{abs, length, octet_length}
+    spark match {
+      case d: DecimalType =>
+        // value magnitude must fit precision-scale integer digits
+        return Some(c.isNotNull &&
+          abs(c.cast(DoubleType)) >= math.pow(10.0, (d.precision - d.scale).toDouble))
+      case _ =>
+    }
+    val range = intRange.map { case (lo, hi) =>
+      c.isNotNull && (c.cast(LongType) < lo || c.cast(LongType) > hi)
+    }
+    val len = maxLength.map { n =>
+      spark match {
+        case BinaryType => c.isNotNull && octet_length(c) > n
+        case _          => c.isNotNull && length(c) > n
+      }
+    }
+    (range, len) match {
+      case (Some(r), Some(l)) => Some(r || l)
+      case (r, l)             => r.orElse(l)
     }
   }
 }
@@ -59,11 +88,16 @@ object SqlType {
       case "real"          => SqlType("real", FloatType)
       case "float"         => SqlType("float", DoubleType)
       case "date"          => SqlType("date", DateType)
-      case "datetime" | "datetime2" | "smalldatetime" => SqlType("datetime2", TimestampType)
+      // DATETIME2 has no timezone — Spark's TimestampNTZType is the
+      // faithful mapping (naive wall-clock, environment-independent).
+      case "datetime" | "datetime2" | "smalldatetime" => SqlType("datetime2", TimestampNTZType)
       case "time"          => SqlType("time", LongType)
-      case "text" | "varchar" | "nvarchar" => SqlType(if (s == "text") "varchar" else s, StringType)
+      case "text" => SqlType("varchar", StringType)
+      // SQL Server defaults unsized [n]varchar/[var]binary in DDL to length 1
+      // (same as char/nchar); "varchar(max)" is the explicit unbounded form.
+      case "varchar" | "nvarchar" => SqlType(s, StringType, maxLength = Some(1))
       case "char" | "nchar" => SqlType(s, StringType, maxLength = Some(1))
-      case "varbinary" | "binary" => SqlType("varbinary", BinaryType)
+      case "varbinary" | "binary" => SqlType(s, BinaryType, maxLength = Some(1))
       case Dec(n, p, sc) =>
         val prec = p.toInt
         val scale = if (sc == null) 0 else sc.toInt
@@ -76,7 +110,7 @@ object SqlType {
           case "varbinary" | "binary" => BinaryType
           case _                      => StringType
         }
-        SqlType(if (n == "binary") "varbinary" else n, base, maxLength = ml)
+        SqlType(n, base, maxLength = ml)
       case other =>
         throw errors.UndefinedConversionRule(s"unrecognized sql type: $other")
     }
@@ -86,7 +120,10 @@ object SqlType {
     * schemas; inverse of the widest parse mapping). */
   def forSpark(dt: DataType): SqlType = dt match {
     case BooleanType    => parse("bit")
-    case ByteType       => parse("tinyint")
+    // Spark ByteType is signed (-128..127); SQL tinyint is unsigned
+    // (0..255), so the narrowest SQL type that always holds a ByteType
+    // is smallint (ADVICE r1).
+    case ByteType       => parse("smallint")
     case ShortType      => parse("smallint")
     case IntegerType    => parse("int")
     case LongType       => parse("bigint")
@@ -95,8 +132,9 @@ object SqlType {
     case d: DecimalType => parse(s"decimal(${d.precision},${d.scale})")
     case DateType       => parse("date")
     case TimestampType  => parse("datetime2")
-    case StringType     => parse("varchar")
-    case BinaryType     => parse("varbinary")
+    case TimestampNTZType => parse("datetime2")
+    case StringType     => parse("varchar(max)")
+    case BinaryType     => parse("varbinary(max)")
     case other          => throw errors.UndefinedConversionRule(s"no sql type for spark type $other")
   }
 }

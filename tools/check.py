@@ -41,6 +41,8 @@ def canon(v):
     if isinstance(v, (int,)):
         return ("i", int(v))
     if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
         return ("ts", v.isoformat())
     if hasattr(v, "item") and not isinstance(v, (str, bytes)):  # numpy scalar
         return canon(v.item())
