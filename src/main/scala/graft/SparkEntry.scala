@@ -16,10 +16,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Analytics.queries ++ operators.CoreQueries.queries
+    operators.Analytics.queries ++ operators.CoreQueries.queries ++
+      operators.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    operators.Analytics.oracles ++ operators.CoreQueries.oracles
+    operators.Analytics.oracles ++ operators.CoreQueries.oracles ++
+      operators.PipelineQueries.oracles
 }

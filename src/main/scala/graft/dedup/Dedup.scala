@@ -1,0 +1,182 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vectors}
+
+/** Deduplication family for LLM-data pipelines (SURVEY §2 L1–L5).
+  *
+  * Scale design (SURVEY §5): every near-dup variant generates candidate
+  * pairs ONLY inside bounded blocks/buckets (language × length band,
+  * LSH band buckets) — never an unblocked all-pairs join — so candidate
+  * counts stay near-linear at 100 TB. Verification (exact jaccard /
+  * cosine) runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash aggregation, keep-first by id.
+    * Returns (h, keep_id, n) per distinct content. At 100 TB the groupBy
+    * key is the 128-bit hash, not the document text, so shuffle volume
+    * is O(rows × 16 bytes). */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Block key: language × length band — bounds candidate generation. */
+  private def blockCols(df: DataFrame, bandWidth: Int): DataFrame =
+    df.withColumn("__band", (col("n_chars") / bandWidth).cast("int"))
+
+  /** Distinct word-n-gram shingles per doc (docs with ≥ n tokens). */
+  private def shingled(docs: DataFrame, n: Int, bandWidth: Int): DataFrame =
+    blockCols(docs, bandWidth)
+      .filter(size(Text.tokens(col("text"))) >= n)
+      .select(col("doc_id"), col("lang"), col("__band"),
+        Text.wordShingles(col("text"), n).as("__sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs within (lang, band) blocks:
+    * explode shingles → self-join on (shingle, block) → count
+    * intersections → join per-doc set sizes → threshold.
+    * This is the verification-grade twin the approximate variants are
+    * tested against. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      tau: Double = 0.3,
+      bandWidth: Int = 50): DataFrame = {
+    val sh = shingled(docs, n, bandWidth)
+    val sizes = sh.select(col("doc_id"), size(col("__sh")).as("__n"))
+    val ex = sh.select(col("doc_id"), col("lang"), col("__band"), explode(col("__sh")).as("__s"))
+    val a = ex.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
+    val b = ex.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"), col("__s").as("__sb"))
+    val inter = a.join(b,
+        col("__s") === col("__sb") && col("lang") === col("__lb") &&
+          col("__band") === col("__bb") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
+    jaccardFromCounts(inter, sizes, tau)
+  }
+
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame, tau: Double): DataFrame = {
+    val sa = sizes.select(col("doc_id").as("a_id"), col("__n").as("__na"))
+    val sb = sizes.select(col("doc_id").as("b_id"), col("__n").as("__nb"))
+    inter.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jaccard",
+        round(col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash modulus: 2^31-1 (Mersenne). Universe and multipliers stay
+    * below 2^31, so a*x+b < 2^62 — no Long overflow under ANSI mode. */
+  private val MhP = 2147483647L
+
+  /** Deterministic MinHash parameters (derived, not random — plans are
+    * reproducible across runs and executors). */
+  private def mhA(i: Int): Long = ((0x9E3779B97F4A7C15L * (2 * i + 1)) & Long.MaxValue) % (MhP - 2) + 1
+  private def mhB(i: Int): Long = ((0xC2B2AE3D27D4EB4FL * (i + 1)) & Long.MaxValue) % (MhP - 1)
+
+  /** MinHash + LSH near-dup pairs — the 100 TB scale path (L3).
+    *
+    * shingle → xxhash64 → k minhashes h_i = (a_i·x + b_i) mod 2^61-1 →
+    * group r consecutive minhashes per band → candidates share a band
+    * bucket inside a (lang, length-band) block → verify exact jaccard on
+    * candidates only. Bucket join keys are (band index, bucket hash), so
+    * the shuffle distributes over bands naturally (no quadratic blowup,
+    * skew bounded by bucket width).
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      k: Int = 64,
+      rowsPerBand: Int = 2,
+      tau: Double = 0.3,
+      bandWidth: Int = 50): DataFrame = {
+    val bands = k / rowsPerBand
+    val sh = shingled(docs, n, bandWidth)
+      .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
+    val withMin = (0 until k).foldLeft(sh) { (df, i) =>
+      df.withColumn(s"__mh_$i",
+        aggregate(col("__hx"), lit(Long.MaxValue),
+          (acc, x) => least(acc, pmod(x * mhA(i) + mhB(i), lit(MhP)))))
+    }
+    val bandKey = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"__mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("b"), xxhash64(rows: _*).as("h"))
+    }
+    val buckets = withMin
+      .select(col("doc_id"), col("lang"), col("__band"),
+        explode(array(bandKey: _*)).as("__bk"))
+    val a = buckets.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__bk"))
+    val b2 = buckets.select(col("doc_id").as("b_id"), col("lang").as("__lb"),
+      col("__band").as("__bb"), col("__bk").as("__bkb"))
+    val cands = a.join(b2,
+        col("__bk") === col("__bkb") && col("lang") === col("__lb") &&
+          col("__band") === col("__bb") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // verify candidates with exact jaccard on the shingle sets
+    val sets = sh.select(col("doc_id"), col("__sh"))
+    val verified = cands
+      .join(sets.select(col("doc_id").as("a_id"), col("__sh").as("__sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("__sh").as("__sb")), "b_id")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard",
+        round(col("__inter").cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - col("__inter")), 6))
+      .filter(col("jaccard") >= tau)
+    verified.select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash near-dup pairs (L4): 64-bit signature from token hashes,
+    * candidates share one of four 16-bit chunks (within a block), verify
+    * hamming distance ≤ maxHamming. */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 6,
+      bandWidth: Int = 50): DataFrame = {
+    // weighted (Charikar) simhash: token multiplicity contributes, which
+    // separates documents drawn from a shared small vocabulary
+    val toks = blockCols(docs, bandWidth)
+      .select(col("doc_id"), col("lang"), col("__band"),
+        transform(Text.tokens(col("text")), t => xxhash64(t)).as("__th"))
+    // bit j of the signature = sign of sum over tokens of ±1 on bit j
+    val sig = (0 until 64).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"__b_$j",
+        when(aggregate(col("__th"), lit(0L),
+          (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0, 1L)
+          .otherwise(0L))
+    }
+    val packed = sig.withColumn("__sig",
+      (0 until 64).map(j => shiftleft(col(s"__b_$j"), j)).reduce(_.bitwiseOR(_)))
+      .select("doc_id", "lang", "__band", "__sig")
+    val chunks = packed.select(col("doc_id"), col("lang"), col("__band"), col("__sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("__ck"))
+    val a = chunks.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__sig").as("__siga"), col("__ck"))
+    val b = chunks.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"),
+      col("__sig").as("__sigb"), col("__ck").as("__ckb"))
+    a.join(b, col("__ck") === col("__ckb") && col("lang") === col("__lb") &&
+        col("__band") === col("__bb") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs (L5): cosine ≥ tau within a block column
+    * (here: label). The block join is the candidate bound; cosine is the
+    * fixed-order double fold from [[Vectors]]. */
+  def embeddingPairs(
+      embeddings: DataFrame,
+      tau: Double = 0.35,
+      blockCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(blockCol).as("__blk"),
+      Vectors.toDouble(col("embedding")).as("__v"))
+    val a = e.select(col("vec_id").as("a_id"), col("__blk"), col("__v").as("__va"))
+    val b = e.select(col("vec_id").as("b_id"), col("__blk").as("__blkb"), col("__v").as("__vb"))
+    a.join(b, col("__blk") === col("__blkb") && col("a_id") < col("b_id"))
+      .withColumn("cosine", Vectors.cosine6(col("__va"), col("__vb")))
+      .filter(col("cosine") >= tau)
+      .select("a_id", "b_id", "cosine")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-data pipelines (SURVEY §2 L8–L11): language ID,
+  * quality scoring, token counting, document fingerprinting. Everything
+  * is composed from `org.apache.spark.sql.functions` (codegen'd or
+  * higher-order expressions) — no UDFs, so the operators scale with the
+  * scan and stay inside whole-stage codegen where possible.
+  */
+object Text {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (requires ≥ n tokens; callers filter). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Tiny per-language stopword lists for the language-ID heuristic. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se"),
+    "fr" -> Seq("le", "les", "des", "de", "et", "est", "dans", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
+  )
+
+  /** Language-ID: distinct-stopword overlap per language, argmax with
+    * alphabetical tie-break, 'und' when nothing matches. One pass, no
+    * shuffle — a pure per-row expression. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = Stopwords.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, typedLit(words)))
+    }
+    val anyHit = counts.map(_._2).reduce(_ + _) > 0
+    // alphabetical evaluation order implements the tie-break
+    val pick = counts.foldRight(lit("und")) { case ((lang, cnt), els) =>
+      when(counts.filter(_._1 != lang).map { case (_, other) => cnt >= other }
+        .reduce(_ && _), lit(lang)).otherwise(els)
+    }
+    when(anyHit, pick).otherwise(lit("und"))
+  }
+
+  /** Quality stats: word count, mean word length, stopword ratio, and a
+    * boolean gate — the length/ratio heuristics data pipelines use for
+    * pretraining filtering. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val avgLen = round(sumLen.cast("double") / nWords, 6)
+    val en = typedLit(Stopwords.toMap.apply("en"))
+    val stopHits = size(filter(toks, t => array_contains(en, t)))
+    val stopRatio = round(stopHits.cast("double") / nWords, 6)
+    Seq(
+      "n_words" -> nWords,
+      "avg_word_len" -> avgLen,
+      "stopword_ratio" -> stopRatio,
+      "quality" -> (nWords >= 10 && nWords <= 1000 && avgLen >= 2.0 && avgLen <= 12.0))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count (runs of
+    * letters, runs of digits, single other non-space chars — the
+    * disjoint character classes keep Java and RE2 regex semantics
+    * identical). */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(tokens(text)),
+    "bpe_tokens" -> regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+
+  /** Polynomial rolling hash over codepoints: h = fold(h*257 + cp) mod
+    * 2^31-1. A fixed-order integer fold — deterministic everywhere.
+    * (At 100 TB a custom codegen'd Expression would fuse this loop; the
+    * higher-order fold keeps it dependency-free and still distributed.) */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => (h * 257L + ascii(c)) % 2147483647L)
+}

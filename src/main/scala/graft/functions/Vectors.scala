@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over `array<float|double>` columns, built from Spark's
+  * higher-order functions so the whole computation stays inside
+  * Catalyst (no UDF serialization boundary) and runs identically on
+  * every partition.
+  *
+  * Determinism note (SURVEY §6): `aggregate` folds left-to-right, so a
+  * dot product is a fixed-order IEEE-double sum — bit-identical across
+  * partitionings and equal to any engine that folds sequentially
+  * (DuckDB's list_inner_product), which keeps cosine scores
+  * oracle-comparable after rounding.
+  */
+object Vectors {
+
+  /** Elementwise cast to double (float32 embeddings → exact double). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine rounded to 6 dp — the canonical comparison/ranking score
+    * (stable under engine-level last-bit differences). */
+  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+}

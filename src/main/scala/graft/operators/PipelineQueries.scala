@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.dedup.Dedup
+import graft.functions.Text
+import graft.multimodal.Media
+import graft.similarity.Ann
+
+/** L-block: LLM-data-pipeline operators as driver-verified queries
+  * (SURVEY §2 L1–L12) over the documents/embeddings tables.
+  * Hash-seeded variants (minhash/simhash/LSH) are rows-only for the
+  * driver and asserted against their exact twins in ScalaTest.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(t(s, dir, "embeddings")).orderBy("a_id", "b_id")
+
+  private def queriesOf(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)
+
+  def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.topKBruteForce(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
+  def simTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.topKLsh(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val cols = Text.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    t(s, dir, "documents").select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    val cols = Text.tokenCounts(col("text")).map { case (n, c) => c.as(n) }
+    t(s, dir, "documents").select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Media.decodeTable(t(s, dir, "documents")).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "sim_topk_bruteforce" -> simTopkBruteforce,
+    "sim_topk_lsh" -> simTopkLsh,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_decode" -> multimodalDecode,
+  )
+
+  private val langCase: String = {
+    val langs = Text.Stopwords.map(_._1)
+    val counts = Text.Stopwords.map { case (l, ws) =>
+      l -> s"len(list_intersect(string_split(text,' '), [${ws.map(w => s"'$w'").mkString(",")}]))"
+    }.toMap
+    val hit = langs.map(counts).mkString(" + ") + " > 0"
+    val branches = langs.map { l =>
+      val ge = langs.filterNot(_ == l).map(o => s"${counts(l)} >= ${counts(o)}").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN NOT ($hit) THEN 'und' $branches END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // dedup_minhash_lsh, dedup_simhash: rows-only (engine-specific hash
+    // seeds); asserted against exact twins in ScalaTest specs.
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | ROUND(list_inner_product(a.v, b.v) /
+        |   (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_inner_product(a.v, b.v) /
+        |   (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        | SELECT q.q_id, e.vec_id AS n_id,
+        |  ROUND(list_inner_product(q.vq, e.v) /
+        |    (sqrt(list_inner_product(q.vq, q.vq)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
+        | FROM q JOIN e ON e.vec_id <> q.q_id),
+        |ranked AS (
+        | SELECT q_id, n_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // sim_topk_lsh: rows-only (bucket recall is data-dependent).
+    "text_langid" ->
+      s"""SELECT doc_id, lang, $langCase AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  list_aggregate(list_transform(string_split(text, ' '), x -> len(x)), 'sum') AS sum_len,
+        |  len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS stop_hits
+        | FROM documents)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        | ROUND(sum_len * 1.0 / n_words, 6) AS avg_word_len,
+        | ROUND(stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
+        | (n_words >= 10 AND n_words <= 1000
+        |  AND ROUND(sum_len * 1.0 / n_words, 6) >= 2.0
+        |  AND ROUND(sum_len * 1.0 / n_words, 6) <= 12.0) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(regexp_split_to_array(text, ''), x -> ord(x)::BIGINT)),
+        |   (h, c) -> (h * 257 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(ord(substr(text, 1, 1)) AS BIGINT) AS header,
+        | CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS format,
+        | CAST(octet_length(encode(text)) * 7 % 1024 AS BIGINT) AS width,
+        | CAST(octet_length(encode(text)) * 13 % 768 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

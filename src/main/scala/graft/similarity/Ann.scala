@@ -1,0 +1,79 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2 L6–L7).
+  *
+  * Scale design (SURVEY §5): the query set is small and broadcast; the
+  * corpus is never collected. Brute force is the exact baseline
+  * (broadcast-join + per-group top-k via window, which Spark executes
+  * with rank-limit pushdown); the LSH variant bounds candidates by
+  * random-hyperplane sign buckets so corpus×query work drops from
+  * O(N·Q) to O(candidates).
+  */
+object Ann {
+
+  /** Exact top-k neighbors per query: broadcast queries × corpus,
+    * rank by rounded cosine (desc) with id tie-break. */
+  def topKBruteForce(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed — no
+    * runtime randomness, so plans are reproducible across runs/executors). */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var state = 42L
+    def nextUnit(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nPlanes, dim)(nextUnit())
+  }
+
+  private def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = Vectors.dot(v, typedLit(p.toSeq))
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed top-k (the scale path): sign-bucket the corpus once;
+    * each broadcast query multi-probes its own bucket plus every 1-bit
+    * flip (nPlanes+1 buckets), candidates are reranked exactly. Work per
+    * query is (nPlanes+1)/2^nPlanes of the corpus instead of all of it;
+    * rank quality within candidates is exact, recall grows with probes. */
+  def topKLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+      .withColumn("__bk", bucketOf(col("__vc"), planes))
+    val base = bucketOf(col("__vq"), planes)
+    val probes = array((base +: (0 until nPlanes).map(j => base.bitwiseXOR(lit(1L << j)))): _*)
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__bkq", explode(probes))
+    val scored = c.join(broadcast(q), col("__bk") === col("__bkq") && col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+}
