@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators (SURVEY §2 S1–S3): the streaming twins
+  * of the batch analytics surface, built on watermarks + windowed state.
+  *
+  * Scale notes: all three are keyed-state operators that Spark
+  * distributes by group key; watermarks bound state size, so the same
+  * topology runs unbounded streams on a cluster. Specs drive them with
+  * `Trigger.AvailableNow` over parquet directories and assert equality
+  * with the batch twins (events_tumbling etc.).
+  */
+object Streams {
+
+  /** S1: stream → watermark → tumbling window aggregation (the streaming
+    * twin of Analytics.eventsTumbling). */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** S2: streaming dedup by key with bounded state. */
+  def dedupeByKey(stream: DataFrame, keyCol: String): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** S3: custom keyed state — running per-user totals via
+    * flatMapGroupsWithState (the arbitrary-state API the reference's
+    * users would reach for when windows don't fit). */
+  def runningTotals(stream: DataFrame): Dataset[UserTotal] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator.single(UserTotal(user, n, v))
+        })
+  }
+}

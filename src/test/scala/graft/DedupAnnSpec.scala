@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+/** Approximate operators asserted against their exact twins
+  * (SURVEY §6: minhash/simhash/LSH are rows-only for the driver, so the
+  * correctness contract lives here). */
+class DedupAnnSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private lazy val docs = GraftSession.table(spark, sfDir, "documents").cache()
+  private lazy val emb = GraftSession.table(spark, sfDir, "embeddings").cache()
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH pairs are verified-correct (subset) with high recall vs exact jaccard") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs))
+    val mh = pairSet(Dedup.minhashLshPairs(docs))
+    assert(mh.subsetOf(exact), "minhash emitted a pair the exact twin rejects")
+    assert(exact.nonEmpty)
+    assert(mh.size >= math.ceil(exact.size * 0.8).toInt,
+      s"recall ${mh.size}/${exact.size} below 0.8")
+  }
+
+  test("simhash finds every strong near-duplicate") {
+    val strong = Dedup.ngramJaccardPairs(docs, tau = 0.9)
+    val sh = pairSet(Dedup.simhashPairs(docs))
+    assert(pairSet(strong).subsetOf(sh), "a >=0.9-jaccard pair is missing from simhash output")
+  }
+
+  test("exact dedup keeps the minimum id per distinct content") {
+    val out = Dedup.exact(docs)
+    assert(out.count() == docs.select("text").distinct().count())
+  }
+
+  test("LSH ANN scores agree exactly with brute force on overlapping pairs; ranks are valid") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Ann.topKBruteForce(emb, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = Ann.topKLsh(emb, queries).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+    // ranks are 1..k strictly increasing per query with descending scores
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) >= b.getDouble(3); case _ => true
+      })
+    }
+  }
+
+  test("embedding pairs are canonical (a_id < b_id) and above threshold") {
+    val out = Dedup.embeddingPairs(emb, tau = 0.35).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Mutations
+
+/** Pins the merge/update semantics the reference's tests pin
+  * (tests/test_core/test_write/test_merge.py, test_update.py), on the
+  * doctest scenario from merge.py:44-89. */
+class MutationsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def target = Seq(
+    (0, "A", 3, "a"),
+    (1, "B", 4, "b")).toDF("PK", "State", "ColumnA", "ColumnB")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.orderBy("PK").collect().toSeq
+
+  test("update by key overwrites only source-provided columns") {
+    val src = Seq((1, 9)).toDF("PK", "ColumnA")
+    val out = Mutations.update(target, src, Seq("PK"))
+    assert(rows(out) == Seq(Row(0, "A", 3, "a"), Row(1, "B", 9, "b")))
+  }
+
+  test("update ignores source rows with no match") {
+    val src = Seq((7, 9)).toDF("PK", "ColumnA")
+    assert(rows(Mutations.update(target, src, Seq("PK"))) == rows(target))
+  }
+
+  test("merge: update matched, insert new, delete not-matched-by-source") {
+    // reference merge.py doctest: delete PK=0, update PK=1, insert PK=2
+    val src = Seq((1, "B", 5, "b"), (2, "C", 6, "d")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val out = Mutations.merge(target, src, Seq("PK"))
+    assert(rows(out) == Seq(Row(1, "B", 5, "b"), Row(2, "C", 6, "d")))
+  }
+
+  test("upsert never deletes") {
+    val src = Seq((1, "B", 10, "x"), (4, "E", 0, "y")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val out = Mutations.upsert(target, src, Seq("PK"))
+    assert(rows(out) == Seq(Row(0, "A", 3, "a"), Row(1, "B", 10, "x"), Row(4, "E", 0, "y")))
+  }
+
+  test("deleteRequires keeps unmatched rows whose guard value is absent from source") {
+    // reference merge.py doctest: PK=2 (State=C) survives because C is
+    // not among the source's State values
+    val t2 = Seq((1, "B", 5, "b"), (2, "C", 6, "d")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val src = Seq((1, "B", 6, "d"), (3, "D", 6, "d")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val out = Mutations.merge(t2, src, Seq("PK"), deleteRequires = Seq("State"))
+    assert(rows(out) == Seq(Row(1, "B", 6, "d"), Row(2, "C", 6, "d"), Row(3, "D", 6, "d")))
+  }
+
+  test("deleteRequires deletes unmatched rows whose guard value IS in source") {
+    val t2 = Seq((1, "B", 5, "b"), (2, "B", 6, "d")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val src = Seq((1, "B", 7, "z")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val out = Mutations.merge(t2, src, Seq("PK"), deleteRequires = Seq("State"))
+    assert(rows(out) == Seq(Row(1, "B", 7, "z")))
+  }
+
+  test("deleteRequires with upsert is rejected") {
+    assertThrows[IllegalArgumentException](
+      Mutations.merge(target, target, Seq("PK"), upsertOnly = true, deleteRequires = Seq("State")))
+  }
+
+  test("metadata timestamps: _time_insert on inserted, _time_update on matched") {
+    val clock = lit("2026-01-01 00:00:00").cast(TimestampType)
+    val src = Seq((1, "B", 5, "b"), (2, "C", 6, "d")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val out = Mutations.merge(target, src, Seq("PK"),
+      timeInsert = Some(clock), timeUpdate = Some(clock))
+      .select("PK", "_time_insert", "_time_update").orderBy("PK")
+    val got = out.collect().map(r => (r.getInt(0), r.isNullAt(1), r.isNullAt(2))).toSeq
+    // PK=1 matched: no _time_insert (was null), has _time_update
+    // PK=2 inserted: has _time_insert, no _time_update
+    assert(got == Seq((1, true, false), (2, false, true)))
+  }
+
+  test("missing match column in source fails fast") {
+    assertThrows[errors.DataFrameColumnDoesNotExist](
+      Mutations.update(target, Seq(1).toDF("Other"), Seq("PK")))
+  }
+}

@@ -1,0 +1,10 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test run (a SparkContext per
+  * suite would dominate test time). */
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Streaming operators driven with Trigger.AvailableNow over parquet
+  * input and asserted equal to their batch twins (SURVEY §2 S1–S3). */
+class StreamsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  private lazy val inputDir: String = {
+    val dir = Files.createTempDirectory("graft_stream_").toString + "/events"
+    GraftSession.table(spark, sfDir, "events").write.parquet(dir)
+    dir
+  }
+
+  private def stream: DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    spark.readStream.schema(schema).parquet(inputDir)
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("S1: streaming tumbling window agg equals the batch twin") {
+    val got = runToTable(Streams.windowedCounts(stream), "s1", "complete")
+      .orderBy("window_start", "event_type").collect()
+    val want = GraftSession.table(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("S2: streaming dedup by key emits each key once") {
+    val got = runToTable(Streams.dedupeByKey(stream, "event_id"), "s2", "append")
+    val total = spark.read.parquet(inputDir).count()
+    assert(got.count() == spark.read.parquet(inputDir).select("event_id").distinct().count())
+    assert(got.count() <= total)
+  }
+
+  test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
+    val got = runToTable(Streams.runningTotals(stream).toDF(), "s3", "update")
+    // keep the last update per user (multiple micro-batches may emit)
+    val last = got.groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("total_value").as("total_value"))
+      .orderBy("user_id").collect()
+    val want = GraftSession.table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .orderBy("user_id").collect()
+    assert(last.length == want.length)
+    last.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getLong(1) == w.getLong(1))
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-6)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.TableStore
+
+class TableStoreSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+  import spark.implicits._
+
+  private def newStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft_test_").toString)
+
+  test("create + insert casts to declared types; reread matches") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "decimal(6,2)"), Seq("k"))
+    store.insert("t", Seq((1L, 1.555), (2L, 2.0)).toDF("k", "v"))
+    val got = store.readTable("t", orderBy = Seq("k")).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(got.head.getDecimal(1).toString == "1.56") // HALF_UP at scale 2
+  }
+
+  test("metadata-only add/drop column; alter rewrites with cast") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "smallint"), Seq("k"))
+    store.insert("t", Seq((1, 10)).toDF("k", "v"))
+    store.addColumn("t", "w", "varchar(5)")
+    assert(store.readTable("t").columns.toSeq == Seq("k", "v", "w"))
+    assert(store.readTable("t").select("w").collect().head.isNullAt(0))
+    store.alterColumn("t", "v", "bigint")
+    assert(store.readTable("t").schema("v").dataType == org.apache.spark.sql.types.LongType)
+    store.dropColumn("t", "w")
+    assert(store.readTable("t").columns.toSeq == Seq("k", "v"))
+  }
+
+  test("insert without autoAdjust rejects unknown columns and bad values") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "tinyint"))
+    assertThrows[errors.ColumnDoesNotExist](store.insert("t", Seq((1, "x")).toDF("k", "extra")))
+    assertThrows[errors.InvalidValue](store.insert("t", Seq(-1).toDF("k")))
+    // failed inserts must leave the table unchanged
+    assert(store.read("t").count() == 0)
+  }
+
+  test("autoAdjust widens types and adds columns like the reference") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "tinyint"))
+    store.insert("t", Seq(5).toDF("k"))
+    store.insert("t", Seq((70000, "new")).toDF("k", "extra"), autoAdjust = true)
+    val m = store.meta("t").columns.toMap
+    assert(m("k").name == "int")     // widened through the ladder
+    assert(m("extra").spark == org.apache.spark.sql.types.StringType)
+    assert(store.readTable("t", orderBy = Seq("k")).as[(Int, Option[String])].collect().toSeq ==
+      Seq((5, None), (70000, Some("new"))))
+  }
+
+  test("autoAdjust auto-creates a missing table (reference _exceptions.py)") {
+    val store = newStore()
+    store.insert("t", Seq((1L, "a")).toDF("k", "v"), autoAdjust = true)
+    assert(store.exists("t"))
+    assert(store.readTable("t").count() == 1)
+  }
+
+  test("readTable pushes filters and prunes columns at the parquet scan") {
+    val store = newStore()
+    store.createTableFromDataFrame("li", GraftSession.table(spark, sfDir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"), infer = false)
+    val df = store.readTable("li",
+      columns = Seq("l_quantity"),
+      where = Some("l_quantity >= 45"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(l_quantity"),
+      s"filter not pushed to scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("primary key violations detected; keyed merge via store") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)"), Seq("k"))
+    store.insert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(store.primaryKeyViolations("t").count() == 0)
+    store.insert("t", Seq((2, "dup")).toDF("k", "v"))
+    assert(store.primaryKeyViolations("t").select("k").as[Int].collect().toSeq == Seq(2))
+    // merge: key 1 deleted, key 3 inserted; BOTH duplicate key-2 target
+    // rows update (same as T-SQL MERGE with duplicate target keys — a
+    // corrupted-PK table stays corrupted, it is not silently repaired)
+    store.merge("t", Seq((2, "m"), (3, "n")).toDF("k", "v"))
+    assert(store.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq ==
+      Seq((2, "m"), (2, "m"), (3, "n")))
+  }
+}
