@@ -27,10 +27,18 @@ object Dedup {
   private def blockCols(df: DataFrame, bandWidth: Int): DataFrame =
     df.withColumn("__band", (col("n_chars") / bandWidth).cast("int"))
 
+  /** Signature computation is compute-bound per row — scatter it across
+    * all cores regardless of input file splits (a single small parquet
+    * file otherwise pins the whole stage to one task; at cluster scale
+    * the shuffle is one row-sized pass, negligible next to the per-row
+    * hashing work it parallelizes). */
+  private def scatter(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct word-n-gram shingles per doc (docs with ≥ n tokens). */
   private def shingled(docs: DataFrame, n: Int, bandWidth: Int): DataFrame =
-    blockCols(docs, bandWidth)
-      .filter(size(Text.tokens(col("text"))) >= n)
+    scatter(blockCols(docs, bandWidth)
+      .filter(size(Text.tokens(col("text"))) >= n))
       .select(col("doc_id"), col("lang"), col("__band"),
         Text.wordShingles(col("text"), n).as("__sh"))
 
@@ -88,25 +96,42 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame,
       n: Int = 3,
-      k: Int = 64,
-      rowsPerBand: Int = 2,
+      k: Int = 63,
+      rowsPerBand: Int = 3, // b=21,r=3: P(candidate|j=0.5)≈94%, j=0.95≈1;
+                            // spurious-pair rate at j≈0 is ~1e-5·21 — r=2
+                            // fires on ~8% of ALL block pairs (measured
+                            // 15s of candidate verification at sf0.1)
       tau: Double = 0.3,
       bandWidth: Int = 50): DataFrame = {
     val bands = k / rowsPerBand
+    // The k-signature folds in ONE constant-size expression: an
+    // aggregate over the shingle hashes whose state is the length-k
+    // minimum vector, updated with an INDEXED transform. Two traps this
+    // dodges, both measured at sf0.1:
+    //  - unrolling k lambdas into the tree → 60s of Catalyst
+    //    analysis/codegen before any data moves;
+    //  - referencing a signature column from the band-key expression →
+    //    CollapseProject inlines it once per reference (2·bands×).
+    // The persist() below is the materialization barrier that keeps the
+    // band-key element_at references reading the computed array.
+    val aArr = typedLit((0 until k).map(mhA))
+    val bArr = typedLit((0 until k).map(mhB))
+    val initial = typedLit(Seq.fill(k)(Long.MaxValue))
     val sh = shingled(docs, n, bandWidth)
       .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
-    val withMin = (0 until k).foldLeft(sh) { (df, i) =>
-      df.withColumn(s"__mh_$i",
-        aggregate(col("__hx"), lit(Long.MaxValue),
-          (acc, x) => least(acc, pmod(x * mhA(i) + mhB(i), lit(MhP)))))
-    }
-    val bandKey = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"__mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("b"), xxhash64(rows: _*).as("h"))
-    }
-    val buckets = withMin
+    val sigDf = sh
       .select(col("doc_id"), col("lang"), col("__band"),
-        explode(array(bandKey: _*)).as("__bk"))
+        aggregate(col("__hx"), initial, (acc, x) =>
+          transform(acc, (m, i) =>
+            least(m, pmod(x * element_at(aArr, i + 1) + element_at(bArr, i + 1), lit(MhP)))))
+          .as("__sig"))
+      .persist()
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("b"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*).as("h")))
+    val buckets = sigDf
+      .select(col("doc_id"), col("lang"), col("__band"), explode(bandKeys).as("__bk"))
     val a = buckets.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__bk"))
     val b2 = buckets.select(col("doc_id").as("b_id"), col("lang").as("__lb"),
       col("__band").as("__bb"), col("__bk").as("__bkb"))
@@ -115,7 +140,7 @@ object Dedup {
           col("__band") === col("__bb") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     // verify candidates with exact jaccard on the shingle sets
-    val sets = sh.select(col("doc_id"), col("__sh"))
+    val sets = sh.select(col("doc_id"), col("__sh")).persist()
     val verified = cands
       .join(sets.select(col("doc_id").as("a_id"), col("__sh").as("__sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("__sh").as("__sb")), "b_id")
@@ -136,19 +161,21 @@ object Dedup {
       bandWidth: Int = 50): DataFrame = {
     // weighted (Charikar) simhash: token multiplicity contributes, which
     // separates documents drawn from a shared small vocabulary
-    val toks = blockCols(docs, bandWidth)
+    val toks = scatter(blockCols(docs, bandWidth))
       .select(col("doc_id"), col("lang"), col("__band"),
         transform(Text.tokens(col("text")), t => xxhash64(t)).as("__th"))
-    // bit j of the signature = sign of sum over tokens of ±1 on bit j
-    val sig = (0 until 64).foldLeft(toks) { (df, j) =>
-      df.withColumn(s"__b_$j",
-        when(aggregate(col("__th"), lit(0L),
-          (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0, 1L)
-          .otherwise(0L))
-    }
-    val packed = sig.withColumn("__sig",
-      (0 until 64).map(j => shiftleft(col(s"__b_$j"), j)).reduce(_.bitwiseOR(_)))
+    // bit j of the signature = sign of sum over tokens of ±1 on bit j;
+    // the whole 64-bit signature folds in ONE nested expression
+    val packed = toks.withColumn("__sig",
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
+        acc.bitwiseOR(call_function("shiftleft",
+          when(aggregate(col("__th"), lit(0L), (s, h) =>
+            s + when(call_function("shiftright", h, j.cast("int")).bitwiseAND(1L) === 1L, 1L)
+              .otherwise(-1L)) > 0,
+            1L).otherwise(0L),
+          j.cast("int")))))
       .select("doc_id", "lang", "__band", "__sig")
+      .persist() // scanned 4× (chunk explode) and from both join sides
     val chunks = packed.select(col("doc_id"), col("lang"), col("__band"), col("__sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("__ck"))

@@ -47,11 +47,14 @@ object Analytics {
 
   // ── A2: join + agg + topN (TPC-H Q3 shape) ──────────────────────────────
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    // orders/customer SCALE with the fact table — no broadcast hint (at
+    // 100 TB they must shuffle; AQE still picks broadcast at small SF
+    // where the filtered sides fit under the adaptive threshold).
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(revenue).cast(DecimalType(18, 4)).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -68,10 +71,12 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
-    // Fact (lineitem) stays un-shuffled: every dimension side is broadcast.
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust),
+    // Broadcast only the FIXED-SIZE dims (region 5, nation 25 rows).
+    // supplier/orders/customer grow with SF: hinting them broadcast
+    // would be wrong at 100 TB — AQE broadcasts them at small SF anyway.
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust,
         col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))

@@ -20,11 +20,16 @@ object Ann {
 
   /** Exact top-k neighbors per query: broadcast queries × corpus,
     * rank by rounded cosine (desc) with id tie-break. */
+  /** Scoring is compute-bound — spread the corpus across all cores even
+    * when it arrives as one small file split. */
+  private def scatter(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def topKBruteForce(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 5): DataFrame = {
-    val c = corpus.select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+    val c = scatter(corpus).select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
     val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
@@ -63,7 +68,7 @@ object Ann {
       nPlanes: Int = 4,
       dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val c = corpus.select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+    val c = scatter(corpus).select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
       .withColumn("__bk", bucketOf(col("__vc"), planes))
     val base = bucketOf(col("__vq"), planes)
     val probes = array((base +: (0 until nPlanes).map(j => base.bitwiseXOR(lit(1L << j)))): _*)
