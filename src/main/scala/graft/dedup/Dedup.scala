@@ -75,14 +75,8 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** MinHash modulus: 2^31-1 (Mersenne). Universe and multipliers stay
-    * below 2^31, so a*x+b < 2^62 — no Long overflow under ANSI mode. */
-  private val MhP = 2147483647L
-
-  /** Deterministic MinHash parameters (derived, not random — plans are
-    * reproducible across runs and executors). */
-  private def mhA(i: Int): Long = ((0x9E3779B97F4A7C15L * (2 * i + 1)) & Long.MaxValue) % (MhP - 2) + 1
-  private def mhB(i: Int): Long = ((0xC2B2AE3D27D4EB4FL * (i + 1)) & Long.MaxValue) % (MhP - 1)
+  /** MinHash modulus (shared with the native expression). */
+  private val MhP = graft.plans.MinHashSignature.P
 
   /** MinHash + LSH near-dup pairs — the 100 TB scale path (L3).
     *
@@ -104,27 +98,19 @@ object Dedup {
       tau: Double = 0.3,
       bandWidth: Int = 50): DataFrame = {
     val bands = k / rowsPerBand
-    // The k-signature folds in ONE constant-size expression: an
-    // aggregate over the shingle hashes whose state is the length-k
-    // minimum vector, updated with an INDEXED transform. Two traps this
-    // dodges, both measured at sf0.1:
-    //  - unrolling k lambdas into the tree → 60s of Catalyst
-    //    analysis/codegen before any data moves;
-    //  - referencing a signature column from the band-key expression →
-    //    CollapseProject inlines it once per reference (2·bands×).
-    // The persist() below is the materialization barrier that keeps the
-    // band-key element_at references reading the computed array.
-    val aArr = typedLit((0 until k).map(mhA))
-    val bArr = typedLit((0 until k).map(mhB))
-    val initial = typedLit(Seq.fill(k)(Long.MaxValue))
+    // The k-signature computes in graft's native codegen'd Expression
+    // (plans/MinHashSignature): one fused primitive-long loop per row,
+    // O(1) expression-tree size in k. The persist() is the
+    // materialization barrier that keeps the band-key element_at
+    // references reading the computed array instead of CollapseProject
+    // inlining the signature once per reference (2·bands× recompute,
+    // measured at sf0.1).
     val sh = shingled(docs, n, bandWidth)
       .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
+      .persist() // feeds both the signature branch and the verify branch
     val sigDf = sh
       .select(col("doc_id"), col("lang"), col("__band"),
-        aggregate(col("__hx"), initial, (acc, x) =>
-          transform(acc, (m, i) =>
-            least(m, pmod(x * element_at(aArr, i + 1) + element_at(bArr, i + 1), lit(MhP)))))
-          .as("__sig"))
+        graft.plans.GraftFunctions.minhashSignature(col("__hx"), k).as("__sig"))
       .persist()
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("b"),

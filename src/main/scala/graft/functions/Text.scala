@@ -75,10 +75,8 @@ object Text {
     "bpe_tokens" -> regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
 
   /** Polynomial rolling hash over codepoints: h = fold(h*257 + cp) mod
-    * 2^31-1. A fixed-order integer fold — deterministic everywhere.
-    * (At 100 TB a custom codegen'd Expression would fuse this loop; the
-    * higher-order fold keeps it dependency-free and still distributed.) */
+    * 2^31-1 — graft's native codegen'd Expression (plans/RollingHash):
+    * zero per-row allocation, deterministic everywhere. */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (h, c) => (h * 257L + ascii(c)) % 2147483647L)
+    graft.plans.GraftFunctions.rollingHash(text)
 }

@@ -1,0 +1,16 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftx.bridge
+
+/** Column-level entry points for graft's native Catalyst expressions. */
+object GraftFunctions {
+
+  /** All k MinHash values of a pre-hashed (mod 2^31−1) shingle array. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    bridge.column(MinHashSignature(bridge.expression(hashes), k))
+
+  /** Polynomial rolling-hash fingerprint of a string column. */
+  def rollingHash(text: Column): Column =
+    bridge.column(RollingHash(bridge.expression(text)))
+}
