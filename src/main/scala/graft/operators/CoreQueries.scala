@@ -164,6 +164,28 @@ object CoreQueries {
     store.readTable("reg", orderBy = Seq("r_regionkey"))
   }
 
+  // C10b: upsert on a PK-hash-BUCKETED table — same semantics as
+  // upsert_by_key, but the store rewrites only the buckets the source
+  // keys hash into (the 100 TB path; pruning proven in TableStoreSpec).
+  def upsertBucketed(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "upsert_bkt")
+    val cust = t(s, dir, "customer")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint", "c_name" -> "varchar(max)", "c_nationkey" -> "int",
+      "c_acctbal" -> "float", "c_mktsegment" -> "varchar(max)"),
+      Seq("c_custkey"), buckets = 16)
+    store.insert("cust", cust)
+    val updates = cust.filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + 50).as("c_acctbal"), col("c_mktsegment"))
+    val news = cust.filter(col("c_custkey") < 20)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("NEW#"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), lit("NEW").as("c_mktsegment"))
+    store.upsert("cust", updates.unionByName(news))
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+  }
+
   // C15: auto-adjust — widen types + add column on insert
   def autoadjustWiden(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "widen")
@@ -193,6 +215,7 @@ object CoreQueries {
     "insert_append" -> insertAppend,
     "update_by_key" -> updateByKey,
     "upsert_by_key" -> upsertByKey,
+    "upsert_bucketed" -> upsertBucketed,
     "merge_full" -> mergeFull,
     "merge_delete_requires" -> mergeDeleteRequires,
     "merge_timestamps" -> mergeTimestamps,
@@ -254,6 +277,20 @@ object CoreQueries {
         | CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
         | CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "upsert_bucketed" ->
+      """WITH src AS (
+        | SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50 AS c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey < 100
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR), c_nationkey, c_acctbal, 'NEW'
+        | FROM customer WHERE c_custkey < 20)
+        |SELECT COALESCE(s.c_custkey, c.c_custkey) AS c_custkey,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE c.c_name END AS c_name,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+        | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+        |FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "upsert_by_key" ->
       """WITH src AS (
         | SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50 AS c_acctbal, c_mktsegment

@@ -45,10 +45,19 @@ final class TableStore(spark: SparkSession, root: String) {
   private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  final case class Meta(columns: Seq[(String, SqlType)], primaryKey: Seq[String]) {
+  /** buckets = 0 → flat layout; buckets > 0 → data partitioned into
+    * `__bucket=<pmod(xxhash64(pk), buckets)>` directories, which is what
+    * lets keyed update/upsert rewrite ONLY the buckets the source
+    * touches (SURVEY §5). */
+  final case class Meta(columns: Seq[(String, SqlType)], primaryKey: Seq[String], buckets: Int = 0) {
     def sparkSchema: StructType =
       StructType(columns.map { case (n, t) => StructField(n, t.spark, nullable = true) })
   }
+
+  private val BucketCol = "__bucket"
+
+  private def bucketExpr(m: Meta): Column =
+    pmod(xxhash64(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets))
 
   // ── metadata ────────────────────────────────────────────────────────────
 
@@ -62,6 +71,7 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     val pk: ArrayNode = o.putArray("primaryKey")
     meta.primaryKey.foreach(pk.add)
+    o.put("buckets", meta.buckets)
     val out = fs.create(metaPath(name), true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
     out.close()
@@ -76,7 +86,8 @@ final class TableStore(spark: SparkSession, root: String) {
       c.get("name").asText() -> SqlType.parse(c.get("sqlType").asText())
     }
     val pk = (0 until node.get("primaryKey").size()).map(node.get("primaryKey").get(_).asText())
-    Meta(cols, pk)
+    val buckets = if (node.has("buckets")) node.get("buckets").asInt() else 0
+    Meta(cols, pk, buckets)
   }
 
   def exists(name: String): Boolean = fs.exists(metaPath(name))
@@ -94,16 +105,20 @@ final class TableStore(spark: SparkSession, root: String) {
   def createTable(
       name: String,
       columns: Seq[(String, String)],
-      primaryKey: Seq[String] = Seq.empty): Unit = {
+      primaryKey: Seq[String] = Seq.empty,
+      buckets: Int = 0): Unit = {
     if (exists(name)) throw errors.TableAlreadyExists(name)
     Identifiers.quote(name) // length validation
     columns.foreach { case (n, _) => Identifiers.quote(n) }
-    val m = Meta(columns.map { case (n, decl) => n -> SqlType.parse(decl) }, primaryKey)
+    if (buckets > 0 && primaryKey.isEmpty) throw errors.UndefinedPrimaryKey(name)
+    val m = Meta(columns.map { case (n, decl) => n -> SqlType.parse(decl) }, primaryKey, buckets)
     val missingPk = primaryKey.filterNot(m.columns.map(_._1).contains)
     if (missingPk.nonEmpty) throw errors.ColumnDoesNotExist(name, missingPk)
     writeMeta(name, m)
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
-      .write.mode("overwrite").parquet(dataPath(name).toString)
+    if (buckets == 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
+        .write.mode("overwrite").parquet(dataPath(name).toString)
+    // bucketed: no seed file — the first insert creates the partition dirs
   }
 
   /** Inferred-schema create (reference create.table_from_dataframe,
@@ -177,10 +192,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * columns, drop dropped ones, cast to meta types). */
   def read(name: String): DataFrame = {
     val m = meta(name)
+    if (!hasDataFiles(name))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
     // mergeSchema: files written before a metadata-only addColumn lack
     // the new column; the merged footer schema keeps it visible.
     val raw = spark.read.option("mergeSchema", "true").parquet(dataPath(name).toString)
     alignTo(raw, m)
+  }
+
+  private def hasDataFiles(name: String): Boolean = {
+    val p = dataPath(name)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
   }
 
   private def alignTo(df: DataFrame, m: Meta): DataFrame = {
@@ -288,7 +313,11 @@ final class TableStore(spark: SparkSession, root: String) {
     val target = read(name)
     val appended = Mutations.insertAll(target.limit(0), df, timeInsert)
     val out = fs.makeQualified(dataPath(name))
-    appended.write.mode("append").parquet(out.toString)
+    if (m.buckets > 0)
+      appended.withColumn(BucketCol, bucketExpr(m))
+        .write.mode("append").partitionBy(BucketCol).parquet(out.toString)
+    else
+      appended.write.mode("append").parquet(out.toString)
   }
 
   /** Smallest type covering both current and incoming (widening only). */
@@ -308,7 +337,8 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Keyed update (reference write.update, update.py:14). */
+  /** Keyed update (reference write.update, update.py:14). Bucketed
+    * tables rewrite only the buckets the source keys hash into. */
   def update(
       name: String,
       source: DataFrame,
@@ -316,7 +346,9 @@ final class TableStore(spark: SparkSession, root: String) {
       timeUpdate: Option[Column] = None): Unit = {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
-    rewrite(name, Mutations.update(read(name), source, keys, timeUpdate), timeUpdate.isDefined)
+    prunedMutation(name, m, source, keys, timeUpdate.isDefined) { (target, src) =>
+      Mutations.update(target, src, keys, timeUpdate)
+    }
   }
 
   /** Keyed upsert (reference merge(upsert=True), merge.py:46). */
@@ -328,11 +360,14 @@ final class TableStore(spark: SparkSession, root: String) {
       timeUpdate: Option[Column] = None): Unit = {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
-    rewrite(name, Mutations.upsert(read(name), source, keys, timeInsert, timeUpdate),
-      timeInsert.isDefined || timeUpdate.isDefined)
+    prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
+      (target, src) => Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
+    }
   }
 
-  /** Full merge (reference write.merge, merge.py:13). */
+  /** Full merge (reference write.merge, merge.py:13). Always a full
+    * rewrite even when bucketed: WHEN NOT MATCHED BY SOURCE deletes can
+    * hit rows in ANY bucket, so no bucket can be skipped. */
   def merge(
       name: String,
       source: DataFrame,
@@ -352,9 +387,46 @@ final class TableStore(spark: SparkSession, root: String) {
     else if (m.primaryKey.nonEmpty) m.primaryKey
     else throw errors.UndefinedPrimaryKey(name)
 
-  /** Materialize a mutation result and swap it in atomically. Also
-    * registers metadata-timestamp columns the mutation introduced. */
-  private def rewrite(name: String, result: DataFrame, mayAddTimeCols: Boolean): Unit = {
+  /** Delete-free keyed mutation (update/upsert): on a bucketed table
+    * whose bucket key == the match key, only the buckets the source
+    * keys hash into are read and rewritten — the 100 TB path where a
+    * merge of a 1 GB source against a 100 TB table moves ~1/buckets of
+    * the table, not all of it. Falls back to a full rewrite when the
+    * layout can't prune (unbucketed, or matching on non-PK columns). */
+  private def prunedMutation(
+      name: String,
+      m: Meta,
+      source: DataFrame,
+      keys: Seq[String],
+      mayAddTimeCols: Boolean)(algebra: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val prunable = m.buckets > 0 && keys.sorted == m.primaryKey.sorted && hasDataFiles(name)
+    if (!prunable) {
+      rewrite(name, algebra(read(name), source), mayAddTimeCols)
+      return
+    }
+    // source bucket ids: bounded by the bucket count, so the collect is
+    // O(buckets), never O(source)
+    val srcBuckets = source
+      .select(pmod(xxhash64(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val raw = spark.read.option("mergeSchema", "true")
+      .option("basePath", dataPath(name).toString)
+      .parquet(dataPath(name).toString)
+      .filter(col(BucketCol).isin(srcBuckets: _*)) // partition-pruned scan
+    val affected = alignTo(raw, m)
+    val result = algebra(affected, source)
+    registerTimeCols(name, result, mayAddTimeCols)
+    val m2 = meta(name)
+    // dynamic partition overwrite replaces ONLY the buckets present in
+    // the result (= the affected ones); untouched bucket files stay put
+    result.withColumn(BucketCol, bucketExpr(m2))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BucketCol)
+      .parquet(dataPath(name).toString)
+  }
+
+  private def registerTimeCols(name: String, result: DataFrame, mayAddTimeCols: Boolean): Unit = {
     if (mayAddTimeCols) {
       var m = meta(name)
       Seq(Mutations.TimeInsert, Mutations.TimeUpdate).foreach { c =>
@@ -364,12 +436,23 @@ final class TableStore(spark: SparkSession, root: String) {
         }
       }
     }
+  }
+
+  /** Materialize a mutation result and swap it in atomically. Also
+    * registers metadata-timestamp columns the mutation introduced. */
+  private def rewrite(name: String, result: DataFrame, mayAddTimeCols: Boolean): Unit = {
+    registerTimeCols(name, result, mayAddTimeCols)
     overwriteData(name, result)
   }
 
   private def overwriteData(name: String, df: DataFrame): Unit = {
+    val m = meta(name)
     val tmp = new Path(tablePath(name), "data.tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    if (m.buckets > 0)
+      df.withColumn(BucketCol, bucketExpr(m))
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    else
+      df.write.mode("overwrite").parquet(tmp.toString)
     val dst = dataPath(name)
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst))

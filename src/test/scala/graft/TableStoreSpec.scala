@@ -79,6 +79,41 @@ class TableStoreSpec extends AnyFunSuite {
       s"scan reads pruned columns: $readSchema")
   }
 
+  test("bucketed update rewrites ONLY the buckets the source touches") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_bkt_").toString
+    val store = new TableStore(spark, root)
+    val cust = GraftSession.table(spark, sfDir, "customer")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint", "c_name" -> "varchar(max)", "c_nationkey" -> "int",
+      "c_acctbal" -> "float", "c_mktsegment" -> "varchar(max)"),
+      Seq("c_custkey"), buckets = 8)
+    store.insert("cust", cust)
+
+    def fileState(): Map[String, Long] =
+      JFiles.walk(Paths.get(root, "cust", "data")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> JFiles.getLastModifiedTime(p).toMillis).toMap
+
+    val before = fileState()
+    // single-key source → exactly ONE bucket affected
+    val src = Seq((7L, 9999.0)).toDF("c_custkey", "c_acctbal")
+    store.update("cust", src)
+    val after = fileState()
+
+    val changedBuckets = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+      .map(p => p.split("/").find(_.startsWith("__bucket=")).getOrElse("?"))
+    assert(changedBuckets.size == 1, s"expected 1 rewritten bucket, got $changedBuckets")
+
+    // and the data is still correct
+    val got = store.readTable("cust").filter(col("c_custkey") === 7L)
+      .select("c_acctbal").collect().head.getDouble(0)
+    assert(got == 9999.0)
+    assert(store.readTable("cust").count() == cust.count())
+  }
+
   test("primary key violations detected; keyed merge via store") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)"), Seq("k"))
