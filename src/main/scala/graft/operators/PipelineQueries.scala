@@ -46,6 +46,11 @@ object PipelineQueries {
     Ann.topKLsh(e, queriesOf(e)).orderBy("q_id", "rank")
   }
 
+  def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.topKIvf(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
   def textLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("pred_lang"))
@@ -77,6 +82,7 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbedding,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_lsh" -> simTopkLsh,
+    "sim_topk_ivf" -> simTopkIvf,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,

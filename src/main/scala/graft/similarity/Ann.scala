@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,84 @@ object Ann {
     val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
       .withColumn("__bkq", explode(probes))
     val scored = c.join(broadcast(q), col("__bk") === col("__bkq") && col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
+  /** Squared euclidean distance to each centroid (literal array),
+    * evaluated as one expression per row. */
+  private def distances(v: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedLit(cents), c =>
+      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)), lit(0.0), (acc, d) => acc + d))
+
+  private def nearestCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val d = distances(v, cents)
+    // first index attaining the min → deterministic tie-break
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** IVF coarse quantizer: Lloyd's k-means over the corpus, expressed as
+    * DataFrame aggregations. Only the C×dim centroid matrix ever reaches
+    * the driver (that is the size-bounded model, not data). Centroids
+    * are rounded to 6 dp each iteration so float summation order cannot
+    * make training nondeterministic across runs/partitionings. */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      nCentroids: Int,
+      iters: Int = 5): Seq[Seq[Double]] = {
+    val c = scatter(corpus).select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__v"))
+      .persist()
+    // deterministic seeding: the nCentroids rows with smallest xxhash64(id)
+    var cents: Seq[Seq[Double]] = c
+      .orderBy(xxhash64(col("vec_id"))).limit(nCentroids)
+      .select("__v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val assigned = c.withColumn("__cl", nearestCluster(col("__v"), cents))
+      val updated = assigned
+        .select(col("__cl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cl", "__pos")
+        .agg(round(avg("__x"), 6).as("__cx"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows: Array[Row]) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+        }
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    c.unpersist()
+    cents
+  }
+
+  /** IVF top-k (the second scale path next to sign-LSH): assign the
+    * corpus to its nearest centroid once; each broadcast query probes
+    * its `nProbe` nearest inverted lists and reranks exactly. Work per
+    * query ≈ nProbe/nCentroids of the corpus; recall grows with nProbe
+    * (nProbe = nCentroids degrades gracefully to exact brute force). */
+  def topKIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nCentroids, iters)
+    val c = scatter(corpus)
+      .select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+      .withColumn("__cl", nearestCluster(col("__vc"), cents))
+    // query → its nProbe nearest centroid ids, exploded into probes
+    val probeIds = {
+      val d = distances(col("__vq"), cents)
+      val idx = transform(typedLit(cents.indices.toList), i => struct(element_at(d, i + 1).as("d"), i.as("i")))
+      slice(transform(array_sort(idx), s => s.getField("i")), 1, nProbe)
+    }
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__cl", explode(probeIds))
+    val scored = c.join(broadcast(q), Seq("__cl"))
+      .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -32,6 +32,23 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** S4: stream-stream interval join — each purchase joined to the same
+    * user's clicks in the preceding 30 minutes. Watermarks on BOTH sides
+    * + the interval condition bound the join state Spark must retain. */
+  def clickToPurchase(stream: DataFrame): DataFrame = {
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""c_user = user_id AND
+              click_ts <= purchase_ts AND
+              click_ts >= purchase_ts - INTERVAL 30 MINUTES"""))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** S3: custom keyed state — running per-user totals via

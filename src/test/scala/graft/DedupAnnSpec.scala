@@ -58,6 +58,29 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: deterministic training, exact scores on candidates, recall over probe budget") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Ann.topKBruteForce(emb, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val cents1 = Ann.trainIvfCentroids(emb, nCentroids = 8, iters = 3)
+    val cents2 = Ann.trainIvfCentroids(emb, nCentroids = 8, iters = 3)
+    assert(cents1 == cents2, "k-means training is not deterministic")
+    val ivf = Ann.topKIvf(emb, queries, nCentroids = 8, nProbe = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+    // probing half the lists must recover a good share of the true top-k
+    val hits = ivf.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= bf.size / 4, s"IVF recall too low: $hits/${bf.size}")
+    // full probe budget degrades to exact brute force
+    val full = Ann.topKIvf(emb, queries, nCentroids = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf.keySet, "nProbe = nCentroids must equal brute force")
+  }
+
   test("embedding pairs are canonical (a_id < b_id) and above threshold") {
     val out = Dedup.embeddingPairs(emb, tau = 0.35).collect()
     assert(out.nonEmpty)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (SURVEY §5): each headline operator's executed
+  * plan must have the shape that survives a 100× scale-up — no
+  * accidental cartesian products, map-side partial aggregation,
+  * broadcast only where intended, filters reaching the scan. */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def executedPlan(df: DataFrame): String = {
+    // collect() (not count(): that spawns a SEPARATE query execution)
+    // so AQE finalizes THIS df's plan and codegen marks appear.
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" —
+    // strip it or every node would be counted twice.
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def occurrences(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("q1: single shuffle with map-side partial aggregation, pushed filter") {
+    val plan = executedPlan(operators.Analytics.q1PricingSummary(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    // partial + final HashAggregate around one Exchange (plus the sort for ORDER BY)
+    assert(occurrences(plan, "HashAggregate") >= 2, s"no map-side combine:\n$plan")
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      "shipdate filter did not reach the parquet scan")
+    // executedPlan.toString marks whole-stage-codegen stages with "*(n)"
+    assert(plan.contains("*("), s"no whole-stage codegen span:\n$plan")
+  }
+
+  test("q3/q5: no cartesian products; joins resolve to broadcast at small SF via AQE") {
+    Seq(
+      operators.Analytics.q3ShippingPriority(spark, sfDir),
+      operators.Analytics.q5LocalSupplier(spark, sfDir)).foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+      // scaling tables carry no broadcast hint, but AQE must still pick
+      // broadcast at this SF — proves the plan adapts instead of being pinned
+      assert(plan.contains("BroadcastHashJoin"), s"AQE did not broadcast at small SF:\n$plan")
+    }
+  }
+
+  test("anti/semi joins execute as join strategies, not subquery loops") {
+    Seq(operators.Analytics.existsAntiJoin(spark, sfDir),
+      operators.Analytics.existsSemiJoin(spark, sfDir)).foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("LeftAnti") || plan.contains("LeftSemi"), plan)
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("windowed operators shuffle once on the partition key") {
+    Seq(operators.Analytics.windowRunning(spark, sfDir),
+      operators.Analytics.eventsSessionize(spark, sfDir),
+      operators.Analytics.asofJoin(spark, sfDir)).foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.contains("Window"), plan)
+      // window partitionBy + final orderBy: at most 2 shuffle boundaries
+      // (a range partition for the sort, a hash partition for the window)
+      val exchanges = occurrences(plan, "Exchange ")
+      assert(exchanges <= 3, s"unexpected shuffle count $exchanges:\n$plan")
+    }
+  }
+
+  test("exact dedup aggregates with map-side combine on the hash key") {
+    val plan = executedPlan(dedup.Dedup.exact(GraftSession.table(spark, sfDir, "documents")))
+    assert(occurrences(plan, "HashAggregate") >= 2, s"no partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ANN brute force broadcasts the query side, never the corpus") {
+    import org.apache.spark.sql.functions.col
+    val e = GraftSession.table(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val plan = executedPlan(similarity.Ann.topKBruteForce(e, q))
+    // intentional broadcast nested-loop: tiny query set × corpus
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BuildRight") || plan.contains("broadcast"), plan)
+  }
+
+  test("minhash LSH candidate join is a hash join on bucket keys, not a cross join") {
+    val plan = executedPlan(dedup.Dedup.minhashLshPairs(GraftSession.table(spark, sfDir, "documents")))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs blowup:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi candidate join:\n$plan")
+  }
+}

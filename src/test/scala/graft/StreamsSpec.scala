@@ -52,6 +52,22 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.count() <= total)
   }
 
+  test("S4: stream-stream interval join equals the batch join") {
+    val got = runToTable(Streams.clickToPurchase(stream), "s4", "append")
+      .orderBy("purchase_id", "click_id").collect()
+    val e = GraftSession.table(spark, sfDir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val want = purchases.join(clicks,
+      expr("c_user = user_id AND click_ts <= purchase_ts AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+      .orderBy("purchase_id", "click_id").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
     val got = runToTable(Streams.runningTotals(stream).toDF(), "s3", "update")
     // keep the last update per user (multiple micro-batches may emit)
