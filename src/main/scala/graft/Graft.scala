@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.current_timestamp
+
+import graft.store.TableStore
+
+/** The user-facing entry point, shaped like the reference's `SQLServer`
+  * object (mssql_dataframe/package.py:20-118): one session value with
+  * `create` / `modify` / `read` / `write` accessors and a session-level
+  * `includeMetadataTimestamps` default, so a user of the reference maps
+  * their workflow 1:1:
+  *
+  * {{{
+  * val sql = Graft(spark, "/data/warehouse", includeMetadataTimestamps = true)
+  * sql.create.table("t", Seq("k" -> "bigint", "v" -> "varchar(10)"), primaryKey = Seq("k"))
+  * sql.write.insert("t", df)
+  * sql.write.merge("t", changes, upsert = true)
+  * val out = sql.read.table("t", columns = Seq("v"), where = Some("k > 5"))
+  * }}}
+  *
+  * The "connection" is a SparkSession + a storage root; the "server
+  * clock" the reference reads via GETDATE() is `current_timestamp()`
+  * unless a deterministic clock is injected (tests, reproducible runs).
+  */
+final case class Graft(
+    spark: SparkSession,
+    root: String,
+    includeMetadataTimestamps: Boolean = false,
+    clock: () => Column = () => current_timestamp()) {
+
+  private val store = new TableStore(spark, root)
+
+  private def ti: Option[Column] = if (includeMetadataTimestamps) Some(clock()) else None
+  private def tu: Option[Column] = if (includeMetadataTimestamps) Some(clock()) else None
+
+  /** Reference `create` namespace (core/create.py). */
+  object create {
+    def table(
+        name: String,
+        columns: Seq[(String, String)],
+        primaryKey: Seq[String] = Seq.empty,
+        buckets: Int = 0): Unit =
+      store.createTable(name, columns, primaryKey, buckets)
+
+    def tableFromDataFrame(
+        name: String,
+        df: DataFrame,
+        primaryKey: Seq[String] = Seq.empty,
+        infer: Boolean = true): Unit =
+      store.createTableFromDataFrame(name, df, primaryKey, infer)
+  }
+
+  /** Reference `modify` namespace (core/modify.py). */
+  object modify {
+    def addColumn(name: String, column: String, dataType: String): Unit =
+      store.addColumn(name, column, dataType)
+    def alterColumn(name: String, column: String, dataType: String): Unit =
+      store.alterColumn(name, column, dataType)
+    def dropColumn(name: String, column: String): Unit =
+      store.dropColumn(name, column)
+    def primaryKey(name: String, columns: Seq[String]): Unit =
+      store.setPrimaryKey(name, columns)
+  }
+
+  /** Reference `read` namespace (core/read.py). */
+  object read {
+    def table(
+        name: String,
+        columns: Seq[String] = Seq.empty,
+        where: Option[String] = None,
+        limit: Option[Int] = None,
+        orderBy: Seq[String] = Seq.empty,
+        orderDesc: Boolean = false): DataFrame =
+      store.readTable(name, columns, where, limit, orderBy, orderDesc)
+  }
+
+  /** Reference `write` namespace (core/write). */
+  object write {
+    def insert(name: String, df: DataFrame, autoAdjust: Boolean = false): Unit =
+      store.insert(name, df, autoAdjust, ti)
+
+    def update(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =
+      store.update(name, df, matchColumns, tu)
+
+    def merge(
+        name: String,
+        df: DataFrame,
+        matchColumns: Seq[String] = Seq.empty,
+        upsert: Boolean = false,
+        deleteRequires: Seq[String] = Seq.empty): Unit =
+      if (upsert) {
+        require(deleteRequires.isEmpty, "delete_requires can only be specified if upsert=false")
+        store.upsert(name, df, matchColumns, ti, tu)
+      } else store.merge(name, df, matchColumns, deleteRequires, ti, tu)
+  }
+
+  /** Reference `get_schema` (package.py:105). */
+  def getSchema(name: String): DataFrame = store.describe(name)
+
+  /** PK-duplicate diagnostics (enforced by the server in the reference). */
+  def primaryKeyViolations(name: String): DataFrame = store.primaryKeyViolations(name)
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.TimestampNTZType
 
 import graft.errors
 
@@ -49,9 +49,13 @@ object Mutations {
   /** Ensure `df` has a nullable timestamp column `name` (the reference
     * auto-creates metadata-timestamp columns on first use,
     * core/write/_exceptions.py:16-50). */
+  // Time columns are always TIMESTAMP_NTZ (datetime2): one consistent
+  // parquet physical type across insert/update/merge paths — a mixed
+  // LTZ/NTZ footer set makes mergeSchema reads fail on tables whose
+  // pruned rewrites leave older files in place.
   private def ensureTimeCol(df: DataFrame, name: String): DataFrame =
     if (df.columns.contains(name)) df
-    else df.withColumn(name, lit(null).cast(TimestampType))
+    else df.withColumn(name, lit(null).cast(TimestampNTZType))
 
   /** Update matched rows of `target` from `source`.
     *
@@ -82,7 +86,7 @@ object Mutations {
       if (updateCols.contains(c))
         when(col("__matched"), col(srcAlias(c)).cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
       else if (c == TimeUpdate && timeUpdate.isDefined)
-        when(col("__matched"), timeUpdate.get.cast(TimestampType)).otherwise(t0(c)).as(c)
+        when(col("__matched"), timeUpdate.get.cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
       else t0(c).as(c)
     }
     joined.select(outCols.toIndexedSeq: _*)
@@ -156,9 +160,9 @@ object Mutations {
         else if (updateCols.contains(c))
           when(matched || insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
         else if (c == TimeInsert && timeInsert.isDefined)
-          when(insertOnly, timeInsert.get.cast(TimestampType)).otherwise(t0(c)).as(c)
+          when(insertOnly, timeInsert.get.cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
         else if (c == TimeUpdate && timeUpdate.isDefined)
-          when(matched, timeUpdate.get.cast(TimestampType)).otherwise(t0(c)).as(c)
+          when(matched, timeUpdate.get.cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
         else t0(c).as(c) // target-only column: null for inserted rows
       base
     }
@@ -176,7 +180,7 @@ object Mutations {
     val aligned = t0.columns.map { c =>
       val dt = t0.schema(c).dataType
       if (source.columns.contains(c)) source(c).cast(dt).as(c)
-      else if (c == TimeInsert && timeInsert.isDefined) timeInsert.get.cast(TimestampType).as(c)
+      else if (c == TimeInsert && timeInsert.isDefined) timeInsert.get.cast(dt).as(c)
       else lit(null).cast(dt).as(c)
     }
     t0.unionByName(source.select(aligned.toIndexedSeq: _*))

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the reference's documented workflow (merge.py doctest
+  * merge.py:44-89 + package.py example) through the Graft facade
+  * end-to-end. */
+class GraftApiSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("the reference's merge doctest workflow runs 1:1 through the facade") {
+    val clock = lit("2026-02-03 04:05:06").cast(TimestampType)
+    val sql = Graft(spark, Files.createTempDirectory("graft_api_").toString,
+      includeMetadataTimestamps = true, clock = () => clock)
+
+    // create.table with SQL types + PK, insert initial rows
+    sql.create.table("ExampleMergeDF",
+      Seq("State" -> "CHAR(1)", "ColumnA" -> "TINYINT", "ColumnB" -> "CHAR(1)", "PK" -> "TINYINT"),
+      primaryKey = Seq("PK"))
+    sql.write.insert("ExampleMergeDF",
+      Seq(("A", 3, "a", 0), ("B", 4, "b", 1)).toDF("State", "ColumnA", "ColumnB", "PK"))
+
+    // merge: delete PK=0, update PK=1, insert PK=2
+    sql.write.merge("ExampleMergeDF",
+      Seq(("B", 5, "b", 1), ("C", 6, "d", 2)).toDF("State", "ColumnA", "ColumnB", "PK"))
+    val afterMerge = sql.read.table("ExampleMergeDF", orderBy = Seq("PK"))
+    assert(afterMerge.select("PK", "State", "ColumnA").as[(Int, String, Int)].collect().toSeq ==
+      Seq((1, "B", 5), (2, "C", 6)))
+    // timestamps: PK=1 was inserted under the session flag (_time_insert
+    // from the initial insert) and updated by the merge (_time_update);
+    // PK=2 inserted by the merge (no _time_update yet)
+    val ts = afterMerge.select("PK", "_time_insert", "_time_update").collect()
+      .map(r => (r.getShort(0).toInt, !r.isNullAt(1), !r.isNullAt(2))).toSeq // TINYINT → ShortType
+    assert(ts == Seq((1, true, true), (2, true, false)))
+
+    // incremental merge with delete_requires: PK=2 (State=C) survives
+    sql.write.merge("ExampleMergeDF",
+      Seq(("B", 6, "d", 1), ("D", 6, "d", 3)).toDF("State", "ColumnA", "ColumnB", "PK"),
+      deleteRequires = Seq("State"))
+    assert(sql.read.table("ExampleMergeDF", orderBy = Seq("PK"))
+      .select("PK").as[Int].collect().toSeq == Seq(1, 2, 3))
+
+    // upsert: never deletes
+    sql.write.merge("ExampleMergeDF",
+      Seq(("B", 10, "x", 1), ("E", 0, "y", 4)).toDF("State", "ColumnA", "ColumnB", "PK"),
+      upsert = true)
+    assert(sql.read.table("ExampleMergeDF", orderBy = Seq("PK"))
+      .select("PK").as[Int].collect().toSeq == Seq(1, 2, 3, 4))
+
+    // read with where/projection (PK always included), schema description
+    val filtered = sql.read.table("ExampleMergeDF",
+      columns = Seq("ColumnA"), where = Some("ColumnA >= 6"), orderBy = Seq("PK"))
+    assert(filtered.columns.toSeq == Seq("PK", "ColumnA"))
+    // PK=1 has ColumnA=10 after the upsert; 2 and 3 hold 6
+    assert(filtered.select("PK").as[Int].collect().toSeq == Seq(1, 2, 3))
+    assert(sql.getSchema("ExampleMergeDF").filter(col("column_name") === "State")
+      .select("sql_type").as[String].collect().head == "char(1)")
+
+    // upsert + delete_requires rejected, like the reference (merge.py:92)
+    assertThrows[IllegalArgumentException](
+      sql.write.merge("ExampleMergeDF", Seq(("X", 1, "x", 9)).toDF("State", "ColumnA", "ColumnB", "PK"),
+        upsert = true, deleteRequires = Seq("State")))
+  }
+}
