@@ -18,12 +18,17 @@ object Bench {
     "q5_local_supplier",
     "window_running",
     "events_sessionize",
+    "events_tumbling",
     "asof_join",
+    "percentiles_by_group",
     "merge_full",
     "update_by_key",
+    "upsert_bucketed",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_topk_ivf",
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",

@@ -190,6 +190,36 @@ object Analytics {
       .orderBy("user_id", "session_seq")
   }
 
+  // ── A15: exact percentiles per group ────────────────────────────────────
+  /** `percentile` sorts within the aggregation buffer — exact and
+    * deterministic (unlike approx_percentile), matching DuckDB's
+    * quantile_cont interpolation; rounded to 4 dp on both sides. */
+  def percentilesByGroup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("p"), 1), 4).as("p50"),
+        round(element_at(col("p"), 2), 4).as("p90"),
+        col("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ── A16: grouping sets (beyond rollup: arbitrary grouping lattices) ─────
+  def groupingSetsTotals(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_total"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_total"), col("n"))
+      .orderBy("status", "priority")
+  }
+
   // ── A13: approximate distinct (HLL) — rows-only (sketch is engine-specific)
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
@@ -225,6 +255,8 @@ object Analytics {
     "events_sessionize" -> eventsSessionize,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
+    "percentiles_by_group" -> percentilesByGroup,
+    "grouping_sets_totals" -> groupingSetsTotals,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -314,6 +346,18 @@ object Analytics {
         | FROM g)
         |SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "percentiles_by_group" ->
+      """SELECT o_orderpriority,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "grouping_sets_totals" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }
