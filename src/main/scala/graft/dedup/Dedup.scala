@@ -54,7 +54,11 @@ object Dedup {
       bandWidth: Int = 50): DataFrame = {
     val sh = shingled(docs, n, bandWidth)
     val sizes = sh.select(col("doc_id"), size(col("__sh")).as("__n"))
-    val ex = sh.select(col("doc_id"), col("lang"), col("__band"), explode(col("__sh")).as("__s"))
+    // join on the 64-bit shingle hash, not the shingle string: the
+    // self-join shuffle carries 8-byte keys instead of ~n-word strings
+    // (collision odds ~2^-64 per pair — the exact twin stays exact)
+    val ex = sh.select(col("doc_id"), col("lang"), col("__band"),
+      explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
     val a = ex.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
     val b = ex.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"), col("__s").as("__sb"))
     val inter = a.join(b,

@@ -29,6 +29,23 @@ object Media {
       fmt, (n * 7) % 1024, (n * 13) % 768)
   }
 
+  /** Frame sampling over a binary "video" column: fixed-size frames,
+    * capped per document — the flatMap shape (one input row → n frame
+    * rows) is the real plumbing a frame extractor needs; the frame
+    * content read is the stubbed part. */
+  def frameTable(docs: DataFrame, frameBytes: Int = 256, maxFrames: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "utf-8").as("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = math.min(bytes.length / frameBytes, maxFrames)
+        (0 until n).map(i =>
+          (id, i, i.toLong * frameBytes, (bytes(i * frameBytes) & 0xFF).toLong))
+      }
+      .toDF("doc_id", "frame_idx", "frame_offset", "first_byte")
+  }
+
   /** Attach a binary media column (here: utf-8 bytes of the text — the
     * stand-in payload) and decode per partition. */
   def decodeTable(docs: DataFrame): DataFrame = {

@@ -220,6 +220,26 @@ object Analytics {
       .orderBy("status", "priority")
   }
 
+  // ── A17: salted aggregation over a pathologically skewed key ────────────
+  /** Only 3 distinct l_returnflag values: at 100 TB an unsalted groupBy
+    * funnels ~33 TB through each of 3 reducers. The salted two-phase
+    * plan produces identical results (decimal-exact, order-independent)
+    * — which is exactly what the oracle verifies. */
+  def saltedSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    Skew.saltedAggregate(
+      t(s, dir, "lineitem"),
+      keys = Seq("l_returnflag"),
+      saltBy = col("l_orderkey"),
+      aggs = Seq(
+        "sum_qty" -> Skew.sum2(dec2(col("l_quantity"))),
+        "n" -> Skew.count2(),
+        "max_price" -> Skew.max2(dec2(col("l_extendedprice")))))
+      .select(col("l_returnflag"),
+        col("sum_qty").cast(DecimalType(18, 2)).as("sum_qty"),
+        col("n"), col("max_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ── A13: approximate distinct (HLL) — rows-only (sketch is engine-specific)
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
@@ -257,6 +277,7 @@ object Analytics {
     "sample_hash" -> sampleHash,
     "percentiles_by_group" -> percentilesByGroup,
     "grouping_sets_totals" -> groupingSetsTotals,
+    "salted_skew_agg" -> saltedSkewAgg,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -358,6 +379,12 @@ object Analytics {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "salted_skew_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | COUNT(*) AS n,
+        | MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }

@@ -74,6 +74,9 @@ object PipelineQueries {
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Media.decodeTable(t(s, dir, "documents")).orderBy("doc_id")
 
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Media.frameTable(t(s, dir, "documents")).orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -88,6 +91,7 @@ object PipelineQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_frames" -> multimodalFrames,
   )
 
   private val langCase: String = {
@@ -186,5 +190,10 @@ object PipelineQueries {
         | CAST(octet_length(encode(text)) * 7 % 1024 AS BIGINT) AS width,
         | CAST(octet_length(encode(text)) * 13 % 768 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 256 AS BIGINT) AS frame_offset,
+        | CAST(ord(substr(text, CAST(i * 256 + 1 AS INT), 1)) AS BIGINT) AS first_byte
+        |FROM documents, UNNEST(range(0, least(octet_length(encode(text)) // 256, 8))) t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
