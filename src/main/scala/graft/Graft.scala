@@ -40,8 +40,9 @@ final case class Graft(
         name: String,
         columns: Seq[(String, String)],
         primaryKey: Seq[String] = Seq.empty,
-        buckets: Int = 0): Unit =
-      store.createTable(name, columns, primaryKey, buckets)
+        buckets: Int = 0,
+        sqlPrimaryKey: Boolean = false): Unit =
+      store.createTable(name, columns, primaryKey, buckets, sqlPrimaryKey)
 
     def tableFromDataFrame(
         name: String,

@@ -49,7 +49,11 @@ final class TableStore(spark: SparkSession, root: String) {
     * `__bucket=<pmod(xxhash64(pk), buckets)>` directories, which is what
     * lets keyed update/upsert rewrite ONLY the buckets the source
     * touches (SURVEY §5). */
-  final case class Meta(columns: Seq[(String, SqlType)], primaryKey: Seq[String], buckets: Int = 0) {
+  final case class Meta(
+      columns: Seq[(String, SqlType)],
+      primaryKey: Seq[String],
+      buckets: Int = 0,
+      sqlPk: Boolean = false) {
     def sparkSchema: StructType =
       StructType(columns.map { case (n, t) => StructField(n, t.spark, nullable = true) })
   }
@@ -72,6 +76,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val pk: ArrayNode = o.putArray("primaryKey")
     meta.primaryKey.foreach(pk.add)
     o.put("buckets", meta.buckets)
+    o.put("sqlPk", meta.sqlPk)
     val out = fs.create(metaPath(name), true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
     out.close()
@@ -87,7 +92,8 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     val pk = (0 until node.get("primaryKey").size()).map(node.get("primaryKey").get(_).asText())
     val buckets = if (node.has("buckets")) node.get("buckets").asInt() else 0
-    Meta(cols, pk, buckets)
+    val sqlPk = node.has("sqlPk") && node.get("sqlPk").asBoolean()
+    Meta(cols, pk, buckets, sqlPk)
   }
 
   def exists(name: String): Boolean = fs.exists(metaPath(name))
@@ -106,12 +112,22 @@ final class TableStore(spark: SparkSession, root: String) {
       name: String,
       columns: Seq[(String, String)],
       primaryKey: Seq[String] = Seq.empty,
-      buckets: Int = 0): Unit = {
+      buckets: Int = 0,
+      sqlPrimaryKey: Boolean = false): Unit = {
     if (exists(name)) throw errors.TableAlreadyExists(name)
+    if (sqlPrimaryKey && primaryKey.nonEmpty)
+      throw new IllegalArgumentException("if sqlPrimaryKey then primaryKey must be empty (create.py:78)")
     Identifiers.quote(name) // length validation
     columns.foreach { case (n, _) => Identifiers.quote(n) }
-    if (buckets > 0 && primaryKey.isEmpty) throw errors.UndefinedPrimaryKey(name)
-    val m = Meta(columns.map { case (n, decl) => n -> SqlType.parse(decl) }, primaryKey, buckets)
+    // reference sql_primary_key=True: engine-managed `_pk` identity column
+    // (create.py:144). Ids here are engine-assigned on insert: a
+    // deterministic dense sequence (max-so-far + row_number by content
+    // hash) — the Spark-native stand-in for a server identity, without a
+    // global-sequence bottleneck in the write path beyond one agg.
+    val cols0 = if (sqlPrimaryKey) ("_pk" -> "bigint") +: columns else columns
+    val pk0 = if (sqlPrimaryKey) Seq("_pk") else primaryKey
+    if (buckets > 0 && pk0.isEmpty) throw errors.UndefinedPrimaryKey(name)
+    val m = Meta(cols0.map { case (n, decl) => n -> SqlType.parse(decl) }, pk0, buckets, sqlPrimaryKey)
     val missingPk = primaryKey.filterNot(m.columns.map(_._1).contains)
     if (missingPk.nonEmpty) throw errors.ColumnDoesNotExist(name, missingPk)
     writeMeta(name, m)
@@ -310,8 +326,16 @@ final class TableStore(spark: SparkSession, root: String) {
       m = meta(name)
     }
 
+    var df2 = df
+    if (m.sqlPk && !df.columns.contains("_pk")) {
+      val maxPk = read(name).agg(coalesce(max(col("_pk")), lit(0L))).collect()(0).getLong(0)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(xxhash64(df.columns.map(c => col(Identifiers.quote(c))): _*))
+      df2 = df.withColumn("_pk", lit(maxPk) + row_number().over(w))
+    }
+
     val target = read(name)
-    val appended = Mutations.insertAll(target.limit(0), df, timeInsert)
+    val appended = Mutations.insertAll(target.limit(0), df2, timeInsert)
     val out = fs.makeQualified(dataPath(name))
     if (m.buckets > 0)
       appended.withColumn(BucketCol, bucketExpr(m))

@@ -79,6 +79,20 @@ class TableStoreSpec extends AnyFunSuite {
       s"scan reads pruned columns: $readSchema")
   }
 
+  test("sqlPrimaryKey creates an engine-managed _pk identity column (create.py:144)") {
+    val store = newStore()
+    store.createTable("t", Seq("v" -> "varchar(5)"), sqlPrimaryKey = true)
+    store.insert("t", Seq("a", "b", "c").toDF("v"))
+    store.insert("t", Seq("d", "e").toDF("v"))
+    val pks = store.readTable("t").select("_pk").as[Long].collect().sorted.toSeq
+    assert(pks == Seq(1L, 2L, 3L, 4L, 5L), s"dense identity expected, got $pks")
+    assert(store.meta("t").primaryKey == Seq("_pk"))
+    assert(store.primaryKeyViolations("t").count() == 0)
+    // mixing explicit and sql pk is rejected like the reference (create.py:78)
+    assertThrows[IllegalArgumentException](
+      store.createTable("t2", Seq("v" -> "int"), Seq("v"), sqlPrimaryKey = true))
+  }
+
   test("bucketed update rewrites ONLY the buckets the source touches") {
     import java.nio.file.{Files => JFiles, Paths}
     import scala.jdk.CollectionConverters._
