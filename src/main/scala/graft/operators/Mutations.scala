@@ -21,10 +21,11 @@ import graft.errors
   *    insert, target-only → delete (guarded by `deleteRequires`,
   *    suppressed entirely by `upsert`).
   *
-  * Scale design (SURVEY §5): the source is typically ≪ target, so we
-  * `broadcast(source)` for update (left join allows it); merge needs
-  * full-outer, which Spark executes as a shuffle join — with AQE
-  * handling skew. No collect(), no driver loops: the output is a plan,
+  * Scale design (SURVEY §5): the source is typically ≪ target — AQE
+  * broadcasts it at runtime (no hard hint, so a huge source is still
+  * free to shuffle); merge needs full-outer, which Spark executes as a
+  * shuffle join — with AQE handling skew. No collect(), no driver
+  * loops: the output is a plan,
   * and the caller (TableStore) controls materialization, where a
   * lakehouse-style store would rewrite only the files whose key range
   * intersects the source keys.
@@ -77,8 +78,11 @@ object Mutations {
     val t0 = if (timeUpdate.isDefined) ensureTimeCol(target, TimeUpdate) else target
     val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
       .withColumn("__matched", lit(true))
+    // no broadcast hint: the source is USUALLY small (AQE broadcasts it
+    // then), but an update fed by another 100 TB relation must be free
+    // to shuffle — a forced broadcast would OOM the driver
     val joined = t0.join(
-      broadcast(s),
+      s,
       matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _),
       "left")
 
