@@ -36,15 +36,7 @@ import graft.types.{Infer, SqlType}
   *    files whose key ranges intersect the source keys.
   *  - atomic swap: new data is written to `data.tmp` then renamed.
   */
-final class TableStore(spark: SparkSession, root: String) {
-
-  private val mapper = new ObjectMapper()
-
-  private def tablePath(name: String) = new Path(root, name)
-  private def dataPath(name: String) = new Path(tablePath(name), "data")
-  private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
-  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
+object TableStore {
   /** buckets = 0 → flat layout; buckets > 0 → data partitioned into
     * `__bucket=<pmod(xxhash64(pk), buckets)>` directories, which is what
     * lets keyed update/upsert rewrite ONLY the buckets the source
@@ -57,6 +49,17 @@ final class TableStore(spark: SparkSession, root: String) {
     def sparkSchema: StructType =
       StructType(columns.map { case (n, t) => StructField(n, t.spark, nullable = true) })
   }
+}
+
+final class TableStore(spark: SparkSession, root: String) {
+  import TableStore.Meta
+
+  private val mapper = new ObjectMapper()
+
+  private def tablePath(name: String) = new Path(root, name)
+  private def dataPath(name: String) = new Path(tablePath(name), "data")
+  private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val BucketCol = "__bucket"
 
@@ -330,7 +333,7 @@ final class TableStore(spark: SparkSession, root: String) {
     if (m.sqlPk && !df.columns.contains("_pk")) {
       val maxPk = read(name).agg(coalesce(max(col("_pk")), lit(0L))).collect()(0).getLong(0)
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(xxhash64(df.columns.map(c => col(Identifiers.quote(c))): _*))
+        .orderBy(xxhash64(df.columns.toIndexedSeq.map(c => col(Identifiers.quote(c))): _*))
       df2 = df.withColumn("_pk", lit(maxPk) + row_number().over(w))
     }
 
@@ -436,7 +439,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val raw = spark.read.option("mergeSchema", "true")
       .option("basePath", dataPath(name).toString)
       .parquet(dataPath(name).toString)
-      .filter(col(BucketCol).isin(srcBuckets: _*)) // partition-pruned scan
+      .filter(col(BucketCol).isin(srcBuckets.toIndexedSeq: _*)) // partition-pruned scan
     val affected = alignTo(raw, m)
     val result = algebra(affected, source)
     registerTimeCols(name, result, mayAddTimeCols)

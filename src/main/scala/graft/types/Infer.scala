@@ -46,7 +46,7 @@ object Infer {
       }
     }
 
-    val row = if (aggs.nonEmpty) df.agg(aggs.head, aggs.tail: _*).collect()(0) else null
+    val row = if (aggs.nonEmpty) df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0) else null
 
     def longAt(n: String): Option[Long] =
       if (row.schema.fieldNames.contains(n) && !row.isNullAt(row.fieldIndex(n)))
