@@ -32,6 +32,16 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** S5: streaming exact dedup by CONTENT hash (the streaming twin of
+    * Dedup.exact): state keys are md5 digests, not documents, so state
+    * size is O(distinct-content × 16 bytes) within the watermark. */
+  def dedupeByContent(stream: DataFrame, textCol: String, tsCol: String): DataFrame =
+    stream
+      .withColumn("__content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   /** S4: stream-stream interval join — each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Watermarks on BOTH sides
     * + the interval condition bound the join state Spark must retain. */

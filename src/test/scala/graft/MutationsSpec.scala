@@ -61,6 +61,28 @@ class MutationsSpec extends AnyFunSuite {
     assert(rows(out) == Seq(Row(1, "B", 7, "z")))
   }
 
+  test("merge on composite match columns (reference test_merge_two_match_columns)") {
+    // match on (PK, State): delete (0,A), update (1,B), insert (2,C)
+    val src = Seq((1, "B", 5, "b"), (2, "C", 6, "d")).toDF("PK", "State", "ColumnA", "ColumnB")
+    val out = Mutations.merge(target, src, Seq("PK", "State"))
+    assert(rows(out) == Seq(Row(1, "B", 5, "b"), Row(2, "C", 6, "d")))
+    // timestamps land on the right rows
+    val clock = lit("2026-01-01 00:00:00").cast(org.apache.spark.sql.types.TimestampNTZType)
+    val ts = Mutations.merge(target, src, Seq("PK", "State"),
+      timeInsert = Some(clock), timeUpdate = Some(clock))
+      .select("PK", "_time_insert", "_time_update").orderBy("PK").collect()
+      .map(r => (r.getInt(0), !r.isNullAt(1), !r.isNullAt(2))).toSeq
+    assert(ts == Seq((1, false, true), (2, true, false)))
+  }
+
+  test("merge on a non-PK match column updates every matching row") {
+    // reference test_merge_non_pk_column: match on State
+    val t2 = Seq(("A", 3, "a"), ("B", 4, "b")).toDF("State", "ColumnA", "ColumnB")
+    val src = Seq(("B", 9, "z")).toDF("State", "ColumnA", "ColumnB")
+    val out = Mutations.merge(t2, src, Seq("State"))
+    assert(out.orderBy("State").collect().toSeq == Seq(Row("B", 9, "z")))
+  }
+
   test("deleteRequires with upsert is rejected") {
     assertThrows[IllegalArgumentException](
       Mutations.merge(target, target, Seq("PK"), upsertOnly = true, deleteRequires = Seq("State")))

@@ -68,6 +68,15 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("S5: streaming content dedup suppresses duplicate payloads") {
+    // events with duplicated props payloads: stream unioned with itself
+    val dup = stream.select(col("event_id"), col("ts"), col("props"))
+      .unionByName(stream.select(col("event_id"), col("ts"), col("props")))
+    val got = runToTable(Streams.dedupeByContent(dup, "props", "ts"), "s5", "append")
+    val distinctPayloads = spark.read.parquet(inputDir).select("props").distinct().count()
+    assert(got.count() == distinctPayloads)
+  }
+
   test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
     val got = runToTable(Streams.runningTotals(stream).toDF(), "s3", "update")
     // keep the last update per user (multiple micro-batches may emit)
