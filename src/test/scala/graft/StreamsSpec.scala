@@ -77,6 +77,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.count() == distinctPayloads)
   }
 
+  test("S6: streaming minhash detects the known near-dup pairs across micro-batches") {
+    import graft.dedup.Dedup
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val in = Files.createTempDirectory("graft_s6_").toString + "/in"
+    // split by parity so most near-dup pairs straddle the two batches
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+    val got = runToTable(Streams.minhashCandidates(s).toDF(), "s6", "append")
+      .select("a_id", "b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = Dedup.ngramJaccardPairs(docs, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    assert(strong.subsetOf(got),
+      s"streaming minhash missed strong pairs: ${strong -- got}")
+    // precision guard: candidates must be a short list, not a flood
+    // (token-level signatures once produced thousands of false pairs)
+    assert(got.size <= strong.size * 5,
+      s"candidate flood: ${got.size} pairs for ${strong.size} strong ones")
+  }
+
   test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
     val got = runToTable(Streams.runningTotals(stream).toDF(), "s3", "update")
     // keep the last update per user (multiple micro-batches may emit)
