@@ -220,6 +220,47 @@ object Analytics {
       .orderBy("status", "priority")
   }
 
+  // ── A7b: cube (all grouping combinations) ───────────────────────────────
+  def cubeTotals(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  // ── A5b: rank-family windows (ntile / percent_rank / cume_dist) ─────────
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(dec2(col("o_totalprice")), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  // ── L2b: edit-distance verification of near-dup candidates ──────────────
+  /** The pipeline step after candidate generation: exact character-level
+    * edit distance over the (few) near-dup pairs — levenshtein is
+    * engine-portable, so this is oracle-verified end-to-end through the
+    * jaccard candidate stage. */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs)
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("__ta")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("__tb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"))
+      .orderBy("a_id", "b_id")
+  }
+
   // ── A17: salted aggregation over a pathologically skewed key ────────────
   /** Only 3 distinct l_returnflag values: at 100 TB an unsalted groupBy
     * funnels ~33 TB through each of 3 reducers. The salted two-phase
@@ -278,6 +319,9 @@ object Analytics {
     "percentiles_by_group" -> percentilesByGroup,
     "grouping_sets_totals" -> groupingSetsTotals,
     "salted_skew_agg" -> saltedSkewAgg,
+    "cube_totals" -> cubeTotals,
+    "window_ranks" -> windowRanks,
+    "dedup_edit_distance" -> dedupEditDistance,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -385,6 +429,40 @@ object Analytics {
         | COUNT(*) AS n,
         | MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "cube_totals" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(NTILE(4) OVER w AS INT) AS quartile,
+        | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "dedup_edit_distance" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id),
+        |jac AS (
+        | SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        | FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        | WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3)
+        |SELECT j.a_id, j.b_id, j.jaccard,
+        | CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+        |FROM jac j JOIN documents da ON j.a_id = da.doc_id JOIN documents db ON j.b_id = db.doc_id
+        |ORDER BY j.a_id, j.b_id""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }
