@@ -261,6 +261,22 @@ object Analytics {
       .orderBy("a_id", "b_id")
   }
 
+  // ── A18: semi-structured JSON extraction + aggregation ──────────────────
+  /** get_json_object stays inside codegen; at 100 TB the JSON parse cost
+    * rides the scan (no shuffle added) and the extracted value feeds the
+    * usual partial aggregation.
+    * Portability note (probed): Spark nulls on malformed JSON while
+    * DuckDB's json_extract_string throws — on dirty corpora the oracle
+    * side would need json_valid() guards; the graft side is already
+    * null-safe. */
+  def eventsJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   // ── A17: salted aggregation over a pathologically skewed key ────────────
   /** Only 3 distinct l_returnflag values: at 100 TB an unsalted groupBy
     * funnels ~33 TB through each of 3 reducers. The salted two-phase
@@ -322,6 +338,7 @@ object Analytics {
     "cube_totals" -> cubeTotals,
     "window_ranks" -> windowRanks,
     "dedup_edit_distance" -> dedupEditDistance,
+    "events_json_extract" -> eventsJsonExtract,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -463,6 +480,12 @@ object Analytics {
         | CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
         |FROM jac j JOIN documents da ON j.a_id = da.doc_id JOIN documents db ON j.b_id = db.doc_id
         |ORDER BY j.a_id, j.b_id""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }
