@@ -27,6 +27,15 @@ object Analytics {
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Render canonicalization: aggregation stays decimal-exact
+    * (order-independent under any partitioning), but the FINAL projection
+    * is cast to DOUBLE on both the Spark and the oracle side — the
+    * driver hashes rendered values, and Spark's DECIMAL `137869.00`
+    * never equals DuckDB's float64 `137869.0` even when numerically
+    * identical (round-2 lesson: 13 hash-fails, all this). Decimal→double
+    * is correctly rounded in both engines, so the bits match. */
+  private def fin(c: Column): Column = c.cast("double")
+
   /** revenue term: extendedprice * (1 - discount), decimal-exact. */
   private def revenue: Column =
     dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
@@ -37,9 +46,9 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
-        sum(revenue).cast(DecimalType(18, 4)).as("sum_disc_price"),
+        fin(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        fin(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        fin(sum(revenue)).as("sum_disc_price"),
         (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -56,7 +65,7 @@ object Analytics {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(sum(revenue).cast(DecimalType(18, 4)).as("revenue"))
+      .agg(fin(sum(revenue)).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -71,17 +80,25 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
-    // Broadcast only the FIXED-SIZE dims (region 5, nation 25 rows).
-    // supplier/orders/customer grow with SF: hinting them broadcast
-    // would be wrong at 100 TB — AQE broadcasts them at small SF anyway.
-    li.join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust,
-        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    // Join order for 100 TB: Catalyst cannot infer that r_name='ASIA'
+    // transitively restricts supplier/customer through s_nationkey, so
+    // the naive plan joins lineitem against the FULL supplier set before
+    // the region filter prunes anything. Pre-restrict both scaling dims
+    // with a broadcast semi-join against the ≤25-row nation⋈region(ASIA)
+    // set — each fact-join side arrives already 1/5th the size, and the
+    // broadcast itself is fixed-size at any SF.
+    val asiaNat = nat
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supAsia = sup.join(broadcast(asiaNat), col("s_nationkey") === col("n_nationkey"), "left_semi")
+    val custAsia = cust.join(broadcast(asiaNat), col("c_nationkey") === col("n_nationkey"), "left_semi")
+    li.join(supAsia, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia,
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNat), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(revenue).cast(DecimalType(18, 4)).as("revenue"))
+      .agg(fin(sum(revenue)).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -109,8 +126,7 @@ object Analytics {
     val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     t(s, dir, "orders")
       .withColumn("running_spend",
-        sum(dec2(col("o_totalprice"))).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(18, 2)))
+        fin(sum(dec2(col("o_totalprice"))).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       .withColumn("spend_rank",
         rank().over(Window.partitionBy("o_custkey").orderBy(dec2(col("o_totalprice")).desc, col("o_orderkey"))))
       .withColumn("prev_order_date", lag(col("o_orderdate"), 1).over(ord))
@@ -122,7 +138,7 @@ object Analytics {
   def rollupSubtotals(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+      .agg(fin(sum(dec2(col("l_quantity")))).as("sum_qty"),
         count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -135,7 +151,7 @@ object Analytics {
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)))
+      .agg(fin(sum(dec2(col("o_totalprice")))))
       .orderBy("o_orderpriority")
   }
 
@@ -144,7 +160,7 @@ object Analytics {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(dec2(col("o_totalprice")).desc, col("o_orderkey"))
     t(s, dir, "orders")
-      .withColumn("totalprice", dec2(col("o_totalprice")))
+      .withColumn("totalprice", fin(dec2(col("o_totalprice"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("o_orderpriority", "o_orderkey", "totalprice", "rn")
@@ -170,7 +186,7 @@ object Analytics {
   def eventsTumbling(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec4(col("value"))).cast(DecimalType(18, 4)).as("sum_value"))
+      .agg(count(lit(1)).as("n"), fin(sum(dec4(col("value")))).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
   }
@@ -212,7 +228,7 @@ object Analytics {
     o.groupingSets(
         Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sum_total"),
+      .agg(fin(sum(dec2(col("o_totalprice")))).as("sum_total"),
         count(lit(1)).as("n"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -224,7 +240,7 @@ object Analytics {
   def cubeTotals(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+      .agg(fin(sum(dec2(col("l_quantity")))).as("sum_qty"),
         count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -292,8 +308,8 @@ object Analytics {
         "n" -> Skew.count2(),
         "max_price" -> Skew.max2(dec2(col("l_extendedprice")))))
       .select(col("l_returnflag"),
-        col("sum_qty").cast(DecimalType(18, 2)).as("sum_qty"),
-        col("n"), col("max_price"))
+        fin(col("sum_qty")).as("sum_qty"),
+        col("n"), fin(col("max_price")).as("max_price"))
       .orderBy("l_returnflag")
   }
 
@@ -313,7 +329,7 @@ object Analytics {
     t(s, dir, "lineitem")
       .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(100)) < 10)
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), fin(sum(dec2(col("l_quantity")))).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -346,23 +362,23 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
@@ -381,24 +397,24 @@ object Analytics {
         |ORDER BY c_custkey""".stripMargin,
     "window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
         | RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS spend_rank,
         | LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order_date
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "rollup_subtotals" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "pivot_status" ->
       """SELECT o_orderpriority,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS F,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS O,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS P
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, totalprice, rn FROM (
-        | SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+        | SELECT o_orderpriority, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
         |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
         | FROM orders) t
         |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
@@ -414,7 +430,7 @@ object Analytics {
         |WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
     "events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
@@ -424,7 +440,7 @@ object Analytics {
         |       THEN 1 ELSE 0 END AS is_new
         | FROM events),
         |s AS (
-        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         | FROM g)
         |SELECT user_id, session_seq, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
@@ -436,19 +452,19 @@ object Analytics {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "grouping_sets_totals" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total, COUNT(*) AS n
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total, COUNT(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
     "salted_skew_agg" ->
       """SELECT l_returnflag,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | COUNT(*) AS n,
-        | MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+        | CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "cube_totals" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "window_ranks" ->
@@ -482,7 +498,7 @@ object Analytics {
         |ORDER BY j.a_id, j.b_id""".stripMargin,
     "events_json_extract" ->
       """SELECT event_type,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -35,7 +35,12 @@ object CoreQueries {
       "c_acctbal" -> "decimal(12,2)",
       "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"))
     store.insert("cust", t(s, dir, "customer"))
+    // The STORE keeps decimal(12,2) (that's what the query verifies);
+    // only the returned projection is rendered as double so the driver's
+    // value hash matches DuckDB's float64 output (trailing-zero decimals
+    // hash-mismatched in round 2).
     store.readTable("cust", orderBy = Seq("c_custkey"))
+      .withColumn("c_acctbal", col("c_acctbal").cast("double"))
   }
 
   // C3: smallest-type inference
@@ -202,7 +207,10 @@ object CoreQueries {
       (col("s_acctbal") * 1000).as("s_acctbal"),
       lit("widened batch").as("s_comment"))
     store.insert("sup", extra, autoAdjust = true)
+    // widened store type stays decimal(18,2); double-rendered for the
+    // driver hash (see createTableCast)
     store.readTable("sup", orderBy = Seq("s_suppkey"))
+      .withColumn("s_acctbal", col("s_acctbal").cast("double"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,7 +239,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "create_table_cast" ->
       """SELECT c_custkey, c_name, c_nationkey,
-        | CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+        | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "create_infer_narrow" ->
       s"""SELECT 'l_orderkey' AS column_name, ${inferCase("l_orderkey")} AS sql_type FROM lineitem
@@ -335,11 +343,11 @@ object CoreQueries {
         |ORDER BY r_regionkey""".stripMargin,
     "autoadjust_widen" ->
       """SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_name, CAST(s_nationkey AS SMALLINT) AS s_nationkey,
-        | CAST(s_acctbal AS DECIMAL(18,2)) AS s_acctbal, CAST(NULL AS VARCHAR) AS s_comment
+        | CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal, CAST(NULL AS VARCHAR) AS s_comment
         |FROM supplier
         |UNION ALL
         |SELECT CAST(s_suppkey + 100000 AS INT), s_name, CAST(s_nationkey AS SMALLINT),
-        | CAST(s_acctbal * 1000 AS DECIMAL(18,2)), 'widened batch'
+        | CAST(CAST(s_acctbal * 1000 AS DECIMAL(18,2)) AS DOUBLE), 'widened batch'
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
   )

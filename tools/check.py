@@ -35,7 +35,7 @@ def canon(v):
     except (TypeError, ValueError):
         pass
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        return ("dec", str(v))  # keep scale: '1.00' renders unlike '1.0'
     if isinstance(v, float):
         return ("f", v)
     if isinstance(v, (int,)):
@@ -50,14 +50,19 @@ def canon(v):
 
 
 def cell_eq(a, b):
+    # STRICT: the driver hashes the RENDERED result, so a Spark
+    # DECIMAL(18,2) "137869.00" vs a DuckDB float64 "137869.0" is a
+    # mismatch even though the values are numerically equal (this is
+    # exactly what hash-failed 13 queries in round 2). Compare the
+    # canonical typed rendering with no numeric coercion.
     ca, cb = canon(a), canon(b)
     if ca is None or cb is None:
         return ca is None and cb is None
-    # decimal vs float / int vs float tolerance-free numeric compare
-    if isinstance(ca, tuple) and isinstance(cb, tuple) and ca[0] in "fid" and cb[0] in "fid":
-        return float(Decimal(str(ca[1]))) == float(Decimal(str(cb[1])))
-    if isinstance(ca, tuple) and isinstance(cb, tuple) and {ca[0], cb[0]} <= {"dec", "f", "i"}:
-        return Decimal(str(ca[1])) == Decimal(str(cb[1]))
+    if isinstance(ca, tuple) and isinstance(cb, tuple) and ca[0] != cb[0]:
+        return False  # decimal vs float vs int: rendered differently
+    if isinstance(ca, tuple) and isinstance(cb, tuple) and ca[0] == "dec":
+        # trailing zeros render: Decimal('1.00') != Decimal('1.0')
+        return str(ca[1]) == str(cb[1])
     return ca == cb
 
 
