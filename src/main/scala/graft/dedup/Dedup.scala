@@ -49,24 +49,42 @@ object Dedup {
         Text.wordShingles(col("text"), n).as("__sh"))
 
   /** Exact n-gram Jaccard near-dup pairs within (lang, band) blocks:
-    * explode shingles → self-join on (shingle, block) → count
-    * intersections → join per-doc set sizes → threshold.
-    * This is the verification-grade twin the approximate variants are
-    * tested against. */
+    * explode shingles → document-frequency cut → self-join on
+    * (shingle, block) → count intersections → join per-doc set sizes →
+    * threshold. This is the verification-grade twin the approximate
+    * variants are tested against.
+    *
+    * The df-cut is the 100 TB safety valve: a shingle present in d docs
+    * of one block contributes d² rows to the self-join, so one hot
+    * 3-gram ("of the and"-class) is a skewed quadratic key. Shingles
+    * with per-block document frequency > maxDf carry no similarity
+    * signal (they're corpus boilerplate) and are dropped from BOTH the
+    * intersection and the set sizes — the semantic is "jaccard over
+    * informative shingles", mirrored exactly in the DuckDB oracle. The
+    * cut is computed with a window over the same keys the self-join
+    * shuffles on, so it costs no extra exchange. */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 3,
       tau: Double = 0.3,
-      bandWidth: Int = 50): DataFrame = {
-    val sh = shingled(docs, n, bandWidth)
-    val sizes = sh.select(col("doc_id"), size(col("__sh")).as("__n"))
+      bandWidth: Int = 50,
+      maxDf: Int = 128): DataFrame = {
     // join on the 64-bit shingle hash, not the shingle string: the
     // self-join shuffle carries 8-byte keys instead of ~n-word strings
     // (collision odds ~2^-64 per pair — the exact twin stays exact)
-    val ex = sh.select(col("doc_id"), col("lang"), col("__band"),
-      explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
-    val a = ex.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
-    val b = ex.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"), col("__s").as("__sb"))
+    val ex = shingled(docs, n, bandWidth)
+      .select(col("doc_id"), col("lang"), col("__band"),
+        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
+    val kept = ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf).drop("__df")
+      // ONE shingling+cut pass feeds the per-doc sizes and both
+      // self-join sides (unpersisted, the scan+shingle+window pipeline
+      // ran 3×, which dominated the sf0.1 bench)
+      .persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val a = kept.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
+    val b = kept.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"), col("__s").as("__sb"))
     val inter = a.join(b,
         col("__s") === col("__sb") && col("lang") === col("__lb") &&
           col("__band") === col("__bb") && col("a_id") < col("b_id"))

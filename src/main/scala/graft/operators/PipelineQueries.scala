@@ -119,10 +119,14 @@ object PipelineQueries {
         | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
         | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
         | WHERE len(toks) >= 3),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
+        | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
         |pairs AS (
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        | FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
         | GROUP BY a.doc_id, b.doc_id)
         |SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id

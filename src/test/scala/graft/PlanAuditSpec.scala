@@ -45,6 +45,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q5 restricts supplier/customer to ASIA before the fact join") {
+    // The ASIA restriction must prune BOTH scaling dims with broadcast
+    // semi-joins before lineitem is touched — Catalyst can't derive this
+    // transitively, so it's pinned here: the left-semi joins appear, and
+    // in the plan's top-down rendering both run DEEPER than (i.e. after,
+    // in execution order: below) the lineitem join.
+    val plan = executedPlan(operators.Analytics.q5LocalSupplier(spark, sfDir))
+    assert(occurrences(plan, "LeftSemi") >= 2,
+      s"supplier/customer not semi-restricted before the fact join:\n$plan")
+    val firstLineitemJoinIdx = plan.indexOf("l_suppkey")
+    val firstSemiIdx = plan.indexOf("LeftSemi")
+    assert(firstSemiIdx > firstLineitemJoinIdx,
+      s"semi restriction not on the input side of the fact join:\n$plan")
+  }
+
   test("anti/semi joins execute as join strategies, not subquery loops") {
     Seq(operators.Analytics.existsAntiJoin(spark, sfDir),
       operators.Analytics.existsSemiJoin(spark, sfDir)).foreach { q =>
