@@ -49,6 +49,46 @@ object TableStore {
     def sparkSchema: StructType =
       StructType(columns.map { case (n, t) => StructField(n, t.spark, nullable = true) })
   }
+
+  /** Dense `_pk` identity for an insert batch, scale-safe.
+    *
+    * The obvious `row_number() over (order by hash)` funnels the whole
+    * batch through ONE task (unpartitioned WindowExec) — a 1 TB insert
+    * would serialize on a single core. Instead: range-partition by the
+    * row hash (globally ordered ACROSS partitions), number within each
+    * partition via monotonically_increasing_id (whose layout is
+    * `partitionId << 33 | offset`), then shift each partition by the
+    * cumulative count of the partitions before it — an O(#partitions)
+    * driver-side fold, joined back as a broadcast. Ids are
+    * `startFrom+1 .. startFrom+N`, dense, ordered by the same
+    * full-row hash as before; every stage is distributed.
+    *
+    * The persist() is load-bearing: the per-partition counts and the
+    * final projection must see the SAME partitioning, and
+    * repartitionByRange re-samples boundaries per action without it. */
+  def assignDenseIds(df: DataFrame, startFrom: Long): DataFrame = {
+    val hash = xxhash64(df.columns.toIndexedSeq.map(c => col(Identifiers.quote(c))): _*)
+    val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val numbered = df.withColumn("__h", hash)
+      .repartitionByRange(n, col("__h"))
+      .sortWithinPartitions("__h")
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist()
+    val counts = numbered
+      .groupBy(shiftright(col("__mid"), 33).as("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var offset = startFrom
+    val adjRows = counts.map { case (pid, c) =>
+      val a = offset + 1 - (pid << 33); offset += c; (pid, a)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val adj = spark.createDataset(adjRows.toIndexedSeq).toDF("__pid", "__adj")
+    numbered.withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(adj), "__pid")
+      .withColumn("_pk", col("__mid") + col("__adj"))
+      .drop("__pid", "__mid", "__h")
+  }
 }
 
 final class TableStore(spark: SparkSession, root: String) {
@@ -331,10 +371,11 @@ final class TableStore(spark: SparkSession, root: String) {
 
     var df2 = df
     if (m.sqlPk && !df.columns.contains("_pk")) {
+      // Single-writer semantics (like the reference's IDENTITY through one
+      // connection): max(_pk) read-then-append is not safe under concurrent
+      // inserts to the same table.
       val maxPk = read(name).agg(coalesce(max(col("_pk")), lit(0L))).collect()(0).getLong(0)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(xxhash64(df.columns.toIndexedSeq.map(c => col(Identifiers.quote(c))): _*))
-      df2 = df.withColumn("_pk", lit(maxPk) + row_number().over(w))
+      df2 = TableStore.assignDenseIds(df, maxPk)
     }
 
     val target = read(name)

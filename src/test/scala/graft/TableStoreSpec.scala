@@ -88,6 +88,14 @@ class TableStoreSpec extends AnyFunSuite {
     assert(pks == Seq(1L, 2L, 3L, 4L, 5L), s"dense identity expected, got $pks")
     assert(store.meta("t").primaryKey == Seq("_pk"))
     assert(store.primaryKeyViolations("t").count() == 0)
+    // identity assignment must stay distributed: dense ids over a
+    // multi-partition batch with NO unpartitioned WindowExec in the plan
+    val batch = spark.range(0, 1000, 1, 8).select(concat(lit("r"), col("id")).as("v"))
+    val assigned = TableStore.assignDenseIds(batch, 5L)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"identity path fell back to a window:\n$plan")
+    val ids = assigned.select("_pk").as[Long].collect().sorted.toSeq
+    assert(ids == (6L to 1005L), s"ids not dense from startFrom+1: ${ids.take(5)}..${ids.takeRight(5)}")
     // mixing explicit and sql pk is rejected like the reference (create.py:78)
     assertThrows[IllegalArgumentException](
       store.createTable("t2", Seq("v" -> "int"), Seq("v"), sqlPrimaryKey = true))
