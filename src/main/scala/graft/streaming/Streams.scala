@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Identifiers
+
 /** Structured Streaming operators (SURVEY §2 S1–S3): the streaming twins
   * of the batch analytics surface, built on watermarks + windowed state.
   *
@@ -69,12 +71,23 @@ object Streams {
     * jaccard estimator. Emits candidate pairs (callers verify exactly,
     * as in the batch pipeline; pairs may repeat across buckets —
     * downstream distinct()). State is sharded by bucket key, so it
-    * distributes and no bucket holds more than its collision group. */
+    * distributes and no bucket holds more than its collision group.
+    *
+    * State is BOUNDED by event time: a new arrival only pairs with
+    * signatures whose event time is within `horizonMs` of the
+    * watermark — older entries are evicted on access, and a bucket
+    * idle past its newest entry + horizon is dropped whole by the
+    * event-time timeout. An unbounded stream therefore holds at most
+    * one horizon's worth of signatures per bucket, at the cost of not
+    * detecting duplicate pairs that straddle more than the horizon. */
   def minhashCandidates(
       stream: DataFrame,
       k: Int = 63,
       rowsPerBand: Int = 3,
-      tau: Double = 0.3): Dataset[CandidatePair] = {
+      tau: Double = 0.3,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      horizonMs: Long = 3600L * 1000): Dataset[CandidatePair] = {
     val spark = stream.sparkSession
     import spark.implicits._
     val bands = k / rowsPerBand
@@ -91,26 +104,36 @@ object Streams {
       .withColumn("__bk", explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws(":", b,
           xxhash64((0 until rowsPerBand).map(r => element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)))))
-      .select(col("__bk"), col("doc_id").cast("long").as("doc_id"), col("__sig"))
-      .as[(String, Long, Seq[Long])]
+      .select(col("__bk"), col("doc_id").cast("long").as("doc_id"), col("__sig"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, Seq[Long], java.sql.Timestamp)]
     sig.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, rows: Iterator[(String, Long, Seq[Long])],
-         state: GroupState[List[(Long, Seq[Long])]]) => {
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
-          rows.foreach { case (_, id, s) =>
-            seen.foreach { case (oid, os) =>
-              if (oid != id) {
-                val est = s.iterator.zip(os.iterator).count { case (x, y) => x == y }.toDouble / k
-                if (est >= tau)
-                  out += CandidatePair(math.min(id, oid), math.max(id, oid), est)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[(String, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[List[(Long, Seq[Long], Long)]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var seen = state.getOption.getOrElse(Nil).filter(_._3 >= wm - horizonMs)
+            val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+            rows.foreach { case (_, id, s, ts) =>
+              seen.foreach { case (oid, os, _) =>
+                if (oid != id) {
+                  val est = s.iterator.zip(os.iterator).count { case (x, y) => x == y }.toDouble / k
+                  if (est >= tau)
+                    out += CandidatePair(math.min(id, oid), math.max(id, oid), est)
+                }
               }
+              seen = (id, s, ts.getTime) :: seen
             }
-            seen = (id, s) :: seen
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(seen)
+              state.setTimeoutTimestamp(math.max(seen.iterator.map(_._3).max + horizonMs, wm + 1))
+            }
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
         })
   }
 
@@ -118,21 +141,38 @@ object Streams {
 
   /** S3: custom keyed state — running per-user totals via
     * flatMapGroupsWithState (the arbitrary-state API the reference's
-    * users would reach for when windows don't fit). */
-  def runningTotals(stream: DataFrame): Dataset[UserTotal] = {
+    * users would reach for when windows don't fit).
+    *
+    * State is BOUNDED by an idle TTL on event time: a user with no
+    * activity for `ttlMs` past the watermark is evicted, and a later
+    * arrival restarts their totals from zero. All-time totals over an
+    * unbounded stream are inherently unbounded state — callers that
+    * need them run the batch twin over the table instead. */
+  def runningTotals(
+      stream: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 3600L * 1000): Dataset[UserTotal] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    stream.select(col("user_id").cast("long"), col("value").cast("double"))
-      .as[(Long, Double)]
+    stream.select(col("user_id").cast("long").as("user_id"), col("value").cast("double").as("value"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
-          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0
-          var v = v0
-          rows.foreach { case (_, value) => n += 1; v += value }
-          state.update((n, v))
-          Iterator.single(UserTotal(user, n, v))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[(Long, Double)]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0
+            var v = v0
+            rows.foreach { case (_, value, _) => n += 1; v += value }
+            state.update((n, v))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            Iterator.single(UserTotal(user, n, v))
+          }
         })
   }
 }

@@ -85,7 +85,10 @@ class StreamsSpec extends AnyFunSuite {
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
     docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
     val schema = spark.read.parquet(in).schema
+    // documents have no event time; synthesize one (seconds by doc_id) —
+    // the whole corpus lands inside the default state horizon
     val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", timestamp_seconds(lit(1735689600L) + col("doc_id")))
     val got = runToTable(Streams.minhashCandidates(s).toDF(), "s6", "append")
       .select("a_id", "b_id").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -98,6 +101,33 @@ class StreamsSpec extends AnyFunSuite {
     // (token-level signatures once produced thousands of false pairs)
     assert(got.size <= strong.size * 5,
       s"candidate flood: ${got.size} pairs for ${strong.size} strong ones")
+  }
+
+  test("S6: bucket state is evicted once the watermark passes the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def at(offsetSec: Long) = new java.sql.Timestamp(base.getTime + offsetSec * 1000)
+    val text = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.minhashCandidates(in, watermarkDelay = "0 seconds", horizonMs = 60000L)
+      .toDF().writeStream.format("memory").queryName("s6_evict").outputMode("append").start()
+    try {
+      ms.addData((1L, text, at(0)))
+      q.processAllAvailable()
+      ms.addData((2L, text, at(10))) // within horizon of doc 1 → pair
+      q.processAllAvailable()
+      ms.addData((100L, "completely unrelated words fill this other sentence body", at(7200)))
+      q.processAllAvailable() // watermark advances past 1/2's horizon
+      ms.addData((3L, text, at(7201))) // same text, but old state must be gone
+      q.processAllAvailable()
+      val pairs = spark.table("s6_evict").select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"in-horizon pair missed: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"state not evicted past the horizon: $pairs")
+    } finally q.stop()
   }
 
   test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
