@@ -56,8 +56,9 @@ final case class Graft(
   object modify {
     def addColumn(name: String, column: String, dataType: String): Unit =
       store.addColumn(name, column, dataType)
-    def alterColumn(name: String, column: String, dataType: String): Unit =
-      store.alterColumn(name, column, dataType)
+    def alterColumn(name: String, column: String, dataType: String,
+        isNullable: Boolean = true): Unit =
+      store.alterColumn(name, column, dataType, isNullable)
     def dropColumn(name: String, column: String): Unit =
       store.dropColumn(name, column)
     def primaryKey(name: String, columns: Seq[String]): Unit =

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.TimestampType
 
 import graft.{Filters, GraftSession}
 import graft.store.TableStore
+import graft.types.SqlType
 
 /** C-block: driver-verified queries exercising the full reference
   * surface — create/modify/read/insert/update/upsert/merge plus the
@@ -213,8 +214,20 @@ object CoreQueries {
       .withColumn("s_acctbal", col("s_acctbal").cast("double"))
   }
 
+  // C14b: TIME type fidelity — timestamp ingest stores micros-of-day,
+  // read renders HH:MM:SS (reference round-trips TIME through pandas
+  // timedelta, conversion_rules.py)
+  def timeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "time_rt")
+    store.createTable("ev", Seq("event_id" -> "bigint", "t" -> "time"), Seq("event_id"))
+    store.insert("ev", t(s, dir, "events").select(col("event_id"), col("ts").as("t")))
+    store.readTable("ev", orderBy = Seq("event_id", "t"))
+      .withColumn("t_str", SqlType.renderTime(col("t")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "create_table_cast" -> createTableCast,
+    "time_roundtrip" -> timeRoundtrip,
     "create_infer_narrow" -> createInferNarrow,
     "modify_columns" -> modifyColumns,
     "primary_key_violations" -> primaryKeyViolations,
@@ -237,6 +250,11 @@ object CoreQueries {
        |     ELSE 'bigint' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "time_roundtrip" ->
+      """SELECT event_id,
+        | CAST((hour(ts)*3600 + minute(ts)*60)*1000000 + extract(microseconds FROM ts) AS BIGINT) AS t,
+        | strftime(ts, '%H:%M:%S') AS t_str
+        |FROM events ORDER BY event_id, t""".stripMargin,
     "create_table_cast" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment

@@ -45,9 +45,12 @@ object TableStore {
       columns: Seq[(String, SqlType)],
       primaryKey: Seq[String],
       buckets: Int = 0,
-      sqlPk: Boolean = false) {
+      sqlPk: Boolean = false,
+      notNull: Seq[String] = Nil) {
     def sparkSchema: StructType =
-      StructType(columns.map { case (n, t) => StructField(n, t.spark, nullable = true) })
+      StructType(columns.map { case (n, t) =>
+        StructField(n, t.spark, nullable = !notNull.contains(n))
+      })
   }
 
   /** Dense `_pk` identity for an insert batch, scale-safe.
@@ -120,6 +123,8 @@ final class TableStore(spark: SparkSession, root: String) {
     meta.primaryKey.foreach(pk.add)
     o.put("buckets", meta.buckets)
     o.put("sqlPk", meta.sqlPk)
+    val nn: ArrayNode = o.putArray("notNull")
+    meta.notNull.foreach(nn.add)
     val out = fs.create(metaPath(name), true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
     out.close()
@@ -136,7 +141,10 @@ final class TableStore(spark: SparkSession, root: String) {
     val pk = (0 until node.get("primaryKey").size()).map(node.get("primaryKey").get(_).asText())
     val buckets = if (node.has("buckets")) node.get("buckets").asInt() else 0
     val sqlPk = node.has("sqlPk") && node.get("sqlPk").asBoolean()
-    Meta(cols, pk, buckets, sqlPk)
+    val nn = if (node.has("notNull"))
+      (0 until node.get("notNull").size()).map(node.get("notNull").get(_).asText())
+    else Seq.empty
+    Meta(cols, pk, buckets, sqlPk, nn)
   }
 
   def exists(name: String): Boolean = fs.exists(metaPath(name))
@@ -204,16 +212,28 @@ final class TableStore(spark: SparkSession, root: String) {
     writeMeta(name, m.copy(columns = m.columns :+ (column -> SqlType.parse(sqlType))))
   }
 
-  /** Column type change (reference modify.column alter). Data is cast and
-    * rewritten; a format with metadata casts (lakehouse) would skip the
-    * rewrite for widening changes. */
-  def alterColumn(name: String, column: String, sqlType: String): Unit = {
+  /** Column type/nullability change (reference modify.column alter,
+    * modify.py:27 `is_nullable`). Data is cast and rewritten; a format
+    * with metadata casts (lakehouse) would skip the rewrite for
+    * widening changes. Setting NOT NULL validates existing data first,
+    * like SQL Server's ALTER COLUMN ... NOT NULL (one aggregate). */
+  def alterColumn(name: String, column: String, sqlType: String,
+      isNullable: Boolean = true): Unit = {
     val m = meta(name)
     if (!m.columns.exists(_._1 == column)) throw errors.ColumnDoesNotExist(name, Seq(column))
+    if (!isNullable) {
+      val nulls = read(name)
+        .agg(sum(when(col(Identifiers.quote(column)).isNull, 1).otherwise(0)))
+        .collect()(0).getLong(0)
+      if (nulls > 0)
+        throw errors.InvalidValue(column, s"$nulls existing NULL values prevent NOT NULL")
+    }
+    val nn = if (isNullable) m.notNull.filterNot(_ == column)
+             else if (m.notNull.contains(column)) m.notNull else m.notNull :+ column
     val newMeta = m.copy(columns = m.columns.map {
       case (n, _) if n == column => n -> SqlType.parse(sqlType)
       case other                 => other
-    })
+    }, notNull = nn)
     val df = read(name) // materialized under OLD meta
     writeMeta(name, newMeta)
     overwriteData(name, alignTo(df, newMeta))
@@ -268,9 +288,17 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   private def alignTo(df: DataFrame, m: Meta): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
     val out = m.columns.map { case (n, t) =>
-      if (df.columns.contains(n)) col(Identifiers.quote(n)).cast(t.spark).as(n)
-      else lit(null).cast(t.spark).as(n)
+      if (df.columns.contains(n)) {
+        val src = col(Identifiers.quote(n))
+        // TIME ingest: a timestamp inserted into a TIME column stores its
+        // time-of-day (micros), not a raw epoch cast
+        val isTs = df.schema.fields.exists(f =>
+          f.name == n && (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+        if (t.name == "time" && isTs) SqlType.timeFromTimestamp(src).as(n)
+        else src.cast(t.spark).as(n)
+      } else lit(null).cast(t.spark).as(n)
     }
     df.select(out.toIndexedSeq: _*)
   }
@@ -318,14 +346,25 @@ final class TableStore(spark: SparkSession, root: String) {
     * Bounds validation is ONE aggregate over the incoming batch. */
   def insert(
       name: String,
-      df: DataFrame,
+      df0: DataFrame,
       autoAdjust: Boolean = false,
       timeInsert: Option[Column] = None): Unit = {
     if (!exists(name)) {
-      if (autoAdjust) { createTableFromDataFrame(name, df); return }
+      if (autoAdjust) { createTableFromDataFrame(name, df0); return }
       else throw errors.TableDoesNotExist(name)
     }
     var m = meta(name)
+
+    // TIME ingest: timestamps inserted into TIME columns store their
+    // time-of-day, not an epoch cast (see alignTo)
+    val df = {
+      import org.apache.spark.sql.types.TimestampNTZType
+      val timeCols = m.columns.collect { case (n, t) if t.name == "time" &&
+        df0.schema.fields.exists(f => f.name == n &&
+          (f.dataType == TimestampType || f.dataType == TimestampNTZType)) => n }
+      timeCols.foldLeft(df0)((d, n) =>
+        d.withColumn(n, SqlType.timeFromTimestamp(col(Identifiers.quote(n)))))
+    }
 
     // columns present in df but not in the table
     val extra = df.columns.filterNot(c => m.columns.exists(_._1 == c)).toSeq
@@ -336,14 +375,27 @@ final class TableStore(spark: SparkSession, root: String) {
       m = meta(name)
     }
 
-    // one-pass bounds validation of incoming values against table types
+    // NOT NULL columns must be present in the batch (a missing column
+    // would be null-filled on read, like omitting it in an INSERT)
+    val nnMissing = m.notNull.filterNot(df.columns.contains)
+    if (nnMissing.nonEmpty)
+      throw errors.InvalidValue(nnMissing.head, "NOT NULL column absent from insert batch")
+
+    // one-pass bounds + NOT NULL validation of incoming values against
+    // table types: a single aggregate over the batch
     val checks = m.columns.flatMap { case (n, t) =>
       if (df.columns.contains(n))
         t.violation(col(Identifiers.quote(n))).map(v => sum(when(v, 1).otherwise(0)).as(n))
       else None
     }
-    if (checks.nonEmpty) {
-      val row = df.agg(checks.head, checks.tail: _*).collect()(0)
+    val nullChecks = m.notNull.filter(df.columns.contains).map(n =>
+      sum(when(col(Identifiers.quote(n)).isNull, 1).otherwise(0)).as(s"__nn_$n"))
+    val allChecks = checks ++ nullChecks
+    if (allChecks.nonEmpty) {
+      val row = df.agg(allChecks.head, allChecks.tail: _*).collect()(0)
+      m.notNull.find(n => row.schema.fieldNames.contains(s"__nn_$n") &&
+          row.getAs[Long](s"__nn_$n") > 0)
+        .foreach(n => throw errors.InvalidValue(n, "NULL values in NOT NULL column"))
       val violated = m.columns.map(_._1).filter(n =>
         row.schema.fieldNames.contains(n) && row.getAs[Long](n) > 0)
       if (violated.nonEmpty) {

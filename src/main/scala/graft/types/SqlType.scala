@@ -1,5 +1,7 @@
 package graft.types
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.errors
@@ -115,6 +117,26 @@ object SqlType {
         throw errors.UndefinedConversionRule(s"unrecognized sql type: $other")
     }
   }
+
+  /** TIME ingest: a timestamp's time-of-day as microseconds-of-day.
+    * The reference round-trips TIME through pandas timedelta
+    * (conversion_rules.py); graft's storage type for TIME is BIGINT
+    * micros-of-day, and this is the conversion applied when a
+    * timestamp column is inserted into a TIME column. */
+  def timeFromTimestamp(c: Column): Column =
+    (hour(c).cast("long") * 3600000000L
+      + minute(c).cast("long") * 60000000L
+      + second(c).cast("long") * 1000000L
+      + date_format(c, "SSSSSS").cast("long"))
+
+  /** TIME render: micros-of-day → 'HH:MM:SS' (the reverse surface of
+    * timeFromTimestamp; fractional seconds are truncated, matching
+    * strftime('%H:%M:%S')). */
+  def renderTime(c: Column): Column =
+    concat_ws(":",
+      lpad(floor(c / 3600000000L).cast("long").cast("string"), 2, "0"),
+      lpad((floor(c / 60000000L) % 60).cast("long").cast("string"), 2, "0"),
+      lpad((floor(c / 1000000L) % 60).cast("long").cast("string"), 2, "0"))
 
   /** Default SQL type for a Spark type (used when persisting inferred
     * schemas; inverse of the widest parse mapping). */

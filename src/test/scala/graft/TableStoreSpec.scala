@@ -79,6 +79,28 @@ class TableStoreSpec extends AnyFunSuite {
       s"scan reads pruned columns: $readSchema")
   }
 
+  test("alter to NOT NULL enforces nullability on alter and insert (modify.py:27)") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)"), Seq("k"))
+    store.insert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    store.alterColumn("t", "v", "varchar(5)", isNullable = false)
+    assert(store.meta("t").notNull == Seq("v"))
+    assert(!store.meta("t").sparkSchema("v").nullable)
+    // inserting NULLs into a NOT NULL column is a typed error
+    val ex = intercept[errors.InvalidValue](
+      store.insert("t", Seq((3, Some("c")), (4, None)).toDF("k", "v")))
+    assert(ex.getMessage.contains("NOT NULL"))
+    // omitting the NOT NULL column entirely is also rejected
+    intercept[errors.InvalidValue](store.insert("t", Seq(5).toDF("k")))
+    // alter back to nullable clears the bit and NULLs flow again
+    store.alterColumn("t", "v", "varchar(5)", isNullable = true)
+    store.insert("t", Seq((6, None: Option[String])).toDF("k", "v"))
+    assert(store.readTable("t").count() == 3)
+    // altering a column with existing NULLs to NOT NULL must fail
+    intercept[errors.InvalidValue](
+      store.alterColumn("t", "v", "varchar(5)", isNullable = false))
+  }
+
   test("sqlPrimaryKey creates an engine-managed _pk identity column (create.py:144)") {
     val store = newStore()
     store.createTable("t", Seq("v" -> "varchar(5)"), sqlPrimaryKey = true)
