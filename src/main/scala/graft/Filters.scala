@@ -142,25 +142,27 @@ object Filters {
       case Some(m) => val (n, _) = columnOf(df, frag.dropRight(m.length)); return col(Identifiers.quote(n)).isNull
       case None =>
     }
-    // [NOT] IN (...)
-    val inRe = "(?i)^(.*?)\\s+(NOT\\s+)?IN\\s*\\((.*)\\)\\s*$".r
-    frag match {
-      case inRe(lhs, not, list) =>
+    // [NOT] IN (...) — the keyword must sit OUTSIDE quoted literals, so
+    // "c_name = 'we in it'" falls through to the comparison scan
+    val inIdx = indexOfKeywordOutsideQuotes(frag, "IN")
+    if (inIdx > 0) {
+      val rest = frag.substring(inIdx + 2).trim
+      if (rest.startsWith("(") && rest.endsWith(")")) {
+        val (lhs, not) = stripTrailingNot(frag.substring(0, inIdx))
         val (n, dt) = columnOf(df, lhs)
-        val vals = splitCsv(list).map(v => literal(v, dt))
+        val vals = splitCsv(rest.substring(1, rest.length - 1)).map(v => literal(v, dt))
         val c = col(Identifiers.quote(n)).isin(vals: _*)
-        return if (not != null) !c else c
-      case _ =>
+        return if (not) !c else c
+      }
     }
-    // [NOT] LIKE
-    val likeRe = "(?i)^(.*?)\\s+(NOT\\s+)?LIKE\\s+(.*)$".r
-    frag match {
-      case likeRe(lhs, not, pat) =>
-        val (n, _) = columnOf(df, lhs)
-        val p = Identifiers.unquote(pat.trim)
-        val c = col(Identifiers.quote(n)).like(p)
-        return if (not != null) !c else c
-      case _ =>
+    // [NOT] LIKE — same quote-aware keyword scan
+    val likeIdx = indexOfKeywordOutsideQuotes(frag, "LIKE")
+    if (likeIdx > 0) {
+      val (lhs, not) = stripTrailingNot(frag.substring(0, likeIdx))
+      val (n, _) = columnOf(df, lhs)
+      val p = Identifiers.unquote(frag.substring(likeIdx + 4).trim)
+      val c = col(Identifiers.quote(n)).like(p)
+      return if (not) !c else c
     }
     // comparison operators, longest first; operator must sit outside quotes
     val opIdx = CompareOps.iterator.map(op => (op, indexOfOutsideQuotes(frag, op))).find(_._2 >= 0)
@@ -182,6 +184,35 @@ object Filters {
       case None =>
         throw errors.InvalidSyntax(s"no comparison operator in condition: $frag")
     }
+  }
+
+  /** Index of a whitespace-delimited keyword outside single-quoted
+    * literals (case-insensitive); -1 if absent. The following char must
+    * be whitespace or '(' so column names containing the keyword as a
+    * substring don't match. */
+  private def indexOfKeywordOutsideQuotes(s: String, kw: String): Int = {
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && i > 0 && s.charAt(i - 1).isWhitespace &&
+          i + kw.length <= s.length && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i + kw.length == s.length || s.charAt(i + kw.length).isWhitespace ||
+            s.charAt(i + kw.length) == '('))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split "lhs [NOT]" into (lhs, hadNot). */
+  private def stripTrailingNot(lhs: String): (String, Boolean) = {
+    val t = lhs.trim
+    if (t.length > 4 && t.regionMatches(true, t.length - 3, "NOT", 0, 3) &&
+        t.charAt(t.length - 4).isWhitespace)
+      (t.dropRight(3).trim, true)
+    else (t, false)
   }
 
   private def indexOfOutsideQuotes(s: String, needle: String): Int = {

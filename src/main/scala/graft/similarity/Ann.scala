@@ -94,16 +94,27 @@ object Ann {
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
-  /** IVF coarse quantizer: Lloyd's k-means over the corpus, expressed as
-    * DataFrame aggregations. Only the C×dim centroid matrix ever reaches
-    * the driver (that is the size-bounded model, not data). Centroids
-    * are rounded to 6 dp each iteration so float summation order cannot
-    * make training nondeterministic across runs/partitionings. */
+  /** IVF coarse quantizer: Lloyd's k-means over a deterministic
+    * hash-sample of the corpus, expressed as DataFrame aggregations.
+    * Only the C×dim centroid matrix ever reaches the driver (that is
+    * the size-bounded model, not data). Centroids are rounded to 6 dp
+    * each iteration so float summation order cannot make training
+    * nondeterministic across runs/partitionings.
+    *
+    * `trainPct` (1–100) is the same pmod(xxhash64) sampler as the A14
+    * sampling operator: the full corpus is scanned ONCE to carve out
+    * the persisted training sample, and every Lloyd iteration then
+    * scans only the sample — at 100 TB a sub-percent trainPct makes
+    * training cost independent of corpus size (quantizer quality needs
+    * sample size, not corpus coverage). */
   def trainIvfCentroids(
       corpus: DataFrame,
       nCentroids: Int,
-      iters: Int = 5): Seq[Seq[Double]] = {
-    val c = scatter(corpus).select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__v"))
+      iters: Int = 5,
+      trainPct: Int = 25): Seq[Seq[Double]] = {
+    val c = scatter(corpus)
+      .filter(pmod(xxhash64(col("vec_id")), lit(100)) < trainPct)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__v"))
       .persist()
     // deterministic seeding: the nCentroids rows with smallest xxhash64(id)
     var cents: Seq[Seq[Double]] = c
@@ -138,8 +149,9 @@ object Ann {
       k: Int = 5,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 5): DataFrame = {
-    val cents = trainIvfCentroids(corpus, nCentroids, iters)
+      iters: Int = 5,
+      trainPct: Int = 25): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nCentroids, iters, trainPct)
     val c = scatter(corpus)
       .select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
       .withColumn("__cl", nearestCluster(col("__vc"), cents))

@@ -383,37 +383,17 @@ final class TableStore(spark: SparkSession, root: String) {
 
     // one-pass bounds + NOT NULL validation of incoming values against
     // table types: a single aggregate over the batch
-    val checks = m.columns.flatMap { case (n, t) =>
-      if (df.columns.contains(n))
-        t.violation(col(Identifiers.quote(n))).map(v => sum(when(v, 1).otherwise(0)).as(n))
-      else None
-    }
-    val nullChecks = m.notNull.filter(df.columns.contains).map(n =>
-      sum(when(col(Identifiers.quote(n)).isNull, 1).otherwise(0)).as(s"__nn_$n"))
-    val allChecks = checks ++ nullChecks
-    if (allChecks.nonEmpty) {
-      val row = df.agg(allChecks.head, allChecks.tail: _*).collect()(0)
-      m.notNull.find(n => row.schema.fieldNames.contains(s"__nn_$n") &&
-          row.getAs[Long](s"__nn_$n") > 0)
-        .foreach(n => throw errors.InvalidValue(n, "NULL values in NOT NULL column"))
-      val violated = m.columns.map(_._1).filter(n =>
-        row.schema.fieldNames.contains(n) && row.getAs[Long](n) > 0)
-      if (violated.nonEmpty) {
-        if (!autoAdjust) {
-          val (n, t) = m.columns.find(c => violated.contains(c._1)).get
-          if (t.maxLength.isDefined)
-            throw errors.InsufficientColumnSize(n, s"values exceed ${t.render}")
-          else throw errors.InvalidValue(n, s"values out of range for ${t.render}")
-        }
-        // widen each violated column to cover the incoming data
-        val byName = df.select(violated.map(c => col(Identifiers.quote(c))): _*)
-        val widened = Infer.narrowSchema(byName)
-        widened.foreach { case (n, t) =>
-          val cur = m.columns.find(_._1 == n).get._2
-          alterColumn(name, n, widen(cur, t).render)
-        }
-        m = meta(name)
+    val violated = typeViolations(m, df)
+    if (violated.nonEmpty) {
+      if (!autoAdjust) raiseTypeError(m, violated)
+      // widen each violated column to cover the incoming data
+      val byName = df.select(violated.map(c => col(Identifiers.quote(c))): _*)
+      val widened = Infer.narrowSchema(byName)
+      widened.foreach { case (n, t) =>
+        val cur = m.columns.find(_._1 == n).get._2
+        alterColumn(name, n, widen(cur, t).render)
       }
+      m = meta(name)
     }
 
     if (timeInsert.isDefined && !m.columns.exists(_._1 == Mutations.TimeInsert)) {
@@ -438,6 +418,46 @@ final class TableStore(spark: SparkSession, root: String) {
         .write.mode("append").partitionBy(BucketCol).parquet(out.toString)
     else
       appended.write.mode("append").parquet(out.toString)
+  }
+
+  /** One-pass validation of a batch against the table's declared types:
+    * ONE aggregate over the batch computes every per-column bounds count
+    * plus NOT NULL counts. Throws InvalidValue on NULLs in NOT NULL
+    * columns; returns the columns whose values exceed their type bounds
+    * (callers either raise or auto-widen). Shared by insert and the
+    * keyed mutations so oversize varchars / out-of-range numerics
+    * surface as the reference's typed errors everywhere
+    * (core/write/_exceptions.py). */
+  private def typeViolations(m: Meta, df: DataFrame): Seq[String] = {
+    val checks = m.columns.flatMap { case (n, t) =>
+      if (df.columns.contains(n))
+        t.violation(col(Identifiers.quote(n))).map(v => sum(when(v, 1).otherwise(0)).as(n))
+      else None
+    }
+    val nullChecks = m.notNull.filter(df.columns.contains).map(n =>
+      sum(when(col(Identifiers.quote(n)).isNull, 1).otherwise(0)).as(s"__nn_$n"))
+    val allChecks = checks ++ nullChecks
+    if (allChecks.isEmpty) return Nil
+    val row = df.agg(allChecks.head, allChecks.tail: _*).collect()(0)
+    m.notNull.find(n => row.schema.fieldNames.contains(s"__nn_$n") &&
+        row.getAs[Long](s"__nn_$n") > 0)
+      .foreach(n => throw errors.InvalidValue(n, "NULL values in NOT NULL column"))
+    m.columns.map(_._1).filter(n =>
+      row.schema.fieldNames.contains(n) && row.getAs[Long](n) > 0)
+  }
+
+  private def raiseTypeError(m: Meta, violated: Seq[String]): Nothing = {
+    val (n, t) = m.columns.find(c => violated.contains(c._1)).get
+    if (t.maxLength.isDefined)
+      throw errors.InsufficientColumnSize(n, s"values exceed ${t.render}")
+    else throw errors.InvalidValue(n, s"values out of range for ${t.render}")
+  }
+
+  /** Mutation-path validation (no auto-adjust ladder: widening happens
+    * on insert; a mutation source that violates the schema is an error). */
+  private def validateSource(m: Meta, source: DataFrame): Unit = {
+    val violated = typeViolations(m, source)
+    if (violated.nonEmpty) raiseTypeError(m, violated)
   }
 
   /** Smallest type covering both current and incoming (widening only). */
@@ -466,6 +486,7 @@ final class TableStore(spark: SparkSession, root: String) {
       timeUpdate: Option[Column] = None): Unit = {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
+    validateSource(m, source)
     prunedMutation(name, m, source, keys, timeUpdate.isDefined) { (target, src) =>
       Mutations.update(target, src, keys, timeUpdate)
     }
@@ -480,6 +501,7 @@ final class TableStore(spark: SparkSession, root: String) {
       timeUpdate: Option[Column] = None): Unit = {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
+    validateSource(m, source)
     prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
       (target, src) => Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
     }
@@ -497,6 +519,7 @@ final class TableStore(spark: SparkSession, root: String) {
       timeUpdate: Option[Column] = None): Unit = {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
+    validateSource(m, source)
     rewrite(name,
       Mutations.merge(read(name), source, keys, upsertOnly = false, deleteRequires, timeInsert, timeUpdate),
       timeInsert.isDefined || timeUpdate.isDefined)
@@ -537,13 +560,23 @@ final class TableStore(spark: SparkSession, root: String) {
     val result = algebra(affected, source)
     registerTimeCols(name, result, mayAddTimeCols)
     val m2 = meta(name)
-    // dynamic partition overwrite replaces ONLY the buckets present in
-    // the result (= the affected ones); untouched bucket files stay put
+    // Stage rewritten buckets to data.tmp FIRST (the result reads lazily
+    // from data/, so writing in place would race the scan and a mid-job
+    // failure would leave a mix of old and new buckets), then swap each
+    // rewritten bucket directory in with a rename. The crash window
+    // narrows to per-bucket renames, matching overwriteData's swap.
+    val tmp = new Path(tablePath(name), "data.tmp")
     result.withColumn(BucketCol, bucketExpr(m2))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol)
-      .parquet(dataPath(name).toString)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    val parts = fs.listStatus(tmp)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+    parts.foreach { s =>
+      val dst = new Path(dataPath(name), s.getPath.getName)
+      fs.delete(dst, true)
+      if (!fs.rename(s.getPath, dst))
+        throw new IllegalStateException(s"bucket swap failed for table $name: ${s.getPath.getName}")
+    }
+    fs.delete(tmp, true)
   }
 
   private def registerTimeCols(name: String, result: DataFrame, mayAddTimeCols: Boolean): Unit = {

@@ -40,6 +40,16 @@ class FiltersSpec extends AnyFunSuite {
     assert(keys("ColumnB IN ('abc', 'xyz')") == Seq(1L, 3L))
     assert(keys("ColumnB NOT IN ('abc')") == Seq(3L))
     assert(keys("ColumnB LIKE 'a%'") == Seq(1L))
+    assert(keys("ColumnB NOT LIKE 'a%'") == Seq(3L))
+  }
+  test("IN / LIKE keywords inside quoted literals do not mis-parse") {
+    val q = Seq((1L, "we like it"), (2L, "a in b"), (3L, "plain")).toDF("pk", "name")
+    def k(w: String): Seq[Long] =
+      q.filter(Filters.parseWhere(q, w)).select("pk").as[Long].collect().sorted.toSeq
+    assert(k("name = 'we like it'") == Seq(1L))
+    assert(k("name = 'a in b'") == Seq(2L))
+    assert(k("name IN ('a in b', 'plain')") == Seq(2L, 3L))
+    assert(k("name LIKE '%like%'") == Seq(1L))
   }
   test("quoted identifiers and quoted literals with escapes") {
     assert(keys("[ColumnB] = 'abc'") == Seq(1L))

@@ -101,6 +101,35 @@ class TableStoreSpec extends AnyFunSuite {
       store.alterColumn("t", "v", "varchar(5)", isNullable = false))
   }
 
+  test("update/upsert/merge validate source bounds like insert (_exceptions.py)") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(3)", "n" -> "tinyint"), Seq("k"))
+    store.insert("t", Seq((1, "abc", 5)).toDF("k", "v", "n"))
+    intercept[errors.InsufficientColumnSize](
+      store.update("t", Seq((1, "toolong", 5)).toDF("k", "v", "n")))
+    intercept[errors.InsufficientColumnSize](
+      store.upsert("t", Seq((2, "toolong", 5)).toDF("k", "v", "n")))
+    intercept[errors.InsufficientColumnSize](
+      store.merge("t", Seq((1, "toolong", 5)).toDF("k", "v", "n")))
+    // out-of-range numeric (SQL tinyint is 0..255) is a typed error too
+    intercept[errors.InvalidValue](
+      store.update("t", Seq((1, "ab", 999)).toDF("k", "v", "n")))
+    assert(store.readTable("t").select("v").as[String].collect().toSeq == Seq("abc"))
+    // within-bounds mutations still flow
+    store.update("t", Seq((1, "xyz", 7)).toDF("k", "v", "n"))
+    assert(store.readTable("t").select("v").as[String].collect().toSeq == Seq("xyz"))
+  }
+
+  test("compare_dfs helper: multiset equality with failure reasons (__equality__.py)") {
+    val a = Seq((1, "x"), (2, "y"), (2, "y")).toDF("k", "v")
+    val b = Seq((2, "y"), (1, "x"), (2, "y")).toDF("k", "v")
+    assert(Equality.compareDfs(a, b)) // order-independent, duplicate-sensitive
+    val c = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    val ex = intercept[AssertionError](Equality.compareDfs(a, c))
+    assert(ex.getMessage.contains("rows are not equal"))
+    intercept[AssertionError](Equality.compareDfs(a, a.select(col("k").cast("long"), col("v"))))
+  }
+
   test("sqlPrimaryKey creates an engine-managed _pk identity column (create.py:144)") {
     val store = newStore()
     store.createTable("t", Seq("v" -> "varchar(5)"), sqlPrimaryKey = true)

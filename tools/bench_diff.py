@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare two Bench JSON lines per query.
+
+Usage: bench_diff.py OLD.json NEW.json [threshold]
+
+Exits 1 if any query shared by both runs slowed down by more than
+`threshold` (default 1.5x), so round-over-round regressions are caught
+without a judge. New/removed queries are reported informationally.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                return json.loads(line)
+    raise SystemExit(f"no bench JSON line in {path}")
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    oq, nq = old["queries"], new["queries"]
+    regressed = []
+    for name in sorted(set(oq) & set(nq)):
+        ratio = nq[name] / oq[name] if oq[name] > 0 else float("inf")
+        flag = ""
+        if ratio > threshold:
+            regressed.append(name)
+            flag = f"  <-- REGRESSION (>{threshold}x)"
+        print(f"{name:28s} {oq[name]:8.2f}s -> {nq[name]:8.2f}s  ({ratio:5.2f}x){flag}")
+    for name in sorted(set(nq) - set(oq)):
+        print(f"{name:28s}     new -> {nq[name]:8.2f}s")
+    for name in sorted(set(oq) - set(nq)):
+        print(f"{name:28s} {oq[name]:8.2f}s -> removed")
+    print(f"total{'':23s} {old.get('value', 0):8.2f}s -> {new.get('value', 0):8.2f}s")
+    if regressed:
+        print(f"FAIL: {len(regressed)} regressed: {', '.join(regressed)}")
+        sys.exit(1)
+    print("OK: no per-query regression above threshold")
+
+
+if __name__ == "__main__":
+    main()
