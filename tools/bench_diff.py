@@ -13,10 +13,20 @@ import sys
 
 def load(path):
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{") and '"queries"' in line:
-                return json.loads(line)
+        text = f.read()
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    # driver-format wrapper: {"parsed": {...}} or the JSON line embedded
+    # (possibly [info]-prefixed) in a "tail" capture
+    doc = json.loads(text)
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return doc["parsed"]
+    for line in doc.get("tail", "").splitlines():
+        i = line.find('{"metric"')
+        if i >= 0 and '"queries"' in line:
+            return json.loads(line[i:])
     raise SystemExit(f"no bench JSON line in {path}")
 
 
