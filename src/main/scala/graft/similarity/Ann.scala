@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,47 +95,58 @@ object Ann {
   }
 
   /** IVF coarse quantizer: Lloyd's k-means over a deterministic
-    * hash-sample of the corpus, expressed as DataFrame aggregations.
-    * Only the C×dim centroid matrix ever reaches the driver (that is
-    * the size-bounded model, not data). Centroids are rounded to 6 dp
-    * each iteration so float summation order cannot make training
-    * nondeterministic across runs/partitionings.
+    * bounded hash-sample of the corpus, computed on the driver —
+    * the faiss-style train-on-sample design. Quantizer quality depends
+    * on SAMPLE size, not corpus coverage, so `maxTrainRows` makes
+    * training cost independent of corpus size: ONE distributed job
+    * collects the hash-ordered sample (≤ maxTrainRows×dim doubles,
+    * ~32 MB at the defaults — the size-bounded model input, the only
+    * deliberate driver-side compute in the engine), then Lloyd runs in
+    * memory with zero per-iteration job/codegen overhead (measured: 5
+    * distributed iterations cost ~4 s in scheduling alone for a
+    * sub-MB sample).
     *
-    * `trainPct` (1–100) is the same pmod(xxhash64) sampler as the A14
-    * sampling operator: the full corpus is scanned ONCE to carve out
-    * the persisted training sample, and every Lloyd iteration then
-    * scans only the sample — at 100 TB a sub-percent trainPct makes
-    * training cost independent of corpus size (quantizer quality needs
-    * sample size, not corpus coverage). */
+    * Deterministic: the sample and the seeds are the smallest
+    * xxhash64(vec_id) rows, assignment tie-breaks on the first minimal
+    * centroid, and per-position means are rounded to 6 dp per
+    * iteration — same contract as the previous distributed trainer. */
   def trainIvfCentroids(
       corpus: DataFrame,
       nCentroids: Int,
       iters: Int = 5,
-      trainPct: Int = 25): Seq[Seq[Double]] = {
-    val c = scatter(corpus)
-      .filter(pmod(xxhash64(col("vec_id")), lit(100)) < trainPct)
+      maxTrainRows: Int = 65536): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = scatter(corpus)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__v"))
-      .persist()
-    // deterministic seeding: the nCentroids rows with smallest xxhash64(id)
-    var cents: Seq[Seq[Double]] = c
-      .orderBy(xxhash64(col("vec_id"))).limit(nCentroids)
-      .select("__v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      .orderBy(xxhash64(col("vec_id"))).limit(maxTrainRows)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) return Nil
+    var cents: Array[Array[Double]] = sample.take(nCentroids).map(_.clone())
+    val dim = cents.head.length
     for (_ <- 0 until iters) {
-      val assigned = c.withColumn("__cl", nearestCluster(col("__v"), cents))
-      val updated = assigned
-        .select(col("__cl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__cl", "__pos")
-        .agg(round(avg("__x"), 6).as("__cx"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cl, rows: Array[Row]) =>
-          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        for (ci <- cents.indices) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = v(j) - cents(ci)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
         }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
       // empty clusters keep their previous centroid
-      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+      cents = cents.indices.map { ci =>
+        if (counts(ci) == 0) cents(ci)
+        else Array.tabulate(dim)(j =>
+          BigDecimal(sums(ci)(j) / counts(ci)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toArray
     }
-    c.unpersist()
-    cents
+    cents.map(_.toIndexedSeq).toIndexedSeq
   }
 
   /** IVF top-k (the second scale path next to sign-LSH): assign the
@@ -150,8 +161,8 @@ object Ann {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       iters: Int = 5,
-      trainPct: Int = 25): DataFrame = {
-    val cents = trainIvfCentroids(corpus, nCentroids, iters, trainPct)
+      maxTrainRows: Int = 65536): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nCentroids, iters, maxTrainRows)
     val c = scatter(corpus)
       .select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
       .withColumn("__cl", nearestCluster(col("__vc"), cents))
