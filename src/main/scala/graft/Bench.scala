@@ -32,6 +32,7 @@ object Bench {
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",
+    "pipeline_stats",
   )
 
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,32 @@ object PipelineQueries {
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** L13: end-to-end training-data pipeline in ONE declarative plan over
+    * ONE scan of documents: language-ID → quality gate → exact content
+    * dedup (keep-first) → token counting → per-language corpus stats.
+    * Every per-row stage (langid, quality, token counts) is a pure
+    * expression riding the scan inside whole-stage codegen; the only
+    * shuffles are the md5 dedup window and the final tiny aggregate —
+    * the shape a 100 TB corpus-curation run wants. */
+  def pipelineStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = Text.qualityColumns(col("text")).toMap.apply("quality")
+    val tok = Text.tokenCounts(col("text")).toMap
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        Text.langId(col("text")).as("pred_lang"),
+        quality.as("__q"), tok("ws_tokens").as("__ws"), tok("bpe_tokens").as("__bpe"))
+      .filter(col("__q"))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ws").cast("long")).as("sum_ws_tokens"),
+        sum(col("__bpe").cast("long")).as("sum_bpe_tokens"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy("pred_lang")
+  }
+
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Media.decodeTable(t(s, dir, "documents")).orderBy("doc_id")
 
@@ -92,6 +118,7 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
+    "pipeline_stats" -> pipelineStats,
   )
 
   private val langCase: String = {
@@ -199,5 +226,25 @@ object PipelineQueries {
         | CAST(ord(substr(text, CAST(i * 256 + 1 AS INT), 1)) AS BIGINT) AS first_byte
         |FROM documents, UNNEST(range(0, least(octet_length(encode(text)) // 256, 8))) t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "pipeline_stats" ->
+      s"""WITH lang AS (
+         | SELECT doc_id, text, n_chars, $langCase AS pred_lang,
+         |  len(string_split(text,' ')) AS n_words,
+         |  list_aggregate(list_transform(string_split(text,' '), x -> len(x)), 'sum') AS sum_len
+         | FROM documents),
+         |flt AS (
+         | SELECT * FROM lang
+         | WHERE n_words >= 10 AND n_words <= 1000
+         |  AND ROUND(sum_len * 1.0 / n_words, 6) >= 2.0
+         |  AND ROUND(sum_len * 1.0 / n_words, 6) <= 12.0),
+         |ded AS (
+         | SELECT * FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM flt)
+         | WHERE rn = 1)
+         |SELECT pred_lang, COUNT(*) AS n_docs,
+         | CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_ws_tokens,
+         | CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
+         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM ded GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
   )
 }

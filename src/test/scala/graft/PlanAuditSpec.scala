@@ -83,6 +83,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_stats runs on ONE scan with per-row stages in codegen") {
+    val plan = executedPlan(operators.PipelineQueries.pipelineStats(spark, sfDir))
+    // langid + quality + token counting must ride a single documents
+    // scan — a second scan would mean a stage recomputes the corpus
+    assert(occurrences(plan, "Scan parquet") == 1, s"expected one scan:\n$plan")
+    // executedPlan.toString marks whole-stage-codegen stages with "*(n)"
+    assert(plan.contains("*("), s"per-row stages fell out of codegen:\n$plan")
+    // shuffles: dedup window hash partition + final aggregate (+sort)
+    assert(occurrences(plan, "Exchange ") <= 3, s"unexpected shuffle count:\n$plan")
+  }
+
   test("exact dedup aggregates with map-side combine on the hash key") {
     val plan = executedPlan(dedup.Dedup.exact(GraftSession.table(spark, sfDir, "documents")))
     assert(occurrences(plan, "HashAggregate") >= 2, s"no partial aggregation:\n$plan")
