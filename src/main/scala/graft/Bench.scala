@@ -35,6 +35,40 @@ object Bench {
     "pipeline_stats",
   )
 
+  /** Streaming micro-bench: the S6 minhash near-dup detector driven
+    * AvailableNow over the documents table (setup writes excluded from
+    * the timing; the timed span is stream start → drain). */
+  private def streamBench(
+      spark: SparkSession,
+      sfDir: String,
+      errors: scala.collection.mutable.LinkedHashMap[String, String]): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    try {
+      val docs = GraftSession.table(spark, sfDir, "documents")
+      val in = java.nio.file.Files.createTempDirectory("graft_bench_s6_").toString + "/in"
+      docs.write.parquet(in)
+      val schema = spark.read.parquet(in).schema
+      def run(tag: Int): Double = {
+        val s = spark.readStream.schema(schema).parquet(in)
+          .withColumn("ts", timestamp_seconds(lit(1735689600L) + col("doc_id")))
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Streams.minhashCandidates(s)
+          .toDF().writeStream.format("memory").queryName(s"bench_s6_$tag")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = run(1)
+      val t2 = run(2)
+      Seq("stream_minhash" -> math.min(t1, t2))
+    } catch {
+      case e: Throwable =>
+        errors += "stream_minhash" -> e.getMessage.take(200).replaceAll("\\s+", " ")
+        Seq("stream_minhash" -> -1.0)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,7 +117,7 @@ object Bench {
         spark.catalog.clearCache()
         name -> (if (t1 >= 0 && t2 >= 0) math.min(t1, t2) else -1.0)
       }
-    }
+    } ++ streamBench(spark, sfDir, errors)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
