@@ -27,6 +27,7 @@ object Bench {
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_families",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_quality",

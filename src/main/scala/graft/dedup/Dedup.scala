@@ -68,11 +68,17 @@ object Dedup {
       n: Int = 3,
       tau: Double = 0.3,
       bandWidth: Int = 50,
-      maxDf: Int = 128): DataFrame = {
+      maxDf: Int = 128): DataFrame =
+    ngramJaccardFrom(shingled(docs, n, bandWidth), tau, maxDf)
+
+  /** Jaccard stage over a pre-shingled relation — the shared-scan entry
+    * point [[familiesPairs]] uses to feed several families from ONE
+    * shingle pass. */
+  private def ngramJaccardFrom(sh: DataFrame, tau: Double, maxDf: Int): DataFrame = {
     // join on the 64-bit shingle hash, not the shingle string: the
     // self-join shuffle carries 8-byte keys instead of ~n-word strings
     // (collision odds ~2^-64 per pair — the exact twin stays exact)
-    val ex = shingled(docs, n, bandWidth)
+    val ex = sh
       .select(col("doc_id"), col("lang"), col("__band"),
         explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
@@ -124,7 +130,16 @@ object Dedup {
                             // fires on ~8% of ALL block pairs (measured
                             // 15s of candidate verification at sf0.1)
       tau: Double = 0.3,
-      bandWidth: Int = 50): DataFrame = {
+      bandWidth: Int = 50): DataFrame =
+    minhashFrom(shingled(docs, n, bandWidth), k, rowsPerBand, tau)
+
+  /** MinHash-LSH stage over a pre-shingled relation (see
+    * [[ngramJaccardFrom]] for the shared-scan rationale). */
+  private def minhashFrom(
+      shingles: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
+      tau: Double): DataFrame = {
     val bands = k / rowsPerBand
     // The k-signature computes in graft's native codegen'd Expression
     // (plans/MinHashSignature): one fused primitive-long loop per row,
@@ -133,7 +148,7 @@ object Dedup {
     // references reading the computed array instead of CollapseProject
     // inlining the signature once per reference (2·bands× recompute,
     // measured at sf0.1).
-    val sh = shingled(docs, n, bandWidth)
+    val sh = shingles
       .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
       .persist() // feeds both the signature branch and the verify branch
     val sigDf = sh
@@ -202,6 +217,35 @@ object Dedup {
         bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** All near-dup families from ONE shared pass (L2+L3+L4): the scan,
+    * blocking, tokenization, and shingling run once (persisted), then
+    * fan out to exact jaccard, MinHash-LSH, and SimHash — at 100 TB the
+    * corpus is read and shingled once instead of once per family, which
+    * is how a curation pipeline would actually run them side by side.
+    * Returns (family, a_id, b_id, score) where score is the family's
+    * native measure (jaccard, estimated jaccard, 64−hamming). Each
+    * family's pair set is IDENTICAL to its standalone operator
+    * (spec-pinned). */
+  def familiesPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      tau: Double = 0.3,
+      bandWidth: Int = 50,
+      maxDf: Int = 128,
+      k: Int = 63,
+      rowsPerBand: Int = 3,
+      maxHamming: Int = 6): DataFrame = {
+    val sh = shingled(docs, n, bandWidth).persist()
+    val jac = ngramJaccardFrom(sh, tau, maxDf)
+      .select(lit("jaccard").as("family"), col("a_id"), col("b_id"), col("jaccard").as("score"))
+    val mh = minhashFrom(sh, k, rowsPerBand, tau)
+      .select(lit("minhash").as("family"), col("a_id"), col("b_id"), col("jaccard").as("score"))
+    val simh = simhashPairs(docs, maxHamming, bandWidth)
+      .select(lit("simhash").as("family"), col("a_id"), col("b_id"),
+        (lit(64) - col("hamming")).cast("double").as("score"))
+    jac.unionByName(mh).unionByName(simh)
   }
 
   /** Embedding near-dup pairs (L5): cosine ≥ tau within a block column

@@ -34,6 +34,9 @@ object PipelineQueries {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings")).orderBy("a_id", "b_id")
 
+  def dedupFamilies(s: SparkSession, dir: String): DataFrame =
+    Dedup.familiesPairs(t(s, dir, "documents")).orderBy("family", "a_id", "b_id")
+
   private def queriesOf(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)
 
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -109,6 +112,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_families" -> dedupFamilies,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,

@@ -32,6 +32,17 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(pairSet(strong).subsetOf(sh), "a >=0.9-jaccard pair is missing from simhash output")
   }
 
+  test("familiesPairs from one shared pass equals the standalone operators") {
+    def tagged(df: org.apache.spark.sql.DataFrame, fam: String): Set[(String, Long, Long)] =
+      df.select("a_id", "b_id").collect().map(r => (fam, r.getLong(0), r.getLong(1))).toSet
+    val fams = Dedup.familiesPairs(docs).select("family", "a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = tagged(Dedup.ngramJaccardPairs(docs), "jaccard") ++
+      tagged(Dedup.minhashLshPairs(docs), "minhash") ++
+      tagged(Dedup.simhashPairs(docs), "simhash")
+    assert(fams == want, s"shared-pass union diverged: ${fams.diff(want)} / ${want.diff(fams)}")
+  }
+
   test("exact dedup keeps the minimum id per distinct content") {
     val out = Dedup.exact(docs)
     assert(out.count() == docs.select("text").distinct().count())
