@@ -38,4 +38,12 @@ object errors {
 
   final case class InvalidValue(column: String, detail: String)
       extends GraftException(s"invalid value for column $column: $detail")
+
+  final case class NonUnicodeTypeColumn(column: String)
+      extends GraftException(
+        s"column $column is a non-unicode char/varchar type but values contain unicode (custom_errors.py:46)")
+
+  final case class RecastColumnUnchanged(column: String, detail: String)
+      extends GraftException(
+        s"recast of column $column changes nothing: $detail (custom_errors.py:50)")
 }

@@ -221,6 +221,10 @@ final class TableStore(spark: SparkSession, root: String) {
       isNullable: Boolean = true): Unit = {
     val m = meta(name)
     if (!m.columns.exists(_._1 == column)) throw errors.ColumnDoesNotExist(name, Seq(column))
+    val current = m.columns.find(_._1 == column).get._2
+    if (SqlType.parse(sqlType).render == current.render &&
+        isNullable == !m.notNull.contains(column))
+      throw errors.RecastColumnUnchanged(column, s"already ${current.render}")
     if (!isNullable) {
       val nulls = read(name)
         .agg(sum(when(col(Identifiers.quote(column)).isNull, 1).otherwise(0)))
@@ -436,12 +440,23 @@ final class TableStore(spark: SparkSession, root: String) {
     }
     val nullChecks = m.notNull.filter(df.columns.contains).map(n =>
       sum(when(col(Identifiers.quote(n)).isNull, 1).otherwise(0)).as(s"__nn_$n"))
-    val allChecks = checks ++ nullChecks
+    val uniChecks = m.columns.flatMap { case (n, t) =>
+      if (df.columns.contains(n))
+        t.unicodeViolation(col(Identifiers.quote(n)))
+          .map(v => sum(when(v, 1).otherwise(0)).as(s"__uni_$n"))
+      else None
+    }
+    val allChecks = checks ++ nullChecks ++ uniChecks
     if (allChecks.isEmpty) return Nil
     val row = df.agg(allChecks.head, allChecks.tail: _*).collect()(0)
     m.notNull.find(n => row.schema.fieldNames.contains(s"__nn_$n") &&
         row.getAs[Long](s"__nn_$n") > 0)
       .foreach(n => throw errors.InvalidValue(n, "NULL values in NOT NULL column"))
+    // unicode into char/varchar is never auto-adjusted, matching the
+    // reference (check_unicode raises with no _exceptions handler)
+    m.columns.map(_._1).find(n => row.schema.fieldNames.contains(s"__uni_$n") &&
+        row.getAs[Long](s"__uni_$n") > 0)
+      .foreach(n => throw errors.NonUnicodeTypeColumn(n))
     m.columns.map(_._1).filter(n =>
       row.schema.fieldNames.contains(n) && row.getAs[Long](n) > 0)
   }

@@ -68,6 +68,14 @@ final case class SqlType(
       case (r, l)             => r.orElse(l)
     }
   }
+
+  /** Unicode values in a non-unicode char/varchar column (the
+    * reference's check_unicode, conversion.py:349: ascii-encoding must
+    * not drop characters). None for n-prefixed and non-string types. */
+  def unicodeViolation(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
+    if (name == "char" || name == "varchar")
+      Some(c.isNotNull && c.rlike("[^\\x00-\\x7F]"))
+    else None
 }
 
 object SqlType {

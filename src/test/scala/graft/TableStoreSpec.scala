@@ -120,6 +120,24 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("t").select("v").as[String].collect().toSeq == Seq("xyz"))
   }
 
+  test("unicode into varchar and no-op recast raise reference errors") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)", "nv" -> "nvarchar(5)"), Seq("k"))
+    // unicode into non-unicode char/varchar: typed error, never auto-adjusted
+    // (reference conversion.py:349 check_unicode → SQLNonUnicodeTypeColumn)
+    intercept[errors.NonUnicodeTypeColumn](
+      store.insert("t", Seq((1, "え", "ok")).toDF("k", "v", "nv"), autoAdjust = true))
+    // nvarchar accepts unicode
+    store.insert("t", Seq((1, "ascii", "え")).toDF("k", "v", "nv"))
+    assert(store.readTable("t").count() == 1)
+    intercept[errors.NonUnicodeTypeColumn](
+      store.update("t", Seq((1, "é", "x")).toDF("k", "v", "nv")))
+    // altering to the identical type+nullability changes nothing → error
+    // (custom_errors.py:50 SQLRecastColumnUnchanged)
+    intercept[errors.RecastColumnUnchanged](store.alterColumn("t", "v", "varchar(5)"))
+    store.alterColumn("t", "v", "varchar(10)") // widening is fine
+  }
+
   test("compare_dfs helper: multiset equality with failure reasons (__equality__.py)") {
     val a = Seq((1, "x"), (2, "y"), (2, "y")).toDF("k", "v")
     val b = Seq((2, "y"), (1, "x"), (2, "y")).toDF("k", "v")
