@@ -161,8 +161,11 @@ object Ann {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       iters: Int = 5,
-      maxTrainRows: Int = 65536): DataFrame = {
-    val cents = trainIvfCentroids(corpus, nCentroids, iters, maxTrainRows)
+      maxTrainRows: Int = 65536,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    // a quantizer trained once (trainIvfCentroids) can be reused across
+    // query batches — at 100 TB training is amortized, not per-call
+    val cents = centroids.getOrElse(trainIvfCentroids(corpus, nCentroids, iters, maxTrainRows))
     val c = scatter(corpus)
       .select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
       .withColumn("__cl", nearestCluster(col("__vc"), cents))
