@@ -103,6 +103,42 @@ class StreamsSpec extends AnyFunSuite {
       s"candidate flood: ${got.size} pairs for ${strong.size} strong ones")
   }
 
+  test("S6: bucket state survives a query restart via checkpoint") {
+    import graft.dedup.Dedup
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val base = Files.createTempDirectory("graft_s6_restart_").toString
+    val in = base + "/in"
+    val cp = base + "/checkpoint"
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val out = base + "/out"
+    def runOnce(): Unit = {
+      // memory sinks can't recover from a checkpoint; the parquet sink
+      // is the fault-tolerant one (exactly-once via the file log)
+      val s = spark.readStream.schema(schema).parquet(in)
+        .withColumn("ts", timestamp_seconds(lit(1735689600L) + col("doc_id")))
+      val q = Streams.minhashCandidates(s).toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // second half of the corpus arrives AFTER the first query stopped;
+    // the restarted query must recover bucket state from the checkpoint
+    // to pair new docs with pre-restart ones
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val got = spark.read.parquet(out).select("a_id", "b_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = Dedup.ngramJaccardPairs(docs, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossParity = strong.filter(p => (p._1 + p._2) % 2 == 1)
+    assert(crossParity.nonEmpty, "test corpus lost its cross-parity duplicate pairs")
+    assert(crossParity.subsetOf(got),
+      s"state not recovered across restart; missing ${crossParity -- got}")
+  }
+
   test("S6: bucket state is evicted once the watermark passes the horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
