@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-twin contracts for the rows-only analytics queries (A13/A14):
+  * the driver records rows>0 for these, so their correctness lives
+  * here (SURVEY §6). */
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("A13: approx_count_distinct tracks the exact distinct count per group") {
+    val got = operators.Analytics.approxDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = GraftSession.table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, (approx, n)) =>
+      val (d, nExact) = exact(k)
+      assert(n == nExact, s"plain count must be exact for $k")
+      // HLL++ default rsd = 5%; allow 3 sigma
+      assert(math.abs(approx - d) <= math.max(1L, (d * 0.15).toLong),
+        s"approx $approx too far from exact $d for $k")
+    }
+  }
+
+  test("A14: hash sampling is deterministic and a true subset") {
+    val s1 = operators.Analytics.sampleHash(spark, sfDir).collect().toSeq
+    val s2 = operators.Analytics.sampleHash(spark, sfDir).collect().toSeq
+    assert(s1 == s2, "sample must be a pure function of the keys")
+    val full = GraftSession.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = s1.map(r => r.getString(0) -> r.getLong(1)).toMap
+    sampled.foreach { case (k, n) =>
+      val total = full(k)
+      assert(n <= total)
+      // ~10% of each group, loose 3x bounds for small groups
+      assert(n >= total / 30 && n <= total * 3 / 10 + 10,
+        s"sample rate off for $k: $n of $total")
+    }
+  }
+}
