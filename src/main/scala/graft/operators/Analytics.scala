@@ -313,6 +313,17 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // ── A17b: salted skew JOIN — hot fact keys spread over salt reducers
+  def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, cust, "user_id", "c_custkey", saltBy = col("event_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), fin(sum(dec4(col("value")))).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   // ── A13: approximate distinct (HLL) — rows-only (sketch is engine-specific)
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
@@ -351,6 +362,7 @@ object Analytics {
     "percentiles_by_group" -> percentilesByGroup,
     "grouping_sets_totals" -> groupingSetsTotals,
     "salted_skew_agg" -> saltedSkewAgg,
+    "salted_skew_join" -> saltedSkewJoin,
     "cube_totals" -> cubeTotals,
     "window_ranks" -> windowRanks,
     "dedup_edit_distance" -> dedupEditDistance,
@@ -456,6 +468,11 @@ object Analytics {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "salted_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "salted_skew_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

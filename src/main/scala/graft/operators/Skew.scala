@@ -27,6 +27,27 @@ object Skew {
   def max2(c: Column): SaltedAgg =
     SaltedAgg(max(c), n => max(col(n)))
 
+  /** Salted shuffle join for pathologically hot join keys: the fact
+    * side gets a deterministic salt in [0, salt), the dim side (too big
+    * to broadcast, small enough to replicate) is exploded `salt` ways,
+    * and the join runs on (key, salt) — one hot key spreads across
+    * `salt` reducers instead of funneling through one. AQE's skew-join
+    * split handles this adaptively when runtime stats catch it; the
+    * explicit form is the guaranteed shape for known-hot keys.
+    * Result = the plain join (oracle-verified). */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltBy: Column,
+      salt: Int = 32): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(xxhash64(saltBy), lit(salt)).cast("int"))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
+
   /** groupBy(keys).agg(...) in two salted phases. Output column names
     * are the keys ++ agg names. Deterministic: the salt is a hash of a
     * uniqueness column, not a random number. */
