@@ -137,6 +137,22 @@ object Streams {
         })
   }
 
+  /** S7: streaming upsert sink — each micro-batch keyed-merged into a
+    * managed [[graft.store.TableStore]] table via foreachBatch, the
+    * lakehouse CDC pattern (stream of changes → upsert by key). The
+    * store's bucket pruning applies per batch, so a small micro-batch
+    * against a large bucketed table rewrites only the touched buckets;
+    * batch replays after a failure re-upsert the same keys, so the sink
+    * is effectively idempotent (exactly-once table state). */
+  def upsertSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      table: String,
+      matchCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) => store.upsert(table, batch, matchCols)
+    }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** S3: custom keyed state — running per-user totals via

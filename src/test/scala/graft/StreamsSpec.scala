@@ -166,6 +166,27 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S7: streaming upsert sink merges micro-batches into a TableStore table") {
+    import graft.store.TableStore
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s7_").toString)
+    store.createTable("ev", Seq(
+      "event_id" -> "bigint", "user_id" -> "bigint", "event_type" -> "varchar(20)"),
+      Seq("event_id"), buckets = 8)
+    // duplicated stream: the same events arrive twice across micro-batches;
+    // keyed upsert must converge to one row per event_id
+    val in = Files.createTempDirectory("graft_s7_in_").toString + "/in"
+    val ev = GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type").limit(2000)
+    ev.coalesce(1).write.mode("append").parquet(in)
+    ev.coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+    val q = Streams.upsertSink(s, store, "ev").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(store.readTable("ev").count() == ev.count())
+    assert(store.primaryKeyViolations("ev").count() == 0)
+  }
+
   test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
     val got = runToTable(Streams.runningTotals(stream).toDF(), "s3", "update")
     // keep the last update per user (multiple micro-batches may emit)
