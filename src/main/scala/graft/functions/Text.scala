@@ -74,6 +74,18 @@ object Text {
     "ws_tokens" -> size(tokens(text)),
     "bpe_tokens" -> regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
 
+  /** Corpus-prep normalization: mask URLs and emails, collapse runs of
+    * whitespace, trim, lowercase — the standard cleanup pass before
+    * dedup/tokenization in a training-data pipeline. Patterns stick to
+    * constructs with identical Java/RE2 semantics so the operator is
+    * engine-portable (oracle-verified). */
+  def clean(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://[^ ]+", "<url>"),
+        "[^ ]+@[^ ]+\\.[^ ]+", "<email>"),
+      "  +", " ")))
+
   /** Polynomial rolling hash over codepoints: h = fold(h*257 + cp) mod
     * 2^31-1 — graft's native codegen'd Expression (plans/RollingHash):
     * zero per-row allocation, deterministic everywhere. */

@@ -191,6 +191,16 @@ object Analytics {
       .orderBy("window_start", "event_type")
   }
 
+  // ── A11b: hopping (sliding) windows — size 1h, slide 30m: each event
+  // lands in 2 overlapping windows; Spark's window() emits both
+  def eventsHopping(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), fin(sum(dec4(col("value")))).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   // ── A12: sessionization (30-minute gap) ─────────────────────────────────
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -356,6 +366,7 @@ object Analytics {
     "topk_per_group" -> topkPerGroup,
     "asof_join" -> asofJoin,
     "events_tumbling" -> eventsTumbling,
+    "events_hopping" -> eventsHopping,
     "events_sessionize" -> eventsSessionize,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
@@ -444,6 +455,12 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_hopping" ->
+      """SELECT time_bucket(INTERVAL 30 minutes, ts) - i * INTERVAL 30 minutes AS window_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events, UNNEST(range(0, 2)) u(i)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         | SELECT user_id, event_id, ts,

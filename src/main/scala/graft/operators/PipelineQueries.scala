@@ -69,6 +69,11 @@ object PipelineQueries {
     t(s, dir, "documents").select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
+  def textClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.clean(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -119,6 +124,7 @@ object PipelineQueries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
+    "text_clean" -> textClean,
     "text_fingerprint" -> textFingerprint,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
@@ -210,6 +216,14 @@ object PipelineQueries {
     "text_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_clean" ->
+      """SELECT doc_id,
+        | lower(trim(regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text, 'https?://[^ ]+', '<url>', 'g'),
+        |     '[^ ]+@[^ ]+\.[^ ]+', '<email>', 'g'),
+        |   '  +', ' ', 'g'))) AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
