@@ -334,6 +334,28 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  // ── A19: interval (range) join, binned for scale — purchases × same-user
+  // clicks in the preceding 30 minutes (batch twin of the S4 stream-stream
+  // join). Binning by the interval width bounds the join: each purchase
+  // probes exactly its own and the previous 30-minute bucket, so a user
+  // with millions of events never degenerates to a per-user cross join.
+  def rangeJoinBinned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val binOf = (c: Column) => floor(unix_timestamp(c) / 1800).cast("long")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withColumn("__bin", binOf(col("click_ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withColumn("__pbin", explode(array(binOf(col("purchase_ts")), binOf(col("purchase_ts")) - 1)))
+    purchases.join(clicks,
+        col("c_user") === col("user_id") && col("__pbin") === col("__bin") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+      .orderBy("purchase_id", "click_id")
+  }
+
   // ── A13: approximate distinct (HLL) — rows-only (sketch is engine-specific)
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
@@ -374,6 +396,7 @@ object Analytics {
     "grouping_sets_totals" -> groupingSetsTotals,
     "salted_skew_agg" -> saltedSkewAgg,
     "salted_skew_join" -> saltedSkewJoin,
+    "range_join_binned" -> rangeJoinBinned,
     "cube_totals" -> cubeTotals,
     "window_ranks" -> windowRanks,
     "dedup_edit_distance" -> dedupEditDistance,
@@ -485,6 +508,18 @@ object Analytics {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
+    "range_join_binned" ->
+      """WITH clicks AS (
+        | SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        | FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+        |FROM purchases JOIN clicks ON c_user = user_id
+        | AND click_ts <= purchase_ts
+        | AND click_ts >= purchase_ts - INTERVAL 30 MINUTES
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "salted_skew_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
