@@ -271,6 +271,27 @@ final class TableStore(spark: SparkSession, root: String) {
 
   // ── read ────────────────────────────────────────────────────────────────
 
+  /** Compact small files (append-heavy tables accumulate one file per
+    * insert): rewrite the table so each bucket holds ONE file (bucketed
+    * layout) or the data dir holds ceil(rows/rowsPerFile) files (flat).
+    * Contents and metadata are unchanged; goes through the same staged
+    * data.tmp swap as every rewrite. The 100 TB version runs per-bucket
+    * incrementally; locally one job covers the whole table. */
+  def compact(name: String, rowsPerFile: Long = 1000000L): Unit = {
+    val m = meta(name)
+    if (!hasDataFiles(name)) return
+    val df = read(name)
+    if (m.buckets > 0)
+      // repartition on the bucket expression co-locates each bucket into
+      // one task → one file per bucket directory after partitionBy
+      overwriteData(name, df.repartition(m.buckets, bucketExpr(m)))
+    else {
+      val rows = df.count()
+      val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+      overwriteData(name, df.repartition(files))
+    }
+  }
+
   /** Raw table scan reconciled to the meta schema (null-fill added
     * columns, drop dropped ones, cast to meta types). */
   def read(name: String): DataFrame = {

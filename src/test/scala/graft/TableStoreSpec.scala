@@ -120,6 +120,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("t").select("v").as[String].collect().toSeq == Seq("xyz"))
   }
 
+  test("compact coalesces small files without changing table contents") {
+    val root = Files.createTempDirectory("graft_compact_").toString
+    val store = new TableStore(spark, root)
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"), buckets = 4)
+    (0 until 6).foreach(i =>
+      store.insert("t", Seq((i * 2, s"a$i"), (i * 2 + 1, s"b$i")).toDF("k", "v")))
+    val beforeRows = store.readTable("t", orderBy = Seq("k")).collect().toSeq
+    def dataFiles(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "t", "data"))
+        .iterator().asScala.count(p => p.toString.endsWith(".parquet")).toLong
+    }
+    val filesBefore = dataFiles()
+    assert(filesBefore > 4, s"expected many small files, got $filesBefore")
+    store.compact("t")
+    assert(dataFiles() <= 4, s"compact left ${dataFiles()} files for 4 buckets")
+    assert(store.readTable("t", orderBy = Seq("k")).collect().toSeq == beforeRows)
+  }
+
   test("unicode into varchar and no-op recast raise reference errors") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)", "nv" -> "nvarchar(5)"), Seq("k"))
