@@ -94,6 +94,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(plan, "Exchange ") <= 3, s"unexpected shuffle count:\n$plan")
   }
 
+  test("bucketed event layout pre-satisfies the sessionize window: no shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the 100 TB layout for per-user windowed ops (SURVEY §5): store
+    // events hash-bucketed by user_id so the window's required
+    // distribution is satisfied by the LAYOUT, not an Exchange
+    GraftSession.table(spark, sfDir, "events")
+      .write.mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id", "ts", "event_id")
+      .saveAsTable("events_bucketed")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = spark.table("events_bucketed")
+      .withColumn("new_session",
+        when(col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 1800, 1)
+          .otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("new_session")).over(w))
+    val plan = executedPlan(sess)
+    assert(occurrences(plan, "Exchange") == 0,
+      s"bucketed layout should remove the window shuffle:\n$plan")
+  }
+
   test("exact dedup aggregates with map-side combine on the hash key") {
     val plan = executedPlan(dedup.Dedup.exact(GraftSession.table(spark, sfDir, "documents")))
     assert(occurrences(plan, "HashAggregate") >= 2, s"no partial aggregation:\n$plan")
