@@ -35,11 +35,12 @@ object Streams {
       .dropDuplicatesWithinWatermark(keyCol)
 
   /** S5: streaming exact dedup by CONTENT hash (the streaming twin of
-    * Dedup.exact): state keys are md5 digests, not documents, so state
-    * size is O(distinct-content × 16 bytes) within the watermark. */
+    * Dedup.exact): state keys are RAW 16-byte md5 digests (unhex'd, not
+    * the 32-char hex rendering), so state size is O(distinct-content ×
+    * 16 bytes) within the watermark — half the footprint of hex keys. */
   def dedupeByContent(stream: DataFrame, textCol: String, tsCol: String): DataFrame =
     stream
-      .withColumn("__content_hash", md5(col(textCol)))
+      .withColumn("__content_hash", unhex(md5(col(textCol))))
       .withWatermark(tsCol, "10 minutes")
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
