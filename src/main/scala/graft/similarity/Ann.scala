@@ -149,6 +149,29 @@ object Ann {
     cents.map(_.toIndexedSeq).toIndexedSeq
   }
 
+  /** Persist a trained quantizer in a managed store table as
+    * (cl, pos, x) rows — C×dim model-sized data, so training is
+    * amortized across sessions, not just calls. Round-trips exactly
+    * (doubles stored as SQL float = DoubleType). */
+  def saveCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.TableStore,
+      table: String,
+      cents: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    val rows = cents.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (x, p) => (c, p, x) }
+    }
+    store.createTable(table, Seq("cl" -> "int", "pos" -> "int", "x" -> "float"), Seq("cl", "pos"))
+    store.insert(table, rows.toDF("cl", "pos", "x"))
+  }
+
+  def loadCentroids(store: graft.store.TableStore, table: String): Seq[Seq[Double]] =
+    store.readTable(table, orderBy = Seq("cl", "pos")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3).toIndexedSeq }
+
   /** IVF top-k (the second scale path next to sign-LSH): assign the
     * corpus to its nearest centroid once; each broadcast query probes
     * its `nProbe` nearest inverted lists and reranks exactly. Work per

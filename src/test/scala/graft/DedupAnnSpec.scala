@@ -92,6 +92,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(full == bf.keySet, "nProbe = nCentroids must equal brute force")
   }
 
+  test("IVF quantizer round-trips through a store table") {
+    import graft.store.TableStore
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivf_store_").toString)
+    val cents = Ann.trainIvfCentroids(emb, nCentroids = 8, iters = 3)
+    Ann.saveCentroids(spark, store, "quantizer", cents)
+    val loaded = Ann.loadCentroids(store, "quantizer")
+    assert(loaded == cents, "centroids must round-trip exactly")
+    // reuse skips retraining and yields identical results
+    val fresh = Ann.topKIvf(emb, emb.limit(5), nCentroids = 8, iters = 3).collect().toSeq
+    val reused = Ann.topKIvf(emb, emb.limit(5), nCentroids = 8,
+      centroids = Some(loaded)).collect().toSeq
+    assert(fresh == reused)
+  }
+
   test("embedding pairs are canonical (a_id < b_id) and above threshold") {
     val out = Dedup.embeddingPairs(emb, tau = 0.35).collect()
     assert(out.nonEmpty)
