@@ -100,6 +100,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 100 TB layout for per-user windowed ops (SURVEY §5): store
     // events hash-bucketed by user_id so the window's required
     // distribution is satisfied by the LAYOUT, not an Exchange
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    // the warehouse DIRECTORY outlives the in-memory catalog between
+    // JVMs; clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "events_bucketed")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     GraftSession.table(spark, sfDir, "events")
       .write.mode("overwrite")
       .bucketBy(8, "user_id").sortBy("user_id", "ts", "event_id")
