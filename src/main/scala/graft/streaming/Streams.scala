@@ -28,6 +28,17 @@ object Streams {
         sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** S1b: hopping (sliding) windows — 1h windows every 30m; each event
+    * lands in two overlapping windows (streaming twin of the batch
+    * eventsHopping). Watermark bounds the open-window state. */
+  def hoppingCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** S2: streaming dedup by key with bounded state. */
   def dedupeByKey(stream: DataFrame, keyCol: String): DataFrame =
     stream

@@ -45,6 +45,19 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("S1b: streaming hopping windows equal the batch twin") {
+    val got = runToTable(Streams.hoppingCounts(stream), "s1b", "complete")
+      .orderBy("window_start", "event_type").collect()
+    val want = GraftSession.table(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("S2: streaming dedup by key emits each key once") {
     val got = runToTable(Streams.dedupeByKey(stream, "event_id"), "s2", "append")
     val total = spark.read.parquet(inputDir).count()
