@@ -70,6 +70,33 @@ object Bench {
     }
   }
 
+  /** Box-contention calibration: fixed-size compute probes whose clean-box
+    * times are known constants for a given JVM+hardware, independent of SF.
+    * If the driver's run reports these N× above the committed local numbers
+    * (see SURVEY §7), every compute-bound query timing in the same run is
+    * inflated by roughly the same contention factor — r3's driver bench ran
+    * 6-8× slow on exactly the compute-bound entries while light queries
+    * matched local, which these probes would have proven in-band. */
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    // single-thread JVM mix loop (268M mult+rotate): sensitive to core
+    // contention but not to Spark scheduling
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < (1L << 28)) { x = java.lang.Long.rotateLeft(x * 0xBF58476D1CE4E5B9L, 31) ^ i; i += 1 }
+    val jvm = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) println("") // keep the loop observable (no DCE)
+    // all-core Spark probe: 2B codegen'd hashes, one task per core (big
+    // enough that job scheduling overhead is noise)
+    val parallelism = spark.sparkContext.defaultParallelism
+    val t1 = System.nanoTime()
+    spark.range(0L, 2048L * 1000 * 1000, 1L, parallelism)
+      .select(bit_xor(xxhash64(col("id")))).collect() // xor: no ANSI overflow
+    val sp = (System.nanoTime() - t1) / 1e9
+    (jvm, sp)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,12 +146,19 @@ object Bench {
         name -> (if (t1 >= 0 && t2 >= 0) math.min(t1, t2) else -1.0)
       }
     } ++ streamBench(spark, sfDir, errors)
+    // calibration probes: warm once (Janino for the Spark probe), then
+    // best-of-2, AFTER the query timings so they also reflect end-of-run
+    // box state
+    calibrate(spark)
+    val (j1, s1) = calibrate(spark)
+    val (j2, s2) = calibrate(spark)
+    val calib = s"""{"jvm_mix_268m":${math.min(j1, j2)},"spark_hash_2048m":${math.min(s1, s2)}}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,6 +47,14 @@ def main():
     for name in sorted(set(oq) - set(nq)):
         print(f"{name:28s} {oq[name]:8.2f}s -> removed")
     print(f"total{'':23s} {old.get('value', 0):8.2f}s -> {new.get('value', 0):8.2f}s")
+    # calibration probes (fixed-size compute): a ratio far above 1.0 on
+    # these means the NEW run's box was contended, not the code slower
+    oc, nc = old.get("calib") or {}, new.get("calib") or {}
+    for probe in sorted(set(oc) | set(nc)):
+        if probe in oc and probe in nc and oc[probe] > 0:
+            print(f"calib {probe:22s} {oc[probe]:8.2f}s -> {nc[probe]:8.2f}s  ({nc[probe]/oc[probe]:5.2f}x)")
+        elif probe in nc:
+            print(f"calib {probe:22s}     new -> {nc[probe]:8.2f}s")
     if regressed:
         print(f"FAIL: {len(regressed)} regressed: {', '.join(regressed)}")
         sys.exit(1)
