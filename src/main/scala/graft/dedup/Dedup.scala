@@ -71,16 +71,50 @@ object Dedup {
       maxDf: Int = 128): DataFrame =
     ngramJaccardFrom(shingled(docs, n, bandWidth), tau, maxDf)
 
+  /** Adaptive-threshold variant of [[ngramJaccardPairs]]: instead of a
+    * fixed df cut, the threshold is
+    * `greatest(minDf, floor(percentile(df, dfQuantile)))` over the
+    * distinct-shingle document-frequency distribution — the cut tracks
+    * what "boilerplate" means in THIS corpus. `minDf` is a floor, so on
+    * a dup-heavy corpus (where even informative shingles have high df —
+    * e.g. 500 copies of one document) the quantile can only RAISE the
+    * cut, never drop legitimate near-dup signal below the fixed floor.
+    * The threshold is one bounded aggregate broadcast back into the
+    * plan (no collected literal — plan shape stays constant for JIT
+    * warmup). At 100 TB swap the exact percentile for
+    * `approx_percentile` (documented scale knob; the exact form is kept
+    * here because the DuckDB oracle mirrors `quantile_cont` bit-for-bit). */
+  def ngramJaccardPairsAdaptive(
+      docs: DataFrame,
+      n: Int = 3,
+      tau: Double = 0.3,
+      bandWidth: Int = 50,
+      minDf: Int = 16,
+      dfQuantile: Double = 0.999): DataFrame = {
+    val ex = exploded(shingled(docs, n, bandWidth))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
+    val exdf = ex.withColumn("__df", count(lit(1)).over(w)).persist()
+    val thr = exdf.select(col("lang"), col("__band"), col("__s"), col("__df")).distinct()
+      .agg(greatest(lit(minDf.toDouble),
+        floor(round(percentile(col("__df"), lit(dfQuantile)), 6))).as("__thr"))
+    val kept = exdf.crossJoin(broadcast(thr))
+      .filter(col("__df") <= col("__thr")).drop("__df", "__thr")
+      .persist()
+    jaccardFromKept(kept, tau)
+  }
+
+  /** Shingle explosion on the 64-bit hash: the self-join shuffle carries
+    * 8-byte keys instead of ~n-word strings (collision odds ~2^-64 per
+    * pair — the exact twin stays exact). */
+  private def exploded(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("lang"), col("__band"),
+      explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+
   /** Jaccard stage over a pre-shingled relation — the shared-scan entry
     * point [[familiesPairs]] uses to feed several families from ONE
     * shingle pass. */
   private def ngramJaccardFrom(sh: DataFrame, tau: Double, maxDf: Int): DataFrame = {
-    // join on the 64-bit shingle hash, not the shingle string: the
-    // self-join shuffle carries 8-byte keys instead of ~n-word strings
-    // (collision odds ~2^-64 per pair — the exact twin stays exact)
-    val ex = sh
-      .select(col("doc_id"), col("lang"), col("__band"),
-        explode(transform(col("__sh"), s => xxhash64(s))).as("__s"))
+    val ex = exploded(sh)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
     val kept = ex.withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") <= maxDf).drop("__df")
@@ -88,6 +122,12 @@ object Dedup {
       // self-join sides (unpersisted, the scan+shingle+window pipeline
       // ran 3×, which dominated the sf0.1 bench)
       .persist()
+    jaccardFromKept(kept, tau)
+  }
+
+  /** Intersection counts + set sizes + threshold over a df-cut shingle
+    * relation (shared by the fixed and adaptive cuts). */
+  private def jaccardFromKept(kept: DataFrame, tau: Double): DataFrame = {
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val a = kept.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
     val b = kept.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"), col("__s").as("__sb"))

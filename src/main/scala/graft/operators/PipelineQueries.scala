@@ -25,6 +25,9 @@ object PipelineQueries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
 
+  def dedupJaccardAdaptive(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsAdaptive(t(s, dir, "documents")).orderBy("a_id", "b_id")
+
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
 
@@ -114,6 +117,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_jaccard_adaptive" -> dedupJaccardAdaptive,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -160,6 +164,29 @@ object PipelineQueries {
         | SELECT * FROM (
         |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
         | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_jaccard_adaptive" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |dfs AS (
+        | SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh),
+        |thr AS (
+        | SELECT GREATEST(16.0, FLOOR(ROUND(quantile_cont(df, 0.999), 6))) AS t
+        | FROM (SELECT DISTINCT lang, band, s, df FROM dfs)),
+        |kept AS (SELECT dfs.* FROM dfs, thr WHERE df <= t),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
         |pairs AS (
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter

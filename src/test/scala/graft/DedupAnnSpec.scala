@@ -43,6 +43,14 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(fams == want, s"shared-pass union diverged: ${fams.diff(want)} / ${want.diff(fams)}")
   }
 
+  test("adaptive df-cut: a floor above every df equals the uncut exact jaccard") {
+    // minDf larger than any per-block df → nothing is cut on either path
+    val uncut = Dedup.ngramJaccardPairs(docs, maxDf = Int.MaxValue)
+    val adaptive = Dedup.ngramJaccardPairsAdaptive(docs, minDf = Int.MaxValue)
+    assert(pairSet(adaptive) == pairSet(uncut))
+    assert(pairSet(adaptive).nonEmpty)
+  }
+
   test("exact dedup keeps the minimum id per distinct content") {
     val out = Dedup.exact(docs)
     assert(out.count() == docs.select("text").distinct().count())
