@@ -288,6 +288,49 @@ object Dedup {
     jac.unionByName(mh).unionByName(simh)
   }
 
+  /** Near-dup clusters from a pair relation (L16): connected components
+    * over the undirected pair graph, labeling every member with the
+    * minimum doc_id reachable from it — the canonical representative a
+    * curation pipeline keeps (`keep` marks it). Iterative min-label
+    * propagation: each round joins edge endpoints to current labels and
+    * takes the per-node min, converging in graph-diameter rounds.
+    * Near-dup graphs are unions of small dense cliques (copies of the
+    * same content), so the diameter is tiny; each round is two linear
+    * shuffles on the node id, nothing quadratic. For adversarial
+    * long-chain graphs the O(log n)-round large-star/small-star
+    * variant is the drop-in upgrade; the convergence guard throws
+    * rather than returning a partial labeling. The only driver-side
+    * value per round is the changed-label count (one scalar). */
+  def clusters(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighbor = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(neighbor)
+        .groupBy("id").agg(min("label").as("label")).persist()
+      changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(s"label propagation did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   /** Embedding near-dup pairs (L5): cosine ≥ tau within a block column
     * (here: label). The block join is the candidate bound; cosine is the
     * fixed-order double fold from [[Vectors]]. */

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Training-mix curation operators (SURVEY §2 L17/L18): deterministic
+  * per-group quota sampling and corpus-statistics term weighting.
+  */
+object Curation {
+
+  /** Portable deterministic order key: md5 of the rendered id. The same
+    * expression exists verbatim in DuckDB (md5 == Spark md5 on strings),
+    * so quota membership is reproducible across engines — a curation
+    * decision audit can re-derive exactly which rows were kept. */
+  private def hashKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Keep at most `cap` rows per group, chosen by deterministic hash
+    * order (L17). Two-phase exact top-k: phase 1 ranks within
+    * (group, salt) partitions and keeps `cap` per salt — bounding any
+    * one window partition regardless of group size — phase 2 ranks the
+    * ≤ salts×cap survivors per group. A 100 TB group never funnels
+    * through a single window task; the global pass handles at most
+    * salts×cap rows per group. */
+  def stratifiedCap(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      salts: Int = 32): DataFrame = {
+    val key = hashKey(col(idCol))
+    val local = Window.partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(key, col(idCol))
+    val survivors = df
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= cap).drop("__lr")
+    val global = Window.partitionBy(col(groupCol)).orderBy(key, col(idCol))
+    survivors
+      .withColumn("sample_rank", row_number().over(global))
+      .filter(col("sample_rank") <= cap)
+  }
+
+  /** Top-k terms per document by tf-idf (L18): tf over (doc, term), df
+    * over term, idf = ln(N/df) with N broadcast from one corpus-count
+    * aggregate (no collected literal — plan shape stays constant). All
+    * three aggregations are linear partial-agg shuffles; the per-doc
+    * top-k window partitions by doc_id, which is never skewed. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("__df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "tfidf", "rank")
+  }
+}

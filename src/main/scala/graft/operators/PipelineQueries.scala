@@ -34,11 +34,25 @@ object PipelineQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
 
+  /** L16: pairwise near-dups → duplicate clusters with a canonical
+    * keeper (min doc_id reachable). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings")).orderBy("a_id", "b_id")
 
   def dedupFamilies(s: SparkSession, dir: String): DataFrame =
     Dedup.familiesPairs(t(s, dir, "documents")).orderBy("family", "a_id", "b_id")
+
+  /** L15: decontamination gate — docs with doc_id % 10 == 0 play the
+    * eval set, the rest the train corpus. */
+  def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.dedup.Contamination.overlap(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)).orderBy("doc_id")
+  }
 
   private def queriesOf(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)
 
@@ -108,6 +122,15 @@ object PipelineQueries {
       .orderBy("pred_lang")
   }
 
+  /** L17: deterministic per-language quota (training-mix cap). */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedCap(t(s, dir, "documents"), "lang", "doc_id", cap = 30)
+      .select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+
+  /** L18: top-3 tf-idf terms per document. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    Curation.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")
+
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Media.decodeTable(t(s, dir, "documents")).orderBy("doc_id")
 
@@ -120,8 +143,10 @@ object PipelineQueries {
     "dedup_jaccard_adaptive" -> dedupJaccardAdaptive,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_clusters" -> dedupClusters,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_families" -> dedupFamilies,
+    "contamination_check" -> contaminationCheck,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
@@ -130,6 +155,8 @@ object PipelineQueries {
     "text_tokens" -> textTokens,
     "text_clean" -> textClean,
     "text_fingerprint" -> textFingerprint,
+    "sample_stratified" -> sampleStratified,
+    "text_tfidf" -> textTfidf,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "pipeline_stats" -> pipelineStats,
@@ -198,6 +225,49 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     // dedup_minhash_lsh, dedup_simhash: rows-only (engine-specific hash
     // seeds); asserted against exact twins in ScalaTest specs.
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
+        | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |prs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        | SELECT a_id, b_id FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        | WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        | SELECT src AS id, dst AS r FROM edges
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id,
+        | (id = LEAST(id, MIN(r))) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |tr AS (
+        | SELECT DISTINCT toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4] AS s
+        | FROM tok, UNNEST(range(1, len(toks)-3)) u(i) WHERE len(toks)>=5 AND doc_id % 10 <> 0),
+        |ev AS (
+        | SELECT DISTINCT doc_id, toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4] AS s
+        | FROM tok, UNNEST(range(1, len(toks)-3)) u(i) WHERE len(toks)>=5 AND doc_id % 10 = 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM ev
+        |        WHERE EXISTS(SELECT 1 FROM tr WHERE tr.s = ev.s) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        | ROUND(COALESCE(h.n_contaminated,0) * 1.0 / t.n_shingles, 6) AS contamination,
+        | (ROUND(COALESCE(h.n_contaminated,0) * 1.0 / t.n_shingles, 6) >= 0.2) AS flagged
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -258,6 +328,24 @@ object PipelineQueries {
         |   list_transform(regexp_split_to_array(text, ''), x -> ord(x)::BIGINT)),
         |   (h, c) -> (h * 257 + c) % 2147483647) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        | SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
+        | FROM documents)
+        |WHERE sample_rank <= 30 ORDER BY lang, sample_rank""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, tfidf, rank FROM (
+        | SELECT tf.doc_id, tf.term, tf.tf,
+        |  ROUND(tf.tf * ln(n.n * 1.0 / dfq.df), 6) AS tfidf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY ROUND(tf.tf * ln(n.n * 1.0 / dfq.df), 6) DESC, tf.term) AS INT) AS rank
+        | FROM tf JOIN dfq USING (term), n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

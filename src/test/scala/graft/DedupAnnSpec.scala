@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.Dedup
+import graft.dedup.{Contamination, Dedup}
 import graft.similarity.Ann
 
 /** Approximate operators asserted against their exact twins
@@ -49,6 +49,36 @@ class DedupAnnSpec extends AnyFunSuite {
     val adaptive = Dedup.ngramJaccardPairsAdaptive(docs, minDf = Int.MaxValue)
     assert(pairSet(adaptive) == pairSet(uncut))
     assert(pairSet(adaptive).nonEmpty)
+  }
+
+  test("clusters: multi-hop chains collapse to the minimum reachable id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (needs 3 propagation rounds) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("clusters on the corpus label every paired doc exactly once") {
+    val pairs = Dedup.ngramJaccardPairs(docs)
+    val cl = Dedup.clusters(pairs)
+    val members = pairs.select("a_id").union(pairs.select("b_id")).distinct().count()
+    assert(cl.count() == members)
+    assert(cl.select("doc_id").distinct().count() == members)
+  }
+
+  test("eval set fully contained in train is 100% contaminated") {
+    import org.apache.spark.sql.functions.col
+    val eval = docs.filter(col("doc_id") < 50)
+    val out = Contamination.overlap(docs, eval).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("contamination") == 1.0, s"doc ${r.getLong(0)} not fully contaminated")
+      assert(r.getAs[Boolean]("flagged"))
+    }
   }
 
   test("exact dedup keeps the minimum id per distinct content") {
