@@ -47,7 +47,9 @@ object Bench {
     try {
       val docs = GraftSession.table(spark, sfDir, "documents")
       val in = java.nio.file.Files.createTempDirectory("graft_bench_s6_").toString + "/in"
-      docs.write.parquet(in)
+      // write the stream input as one file per core: a single-file input
+      // pins the pre-shuffle signature stage to one task (measured 2×)
+      docs.repartition(spark.sparkContext.defaultParallelism).write.parquet(in)
       val schema = spark.read.parquet(in).schema
       def run(tag: Int): Double = {
         val s = spark.readStream.schema(schema).parquet(in)

@@ -119,11 +119,14 @@ object Streams {
       .select(col("__bk"), col("doc_id").cast("long").as("doc_id"), col("__sig"),
         col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"))
       .withWatermark("__ts", watermarkDelay)
-      .as[(String, Long, Seq[Long], java.sql.Timestamp)]
+      // Array[Long] (primitive-array encoder) not Seq[Long]: state holds
+      // one signature per (bucket, doc) and every arrival touches every
+      // stored signature — the boxed-Seq decode was the hot path
+      .as[(String, Long, Array[Long], java.sql.Timestamp)]
     sig.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (_: String, rows: Iterator[(String, Long, Seq[Long], java.sql.Timestamp)],
-         state: GroupState[List[(Long, Seq[Long], Long)]]) => {
+        (_: String, rows: Iterator[(String, Long, Array[Long], java.sql.Timestamp)],
+         state: GroupState[List[(Long, Array[Long], Long)]]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = state.getCurrentWatermarkMs()
@@ -132,7 +135,10 @@ object Streams {
             rows.foreach { case (_, id, s, ts) =>
               seen.foreach { case (oid, os, _) =>
                 if (oid != id) {
-                  val est = s.iterator.zip(os.iterator).count { case (x, y) => x == y }.toDouble / k
+                  var m = 0
+                  var i = 0
+                  while (i < k) { if (s(i) == os(i)) m += 1; i += 1 }
+                  val est = m.toDouble / k
                   if (est >= tau)
                     out += CandidatePair(math.min(id, oid), math.max(id, oid), est)
                 }
