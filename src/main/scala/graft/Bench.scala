@@ -26,8 +26,13 @@ object Bench {
     "upsert_bucketed",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_adaptive",
     "dedup_minhash_lsh",
     "dedup_families",
+    "dedup_clusters",
+    "contamination_check",
+    "sample_stratified",
+    "text_tfidf",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_quality",

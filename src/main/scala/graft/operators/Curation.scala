@@ -42,6 +42,35 @@ object Curation {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** Per-document unigram language-model score (L19): the corpus itself
+    * is the model — token log-probabilities from corpus frequencies,
+    * each document scored by its mean token log-prob (≈ negative
+    * cross-entropy; higher = more typical of the corpus). The
+    * model-based cousin of the heuristic quality gate: outlier docs
+    * (wrong language, boilerplate, garbage) score low. Two linear
+    * aggregations (corpus term counts, per-doc sums after a broadcast-
+    * able term-frequency join) — the "train" side is a term-count table
+    * that at 100 TB is still only vocabulary-sized. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).as("__t"))
+    // per-term log-prob rounded to 6dp THEN summed as exact DECIMAL:
+    // float summation is order-dependent (and ln can differ in the last
+    // ulp across engines), so the aggregate would not be bit-stable
+    // across partitionings or vs the oracle — decimal addition is
+    val logp = counts.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("__c").cast("double") / col("__t")), 6)
+          .cast("decimal(18,6)").as("__lp"))
+    toks.join(logp, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lp")).as("__sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__sum").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
+  }
+
   /** Top-k terms per document by tf-idf (L18): tf over (doc, term), df
     * over term, idf = ln(N/df) with N broadcast from one corpus-count
     * aggregate (no collected literal — plan shape stays constant). All

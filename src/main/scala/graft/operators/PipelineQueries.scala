@@ -131,6 +131,10 @@ object PipelineQueries {
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     Curation.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")
 
+  /** L19: corpus-unigram LM score per document. */
+  def textLogprob(s: SparkSession, dir: String): DataFrame =
+    Curation.unigramLogprob(t(s, dir, "documents")).orderBy("doc_id")
+
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Media.decodeTable(t(s, dir, "documents")).orderBy("doc_id")
 
@@ -157,6 +161,7 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint,
     "sample_stratified" -> sampleStratified,
     "text_tfidf" -> textTfidf,
+    "text_logprob" -> textLogprob,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "pipeline_stats" -> pipelineStats,
@@ -346,6 +351,15 @@ object PipelineQueries {
         |    ORDER BY ROUND(tf.tf * ln(n.n * 1.0 / dfq.df), 6) DESC, tf.term) AS INT) AS rank
         | FROM tf JOIN dfq USING (term), n)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_logprob" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        |total AS (SELECT COUNT(*) AS t FROM toks),
+        |logp AS (SELECT term, CAST(ROUND(ln(c * 1.0 / t), 6) AS DECIMAL(18,6)) AS lp FROM counts, total)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |FROM toks JOIN logp USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -145,4 +145,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"all-pairs blowup:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi candidate join:\n$plan")
   }
+
+  test("contamination check is a semi-join on shingle hashes, nothing quadratic") {
+    import org.apache.spark.sql.functions.col
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val plan = executedPlan(dedup.Contamination.overlap(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0)))
+    assert(plan.contains("LeftSemi"), s"train membership not a semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("stratified cap never funnels a group through an unpartitioned window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val df = operators.Curation.stratifiedCap(docs, "lang", "doc_id", 30)
+    df.collect()
+    val windows = allNodes(df.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    // the salted local pass and the bounded global pass BOTH carry a
+    // partition spec — an empty one is the single-task shape this
+    // operator exists to avoid
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+  }
 }
