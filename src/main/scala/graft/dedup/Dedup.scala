@@ -309,23 +309,36 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
+    // labels only ever DECREASE under min-propagation, so the fixpoint
+    // test is one scalar: the label sum is strictly monotone until
+    // convergence — no per-round diff join needed (decimal sum: no
+    // overflow however many ids, exact comparison)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
-    var changed = 1L
+    var curSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (!converged && it < maxIter) {
       val neighbor = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
+      // (pointer jumping — adopting the label of one's label for
+      // O(log diameter) rounds — was measured SLOWER here: near-dup
+      // graphs are shallow cliques, so the extra per-round self-join
+      // costs more than the rounds it saves; revisit only for corpora
+      // with long chain diameters)
       val next = labels.unionByName(neighbor)
         .groupBy("id").agg(min("label").as("label")).persist()
-      changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
-        .filter(col("label") =!= col("__old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       labels.unpersist()
       labels = next
       it += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(s"label propagation did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
