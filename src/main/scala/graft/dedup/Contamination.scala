@@ -24,6 +24,16 @@ object Contamination {
   /** Per-eval-doc contamination: (doc_id, n_shingles, n_contaminated,
     * contamination, flagged). Docs with fewer than n tokens are skipped
     * (no shingles → no evidence either way). */
+  /** Distinct train-corpus shingle hashes — the reusable "index" side of
+    * the gate (the streaming twin joins a live stream against it). */
+  def trainShingleSet(train: DataFrame, n: Int = 5): DataFrame = {
+    val parallelism = train.sparkSession.sparkContext.defaultParallelism
+    train.filter(size(Text.tokens(col("text"))) >= n)
+      .repartition(parallelism) // scatter compute-bound shingling
+      .select(explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
+      .distinct()
+  }
+
   def overlap(
       train: DataFrame,
       eval: DataFrame,
@@ -35,7 +45,7 @@ object Contamination {
         .repartition(parallelism) // scatter compute-bound shingling
         .select(col("doc_id"),
           explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
-    val trainSh = shingles(train).select("__s").distinct()
+    val trainSh = trainShingleSet(train, n)
     val evalSh = shingles(eval)
     val totals = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = evalSh.join(trainSh, Seq("__s"), "left_semi")

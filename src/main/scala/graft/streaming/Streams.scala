@@ -171,6 +171,40 @@ object Streams {
       (batch: DataFrame, _: Long) => store.upsert(table, batch, matchCols)
     }
 
+  /** S8: streaming contamination gate — the streaming twin of
+    * [[graft.dedup.Contamination.overlap]]. Arriving documents' shingle
+    * hashes LEFT-join a STATIC train-shingle set (build once with
+    * `Contamination.trainShingleSet`; stream-static joins are stateless
+    * per micro-batch — the train index is just a table), then aggregate
+    * per (doc, event-time window) under a watermark, so the only
+    * streaming state is the open windows' per-doc counters. The gate a
+    * live ingest pipeline puts in front of a training corpus: flag (or
+    * drop) documents that overlap the eval/benchmark set as they
+    * arrive. Emits the same schema as the batch operator. */
+  def contaminationGate(
+      stream: DataFrame,
+      trainShingles: DataFrame,
+      n: Int = 5,
+      tau: Double = 0.2,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.Text
+    val ex = stream
+      .filter(size(Text.tokens(col("text"))) >= n)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
+        explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
+      .withWatermark("__ts", watermarkDelay)
+    ex.join(trainShingles.withColumn("__hit", lit(1)), Seq("__s"), "left")
+      .groupBy(col("doc_id"), window(col("__ts"), watermarkDelay))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .withColumn("flagged", col("contamination") >= tau)
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination", "flagged")
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** S3: custom keyed state — running per-user totals via

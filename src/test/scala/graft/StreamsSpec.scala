@@ -116,6 +116,32 @@ class StreamsSpec extends AnyFunSuite {
       s"candidate flood: ${got.size} pairs for ${strong.size} strong ones")
   }
 
+  test("S8: streaming contamination gate equals the batch operator") {
+    import graft.dedup.Contamination
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val in = Files.createTempDirectory("graft_s8_").toString + "/in"
+    eval.write.parquet(in)
+    // append mode only emits a window once the watermark passes its end:
+    // a far-future sentinel doc (second file, second micro-batch)
+    // advances the watermark so the eval windows finalize
+    eval.limit(1).withColumn("doc_id", lit(999999L))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", timestamp_seconds(
+        when(col("doc_id") === 999999L, lit(1735689600L + 86400L))
+          .otherwise(lit(1735689600L) + col("doc_id"))))
+    val trainSh = Contamination.trainShingleSet(train).cache()
+    val got = runToTable(Streams.contaminationGate(s, trainSh), "s8", "append")
+      .filter(col("doc_id") =!= 999999L)
+      .orderBy("doc_id").collect().toSeq
+    val want = Contamination.overlap(train, eval).orderBy("doc_id").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("S6: bucket state survives a query restart via checkpoint") {
     import graft.dedup.Dedup
     val docs = GraftSession.table(spark, sfDir, "documents")
