@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Identifiers
 
-/** Structured Streaming operators (SURVEY §2 S1–S3): the streaming twins
+/** Structured Streaming operators (SURVEY §2 S1–S8): the streaming twins
   * of the batch analytics surface, built on watermarks + windowed state.
   *
   * Scale notes: all three are keyed-state operators that Spark
