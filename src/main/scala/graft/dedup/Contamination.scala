@@ -38,17 +38,23 @@ object Contamination {
       train: DataFrame,
       eval: DataFrame,
       n: Int = 5,
+      tau: Double = 0.2): DataFrame =
+    overlapWithIndex(trainShingleSet(train, n), eval, n, tau)
+
+  /** The gate against a PREBUILT shingle index (see [[saveIndex]]):
+    * decouples the expensive train-side pass from each eval check. */
+  def overlapWithIndex(
+      trainShingles: DataFrame,
+      eval: DataFrame,
+      n: Int = 5,
       tau: Double = 0.2): DataFrame = {
-    val parallelism = train.sparkSession.sparkContext.defaultParallelism
-    def shingles(df: DataFrame) =
-      df.filter(size(Text.tokens(col("text"))) >= n)
-        .repartition(parallelism) // scatter compute-bound shingling
-        .select(col("doc_id"),
-          explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
-    val trainSh = trainShingleSet(train, n)
-    val evalSh = shingles(eval)
+    val parallelism = eval.sparkSession.sparkContext.defaultParallelism
+    val evalSh = eval.filter(size(Text.tokens(col("text"))) >= n)
+      .repartition(parallelism) // scatter compute-bound shingling
+      .select(col("doc_id"),
+        explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
     val totals = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = evalSh.join(trainSh, Seq("__s"), "left_semi")
+    val hits = evalSh.join(trainShingles, Seq("__s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     totals.join(hits, Seq("doc_id"), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
@@ -57,4 +63,24 @@ object Contamination {
       .withColumn("flagged", col("contamination") >= tau)
       .select("doc_id", "n_shingles", "n_contaminated", "contamination", "flagged")
   }
+
+  /** Persist the train-shingle index as a managed bucketed store table
+    * keyed by the shingle hash. Built ONCE over the train corpus and
+    * reused by every subsequent gate; maintained incrementally — new
+    * train partitions upsert their shingles (the PK keeps the set
+    * distinct, bucket pruning keeps small additions cheap), so the
+    * index follows the corpus without full rebuilds. */
+  def saveIndex(
+      store: graft.store.TableStore,
+      table: String,
+      train: DataFrame,
+      n: Int = 5,
+      buckets: Int = 32): Unit = {
+    if (!store.exists(table))
+      store.createTable(table, Seq("s" -> "bigint"), Seq("s"), buckets = buckets)
+    store.upsert(table, trainShingleSet(train, n).withColumnRenamed("__s", "s"))
+  }
+
+  def loadIndex(store: graft.store.TableStore, table: String): DataFrame =
+    store.read(table).select(col("s").as("__s"))
 }

@@ -56,6 +56,10 @@ object PipelineQueries {
 
   private def queriesOf(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)
 
+  /** L20: per-label embedding centroids (data-mix / drift primitive). */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    Ann.labelCentroids(t(s, dir, "embeddings")).orderBy("label", "pos")
+
   def simTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Ann.topKBruteForce(e, queriesOf(e)).orderBy("q_id", "rank")
@@ -151,6 +155,7 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_families" -> dedupFamilies,
     "contamination_check" -> contaminationCheck,
+    "embedding_centroids" -> embeddingCentroids,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
@@ -282,6 +287,11 @@ object PipelineQueries {
         |WHERE ROUND(list_inner_product(a.v, b.v) /
         |   (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
         |ORDER BY a_id, b_id""".stripMargin,
+    "embedding_centroids" ->
+      """SELECT label, CAST(i AS INT) AS pos, COUNT(*) AS n,
+        | ROUND(CAST(SUM(CAST(ROUND(embedding[i+1]::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
+        |FROM embeddings, UNNEST(range(0, len(embedding))) u(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id % 50 = 0),

@@ -25,6 +25,22 @@ object Ann {
   private def scatter(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Per-label centroids (L20): mean embedding per label as
+    * (label, pos, n, centroid) rows — per-dimension means over a
+    * posexplode, i.e. one linear partial-agg shuffle on (label, pos);
+    * label×dim output, never a per-vector collect. Values are rounded
+    * to 6dp and summed as exact DECIMAL so the mean is order-independent
+    * and engine-portable (float summation is neither). The data-mix /
+    * drift primitive: compare corpus slices by centroid distance. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "__x")))
+      .select(col("label"), col("pos"),
+        round(col("__x").cast("double"), 6).cast("decimal(18,6)").as("__xd"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__xd")).cast("double") / count(lit(1)), 6).as("centroid"))
+
   def topKBruteForce(
       corpus: DataFrame,
       queries: DataFrame,

@@ -81,6 +81,23 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination index: incremental store-table build equals the direct gate") {
+    import org.apache.spark.sql.functions.col
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_cidx_").toString)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    // two incremental loads: the PK-keyed upsert keeps the set distinct
+    Contamination.saveIndex(store, "cont_idx", train.filter(col("doc_id") % 2 === 0))
+    Contamination.saveIndex(store, "cont_idx", train.filter(col("doc_id") % 2 === 1))
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val got = Contamination
+      .overlapWithIndex(Contamination.loadIndex(store, "cont_idx"), eval)
+      .orderBy("doc_id").collect().toSeq
+    val want = Contamination.overlap(train, eval).orderBy("doc_id").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("exact dedup keeps the minimum id per distinct content") {
     val out = Dedup.exact(docs)
     assert(out.count() == docs.select("text").distinct().count())
