@@ -205,6 +205,74 @@ object Streams {
       .select("doc_id", "n_shingles", "n_contaminated", "contamination", "flagged")
   }
 
+  final case class Admitted(doc_id: Long, group: String,
+      window_start: java.sql.Timestamp, admit_seq: Int)
+
+  /** S9: streaming per-group quota — admission control, the streaming
+    * twin of [[graft.operators.Curation.stratifiedCap]]: admit at most
+    * `cap` rows per (group, tumbling event-time window), carrying the
+    * admission count in keyed state so the cap holds ACROSS
+    * micro-batches. Within a batch, a group's rows are ordered by
+    * (window, md5(id), id) before admission, so results do not depend
+    * on shuffle arrival order. State is one counter per open window per
+    * group; windows older than the watermark are evicted, idle groups
+    * dropped by the event-time timeout. */
+  def streamingQuota(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      windowDuration: String = "10 minutes",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): Dataset[Admitted] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val winMs = {
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowDuration))
+      require(i.months == 0, "calendar-month windows are not fixed-width")
+      i.days * 86400000L + i.microseconds / 1000L
+    }
+    val rows = stream.select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(idCol)).cast("long").as("id"),
+        md5(col(Identifiers.quote(idCol)).cast("string")).as("hk"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
+        window(col(Identifiers.quote(tsCol)), windowDuration).getField("start").as("__ws"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, String, java.sql.Timestamp, java.sql.Timestamp)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (g: String, it: Iterator[(String, Long, String, java.sql.Timestamp, java.sql.Timestamp)],
+         state: GroupState[Map[Long, Int]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // a window can still receive rows while its END is above the
+            // watermark (late arrivals inside the delay target it); only
+            // counters for windows closed past that point are evicted
+            var counts = state.getOption.getOrElse(Map.empty)
+              .filter { case (ws, _) => ws + winMs >= wm }
+            val out = scala.collection.mutable.ListBuffer.empty[Admitted]
+            it.toSeq.sortBy(r => (r._5.getTime, r._3, r._2)).foreach {
+              case (_, id, _, _, ws) =>
+                val k = ws.getTime
+                val n = counts.getOrElse(k, 0)
+                if (n < cap) {
+                  counts = counts.updated(k, n + 1)
+                  out += Admitted(id, g, ws, n + 1)
+                }
+            }
+            if (counts.isEmpty) state.remove()
+            else {
+              state.update(counts)
+              state.setTimeoutTimestamp(math.max(counts.keys.max + winMs, wm + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** S3: custom keyed state — running per-user totals via

@@ -142,6 +142,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("S9: streaming quota holds the per-(group, window) cap across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def at(offsetSec: Long) = new java.sql.Timestamp(base.getTime + offsetSec * 1000)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "lang", "ts")
+    val q = Streams.streamingQuota(in, "lang", "doc_id", cap = 2,
+        windowDuration = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("s9").outputMode("append").start()
+    try {
+      // batch 1: three 'en' docs in window [00:00,00:10) → only 2 admitted
+      ms.addData((1L, "en", at(10)), (2L, "en", at(20)), (3L, "en", at(30)))
+      q.processAllAvailable()
+      // batch 2: two more 'en' docs, SAME window → 0 admitted (state
+      // carries the count); one 'de' doc → its own quota admits it;
+      // one 'en' doc in the NEXT window → fresh counter admits it
+      ms.addData((4L, "en", at(40)), (5L, "en", at(50)),
+        (6L, "de", at(40)), (7L, "en", at(700)))
+      q.processAllAvailable()
+      val got = spark.table("s9")
+        .select("doc_id", "group", "admit_seq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val enFirstWindow = got.filter(p => p._2 == "en" && p._1 <= 5)
+      assert(enFirstWindow.size == 2, s"cap violated across batches: $got")
+      // deterministic admission: batch-1 'en' rows admitted by md5(id)
+      // order — md5("1") < md5("2") < md5("3") → ids 1 and 2
+      assert(enFirstWindow.map(_._1) == Set(1L, 2L), s"non-hash-order admission: $got")
+      assert(got.contains((6L, "de", 1)), s"independent group quota missing: $got")
+      assert(got.contains((7L, "en", 1)), s"next-window quota missing: $got")
+    } finally q.stop()
+  }
+
   test("S6: bucket state survives a query restart via checkpoint") {
     import graft.dedup.Dedup
     val docs = GraftSession.table(spark, sfDir, "documents")
