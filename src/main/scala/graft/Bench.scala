@@ -132,6 +132,19 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // per-query peak task memory (max over tasks of peakExecutionMemory,
+    // i.e. the largest single-task footprint for sort/agg/join buffers):
+    // wall time alone hides an operator that only fits because the box
+    // is big — at 100 TB the per-task peak is what must fit an executor
+    val peakByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val currentPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) currentPeak.getAndAccumulate(m.peakExecutionMemory, math.max)
+      }
+    })
+
     // best-of-2: single runs on a shared box are noisy (observed 0.8s ↔
     // 5.2s for the same query); the min is the steady-state number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -146,10 +159,14 @@ object Bench {
     }
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        currentPeak.set(0L)
         val t1 = once(name, fn)
         spark.catalog.clearCache()
         val t2 = if (t1 >= 0) once(name, fn) else -1.0
         spark.catalog.clearCache()
+        // listener events are async; drain before reading the peak
+        org.apache.spark.sql.graftx.bridge.drainListenerBus(spark.sparkContext, 10000)
+        peakByQuery += name -> currentPeak.get()
         name -> (if (t1 >= 0 && t2 >= 0) math.min(t1, t2) else -1.0)
       }
     } ++ streamBench(spark, sfDir, errors)
@@ -165,7 +182,8 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib":$calib,"sf":"$sfDir"}""")
+    val mem = peakByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib":$calib,"peak_task_mem":$mem,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
