@@ -329,8 +329,11 @@ object Dedup {
       // graphs are shallow cliques, so the extra per-round self-join
       // costs more than the rounds it saves; revisit only for corpora
       // with long chain diameters)
+      // eager lineage truncation, not just persist: each round's plan
+      // otherwise nests the previous round's and analysis time grows
+      // with the iteration count (see clustersAltStar)
       val next = labels.unionByName(neighbor)
-        .groupBy("id").agg(min("label").as("label")).persist()
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
@@ -342,6 +345,80 @@ object Dedup {
       throw new IllegalStateException(s"label propagation did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep"))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round companion to [[clusters]] for pair graphs with
+    * LONG CHAINS (templated/serially-edited content), where per-round
+    * min-label propagation needs diameter rounds. Each round rewires
+    * every node's neighborhood onto its local minimum, halving the
+    * effective depth; edges are kept canonically as (hi, lo) and
+    * convergence is an order-independent set fingerprint
+    * (count + bit_xor of edge hashes) — one 2-scalar aggregate per
+    * round on the driver, like [[clusters]]' label sum. Output schema
+    * and labels are identical to [[clusters]] (spec-pinned). */
+  def clustersAltStar(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 20): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("n")).unionByName(pairs.select(col(bCol).as("n")))
+      .distinct().persist()
+    // canonical orientation hi→lo (the component minimum only ever
+    // appears on the lo side, so stars emerge as (member, min) edges).
+    // Each round's result is EAGERLY lineage-truncated (localCheckpoint):
+    // persist alone keeps the logical plan growing round over round and
+    // Catalyst analysis time explodes exponentially — the standard trap
+    // of iterative DataFrame algorithms (on a cluster with an
+    // unreliable-executor concern, swap for reliable checkpoint(dir))
+    var edges = pairs
+      .filter(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("hi"), least(col(aCol), col(bCol)).as("lo"))
+      .distinct().localCheckpoint(true)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // LARGE-STAR: every node u links its LARGER neighbors to
+      // m(u) = min(Γ(u) ∪ {u}); emitted edges always run hi→lo
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      val afterLarge = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .unionByName(mins.filter(col("u") =!= col("m"))
+          .select(col("u").as("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint(true)
+      // SMALL-STAR: every node u links its SMALLER-or-equal
+      // neighborhood (incl. itself) to the minimum among them
+      val minsS = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(minsS, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(minsS.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint(true)
+      afterLarge.unpersist()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges.unpersist()
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"alternating star did not converge in $maxIter rounds")
+    nodes.join(edges.select(col("hi").as("n"), col("lo").as("label")), Seq("n"), "left")
+      .groupBy("n").agg(coalesce(min(col("label")), first(col("n"))).as("cluster_id"))
+      .select(col("n").as("doc_id"), col("cluster_id"),
+        (col("n") === col("cluster_id")).as("keep"))
   }
 
   /** Embedding near-dup pairs (L5): cosine ≥ tau within a block column

@@ -81,6 +81,20 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("alternating-star clustering equals label propagation; chains converge in log rounds") {
+    import spark.implicits._
+    def labeled(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // long chain 1-2-...-60: label propagation needs ~diameter rounds,
+    // alternating star must finish within a log-ish budget
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val viaStar = labeled(Dedup.clustersAltStar(chain, maxIter = 12))
+    assert(viaStar == (1L to 60L).map(i => (i, 1L, i == 1L)).toSet)
+    // corpus pair graph: identical labeling to the default operator
+    val pairs = Dedup.ngramJaccardPairs(docs).persist()
+    assert(labeled(Dedup.clustersAltStar(pairs)) == labeled(Dedup.clusters(pairs)))
+  }
+
   test("contamination index: incremental store-table build equals the direct gate") {
     import org.apache.spark.sql.functions.col
     val store = new graft.store.TableStore(spark,
