@@ -35,6 +35,7 @@ object Bench {
     "text_tfidf",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
+    "embedding_centroids",
     "text_quality",
     "text_fingerprint",
     "multimodal_decode",
