@@ -11,7 +11,10 @@ import graft.functions.{Text, Vectors}
   * pairs ONLY inside bounded blocks/buckets (language × length band,
   * LSH band buckets) — never an unblocked all-pairs join — so candidate
   * counts stay near-linear at 100 TB. Verification (exact jaccard /
-  * cosine) runs only on candidates.
+  * cosine) runs only on candidates. Pair generation itself runs through
+  * the custom whole-operator plan [[graft.plans.Pairs]]: one clustering
+  * exchange + streaming per-key pair emission, half the shuffle volume
+  * of the self-join it replaces, with an explicit per-key skew bound.
   */
 object Dedup {
 
@@ -126,14 +129,16 @@ object Dedup {
   }
 
   /** Intersection counts + set sizes + threshold over a df-cut shingle
-    * relation (shared by the fixed and adaptive cuts). */
+    * relation (shared by the fixed and adaptive cuts). Pair generation
+    * runs through the custom [[graft.plans.Pairs]] operator: one
+    * clustering exchange on (lang, band, shingle) — which the df-cut
+    * window has usually already established — instead of the two-sided
+    * self-join shuffle. */
   private def jaccardFromKept(kept: DataFrame, tau: Double): DataFrame = {
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-    val a = kept.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
-    val b = kept.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"), col("__s").as("__sb"))
-    val inter = a.join(b,
-        col("__s") === col("__sb") && col("lang") === col("__lb") &&
-          col("__band") === col("__bb") && col("a_id") < col("b_id"))
+    val inter = graft.plans.Pairs.withinGroups(
+        kept, Seq("lang", "__band", "__s"), "doc_id")
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
     jaccardFromCounts(inter, sizes, tau)
   }
@@ -173,44 +178,32 @@ object Dedup {
       bandWidth: Int = 50): DataFrame =
     minhashFrom(shingled(docs, n, bandWidth), k, rowsPerBand, tau)
 
-  /** MinHash-LSH stage over a pre-shingled relation (see
-    * [[ngramJaccardFrom]] for the shared-scan rationale). */
-  private def minhashFrom(
-      shingles: DataFrame,
-      k: Int,
-      rowsPerBand: Int,
-      tau: Double): DataFrame = {
+  /** Band-bucket keyed rows (doc_id, lang, __band, __k): one row per
+    * (doc, band), key = 64-bit hash of (band index, band's signature
+    * rows). Expects the `__hx` column (shingle hashes mod P) on a
+    * PERSISTED input — the k-signature computes in graft's native
+    * codegen'd Expression (plans/MinHashSignature): one fused
+    * primitive-long loop per row, O(1) expression-tree size in k. The
+    * sigDf persist() is the materialization barrier that keeps the
+    * band-key element_at references reading the computed array instead
+    * of CollapseProject inlining the signature once per reference
+    * (2·bands× recompute, measured at sf0.1). */
+  private def minhashKeyed(sh: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
-    // The k-signature computes in graft's native codegen'd Expression
-    // (plans/MinHashSignature): one fused primitive-long loop per row,
-    // O(1) expression-tree size in k. The persist() is the
-    // materialization barrier that keeps the band-key element_at
-    // references reading the computed array instead of CollapseProject
-    // inlining the signature once per reference (2·bands× recompute,
-    // measured at sf0.1).
-    val sh = shingles
-      .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
-      .persist() // feeds both the signature branch and the verify branch
     val sigDf = sh
       .select(col("doc_id"), col("lang"), col("__band"),
         graft.plans.GraftFunctions.minhashSignature(col("__hx"), k).as("__sig"))
       .persist()
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("b"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("__sig"), b * rowsPerBand + r + 1)): _*).as("h")))
-    val buckets = sigDf
-      .select(col("doc_id"), col("lang"), col("__band"), explode(bandKeys).as("__bk"))
-    val a = buckets.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__bk"))
-    val b2 = buckets.select(col("doc_id").as("b_id"), col("lang").as("__lb"),
-      col("__band").as("__bb"), col("__bk").as("__bkb"))
-    val cands = a.join(b2,
-        col("__bk") === col("__bkb") && col("lang") === col("__lb") &&
-          col("__band") === col("__bb") && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // verify candidates with exact jaccard on the shingle sets
-    val sets = sh.select(col("doc_id"), col("__sh")).persist()
-    val verified = cands
+      xxhash64(b, xxhash64((0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)))
+    sigDf.select(col("doc_id"), col("lang"), col("__band"), explode(bandKeys).as("__k"))
+  }
+
+  /** Exact-jaccard verification of candidate pairs against the shingle
+    * sets (shared by MinHash-LSH standalone and the families pass). */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, tau: Double): DataFrame =
+    cands
       .join(sets.select(col("doc_id").as("a_id"), col("__sh").as("__sa")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("__sh").as("__sb")), "b_id")
       .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
@@ -218,16 +211,29 @@ object Dedup {
         round(col("__inter").cast("double") /
           (size(col("__sa")) + size(col("__sb")) - col("__inter")), 6))
       .filter(col("jaccard") >= tau)
-    verified.select("a_id", "b_id", "jaccard")
+      .select("a_id", "b_id", "jaccard")
+
+  /** MinHash-LSH stage over a pre-shingled relation (see
+    * [[ngramJaccardFrom]] for the shared-scan rationale). Candidate
+    * pairs come from the custom pair operator over band buckets —
+    * one exchange, no self-join. */
+  private def minhashFrom(
+      shingles: DataFrame,
+      k: Int,
+      rowsPerBand: Int,
+      tau: Double): DataFrame = {
+    val sh = shingles
+      .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
+      .persist() // feeds both the signature branch and the verify branch
+    val cands = graft.plans.Pairs.withinGroups(
+        minhashKeyed(sh, k, rowsPerBand), Seq("lang", "__band", "__k"), "doc_id")
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id")).distinct()
+    verifyJaccard(cands, sh.select(col("doc_id"), col("__sh")), tau)
   }
 
-  /** SimHash near-dup pairs (L4): 64-bit signature from token hashes,
-    * candidates share one of four 16-bit chunks (within a block), verify
-    * hamming distance ≤ maxHamming. */
-  def simhashPairs(
-      docs: DataFrame,
-      maxHamming: Int = 6,
-      bandWidth: Int = 50): DataFrame = {
+  /** SimHash chunk-keyed rows (doc_id, lang, __band, __sig, __k): four
+    * rows per doc, key = chunk index × 2^16 + the chunk's 16 bits. */
+  private def simhashChunks(docs: DataFrame, bandWidth: Int): DataFrame = {
     // weighted (Charikar) simhash: token multiplicity contributes, which
     // separates documents drawn from a shared small vocabulary
     val toks = scatter(blockCols(docs, bandWidth))
@@ -244,26 +250,41 @@ object Dedup {
             1L).otherwise(0L),
           j.cast("int")))))
       .select("doc_id", "lang", "__band", "__sig")
-      .persist() // scanned 4× (chunk explode) and from both join sides
-    val chunks = packed.select(col("doc_id"), col("lang"), col("__band"), col("__sig"),
+      .persist() // the chunk explode scans it 4×
+    packed.select(col("doc_id"), col("lang"), col("__band"), col("__sig"),
       explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("__ck"))
-    val a = chunks.select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__sig").as("__siga"), col("__ck"))
-    val b = chunks.select(col("doc_id").as("b_id"), col("lang").as("__lb"), col("__band").as("__bb"),
-      col("__sig").as("__sigb"), col("__ck").as("__ckb"))
-    a.join(b, col("__ck") === col("__ckb") && col("lang") === col("__lb") &&
-        col("__band") === col("__bb") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+        shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL) + lit(c.toLong << 16)): _*)).as("__k"))
   }
 
+  /** SimHash near-dup pairs (L4): 64-bit signature from token hashes,
+    * candidates share one of four 16-bit chunks (within a block), verify
+    * hamming distance ≤ maxHamming. The signature rides through the pair
+    * operator as a payload, so verification needs no join back. */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 6,
+      bandWidth: Int = 50): DataFrame =
+    simhashFromChunks(simhashChunks(docs, bandWidth), maxHamming)
+
+  private def simhashFromChunks(chunks: DataFrame, maxHamming: Int): DataFrame =
+    graft.plans.Pairs.withinGroups(
+        chunks, Seq("lang", "__band", "__k"), "doc_id", payloadCols = Seq("__sig"))
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        bit_count(col("a___sig").bitwiseXOR(col("b___sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+
   /** All near-dup families from ONE shared pass (L2+L3+L4): the scan,
-    * blocking, tokenization, and shingling run once (persisted), then
-    * fan out to exact jaccard, MinHash-LSH, and SimHash — at 100 TB the
-    * corpus is read and shingled once instead of once per family, which
-    * is how a curation pipeline would actually run them side by side.
+    * blocking, tokenization, and shingling run once (persisted), AND all
+    * three families' candidate generation shares ONE shuffle — each
+    * family's keyed rows (shingle hash / band-bucket hash / SimHash
+    * chunk, tagged by family) union into a single clustering exchange
+    * that the custom pair operator ([[graft.plans.Pairs]]) streams pairs
+    * out of. The old shape exchanged each family's relation twice (both
+    * self-join sides): 6 shuffled copies of the keyed data; this shape
+    * moves 3 copies through 1 exchange. At 100 TB the corpus is read,
+    * shingled, and shuffled once instead of once per family, which is
+    * how a curation pipeline would actually run them side by side.
     * Returns (family, a_id, b_id, score) where score is the family's
     * native measure (jaccard, estimated jaccard, 64−hamming). Each
     * family's pair set is IDENTICAL to its standalone operator
@@ -278,11 +299,48 @@ object Dedup {
       rowsPerBand: Int = 3,
       maxHamming: Int = 6): DataFrame = {
     val sh = shingled(docs, n, bandWidth).persist()
-    val jac = ngramJaccardFrom(sh, tau, maxDf)
-      .select(lit("jaccard").as("family"), col("a_id"), col("b_id"), col("jaccard").as("score"))
-    val mh = minhashFrom(sh, k, rowsPerBand, tau)
-      .select(lit("minhash").as("family"), col("a_id"), col("b_id"), col("jaccard").as("score"))
-    val simh = simhashPairs(docs, maxHamming, bandWidth)
+    // jaccard family: df-cut shingle hashes (kept feeds both the union
+    // and the per-doc set sizes)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
+    val kept = exploded(sh).withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf).drop("__df")
+      .persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val jacKeyed = kept.select(lit("jac").as("__fam"), col("lang"), col("__band"),
+      col("__s").as("__k"), col("doc_id"), lit(0L).as("__sig"))
+    // minhash family: band-bucket keys (signature relation also feeds
+    // candidate verification)
+    val shx = sh.withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
+      .persist()
+    val mhKeyed = minhashKeyed(shx, k, rowsPerBand)
+      .select(lit("mh").as("__fam"), col("lang"), col("__band"), col("__k"),
+        col("doc_id"), lit(0L).as("__sig"))
+    // simhash family: chunk keys, signature as pair payload
+    val simKeyed = simhashChunks(docs, bandWidth)
+      .select(lit("sim").as("__fam"), col("lang"), col("__band"), col("__k"),
+        col("doc_id"), col("__sig"))
+    // the shared shuffle: one exchange on (family, block, key)
+    val allPairs = graft.plans.Pairs.withinGroups(
+        jacKeyed.unionByName(mhKeyed).unionByName(simKeyed),
+        Seq("__fam", "lang", "__band", "__k"), "doc_id", payloadCols = Seq("__sig"))
+      .persist() // fanned back out to the three family post-passes
+    val jac = jaccardFromCounts(
+        allPairs.filter(col("__fam") === "jac")
+          .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter")),
+        sizes, tau)
+      .select(lit("jaccard").as("family"), col("a_id"), col("b_id"),
+        col("jaccard").as("score"))
+    val mhCands = allPairs.filter(col("__fam") === "mh")
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id")).distinct()
+    val mh = verifyJaccard(mhCands, shx.select(col("doc_id"), col("__sh")), tau)
+      .select(lit("minhash").as("family"), col("a_id"), col("b_id"),
+        col("jaccard").as("score"))
+    val simh = allPairs.filter(col("__fam") === "sim")
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        bit_count(col("a___sig").bitwiseXOR(col("b___sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
       .select(lit("simhash").as("family"), col("a_id"), col("b_id"),
         (lit(64) - col("hamming")).cast("double").as("score"))
     jac.unionByName(mh).unionByName(simh)
@@ -301,11 +359,32 @@ object Dedup {
     * variant is the drop-in upgrade; the convergence guard throws
     * rather than returning a partial labeling. The only driver-side
     * value per round is the changed-label count (one scalar). */
+  /** Per-round lineage truncation for the iterative clusterers: persist
+    * alone leaves each round's logical plan nesting the previous one's
+    * and Catalyst analysis time grows exponentially with rounds. Local
+    * checkpoint (executor-block storage) is the single-box default; pass
+    * `checkpointDir` for a RELIABLE checkpoint to shared storage — on a
+    * real cluster localCheckpoint ties the RDD to specific executors, so
+    * one lost executor past round 1 fails the job, while a reliable
+    * checkpoint survives executor loss (the knob a 1000-executor run
+    * must set). */
+  private def lineageTruncator(
+      like: DataFrame,
+      checkpointDir: Option[String]): DataFrame => DataFrame = checkpointDir match {
+    case Some(dir) =>
+      like.sparkSession.sparkContext.setCheckpointDir(dir)
+      df => df.checkpoint(eager = true)
+    case None =>
+      df => df.localCheckpoint(eager = true)
+  }
+
   def clusters(
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val truncate = lineageTruncator(pairs, checkpointDir)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
@@ -332,8 +411,8 @@ object Dedup {
       // eager lineage truncation, not just persist: each round's plan
       // otherwise nests the previous round's and analysis time grows
       // with the iteration count (see clustersAltStar)
-      val next = labels.unionByName(neighbor)
-        .groupBy("id").agg(min("label").as("label")).localCheckpoint(true)
+      val next = truncate(labels.unionByName(neighbor)
+        .groupBy("id").agg(min("label").as("label")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
@@ -362,20 +441,19 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val truncate = lineageTruncator(pairs, checkpointDir)
     val nodes = pairs.select(col(aCol).as("n")).unionByName(pairs.select(col(bCol).as("n")))
       .distinct().persist()
     // canonical orientation hi→lo (the component minimum only ever
     // appears on the lo side, so stars emerge as (member, min) edges).
-    // Each round's result is EAGERLY lineage-truncated (localCheckpoint):
-    // persist alone keeps the logical plan growing round over round and
-    // Catalyst analysis time explodes exponentially — the standard trap
-    // of iterative DataFrame algorithms (on a cluster with an
-    // unreliable-executor concern, swap for reliable checkpoint(dir))
-    var edges = pairs
+    // Each round's result is EAGERLY lineage-truncated — see
+    // [[lineageTruncator]] for the local vs reliable checkpoint trade.
+    var edges = truncate(pairs
       .filter(col(aCol) =!= col(bCol))
       .select(greatest(col(aCol), col(bCol)).as("hi"), least(col(aCol), col(bCol)).as("lo"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)))
         .collect()(0)
@@ -391,20 +469,20 @@ object Dedup {
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = nbrs.groupBy("u").agg(min(col("v")).as("__mn"))
         .select(col("u"), least(col("__mn"), col("u")).as("m"))
-      val afterLarge = nbrs.join(mins, "u")
+      val afterLarge = truncate(nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .unionByName(mins.filter(col("u") =!= col("m"))
           .select(col("u").as("hi"), col("m").as("lo")))
-        .distinct().localCheckpoint(true)
+        .distinct())
       // SMALL-STAR: every node u links its SMALLER-or-equal
       // neighborhood (incl. itself) to the minimum among them
       val minsS = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = afterLarge.join(minsS, "hi")
+      val next = truncate(afterLarge.join(minsS, "hi")
         .filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionByName(minsS.select(col("hi"), col("m").as("lo")))
-        .distinct().localCheckpoint(true)
+        .distinct())
       afterLarge.unpersist()
       val nfp = fingerprint(next)
       converged = nfp == fp
@@ -430,11 +508,9 @@ object Dedup {
       blockCol: String = "label"): DataFrame = {
     val e = embeddings.select(col("vec_id"), col(blockCol).as("__blk"),
       Vectors.toDouble(col("embedding")).as("__v"))
-    val a = e.select(col("vec_id").as("a_id"), col("__blk"), col("__v").as("__va"))
-    val b = e.select(col("vec_id").as("b_id"), col("__blk").as("__blkb"), col("__v").as("__vb"))
-    a.join(b, col("__blk") === col("__blkb") && col("a_id") < col("b_id"))
-      .withColumn("cosine", Vectors.cosine6(col("__va"), col("__vb")))
+    graft.plans.Pairs.withinGroups(e, Seq("__blk"), "vec_id", payloadCols = Seq("__v"))
+      .select(col("a_vec_id").as("a_id"), col("b_vec_id").as("b_id"),
+        Vectors.cosine6(col("a___v"), col("b___v")).as("cosine"))
       .filter(col("cosine") >= tau)
-      .select("a_id", "b_id", "cosine")
   }
 }

@@ -140,10 +140,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BuildRight") || plan.contains("broadcast"), plan)
   }
 
-  test("minhash LSH candidate join is a hash join on bucket keys, not a cross join") {
+  test("minhash LSH candidates come from the pair operator, not a self-join") {
     val plan = executedPlan(dedup.Dedup.minhashLshPairs(GraftSession.table(spark, sfDir, "documents")))
     assert(!plan.contains("CartesianProduct"), s"all-pairs blowup:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"non-equi candidate join:\n$plan")
+    assert(plan.contains("PairsWithinGroups"), s"custom pair operator not planned:\n$plan")
+  }
+
+  test("families pass generates ALL families' candidates through ONE exchange") {
+    val plan = executedPlan(dedup.Dedup.familiesPairs(GraftSession.table(spark, sfDir, "documents")))
+    // exactly one PairsWithinGroups node feeds all three families
+    assert(plan.sliding("PairsWithinGroups".length).count(_ == "PairsWithinGroups") == 1,
+      s"families should share one pair operator:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("contamination check is a semi-join on shingle hashes, nothing quadratic") {
