@@ -83,4 +83,25 @@ object Contamination {
 
   def loadIndex(store: graft.store.TableStore, table: String): DataFrame =
     store.read(table).select(col("s").as("__s"))
+
+  /** Collect the distinct train-shingle hashes into a SORTED array for
+    * broadcast membership tests: the single-stateful-pass streaming
+    * admission gate ([[graft.streaming.Streams.admissionGate]]) needs
+    * per-doc membership WITHOUT a join or a second stateful aggregation
+    * (Spark disallows flatMapGroupsWithState downstream of a streaming
+    * aggregation). 8 bytes per distinct shingle; `maxShingles` guards
+    * the driver/broadcast footprint (default 2^24 ≈ 128 MB, a practical
+    * broadcast ceiling). A train corpus whose distinct-shingle count
+    * exceeds the cap raises rather than OOMing — at that scale use the
+    * distributed two-query path (S8 gate into a table, then the batch
+    * quota) instead of the fused single pass. */
+  def collectIndex(train: DataFrame, n: Int = 5, maxShingles: Int = 1 << 24): Array[Long] = {
+    val arr = trainShingleSet(train, n).limit(maxShingles + 1).collect().map(_.getLong(0))
+    if (arr.length > maxShingles)
+      throw new IllegalStateException(
+        s"collectIndex: train shingle set exceeds maxShingles=$maxShingles — " +
+          "use the distributed gate (overlapWithIndex / Streams.contaminationGate)")
+    java.util.Arrays.sort(arr)
+    arr
+  }
 }

@@ -39,6 +39,11 @@ object PipelineQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.clusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
 
+  /** L16b: same labeling contract as [[dedupClusters]] via the
+    * O(log n)-round alternating-star algorithm — shares its oracle. */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.clustersAltStar(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings")).orderBy("a_id", "b_id")
 
@@ -73,6 +78,18 @@ object PipelineQueries {
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Ann.topKIvf(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
+  /** The persisted-index path end-to-end: build the IVF index (store
+    * tables) on 80% of the corpus, grow it incrementally with the rest,
+    * answer through the assignment table. */
+  def simTopkIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ivf_q_").toString)
+    Ann.saveIndex(s, store, "ivf", e.filter(col("vec_id") % 5 =!= 0))
+    Ann.growIndex(store, "ivf", e.filter(col("vec_id") % 5 === 0))
+    Ann.topKIvfIndexed(store, "ivf", e, queriesOf(e)).orderBy("q_id", "rank")
   }
 
   def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -152,6 +169,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_star" -> dedupClustersStar,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_families" -> dedupFamilies,
     "contamination_check" -> contaminationCheck,
@@ -159,6 +177,7 @@ object PipelineQueries {
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_ivf" -> simTopkIvf,
+    "sim_topk_ivf_indexed" -> simTopkIvfIndexed,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -184,6 +203,39 @@ object PipelineQueries {
     }.mkString(" ")
     s"CASE WHEN NOT ($hit) THEN 'und' $branches END"
   }
+
+  /** Connected-components oracle shared by `dedup_clusters` and
+    * `dedup_clusters_star` — both operators implement the SAME labeling
+    * contract (min reachable doc_id), only the iteration schedule
+    * differs, so one recursive-CTE oracle pins both. */
+  private val clustersOracle: String =
+    """WITH RECURSIVE tok AS (
+      | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+      | FROM documents),
+      |sh AS (
+      | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+      | WHERE len(toks) >= 3),
+      |kept AS (
+      | SELECT * FROM (
+      |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
+      | WHERE df <= 128),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+      |prs AS (
+      | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      | GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      | SELECT a_id, b_id FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      | WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      |reach AS (
+      | SELECT src AS id, dst AS r FROM edges
+      | UNION
+      | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id,
+      | (id = LEAST(id, MIN(r))) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -235,34 +287,10 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     // dedup_minhash_lsh, dedup_simhash: rows-only (engine-specific hash
     // seeds); asserted against exact twins in ScalaTest specs.
-    "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
-        | FROM documents),
-        |sh AS (
-        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
-        | WHERE len(toks) >= 3),
-        |kept AS (
-        | SELECT * FROM (
-        |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
-        | WHERE df <= 128),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-        |prs AS (
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
-        | SELECT a_id, b_id FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-        | WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3),
-        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
-        |reach AS (
-        | SELECT src AS id, dst AS r FROM edges
-        | UNION
-        | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-        |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id,
-        | (id = LEAST(id, MIN(r))) AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+    // L16b computes the SAME labeling with the alternating-star
+    // algorithm, so it shares the connected-components oracle verbatim
+    "dedup_clusters_star" -> clustersOracle,
     "contamination_check" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |tr AS (

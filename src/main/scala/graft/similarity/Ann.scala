@@ -188,6 +188,69 @@ object Ann {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rs) => rs.sortBy(_._2).map(_._3).toIndexedSeq }
 
+  /** Per-vector inverted-list assignments for a trained quantizer. */
+  private def assignments(corpus: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    scatter(corpus).select(col("vec_id"),
+      nearestCluster(Vectors.toDouble(col("embedding")), cents).as("cl"))
+
+  /** Persist a FULL IVF index (L7c): the quantizer (`<name>_centroids`)
+    * plus every vector's inverted-list assignment (`<name>_assign`, a
+    * vec_id-PK bucketed store table). Centroids alone amortize training;
+    * persisting the assignments amortizes the corpus-wide
+    * nearest-centroid scan too — the expensive half at 100 TB. Corpus
+    * growth is INCREMENTAL via [[growIndex]]: only the new vectors are
+    * assigned and upserted, and the store's bucket pruning rewrites only
+    * the buckets their keys land in. */
+  def saveIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.TableStore,
+      name: String,
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      iters: Int = 5,
+      maxTrainRows: Int = 65536,
+      assignBuckets: Int = 8): Seq[Seq[Double]] = {
+    val cents = trainIvfCentroids(corpus, nCentroids, iters, maxTrainRows)
+    saveCentroids(spark, store, s"${name}_centroids", cents)
+    store.createTable(s"${name}_assign",
+      Seq("vec_id" -> "bigint", "cl" -> "int"), Seq("vec_id"), buckets = assignBuckets)
+    store.insert(s"${name}_assign", assignments(corpus, cents))
+    cents
+  }
+
+  /** Assign ONLY `newVectors` against the persisted quantizer and upsert
+    * them into the assignment table — the quantizer is NOT retrained
+    * (the faiss add() contract), so existing lists stay valid and the
+    * cost is O(new vectors). Re-sent vec_ids are re-assigned idempotently. */
+  def growIndex(
+      store: graft.store.TableStore,
+      name: String,
+      newVectors: DataFrame): Unit = {
+    val cents = loadCentroids(store, s"${name}_centroids")
+    store.upsert(s"${name}_assign", assignments(newVectors, cents))
+  }
+
+  /** IVF top-k over a PERSISTED index: inverted lists come from the
+    * assignment table (one co-keyed join on vec_id instead of a
+    * corpus-wide nearest-centroid scan); probing and exact rerank as in
+    * [[topKIvf]]. Results are identical to topKIvf run with the same
+    * centroids (spec-pinned). */
+  def topKIvfIndexed(
+      store: graft.store.TableStore,
+      name: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val cents = loadCentroids(store, s"${name}_centroids")
+    val assign = store.readTable(s"${name}_assign")
+    val c = scatter(corpus)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+      .join(assign.select(col("vec_id"), col("cl").as("__cl")), "vec_id")
+      .select(col("vec_id").as("n_id"), col("__vc"), col("__cl"))
+    probeAndRerank(c, queries, cents, k, nProbe)
+  }
+
   /** IVF top-k (the second scale path next to sign-LSH): assign the
     * corpus to its nearest centroid once; each broadcast query probes
     * its `nProbe` nearest inverted lists and reranks exactly. Work per
@@ -208,6 +271,19 @@ object Ann {
     val c = scatter(corpus)
       .select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
       .withColumn("__cl", nearestCluster(col("__vc"), cents))
+    probeAndRerank(c, queries, cents, k, nProbe)
+  }
+
+  /** Shared probe + exact-rerank tail of the IVF variants: each
+    * broadcast query probes its nProbe nearest inverted lists, candidates
+    * rerank by exact rounded cosine with id tie-break. `c` is the
+    * assigned corpus (n_id, __vc, __cl). */
+  private def probeAndRerank(
+      c: DataFrame,
+      queries: DataFrame,
+      cents: Seq[Seq[Double]],
+      k: Int,
+      nProbe: Int): DataFrame = {
     // query → its nProbe nearest centroid ids, exploded into probes
     val probeIds = {
       val d = distances(col("__vq"), cents)

@@ -205,6 +205,13 @@ object Streams {
       .select("doc_id", "n_shingles", "n_contaminated", "contamination", "flagged")
   }
 
+  private def windowMillis(windowDuration: String): Long = {
+    val i = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowDuration))
+    require(i.months == 0, "calendar-month windows are not fixed-width")
+    i.days * 86400000L + i.microseconds / 1000L
+  }
+
   final case class Admitted(doc_id: Long, group: String,
       window_start: java.sql.Timestamp, admit_seq: Int)
 
@@ -227,12 +234,7 @@ object Streams {
       watermarkDelay: String = "10 minutes"): Dataset[Admitted] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val winMs = {
-      val i = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowDuration))
-      require(i.months == 0, "calendar-month windows are not fixed-width")
-      i.days * 86400000L + i.microseconds / 1000L
-    }
+    val winMs = windowMillis(windowDuration)
     val rows = stream.select(
         col(Identifiers.quote(groupCol)).cast("string").as("g"),
         col(Identifiers.quote(idCol)).cast("long").as("id"),
@@ -261,6 +263,142 @@ object Streams {
                 if (n < cap) {
                   counts = counts.updated(k, n + 1)
                   out += Admitted(id, g, ws, n + 1)
+                }
+            }
+            if (counts.isEmpty) state.remove()
+            else {
+              state.update(counts)
+              state.setTimeoutTimestamp(math.max(counts.keys.max + winMs, wm + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
+  /** S10: streaming embedding-centroid drift monitor — the streaming
+    * twin of [[graft.similarity.Ann.labelCentroids]], watching a live
+    * embedding feed for distribution shift against a fixed reference.
+    * Per (label, tumbling event-time window) the centroid is computed in
+    * ONE stateful windowed aggregation: `dim` per-position DECIMAL sums
+    * (6dp-rounded inputs, so the mean is order-independent and matches
+    * the batch operator bit-for-bit) — a dim-wide aggregate row, the
+    * same shape as any wide table agg, NOT a per-row lambda unroll.
+    * The finalized window then joins the STATIC reference centroids
+    * (stream-static, stateless) and scores cosine(window centroid,
+    * reference centroid); `drifted` flags windows whose cosine falls
+    * under `minCosine` — and labels with NO reference (never seen in
+    * training) flag as drifted by definition.
+    *
+    * `reference` takes the (label, pos, centroid) shape
+    * `Ann.labelCentroids` emits — build it once over the training
+    * corpus, persist it, point the monitor at it. */
+  def centroidDrift(
+      stream: DataFrame,
+      reference: DataFrame,
+      dim: Int = 64,
+      minCosine: Double = 0.98,
+      tsCol: String = "ts",
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val refVec = reference.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("__ref"))
+    val sums = (0 until dim).map(i =>
+      sum(round(element_at(col("embedding"), i + 1).cast("double"), 6)
+        .cast(DecimalType(18, 6))).as(s"__s$i"))
+    val agged = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(Identifiers.quote(tsCol)), windowDuration).as("w"), col("label"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val centroid = array((0 until dim).map(i =>
+      round(col(s"__s$i").cast("double") / col("n"), 6)): _*)
+    agged
+      .select(col("w.start").as("window_start"), col("label"), col("n"),
+        centroid.as("centroid"))
+      .join(refVec, Seq("label"), "left")
+      .withColumn("cosine_to_ref",
+        graft.functions.Vectors.cosine6(col("centroid"), col("__ref")))
+      .withColumn("drifted", coalesce(col("cosine_to_ref") < minCosine, lit(true)))
+      .select("window_start", "label", "n", "centroid", "cosine_to_ref", "drifted")
+  }
+
+  final case class GatedAdmit(doc_id: Long, group: String,
+      window_start: java.sql.Timestamp, admit_seq: Int,
+      n_shingles: Int, n_contaminated: Int, contamination: Double)
+
+  /** S11: composed admission pipeline — the contamination gate (S8) and
+    * the per-group quota (S9) fused into ONE stateful pass, the shape a
+    * live ingest front-door actually wants: "drop eval-contaminated
+    * docs, then admit at most `cap` clean docs per (group, window)".
+    *
+    * Spark disallows flatMapGroupsWithState downstream of a streaming
+    * aggregation, so the contamination stage cannot be the S8 windowed
+    * aggregate; instead it is PER-ROW STATELESS: the train-shingle index
+    * rides along as a broadcast sorted array
+    * ([[graft.dedup.Contamination.collectIndex]], size-guarded) and each
+    * document's shingle hits are a binary-search count inside the same
+    * stateful function that enforces the quota. Only clean docs
+    * (contamination < tau) compete for the cap; docs too short to
+    * shingle count as clean (no evidence — the batch gate skips them
+    * entirely). State remains one counter per open (group, window),
+    * exactly as S9. */
+  def admissionGate(
+      stream: DataFrame,
+      trainIndex: Array[Long],
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      n: Int = 5,
+      tau: Double = 0.2,
+      windowDuration: String = "10 minutes",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): Dataset[GatedAdmit] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val winMs = windowMillis(windowDuration)
+    val bc = spark.sparkContext.broadcast(trainIndex)
+    val rows = stream.select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(idCol)).cast("long").as("id"),
+        md5(col(Identifiers.quote(idCol)).cast("string")).as("hk"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
+        window(col(Identifiers.quote(tsCol)), windowDuration).getField("start").as("__ws"),
+        when(size(graft.functions.Text.tokens(col("text"))) >= n,
+          transform(graft.functions.Text.wordShingles(col("text"), n), s => xxhash64(s)))
+          .otherwise(array().cast("array<bigint>")).as("__sh"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, String, java.sql.Timestamp, java.sql.Timestamp, Array[Long])]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (g: String,
+         it: Iterator[(String, Long, String, java.sql.Timestamp, java.sql.Timestamp, Array[Long])],
+         state: GroupState[Map[Long, Int]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var counts = state.getOption.getOrElse(Map.empty)
+              .filter { case (ws, _) => ws + winMs >= wm }
+            val idx = bc.value
+            val out = scala.collection.mutable.ListBuffer.empty[GatedAdmit]
+            it.toSeq.sortBy(r => (r._5.getTime, r._3, r._2)).foreach {
+              case (_, id, _, _, ws, sh) =>
+                var hits = 0
+                var i = 0
+                while (i < sh.length) {
+                  if (java.util.Arrays.binarySearch(idx, sh(i)) >= 0) hits += 1
+                  i += 1
+                }
+                val contamination =
+                  if (sh.length == 0) 0.0
+                  else BigDecimal(hits.toDouble / sh.length)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (contamination < tau) {
+                  val k = ws.getTime
+                  val nAdm = counts.getOrElse(k, 0)
+                  if (nAdm < cap) {
+                    counts = counts.updated(k, nAdm + 1)
+                    out += GatedAdmit(id, g, ws, nAdm + 1, sh.length, hits, contamination)
+                  }
                 }
             }
             if (counts.isEmpty) state.remove()

@@ -70,6 +70,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(cl.select("doc_id").distinct().count() == members)
   }
 
+  test("clusters with a reliable checkpoint dir equal the local-checkpoint path") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(norm(Dedup.clusters(pairs, checkpointDir = Some(dir))) == norm(Dedup.clusters(pairs)))
+    assert(norm(Dedup.clustersAltStar(pairs, checkpointDir = Some(dir))) ==
+      norm(Dedup.clustersAltStar(pairs)))
+    // the reliable path actually wrote checkpoint data to shared storage
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(_.toFile.isFile).count()
+    assert(wrote > 0, "reliable checkpoint must materialize to the checkpoint dir")
+  }
+
   test("eval set fully contained in train is 100% contaminated") {
     import org.apache.spark.sql.functions.col
     val eval = docs.filter(col("doc_id") < 50)
@@ -174,6 +189,27 @@ class DedupAnnSpec extends AnyFunSuite {
     val reused = Ann.topKIvf(emb, emb.limit(5), nCentroids = 8,
       centroids = Some(loaded)).collect().toSeq
     assert(fresh == reused)
+  }
+
+  test("persisted IVF index: incremental growth equals a from-scratch build") {
+    import graft.store.TableStore
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    // build on the old corpus, then grow by the new vectors only —
+    // the quantizer is NOT retrained, so assignments must equal
+    // assigning the full corpus against the same centroids
+    val cents = Ann.saveIndex(spark, store, "ivf", old, nCentroids = 8, iters = 3)
+    Ann.growIndex(store, "ivf", fresh)
+    val viaIndex = Ann.topKIvfIndexed(store, "ivf", emb, emb.limit(5), nProbe = 3)
+      .collect().toSeq
+    val direct = Ann.topKIvf(emb, emb.limit(5), nCentroids = 8, nProbe = 3,
+      centroids = Some(cents)).collect().toSeq
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex == direct,
+      "incrementally grown index must answer identically to a direct build")
   }
 
   test("embedding pairs are canonical (a_id < b_id) and above threshold") {

@@ -142,6 +142,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("S10: streaming centroid drift equals batch centroids; missing reference label flags") {
+    import graft.similarity.Ann
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    val in = Files.createTempDirectory("graft_s10_").toString + "/in"
+    emb.write.parquet(in)
+    // far-future sentinel (second micro-batch) pushes the watermark so
+    // the main window finalizes in append mode (as in the S8 spec)
+    emb.limit(1).withColumn("vec_id", lit(999999L))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", timestamp_seconds(
+        when(col("vec_id") === 999999L, lit(1735689600L + 86400L))
+          .otherwise(lit(1735689600L) + col("vec_id") % 600)))
+    // reference omits label 9 → that label must flag as drifted
+    val reference = Ann.labelCentroids(emb).filter(col("label") =!= 9).cache()
+    val got = runToTable(Streams.centroidDrift(s, reference), "s10", "append")
+      .filter(col("window_start") === timestamp_seconds(lit(1735689600L)))
+      .orderBy("label").collect()
+    // the stream IS the reference corpus, so every referenced label's
+    // window centroid matches its reference centroid exactly
+    val want = Ann.labelCentroids(emb).orderBy("label", "pos")
+      .collect().groupBy(_.getInt(0)).view
+      .mapValues(rs => (rs.head.getLong(2), rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq))
+      .toMap
+    assert(got.map(_.getInt(1)).toSeq == (0 to 9))
+    got.foreach { r =>
+      val label = r.getInt(1)
+      assert((r.getLong(2), r.getSeq[Double](3).toSeq) == want(label),
+        s"label $label centroid diverged from the batch twin")
+      if (label == 9) assert(r.isNullAt(4) && r.getBoolean(5), "unreferenced label must flag")
+      else assert(r.getDouble(4) == 1.0 && !r.getBoolean(5), s"label $label drifted vs itself")
+    }
+  }
+
   test("S9: streaming quota holds the per-(group, window) cap across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -172,6 +207,56 @@ class StreamsSpec extends AnyFunSuite {
       assert(enFirstWindow.map(_._1) == Set(1L, 2L), s"non-hash-order admission: $got")
       assert(got.contains((6L, "de", 1)), s"independent group quota missing: $got")
       assert(got.contains((7L, "en", 1)), s"next-window quota missing: $got")
+    } finally q.stop()
+  }
+
+  test("S11: fused admission gate equals contamination-filter + quota; cap survives batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.Contamination
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val idx = Contamination.collectIndex(train)
+    val base = 1735689600L // aligned to the 10-minute window grid
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        new java.sql.Timestamp((base + r.getLong(0) % 1200) * 1000)))
+    val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "lang", "text", "ts")
+    val q = Streams.admissionGate(in, idx, "lang", "doc_id", cap = 3)
+      .toDF().writeStream.format("memory").queryName("s11").outputMode("append").start()
+    try {
+      ms.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("s11").collect()
+      // batch twin: the distributed gate's numbers + md5-ranked quota
+      val cont = Contamination.overlap(train, docs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toMap
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val expected = rows
+        .filter { case (id, _, _, _) => cont.get(id).forall(!_._4) } // absent (too short) = clean
+        .groupBy { case (id, lang, _, _) => (lang, (id % 1200) / 600) }
+        .values.flatMap(grp =>
+          grp.sortBy { case (id, _, _, _) => (md5hex(id.toString), id) }.take(3).map(_._1))
+        .toSet
+      assert(got.map(_.getLong(0)).toSet == expected)
+      got.foreach { r =>
+        assert(r.getDouble(6) < 0.2, "contaminated doc admitted")
+        cont.get(r.getLong(0)).foreach { case (nsh, nc, c, _) =>
+          assert((r.getInt(4).toLong, r.getInt(5).toLong, r.getDouble(6)) == ((nsh, nc, c)),
+            s"doc ${r.getLong(0)}: fused gate's numbers diverge from the batch gate")
+        }
+      }
+      // re-sending everything must not breach any (group, window) cap:
+      // admission counts live in state across micro-batches
+      ms.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val counts = spark.table("s11").groupBy("group", "window_start")
+        .count().collect().map(_.getLong(2))
+      assert(counts.nonEmpty && counts.forall(_ <= 3))
     } finally q.stop()
   }
 
