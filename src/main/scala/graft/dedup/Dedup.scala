@@ -275,16 +275,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
 
   /** All near-dup families from ONE shared pass (L2+L3+L4): the scan,
-    * blocking, tokenization, and shingling run once (persisted), AND all
-    * three families' candidate generation shares ONE shuffle — each
-    * family's keyed rows (shingle hash / band-bucket hash / SimHash
-    * chunk, tagged by family) union into a single clustering exchange
-    * that the custom pair operator ([[graft.plans.Pairs]]) streams pairs
-    * out of. The old shape exchanged each family's relation twice (both
-    * self-join sides): 6 shuffled copies of the keyed data; this shape
-    * moves 3 copies through 1 exchange. At 100 TB the corpus is read,
-    * shingled, and shuffled once instead of once per family, which is
-    * how a curation pipeline would actually run them side by side.
+    * blocking, tokenization, and shingling run once (persisted), and the
+    * MinHash + SimHash families' candidate generation shares ONE
+    * clustering exchange — their keyed rows (band-bucket hash / chunk,
+    * tagged by family) union into a single [[graft.plans.Pairs]] call
+    * whose output (thin candidate pairs) is what gets materialized.
+    *
+    * The jaccard family deliberately stays OUTSIDE the shared exchange:
+    * its pair stream is the FAT intermediate (every co-occurring shingle
+    * emits a row that map-side combine immediately collapses into
+    * intersection counts), and routing it through the shared exchange
+    * forces materializing that stream for the fan-out — measured 1.5×
+    * slower at sf0.1 than letting it flow straight into partial
+    * aggregation. Inline it also adds no exchange of its own: the pair
+    * operator reuses the df-cut window's (lang, band, shingle)
+    * partitioning. Net exchanges for candidate generation: 1 shared
+    * (mh+sim) + 0 (jac) vs the self-join era's 6.
+    *
     * Returns (family, a_id, b_id, score) where score is the family's
     * native measure (jaccard, estimated jaccard, 64−hamming). Each
     * family's pair set is IDENTICAL to its standalone operator
@@ -299,44 +306,29 @@ object Dedup {
       rowsPerBand: Int = 3,
       maxHamming: Int = 6): DataFrame = {
     val sh = shingled(docs, n, bandWidth).persist()
-    // jaccard family: df-cut shingle hashes (kept feeds both the union
-    // and the per-doc set sizes)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
-    val kept = exploded(sh).withColumn("__df", count(lit(1)).over(w))
-      .filter(col("__df") <= maxDf).drop("__df")
-      .persist()
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
-    val jacKeyed = kept.select(lit("jac").as("__fam"), col("lang"), col("__band"),
-      col("__s").as("__k"), col("doc_id"), lit(0L).as("__sig"))
-    // minhash family: band-bucket keys (signature relation also feeds
-    // candidate verification)
+    // jaccard: pair stream consumed inline by the intersection aggregate
+    val jac = ngramJaccardFrom(sh, tau, maxDf)
+      .select(lit("jaccard").as("family"), col("a_id"), col("b_id"),
+        col("jaccard").as("score"))
+    // minhash + simhash: thin candidate pairs from ONE shared exchange
     val shx = sh.withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
       .persist()
     val mhKeyed = minhashKeyed(shx, k, rowsPerBand)
       .select(lit("mh").as("__fam"), col("lang"), col("__band"), col("__k"),
         col("doc_id"), lit(0L).as("__sig"))
-    // simhash family: chunk keys, signature as pair payload
     val simKeyed = simhashChunks(docs, bandWidth)
       .select(lit("sim").as("__fam"), col("lang"), col("__band"), col("__k"),
         col("doc_id"), col("__sig"))
-    // the shared shuffle: one exchange on (family, block, key)
-    val allPairs = graft.plans.Pairs.withinGroups(
-        jacKeyed.unionByName(mhKeyed).unionByName(simKeyed),
+    val thinPairs = graft.plans.Pairs.withinGroups(
+        mhKeyed.unionByName(simKeyed),
         Seq("__fam", "lang", "__band", "__k"), "doc_id", payloadCols = Seq("__sig"))
-      .persist() // fanned back out to the three family post-passes
-    val jac = jaccardFromCounts(
-        allPairs.filter(col("__fam") === "jac")
-          .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter")),
-        sizes, tau)
-      .select(lit("jaccard").as("family"), col("a_id"), col("b_id"),
-        col("jaccard").as("score"))
-    val mhCands = allPairs.filter(col("__fam") === "mh")
+      .persist() // thin: candidates only, fanned out to both post-passes
+    val mhCands = thinPairs.filter(col("__fam") === "mh")
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id")).distinct()
     val mh = verifyJaccard(mhCands, shx.select(col("doc_id"), col("__sh")), tau)
       .select(lit("minhash").as("family"), col("a_id"), col("b_id"),
         col("jaccard").as("score"))
-    val simh = allPairs.filter(col("__fam") === "sim")
+    val simh = thinPairs.filter(col("__fam") === "sim")
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         bit_count(col("a___sig").bitwiseXOR(col("b___sig"))).as("hamming"))
       .distinct()

@@ -147,11 +147,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("PairsWithinGroups"), s"custom pair operator not planned:\n$plan")
   }
 
-  test("families pass generates ALL families' candidates through ONE exchange") {
-    val plan = executedPlan(dedup.Dedup.familiesPairs(GraftSession.table(spark, sfDir, "documents")))
-    // exactly one PairsWithinGroups node feeds all three families
-    assert(plan.sliding("PairsWithinGroups".length).count(_ == "PairsWithinGroups") == 1,
-      s"families should share one pair operator:\n$plan")
+  test("families pass: pair operators everywhere, minhash+simhash share one exchange") {
+    val df = dedup.Dedup.familiesPairs(GraftSession.table(spark, sfDir, "documents"))
+    // the ANALYZED plan (pre-cache-substitution — the executed plan hides
+    // persisted subtrees behind cache stages) must show exactly two pair
+    // operators: jaccard's (riding the df-cut window's partitioning) and
+    // ONE shared by the minhash and simhash families — the shared one is
+    // the node whose group key carries the __fam family tag
+    val logical = df.queryExecution.analyzed.toString
+    // 3 nodes in the analyzed tree: jaccard's + the family-tagged thin
+    // operator appearing under BOTH its consumers (mh + simhash)
+    assert(occurrences(logical, "PairsWithinGroups") == 3,
+      s"expected the jaccard + shared thin pair operators:\n$logical")
+    assert(occurrences(logical, "PairsWithinGroups [__fam") == 2,
+      s"minhash+simhash must consume the family-tagged pair operator:\n$logical")
+    val plan = executedPlan(df)
+    // ...but the EXECUTED plan shows only jaccard's node: the thin
+    // operator ran ONCE behind the persisted cache both consumers read —
+    // that cache stage is the shared exchange
+    assert(occurrences(plan, "PairsWithinGroups") == 1,
+      s"thin pairs must materialize once behind the cache:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 
