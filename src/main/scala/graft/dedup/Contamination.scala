@@ -95,6 +95,18 @@ object Contamination {
     * exceeds the cap raises rather than OOMing — at that scale use the
     * distributed two-query path (S8 gate into a table, then the batch
     * quota) instead of the fused single pass. */
+  /** Bloom-filter train index for membership gates past the exact-array
+    * broadcast ceiling: size is set by (expected items, fpp), not corpus
+    * size — 10^9 shingles at 1% fpp is ~1.2 GB, at the edge of
+    * broadcastability; the exact semi-join path has no ceiling at all.
+    * Deterministic for a given train set (hash-OR construction is
+    * order-independent). Counts the distinct set once to size the
+    * filter. */
+  def bloomIndex(train: DataFrame, n: Int = 5, fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter = {
+    val sh = trainShingleSet(train, n).persist()
+    sh.stat.bloomFilter("__s", math.max(sh.count(), 1L), fpp)
+  }
+
   def collectIndex(train: DataFrame, n: Int = 5, maxShingles: Int = 1 << 24): Array[Long] = {
     val arr = trainShingleSet(train, n).limit(maxShingles + 1).collect().map(_.getLong(0))
     if (arr.length > maxShingles)

@@ -388,6 +388,9 @@ object Dedup {
       df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    if (labels.isEmpty)
+      return labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        lit(true).as("keep"))
     var curSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -489,6 +492,102 @@ object Dedup {
       .groupBy("n").agg(coalesce(min(col("label")), first(col("n"))).as("cluster_id"))
       .select(col("n").as("doc_id"), col("cluster_id"),
         (col("n") === col("cluster_id")).as("keep"))
+  }
+
+  /** Cross-corpus near-dup pairs (L22): an incoming batch vs an existing
+    * corpus, emitting CROSS-SIDE pairs only — the incremental-ingest
+    * shape of dedup. Corpus-internal pairs were found when the corpus
+    * was built and batch-internal pairs come from the regular operator,
+    * so at 100 TB each ingest pays O(batch) pairing work against the
+    * corpus's keyed shingles, never re-pairing the corpus with itself.
+    *
+    * This one is a genuine two-relation equi-join (the self-join
+    * degeneracy [[graft.plans.Pairs]] removes does not arise): the small
+    * batch side streams against the corpus side on (lang, band, shingle).
+    * The document-frequency cut is computed over corpus ∪ batch so the
+    * "informative shingle" semantics match running [[ngramJaccardPairs]]
+    * on the combined corpus (and the DuckDB oracle mirrors exactly);
+    * per-doc set sizes are likewise df-cut. Output: (corpus_id,
+    * batch_id, jaccard). */
+  def crossCorpusPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      n: Int = 3,
+      tau: Double = 0.3,
+      bandWidth: Int = 50,
+      maxDf: Int = 128): DataFrame = {
+    val tagged = shingled(corpus.withColumn("__side", lit("c"))
+        .unionByName(batch.withColumn("__side", lit("b"))), n, bandWidth)
+    // shingled() carries (doc_id, lang, __band, __sh); re-attach side
+    // via the id (ids are unique across sides in a managed corpus)
+    val sides = corpus.select(col("doc_id"), lit("c").as("__side"))
+      .unionByName(batch.select(col("doc_id"), lit("b").as("__side")))
+    val ex = exploded(tagged).join(sides, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
+    val kept = ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf).drop("__df")
+      .persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val a = kept.filter(col("__side") === "c")
+      .select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
+    val b = kept.filter(col("__side") === "b")
+      .select(col("doc_id").as("b_id"), col("lang").as("__lb"),
+        col("__band").as("__bb"), col("__s").as("__sb"))
+    val inter = a.join(b,
+        col("__s") === col("__sb") && col("lang") === col("__lb") &&
+          col("__band") === col("__bb"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
+    jaccardFromCounts(inter, sizes, tau)
+  }
+
+  /** Incremental connected components (L16c): fold a batch of NEW pairs
+    * into an existing labeling WITHOUT revisiting the original pair set.
+    *
+    * Two facts make this exact, not approximate:
+    *  1. A labeling is a connectivity-equivalent summary of the pairs
+    *     that produced it — the star edges (member → cluster min) have
+    *     the same components as the original graph — so clustering
+    *     (labeling-as-edges ∪ new pairs) equals clustering
+    *     (old pairs ∪ new pairs). The old pair set (quadratic-ish in
+    *     cluster sizes) is replaced by one edge per member.
+    *  2. New pairs can only change components they TOUCH. Components
+    *     reachable from a new-pair endpoint are isolated with two
+    *     semi-joins; everything else passes through unchanged.
+    *
+    * Cost: two linear semi-joins over the labeling + a clustering run
+    * over (affected members + new pairs) — at 100 TB, a daily near-dup
+    * delta re-clusters only the handful of components it touches, not
+    * the corpus history. Docs never seen before enter as new nodes.
+    * Spec pins equality with a full rebuild, including batches that
+    * MERGE previously separate clusters. */
+  def clustersIncremental(
+      labeling: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val touched = newPairs.select(col(aCol).as("doc_id"))
+      .unionByName(newPairs.select(col(bCol).as("doc_id"))).distinct()
+    // clusters whose any member is an endpoint of a new pair
+    val affectedClusters = labeling.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affected = labeling.join(affectedClusters, Seq("cluster_id"), "left_semi")
+      .persist()
+    val unaffected = labeling.join(affectedClusters, Seq("cluster_id"), "left_anti")
+    // star edges of the affected components stand in for their history
+    val starEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(aCol), col("cluster_id").as(bCol))
+    val reclustered = clustersAltStar(
+      starEdges.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter, checkpointDir)
+    // a doc whose cluster was a singleton has no star edge; if it also
+    // gained no new pair it must survive as its own cluster
+    val singletons = affected
+      .join(reclustered.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(true).as("keep"))
+    unaffected.select("doc_id", "cluster_id", "keep")
+      .unionByName(reclustered).unionByName(singletons)
   }
 
   /** Embedding near-dup pairs (L5): cosine ≥ tau within a block column

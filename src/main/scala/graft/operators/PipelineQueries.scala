@@ -44,6 +44,25 @@ object PipelineQueries {
   def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
     Dedup.clustersAltStar(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
 
+  /** L22: incremental-ingest dedup — the batch (doc_id % 7 == 0) against
+    * the corpus (the rest), cross-side pairs only. */
+  def dedupCross(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.crossCorpusPairs(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** L16c: the incremental path must converge to the same labeling —
+    * pairs split into an old batch + a delta, the delta folded into the
+    * old labeling; shares the full-rebuild oracle. */
+  def dedupClustersIncr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents")).persist()
+    val oldB = pairs.filter((col("a_id") + col("b_id")) % 3 =!= 0)
+    val newB = pairs.filter((col("a_id") + col("b_id")) % 3 === 0)
+    Dedup.clustersIncremental(Dedup.clusters(oldB), newB).orderBy("doc_id")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings")).orderBy("a_id", "b_id")
 
@@ -170,6 +189,8 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
+    "dedup_clusters_incr" -> dedupClustersIncr,
+    "dedup_cross" -> dedupCross,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_families" -> dedupFamilies,
     "contamination_check" -> contaminationCheck,
@@ -287,10 +308,33 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     // dedup_minhash_lsh, dedup_simhash: rows-only (engine-specific hash
     // seeds); asserted against exact twins in ScalaTest specs.
+    "dedup_cross" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
+        | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |prs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band
+        | WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
-    // L16b computes the SAME labeling with the alternating-star
-    // algorithm, so it shares the connected-components oracle verbatim
+    // L16b/L16c compute the SAME labeling (alternating-star schedule /
+    // incremental delta fold), so they share the oracle verbatim
     "dedup_clusters_star" -> clustersOracle,
+    "dedup_clusters_incr" -> clustersOracle,
     "contamination_check" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |tr AS (

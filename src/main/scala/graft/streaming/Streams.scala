@@ -353,10 +353,48 @@ object Streams {
       windowDuration: String = "10 minutes",
       tsCol: String = "ts",
       watermarkDelay: String = "10 minutes"): Dataset[GatedAdmit] = {
+    val bc = stream.sparkSession.sparkContext.broadcast(trainIndex)
+    admissionCore(stream, h => java.util.Arrays.binarySearch(bc.value, h) >= 0,
+      groupCol, idCol, cap, n, tau, windowDuration, tsCol, watermarkDelay)
+  }
+
+  /** S11b: [[admissionGate]] with a Bloom-filter train index
+    * ([[graft.dedup.Contamination.bloomIndex]]) — the shape for train
+    * corpora whose distinct-shingle set exceeds the exact-array
+    * broadcast ceiling: the filter's size is chosen by (expected items,
+    * fpp), not by the corpus. False positives only OVERSTATE
+    * contamination (a clean doc can be dropped at rate ~fpp per
+    * shingle), never understate it — the gate stays conservative. */
+  def admissionGateBloom(
+      stream: DataFrame,
+      trainBloom: org.apache.spark.util.sketch.BloomFilter,
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      n: Int = 5,
+      tau: Double = 0.2,
+      windowDuration: String = "10 minutes",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): Dataset[GatedAdmit] = {
+    val bc = stream.sparkSession.sparkContext.broadcast(trainBloom)
+    admissionCore(stream, h => bc.value.mightContainLong(h),
+      groupCol, idCol, cap, n, tau, windowDuration, tsCol, watermarkDelay)
+  }
+
+  private def admissionCore(
+      stream: DataFrame,
+      isTrainShingle: Long => Boolean,
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      n: Int,
+      tau: Double,
+      windowDuration: String,
+      tsCol: String,
+      watermarkDelay: String): Dataset[GatedAdmit] = {
     val spark = stream.sparkSession
     import spark.implicits._
     val winMs = windowMillis(windowDuration)
-    val bc = spark.sparkContext.broadcast(trainIndex)
     val rows = stream.select(
         col(Identifiers.quote(groupCol)).cast("string").as("g"),
         col(Identifiers.quote(idCol)).cast("long").as("id"),
@@ -378,14 +416,13 @@ object Streams {
             val wm = state.getCurrentWatermarkMs()
             var counts = state.getOption.getOrElse(Map.empty)
               .filter { case (ws, _) => ws + winMs >= wm }
-            val idx = bc.value
             val out = scala.collection.mutable.ListBuffer.empty[GatedAdmit]
             it.toSeq.sortBy(r => (r._5.getTime, r._3, r._2)).foreach {
               case (_, id, _, _, ws, sh) =>
                 var hits = 0
                 var i = 0
                 while (i < sh.length) {
-                  if (java.util.Arrays.binarySearch(idx, sh(i)) >= 0) hits += 1
+                  if (isTrainShingle(sh(i))) hits += 1
                   i += 1
                 }
                 val contamination =

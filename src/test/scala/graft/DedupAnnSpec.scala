@@ -110,6 +110,40 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(labeled(Dedup.clustersAltStar(pairs)) == labeled(Dedup.clusters(pairs)))
   }
 
+  test("cross-corpus pairs equal the full operator restricted to cross-side pairs") {
+    import org.apache.spark.sql.functions._
+    val cross = Dedup.crossCorpusPairs(
+        docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("jaccard"))
+    val full = Dedup.ngramJaccardPairs(docs)
+      .filter((col("a_id") % 7 === 0) =!= (col("b_id") % 7 === 0))
+    assert(cross.count() > 0)
+    Equality.compareDfs(cross, full)
+  }
+
+  test("incremental clustering equals a full rebuild, including cluster merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // corpus pairs arriving as an old batch + a delta
+    val pairs = Dedup.ngramJaccardPairs(docs).persist()
+    val oldB = pairs.filter((col("a_id") + col("b_id")) % 3 =!= 0)
+    val newB = pairs.filter((col("a_id") + col("b_id")) % 3 === 0)
+    assert(norm(Dedup.clustersIncremental(Dedup.clusters(oldB), newB)) ==
+      norm(Dedup.clusters(pairs)))
+    // a delta that merges two old clusters AND introduces brand-new docs
+    val old2 = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("a_id", "b_id")
+    val new2 = Seq((2L, 10L), (100L, 101L)).toDF("a_id", "b_id")
+    assert(norm(Dedup.clustersIncremental(Dedup.clusters(old2), new2)) ==
+      norm(Dedup.clusters(old2.unionByName(new2))))
+    // untouched cluster {20,21} survives verbatim inside that equality;
+    // an empty delta is the identity
+    assert(norm(Dedup.clustersIncremental(Dedup.clusters(old2),
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))) == norm(Dedup.clusters(old2)))
+  }
+
   test("contamination index: incremental store-table build equals the direct gate") {
     import org.apache.spark.sql.functions.col
     val store = new graft.store.TableStore(spark,

@@ -260,6 +260,32 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S11b: Bloom-indexed admission equals the exact-index gate at tiny fpp") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dedup.Contamination
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val base = 1735689600L
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        new java.sql.Timestamp((base + r.getLong(0) % 1200) * 1000)))
+    def run(name: String, mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[Streams.GatedAdmit]) = {
+      val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+      val q = mk(ms.toDF().toDF("doc_id", "lang", "text", "ts"))
+        .toDF().writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { ms.addData(rows.toSeq: _*); q.processAllAvailable() } finally q.stop()
+      spark.table(name).orderBy("doc_id").collect().toSeq
+    }
+    val exact = run("s11_exact",
+      in => Streams.admissionGate(in, Contamination.collectIndex(train), "lang", "doc_id", cap = 3))
+    // at fpp 1e-6 over this corpus's shingle universe, false positives
+    // are (deterministically) absent — the gates must agree exactly
+    val bloom = run("s11_bloom",
+      in => Streams.admissionGateBloom(in, Contamination.bloomIndex(train, fpp = 1e-6), "lang", "doc_id", cap = 3))
+    assert(exact.nonEmpty && exact == bloom)
+  }
+
   test("S6: bucket state survives a query restart via checkpoint") {
     import graft.dedup.Dedup
     val docs = GraftSession.table(spark, sfDir, "documents")
