@@ -42,6 +42,41 @@ object Curation {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** Weighted sampling WITHOUT replacement per group (L23) — the
+    * Efraimidis–Spirakis A-ES scheme, the training-mix primitive for
+    * "sample by quality score": each row draws a deterministic
+    * hash-uniform u ∈ (0,1) and the k largest u^(1/w) per group form
+    * the sample, giving inclusion odds proportional to weight with no
+    * reservoir and no driver state — it distributes as the same salted
+    * two-phase top-k as [[stratifiedCap]], so no group ever funnels
+    * through one window task.
+    *
+    * Reproducible across engines: u comes from the first 8 hex digits
+    * of md5(id) ((v + 0.5)/2^32 — the +0.5 keeps u > 0), arithmetic
+    * that exists verbatim in ANSI SQL; the selection key ln(u)/w
+    * (order-equivalent to u^(1/w)) is rounded to 9 dp with an id
+    * tie-break, absorbing last-ulp libm differences between engines.
+    * Weights must be > 0 (callers clamp). */
+  def weightedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salts: Int = 32): DataFrame = {
+    val v = conv(substring(hashKey(col(idCol)), 1, 8), 16, 10).cast("double")
+    val key = round(log((v + 0.5) / 4294967296.0) / weight.cast("double"), 9)
+    val local = Window.partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(col("__k").desc, col(idCol))
+    val survivors = df.withColumn("__k", key)
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k).drop("__lr")
+    val global = Window.partitionBy(col(groupCol)).orderBy(col("__k").desc, col(idCol))
+    survivors.withColumn("sample_rank", row_number().over(global))
+      .filter(col("sample_rank") <= k)
+      .drop("__k")
+  }
+
   /** Per-document unigram language-model score (L19): the corpus itself
     * is the model — token log-probabilities from corpus frequencies,
     * each document scored by its mean token log-prob (≈ negative

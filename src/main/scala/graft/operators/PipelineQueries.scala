@@ -167,6 +167,12 @@ object PipelineQueries {
     Curation.stratifiedCap(t(s, dir, "documents"), "lang", "doc_id", cap = 30)
       .select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
 
+  /** L23: weighted sampling (A-ES) — length-weighted, 5 docs per lang. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(t(s, dir, "documents"), "lang", "doc_id",
+        greatest(col("n_chars"), lit(1)).cast("double"), k = 5)
+      .select("lang", "doc_id", "n_chars", "sample_rank").orderBy("lang", "sample_rank")
+
   /** L18: top-3 tf-idf terms per document. */
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     Curation.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")
@@ -205,6 +211,7 @@ object PipelineQueries {
     "text_clean" -> textClean,
     "text_fingerprint" -> textFingerprint,
     "sample_stratified" -> sampleStratified,
+    "sample_weighted" -> sampleWeighted,
     "text_tfidf" -> textTfidf,
     "text_logprob" -> textLogprob,
     "multimodal_decode" -> multimodalDecode,
@@ -421,6 +428,25 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
         | FROM documents)
         |WHERE sample_rank <= 30 ORDER BY lang, sample_rank""".stripMargin,
+    "sample_weighted" ->
+      """WITH src AS (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |keyed AS (SELECT doc_id, lang, n_chars,
+        | ROUND(ln((
+        |   (strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        | + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        | + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        | + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        | + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        | + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        | + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        | + (strpos('0123456789abcdef', substr(h,8,1))-1)
+        | + 0.5) / 4294967296.0) / CAST(GREATEST(n_chars, 1) AS DOUBLE), 9) AS key
+        | FROM src)
+        |SELECT lang, doc_id, n_chars, sample_rank FROM (
+        | SELECT lang, doc_id, n_chars,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS INT) AS sample_rank
+        | FROM keyed)
+        |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),

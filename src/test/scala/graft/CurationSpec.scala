@@ -33,6 +33,33 @@ class CurationSpec extends AnyFunSuite {
     assert(sizes.nonEmpty && sizes.forall(_ <= 7))
   }
 
+  test("weighted sample: salted phases equal the single-window reference; heavy weights dominate") {
+    import org.apache.spark.sql.expressions.Window
+    val df = docs.select(col("doc_id"), col("lang"),
+      greatest(col("n_chars"), lit(1)).cast("double").as("w"))
+    val got = operators.Curation.weightedSample(df, "lang", "doc_id", col("w"), k = 5)
+      .select("lang", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: one global window per group, same A-ES key
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("double")
+    val key = round(log((v + 0.5) / 4294967296.0) / col("w"), 9)
+    val ref = df.withColumn("__k", key)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("__k").desc, col("doc_id"))))
+      .filter(col("sample_rank") <= 5)
+      .select("lang", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == ref)
+    // A-ES semantics: an overwhelming weight is always selected
+    val heavyId = docs.select(min("doc_id")).collect()(0).getLong(0)
+    val heavyLang = docs.filter(col("doc_id") === heavyId).select("lang").collect()(0).getString(0)
+    val skewed = df.withColumn("w",
+      when(col("doc_id") === heavyId, lit(1e9)).otherwise(lit(1e-3)))
+    val top1 = operators.Curation.weightedSample(skewed, "lang", "doc_id", col("w"), k = 1)
+      .filter(col("lang") === heavyLang).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(heavyId), "the dominant weight must win its group's k=1 sample")
+  }
+
   test("tfidf ranks are dense 1..k per doc and scores non-increasing") {
     val out = Curation.tfidfTopTerms(docs, k = 3).collect()
       .groupBy(_.getLong(0)).values
