@@ -494,6 +494,39 @@ object Dedup {
         (col("n") === col("cluster_id")).as("keep"))
   }
 
+  /** Containment near-dup pairs (L24): |A∩B| / min(|A|,|B|) ≥ tau — the
+    * ASYMMETRIC companion to jaccard, for quote/subset detection: a
+    * short document wholly contained in a long one scores 1.0 where its
+    * jaccard is near zero. Deliberately NOT length-band-blocked —
+    * containment pairs cross length bands by nature — so the
+    * document-frequency cut is the only candidate bound (and the pair
+    * operator's per-key skew guard is the backstop). Still per-language
+    * blocked: containment across languages is not meaningful for text. */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      tau: Double = 0.6,
+      maxDf: Int = 128): DataFrame = {
+    val ex = scatter(docs.filter(size(Text.tokens(col("text"))) >= n))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__s")
+    val kept = ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf).drop("__df")
+      .persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+    val inter = graft.plans.Pairs.withinGroups(kept, Seq("lang", "__s"), "doc_id")
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("__n").as("__nb")), "b_id")
+      .withColumn("containment",
+        round(col("__inter").cast("double") / least(col("__na"), col("__nb")), 6))
+      .filter(col("containment") >= tau)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Cross-corpus near-dup pairs (L22): an incoming batch vs an existing
     * corpus, emitting CROSS-SIDE pairs only — the incremental-ingest
     * shape of dedup. Corpus-internal pairs were found when the corpus

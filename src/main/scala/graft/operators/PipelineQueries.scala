@@ -44,6 +44,10 @@ object PipelineQueries {
   def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
     Dedup.clustersAltStar(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
 
+  /** L24: asymmetric containment pairs (quote/subset detection). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
+
   /** L22: incremental-ingest dedup — the batch (doc_id % 7 == 0) against
     * the corpus (the rest), cross-side pairs only. */
   def dedupCross(s: SparkSession, dir: String): DataFrame = {
@@ -197,6 +201,7 @@ object PipelineQueries {
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_clusters_incr" -> dedupClustersIncr,
     "dedup_cross" -> dedupCross,
+    "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_families" -> dedupFamilies,
     "contamination_check" -> contaminationCheck,
@@ -315,6 +320,26 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     // dedup_minhash_lsh, dedup_simhash: rows-only (engine-specific hash
     // seeds); asserted against exact twins in ScalaTest specs.
+    "dedup_containment" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, lang, s, COUNT(*) OVER (PARTITION BY lang, s) AS df FROM sh)
+        | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |prs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, ROUND(inter * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+        |FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        |WHERE ROUND(inter * 1.0 / LEAST(sa.n, sb.n), 6) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_cross" ->
       """WITH tok AS (
         | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks

@@ -448,6 +448,81 @@ object Streams {
         })
   }
 
+  final case class WindowSample(group: String, window_start: java.sql.Timestamp,
+      doc_id: Long, sample_rank: Int)
+
+  /** S12: streaming weighted sampling — the streaming twin of
+    * [[graft.operators.Curation.weightedSample]] (A-ES): per (group,
+    * tumbling event-time window) keep the k rows with the largest
+    * u^(1/w) keys. A sample over a stream is only FINAL when its window
+    * can no longer receive rows, so results emit ON WINDOW CLOSE — when
+    * the watermark passes the window end (on the data path or via the
+    * event-time timeout, whichever observes it first). State per open
+    * (group, window) is the bounded k-item top set — O(groups ×
+    * open-windows × k), watermark-bounded — never the window's rows.
+    * The A-ES key is the same deterministic hash-uniform expression as
+    * the batch operator, computed in the DataFrame layer; rows
+    * targeting an already-closed window are ignored (the batch twin
+    * would have seen them — that loss is the documented price of
+    * streaming finality, bounded by the watermark delay). */
+  def streamingWeightedSample(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weight: org.apache.spark.sql.Column,
+      k: Int,
+      windowDuration: String = "10 minutes",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): Dataset[WindowSample] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val winMs = windowMillis(windowDuration)
+    val v = conv(substring(md5(col(Identifiers.quote(idCol)).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val key = round(log((v + 0.5) / 4294967296.0) / weight.cast("double"), 9)
+    val rows = stream.select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(idCol)).cast("long").as("id"),
+        key.as("k"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
+        window(col(Identifiers.quote(tsCol)), windowDuration).getField("start").as("__ws"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, Double, java.sql.Timestamp, java.sql.Timestamp)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (g: String,
+         it: Iterator[(String, Long, Double, java.sql.Timestamp, java.sql.Timestamp)],
+         state: GroupState[Map[Long, List[(Double, Long)]]]) => {
+          val wm = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else 0L
+          var tops = state.getOption.getOrElse(Map.empty)
+          // fold arrivals into their window's bounded top set
+          it.foreach { case (_, id, kk, _, ws) =>
+            val w0 = ws.getTime
+            if (w0 + winMs > wm) { // window still open
+              val cur = tops.getOrElse(w0, Nil)
+              if (!cur.exists(_._2 == id)) { // idempotent on replays
+                val merged = ((kk, id) :: cur)
+                  .sortBy { case (kv, iv) => (-kv, iv) }.take(k)
+                tops = tops.updated(w0, merged)
+              }
+            }
+          }
+          // emit every window the watermark has closed, in final rank order
+          val (closed, open) = tops.partition { case (w0, _) => w0 + winMs <= wm }
+          val out = closed.toSeq.sortBy(_._1).flatMap { case (w0, top) =>
+            top.sortBy { case (kv, iv) => (-kv, iv) }.zipWithIndex.map {
+              case ((_, id), i) => WindowSample(g, new java.sql.Timestamp(w0), id, i + 1)
+            }
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(math.max(open.keys.min + winMs, wm + 1))
+          }
+          out.iterator
+        })
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** S3: custom keyed state — running per-user totals via

@@ -260,6 +260,43 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S12: streaming weighted sample emits closed windows equal to the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val base = 1735689600L
+    val rows = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        new java.sql.Timestamp((base + r.getLong(0) % 1200) * 1000)))
+    val ms = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "lang", "n_chars", "ts")
+    val q = Streams.streamingWeightedSample(in, "lang", "doc_id",
+        greatest(col("n_chars"), lit(1)).cast("double"), k = 3)
+      .toDF().writeStream.format("memory").queryName("s12").outputMode("append").start()
+    try {
+      // two batches (cross-batch top-set merge), then a far-future
+      // sentinel so the watermark closes both 10-minute windows
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      assert(spark.table("s12").isEmpty, "nothing may emit before a window closes")
+      ms.addData((999999L, "en", 1L, new java.sql.Timestamp((base + 86400L) * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("s12").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000 - base, r.getLong(2), r.getInt(3)))
+        .toSet
+      val want = (0L to 1L).flatMap { wi =>
+        val sub = docs.filter(col("doc_id") % 1200 >= wi * 600 && col("doc_id") % 1200 < (wi + 1) * 600)
+        Curation.weightedSample(sub, "lang", "doc_id",
+            greatest(col("n_chars"), lit(1)).cast("double"), k = 3)
+          .select("lang", "doc_id", "sample_rank").collect()
+          .map(r => (r.getString(0), wi * 600, r.getLong(1), r.getInt(2)))
+      }.toSet
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("S11b: Bloom-indexed admission equals the exact-index gate at tiny fpp") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.Contamination
