@@ -177,6 +177,20 @@ object PipelineQueries {
         greatest(col("n_chars"), lit(1)).cast("double"), k = 5)
       .select("lang", "doc_id", "n_chars", "sample_rank").orderBy("lang", "sample_rank")
 
+  /** L25: per-language heavy hitters via the native space-saving
+    * aggregate (capacity 4096 ≥ test-corpus vocabulary → exact, which
+    * the oracle pins; at 100 TB the capacity bounds executor memory
+    * where an exact per-term aggregation would shuffle the vocabulary). */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("lang")
+      .agg(graft.plans.GraftFunctions.topKByFreq(col("term"), 5).as("__top"))
+      .select(col("lang"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("lang"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.term").as("term"), col("__e.cnt").as("cnt"))
+      .orderBy("lang", "rank")
+
   /** L18: top-3 tf-idf terms per document. */
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     Curation.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")
@@ -218,6 +232,7 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
     "text_tfidf" -> textTfidf,
+    "text_heavyhitters" -> textHeavyHitters,
     "text_logprob" -> textLogprob,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
@@ -472,6 +487,14 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS INT) AS sample_rank
         | FROM keyed)
         |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+    "text_heavyhitters" ->
+      """WITH toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY lang, term)
+        |SELECT lang, rank, term, cnt FROM (
+        | SELECT lang, term, cnt,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS INT) AS rank
+        | FROM c)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),

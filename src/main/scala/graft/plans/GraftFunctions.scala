@@ -13,4 +13,9 @@ object GraftFunctions {
   /** Polynomial rolling-hash fingerprint of a string column. */
   def rollingHash(text: Column): Column =
     bridge.column(RollingHash(bridge.expression(text)))
+
+  /** Top-k frequent terms per group via the capacity-bounded
+    * space-saving sketch (exact when distinct ≤ capacity). */
+  def topKByFreq(term: Column, k: Int, capacity: Int = 4096): Column =
+    bridge.column(SpaceSaving(bridge.expression(term), k, capacity).toAggregateExpression())
 }

@@ -42,6 +42,32 @@ class PlansSpec extends AnyFunSuite {
     assert(interp.toSeq == rows(0))
   }
 
+  test("SpaceSaving: exact when capacity suffices; heavy hitter survives tiny capacity") {
+    // skewed stream across many partitions (forces partial-buffer merges)
+    val rows = (1 to 2000).map { i =>
+      val term = if (i % 2 == 0) "hot" else s"cold${i % 97}"
+      ("g", term)
+    }
+    val df = rows.toDF("g", "term").repartition(8)
+    def top(capacity: Int, k: Int) = df.groupBy("g")
+      .agg(GraftFunctions.topKByFreq(col("term"), k, capacity).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.term"), col("e.cnt"), col("e.max_err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // capacity ≥ distinct (98) → exact counts, zero error, exact ranking
+    val exact = top(capacity = 256, k = 3)
+    val want = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(3)
+    assert(exact.map(e => (e._1, e._2)).toSeq == want)
+    assert(exact.forall(_._3 == 0L))
+    // capacity 8 < distinct: the true heavy hitter (freq N/2 >> N/8)
+    // must be reported first, its count within [true, true + max_err]
+    val sketch = top(capacity = 8, k = 1)
+    assert(sketch.head._1 == "hot")
+    val trueHot = rows.count(_._2 == "hot").toLong
+    assert(sketch.head._2 >= trueHot && sketch.head._2 - sketch.head._3 <= trueHot)
+  }
+
   test("RollingHash equals an independent scala computation incl. unicode") {
     val data = Seq("abc", "", "héllo wörld", "汉字 text", "a" * 5000)
     val got = data.toDF("s").select(GraftFunctions.rollingHash(col("s")).as("fp"))
