@@ -35,6 +35,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * binary asc — UTF-8 byte order == codepoint order, engine-portable),
   * truncated to k.
   */
+/** The algorithm itself, shared verbatim by the batch aggregate and the
+  * streaming twin ([[graft.streaming.Streams.streamingHeavyHitters]]) so
+  * their sketches are behaviorally identical. Keys are generic; the
+  * tie-break ordering must be the engine-portable one (binary for
+  * UTF8String; String's UTF-16 order agrees on BMP text). */
+object SpaceSavingCore {
+
+  def add[K](buf: mutable.HashMap[K, (Long, Long)], key: K, capacity: Int,
+      copyKey: K => K)(implicit ord: Ordering[K]): Unit =
+    buf.get(key) match {
+      case Some((c, e)) => buf.update(key, (c + 1, e))
+      case None =>
+        if (buf.size < capacity) buf.update(copyKey(key), (1L, 0L))
+        else {
+          val (_, minC) = evictMin(buf)
+          buf.update(copyKey(key), (minC + 1, minC))
+        }
+    }
+
+  def mergeInto[K](buf: mutable.HashMap[K, (Long, Long)],
+      other: scala.collection.Map[K, (Long, Long)], capacity: Int)(implicit ord: Ordering[K]): Unit = {
+    other.foreach { case (t, (c, e)) =>
+      buf.get(t) match {
+        case Some((c0, e0)) => buf.update(t, (c0 + c, e0 + e))
+        case None => buf.update(t, (c, e))
+      }
+    }
+    while (buf.size > capacity) evictMin(buf)
+  }
+
+  def top[K](buf: scala.collection.Map[K, (Long, Long)], k: Int)(implicit ord: Ordering[K]): Seq[(K, Long, Long)] =
+    buf.toSeq
+      .sortWith { case ((t1, (c1, _)), (t2, (c2, _))) =>
+        c1 > c2 || (c1 == c2 && ord.lt(t1, t2))
+      }
+      .take(k)
+      .map { case (t, (c, e)) => (t, c, e) }
+
+  private def evictMin[K](buf: mutable.HashMap[K, (Long, Long)])(implicit ord: Ordering[K]): (K, Long) = {
+    var minK: Option[K] = None
+    var minC = Long.MaxValue
+    buf.foreach { case (t, (c, _)) =>
+      if (c < minC || (c == minC && minK.forall(mk => ord.lt(t, mk)))) {
+        minC = c; minK = Some(t)
+      }
+    }
+    buf.remove(minK.get)
+    (minK.get, minC)
+  }
+}
+
 case class SpaceSaving(
     child: Expression,
     k: Int,
@@ -45,6 +96,8 @@ case class SpaceSaving(
   with UnaryLike[Expression] {
 
   require(k > 0 && capacity >= k, "need capacity >= k > 0")
+
+  private implicit def utf8Ordering: Ordering[UTF8String] = Ordering.ordered[UTF8String]
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -61,59 +114,25 @@ case class SpaceSaving(
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, (Long, Long)] =
     mutable.HashMap.empty
 
-  private def evictMin(buf: mutable.HashMap[UTF8String, (Long, Long)]): (UTF8String, Long) = {
-    var minK: UTF8String = null
-    var minC = Long.MaxValue
-    buf.foreach { case (t, (c, _)) =>
-      if (c < minC || (c == minC && (minK == null || t.compareTo(minK) < 0))) {
-        minC = c; minK = t
-      }
-    }
-    buf.remove(minK)
-    (minK, minC)
-  }
-
   override def update(
       buf: mutable.HashMap[UTF8String, (Long, Long)],
       input: InternalRow): mutable.HashMap[UTF8String, (Long, Long)] = {
     val v = child.eval(input)
-    if (v != null) {
-      val t = v.asInstanceOf[UTF8String]
-      buf.get(t) match {
-        case Some((c, e)) => buf.update(t, (c + 1, e))
-        case None =>
-          if (buf.size < capacity) buf.update(t.clone(), (1L, 0L))
-          else {
-            val (_, minC) = evictMin(buf)
-            buf.update(t.clone(), (minC + 1, minC))
-          }
-      }
-    }
+    if (v != null)
+      SpaceSavingCore.add[UTF8String](buf, v.asInstanceOf[UTF8String], capacity, _.clone())
     buf
   }
 
   override def merge(
       buf: mutable.HashMap[UTF8String, (Long, Long)],
       other: mutable.HashMap[UTF8String, (Long, Long)]): mutable.HashMap[UTF8String, (Long, Long)] = {
-    other.foreach { case (t, (c, e)) =>
-      buf.get(t) match {
-        case Some((c0, e0)) => buf.update(t, (c0 + c, e0 + e))
-        case None => buf.update(t, (c, e))
-      }
-    }
-    while (buf.size > capacity) evictMin(buf)
+    SpaceSavingCore.mergeInto(buf, other, capacity)
     buf
   }
 
-  override def eval(buf: mutable.HashMap[UTF8String, (Long, Long)]): Any = {
-    val top = buf.toSeq
-      .sortWith { case ((t1, (c1, _)), (t2, (c2, _))) =>
-        c1 > c2 || (c1 == c2 && t1.compareTo(t2) < 0)
-      }
-      .take(k)
-      .map { case (t, (c, e)) => InternalRow(t, c, e) }
-    new GenericArrayData(top.toArray[Any])
-  }
+  override def eval(buf: mutable.HashMap[UTF8String, (Long, Long)]): Any =
+    new GenericArrayData(SpaceSavingCore.top(buf, k)
+      .map { case (t, c, e) => InternalRow(t, c, e) }.toArray[Any])
 
   override def serialize(buf: mutable.HashMap[UTF8String, (Long, Long)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -56,6 +56,28 @@ object Streams {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** S13: streaming sessionization — the streaming twin of the batch
+    * gap-based sessionize (Analytics.eventsSessionize): Spark's
+    * `session_window` merges events within the inactivity gap into one
+    * growing window per user, emitted when the watermark closes it.
+    * `session_window.end` is defined as last-event + gap, so the
+    * reported `session_end` subtracts the gap back out to equal the
+    * batch operator's max(ts). State is one open session window per
+    * active user, watermark-bounded. */
+  def sessionizedCounts(
+      stream: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val gapMs = windowMillis(gap)
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        timestamp_micros(unix_micros(col("w.end")) - gapMs * 1000L).as("session_end"),
+        col("n_events"))
+  }
+
   /** S4: stream-stream interval join — each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Watermarks on BOTH sides
     * + the interval condition bound the join state Spark must retain. */
@@ -517,6 +539,72 @@ object Streams {
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
+            state.setTimeoutTimestamp(math.max(open.keys.min + winMs, wm + 1))
+          }
+          out.iterator
+        })
+  }
+
+  final case class WindowTopTerms(group: String, window_start: java.sql.Timestamp,
+      rank: Int, term: String, cnt: Long, max_err: Long)
+
+  /** S14: streaming heavy hitters — the streaming twin of the native
+    * space-saving aggregate (L25), running THE SAME sketch code
+    * ([[graft.plans.SpaceSavingCore]]) inside keyed state: per (group,
+    * tumbling window) a capacity-bounded term sketch, folded across
+    * micro-batches, emitted as the final top-k when the watermark
+    * closes the window (the S12 emit-on-close shape). State per open
+    * (group, window) is the sketch's `capacity` entries — never the
+    * window's rows — so a group's memory is fixed no matter how many
+    * terms stream through. Exact (zero error) when distinct terms per
+    * (group, window) fit the capacity, sketch-bounded otherwise. */
+  def streamingHeavyHitters(
+      stream: DataFrame,
+      groupCol: String,
+      termCol: String,
+      k: Int,
+      capacity: Int = 4096,
+      windowDuration: String = "10 minutes",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): Dataset[WindowTopTerms] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val winMs = windowMillis(windowDuration)
+    val rows = stream.select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(termCol)).cast("string").as("term"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
+        window(col(Identifiers.quote(tsCol)), windowDuration).getField("start").as("__ws"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, String, java.sql.Timestamp, java.sql.Timestamp)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (g: String,
+         it: Iterator[(String, String, java.sql.Timestamp, java.sql.Timestamp)],
+         state: GroupState[Map[Long, Map[String, (Long, Long)]]]) => {
+          val wm = math.max(state.getCurrentWatermarkMs(), 0L)
+          val sketches = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.HashMap[String, (Long, Long)]]
+          state.getOption.getOrElse(Map.empty).foreach { case (w0, m) =>
+            sketches.update(w0, scala.collection.mutable.HashMap.from(m))
+          }
+          it.foreach { case (_, term, _, ws) =>
+            val w0 = ws.getTime
+            if (w0 + winMs > wm) {
+              val sk = sketches.getOrElseUpdate(w0,
+                scala.collection.mutable.HashMap.empty[String, (Long, Long)])
+              graft.plans.SpaceSavingCore.add[String](sk, term, capacity, identity)
+            }
+          }
+          val (closed, open) = sketches.partition { case (w0, _) => w0 + winMs <= wm }
+          val out = closed.toSeq.sortBy(_._1).flatMap { case (w0, sk) =>
+            graft.plans.SpaceSavingCore.top(sk, k).zipWithIndex.map {
+              case ((term, c, e), i) =>
+                WindowTopTerms(g, new java.sql.Timestamp(w0), i + 1, term, c, e)
+            }
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open.map { case (w0, sk) => w0 -> sk.toMap }.toMap)
             state.setTimeoutTimestamp(math.max(open.keys.min + winMs, wm + 1))
           }
           out.iterator

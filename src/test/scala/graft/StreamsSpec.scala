@@ -260,6 +260,30 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S13: streaming session windows equal the batch gap sessionize") {
+    val dir = Files.createTempDirectory("graft_s13_").toString + "/in"
+    val ev = GraftSession.table(spark, sfDir, "events")
+    // one file = one micro-batch holding ALL events (watermark 0, nothing
+    // late-dropped); the far-future sentinel is batch 2 and closes every
+    // session
+    ev.coalesce(1).write.parquet(dir)
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    ev.limit(1)
+      .withColumn("user_id", lit(999999L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 2L * 86400 * 1000)))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = runToTable(Streams.sessionizedCounts(s), "s13", "append")
+      .filter(col("user_id") =!= 999999L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val want = operators.Analytics.eventsSessionize(spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("S12: streaming weighted sample emits closed windows equal to the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Curation
@@ -293,6 +317,44 @@ class StreamsSpec extends AnyFunSuite {
           .select("lang", "doc_id", "sample_rank").collect()
           .map(r => (r.getString(0), wi * 600, r.getLong(1), r.getInt(2)))
       }.toSet
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
+  test("S14: streaming heavy hitters equal the exact batch top-k per closed window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val base = 1735689600L
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        new java.sql.Timestamp((base + r.getLong(0) % 1200) * 1000)))
+    val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "lang", "text", "ts")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"), col("ts"))
+    val q = Streams.streamingHeavyHitters(in, "lang", "term", k = 5, capacity = 65536)
+      .toDF().writeStream.format("memory").queryName("s14").outputMode("append").start()
+    try {
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      ms.addData((999999L, "en", "x", new java.sql.Timestamp((base + 86400L) * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("s14").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000 - base,
+          r.getInt(2), r.getString(3), r.getLong(4), r.getLong(5))).toSet
+      val want = (0L to 1L).flatMap { wi =>
+        docs.filter(col("doc_id") % 1200 >= wi * 600 && col("doc_id") % 1200 < (wi + 1) * 600)
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))))
+          .filter(col("rank") <= 5)
+          .collect()
+          .map(r => (r.getString(0), wi * 600, r.getInt(3), r.getString(1), r.getLong(2), 0L))
+      }.toSet
+      // exact regime (capacity >> vocabulary): identical ranks, counts, zero error
       assert(got.nonEmpty && got == want)
     } finally q.stop()
   }
