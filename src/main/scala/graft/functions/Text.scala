@@ -86,6 +86,51 @@ object Text {
         "[^ ]+@[^ ]+\\.[^ ]+", "<email>"),
       "  +", " ")))
 
+  /** Intra-document repetition metrics (the Gopher/MassiveText-style
+    * repetition filters): duplicate-token fraction plus duplicate 2-gram
+    * and 3-gram fractions, with a combined gate. Word-level rather than
+    * line/paragraph-level because the corpus is single-line text; the
+    * same construction applies to lines by swapping the tokenizer. Pure
+    * per-row array expressions — the filter rides the scan with no
+    * shuffle, so at 100 TB it costs one pass like any other row filter. */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    def grams(k: Int): Column =
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(arr: Column): Column = {
+      val total = size(arr)
+      when(total > 0,
+        round((total - size(array_distinct(arr))).cast("double") / total, 6))
+    }
+    val dw = dupFrac(toks)
+    val d2 = dupFrac(grams(2))
+    val d3 = dupFrac(grams(3))
+    Seq(
+      "n_tokens" -> n,
+      "dup_word_frac" -> dw,
+      "dup_2gram_frac" -> d2,
+      "dup_3gram_frac" -> d3,
+      "repetitive" -> (coalesce(dw, lit(0.0)) > 0.3 ||
+        coalesce(d2, lit(0.0)) > 0.18 || coalesce(d3, lit(0.0)) > 0.12))
+  }
+
+  /** PII scrubbing: email and phone redaction + per-document match
+    * counts. Patterns use only simple character classes so Java and RE2
+    * regex semantics coincide (oracle-portable); real deployments swap in
+    * their compliance patterns. Redaction order is fixed (emails first)
+    * and mirrored in the oracle. */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  def piiColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)),
+    "redacted" -> regexp_replace(
+      regexp_replace(text, EmailRe, "<email>"), PhoneRe, "<phone>"))
+
   /** Polynomial rolling hash over codepoints: h = fold(h*257 + cp) mod
     * 2^31-1 — graft's native codegen'd Expression (plans/RollingHash):
     * zero per-row allocation, deterministic everywhere. */

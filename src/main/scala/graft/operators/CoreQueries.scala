@@ -192,6 +192,24 @@ object CoreQueries {
     store.readTable("cust", orderBy = Seq("c_custkey"))
   }
 
+  // C18: file-statistics pruning — analyze computes per-file min/max on
+  // the PK; a where-d readTable then skips every file whose range can't
+  // match (zone-map pruning; the reference's clustered-index-seek analog).
+  // Results are identical to an unpruned read — the pruning-actually-
+  // prunes property is pinned in TableStoreSpec; this query verifies the
+  // answer through the pruned path.
+  def statsPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "stats")
+    store.createTableFromDataFrame("ord",
+      t(s, dir, "orders").repartitionByRange(16, col("o_orderkey")),
+      Seq("o_orderkey"), infer = false)
+    store.analyze("ord")
+    store.readTable("ord",
+      columns = Seq("o_custkey", "o_totalprice", "o_orderdate"),
+      where = Some("o_orderkey >= 1000 AND o_orderkey < 3000"),
+      orderBy = Seq("o_orderkey"))
+  }
+
   // C15: auto-adjust — widen types + add column on insert
   def autoadjustWiden(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "widen")
@@ -241,6 +259,7 @@ object CoreQueries {
     "merge_delete_requires" -> mergeDeleteRequires,
     "merge_timestamps" -> mergeTimestamps,
     "autoadjust_widen" -> autoadjustWiden,
+    "stats_pruned_read" -> statsPrunedRead,
   )
 
   private def inferCase(c: String): String =
@@ -284,6 +303,10 @@ object CoreQueries {
         | UNION ALL
         | SELECT c_custkey FROM customer WHERE c_custkey < 50) u
         |GROUP BY c_custkey HAVING COUNT(*) > 1 ORDER BY c_custkey""".stripMargin,
+    "stats_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
     "read_projection_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
         |WHERE l_quantity >= 45 AND l_returnflag = 'A'

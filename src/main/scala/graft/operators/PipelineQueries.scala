@@ -135,6 +135,26 @@ object PipelineQueries {
       .select(col("doc_id"), Text.clean(col("text")).as("clean_text"))
       .orderBy("doc_id")
 
+  /** L23: Gopher-style repetition filter — see Text.repetitionColumns. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val cols = Text.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+    t(s, dir, "documents").select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
+  /** L24: PII redaction. The corpus carries no PII, so deterministic
+    * synthetic contact strings are appended first (mirrored in the
+    * oracle) — otherwise every count would be zero and the regexes
+    * untested. */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    val cols = Text.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+    withPii.select(col("doc_id") +: cols: _*).orderBy("doc_id")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -228,6 +248,8 @@ object PipelineQueries {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_clean" -> textClean,
+    "text_repetition" -> textRepetition,
+    "text_pii" -> textPii,
     "text_fingerprint" -> textFingerprint,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
@@ -456,6 +478,40 @@ object PipelineQueries {
         |     '[^ ]+@[^ ]+\.[^ ]+', '<email>', 'g'),
         |   '  +', ' ', 'g'))) AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT doc_id, toks, len(toks) AS n,
+        |  CASE WHEN len(toks) >= 2
+        |   THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+        |   ELSE [] END AS g2,
+        |  CASE WHEN len(toks) >= 3
+        |   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]
+        |   ELSE [] END AS g3
+        | FROM d),
+        |m AS (
+        | SELECT doc_id, n AS n_tokens,
+        |  CASE WHEN n > 0 THEN round(CAST(n - len(list_distinct(toks)) AS DOUBLE) / n, 6) END AS dup_word_frac,
+        |  CASE WHEN len(g2) > 0 THEN round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) > 0 THEN round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup_3gram_frac
+        | FROM g)
+        |SELECT doc_id, n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+        | (COALESCE(dup_word_frac, 0) > 0.3 OR COALESCE(dup_2gram_frac, 0) > 0.18
+        |   OR COALESCE(dup_3gram_frac, 0) > 0.12) AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+        | len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+        | regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<email>', 'g'),
+        |   '[0-9]{3}-[0-9]{4}', '<phone>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(0::BIGINT,

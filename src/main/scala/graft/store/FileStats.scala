@@ -1,0 +1,192 @@
+package graft.store
+
+import java.net.URI
+import scala.util.Try
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for scan pruning — the store's analog of a
+  * warehouse's zone maps / lakehouse file-level min-max metadata.
+  *
+  * Parquet footers already carry row-group stats, but at 100 TB the
+  * expensive part is upstream of the scan: LISTING millions of files and
+  * scheduling a task per file only for parquet to skip every row group.
+  * `TableStore.analyze` computes one tiny driver-side table (O(#files)
+  * rows: min/max/null-count per indexed column) and persists it next to
+  * the data; a keyed `readTable(where=...)` then consults it to hand
+  * Spark ONLY the files whose ranges intersect the predicate — bucket
+  * pruning (which cuts by hash) composed with range pruning inside each
+  * bucket. The reference's server-side counterpart is the clustered-index
+  * seek its keyed reads compile to (core/read.py:23 WHERE pushdown).
+  *
+  * Evaluation is conservative tri-state: a file is dropped only when the
+  * predicate PROVABLY matches no row given [min,max] and the null count;
+  * any unsupported expression shape keeps the file. Stats are advisory —
+  * readers re-apply the full predicate — so a stale or missing entry can
+  * never change results, only scan size. Mutation paths delete the stats
+  * file; inserts leave it (new files simply aren't pruned until the next
+  * analyze).
+  */
+object FileStats {
+
+  final case class ColStat(min: Option[String], max: Option[String], nulls: Long)
+  final case class FileStat(rows: Long, cols: Map[String, ColStat])
+
+  // ── persistence ─────────────────────────────────────────────────────────
+
+  def write(fs: FileSystem, path: Path, stats: Map[String, FileStat]): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val files = root.putObject("files")
+    stats.foreach { case (file, st) =>
+      val f = files.putObject(file)
+      f.put("rows", st.rows)
+      val cols = f.putObject("cols")
+      st.cols.foreach { case (c, cs) =>
+        val o = cols.putObject(c)
+        cs.min.foreach(o.put("min", _))
+        cs.max.foreach(o.put("max", _))
+        o.put("nulls", cs.nulls)
+      }
+    }
+    val out = fs.create(path, true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+  }
+
+  def read(fs: FileSystem, path: Path): Option[Map[String, FileStat]] = {
+    if (!fs.exists(path)) return None
+    val mapper = new ObjectMapper()
+    val in = fs.open(path)
+    val root = try mapper.readTree(in) finally in.close()
+    val files = root.get("files").asInstanceOf[ObjectNode]
+    val b = Map.newBuilder[String, FileStat]
+    files.fieldNames().forEachRemaining { file =>
+      val f = files.get(file)
+      val colsNode = f.get("cols").asInstanceOf[ObjectNode]
+      val cb = Map.newBuilder[String, ColStat]
+      colsNode.fieldNames().forEachRemaining { c =>
+        val o = colsNode.get(c)
+        cb += c -> ColStat(
+          Option(o.get("min")).map(_.asText()),
+          Option(o.get("max")).map(_.asText()),
+          o.get("nulls").asLong())
+      }
+      b += file -> FileStat(f.get("rows").asLong(), cb.result())
+    }
+    Some(b.result())
+  }
+
+  /** Basename key for a file URI as `input_file_name()` returns it.
+    * Spark part-file names embed a job UUID, so basenames are unique
+    * within a table across its lifetime. */
+  def fileKey(uri: String): String = new Path(new URI(uri)).getName
+
+  // ── conservative predicate evaluation ───────────────────────────────────
+
+  /** Could any row of a file with these stats satisfy `pred`? False only
+    * when provably not. `types` maps column name → the ALIGNED (meta)
+    * Spark type, the domain both the stats and the predicate live in. */
+  def mayMatch(pred: Expression, stat: FileStat, types: Map[String, DataType]): Boolean =
+    pred match {
+      case And(l, r) => mayMatch(l, stat, types) && mayMatch(r, stat, types)
+      case Or(l, r)  => mayMatch(l, stat, types) || mayMatch(r, stat, types)
+      case c: BinaryComparison =>
+        (nameOf(c.left), foldEval(c.right)) match {
+          case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = false, stat, types)
+          case _ =>
+            (nameOf(c.right), foldEval(c.left)) match {
+              case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = true, stat, types)
+              case _ => true
+            }
+        }
+      case In(a, list) if nameOf(a).isDefined && list.forall(_.foldable) =>
+        val n = nameOf(a).get
+        // null list elements never match; non-null ones need range overlap
+        list.exists { l =>
+          Option(l.eval(null)) match {
+            case None    => false
+            case Some(v) => valueInRange(n, v, stat, types)
+          }
+        }
+      case IsNull(a) =>
+        nameOf(a) match {
+          case Some(n) => stat.cols.get(n).forall(_.nulls > 0)
+          case None    => true
+        }
+      case IsNotNull(a) =>
+        nameOf(a) match {
+          case Some(n) => stat.cols.get(n).forall(cs => cs.nulls < stat.rows)
+          case None    => true
+        }
+      case _ => true
+    }
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case _ => None
+  }
+
+  private def foldEval(e: Expression): Option[Any] =
+    if (e.foldable) Try(Option(e.eval(null))).toOption.flatten else None
+
+  /** file range [lo,hi] vs `col op v` (or `v op col` when flipped). */
+  private def cmpMayMatch(
+      c: BinaryComparison, n: String, v: Any, flipped: Boolean,
+      stat: FileStat, types: Map[String, DataType]): Boolean = {
+    val cs = stat.cols.getOrElse(n, return true)
+    if (cs.min.isEmpty || cs.max.isEmpty)
+      return false // no non-null values in this file → a comparison can't match
+    val dt = types.getOrElse(n, return true)
+    val loCmp = compare(dt, cs.min.get, v).getOrElse(return true) // min ? v
+    val hiCmp = compare(dt, cs.max.get, v).getOrElse(return true) // max ? v
+    c match {
+      case _: EqualTo | _: EqualNullSafe => loCmp <= 0 && hiCmp >= 0
+      case _: GreaterThan        => if (flipped) loCmp < 0 else hiCmp > 0
+      case _: GreaterThanOrEqual => if (flipped) loCmp <= 0 else hiCmp >= 0
+      case _: LessThan           => if (flipped) hiCmp > 0 else loCmp < 0
+      case _: LessThanOrEqual    => if (flipped) hiCmp >= 0 else loCmp <= 0
+      case _ => true
+    }
+  }
+
+  private def valueInRange(n: String, v: Any, stat: FileStat, types: Map[String, DataType]): Boolean = {
+    val cs = stat.cols.getOrElse(n, return true)
+    if (cs.min.isEmpty || cs.max.isEmpty) return false
+    val dt = types.getOrElse(n, return true)
+    (compare(dt, cs.min.get, v), compare(dt, cs.max.get, v)) match {
+      case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+      case _ => true
+    }
+  }
+
+  /** compare(statValue, literalValue) in the column's type domain; None
+    * when the pair can't be compared reliably (→ keep the file). Literal
+    * values arrive as Catalyst internal types (UTF8String, Int days for
+    * DATE, Long micros for TIMESTAMP); stat values as Spark's
+    * cast-to-string rendering. */
+  private def compare(dt: DataType, statVal: String, litVal: Any): Option[Int] = Try {
+    dt match {
+      case _: NumericType =>
+        BigDecimal(statVal).compare(BigDecimal(litVal.toString))
+      case StringType =>
+        statVal.compareTo(litVal.toString)
+      case DateType =>
+        val days = java.time.LocalDate.parse(statVal).toEpochDay
+        days.compare(litVal.asInstanceOf[Int].toLong)
+      case TimestampType | TimestampNTZType =>
+        val t = java.sql.Timestamp.valueOf(statVal)
+        val micros = math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+        micros.compare(litVal.asInstanceOf[Long])
+      case BooleanType =>
+        statVal.toBoolean.compare(litVal.asInstanceOf[Boolean])
+      case _ => return None
+    }
+  }.toOption
+}

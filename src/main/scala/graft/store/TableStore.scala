@@ -102,6 +102,7 @@ final class TableStore(spark: SparkSession, root: String) {
   private def tablePath(name: String) = new Path(root, name)
   private def dataPath(name: String) = new Path(tablePath(name), "data")
   private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
+  private def statsPath(name: String) = new Path(tablePath(name), "stats.json")
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val BucketCol = "__bucket"
@@ -312,7 +313,7 @@ final class TableStore(spark: SparkSession, root: String) {
     false
   }
 
-  private def alignTo(df: DataFrame, m: Meta): DataFrame = {
+  private def alignTo(df: DataFrame, m: Meta, extra: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.types.TimestampNTZType
     val out = m.columns.map { case (n, t) =>
       if (df.columns.contains(n)) {
@@ -325,7 +326,92 @@ final class TableStore(spark: SparkSession, root: String) {
         else src.cast(t.spark).as(n)
       } else lit(null).cast(t.spark).as(n)
     }
-    df.select(out.toIndexedSeq: _*)
+    df.select((out ++ extra).toIndexedSeq: _*)
+  }
+
+  // ── statistics ──────────────────────────────────────────────────────────
+
+  /** Compute and persist per-file min/max/null-count statistics for
+    * `columns` (default: the primary key) — see [[FileStats]]. One
+    * aggregation job over the table; O(#files) rows reach the driver.
+    * Stats are computed in the ALIGNED (meta-type) domain, the same one
+    * `readTable` predicates evaluate in. */
+  def analyze(name: String, columns: Seq[String] = Seq.empty): Unit = {
+    val m = meta(name)
+    val cols0 = if (columns.nonEmpty) columns else m.primaryKey
+    if (cols0.isEmpty) throw errors.UndefinedPrimaryKey(name)
+    val missing = cols0.filterNot(m.columns.map(_._1).contains)
+    if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
+    if (!hasDataFiles(name)) { fs.delete(statsPath(name), false); return }
+    val raw = spark.read.option("mergeSchema", "true").parquet(dataPath(name).toString)
+    val aligned = alignTo(raw, m, extra = Seq(input_file_name().as("__file")))
+    val aggs = cols0.flatMap { c =>
+      val q = col(Identifiers.quote(c))
+      Seq(min(q).cast("string").as(s"__min_$c"),
+        max(q).cast("string").as(s"__max_$c"),
+        sum(when(q.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    }
+    val rows = aligned.groupBy(col("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+    val stats = rows.map { r =>
+      val cs = cols0.map { c =>
+        c -> FileStats.ColStat(
+          Option(r.getAs[String](s"__min_$c")),
+          Option(r.getAs[String](s"__max_$c")),
+          r.getAs[Long](s"__nulls_$c"))
+      }.toMap
+      FileStats.fileKey(r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
+    }.toMap
+    // files the aggregation never saw are EMPTY (e.g. the flat-layout
+    // seed file) — record rows=0 so pruning can drop them too
+    val empty = cols0.map(_ -> FileStats.ColStat(None, None, 0L)).toMap
+    val all = listDataFiles(name)
+      .map(p => p.getName -> FileStats.FileStat(0L, empty)).toMap
+    FileStats.write(fs, statsPath(name), all ++ stats)
+  }
+
+  /** File-level stats pruning for a keyed read: parse the where string,
+    * drop every data file whose [min,max]/null stats prove it cannot
+    * contain a matching row, and scan only the survivors. Files without
+    * stats (inserted since the last analyze) are always kept, and the
+    * full predicate is re-applied by the caller — pruning only shrinks
+    * the scan, never the answer. */
+  private def prunedRead(name: String, m: Meta, where: String): DataFrame = {
+    val base = read(name)
+    if (!hasDataFiles(name)) return base
+    val stats = FileStats.read(fs, statsPath(name)).getOrElse(return base)
+    // resolve the predicate through the analyzer so mayMatch sees real
+    // Catalyst comparisons over AttributeReferences (the raw Column is
+    // an unresolved ColumnNode tree in Spark 4)
+    val pred = base.filter(Filters.parseWhere(base, where))
+      .queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(return base)
+    val types = m.columns.map { case (n, t) => n -> t.spark }.toMap
+    val all = listDataFiles(name)
+    val surviving = all.filter { p =>
+      stats.get(p.getName).forall(st => FileStats.mayMatch(pred, st, types))
+    }
+    if (surviving.length == all.length) base
+    else if (surviving.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .option("basePath", dataPath(name).toString)
+        .parquet(surviving.map(_.toString): _*)
+      alignTo(raw, m)
+    }
+  }
+
+  private def listDataFiles(name: String): Seq[Path] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(dataPath(name), true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) out += p
+    }
+    out.toSeq
   }
 
   /** Projection / where / order / limit read surface (reference
@@ -341,7 +427,9 @@ final class TableStore(spark: SparkSession, root: String) {
       orderBy: Seq[String] = Seq.empty,
       orderDesc: Boolean = false): DataFrame = {
     val m = meta(name)
-    var df = read(name)
+    // a where-d read consults file statistics (if analyzed) to skip
+    // whole files before Spark ever lists them into the scan
+    var df = where.map(w => prunedRead(name, m, w)).getOrElse(read(name))
     where.foreach(w => df = df.filter(Filters.parseWhere(df, w)))
     if (columns.nonEmpty) {
       val missing = columns.filterNot(m.columns.map(_._1).contains)
@@ -613,6 +701,7 @@ final class TableStore(spark: SparkSession, root: String) {
         throw new IllegalStateException(s"bucket swap failed for table $name: ${s.getPath.getName}")
     }
     fs.delete(tmp, true)
+    fs.delete(statsPath(name), false) // file set changed; stats are stale
   }
 
   private def registerTimeCols(name: String, result: DataFrame, mayAddTimeCols: Boolean): Unit = {
@@ -646,5 +735,6 @@ final class TableStore(spark: SparkSession, root: String) {
     fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"atomic swap failed for table $name")
+    fs.delete(statsPath(name), false) // file set changed; stats are stale
   }
 }

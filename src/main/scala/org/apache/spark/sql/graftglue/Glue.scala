@@ -14,4 +14,9 @@ import org.apache.spark.sql.classic
 object Glue {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The Catalyst expression behind a Column (Spark 4 hides it behind
+    * the ColumnNode indirection; needed for stats-based file pruning). */
+  def expr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

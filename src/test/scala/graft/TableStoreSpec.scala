@@ -224,6 +224,46 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("cust").count() == cust.count())
   }
 
+  test("analyze + where-d readTable skips files by min/max stats, same answer") {
+    val store = newStore()
+    // 8 range-partitioned files over k=0..7999 → disjoint per-file ranges
+    val df = spark.range(0, 8000).select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("k"))
+    store.createTableFromDataFrame("t", df, Seq("k"), infer = false)
+    val allFiles = store.readTable("t").inputFiles.length
+    assert(allFiles >= 8, s"expected >=8 data files, got $allFiles")
+
+    // without stats: every file is scanned
+    val unpruned = store.readTable("t", where = Some("k >= 2000 AND k < 3000"))
+    assert(unpruned.inputFiles.length == allFiles)
+    val expect = unpruned.orderBy("k").collect().toSeq
+
+    store.analyze("t")
+    val pruned = store.readTable("t", where = Some("k >= 2000 AND k < 3000"))
+    assert(pruned.inputFiles.length < allFiles / 2,
+      s"stats pruned nothing: ${pruned.inputFiles.length} of $allFiles files scanned")
+    assert(pruned.orderBy("k").collect().toSeq == expect)
+
+    // IN / equality / IS NULL shapes prune too, and OR unions ranges
+    assert(store.readTable("t", where = Some("k = 42")).inputFiles.length == 1)
+    assert(store.readTable("t", where = Some("k IN (10, 7500)")).inputFiles.length == 2)
+    assert(store.readTable("t", where = Some("k IS NULL")).inputFiles.length == 0)
+    assert(store.readTable("t", where = Some("k < 100 OR k >= 7900")).inputFiles.length == 2)
+    // out-of-range predicate → empty scan, empty (not failing) result
+    assert(store.readTable("t", where = Some("k > 100000")).count() == 0)
+
+    // files appended after analyze carry no stats → conservatively kept
+    store.insert("t", Seq((100000L, 1L)).toDF("k", "v"))
+    val afterInsert = store.readTable("t", where = Some("k > 99999"))
+    assert(afterInsert.count() == 1)
+
+    // a rewrite invalidates stats (all files scanned again, still correct)
+    store.update("t", Seq((42L, -1L)).toDF("k", "v"))
+    val postRewrite = store.readTable("t", where = Some("k = 42"))
+    assert(postRewrite.select("v").as[Long].collect().toSeq == Seq(-1L))
+    assert(postRewrite.inputFiles.length == store.readTable("t").inputFiles.length)
+  }
+
   test("primary key violations detected; keyed merge via store") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)"), Seq("k"))
