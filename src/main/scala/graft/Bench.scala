@@ -108,6 +108,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (the
+    // driver never sets it, so driver benches always run the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.map(o => headline.filter(o)).getOrElse(headline)
+    val withStream = only.forall(_.contains("stream_minhash"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -126,7 +131,7 @@ object Bench {
     // cannot accidentally reuse them.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      headline.foreach { name =>
+      selected.foreach { name =>
         try SparkEntry.queries(name)(spark, warmDir).count()
         catch { case _: Throwable => }
       }
@@ -158,7 +163,7 @@ object Bench {
           -1.0
       }
     }
-    val results = headline.flatMap { name =>
+    val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
         val t1 = once(name, fn)
@@ -170,7 +175,7 @@ object Bench {
         peakByQuery += name -> currentPeak.get()
         name -> (if (t1 >= 0 && t2 >= 0) math.min(t1, t2) else -1.0)
       }
-    } ++ streamBench(spark, sfDir, errors)
+    } ++ (if (withStream) streamBench(spark, sfDir, errors) else Nil)
     // calibration probes: warm once (Janino for the Spark probe), then
     // best-of-2, AFTER the query timings so they also reflect end-of-run
     // box state

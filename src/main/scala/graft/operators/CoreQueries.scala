@@ -192,7 +192,7 @@ object CoreQueries {
     store.readTable("cust", orderBy = Seq("c_custkey"))
   }
 
-  // C18: file-statistics pruning — analyze computes per-file min/max on
+  // C20: file-statistics pruning — analyze computes per-file min/max on
   // the PK; a where-d readTable then skips every file whose range can't
   // match (zone-map pruning; the reference's clustered-index-seek analog).
   // Results are identical to an unpruned read — the pruning-actually-
@@ -207,6 +207,21 @@ object CoreQueries {
     store.readTable("ord",
       columns = Seq("o_custkey", "o_totalprice", "o_orderdate"),
       where = Some("o_orderkey >= 1000 AND o_orderkey < 3000"),
+      orderBy = Seq("o_orderkey"))
+  }
+
+  // C21: Z-order clustering — a layout-only rewrite (interleaved-bit
+  // curve over two independent columns) after which file stats prune on
+  // BOTH; the answer through the clustered+pruned path must equal plain
+  // SQL over the source. Pruning effectiveness is pinned in
+  // TableStoreSpec; this verifies end-to-end correctness.
+  def zorderRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "zorder")
+    store.createTableFromDataFrame("ord", t(s, dir, "orders"), Seq("o_orderkey"), infer = false)
+    store.cluster("ord", Seq("o_custkey", "o_totalprice"), filesTarget = 16)
+    store.readTable("ord",
+      columns = Seq("o_custkey", "o_totalprice"),
+      where = Some("o_custkey >= 100 AND o_custkey < 500 AND o_totalprice >= 150000"),
       orderBy = Seq("o_orderkey"))
   }
 
@@ -260,6 +275,7 @@ object CoreQueries {
     "merge_timestamps" -> mergeTimestamps,
     "autoadjust_widen" -> autoadjustWiden,
     "stats_pruned_read" -> statsPrunedRead,
+    "zorder_read" -> zorderRead,
   )
 
   private def inferCase(c: String): String =
@@ -306,6 +322,10 @@ object CoreQueries {
     "stats_pruned_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
+    "zorder_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey < 500 AND o_totalprice >= 150000
         |ORDER BY o_orderkey""".stripMargin,
     "read_projection_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem

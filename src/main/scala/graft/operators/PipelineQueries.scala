@@ -135,13 +135,13 @@ object PipelineQueries {
       .select(col("doc_id"), Text.clean(col("text")).as("clean_text"))
       .orderBy("doc_id")
 
-  /** L23: Gopher-style repetition filter — see Text.repetitionColumns. */
+  /** L26: Gopher-style repetition filter — see Text.repetitionColumns. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val cols = Text.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
     t(s, dir, "documents").select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
-  /** L24: PII redaction. The corpus carries no PII, so deterministic
+  /** L27: PII redaction. The corpus carries no PII, so deterministic
     * synthetic contact strings are appended first (mirrored in the
     * oracle) — otherwise every count would be zero and the regexes
     * untested. */

@@ -335,40 +335,119 @@ final class TableStore(spark: SparkSession, root: String) {
     * `columns` (default: the primary key) — see [[FileStats]]. One
     * aggregation job over the table; O(#files) rows reach the driver.
     * Stats are computed in the ALIGNED (meta-type) domain, the same one
-    * `readTable` predicates evaluate in. */
-  def analyze(name: String, columns: Seq[String] = Seq.empty): Unit = {
+    * `readTable` predicates evaluate in.
+    *
+    * `incremental = true` scans ONLY files with no stats entry yet (the
+    * ones appended since the last analyze) and keeps the rest — the
+    * steady-state maintenance cost tracks the insert rate, not the
+    * table size. Falls back to a full pass when the existing stats
+    * cover a different column set. */
+  def analyze(name: String, columns: Seq[String] = Seq.empty,
+      incremental: Boolean = false): Unit = {
     val m = meta(name)
     val cols0 = if (columns.nonEmpty) columns else m.primaryKey
     if (cols0.isEmpty) throw errors.UndefinedPrimaryKey(name)
     val missing = cols0.filterNot(m.columns.map(_._1).contains)
     if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
     if (!hasDataFiles(name)) { fs.delete(statsPath(name), false); return }
-    val raw = spark.read.option("mergeSchema", "true").parquet(dataPath(name).toString)
-    val aligned = alignTo(raw, m, extra = Seq(input_file_name().as("__file")))
-    val aggs = cols0.flatMap { c =>
-      val q = col(Identifiers.quote(c))
-      Seq(min(q).cast("string").as(s"__min_$c"),
-        max(q).cast("string").as(s"__max_$c"),
-        sum(when(q.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
-    }
-    val rows = aligned.groupBy(col("__file"))
-      .agg(count(lit(1)).as("__rows"), aggs: _*)
-      .collect()
-    val stats = rows.map { r =>
-      val cs = cols0.map { c =>
-        c -> FileStats.ColStat(
-          Option(r.getAs[String](s"__min_$c")),
-          Option(r.getAs[String](s"__max_$c")),
-          r.getAs[Long](s"__nulls_$c"))
-      }.toMap
-      FileStats.fileKey(r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
-    }.toMap
-    // files the aggregation never saw are EMPTY (e.g. the flat-layout
-    // seed file) — record rows=0 so pruning can drop them too
+    val present = listDataFiles(name)
+    val kept: Map[String, FileStats.FileStat] =
+      if (!incremental) Map.empty
+      else FileStats.read(fs, statsPath(name)).getOrElse(Map.empty)
+        .filter { case (f, st) =>
+          present.exists(_.getName == f) && st.cols.keySet == cols0.toSet
+        }
+    val toScan = present.filterNot(p => kept.contains(p.getName))
+    val scanned: Map[String, FileStats.FileStat] =
+      if (toScan.isEmpty) Map.empty
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .option("basePath", dataPath(name).toString)
+          .parquet(toScan.map(_.toString): _*)
+        val aligned = alignTo(raw, m, extra = Seq(input_file_name().as("__file")))
+        val aggs = cols0.flatMap { c =>
+          val q = col(Identifiers.quote(c))
+          Seq(min(q).cast("string").as(s"__min_$c"),
+            max(q).cast("string").as(s"__max_$c"),
+            sum(when(q.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        }
+        val rows = aligned.groupBy(col("__file"))
+          .agg(count(lit(1)).as("__rows"), aggs: _*)
+          .collect()
+        rows.map { r =>
+          val cs = cols0.map { c =>
+            c -> FileStats.ColStat(
+              Option(r.getAs[String](s"__min_$c")),
+              Option(r.getAs[String](s"__max_$c")),
+              r.getAs[Long](s"__nulls_$c"))
+          }.toMap
+          FileStats.fileKey(r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
+        }.toMap
+      }
+    // scanned files the aggregation never saw are EMPTY (e.g. the
+    // flat-layout seed file) — record rows=0 so pruning can drop them too
     val empty = cols0.map(_ -> FileStats.ColStat(None, None, 0L)).toMap
-    val all = listDataFiles(name)
-      .map(p => p.getName -> FileStats.FileStat(0L, empty)).toMap
-    FileStats.write(fs, statsPath(name), all ++ stats)
+    val empties = toScan.map(p => p.getName -> FileStats.FileStat(0L, empty)).toMap
+    FileStats.write(fs, statsPath(name), empties ++ kept ++ scanned)
+  }
+
+  /** Z-order clustering: rewrite the table so files hold contiguous
+    * ranges of the interleaved-bit Z-value over `columns` — after which
+    * [[analyze]]'s per-file min/max prune on EVERY clustered column, not
+    * just the leading one (a lexicographic sort only localizes its first
+    * key). The lakehouse OPTIMIZE ZORDER BY analog, composing with
+    * bucket pruning and stats pruning.
+    *
+    * Each column is scaled to 16 bits against its global min/max (one
+    * tiny aggregate), bits are interleaved (up to 4 columns), and the
+    * table is range-repartitioned + sorted by the Z-value — all
+    * distributed, O(1) driver state. Numeric/date/timestamp columns
+    * only: hashing strings would destroy the locality the curve exists
+    * to create. Re-analyzes automatically (the rewrite invalidates
+    * file stats). */
+  def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit = {
+    import org.apache.spark.sql.types._
+    val m = meta(name)
+    require(columns.nonEmpty && columns.size <= 4, "cluster: 1..4 columns")
+    val missing = columns.filterNot(m.columns.map(_._1).contains)
+    if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
+    def linear(c: String): Column = {
+      val dt = m.columns.find(_._1 == c).get._2.spark
+      val q = col(Identifiers.quote(c))
+      dt match {
+        case _: NumericType => q.cast("double")
+        case DateType => unix_date(q).cast("double")
+        case TimestampType | TimestampNTZType => unix_micros(q).cast("double")
+        case other => throw errors.InvalidValue(c, s"cluster unsupported for type $other")
+      }
+    }
+    if (!hasDataFiles(name)) return
+    val df = read(name)
+    val aggs = columns.flatMap(c =>
+      Seq(min(linear(c)).as(s"__lo_$c"), max(linear(c)).as(s"__hi_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val k = columns.size
+    // 16-bit scaled rank per column; nulls and degenerate ranges → 0
+    val scaled = columns.zipWithIndex.map { case (c, j) =>
+      val lo = Option(bounds.getAs[Any](s"__lo_$c")).map(_.toString.toDouble).getOrElse(0.0)
+      val hi = Option(bounds.getAs[Any](s"__hi_$c")).map(_.toString.toDouble).getOrElse(0.0)
+      val e =
+        if (hi <= lo) lit(0L)
+        else least(lit(65535L), greatest(lit(0L),
+          floor((linear(c) - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+      (coalesce(e, lit(0L)), j)
+    }
+    var z: Column = lit(0L)
+    for (i <- 0 until 16; (s, j) <- scaled)
+      z = z.bitwiseOR(shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * k + j))
+    val n = if (filesTarget > 0) filesTarget
+            else math.max(1, spark.sparkContext.defaultParallelism)
+    val clustered = df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    overwriteData(name, clustered)
+    analyze(name, columns)
   }
 
   /** File-level stats pruning for a keyed read: parse the where string,

@@ -262,6 +262,45 @@ class TableStoreSpec extends AnyFunSuite {
     val postRewrite = store.readTable("t", where = Some("k = 42"))
     assert(postRewrite.select("v").as[Long].collect().toSeq == Seq(-1L))
     assert(postRewrite.inputFiles.length == store.readTable("t").inputFiles.length)
+
+    // incremental analyze covers ONLY the stat-less appended files: after
+    // it, every file has an entry again and point reads prune
+    store.analyze("t")
+    store.insert("t", Seq((200000L, 2L), (200001L, 3L)).toDF("k", "v"))
+    store.analyze("t", incremental = true)
+    val point = store.readTable("t", where = Some("k = 200001"))
+    assert(point.inputFiles.length == 1, s"expected 1 file, got ${point.inputFiles.length}")
+    assert(point.select("v").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("zorder cluster makes stats prune on BOTH dimensions, contents unchanged") {
+    val store = newStore()
+    // x and y are independent: insertion order localizes NEITHER — an
+    // 80×80 grid written in shuffled order
+    val df = spark.range(0, 6400).select(
+      (col("id") * 37 % 6400).as("rowkey"),
+      ((col("id") * 37 % 6400) % 80).as("x"),
+      ((col("id") * 37 % 6400) / 80).as("y"))
+    store.createTableFromDataFrame("t", df.repartition(8), Seq("rowkey"), infer = false)
+    val before = store.readTable("t", orderBy = Seq("rowkey")).collect().toSeq
+    val allFiles = store.readTable("t").inputFiles.length
+
+    // pre-cluster: analyze on (x, y) prunes no DATA file — every file
+    // spans the whole range of both (only the empty seed file drops)
+    store.analyze("t", Seq("x", "y"))
+    assert(store.readTable("t", where = Some("x >= 10 AND x < 20")).inputFiles.length >= allFiles - 1)
+
+    store.cluster("t", Seq("x", "y"), filesTarget = 16)
+    val total = store.readTable("t").inputFiles.length
+    val xScan = store.readTable("t", where = Some("x >= 10 AND x < 20")).inputFiles.length
+    val yScan = store.readTable("t", where = Some("y >= 10 AND y < 20")).inputFiles.length
+    assert(xScan < total, s"x predicate scanned all $total files")
+    assert(yScan < total, s"y predicate scanned all $total files")
+    // contents byte-identical after the layout rewrite
+    assert(store.readTable("t", orderBy = Seq("rowkey")).collect().toSeq == before)
+    // and the pruned reads agree with the unpruned answers
+    assert(store.readTable("t", where = Some("x >= 10 AND x < 20")).count() ==
+      before.count(r => { val x = r.getLong(1); x >= 10 && x < 20 }))
   }
 
   test("primary key violations detected; keyed merge via store") {
