@@ -16,6 +16,8 @@ object Bench {
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
     "window_running",
     "events_sessionize",
     "events_tumbling",

@@ -102,6 +102,51 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  // ── A20: join-against-aggregate scalar subquery (TPC-H Q17 shape):
+  // revenue from small-quantity lineitems, "small" defined per part as
+  // quantity < 0.2 × that part's average. 100 TB plan: the tiny filtered
+  // part set broadcast-restricts lineitem FIRST, so the per-part stats
+  // aggregate and the final filter both run over the restricted slice
+  // (one shuffle on l_partkey), never the full fact table; the stats
+  // relation (≤ #filtered parts rows) broadcasts back. The avg
+  // comparison is rearranged to 5·qty·cnt < sum(qty) — exact decimal
+  // arithmetic, no engine-specific decimal-division rounding. ──────────
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#1" && col("p_size") < 10)
+      .select("p_partkey")
+    val restricted = t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        col("l_quantity").cast(DecimalType(18, 6)).as("__qd"),
+        dec2(col("l_extendedprice")).as("__pd"))
+    val stats = restricted.groupBy("l_partkey")
+      .agg(sum(col("__qd")).as("__sum_q"), count(lit(1)).as("__cnt"))
+    restricted.join(broadcast(stats), "l_partkey")
+      .filter(col("__qd") * 5 * col("__cnt") < col("__sum_q"))
+      .agg(round(sum(col("__pd")).cast("double") / 7.0, 2).as("avg_yearly"))
+  }
+
+  // ── A21: HAVING-filtered aggregate joined back to its parents (TPC-H
+  // Q18 shape): large orders (total quantity > 150) with their customer.
+  // The lineitem groupBy is the only fact-scale shuffle (map-side
+  // partial combine); the surviving order set is a small fraction, and
+  // the orders/customer joins run on it, not the raw fact table. The
+  // big-order set is NOT broadcast: its size scales with the corpus
+  // (AQE picks the strategy per run). ─────────────────────────────────
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("__tq"))
+      .filter(col("__tq") > 150)
+    t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("__tq").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // ── A4: anti join (NOT EXISTS): customers with no pending order ─────────
   def existsAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
@@ -380,6 +425,8 @@ object Analytics {
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
+    "q17_small_quantity" -> q17SmallQuantity,
+    "q18_large_orders" -> q18LargeOrders,
     "exists_anti_join" -> existsAntiJoin,
     "exists_semi_join" -> existsSemiJoin,
     "window_running" -> windowRunning,
@@ -422,6 +469,27 @@ object Analytics {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH r AS (
+        | SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,6)) AS qd,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS pd
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_brand = 'Brand#1' AND p_size < 10),
+        |s AS (
+        | SELECT l_partkey, SUM(qd) AS sum_q, COUNT(*) AS cnt FROM r GROUP BY 1)
+        |SELECT round(CAST(SUM(pd) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM r JOIN s USING (l_partkey)
+        |WHERE qd * 5 * cnt < sum_q""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |       CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |         JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -225,6 +225,29 @@ object CoreQueries {
       orderBy = Seq("o_orderkey"))
   }
 
+  // C22: type-2 SCD history merge — initial load at t0, a delta at t1
+  // (segment change for keys < 100 + brand-new keys), then an exact
+  // REPLAY of the delta at t2 which must be a no-op (idempotence is the
+  // whole point of null-safe change detection). The oracle rebuilds the
+  // expected version chains declaratively.
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "scd2")
+    val clock0 = lit("2025-01-01 00:00:00").cast(TimestampType)
+    val clock1 = lit("2026-01-01 00:00:00").cast(TimestampType)
+    val clock2 = lit("2027-01-01 00:00:00").cast(TimestampType)
+    store.createTable("dim",
+      Seq("c_custkey" -> "bigint", "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    store.scd2("dim", cust, clock = clock0)
+    val changes = cust.filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") < 20)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), lit("NEW").as("c_mktsegment")))
+    store.scd2("dim", changes, clock = clock1)
+    store.scd2("dim", changes, clock = clock2) // replay: must not grow history
+    store.readTable("dim", orderBy = Seq("c_custkey", "_valid_from"))
+  }
+
   // C15: auto-adjust — widen types + add column on insert
   def autoadjustWiden(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "widen")
@@ -276,6 +299,7 @@ object CoreQueries {
     "autoadjust_widen" -> autoadjustWiden,
     "stats_pruned_read" -> statsPrunedRead,
     "zorder_read" -> zorderRead,
+    "scd2_history" -> scd2History,
   )
 
   private def inferCase(c: String): String =
@@ -327,6 +351,18 @@ object CoreQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey >= 100 AND o_custkey < 500 AND o_totalprice >= 150000
         |ORDER BY o_orderkey""".stripMargin,
+    "scd2_history" ->
+      """SELECT c_custkey, c_mktsegment,
+        | TIMESTAMP '2025-01-01 00:00:00' AS _valid_from,
+        | CASE WHEN c_custkey < 100 THEN TIMESTAMP '2026-01-01 00:00:00' END AS _valid_to
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'MOVED', TIMESTAMP '2026-01-01 00:00:00', NULL
+        |FROM customer WHERE c_custkey < 100
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'NEW', TIMESTAMP '2026-01-01 00:00:00', NULL
+        |FROM customer WHERE c_custkey < 20
+        |ORDER BY c_custkey, _valid_from""".stripMargin,
     "read_projection_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
         |WHERE l_quantity >= 45 AND l_returnflag = 'A'

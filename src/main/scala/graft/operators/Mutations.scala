@@ -39,6 +39,8 @@ object Mutations {
 
   val TimeInsert = "_time_insert"
   val TimeUpdate = "_time_update"
+  val ValidFrom = "_valid_from"
+  val ValidTo = "_valid_to"
 
   private def srcAlias(c: String) = s"__src_$c"
 
@@ -171,6 +173,72 @@ object Mutations {
       base
     }
     kept.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Type-2 slowly-changing-dimension upsert — the warehouse history
+    * merge a reference user hand-writes as a multi-statement T-SQL
+    * transaction. The target carries `_valid_from`/`_valid_to`; rows
+    * with null `_valid_to` are CURRENT. Per source row:
+    *
+    *  - matched current row, tracked values DIFFER → close the old
+    *    version (`_valid_to` = clock) AND insert the new one
+    *    (`_valid_from` = clock, `_valid_to` null)
+    *  - matched current row, values identical → no-op (idempotent:
+    *    replaying a source never grows history)
+    *  - no current match → insert a new current version
+    *
+    * History rows pass through untouched. ONE full-outer keyed join
+    * against the current slice decides everything; the 1→2 row emission
+    * for changed keys happens in the SAME pass via an
+    * explode(array_compact(...)) of conditional whole-row structs — no
+    * second join, no second shuffle, so the operator costs exactly what
+    * the plain merge costs. Null-safe (<=>) change detection. */
+  def scd2Upsert(
+      target: DataFrame,
+      source: DataFrame,
+      matchCols: Seq[String],
+      clock: Column): DataFrame = {
+    requireCols(target, matchCols ++ Seq(ValidFrom, ValidTo), "target")
+    requireCols(source, matchCols, "source")
+    val tracked = source.columns.filterNot(matchCols.contains).toSeq
+    requireCols(target, tracked, "target")
+
+    val history = target.filter(col(ValidTo).isNotNull)
+    val current = target.filter(col(ValidTo).isNull)
+    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
+      .withColumn("__s", lit(true))
+    val j = current.withColumn("__t", lit(true))
+      .join(s, matchCols.map(c => current(c) === s(srcAlias(c))).reduce(_ && _), "full_outer")
+
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val insertOnly = col("__t").isNull
+    val targetOnly = col("__s").isNull
+    val changed = matched && tracked
+      .map(c => !(col(srcAlias(c)).cast(current.schema(c).dataType) <=> current(c)))
+      .foldLeft(lit(false))(_ || _)
+
+    def dt(c: String) = current.schema(c).dataType
+    def asRow(value: String => Column): Column =
+      struct(target.columns.toIndexedSeq.map(c => value(c).as(c)): _*)
+    val keepRow = asRow(c => current(c))
+    val closedRow = asRow {
+      case ValidTo => clock.cast(dt(ValidTo))
+      case c       => current(c)
+    }
+    val newRow = asRow {
+      case ValidFrom                      => clock.cast(dt(ValidFrom))
+      case ValidTo                        => lit(null).cast(dt(ValidTo))
+      case c if matchCols.contains(c)     => coalesce(col(srcAlias(c)).cast(dt(c)), current(c))
+      case c if tracked.contains(c)       => col(srcAlias(c)).cast(dt(c))
+      case c                              => current(c) // untracked extras: carried, null on insert
+    }
+    val emitted = j.select(explode(array_compact(array(
+        when(matched && !changed || targetOnly, keepRow),
+        when(changed, closedRow),
+        when(changed || insertOnly, newRow)))).as("__r"))
+      .select(target.columns.toIndexedSeq.map(c =>
+        col("__r." + graft.Identifiers.quote(c)).as(c)): _*)
+    history.unionByName(emitted)
   }
 
   /** Insert-all append algebra (reference write.insert, insert.py:38):

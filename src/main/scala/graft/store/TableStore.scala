@@ -728,6 +728,27 @@ final class TableStore(spark: SparkSession, root: String) {
       timeInsert.isDefined || timeUpdate.isDefined)
   }
 
+  /** Type-2 SCD history upsert (see [[Mutations.scd2Upsert]]): closes
+    * changed current versions at `clock` and inserts their successors.
+    * Auto-registers the `_valid_from`/`_valid_to` datetime2 columns on
+    * first use (metadata-only — pre-existing rows read as current with
+    * null `_valid_from`). Always a full rewrite: an SCD2 table's PK is
+    * not the business key (every key holds many versions), so bucket
+    * pruning by business key does not apply. */
+  def scd2(
+      name: String,
+      source: DataFrame,
+      matchCols: Seq[String] = Seq.empty,
+      clock: Column): Unit = {
+    var m = meta(name)
+    val keys = resolveKeys(name, m, matchCols)
+    Seq(Mutations.ValidFrom, Mutations.ValidTo).foreach { c =>
+      if (!m.columns.exists(_._1 == c)) { addColumn(name, c, "datetime2"); m = meta(name) }
+    }
+    validateSource(m, source)
+    rewrite(name, Mutations.scd2Upsert(read(name), source, keys, clock), mayAddTimeCols = false)
+  }
+
   private def resolveKeys(name: String, m: Meta, matchCols: Seq[String]): Seq[String] =
     if (matchCols.nonEmpty) matchCols
     else if (m.primaryKey.nonEmpty) m.primaryKey

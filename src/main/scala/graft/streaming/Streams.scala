@@ -193,6 +193,25 @@ object Streams {
       (batch: DataFrame, _: Long) => store.upsert(table, batch, matchCols)
     }
 
+  /** S15: streaming append sink with LIVE zone-map maintenance — the
+    * ingest front door that keeps the store's file statistics (C20)
+    * fresh: each micro-batch appends to the table, then runs an
+    * INCREMENTAL analyze that scans only the files the batch just wrote
+    * (stat-covered files are skipped), so keyed reads against the table
+    * prune with zone maps that are never more than one batch stale.
+    * Maintenance cost per batch is O(batch), independent of table size —
+    * the property that makes live stats viable on a 100 TB table. */
+  def insertSinkWithStats(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      table: String,
+      statsColumns: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        store.insert(table, batch)
+        store.analyze(table, statsColumns, incremental = true)
+    }
+
   /** S8: streaming contamination gate — the streaming twin of
     * [[graft.dedup.Contamination.overlap]]. Arriving documents' shingle
     * hashes LEFT-join a STATIC train-shingle set (build once with

@@ -104,4 +104,36 @@ class MutationsSpec extends AnyFunSuite {
     assertThrows[errors.DataFrameColumnDoesNotExist](
       Mutations.update(target, Seq(1).toDF("Other"), Seq("PK")))
   }
+
+  test("scd2: changed keys close+reopen, unchanged no-op, replay idempotent") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    def clk(s: String) = lit(s).cast(TimestampNTZType)
+    val empty = Seq.empty[(Int, String, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("PK", "State", Mutations.ValidFrom, Mutations.ValidTo)
+      .select(col("PK"), col("State"),
+        col(Mutations.ValidFrom).cast(TimestampNTZType).as(Mutations.ValidFrom),
+        col(Mutations.ValidTo).cast(TimestampNTZType).as(Mutations.ValidTo))
+    val load = Mutations.scd2Upsert(empty, Seq((0, "A"), (1, "B")).toDF("PK", "State"), Seq("PK"), clk("2025-01-01 00:00:00"))
+    assert(load.count() == 2 && load.filter(col(Mutations.ValidTo).isNull).count() == 2)
+
+    // delta: PK 0 changes, PK 1 unchanged, PK 2 new
+    val v2 = Mutations.scd2Upsert(load,
+      Seq((0, "A2"), (1, "B"), (2, "C")).toDF("PK", "State"), Seq("PK"), clk("2026-01-01 00:00:00"))
+    val got = v2.orderBy("PK", Mutations.ValidFrom)
+      .select("PK", "State", Mutations.ValidTo).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.isNullAt(2))).toSeq
+    assert(got == Seq(
+      (0, "A", false), (0, "A2", true),   // closed + successor
+      (1, "B", true),                     // untouched
+      (2, "C", true)))                    // new key
+
+    // exact replay at a later clock: history must not grow
+    val v3 = Mutations.scd2Upsert(v2,
+      Seq((0, "A2"), (1, "B"), (2, "C")).toDF("PK", "State"), Seq("PK"), clk("2027-01-01 00:00:00"))
+    assert(v3.count() == v2.count())
+    // a source NOT mentioning a key leaves its current row open
+    val v4 = Mutations.scd2Upsert(v3, Seq((2, "C2")).toDF("PK", "State"), Seq("PK"), clk("2028-01-01 00:00:00"))
+    assert(v4.filter(col("PK") === 1 && col(Mutations.ValidTo).isNull).count() == 1)
+    assert(v4.filter(col("PK") === 2).count() == 2)
+  }
 }

@@ -45,6 +45,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q17: part restriction broadcasts into lineitem; stats relation broadcasts back") {
+    val plan = executedPlan(operators.Analytics.q17SmallQuantity(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    // both the filtered-part semi restriction and the per-part stats
+    // join are explicit broadcasts — the fact table never shuffles for
+    // a join, only for the per-part aggregation
+    assert(occurrences(plan, "BroadcastHashJoin") >= 2,
+      s"expected part + stats broadcasts:\n$plan")
+    assert(plan.contains("PushedFilters:") && plan.contains("p_brand"),
+      s"part filter did not reach the scan:\n$plan")
+  }
+
+  test("q18: fact groupBy has map-side combine; big-order set is not hint-pinned") {
+    val plan = executedPlan(operators.Analytics.q18LargeOrders(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(occurrences(plan, "HashAggregate") >= 2, s"no partial combine:\n$plan")
+    // TakeOrderedAndProject, not a global sort: the top-100 never
+    // materializes the full join result on one node
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for a LIMIT query:\n$plan")
+  }
+
   test("q5 restricts supplier/customer to ASIA before the fact join") {
     // The ASIA restriction must prune BOTH scaling dims with broadcast
     // semi-joins before lineitem is touched — Catalyst can't derive this

@@ -469,6 +469,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(store.primaryKeyViolations("ev").count() == 0)
   }
 
+  test("S15: streaming insert sink keeps file statistics fresh per batch") {
+    import graft.store.TableStore
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s15_").toString)
+    store.createTable("ev", Seq("event_id" -> "bigint", "user_id" -> "bigint"),
+      Seq("event_id"))
+    val in = Files.createTempDirectory("graft_s15_in_").toString + "/in"
+    val ev = spark.range(0, 4000)
+      .select(col("id").as("event_id"), (col("id") % 7).as("user_id"))
+    // 4 contiguous slices → 4 micro-batches with disjoint event_id ranges
+    (0 until 4).foreach(i => ev
+      .filter(col("event_id") >= i * 1000 && col("event_id") < (i + 1) * 1000)
+      .coalesce(1).write.mode("append").parquet(in))
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+    val q = Streams.insertSinkWithStats(s, store, "ev")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(store.readTable("ev").count() == ev.count())
+    // zone maps cover every batch's files: a point read prunes to ≤ the
+    // per-batch file count instead of scanning the whole table
+    val all = store.readTable("ev").inputFiles.length
+    val point = store.readTable("ev", where = Some("event_id = 123"))
+    assert(point.count() == 1)
+    assert(point.inputFiles.length < all,
+      s"stats did not prune: ${point.inputFiles.length} of $all files")
+  }
+
   test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
     val got = runToTable(Streams.runningTotals(stream).toDF(), "s3", "update")
     // keep the last update per user (multiple micro-batches may emit)
