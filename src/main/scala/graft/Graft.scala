@@ -95,6 +95,23 @@ final case class Graft(
         require(deleteRequires.isEmpty, "delete_requires can only be specified if upsert=false")
         store.upsert(name, df, matchColumns, ti, tu)
       } else store.merge(name, df, matchColumns, deleteRequires, ti, tu)
+
+    /** Type-2 SCD history merge (beyond the reference's MERGE — the
+      * hand-written history transaction, as one operator). */
+    def scd2(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =
+      store.scd2(name, df, matchColumns, clock())
+  }
+
+  /** Table maintenance (beyond the reference; the DBA-side jobs its
+    * users run as server tasks): compaction, statistics, clustering. */
+  object maintenance {
+    def compact(name: String, rowsPerFile: Long = 1000000L): Unit =
+      store.compact(name, rowsPerFile)
+    def analyze(name: String, columns: Seq[String] = Seq.empty,
+        incremental: Boolean = false): Unit =
+      store.analyze(name, columns, incremental)
+    def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit =
+      store.cluster(name, columns, filesTarget)
   }
 
   /** Reference `get_schema` (package.py:105). */

@@ -66,4 +66,22 @@ class GraftApiSpec extends AnyFunSuite {
       sql.write.merge("ExampleMergeDF", Seq(("X", 1, "x", 9)).toDF("State", "ColumnA", "ColumnB", "PK"),
         upsert = true, deleteRequires = Seq("State")))
   }
+
+  test("maintenance + scd2 surfaces run through the facade") {
+    val clock = lit("2026-02-03 04:05:06").cast(TimestampType)
+    val sql = Graft(spark, Files.createTempDirectory("graft_api2_").toString,
+      clock = () => clock)
+    sql.create.table("dim", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"))
+    sql.write.insert("dim", spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    sql.maintenance.compact("dim")
+    sql.maintenance.analyze("dim")
+    sql.maintenance.cluster("dim", Seq("k"), filesTarget = 4)
+    assert(sql.read.table("dim").count() == 100)
+    // scd2 through write: change one key, history grows by exactly one
+    sql.write.scd2("dim", Seq((5L, "CHANGED")).toDF("k", "v"))
+    assert(sql.read.table("dim").count() == 101)
+    assert(sql.read.table("dim", where = Some("k = 5"), orderBy = Seq("_valid_from"))
+      .select("v").as[String].collect().toSeq == Seq("v5", "CHANGED"))
+  }
 }
