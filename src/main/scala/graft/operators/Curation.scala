@@ -77,6 +77,66 @@ object Curation {
       .drop("__k")
   }
 
+  /** Greedy sequence packing (L28) — the "concatenate then split at
+    * seqLen boundaries" step that turns a curated corpus into
+    * fixed-length training sequences: documents are laid out in a
+    * deterministic hash order and each learns which sequence its first
+    * token lands in (`seq_id`) and at what offset (`start_off`).
+    *
+    * Packing is SHARD-LOCAL: documents first hash into
+    * (group, shard) cells and the running-token layout is computed per
+    * cell — exactly how production packers parallelize, and what keeps
+    * the window partitioned (a single global layout would funnel 100 TB
+    * through one task; PlanAuditSpec-class concern). The order key and
+    * the shard both derive from md5(doc_id) with arithmetic that exists
+    * verbatim in ANSI SQL, so the layout is reproducible across
+    * engines. */
+  def packSequences(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokens: Column,
+      seqLen: Int,
+      shards: Int = 64): DataFrame = {
+    val ord = hashKey(col(idCol))
+    val shard = pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards))
+    val w = Window.partitionBy(col(groupCol), col("pack_shard"))
+      .orderBy(col("__ord"), col(idCol))
+    docs
+      .select(col(groupCol), col(idCol), tokens.cast("long").as("n_tokens"),
+        ord.as("__ord"), shard.as("pack_shard"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("__start") / seqLen))
+      .withColumn("start_off", pmod(col("__start"), lit(seqLen.toLong)))
+      .drop("__start")
+  }
+
+  /** Temperature-based mix resampling (L29) — flatten a skewed group
+    * (language/domain) distribution toward shares ∝ n^alpha, the
+    * multilingual-pretraining mixing step: group g keeps each row with
+    * probability r_g = (n_min/n_g)^(1-alpha) (the smallest group keeps
+    * everything; bigger groups downsample toward balance). The keep
+    * decision u < r_g uses the same md5-hash uniform as
+    * [[weightedSample]]; both sides are rounded to 6 dp so the
+    * comparison is engine-portable. Group counts are one tiny aggregate
+    * broadcast back — nothing quadratic, nothing collected. Fixed
+    * alpha = 0.5 keeps the exponent a correctly-rounded sqrt (pow is
+    * not bit-identical across libms; sqrt is). */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val v = conv(substring(hashKey(col(idCol)), 1, 8), 16, 10).cast("double")
+    val u = round((v + 0.5) / 4294967296.0, 6)
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(nMin))
+      .withColumn("__r", round(sqrt(col("__n_min").cast("double") / col("__n")), 6))
+      .filter(u < col("__r"))
+      .drop("__n", "__n_min", "__r")
+  }
+
   /** Per-document unigram language-model score (L19): the corpus itself
     * is the model — token log-probabilities from corpus frequencies,
     * each document scored by its mean token log-prob (≈ negative

@@ -219,6 +219,22 @@ object PipelineQueries {
   def textLogprob(s: SparkSession, dir: String): DataFrame =
     Curation.unigramLogprob(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** L28: greedy sequence packing into 512-token training sequences,
+    * shard-local (8 shards here; see Curation.packSequences). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Curation.packSequences(d, "lang", "doc_id",
+        org.apache.spark.sql.functions.size(Text.tokens(col("text"))), seqLen = 512, shards = 8)
+      .orderBy("lang", "pack_shard", "__ord", "doc_id")
+      .drop("__ord")
+  }
+
+  /** L29: temperature resampling toward shares ∝ n^0.5 over languages. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureSample(t(s, dir, "documents"), "lang", "doc_id")
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
     Media.decodeTable(t(s, dir, "documents")).orderBy("doc_id")
 
@@ -253,6 +269,8 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint,
     "sample_stratified" -> sampleStratified,
     "sample_weighted" -> sampleWeighted,
+    "pack_sequences" -> packSequences,
+    "sample_temperature" -> sampleTemperature,
     "text_tfidf" -> textTfidf,
     "text_heavyhitters" -> textHeavyHitters,
     "text_logprob" -> textLogprob,
@@ -543,6 +561,47 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS INT) AS sample_rank
         | FROM keyed)
         |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents),
+        |v AS (
+        | SELECT doc_id, lang, n_tokens, h,
+        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |   + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        |   + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        |   + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        |   + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) % 8 AS pack_shard
+        | FROM d),
+        |c AS (
+        | SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, pack_shard ORDER BY h, doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS cum FROM v)
+        |SELECT lang, doc_id, n_tokens, pack_shard,
+        | CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+        | CAST((cum - n_tokens) % 512 AS BIGINT) AS start_off
+        |FROM c ORDER BY lang, pack_shard, h, doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+        |m AS (SELECT MIN(n) AS n_min FROM c)
+        |SELECT lang, doc_id
+        |FROM d JOIN c USING (lang) CROSS JOIN m
+        |WHERE ROUND(((
+        |   (strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        | + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        | + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        | + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        | + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        | + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        | + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        | + (strpos('0123456789abcdef', substr(h,8,1))-1)
+        | + 0.5)) / 4294967296.0, 6) < ROUND(sqrt(CAST(n_min AS DOUBLE) / n), 6)
+        |ORDER BY lang, doc_id""".stripMargin,
     "text_heavyhitters" ->
       """WITH toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY lang, term)
