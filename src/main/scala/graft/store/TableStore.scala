@@ -450,17 +450,24 @@ final class TableStore(spark: SparkSession, root: String) {
     analyze(name, columns)
   }
 
-  /** File-level stats pruning for a keyed read: parse the where string,
-    * drop every data file whose [min,max]/null stats prove it cannot
-    * contain a matching row, and scan only the survivors. Files without
-    * stats (inserted since the last analyze) are always kept, and the
-    * full predicate is re-applied by the caller — pruning only shrinks
-    * the scan, never the answer. */
+  /** File-level pruning for a keyed read, two independent cuts composed:
+    *
+    *  1. BUCKET pruning (bucketed tables, no stats needed): when the
+    *     predicate pins every PK column with top-level equality/IN
+    *     conjuncts, the PK hash determines the only `__bucket=` dirs
+    *     that can hold matches — the read-side twin of the mutation
+    *     path's bucket pruning. An equality read on a 100 TB bucketed
+    *     table touches 1/buckets of the files with zero maintenance.
+    *  2. STATS pruning (any layout, after analyze): drop every file
+    *     whose [min,max]/null stats prove it cannot match.
+    *
+    * Files without stats are kept by cut 2, and the full predicate is
+    * re-applied by the caller — pruning only shrinks the scan, never
+    * the answer. */
   private def prunedRead(name: String, m: Meta, where: String): DataFrame = {
     val base = read(name)
     if (!hasDataFiles(name)) return base
-    val stats = FileStats.read(fs, statsPath(name)).getOrElse(return base)
-    // resolve the predicate through the analyzer so mayMatch sees real
+    // resolve the predicate through the analyzer so the pruners see real
     // Catalyst comparisons over AttributeReferences (the raw Column is
     // an unresolved ColumnNode tree in Spark 4)
     val pred = base.filter(Filters.parseWhere(base, where))
@@ -469,8 +476,19 @@ final class TableStore(spark: SparkSession, root: String) {
       .getOrElse(return base)
     val types = m.columns.map { case (n, t) => n -> t.spark }.toMap
     val all = listDataFiles(name)
-    val surviving = all.filter { p =>
-      stats.get(p.getName).forall(st => FileStats.mayMatch(pred, st, types))
+
+    val afterBuckets = allowedBuckets(m, pred, types) match {
+      case Some(ids) => all.filter { p =>
+        val dir = p.getParent.getName
+        !dir.startsWith(BucketCol + "=") || ids.contains(dir.stripPrefix(BucketCol + "=").toLong)
+      }
+      case None => all
+    }
+    val stats = FileStats.read(fs, statsPath(name))
+    val surviving = stats match {
+      case Some(st) => afterBuckets.filter(p =>
+        st.get(p.getName).forall(s => FileStats.mayMatch(pred, s, types)))
+      case None => afterBuckets
     }
     if (surviving.length == all.length) base
     else if (surviving.isEmpty)
@@ -481,6 +499,66 @@ final class TableStore(spark: SparkSession, root: String) {
         .parquet(surviving.map(_.toString): _*)
       alignTo(raw, m)
     }
+  }
+
+  /** Bucket ids a predicate can possibly hit: requires a bucketed table
+    * whose EVERY PK column is pinned by a top-level equality or IN
+    * conjunct. Hashes each candidate key tuple with the same
+    * xxhash64-pmod the writer uses (literal evaluation, no Spark job);
+    * None = cannot prune. Candidate tuples are capped so a huge IN list
+    * degrades to a full scan instead of a driver loop. */
+  private def allowedBuckets(
+      m: Meta,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      types: Map[String, org.apache.spark.sql.types.DataType]): Option[Set[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    if (m.buckets <= 0 || m.primaryKey.isEmpty) return None
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // per pk column: the set of candidate values pinned by conjuncts
+    val sets = scala.collection.mutable.Map.empty[String, Set[Any]]
+    conjuncts(pred).foreach {
+      case EqualTo(a, v) if nameOf(a).isDefined && v.foldable =>
+        val n = nameOf(a).get
+        Option(v.eval(null)).foreach { value =>
+          val s = Set[Any](value)
+          sets(n) = sets.get(n).map(_.intersect(s)).getOrElse(s)
+        }
+      case EqualTo(v, a) if nameOf(a).isDefined && v.foldable =>
+        val n = nameOf(a).get
+        Option(v.eval(null)).foreach { value =>
+          val s = Set[Any](value)
+          sets(n) = sets.get(n).map(_.intersect(s)).getOrElse(s)
+        }
+      case In(a, list) if nameOf(a).isDefined && list.forall(_.foldable) =>
+        val n = nameOf(a).get
+        val s: Set[Any] = list.flatMap(l => Option(l.eval(null))).toSet
+        sets(n) = sets.get(n).map(_.intersect(s)).getOrElse(s)
+      case _ => // non-pinning conjunct: fine, others may still pin
+    }
+    if (!m.primaryKey.forall(sets.contains)) return None
+    val perCol = m.primaryKey.map(c => sets(c).toSeq)
+    if (perCol.map(_.size.toLong).product > 1024) return None // degenerate IN lists
+    def tuples(cols: Seq[Seq[Any]]): Seq[Seq[Any]] = cols match {
+      case Seq() => Seq(Seq.empty)
+      case head +: tail => for (v <- head; rest <- tuples(tail)) yield v +: rest
+    }
+    val ids = tuples(perCol).map { tup =>
+      val lits = m.primaryKey.zip(tup).map { case (c, v) =>
+        Literal.create(v, types(c)): Expression
+      }
+      val h = XxHash64(lits, 42L).eval(null).asInstanceOf[Long] // 42 = functions.xxhash64's seed
+      math.floorMod(h, m.buckets.toLong)
+    }.toSet
+    Some(ids)
   }
 
   private def listDataFiles(name: String): Seq[Path] = {

@@ -273,6 +273,41 @@ class TableStoreSpec extends AnyFunSuite {
     assert(point.select("v").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("bucketed reads prune to the PK hash's buckets — no stats needed") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 8)
+    store.insert("t", spark.range(0, 4000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    val all = store.readTable("t").inputFiles.length
+    assert(all >= 8)
+    // equality on the PK → only the matching bucket dir is scanned
+    val eq = store.readTable("t", where = Some("k = 42"))
+    val eqDirs = eq.inputFiles.map(f => f.split("/").find(_.startsWith("__bucket=")).get).distinct
+    assert(eqDirs.length == 1, s"expected 1 bucket dir, got ${eqDirs.toSeq}")
+    assert(eq.select("v").as[String].collect().toSeq == Seq("v42"))
+    // IN list → at most one dir per value; extra conjuncts don't block
+    val in = store.readTable("t", where = Some("k IN (10, 2000) AND v LIKE 'v%'"))
+    assert(in.count() == 2)
+    assert(in.inputFiles.map(f => f.split("/").find(_.startsWith("__bucket=")).get)
+      .distinct.length <= 2)
+    // a range predicate cannot bucket-prune (hash destroys order)
+    assert(store.readTable("t", where = Some("k >= 10 AND k < 20")).inputFiles.length == all)
+
+    // composite PK: every key column must be pinned
+    val store2 = newStore()
+    store2.createTable("t2", Seq("a" -> "int", "b" -> "varchar(5)", "x" -> "int"),
+      Seq("a", "b"), buckets = 8)
+    store2.insert("t2", spark.range(0, 800).select(
+      col("id").cast("int").as("a"), concat(lit("b"), col("id") % 5).as("b"),
+      lit(1).as("x")))
+    val all2 = store2.readTable("t2").inputFiles.length
+    val both = store2.readTable("t2", where = Some("a = 7 AND b = 'b2'"))
+    assert(both.count() == 1)
+    assert(both.inputFiles.length < all2)
+    // pinning only half the composite key → no bucket pruning
+    assert(store2.readTable("t2", where = Some("a = 7")).inputFiles.length == all2)
+  }
+
   test("zorder cluster makes stats prune on BOTH dimensions, contents unchanged") {
     val store = newStore()
     // x and y are independent: insertion order localizes NEITHER — an
