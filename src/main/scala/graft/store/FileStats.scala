@@ -91,17 +91,27 @@ object FileStats {
 
   /** Could any row of a file with these stats satisfy `pred`? False only
     * when provably not. `types` maps column name → the ALIGNED (meta)
-    * Spark type, the domain both the stats and the predicate live in. */
-  def mayMatch(pred: Expression, stat: FileStat, types: Map[String, DataType]): Boolean =
+    * Spark type, the domain both the stats and the predicate live in.
+    * `zone` is the SESSION time zone the stats' cast-to-string rendering
+    * used — timestamp literals are epoch micros, so re-parsing the stat
+    * strings in any other zone would shift the interval and mis-prune. */
+  def mayMatch(pred: Expression, stat: FileStat, types: Map[String, DataType],
+      zone: String = "UTC"): Boolean =
+    mayMatchIn(pred, stat, types, java.time.ZoneId.of(zone))
+
+  private def mayMatchIn(pred: Expression, stat: FileStat, types: Map[String, DataType],
+      zone: java.time.ZoneId): Boolean = {
+    def mayMatch(p: Expression, s: FileStat, t: Map[String, DataType]): Boolean =
+      mayMatchIn(p, s, t, zone)
     pred match {
       case And(l, r) => mayMatch(l, stat, types) && mayMatch(r, stat, types)
       case Or(l, r)  => mayMatch(l, stat, types) || mayMatch(r, stat, types)
       case c: BinaryComparison =>
         (nameOf(c.left), foldEval(c.right)) match {
-          case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = false, stat, types)
+          case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = false, stat, types, zone)
           case _ =>
             (nameOf(c.right), foldEval(c.left)) match {
-              case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = true, stat, types)
+              case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = true, stat, types, zone)
               case _ => true
             }
         }
@@ -111,7 +121,7 @@ object FileStats {
         list.exists { l =>
           Option(l.eval(null)) match {
             case None    => false
-            case Some(v) => valueInRange(n, v, stat, types)
+            case Some(v) => valueInRange(n, v, stat, types, zone)
           }
         }
       case IsNull(a) =>
@@ -126,6 +136,7 @@ object FileStats {
         }
       case _ => true
     }
+  }
 
   private def nameOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
@@ -139,13 +150,13 @@ object FileStats {
   /** file range [lo,hi] vs `col op v` (or `v op col` when flipped). */
   private def cmpMayMatch(
       c: BinaryComparison, n: String, v: Any, flipped: Boolean,
-      stat: FileStat, types: Map[String, DataType]): Boolean = {
+      stat: FileStat, types: Map[String, DataType], zone: java.time.ZoneId): Boolean = {
     val cs = stat.cols.getOrElse(n, return true)
     if (cs.min.isEmpty || cs.max.isEmpty)
       return false // no non-null values in this file → a comparison can't match
     val dt = types.getOrElse(n, return true)
-    val loCmp = compare(dt, cs.min.get, v).getOrElse(return true) // min ? v
-    val hiCmp = compare(dt, cs.max.get, v).getOrElse(return true) // max ? v
+    val loCmp = compare(dt, cs.min.get, v, zone).getOrElse(return true) // min ? v
+    val hiCmp = compare(dt, cs.max.get, v, zone).getOrElse(return true) // max ? v
     c match {
       case _: EqualTo | _: EqualNullSafe => loCmp <= 0 && hiCmp >= 0
       case _: GreaterThan        => if (flipped) loCmp < 0 else hiCmp > 0
@@ -156,11 +167,12 @@ object FileStats {
     }
   }
 
-  private def valueInRange(n: String, v: Any, stat: FileStat, types: Map[String, DataType]): Boolean = {
+  private def valueInRange(n: String, v: Any, stat: FileStat,
+      types: Map[String, DataType], zone: java.time.ZoneId): Boolean = {
     val cs = stat.cols.getOrElse(n, return true)
     if (cs.min.isEmpty || cs.max.isEmpty) return false
     val dt = types.getOrElse(n, return true)
-    (compare(dt, cs.min.get, v), compare(dt, cs.max.get, v)) match {
+    (compare(dt, cs.min.get, v, zone), compare(dt, cs.max.get, v, zone)) match {
       case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
       case _ => true
     }
@@ -171,7 +183,8 @@ object FileStats {
     * values arrive as Catalyst internal types (UTF8String, Int days for
     * DATE, Long micros for TIMESTAMP); stat values as Spark's
     * cast-to-string rendering. */
-  private def compare(dt: DataType, statVal: String, litVal: Any): Option[Int] = Try {
+  private def compare(dt: DataType, statVal: String, litVal: Any,
+      zone: java.time.ZoneId): Option[Int] = Try {
     dt match {
       case _: NumericType =>
         BigDecimal(statVal).compare(BigDecimal(litVal.toString))
@@ -180,9 +193,18 @@ object FileStats {
       case DateType =>
         val days = java.time.LocalDate.parse(statVal).toEpochDay
         days.compare(litVal.asInstanceOf[Int].toLong)
-      case TimestampType | TimestampNTZType =>
-        val t = java.sql.Timestamp.valueOf(statVal)
-        val micros = math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+      case TimestampType =>
+        // stat string was rendered in the SESSION zone; the literal is
+        // epoch micros — parse back through the same zone, never the
+        // JVM default (a mismatch would shift the interval and prune
+        // files that contain matches)
+        val ldt = java.time.LocalDateTime.parse(statVal.replace(' ', 'T'))
+        val micros = ldt.atZone(zone).toInstant.getEpochSecond * 1000000L + ldt.getNano / 1000L
+        micros.compare(litVal.asInstanceOf[Long])
+      case TimestampNTZType =>
+        // NTZ: both sides are zone-less micros
+        val ldt = java.time.LocalDateTime.parse(statVal.replace(' ', 'T'))
+        val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
         micros.compare(litVal.asInstanceOf[Long])
       case BooleanType =>
         statVal.toBoolean.compare(litVal.asInstanceOf[Boolean])

@@ -485,9 +485,10 @@ final class TableStore(spark: SparkSession, root: String) {
       case None => all
     }
     val stats = FileStats.read(fs, statsPath(name))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
     val surviving = stats match {
       case Some(st) => afterBuckets.filter(p =>
-        st.get(p.getName).forall(s => FileStats.mayMatch(pred, s, types)))
+        st.get(p.getName).forall(s => FileStats.mayMatch(pred, s, types, zone)))
       case None => afterBuckets
     }
     if (surviving.length == all.length) base

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.FileStats
+import graft.store.FileStats.{ColStat, FileStat}
+
+/** Unit coverage for the conservative tri-state zone-map evaluator —
+  * the component where a wrong "false" silently DROPS matching rows
+  * from a keyed read, so every shape gets a direct case: both
+  * comparison orientations, OR trees, IN with nulls, null-count
+  * pruning, all-null/empty files, date/timestamp domains, and the
+  * conservative fallbacks for unknown columns and expressions. */
+class FileStatsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val df = {
+    import spark.implicits._
+    Seq((1L, "a", java.sql.Date.valueOf("2026-01-15"),
+        java.sql.Timestamp.valueOf("2026-01-15 12:00:00")))
+      .toDF("k", "s", "d", "ts")
+  }
+  private val types = Map[String, DataType](
+    "k" -> LongType, "s" -> StringType, "d" -> DateType, "ts" -> TimestampType)
+  private val zone = spark.sessionState.conf.sessionLocalTimeZone
+
+  /** Resolve a where string to a Catalyst predicate like prunedRead does. */
+  private def pred(where: String) =
+    df.filter(Filters.parseWhere(df, where)).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .get
+
+  private def stat(cols: (String, ColStat)*): FileStat = FileStat(100L, cols.toMap)
+  private def k(lo: String, hi: String, nulls: Long = 0) =
+    "k" -> ColStat(Some(lo), Some(hi), nulls)
+
+  private def may(where: String, st: FileStat): Boolean =
+    FileStats.mayMatch(pred(where), st, types, zone)
+
+  test("numeric comparisons, both orientations, honor the [min,max] interval") {
+    val s = stat(k("100", "200"))
+    assert(may("k = 150", s) && !may("k = 99", s) && !may("k = 201", s))
+    assert(may("k >= 200", s) && !may("k > 200", s))
+    assert(may("k <= 100", s) && !may("k < 100", s))
+    assert(!may("k >= 201", s) && !may("k <= 99", s))
+    assert(may("k <> 150", s)) // != can only be pruned by equality logic; stays true
+  }
+
+  test("AND narrows, OR widens") {
+    val s = stat(k("100", "200"))
+    // conjuncts are evaluated independently (no cross-conjunct interval
+    // intersection): an unsatisfiable conjunction stays conservative-true
+    assert(may("k >= 150 AND k < 120", s))
+    assert(!may("k >= 150 AND k > 500", s)) // one provably-false conjunct prunes
+    assert(may("k < 120 OR k > 500", s))
+    assert(!may("k < 50 OR k > 500", s))
+    assert(may("k < 50 OR s = 'zz'", stat(k("100", "200")))) // unknown col side stays true
+  }
+
+  test("IN prunes by member overlap and ignores null members") {
+    val s = stat(k("100", "200"))
+    assert(may("k IN (5, 150)", s))
+    assert(!may("k IN (5, 500)", s))
+    assert(!may("k IN (NULL)", s)) // NULL member matches nothing
+  }
+
+  test("null counts drive IS NULL / IS NOT NULL pruning") {
+    assert(!may("k IS NULL", stat(k("1", "2", nulls = 0))))
+    assert(may("k IS NULL", stat(k("1", "2", nulls = 5))))
+    assert(may("k IS NOT NULL", stat(k("1", "2", nulls = 5))))
+    // all-null file: comparisons and IS NOT NULL prune, IS NULL keeps
+    val allNull = FileStat(100L, Map("k" -> ColStat(None, None, 100L)))
+    assert(!may("k = 1", allNull) && !may("k IS NOT NULL", allNull))
+    assert(may("k IS NULL", allNull))
+    // empty file prunes everything provable
+    val empty = FileStat(0L, Map("k" -> ColStat(None, None, 0L)))
+    assert(!may("k = 1", empty) && !may("k IS NOT NULL", empty))
+  }
+
+  test("date and timestamp domains compare against rendered stat strings") {
+    val dst = stat("d" -> ColStat(Some("2026-01-01"), Some("2026-01-31"), 0))
+    assert(may("d = '2026-01-15'", dst))
+    assert(!may("d > '2026-01-31'", dst))
+    assert(!may("d < '2026-01-01'", dst))
+    val tst = stat("ts" -> ColStat(
+      Some("2026-01-01 00:00:00"), Some("2026-01-31 23:59:59"), 0))
+    assert(may("ts = '2026-01-15 12:00:00'", tst))
+    assert(!may("ts > '2026-02-01 00:00:00'", tst))
+    assert(!may("ts < '2025-12-31 23:59:59'", tst))
+  }
+
+  test("conservative fallbacks: unknown columns, stat-less columns, odd shapes") {
+    val s = stat(k("100", "200"))
+    assert(may("s = 'anything'", s))      // no stats for s → keep
+    assert(may("s LIKE 'a%'", s))          // unsupported shape → keep
+    assert(may("k = 150 AND s LIKE 'a%'", s))
+    assert(!may("k = 99 AND s LIKE 'a%'", s)) // provable conjunct still prunes
+  }
+}
