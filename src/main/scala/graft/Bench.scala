@@ -39,7 +39,9 @@ object Bench {
     "sim_topk_ivf",
     "embedding_centroids",
     "text_quality",
+    "text_repetition",
     "text_fingerprint",
+    "pack_sequences",
     "multimodal_decode",
     "pipeline_stats",
   )

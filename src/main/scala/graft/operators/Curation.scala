@@ -137,6 +137,33 @@ object Curation {
       .drop("__n", "__n_min", "__r")
   }
 
+  /** Corpus-boilerplate stripping (L30) — the transform cousin of the
+    * dedup df-cut: terms whose DOCUMENT frequency exceeds `maxDf` are
+    * corpus furniture (headers, footers, injected templates) and are
+    * removed from every document, preserving the original token order.
+    * Linear shapes only: positional explode, one term-level aggregate
+    * (vocabulary-sized, broadcastable), a semi-join-like filter, and an
+    * order-restoring per-doc re-aggregation — nothing quadratic, no
+    * driver state. Documents whose every token is boilerplate survive
+    * with empty text (the caller's quality gate drops them). */
+  def stripBoilerplate(docs: DataFrame, maxDf: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.tokens(col("text"))).as(Seq("__pos", "__term")))
+    val dfreq = toks.groupBy("__term")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    val kept = toks.join(broadcast(dfreq), "__term").filter(col("__df") <= maxDf)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__term")))),
+        s => s.getField("__term"))).as("clean_text"))
+    docs.select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document unigram language-model score (L19): the corpus itself
     * is the model — token log-probabilities from corpus frequencies,
     * each document scored by its mean token log-prob (≈ negative

@@ -200,6 +200,11 @@ object Mutations {
       clock: Column): DataFrame = {
     requireCols(target, matchCols ++ Seq(ValidFrom, ValidTo), "target")
     requireCols(source, matchCols, "source")
+    // validity columns are ENGINE-owned: a source carrying them would be
+    // silently compared as "tracked" values and corrupt the chains
+    Seq(ValidFrom, ValidTo).filter(source.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"scd2: source must not carry the engine-managed column $c"))
     val tracked = source.columns.filterNot(matchCols.contains).toSeq
     requireCols(target, tracked, "target")
 

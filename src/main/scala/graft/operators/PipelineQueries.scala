@@ -229,6 +229,16 @@ object PipelineQueries {
       .drop("__ord")
   }
 
+  /** L30: boilerplate stripping — remove terms present in > 80% of
+    * documents (on this shared-vocabulary corpus that cuts the handful
+    * of truly-everywhere words while keeping most text — non-vacuous in
+    * both directions). */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val maxDf = (d.count() * 4 / 5).toInt
+    Curation.stripBoilerplate(d, maxDf).orderBy("doc_id")
+  }
+
   /** L29: temperature resampling toward shares ∝ n^0.5 over languages. */
   def sampleTemperature(s: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(t(s, dir, "documents"), "lang", "doc_id")
@@ -271,6 +281,7 @@ object PipelineQueries {
     "sample_weighted" -> sampleWeighted,
     "pack_sequences" -> packSequences,
     "sample_temperature" -> sampleTemperature,
+    "text_boilerplate" -> textBoilerplate,
     "text_tfidf" -> textTfidf,
     "text_heavyhitters" -> textHeavyHitters,
     "text_logprob" -> textLogprob,
@@ -602,6 +613,22 @@ object PipelineQueries {
         | + (strpos('0123456789abcdef', substr(h,8,1))-1)
         | + 0.5)) / 4294967296.0, 6) < ROUND(sqrt(CAST(n_min AS DOUBLE) / n), 6)
         |ORDER BY lang, doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH toks AS (
+        | SELECT doc_id, UNNEST(string_split(text, ' ')) AS term,
+        |        UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        | FROM documents),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |thr AS (SELECT COUNT(*) * 4 / 5 AS maxdf FROM documents),
+        |kept AS (SELECT doc_id, term, pos FROM toks JOIN dfreq USING (term), thr
+        |         WHERE df <= maxdf),
+        |rebuilt AS (
+        | SELECT doc_id, COUNT(*) AS n_kept, string_agg(term, ' ' ORDER BY pos) AS clean_text
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+        | COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_heavyhitters" ->
       """WITH toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |c AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY lang, term)

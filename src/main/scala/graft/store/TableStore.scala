@@ -524,26 +524,28 @@ final class TableStore(spark: SparkSession, root: String) {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    // per pk column: the set of candidate values pinned by conjuncts
-    val sets = scala.collection.mutable.Map.empty[String, Set[Any]]
-    conjuncts(pred).foreach {
+    // values a (sub-)predicate pins a column to: equality, IN, or an
+    // OR of such pins ON THE SAME COLUMN (`k = 1 OR k = 2` unions)
+    def pinned(e: Expression): Option[(String, Set[Any])] = e match {
       case EqualTo(a, v) if nameOf(a).isDefined && v.foldable =>
-        val n = nameOf(a).get
-        Option(v.eval(null)).foreach { value =>
-          val s = Set[Any](value)
-          sets(n) = sets.get(n).map(_.intersect(s)).getOrElse(s)
-        }
+        Option(v.eval(null)).map(value => nameOf(a).get -> Set[Any](value))
       case EqualTo(v, a) if nameOf(a).isDefined && v.foldable =>
-        val n = nameOf(a).get
-        Option(v.eval(null)).foreach { value =>
-          val s = Set[Any](value)
-          sets(n) = sets.get(n).map(_.intersect(s)).getOrElse(s)
-        }
+        Option(v.eval(null)).map(value => nameOf(a).get -> Set[Any](value))
       case In(a, list) if nameOf(a).isDefined && list.forall(_.foldable) =>
-        val n = nameOf(a).get
-        val s: Set[Any] = list.flatMap(l => Option(l.eval(null))).toSet
+        Some(nameOf(a).get -> list.flatMap(l => Option(l.eval(null))).toSet)
+      case Or(l, r) =>
+        (pinned(l), pinned(r)) match {
+          case (Some((nl, sl)), Some((nr, sr))) if nl == nr => Some(nl -> (sl ++ sr))
+          case _ => None
+        }
+      case _ => None
+    }
+    // per pk column: the candidate-value set pinned by conjuncts
+    val sets = scala.collection.mutable.Map.empty[String, Set[Any]]
+    conjuncts(pred).foreach { c =>
+      pinned(c).foreach { case (n, s) =>
         sets(n) = sets.get(n).map(_.intersect(s)).getOrElse(s)
-      case _ => // non-pinning conjunct: fine, others may still pin
+      }
     }
     if (!m.primaryKey.forall(sets.contains)) return None
     val perCol = m.primaryKey.map(c => sets(c).toSeq)

@@ -290,6 +290,11 @@ class TableStoreSpec extends AnyFunSuite {
     assert(in.count() == 2)
     assert(in.inputFiles.map(f => f.split("/").find(_.startsWith("__bucket=")).get)
       .distinct.length <= 2)
+    // OR of equalities on the SAME key unions the candidate buckets
+    val orEq = store.readTable("t", where = Some("k = 10 OR k = 2000"))
+    assert(orEq.count() == 2)
+    assert(orEq.inputFiles.map(f => f.split("/").find(_.startsWith("__bucket=")).get)
+      .distinct.length <= 2)
     // a range predicate cannot bucket-prune (hash destroys order)
     assert(store.readTable("t", where = Some("k >= 10 AND k < 20")).inputFiles.length == all)
 
