@@ -178,8 +178,12 @@ object Ann {
     val rows = cents.zipWithIndex.flatMap { case (v, c) =>
       v.zipWithIndex.map { case (x, p) => (c, p, x) }
     }
-    store.createTable(table, Seq("cl" -> "int", "pos" -> "int", "x" -> "float"), Seq("cl", "pos"))
-    store.insert(table, rows.toDF("cl", "pos", "x"))
+    // rebuild-friendly: a retrain REPLACES the stored quantizer (full
+    // merge deletes stale rows) instead of throwing TableAlreadyExists
+    if (!store.exists(table)) {
+      store.createTable(table, Seq("cl" -> "int", "pos" -> "int", "x" -> "float"), Seq("cl", "pos"))
+      store.insert(table, rows.toDF("cl", "pos", "x"))
+    } else store.merge(table, rows.toDF("cl", "pos", "x"))
   }
 
   def loadCentroids(store: graft.store.TableStore, table: String): Seq[Seq[Double]] =
@@ -212,9 +216,13 @@ object Ann {
       assignBuckets: Int = 8): Seq[Seq[Double]] = {
     val cents = trainIvfCentroids(corpus, nCentroids, iters, maxTrainRows)
     saveCentroids(spark, store, s"${name}_centroids", cents)
-    store.createTable(s"${name}_assign",
-      Seq("vec_id" -> "bigint", "cl" -> "int"), Seq("vec_id"), buckets = assignBuckets)
-    store.insert(s"${name}_assign", assignments(corpus, cents))
+    // same rebuild semantics as the quantizer: re-running saveIndex
+    // replaces the assignment lists wholesale
+    if (!store.exists(s"${name}_assign")) {
+      store.createTable(s"${name}_assign",
+        Seq("vec_id" -> "bigint", "cl" -> "int"), Seq("vec_id"), buckets = assignBuckets)
+      store.insert(s"${name}_assign", assignments(corpus, cents))
+    } else store.merge(s"${name}_assign", assignments(corpus, cents))
     cents
   }
 

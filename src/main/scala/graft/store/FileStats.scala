@@ -39,6 +39,9 @@ object FileStats {
 
   // ── persistence ─────────────────────────────────────────────────────────
 
+  /** Atomic: written to a sibling tmp path, then renamed over the
+    * final one — a crash mid-write can never leave a truncated file
+    * behind the final name. */
   def write(fs: FileSystem, path: Path, stats: Map[String, FileStat]): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
@@ -54,12 +57,19 @@ object FileStats {
         o.put("nulls", cs.nulls)
       }
     }
-    val out = fs.create(path, true)
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new IllegalStateException(s"stats swap failed: $path")
   }
 
-  def read(fs: FileSystem, path: Path): Option[Map[String, FileStat]] = {
+  /** None on a missing OR unreadable file — stats are ADVISORY: a
+    * corrupt sidecar must degrade to an unpruned scan, never fail the
+    * read (the contract the pruner's docs promise). */
+  def read(fs: FileSystem, path: Path): Option[Map[String, FileStat]] = Try {
     if (!fs.exists(path)) return None
     val mapper = new ObjectMapper()
     val in = fs.open(path)
@@ -79,8 +89,8 @@ object FileStats {
       }
       b += file -> FileStat(f.get("rows").asLong(), cb.result())
     }
-    Some(b.result())
-  }
+    b.result()
+  }.toOption
 
   /** Basename key for a file URI as `input_file_name()` returns it.
     * Spark part-file names embed a job UUID, so basenames are unique
@@ -92,26 +102,18 @@ object FileStats {
   /** Could any row of a file with these stats satisfy `pred`? False only
     * when provably not. `types` maps column name → the ALIGNED (meta)
     * Spark type, the domain both the stats and the predicate live in.
-    * `zone` is the SESSION time zone the stats' cast-to-string rendering
-    * used — timestamp literals are epoch micros, so re-parsing the stat
-    * strings in any other zone would shift the interval and mis-prune. */
-  def mayMatch(pred: Expression, stat: FileStat, types: Map[String, DataType],
-      zone: String = "UTC"): Boolean =
-    mayMatchIn(pred, stat, types, java.time.ZoneId.of(zone))
-
-  private def mayMatchIn(pred: Expression, stat: FileStat, types: Map[String, DataType],
-      zone: java.time.ZoneId): Boolean = {
-    def mayMatch(p: Expression, s: FileStat, t: Map[String, DataType]): Boolean =
-      mayMatchIn(p, s, t, zone)
+    * Every stat rendering is zone-free (zoned timestamps persist as
+    * epoch micros), so evaluation needs no session state. */
+  def mayMatch(pred: Expression, stat: FileStat, types: Map[String, DataType]): Boolean = {
     pred match {
       case And(l, r) => mayMatch(l, stat, types) && mayMatch(r, stat, types)
       case Or(l, r)  => mayMatch(l, stat, types) || mayMatch(r, stat, types)
       case c: BinaryComparison =>
         (nameOf(c.left), foldEval(c.right)) match {
-          case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = false, stat, types, zone)
+          case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = false, stat, types)
           case _ =>
             (nameOf(c.right), foldEval(c.left)) match {
-              case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = true, stat, types, zone)
+              case (Some(n), Some(v)) => cmpMayMatch(c, n, v, flipped = true, stat, types)
               case _ => true
             }
         }
@@ -121,7 +123,7 @@ object FileStats {
         list.exists { l =>
           Option(l.eval(null)) match {
             case None    => false
-            case Some(v) => valueInRange(n, v, stat, types, zone)
+            case Some(v) => valueInRange(n, v, stat, types)
           }
         }
       case IsNull(a) =>
@@ -150,13 +152,13 @@ object FileStats {
   /** file range [lo,hi] vs `col op v` (or `v op col` when flipped). */
   private def cmpMayMatch(
       c: BinaryComparison, n: String, v: Any, flipped: Boolean,
-      stat: FileStat, types: Map[String, DataType], zone: java.time.ZoneId): Boolean = {
+      stat: FileStat, types: Map[String, DataType]): Boolean = {
     val cs = stat.cols.getOrElse(n, return true)
     if (cs.min.isEmpty || cs.max.isEmpty)
       return false // no non-null values in this file → a comparison can't match
     val dt = types.getOrElse(n, return true)
-    val loCmp = compare(dt, cs.min.get, v, zone).getOrElse(return true) // min ? v
-    val hiCmp = compare(dt, cs.max.get, v, zone).getOrElse(return true) // max ? v
+    val loCmp = compare(dt, cs.min.get, v).getOrElse(return true) // min ? v
+    val hiCmp = compare(dt, cs.max.get, v).getOrElse(return true) // max ? v
     c match {
       case _: EqualTo | _: EqualNullSafe => loCmp <= 0 && hiCmp >= 0
       case _: GreaterThan        => if (flipped) loCmp < 0 else hiCmp > 0
@@ -168,11 +170,11 @@ object FileStats {
   }
 
   private def valueInRange(n: String, v: Any, stat: FileStat,
-      types: Map[String, DataType], zone: java.time.ZoneId): Boolean = {
+      types: Map[String, DataType]): Boolean = {
     val cs = stat.cols.getOrElse(n, return true)
     if (cs.min.isEmpty || cs.max.isEmpty) return false
     val dt = types.getOrElse(n, return true)
-    (compare(dt, cs.min.get, v, zone), compare(dt, cs.max.get, v, zone)) match {
+    (compare(dt, cs.min.get, v), compare(dt, cs.max.get, v)) match {
       case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
       case _ => true
     }
@@ -183,24 +185,23 @@ object FileStats {
     * values arrive as Catalyst internal types (UTF8String, Int days for
     * DATE, Long micros for TIMESTAMP); stat values as Spark's
     * cast-to-string rendering. */
-  private def compare(dt: DataType, statVal: String, litVal: Any,
-      zone: java.time.ZoneId): Option[Int] = Try {
+  private def compare(dt: DataType, statVal: String, litVal: Any): Option[Int] = Try {
     dt match {
       case _: NumericType =>
         BigDecimal(statVal).compare(BigDecimal(litVal.toString))
       case StringType =>
-        statVal.compareTo(litVal.toString)
+        // UTF8String order (UTF-8 bytes), matching Spark's min/max —
+        // Java String.compareTo (UTF-16 units) disagrees for
+        // supplementary-plane characters and would mis-prune
+        org.apache.spark.unsafe.types.UTF8String.fromString(statVal)
+          .compareTo(litVal.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
       case DateType =>
         val days = java.time.LocalDate.parse(statVal).toEpochDay
         days.compare(litVal.asInstanceOf[Int].toLong)
       case TimestampType =>
-        // stat string was rendered in the SESSION zone; the literal is
-        // epoch micros — parse back through the same zone, never the
-        // JVM default (a mismatch would shift the interval and prune
-        // files that contain matches)
-        val ldt = java.time.LocalDateTime.parse(statVal.replace(' ', 'T'))
-        val micros = ldt.atZone(zone).toInstant.getEpochSecond * 1000000L + ldt.getNano / 1000L
-        micros.compare(litVal.asInstanceOf[Long])
+        // zoned timestamp stats are persisted as epoch micros (see
+        // TableStore.analyze) — zone-free on both sides
+        statVal.toLong.compare(litVal.asInstanceOf[Long])
       case TimestampNTZType =>
         // NTZ: both sides are zone-less micros
         val ldt = java.time.LocalDateTime.parse(statVal.replace(' ', 'T'))

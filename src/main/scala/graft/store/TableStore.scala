@@ -351,11 +351,12 @@ final class TableStore(spark: SparkSession, root: String) {
     if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
     if (!hasDataFiles(name)) { fs.delete(statsPath(name), false); return }
     val present = listDataFiles(name)
+    val presentNames = present.map(_.getName).toSet
     val kept: Map[String, FileStats.FileStat] =
       if (!incremental) Map.empty
       else FileStats.read(fs, statsPath(name)).getOrElse(Map.empty)
         .filter { case (f, st) =>
-          present.exists(_.getName == f) && st.cols.keySet == cols0.toSet
+          presentNames.contains(f) && st.cols.keySet == cols0.toSet
         }
     val toScan = present.filterNot(p => kept.contains(p.getName))
     val scanned: Map[String, FileStats.FileStat] =
@@ -366,10 +367,16 @@ final class TableStore(spark: SparkSession, root: String) {
           .parquet(toScan.map(_.toString): _*)
         val aligned = alignTo(raw, m, extra = Seq(input_file_name().as("__file")))
         val aggs = cols0.flatMap { c =>
-          val q = col(Identifiers.quote(c))
+          val isTz = m.columns.find(_._1 == c).get._2.spark == TimestampType
+          // zoned timestamps persist as EPOCH MICROS: a rendered local
+          // string would need the analyze-time session zone to read
+          // back (and is ambiguous in the repeated DST hour) — micros
+          // are zone-free and exact
+          val q0 = col(Identifiers.quote(c))
+          val q = if (isTz) unix_micros(q0) else q0
           Seq(min(q).cast("string").as(s"__min_$c"),
             max(q).cast("string").as(s"__max_$c"),
-            sum(when(q.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+            sum(when(q0.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
         }
         val rows = aligned.groupBy(col("__file"))
           .agg(count(lit(1)).as("__rows"), aggs: _*)
@@ -485,10 +492,9 @@ final class TableStore(spark: SparkSession, root: String) {
       case None => all
     }
     val stats = FileStats.read(fs, statsPath(name))
-    val zone = spark.sessionState.conf.sessionLocalTimeZone
     val surviving = stats match {
       case Some(st) => afterBuckets.filter(p =>
-        st.get(p.getName).forall(s => FileStats.mayMatch(pred, s, types, zone)))
+        st.get(p.getName).forall(s => FileStats.mayMatch(pred, s, types)))
       case None => afterBuckets
     }
     if (surviving.length == all.length) base

@@ -236,7 +236,10 @@ object Streams {
         col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
         explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
       .withWatermark("__ts", watermarkDelay)
-    ex.join(trainShingles.withColumn("__hit", lit(1)), Seq("__s"), "left")
+    // distinct() hardens against a non-deduplicated index: a duplicate
+    // hash row would fan the left join out and inflate BOTH counters
+    // (the batch twin counts pre-join and semi-joins, so it is immune)
+    ex.join(trainShingles.select("__s").distinct().withColumn("__hit", lit(1)), Seq("__s"), "left")
       .groupBy(col("doc_id"), window(col("__ts"), watermarkDelay))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_contaminated"))
@@ -520,7 +523,12 @@ object Streams {
     val winMs = windowMillis(windowDuration)
     val v = conv(substring(md5(col(Identifiers.quote(idCol)).cast("string")), 1, 8), 16, 10)
       .cast("double")
-    val key = round(log((v + 0.5) / 4294967296.0) / weight.cast("double"), 9)
+    // null/zero weights de-prioritize (worst key) instead of killing the
+    // query: a null key would fail the non-nullable tuple encoder and
+    // terminate the stream on one bad record (batch twin just sorts last)
+    val key = coalesce(
+      round(log((v + 0.5) / 4294967296.0) / weight.cast("double"), 9),
+      lit(Double.NegativeInfinity))
     val rows = stream.select(
         col(Identifiers.quote(groupCol)).cast("string").as("g"),
         col(Identifiers.quote(idCol)).cast("long").as("id"),

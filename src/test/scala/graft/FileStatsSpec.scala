@@ -24,7 +24,6 @@ class FileStatsSpec extends AnyFunSuite {
   }
   private val types = Map[String, DataType](
     "k" -> LongType, "s" -> StringType, "d" -> DateType, "ts" -> TimestampType)
-  private val zone = spark.sessionState.conf.sessionLocalTimeZone
 
   /** Resolve a where string to a Catalyst predicate like prunedRead does. */
   private def pred(where: String) =
@@ -37,7 +36,7 @@ class FileStatsSpec extends AnyFunSuite {
     "k" -> ColStat(Some(lo), Some(hi), nulls)
 
   private def may(where: String, st: FileStat): Boolean =
-    FileStats.mayMatch(pred(where), st, types, zone)
+    FileStats.mayMatch(pred(where), st, types)
 
   test("numeric comparisons, both orientations, honor the [min,max] interval") {
     val s = stat(k("100", "200"))
@@ -84,8 +83,10 @@ class FileStatsSpec extends AnyFunSuite {
     assert(may("d = '2026-01-15'", dst))
     assert(!may("d > '2026-01-31'", dst))
     assert(!may("d < '2026-01-01'", dst))
+    // zoned timestamp stats are epoch micros (session is UTC here):
+    // [2026-01-01 00:00:00Z, 2026-01-31 23:59:59Z]
     val tst = stat("ts" -> ColStat(
-      Some("2026-01-01 00:00:00"), Some("2026-01-31 23:59:59"), 0))
+      Some("1767225600000000"), Some("1769903999000000"), 0))
     assert(may("ts = '2026-01-15 12:00:00'", tst))
     assert(!may("ts > '2026-02-01 00:00:00'", tst))
     assert(!may("ts < '2025-12-31 23:59:59'", tst))
