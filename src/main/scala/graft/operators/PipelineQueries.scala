@@ -458,10 +458,15 @@ object PipelineQueries {
         |   (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
         |ORDER BY a_id, b_id""".stripMargin,
     "embedding_centroids" ->
-      """SELECT label, CAST(i AS INT) AS pos, COUNT(*) AS n,
-        | ROUND(CAST(SUM(CAST(ROUND(embedding[i+1]::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
-        |FROM embeddings, UNNEST(range(0, len(embedding))) u(i)
-        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+      """WITH agg AS (
+        | SELECT label, CAST(i AS INT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(embedding[i+1]::DOUBLE, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS s
+        | FROM embeddings, UNNEST(range(0, len(embedding))) u(i)
+        | GROUP BY label, i)
+        |SELECT label, pos, n,
+        | CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+        |           ELSE (2 * s + n) // (2 * n) END AS DOUBLE) / 1000000.0 AS centroid
+        |FROM agg ORDER BY label, pos""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id % 50 = 0),

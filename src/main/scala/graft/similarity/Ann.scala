@@ -39,7 +39,14 @@ object Ann {
         round(col("__x").cast("double"), 6).cast("decimal(18,6)").as("__xd"))
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("__xd")).cast("double") / count(lit(1)), 6).as("centroid"))
+        (sum(col("__xd")) * 1000000).cast("long").as("__s"))
+      // 6dp mean via EXACT integer micros: engines' double round()
+      // disagrees on near-tie quotients (hit once at sf0.1) — integer
+      // half-away-from-zero division is bit-identical everywhere
+      .withColumn("__m", signum(col("__s")).cast("long") *
+        expr("(2 * abs(__s) + n) div (2 * n)"))
+      .select(col("label"), col("pos"), col("n"),
+        (col("__m").cast("double") / 1000000.0).as("centroid"))
 
   def topKBruteForce(
       corpus: DataFrame,

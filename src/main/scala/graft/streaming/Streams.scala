@@ -354,8 +354,11 @@ object Streams {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(Identifiers.quote(tsCol)), windowDuration).as("w"), col("label"))
       .agg(count(lit(1)).as("n"), sums: _*)
-    val centroid = array((0 until dim).map(i =>
-      round(col(s"__s$i").cast("double") / col("n"), 6)): _*)
+    // same exact integer-micros mean as the batch twin (labelCentroids):
+    // double round() on quotients is not engine/tie stable
+    val centroid = array((0 until dim).map(i => expr(
+      s"cast(cast(signum(__s$i) as bigint) * ((2 * abs(cast(__s$i * 1000000 as bigint)) + n)" +
+        s" div (2 * n)) as double) / 1000000.0")): _*)
     agged
       .select(col("w.start").as("window_start"), col("label"), col("n"),
         centroid.as("centroid"))
