@@ -421,6 +421,21 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // A14b: the ENGINE-PORTABLE deterministic sampler — same semantics as
+  // sample_hash but keyed on md5 (verbatim in ANSI SQL), so the sampled
+  // aggregate is DuckDB-oracle-exact; the xxhash64 variant stays as the
+  // cheaper scale path (one codegen'd hash vs an md5 + substring).
+  def sampleHashPortable(s: SparkSession, dir: String): DataFrame = {
+    val key = conv(substring(md5(concat_ws("|",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    t(s, dir, "lineitem")
+      .filter(pmod(key, lit(100L)) < 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), fin(sum(dec2(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -439,6 +454,7 @@ object Analytics {
     "events_sessionize" -> eventsSessionize,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
+    "sample_hash_portable" -> sampleHashPortable,
     "percentiles_by_group" -> percentilesByGroup,
     "grouping_sets_totals" -> groupingSetsTotals,
     "salted_skew_agg" -> saltedSkewAgg,
@@ -643,6 +659,24 @@ object Analytics {
         | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sample_hash_portable" ->
+      """WITH keyed AS (
+        | SELECT l_returnflag, l_quantity,
+        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |   + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        |   + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        |   + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        |   + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) % 100 AS b
+        | FROM (SELECT l_returnflag, l_quantity,
+        |   md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS h
+        |   FROM lineitem))
+        |SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM keyed WHERE b < 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }
