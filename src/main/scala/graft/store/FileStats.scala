@@ -39,9 +39,12 @@ object FileStats {
 
   // ── persistence ─────────────────────────────────────────────────────────
 
-  /** Atomic: written to a sibling tmp path, then renamed over the
-    * final one — a crash mid-write can never leave a truncated file
-    * behind the final name. */
+  /** Written to a sibling tmp path, then swapped in — a crash mid-write
+    * can never leave a truncated file behind the final name. The swap
+    * uses an overwrite-rename (`FileContext` + `Rename.OVERWRITE`) where
+    * the filesystem supports it; elsewhere it degrades to delete+rename,
+    * whose crash window loses the stats file — harmless, since stats are
+    * advisory and a missing sidecar only disables pruning. */
   def write(fs: FileSystem, path: Path, stats: Map[String, FileStat]): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
@@ -61,9 +64,15 @@ object FileStats {
     val out = fs.create(tmp, true)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
-    fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new IllegalStateException(s"stats swap failed: $path")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: Exception =>
+        fs.delete(path, false)
+        if (!fs.rename(tmp, path))
+          throw new IllegalStateException(s"stats swap failed: $path")
+    }
   }
 
   /** None on a missing OR unreadable file — stats are ADVISORY: a
@@ -92,10 +101,24 @@ object FileStats {
     b.result()
   }.toOption
 
-  /** Basename key for a file URI as `input_file_name()` returns it.
-    * Spark part-file names embed a job UUID, so basenames are unique
-    * within a table across its lifetime. */
-  def fileKey(uri: String): String = new Path(new URI(uri)).getName
+  /** Stats key for a file: its path RELATIVE to the table's data dir,
+    * e.g. `part-….parquet` (flat layout) or `__bucket=3/part-….parquet`
+    * (bucketed). Basenames alone are NOT unique on bucketed tables —
+    * one write job's task emits the SAME part-file basename into every
+    * `__bucket=N` dir it touches, so a basename-keyed map would collide
+    * across buckets and evaluate one file against another's min/max. */
+  def fileKey(dataDir: Path, uri: String): String =
+    relativeKey(dataDir, new Path(new URI(uri)))
+
+  /** [[fileKey]] for an already-parsed Path. Falls back to the basename
+    * if the file is somehow outside the data dir (keeps the entry usable
+    * rather than failing — stats are advisory). */
+  def relativeKey(dataDir: Path, p: Path): String = {
+    val base = Path.getPathWithoutSchemeAndAuthority(dataDir).toUri.getPath
+    val file = Path.getPathWithoutSchemeAndAuthority(p).toUri.getPath
+    if (file.startsWith(base + "/")) file.stripPrefix(base + "/")
+    else p.getName
+  }
 
   // ── conservative predicate evaluation ───────────────────────────────────
 

@@ -350,15 +350,18 @@ final class TableStore(spark: SparkSession, root: String) {
     val missing = cols0.filterNot(m.columns.map(_._1).contains)
     if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
     if (!hasDataFiles(name)) { fs.delete(statsPath(name), false); return }
+    val dataDir = dataPath(name)
     val present = listDataFiles(name)
-    val presentNames = present.map(_.getName).toSet
+    // stats are keyed by the data-dir-RELATIVE path (bucket dir included):
+    // basenames collide across __bucket=N dirs, see FileStats.fileKey
+    val presentKeys = present.map(p => FileStats.relativeKey(dataDir, p)).toSet
     val kept: Map[String, FileStats.FileStat] =
       if (!incremental) Map.empty
       else FileStats.read(fs, statsPath(name)).getOrElse(Map.empty)
         .filter { case (f, st) =>
-          presentNames.contains(f) && st.cols.keySet == cols0.toSet
+          presentKeys.contains(f) && st.cols.keySet == cols0.toSet
         }
-    val toScan = present.filterNot(p => kept.contains(p.getName))
+    val toScan = present.filterNot(p => kept.contains(FileStats.relativeKey(dataDir, p)))
     val scanned: Map[String, FileStats.FileStat] =
       if (toScan.isEmpty) Map.empty
       else {
@@ -388,13 +391,13 @@ final class TableStore(spark: SparkSession, root: String) {
               Option(r.getAs[String](s"__max_$c")),
               r.getAs[Long](s"__nulls_$c"))
           }.toMap
-          FileStats.fileKey(r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
+          FileStats.fileKey(dataDir, r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
         }.toMap
       }
     // scanned files the aggregation never saw are EMPTY (e.g. the
     // flat-layout seed file) — record rows=0 so pruning can drop them too
     val empty = cols0.map(_ -> FileStats.ColStat(None, None, 0L)).toMap
-    val empties = toScan.map(p => p.getName -> FileStats.FileStat(0L, empty)).toMap
+    val empties = toScan.map(p => FileStats.relativeKey(dataDir, p) -> FileStats.FileStat(0L, empty)).toMap
     FileStats.write(fs, statsPath(name), empties ++ kept ++ scanned)
   }
 
@@ -494,7 +497,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val stats = FileStats.read(fs, statsPath(name))
     val surviving = stats match {
       case Some(st) => afterBuckets.filter(p =>
-        st.get(p.getName).forall(s => FileStats.mayMatch(pred, s, types)))
+        st.get(FileStats.relativeKey(dataPath(name), p))
+          .forall(s => FileStats.mayMatch(pred, s, types)))
       case None => afterBuckets
     }
     if (surviving.length == all.length) base
@@ -560,14 +564,21 @@ final class TableStore(spark: SparkSession, root: String) {
       case Seq() => Seq(Seq.empty)
       case head +: tail => for (v <- head; rest <- tuples(tail)) yield v +: rest
     }
-    val ids = tuples(perCol).map { tup =>
-      val lits = m.primaryKey.zip(tup).map { case (c, v) =>
-        Literal.create(v, types(c)): Expression
-      }
-      val h = XxHash64(lits, 42L).eval(null).asInstanceOf[Long] // 42 = functions.xxhash64's seed
-      math.floorMod(h, m.buckets.toLong)
-    }.toSet
-    Some(ids)
+    // Pinned values arrive as Catalyst INTERNAL types (Int days for DATE,
+    // Long micros for TIMESTAMP, UTF8String …) because they come from
+    // evaluating resolved literals — so build Literals with the internal
+    // constructor, NOT Literal.create (whose converters accept only
+    // external java.sql/java.time values and throw for date/timestamp).
+    // Pruning is advisory: ANY failure degrades to a full scan (None).
+    scala.util.Try {
+      tuples(perCol).map { tup =>
+        val lits = m.primaryKey.zip(tup).map { case (c, v) =>
+          Literal(v, types(c)): Expression
+        }
+        val h = XxHash64(lits, 42L).eval(null).asInstanceOf[Long] // 42 = functions.xxhash64's seed
+        math.floorMod(h, m.buckets.toLong)
+      }.toSet
+    }.toOption
   }
 
   private def listDataFiles(name: String): Seq[Path] = {

@@ -313,6 +313,71 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store2.readTable("t2", where = Some("a = 7")).inputFiles.length == all2)
   }
 
+  test("analyze on a bucketed table keys stats per bucket dir — pruned == unpruned") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"), buckets = 8)
+    // v's range is DISJOINT per bucket (derived from the same xxhash64
+    // the writer buckets k by). partitionBy emits the SAME part-file
+    // basename into every bucket dir a task touches, so basename-keyed
+    // stats would collide across dirs and evaluate a file against a
+    // sibling's [min,max] — silently dropping matching rows on v reads.
+    val df = spark.range(0, 4000).select(col("id").as("k"),
+      (pmod(xxhash64(col("id")), lit(8)) * 100000L + col("id")).as("v"))
+    store.insert("t", df)
+    // precondition for the collision: a shared basename across >=2 dirs
+    val parts = store.readTable("t").inputFiles.map(_.split("/").takeRight(2))
+    assert(parts.groupBy(_.last).exists(_._2.map(_.head).distinct.length > 1),
+      "expected shared part-file basenames across bucket dirs")
+    store.analyze("t", Seq("v"))
+    val all = store.readTable("t").inputFiles.length
+    val expect = store.readTable("t").orderBy("k").as[(Long, Long)].collect().toSeq
+    // one equality probe per bucket: every row must survive pruning AND
+    // the scan must actually shrink (disjoint ranges → 1 bucket's files)
+    val probes = expect.groupBy(_._2 / 100000L).map(_._2.head).toSeq
+    assert(probes.size == 8, s"expected rows in all 8 buckets, got ${probes.size}")
+    probes.foreach { case (k, v) =>
+      val got = store.readTable("t", where = Some(s"v = $v"))
+      assert(got.as[(Long, Long)].collect().toSeq == Seq((k, v)), s"lost row for v=$v")
+      assert(got.inputFiles.length < all, s"v=$v pruned nothing")
+    }
+    // range read across bucket-disjoint v ranges: same answer as unpruned
+    val lo = 300000L; val hi = 500001L
+    assert(store.readTable("t", where = Some(s"v >= $lo AND v <= $hi")).count() ==
+      expect.count { case (_, v) => v >= lo && v <= hi })
+    // incremental analyze after an append keeps the new file scannable
+    store.insert("t", Seq((100000L, 999999999L)).toDF("k", "v"))
+    store.analyze("t", Seq("v"), incremental = true)
+    val appended = store.readTable("t", where = Some("v = 999999999"))
+    assert(appended.as[(Long, Long)].collect().toSeq == Seq((100000L, 999999999L)))
+  }
+
+  test("bucketed equality read on a DATE/TIMESTAMP PK prunes instead of crashing") {
+    val store = newStore()
+    store.createTable("t", Seq("d" -> "date", "v" -> "int"), Seq("d"), buckets = 8)
+    store.insert("t", spark.range(0, 400).select(
+      date_add(lit("2020-01-01").cast("date"), col("id").cast("int")).as("d"),
+      col("id").cast("int").as("v")))
+    val all = store.readTable("t").inputFiles.length
+    // the pinned literal evaluates to Catalyst-internal Int days — the
+    // bucket hash must use the internal-value Literal ctor (Literal.create
+    // throws for date/timestamp internals) and degrade, never crash
+    val eq = store.readTable("t", where = Some("d = '2020-02-01'"))
+    assert(eq.select("v").as[Int].collect().toSeq == Seq(31))
+    val eqDirs = eq.inputFiles.map(_.split("/").find(_.startsWith("__bucket=")).get).distinct
+    assert(eqDirs.length == 1, s"date-PK read did not bucket-prune: ${eqDirs.toSeq}")
+    assert(eq.inputFiles.length < all)
+
+    val store2 = newStore()
+    store2.createTable("t2", Seq("ts" -> "datetime2", "v" -> "int"), Seq("ts"), buckets = 8)
+    store2.insert("t2", spark.range(0, 400).select(
+      timestamp_seconds(lit(1577836800L) + col("id") * 3600L).as("ts"), // 2020-01-01 + id hours (UTC session)
+      col("id").cast("int").as("v")))
+    val all2 = store2.readTable("t2").inputFiles.length
+    val eq2 = store2.readTable("t2", where = Some("ts = '2020-01-02 05:00:00'"))
+    assert(eq2.select("v").as[Int].collect().toSeq == Seq(29))
+    assert(eq2.inputFiles.length < all2, "timestamp-PK read did not bucket-prune")
+  }
+
   test("zorder cluster makes stats prune on BOTH dimensions, contents unchanged") {
     val store = newStore()
     // x and y are independent: insertion order localizes NEITHER — an
