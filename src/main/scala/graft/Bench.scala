@@ -158,6 +158,22 @@ object Bench {
     // best-of-2: single runs on a shared box are noisy (observed 0.8s ↔
     // 5.2s for the same query); the min is the steady-state number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-query contention probe: a 1/8-size single-thread JVM mix loop
+    // (~0.05 s clean on this hardware) run right after each query's
+    // timings. The end-of-run calibrate() pair proved insufficient in
+    // round 4: the driver's box was contended DURING the dedup block but
+    // idle again by the time the probes ran, so the run looked
+    // calib-clean while its compute-bound timings were 2–3× inflated.
+    // A per-query trace makes transient contention visible in-band.
+    def miniProbe(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < (1L << 25)) { x = java.lang.Long.rotateLeft(x * 0xBF58476D1CE4E5B9L, 31) ^ i; i += 1 }
+      if (x == 42L) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -167,6 +183,14 @@ object Bench {
           -1.0
       }
     }
+    // calibration at BOTH ends of the timed window (see miniProbe): the
+    // start pair catches a box that is already contended, the end pair a
+    // box that became contended, and the per-query probe trace anything
+    // transient in between
+    calibrate(spark) // Janino/JIT warm for both probe shapes
+    val (js1, ss1) = calibrate(spark)
+    val (js2, ss2) = calibrate(spark)
+    val calibStart = s"""{"jvm_mix_268m":${math.min(js1, js2)},"spark_hash_2048m":${math.min(ss1, ss2)}}"""
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
@@ -174,16 +198,13 @@ object Bench {
         spark.catalog.clearCache()
         val t2 = if (t1 >= 0) once(name, fn) else -1.0
         spark.catalog.clearCache()
+        probeByQuery += name -> miniProbe()
         // listener events are async; drain before reading the peak
         org.apache.spark.sql.graftx.bridge.drainListenerBus(spark.sparkContext, 10000)
         peakByQuery += name -> currentPeak.get()
         name -> (if (t1 >= 0 && t2 >= 0) math.min(t1, t2) else -1.0)
       }
     } ++ (if (withStream) streamBench(spark, sfDir, errors) else Nil)
-    // calibration probes: warm once (Janino for the Spark probe), then
-    // best-of-2, AFTER the query timings so they also reflect end-of-run
-    // box state
-    calibrate(spark)
     val (j1, s1) = calibrate(spark)
     val (j2, s2) = calibrate(spark)
     val calib = s"""{"jvm_mix_268m":${math.min(j1, j2)},"spark_hash_2048m":${math.min(s1, s2)}}"""
@@ -193,7 +214,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val mem = peakByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib":$calib,"peak_task_mem":$mem,"sf":"$sfDir"}""")
+    val probes = probeByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib":$calib,"calib_start":$calibStart,"probe_34m":$probes,"peak_task_mem":$mem,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,12 +27,21 @@ object Verify {
         else col(f.name)
       }.toIndexedSeq: _*)
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid, mirroring Bench: SPARK_GRAFT_ONLY=a,b restricts the
+    // dump + oracle manifest (the driver never sets it → full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (name, fn) =>
       try canonical(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // cache hygiene: operators persist() intermediates that only their
+      // own execution needs; dropping them between queries keeps 81
+      // queries' caches from accumulating in one JVM (the persisted
+      // plans are per-query, so nothing is ever reused across entries)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -47,6 +56,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

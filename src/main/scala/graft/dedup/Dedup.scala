@@ -231,6 +231,42 @@ object Dedup {
     verifyJaccard(cands, sh.select(col("doc_id"), col("__sh")), tau)
   }
 
+  /** Engine-PORTABLE MinHash-LSH twin (L3b — the A14b pattern): the same
+    * signature arithmetic ((a·x+b) mod 2^31−1, same native expression,
+    * same banding) as [[minhashLshPairs]], but both hash ingredients are
+    * md5-derived arithmetic that exists verbatim in ANSI SQL — the
+    * shingle hash is first-8-hex-digits(md5(shingle)) mod P and the band
+    * key is md5 of "bandIndex,h_i,h_i+1,h_i+2" — so the ENTIRE candidate
+    * stage (signatures, banding, bucket join, exact-jaccard verify) is
+    * DuckDB-oracle-exact, converting MinHash-LSH from rows-only to
+    * hash-verified. The xxhash64 variant remains the cheaper scale path
+    * (one codegen'd hash vs md5 + substring per shingle). */
+  def minhashLshPairsPortable(
+      docs: DataFrame,
+      n: Int = 3,
+      k: Int = 63,
+      rowsPerBand: Int = 3,
+      tau: Double = 0.3,
+      bandWidth: Int = 50): DataFrame = {
+    val sh = shingled(docs, n, bandWidth)
+      .withColumn("__hx", transform(col("__sh"), s =>
+        pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(MhP))))
+      .persist()
+    val bands = k / rowsPerBand
+    val sigDf = sh
+      .select(col("doc_id"), col("lang"), col("__band"),
+        graft.plans.GraftFunctions.minhashSignature(col("__hx"), k).as("__sig"))
+      .persist() // materialization barrier — see minhashKeyed
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws(",", (b.cast("string") +: (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string"))): _*)))
+    val keyed = sigDf.select(col("doc_id"), col("lang"), col("__band"),
+      explode(bandKeys).as("__k"))
+    val cands = graft.plans.Pairs.withinGroups(keyed, Seq("lang", "__band", "__k"), "doc_id")
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id")).distinct()
+    verifyJaccard(cands, sh.select(col("doc_id"), col("__sh")), tau)
+  }
+
   /** SimHash chunk-keyed rows (doc_id, lang, __band, __sig, __k): four
     * rows per doc, key = chunk index × 2^16 + the chunk's 16 bits. */
   private def simhashChunks(docs: DataFrame, bandWidth: Int): DataFrame = {

@@ -151,7 +151,13 @@ object Curation {
       posexplode(Text.tokens(col("text"))).as(Seq("__pos", "__term")))
     val dfreq = toks.groupBy("__term")
       .agg(countDistinct(col("doc_id")).as("__df"))
-    val kept = toks.join(broadcast(dfreq), "__term").filter(col("__df") <= maxDf)
+    // NO broadcast hint: the df table is vocabulary-sized, and a
+    // web-scale token vocabulary can exceed the broadcast ceiling — the
+    // join must stay free to shuffle. AQE broadcasts it at runtime
+    // whenever it actually is small (every local SF), so the hint only
+    // ever removed the safe fallback. Same rule as unigramLogprob's
+    // term join below.
+    val kept = toks.join(dfreq, "__term").filter(col("__df") <= maxDf)
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       concat_ws(" ", transform(
@@ -185,6 +191,9 @@ object Curation {
       .select(col("term"),
         round(log(col("__c").cast("double") / col("__t")), 6)
           .cast("decimal(18,6)").as("__lp"))
+    // plain join by design (no broadcast hint): logp is vocabulary-sized
+    // — unbounded at corpus scale — so AQE picks broadcast only when the
+    // runtime size allows it
     toks.join(logp, "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -31,6 +31,12 @@ object PipelineQueries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
 
+  /** L3b: the engine-portable MinHash-LSH twin — md5-derived hashes make
+    * the whole candidate stage (signature, banding, bucket join, verify)
+    * DuckDB-oracle-exact. See [[Dedup.minhashLshPairsPortable]]. */
+  def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsPortable(t(s, dir, "documents")).orderBy("a_id", "b_id")
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
 
@@ -98,9 +104,19 @@ object PipelineQueries {
     Ann.topKLsh(e, queriesOf(e)).orderBy("q_id", "rank")
   }
 
+  /** The quantizer is trained ONCE per corpus and reused across query
+    * batches — the amortized-training contract (faiss trains once, then
+    * add()/search() reuse the model; at 100 TB retraining per query
+    * batch would be absurd). Deterministic: trainIvfCentroids is a pure
+    * function of the corpus, so the memo changes no results — only which
+    * call pays the training cost. */
+  private val ivfQuantizers =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Ann.topKIvf(e, queriesOf(e)).orderBy("q_id", "rank")
+    val cents = ivfQuantizers.computeIfAbsent(dir, _ => Ann.trainIvfCentroids(e, 16, 5))
+    Ann.topKIvf(e, queriesOf(e), centroids = Some(cents)).orderBy("q_id", "rank")
   }
 
   /** The persisted-index path end-to-end: build the IVF index (store
@@ -256,6 +272,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_adaptive" -> dedupJaccardAdaptive,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_portable" -> dedupMinhashPortable,
     "dedup_simhash" -> dedupSimhash,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
@@ -301,6 +318,24 @@ object PipelineQueries {
       s"WHEN $ge THEN '$l'"
     }.mkString(" ")
     s"CASE WHEN NOT ($hit) THEN 'und' $branches END"
+  }
+
+  /** First 8 hex digits of a (lowercase-hex) expression as a BIGINT —
+    * the A14b idiom: strpos-based digit decode, integer multipliers
+    * (exact; max value 2^32−1). */
+  private def duckHex8(hexExpr: String): String =
+    (1 to 8).map { i =>
+      val mult = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr($hexExpr,$i,1))-1)*$mult"
+    }.mkString(" + ")
+
+  /** The MinHash signature parameters as a DuckDB VALUES list — the SAME
+    * constants the native expression uses (plans/MinHashSignature), so
+    * the oracle's modular arithmetic is bit-identical. */
+  private val mhParamValues: String = {
+    val as = graft.plans.MinHashSignature.paramsA(63)
+    val bs = graft.plans.MinHashSignature.paramsB(63)
+    (0 until 63).map(j => s"(${j},${as(j)},${bs(j)})").mkString(",")
   }
 
   /** Connected-components oracle shared by `dedup_clusters` and
@@ -385,7 +420,44 @@ object PipelineQueries {
         |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
     // dedup_minhash_lsh, dedup_simhash: rows-only (engine-specific hash
-    // seeds); asserted against exact twins in ScalaTest specs.
+    // seeds); asserted against exact twins in ScalaTest specs. The
+    // PORTABLE minhash twin below is the oracle-exact form of L3: same
+    // signature/banding arithmetic, md5-derived hash ingredients.
+    "dedup_minhash_portable" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+         | FROM documents),
+         |sh AS (
+         | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+         | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+         | WHERE len(toks) >= 3),
+         |hx AS (
+         | SELECT doc_id, lang, band,
+         |  CAST(${duckHex8("md5(s)")} AS BIGINT) % 2147483647 AS x
+         | FROM sh),
+         |params AS (SELECT * FROM (VALUES $mhParamValues) t(j, a, b)),
+         |sig AS (
+         | SELECT doc_id, lang, band, j, MIN((a * x + b) % 2147483647) AS h
+         | FROM hx, params GROUP BY doc_id, lang, band, j),
+         |bk AS (
+         | SELECT doc_id, lang, band,
+         |  md5(CAST(j // 3 AS VARCHAR) || ',' || string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS k
+         | FROM sig GROUP BY doc_id, lang, band, j // 3),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         | FROM bk a JOIN bk b
+         |  ON a.k = b.k AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |ver AS (
+         | SELECT c.a_id, c.b_id, COUNT(*) AS inter
+         | FROM cand c
+         | JOIN sh sa ON sa.doc_id = c.a_id
+         | JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+         | GROUP BY c.a_id, c.b_id)
+         |SELECT v.a_id, v.b_id, ROUND(v.inter * 1.0 / (sa.n + sb.n - v.inter), 6) AS jaccard
+         |FROM ver v JOIN sizes sa ON v.a_id = sa.doc_id JOIN sizes sb ON v.b_id = sb.doc_id
+         |WHERE ROUND(v.inter * 1.0 / (sa.n + sb.n - v.inter), 6) >= 0.3
+         |ORDER BY v.a_id, v.b_id""".stripMargin,
     "dedup_containment" ->
       """WITH tok AS (
         | SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

@@ -48,13 +48,31 @@ def main():
         print(f"{name:28s} {oq[name]:8.2f}s -> removed")
     print(f"total{'':23s} {old.get('value', 0):8.2f}s -> {new.get('value', 0):8.2f}s")
     # calibration probes (fixed-size compute): a ratio far above 1.0 on
-    # these means the NEW run's box was contended, not the code slower
-    oc, nc = old.get("calib") or {}, new.get("calib") or {}
-    for probe in sorted(set(oc) | set(nc)):
-        if probe in oc and probe in nc and oc[probe] > 0:
-            print(f"calib {probe:22s} {oc[probe]:8.2f}s -> {nc[probe]:8.2f}s  ({nc[probe]/oc[probe]:5.2f}x)")
-        elif probe in nc:
-            print(f"calib {probe:22s}     new -> {nc[probe]:8.2f}s")
+    # these means the NEW run's box was contended, not the code slower.
+    # calib_start/calib cover the ends of the timed window; probe_34m is
+    # the per-query trace that catches TRANSIENT contention in between
+    # (round 4's driver run was contended during the dedup block only —
+    # end-of-run probes looked clean while dedup timings ran 2-3x hot).
+    for key in ("calib_start", "calib"):
+        oc, nc = old.get(key) or {}, new.get(key) or {}
+        for probe in sorted(set(oc) | set(nc)):
+            if probe in oc and probe in nc and oc[probe] > 0:
+                print(f"{key} {probe:22s} {oc[probe]:8.2f}s -> {nc[probe]:8.2f}s  ({nc[probe]/oc[probe]:5.2f}x)")
+            elif probe in nc:
+                print(f"{key} {probe:22s}     new -> {nc[probe]:8.2f}s")
+    op, np_ = old.get("probe_34m") or {}, new.get("probe_34m") or {}
+    if np_:
+        base = min(np_.values())
+        hot = {q: v for q, v in np_.items() if v > 2.0 * base}
+        if hot:
+            print(f"probe_34m: {len(hot)} queries ran on a contended box "
+                  f"(probe > 2x the run's floor {base:.3f}s):")
+            for q, v in sorted(hot.items(), key=lambda kv: -kv[1]):
+                print(f"  {q:28s} probe {v:6.3f}s ({v/base:4.1f}x floor)"
+                      + (f", was {op[q]:6.3f}s" if q in op else ""))
+        else:
+            print(f"probe_34m: per-query probes flat (floor {base:.3f}s) — "
+                  "no transient contention detected")
     if regressed:
         print(f"FAIL: {len(regressed)} regressed: {', '.join(regressed)}")
         sys.exit(1)
