@@ -27,9 +27,10 @@ final case class Graft(
     spark: SparkSession,
     root: String,
     includeMetadataTimestamps: Boolean = false,
-    clock: () => Column = () => current_timestamp()) {
+    clock: () => Column = () => current_timestamp(),
+    audit: String => Unit = TableStore.defaultAudit) {
 
-  private val store = new TableStore(spark, root)
+  private val store = new TableStore(spark, root, audit)
 
   private def ti: Option[Column] = if (includeMetadataTimestamps) Some(clock()) else None
   private def tu: Option[Column] = if (includeMetadataTimestamps) Some(clock()) else None
@@ -75,6 +76,14 @@ final case class Graft(
         orderBy: Seq[String] = Seq.empty,
         orderDesc: Boolean = false): DataFrame =
       store.readTable(name, columns, where, limit, orderBy, orderDesc)
+
+    /** Snapshot (time-travel) reads — the table as of a committed
+      * generation or wall-clock instant; see TableStore's snapshot
+      * section. Beyond the reference (a server table has no history),
+      * closing the mutation story's concurrent-reader gap. */
+    def tableAt(name: String, gen: Int): DataFrame = store.readTableAt(name, gen)
+    def tableAsOf(name: String, tsMillis: Long): DataFrame = store.readTableAsOf(name, tsMillis)
+    def snapshots(name: String): Seq[(Int, Long)] = store.snapshots(name)
   }
 
   /** Reference `write` namespace (core/write). */
@@ -112,6 +121,9 @@ final case class Graft(
       store.analyze(name, columns, incremental)
     def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit =
       store.cluster(name, columns, filesTarget)
+    /** Drop snapshot history older than the last `keepLast` generations. */
+    def vacuum(name: String, keepLast: Int = 1): Unit =
+      store.vacuum(name, keepLast)
   }
 
   /** Reference `get_schema` (package.py:105). */

@@ -44,6 +44,31 @@ object CoreQueries {
       .withColumn("c_acctbal", col("c_acctbal").cast("double"))
   }
 
+  // C23: snapshot read (time travel) — every mutation commits a
+  // generation; a reader pinned to the pre-mutation generation sees the
+  // original state even though later mutations rewrote or deleted its
+  // files (they retire into history/, they are not destroyed). The
+  // oracle is the ORIGINAL cast relation: the snapshot must match it
+  // despite an update (+1000 on 200 keys) and a merge that deleted 100
+  // keys having been committed after it.
+  def snapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "snapshot")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint",
+      "c_name" -> "varchar(40)",
+      "c_nationkey" -> "int",
+      "c_acctbal" -> "decimal(12,2)",
+      "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"))
+    store.insert("cust", t(s, dir, "customer"))
+    val gen = store.snapshots("cust").last._1
+    store.update("cust", t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), (col("c_acctbal") + 1000).as("c_acctbal")))
+    store.merge("cust", t(s, dir, "customer").filter(col("c_custkey") > 100))
+    store.readTableAt("cust", gen)
+      .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+      .orderBy("c_custkey")
+  }
+
   // C3: smallest-type inference
   def createInferNarrow(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "infer")
@@ -283,6 +308,7 @@ object CoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "create_table_cast" -> createTableCast,
+    "snapshot_read" -> snapshotRead,
     "time_roundtrip" -> timeRoundtrip,
     "create_infer_narrow" -> createInferNarrow,
     "modify_columns" -> modifyColumns,
@@ -315,6 +341,12 @@ object CoreQueries {
         | strftime(ts, '%H:%M:%S') AS t_str
         |FROM events ORDER BY event_id, t""".stripMargin,
     "create_table_cast" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // snapshot_read: the pre-mutation generation IS the original cast
+    // relation — the later update/merge must be invisible to it
+    "snapshot_read" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

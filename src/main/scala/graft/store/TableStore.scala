@@ -69,6 +69,14 @@ object TableStore {
     * The persist() is load-bearing: the per-partition counts and the
     * final projection must see the SAME partitioning, and
     * repartitionByRange re-samples boundaries per action without it. */
+  /** Default audit sink: the reference routes its DDL/auto-adjust trail
+    * through Python `logging` (package.py:52-66); the JVM-native
+    * equivalent with zero added dependencies is `java.util.logging`. */
+  val defaultAudit: String => Unit = {
+    val log = java.util.logging.Logger.getLogger("graft.store")
+    msg => log.info(msg)
+  }
+
   def assignDenseIds(df: DataFrame, startFrom: Long): DataFrame = {
     val hash = xxhash64(df.columns.toIndexedSeq.map(c => col(Identifiers.quote(c))): _*)
     val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
@@ -94,7 +102,15 @@ object TableStore {
   }
 }
 
-final class TableStore(spark: SparkSession, root: String) {
+/** @param audit callback receiving one line per schema-changing action
+  *   (create/add/alter/drop/auto-adjust) — the reference's `logging`
+  *   audit trail of DDL and auto-adjustment (package.py:52-66), so a
+  *   user debugging "why did my column widen" has a trace. Defaults to
+  *   `java.util.logging` at INFO under the "graft.store" logger. */
+final class TableStore(
+    spark: SparkSession,
+    root: String,
+    audit: String => Unit = TableStore.defaultAudit) {
   import TableStore.Meta
 
   private val mapper = new ObjectMapper()
@@ -103,6 +119,11 @@ final class TableStore(spark: SparkSession, root: String) {
   private def dataPath(name: String) = new Path(tablePath(name), "data")
   private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
   private def statsPath(name: String) = new Path(tablePath(name), "stats.json")
+  private def historyPath(name: String) = new Path(tablePath(name), "history")
+  private def manifestPath(name: String, gen: Int) =
+    new Path(historyPath(name), f"m$gen%06d.json")
+  private def removedPath(name: String, gen: Int) =
+    new Path(historyPath(name), f"g$gen%06d")
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val BucketCol = "__bucket"
@@ -112,7 +133,7 @@ final class TableStore(spark: SparkSession, root: String) {
 
   // ── metadata ────────────────────────────────────────────────────────────
 
-  private def writeMeta(name: String, meta: Meta): Unit = {
+  private def metaNode(meta: Meta): ObjectNode = {
     val o: ObjectNode = mapper.createObjectNode()
     val cols: ArrayNode = o.putArray("columns")
     meta.columns.foreach { case (n, t) =>
@@ -126,15 +147,16 @@ final class TableStore(spark: SparkSession, root: String) {
     o.put("sqlPk", meta.sqlPk)
     val nn: ArrayNode = o.putArray("notNull")
     meta.notNull.foreach(nn.add)
+    o
+  }
+
+  private def writeMeta(name: String, meta: Meta): Unit = {
     val out = fs.create(metaPath(name), true)
-    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(metaNode(meta)))
     out.close()
   }
 
-  def meta(name: String): Meta = {
-    if (!exists(name)) throw errors.TableDoesNotExist(name)
-    val in = fs.open(metaPath(name))
-    val node: JsonNode = try mapper.readTree(in) finally in.close()
+  private def parseMeta(node: JsonNode): Meta = {
     val cols = (0 until node.get("columns").size()).map { i =>
       val c = node.get("columns").get(i)
       c.get("name").asText() -> SqlType.parse(c.get("sqlType").asText())
@@ -146,6 +168,13 @@ final class TableStore(spark: SparkSession, root: String) {
       (0 until node.get("notNull").size()).map(node.get("notNull").get(_).asText())
     else Seq.empty
     Meta(cols, pk, buckets, sqlPk, nn)
+  }
+
+  def meta(name: String): Meta = {
+    if (!exists(name)) throw errors.TableDoesNotExist(name)
+    val in = fs.open(metaPath(name))
+    val node: JsonNode = try mapper.readTree(in) finally in.close()
+    parseMeta(node)
   }
 
   def exists(name: String): Boolean = fs.exists(metaPath(name))
@@ -183,6 +212,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val missingPk = primaryKey.filterNot(m.columns.map(_._1).contains)
     if (missingPk.nonEmpty) throw errors.ColumnDoesNotExist(name, missingPk)
     writeMeta(name, m)
+    audit(s"create table $name (${m.columns.map { case (n, t) => s"$n ${t.render}" }.mkString(", ")})" +
+      (if (pk0.nonEmpty) s" primary key (${pk0.mkString(", ")})" else ""))
     if (buckets == 0)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
         .write.mode("overwrite").parquet(dataPath(name).toString)
@@ -211,6 +242,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val m = meta(name)
     if (m.columns.exists(_._1 == column)) throw errors.TableAlreadyExists(s"$name.$column")
     writeMeta(name, m.copy(columns = m.columns :+ (column -> SqlType.parse(sqlType))))
+    audit(s"add column $name.$column $sqlType")
   }
 
   /** Column type/nullability change (reference modify.column alter,
@@ -241,6 +273,8 @@ final class TableStore(spark: SparkSession, root: String) {
     }, notNull = nn)
     val df = read(name) // materialized under OLD meta
     writeMeta(name, newMeta)
+    audit(s"alter column $name.$column ${current.render} -> $sqlType" +
+      (if (!isNullable) " NOT NULL" else ""))
     overwriteData(name, alignTo(df, newMeta))
   }
 
@@ -251,6 +285,7 @@ final class TableStore(spark: SparkSession, root: String) {
     writeMeta(name, m.copy(
       columns = m.columns.filterNot(_._1 == column),
       primaryKey = m.primaryKey.filterNot(_ == column)))
+    audit(s"drop column $name.$column")
   }
 
   /** Add/drop the primary key (reference modify.primary_key, modify.py:141). */
@@ -259,6 +294,8 @@ final class TableStore(spark: SparkSession, root: String) {
     val missing = primaryKey.filterNot(m.columns.map(_._1).contains)
     if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
     writeMeta(name, m.copy(primaryKey = primaryKey))
+    audit(if (primaryKey.isEmpty) s"drop primary key $name"
+          else s"set primary key $name (${primaryKey.mkString(", ")})")
   }
 
   /** Rows violating PK uniqueness: one hash aggregation on the key. */
@@ -460,6 +497,147 @@ final class TableStore(spark: SparkSession, root: String) {
     analyze(name, columns)
   }
 
+  // ── snapshots (time travel) ─────────────────────────────────────────────
+  //
+  // Every mutation commits a GENERATION: a manifest (history/m<N>.json)
+  // listing the table's current file set (data-dir-relative paths) plus
+  // the schema at commit time, and — for rewrites — the replaced
+  // files/bucket-dirs MOVED (renamed, never copied) to history/g<N>/
+  // under their original relative paths instead of being deleted.
+  // Because part-file names embed a job UUID, a relative path is never
+  // reused, so a snapshot read resolves each manifest entry to either
+  // data/<rel> (still current) or the unique history/g<M>/<rel> that
+  // removed it. Cost model at 100 TB: commits add one O(#files) driver
+  // listing + an O(replaced) rename pass (no data copied, no extra
+  // write amplification); concurrent readers of generation N keep
+  // working through a rewrite because their files are renamed within
+  // the same filesystem, not destroyed — the gap [[vacuum]] closes on
+  // the old immediate-delete behavior.
+
+  /** Retained snapshot generations as (gen, commitTimeMillis), ascending. */
+  def snapshots(name: String): Seq[(Int, Long)] =
+    manifestGens(name).map { g =>
+      val in = fs.open(manifestPath(name, g))
+      val node = try mapper.readTree(in) finally in.close()
+      (g, node.get("ts").asLong())
+    }
+
+  private def manifestGens(name: String): Seq[Int] = {
+    val h = historyPath(name)
+    if (!fs.exists(h)) return Nil
+    fs.listStatus(h).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("m") && s.endsWith(".json") =>
+        s.stripPrefix("m").stripSuffix(".json").toInt }
+      .sorted
+  }
+
+  private def nextGen(name: String): Int = manifestGens(name).lastOption.getOrElse(0) + 1
+
+  /** Write generation `gen`'s manifest: the CURRENT file set + schema.
+    * tmp+rename like stats.json; a torn manifest can only lose the
+    * snapshot, never corrupt current reads. */
+  private def commitSnapshot(name: String, gen: Int): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("gen", gen)
+    o.put("ts", System.currentTimeMillis())
+    o.set("meta", metaNode(meta(name)): JsonNode)
+    val arr = o.putArray("files")
+    if (fs.exists(dataPath(name)))
+      listDataFiles(name).foreach(p => arr.add(FileStats.relativeKey(dataPath(name), p)))
+    fs.mkdirs(historyPath(name))
+    val dst = manifestPath(name, gen)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(o))
+    out.close()
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"manifest commit failed: $dst")
+  }
+
+  /** Move a to-be-replaced data path into generation `gen`'s removed
+    * tree, preserving its data-relative path. A rename, not a copy. */
+  private def retire(name: String, gen: Int, target: Path): Unit = {
+    val rel = FileStats.relativeKey(dataPath(name), target)
+    val dst = new Path(removedPath(name, gen), rel)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(target, dst))
+      throw new IllegalStateException(s"history retire failed: $target")
+  }
+
+  /** Snapshot read (time travel): the table EXACTLY as of generation
+    * `gen` — the file set and schema its manifest recorded, whether the
+    * files still live in data/ or were since moved to the history tree
+    * by later rewrites. Raises on a vacuumed (or never-committed)
+    * generation. One recursive listing of data/ + history/ resolves all
+    * entries (O(#files) driver metadata, no per-file RPCs). */
+  def readTableAt(name: String, gen: Int): DataFrame = {
+    if (!exists(name)) throw errors.TableDoesNotExist(name)
+    if (!fs.exists(manifestPath(name, gen)))
+      throw errors.InvalidValue("asOf", s"no snapshot $gen for table $name (never committed or vacuumed)")
+    val in = fs.open(manifestPath(name, gen))
+    val node = try mapper.readTree(in) finally in.close()
+    val mAt = parseMeta(node.get("meta"))
+    val rels = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    if (rels.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mAt.sparkSchema)
+    val current: Set[String] =
+      if (fs.exists(dataPath(name)))
+        listDataFiles(name).map(p => FileStats.relativeKey(dataPath(name), p)).toSet
+      else Set.empty
+    // removal index: relative path -> the generation that retired it
+    val removed = scala.collection.mutable.Map.empty[String, Int]
+    if (fs.exists(historyPath(name)))
+      fs.listStatus(historyPath(name))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
+        .foreach { s =>
+          val g = s.getPath.getName.stripPrefix("g").toInt
+          val it = fs.listFiles(s.getPath, true)
+          while (it.hasNext) {
+            val p = it.next().getPath
+            if (p.getName.endsWith(".parquet"))
+              removed += FileStats.relativeKey(s.getPath, p) -> g
+          }
+        }
+    val paths = rels.map { rel =>
+      if (current.contains(rel)) new Path(dataPath(name), rel).toString
+      else removed.get(rel).filter(_ > gen) match {
+        case Some(g) => new Path(removedPath(name, g), rel).toString
+        case None => throw errors.InvalidValue("asOf",
+          s"snapshot $gen of table $name is no longer reconstructable ($rel vacuumed)")
+      }
+    }
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    alignTo(raw, mAt)
+  }
+
+  /** Timestamp form of [[readTableAt]]: the latest generation committed
+    * at or before `tsMillis`. */
+  def readTableAsOf(name: String, tsMillis: Long): DataFrame = {
+    val eligible = snapshots(name).filter(_._2 <= tsMillis)
+    if (eligible.isEmpty)
+      throw errors.InvalidValue("asOf", s"no snapshot of table $name at or before $tsMillis")
+    readTableAt(name, eligible.last._1)
+  }
+
+  /** Drop snapshot history, keeping the last `keepLast` generations
+    * readable. Deletes the expired manifests and every history/g<M>
+    * removed-file tree with M <= cutoff (files retired at M are only
+    * needed by snapshots OLDER than M — all expired). Current data is
+    * never touched; with keepLast=1 the table keeps only its latest
+    * committed state, the pre-snapshot disk footprint. */
+  def vacuum(name: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "vacuum: keepLast must be >= 1")
+    val gens = manifestGens(name)
+    if (gens.size <= keepLast) return
+    val cutoff = gens.takeRight(keepLast).head
+    gens.filter(_ < cutoff).foreach(g => fs.delete(manifestPath(name, g), false))
+    fs.listStatus(historyPath(name))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
+      .filter(_.getPath.getName.stripPrefix("g").toInt <= cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
+    audit(s"vacuum $name: kept generations >= $cutoff")
+  }
+
   /** File-level pruning for a keyed read, two independent cuts composed:
     *
     *  1. BUCKET pruning (bucketed tables, no stats needed): when the
@@ -640,8 +818,10 @@ final class TableStore(spark: SparkSession, root: String) {
       autoAdjust: Boolean = false,
       timeInsert: Option[Column] = None): Unit = {
     if (!exists(name)) {
-      if (autoAdjust) { createTableFromDataFrame(name, df0); return }
-      else throw errors.TableDoesNotExist(name)
+      if (autoAdjust) {
+        audit(s"auto-adjust: creating missing table $name from insert batch")
+        createTableFromDataFrame(name, df0); return
+      } else throw errors.TableDoesNotExist(name)
     }
     var m = meta(name)
 
@@ -661,7 +841,10 @@ final class TableStore(spark: SparkSession, root: String) {
     if (extra.nonEmpty) {
       if (!autoAdjust) throw errors.ColumnDoesNotExist(name, extra)
       val inferred = Infer.narrowSchema(df.select(extra.map(c => col(Identifiers.quote(c))): _*))
-      inferred.foreach { case (n, t) => addColumn(name, n, t.render) }
+      inferred.foreach { case (n, t) =>
+        audit(s"auto-adjust: adding missing column $name.$n ${t.render}")
+        addColumn(name, n, t.render)
+      }
       m = meta(name)
     }
 
@@ -681,6 +864,7 @@ final class TableStore(spark: SparkSession, root: String) {
       val widened = Infer.narrowSchema(byName)
       widened.foreach { case (n, t) =>
         val cur = m.columns.find(_._1 == n).get._2
+        audit(s"auto-adjust: widening $name.$n ${cur.render} -> ${widen(cur, t).render}")
         alterColumn(name, n, widen(cur, t).render)
       }
       m = meta(name)
@@ -708,6 +892,8 @@ final class TableStore(spark: SparkSession, root: String) {
         .write.mode("append").partitionBy(BucketCol).parquet(out.toString)
     else
       appended.write.mode("append").parquet(out.toString)
+    // appends remove nothing; the commit just pins the new file set
+    commitSnapshot(name, nextGen(name))
   }
 
   /** One-pass validation of a batch against the table's declared types:
@@ -892,13 +1078,17 @@ final class TableStore(spark: SparkSession, root: String) {
       .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
     val parts = fs.listStatus(tmp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+    val gen = nextGen(name)
     parts.foreach { s =>
       val dst = new Path(dataPath(name), s.getPath.getName)
-      fs.delete(dst, true)
+      // replaced bucket dirs RETIRE into the generation's history tree
+      // (rename, not delete) so concurrent/snapshot readers keep working
+      if (fs.exists(dst)) retire(name, gen, dst)
       if (!fs.rename(s.getPath, dst))
         throw new IllegalStateException(s"bucket swap failed for table $name: ${s.getPath.getName}")
     }
     fs.delete(tmp, true)
+    commitSnapshot(name, gen)
     fs.delete(statsPath(name), false) // file set changed; stats are stale
   }
 
@@ -930,9 +1120,17 @@ final class TableStore(spark: SparkSession, root: String) {
     else
       df.write.mode("overwrite").parquet(tmp.toString)
     val dst = dataPath(name)
-    fs.delete(dst, true)
+    val gen = nextGen(name)
+    // the whole replaced data dir RETIRES into history/g<gen>/ (one
+    // rename — relative paths preserved) instead of being deleted
+    if (fs.exists(dst)) {
+      fs.mkdirs(historyPath(name))
+      if (!fs.rename(dst, removedPath(name, gen)))
+        throw new IllegalStateException(s"history retire failed for table $name")
+    }
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"atomic swap failed for table $name")
+    commitSnapshot(name, gen)
     fs.delete(statsPath(name), false) // file set changed; stats are stale
   }
 }

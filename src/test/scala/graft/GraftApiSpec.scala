@@ -84,4 +84,26 @@ class GraftApiSpec extends AnyFunSuite {
     assert(sql.read.table("dim", where = Some("k = 5"), orderBy = Seq("_valid_from"))
       .select("v").as[String].collect().toSeq == Seq("v5", "CHANGED"))
   }
+
+  test("audit callback traces DDL and auto-adjust actions (package.py:52)") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sql = Graft(spark, Files.createTempDirectory("graft_audit_").toString,
+      audit = events += _)
+    sql.create.table("t", Seq("k" -> "tinyint"))
+    // auto-adjust: unknown column added + k widened by the 70000 value
+    sql.write.insert("t", Seq((70000, "x")).toDF("k", "extra"), autoAdjust = true)
+    sql.modify.addColumn("t", "w", "varchar(5)")
+    sql.modify.dropColumn("t", "w")
+    val log = events.toSeq
+    assert(log.head.startsWith("create table t (k tinyint)"), log.mkString("\n"))
+    assert(log.exists(e => e.startsWith("auto-adjust: adding missing column t.extra")), log.mkString("\n"))
+    assert(log.exists(_ == "auto-adjust: widening t.k tinyint -> int"), log.mkString("\n"))
+    assert(log.contains("add column t.w varchar(5)") && log.contains("drop column t.w"))
+    // snapshot surface rides the same facade: the first generation (the
+    // auto-adjust alter's rewrite, committed BEFORE the append) is empty
+    val g1 = sql.read.snapshots("t").head._1
+    assert(sql.read.tableAt("t", g1).count() == 0)
+    sql.maintenance.vacuum("t")
+    assert(log.size < events.size) // vacuum audited too
+  }
 }

@@ -408,6 +408,60 @@ class TableStoreSpec extends AnyFunSuite {
       before.count(r => { val x = r.getLong(1); x >= 10 && x < 20 }))
   }
 
+  test("snapshot reads: every mutation commits a readable generation; vacuum expires") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
+    store.insert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))   // gen 1
+    store.insert("t", Seq((3, "c")).toDF("k", "v"))             // gen 2
+    store.update("t", Seq((1, "A")).toDF("k", "v"))             // gen 3 (full rewrite)
+    store.merge("t", Seq((2, "B"), (4, "d")).toDF("k", "v"))    // gen 4 (deletes 1,3)
+    val gens = store.snapshots("t").map(_._1)
+    assert(gens.size == 4, s"expected 4 generations, got $gens")
+    def at(g: Int) = store.readTableAt("t", g).orderBy("k").as[(Int, String)].collect().toSeq
+    assert(at(gens(0)) == Seq((1, "a"), (2, "b")))
+    assert(at(gens(1)) == Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(at(gens(2)) == Seq((1, "A"), (2, "b"), (3, "c")))
+    assert(at(gens(3)) == Seq((2, "B"), (4, "d")))
+    // current read == the latest snapshot
+    assert(store.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq == at(gens(3)))
+    // snapshot reads use the schema AT the generation, not the current one
+    store.addColumn("t", "w", "int")
+    store.insert("t", Seq((5, "e", 50)).toDF("k", "v", "w"))    // gen 5
+    assert(store.readTableAt("t", gens(0)).columns.toSeq == Seq("k", "v"))
+    assert(store.readTableAt("t", store.snapshots("t").last._1).columns.toSeq == Seq("k", "v", "w"))
+    // timestamp form: "now" resolves to the latest generation, and a
+    // pre-history instant is a typed error
+    assert(store.readTableAsOf("t", Long.MaxValue).orderBy("k").count() == 3)
+    intercept[errors.InvalidValue](store.readTableAsOf("t", 0L))
+    // vacuum keeps the last 2 generations readable; older raise
+    store.vacuum("t", keepLast = 2)
+    val kept = store.snapshots("t").map(_._1)
+    assert(kept.size == 2 && kept.last == gens.last + 1)
+    intercept[errors.InvalidValue](store.readTableAt("t", gens(0)))
+    assert(store.readTableAt("t", kept.head).count() == 2) // gen 4 still reconstructs
+    assert(store.readTable("t").count() == 3)              // current untouched
+  }
+
+  test("snapshot reads on a bucketed table survive pruned-bucket rewrites") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 8)
+    store.insert("t", spark.range(0, 400).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    val g1 = store.snapshots("t").last._1
+    store.upsert("t", Seq((42L, "updated"), (100000L, "new")).toDF("k", "v"))
+    // the pre-upsert snapshot, including the row whose bucket was rewritten
+    val snap = store.readTableAt("t", g1)
+    assert(snap.count() == 400)
+    assert(snap.filter(col("k") === 42).select("v").as[String].collect().toSeq == Seq("v42"))
+    assert(snap.filter(col("k") === 100000L).count() == 0)
+    assert(store.readTable("t", where = Some("k = 42")).select("v").as[String]
+      .collect().toSeq == Seq("updated"))
+    // vacuum to the latest generation only
+    store.vacuum("t")
+    intercept[errors.InvalidValue](store.readTableAt("t", g1))
+    assert(store.readTable("t").count() == 401)
+  }
+
   test("primary key violations detected; keyed merge via store") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)"), Seq("k"))
