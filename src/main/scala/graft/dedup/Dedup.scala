@@ -36,6 +36,20 @@ object Dedup {
   private def blockCols(df: DataFrame, bandWidth: Int): DataFrame =
     df.withColumn("__band", (col("n_chars") / bandWidth).cast("int"))
 
+  /** persist() that tolerates an already-cached identical plan: Spark's
+    * CacheManager canonicalizes plans, so two operators caching the same
+    * intermediate (the families pass and a standalone operator over the
+    * same shingle relation, or a spec comparing them) would log "Asked
+    * to cache already cached data" and re-register. Checking the storage
+    * level first keeps caching idempotent and the logs clean. LIFECYCLE:
+    * these caches live until the caller drops them — operators return
+    * lazy plans, so they cannot unpersist their own intermediates; both
+    * driver surfaces (Bench, Verify) clearCache() between queries, and a
+    * long-lived session should do the same (or rely on LRU eviction,
+    * which can only cost recompute, never correctness). */
+  private def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+
   /** Signature computation is compute-bound per row — scatter it across
     * all cores regardless of input file splits (a single small parquet
     * file otherwise pins the whole stage to one task; at cluster scale
@@ -96,13 +110,12 @@ object Dedup {
       dfQuantile: Double = 0.999): DataFrame = {
     val ex = exploded(shingled(docs, n, bandWidth))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
-    val exdf = ex.withColumn("__df", count(lit(1)).over(w)).persist()
+    val exdf = cached(ex.withColumn("__df", count(lit(1)).over(w)))
     val thr = exdf.select(col("lang"), col("__band"), col("__s"), col("__df")).distinct()
       .agg(greatest(lit(minDf.toDouble),
         floor(round(percentile(col("__df"), lit(dfQuantile)), 6))).as("__thr"))
-    val kept = exdf.crossJoin(broadcast(thr))
-      .filter(col("__df") <= col("__thr")).drop("__df", "__thr")
-      .persist()
+    val kept = cached(exdf.crossJoin(broadcast(thr))
+      .filter(col("__df") <= col("__thr")).drop("__df", "__thr"))
     jaccardFromKept(kept, tau)
   }
 
@@ -119,12 +132,11 @@ object Dedup {
   private def ngramJaccardFrom(sh: DataFrame, tau: Double, maxDf: Int): DataFrame = {
     val ex = exploded(sh)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
-    val kept = ex.withColumn("__df", count(lit(1)).over(w))
-      .filter(col("__df") <= maxDf).drop("__df")
+    val kept = cached(ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf).drop("__df"))
       // ONE shingling+cut pass feeds the per-doc sizes and both
       // self-join sides (unpersisted, the scan+shingle+window pipeline
       // ran 3×, which dominated the sf0.1 bench)
-      .persist()
     jaccardFromKept(kept, tau)
   }
 
@@ -190,10 +202,9 @@ object Dedup {
     * (2·bands× recompute, measured at sf0.1). */
   private def minhashKeyed(sh: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     val bands = k / rowsPerBand
-    val sigDf = sh
+    val sigDf = cached(sh
       .select(col("doc_id"), col("lang"), col("__band"),
-        graft.plans.GraftFunctions.minhashSignature(col("__hx"), k).as("__sig"))
-      .persist()
+        graft.plans.GraftFunctions.minhashSignature(col("__hx"), k).as("__sig")))
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(b, xxhash64((0 until rowsPerBand).map(r =>
         element_at(col("__sig"), b * rowsPerBand + r + 1)): _*)))
@@ -222,9 +233,8 @@ object Dedup {
       k: Int,
       rowsPerBand: Int,
       tau: Double): DataFrame = {
-    val sh = shingles
-      .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
-      .persist() // feeds both the signature branch and the verify branch
+    val sh = cached(shingles
+      .withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))) // feeds both the signature branch and the verify branch
     val cands = graft.plans.Pairs.withinGroups(
         minhashKeyed(sh, k, rowsPerBand), Seq("lang", "__band", "__k"), "doc_id")
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id")).distinct()
@@ -248,15 +258,13 @@ object Dedup {
       rowsPerBand: Int = 3,
       tau: Double = 0.3,
       bandWidth: Int = 50): DataFrame = {
-    val sh = shingled(docs, n, bandWidth)
+    val sh = cached(shingled(docs, n, bandWidth)
       .withColumn("__hx", transform(col("__sh"), s =>
-        pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(MhP))))
-      .persist()
+        pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(MhP)))))
     val bands = k / rowsPerBand
-    val sigDf = sh
+    val sigDf = cached(sh
       .select(col("doc_id"), col("lang"), col("__band"),
-        graft.plans.GraftFunctions.minhashSignature(col("__hx"), k).as("__sig"))
-      .persist() // materialization barrier — see minhashKeyed
+        graft.plans.GraftFunctions.minhashSignature(col("__hx"), k).as("__sig"))) // materialization barrier — see minhashKeyed
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
       md5(concat_ws(",", (b.cast("string") +: (0 until rowsPerBand).map(r =>
         element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string"))): _*)))
@@ -286,8 +294,8 @@ object Dedup {
             1L).otherwise(0L),
           j.cast("int")))))
       .select("doc_id", "lang", "__band", "__sig")
-      .persist() // the chunk explode scans it 4×
-    packed.select(col("doc_id"), col("lang"), col("__band"), col("__sig"),
+    val packedCached = cached(packed) // the chunk explode scans it 4×
+    packedCached.select(col("doc_id"), col("lang"), col("__band"), col("__sig"),
       explode(array((0 until 4).map(c =>
         shiftright(col("__sig"), c * 16).bitwiseAND(0xFFFFL) + lit(c.toLong << 16)): _*)).as("__k"))
   }
@@ -341,14 +349,13 @@ object Dedup {
       k: Int = 63,
       rowsPerBand: Int = 3,
       maxHamming: Int = 6): DataFrame = {
-    val sh = shingled(docs, n, bandWidth).persist()
+    val sh = cached(shingled(docs, n, bandWidth))
     // jaccard: pair stream consumed inline by the intersection aggregate
     val jac = ngramJaccardFrom(sh, tau, maxDf)
       .select(lit("jaccard").as("family"), col("a_id"), col("b_id"),
         col("jaccard").as("score"))
     // minhash + simhash: thin candidate pairs from ONE shared exchange
-    val shx = sh.withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP))))
-      .persist()
+    val shx = cached(sh.withColumn("__hx", transform(col("__sh"), s => pmod(xxhash64(s), lit(MhP)))))
     val mhKeyed = minhashKeyed(shx, k, rowsPerBand)
       .select(lit("mh").as("__fam"), col("lang"), col("__band"), col("__k"),
         col("doc_id"), lit(0L).as("__sig"))

@@ -164,11 +164,9 @@ case class PairsWithinGroupsExec(
         }
       }
       groups.flatMap { case (key, rows) =>
-        val n = rows.length
-        for {
-          i <- Iterator.range(0, n - 1)
-          j <- Iterator.range(i + 1, n)
-        } yield {
+        // emission order/orientation contract lives in PairEmitterCore
+        // (shared with the streaming S6 state fold)
+        PairEmitterCore.allPairIndices(rows.length).map { case (i, j) =>
           numOutput.add(1)
           outProj(full(keyAndA(key, rows(i)), rows(j)))
         }

@@ -155,16 +155,14 @@ object Streams {
             var seen = state.getOption.getOrElse(Nil).filter(_._3 >= wm - horizonMs)
             val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
             rows.foreach { case (_, id, s, ts) =>
-              seen.foreach { case (oid, os, _) =>
-                if (oid != id) {
-                  var m = 0
-                  var i = 0
-                  while (i < k) { if (s(i) == os(i)) m += 1; i += 1 }
-                  val est = m.toDouble / k
-                  if (est >= tau)
-                    out += CandidatePair(math.min(id, oid), math.max(id, oid), est)
-                }
-              }
+              // incremental fold through the SHARED pair-emission core —
+              // same orientation/self-skip contract as the batch operator
+              // (plans/PairEmitterCore), scored by the matching-coordinate
+              // estimator
+              graft.plans.PairEmitterCore.againstBuffer[Array[Long]](
+                seen.view.map(e => (e._1, e._2)), id, s,
+                graft.plans.PairEmitterCore.estimate, tau)
+                .foreach { case (a, b, est) => out += CandidatePair(a, b, est) }
               seen = (id, s, ts.getTime) :: seen
             }
             if (seen.isEmpty) state.remove()

@@ -27,6 +27,29 @@ def load(path):
         i = line.find('{"metric"')
         if i >= 0 and '"queries"' in line:
             return json.loads(line[i:])
+    # tail captures can truncate the LINE HEAD (driver wrappers keep the
+    # last N bytes): recover any balanced {...} object following a known
+    # key and rebuild a minimal doc
+    tail = doc.get("tail", "")
+    def obj_after(key):
+        i = tail.find('"%s":{' % key)
+        if i < 0:
+            return None
+        j = tail.index("{", i)
+        depth = 0
+        for k in range(j, len(tail)):
+            depth += {"{": 1, "}": -1}.get(tail[k], 0)
+            if depth == 0:
+                return json.loads(tail[j:k + 1])
+        return None
+    queries = obj_after("queries")
+    if queries is not None:
+        out = {"queries": queries, "value": sum(v for v in queries.values() if v >= 0)}
+        for key in ("calib", "calib_start", "probe_34m", "peak_task_mem"):
+            o = obj_after(key)
+            if o is not None:
+                out[key] = o
+        return out
     raise SystemExit(f"no bench JSON line in {path}")
 
 
