@@ -277,12 +277,17 @@ object Dedup {
 
   /** SimHash chunk-keyed rows (doc_id, lang, __band, __sig, __k): four
     * rows per doc, key = chunk index × 2^16 + the chunk's 16 bits. */
-  private def simhashChunks(docs: DataFrame, bandWidth: Int): DataFrame = {
-    // weighted (Charikar) simhash: token multiplicity contributes, which
-    // separates documents drawn from a shared small vocabulary
-    val toks = scatter(blockCols(docs, bandWidth))
+  private def simhashChunks(docs: DataFrame, bandWidth: Int): DataFrame =
+    simhashChunksFrom(scatter(blockCols(docs, bandWidth))
       .select(col("doc_id"), col("lang"), col("__band"),
-        transform(Text.tokens(col("text")), t => xxhash64(t)).as("__th"))
+        // weighted (Charikar) simhash: token multiplicity contributes,
+        // which separates documents drawn from a shared small vocabulary
+        transform(Text.tokens(col("text")), t => xxhash64(t)).as("__th")))
+
+  /** Signature fold + chunk explosion over a pre-hashed token relation
+    * (doc_id, lang, __band, __th: array<bigint>) — shared by the
+    * xxhash64 operator and the engine-portable twin. */
+  private def simhashChunksFrom(toks: DataFrame): DataFrame = {
     // bit j of the signature = sign of sum over tokens of ±1 on bit j;
     // the whole 64-bit signature folds in ONE nested expression
     val packed = toks.withColumn("__sig",
@@ -309,6 +314,26 @@ object Dedup {
       maxHamming: Int = 6,
       bandWidth: Int = 50): DataFrame =
     simhashFromChunks(simhashChunks(docs, bandWidth), maxHamming)
+
+  /** Engine-PORTABLE SimHash twin (L4b — the A14b/L3b pattern): the same
+    * weighted Charikar bit-fold and 16-bit chunk banding as
+    * [[simhashPairs]], with the token hash swapped for the md5-derived
+    * 60-bit value (first 15 hex digits) both engines compute
+    * identically. Signature bits 60–63 are constant zero on BOTH sides,
+    * so hamming distances are unaffected; the DuckDB oracle mirrors the
+    * bit-fold, chunk keys and xor-popcount verification exactly,
+    * converting SimHash candidate generation from rows-only to
+    * hash-verified. xxhash64 (L4) stays the cheaper scale path. */
+  def simhashPairsPortable(
+      docs: DataFrame,
+      maxHamming: Int = 6,
+      bandWidth: Int = 50): DataFrame =
+    simhashFromChunks(simhashChunksFrom(
+      scatter(blockCols(docs, bandWidth))
+        .select(col("doc_id"), col("lang"), col("__band"),
+          transform(Text.tokens(col("text")), t =>
+            conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__th"))),
+      maxHamming)
 
   private def simhashFromChunks(chunks: DataFrame, maxHamming: Int): DataFrame =
     graft.plans.Pairs.withinGroups(

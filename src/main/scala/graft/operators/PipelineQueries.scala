@@ -40,6 +40,12 @@ object PipelineQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents")).orderBy("a_id", "b_id")
 
+  /** L4b: the engine-portable SimHash twin — md5-derived token hashes
+    * make the signature fold, chunk banding and xor-popcount verify
+    * DuckDB-oracle-exact. See [[Dedup.simhashPairsPortable]]. */
+  def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsPortable(t(s, dir, "documents")).orderBy("a_id", "b_id")
+
   /** L16: pairwise near-dups → duplicate clusters with a canonical
     * keeper (min doc_id reachable). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -274,6 +280,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_portable" -> dedupMinhashPortable,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_portable" -> dedupSimhashPortable,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar,
     "dedup_clusters_incr" -> dedupClustersIncr,
@@ -320,14 +327,16 @@ object PipelineQueries {
     s"CASE WHEN NOT ($hit) THEN 'und' $branches END"
   }
 
-  /** First 8 hex digits of a (lowercase-hex) expression as a BIGINT —
-    * the A14b idiom: strpos-based digit decode, integer multipliers
-    * (exact; max value 2^32−1). */
-  private def duckHex8(hexExpr: String): String =
-    (1 to 8).map { i =>
-      val mult = 1L << (4 * (8 - i))
+  /** First `digits` hex digits of a (lowercase-hex) expression as a
+    * BIGINT — the A14b idiom: strpos-based digit decode with INTEGER
+    * multipliers (exact up to 15 digits = 60 bits; doubles would lose
+    * exactness past 2^53). */
+  private def duckHex(hexExpr: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val mult = 1L << (4 * (digits - i))
       s"(strpos('0123456789abcdef', substr($hexExpr,$i,1))-1)*$mult"
     }.mkString(" + ")
+  private def duckHex8(hexExpr: String): String = duckHex(hexExpr, 8)
 
   /** The MinHash signature parameters as a DuckDB VALUES list — the SAME
     * constants the native expression uses (plans/MinHashSignature), so
@@ -458,6 +467,36 @@ object PipelineQueries {
          |FROM ver v JOIN sizes sa ON v.a_id = sa.doc_id JOIN sizes sb ON v.b_id = sb.doc_id
          |WHERE ROUND(v.inter * 1.0 / (sa.n + sb.n - v.inter), 6) >= 0.3
          |ORDER BY v.a_id, v.b_id""".stripMargin,
+    // The PORTABLE simhash twin: md5-derived 60-bit token hashes; bits
+    // 60-63 of the signature are constant zero on both engines, so the
+    // oracle folds j in 0..59 only (and avoids 1<<63 overflow).
+    "dedup_simhash_portable" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band,
+         |  unnest(string_split(text, ' ')) AS t
+         | FROM documents),
+         |th AS (
+         | SELECT doc_id, lang, band, CAST(${duckHex("md5(t)", 15)} AS BIGINT) AS h
+         | FROM tok),
+         |bits AS (
+         | SELECT doc_id, lang, band, j,
+         |  CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+         | FROM th, (SELECT unnest(range(0, 60)) AS j) js
+         | GROUP BY doc_id, lang, band, j),
+         |sig AS (
+         | SELECT doc_id, lang, band, CAST(SUM(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS s
+         | FROM bits GROUP BY doc_id, lang, band),
+         |ch AS (
+         | SELECT doc_id, lang, band, s, ((s >> (16 * c)) & 65535) + c * 65536 AS k
+         | FROM sig, (SELECT unnest(range(0, 4)) AS c) cs),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+         | FROM ch a JOIN ch b
+         |  ON a.k = b.k AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM cand
+         |WHERE hamming <= 6 ORDER BY a_id, b_id""".stripMargin,
     "dedup_containment" ->
       """WITH tok AS (
         | SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
