@@ -445,8 +445,12 @@ object Dedup {
       maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val truncate = lineageTruncator(pairs, checkpointDir)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // the input pair PIPELINE (often a full near-dup candidate pass) is
+    // referenced twice by the symmetric union — cache the thin pair set
+    // so the expensive upstream runs once, not per orientation
+    val p = cached(pairs.select(col(aCol), col(bCol)))
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     // labels only ever DECREASE under min-propagation, so the fixpoint
     // test is one scalar: the label sum is strictly monotone until
@@ -507,13 +511,16 @@ object Dedup {
       maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     val truncate = lineageTruncator(pairs, checkpointDir)
-    val nodes = pairs.select(col(aCol).as("n")).unionByName(pairs.select(col(bCol).as("n")))
+    // see clusters(): cache the thin pair set — nodes + the canonical
+    // edge orientation reference the input pipeline three times
+    val p = cached(pairs.select(col(aCol), col(bCol)))
+    val nodes = p.select(col(aCol).as("n")).unionByName(p.select(col(bCol).as("n")))
       .distinct().persist()
     // canonical orientation hi→lo (the component minimum only ever
     // appears on the lo side, so stars emerge as (member, min) edges).
     // Each round's result is EAGERLY lineage-truncated — see
     // [[lineageTruncator]] for the local vs reliable checkpoint trade.
-    var edges = truncate(pairs
+    var edges = truncate(p
       .filter(col(aCol) =!= col(bCol))
       .select(greatest(col(aCol), col(bCol)).as("hi"), least(col(aCol), col(bCol)).as("lo"))
       .distinct())
