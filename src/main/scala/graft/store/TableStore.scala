@@ -535,7 +535,16 @@ final class TableStore(
 
   /** Write generation `gen`'s manifest: the CURRENT file set + schema.
     * tmp+rename like stats.json; a torn manifest can only lose the
-    * snapshot, never corrupt current reads. */
+    * snapshot, never corrupt current reads.
+    *
+    * Cost note for the 100 TB story: this re-lists the table per commit
+    * (O(#files) driver metadata). A rewrite already paid a listing; for
+    * a high-frequency small-append stream on a very large table the
+    * production form derives the manifest as previous-manifest + the
+    * writer's committed-file list (Spark's FileCommitProtocol exposes
+    * it) instead of re-listing — same manifest, O(batch) upkeep. The
+    * listing form is kept here because it is correct under ANY writer,
+    * including external ones. */
   private def commitSnapshot(name: String, gen: Int): Unit = {
     val o = mapper.createObjectNode()
     o.put("gen", gen)

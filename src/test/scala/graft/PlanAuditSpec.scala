@@ -220,4 +220,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.nonEmpty)
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
   }
+
+  test("vocabulary-sized relations carry NO broadcast hint (boilerplate, unigram LM)") {
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    // the document-frequency / term-logprob tables scale with the
+    // VOCABULARY — unbounded at corpus scale — so the logical plan must
+    // not pin them to broadcast; AQE choosing broadcast at this SF is
+    // fine (and expected), a hint would remove the shuffle fallback
+    Seq(
+      operators.Curation.stripBoilerplate(docs, 400),
+      operators.Curation.unigramLogprob(docs)).foreach { df =>
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            // the tiny corpus-total/N aggregates (1-row) are legitimately
+            // hinted; only multi-column term relations are the hazard
+            if h.child.output.size > 1 => h
+      }
+      assert(hinted.isEmpty, s"unbounded relation pinned to broadcast:\n${hinted.mkString("\n")}")
+    }
+  }
 }
