@@ -406,6 +406,34 @@ object Dedup {
     jac.unionByName(mh).unionByName(simh)
   }
 
+  /** All three near-dup families, ENGINE-PORTABLE (L14b — the
+    * oracle-exact twin of [[familiesPairs]]): the jaccard family is
+    * already ANSI-expressible, and the minhash/simhash families use
+    * their portable twins (L3b/L4b), so the ENTIRE three-family output
+    * — candidates, verification, scores — is DuckDB-verifiable. This
+    * composes the standalone operators rather than sharing one scan:
+    * it is the VERIFICATION surface; the xxhash64 shared-pass operator
+    * remains the scale path (one exchange across families). Output
+    * schema matches [[familiesPairs]]: (family, a_id, b_id, score). */
+  def familiesPairsPortable(
+      docs: DataFrame,
+      n: Int = 3,
+      tau: Double = 0.3,
+      bandWidth: Int = 50,
+      maxDf: Int = 128,
+      k: Int = 63,
+      rowsPerBand: Int = 3,
+      maxHamming: Int = 6): DataFrame =
+    ngramJaccardPairs(docs, n, tau, bandWidth, maxDf)
+      .select(lit("jaccard").as("family"), col("a_id"), col("b_id"),
+        col("jaccard").cast("double").as("score"))
+      .unionByName(minhashLshPairsPortable(docs, n, k, rowsPerBand, tau, bandWidth)
+        .select(lit("minhash").as("family"), col("a_id"), col("b_id"),
+          col("jaccard").cast("double").as("score")))
+      .unionByName(simhashPairsPortable(docs, maxHamming, bandWidth)
+        .select(lit("simhash").as("family"), col("a_id"), col("b_id"),
+          (lit(64) - col("hamming")).cast("double").as("score")))
+
   /** Near-dup clusters from a pair relation (L16): connected components
     * over the undirected pair graph, labeling every member with the
     * minimum doc_id reachable from it — the canonical representative a

@@ -85,6 +85,10 @@ object PipelineQueries {
   def dedupFamilies(s: SparkSession, dir: String): DataFrame =
     Dedup.familiesPairs(t(s, dir, "documents")).orderBy("family", "a_id", "b_id")
 
+  /** L14b: the oracle-exact portable twin of the families pass. */
+  def dedupFamiliesPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.familiesPairsPortable(t(s, dir, "documents")).orderBy("family", "a_id", "b_id")
+
   /** L15: decontamination gate — docs with doc_id % 10 == 0 play the
     * eval set, the rest the train corpus. */
   def contaminationCheck(s: SparkSession, dir: String): DataFrame = {
@@ -288,6 +292,7 @@ object PipelineQueries {
     "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_families" -> dedupFamilies,
+    "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
     "embedding_centroids" -> embeddingCentroids,
     "sim_topk_bruteforce" -> simTopkBruteforce,
@@ -347,6 +352,101 @@ object PipelineQueries {
     (0 until 63).map(j => s"(${j},${as(j)},${bs(j)})").mkString(",")
   }
 
+  /** Portable MinHash-LSH oracle body (no ORDER BY — reused standalone
+    * and inside the portable-families union): md5-derived shingle hash,
+    * the SAME signature constants as the native expression, md5 band
+    * keys, exact-jaccard verification. */
+  private lazy val minhashPortableBody: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+       | FROM documents),
+       |sh AS (
+       | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+       | WHERE len(toks) >= 3),
+       |hx AS (
+       | SELECT doc_id, lang, band,
+       |  CAST(${duckHex8("md5(s)")} AS BIGINT) % 2147483647 AS x
+       | FROM sh),
+       |params AS (SELECT * FROM (VALUES $mhParamValues) t(j, a, b)),
+       |sig AS (
+       | SELECT doc_id, lang, band, j, MIN((a * x + b) % 2147483647) AS h
+       | FROM hx, params GROUP BY doc_id, lang, band, j),
+       |bk AS (
+       | SELECT doc_id, lang, band,
+       |  md5(CAST(j // 3 AS VARCHAR) || ',' || string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS k
+       | FROM sig GROUP BY doc_id, lang, band, j // 3),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM bk a JOIN bk b
+       |  ON a.k = b.k AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |ver AS (
+       | SELECT c.a_id, c.b_id, COUNT(*) AS inter
+       | FROM cand c
+       | JOIN sh sa ON sa.doc_id = c.a_id
+       | JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
+       | GROUP BY c.a_id, c.b_id)
+       |SELECT v.a_id AS a_id, v.b_id AS b_id,
+       | ROUND(v.inter * 1.0 / (sa.n + sb.n - v.inter), 6) AS jaccard
+       |FROM ver v JOIN sizes sa ON v.a_id = sa.doc_id JOIN sizes sb ON v.b_id = sb.doc_id
+       |WHERE ROUND(v.inter * 1.0 / (sa.n + sb.n - v.inter), 6) >= 0.3""".stripMargin
+
+  /** Portable SimHash oracle body (no ORDER BY): md5-derived 60-bit
+    * token hashes; signature bits 60–63 are constant zero on both
+    * engines, so the fold covers j in 0..59 only (also avoiding 1<<63
+    * overflow). */
+  private lazy val simhashPortableBody: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band,
+       |  unnest(string_split(text, ' ')) AS t
+       | FROM documents),
+       |th AS (
+       | SELECT doc_id, lang, band, CAST(${duckHex("md5(t)", 15)} AS BIGINT) AS h
+       | FROM tok),
+       |bits AS (
+       | SELECT doc_id, lang, band, j,
+       |  CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+       | FROM th, (SELECT unnest(range(0, 60)) AS j) js
+       | GROUP BY doc_id, lang, band, j),
+       |sig AS (
+       | SELECT doc_id, lang, band, CAST(SUM(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS s
+       | FROM bits GROUP BY doc_id, lang, band),
+       |ch AS (
+       | SELECT doc_id, lang, band, s, ((s >> (16 * c)) & 65535) + c * 65536 AS k
+       | FROM sig, (SELECT unnest(range(0, 4)) AS c) cs),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       | FROM ch a JOIN ch b
+       |  ON a.k = b.k AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM cand
+       |WHERE hamming <= 6""".stripMargin
+
+  /** Exact-jaccard oracle body (no ORDER BY — reused standalone and
+    * inside the portable-families union). */
+  private val jaccardOracleBody: String =
+    """WITH tok AS (
+      | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+      | FROM documents),
+      |sh AS (
+      | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+      | WHERE len(toks) >= 3),
+      |kept AS (
+      | SELECT * FROM (
+      |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
+      | WHERE df <= 128),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+      |pairs AS (
+      | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      | GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3""".stripMargin
+
   /** Connected-components oracle shared by `dedup_clusters` and
     * `dedup_clusters_star` — both operators implement the SAME labeling
     * contract (min reachable doc_id), only the iteration schedule
@@ -384,27 +484,7 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH tok AS (
-        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
-        | FROM documents),
-        |sh AS (
-        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
-        | WHERE len(toks) >= 3),
-        |kept AS (
-        | SELECT * FROM (
-        |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
-        | WHERE df <= 128),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-        |pairs AS (
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-        | GROUP BY a.doc_id, b.doc_id)
-        |SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
-        |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-        |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3
-        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_ngram_jaccard" -> s"$jaccardOracleBody\nORDER BY a_id, b_id",
     "dedup_jaccard_adaptive" ->
       """WITH tok AS (
         | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
@@ -430,73 +510,23 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     // dedup_minhash_lsh, dedup_simhash: rows-only (engine-specific hash
     // seeds); asserted against exact twins in ScalaTest specs. The
-    // PORTABLE minhash twin below is the oracle-exact form of L3: same
+    // PORTABLE twins below are the oracle-exact forms of L3/L4: same
     // signature/banding arithmetic, md5-derived hash ingredients.
-    "dedup_minhash_portable" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
-         | FROM documents),
-         |sh AS (
-         | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-         | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
-         | WHERE len(toks) >= 3),
-         |hx AS (
-         | SELECT doc_id, lang, band,
-         |  CAST(${duckHex8("md5(s)")} AS BIGINT) % 2147483647 AS x
-         | FROM sh),
-         |params AS (SELECT * FROM (VALUES $mhParamValues) t(j, a, b)),
-         |sig AS (
-         | SELECT doc_id, lang, band, j, MIN((a * x + b) % 2147483647) AS h
-         | FROM hx, params GROUP BY doc_id, lang, band, j),
-         |bk AS (
-         | SELECT doc_id, lang, band,
-         |  md5(CAST(j // 3 AS VARCHAR) || ',' || string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS k
-         | FROM sig GROUP BY doc_id, lang, band, j // 3),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         | FROM bk a JOIN bk b
-         |  ON a.k = b.k AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |ver AS (
-         | SELECT c.a_id, c.b_id, COUNT(*) AS inter
-         | FROM cand c
-         | JOIN sh sa ON sa.doc_id = c.a_id
-         | JOIN sh sb ON sb.doc_id = c.b_id AND sa.s = sb.s
-         | GROUP BY c.a_id, c.b_id)
-         |SELECT v.a_id, v.b_id, ROUND(v.inter * 1.0 / (sa.n + sb.n - v.inter), 6) AS jaccard
-         |FROM ver v JOIN sizes sa ON v.a_id = sa.doc_id JOIN sizes sb ON v.b_id = sb.doc_id
-         |WHERE ROUND(v.inter * 1.0 / (sa.n + sb.n - v.inter), 6) >= 0.3
-         |ORDER BY v.a_id, v.b_id""".stripMargin,
-    // The PORTABLE simhash twin: md5-derived 60-bit token hashes; bits
-    // 60-63 of the signature are constant zero on both engines, so the
-    // oracle folds j in 0..59 only (and avoids 1<<63 overflow).
-    "dedup_simhash_portable" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band,
-         |  unnest(string_split(text, ' ')) AS t
-         | FROM documents),
-         |th AS (
-         | SELECT doc_id, lang, band, CAST(${duckHex("md5(t)", 15)} AS BIGINT) AS h
-         | FROM tok),
-         |bits AS (
-         | SELECT doc_id, lang, band, j,
-         |  CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
-         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
-         | FROM th, (SELECT unnest(range(0, 60)) AS j) js
-         | GROUP BY doc_id, lang, band, j),
-         |sig AS (
-         | SELECT doc_id, lang, band, CAST(SUM(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS s
-         | FROM bits GROUP BY doc_id, lang, band),
-         |ch AS (
-         | SELECT doc_id, lang, band, s, ((s >> (16 * c)) & 65535) + c * 65536 AS k
-         | FROM sig, (SELECT unnest(range(0, 4)) AS c) cs),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-         | FROM ch a JOIN ch b
-         |  ON a.k = b.k AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, hamming FROM cand
-         |WHERE hamming <= 6 ORDER BY a_id, b_id""".stripMargin,
+    "dedup_minhash_portable" -> s"$minhashPortableBody\nORDER BY a_id, b_id",
+    "dedup_simhash_portable" -> s"$simhashPortableBody\nORDER BY a_id, b_id",
+    // L14b: all three families from the portable twins, one result —
+    // the whole familiesPairs SURFACE (candidates, verification,
+    // scores) under the oracle
+    "dedup_families_portable" ->
+      s"""SELECT 'jaccard' AS family, a_id, b_id, CAST(jaccard AS DOUBLE) AS score
+         |FROM ($jaccardOracleBody)
+         |UNION ALL
+         |SELECT 'minhash' AS family, a_id, b_id, CAST(jaccard AS DOUBLE) AS score
+         |FROM ($minhashPortableBody)
+         |UNION ALL
+         |SELECT 'simhash' AS family, a_id, b_id, CAST(64 - hamming AS DOUBLE) AS score
+         |FROM ($simhashPortableBody)
+         |ORDER BY family, a_id, b_id""".stripMargin,
     "dedup_containment" ->
       """WITH tok AS (
         | SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
