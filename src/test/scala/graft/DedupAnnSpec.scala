@@ -26,6 +26,28 @@ class DedupAnnSpec extends AnyFunSuite {
       s"recall ${mh.size}/${exact.size} below 0.8")
   }
 
+  test("portable twins: verified-correct with the same guarantees as the xxhash operators") {
+    // same contracts as the xxhash variants: minhash emits only pairs
+    // the exact twin accepts (verification is exact jaccard) with high
+    // recall; simhash catches every strong near-duplicate. Holding BOTH
+    // variants to the same bars guards the portable hash ingredients
+    // against silent quality regressions.
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs))
+    val mhP = pairSet(Dedup.minhashLshPairsPortable(docs))
+    assert(mhP.subsetOf(exact), "portable minhash emitted a pair the exact twin rejects")
+    assert(mhP.size >= math.ceil(exact.size * 0.8).toInt,
+      s"portable minhash recall ${mhP.size}/${exact.size} below 0.8")
+    val strong = pairSet(Dedup.ngramJaccardPairs(docs, tau = 0.9))
+    val shP = pairSet(Dedup.simhashPairsPortable(docs))
+    assert(strong.subsetOf(shP), "a >=0.9-jaccard pair is missing from portable simhash output")
+    // the portable families union tags exactly its components' pairs
+    val famsP = Dedup.familiesPairsPortable(docs).select("family", "a_id", "b_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(famsP.filter(_._1 == "minhash").map(t => (t._2, t._3)) == mhP)
+    assert(famsP.filter(_._1 == "simhash").map(t => (t._2, t._3)) == shP)
+    assert(famsP.filter(_._1 == "jaccard").map(t => (t._2, t._3)) == exact)
+  }
+
   test("simhash finds every strong near-duplicate") {
     val strong = Dedup.ngramJaccardPairs(docs, tau = 0.9)
     val sh = pairSet(Dedup.simhashPairs(docs))
