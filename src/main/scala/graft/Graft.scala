@@ -74,8 +74,9 @@ final case class Graft(
         where: Option[String] = None,
         limit: Option[Int] = None,
         orderBy: Seq[String] = Seq.empty,
-        orderDesc: Boolean = false): DataFrame =
-      store.readTable(name, columns, where, limit, orderBy, orderDesc)
+        orderDesc: Boolean = false,
+        asOf: Option[Int] = None): DataFrame =
+      store.readTable(name, columns, where, limit, orderBy, orderDesc, asOf)
 
     /** Snapshot (time-travel) reads — the table as of a committed
       * generation or wall-clock instant; see TableStore's snapshot

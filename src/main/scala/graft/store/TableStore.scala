@@ -782,27 +782,38 @@ final class TableStore(
     * read.table, core/read.py:23). PK columns are always included, like
     * the reference returns them as the dataframe index. The where string
     * is parsed into a Catalyst predicate (→ parquet pushdown), and the
-    * projection prunes the scan's ReadSchema. */
+    * projection prunes the scan's ReadSchema.
+    *
+    * `asOf` pins the read to a committed snapshot generation (C23):
+    * projection/filter/order compose over the table as it WAS, with
+    * validation against the snapshot's schema. Snapshot reads skip the
+    * file-level stats/bucket pruning (stats describe the CURRENT file
+    * set); parquet row-group pruning still applies via pushdown. */
   def readTable(
       name: String,
       columns: Seq[String] = Seq.empty,
       where: Option[String] = None,
       limit: Option[Int] = None,
       orderBy: Seq[String] = Seq.empty,
-      orderDesc: Boolean = false): DataFrame = {
+      orderDesc: Boolean = false,
+      asOf: Option[Int] = None): DataFrame = {
     val m = meta(name)
     // a where-d read consults file statistics (if analyzed) to skip
     // whole files before Spark ever lists them into the scan
-    var df = where.map(w => prunedRead(name, m, w)).getOrElse(read(name))
+    var df = asOf match {
+      case Some(g) => readTableAt(name, g)
+      case None    => where.map(w => prunedRead(name, m, w)).getOrElse(read(name))
+    }
     where.foreach(w => df = df.filter(Filters.parseWhere(df, w)))
+    val avail = df.columns.toSeq // snapshot schema when asOf is set
     if (columns.nonEmpty) {
-      val missing = columns.filterNot(m.columns.map(_._1).contains)
+      val missing = columns.filterNot(avail.contains)
       if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
-      val proj = (m.primaryKey ++ columns.filterNot(m.primaryKey.contains))
+      val proj = (m.primaryKey.filter(avail.contains) ++ columns.filterNot(m.primaryKey.contains))
       df = df.select(proj.map(c => col(Identifiers.quote(c))): _*)
     }
     if (orderBy.nonEmpty) {
-      val missing = orderBy.filterNot(m.columns.map(_._1).contains)
+      val missing = orderBy.filterNot(avail.contains)
       if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
       val ord = orderBy.map(c => if (orderDesc) col(Identifiers.quote(c)).desc else col(Identifiers.quote(c)))
       df = df.orderBy(ord: _*)

@@ -433,6 +433,13 @@ class TableStoreSpec extends AnyFunSuite {
     // pre-history instant is a typed error
     assert(store.readTableAsOf("t", Long.MaxValue).orderBy("k").count() == 3)
     intercept[errors.InvalidValue](store.readTableAsOf("t", 0L))
+    // the full read surface (projection/where/order) composes over a
+    // snapshot, validated against the SNAPSHOT's schema
+    val composed = store.readTable("t", columns = Seq("v"),
+      where = Some("k <= 2"), orderBy = Seq("k"), asOf = Some(gens(1)))
+    assert(composed.as[(Int, String)].collect().toSeq == Seq((1, "a"), (2, "b")))
+    intercept[errors.ColumnDoesNotExist](
+      store.readTable("t", columns = Seq("w"), asOf = Some(gens(1))))
     // vacuum keeps the last 2 generations readable; older raise
     store.vacuum("t", keepLast = 2)
     val kept = store.snapshots("t").map(_._1)
