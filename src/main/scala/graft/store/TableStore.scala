@@ -513,6 +513,17 @@ final class TableStore(
   // working through a rewrite because their files are renamed within
   // the same filesystem, not destroyed — the gap [[vacuum]] closes on
   // the old immediate-delete behavior.
+  //
+  // Two standard lakehouse caveats apply at the extreme end:
+  //  - a manifest lists EVERY current file, so at millions of files it
+  //    is itself large (~100 B/entry); the production form shards
+  //    manifests or stores per-commit deltas compacted periodically
+  //    (what Iceberg manifest lists / Delta checkpoints do). One JSON
+  //    file is right for this store's file counts.
+  //  - vacuum vs. long-running readers: retention is TIME-based safety —
+  //    keepLast must outlast the longest reader, since a vacuum can
+  //    delete history a still-running old-generation scan references
+  //    (the same contract as Delta's VACUUM retention window).
 
   /** Retained snapshot generations as (gen, commitTimeMillis), ascending. */
   def snapshots(name: String): Seq[(Int, Long)] =
