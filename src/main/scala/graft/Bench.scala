@@ -208,14 +208,23 @@ object Bench {
     val (j1, s1) = calibrate(spark)
     val (j2, s2) = calibrate(spark)
     val calib = s"""{"jvm_mix_268m":${math.min(j1, j2)},"spark_hash_2048m":${math.min(s1, s2)}}"""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 4-decimal timings (0.1 ms grain): full double precision would push
+    // the ~32-entry dict near the driver's 2 KB tail budget by itself
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1"
+        else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val mem = peakByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val probes = probeByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib":$calib,"calib_start":$calibStart,"probe_34m":$probes,"peak_task_mem":$mem,"sf":"$sfDir"}""")
+    // field order matters: the driver keeps only the last 2 KB of this
+    // line (BENCH_r05 lost the queries dict to tail truncation — VERDICT
+    // r5 #1), so the graded fields "queries" and "value" go LAST and the
+    // large diagnostic dicts (probes, peak memory) go first
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"calib":$calib,"calib_start":$calibStart,"probe_34m":$probes,"peak_task_mem":$mem,"queries":$qs,"value":$total}""")
     spark.stop()
   }
 }
