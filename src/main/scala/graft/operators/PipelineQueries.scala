@@ -271,8 +271,12 @@ object PipelineQueries {
       .select("lang", "doc_id")
       .orderBy("lang", "doc_id")
 
+  /** L12: real ImageIO decode over deterministic PNG payloads. The
+    * oracle states the decoded metadata in closed form from the same
+    * row formulas the encoder used — exact iff the codec round-trips. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame =
-    Media.decodeTable(t(s, dir, "documents")).orderBy("doc_id")
+    Media.decodeTable(Media.syntheticMediaTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
 
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Media.frameTable(t(s, dir, "documents")).orderBy("doc_id", "frame_idx")
@@ -806,11 +810,11 @@ object PipelineQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(ord(substr(text, 1, 1)) AS BIGINT) AS header,
-        | CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS format,
-        | CAST(octet_length(encode(text)) * 7 % 1024 AS BIGINT) AS width,
-        | CAST(octet_length(encode(text)) * 13 % 768 AS BIGINT) AS height
+        | CASE WHEN doc_id % 10 = 0 THEN 'unknown' ELSE 'png' END AS format,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars % 31 + 4 END AS BIGINT) AS width,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 17 + 4 END AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_channels,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 256 END AS BIGINT) AS mean_px
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 256 AS BIGINT) AS frame_offset,
