@@ -46,4 +46,12 @@ object errors {
   final case class RecastColumnUnchanged(column: String, detail: String)
       extends GraftException(
         s"recast of column $column changes nothing: $detail (custom_errors.py:50)")
+
+  /** A second writer attempted to commit to a table whose commit lock is
+    * held. Concurrent writers to one table are outside the store's
+    * contract (single-writer-per-table); the lock turns the silent
+    * lost-manifest race into this loud error. */
+  final case class ConcurrentWrite(table: String, detail: String)
+      extends GraftException(
+        s"commit lock for table $table is held by another writer: $detail")
 }

@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   * predicate PROVABLY matches no row given [min,max] and the null count;
   * any unsupported expression shape keeps the file. Stats are advisory —
   * readers re-apply the full predicate — so a stale or missing entry can
-  * never change results, only scan size. Mutation paths delete the stats
-  * file; inserts leave it (new files simply aren't pruned until the next
-  * analyze).
+  * never change results, only scan size. Entries are keyed by rel paths
+  * that are never reused, over immutable files, so they stay TRUE
+  * forever: mutations leave the sidecar in place (new files simply
+  * aren't pruned until the next analyze) and retired files' entries keep
+  * pruning SNAPSHOT reads until analyze/vacuum find no retained manifest
+  * referencing them.
   */
 object FileStats {
 

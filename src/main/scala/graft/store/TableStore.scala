@@ -128,6 +128,65 @@ final class TableStore(
 
   private val BucketCol = "__bucket"
 
+  // ── commit lock (single-writer contract) ────────────────────────────────
+  //
+  // The store's write contract is SINGLE WRITER PER TABLE (the reference
+  // is one ODBC connection; a lakehouse table has one committing job).
+  // Rather than leave the contract implicit — two concurrent writers
+  // would race nextGen and one manifest would win silently — every
+  // mutation takes a create-exclusive `commit.lock` in the table dir for
+  // the duration of its write+swap+commit, so the SECOND writer fails
+  // loudly with ConcurrentWrite instead. Reentrant per thread (the
+  // auto-adjust ladder nests addColumn/createTable inside insert).
+  //
+  // Scope notes: create-with-overwrite=false is atomic on HDFS and local
+  // filesystems; on S3-style stores a production build swaps this for a
+  // conditional put or an external lock service (what Delta's
+  // LogStore/S3DynamoDB commit owners do). A writer that CRASHES while
+  // holding the lock leaves it behind by design — the next mutation
+  // fails loudly with the holder's pid/timestamp, and the operator (or
+  // a supervisor that knows the writer died) clears it with
+  // [[clearCommitLock]]. Auto-expiry would reintroduce the silent race.
+
+  private def lockPath(name: String) = new Path(tablePath(name), "commit.lock")
+
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private def withCommitLock[T](name: String)(body: => T): T = {
+    if (heldLocks.get.contains(name)) return body // reentrant: already ours
+    val lock = lockPath(name)
+    fs.mkdirs(tablePath(name))
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val holder = scala.util.Try {
+            val in = fs.open(lock)
+            try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          }.getOrElse("unreadable lock file")
+          throw errors.ConcurrentWrite(name,
+            s"$holder — if that writer is dead, clear it with clearCommitLock")
+      }
+    try {
+      out.write(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    heldLocks.set(heldLocks.get + name)
+    try body
+    finally {
+      heldLocks.set(heldLocks.get - name)
+      fs.delete(lock, false)
+    }
+  }
+
+  /** Remove a stale commit lock left by a crashed writer. Only call once
+    * the holder recorded in the ConcurrentWrite error is known dead — a
+    * live holder whose lock is cleared is back to the silent race. */
+  def clearCommitLock(name: String): Unit = fs.delete(lockPath(name), false)
+
   private def bucketExpr(m: Meta): Column =
     pmod(xxhash64(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets))
 
@@ -194,7 +253,7 @@ final class TableStore(
       columns: Seq[(String, String)],
       primaryKey: Seq[String] = Seq.empty,
       buckets: Int = 0,
-      sqlPrimaryKey: Boolean = false): Unit = {
+      sqlPrimaryKey: Boolean = false): Unit = withCommitLock(name) {
     if (exists(name)) throw errors.TableAlreadyExists(name)
     if (sqlPrimaryKey && primaryKey.nonEmpty)
       throw new IllegalArgumentException("if sqlPrimaryKey then primaryKey must be empty (create.py:78)")
@@ -237,12 +296,15 @@ final class TableStore(
   // ── modify ──────────────────────────────────────────────────────────────
 
   /** Metadata-only column add (reference modify.column add, modify.py:21).
-    * Existing files simply lack the column; reads null-fill it. */
-  def addColumn(name: String, column: String, sqlType: String): Unit = {
+    * Existing files simply lack the column; reads null-fill it. Commits a
+    * METADATA-ONLY generation (same file set, new schema) so the latest
+    * snapshot never lags the live schema. */
+  def addColumn(name: String, column: String, sqlType: String): Unit = withCommitLock(name) {
     val m = meta(name)
     if (m.columns.exists(_._1 == column)) throw errors.TableAlreadyExists(s"$name.$column")
     writeMeta(name, m.copy(columns = m.columns :+ (column -> SqlType.parse(sqlType))))
     audit(s"add column $name.$column $sqlType")
+    commitSnapshot(name, nextGen(name), Some(lastCommittedRels(name)))
   }
 
   /** Column type/nullability change (reference modify.column alter,
@@ -251,7 +313,7 @@ final class TableStore(
     * widening changes. Setting NOT NULL validates existing data first,
     * like SQL Server's ALTER COLUMN ... NOT NULL (one aggregate). */
   def alterColumn(name: String, column: String, sqlType: String,
-      isNullable: Boolean = true): Unit = {
+      isNullable: Boolean = true): Unit = withCommitLock(name) {
     val m = meta(name)
     if (!m.columns.exists(_._1 == column)) throw errors.ColumnDoesNotExist(name, Seq(column))
     val current = m.columns.find(_._1 == column).get._2
@@ -278,24 +340,48 @@ final class TableStore(
     overwriteData(name, alignTo(df, newMeta))
   }
 
-  /** Metadata-only column drop (reference modify.column drop). */
-  def dropColumn(name: String, column: String): Unit = {
+  /** Metadata-only column drop (reference modify.column drop). Commits a
+    * metadata-only generation, and drops the column from the stats
+    * sidecar: a later re-add under the same name with a DIFFERENT type
+    * would otherwise evaluate old-domain min/max against new-domain
+    * predicates. Refused for a bucketed table's PK column — the bucket
+    * dirs are laid out by the PK hash, and pruning under a changed key
+    * would skip buckets that hold matches. */
+  def dropColumn(name: String, column: String): Unit = withCommitLock(name) {
     val m = meta(name)
     if (!m.columns.exists(_._1 == column)) throw errors.ColumnDoesNotExist(name, Seq(column))
+    if (m.buckets > 0 && m.primaryKey.contains(column))
+      throw errors.InvalidValue(column,
+        s"cannot drop a primary-key column of bucketed table $name " +
+          "(data is bucketed by the PK hash); rebucket by recreating the table")
     writeMeta(name, m.copy(
       columns = m.columns.filterNot(_._1 == column),
       primaryKey = m.primaryKey.filterNot(_ == column)))
+    FileStats.read(fs, statsPath(name)).foreach { st =>
+      FileStats.write(fs, statsPath(name),
+        st.map { case (f, s) => f -> s.copy(cols = s.cols - column) })
+    }
     audit(s"drop column $name.$column")
+    commitSnapshot(name, nextGen(name), Some(lastCommittedRels(name)))
   }
 
-  /** Add/drop the primary key (reference modify.primary_key, modify.py:141). */
-  def setPrimaryKey(name: String, primaryKey: Seq[String]): Unit = {
+  /** Add/drop the primary key (reference modify.primary_key,
+    * modify.py:141). Commits a metadata-only generation. Refused on a
+    * bucketed table (other than a no-op): its bucket layout is keyed by
+    * the CURRENT PK's hash, and both mutation pruning and read pruning
+    * would hash the new key over dirs laid out by the old one. */
+  def setPrimaryKey(name: String, primaryKey: Seq[String]): Unit = withCommitLock(name) {
     val m = meta(name)
     val missing = primaryKey.filterNot(m.columns.map(_._1).contains)
     if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
+    if (m.buckets > 0 && primaryKey != m.primaryKey)
+      throw errors.InvalidValue(primaryKey.mkString(", "),
+        s"cannot change the primary key of bucketed table $name " +
+          "(data is bucketed by the PK hash); rebucket by recreating the table")
     writeMeta(name, m.copy(primaryKey = primaryKey))
     audit(if (primaryKey.isEmpty) s"drop primary key $name"
           else s"set primary key $name (${primaryKey.mkString(", ")})")
+    commitSnapshot(name, nextGen(name), Some(lastCommittedRels(name)))
   }
 
   /** Rows violating PK uniqueness: one hash aggregation on the key. */
@@ -315,7 +401,7 @@ final class TableStore(
     * Contents and metadata are unchanged; goes through the same staged
     * data.tmp swap as every rewrite. The 100 TB version runs per-bucket
     * incrementally; locally one job covers the whole table. */
-  def compact(name: String, rowsPerFile: Long = 1000000L): Unit = {
+  def compact(name: String, rowsPerFile: Long = 1000000L): Unit = withCommitLock(name) {
     val m = meta(name)
     if (!hasDataFiles(name)) return
     val df = read(name)
@@ -386,18 +472,31 @@ final class TableStore(
     if (cols0.isEmpty) throw errors.UndefinedPrimaryKey(name)
     val missing = cols0.filterNot(m.columns.map(_._1).contains)
     if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
-    if (!hasDataFiles(name)) { fs.delete(statsPath(name), false); return }
     val dataDir = dataPath(name)
-    val present = listDataFiles(name)
+    val present = if (hasDataFiles(name)) listDataFiles(name) else Seq.empty
     // stats are keyed by the data-dir-RELATIVE path (bucket dir included):
     // basenames collide across __bucket=N dirs, see FileStats.fileKey
     val presentKeys = present.map(p => FileStats.relativeKey(dataDir, p)).toSet
+    val existing = FileStats.read(fs, statsPath(name)).getOrElse(Map.empty)
+    // entries for files a retained SNAPSHOT still references outlive the
+    // files' retirement from data/ (rel paths are never reused and files
+    // are immutable, so an entry stays true forever) — they are what
+    // lets a snapshot read prune like a current read
+    val snapshotKeys: Set[String] =
+      manifestGens(name).flatMap(g => readManifest(name, g)._2).toSet
+    val forSnapshots = existing.filter { case (f, _) =>
+      !presentKeys.contains(f) && snapshotKeys.contains(f)
+    }
+    if (present.isEmpty) {
+      if (forSnapshots.isEmpty) fs.delete(statsPath(name), false)
+      else FileStats.write(fs, statsPath(name), forSnapshots)
+      return
+    }
     val kept: Map[String, FileStats.FileStat] =
       if (!incremental) Map.empty
-      else FileStats.read(fs, statsPath(name)).getOrElse(Map.empty)
-        .filter { case (f, st) =>
-          presentKeys.contains(f) && st.cols.keySet == cols0.toSet
-        }
+      else existing.filter { case (f, st) =>
+        presentKeys.contains(f) && st.cols.keySet == cols0.toSet
+      }
     val toScan = present.filterNot(p => kept.contains(FileStats.relativeKey(dataDir, p)))
     val scanned: Map[String, FileStats.FileStat] =
       if (toScan.isEmpty) Map.empty
@@ -435,7 +534,7 @@ final class TableStore(
     // flat-layout seed file) — record rows=0 so pruning can drop them too
     val empty = cols0.map(_ -> FileStats.ColStat(None, None, 0L)).toMap
     val empties = toScan.map(p => FileStats.relativeKey(dataDir, p) -> FileStats.FileStat(0L, empty)).toMap
-    FileStats.write(fs, statsPath(name), empties ++ kept ++ scanned)
+    FileStats.write(fs, statsPath(name), forSnapshots ++ empties ++ kept ++ scanned)
   }
 
   /** Z-order clustering: rewrite the table so files hold contiguous
@@ -452,7 +551,7 @@ final class TableStore(
     * only: hashing strings would destroy the locality the curve exists
     * to create. Re-analyzes automatically (the rewrite invalidates
     * file stats). */
-  def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit = {
+  def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit = withCommitLock(name) {
     import org.apache.spark.sql.types._
     val m = meta(name)
     require(columns.nonEmpty && columns.size <= 4, "cluster: 1..4 columns")
@@ -514,6 +613,24 @@ final class TableStore(
   // the same filesystem, not destroyed — the gap [[vacuum]] closes on
   // the old immediate-delete behavior.
   //
+  // Commit concurrency: the contract is SINGLE WRITER PER TABLE,
+  // ENFORCED by the create-exclusive commit.lock (see withCommitLock) —
+  // a second concurrent committer fails loudly with ConcurrentWrite
+  // instead of silently losing a manifest to the nextGen race. The lock
+  // is also what makes the INCREMENTAL manifest form sound: appends and
+  // metadata-only DDL derive their manifest as previous-manifest + the
+  // writer's own committed-file delta (O(batch)), because under the
+  // lock the previous manifest IS the current file set. Rewrites keep
+  // the re-listing form — they already paid a listing.
+  //
+  // Snapshot reads PRUNE like current reads (round 6): the manifest
+  // pins the schema and primary key at commit (so bucket pruning hashes
+  // the right key over the snapshot's dirs), and the stats sidecar
+  // retains entries for retired-but-still-referenced files (rel paths
+  // are never reused and files immutable, so an entry stays true
+  // forever; analyze and vacuum trim entries no retained snapshot
+  // references).
+  //
   // Two standard lakehouse caveats apply at the extreme end:
   //  - a manifest lists EVERY current file, so at millions of files it
   //    is itself large (~100 B/entry); the production form shards
@@ -542,28 +659,42 @@ final class TableStore(
       .sorted
   }
 
-  private def nextGen(name: String): Int = manifestGens(name).lastOption.getOrElse(0) + 1
+  /** Next generation number: one past the max over BOTH committed
+    * manifests and existing g<N> removed-file trees. Retirement renames
+    * into g<N> happen before the manifest commit, so a crash in that
+    * window leaves an orphaned g<N> with no m<N>.json — deriving from
+    * manifests alone would re-mint N and nest or fail (filesystem-
+    * dependent) on the leftover tree. */
+  private def nextGen(name: String): Int = {
+    val h = historyPath(name)
+    val dirGens =
+      if (!fs.exists(h)) Seq.empty[Int]
+      else fs.listStatus(h).toSeq.map(_.getPath.getName).collect {
+        case s if s.length > 1 && s.startsWith("g") && s.drop(1).forall(_.isDigit) =>
+          s.drop(1).toInt
+      }
+    (manifestGens(name) ++ dirGens ++ Seq(0)).max + 1
+  }
 
-  /** Write generation `gen`'s manifest: the CURRENT file set + schema.
+  /** Write generation `gen`'s manifest: the table's file set + schema.
     * tmp+rename like stats.json; a torn manifest can only lose the
     * snapshot, never corrupt current reads.
     *
-    * Cost note for the 100 TB story: this re-lists the table per commit
-    * (O(#files) driver metadata). A rewrite already paid a listing; for
-    * a high-frequency small-append stream on a very large table the
-    * production form derives the manifest as previous-manifest + the
-    * writer's committed-file list (Spark's FileCommitProtocol exposes
-    * it) instead of re-listing — same manifest, O(batch) upkeep. The
-    * listing form is kept here because it is correct under ANY writer,
-    * including external ones. */
-  private def commitSnapshot(name: String, gen: Int): Unit = {
+    * `files = None` RE-LISTS the data dir (rewrites — they already paid
+    * a listing, and listing is correct under any writer). `files =
+    * Some(rels)` is the INCREMENTAL form for appends and metadata-only
+    * DDL: the caller derives the set as previous-manifest + its own
+    * committed-file delta, so a high-frequency small-append stream pays
+    * O(batch) upkeep per commit instead of O(#files). The incremental
+    * form is sound because the commit lock serializes writers: the
+    * previous manifest IS the current file set. */
+  private def commitSnapshot(name: String, gen: Int, files: Option[Seq[String]] = None): Unit = {
     val o = mapper.createObjectNode()
     o.put("gen", gen)
     o.put("ts", System.currentTimeMillis())
     o.set("meta", metaNode(meta(name)): JsonNode)
     val arr = o.putArray("files")
-    if (fs.exists(dataPath(name)))
-      listDataFiles(name).foreach(p => arr.add(FileStats.relativeKey(dataPath(name), p)))
+    files.getOrElse(currentRels(name)).foreach(arr.add)
     fs.mkdirs(historyPath(name))
     val dst = manifestPath(name, gen)
     val tmp = new Path(dst.getParent, dst.getName + ".tmp")
@@ -572,6 +703,32 @@ final class TableStore(
     out.close()
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"manifest commit failed: $dst")
+  }
+
+  /** The current file set as data-dir-relative keys (one listing). */
+  private def currentRels(name: String): Seq[String] =
+    if (!fs.exists(dataPath(name))) Seq.empty
+    else listDataFiles(name).map(p => FileStats.relativeKey(dataPath(name), p))
+
+  /** The last committed manifest's file set, or a fresh listing when no
+    * manifest exists yet (pre-history table) — the base an incremental
+    * commit extends. */
+  private def lastCommittedRels(name: String): Seq[String] =
+    manifestGens(name).lastOption match {
+      case Some(g) => readManifest(name, g)._2
+      case None    => currentRels(name)
+    }
+
+  /** Parse generation `gen`'s manifest → (schema at commit, file set). */
+  private def readManifest(name: String, gen: Int): (Meta, Seq[String]) = {
+    if (!exists(name)) throw errors.TableDoesNotExist(name)
+    if (!fs.exists(manifestPath(name, gen)))
+      throw errors.InvalidValue("asOf", s"no snapshot $gen for table $name (never committed or vacuumed)")
+    val in = fs.open(manifestPath(name, gen))
+    val node = try mapper.readTree(in) finally in.close()
+    val mAt = parseMeta(node.get("meta"))
+    val rels = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    (mAt, rels)
   }
 
   /** Move a to-be-replaced data path into generation `gen`'s removed
@@ -591,19 +748,17 @@ final class TableStore(
     * generation. One recursive listing of data/ + history/ resolves all
     * entries (O(#files) driver metadata, no per-file RPCs). */
   def readTableAt(name: String, gen: Int): DataFrame = {
-    if (!exists(name)) throw errors.TableDoesNotExist(name)
-    if (!fs.exists(manifestPath(name, gen)))
-      throw errors.InvalidValue("asOf", s"no snapshot $gen for table $name (never committed or vacuumed)")
-    val in = fs.open(manifestPath(name, gen))
-    val node = try mapper.readTree(in) finally in.close()
-    val mAt = parseMeta(node.get("meta"))
-    val rels = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
-    if (rels.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mAt.sparkSchema)
-    val current: Set[String] =
-      if (fs.exists(dataPath(name)))
-        listDataFiles(name).map(p => FileStats.relativeKey(dataPath(name), p)).toSet
-      else Set.empty
+    val (mAt, rels) = readManifest(name, gen)
+    snapshotScan(name, gen, mAt, rels)
+  }
+
+  /** Resolve each manifest entry of generation `gen` to a readable
+    * absolute path: data/<rel> while current, else the unique
+    * history/g<M>/<rel> (M > gen) that retired it. One recursive listing
+    * of data/ + history/ resolves all entries (O(#files) driver
+    * metadata, no per-file RPCs). */
+  private def resolveSnapshotFiles(name: String, gen: Int, rels: Seq[String]): Seq[String] = {
+    val current: Set[String] = currentRels(name).toSet
     // removal index: relative path -> the generation that retired it
     val removed = scala.collection.mutable.Map.empty[String, Int]
     if (fs.exists(historyPath(name)))
@@ -618,7 +773,7 @@ final class TableStore(
               removed += FileStats.relativeKey(s.getPath, p) -> g
           }
         }
-    val paths = rels.map { rel =>
+    rels.map { rel =>
       if (current.contains(rel)) new Path(dataPath(name), rel).toString
       else removed.get(rel).filter(_ > gen) match {
         case Some(g) => new Path(removedPath(name, g), rel).toString
@@ -626,8 +781,53 @@ final class TableStore(
           s"snapshot $gen of table $name is no longer reconstructable ($rel vacuumed)")
       }
     }
-    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** Scan `rels` of generation `gen` aligned to the snapshot schema. */
+  private def snapshotScan(name: String, gen: Int, mAt: Meta, rels: Seq[String]): DataFrame = {
+    if (rels.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mAt.sparkSchema)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(resolveSnapshotFiles(name, gen, rels): _*)
     alignTo(raw, mAt)
+  }
+
+  /** [[prunedRead]] for a snapshot read (C23 × C20/C20b): the same two
+    * cuts — bucket pruning, then per-file stats — applied to the
+    * MANIFEST's file set under the SNAPSHOT's schema and primary key.
+    * Sound because both inputs are immutable once written: a rel path is
+    * never reused, so a stats entry describes its file forever, and a
+    * bucketed table's PK cannot change (setPrimaryKey/dropColumn refuse),
+    * so the snapshot's bucket dirs were hashed by the same key the
+    * pruner uses. Files without stats are kept; the caller re-applies
+    * the full predicate. */
+  private def prunedSnapshotRead(name: String, gen: Int, mAt: Meta,
+      rels: Seq[String], where: String): DataFrame = {
+    val base = snapshotScan(name, gen, mAt, rels)
+    if (rels.isEmpty) return base
+    val pred = base.filter(Filters.parseWhere(base, where))
+      .queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(return base)
+    val types = mAt.columns.map { case (n, t) => n -> t.spark }.toMap
+    val afterBuckets = allowedBuckets(mAt, pred, types) match {
+      case Some(ids) => rels.filter { rel =>
+        val dir = rel.takeWhile(_ != '/')
+        !dir.startsWith(BucketCol + "=") ||
+          scala.util.Try(dir.stripPrefix(BucketCol + "=").toLong).toOption.forall(ids.contains)
+      }
+      case None => rels
+    }
+    val stats = FileStats.read(fs, statsPath(name))
+    val surviving = stats match {
+      case Some(st) => afterBuckets.filter(rel =>
+        st.get(rel).forall(s => FileStats.mayMatch(pred, s, types)))
+      case None => afterBuckets
+    }
+    if (surviving.length == rels.length) base
+    else if (surviving.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mAt.sparkSchema)
+    else snapshotScan(name, gen, mAt, surviving)
   }
 
   /** Timestamp form of [[readTableAt]]: the latest generation committed
@@ -645,7 +845,7 @@ final class TableStore(
     * needed by snapshots OLDER than M — all expired). Current data is
     * never touched; with keepLast=1 the table keeps only its latest
     * committed state, the pre-snapshot disk footprint. */
-  def vacuum(name: String, keepLast: Int = 1): Unit = {
+  def vacuum(name: String, keepLast: Int = 1): Unit = withCommitLock(name) {
     require(keepLast >= 1, "vacuum: keepLast must be >= 1")
     val gens = manifestGens(name)
     if (gens.size <= keepLast) return
@@ -655,6 +855,16 @@ final class TableStore(
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
       .filter(_.getPath.getName.stripPrefix("g").toInt <= cutoff)
       .foreach(s => fs.delete(s.getPath, true))
+    // trim stats entries whose files no retained snapshot (nor the
+    // current set) references anymore — the sidecar's retention tracks
+    // the snapshots' (see analyze), so vacuum bounds its growth too
+    FileStats.read(fs, statsPath(name)).foreach { st =>
+      val live: Set[String] = currentRels(name).toSet ++
+        manifestGens(name).flatMap(g => readManifest(name, g)._2)
+      val keptStats = st.filter { case (f, _) => live.contains(f) }
+      if (keptStats.size != st.size)
+        FileStats.write(fs, statsPath(name), keptStats)
+    }
     audit(s"vacuum $name: kept generations >= $cutoff")
   }
 
@@ -797,9 +1007,12 @@ final class TableStore(
     *
     * `asOf` pins the read to a committed snapshot generation (C23):
     * projection/filter/order compose over the table as it WAS, with
-    * validation against the snapshot's schema. Snapshot reads skip the
-    * file-level stats/bucket pruning (stats describe the CURRENT file
-    * set); parquet row-group pruning still applies via pushdown. */
+    * validation against the snapshot's schema AND the snapshot's
+    * primary key (a later setPrimaryKey must not change what a snapshot
+    * projection returns). Snapshot reads prune like current reads —
+    * bucket dirs by the snapshot's PK hash, files by the stats sidecar
+    * (entries are keyed by never-reused relative paths over immutable
+    * files, so they stay valid for retired files). */
   def readTable(
       name: String,
       columns: Seq[String] = Seq.empty,
@@ -808,12 +1021,18 @@ final class TableStore(
       orderBy: Seq[String] = Seq.empty,
       orderDesc: Boolean = false,
       asOf: Option[Int] = None): DataFrame = {
-    val m = meta(name)
     // a where-d read consults file statistics (if analyzed) to skip
     // whole files before Spark ever lists them into the scan
-    var df = asOf match {
-      case Some(g) => readTableAt(name, g)
-      case None    => where.map(w => prunedRead(name, m, w)).getOrElse(read(name))
+    var (m, df) = asOf match {
+      case Some(g) =>
+        val (mAt, rels) = readManifest(name, g)
+        (mAt, where match {
+          case Some(w) => prunedSnapshotRead(name, g, mAt, rels, w)
+          case None    => snapshotScan(name, g, mAt, rels)
+        })
+      case None =>
+        val m0 = meta(name)
+        (m0, where.map(w => prunedRead(name, m0, w)).getOrElse(read(name)))
     }
     where.foreach(w => df = df.filter(Filters.parseWhere(df, w)))
     val avail = df.columns.toSeq // snapshot schema when asOf is set
@@ -847,7 +1066,7 @@ final class TableStore(
       name: String,
       df0: DataFrame,
       autoAdjust: Boolean = false,
-      timeInsert: Option[Column] = None): Unit = {
+      timeInsert: Option[Column] = None): Unit = withCommitLock(name) {
     if (!exists(name)) {
       if (autoAdjust) {
         audit(s"auto-adjust: creating missing table $name from insert batch")
@@ -917,14 +1136,37 @@ final class TableStore(
 
     val target = read(name)
     val appended = Mutations.insertAll(target.limit(0), df2, timeInsert)
-    val out = fs.makeQualified(dataPath(name))
+    // Staged append: write the batch to append.tmp, then rename each
+    // committed file into data/ under its tmp-relative path. Two wins
+    // over a direct mode("append") write: data/ never sees a partial
+    // job's output, and the mover KNOWS its exact file list — so the
+    // manifest is derived as previous-manifest + delta (O(batch)), not
+    // by re-listing the table (O(#files)). Part-file names embed the
+    // job UUID, so renames cannot collide with existing files.
+    val prevRels = lastCommittedRels(name)
+    val tmp = new Path(tablePath(name), "append.tmp")
+    fs.delete(tmp, true)
     if (m.buckets > 0)
       appended.withColumn(BucketCol, bucketExpr(m))
-        .write.mode("append").partitionBy(BucketCol).parquet(out.toString)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
     else
-      appended.write.mode("append").parquet(out.toString)
-    // appends remove nothing; the commit just pins the new file set
-    commitSnapshot(name, nextGen(name))
+      appended.write.mode("overwrite").parquet(tmp.toString)
+    val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = FileStats.relativeKey(tmp, p)
+        val dst = new Path(dataPath(name), rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(p, dst))
+          throw new IllegalStateException(s"append move failed for table $name: $rel")
+        newRels += rel
+      }
+    }
+    fs.delete(tmp, true)
+    // appends remove nothing; the commit extends the previous file set
+    commitSnapshot(name, nextGen(name), Some(prevRels ++ newRels))
   }
 
   /** One-pass validation of a batch against the table's declared types:
@@ -1001,7 +1243,7 @@ final class TableStore(
       name: String,
       source: DataFrame,
       matchCols: Seq[String] = Seq.empty,
-      timeUpdate: Option[Column] = None): Unit = {
+      timeUpdate: Option[Column] = None): Unit = withCommitLock(name) {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
@@ -1016,7 +1258,7 @@ final class TableStore(
       source: DataFrame,
       matchCols: Seq[String] = Seq.empty,
       timeInsert: Option[Column] = None,
-      timeUpdate: Option[Column] = None): Unit = {
+      timeUpdate: Option[Column] = None): Unit = withCommitLock(name) {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
@@ -1034,7 +1276,7 @@ final class TableStore(
       matchCols: Seq[String] = Seq.empty,
       deleteRequires: Seq[String] = Seq.empty,
       timeInsert: Option[Column] = None,
-      timeUpdate: Option[Column] = None): Unit = {
+      timeUpdate: Option[Column] = None): Unit = withCommitLock(name) {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
@@ -1054,7 +1296,7 @@ final class TableStore(
       name: String,
       source: DataFrame,
       matchCols: Seq[String] = Seq.empty,
-      clock: Column): Unit = {
+      clock: Column): Unit = withCommitLock(name) {
     var m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
     Seq(Mutations.ValidFrom, Mutations.ValidTo).foreach { c =>
@@ -1120,7 +1362,9 @@ final class TableStore(
     }
     fs.delete(tmp, true)
     commitSnapshot(name, gen)
-    fs.delete(statsPath(name), false) // file set changed; stats are stale
+    // stats entries for the retired buckets' files stay in the sidecar:
+    // keyed by never-reused rel paths, they keep pruning SNAPSHOT reads;
+    // the new files simply aren't pruned until the next analyze
   }
 
   private def registerTimeCols(name: String, result: DataFrame, mayAddTimeCols: Boolean): Unit = {
@@ -1162,6 +1406,7 @@ final class TableStore(
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"atomic swap failed for table $name")
     commitSnapshot(name, gen)
-    fs.delete(statsPath(name), false) // file set changed; stats are stale
+    // old-file stats entries are retained for snapshot pruning (see
+    // prunedMutation); new files are unpruned until the next analyze
   }
 }

@@ -424,9 +424,13 @@ class TableStoreSpec extends AnyFunSuite {
     assert(at(gens(3)) == Seq((2, "B"), (4, "d")))
     // current read == the latest snapshot
     assert(store.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq == at(gens(3)))
-    // snapshot reads use the schema AT the generation, not the current one
-    store.addColumn("t", "w", "int")
-    store.insert("t", Seq((5, "e", 50)).toDF("k", "v", "w"))    // gen 5
+    // snapshot reads use the schema AT the generation, not the current
+    // one — and metadata-only DDL commits its own generation (gen 5), so
+    // the latest snapshot never lags the live schema
+    store.addColumn("t", "w", "int")                            // gen 5 (metadata-only)
+    assert(store.readTableAt("t", store.snapshots("t").last._1).columns.toSeq == Seq("k", "v", "w"))
+    assert(store.readTableAt("t", store.snapshots("t").last._1).count() == 2)
+    store.insert("t", Seq((5, "e", 50)).toDF("k", "v", "w"))    // gen 6
     assert(store.readTableAt("t", gens(0)).columns.toSeq == Seq("k", "v"))
     assert(store.readTableAt("t", store.snapshots("t").last._1).columns.toSeq == Seq("k", "v", "w"))
     // timestamp form: "now" resolves to the latest generation, and a
@@ -443,9 +447,9 @@ class TableStoreSpec extends AnyFunSuite {
     // vacuum keeps the last 2 generations readable; older raise
     store.vacuum("t", keepLast = 2)
     val kept = store.snapshots("t").map(_._1)
-    assert(kept.size == 2 && kept.last == gens.last + 1)
+    assert(kept.size == 2 && kept.last == gens.last + 2)
     intercept[errors.InvalidValue](store.readTableAt("t", gens(0)))
-    assert(store.readTableAt("t", kept.head).count() == 2) // gen 4 still reconstructs
+    assert(store.readTableAt("t", kept.head).count() == 2) // the metadata gen still reconstructs
     assert(store.readTable("t").count() == 3)              // current untouched
   }
 
@@ -467,6 +471,127 @@ class TableStoreSpec extends AnyFunSuite {
     store.vacuum("t")
     intercept[errors.InvalidValue](store.readTableAt("t", g1))
     assert(store.readTable("t").count() == 401)
+  }
+
+  test("commit lock: a second concurrent committer fails loudly, not silently") {
+    val root = Files.createTempDirectory("graft_test_").toString
+    val store = newStore()
+    val store2 = new TableStore(spark, root)
+    val s1 = new TableStore(spark, root)
+    s1.createTable("t", Seq("k" -> "int", "v" -> "int"), Seq("k"))
+    s1.insert("t", Seq((1, 10)).toDF("k", "v"))
+    // simulate a concurrent writer (or a crashed one): the lock exists
+    val lock = new org.apache.hadoop.fs.Path(root, "t/commit.lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false); out.write("pid=9999 ts=0".getBytes); out.close()
+    val e = intercept[errors.ConcurrentWrite](store2.insert("t", Seq((2, 20)).toDF("k", "v")))
+    assert(e.getMessage.contains("pid=9999"))
+    intercept[errors.ConcurrentWrite](store2.update("t", Seq((1, 11)).toDF("k", "v")))
+    intercept[errors.ConcurrentWrite](store2.addColumn("t", "w", "int"))
+    // the documented recovery path once the holder is known dead
+    store2.clearCommitLock("t")
+    store2.insert("t", Seq((2, 20)).toDF("k", "v"))
+    assert(store2.readTable("t").count() == 2)
+    // the lock is released after a successful mutation
+    assert(!fs.exists(lock))
+    store.createTable("unrelated", Seq("k" -> "int")) // other stores unaffected
+  }
+
+  test("orphaned g<N> from a crashed commit is never reused as a live generation") {
+    val root = Files.createTempDirectory("graft_test_").toString
+    val store = new TableStore(spark, root)
+    store.createTable("t", Seq("k" -> "int", "v" -> "int"), Seq("k"))
+    store.insert("t", Seq((1, 10), (2, 20)).toDF("k", "v")) // gen 1
+    // simulate a crash AFTER retirement but BEFORE the manifest commit:
+    // an orphaned history/g000002 tree with no m000002.json
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "t/history/g000002"))
+    store.update("t", Seq((1, 11)).toDF("k", "v")) // must mint gen 3, not 2
+    assert(store.snapshots("t").map(_._1) == Seq(1, 3))
+    assert(store.readTableAt("t", 1).orderBy("k").as[(Int, Int)].collect().toSeq ==
+      Seq((1, 10), (2, 20)))
+    assert(store.readTable("t", orderBy = Seq("k")).as[(Int, Int)].collect().toSeq ==
+      Seq((1, 11), (2, 20)))
+  }
+
+  test("bucketed tables refuse PK changes that would silently break bucket pruning") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "int"), Seq("k"), buckets = 4)
+    store.insert("t", Seq((1L, 10), (2L, 20)).toDF("k", "v"))
+    intercept[errors.InvalidValue](store.setPrimaryKey("t", Seq("v")))
+    intercept[errors.InvalidValue](store.setPrimaryKey("t", Seq.empty))
+    intercept[errors.InvalidValue](store.dropColumn("t", "k"))
+    store.setPrimaryKey("t", Seq("k"))  // no-op form stays allowed
+    store.dropColumn("t", "v")          // non-PK columns still droppable
+    assert(store.readTable("t").columns.toSeq == Seq("k"))
+  }
+
+  test("snapshot projection uses the snapshot's primary key, not the current one") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "u" -> "int", "v" -> "int"), Seq("k"))
+    store.insert("t", Seq((1, 100, 10)).toDF("k", "u", "v")) // gen 1: pk = k
+    store.setPrimaryKey("t", Seq("u"))                       // gen 2: pk = u
+    // projected snapshot read at gen 1 auto-includes k (its pk), not u
+    assert(store.readTable("t", columns = Seq("v"), asOf = Some(1)).columns.toSeq ==
+      Seq("k", "v"))
+    // the current read auto-includes the current pk
+    assert(store.readTable("t", columns = Seq("v")).columns.toSeq == Seq("u", "v"))
+  }
+
+  test("snapshot reads prune files by stats and buckets like current reads") {
+    val store = newStore()
+    // flat table: two range-disjoint insert batches, analyzed while
+    // current, then retired by a rewrite — the snapshot read must still
+    // skip the out-of-range files via the retained stats entries
+    store.createTable("t", Seq("k" -> "int", "v" -> "int"), Seq("k"))
+    store.insert("t", (1 to 100).map(i => (i, i)).toDF("k", "v"))     // gen 1
+    store.insert("t", (201 to 300).map(i => (i, i)).toDF("k", "v"))   // gen 2
+    store.analyze("t")
+    val g2 = store.snapshots("t").last._1
+    store.update("t", Seq((1, -1)).toDF("k", "v"))                    // gen 3: full rewrite
+    val all = store.readTableAt("t", g2)
+    val pruned = store.readTable("t", where = Some("k <= 100"), asOf = Some(g2))
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"expected a pruned snapshot scan: ${pruned.inputFiles.length} vs ${all.inputFiles.length}")
+    assert(pruned.count() == 100)
+    assert(pruned.orderBy("k").as[(Int, Int)].collect().toSeq ==
+      all.filter(col("k") <= 100).orderBy("k").as[(Int, Int)].collect().toSeq)
+    // the snapshot still sees the pre-rewrite value the current read lost
+    assert(pruned.filter(col("k") === 1).as[(Int, Int)].collect().toSeq == Seq((1, 1)))
+
+    // bucketed table: a PK-equality snapshot read prunes to the key's
+    // bucket dir with no stats needed
+    store.createTable("b", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 8)
+    store.insert("b", spark.range(0, 400).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    val bg = store.snapshots("b").last._1
+    store.upsert("b", Seq((42L, "updated")).toDF("k", "v"))
+    val bAll = store.readTableAt("b", bg)
+    val bPruned = store.readTable("b", where = Some("k = 42"), asOf = Some(bg))
+    assert(bPruned.inputFiles.length < bAll.inputFiles.length,
+      s"expected a bucket-pruned snapshot scan: ${bPruned.inputFiles.length} vs ${bAll.inputFiles.length}")
+    assert(bPruned.select("v").as[String].collect().toSeq == Seq("v42"))
+  }
+
+  test("incremental append manifests equal a re-listing across a 4-batch load") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "int"), Seq("k"), buckets = 4)
+    def listed(): Set[String] = {
+      val dir = store.readTable("t").inputFiles
+      dir.map(_.split("/t/data/").last).toSet
+    }
+    var prev = Set.empty[String]
+    (0 until 4).foreach { b =>
+      store.insert("t", (b * 10 until b * 10 + 10).map(i => (i, i)).toDF("k", "v"))
+      val g = store.snapshots("t").last._1
+      val manifest = store.readTableAt("t", g).inputFiles
+        .map(_.split("/t/data/").last).toSet
+      // the incrementally-derived manifest IS the re-listed file set
+      assert(manifest == listed(), s"batch $b: manifest and listing diverge")
+      assert(prev.subsetOf(manifest) && manifest.size > prev.size)
+      prev = manifest
+    }
+    assert(store.readTable("t").count() == 40)
   }
 
   test("primary key violations detected; keyed merge via store") {
