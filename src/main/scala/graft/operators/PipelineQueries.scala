@@ -114,6 +114,14 @@ object PipelineQueries {
     Ann.topKLsh(e, queriesOf(e)).orderBy("q_id", "rank")
   }
 
+  /** L7 portable twin: md5-derived Rademacher planes + exact integer
+    * sign sums make the whole bucket/probe stage DuckDB-oracle-exact.
+    * See [[Ann.topKLshPortable]]. */
+  def simTopkLshPortable(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.topKLshPortable(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
   /** The quantizer is trained ONCE per corpus and reused across query
     * batches — the amortized-training contract (faiss trains once, then
     * add()/search() reuse the model; at 100 TB retraining per query
@@ -301,6 +309,7 @@ object PipelineQueries {
     "embedding_centroids" -> embeddingCentroids,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_lsh" -> simTopkLsh,
+    "sim_topk_lsh_portable" -> simTopkLshPortable,
     "sim_topk_ivf" -> simTopkIvf,
     "sim_topk_ivf_indexed" -> simTopkIvfIndexed,
     "text_langid" -> textLangid,
@@ -626,7 +635,39 @@ object PipelineQueries {
         | FROM scored)
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
-    // sim_topk_lsh: rows-only (bucket recall is data-dependent).
+    // sim_topk_lsh: rows-only (bucket recall is data-dependent); its
+    // portable twin below is the hash-verified form of the same family.
+    "sim_topk_lsh_portable" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sgn AS (
+        | SELECT j, i,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(j || ',' || i), 1, 1)) - 1) % 2 = 1
+        |       THEN 1 ELSE -1 END AS s
+        | FROM range(0, 4) t(j), range(0, 64) u(i)),
+        |scores AS (
+        | SELECT e.vec_id, g.j,
+        |  SUM(g.s * CAST(FLOOR(e.v[g.i + 1] * 1048576) AS BIGINT)) AS sc
+        | FROM e, sgn g GROUP BY e.vec_id, g.j),
+        |bk AS (
+        | SELECT vec_id, SUM(CASE WHEN sc >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bk
+        | FROM scores GROUP BY vec_id),
+        |q AS (
+        | SELECT e.vec_id AS q_id, e.v AS vq, p.pb
+        | FROM e JOIN bk ON e.vec_id = bk.vec_id,
+        |  UNNEST([bk.bk, xor(bk.bk, 1), xor(bk.bk, 2), xor(bk.bk, 4), xor(bk.bk, 8)]) p(pb)
+        | WHERE e.vec_id % 50 = 0),
+        |scored AS (
+        | SELECT q.q_id, e.vec_id AS n_id,
+        |  ROUND(list_inner_product(q.vq, e.v) /
+        |    (sqrt(list_inner_product(q.vq, q.vq)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
+        | FROM q JOIN bk cb ON cb.bk = q.pb JOIN e ON e.vec_id = cb.vec_id
+        | WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        | SELECT q_id, n_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang, $langCase AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -105,6 +105,54 @@ object Ann {
       .select("q_id", "n_id", "rank", "cosine")
   }
 
+  /** Engine-PORTABLE sign-LSH twin (L7b of the A14b/L3b md5 idiom): the
+    * same bucket-and-multiprobe shape as [[topKLsh]], re-derived so
+    * every bucketing ingredient exists verbatim in ANSI SQL and is
+    * bit-exact across engines:
+    *
+    *  - hyperplane components are ±1 (Rademacher planes — a valid
+    *    sign-LSH family) from the PARITY of the first hex digit of
+    *    md5("plane,dim"), which both engines compute identically;
+    *  - the sign decision is an exact INTEGER sum: each coordinate
+    *    enters as floor(v_i · 2^20) (power-of-two scaling of a float32
+    *    is exact in double, floor is deterministic), so no
+    *    float-summation order exists anywhere in the bucket key — a
+    *    near-zero double dot product could otherwise flip sign between
+    *    engines' fold orders;
+    *  - rerank is the oracle-proven [[Vectors.cosine6]].
+    *
+    * This converts sign-LSH candidate generation from rows-only to
+    * hash-verified against DuckDB; [[topKLsh]] (codegen'd double dot
+    * against LCG planes) stays the cheaper scale path. */
+  def topKLshPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    def comp(j: Int, i: Column): Column =
+      when(conv(substring(md5(concat_ws(",", lit(j.toString), i.cast("string"))), 1, 1), 16, 10)
+        .cast("long") % 2 === 1, lit(1L)).otherwise(lit(-1L))
+    def bucketOf(v: Column): Column =
+      (0 until nPlanes).map { j =>
+        val s = aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+          (acc, i) => acc + comp(j, i) * floor(element_at(v, i + 1) * 1048576).cast("long"))
+        when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val c = scatter(corpus).select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+      .withColumn("__bk", bucketOf(col("__vc")))
+    val base = bucketOf(col("__vq"))
+    val probes = array((base +: (0 until nPlanes).map(j => base.bitwiseXOR(lit(1L << j)))): _*)
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__bkq", explode(probes))
+    val scored = c.join(broadcast(q), col("__bk") === col("__bkq") && col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
   /** Squared euclidean distance to each centroid (literal array),
     * evaluated as one expression per row. */
   private def distances(v: Column, cents: Seq[Seq[Double]]): Column =

@@ -209,6 +209,23 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("portable LSH ANN matches brute-force scores on overlaps and stays deterministic") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Ann.topKBruteForce(emb, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val p1 = Ann.topKLshPortable(emb, queries).collect()
+    assert(p1.nonEmpty)
+    // candidate scores are the exact cosine — identical to brute force
+    p1.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+    // bucketing is a pure function of the data: re-running is bit-identical
+    val p2 = Ann.topKLshPortable(emb, queries).collect()
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+  }
+
   test("IVF ANN: deterministic training, exact scores on candidates, recall over probe budget") {
     import org.apache.spark.sql.functions.col
     val queries = emb.filter(col("vec_id") % 50 === 0)
