@@ -140,7 +140,7 @@ object Bench {
         catch { case _: Throwable => }
       }
     }
-    spark.catalog.clearCache()
+    Graft.clearOperatorCaches(); spark.catalog.clearCache()
 
     // per-query peak task memory (max over tasks of peakExecutionMemory,
     // i.e. the largest single-task footprint for sort/agg/join buffers):
@@ -195,9 +195,9 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
         val t1 = once(name, fn)
-        spark.catalog.clearCache()
+        Graft.clearOperatorCaches(); spark.catalog.clearCache()
         val t2 = if (t1 >= 0) once(name, fn) else -1.0
-        spark.catalog.clearCache()
+        Graft.clearOperatorCaches(); spark.catalog.clearCache()
         probeByQuery += name -> miniProbe()
         // listener events are async; drain before reading the peak
         org.apache.spark.sql.graftx.bridge.drainListenerBus(spark.sparkContext, 10000)

@@ -132,4 +132,19 @@ final case class Graft(
 
   /** PK-duplicate diagnostics (enforced by the server in the reference). */
   def primaryKeyViolations(name: String): DataFrame = store.primaryKeyViolations(name)
+
+  /** See [[Graft.clearOperatorCaches]]; instance alias for discoverability. */
+  def clearOperatorCaches(): Unit = Graft.clearOperatorCaches()
+}
+
+object Graft {
+  /** Release every intermediate the graft OPERATORS persisted (dedup
+    * shingle relations, clustering edge sets, contamination indexes…)
+    * without touching caches the user created in the same session —
+    * unlike `spark.catalog.clearCache()`, which drops both. Operators
+    * return lazy plans and so cannot unpersist their own intermediates;
+    * the driver surfaces (Bench, Verify) call this between queries, and
+    * a long-lived session calls it at batch boundaries instead of
+    * relying on LRU eviction. See [[OperatorCache]]. */
+  def clearOperatorCaches(): Unit = OperatorCache.clear()
 }

@@ -41,7 +41,7 @@ object Verify {
       // own execution needs; dropping them between queries keeps 81
       // queries' caches from accumulating in one JVM (the persisted
       // plans are per-query, so nothing is ever reused across entries)
-      spark.catalog.clearCache()
+      Graft.clearOperatorCaches(); spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -103,7 +103,7 @@ object Contamination {
     * order-independent). Counts the distinct set once to size the
     * filter. */
   def bloomIndex(train: DataFrame, n: Int = 5, fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter = {
-    val sh = trainShingleSet(train, n).persist()
+    val sh = graft.OperatorCache.cached(trainShingleSet(train, n))
     sh.stat.bloomFilter("__s", math.max(sh.count(), 1L), fpp)
   }
 

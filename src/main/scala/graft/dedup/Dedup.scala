@@ -36,19 +36,12 @@ object Dedup {
   private def blockCols(df: DataFrame, bandWidth: Int): DataFrame =
     df.withColumn("__band", (col("n_chars") / bandWidth).cast("int"))
 
-  /** persist() that tolerates an already-cached identical plan: Spark's
-    * CacheManager canonicalizes plans, so two operators caching the same
-    * intermediate (the families pass and a standalone operator over the
-    * same shingle relation, or a spec comparing them) would log "Asked
-    * to cache already cached data" and re-register. Checking the storage
-    * level first keeps caching idempotent and the logs clean. LIFECYCLE:
-    * these caches live until the caller drops them — operators return
-    * lazy plans, so they cannot unpersist their own intermediates; both
-    * driver surfaces (Bench, Verify) clearCache() between queries, and a
-    * long-lived session should do the same (or rely on LRU eviction,
-    * which can only cost recompute, never correctness). */
-  private def cached(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+  /** Idempotent persist, registered with the session-level
+    * [[graft.OperatorCache]] so `Graft.clearOperatorCaches()` (or the
+    * driver surfaces' per-query clear) releases every operator
+    * intermediate without touching user caches. See OperatorCache for
+    * the lifecycle contract. */
+  private def cached(df: DataFrame): DataFrame = graft.OperatorCache.cached(df)
 
   /** Signature computation is compute-bound per row — scatter it across
     * all cores regardless of input file splits (a single small parquet
@@ -387,10 +380,10 @@ object Dedup {
     val simKeyed = simhashChunks(docs, bandWidth)
       .select(lit("sim").as("__fam"), col("lang"), col("__band"), col("__k"),
         col("doc_id"), col("__sig"))
-    val thinPairs = graft.plans.Pairs.withinGroups(
+    val thinPairs = cached(graft.plans.Pairs.withinGroups(
         mhKeyed.unionByName(simKeyed),
         Seq("__fam", "lang", "__band", "__k"), "doc_id", payloadCols = Seq("__sig"))
-      .persist() // thin: candidates only, fanned out to both post-passes
+      ) // thin: candidates only, fanned out to both post-passes
     val mhCands = thinPairs.filter(col("__fam") === "mh")
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id")).distinct()
     val mh = verifyJaccard(mhCands, shx.select(col("doc_id"), col("__sh")), tau)
@@ -477,17 +470,17 @@ object Dedup {
     // referenced twice by the symmetric union — cache the thin pair set
     // so the expensive upstream runs once, not per orientation
     val p = cached(pairs.select(col(aCol), col(bCol)))
-    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = cached(p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(p.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct())
     // labels only ever DECREASE under min-propagation, so the fixpoint
     // test is one scalar: the label sum is strictly monotone until
     // convergence — no per-round diff join needed (decimal sum: no
     // overflow however many ids, exact comparison)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    var labels = cached(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     if (labels.isEmpty)
       return labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
         lit(true).as("keep"))
@@ -511,7 +504,7 @@ object Dedup {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
-      labels.unpersist()
+      graft.OperatorCache.release(labels)
       labels = next
       it += 1
     }
@@ -542,8 +535,8 @@ object Dedup {
     // see clusters(): cache the thin pair set — nodes + the canonical
     // edge orientation reference the input pipeline three times
     val p = cached(pairs.select(col(aCol), col(bCol)))
-    val nodes = p.select(col(aCol).as("n")).unionByName(p.select(col(bCol).as("n")))
-      .distinct().persist()
+    val nodes = cached(p.select(col(aCol).as("n")).unionByName(p.select(col(bCol).as("n")))
+      .distinct())
     // canonical orientation hi→lo (the component minimum only ever
     // appears on the lo side, so stars emerge as (member, min) edges).
     // Each round's result is EAGERLY lineage-truncated — see
@@ -614,9 +607,8 @@ object Dedup {
       .select(col("doc_id"), col("lang"),
         explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__s")
-    val kept = ex.withColumn("__df", count(lit(1)).over(w))
-      .filter(col("__df") <= maxDf).drop("__df")
-      .persist()
+    val kept = cached(ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf).drop("__df"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val inter = graft.plans.Pairs.withinGroups(kept, Seq("lang", "__s"), "doc_id")
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"))
@@ -660,9 +652,8 @@ object Dedup {
       .unionByName(batch.select(col("doc_id"), lit("b").as("__side")))
     val ex = exploded(tagged).join(sides, "doc_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
-    val kept = ex.withColumn("__df", count(lit(1)).over(w))
-      .filter(col("__df") <= maxDf).drop("__df")
-      .persist()
+    val kept = cached(ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf).drop("__df"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("__n"))
     val a = kept.filter(col("__side") === "c")
       .select(col("doc_id").as("a_id"), col("lang"), col("__band"), col("__s"))
@@ -708,8 +699,7 @@ object Dedup {
     // clusters whose any member is an endpoint of a new pair
     val affectedClusters = labeling.join(touched, Seq("doc_id"), "left_semi")
       .select(col("cluster_id")).distinct()
-    val affected = labeling.join(affectedClusters, Seq("cluster_id"), "left_semi")
-      .persist()
+    val affected = cached(labeling.join(affectedClusters, Seq("cluster_id"), "left_semi"))
     val unaffected = labeling.join(affectedClusters, Seq("cluster_id"), "left_anti")
     // star edges of the affected components stand in for their history
     val starEdges = affected.filter(col("doc_id") =!= col("cluster_id"))

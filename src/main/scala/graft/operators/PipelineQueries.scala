@@ -73,7 +73,7 @@ object PipelineQueries {
     * pairs split into an old batch + a delta, the delta folded into the
     * old labeling; shares the full-rebuild oracle. */
   def dedupClustersIncr(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents")).persist()
+    val pairs = graft.OperatorCache.cached(Dedup.ngramJaccardPairs(t(s, dir, "documents")))
     val oldB = pairs.filter((col("a_id") + col("b_id")) % 3 =!= 0)
     val newB = pairs.filter((col("a_id") + col("b_id")) % 3 === 0)
     Dedup.clustersIncremental(Dedup.clusters(oldB), newB).orderBy("doc_id")
@@ -128,12 +128,17 @@ object PipelineQueries {
     * batch would be absurd). Deterministic: trainIvfCentroids is a pure
     * function of the corpus, so the memo changes no results — only which
     * call pays the training cost. */
+  private final case class QuantizerKey(
+      dir: String, nCentroids: Int, iters: Int, maxTrainRows: Int)
+
   private val ivfQuantizers =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[QuantizerKey, Seq[Seq[Double]]]()
 
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cents = ivfQuantizers.computeIfAbsent(dir, _ => Ann.trainIvfCentroids(e, 16, 5))
+    val cents = ivfQuantizers.computeIfAbsent(
+      QuantizerKey(dir, nCentroids = 16, iters = 5, maxTrainRows = 65536),
+      _ => Ann.trainIvfCentroids(e, 16, 5))
     Ann.topKIvf(e, queriesOf(e), centroids = Some(cents)).orderBy("q_id", "rank")
   }
 

@@ -9,6 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnalyticsSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
+  test("A13: approx_count_distinct error stays within 3×rsd at sf0.01 and sf0.1") {
+    // HLL++ default rsd = 0.05; the rows-only driver entry's explicit
+    // guarantee (VERDICT r5 #7): relative error ≤ 3σ per group at both
+    // verification scales, not just "rows > 0".
+    val rsd = 0.05
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val got = operators.Analytics.approxDistinct(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = GraftSession.table(spark, dir, "events")
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == exact.keySet)
+      got.foreach { case (k, approx) =>
+        val d = exact(k)
+        assert(math.abs(approx - d) <= math.max(1L, (d * 3 * rsd).toLong),
+          s"$dir/$k: approx $approx vs exact $d exceeds 3×rsd=$rsd")
+      }
+    }
+  }
+
   test("A13: approx_count_distinct tracks the exact distinct count per group") {
     val got = operators.Analytics.approxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
