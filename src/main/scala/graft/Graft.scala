@@ -125,6 +125,9 @@ final case class Graft(
     /** Drop snapshot history older than the last `keepLast` generations. */
     def vacuum(name: String, keepLast: Int = 1): Unit =
       store.vacuum(name, keepLast)
+    /** Post-crash recovery: re-list and commit a fresh manifest (run
+      * after clearing a dead APPEND writer's commit lock). */
+    def repair(name: String): Unit = store.repair(name)
   }
 
   /** Reference `get_schema` (package.py:105). */

@@ -37,7 +37,16 @@ import org.apache.spark.sql.types._
   */
 object FileStats {
 
-  final case class ColStat(min: Option[String], max: Option[String], nulls: Long)
+  /** `dom` is the Spark type (catalogString) the stats were COMPUTED
+    * under. Rendered min/max only order correctly against predicates
+    * evaluated in the same type domain: a metadata-only drop + re-add
+    * of a column under a different type changes the domain without
+    * rewriting files, so a snapshot read at the old schema would
+    * otherwise compare e.g. int predicates against lexicographic
+    * string min/max and mis-prune. Entries whose dom doesn't match the
+    * read schema's type (or legacy entries without one) never prune. */
+  final case class ColStat(min: Option[String], max: Option[String], nulls: Long,
+      dom: Option[String] = None)
   final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
   // ── persistence ─────────────────────────────────────────────────────────
@@ -61,6 +70,7 @@ object FileStats {
         cs.min.foreach(o.put("min", _))
         cs.max.foreach(o.put("max", _))
         o.put("nulls", cs.nulls)
+        cs.dom.foreach(o.put("dom", _))
       }
     }
     val tmp = new Path(path.getParent, path.getName + ".tmp")
@@ -97,7 +107,8 @@ object FileStats {
         cb += c -> ColStat(
           Option(o.get("min")).map(_.asText()),
           Option(o.get("max")).map(_.asText()),
-          o.get("nulls").asLong())
+          o.get("nulls").asLong(),
+          Option(o.get("dom")).map(_.asText()))
       }
       b += file -> FileStat(f.get("rows").asLong(), cb.result())
     }
@@ -153,18 +164,26 @@ object FileStats {
           }
         }
       case IsNull(a) =>
+        // null counts are domain-dependent too: alignTo's cast can null
+        // out values the file holds under another type (string→int)
         nameOf(a) match {
-          case Some(n) => stat.cols.get(n).forall(_.nulls > 0)
+          case Some(n) => stat.cols.get(n).forall(cs => !domOk(cs, n, types) || cs.nulls > 0)
           case None    => true
         }
       case IsNotNull(a) =>
         nameOf(a) match {
-          case Some(n) => stat.cols.get(n).forall(cs => cs.nulls < stat.rows)
+          case Some(n) =>
+            stat.cols.get(n).forall(cs => !domOk(cs, n, types) || cs.nulls < stat.rows)
           case None    => true
         }
       case _ => true
     }
   }
+
+  /** A stat entry is usable only in the type domain it was computed in
+    * (see [[ColStat.dom]]); legacy entries without a domain never prune. */
+  private def domOk(cs: ColStat, n: String, types: Map[String, DataType]): Boolean =
+    types.get(n).exists(dt => cs.dom.contains(dt.catalogString))
 
   private def nameOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
@@ -180,6 +199,8 @@ object FileStats {
       c: BinaryComparison, n: String, v: Any, flipped: Boolean,
       stat: FileStat, types: Map[String, DataType]): Boolean = {
     val cs = stat.cols.getOrElse(n, return true)
+    if (stat.rows == 0) return false // an empty file matches nothing
+    if (!domOk(cs, n, types)) return true
     if (cs.min.isEmpty || cs.max.isEmpty)
       return false // no non-null values in this file → a comparison can't match
     val dt = types.getOrElse(n, return true)
@@ -198,6 +219,8 @@ object FileStats {
   private def valueInRange(n: String, v: Any, stat: FileStat,
       types: Map[String, DataType]): Boolean = {
     val cs = stat.cols.getOrElse(n, return true)
+    if (stat.rows == 0) return false
+    if (!domOk(cs, n, types)) return true
     if (cs.min.isEmpty || cs.max.isEmpty) return false
     val dt = types.getOrElse(n, return true)
     (compare(dt, cs.min.get, v), compare(dt, cs.max.get, v)) match {

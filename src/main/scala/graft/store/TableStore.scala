@@ -157,34 +157,74 @@ final class TableStore(
   private def withCommitLock[T](name: String)(body: => T): T = {
     if (heldLocks.get.contains(name)) return body // reentrant: already ours
     val lock = lockPath(name)
-    fs.mkdirs(tablePath(name))
-    val out =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          val holder = scala.util.Try {
-            val in = fs.open(lock)
-            try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          }.getOrElse("unreadable lock file")
-          throw errors.ConcurrentWrite(name,
-            s"$holder — if that writer is dead, clear it with clearCommitLock")
-      }
-    try {
-      out.write(s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
+    // remember whether this call had to create the table dir (to host
+    // the lock file): if the body then finds no table, remove the dir
+    // again so a mistyped name doesn't leave a junk directory behind
+    val createdDir = !fs.exists(tablePath(name))
+    if (createdDir) fs.mkdirs(tablePath(name))
+    acquireLock(name, lock)
     heldLocks.set(heldLocks.get + name)
     try body
-    finally {
+    catch {
+      case e: errors.TableDoesNotExist =>
+        if (createdDir) fs.delete(tablePath(name), true)
+        throw e
+    } finally {
       heldLocks.set(heldLocks.get - name)
       fs.delete(lock, false)
     }
   }
 
+  /** Create-exclusive acquisition. Hadoop's LocalFileSystem implements
+    * create(overwrite=false) as exists-then-open — a TOCTOU window two
+    * local writers can both pass — so local paths go through
+    * File.createNewFile (O_CREAT|O_EXCL, atomic on POSIX). Remote
+    * filesystems keep fs.create(…, false), atomic on HDFS; S3-style
+    * stores need a conditional put or a lock service instead (what
+    * Delta's S3 LogStore commit owners are for). Only already-existing
+    * locks map to ConcurrentWrite; any other failure (permissions,
+    * disk full — including a failed write of the holder info, which
+    * rolls the created file back) propagates as what it is. */
+  private def acquireLock(name: String, lock: Path): Unit = {
+    val holderInfo = s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}"
+    def concurrent(): Nothing = {
+      val holder = scala.util.Try {
+        val in = fs.open(lock)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }.getOrElse("unreadable lock file")
+      throw errors.ConcurrentWrite(name,
+        s"$holder — if that writer is dead, clear it with clearCommitLock")
+    }
+    val local = Path.getPathWithoutSchemeAndAuthority(lock).toUri.getPath
+    if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      val f = new java.io.File(local)
+      if (!f.createNewFile()) concurrent()
+      try java.nio.file.Files.write(f.toPath, holderInfo.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => f.delete(); throw e }
+    } else {
+      val out =
+        try fs.create(lock, false)
+        catch {
+          case e: java.io.IOException =>
+            if (fs.exists(lock)) concurrent() else throw e
+        }
+      try {
+        out.write(holderInfo.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      } catch {
+        case e: Throwable =>
+          scala.util.Try(out.close()); fs.delete(lock, false); throw e
+      }
+    }
+  }
+
   /** Remove a stale commit lock left by a crashed writer. Only call once
     * the holder recorded in the ConcurrentWrite error is known dead — a
-    * live holder whose lock is cleared is back to the silent race. */
+    * live holder whose lock is cleared is back to the silent race. If
+    * the dead writer was an APPEND, follow with [[repair]]: it may have
+    * moved batch files into data/ without committing their manifest. */
   def clearCommitLock(name: String): Unit = fs.delete(lockPath(name), false)
 
   private def bucketExpr(m: Meta): Column =
@@ -354,13 +394,17 @@ final class TableStore(
       throw errors.InvalidValue(column,
         s"cannot drop a primary-key column of bucketed table $name " +
           "(data is bucketed by the PK hash); rebucket by recreating the table")
-    writeMeta(name, m.copy(
-      columns = m.columns.filterNot(_._1 == column),
-      primaryKey = m.primaryKey.filterNot(_ == column)))
+    // scrub BEFORE the meta swap: a crash between the two then loses
+    // stats for a still-live column (pruning opportunity only), never
+    // leaves entries for a dropped one. Belt to the dom-tag's braces —
+    // even an unscrubbed entry can't mis-prune across a type change.
     FileStats.read(fs, statsPath(name)).foreach { st =>
       FileStats.write(fs, statsPath(name),
         st.map { case (f, s) => f -> s.copy(cols = s.cols - column) })
     }
+    writeMeta(name, m.copy(
+      columns = m.columns.filterNot(_._1 == column),
+      primaryKey = m.primaryKey.filterNot(_ == column)))
     audit(s"drop column $name.$column")
     commitSnapshot(name, nextGen(name), Some(lastCommittedRels(name)))
   }
@@ -466,7 +510,10 @@ final class TableStore(
     * table size. Falls back to a full pass when the existing stats
     * cover a different column set. */
   def analyze(name: String, columns: Seq[String] = Seq.empty,
-      incremental: Boolean = false): Unit = {
+      incremental: Boolean = false): Unit = withCommitLock(name) {
+    // under the lock: analyze read-modify-writes stats.json, and an
+    // unlocked run could resurrect entries a concurrent dropColumn
+    // scrubbed (or clobber a vacuum's trim)
     val m = meta(name)
     val cols0 = if (columns.nonEmpty) columns else m.primaryKey
     if (cols0.isEmpty) throw errors.UndefinedPrimaryKey(name)
@@ -481,21 +528,32 @@ final class TableStore(
     // entries for files a retained SNAPSHOT still references outlive the
     // files' retirement from data/ (rel paths are never reused and files
     // are immutable, so an entry stays true forever) — they are what
-    // lets a snapshot read prune like a current read
-    val snapshotKeys: Set[String] =
-      manifestGens(name).flatMap(g => readManifest(name, g)._2).toSet
-    val forSnapshots = existing.filter { case (f, _) =>
-      !presentKeys.contains(f) && snapshotKeys.contains(f)
-    }
+    // lets a snapshot read prune like a current read. The manifest walk
+    // runs only when retired entries actually exist (rewrites); on an
+    // append stream nothing retires, keeping incremental analyze
+    // O(batch) instead of O(#generations × #files) JSON parsing.
+    val retired = existing.filter { case (f, _) => !presentKeys.contains(f) }
+    val forSnapshots =
+      if (retired.isEmpty) retired
+      else {
+        val snapshotKeys: Set[String] =
+          manifestGens(name).flatMap(g => readManifest(name, g)._2).toSet
+        retired.filter { case (f, _) => snapshotKeys.contains(f) }
+      }
     if (present.isEmpty) {
       if (forSnapshots.isEmpty) fs.delete(statsPath(name), false)
       else FileStats.write(fs, statsPath(name), forSnapshots)
       return
     }
+    val domOf: Map[String, String] =
+      m.columns.map { case (n, t) => n -> t.spark.catalogString }.toMap
     val kept: Map[String, FileStats.FileStat] =
       if (!incremental) Map.empty
       else existing.filter { case (f, st) =>
-        presentKeys.contains(f) && st.cols.keySet == cols0.toSet
+        presentKeys.contains(f) && st.cols.keySet == cols0.toSet &&
+          // re-scan entries computed under another type domain (or
+          // legacy ones without a domain tag) — they can't prune
+          st.cols.forall { case (c, cs) => cs.dom.contains(domOf(c)) }
       }
     val toScan = present.filterNot(p => kept.contains(FileStats.relativeKey(dataDir, p)))
     val scanned: Map[String, FileStats.FileStat] =
@@ -525,14 +583,15 @@ final class TableStore(
             c -> FileStats.ColStat(
               Option(r.getAs[String](s"__min_$c")),
               Option(r.getAs[String](s"__max_$c")),
-              r.getAs[Long](s"__nulls_$c"))
+              r.getAs[Long](s"__nulls_$c"),
+              Some(domOf(c)))
           }.toMap
           FileStats.fileKey(dataDir, r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
         }.toMap
       }
     // scanned files the aggregation never saw are EMPTY (e.g. the
     // flat-layout seed file) — record rows=0 so pruning can drop them too
-    val empty = cols0.map(_ -> FileStats.ColStat(None, None, 0L)).toMap
+    val empty = cols0.map(c => c -> FileStats.ColStat(None, None, 0L, Some(domOf(c)))).toMap
     val empties = toScan.map(p => FileStats.relativeKey(dataDir, p) -> FileStats.FileStat(0L, empty)).toMap
     FileStats.write(fs, statsPath(name), forSnapshots ++ empties ++ kept ++ scanned)
   }
@@ -803,12 +862,17 @@ final class TableStore(
     * the full predicate. */
   private def prunedSnapshotRead(name: String, gen: Int, mAt: Meta,
       rels: Seq[String], where: String): DataFrame = {
-    val base = snapshotScan(name, gen, mAt, rels)
-    if (rels.isEmpty) return base
-    val pred = base.filter(Filters.parseWhere(base, where))
+    def emptyDf =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mAt.sparkSchema)
+    if (rels.isEmpty) return emptyDf
+    // parse the predicate against an empty frame OF THE SNAPSHOT SCHEMA
+    // so pruning decides the file set BEFORE any parquet resolution —
+    // file resolution (one recursive history listing) and the scan's
+    // schema merge then each run ONCE, over the survivors only
+    val pred = emptyDf.filter(Filters.parseWhere(emptyDf, where))
       .queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-      .getOrElse(return base)
+      .getOrElse(return snapshotScan(name, gen, mAt, rels))
     val types = mAt.columns.map { case (n, t) => n -> t.spark }.toMap
     val afterBuckets = allowedBuckets(mAt, pred, types) match {
       case Some(ids) => rels.filter { rel =>
@@ -824,9 +888,7 @@ final class TableStore(
         st.get(rel).forall(s => FileStats.mayMatch(pred, s, types)))
       case None => afterBuckets
     }
-    if (surviving.length == rels.length) base
-    else if (surviving.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mAt.sparkSchema)
+    if (surviving.isEmpty) emptyDf
     else snapshotScan(name, gen, mAt, surviving)
   }
 
@@ -1152,21 +1214,47 @@ final class TableStore(
     else
       appended.write.mode("overwrite").parquet(tmp.toString)
     val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(tmp, true)
-    while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.endsWith(".parquet")) {
-        val rel = FileStats.relativeKey(tmp, p)
-        val dst = new Path(dataPath(name), rel)
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(p, dst))
-          throw new IllegalStateException(s"append move failed for table $name: $rel")
-        newRels += rel
+    // on any move failure, UNDO the already-moved part of the batch:
+    // half-moved files are visible to current reads but in no manifest,
+    // so leaving them would silently diverge snapshots from current
+    // reads for every later incremental commit. (A process CRASH in
+    // this window can still strand them — that's what the lock the
+    // crash leaves behind plus [[repair]] are for.)
+    try {
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) {
+          val rel = FileStats.relativeKey(tmp, p)
+          val dst = new Path(dataPath(name), rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(p, dst))
+            throw new IllegalStateException(s"append move failed for table $name: $rel")
+          newRels += rel
+        }
       }
+    } catch {
+      case e: Throwable =>
+        newRels.foreach(rel => fs.delete(new Path(dataPath(name), rel), false))
+        fs.delete(tmp, true)
+        throw e
     }
     fs.delete(tmp, true)
     // appends remove nothing; the commit extends the previous file set
     commitSnapshot(name, nextGen(name), Some(prevRels ++ newRels))
+  }
+
+  /** Recovery after a writer CRASHED mid-commit (the lock it left
+    * behind names it): drop any half-written append staging dir and
+    * commit a fresh RE-LISTED manifest, folding any files a crashed
+    * append moved into data/ but never committed back into snapshot
+    * history. Safe to run any time — re-listing is correct under the
+    * lock, it just pays O(#files) where normal appends pay O(batch). */
+  def repair(name: String): Unit = withCommitLock(name) {
+    if (!exists(name)) throw errors.TableDoesNotExist(name)
+    fs.delete(new Path(tablePath(name), "append.tmp"), true)
+    audit(s"repair $name (re-listed manifest)")
+    commitSnapshot(name, nextGen(name))
   }
 
   /** One-pass validation of a batch against the table's declared types:

@@ -33,7 +33,7 @@ class FileStatsSpec extends AnyFunSuite {
 
   private def stat(cols: (String, ColStat)*): FileStat = FileStat(100L, cols.toMap)
   private def k(lo: String, hi: String, nulls: Long = 0) =
-    "k" -> ColStat(Some(lo), Some(hi), nulls)
+    "k" -> ColStat(Some(lo), Some(hi), nulls, Some(LongType.catalogString))
 
   private def may(where: String, st: FileStat): Boolean =
     FileStats.mayMatch(pred(where), st, types)
@@ -70,26 +70,38 @@ class FileStatsSpec extends AnyFunSuite {
     assert(may("k IS NULL", stat(k("1", "2", nulls = 5))))
     assert(may("k IS NOT NULL", stat(k("1", "2", nulls = 5))))
     // all-null file: comparisons and IS NOT NULL prune, IS NULL keeps
-    val allNull = FileStat(100L, Map("k" -> ColStat(None, None, 100L)))
+    val allNull = FileStat(100L, Map("k" -> ColStat(None, None, 100L, Some(LongType.catalogString))))
     assert(!may("k = 1", allNull) && !may("k IS NOT NULL", allNull))
     assert(may("k IS NULL", allNull))
     // empty file prunes everything provable
-    val empty = FileStat(0L, Map("k" -> ColStat(None, None, 0L)))
+    val empty = FileStat(0L, Map("k" -> ColStat(None, None, 0L, Some(LongType.catalogString))))
     assert(!may("k = 1", empty) && !may("k IS NOT NULL", empty))
   }
 
   test("date and timestamp domains compare against rendered stat strings") {
-    val dst = stat("d" -> ColStat(Some("2026-01-01"), Some("2026-01-31"), 0))
+    val dst = stat("d" -> ColStat(Some("2026-01-01"), Some("2026-01-31"), 0, Some(DateType.catalogString)))
     assert(may("d = '2026-01-15'", dst))
     assert(!may("d > '2026-01-31'", dst))
     assert(!may("d < '2026-01-01'", dst))
     // zoned timestamp stats are epoch micros (session is UTC here):
     // [2026-01-01 00:00:00Z, 2026-01-31 23:59:59Z]
     val tst = stat("ts" -> ColStat(
-      Some("1767225600000000"), Some("1769903999000000"), 0))
+      Some("1767225600000000"), Some("1769903999000000"), 0, Some(TimestampType.catalogString)))
     assert(may("ts = '2026-01-15 12:00:00'", tst))
     assert(!may("ts > '2026-02-01 00:00:00'", tst))
     assert(!may("ts < '2025-12-31 23:59:59'", tst))
+  }
+
+  test("stats from another type domain (or none) never prune") {
+    // recorded under int, read under bigint — or a legacy entry with no
+    // domain tag at all: both must degrade to keep-the-file, because
+    // rendered min/max only order correctly in their own domain
+    val other = stat("k" -> ColStat(Some("100"), Some("200"), 0, Some(IntegerType.catalogString)))
+    assert(may("k = 99", other) && may("k IS NULL", other))
+    val legacy = stat("k" -> ColStat(Some("100"), Some("200"), 0, None))
+    assert(may("k = 99", legacy) && may("k IS NULL", legacy))
+    // an empty file still prunes regardless of domain: no rows is no rows
+    assert(!may("k = 99", FileStat(0L, Map("k" -> ColStat(None, None, 0L, None)))))
   }
 
   test("conservative fallbacks: unknown columns, stat-less columns, odd shapes") {

@@ -594,6 +594,59 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("t").count() == 40)
   }
 
+  test("snapshot pruning never evaluates stats computed under another type domain") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "c" -> "int"), Seq("k"))
+    store.insert("t", Seq((1, 9), (2, 100)).toDF("k", "c"))
+    store.analyze("t", Seq("c"))
+    val g1 = store.snapshots("t").last._1
+    // metadata-only drop + re-add under a DIFFERENT type: the parquet
+    // files are untouched, but analyze now records min/max in the
+    // STRING domain (lexicographic: min="100", max="9")
+    store.dropColumn("t", "c")
+    store.addColumn("t", "c", "varchar(10)")
+    store.analyze("t", Seq("c"))
+    // the snapshot read evaluates predicates under the INT schema; the
+    // string-domain entries must be IGNORED, not compared — comparing
+    // would conclude max(9) < 100 and silently prune the file to 0 rows
+    val snap = store.readTable("t", where = Some("c = 100"), asOf = Some(g1))
+    assert(snap.select("c").as[Int].collect().toSeq == Seq(100))
+    // the current read prunes normally in the matching (string) domain
+    assert(store.readTable("t", where = Some("c = '100'"))
+      .select("c").as[String].collect().toSeq == Seq("100"))
+  }
+
+  test("repair folds a crashed append's orphan files back into snapshot history") {
+    val root = Files.createTempDirectory("graft_repair_").toString
+    val store = new TableStore(spark, root)
+    store.createTable("t", Seq("k" -> "int"), Seq("k"))
+    store.insert("t", Seq(1, 2).toDF("k"))
+    // simulate the crash window: a batch file moved into data/ whose
+    // manifest commit never happened — current reads see it, snapshots
+    // don't, and incremental commits would omit it forever
+    val tmpOut = Files.createTempDirectory("graft_orphan_").toString
+    Seq(3).toDF("k").coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(root, "t", "data", part.getName))
+    assert(store.read("t").count() == 3)
+    assert(store.readTableAt("t", store.snapshots("t").last._1).count() == 2)
+    store.repair("t")
+    assert(store.readTableAt("t", store.snapshots("t").last._1).count() == 3)
+    // and later incremental appends keep carrying the recovered file
+    store.insert("t", Seq(4).toDF("k"))
+    assert(store.readTableAt("t", store.snapshots("t").last._1).count() == 4)
+  }
+
+  test("a mutation on a missing table leaves no stray directory behind") {
+    val root = Files.createTempDirectory("graft_stray_").toString
+    val store = new TableStore(spark, root)
+    assertThrows[errors.TableDoesNotExist](store.insert("nope", Seq(1).toDF("k")))
+    assert(!new java.io.File(root, "nope").exists(),
+      "the lock-hosting dir of a nonexistent table must be cleaned up")
+  }
+
   test("primary key violations detected; keyed merge via store") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int", "v" -> "varchar(5)"), Seq("k"))
