@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY §2 L12): media as opaque binary
   * columns + typed metadata extracted by a per-partition decoder.
   *
-  * The decode is REAL as of round 6: [[decodeImage]] parses the binary
-  * payload with `javax.imageio` (PNG/JPEG — the codecs shipped in the
-  * JDK), returning the decoded dimensions, band count and the exact
-  * integer mean over all raster samples. Undecodable bytes degrade to
-  * a sentinel row (`format='unknown'`) instead of failing the batch —
-  * the behaviour a 100 TB ingest needs when a corrupt object appears
-  * mid-partition.
+  * The decode is REAL as of round 6 — for images AND audio.
+  * [[decodeImage]] parses the binary payload with `javax.imageio`
+  * (PNG/JPEG — the codecs shipped in the JDK), returning the decoded
+  * dimensions, band count and the exact integer mean over all raster
+  * samples; [[decodeWav]] is a hand-rolled RIFF/WAVE PCM parser
+  * returning rate/channels/bits/sample count and the exact mean
+  * |amplitude|. Undecodable bytes degrade to a sentinel row
+  * (`format='unknown'`) instead of failing the batch — the behaviour
+  * a 100 TB ingest needs when a corrupt object appears mid-partition.
   *
   * The container has no media dataset, so [[syntheticMediaTable]]
   * builds deterministic REAL PNG payloads from document columns
@@ -57,7 +59,12 @@ object Media {
   def decodeImage(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null || bytes.length == 0) return Corrupt
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // explicit memory-backed stream: ImageIO.createImageInputStream
+      // defaults to a DISK-cache stream (temp file create/write/delete
+      // per payload — syscalls on the per-row ingest path, and an
+      // outright failure on executors with a read-only tmpdir) for
+      // bytes that are already in memory
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -108,6 +115,120 @@ object Media {
         }
       }
       .toDF("doc_id", "media")
+  }
+
+  final case class AudioMeta(
+      doc_id: Long, format: String, sample_rate: Long, n_channels: Long,
+      bits: Long, n_samples: Long, mean_abs: Long)
+
+  private val CorruptAudio = AudioMeta(0L, "unknown", -1L, 0L, -1L, -1L, -1L)
+
+  /** Deterministic real WAV: 16-bit PCM mono RIFF container, every
+    * sample the constant `amp` (so mean |sample| is exactly |amp|). */
+  def encodeWav(sampleRate: Int, nSamples: Int, amp: Short): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { bb.putShort(amp); i += 1 }
+    bb.array()
+  }
+
+  /** Real audio decode: a hand-rolled RIFF/WAVE parser (the format is
+    * a 44-byte header + chunks — no library needed, and manual parsing
+    * keeps the corrupt-bytes degrade explicit). Walks the chunk list
+    * for `fmt ` and `data`, validates PCM, and computes the exact
+    * integer mean of |sample| over the payload. Any malformed byte
+    * stream → the `unknown` sentinel, never an exception. */
+  def decodeWav(bytes: Array[Byte]): AudioMeta = {
+    try {
+      if (bytes == null || bytes.length < 44) return CorruptAudio
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val tag = new Array[Byte](4)
+      bb.get(tag)
+      if (new String(tag, "US-ASCII") != "RIFF") return CorruptAudio
+      bb.getInt // declared riff length; chunk walk below re-validates
+      bb.get(tag)
+      if (new String(tag, "US-ASCII") != "WAVE") return CorruptAudio
+      var rate = -1L; var channels = 0L; var bits = -1L
+      var nSamples = -1L; var sumAbs = 0L
+      var sawFmt = false; var sawData = false
+      while (bb.remaining() >= 8 && !(sawFmt && sawData)) {
+        bb.get(tag)
+        val id = new String(tag, "US-ASCII")
+        val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return CorruptAudio
+        val next = bb.position() + len
+        id match {
+          case "fmt " =>
+            if (len < 16) return CorruptAudio
+            val audioFormat = bb.getShort
+            if (audioFormat != 1) return CorruptAudio // PCM only
+            channels = bb.getShort.toLong
+            rate = bb.getInt.toLong
+            bb.getInt; bb.getShort // byte rate, block align
+            bits = bb.getShort.toLong
+            if (bits != 16 || channels < 1) return CorruptAudio
+            sawFmt = true
+          case "data" =>
+            if (!sawFmt) return CorruptAudio // fmt must precede data in spec order
+            nSamples = len / (channels * 2)
+            var i = 0L
+            val total = nSamples * channels
+            while (i < total) { sumAbs += math.abs(bb.getShort.toLong); i += 1 }
+            sawData = true
+          case _ => // skip unknown chunk (LIST, fact, …)
+        }
+        bb.position(next + (len & 1)) // chunks are word-aligned
+      }
+      if (!sawFmt || !sawData) return CorruptAudio
+      val total = nSamples * channels
+      AudioMeta(0L, "wav", rate, channels, bits, nSamples,
+        if (total > 0) sumAbs / total else -1L)
+    } catch { case _: Exception => CorruptAudio }
+  }
+
+  /** [[syntheticMediaTable]]'s audio twin: real deterministic WAVs —
+    * sample rate `8000 + (doc_id%4)*4000`, `n_chars%500 + 50` samples,
+    * constant amplitude `(doc_id*37) % 30000 - 15000`. Every 10th
+    * payload truncated to its 12-byte RIFF/WAVE preamble — under the
+    * 44-byte minimum, so the decoder rejects it up front: the
+    * corrupt-object path. */
+  def syntheticAudioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val wav = encodeWav(
+            (8000 + (id % 4) * 4000).toInt,
+            (nChars % 500 + 50).toInt,
+            ((id * 37) % 30000 - 15000).toShort)
+          (id, if (id % 10 == 0) wav.take(12) else wav)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** [[decodeTable]]'s audio twin. */
+  def decodeAudioTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => decodeWav(bytes).copy(doc_id = id) }
+      }
+      .toDF()
   }
 
   /** Frame sampling over a binary "video" column: fixed-size frames,

@@ -294,6 +294,13 @@ object PipelineQueries {
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Media.frameTable(t(s, dir, "documents")).orderBy("doc_id", "frame_idx")
 
+  /** L12c: the audio twin of [[multimodalDecode]] — real WAV payloads
+    * decoded by the hand-rolled RIFF/PCM parser, oracle in closed form
+    * from the encoder's row formulas. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Media.decodeAudioTable(Media.syntheticAudioTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -334,6 +341,7 @@ object PipelineQueries {
     "text_logprob" -> textLogprob,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_audio" -> multimodalAudio,
     "pipeline_stats" -> pipelineStats,
   )
 
@@ -861,6 +869,15 @@ object PipelineQueries {
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 17 + 4 END AS BIGINT) AS height,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_channels,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 256 END AS BIGINT) AS mean_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 10 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 8000 + (doc_id % 4) * 4000 END AS BIGINT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_channels,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 16 END AS BIGINT) AS bits,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars % 500 + 50 END AS BIGINT) AS n_samples,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE abs((doc_id * 37) % 30000 - 15000) END AS BIGINT) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 256 AS BIGINT) AS frame_offset,

@@ -44,6 +44,58 @@ class MediaSpec extends AnyFunSuite {
     assert(c.width == -1 && c.height == -1 && c.n_channels == 0 && c.mean_px == -1)
   }
 
+  test("decodeWav round-trips a real PCM WAV: rate, channels, bits, exact mean amplitude") {
+    val m = Media.decodeWav(Media.encodeWav(16000, 250, 1234))
+    assert(m.format == "wav")
+    assert(m.sample_rate == 16000 && m.n_channels == 1 && m.bits == 16)
+    assert(m.n_samples == 250)
+    assert(m.mean_abs == 1234) // constant signal → exact mean, sample-level proof
+    // negative amplitude: |mean| is over absolute sample values
+    assert(Media.decodeWav(Media.encodeWav(8000, 50, -777)).mean_abs == 777)
+  }
+
+  test("decodeWav walks chunk lists and rejects malformed streams") {
+    val wav = Media.encodeWav(8000, 100, 42)
+    // an extra ignorable chunk between fmt and data still decodes: splice
+    // a LIST chunk after byte 36 (end of fmt)
+    val list = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII")).array()
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    // patch the RIFF length (bytes 4..7) for the inserted 12 bytes
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 12)
+    val m = Media.decodeWav(spliced)
+    assert(m.format == "wav" && m.n_samples == 100 && m.mean_abs == 42)
+    // corrupt shapes: truncation at various depths, wrong magic, garbage
+    assert(Media.decodeWav(wav.take(12)).format == "unknown")
+    assert(Media.decodeWav(wav.take(40)).format == "unknown")
+    // a garbage DECLARED riff length is tolerated (the chunk walk
+    // re-validates) — but a wrong WAVE magic is not
+    assert(Media.decodeWav("RIFFnope".getBytes ++ wav.drop(8)).format == "wav")
+    assert(Media.decodeWav(wav.take(8) ++ "EVAW".getBytes ++ wav.drop(12)).format == "unknown")
+    assert(Media.decodeWav("definitely not audio".getBytes).format == "unknown")
+    assert(Media.decodeWav(Array.emptyByteArray).format == "unknown")
+    assert(Media.decodeWav(null).format == "unknown")
+    // a data chunk whose declared length overruns the payload is rejected
+    val overrun = wav.clone()
+    java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue)
+    assert(Media.decodeWav(overrun).format == "unknown")
+  }
+
+  test("decodeAudioTable: corrupt rows degrade in place while the rest decodes") {
+    val docs = Seq((10L, 140L), (11L, 140L), (12L, 677L))
+      .toDF("doc_id", "n_chars")
+    val out = Media.decodeAudioTable(Media.syntheticAudioTable(docs))
+      .orderBy("doc_id")
+      .as[Media.AudioMeta].collect()
+    assert(out(0) == Media.AudioMeta(10L, "unknown", -1, 0, -1, -1, -1))
+    assert(out(1) == Media.AudioMeta(11L, "wav", 8000 + (11 % 4) * 4000, 1, 16,
+      140 % 500 + 50, math.abs(11 * 37 % 30000 - 15000)))
+    assert(out(2) == Media.AudioMeta(12L, "wav", 8000 + (12 % 4) * 4000, 1, 16,
+      677 % 500 + 50, math.abs(12 * 37 % 30000 - 15000)))
+  }
+
   test("decodeTable: corrupt rows degrade in place while the rest of the partition decodes") {
     val docs = Seq((10L, 40L), (11L, 40L), (12L, 77L))
       .toDF("doc_id", "n_chars")
