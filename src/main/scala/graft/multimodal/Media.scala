@@ -220,6 +220,113 @@ object Media {
       .toDF("doc_id", "media")
   }
 
+  final case class FrameMeta(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long, mean_px: Long)
+
+  private val CorruptVideo = FrameMeta(0L, -1L, -1L, -1L, -1L)
+
+  /** Deterministic real animated GIF: each frame a full constant-color
+    * image (`grays(i)` in all three channels). The writer quantizes to
+    * a palette; a constant frame's single color is preserved exactly,
+    * so decode recovers the encoded gray bit-for-bit. */
+  def encodeGif(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val v = g & 0xFF
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Real multi-frame decode: every frame of an animated GIF container
+    * (the one video-like format the JDK ships a codec for), one output
+    * row per frame with the frame's dimensions and exact integer mean
+    * over the RGB channels. Undecodable bytes → ONE sentinel row
+    * (`frame_idx = -1`) so corrupt objects stay visible downstream. */
+  def decodeFrames(bytes: Array[Byte]): Seq[FrameMeta] = {
+    if (bytes == null || bytes.length == 0) return Seq(CorruptVideo)
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq(CorruptVideo)
+        val r = readers.next()
+        try {
+          r.setInput(iis, false) // random access: getNumImages needs to search
+          val n = r.getNumImages(true)
+          if (n <= 0) return Seq(CorruptVideo)
+          (0 until n).map { i =>
+            val img = r.read(i)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = w.toLong * h * 3
+            FrameMeta(0L, i.toLong, w.toLong, h.toLong,
+              if (cnt > 0) sum / cnt else -1L)
+          }
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => Seq(CorruptVideo) }
+  }
+
+  /** [[syntheticMediaTable]]'s video twin: real animated GIFs —
+    * `doc_id%4 + 2` frames of `n_chars%21+4` × `doc_id%13+4`, frame i
+    * constant gray `(doc_id + 41*i) % 256`. Every 10th payload
+    * truncated to 10 bytes (a bare GIF89a header fragment) — the
+    * corrupt-object path. */
+  def syntheticVideoTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val gif = encodeGif(
+            (nChars % 21 + 4).toInt, (id % 13 + 4).toInt,
+            (0L until (id % 4 + 2)).map(i => ((id + 41 * i) % 256).toInt))
+          (id, if (id % 10 == 0) gif.take(10) else gif)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Frame-decode a (doc_id, media) table: the 1-row → n-frame-rows
+    * flatMap shape with a REAL codec behind it. */
+  def decodeVideoTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) => decodeFrames(bytes).map(_.copy(doc_id = id)) }
+      }
+      .toDF()
+  }
+
   /** [[decodeTable]]'s audio twin. */
   def decodeAudioTable(media: DataFrame): DataFrame = {
     val spark = media.sparkSession

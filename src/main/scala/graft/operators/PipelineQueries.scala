@@ -301,6 +301,13 @@ object PipelineQueries {
     Media.decodeAudioTable(Media.syntheticAudioTable(t(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** L12d: real multi-frame decode — animated GIFs (the JDK's one
+    * video-like codec) frame-decoded through the 1-row → n-frame-rows
+    * fan-out, oracle in closed form from the encoder's row formulas. */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame =
+    Media.decodeVideoTable(Media.syntheticVideoTable(t(s, dir, "documents")))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -342,6 +349,7 @@ object PipelineQueries {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
+    "multimodal_video" -> multimodalVideo,
     "pipeline_stats" -> pipelineStats,
   )
 
@@ -879,6 +887,18 @@ object PipelineQueries {
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars % 500 + 50 END AS BIGINT) AS n_samples,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE abs((doc_id * 37) % 30000 - 15000) END AS BIGINT) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_video" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        | CAST(n_chars % 21 + 4 AS BIGINT) AS width,
+        | CAST(doc_id % 13 + 4 AS BIGINT) AS height,
+        | CAST((doc_id + 41 * i) % 256 AS BIGINT) AS mean_px
+        |FROM documents, UNNEST(range(0, doc_id % 4 + 2)) t(i)
+        |WHERE doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT doc_id, CAST(-1 AS BIGINT) AS frame_idx, CAST(-1 AS BIGINT) AS width,
+        | CAST(-1 AS BIGINT) AS height, CAST(-1 AS BIGINT) AS mean_px
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 256 AS BIGINT) AS frame_offset,
         | CAST(ord(substr(text, CAST(i * 256 + 1 AS INT), 1)) AS BIGINT) AS first_byte

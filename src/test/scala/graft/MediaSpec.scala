@@ -96,6 +96,34 @@ class MediaSpec extends AnyFunSuite {
       677 % 500 + 50, math.abs(12 * 37 % 30000 - 15000)))
   }
 
+  test("decodeFrames round-trips a real animated GIF frame by frame") {
+    val frames = Media.decodeFrames(Media.encodeGif(7, 5, Seq(10, 200, 99)))
+    assert(frames.length == 3)
+    frames.zip(Seq(10L, 200L, 99L)).zipWithIndex.foreach { case ((f, g), i) =>
+      assert(f.frame_idx == i && f.width == 7 && f.height == 5 && f.mean_px == g,
+        s"frame $i: $f")
+    }
+    // corrupt shapes → one sentinel row
+    val gif = Media.encodeGif(4, 4, Seq(1, 2))
+    assert(Media.decodeFrames(gif.take(10)) == Seq(Media.FrameMeta(0L, -1, -1, -1, -1)))
+    assert(Media.decodeFrames("not video".getBytes).head.frame_idx == -1)
+    assert(Media.decodeFrames(null).head.frame_idx == -1)
+  }
+
+  test("decodeVideoTable: per-row frame fan-out with corrupt sentinel rows") {
+    val docs = Seq((10L, 25L), (11L, 25L)).toDF("doc_id", "n_chars")
+    val out = Media.decodeVideoTable(Media.syntheticVideoTable(docs))
+      .orderBy("doc_id", "frame_idx")
+      .as[Media.FrameMeta].collect()
+    assert(out.head == Media.FrameMeta(10L, -1, -1, -1, -1)) // corrupt
+    val f11 = out.filter(_.doc_id == 11L)
+    assert(f11.length == (11 % 4 + 2))
+    f11.zipWithIndex.foreach { case (f, i) =>
+      assert(f.width == 25 % 21 + 4 && f.height == 11 % 13 + 4)
+      assert(f.mean_px == (11 + 41 * i) % 256)
+    }
+  }
+
   test("decodeTable: corrupt rows degrade in place while the rest of the partition decodes") {
     val docs = Seq((10L, 40L), (11L, 40L), (12L, 77L))
       .toDF("doc_id", "n_chars")
