@@ -33,9 +33,7 @@ object Media {
 
   private val Corrupt = MediaMeta(0L, "unknown", -1L, -1L, 0L, -1L)
 
-  /** Deterministic real PNG: `width`×`height`, every pixel the gray
-    * value `gray` (so the exact mean over all bands is `gray`). */
-  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+  private def constantGrayImage(width: Int, height: Int, gray: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     val v = gray & 0xFF
@@ -46,8 +44,14 @@ object Media {
       while (x < width) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
+    img
+  }
+
+  /** Deterministic real PNG: `width`×`height`, every pixel the gray
+    * value `gray` (so the exact mean over all bands is `gray`). */
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(constantGrayImage(width, height, gray), "png", bos)
     bos.toByteArray
   }
 
@@ -237,17 +241,8 @@ object Media {
       w.setOutput(ios)
       w.prepareWriteSequence(null)
       grays.foreach { g =>
-        val img = new java.awt.image.BufferedImage(
-          width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val v = g & 0xFF
-        val rgb = (v << 16) | (v << 8) | v
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
-        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        w.writeToSequence(
+          new javax.imageio.IIOImage(constantGrayImage(width, height, g), null, null), null)
       }
       w.endWriteSequence()
     } finally { w.dispose(); ios.close() }
@@ -275,16 +270,15 @@ object Media {
           (0 until n).map { i =>
             val img = r.read(i)
             val (w, h) = (img.getWidth, img.getHeight)
+            // bulk getRGB: one palette/ColorModel conversion pass into
+            // an int array instead of a per-pixel virtual call
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-                x += 1
-              }
-              y += 1
+            var j = 0
+            while (j < px.length) {
+              val rgb = px(j)
+              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              j += 1
             }
             val cnt = w.toLong * h * 3
             FrameMeta(0L, i.toLong, w.toLong, h.toLong,
@@ -317,26 +311,27 @@ object Media {
 
   /** Frame-decode a (doc_id, media) table: the 1-row → n-frame-rows
     * flatMap shape with a REAL codec behind it. */
-  def decodeVideoTable(media: DataFrame): DataFrame = {
+  def decodeVideoTable(media: DataFrame): DataFrame =
+    decodedBy(media)((id, bytes) => decodeFrames(bytes).map(_.copy(doc_id = id)))
+
+  /** Shared per-partition decode scaffold: every modality is the same
+    * (doc_id, media) → rows plumbing around a different row decoder.
+    * The mapPartitions scope is where a heavier codec would init once;
+    * these codecs are stateless so the closure is the init. */
+  private def decodedBy[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      media: DataFrame)(decode: (Long, Array[Byte]) => IterableOnce[T]): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[T] =
+      org.apache.spark.sql.Encoders.product[T]
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) => decodeFrames(bytes).map(_.copy(doc_id = id)) }
-      }
+      .mapPartitions(it => it.flatMap { case (id, bytes) => decode(id, bytes) })
       .toDF()
   }
 
   /** [[decodeTable]]'s audio twin. */
-  def decodeAudioTable(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) => decodeWav(bytes).copy(doc_id = id) }
-      }
-      .toDF()
-  }
+  def decodeAudioTable(media: DataFrame): DataFrame =
+    decodedBy(media)((id, bytes) => Seq(decodeWav(bytes).copy(doc_id = id)))
 
   /** Frame sampling over a binary "video" column: fixed-size frames,
     * capped per document — the flatMap shape (one input row → n frame
@@ -359,13 +354,6 @@ object Media {
     * mapPartitions scope is where a heavier codec would init once; the
     * ImageIO readers are looked up per payload (cheap registry hit)
     * because format can vary row to row. */
-  def decodeTable(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) => decodeImage(bytes).copy(doc_id = id) }
-      }
-      .toDF()
-  }
+  def decodeTable(media: DataFrame): DataFrame =
+    decodedBy(media)((id, bytes) => Seq(decodeImage(bytes).copy(doc_id = id)))
 }

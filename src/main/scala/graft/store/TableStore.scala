@@ -164,14 +164,25 @@ final class TableStore(
     if (createdDir) fs.mkdirs(tablePath(name))
     acquireLock(name, lock)
     heldLocks.set(heldLocks.get + name)
+    // tracks whether cleanup already removed the dir (lock included):
+    // after that point the finally MUST NOT touch lockPath again —
+    // another writer may have legitimately recreated dir + lock in the
+    // meantime, and deleting it would reopen the silent two-writer race
+    var dirRemoved = false
     try body
     catch {
-      case e: errors.TableDoesNotExist =>
-        if (createdDir) fs.delete(tablePath(name), true)
+      case e: Throwable =>
+        // failure with no table materialized (any error, not just
+        // TableDoesNotExist — a bad identifier or IO error must not
+        // leave a junk lock-hosting dir either)
+        if (createdDir && !exists(name)) {
+          fs.delete(tablePath(name), true)
+          dirRemoved = true
+        }
         throw e
     } finally {
       heldLocks.set(heldLocks.get - name)
-      fs.delete(lock, false)
+      if (!dirRemoved) fs.delete(lock, false)
     }
   }
 
@@ -1132,7 +1143,11 @@ final class TableStore(
     if (!exists(name)) {
       if (autoAdjust) {
         audit(s"auto-adjust: creating missing table $name from insert batch")
-        createTableFromDataFrame(name, df0); return
+        // create EMPTY from the batch's inferred schema, then fall
+        // through to the normal insert path below — delegating to
+        // createTableFromDataFrame would run its plain insert and
+        // silently drop this call's timeInsert from the creating batch
+        createTable(name, Infer.narrowSchema(df0).map { case (n, t) => n -> t.render })
       } else throw errors.TableDoesNotExist(name)
     }
     var m = meta(name)
@@ -1245,13 +1260,32 @@ final class TableStore(
   }
 
   /** Recovery after a writer CRASHED mid-commit (the lock it left
-    * behind names it): drop any half-written append staging dir and
-    * commit a fresh RE-LISTED manifest, folding any files a crashed
-    * append moved into data/ but never committed back into snapshot
-    * history. Safe to run any time — re-listing is correct under the
-    * lock, it just pays O(#files) where normal appends pay O(batch). */
+    * behind names it): drop stale staging dirs and commit a fresh
+    * RE-LISTED manifest, folding any files a crashed append moved into
+    * data/ but never committed back into snapshot history. Re-listing
+    * is correct under the lock (it just pays O(#files) where appends
+    * pay O(batch)) — EXCEPT after a rewrite that crashed mid-swap:
+    * data/ is gone (retired into history/g<N>) and the replacement
+    * sits in data.tmp, so re-listing would commit the broken (empty)
+    * state as the newest generation and a later vacuum would delete
+    * the only surviving copy. That state is detected and refused with
+    * the two manual options (roll forward: rename data.tmp → data/;
+    * roll back: restore data/ from the newest orphaned history/g<N>).
+    * A stale data.tmp WITH data/ intact (crash before the retire) is
+    * safely dropped — the pre-crash state was never touched. */
   def repair(name: String): Unit = withCommitLock(name) {
     if (!exists(name)) throw errors.TableDoesNotExist(name)
+    val dataTmp = new Path(tablePath(name), "data.tmp")
+    val dataExists = fs.exists(dataPath(name))
+    val lastHadFiles =
+      manifestGens(name).lastOption.exists(g => readManifest(name, g)._2.nonEmpty)
+    if (!dataExists && (fs.exists(dataTmp) || lastHadFiles))
+      throw errors.InvalidValue("repair",
+        s"table $name looks like a REWRITE that crashed mid-swap (data/ missing, " +
+          "data.tmp or committed history present); roll forward by renaming " +
+          "data.tmp to data/, or roll back by restoring data/ from the newest " +
+          "orphaned history/g<N>, then re-run repair")
+    fs.delete(dataTmp, true)
     fs.delete(new Path(tablePath(name), "append.tmp"), true)
     audit(s"repair $name (re-listed manifest)")
     commitSnapshot(name, nextGen(name))

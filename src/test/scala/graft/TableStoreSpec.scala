@@ -639,6 +639,26 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTableAt("t", store.snapshots("t").last._1).count() == 4)
   }
 
+  test("repair refuses a crashed mid-swap rewrite instead of committing the broken state") {
+    val root = Files.createTempDirectory("graft_midswap_").toString
+    val store = new TableStore(spark, root)
+    store.createTable("t", Seq("k" -> "int"), Seq("k"))
+    store.insert("t", Seq(1, 2).toDF("k"))
+    // simulate overwriteData crashing between the history retire and the
+    // tmp→data swap: data/ gone, replacement stranded in data.tmp
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root, "t", "data"),
+      java.nio.file.Paths.get(root, "t", "data.tmp"))
+    val e = intercept[errors.InvalidValue](store.repair("t"))
+    assert(e.getMessage.contains("crashed mid-swap"))
+    // roll forward as the message instructs, then repair succeeds
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(root, "t", "data.tmp"),
+      java.nio.file.Paths.get(root, "t", "data"))
+    store.repair("t")
+    assert(store.readTableAt("t", store.snapshots("t").last._1).count() == 2)
+  }
+
   test("a mutation on a missing table leaves no stray directory behind") {
     val root = Files.createTempDirectory("graft_stray_").toString
     val store = new TableStore(spark, root)
