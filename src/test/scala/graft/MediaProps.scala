@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.multimodal.Media
+
+/** ScalaCheck properties for the media codecs: every encoder/decoder
+  * pair round-trips exactly over its whole parameter space, and the
+  * decoders never throw on arbitrary byte garbage — the two contracts
+  * the closed-form oracles and the 100 TB degrade path rest on. */
+object MediaProps extends Properties("Media") {
+
+  property("PNG round-trip: dims and exact constant mean") =
+    Prop.forAll(Gen.choose(1, 48), Gen.choose(1, 48), Gen.choose(0, 255)) { (w, h, g) =>
+      val m = Media.decodeImage(Media.encodePng(w, h, g))
+      m.format == "png" && m.width == w && m.height == h &&
+        m.n_channels == 3 && m.mean_px == g
+    }
+
+  property("WAV round-trip: rate, samples and exact |mean|") =
+    Prop.forAll(
+      Gen.choose(1, 192000), Gen.choose(0, 2000),
+      Gen.choose(Short.MinValue + 1, Short.MaxValue.toInt)) { (rate, n, amp) =>
+      val m = Media.decodeWav(Media.encodeWav(rate, n, amp.toShort))
+      m.format == "wav" && m.sample_rate == rate && m.n_channels == 1 &&
+        m.bits == 16 && m.n_samples == n &&
+        m.mean_abs == (if (n > 0) math.abs(amp).toLong else -1L)
+    }
+
+  property("GIF round-trip: every frame's dims and constant gray") =
+    Prop.forAll(
+      Gen.choose(1, 24), Gen.choose(1, 24),
+      Gen.nonEmptyListOf(Gen.choose(0, 255)).map(_.take(6))) { (w, h, grays) =>
+      val frames = Media.decodeFrames(Media.encodeGif(w, h, grays))
+      frames.length == grays.length && frames.zip(grays).zipWithIndex.forall {
+        case ((f, g), i) =>
+          f.frame_idx == i && f.width == w && f.height == h && f.mean_px == g
+      }
+    }
+
+  private val garbage: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+
+  property("decoders never throw on arbitrary bytes") =
+    Prop.forAll(garbage) { bytes =>
+      // sentinel or a successful parse — anything but an exception
+      Media.decodeImage(bytes) != null &&
+        Media.decodeWav(bytes) != null &&
+        Media.decodeFrames(bytes).nonEmpty
+    }
+
+  property("truncations of valid payloads never throw") =
+    Prop.forAll(Gen.choose(0, 120)) { cut =>
+      val png = Media.encodePng(9, 7, 13)
+      val wav = Media.encodeWav(8000, 40, 99)
+      val gif = Media.encodeGif(5, 5, Seq(1, 2))
+      Media.decodeImage(png.take(cut)) != null &&
+        Media.decodeWav(wav.take(cut)) != null &&
+        Media.decodeFrames(gif.take(cut)).nonEmpty
+    }
+}
