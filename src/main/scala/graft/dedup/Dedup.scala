@@ -91,22 +91,29 @@ object Dedup {
     * cut, never drop legitimate near-dup signal below the fixed floor.
     * The threshold is one bounded aggregate broadcast back into the
     * plan (no collected literal — plan shape stays constant for JIT
-    * warmup). At 100 TB swap the exact percentile for
-    * `approx_percentile` (documented scale knob; the exact form is kept
-    * here because the DuckDB oracle mirrors `quantile_cont` bit-for-bit). */
+    * warmup). `exactQuantile = false` is the 100 TB knob: it swaps the
+    * exact percentile (full sort of the distinct df distribution) for
+    * `percentile_approx` (a bounded KLL-style sketch, one pass, no
+    * sort). The exact form stays the default because the DuckDB oracle
+    * mirrors `quantile_cont` bit-for-bit; the spec pins that at high
+    * accuracy the approx path selects the SAME threshold (and thus the
+    * same pairs) on the verification corpus. */
   def ngramJaccardPairsAdaptive(
       docs: DataFrame,
       n: Int = 3,
       tau: Double = 0.3,
       bandWidth: Int = 50,
       minDf: Int = 16,
-      dfQuantile: Double = 0.999): DataFrame = {
+      dfQuantile: Double = 0.999,
+      exactQuantile: Boolean = true): DataFrame = {
     val ex = exploded(shingled(docs, n, bandWidth))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
     val exdf = cached(ex.withColumn("__df", count(lit(1)).over(w)))
+    val pctl =
+      if (exactQuantile) round(percentile(col("__df"), lit(dfQuantile)), 6)
+      else percentile_approx(col("__df"), lit(dfQuantile), lit(10000)).cast("double")
     val thr = exdf.select(col("lang"), col("__band"), col("__s"), col("__df")).distinct()
-      .agg(greatest(lit(minDf.toDouble),
-        floor(round(percentile(col("__df"), lit(dfQuantile)), 6))).as("__thr"))
+      .agg(greatest(lit(minDf.toDouble), floor(pctl)).as("__thr"))
     val kept = cached(exdf.crossJoin(broadcast(thr))
       .filter(col("__df") <= col("__thr")).drop("__df", "__thr"))
     jaccardFromKept(kept, tau)

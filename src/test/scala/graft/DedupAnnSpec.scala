@@ -73,6 +73,16 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(pairSet(adaptive).nonEmpty)
   }
 
+  test("adaptive df-cut: the approx-percentile scale knob selects the same pairs") {
+    // the 100 TB form (percentile_approx sketch, no sort) must agree
+    // with the oracle-mirrored exact percentile at high accuracy on the
+    // verification corpus — same threshold, same pairs
+    val exact = Dedup.ngramJaccardPairsAdaptive(docs)
+    val approx = Dedup.ngramJaccardPairsAdaptive(docs, exactQuantile = false)
+    assert(pairSet(approx) == pairSet(exact))
+    assert(pairSet(approx).nonEmpty)
+  }
+
   test("clusters: multi-hop chains collapse to the minimum reachable id") {
     import spark.implicits._
     // chain 1-2-3-4 (needs 3 propagation rounds) + isolated pair 10-11
