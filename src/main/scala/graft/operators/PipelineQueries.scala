@@ -134,6 +134,14 @@ object PipelineQueries {
   private val ivfQuantizers =
     new java.util.concurrent.ConcurrentHashMap[QuantizerKey, Seq[Seq[Double]]]()
 
+  /** L7d portable twin: an md5-hash-sampled coarse quantizer + exact
+    * integer distances make the whole assign/probe stage
+    * DuckDB-oracle-exact. See [[Ann.topKIvfPortable]]. */
+  def simTopkIvfPortable(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.topKIvfPortable(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cents = ivfQuantizers.computeIfAbsent(
@@ -330,6 +338,7 @@ object PipelineQueries {
     "sim_topk_lsh" -> simTopkLsh,
     "sim_topk_lsh_portable" -> simTopkLshPortable,
     "sim_topk_ivf" -> simTopkIvf,
+    "sim_topk_ivf_portable" -> simTopkIvfPortable,
     "sim_topk_ivf_indexed" -> simTopkIvfIndexed,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
@@ -683,6 +692,40 @@ object PipelineQueries {
         |    (sqrt(list_inner_product(q.vq, q.vq)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
         | FROM q JOIN bk cb ON cb.bk = q.pb JOIN e ON e.vec_id = cb.vec_id
         | WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        | SELECT q_id, n_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // sim_topk_ivf / sim_topk_ivf_indexed: rows-only (Lloyd-trained
+    // quantizer isn't ANSI-expressible); the portable twin below is the
+    // hash-verified form of the same assign/probe/rerank family.
+    "sim_topk_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei),
+        |sd AS (SELECT cl, vi FROM sr WHERE cl < 16),
+        |dist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN sd s),
+        |da AS (SELECT vec_id, cl,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dist),
+        |assign AS (SELECT vec_id, cl FROM da WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cl FROM da WHERE vec_id % 50 = 0 AND rn <= 4),
+        |scored AS (
+        | SELECT p.q_id, a.vec_id AS n_id,
+        |  ROUND(list_inner_product(q.v, e.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
+        | FROM probes p JOIN assign a ON a.cl = p.cl
+        |  JOIN e q ON q.vec_id = p.q_id JOIN e ON e.vec_id = a.vec_id
+        | WHERE a.vec_id <> p.q_id),
         |ranked AS (
         | SELECT q_id, n_id, cosine,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank

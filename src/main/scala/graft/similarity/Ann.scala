@@ -48,6 +48,15 @@ object Ann {
       .select(col("label"), col("pos"), col("n"),
         (col("__m").cast("double") / 1000000.0).as("centroid"))
 
+  /** Exact-rerank tail shared by every ANN variant: rank candidates
+    * (q_id, n_id, cosine) by (cosine desc, n_id) per query, keep top k. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "cosine")
+  }
+
   def topKBruteForce(
       corpus: DataFrame,
       queries: DataFrame,
@@ -56,10 +65,7 @@ object Ann {
     val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (LCG, fixed seed — no
@@ -99,10 +105,7 @@ object Ann {
       .withColumn("__bkq", explode(probes))
     val scored = c.join(broadcast(q), col("__bk") === col("__bkq") && col("q_id") =!= col("n_id"))
       .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** Engine-PORTABLE sign-LSH twin (L7b of the A14b/L3b md5 idiom): the
@@ -147,10 +150,77 @@ object Ann {
       .withColumn("__bkq", explode(probes))
     val scored = c.join(broadcast(q), col("__bk") === col("__bkq") && col("q_id") =!= col("n_id"))
       .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    rankTopK(scored, k)
+  }
+
+  /** Long inner product of two integer-scaled vectors — exact, and
+    * order-independent (integer addition is associative), so any engine
+    * computing it over the same values gets the same long. */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
+  /** Engine-PORTABLE IVF twin (L7d of the A14b/L3b/L7b md5 idiom): the
+    * same assign → probe → exact-rerank shape as [[topKIvf]], re-derived
+    * so the quantizer and every distance exist verbatim in ANSI SQL and
+    * are bit-exact across engines:
+    *
+    *  - the coarse quantizer is the `nCentroids` corpus vectors with the
+    *    smallest (md5(vec_id), vec_id) — a deterministic hash-sampled
+    *    quantizer. Sampling without Lloyd refinement is still a valid
+    *    IVF coarse quantizer (faiss trains on exactly such a sample; the
+    *    portable twin skips the refinement so "training" is ONE ORDER BY
+    *    both engines evaluate identically), it just partitions space a
+    *    little less evenly — recall/cost, not correctness;
+    *  - assignment and probing use exact INTEGER squared distances over
+    *    floor(v_i · 2^20) coordinates via |a|² + |b|² − 2·a·b. Every
+    *    term is ≤ 2^48, exactly representable as long AND as an
+    *    integer-valued double, and integer sums are order-independent —
+    *    no float-summation tie can flip an argmin between engines. Ties
+    *    break on the smaller centroid id in both engines;
+    *  - rerank is the oracle-proven [[Vectors.cosine6]].
+    *
+    * This converts IVF candidate generation from rows-only to
+    * hash-verified against DuckDB; [[topKIvf]] (Lloyd-trained quantizer,
+    * double distances) stays the quality/scale path. */
+  def topKIvfPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    def intVec(v: Column): Column = transform(v, x => floor(x * 1048576).cast("long"))
+    // bounded model input: nCentroids × dim longs on the driver — the
+    // same size contract as the trained quantizer's collect
+    val seeds: Array[Array[Long]] = corpus
+      .select(col("vec_id"), intVec(Vectors.toDouble(col("embedding"))).as("__vi"))
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(nCentroids)
+      .select("__vi").collect().map(_.getSeq[Long](0).toArray)
+    val seedSelfIp: Array[Long] = seeds.map(s => s.map(x => x * x).sum)
+    def dists(vi: Column): Column = {
+      val selfIp = dotL(vi, vi)
+      array(seeds.indices.map { i =>
+        selfIp + lit(seedSelfIp(i)) - lit(2L) * dotL(vi, typedLit(seeds(i).toSeq))
+      }: _*)
+    }
+    val c = scatter(corpus)
+      .select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+      .withColumn("__d", dists(intVec(col("__vc"))))
+      // first index attaining the integer min — ties to the smaller cl
+      .withColumn("__cl", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .drop("__d")
+    val probeIds = {
+      val d = dists(intVec(col("__vq")))
+      val idx = transform(typedLit(seeds.indices.toList),
+        i => struct(element_at(d, i + 1).as("d"), i.as("i")))
+      slice(transform(array_sort(idx), s => s.getField("i")), 1, nProbe)
+    }
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__cl", explode(probeIds))
+    val scored = c.join(broadcast(q), Seq("__cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
+    rankTopK(scored, k)
   }
 
   /** Squared euclidean distance to each centroid (literal array),
@@ -358,9 +428,6 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("__cl"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 }

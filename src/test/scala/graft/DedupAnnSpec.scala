@@ -259,6 +259,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(full == bf.keySet, "nProbe = nCentroids must equal brute force")
   }
 
+  test("portable IVF ANN: exact scores on candidates, full probe budget equals brute force, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Ann.topKBruteForce(emb, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val p1 = Ann.topKIvfPortable(emb, queries).collect()
+    assert(p1.nonEmpty)
+    // candidate scores are the exact cosine — identical to brute force
+    p1.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+    // probing a quarter of the lists must recover a good share of top-k
+    val hits = p1.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(hits >= bf.size / 4, s"portable IVF recall too low: $hits/${bf.size}")
+    // hash-seeded quantizer + integer distances are a pure function of
+    // the data: re-running is bit-identical
+    val p2 = Ann.topKIvfPortable(emb, queries).collect()
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    // probing every list degrades to exact brute force
+    val full = Ann.topKIvfPortable(emb, queries, nCentroids = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf.keySet, "nProbe = nCentroids must equal brute force")
+  }
+
   test("IVF quantizer round-trips through a store table") {
     import graft.store.TableStore
     val store = new TableStore(spark,
