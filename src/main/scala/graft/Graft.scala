@@ -85,6 +85,13 @@ final case class Graft(
     def tableAt(name: String, gen: Int): DataFrame = store.readTableAt(name, gen)
     def tableAsOf(name: String, tsMillis: Long): DataFrame = store.readTableAsOf(name, tsMillis)
     def snapshots(name: String): Seq[(Int, Long)] = store.snapshots(name)
+
+    /** Change-data-feed between two committed generations (`insert` /
+      * `delete` / `update_preimage` / `update_postimage` rows in a
+      * `_change_type` column) — computed on demand from the manifests'
+      * file diff, O(changed files); see TableStore.readChanges. */
+    def changes(name: String, fromGen: Int, toGen: Int): DataFrame =
+      store.readChanges(name, fromGen, toGen)
   }
 
   /** Reference `write` namespace (core/write). */

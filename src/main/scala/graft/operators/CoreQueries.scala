@@ -306,9 +306,29 @@ object CoreQueries {
       .withColumn("t_str", SqlType.renderTime(col("t")))
   }
 
+  // C25: change-data-feed between generations — load commits a base
+  // generation, one full merge commits deletes (keys <= 200), updates
+  // (201..600, acctbal + 10) and inserts (601..800) at once, and the
+  // query returns readChanges(base, merged): the classified row diff,
+  // computed from the manifests' file-set difference (never a full
+  // re-read of both snapshots). The oracle reclassifies the same diff
+  // from the source parquet in plain SQL.
+  def cdfDiff(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "cdf")
+    val cust = t(s, dir, "customer")
+    store.createTableFromDataFrame("cust",
+      cust.filter(col("c_custkey") <= 600), Seq("c_custkey"), infer = false)
+    val base = store.snapshots("cust").last._1
+    store.merge("cust", cust.filter(col("c_custkey") > 200 && col("c_custkey") <= 800)
+      .withColumn("c_acctbal", col("c_acctbal") + 10))
+    store.readChanges("cust", base, store.snapshots("cust").last._1)
+      .orderBy("c_custkey", "_change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "create_table_cast" -> createTableCast,
     "snapshot_read" -> snapshotRead,
+    "cdf_diff" -> cdfDiff,
     "time_roundtrip" -> timeRoundtrip,
     "create_infer_narrow" -> createInferNarrow,
     "modify_columns" -> modifyColumns,
@@ -350,6 +370,37 @@ object CoreQueries {
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // cdf_diff: pre = customer<=600, post = full-merge result; the
+    // oracle classifies with the same null-safe IS DISTINCT FROM the
+    // operator uses. (c_custkey, _change_type) is unique → total order.
+    "cdf_diff" ->
+      """WITH pre AS (
+        | SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey <= 600),
+        |src AS (
+        | SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10 AS c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey > 200 AND c_custkey <= 800),
+        |chg AS (
+        | SELECT p.c_custkey FROM pre p JOIN src s ON p.c_custkey = s.c_custkey
+        | WHERE s.c_name IS DISTINCT FROM p.c_name
+        |    OR s.c_nationkey IS DISTINCT FROM p.c_nationkey
+        |    OR s.c_acctbal IS DISTINCT FROM p.c_acctbal
+        |    OR s.c_mktsegment IS DISTINCT FROM p.c_mktsegment)
+        |SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+        |       'insert' AS _change_type
+        |FROM src s LEFT JOIN pre p ON p.c_custkey = s.c_custkey WHERE p.c_custkey IS NULL
+        |UNION ALL
+        |SELECT p.c_custkey, p.c_name, p.c_nationkey, p.c_acctbal, p.c_mktsegment, 'delete'
+        |FROM pre p LEFT JOIN src s ON p.c_custkey = s.c_custkey WHERE s.c_custkey IS NULL
+        |UNION ALL
+        |SELECT p.c_custkey, p.c_name, p.c_nationkey, p.c_acctbal, p.c_mktsegment,
+        |       'update_preimage'
+        |FROM pre p JOIN chg USING (c_custkey)
+        |UNION ALL
+        |SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+        |       'update_postimage'
+        |FROM src s JOIN chg USING (c_custkey)
+        |ORDER BY c_custkey, _change_type""".stripMargin,
     "create_infer_narrow" ->
       s"""SELECT 'l_orderkey' AS column_name, ${inferCase("l_orderkey")} AS sql_type FROM lineitem
          |UNION ALL

@@ -912,6 +912,94 @@ final class TableStore(
     readTableAt(name, eligible.last._1)
   }
 
+  /** Change-data-feed (C25): the row-level diff between two committed
+    * generations, classified in a `_change_type` column — `insert`,
+    * `delete`, `update_preimage`, `update_postimage` — over the TO
+    * generation's schema (the Delta CDF / Iceberg changelog surface,
+    * computed on demand from snapshots instead of stored change files).
+    *
+    * Scale design — why this is NOT "diff two snapshot reads": only
+    * files in the SYMMETRIC DIFFERENCE of the two manifests can hold
+    * changed rows. Files are immutable and rel paths never reused, so a
+    * file listed by BOTH manifests contributes bit-identical rows to
+    * both sides, and those rows cancel out of any diff. The scan reads
+    * O(changed files), not O(table): a 100-row upsert into a 100 TB
+    * bucketed table diffs the rewritten buckets only (spec pins the
+    * input-file cut). Correctness of the cut:
+    *
+    *  - KEYED diff (both generations share the same non-empty primary
+    *    key): a key resident in a common file is identical in both
+    *    generations, and it cannot ALSO appear in a pre-only or
+    *    post-only file — that would duplicate the key within one
+    *    generation, violating PK uniqueness. So within the changed
+    *    files, post-only keys are inserts, pre-only keys deletes,
+    *    value-changed keys updates (pre+post images), and
+    *    value-identical keys (pure rewrites: compaction, Z-order,
+    *    bucket rewrites of untouched rows) drop out.
+    *  - FULL-ROW diff (no stable key): per-row-value counts are
+    *    additive over files, so common files cancel exactly —
+    *    delta(row) = count_postOnly(row) − count_preOnly(row); positive
+    *    deltas emit that many `insert` rows, negative that many
+    *    `delete`s. Pure rewrites produce zero deltas.
+    *
+    * Both sides align to the TO schema (columns added since FROM read
+    * as null on the pre side, dropped columns vanish); a metadata-only
+    * DDL generation therefore diffs empty. Classification is directed
+    * FROM → TO; `fromGen == toGen` yields an empty feed. */
+  def readChanges(name: String, fromGen: Int, toGen: Int): DataFrame = {
+    val (mFrom, relsFrom) = readManifest(name, fromGen)
+    val (mTo, relsTo) = readManifest(name, toGen)
+    val toSet = relsTo.toSet
+    val fromSet = relsFrom.toSet
+    val pre = alignTo(
+      snapshotScan(name, fromGen, mFrom, relsFrom.filterNot(toSet.contains)), mTo)
+    val post = snapshotScan(name, toGen, mTo, relsTo.filterNot(fromSet.contains))
+    val cols = mTo.columns.map(_._1)
+    val ct = "_change_type"
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(struct(cols.map(c => col(Identifiers.quote(c))): _*).as(as))
+    val keyed = mTo.primaryKey.nonEmpty && mFrom.primaryKey == mTo.primaryKey &&
+      mTo.primaryKey.forall(k => cols.contains(k))
+    if (keyed) {
+      val pk = mTo.primaryKey
+      val valCols = cols.filterNot(pk.contains)
+      // full outer on null-safe PK equality; struct packing sidesteps
+      // name collisions and gives a free presence indicator (an outer
+      // join's missing side is a NULL struct; a present row never is)
+      val joined = packed(pre, "__cdf_pre").join(packed(post, "__cdf_post"),
+        pk.map(k => col("__cdf_pre")(k) <=> col("__cdf_post")(k)).reduce(_ && _),
+        "full_outer")
+      val preP = col("__cdf_pre").isNotNull
+      val postP = col("__cdf_post").isNotNull
+      val changed = valCols
+        .map(c => !(col("__cdf_pre")(c) <=> col("__cdf_post")(c)))
+        .foldLeft(lit(false))(_ || _)
+      def img(side: String, tag: String, cond: Column): DataFrame =
+        joined.filter(cond).select(
+          cols.map(c => col(side)(c).as(c)) :+ lit(tag).as(ct): _*)
+      img("__cdf_post", "insert", !preP)
+        .unionByName(img("__cdf_pre", "delete", !postP))
+        .unionByName(img("__cdf_pre", "update_preimage", preP && postP && changed))
+        .unionByName(img("__cdf_post", "update_postimage", preP && postP && changed))
+    } else {
+      // multiset diff: count per full row value on each side (groupBy
+      // treats nulls as equal — the multiset semantics we want)
+      val p = packed(pre, "__cdf_rowp").groupBy("__cdf_rowp")
+        .agg(count(lit(1)).as("__cdf_npre"))
+      val n = packed(post, "__cdf_rown").groupBy("__cdf_rown")
+        .agg(count(lit(1)).as("__cdf_npost"))
+      val joined = p.join(n, col("__cdf_rowp") <=> col("__cdf_rown"), "full_outer")
+        .select(coalesce(col("__cdf_rowp"), col("__cdf_rown")).as("__cdf_row"),
+          (coalesce(col("__cdf_npost"), lit(0L)) -
+            coalesce(col("__cdf_npre"), lit(0L))).as("__cdf_d"))
+        .filter(col("__cdf_d") =!= 0)
+      joined
+        .withColumn("__cdf_rep", explode(array_repeat(lit(1), abs(col("__cdf_d")).cast("int"))))
+        .select(cols.map(c => col("__cdf_row")(c).as(c)) :+
+          when(col("__cdf_d") > 0, "insert").otherwise("delete").as(ct): _*)
+    }
+  }
+
   /** Drop snapshot history, keeping the last `keepLast` generations
     * readable. Deletes the expired manifests and every history/g<M>
     * removed-file tree with M <= cutoff (files retired at M are only

@@ -473,6 +473,101 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("t").count() == 401)
   }
 
+  test("change-data-feed classifies inserts, deletes and update image pairs") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
+    store.insert("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    val g1 = store.snapshots("t").last._1
+    // full merge: deletes 1 and 3, updates 2, inserts 4
+    store.merge("t", Seq((2, "B"), (4, "d")).toDF("k", "v"))
+    val g2 = store.snapshots("t").last._1
+    val cdf = store.readChanges("t", g1, g2)
+    assert(cdf.columns.toSeq == Seq("k", "v", "_change_type"))
+    assert(cdf.orderBy("k", "_change_type").as[(Int, String, String)].collect().toSeq == Seq(
+      (1, "a", "delete"),
+      (2, "B", "update_postimage"), (2, "b", "update_preimage"),
+      (3, "c", "delete"),
+      (4, "d", "insert")))
+    // same-generation feed is empty; direction matters (to→from inverts)
+    assert(store.readChanges("t", g1, g1).count() == 0)
+    assert(store.readChanges("t", g2, g1).filter(col("k") === 1)
+      .select("_change_type").as[String].collect().toSeq == Seq("insert"))
+    // a merge that rewrites a row with IDENTICAL values is not a change:
+    // value equality, not file membership, decides
+    store.merge("t", Seq((2, "B"), (4, "d"), (5, "e")).toDF("k", "v"))
+    val g3 = store.snapshots("t").last._1
+    assert(store.readChanges("t", g2, g3).as[(Int, String, String)]
+      .collect().toSeq == Seq((5, "e", "insert")))
+  }
+
+  test("change-data-feed reads only the rewritten buckets, not the table") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(12)"), Seq("k"), buckets = 8)
+    store.insert("t", spark.range(0, 400).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    val g1 = store.snapshots("t").last._1
+    store.upsert("t", Seq((42L, "updated"), (100000L, "new")).toDF("k", "v"))
+    val g2 = store.snapshots("t").last._1
+    val cdf = store.readChanges("t", g1, g2)
+    assert(cdf.orderBy("k", "_change_type").as[(Long, String, String)].collect().toSeq == Seq(
+      (42L, "updated", "update_postimage"), (42L, "v42", "update_preimage"),
+      (100000L, "new", "insert")))
+    // the O(changed files) contract: the feed's scan touches only the
+    // manifests' file-set difference — strictly fewer files than the
+    // post snapshot (only the upsert's buckets were rewritten)
+    val total = store.readTableAt("t", g2).inputFiles.length
+    assert(cdf.inputFiles.length < total,
+      s"CDF read ${cdf.inputFiles.length} of $total files — not file-pruned")
+  }
+
+  test("pure rewrites (compaction) and metadata-only DDL produce an empty change feed") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
+    (0 until 4).foreach(i => store.insert("t", Seq((i, s"v$i")).toDF("k", "v")))
+    val g1 = store.snapshots("t").last._1
+    store.compact("t")
+    val g2 = store.snapshots("t").last._1
+    assert(g2 > g1 && store.readChanges("t", g1, g2).count() == 0,
+      "compaction rewrote every file but changed no rows — the feed must be empty")
+    store.addColumn("t", "w", "int")
+    val g3 = store.snapshots("t").last._1
+    assert(store.readChanges("t", g2, g3).count() == 0,
+      "metadata-only DDL shares the file set — the feed must be empty")
+    // post-DDL insert: changes serve in the TO schema, pre-side rows
+    // never resurface
+    store.insert("t", Seq((9, "i", 90)).toDF("k", "v", "w"))
+    val g4 = store.snapshots("t").last._1
+    assert(store.readChanges("t", g2, g4).columns.toSeq == Seq("k", "v", "w", "_change_type"))
+    assert(store.readChanges("t", g2, g4).as[(Int, String, Option[Int], String)]
+      .collect().toSeq == Seq((9, "i", Some(90), "insert")))
+    // update across the schema boundary: the preimage aligns to the TO
+    // schema with null for the added column
+    store.update("t", Seq((0, "V0", 7)).toDF("k", "v", "w"))
+    val g5 = store.snapshots("t").last._1
+    assert(store.readChanges("t", g2, g5).filter(col("k") === 0)
+      .orderBy("_change_type").as[(Int, String, Option[Int], String)].collect().toSeq == Seq(
+        (0, "V0", Some(7), "update_postimage"), (0, "v0", None, "update_preimage")))
+  }
+
+  test("change-data-feed without a primary key is a full-row multiset diff") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"))
+    store.insert("t", Seq((1, "x"), (1, "x"), (2, "y")).toDF("k", "v"))
+    val g1 = store.snapshots("t").last._1
+    store.insert("t", Seq((1, "x"), (3, "z")).toDF("k", "v"))
+    val g2 = store.snapshots("t").last._1
+    // appends: one MORE (1,x) than before — multiplicity 1, not 3
+    assert(store.readChanges("t", g1, g2).orderBy("k").as[(Int, String, String)]
+      .collect().toSeq == Seq((1, "x", "insert"), (3, "z", "insert")))
+    // compaction rewrites everything, multiset unchanged → empty feed
+    store.compact("t")
+    val g3 = store.snapshots("t").last._1
+    assert(store.readChanges("t", g2, g3).count() == 0)
+    // the reverse direction sees the appended rows as deletes
+    assert(store.readChanges("t", g2, g1).orderBy("k").as[(Int, String, String)]
+      .collect().toSeq == Seq((1, "x", "delete"), (3, "z", "delete")))
+  }
+
   test("commit lock: a second concurrent committer fails loudly, not silently") {
     val root = Files.createTempDirectory("graft_test_").toString
     val store = newStore()
