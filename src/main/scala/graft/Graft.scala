@@ -113,6 +113,12 @@ final case class Graft(
         store.upsert(name, df, matchColumns, ti, tu)
       } else store.merge(name, df, matchColumns, deleteRequires, ti, tu)
 
+    /** Keyed delete — the CDC-apply primitive (beyond the reference,
+      * which deletes only through full MERGE); bucket-pruned like
+      * update/upsert. */
+    def delete(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =
+      store.delete(name, df, matchColumns)
+
     /** Type-2 SCD history merge (beyond the reference's MERGE — the
       * hand-written history transaction, as one operator). */
     def scd2(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =

@@ -98,6 +98,23 @@ object Mutations {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
+  /** Keyed delete: drop target rows whose match-key values appear in
+    * `source` — the CDC-apply primitive. The reference expresses
+    * deletes only through full MERGE (WHEN NOT MATCHED BY SOURCE,
+    * merge.py:27), which scans the whole target; a standalone keyed
+    * delete is the shape a bucketed store can prune. One anti join;
+    * null keys never match (same `===` semantics as update/merge), so
+    * null-key rows are never deleted. */
+  def delete(target: DataFrame, source: DataFrame, matchCols: Seq[String]): DataFrame = {
+    requireCols(target, matchCols, "target")
+    requireCols(source, matchCols, "source")
+    val s = matchCols.foldLeft(source.select(matchCols.map(source(_)).toIndexedSeq: _*))(
+      (d, c) => d.withColumnRenamed(c, srcAlias(c)))
+    target.join(s,
+      matchCols.map(c => target(c) === s(srcAlias(c))).reduce(_ && _),
+      "left_anti")
+  }
+
   /** Upsert: update matched, insert unmatched — merge with deletes off
     * (reference merge.py:46 `upsert=True`). */
   def upsert(

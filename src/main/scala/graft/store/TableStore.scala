@@ -1477,6 +1477,23 @@ final class TableStore(
     }
   }
 
+  /** Keyed delete (the CDC-apply primitive; see [[Mutations.delete]]).
+    * Unlike merge's WHEN-NOT-MATCHED-BY-SOURCE — which can delete rows
+    * in ANY bucket and so forces a full rewrite — a keyed delete only
+    * touches rows whose keys the source names, so bucketed tables
+    * rewrite just the buckets the source keys hash into. */
+  def delete(
+      name: String,
+      source: DataFrame,
+      matchCols: Seq[String] = Seq.empty): Unit = withCommitLock(name) {
+    val m = meta(name)
+    val keys = resolveKeys(name, m, matchCols)
+    validateSource(m, source)
+    prunedMutation(name, m, source, keys, mayAddTimeCols = false) {
+      (target, src) => Mutations.delete(target, src, keys)
+    }
+  }
+
   /** Full merge (reference write.merge, merge.py:13). Always a full
     * rewrite even when bucketed: WHEN NOT MATCHED BY SOURCE deletes can
     * hit rows in ANY bucket, so no bucket can be skipped. */
@@ -1559,16 +1576,23 @@ final class TableStore(
     val tmp = new Path(tablePath(name), "data.tmp")
     result.withColumn(BucketCol, bucketExpr(m2))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-    val parts = fs.listStatus(tmp)
+    val written: Map[String, Path] = fs.listStatus(tmp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+      .map(s => s.getPath.getName -> s.getPath).toMap
     val gen = nextGen(name)
-    parts.foreach { s =>
-      val dst = new Path(dataPath(name), s.getPath.getName)
+    // swap every SOURCE-TOUCHED bucket, not just the dirs the result
+    // wrote: a delete that empties a bucket produces NO output dir, but
+    // its old files must still retire — iterating written dirs alone
+    // would leave the deleted rows silently live
+    (srcBuckets.map(b => s"$BucketCol=$b") ++ written.keys).distinct.foreach { dirName =>
+      val dst = new Path(dataPath(name), dirName)
       // replaced bucket dirs RETIRE into the generation's history tree
       // (rename, not delete) so concurrent/snapshot readers keep working
       if (fs.exists(dst)) retire(name, gen, dst)
-      if (!fs.rename(s.getPath, dst))
-        throw new IllegalStateException(s"bucket swap failed for table $name: ${s.getPath.getName}")
+      written.get(dirName).foreach { srcPath =>
+        if (!fs.rename(srcPath, dst))
+          throw new IllegalStateException(s"bucket swap failed for table $name: $dirName")
+      }
     }
     fs.delete(tmp, true)
     commitSnapshot(name, gen)

@@ -191,6 +191,44 @@ object Streams {
       (batch: DataFrame, _: Long) => store.upsert(table, batch, matchCols)
     }
 
+  /** S16: streaming CDC apply — the consuming end of the
+    * change-data-feed surface (C25, `TableStore.readChanges`): a stream
+    * of rows carrying a `_change_type` column is applied to a store
+    * table per micro-batch — `insert` and `update_postimage` rows
+    * upsert by key, `delete` rows drop their keys, `update_preimage`
+    * rows are informational and skipped. Deletes apply AFTER upserts,
+    * so a batch holding a key's whole lifecycle (insert → delete)
+    * converges to the key absent. Batch contract: at most one
+    * insert/postimage row per key per batch (feeding one generation's
+    * feed per batch guarantees this — a generation diff is keyed);
+    * batches spanning multiple generations must be pre-compacted to
+    * their final image, as the feed carries no intra-batch ordering.
+    *
+    * Scale: both halves are bucket-pruned keyed mutations (the delete
+    * primitive exists precisely because merge's NOT-MATCHED-BY-SOURCE
+    * delete cannot prune), so a small change batch against a 100 TB
+    * bucketed replica rewrites only the touched buckets. Batch replays
+    * re-apply the same changes onto the same keys — idempotent,
+    * exactly-once table state (the S7 contract). Applying a table's own
+    * feed generation-by-generation replicates it exactly (spec-pinned
+    * against C25). */
+  def applyChangesSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      table: String,
+      matchCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val up = b.filter(col("_change_type").isin("insert", "update_postimage"))
+            .drop("_change_type")
+          val del = b.filter(col("_change_type") === "delete").drop("_change_type")
+          if (!up.isEmpty) store.upsert(table, up, matchCols)
+          if (!del.isEmpty) store.delete(table, del, matchCols)
+        } finally { b.unpersist(); () }
+    }
+
   /** S15: streaming append sink with LIVE zone-map maintenance — the
     * ingest front door that keeps the store's file statistics (C20)
     * fresh: each micro-batch appends to the table, then runs an

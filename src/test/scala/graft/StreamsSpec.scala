@@ -469,6 +469,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(store.primaryKeyViolations("ev").count() == 0)
   }
 
+  test("S16: streaming CDC apply replicates a table from its own change feed") {
+    import graft.store.TableStore
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // source of truth: three generations of keyed mutations
+    val src = new TableStore(spark, Files.createTempDirectory("graft_s16_src_").toString)
+    src.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
+    src.insert("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    src.merge("t", Seq((2, "B"), (4, "d")).toDF("k", "v"))  // upd 2; ins 4; del 1, 3
+    src.upsert("t", Seq((4, "D"), (5, "e")).toDF("k", "v")) // upd 4; ins 5
+    val gens = src.snapshots("t").map(_._1)
+    // replica (bucketed — both sink halves bucket-prune): one
+    // generation's change feed per micro-batch
+    val rep = new TableStore(spark, Files.createTempDirectory("graft_s16_rep_").toString)
+    rep.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"), buckets = 4)
+    val ms = MemoryStream[(Int, String, String)]
+    val in = ms.toDF().toDF("k", "v", "_change_type")
+    val q = Streams.applyChangesSink(in, rep, "t").start()
+    try {
+      gens.sliding(2).foreach { w =>
+        ms.addData(src.readChanges("t", w.head, w.last)
+          .as[(Int, String, String)].collect().toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(rep.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq ==
+        src.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq,
+        "replica diverged from source after applying its change feed")
+      // a batch holding a key's full lifecycle converges to absent;
+      // preimages are informational and must not resurrect old values
+      ms.addData(Seq((9, "x", "insert"), (9, "x", "delete"),
+        (5, "stale", "update_preimage")))
+      q.processAllAvailable()
+      assert(rep.readTable("t", where = Some("k = 9")).count() == 0,
+        "insert→delete in one batch must converge to the key absent")
+      assert(rep.readTable("t", where = Some("k = 5")).select("v")
+        .as[String].collect().toSeq == Seq("e"), "preimage must be skipped")
+    } finally q.stop()
+  }
+
   test("S15: streaming insert sink keeps file statistics fresh per batch") {
     import graft.store.TableStore
     val store = new TableStore(spark, Files.createTempDirectory("graft_s15_").toString)

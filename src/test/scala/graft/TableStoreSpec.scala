@@ -473,6 +473,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("t").count() == 401)
   }
 
+  test("keyed delete removes matched keys and rewrites only their buckets") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(12)"), Seq("k"), buckets = 8)
+    store.insert("t", spark.range(0, 400).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    val before = store.readTable("t").inputFiles.toSet
+    store.delete("t", Seq(42L, 43L).toDF("k"))
+    assert(store.readTable("t").count() == 398)
+    assert(store.readTable("t", where = Some("k = 42")).count() == 0)
+    // bucket pruning: only the buckets of keys 42/43 were rewritten —
+    // every other bucket's files survive by identity
+    val after = store.readTable("t").inputFiles.toSet
+    assert((before intersect after).size >= before.size / 2,
+      s"delete rewrote ${(before -- after).size} of ${before.size} files — not bucket-pruned")
+    // unknown keys are a no-op; null keys never match (=== semantics)
+    store.delete("t", Seq(Some(999999L), Option.empty[Long]).toDF("k"))
+    assert(store.readTable("t").count() == 398)
+    // a delete that empties a bucket entirely must still retire the old
+    // files (the swap iterates source-touched buckets, not written dirs)
+    store.createTable("one", Seq("k" -> "bigint", "v" -> "varchar(4)"), Seq("k"), buckets = 4)
+    store.insert("one", Seq((7L, "x")).toDF("k", "v"))
+    store.delete("one", Seq(7L).toDF("k"))
+    assert(store.readTable("one").count() == 0,
+      "emptied bucket's rows survived the delete")
+  }
+
   test("change-data-feed classifies inserts, deletes and update image pairs") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
