@@ -42,6 +42,21 @@ object Curation {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** Cluster-balanced ("diverse") sampling over an embedding column
+    * (L31) — the SemDeDup-style subset-selection step: partition the
+    * embedding space with the portable hash-sampled quantizer (L7d)
+    * and take a per-cluster quota, so the sample covers the space
+    * instead of oversampling its densest mode (what a uniform hash
+    * sample does on skewed corpora). Both stages are scale-correct AND
+    * ANSI-mirrorable: assignment is exact integer arithmetic
+    * ([[graft.similarity.Ann.portableAssignments]]), the quota is the
+    * salted two-phase md5-ordered cap ([[stratifiedCap]]) — no cluster
+    * funnels through one window task. Output: (vec_id, cl, sample_rank). */
+  def diverseSample(embeddings: DataFrame, nClusters: Int = 8, cap: Int = 10): DataFrame =
+    stratifiedCap(
+      graft.similarity.Ann.portableAssignments(embeddings, nClusters),
+      "cl", "vec_id", cap)
+
   /** Weighted sampling WITHOUT replacement per group (L23) — the
     * Efraimidis–Spirakis A-ES scheme, the training-mix primitive for
     * "sample by quality score": each row draws a deterministic

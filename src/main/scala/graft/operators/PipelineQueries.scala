@@ -238,6 +238,12 @@ object PipelineQueries {
     Curation.stratifiedCap(t(s, dir, "documents"), "lang", "doc_id", cap = 30)
       .select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
 
+  /** L31: cluster-balanced diverse sampling — per-cluster quota over the
+    * portable quantizer's partition of the embedding space. */
+  def sampleDiverse(s: SparkSession, dir: String): DataFrame =
+    Curation.diverseSample(t(s, dir, "embeddings"), nClusters = 8, cap = 12)
+      .select("vec_id", "cl", "sample_rank").orderBy("cl", "sample_rank")
+
   /** L23: weighted sampling (A-ES) — length-weighted, 5 docs per lang. */
   def sampleWeighted(s: SparkSession, dir: String): DataFrame =
     Curation.weightedSample(t(s, dir, "documents"), "lang", "doc_id",
@@ -348,6 +354,7 @@ object PipelineQueries {
     "text_pii" -> textPii,
     "text_fingerprint" -> textFingerprint,
     "sample_stratified" -> sampleStratified,
+    "sample_diverse" -> sampleDiverse,
     "sample_weighted" -> sampleWeighted,
     "pack_sequences" -> packSequences,
     "sample_temperature" -> sampleTemperature,
@@ -808,6 +815,29 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
         | FROM documents)
         |WHERE sample_rank <= 30 ORDER BY lang, sample_rank""".stripMargin,
+    "sample_diverse" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei),
+        |sd AS (SELECT cl, vi FROM sr WHERE cl < 8),
+        |dist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN sd s),
+        |da AS (SELECT vec_id, cl,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dist),
+        |assign AS (SELECT vec_id, cl FROM da WHERE rn = 1)
+        |SELECT vec_id, cl, sample_rank FROM (
+        | SELECT vec_id, cl,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY cl
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS sample_rank
+        | FROM assign)
+        |WHERE sample_rank <= 12 ORDER BY cl, sample_rank""".stripMargin,
     "sample_weighted" ->
       """WITH src AS (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |keyed AS (SELECT doc_id, lang, n_chars,

@@ -182,35 +182,58 @@ object Ann {
     * This converts IVF candidate generation from rows-only to
     * hash-verified against DuckDB; [[topKIvf]] (Lloyd-trained quantizer,
     * double distances) stays the quality/scale path. */
+  private def intVec(v: Column): Column = transform(v, x => floor(x * 1048576).cast("long"))
+
+  /** The portable quantizer's seeds: the `nCentroids` corpus vectors
+    * with the smallest (md5(vec_id), vec_id), as integer-scaled
+    * coordinates. Bounded model input: nCentroids × dim longs on the
+    * driver — the same size contract as the trained quantizer's collect. */
+  private def portableSeeds(corpus: DataFrame, nCentroids: Int): Array[Array[Long]] =
+    corpus
+      .select(col("vec_id"), intVec(Vectors.toDouble(col("embedding"))).as("__vi"))
+      .withColumn("__h", md5(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(nCentroids)
+      .select("__vi").collect().map(_.getSeq[Long](0).toArray)
+
+  /** Exact integer squared distances to every seed, as one array column. */
+  private def intDists(vi: Column, seeds: Array[Array[Long]]): Column = {
+    val seedSelfIp: Array[Long] = seeds.map(s => s.map(x => x * x).sum)
+    val selfIp = dotL(vi, vi)
+    array(seeds.indices.map { i =>
+      selfIp + lit(seedSelfIp(i)) - lit(2L) * dotL(vi, typedLit(seeds(i).toSeq))
+    }: _*)
+  }
+
+  /** Portable cluster assignment — every corpus vector to the id of its
+    * nearest hash-sampled seed (ties to the smaller id) by exact integer
+    * distance: (vec_id, cl) rows, bit-identical in any engine. The
+    * shared front half of [[topKIvfPortable]], and the embedding-space
+    * partitioner the diversity sampler (L31) stratifies over. */
+  def portableAssignments(corpus: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val seeds = portableSeeds(corpus, nCentroids)
+    scatter(corpus)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__v"))
+      .withColumn("__d", intDists(intVec(col("__v")), seeds))
+      // first index attaining the integer min — ties to the smaller cl
+      .select(col("vec_id"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cl"))
+  }
+
   def topKIvfPortable(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 5,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    def intVec(v: Column): Column = transform(v, x => floor(x * 1048576).cast("long"))
-    // bounded model input: nCentroids × dim longs on the driver — the
-    // same size contract as the trained quantizer's collect
-    val seeds: Array[Array[Long]] = corpus
-      .select(col("vec_id"), intVec(Vectors.toDouble(col("embedding"))).as("__vi"))
-      .withColumn("__h", md5(col("vec_id").cast("string")))
-      .orderBy(col("__h"), col("vec_id")).limit(nCentroids)
-      .select("__vi").collect().map(_.getSeq[Long](0).toArray)
-    val seedSelfIp: Array[Long] = seeds.map(s => s.map(x => x * x).sum)
-    def dists(vi: Column): Column = {
-      val selfIp = dotL(vi, vi)
-      array(seeds.indices.map { i =>
-        selfIp + lit(seedSelfIp(i)) - lit(2L) * dotL(vi, typedLit(seeds(i).toSeq))
-      }: _*)
-    }
+    val seeds = portableSeeds(corpus, nCentroids)
     val c = scatter(corpus)
       .select(col("vec_id").as("n_id"), Vectors.toDouble(col("embedding")).as("__vc"))
-      .withColumn("__d", dists(intVec(col("__vc"))))
+      .withColumn("__d", intDists(intVec(col("__vc")), seeds))
       // first index attaining the integer min — ties to the smaller cl
       .withColumn("__cl", (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
       .drop("__d")
     val probeIds = {
-      val d = dists(intVec(col("__vq")))
+      val d = intDists(intVec(col("__vq")), seeds)
       val idx = transform(typedLit(seeds.indices.toList),
         i => struct(element_at(d, i + 1).as("d"), i.as("i")))
       slice(transform(array_sort(idx), s => s.getField("i")), 1, nProbe)

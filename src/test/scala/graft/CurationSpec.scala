@@ -33,6 +33,31 @@ class CurationSpec extends AnyFunSuite {
     assert(sizes.nonEmpty && sizes.forall(_ <= 7))
   }
 
+  test("diverse sample: per-cluster caps hold, every cluster with members is covered, deterministic") {
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    val assigned = graft.similarity.Ann.portableAssignments(emb, nCentroids = 8)
+    val clusterSizes = assigned.groupBy("cl").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = Curation.diverseSample(emb, nClusters = 8, cap = 12)
+      .select("vec_id", "cl", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    // per-cluster quota: exactly min(cap, cluster size) picks, ranks 1..n
+    got.groupBy(_._2).foreach { case (cl, picks) =>
+      assert(picks.length == math.min(12L, clusterSizes(cl)),
+        s"cluster $cl: ${picks.length} picks for size ${clusterSizes(cl)}")
+      assert(picks.map(_._3).sorted.toSeq == (1 to picks.length))
+    }
+    // the sample spans the space: every non-empty cluster contributes
+    assert(got.map(_._2).distinct.length == clusterSizes.count(_._2 > 0),
+      "a non-empty cluster was left out of the sample")
+    // pure function of the data
+    val again = Curation.diverseSample(emb, nClusters = 8, cap = 12)
+      .select("vec_id", "cl", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("weighted sample: salted phases equal the single-window reference; heavy weights dominate") {
     import org.apache.spark.sql.expressions.Window
     val df = docs.select(col("doc_id"), col("lang"),
