@@ -26,6 +26,7 @@ object Bench {
     "merge_full",
     "update_by_key",
     "upsert_bucketed",
+    "cdf_diff", // NEW r6 entry (C25) — absent from r1–r5 records
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_jaccard_adaptive",
@@ -34,6 +35,7 @@ object Bench {
     "dedup_clusters",
     "contamination_check",
     "sample_stratified",
+    "sample_diverse", // NEW r6 entry (L31) — absent from r1–r5 records
     "text_tfidf",
     "sim_topk_bruteforce",
     "sim_topk_ivf",

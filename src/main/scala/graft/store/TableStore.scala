@@ -974,13 +974,19 @@ final class TableStore(
       val changed = valCols
         .map(c => !(col("__cdf_pre")(c) <=> col("__cdf_post")(c)))
         .foldLeft(lit(false))(_ || _)
-      def img(side: String, tag: String, cond: Column): DataFrame =
-        joined.filter(cond).select(
-          cols.map(c => col(side)(c).as(c)) :+ lit(tag).as(ct): _*)
-      img("__cdf_post", "insert", !preP)
-        .unionByName(img("__cdf_pre", "delete", !postP))
-        .unionByName(img("__cdf_pre", "update_preimage", preP && postP && changed))
-        .unionByName(img("__cdf_post", "update_postimage", preP && postP && changed))
+      // ONE pass over the join (a 4-way union of filtered branches would
+      // execute it four times): each row maps to its image array —
+      // insert | delete | (preimage, postimage) — and explodes
+      def img(side: String, tag: String): Column =
+        struct(cols.map(c => col(side)(c).as(c)) :+ lit(tag).as(ct): _*)
+      joined.filter(!preP || !postP || changed)
+        .select(explode(
+          when(!preP, array(img("__cdf_post", "insert")))
+            .when(!postP, array(img("__cdf_pre", "delete")))
+            .otherwise(array(img("__cdf_pre", "update_preimage"),
+              img("__cdf_post", "update_postimage")))).as("__cdf_img"))
+        .select(cols.map(c => col("__cdf_img")(c).as(c)) :+
+          col("__cdf_img")(ct).as(ct): _*)
     } else {
       // multiset diff: count per full row value on each side (groupBy
       // treats nulls as equal — the multiset semantics we want)
