@@ -737,4 +737,67 @@ object Dedup {
         Vectors.cosine6(col("a___v"), col("b___v")).as("cosine"))
       .filter(col("cosine") >= tau)
   }
+
+  /** L32: exact substring-duplication stats — the distributed form of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"; no reference analogue
+    * — a beyond-reference training-data operator).
+    *
+    * Every k-token window of every document is hashed; a window whose
+    * hash occurs in ≥ 2 distinct documents marks its start position, and
+    * marked windows whose spans overlap or touch (start gap ≤ k) merge
+    * into maximal duplicated spans via gap-and-islands over positions.
+    * Per document: window/span counts, duplicated token count and
+    * fraction — the inputs to span-drop or doc-drop policies.
+    *
+    * Scale (100 TB): windows are O(total tokens) thin rows
+    * (doc_id, pos, hash) — never the window text itself past the map
+    * side; the duplicate test is one linear hash aggregation with
+    * map-side combine (hot boilerplate windows collapse to one partial
+    * per task); the flag-back is a semi-shaped inner join on the same
+    * key whose output is bounded by the true marked positions; span
+    * merging windows over doc_id — document-sized partitions, never
+    * skewed. No stage materializes more than O(total tokens) rows.
+    *
+    * `hash64 = true` (default) keys windows by 8-byte xxhash64 — the
+    * cluster-scale choice (half the shuffle width of md5, no hex
+    * strings). `false` keys by md5 hex, which DuckDB mirrors exactly —
+    * the driver oracle runs against this engine output unchanged
+    * because the result carries no hash values: the two paths agree
+    * unless a 64-bit collision falsely marks a window (birthday odds
+    * ~1e-4 at 10^8 windows; DedupAnnSpec pins exact equality of both
+    * paths on the test corpus). */
+  def substringDupStats(docs: DataFrame, k: Int = 8, hash64: Boolean = true): DataFrame = {
+    require(k >= 2, s"window size must be >= 2, got $k")
+    val hashOf: Column => Column = if (hash64) xxhash64(_) else md5(_)
+    val toksed = docs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+      Text.tokens(col("text")).as("__toks"))
+    val wins = cached(scatter(toksed.filter(col("n_tokens") >= k))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => hashOf(concat_ws(" ", slice(col("__toks"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("__h")))
+    val dup = wins.groupBy("__h")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select("__h")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val spans = wins.join(dup, "__h").select("doc_id", "pos")
+      .withColumn("__brk", when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("__island", sum("__brk").over(w))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min("pos").as("__s"), max("pos").as("__e"), count(lit(1)).as("__nw"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("__nspans"), sum("__nw").as("__dw"),
+        sum(col("__e") - col("__s") + lit(k)).as("__dt"))
+    toksed.select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("__dw"), lit(0L)).as("dup_windows"),
+        coalesce(col("__nspans"), lit(0L)).as("n_spans"),
+        coalesce(col("__dt"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("__dt"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -82,6 +82,13 @@ object PipelineQueries {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings")).orderBy("a_id", "b_id")
 
+  /** L32: exact substring-duplication stats. Runs the xxhash64 scale
+    * path; the oracle mirrors the md5 path — valid because the output
+    * carries no hash values and DedupAnnSpec pins the two paths
+    * equal. See [[Dedup.substringDupStats]]. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(t(s, dir, "documents")).orderBy("doc_id")
+
   def dedupFamilies(s: SparkSession, dir: String): DataFrame =
     Dedup.familiesPairs(t(s, dir, "documents")).orderBy("family", "a_id", "b_id")
 
@@ -336,6 +343,7 @@ object PipelineQueries {
     "dedup_cross" -> dedupCross,
     "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_substring" -> dedupSubstring,
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
@@ -535,6 +543,37 @@ object PipelineQueries {
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> s"$jaccardOracleBody\nORDER BY a_id, b_id",
+    "dedup_substring" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        | SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+        | FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dpos AS (
+        | SELECT w.doc_id, w.pos,
+        |   CASE WHEN w.pos - lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) <= 8
+        |        THEN 0 ELSE 1 END AS brk
+        | FROM w JOIN dup USING (h)),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dpos),
+        |spans AS (
+        | SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS nw
+        | FROM isl GROUP BY doc_id, island),
+        |perdoc AS (
+        | SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(nw) AS BIGINT) AS dup_windows,
+        |   CAST(SUM(e - s + 8) AS BIGINT) AS dup_tokens
+        | FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |  GREATEST(len(t.toks) - 7, 0) AS n_windows,
+        |  COALESCE(p.dup_windows, 0) AS dup_windows,
+        |  COALESCE(p.n_spans, 0) AS n_spans,
+        |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+        |  ROUND(COALESCE(p.dup_tokens, 0) / len(t.toks), 6) AS dup_frac
+        |FROM t LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_adaptive" ->
       """WITH tok AS (
         | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks

@@ -48,6 +48,39 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(famsP.filter(_._1 == "jaccard").map(t => (t._2, t._3)) == exact)
   }
 
+  test("substring dup stats: scale path equals portable path, stats internally consistent") {
+    val fast = Dedup.substringDupStats(docs).orderBy("doc_id").collect()
+    val portable = Dedup.substringDupStats(docs, hash64 = false).orderBy("doc_id").collect()
+    assert(fast.sameElements(portable),
+      "xxhash64 and md5 window-hash paths disagree (collision or logic drift)")
+    assert(fast.length == docs.count())
+    var anyDup = false
+    fast.foreach { r =>
+      val (nTok, nWin) = (r.getLong(1), r.getLong(2))
+      val (dupWin, nSpans, dupTok) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nWin == math.max(nTok - 7, 0L))
+      assert(dupWin <= nWin && dupTok <= nTok && nSpans <= dupWin)
+      // a span of m merged windows covers between m + k - 1 and m * k
+      // tokens — violated only by a broken island merge
+      if (nSpans > 0) { anyDup = true; assert(dupTok >= dupWin + 7 * nSpans) }
+      assert(dupTok <= dupWin * 8)
+    }
+    assert(anyDup, "test corpus has cross-doc duplicate windows; none detected")
+  }
+
+  test("substring dup stats mark exactly the duplicated-span positions on a crafted corpus") {
+    import spark.implicits._
+    // B repeats A's 10-token prefix; C is disjoint. k=8 → A and B share
+    // windows at positions 1..3 (one merged span of 10 tokens each).
+    val a = (1 to 10).map(i => s"w$i").mkString(" ") + " alpha beta gamma delta"
+    val b = (1 to 10).map(i => s"w$i").mkString(" ") + " epsilon zeta eta theta"
+    val c = (101 to 114).map(i => s"u$i").mkString(" ")
+    val crafted = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(crafted).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ==
+      Seq((1L, 3L, 1L, 10L), (2L, 3L, 1L, 10L), (3L, 0L, 0L, 0L)))
+  }
+
   test("simhash finds every strong near-duplicate") {
     val strong = Dedup.ngramJaccardPairs(docs, tau = 0.9)
     val sh = pairSet(Dedup.simhashPairs(docs))
