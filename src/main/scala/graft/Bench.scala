@@ -31,6 +31,7 @@ object Bench {
     "dedup_ngram_jaccard",
     "dedup_jaccard_adaptive",
     "dedup_minhash_lsh",
+    "dedup_substring", // NEW r6 entry (L32) — absent from r1–r5 records
     "dedup_families",
     "dedup_clusters",
     "contamination_check",

@@ -235,6 +235,25 @@ object CoreQueries {
       orderBy = Seq("o_orderkey"))
   }
 
+  // C27: Bloom-sketch file pruning — a round-robin layout interleaves
+  // every file across the whole key range, so min/max zone maps keep
+  // every file for any in-range equality probe; the per-file Bloom
+  // sidecar (analyze(bloomBits=…)) drops the files that provably lack
+  // the probe keys. Pruning effectiveness (file counts) is pinned in
+  // TableStoreSpec; this verifies the bloom-pruned read returns exactly
+  // the plain-SQL answer — present keys kept, absent keys empty.
+  def statsBloomRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "bloom")
+    store.createTableFromDataFrame("ord",
+      t(s, dir, "orders").repartition(16),
+      Seq("o_orderkey"), infer = false)
+    store.analyze("ord", bloomBits = 1 << 14)
+    store.readTable("ord",
+      columns = Seq("o_custkey", "o_totalprice", "o_orderdate"),
+      where = Some("o_orderkey IN (7, 1001, 2500, 4999, 123456789)"),
+      orderBy = Seq("o_orderkey"))
+  }
+
   // C21: Z-order clustering — a layout-only rewrite (interleaved-bit
   // curve over two independent columns) after which file stats prune on
   // BOTH; the answer through the clustered+pruned path must equal plain
@@ -344,6 +363,7 @@ object CoreQueries {
     "merge_timestamps" -> mergeTimestamps,
     "autoadjust_widen" -> autoadjustWiden,
     "stats_pruned_read" -> statsPrunedRead,
+    "stats_bloom_read" -> statsBloomRead,
     "zorder_read" -> zorderRead,
     "scd2_history" -> scd2History,
   )
@@ -429,6 +449,10 @@ object CoreQueries {
     "stats_pruned_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
+    "stats_bloom_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_orderkey IN (7, 1001, 2500, 4999, 123456789)
         |ORDER BY o_orderkey""".stripMargin,
     "zorder_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -18,4 +18,9 @@ object GraftFunctions {
     * space-saving sketch (exact when distinct ≤ capacity). */
   def topKByFreq(term: Column, k: Int, capacity: Int = 4096): Column =
     bridge.column(SpaceSaving(bridge.expression(term), k, capacity).toAggregateExpression())
+
+  /** Per-group Bloom sketch over rendered (string) values — the C27
+    * analyze-side aggregate; see [[BloomSketch]] for the payload. */
+  def bloomSketch(rendered: Column, bits: Int, numHashes: Int): Column =
+    bridge.column(BloomAgg(bridge.expression(rendered), bits, numHashes).toAggregateExpression())
 }

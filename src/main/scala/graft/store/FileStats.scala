@@ -45,8 +45,18 @@ object FileStats {
     * otherwise compare e.g. int predicates against lexicographic
     * string min/max and mis-prune. Entries whose dom doesn't match the
     * read schema's type (or legacy entries without one) never prune. */
+  /** `bloom` (C27) is an optional Base64 [[graft.plans.BloomSketch]]
+    * payload over the file's RENDERED values of the column — the same
+    * string domain min/max are rendered in — letting equality/IN
+    * predicates drop files whose [min,max] overlaps the probe value but
+    * which provably don't contain it (hash-partitioned or interleaved
+    * layouts, where every file spans the whole range and zone maps
+    * prune nothing). Advisory like every stat: absent/corrupt → no
+    * bloom cut; a membership test can only answer "definitely absent"
+    * or "maybe present", so false positives cost scan size, never
+    * correctness. */
   final case class ColStat(min: Option[String], max: Option[String], nulls: Long,
-      dom: Option[String] = None)
+      dom: Option[String] = None, bloom: Option[String] = None)
   final case class FileStat(rows: Long, cols: Map[String, ColStat])
 
   // ── persistence ─────────────────────────────────────────────────────────
@@ -71,6 +81,7 @@ object FileStats {
         cs.max.foreach(o.put("max", _))
         o.put("nulls", cs.nulls)
         cs.dom.foreach(o.put("dom", _))
+        cs.bloom.foreach(o.put("bloom", _))
       }
     }
     val tmp = new Path(path.getParent, path.getName + ".tmp")
@@ -108,7 +119,8 @@ object FileStats {
           Option(o.get("min")).map(_.asText()),
           Option(o.get("max")).map(_.asText()),
           o.get("nulls").asLong(),
-          Option(o.get("dom")).map(_.asText()))
+          Option(o.get("dom")).map(_.asText()),
+          Option(o.get("bloom")).map(_.asText()))
       }
       b += file -> FileStat(f.get("rows").asLong(), cb.result())
     }
@@ -207,7 +219,8 @@ object FileStats {
     val loCmp = compare(dt, cs.min.get, v).getOrElse(return true) // min ? v
     val hiCmp = compare(dt, cs.max.get, v).getOrElse(return true) // max ? v
     c match {
-      case _: EqualTo | _: EqualNullSafe => loCmp <= 0 && hiCmp >= 0
+      case _: EqualTo | _: EqualNullSafe =>
+        loCmp <= 0 && hiCmp >= 0 && bloomMayContain(cs, dt, v)
       case _: GreaterThan        => if (flipped) loCmp < 0 else hiCmp > 0
       case _: GreaterThanOrEqual => if (flipped) loCmp <= 0 else hiCmp >= 0
       case _: LessThan           => if (flipped) hiCmp > 0 else loCmp < 0
@@ -224,10 +237,45 @@ object FileStats {
     if (cs.min.isEmpty || cs.max.isEmpty) return false
     val dt = types.getOrElse(n, return true)
     (compare(dt, cs.min.get, v), compare(dt, cs.max.get, v)) match {
-      case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+      case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0 && bloomMayContain(cs, dt, v)
       case _ => true
     }
   }
+
+  /** C27 bloom cut for `col = v` / `col IN (…)`: false only when the
+    * file's sketch PROVABLY lacks the probe value. Only consulted after
+    * [[domOk]] and the range test pass, so the sketch and the literal
+    * share a type domain; a literal whose rendering isn't bit-exactly
+    * reproducible (float/double) never consults the sketch. */
+  private def bloomMayContain(cs: ColStat, dt: DataType, v: Any): Boolean =
+    cs.bloom match {
+      case None => true
+      case Some(b64) => renderLit(dt, v) match {
+        case None => true
+        case Some(s) => Try(java.util.Base64.getDecoder.decode(b64)).toOption
+          .forall(graft.plans.BloomSketch.mightContain(_, s))
+      }
+    }
+
+  /** Render a Catalyst literal into the EXACT string the analyze-side
+    * sketch hashed — Spark's `cast(col AS STRING)` of the stats domain
+    * (zoned timestamps: epoch micros). Types whose cast rendering isn't
+    * trivially reproducible from the internal value (float/double
+    * shortest-repr, intervals, binary) return None → no bloom test. */
+  private def renderLit(dt: DataType, v: Any): Option[String] = Try {
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => v.toString
+      case StringType => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case TimestampType => v.asInstanceOf[Long].toString // epoch micros, both sides
+      case d: DecimalType =>
+        // Cast(decimal → string) renders via Decimal.toString (scale-
+        // faithful BigDecimal); literals arrive as Decimal already
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toString
+      case BooleanType => v.asInstanceOf[Boolean].toString
+      case _ => return None
+    }
+  }.toOption
 
   /** compare(statValue, literalValue) in the column's type domain; None
     * when the pair can't be compared reliably (→ keep the file). Literal

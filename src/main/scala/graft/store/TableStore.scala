@@ -519,9 +519,20 @@ final class TableStore(
     * ones appended since the last analyze) and keeps the rest — the
     * steady-state maintenance cost tracks the insert rate, not the
     * table size. Falls back to a full pass when the existing stats
-    * cover a different column set. */
+    * cover a different column set.
+    *
+    * `bloomBits > 0` (a power of two) additionally folds every file's
+    * rendered values into a per-file-per-column Bloom sketch (C27, see
+    * [[graft.plans.BloomSketch]]) in the SAME aggregation pass — no
+    * extra scan. Equality/IN predicates then drop files whose [min,max]
+    * straddles the probe value but which provably don't contain it —
+    * the hash-bucketed / interleaved layouts where zone maps prune
+    * nothing. Cost is bloomBits/8 bytes per file per column in the
+    * sidecar (×4/3 for Base64): size it to the per-file distinct count
+    * (≈10 bits/value for ~1% false positives at the default 6 hashes). */
   def analyze(name: String, columns: Seq[String] = Seq.empty,
-      incremental: Boolean = false): Unit = withCommitLock(name) {
+      incremental: Boolean = false, bloomBits: Int = 0,
+      bloomHashes: Int = 6): Unit = withCommitLock(name) {
     // under the lock: analyze read-modify-writes stats.json, and an
     // unlocked run could resurrect entries a concurrent dropColumn
     // scrubbed (or clobber a vacuum's trim)
@@ -564,7 +575,13 @@ final class TableStore(
         presentKeys.contains(f) && st.cols.keySet == cols0.toSet &&
           // re-scan entries computed under another type domain (or
           // legacy ones without a domain tag) — they can't prune
-          st.cols.forall { case (c, cs) => cs.dom.contains(domOf(c)) }
+          st.cols.forall { case (c, cs) => cs.dom.contains(domOf(c)) } &&
+          // a bloom-requesting analyze re-scans entries missing a sketch
+          // at the requested width; bloomBits=0 keeps existing sketches
+          // (immutable files — a sketch once true stays true)
+          (bloomBits == 0 || st.cols.forall { case (_, cs) =>
+            cs.bloom.exists(b => graft.plans.BloomSketch.bitsOf(b) == bloomBits)
+          })
       }
     val toScan = present.filterNot(p => kept.contains(FileStats.relativeKey(dataDir, p)))
     val scanned: Map[String, FileStats.FileStat] =
@@ -584,7 +601,15 @@ final class TableStore(
           val q = if (isTz) unix_micros(q0) else q0
           Seq(min(q).cast("string").as(s"__min_$c"),
             max(q).cast("string").as(s"__max_$c"),
-            sum(when(q0.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+            sum(when(q0.isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+            // the bloom hashes the SAME rendering the min/max persist
+            // (cast-to-string of the aligned value; zoned ts as micros) —
+            // the contract FileStats.renderLit reproduces probe-side
+            (if (bloomBits > 0)
+              Seq(graft.plans.GraftFunctions
+                .bloomSketch(q.cast("string"), bloomBits, bloomHashes)
+                .as(s"__bloom_$c"))
+            else Nil)
         }
         val rows = aligned.groupBy(col("__file"))
           .agg(count(lit(1)).as("__rows"), aggs: _*)
@@ -595,7 +620,10 @@ final class TableStore(
               Option(r.getAs[String](s"__min_$c")),
               Option(r.getAs[String](s"__max_$c")),
               r.getAs[Long](s"__nulls_$c"),
-              Some(domOf(c)))
+              Some(domOf(c)),
+              if (bloomBits == 0) None
+              else Option(r.getAs[Array[Byte]](s"__bloom_$c"))
+                .map(java.util.Base64.getEncoder.encodeToString))
           }.toMap
           FileStats.fileKey(dataDir, r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
         }.toMap

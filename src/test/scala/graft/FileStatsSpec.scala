@@ -104,6 +104,44 @@ class FileStatsSpec extends AnyFunSuite {
     assert(!may("k = 99", FileStat(0L, Map("k" -> ColStat(None, None, 0L, None)))))
   }
 
+  test("bloom sketch cuts equality/IN inside the range; corrupt payloads degrade") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.BloomSketch
+    def payload(values: String*): String = {
+      val words = BloomSketch.emptyWords(1024)
+      values.foreach(v => BloomSketch.add(words, UTF8String.fromString(v), 6))
+      java.util.Base64.getEncoder.encodeToString(BloomSketch.serialize(words, 6))
+    }
+    // file range [100,200] but only holding {100, 150, 200}
+    val s = stat("k" -> ColStat(Some("100"), Some("200"), 0,
+      Some(LongType.catalogString), Some(payload("100", "150", "200"))))
+    assert(may("k = 150", s) && may("k = 100", s))
+    assert(!may("k = 151", s), "in-range absent value must be bloom-cut")
+    assert(may("k IN (5, 150)", s) && !may("k IN (5, 151)", s))
+    // range predicates never consult the bloom (membership says nothing
+    // about order): still prune only by [min,max]
+    assert(may("k >= 151", s) && !may("k > 200", s))
+    // corrupt / wrong-version payloads degrade to keep-the-file
+    val bad = stat("k" -> ColStat(Some("100"), Some("200"), 0,
+      Some(LongType.catalogString), Some("!!!not-base64!!!")))
+    assert(may("k = 151", bad))
+    val wrongVer = {
+      val p = java.util.Base64.getDecoder.decode(payload("100"))
+      p(0) = 99
+      stat("k" -> ColStat(Some("100"), Some("200"), 0,
+        Some(LongType.catalogString), Some(java.util.Base64.getEncoder.encodeToString(p))))
+    }
+    assert(may("k = 151", wrongVer))
+    // a wrong type domain disables the whole entry, bloom included
+    val otherDom = stat("k" -> ColStat(Some("100"), Some("200"), 0,
+      Some(IntegerType.catalogString), Some(payload("100"))))
+    assert(may("k = 151", otherDom))
+    // string domain: rendered value is the string itself
+    val ss = stat("s" -> ColStat(Some("aa"), Some("zz"), 0,
+      Some(StringType.catalogString), Some(payload("aa", "mm", "zz"))))
+    assert(may("s = 'mm'", ss) && !may("s = 'mn'", ss))
+  }
+
   test("conservative fallbacks: unknown columns, stat-less columns, odd shapes") {
     val s = stat(k("100", "200"))
     assert(may("s = 'anything'", s))      // no stats for s → keep

@@ -273,6 +273,49 @@ class TableStoreSpec extends AnyFunSuite {
     assert(point.select("v").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("bloom-analyzed reads prune interleaved layouts min/max can't, same answer") {
+    val store = newStore()
+    // round-robin across 8 files: every file spans ~the whole key range,
+    // so zone maps keep every file for any in-range equality probe
+    val df = spark.range(0, 4000).select((col("id") * 2).as("k"),
+      concat(lit("name_"), col("id") * 2).as("s")).repartition(8)
+    store.createTableFromDataFrame("t", df, Seq("k"), infer = false)
+    val allFiles = store.readTable("t").inputFiles.length
+    assert(allFiles >= 8)
+    store.analyze("t", columns = Seq("k", "s"))
+    // min/max keeps all 8 interleaved data files (only the empty
+    // flat-layout seed file drops, by its rows=0 entry)
+    val minmaxOnly = store.readTable("t", where = Some("k = 42")).inputFiles.length
+    assert(minmaxOnly >= 8, "interleaved layout should defeat min/max pruning")
+
+    store.analyze("t", columns = Seq("k", "s"), bloomBits = 1 << 14)
+    // present key: exactly the holding file survives (FP ≈ 4e-4 at 16
+    // bits/value could add one; the answer must be identical regardless)
+    val eq = store.readTable("t", where = Some("k = 42"))
+    assert(eq.inputFiles.length <= 2 && eq.count() == 1)
+    // in-range ABSENT key (odd): every file bloom-cut, empty result
+    val absent = store.readTable("t", where = Some("k = 4001"))
+    assert(absent.inputFiles.length <= 1 && absent.count() == 0)
+    // IN mixes present + absent members; string column probes prune too
+    assert(store.readTable("t", where = Some("k IN (42, 4001)")).count() == 1)
+    val sEq = store.readTable("t", where = Some("s = 'name_42'"))
+    assert(sEq.inputFiles.length <= 2 && sEq.count() == 1)
+    // range predicates don't consult blooms: full scan, full answer
+    assert(store.readTable("t", where = Some("k >= 0")).count() == 4000)
+    // no mis-prune across a spread of present keys
+    val probes = Seq(0L, 2L, 1998L, 3998L, 7998L)
+    probes.foreach { p =>
+      assert(store.readTable("t", where = Some(s"k = $p")).count() == 1, s"lost k=$p")
+    }
+    // incremental analyze at the same width keeps bloom'd entries and
+    // sketches only the new file
+    store.insert("t", Seq((100001L, "x")).toDF("k", "s"))
+    store.analyze("t", columns = Seq("k", "s"), incremental = true, bloomBits = 1 << 14)
+    val point = store.readTable("t", where = Some("k = 100001"))
+    assert(point.inputFiles.length == 1 && point.count() == 1)
+    assert(store.readTable("t", where = Some("k = 42")).inputFiles.length <= 2)
+  }
+
   test("bucketed reads prune to the PK hash's buckets — no stats needed") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 8)
