@@ -131,8 +131,9 @@ final case class Graft(
     def compact(name: String, rowsPerFile: Long = 1000000L): Unit =
       store.compact(name, rowsPerFile)
     def analyze(name: String, columns: Seq[String] = Seq.empty,
-        incremental: Boolean = false): Unit =
-      store.analyze(name, columns, incremental)
+        incremental: Boolean = false, bloomBits: Int = 0,
+        bloomHashes: Int = 6): Unit =
+      store.analyze(name, columns, incremental, bloomBits, bloomHashes)
     def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit =
       store.cluster(name, columns, filesTarget)
     /** Drop snapshot history older than the last `keepLast` generations. */

@@ -790,7 +790,11 @@ object Dedup {
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("__nspans"), sum("__nw").as("__dw"),
         sum(col("__e") - col("__s") + lit(k)).as("__dt"))
-    toksed.select(col("doc_id"), col("n_tokens"),
+    // the per-doc frame needs only (doc_id, n_tokens) — cache that slim
+    // projection rather than re-scanning + re-tokenizing the corpus a
+    // second time for the final join
+    val counts = cached(toksed.select(col("doc_id"), col("n_tokens")))
+    counts.select(col("doc_id"), col("n_tokens"),
         greatest(col("n_tokens") - (k - 1), lit(0L)).as("n_windows"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),

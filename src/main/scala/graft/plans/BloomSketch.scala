@@ -78,11 +78,18 @@ object BloomSketch {
   }
 
   /** The bit width a payload was built with (for incremental-analyze
-    * reuse checks); 0 when the payload is not a valid sketch. */
+    * reuse checks); 0 when the payload would not actually probe — the
+    * SAME shape checks [[mightContain]] applies, so an entry this
+    * accepts is one the pruner will consult. A length-only check would
+    * let incremental analyze keep a corrupt entry forever: right
+    * length, wrong version → every probe degrades to "keep" and the
+    * file is never re-sketched. */
   def bitsOf(payloadB64: String): Int = {
-    val len = try java.util.Base64.getDecoder.decode(payloadB64).length
-              catch { case _: IllegalArgumentException => return 0 }
-    if (len < 2 + 8 || ((len - 2) & 7) != 0) 0 else (len - 2) * 8
+    val p = try java.util.Base64.getDecoder.decode(payloadB64)
+            catch { case _: IllegalArgumentException => return 0 }
+    if (p.length < 2 + 8 || p(0) != Version || ((p.length - 2) & 7) != 0) return 0
+    val words = (p.length - 2) / 8
+    if ((words & (words - 1)) != 0 || p(1).toInt <= 0) 0 else words * 64
   }
 }
 

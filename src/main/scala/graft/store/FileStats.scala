@@ -44,8 +44,9 @@ object FileStats {
     * rewriting files, so a snapshot read at the old schema would
     * otherwise compare e.g. int predicates against lexicographic
     * string min/max and mis-prune. Entries whose dom doesn't match the
-    * read schema's type (or legacy entries without one) never prune. */
-  /** `bloom` (C27) is an optional Base64 [[graft.plans.BloomSketch]]
+    * read schema's type (or legacy entries without one) never prune.
+    *
+    * `bloom` (C27) is an optional Base64 [[graft.plans.BloomSketch]]
     * payload over the file's RENDERED values of the column — the same
     * string domain min/max are rendered in — letting equality/IN
     * predicates drop files whose [min,max] overlaps the probe value but

@@ -578,8 +578,10 @@ final class TableStore(
           st.cols.forall { case (c, cs) => cs.dom.contains(domOf(c)) } &&
           // a bloom-requesting analyze re-scans entries missing a sketch
           // at the requested width; bloomBits=0 keeps existing sketches
-          // (immutable files — a sketch once true stays true)
-          (bloomBits == 0 || st.cols.forall { case (_, cs) =>
+          // (immutable files — a sketch once true stays true). rows=0
+          // entries are exempt: an empty file prunes by its row count
+          // and would re-scan forever (a scan yields it no sketch)
+          (bloomBits == 0 || st.rows == 0 || st.cols.forall { case (_, cs) =>
             cs.bloom.exists(b => graft.plans.BloomSketch.bitsOf(b) == bloomBits)
           })
       }
@@ -615,17 +617,27 @@ final class TableStore(
           .agg(count(lit(1)).as("__rows"), aggs: _*)
           .collect()
         rows.map { r =>
+          val key = FileStats.fileKey(dataDir, r.getAs[String]("__file"))
           val cs = cols0.map { c =>
+            val fresh =
+              if (bloomBits == 0) None
+              else Option(r.getAs[Array[Byte]](s"__bloom_$c"))
+                .map(java.util.Base64.getEncoder.encodeToString)
+            val dom = Some(domOf(c))
+            // a re-scan that didn't build a sketch carries the file's
+            // existing one forward (immutable files — a sketch once
+            // true stays true): a routine analyze() or cluster()'s
+            // auto re-analyze must not silently discard bloom pruning
+            val bloom = fresh.orElse(
+              existing.get(key).flatMap(_.cols.get(c))
+                .filter(_.dom == dom).flatMap(_.bloom))
             c -> FileStats.ColStat(
               Option(r.getAs[String](s"__min_$c")),
               Option(r.getAs[String](s"__max_$c")),
               r.getAs[Long](s"__nulls_$c"),
-              Some(domOf(c)),
-              if (bloomBits == 0) None
-              else Option(r.getAs[Array[Byte]](s"__bloom_$c"))
-                .map(java.util.Base64.getEncoder.encodeToString))
+              dom, bloom)
           }.toMap
-          FileStats.fileKey(dataDir, r.getAs[String]("__file")) -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
+          key -> FileStats.FileStat(r.getAs[Long]("__rows"), cs)
         }.toMap
       }
     // scanned files the aggregation never saw are EMPTY (e.g. the

@@ -314,6 +314,26 @@ class TableStoreSpec extends AnyFunSuite {
     val point = store.readTable("t", where = Some("k = 100001"))
     assert(point.inputFiles.length == 1 && point.count() == 1)
     assert(store.readTable("t", where = Some("k = 42")).inputFiles.length <= 2)
+    // a ROUTINE full analyze (no bloomBits) carries existing sketches
+    // forward instead of silently discarding bloom pruning
+    store.analyze("t", columns = Seq("k", "s"))
+    assert(store.readTable("t", where = Some("k = 42")).inputFiles.length <= 2)
+    assert(store.readTable("t", where = Some("k = 4001")).count() == 0)
+    // a repeated incremental bloom analyze converges to a no-op: every
+    // entry (including the rows=0 seed file, which can never earn a
+    // sketch) is kept, so no scan job launches
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.analyze("t", columns = Seq("k", "s"), incremental = true, bloomBits = 1 << 14)
+      val deadline = System.nanoTime() + 2000000000L
+      while (jobs == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs == 0, "converged incremental bloom analyze still launched a scan job")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("bucketed reads prune to the PK hash's buckets — no stats needed") {
