@@ -235,4 +235,55 @@ object Curation {
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "tfidf", "rank")
   }
+
+  /** BM25 top-k retrieval (L33): score every document against a small
+    * set of keyword queries with Okapi BM25 (the Lucene `+1` idf
+    * variant, so common terms with df > N/2 still contribute ≥ 0) and
+    * keep the best k docs per query — the retrieval primitive a
+    * curation pipeline uses for decontamination lookups, targeted
+    * audits and seed-set expansion. Duplicate query terms count once.
+    *
+    * Scale (100 TB corpus, handful of queries): the corpus side is the
+    * same two linear partial-agg shuffles tf-idf runs (tf per
+    * (doc, term), df per term); the query term set is tiny and
+    * BROADCAST, so candidate generation is a map-side semi-shaped join
+    * keeping only documents that share a term with some query — no
+    * corpus-wide shuffle keyed by query, and the scored set is bounded
+    * by the posting lists of the query terms, not the corpus. The
+    * per-(query, doc) sum uses L19's exact-decimal trick: each term
+    * contribution is cut to DECIMAL(18,6) then summed exactly, so the
+    * aggregate is bit-stable across partitionings and engines (float
+    * sums are order-dependent; ln may differ in the last ulp). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withDl = docs.select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("__dl"))
+    val tf = withDl.select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val stats = withDl.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val qterms = queries.select(col("query_id"),
+      explode(Text.tokens(col("qtext"))).as("term")).distinct()
+    // every arithmetic step below is mirrored operation-for-operation in
+    // the DuckDB oracle (same association, same double casts), so both
+    // engines feed identical doubles into the decimal cut
+    val contrib = tf.join(broadcast(qterms), "term")
+      .join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (log((col("__n").cast("double") - col("__df") + 0.5) /
+             (col("__df").cast("double") + 0.5) + 1.0) *
+          (col("__tf").cast("double") * (k1 + 1.0) /
+            (col("__tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl")))))
+          .cast("decimal(18,6)").as("__c"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("__c")).cast("decimal(18,6)").as("__score"))
+    val w = Window.partitionBy("query_id").orderBy(col("__score").desc, col("doc_id"))
+    // rank on the exact decimal; RENDER as double (both engines derive
+    // the identical double from the identical decimal)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("__score").cast("double").as("score"), col("rank"))
+  }
 }

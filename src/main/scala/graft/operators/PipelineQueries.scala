@@ -279,6 +279,16 @@ object PipelineQueries {
   def textLogprob(s: SparkSession, dir: String): DataFrame =
     Curation.unigramLogprob(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** L33: BM25 top-10 retrieval for three fixed keyword queries over
+    * the documents corpus. See [[Curation.bm25TopK]]. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1, "spark hash join"), (2, "window agg stream"),
+      (3, "fast table scan")).toDF("query_id", "qtext")
+    Curation.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** L28: greedy sequence packing into 512-token training sequences,
     * shard-local (8 shards here; see Curation.packSequences). */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
@@ -368,6 +378,7 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperature,
     "text_boilerplate" -> textBoilerplate,
     "text_tfidf" -> textTfidf,
+    "text_bm25" -> textBm25,
     "text_heavyhitters" -> textHeavyHitters,
     "text_logprob" -> textLogprob,
     "multimodal_decode" -> multimodalDecode,
@@ -973,6 +984,35 @@ object PipelineQueries {
         |    ORDER BY ROUND(tf.tf * ln(n.n * 1.0 / dfq.df), 6) DESC, tf.term) AS INT) AS rank
         | FROM tf JOIN dfq USING (term), n)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_bm25" ->
+      """WITH q(query_id, qtext) AS (
+        | VALUES (1, 'spark hash join'), (2, 'window agg stream'), (3, 'fast table scan')),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |tf AS (SELECT doc_id, u.term, COUNT(*) AS tf
+        | FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, u.term),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT query_id, u.term
+        | FROM q, UNNEST(string_split(qtext, ' ')) AS u(term)),
+        |contrib AS (
+        | SELECT qt.query_id, tf.doc_id,
+        |  CAST(ln((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1)
+        |   * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)
+        |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * ((1 - CAST(0.75 AS DOUBLE))
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) / avgdl)))
+        |   AS DECIMAL(18,6)) AS c
+        | FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+        | JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |scored AS (
+        | SELECT query_id, doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS DECIMAL(18,6)) AS score
+        | FROM contrib GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, n_terms, CAST(score AS DOUBLE) AS score, rank FROM (
+        | SELECT *, CAST(ROW_NUMBER() OVER (
+        |   PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        | FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "text_logprob" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),

@@ -27,6 +27,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("bm25 ranks by the exact formula on a crafted corpus, caps k, is partition-stable") {
+    import spark.implicits._
+    // 4 docs, query "apple pear": d1 has both terms, d2 one term twice
+    // in a longer doc, d3 one term once, d4 neither
+    val corpus = Seq(
+      (1L, "apple pear plum"),
+      (2L, "apple kiwi apple kiwi melon grape fig"),
+      (3L, "pear melon grape"),
+      (4L, "kiwi melon grape fig")).toDF("doc_id", "text")
+    val q = Seq((1, "apple pear")).toDF("query_id", "qtext")
+    val got = Curation.bm25TopK(corpus, q, k = 10).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // hand-computed: N=4, avgdl=17/4; df(apple)=2, df(pear)=2 → idf=ln(2)
+    def contrib(tf: Double, dl: Double): Double = {
+      val raw = math.log((4.0 - 2 + 0.5) / (2.0 + 0.5) + 1.0) *
+        (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.25)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = Seq(
+      (1L, 2L, contrib(1, 3) + contrib(1, 3), 1),  // both terms, short doc
+      (2L, 1L, contrib(2, 7), 2),                  // one term, tf=2, long doc
+      (3L, 1L, contrib(1, 3), 3))                  // one term, tf=1
+    assert(got.toSeq == expect)
+    // doc 4 matches no term and is absent; k caps the output
+    assert(!got.exists(_._1 == 4L))
+    assert(Curation.bm25TopK(corpus, q, k = 2).count() == 2)
+    // same result under a different input partitioning (decimal sum is
+    // order-independent — the reason contributions aren't float-summed)
+    val reGot = Curation.bm25TopK(corpus.repartition(7), q, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(reGot.sameElements(got))
+    // duplicate query terms count once
+    val dup = Seq((1, "apple apple pear")).toDF("query_id", "qtext")
+    val dupGot = Curation.bm25TopK(corpus, dup, k = 10).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(dupGot.sameElements(got))
+  }
+
   test("stratifiedCap respects the cap even when salts exceed group size") {
     val out = Curation.stratifiedCap(docs, "lang", "doc_id", cap = 7, salts = 64)
     val sizes = out.groupBy("lang").count().collect().map(_.getLong(1))
