@@ -236,16 +236,21 @@ object Streams {
     * (stat-covered files are skipped), so keyed reads against the table
     * prune with zone maps that are never more than one batch stale.
     * Maintenance cost per batch is O(batch), independent of table size —
-    * the property that makes live stats viable on a 100 TB table. */
+    * the property that makes live stats viable on a 100 TB table.
+    * `bloomBits > 0` extends the same per-batch pass with C27 Bloom
+    * sketches, so equality probes on interleaved ingest layouts (where
+    * min/max never prunes) stay one-batch-fresh too — already-sketched
+    * files are skipped exactly like stat-covered ones. */
   def insertSinkWithStats(
       stream: DataFrame,
       store: graft.store.TableStore,
       table: String,
-      statsColumns: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      statsColumns: Seq[String] = Seq.empty,
+      bloomBits: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         store.insert(table, batch)
-        store.analyze(table, statsColumns, incremental = true)
+        store.analyze(table, statsColumns, incremental = true, bloomBits = bloomBits)
     }
 
   /** S8: streaming contamination gate — the streaming twin of

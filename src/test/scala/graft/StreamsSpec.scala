@@ -535,6 +535,34 @@ class StreamsSpec extends AnyFunSuite {
       s"stats did not prune: ${point.inputFiles.length} of $all files")
   }
 
+  test("S15 × C27: bloom-maintaining sink keeps equality pruning fresh on interleaved batches") {
+    import graft.store.TableStore
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s15b_").toString)
+    store.createTable("ev", Seq("event_id" -> "bigint", "user_id" -> "bigint"),
+      Seq("event_id"))
+    val in = Files.createTempDirectory("graft_s15b_in_").toString + "/in"
+    val ev = spark.range(0, 4000)
+      .select((col("id") * 2).as("event_id"), (col("id") % 7).as("user_id"))
+    // 4 modulo slices → every micro-batch's file spans ~the whole key
+    // range, so min/max zone maps keep every file for equality probes
+    (0 until 4).foreach(i => ev.filter(col("event_id") % 8 === i * 2)
+      .coalesce(1).write.mode("append").parquet(in))
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+    val q = Streams.insertSinkWithStats(s, store, "ev", bloomBits = 1 << 14)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(store.readTable("ev").count() == 4000)
+    val all = store.readTable("ev").inputFiles.length
+    val point = store.readTable("ev", where = Some("event_id = 42"))
+    assert(point.count() == 1)
+    assert(point.inputFiles.length <= 2,
+      s"bloom did not prune: ${point.inputFiles.length} of $all files")
+    // in-range ABSENT key (odd): every ingested file bloom-cut
+    val absent = store.readTable("ev", where = Some("event_id = 41"))
+    assert(absent.inputFiles.length <= 1 && absent.count() == 0)
+  }
+
   test("S3: flatMapGroupsWithState running totals equal batch aggregation") {
     val got = runToTable(Streams.runningTotals(stream).toDF(), "s3", "update")
     // keep the last update per user (multiple micro-batches may emit)
