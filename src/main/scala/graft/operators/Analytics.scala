@@ -261,6 +261,51 @@ object Analytics {
       .orderBy("user_id", "session_seq")
   }
 
+  // ── A22: ordered funnel completion ──────────────────────────────────────
+  /** Earliest strictly-ordered completion of a 3-step event funnel per
+    * user (view → click → purchase here): t1 = first step-1 event,
+    * t2 = first step-2 event strictly after t1, t3 = first step-3
+    * event strictly after t2; `stage` = how far the user got.
+    *
+    * ONE shuffle (the groupBy(user)): events are pre-filtered to the
+    * three step types at the SCAN (predicate pushdown), then each
+    * user's remaining events fold left-to-right through a codegen'd
+    * `aggregate` over the time-sorted array — the greedy scan computes
+    * exactly the iterated min-after-previous-step definition because
+    * every transition requires a STRICTLY later timestamp (ties can't
+    * reorder across steps). The join-free form of the 3-self-join SQL
+    * the oracle runs — which is the point: at 100 TB the sort is
+    * per-user-local and the per-user state is only the funnel-step
+    * events, not the full activity stream (hot users bounded by their
+    * funnel events; pre-aggregation keeps no per-type global state). */
+  def eventsFunnel(s: SparkSession, dir: String,
+      steps: (String, String, String) = ("view", "click", "purchase")): DataFrame = {
+    val (a, b, c) = steps
+    val nullTs = lit(null).cast("timestamp")
+    val evs = t(s, dir, "events")
+      .filter(col("event_type").isin(a, b, c))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type")))).as("__evs"))
+    val folded = evs.select(col("user_id"),
+      aggregate(col("__evs"),
+        struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3")),
+        (acc, e) =>
+          when(acc("t1").isNull && e("event_type") === a,
+            struct(e("ts").as("t1"), acc("t2").as("t2"), acc("t3").as("t3")))
+          .when(acc("t1").isNotNull && acc("t2").isNull &&
+              e("event_type") === b && e("ts") > acc("t1"),
+            struct(acc("t1").as("t1"), e("ts").as("t2"), acc("t3").as("t3")))
+          .when(acc("t2").isNotNull && acc("t3").isNull &&
+              e("event_type") === c && e("ts") > acc("t2"),
+            struct(acc("t1").as("t1"), acc("t2").as("t2"), e("ts").as("t3")))
+          .otherwise(acc)).as("__f"))
+    folded.select(col("user_id"),
+        col("__f.t1").as("t1"), col("__f.t2").as("t2"), col("__f.t3").as("t3"),
+        when(col("__f.t3").isNotNull, 3).when(col("__f.t2").isNotNull, 2)
+          .when(col("__f.t1").isNotNull, 1).otherwise(0).as("stage"))
+      .orderBy("user_id")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -452,6 +497,7 @@ object Analytics {
     "events_tumbling" -> eventsTumbling,
     "events_hopping" -> eventsHopping,
     "events_sessionize" -> eventsSessionize,
+    "events_funnel" -> ((s, dir) => eventsFunnel(s, dir)),
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
     "sample_hash_portable" -> sampleHashPortable,
@@ -568,6 +614,22 @@ object Analytics {
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events, UNNEST(range(0, 2)) u(i)
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_type FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        | CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        |           WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         | SELECT user_id, event_id, ts,

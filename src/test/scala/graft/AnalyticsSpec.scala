@@ -9,6 +9,37 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnalyticsSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
+  test("A22: funnel fold handles ordering, ties and partial stages on a crafted log") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // u1 completes in order; u2's click PRECEDES its first view (stage 1);
+    // u3's purchase ties the click's timestamp exactly (strict > → stage 2);
+    // u4 has a click tying its view's timestamp (strict > → stage 1);
+    // u5 never views (stage 0); u6 completes using the SECOND click
+    // (first click is pre-view) and ignores funnel-external types
+    val rows = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(1), "view"), (3L, ts(2), "click"), (3L, ts(2), "purchase"),
+      (4L, ts(1), "view"), (4L, ts(1), "click"),
+      (5L, ts(1), "click"), (5L, ts(2), "purchase"),
+      (6L, ts(1), "click"), (6L, ts(2), "view"), (6L, ts(3), "error"),
+      (6L, ts(4), "click"), (6L, ts(5), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("user_id") * 100)
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_").toString
+    rows.write.mode("overwrite").parquet(dir + "/events.parquet")
+    val got = operators.Analytics.eventsFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0, 6L -> 3))
+    // u6's completion uses the post-view click
+    val u6 = operators.Analytics.eventsFunnel(spark, dir)
+      .filter(col("user_id") === 6L).collect().head
+    assert(u6.getTimestamp(2) == ts(4) && u6.getTimestamp(3) == ts(5))
+  }
+
   test("A13: approx_count_distinct error stays within 3×rsd at sf0.01 and sf0.1") {
     // HLL++ default rsd = 0.05; the rows-only driver entry's explicit
     // guarantee (VERDICT r5 #7): relative error ≤ 3σ per group at both

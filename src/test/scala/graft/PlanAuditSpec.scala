@@ -221,6 +221,16 @@ class PlanAuditSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
   }
 
+  test("funnel: one exchange, type filter reaches the scan, no join") {
+    val plan = executedPlan(operators.Analytics.eventsFunnel(spark, sfDir))
+    // join-free single-shuffle form: the groupBy(user) exchange plus
+    // the ORDER BY's range exchange — nothing else moves data
+    assert(occurrences(plan, "Exchange") <= 2, s"extra shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"funnel should not join:\n$plan")
+    assert(plan.contains("PushedFilters:") && plan.contains("event_type"),
+      s"step-type filter did not reach the parquet scan:\n$plan")
+  }
+
   test("vocabulary-sized relations carry NO broadcast hint (boilerplate, unigram LM)") {
     val docs = GraftSession.table(spark, sfDir, "documents")
     // the document-frequency / term-logprob tables scale with the
