@@ -738,6 +738,50 @@ object Dedup {
       .filter(col("cosine") >= tau)
   }
 
+  /** L34: semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"; no reference analogue — a beyond-reference
+    * training-data operator): cluster the embedding space with the
+    * portable coarse quantizer, search duplicate pairs ONLY within a
+    * cluster, and inside each duplicate relation keep the example
+    * farthest from its cluster seed (the paper's low-similarity-to-
+    * centroid keep rule — edge examples carry more signal).
+    *
+    * The keep rule is dominance-based, the distributed form of the
+    * paper's per-group greedy: a vector is dropped iff SOME same-cluster
+    * vector with cosine ≥ tau precedes it in the total order
+    * (seed distance desc, vec_id asc). One pass over the pair stream —
+    * no iteration, deterministic in any engine (the distance is the
+    * quantizer's exact integer, cosine is the 6-dp fixed fold, and the
+    * order has no ties left).
+    *
+    * Scale (100 TB): nClusters grows with the corpus (SemDeDup runs
+    * ~50k clusters on LAION) so per-cluster candidate sets stay bounded
+    * — the pair search partitions by cluster through the same
+    * [[graft.plans.Pairs]] plan as every other family, maxGroupRows
+    * turning a degenerate cluster into a named error instead of an
+    * executor OOM. Everything downstream of the pair stream is one
+    * distinct + one anti-join on vec_id. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      nClusters: Int = 8,
+      tau: Double = 0.2): DataFrame = {
+    val assigned = cached(
+      graft.similarity.Ann.portableAssignmentsDetailed(embeddings, nClusters))
+    val pairs = graft.plans.Pairs.withinGroups(
+        assigned, Seq("cl"), "vec_id", payloadCols = Seq("__v", "__dc"))
+      .filter(Vectors.cosine6(col("a___v"), col("b___v")) >= tau)
+    // exactly one side of each duplicate pair is preferred (larger seed
+    // distance, then smaller id — ids in a pair always differ)
+    val dropped = pairs.select(
+        when(col("b___dc") > col("a___dc") ||
+            (col("b___dc") === col("a___dc") && col("b_vec_id") < col("a_vec_id")),
+          col("a_vec_id")).otherwise(col("b_vec_id")).as("vec_id"))
+      .distinct()
+    assigned.join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl"), col("__drop").isNull.as("kept"))
+  }
+
   /** L32: exact substring-duplication stats — the distributed form of
     * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"; no reference analogue

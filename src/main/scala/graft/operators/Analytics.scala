@@ -306,6 +306,36 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  // ── A23: cohort retention over events ───────────────────────────────────
+  /** Daily cohort retention — the product-analytics companion of the
+    * funnel: users cohort by their first active day and each later
+    * day's survivors divide by the cohort size. Scales by shrinking
+    * EARLY: the first aggregation reduces the raw stream to distinct
+    * (user, day) activity — O(users × days), not O(events) — before
+    * the per-user window finds the cohort; the final (cohort, offset)
+    * rollup is days² rows. Both exchanges carry only the thin
+    * reduced sets, so hot users cost their distinct days, never their
+    * event volume. The retention ratio is one double division rounded
+    * to 6 dp (order-independent → engine-portable); offset 0 always
+    * exists (the cohort day itself), so the window's first_value is
+    * the cohort size and never null. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("__n"))
+    val perUser = Window.partitionBy("user_id")
+    val counts = ud
+      .withColumn("cohort_day", min(col("day")).over(perUser))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("int"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val perCohort = Window.partitionBy("cohort_day").orderBy("day_offset")
+    counts
+      .withColumn("retention",
+        round(col("n_users").cast("double") / first(col("n_users")).over(perCohort), 6))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -498,6 +528,7 @@ object Analytics {
     "events_hopping" -> eventsHopping,
     "events_sessionize" -> eventsSessionize,
     "events_funnel" -> ((s, dir) => eventsFunnel(s, dir)),
+    "events_retention" -> eventsRetention,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
     "sample_hash_portable" -> sampleHashPortable,
@@ -630,6 +661,21 @@ object Analytics {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "events_retention" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (
+        | SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud),
+        |g AS (
+        | SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  COUNT(*) AS n_users
+        | FROM c GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users,
+        | ROUND(CAST(n_users AS DOUBLE) /
+        |   FIRST_VALUE(n_users) OVER (PARTITION BY cohort_day ORDER BY day_offset), 6)
+        |  AS retention
+        |FROM g ORDER BY cohort_day, day_offset""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         | SELECT user_id, event_id, ts,

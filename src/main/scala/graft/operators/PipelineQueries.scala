@@ -82,6 +82,13 @@ object PipelineQueries {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings")).orderBy("a_id", "b_id")
 
+  /** L34: SemDeDup over the embeddings corpus — portable-quantizer
+    * clusters, within-cluster cosine pairs ≥ 0.3, keep the member
+    * farthest from its cluster seed. See [[Dedup.semanticDedup]]. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"), nClusters = 8, tau = 0.3)
+      .orderBy("vec_id")
+
   /** L32: exact substring-duplication stats. Runs the xxhash64 scale
     * path; the oracle mirrors the md5 path — valid because the output
     * carries no hash values and DedupAnnSpec pins the two paths
@@ -353,6 +360,7 @@ object PipelineQueries {
     "dedup_cross" -> dedupCross,
     "dedup_containment" -> dedupContainment,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_substring" -> dedupSubstring,
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
@@ -698,6 +706,33 @@ object PipelineQueries {
         |WHERE ROUND(list_inner_product(a.v, b.v) /
         |   (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id, v,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei),
+        |sd AS (SELECT cl, vi FROM sr WHERE cl < 8),
+        |dist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN sd s),
+        |da AS (SELECT vec_id, cl, d,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dist),
+        |av AS (SELECT a.vec_id, a.cl, a.d, e.v
+        |  FROM (SELECT vec_id, cl, d FROM da WHERE rn = 1) a JOIN e USING (vec_id)),
+        |dropped AS (
+        | SELECT DISTINCT a.vec_id
+        | FROM av a JOIN av b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+        | WHERE ROUND(list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3
+        |  AND (b.d > a.d OR (b.d = a.d AND b.vec_id < a.vec_id)))
+        |SELECT av.vec_id, av.cl, (dr.vec_id IS NULL) AS kept
+        |FROM av LEFT JOIN dropped dr ON av.vec_id = dr.vec_id
+        |ORDER BY av.vec_id""".stripMargin,
     "embedding_centroids" ->
       """WITH agg AS (
         | SELECT label, CAST(i AS INT) AS pos, COUNT(*) AS n,

@@ -209,14 +209,23 @@ object Ann {
     * distance: (vec_id, cl) rows, bit-identical in any engine. The
     * shared front half of [[topKIvfPortable]], and the embedding-space
     * partitioner the diversity sampler (L31) stratifies over. */
-  def portableAssignments(corpus: DataFrame, nCentroids: Int = 16): DataFrame = {
+  def portableAssignments(corpus: DataFrame, nCentroids: Int = 16): DataFrame =
+    portableAssignmentsDetailed(corpus, nCentroids).select("vec_id", "cl")
+
+  /** [[portableAssignments]] plus the exact integer squared distance to
+    * the assigned seed (`__dc`) and the double vector (`__v`) — the
+    * front half the semantic deduplicator (L34) scopes its
+    * within-cluster pair search and keep rule with. Same determinism
+    * contract: every value exists verbatim in ANSI SQL. */
+  def portableAssignmentsDetailed(corpus: DataFrame, nCentroids: Int = 16): DataFrame = {
     val seeds = portableSeeds(corpus, nCentroids)
     scatter(corpus)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__v"))
       .withColumn("__d", intDists(intVec(col("__v")), seeds))
       // first index attaining the integer min — ties to the smaller cl
-      .select(col("vec_id"),
-        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cl"))
+      .select(col("vec_id"), col("__v"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cl"),
+        array_min(col("__d")).as("__dc"))
   }
 
   def topKIvfPortable(

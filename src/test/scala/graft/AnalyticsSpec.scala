@@ -40,6 +40,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(u6.getTimestamp(2) == ts(4) && u6.getTimestamp(3) == ts(5))
   }
 
+  test("A23: daily cohort retention on a crafted log") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-0$day $h%02d:00:00")
+    // u1 cohorts on day 1, returns days 2 and 3; u2 cohorts on day 1,
+    // skips day 2, returns day 3 (two events that day collapse to one
+    // active-day row); u3 cohorts on day 2 only.
+    val rows = Seq(
+      (1L, ts(1, 9)), (1L, ts(2, 9)), (1L, ts(3, 9)),
+      (2L, ts(1, 12)), (2L, ts(3, 8)), (2L, ts(3, 20)),
+      (3L, ts(2, 7)))
+      .toDF("user_id", "ts")
+      .withColumn("event_id", col("user_id") * 100)
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention_").toString
+    rows.write.mode("overwrite").parquet(dir + "/events.parquet")
+    val got = operators.Analytics.eventsRetention(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 1.0), ("2024-01-01", 1, 1L, 0.5), ("2024-01-01", 2, 2L, 1.0),
+      ("2024-01-02", 0, 1L, 1.0)))
+  }
+
   test("A13: approx_count_distinct error stays within 3×rsd at sf0.01 and sf0.1") {
     // HLL++ default rsd = 0.05; the rows-only driver entry's explicit
     // guarantee (VERDICT r5 #7): relative error ≤ 3σ per group at both

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.{Contamination, Dedup}
@@ -360,5 +361,54 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.35)
     }
+  }
+
+  test("semantic dedup equals a local brute-force twin of the dominance rule") {
+    val tau = 0.3
+    val got = Dedup.semanticDedup(emb, nClusters = 8, tau = tau).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // independent local twin: collect assignments + vectors, recompute the
+    // within-cluster pair graph and the (dist desc, id asc) dominance rule
+    val rows = Ann.portableAssignmentsDetailed(emb, nCentroids = 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2), r.getLong(3)))
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var ip = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { ip += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(ip / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.map { case (id, v, cl, dc) =>
+      val dominated = rows.exists { case (id2, v2, cl2, dc2) =>
+        id2 != id && cl2 == cl && cos6(v, v2) >= tau &&
+          (dc2 > dc || (dc2 == dc && id2 < id))
+      }
+      id -> ((cl, !dominated))
+    }.toMap
+    assert(got == expected)
+    assert(got.values.count(_._2) > 0 && got.values.count(!_._2) > 0,
+      "threshold should be non-vacuous in both directions")
+  }
+
+  test("semantic dedup: dominance drops a full chain, keeping the farthest-from-seed end") {
+    import spark.implicits._
+    // one cluster; md5("1") < md5("2") < md5("3") lexicographically, so
+    // vec 1 is the hash-sampled seed. Angles 0°/30°/60° at radii 3/2/1:
+    // cos(1,2)=cos(2,3)=cos30≈0.866 ≥ 0.85, cos(1,3)=cos60=0.5 < 0.85.
+    // Seed distances: d(3) > d(2) > d(1)=0, so 3 dominates 2 and 2
+    // dominates 1 — BOTH 1 and 2 drop (the rule is one-pass dominance,
+    // not kept-conditioned greedy: 1 stays dropped even though its
+    // dominator 2 is itself dropped), and only the chain's
+    // farthest-from-seed end survives.
+    val rad = math.Pi / 180
+    def vec(deg: Double, r: Double): Array[Float] =
+      Array((r * math.cos(deg * rad)).toFloat, (r * math.sin(deg * rad)).toFloat)
+    val df = Seq(
+      (1L, vec(0, 3).toSeq, 0), (2L, vec(30, 2).toSeq, 0), (3L, vec(60, 1).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val got = Dedup.semanticDedup(df, nClusters = 1, tau = 0.85).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true))
   }
 }
