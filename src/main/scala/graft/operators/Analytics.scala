@@ -336,6 +336,74 @@ object Analytics {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // ── A24: outer-join count distribution (TPC-H Q13 shape) ────────────────
+  /** "How many customers placed k orders?" — the outer-join histogram.
+    * Scale shape: the only fact-scale exchange is the custkey shuffle of
+    * the filtered orders side; customers joining no surviving order must
+    * still appear (left outer, count(o_orderkey) counts matches only, so
+    * they land in the k=0 bucket). The second aggregation's input is
+    * |customers| and its key domain is max-orders-per-customer (tiny), so
+    * it collapses map-side — at 100 TB the histogram costs one shuffle of
+    * the per-customer counts, not a second pass over the fact table.
+    * The non-urgent filter is applied to orders BEFORE the join (equivalent
+    * to Q13's ON-clause residual for left outer, and it prunes at the scan). */
+  def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    t(s, dir, "customer").select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // ── A25: global-average scalar subquery + anti join (TPC-H Q22 shape) ───
+  /** Customers above the average positive balance with no urgent order.
+    * The scalar "average" is a 1-row (sum, count) aggregate broadcast back
+    * as a cross join — never collected to the driver — and the comparison
+    * is rearranged to bal × cnt > sum: exact decimal arithmetic, immune to
+    * engine-specific decimal-division rounding (the A20/Q17 trick). The
+    * anti join runs AFTER the balance cut (survivors are a small fraction)
+    * and only ships the urgent slice of orders. */
+  def q22GlobalBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec2(col("c_acctbal"))).as("__sum"), count(lit(1)).as("__cnt"))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.crossJoin(broadcast(stats))
+      .filter(dec2(col("c_acctbal")) * col("__cnt") > col("__sum"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), fin(sum(dec2(col("c_acctbal")))).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  // ── A26: disjunctive multi-block predicate join (TPC-H Q19 shape) ───────
+  /** Revenue over three OR'd (brand, size-range, quantity-range) blocks.
+    * The whole disjunction lives in the JOIN condition: Catalyst derives
+    * the per-side implications — `(brand∧size)₁ ∨ (brand∧size)₂ ∨ …` onto
+    * the part scan and the quantity-range union onto the lineitem scan —
+    * so BOTH scans prune before the join instead of materializing the
+    * full tables and filtering after (the classic Q19 plan failure). At
+    * 100 TB the filtered part side is a small fraction and AQE picks a
+    * broadcast; the residual disjunction evaluates codegen'd post-join. */
+  def q19DisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val block = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(p, col("l_partkey") === col("p_partkey") &&
+        (block("Brand#1", 1, 10, 1, 20) ||
+         block("Brand#2", 5, 25, 10, 30) ||
+         block("Brand#3", 20, 40, 20, 40)))
+      .agg(count(lit(1)).as("n"), fin(sum(revenue)).as("revenue"))
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -541,6 +609,9 @@ object Analytics {
     "window_ranks" -> windowRanks,
     "dedup_edit_distance" -> dedupEditDistance,
     "events_json_extract" -> eventsJsonExtract,
+    "q13_order_distribution" -> q13OrderDistribution,
+    "q22_global_balance" -> q22GlobalBalance,
+    "q19_disjunctive_join" -> q19DisjunctiveJoin,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -785,6 +856,32 @@ object Analytics {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM keyed WHERE b < 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH co AS (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q22_global_balance" ->
+      """WITH st AS (
+        | SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS cnt
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, st
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > s
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q19_disjunctive_join" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }

@@ -40,6 +40,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(u6.getTimestamp(2) == ts(4) && u6.getTimestamp(3) == ts(5))
   }
 
+  test("A24: Q13 histogram lands no-match customers in the k=0 bucket") {
+    import spark.implicits._
+    // c1: two non-urgent orders (k=2); c2: ONLY urgent orders — the outer
+    // join must keep it with count 0, not drop it; c3: no orders at all.
+    val cust = Seq((1L, "a", 0, 10.0, "B"), (2L, "b", 0, 10.0, "B"), (3L, "c", 1, 10.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ord = Seq(
+      (10L, 1L, "O", 5.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "2-HIGH"),
+      (11L, 1L, "O", 5.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "3-MEDIUM"),
+      (12L, 2L, "O", 5.0, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q13_").toString
+    cust.write.parquet(dir + "/customer.parquet")
+    ord.write.parquet(dir + "/orders.parquet")
+    val got = operators.Analytics.q13OrderDistribution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("A25: Q22 boundary — strictly-above-average, urgent holders excluded") {
+    import spark.implicits._
+    // positive balances 100,200,250,300,400 → avg exactly 250. Strict >
+    // keeps 300 and 400 only; 250 sits ON the boundary and must drop out;
+    // the -50 customer is excluded from the average but still a candidate;
+    // the 400 customer holds an urgent order → anti-joined away.
+    val cust = Seq(
+      (1L, "a", 0, 100.0, "B"), (2L, "b", 0, 200.0, "B"), (6L, "f", 0, 250.0, "B"),
+      (3L, "c", 2, 300.0, "B"), (5L, "e", 3, 400.0, "B"), (4L, "d", 1, -50.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ord = Seq(
+      (10L, 5L, "O", 5.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q22_").toString
+    cust.write.parquet(dir + "/customer.parquet")
+    ord.write.parquet(dir + "/orders.parquet")
+    val got = operators.Analytics.q22GlobalBalance(spark, dir).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+    assert(got.toSeq == Seq((2, (1L, 300.0))))
+  }
+
   test("A23: daily cohort retention on a crafted log") {
     import spark.implicits._
     import java.sql.Timestamp

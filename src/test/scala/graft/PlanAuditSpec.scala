@@ -66,6 +66,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a LIMIT query:\n$plan")
   }
 
+  test("q19: disjunctive blocks prune BOTH scans before the join") {
+    val plan = executedPlan(operators.Analytics.q19DisjunctiveJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    // Catalyst must derive per-side implications of the OR'd blocks:
+    // the brand/size union onto the part scan and the quantity union
+    // onto the lineitem scan — neither side may scan unfiltered.
+    assert(plan.contains("PushedFilters:") && plan.contains("p_brand"),
+      s"brand disjunction did not reach the part scan:\n$plan")
+    assert(plan.contains("l_quantity"),
+      s"quantity disjunction did not restrict the lineitem side:\n$plan")
+  }
+
+  test("q13: histogram re-aggregation is a thin second exchange, no fact re-scan") {
+    val plan = executedPlan(operators.Analytics.q13OrderDistribution(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    // one scan of orders + one of customer only (no self-join / re-scan)
+    assert(occurrences(plan, "orders.parquet") <= 1, s"orders scanned twice:\n$plan")
+    assert(plan.contains("PushedFilters:") && plan.contains("o_orderpriority"),
+      s"priority filter did not reach the orders scan:\n$plan")
+    // outer-join count + histogram = two aggregations with partial combine
+    assert(occurrences(plan, "HashAggregate") >= 3, s"missing partial combine:\n$plan")
+  }
+
   test("q5 restricts supplier/customer to ASIA before the fact join") {
     // The ASIA restriction must prune BOTH scaling dims with broadcast
     // semi-joins before lineitem is touched — Catalyst can't derive this
