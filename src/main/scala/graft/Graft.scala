@@ -92,6 +92,11 @@ final case class Graft(
       * file diff, O(changed files); see TableStore.readChanges. */
     def changes(name: String, fromGen: Int, toGen: Int): DataFrame =
       store.readChanges(name, fromGen, toGen)
+
+    /** Metadata-only `COUNT(*)` from the stats sidecar (analyzed files
+      * cost zero I/O; un-analyzed appends are counted with one scan over
+      * just those files) — see TableStore.countRows. */
+    def count(name: String): Long = store.countRows(name)
   }
 
   /** Reference `write` namespace (core/write). */

@@ -344,9 +344,27 @@ object CoreQueries {
       .orderBy("c_custkey", "_change_type")
   }
 
+  // C28: metadata-only COUNT(*) — the sidecar's exact per-file row
+  // counts answer the analyzed prefix with zero I/O; the batch appended
+  // AFTER analyze is counted with one scan over just its files (hybrid).
+  // The zero-jobs property is pinned in TableStoreSpec; this verifies
+  // the number itself against plain SQL over the source.
+  def countMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = newStore(s, "count_md")
+    val ord = t(s, dir, "orders")
+    store.createTableFromDataFrame("ord",
+      ord.filter(col("o_orderkey") <= 5000).repartition(8),
+      Seq("o_orderkey"), infer = false)
+    store.analyze("ord")
+    store.insert("ord", ord.filter(col("o_orderkey") > 5000))
+    Seq(store.countRows("ord")).toDF("n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "create_table_cast" -> createTableCast,
     "snapshot_read" -> snapshotRead,
+    "count_metadata" -> countMetadata,
     "cdf_diff" -> cdfDiff,
     "time_roundtrip" -> timeRoundtrip,
     "create_infer_narrow" -> createInferNarrow,
@@ -384,6 +402,9 @@ object CoreQueries {
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // count_metadata: analyzed prefix + un-analyzed tail must sum to the
+    // plain COUNT(*) — a stale or double-counted sidecar entry would miss
+    "count_metadata" -> "SELECT COUNT(*) AS n FROM orders",
     // snapshot_read: the pre-mutation generation IS the original cast
     // relation — the later update/merge must be invisible to it
     "snapshot_read" ->

@@ -647,6 +647,38 @@ final class TableStore(
     FileStats.write(fs, statsPath(name), forSnapshots ++ empties ++ kept ++ scanned)
   }
 
+  /** Metadata-only row count (C28): `SELECT COUNT(*)` answered from the
+    * stats sidecar's per-file row counts without touching the data —
+    * the lakehouse count-from-manifest fast path. The `rows` field is
+    * exact and stays true forever (immutable files, rel paths never
+    * reused, and it is column-set- and type-domain-independent — unlike
+    * min/max, a row count can't go stale under DDL), so unlike range
+    * pruning this path is authoritative, not advisory.
+    *
+    * Hybrid by construction: files appended since the last analyze have
+    * no entry and are counted with one footer-level Spark count over
+    * JUST those files; everything analyzed costs zero I/O. At 100 TB the
+    * steady-state cost is O(#files) driver-side sidecar reads plus a
+    * scan proportional to the un-analyzed tail — the same contract as
+    * incremental analyze itself. */
+  def countRows(name: String): Long = {
+    val dataDir = dataPath(name)
+    meta(name) // existence check → TableDoesNotExist like every read
+    if (!hasDataFiles(name)) return 0L
+    val present = listDataFiles(name)
+    val stats = FileStats.read(fs, statsPath(name)).getOrElse(Map.empty)
+    val (covered, uncovered) =
+      present.partition(p => stats.contains(FileStats.relativeKey(dataDir, p)))
+    val fromStats = covered.iterator
+      .map(p => stats(FileStats.relativeKey(dataDir, p)).rows).sum
+    val scanned =
+      if (uncovered.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .option("basePath", dataDir.toString)
+        .parquet(uncovered.map(_.toString): _*).count()
+    fromStats + scanned
+  }
+
   /** Z-order clustering: rewrite the table so files hold contiguous
     * ranges of the interleaved-bit Z-value over `columns` — after which
     * [[analyze]]'s per-file min/max prune on EVERY clustered column, not

@@ -562,6 +562,41 @@ class TableStoreSpec extends AnyFunSuite {
       "emptied bucket's rows survived the delete")
   }
 
+  test("countRows answers from the sidecar with ZERO jobs; hybrid over un-analyzed tails") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(12)"), Seq("k"), buckets = 4)
+    store.insert("t", spark.range(0, 300).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    store.analyze("t")
+    // fully analyzed: the count must come from metadata alone — no Spark
+    // job may start (a scan, however small, schedules at least one)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = store.countRows("t")
+      Thread.sleep(500) // job-start events post asynchronously
+      assert(n == 300L)
+      assert(jobs.get() == 0, s"metadata-only count launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // un-analyzed append → hybrid: sidecar rows + one scan over the tail
+    store.insert("t", spark.range(300, 420).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    assert(store.countRows("t") == 420L)
+    // keyed delete rewrites buckets into NEW rel paths (no sidecar entry
+    // yet) — the stale entries for retired files must not be counted
+    store.delete("t", Seq(1L, 2L, 3L).toDF("k"))
+    assert(store.countRows("t") == 417L)
+    assert(store.countRows("t") == store.readTable("t").count())
+    // empty table and missing table behave like reads
+    store.createTable("e", Seq("k" -> "bigint"), Seq("k"))
+    assert(store.countRows("e") == 0L)
+    assertThrows[errors.TableDoesNotExist](store.countRows("nope"))
+  }
+
   test("change-data-feed classifies inserts, deletes and update image pairs") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
