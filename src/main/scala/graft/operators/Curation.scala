@@ -217,6 +217,33 @@ object Curation {
         round(col("__sum").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
   }
 
+  /** Corpus n-gram statistics (L35): top-k word n-grams by total
+    * occurrence count with exact document frequency — the vocabulary
+    * census a tokenizer-training or contamination-audit step starts
+    * from. Positional n-grams (every occurrence counts toward tf, so a
+    * doc repeating a phrase weighs by its repetitions), df counts each
+    * document once.
+    *
+    * Scale: the gram stream is ≈ the corpus token count (one gram per
+    * token position), and both aggregations are linear partial-agg
+    * shuffles — (gram, doc) then gram — so hot grams combine map-side
+    * twice before touching a reducer. The top-k is an orderBy+limit
+    * that Spark executes as TakeOrderedAndProject (per-partition heaps,
+    * no global sort, no vocabulary-sized driver state). */
+  def ngramTopK(docs: DataFrame, n: Int = 2, k: Int = 30): DataFrame = {
+    val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j + 1)): _*)))
+        .as("gram"))
+    val perDoc = grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("__c"))
+    perDoc.groupBy("gram")
+      .agg(sum(col("__c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Top-k terms per document by tf-idf (L18): tf over (doc, term), df
     * over term, idf = ln(N/df) with N broadcast from one corpus-count
     * aggregate (no collected literal — plan shape stays constant). All

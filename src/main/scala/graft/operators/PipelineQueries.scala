@@ -278,6 +278,11 @@ object PipelineQueries {
         col("__e.term").as("term"), col("__e.cnt").as("cnt"))
       .orderBy("lang", "rank")
 
+  /** L35: top-30 corpus bigrams by occurrence count with exact df.
+    * See [[Curation.ngramTopK]]. */
+  def textNgrams(s: SparkSession, dir: String): DataFrame =
+    Curation.ngramTopK(t(s, dir, "documents"))
+
   /** L18: top-3 tf-idf terms per document. */
   def textTfidf(s: SparkSession, dir: String): DataFrame =
     Curation.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")
@@ -386,6 +391,7 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperature,
     "text_boilerplate" -> textBoilerplate,
     "text_tfidf" -> textTfidf,
+    "text_ngrams" -> textNgrams,
     "text_bm25" -> textBm25,
     "text_heavyhitters" -> textHeavyHitters,
     "text_logprob" -> textLogprob,
@@ -1007,6 +1013,16 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS INT) AS rank
         | FROM c)
         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "text_ngrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        | SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+        | FROM tok, UNNEST(range(1, len(t))) AS u(i)
+        | WHERE len(t) >= 2),
+        |per AS (SELECT gram, doc_id, COUNT(*) AS c FROM g GROUP BY gram, doc_id),
+        |agg AS (SELECT gram, SUM(c) AS tf, COUNT(*) AS df FROM per GROUP BY gram)
+        |SELECT gram, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM agg ORDER BY tf DESC, gram LIMIT 30""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),

@@ -124,6 +124,23 @@ class CurationSpec extends AnyFunSuite {
     assert(top1 == Seq(heavyId), "the dominant weight must win its group's k=1 sample")
   }
 
+  test("ngram census: positional tf counts repeats, df counts docs once, k caps") {
+    import spark.implicits._
+    // d1 repeats "a b" twice (positions 1 and 3) → tf 2, df 1 from d1;
+    // d2 contributes one more of each; d3 is a single token (no bigram).
+    val crafted = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = Curation.ngramTopK(crafted, n = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b": tf 3 (2 in d1 + 1 in d2), df 2; "b a": tf 1 df 1 (inside d1);
+    // "b c": tf 1 df 1. Ties order lexicographically.
+    assert(got.toSeq == Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+    // k caps the census; order is (tf desc, gram)
+    val top1 = Curation.ngramTopK(crafted, n = 2, k = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "a b")
+  }
+
   test("tfidf ranks are dense 1..k per doc and scores non-increasing") {
     val out = Curation.tfidfTopTerms(docs, k = 3).collect()
       .groupBy(_.getLong(0)).values
