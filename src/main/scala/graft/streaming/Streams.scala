@@ -682,6 +682,88 @@ object Streams {
         })
   }
 
+  final case class FunnelStages(user_id: Long, t1_us: Option[Long],
+      t2_us: Option[Long], t3_us: Option[Long], stage: Int)
+
+  /** Per-user funnel state: the `keepEarliest` earliest event-time
+    * micros per step, each kept sorted ascending. */
+  final case class FunnelState(s1: Seq[Long], s2: Seq[Long], s3: Seq[Long]) {
+    def step(i: Int): Seq[Long] = i match {
+      case 0 => s1
+      case 1 => s2
+      case _ => s3
+    }
+    def updated(i: Int, v: Seq[Long]): FunnelState = i match {
+      case 0 => copy(s1 = v)
+      case 1 => copy(s2 = v)
+      case _ => copy(s3 = v)
+    }
+  }
+
+  /** S17: streaming ordered-funnel completion — the streaming twin of
+    * the batch fold (Analytics.eventsFunnel). Per-user state retains the
+    * `keepEarliest` EARLIEST event-time micros per step; when a user
+    * goes idle past `idleMs` beyond the watermark, the greedy
+    * strict-inequality fold (t1 = min step1; t2 = min step2 > t1;
+    * t3 = min step3 > t2) runs over the retained times and ONE final row
+    * is emitted (Append mode — a funnel verdict is a per-user terminal
+    * fact, not a running update).
+    *
+    * The fold is order-insensitive, so out-of-order arrivals within the
+    * watermark never change the verdict — a late step-1 event can only
+    * LOWER t1, and every step-2 candidate it could unlock is still in
+    * state. State is bounded at 3 × keepEarliest longs per active user.
+    * The one documented approximation: a user with more than
+    * `keepEarliest` step-k events whose true transition lies beyond the
+    * retained earliest set can under-report the stage — raise the knob
+    * for exactness (the spec runs exact); the batch twin is the
+    * unbounded-memory reference. Timestamps stay MICROS end-to-end
+    * (java.sql.Timestamp would silently truncate to millis and break
+    * strict-inequality ties the batch operator resolves exactly). */
+  def streamingFunnel(
+      stream: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      keepEarliest: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      idleMs: Long = 3600L * 1000): Dataset[FunnelStages] = {
+    require(steps.size == 3, "funnel is a 3-step fold")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val idx = steps.zipWithIndex.toMap
+    val rows = stream
+      .filter(col("event_type").isin(steps.map(s => s: Any): _*))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("step"),
+        col("ts").cast("timestamp").as("__ts"),
+        unix_micros(col("ts").cast("timestamp")).as("__us"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, String, java.sql.Timestamp, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[(Long, String, java.sql.Timestamp, Long)],
+         state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val t1 = st.s1.headOption
+            val t2 = t1.flatMap(a => st.s2.find(_ > a)) // sorted → first match = min
+            val t3 = t2.flatMap(b => st.s3.find(_ > b))
+            val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2
+              else if (t1.isDefined) 1 else 0
+            Iterator.single(FunnelStages(user, t1, t2, t3, stage))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil))
+            it.foreach { case (_, step, _, us) =>
+              val i = idx(step)
+              st = st.updated(i, (st.step(i) :+ us).sorted.take(keepEarliest))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleMs)
+            Iterator.empty
+          }
+        })
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** S3: custom keyed state — running per-user totals via

@@ -284,6 +284,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("S17: streaming funnel equals the batch fold after idle timeout") {
+    val dir = Files.createTempDirectory("graft_s17_").toString + "/in"
+    val ev = GraftSession.table(spark, sfDir, "events")
+    ev.coalesce(1).write.parquet(dir)
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    // sentinels must be a FUNNEL type (the operator filters before the
+    // watermark); two of them → batch 2 advances the watermark past every
+    // user's idle TTL, batch 3 fires the timeouts the advance armed
+    def sentinel(days: Long) = ev.limit(1)
+      .withColumn("user_id", lit(999999999L))
+      .withColumn("event_type", lit("view"))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + days * 86400 * 1000)))
+    sentinel(1).coalesce(1).write.mode("append").parquet(dir)
+    sentinel(2).coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    // keepEarliest large enough to be exact on this corpus → the fold
+    // must equal the batch twin bit-for-bit, micros included
+    val got = runToTable(Streams.streamingFunnel(s, keepEarliest = 1 << 20).toDF(), "s17", "append")
+      .filter(col("user_id") =!= 999999999L)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))
+      .toSet
+    val want = operators.Analytics.eventsFunnel(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("t1")).as("t1_us"),
+        unix_micros(col("t2")).as("t2_us"), unix_micros(col("t3")).as("t3_us"), col("stage"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))
+      .toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("S12: streaming weighted sample emits closed windows equal to the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Curation
