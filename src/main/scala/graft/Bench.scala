@@ -27,6 +27,9 @@ object Bench {
     "update_by_key",
     "upsert_bucketed",
     "cdf_diff", // NEW r6 entry (C25) — absent from r1–r5 records
+    "q13_order_distribution", // NEW r6 entry (A24) — absent from earlier records
+    "q19_disjunctive_join", // NEW r6 entry (A26) — absent from earlier records
+    "text_ngrams", // NEW r6 entry (L35) — absent from earlier records
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_jaccard_adaptive",

@@ -404,6 +404,27 @@ object Analytics {
       .agg(count(lit(1)).as("n"), fin(sum(revenue)).as("revenue"))
   }
 
+  // ── A28: value-range window frames (rolling 7-day spend) ────────────────
+  /** RANGE BETWEEN frames — the window family A5's ROWS frames can't
+    * express: the frame is defined by the ORDER-BY VALUE distance (all
+    * orders within the trailing 7 days), so same-day ties are always in
+    * or out together regardless of row order — which also makes the
+    * result deterministic without a unique tiebreaker column. Ordering
+    * on integer epoch days keeps the frame arithmetic exact and
+    * engine-portable (interval-typed RANGE frames have per-engine
+    * calendar semantics; integer distance does not). One exchange on
+    * the partition key; the frame evaluates inside the sort, no join. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy(days)
+      .rangeBetween(-6, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        fin(sum(dec2(col("o_totalprice"))).over(w)).as("spend_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -612,6 +633,7 @@ object Analytics {
     "q13_order_distribution" -> q13OrderDistribution,
     "q22_global_balance" -> q22GlobalBalance,
     "q19_disjunctive_join" -> q19DisjunctiveJoin,
+    "window_range_frame" -> windowRangeFrame,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -882,6 +904,15 @@ object Analytics {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+        | COUNT(*) OVER w AS n_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }

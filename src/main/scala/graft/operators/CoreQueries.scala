@@ -344,6 +344,41 @@ object CoreQueries {
       .orderBy("c_custkey", "_change_type")
   }
 
+  // A27: point-in-time (temporal) join — the query C22's SCD2 history
+  // exists to serve: each fact row joined to the dimension version VALID
+  // AT ITS EVENT TIME, here events × a customer-segment dim whose keys
+  // < 100 changed segment mid-month. Scale shape: a PIT join is a plain
+  // key equijoin (one fact-scale shuffle on user_id) with the validity
+  // interval as a residual filter — per-key version chains are short
+  // (versions per key, not events per key), so the residual trims a few
+  // candidate versions per fact row and never degenerates quadratically
+  // (unlike event×event interval joins, which need A19's binning). LEFT
+  // join keeps facts with no valid version auditable as 'NONE'.
+  // Whole-second validity boundaries make the ns(DuckDB)-vs-µs(Spark)
+  // event timestamps compare identically (floor to µs of a boundary
+  // comparison cannot cross a µs-aligned boundary).
+  def temporalPitJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "pit")
+    val clock0 = lit("2024-01-01 00:00:00").cast(TimestampType)
+    val clock1 = lit("2024-01-15 00:00:00").cast(TimestampType)
+    store.createTable("dim",
+      Seq("c_custkey" -> "bigint", "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    store.scd2("dim", cust, clock = clock0)
+    store.scd2("dim", cust.filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), lit("MOVED").as("c_mktsegment")), clock = clock1)
+    val dim = store.readTable("dim")
+    t(s, dir, "events")
+      .join(dim, col("user_id") === col("c_custkey") &&
+        col("ts") >= col("_valid_from") &&
+        (col("_valid_to").isNull || col("ts") < col("_valid_to")), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("segment")
+  }
+
   // C28: metadata-only COUNT(*) — the sidecar's exact per-file row
   // counts answer the analyzed prefix with zero I/O; the batch appended
   // AFTER analyze is counted with one scan over just its files (hybrid).
@@ -365,6 +400,7 @@ object CoreQueries {
     "create_table_cast" -> createTableCast,
     "snapshot_read" -> snapshotRead,
     "count_metadata" -> countMetadata,
+    "temporal_pit_join" -> temporalPitJoin,
     "cdf_diff" -> cdfDiff,
     "time_roundtrip" -> timeRoundtrip,
     "create_infer_narrow" -> createInferNarrow,
@@ -405,6 +441,24 @@ object CoreQueries {
     // count_metadata: analyzed prefix + un-analyzed tail must sum to the
     // plain COUNT(*) — a stale or double-counted sidecar entry would miss
     "count_metadata" -> "SELECT COUNT(*) AS n FROM orders",
+    // temporal_pit_join: the oracle rebuilds the SCD2 chains declaratively
+    // (keys < 100: v1 closes at the change clock, MOVED opens there) and
+    // joins each event to its valid-at-ts version with the same interval
+    // predicate
+    "temporal_pit_join" ->
+      """WITH dim AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS vf,
+        |  CASE WHEN c_custkey < 100 THEN TIMESTAMP '2024-01-15 00:00:00' END AS vt
+        | FROM customer
+        | UNION ALL
+        | SELECT c_custkey, 'MOVED', TIMESTAMP '2024-01-15 00:00:00', NULL
+        | FROM customer WHERE c_custkey < 100)
+        |SELECT COALESCE(d.c_mktsegment, 'NONE') AS segment, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN dim d
+        | ON e.user_id = d.c_custkey AND e.ts >= d.vf AND (d.vt IS NULL OR e.ts < d.vt)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // snapshot_read: the pre-mutation generation IS the original cast
     // relation — the later update/merge must be invisible to it
     "snapshot_read" ->

@@ -104,6 +104,59 @@ class AnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 0, 1L, 1.0)))
   }
 
+  test("A28: RANGE frame admits same-day ties together and drops day-7 edges") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    // c1: day 8 sits exactly 7 days after day 1 — the trailing-6 frame of
+    // day 8 covers days 2..8, so day 1 must drop out; the two day-20
+    // orders TIE on the order-by value, so each row's frame contains BOTH
+    // (RANGE, not ROWS — peer rows enter together) regardless of row
+    // order. c2 pins partition isolation.
+    val ord = Seq(
+      (1L, 101L, d("01"), 10.0), (1L, 102L, d("02"), 20.0),
+      (1L, 103L, d("08"), 40.0),
+      (1L, 104L, d("20"), 5.0), (1L, 105L, d("20"), 7.0),
+      (2L, 201L, d("01"), 100.0))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangeframe_").toString
+    ord.write.parquet(dir + "/orders.parquet")
+    val got = operators.Analytics.windowRangeFrame(spark, dir).collect()
+      .map(r => (r.getLong(1), (r.getDouble(3), r.getLong(4))))
+    assert(got.toSeq == Seq(
+      101L -> (10.0, 1L), 102L -> (30.0, 2L), 103L -> (60.0, 2L),
+      104L -> (12.0, 2L), 105L -> (12.0, 2L), 201L -> (100.0, 1L)))
+  }
+
+  test("A27: PIT join picks the version valid at event time, half-open at the change boundary") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1 (< 100) changes segment AAA→MOVED at 2024-01-15: an event
+    // BEFORE sees AAA, AT the boundary instant sees MOVED (validity is
+    // half-open [from, to)), AFTER sees MOVED. key 500 never changes.
+    // key 999 has no dim row and key 500's 2023 event predates every
+    // version — both must audit as NONE, not drop (LEFT join).
+    val cust = Seq((1L, "a", 0, 1.0, "AAA"), (500L, "b", 0, 1.0, "BBB"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ev = Seq(
+      (1L, ts("2024-01-10 12:00:00"), 1.0),
+      (1L, ts("2024-01-15 00:00:00"), 2.0),
+      (1L, ts("2024-01-20 12:00:00"), 4.0),
+      (500L, ts("2024-01-20 12:00:00"), 8.0),
+      (500L, ts("2023-12-31 23:59:59"), 16.0),
+      (999L, ts("2024-01-20 12:00:00"), 32.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_id", col("user_id") * 10)
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pit_").toString
+    cust.write.parquet(dir + "/customer.parquet")
+    ev.write.parquet(dir + "/events.parquet")
+    val got = operators.CoreQueries.temporalPitJoin(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      "AAA" -> (1L, 1.0), "BBB" -> (1L, 8.0),
+      "MOVED" -> (2L, 6.0), "NONE" -> (2L, 48.0)))
+  }
+
   test("A13: approx_count_distinct error stays within 3×rsd at sf0.01 and sf0.1") {
     // HLL++ default rsd = 0.05; the rows-only driver entry's explicit
     // guarantee (VERDICT r5 #7): relative error ≤ 3σ per group at both
