@@ -144,6 +144,9 @@ final case class Graft(
     /** Drop snapshot history older than the last `keepLast` generations. */
     def vacuum(name: String, keepLast: Int = 1): Unit =
       store.vacuum(name, keepLast)
+    /** Roll the table back to snapshot `gen` (data + schema) as a NEW
+      * generation — metadata-only renames, no data copied. */
+    def restore(name: String, gen: Int): Unit = store.restore(name, gen)
     /** Post-crash recovery: re-list and commit a fresh manifest (run
       * after clearing a dead APPEND writer's commit lock). */
     def repair(name: String): Unit = store.repair(name)

@@ -69,6 +69,32 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  // C29: restore (rollback) — the snapshot surface's WRITE half: after
+  // a bad update and a destructive merge, restore re-points the CURRENT
+  // table at the first generation's data and schema (zero-copy renames,
+  // committed as a new generation — see TableStore.restore). The oracle
+  // is the ORIGINAL cast relation read from the LIVE table, not a
+  // snapshot: the rollback itself must be what made current == original.
+  // Bucketed store so the rename-back path crosses bucket dirs.
+  def restoreRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "restore")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint",
+      "c_name" -> "varchar(40)",
+      "c_nationkey" -> "int",
+      "c_acctbal" -> "decimal(12,2)",
+      "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"), buckets = 8)
+    store.insert("cust", t(s, dir, "customer"))
+    val gen = store.snapshots("cust").last._1
+    store.update("cust", t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), (col("c_acctbal") + 1000).as("c_acctbal")))
+    store.merge("cust", t(s, dir, "customer").filter(col("c_custkey") > 100))
+    store.restore("cust", gen)
+    store.readTable("cust")
+      .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+      .orderBy("c_custkey")
+  }
+
   // C3: smallest-type inference
   def createInferNarrow(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "infer")
@@ -399,6 +425,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "create_table_cast" -> createTableCast,
     "snapshot_read" -> snapshotRead,
+    "restore_read" -> restoreRead,
     "count_metadata" -> countMetadata,
     "temporal_pit_join" -> temporalPitJoin,
     "cdf_diff" -> cdfDiff,
@@ -462,6 +489,13 @@ object CoreQueries {
     // snapshot_read: the pre-mutation generation IS the original cast
     // relation — the later update/merge must be invisible to it
     "snapshot_read" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // restore_read: after the rollback the LIVE table must equal the
+    // original cast relation — the same oracle as snapshot_read, but
+    // what's under test is restore making current == generation 1
+    "restore_read" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

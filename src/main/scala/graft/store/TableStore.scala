@@ -984,6 +984,69 @@ final class TableStore(
     readTableAt(name, eligible.last._1)
   }
 
+  /** Rollback (C29, the Delta/Iceberg RESTORE surface): make the table
+    * CURRENT state equal snapshot `gen` again — data files AND schema/
+    * primary-key/bucket meta — committed as a NEW generation, so the
+    * rolled-back states stay in history and `readChanges` across the
+    * restore boundary shows the exact reverse diff of what it undoes.
+    *
+    * Metadata-only at any scale: since [[retire]] RENAMES files (never
+    * copies), every data-relative path has exactly ONE physical home at
+    * any instant — data/<rel> or the single history/g<M>/<rel> that
+    * retired it. Restore therefore (a) retires files added after `gen`
+    * into ITS generation tree and (b) renames the snapshot's retired
+    * files back to their original data/ homes. O(#changed files) driver
+    * renames, zero bytes of data copied or rewritten — restoring a
+    * 100 TB table after a bad load costs the same as the bad load's
+    * commit did. Every other snapshot stays resolvable: a renamed-back
+    * file is current again (resolution checks data/ first), and if a
+    * later rewrite re-retires it, the rel path again has one home.
+    * Stats-sidecar entries are keyed by rel path over immutable bytes,
+    * so pruning survives the round trip untouched.
+    *
+    * Raises on a vacuumed generation (some needed file no longer has a
+    * home) — the same retention contract as snapshot reads. */
+  def restore(name: String, gen: Int): Unit = withCommitLock(name) {
+    val (mAt, rels) = readManifest(name, gen)
+    val target = rels.toSet
+    val g = nextGen(name)
+    // (a) files added after `gen` retire into this restore's tree
+    currentRels(name).filterNot(target.contains).foreach { rel =>
+      retire(name, g, new Path(dataPath(name), rel))
+    }
+    // (b) snapshot files later rewrites retired rename back home;
+    // one history walk locates each (unique — rel paths have one home)
+    val current = currentRels(name).toSet
+    val missing = rels.filterNot(current.contains)
+    if (missing.nonEmpty) {
+      val homes = scala.collection.mutable.Map.empty[String, Path]
+      if (fs.exists(historyPath(name)))
+        fs.listStatus(historyPath(name))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
+          .foreach { s =>
+            val it = fs.listFiles(s.getPath, true)
+            while (it.hasNext) {
+              val p = it.next().getPath
+              if (p.getName.endsWith(".parquet"))
+                homes += FileStats.relativeKey(s.getPath, p) -> p
+            }
+          }
+      missing.foreach { rel =>
+        val src = homes.getOrElse(rel, throw errors.InvalidValue("restore",
+          s"snapshot $gen of table $name is no longer restorable ($rel vacuumed)"))
+        val dst = new Path(dataPath(name), rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(s"restore rename failed: $rel")
+      }
+    }
+    // the snapshot's meta comes back with its data: schema, primary
+    // key and bucket count must describe the restored file set
+    writeMeta(name, mAt)
+    commitSnapshot(name, g)
+    audit(s"restore $name to generation $gen (as generation $g)")
+  }
+
   /** Change-data-feed (C25): the row-level diff between two committed
     * generations, classified in a `_change_type` column — `insert`,
     * `delete`, `update_preimage`, `update_postimage` — over the TO

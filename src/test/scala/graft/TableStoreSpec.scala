@@ -536,6 +536,69 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("t").count() == 401)
   }
 
+  test("restore rolls data AND schema back as a new generation; every snapshot stays readable") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
+    store.insert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))   // gen 1
+    store.update("t", Seq((1, "A")).toDF("k", "v"))             // gen 2 (rewrite)
+    store.insert("t", Seq((3, "c")).toDF("k", "v"))             // gen 3
+    store.addColumn("t", "w", "int")                            // gen 4 (metadata-only)
+    val Seq(g1, g2, g3, g4) = store.snapshots("t").map(_._1)
+    store.restore("t", g1)                                      // gen 5
+    // current state == gen 1's data and schema (the added column is gone)
+    assert(store.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+    assert(store.describe("t").select("column_name").as[String].collect().toSet == Set("k", "v"))
+    // the restore is a COMMIT, not history surgery: a fifth generation
+    // exists and the change feed across the boundary is the exact
+    // reverse of what it undid (un-update of 1, un-insert of 3)
+    val g5 = store.snapshots("t").map(_._1).last
+    assert(g5 == g4 + 1)
+    val diff = store.readChanges("t", g3, g5)
+      .select("k", "v", "_change_type").as[(Int, String, String)].collect().toSet
+    assert(diff == Set((1, "A", "update_preimage"), (1, "a", "update_postimage"),
+      (3, "c", "delete")))
+    // every pre-restore snapshot still reconstructs AFTER the rename-backs
+    def at(g: Int) = store.readTableAt("t", g).orderBy("k")
+      .select("k", "v").as[(Int, String)].collect().toSeq
+    assert(at(g1) == Seq((1, "a"), (2, "b")))
+    assert(at(g2) == Seq((1, "A"), (2, "b")))
+    assert(at(g3) == Seq((1, "A"), (2, "b"), (3, "c")))
+    // a post-restore rewrite RE-retires the restored files; both the old
+    // and the new snapshots keep resolving (a rel path has one home)
+    store.update("t", Seq((2, "B2")).toDF("k", "v"))            // gen 6
+    assert(at(g1) == Seq((1, "a"), (2, "b")))
+    assert(at(g2) == Seq((1, "A"), (2, "b")))
+    assert(store.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "B2")))
+    // a vacuumed generation refuses to restore instead of silently diverging
+    store.vacuum("t", keepLast = 1)
+    intercept[errors.InvalidValue](store.restore("t", g2))
+  }
+
+  test("restore on a bucketed table is zero-copy: renames, same physical files") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 8)
+    store.insert("t", spark.range(0, 400).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v")))
+    val g1 = store.snapshots("t").last._1
+    val filesBefore = store.readTable("t").inputFiles.toSet
+    store.upsert("t", Seq((42L, "updated"), (100000L, "new")).toDF("k", "v"))
+    store.restore("t", g1)
+    // content rolled back, and the CURRENT read serves the ORIGINAL
+    // physical files — nothing was copied or rewritten, only renamed
+    // back into place (untouched buckets' files never moved at all)
+    assert(store.readTable("t").count() == 400)
+    assert(store.readTable("t", where = Some("k = 42")).select("v").as[String]
+      .collect().toSeq == Seq("v42"))
+    assert(store.readTable("t").inputFiles.toSet == filesBefore)
+    // the undone upsert's snapshot is still served from history
+    val g2 = g1 + 1
+    assert(store.readTableAt("t", g2).count() == 401)
+    assert(store.readTableAt("t", g2).filter(col("k") === 42).select("v")
+      .as[String].collect().toSeq == Seq("updated"))
+  }
+
   test("keyed delete removes matched keys and rewrites only their buckets") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(12)"), Seq("k"), buckets = 8)
