@@ -29,6 +29,9 @@ object Bench {
     "cdf_diff", // NEW r6 entry (C25) — absent from r1–r5 records
     "q13_order_distribution", // NEW r6 entry (A24) — absent from earlier records
     "q19_disjunctive_join", // NEW r6 entry (A26) — absent from earlier records
+    "q21_sole_failing_supplier", // NEW r6 entry (A30) — absent from earlier records
+    "text_classifier", // NEW r6 entry (L36) — absent from earlier records
+    "sample_importance", // NEW r6 entry (L37) — absent from earlier records
     "text_ngrams", // NEW r6 entry (L35) — absent from earlier records
     "dedup_exact",
     "dedup_ngram_jaccard",

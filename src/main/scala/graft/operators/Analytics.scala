@@ -425,6 +425,73 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ── A29: correlated-MIN subquery joined back to its rows (TPC-H Q2
+  // shape: the supplier(s) offering each part at its minimum price).
+  // Q17 (A20) covers the correlated-AVG comparison; the MIN shape is a
+  // different plan problem because the minimizing ROWS must come back
+  // out, not just the scalar — the classic formulations are a
+  // self-join against a groupBy-min or a correlated subquery per row.
+  // 100 TB plan: the filtered part set broadcast-restricts lineitem
+  // FIRST (same restriction discipline as Q17); then ONE window
+  // min-over-partition computes the per-part floor and the equality
+  // filter keeps the achieving rows inside the same exchange — no
+  // second scan of the fact table and no join-back. The (part,
+  // supplier) dedup and the supplier/nation decoration run on the
+  // min-achieving survivors only (tiny). MIN is a SELECTION, not
+  // arithmetic: the compared values are raw parquet doubles in both
+  // engines, so equality is bit-exact without decimal detours. ────────
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").filter(col("p_size") < 5)
+      .select("p_partkey", "p_brand")
+    val restricted = t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_brand"), col("l_suppkey"), col("l_extendedprice"))
+    val floor = min(col("l_extendedprice")).over(Window.partitionBy("l_partkey"))
+    restricted.withColumn("__min", floor)
+      .filter(col("l_extendedprice") === col("__min"))
+      .groupBy("l_partkey", "p_brand", "l_suppkey")
+      .agg(min(col("l_extendedprice")).as("min_price"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_brand"), col("s_name"),
+        col("n_name"), col("min_price"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  // ── A30: double-correlated EXISTS + NOT EXISTS self-join (TPC-H Q21
+  // shape): on finalized multi-supplier orders, suppliers who were the
+  // ONLY one with a returned line — the hardest TPC-H plan shape (two
+  // correlated subqueries against the fact table itself). Spark-first:
+  // both subqueries become fact-side LEFT SEMI / LEFT ANTI self-joins
+  // on l_orderkey with the supplier-inequality as a residual join
+  // condition — no correlated per-row execution, and all three fact
+  // legs hash-partition on the SAME key (l_orderkey), so the exchanges
+  // line up. The returned-line leg is pre-restricted to 'F' orders via
+  // a broadcast semi-join before any self-join work. Count per
+  // supplier is a tiny aggregate; supplier/nation decorate last. ──────
+  def q21SoleFailingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
+    l1.join(l2, col("l_orderkey") === col("__ok2") && col("l_suppkey") =!= col("__sk2"),
+        "left_semi")
+      .join(l3, col("l_orderkey") === col("__ok3") && col("l_suppkey") =!= col("__sk3"),
+        "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -634,6 +701,8 @@ object Analytics {
     "q22_global_balance" -> q22GlobalBalance,
     "q19_disjunctive_join" -> q19DisjunctiveJoin,
     "window_range_frame" -> windowRangeFrame,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q21_sole_failing_supplier" -> q21SoleFailingSupplier,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -913,6 +982,32 @@ object Analytics {
         |  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH r AS (
+        | SELECT l_partkey, p_brand, l_suppkey, l_extendedprice,
+        |  MIN(l_extendedprice) OVER (PARTITION BY l_partkey) AS m
+        | FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size < 5)
+        |SELECT l_partkey AS p_partkey, p_brand, s_name, n_name,
+        | MIN(l_extendedprice) AS min_price
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation ON n_nationkey = s_nationkey
+        |WHERE l_extendedprice = m
+        |GROUP BY l_partkey, p_brand, s_name, n_name
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q21_sole_failing_supplier" ->
+      """SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |     AND l3.l_returnflag = 'R')
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }

@@ -313,4 +313,99 @@ object Curation {
       .select(col("query_id"), col("doc_id"), col("n_terms"),
         col("__score").cast("double").as("score"), col("rank"))
   }
+
+  /** L36: hashed-feature linear classifier inference (the fastText /
+    * quality-classifier deployment shape: a trained weight vector over
+    * hashed n-gram features, applied to every document). The weight
+    * vector here is pseudo-trained — each bucket's weight derives from
+    * md5 of the bucket id, so the oracle can rebuild it in SQL — but
+    * the *inference plumbing* is the production one: features = hashed
+    * word bigrams (the hashing trick bounds the model at `nBuckets`
+    * regardless of vocabulary), weights = one broadcast literal array,
+    * score = scan-riding dot product via higher-order functions.
+    *
+    * Scale: ZERO shuffles and zero joins — the whole score is a
+    * projection (tokenize → bigram → hash → array lookup → aggregate)
+    * that rides the parquet scan in whole-stage codegen, exactly how a
+    * 100 TB quality-scoring pass must run. Integer weight accumulation
+    * (millis in [-1000,1000]) keeps the sum order-independent and
+    * engine-exact; only the final normalization touches doubles. */
+  def classifierScore(docs: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    // pseudo-trained weight vector, derivable in ANSI SQL: w[b] =
+    // first-8-hex-digits(md5("wt|b")) % 2001 - 1000  (millis)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val weights: Seq[Long] = (0 until nBuckets).map { b =>
+      val hex = md.digest(s"wt|$b".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val w = typedLit(weights)
+    val toks = Text.tokens(col("text"))
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bucket = (g: Column) =>
+      (conv(substring(md5(concat(lit("w|"), g)), 1, 8), 16, 10).cast("long")
+        % nBuckets).cast("int")
+    docs.withColumn("__g", grams)
+      .select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"),
+        aggregate(col("__g"), lit(0L), (acc, g) => acc + get(w, bucket(g))).as("__raw"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("__raw").cast("double") /
+          (lit(1000.0) * greatest(col("n_grams"), lit(1L))), 6).as("score"))
+      .withColumn("accept", col("score") > 0)
+  }
+
+  /** L37: hashed-n-gram importance resampling (DSIR, Xie et al. 2023,
+    * arXiv:2302.03169): re-weight a raw corpus toward a target
+    * distribution using importance ratios over hashed unigram features
+    * — the principled form of "select web text that looks like
+    * Wikipedia". Feature space = `nBuckets` hashed buckets; both the
+    * target and source unigram distributions live there (add-1
+    * smoothed), so the model is O(nBuckets) however large either
+    * corpus is. A document's log importance weight is the sum of its
+    * tokens' log p_target/p_source bucket ratios; the top-k by weight
+    * is the deterministic greedy resample (the stochastic Gumbel-top-k
+    * form replaces the ORDER BY key with logw + Gumbel noise).
+    *
+    * Scale: ONE fact-side aggregation — (doc, bucket) token counts,
+    * map-side combined. The bucket count table and the corpus totals
+    * both REDUCE from it (nBuckets-sized inputs, no second corpus
+    * scan), which is why the per-doc counts are cached: they feed the
+    * model and the scoring join. The ratio table joins back un-hinted
+    * (AQE broadcasts its nBuckets rows; same rule as unigramLogprob's
+    * term join). Ratios are cut to DECIMAL(18,6) before the per-doc
+    * sum (L19's exactness trick), so the weight is bit-stable across
+    * partitionings and engines. */
+  def importanceResample(docs: DataFrame, targetPred: Column,
+      nBuckets: Int = 2048, k: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"), targetPred.as("__is_t"),
+      explode(Text.tokens(col("text"))).as("__wd"))
+    val bucketed = toks.select(col("doc_id"), col("__is_t"),
+      (conv(substring(md5(concat(lit("f|"), col("__wd"))), 1, 8), 16, 10)
+        .cast("long") % nBuckets).as("__b"))
+    // __is_t is doc-level-constant, so carrying it in the grouping key
+    // changes nothing about the (doc, bucket) granularity
+    val perDoc = graft.OperatorCache.cached(
+      bucketed.groupBy("doc_id", "__is_t", "__b").agg(count(lit(1)).as("__c")))
+    val cnt = perDoc.groupBy("__b").agg(
+      sum(col("__c")).as("__cs"),
+      sum(when(col("__is_t"), col("__c")).otherwise(0L)).as("__ct"))
+    val tot = cnt.agg(sum(col("__cs")).as("__ns"), sum(col("__ct")).as("__nt"))
+    // one fused form, mirrored operation-for-operation in the oracle:
+    // ln( (ct+1)(ns+B) / ((cs+1)(nt+B)) ), cut to exact decimal
+    val ratio = cnt.crossJoin(broadcast(tot)).select(col("__b"),
+      round(log(((col("__ct") + lit(1.0)) * (col("__ns") + lit(nBuckets.toDouble))) /
+                ((col("__cs") + lit(1.0)) * (col("__nt") + lit(nBuckets.toDouble)))), 6)
+        .cast("decimal(18,6)").as("__r"))
+    perDoc.join(ratio, "__b")
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c").cast("decimal(12,0)") * col("__r")).as("__lw"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("__lw").cast("double").as("log_weight"))
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(k)
+  }
 }

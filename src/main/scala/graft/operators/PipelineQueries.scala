@@ -291,6 +291,16 @@ object PipelineQueries {
   def textLogprob(s: SparkSession, dir: String): DataFrame =
     Curation.unigramLogprob(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** L36: hashed-bigram linear classifier score per document.
+    * See [[Curation.classifierScore]]. */
+  def textClassifier(s: SparkSession, dir: String): DataFrame =
+    Curation.classifierScore(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** L37: DSIR importance resample — top-100 documents most like the
+    * target slice (target = lang 'en'). See [[Curation.importanceResample]]. */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame =
+    Curation.importanceResample(t(s, dir, "documents"), col("lang") === "en")
+
   /** L33: BM25 top-10 retrieval for three fixed keyword queries over
     * the documents corpus. See [[Curation.bm25TopK]]. */
   def textBm25(s: SparkSession, dir: String): DataFrame = {
@@ -395,6 +405,8 @@ object PipelineQueries {
     "text_bm25" -> textBm25,
     "text_heavyhitters" -> textHeavyHitters,
     "text_logprob" -> textLogprob,
+    "text_classifier" -> textClassifier,
+    "sample_importance" -> sampleImportance,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
@@ -1073,6 +1085,37 @@ object PipelineQueries {
         | ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
         |FROM toks JOIN logp USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_classifier" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         |      FROM t, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+         |gb AS (SELECT doc_id,
+         |        CAST(${duckHex8("md5('w|' || gram)")} AS BIGINT) % 4096 AS bucket FROM g),
+         |gw AS (SELECT doc_id, md5('wt|' || CAST(bucket AS VARCHAR)) AS wh FROM gb),
+         |s AS (SELECT doc_id,
+         |        SUM(CAST(${duckHex8("wh")} AS BIGINT) % 2001 - 1000) AS raw,
+         |        COUNT(*) AS n
+         |      FROM gw GROUP BY doc_id)
+         |SELECT t.doc_id AS doc_id, COALESCE(n, 0) AS n_grams,
+         | ROUND(COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)), 6) AS score,
+         | ROUND(COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)), 6) > 0 AS accept
+         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id ORDER BY t.doc_id""".stripMargin,
+    "sample_importance" ->
+      s"""WITH b AS (
+         | SELECT doc_id, lang = 'en' AS is_t,
+         |  CAST(${duckHex8("md5('f|' || wd)")} AS BIGINT) % 2048 AS bucket
+         | FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS wd FROM documents)),
+         |cnt AS (SELECT bucket, COUNT(*) AS cs,
+         |         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM b GROUP BY bucket),
+         |tot AS (SELECT COUNT(*) AS ns, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt FROM b),
+         |ratio AS (SELECT bucket,
+         |  CAST(ROUND(ln(((ct + 1.0) * (ns + 2048.0)) / ((cs + 1.0) * (nt + 2048.0))), 6)
+         |   AS DECIMAL(18,6)) AS r FROM cnt, tot),
+         |doc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY doc_id, bucket)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         | CAST(SUM(CAST(c AS DECIMAL(12,0)) * r) AS DOUBLE) AS log_weight
+         |FROM doc JOIN ratio USING (bucket)
+         |GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 10 = 0 THEN 'unknown' ELSE 'png' END AS format,

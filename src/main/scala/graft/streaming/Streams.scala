@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -800,6 +800,67 @@ object Streams {
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
             Iterator.single(UserTotal(user, n, v))
           }
+        })
+  }
+
+  final case class Packed(doc_id: Long, group: String, pack_shard: Int,
+      n_tokens: Long, seq_id: Long, start_off: Long)
+
+  /** S18: streaming sequence packing — the streaming twin of
+    * [[graft.operators.Curation.packSequences]] (L28), assigning each
+    * arriving document its slot in the group×shard's fixed-length
+    * training sequences as it lands, instead of re-packing the corpus
+    * per batch job.
+    *
+    * Contract (shared with the batch packer): per (group, shard) the
+    * admitted documents form ONE contiguous token stream; a document
+    * occupies [start, start+n_tokens); `seq_id = start / seqLen` and
+    * `start_off = start mod seqLen`. Within a micro-batch, documents
+    * pack in the batch packer's deterministic (md5(id), id) hash order;
+    * across batches they pack in arrival order — so a stream fed in
+    * hash-order batches reproduces the batch packer's assignment
+    * row-for-row (spec-pinned), and ANY arrival order satisfies the
+    * contiguity contract (each next doc starts where the previous
+    * ended; no token gap, no overlap).
+    *
+    * State per (group, shard) is ONE long — the cumulative token count
+    * — so total state is 8 bytes × #groups × shards, bounded by the
+    * GROUPING cardinality, never by the stream. That is why this op
+    * deliberately uses NoTimeout where every other graft stateful op
+    * is watermark-evicted: evicting a pack offset would restart the
+    * next doc at offset 0 and OVERWRITE sequence slots already
+    * emitted; a long per key is cheaper than the timer state itself.
+    * (Groups with unbounded key cardinality don't fit this op —
+    * callers shard by a bounded key, as the batch packer does.) */
+  def streamingPack(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: Column,
+      seqLen: Int,
+      shards: Int = 64): Dataset[Packed] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ord = md5(col(Identifiers.quote(idCol)).cast("string"))
+    val shard = pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards)).cast("int")
+    stream.select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(idCol)).cast("long").as("id"),
+        tokensCol.cast("long").as("n"),
+        ord.as("hk"), shard.as("sh"))
+      .as[(String, Long, Long, String, Int)]
+      .groupByKey(r => (r._1, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Int), it: Iterator[(String, Long, Long, String, Int)],
+         state: GroupState[Long]) => {
+          var off = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(r => (r._4, r._2)).map { case (g, id, n, _, sh) =>
+            val p = Packed(id, g, sh, n, off / seqLen, off % seqLen)
+            off += n
+            p
+          }
+          state.update(off)
+          out.iterator
         })
   }
 }

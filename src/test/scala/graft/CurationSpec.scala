@@ -151,4 +151,52 @@ class CurationSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("classifierScore matches a direct reference computation; <2-token docs score 0") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.classifierScore(corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // the exact contract, recomputed independently: w[b] =
+    // first-8-hex(md5("wt|b")) % 2001 - 1000, b = first-8-hex(md5("w|gram")) % 4096
+    def h8(sIn: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sIn.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def weight(g: String): Long = h8("wt|" + (h8("w|" + g) % 4096)) % 2001 - 1000
+    val raw1 = weight("alpha beta") + weight("beta gamma")
+    val exp1 = BigDecimal(raw1 / 2000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 2L, exp1, exp1 > 0)))
+    assert(got(1) == ((2L, 0L, 0.0, false)))
+    assert(got(2) == ((3L, 0L, 0.0, false)))
+  }
+
+  test("importanceResample ranks target-vocabulary docs first; ties by doc_id; partition-stable") {
+    import spark.implicits._
+    // the target slice speaks {aa bb}; source-only docs speak {zz yy};
+    // doc 5 carries the source label but half-target vocabulary
+    val corpus = Seq(
+      (1L, "aa bb aa bb", "en"),
+      (2L, "bb aa bb aa", "en"),
+      (3L, "zz yy zz yy", "xx"),
+      (4L, "yy zz yy zz", "xx"),
+      (5L, "aa bb zz yy", "xx")).toDF("doc_id", "text", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.importanceResample(df, col("lang") === "en", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val res = run(corpus)
+    assert(res.map(_._1) == Seq(1L, 2L, 5L, 3L, 4L),
+      s"importance order wrong: $res")
+    // docs 1/2 are the same bag of words → identical weight, doc_id tiebreak
+    assert(res(0)._3 == res(1)._3)
+    // the mixed doc outranks pure-source docs but not pure-target ones
+    assert(res(1)._3 > res(2)._3 && res(2)._3 > res(3)._3)
+    assert(res(3)._3 == res(4)._3)
+    // bit-identical under a different input partitioning
+    assert(run(corpus.repartition(7)) == res)
+    Graft.clearOperatorCaches()
+  }
 }

@@ -273,4 +273,48 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(hinted.isEmpty, s"unbounded relation pinned to broadcast:\n${hinted.mkString("\n")}")
     }
   }
+
+  test("text_classifier is a pure scan-riding projection: one scan, no joins, no pre-sort shuffle") {
+    val plan = executedPlan(operators.PipelineQueries.textClassifier(spark, sfDir))
+    // the whole inference (tokenize → bigram → hash → weight lookup →
+    // dot product) must be a projection on the scan — a join or an
+    // aggregation exchange here would mean the "model" left the row
+    assert(occurrences(plan, "Scan parquet") == 1, s"expected one scan:\n$plan")
+    assert(!plan.contains("Join"), s"classifier inference must not join:\n$plan")
+    // only the output ORDER BY may shuffle (range partition)
+    assert(occurrences(plan, "Exchange ") <= 1, s"unexpected shuffle:\n$plan")
+    assert(plan.contains("*("), s"inference fell out of codegen:\n$plan")
+  }
+
+  test("q2 correlated-min: floor + achieving rows inside ONE window exchange, no fact join-back") {
+    val plan = executedPlan(operators.Analytics.q2MinCostSupplier(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"), s"min floor should be a window, not a join-back:\n$plan")
+    // lineitem, part, supplier, nation: each scanned exactly once — the
+    // join-back formulation would scan lineitem twice
+    assert(occurrences(plan, "Scan parquet") == 4, s"expected 4 single scans:\n$plan")
+    assert(occurrences(plan, "BroadcastHashJoin") >= 3, s"dims/parts should broadcast:\n$plan")
+  }
+
+  test("q21 correlated subqueries become semi/anti self-joins, never per-row execution") {
+    val plan = executedPlan(operators.Analytics.q21SoleFailingSupplier(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("LeftSemi"), s"EXISTS leg should be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT-EXISTS leg should be an anti join:\n$plan")
+    // all three fact legs hash-partition on l_orderkey; with the final
+    // tiny aggregate + broadcast decoration that bounds the exchanges
+    assert(occurrences(plan, "Exchange ") <= 6, s"unexpected shuffle count:\n$plan")
+  }
+
+  test("sample_importance reduces the model tables from ONE fact-scale aggregation") {
+    Graft.clearOperatorCaches()
+    try {
+      val plan = executedPlan(operators.PipelineQueries.sampleImportance(spark, sfDir))
+      // the (doc, bucket) counts are cached and re-read for the bucket/
+      // total model tables — the corpus itself is scanned once
+      assert(occurrences(plan, "Scan parquet") <= 2, s"model tables re-scan the corpus:\n$plan")
+      assert(plan.contains("InMemoryTableScan") || occurrences(plan, "Scan parquet") == 1,
+        s"per-doc counts not reused:\n$plan")
+    } finally Graft.clearOperatorCaches()
+  }
 }
