@@ -170,7 +170,18 @@ object Filters {
       case Some((op, idx)) =>
         val (n, dt) = columnOf(df, frag.substring(0, idx))
         val c = col(Identifiers.quote(n))
-        val v = literal(frag.substring(idx + op.length), dt)
+        // SQL identifier resolution: an UNQUOTED rhs that names an
+        // existing column is a column reference (`lo <= hi` — the shape
+        // CHECK constraints live on); quoted text stays a literal, so
+        // `status = 'status'` is unambiguous. Matches T-SQL, where a
+        // bare word matching a column is the column, never a string.
+        val rhsRaw = frag.substring(idx + op.length).trim
+        val rhsIsQuoted = rhsRaw.length >= 2 && rhsRaw.head == '\'' && rhsRaw.last == '\''
+        val rhsCol = if (rhsIsQuoted) None else
+          df.schema.fields.find(_.name == Identifiers.unquote(rhsRaw))
+            .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(Identifiers.unquote(rhsRaw))))
+        val v = rhsCol.map(f => col(Identifiers.quote(f.name)))
+          .getOrElse(literal(rhsRaw, dt))
         op match {
           case "="          => c === v
           case ">"          => c > v

@@ -64,6 +64,14 @@ final case class Graft(
       store.dropColumn(name, column)
     def primaryKey(name: String, columns: Seq[String]): Unit =
       store.setPrimaryKey(name, columns)
+
+    /** CHECK constraints (C30) — the remaining server-side constraint
+      * class (PK/NOT NULL/types are C5/C4/C14). The predicate uses the
+      * `dynamic.where` grammar; existing data is validated on add. */
+    def checkConstraint(name: String, constraint: String, expression: String): Unit =
+      store.addCheckConstraint(name, constraint, expression)
+    def dropCheckConstraint(name: String, constraint: String): Unit =
+      store.dropCheckConstraint(name, constraint)
   }
 
   /** Reference `read` namespace (core/read.py). */
@@ -157,6 +165,11 @@ final case class Graft(
 
   /** PK-duplicate diagnostics (enforced by the server in the reference). */
   def primaryKeyViolations(name: String): DataFrame = store.primaryKeyViolations(name)
+
+  /** Pre-flight audit for a PROPOSED check constraint: the rows that
+    * would refuse `modify.checkConstraint` (C30). */
+  def checkViolations(name: String, expression: String): DataFrame =
+    store.checkViolations(name, expression)
 
   /** See [[Graft.clearOperatorCaches]]; instance alias for discoverability. */
   def clearOperatorCaches(): Unit = Graft.clearOperatorCaches()

@@ -54,4 +54,13 @@ object errors {
   final case class ConcurrentWrite(table: String, detail: String)
       extends GraftException(
         s"commit lock for table $table is held by another writer: $detail")
+
+  /** A batch (or the existing data, at ADD time) violates a CHECK
+    * constraint — the engine-enforced twin of the server-side CHECK a
+    * reference user gets from SQL Server alongside PK/NOT NULL/types. */
+  final case class CheckConstraintViolation(constraint: String, detail: String)
+      extends GraftException(s"check constraint $constraint violated: $detail")
+
+  final case class UndefinedCheckConstraint(table: String, constraint: String)
+      extends GraftException(s"no check constraint $constraint on table $table")
 }

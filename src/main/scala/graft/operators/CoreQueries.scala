@@ -121,6 +121,19 @@ object CoreQueries {
     store.primaryKeyViolations("cust").orderBy("c_custkey")
   }
 
+  // C30: CHECK constraints — a holding constraint lands (existing data
+  // validated in one aggregate), then the pre-flight report for a
+  // stricter PROPOSED constraint lists the rows that would refuse it.
+  // UNKNOWN-passes semantics and the enforcement paths are spec-pinned.
+  def checkViolationsQ(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "check")
+    store.createTableFromDataFrame("ord", t(s, dir, "orders"), Seq("o_orderkey"), infer = false)
+    store.addCheckConstraint("ord", "chk_price_pos", "o_totalprice > 0")
+    store.checkViolations("ord", "o_totalprice <= 400000 AND o_orderstatus IN ('O', 'F')")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   // C6 (+C7): projection / where / order / limit with pushdown
   def readProjectionFilter(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "read")
@@ -433,6 +446,7 @@ object CoreQueries {
     "create_infer_narrow" -> createInferNarrow,
     "modify_columns" -> modifyColumns,
     "primary_key_violations" -> primaryKeyViolations,
+    "check_violations" -> checkViolationsQ,
     "read_projection_filter" -> readProjectionFilter,
     "where_parser" -> whereParser,
     "insert_append" -> insertAppend,
@@ -555,6 +569,10 @@ object CoreQueries {
         | UNION ALL
         | SELECT c_custkey FROM customer WHERE c_custkey < 50) u
         |GROUP BY c_custkey HAVING COUNT(*) > 1 ORDER BY c_custkey""".stripMargin,
+    "check_violations" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT COALESCE(o_totalprice <= 400000 AND o_orderstatus IN ('O', 'F'), TRUE)
+        |ORDER BY o_orderkey""".stripMargin,
     "stats_pruned_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000

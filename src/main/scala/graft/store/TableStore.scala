@@ -46,7 +46,8 @@ object TableStore {
       primaryKey: Seq[String],
       buckets: Int = 0,
       sqlPk: Boolean = false,
-      notNull: Seq[String] = Nil) {
+      notNull: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil) {
     def sparkSchema: StructType =
       StructType(columns.map { case (n, t) =>
         StructField(n, t.spark, nullable = !notNull.contains(n))
@@ -257,6 +258,10 @@ final class TableStore(
     o.put("sqlPk", meta.sqlPk)
     val nn: ArrayNode = o.putArray("notNull")
     meta.notNull.foreach(nn.add)
+    val ck: ArrayNode = o.putArray("checks")
+    meta.checks.foreach { case (n, e) =>
+      val c = ck.addObject(); c.put("name", n); c.put("expr", e)
+    }
     o
   }
 
@@ -277,7 +282,13 @@ final class TableStore(
     val nn = if (node.has("notNull"))
       (0 until node.get("notNull").size()).map(node.get("notNull").get(_).asText())
     else Seq.empty
-    Meta(cols, pk, buckets, sqlPk, nn)
+    val ck = if (node.has("checks"))
+      (0 until node.get("checks").size()).map { i =>
+        val c = node.get("checks").get(i)
+        c.get("name").asText() -> c.get("expr").asText()
+      }
+    else Seq.empty
+    Meta(cols, pk, buckets, sqlPk, nn, ck)
   }
 
   def meta(name: String): Meta = {
@@ -446,6 +457,119 @@ final class TableStore(
     read(name).groupBy(m.primaryKey.map(c => col(Identifiers.quote(c))): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
+  }
+
+  // ── check constraints (C30) ─────────────────────────────────────────────
+  // The remaining SQL Server constraint class a reference user gets
+  // server-side: PK uniqueness is C5, NOT NULL is C4, type bounds are
+  // C14 — CHECK closes the set. SQL-standard semantics throughout: a
+  // row violates a CHECK only when the predicate evaluates FALSE;
+  // UNKNOWN (null inputs) PASSES. The predicate language is C7's
+  // `dynamic.where` grammar, so a constraint is auditable text in the
+  // table meta, not opaque code.
+
+  /** The violation condition for a CHECK predicate over `df`:
+    * FALSE → violated, TRUE or UNKNOWN → passes. */
+  private def checkCond(df: DataFrame, e: String): Column =
+    not(coalesce(Filters.parseWhere(df, e), lit(true)))
+
+  /** Columns a CHECK expression references (parsed against the full
+    * table schema — also validates syntax + column existence). Resolved
+    * through an empty-frame Filter plan: driver-side only, no job. */
+  private def checkRefs(m: Meta, e: String): Seq[String] = {
+    val shell = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), m.sparkSchema)
+    shell.filter(Filters.parseWhere(shell, e)).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSeq
+    }.flatten.distinct
+  }
+
+  /** Add a CHECK constraint. Existing data is validated FIRST with one
+    * aggregate (like SQL Server's WITH CHECK default): any violating
+    * row refuses the constraint, so a landed CHECK is a true invariant
+    * over the table, not a forward-only filter. Metadata-only commit. */
+  def addCheckConstraint(name: String, constraint: String, expression: String): Unit =
+    withCommitLock(name) {
+      val m = meta(name)
+      if (m.checks.exists(_._1 == constraint))
+        throw errors.TableAlreadyExists(s"$name check $constraint")
+      checkRefs(m, expression) // syntax + column existence, driver-side
+      val df = read(name)
+      val bad = df.agg(coalesce(sum(when(checkCond(df, expression), 1L)
+        .otherwise(0L)), lit(0L))).collect()(0).getLong(0)
+      if (bad > 0)
+        throw errors.CheckConstraintViolation(constraint,
+          s"$bad existing rows violate '$expression' on $name")
+      writeMeta(name, m.copy(checks = m.checks :+ (constraint -> expression)))
+      audit(s"add check $name.$constraint: $expression")
+      commitSnapshot(name, nextGen(name), Some(lastCommittedRels(name)))
+    }
+
+  def dropCheckConstraint(name: String, constraint: String): Unit =
+    withCommitLock(name) {
+      val m = meta(name)
+      if (!m.checks.exists(_._1 == constraint))
+        throw errors.UndefinedCheckConstraint(name, constraint)
+      writeMeta(name, m.copy(checks = m.checks.filterNot(_._1 == constraint)))
+      audit(s"drop check $name.$constraint")
+      commitSnapshot(name, nextGen(name), Some(lastCommittedRels(name)))
+    }
+
+  /** Pre-flight audit for a PROPOSED constraint: the rows that would
+    * refuse it (the report a DBA runs before addCheckConstraint). */
+  def checkViolations(name: String, expression: String): DataFrame = {
+    val m = meta(name)
+    checkRefs(m, expression)
+    val df = read(name)
+    df.filter(checkCond(df, expression))
+  }
+
+  /** CHECK enforcement for a batch — ONE aggregate over all applicable
+    * constraints (rides beside typeViolations' pass). A constraint
+    * whose referenced columns are not all present in the batch cannot
+    * be decided batch-side: for INSERT the absent column reads null →
+    * UNKNOWN → passes, so it is skipped outright (`deferrable=false`);
+    * for keyed mutations the merged row takes absent columns from the
+    * TARGET, so such constraints are returned for the caller to
+    * validate on the merge RESULT (`deferrable=true`). */
+  private def enforceChecks(m: Meta, df: DataFrame, context: String,
+      deferrable: Boolean): Seq[(String, String)] = {
+    if (m.checks.isEmpty) return Nil
+    val (applicable, partial) = m.checks.partition { case (_, e) =>
+      checkRefs(m, e).forall(df.columns.contains)
+    }
+    if (applicable.nonEmpty) {
+      val aggs = applicable.map { case (n, e) =>
+        sum(when(checkCond(df, e), 1L).otherwise(0L)).as(s"__ck_$n") }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      applicable.foreach { case (n, e) =>
+        val i = row.fieldIndex(s"__ck_$n")
+        if (!row.isNullAt(i) && row.getLong(i) > 0)
+          throw errors.CheckConstraintViolation(n,
+            s"${row.getLong(i)} $context rows violate '$e'")
+      }
+    }
+    if (deferrable) partial else Nil
+  }
+
+  /** Validate constraints the batch couldn't decide (some referenced
+    * column comes from the target) against the MERGED result — the
+    * merged row is what lands, so this is the exact SQL Server
+    * semantic. Costs one extra aggregate pass over the rewritten slice
+    * and only runs when such a constraint exists. */
+  private def validatePartialChecks(m: Meta, result: DataFrame,
+      partial: Seq[(String, String)]): Unit = {
+    if (partial.isEmpty) return
+    val aggs = partial.map { case (n, e) =>
+      sum(when(checkCond(result, e), 1L).otherwise(0L)).as(s"__ck_$n") }
+    val row = result.agg(aggs.head, aggs.tail: _*).collect()(0)
+    partial.foreach { case (n, e) =>
+      val i = row.fieldIndex(s"__ck_$n")
+      if (!row.isNullAt(i) && row.getLong(i) > 0)
+        throw errors.CheckConstraintViolation(n,
+          s"${row.getLong(i)} merged rows violate '$e'")
+    }
   }
 
   // ── read ────────────────────────────────────────────────────────────────
@@ -1426,6 +1550,11 @@ final class TableStore(
       m = meta(name)
     }
 
+    // CHECK constraints on the (possibly widened) batch — absent
+    // columns read as null → UNKNOWN → pass, so only fully-present
+    // constraints apply on an insert (SQL CHECK semantics)
+    enforceChecks(m, df, "insert", deferrable = false)
+
     if (timeInsert.isDefined && !m.columns.exists(_._1 == Mutations.TimeInsert)) {
       addColumn(name, Mutations.TimeInsert, "datetime2")
       m = meta(name)
@@ -1598,8 +1727,10 @@ final class TableStore(
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
+    val partial = enforceChecks(m, source, "source", deferrable = true)
     prunedMutation(name, m, source, keys, timeUpdate.isDefined) { (target, src) =>
-      Mutations.update(target, src, keys, timeUpdate)
+      val r = Mutations.update(target, src, keys, timeUpdate)
+      validatePartialChecks(m, r, partial); r
     }
   }
 
@@ -1613,8 +1744,11 @@ final class TableStore(
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
+    val partial = enforceChecks(m, source, "source", deferrable = true)
     prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
-      (target, src) => Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
+      (target, src) =>
+        val r = Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
+        validatePartialChecks(m, r, partial); r
     }
   }
 
@@ -1648,9 +1782,11 @@ final class TableStore(
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
-    rewrite(name,
-      Mutations.merge(read(name), source, keys, upsertOnly = false, deleteRequires, timeInsert, timeUpdate),
-      timeInsert.isDefined || timeUpdate.isDefined)
+    val partial = enforceChecks(m, source, "source", deferrable = true)
+    val merged = Mutations.merge(read(name), source, keys, upsertOnly = false,
+      deleteRequires, timeInsert, timeUpdate)
+    validatePartialChecks(m, merged, partial)
+    rewrite(name, merged, timeInsert.isDefined || timeUpdate.isDefined)
   }
 
   /** Type-2 SCD history upsert (see [[Mutations.scd2Upsert]]): closes

@@ -77,4 +77,18 @@ class FiltersSpec extends AnyFunSuite {
   test("identifier over 128 chars raises InvalidLengthObjectName") {
     assertThrows[errors.InvalidLengthObjectName](Identifiers.quote("x" * 129))
   }
+  test("unquoted rhs naming a column is a column reference; quoted stays literal") {
+    // SQL identifier resolution (the shape CHECK constraints live on)
+    val d2 = Seq((1L, 1, 10), (2L, 20, 2), (3L, 5, 5))
+      .toDF("pk", "lo", "hi")
+    def k(w: String): Seq[Long] =
+      d2.filter(Filters.parseWhere(d2, w)).select("pk").as[Long].collect().sorted.toSeq
+    assert(k("lo <= hi") == Seq(1L, 3L))
+    assert(k("lo = hi") == Seq(3L))
+    assert(k("lo > hi") == Seq(2L))
+    // quoted text is ALWAYS a literal, even when it names a column
+    val d3 = Seq((1L, "status"), (2L, "other")).toDF("pk", "status")
+    assert(d3.filter(Filters.parseWhere(d3, "status = 'status'"))
+      .select("pk").as[Long].collect().toSeq == Seq(1L))
+  }
 }

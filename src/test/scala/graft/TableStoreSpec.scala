@@ -963,4 +963,66 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq ==
       Seq((2, "m"), (2, "m"), (3, "n")))
   }
+
+  test("C30: check add validates existing data; enforcement on insert; UNKNOWN passes") {
+    val rootDir = Files.createTempDirectory("graft_test_").toString
+    val store = new TableStore(spark, rootDir)
+    store.createTable("t", Seq("k" -> "int", "qty" -> "int", "price" -> "decimal(8,2)"), Seq("k"))
+    store.insert("t", Seq((1, 5, 10.0), (2, 3, 20.0)).toDF("k", "qty", "price"))
+    // violated by existing data → refused, nothing lands
+    assertThrows[errors.CheckConstraintViolation](
+      store.addCheckConstraint("t", "chk_qty_big", "qty > 4"))
+    assert(store.meta("t").checks.isEmpty)
+    // unknown column / bad syntax → refused driver-side
+    assertThrows[errors.ColumnDoesNotExist](
+      store.addCheckConstraint("t", "chk_bad", "nope > 0"))
+    // holding constraint lands and persists across a fresh store handle
+    store.addCheckConstraint("t", "chk_qty_pos", "qty > 0")
+    val reopened = new TableStore(spark, rootDir)
+    assert(reopened.meta("t").checks == Seq("chk_qty_pos" -> "qty > 0"))
+    // duplicate name refused
+    assertThrows[errors.TableAlreadyExists](
+      store.addCheckConstraint("t", "chk_qty_pos", "qty > 1"))
+    // violating insert refused atomically; passing insert lands
+    assertThrows[errors.CheckConstraintViolation](
+      store.insert("t", Seq((3, 0, 1.0)).toDF("k", "qty", "price")))
+    assert(store.readTable("t").count() == 2)
+    store.insert("t", Seq((3, 9, 1.0)).toDF("k", "qty", "price"))
+    // SQL CHECK semantics: NULL qty is UNKNOWN → passes; and a batch
+    // without the checked column (null-filled on read) passes too
+    store.insert("t", Seq((4, Option.empty[Int], 2.0)).toDF("k", "qty", "price"))
+    store.insert("t", Seq((5, 3.0)).toDF("k", "price"))
+    assert(store.readTable("t").count() == 5)
+    // drop removes enforcement
+    store.dropCheckConstraint("t", "chk_qty_pos")
+    store.insert("t", Seq((6, -1, 1.0)).toDF("k", "qty", "price"))
+    assertThrows[errors.UndefinedCheckConstraint](
+      store.dropCheckConstraint("t", "chk_qty_pos"))
+  }
+
+  test("C30: mutations enforce checks; constraints spanning target columns validate the MERGED row") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "lo" -> "int", "hi" -> "int"), Seq("k"))
+    store.insert("t", Seq((1, 1, 10), (2, 2, 20)).toDF("k", "lo", "hi"))
+    store.addCheckConstraint("t", "chk_order", "lo <= hi")
+    // source provides both columns → decided source-side
+    assertThrows[errors.CheckConstraintViolation](
+      store.update("t", Seq((1, 50, 5)).toDF("k", "lo", "hi")))
+    // source provides ONLY hi: the merged row (lo from target) decides.
+    // k=1 keeps lo=1, hi=5 → fine; hi=0 would sink below lo=1 → refused
+    store.update("t", Seq((1, 5)).toDF("k", "hi"))
+    assert(store.readTable("t", where = Some("k = 1")).select("hi").collect().head.getInt(0) == 5)
+    assertThrows[errors.CheckConstraintViolation](
+      store.update("t", Seq((1, 0)).toDF("k", "hi")))
+    // upsert and merge go through the same gates
+    assertThrows[errors.CheckConstraintViolation](
+      store.upsert("t", Seq((7, 9, 1)).toDF("k", "lo", "hi")))
+    // merged k=2 would read lo=30 against target hi=20 → refused
+    // BEFORE any write (including merge's not-matched-by-source delete)
+    assertThrows[errors.CheckConstraintViolation](
+      store.merge("t", Seq((2, 30)).toDF("k", "lo")))
+    assert(store.readTable("t").count() == 2)
+    store.merge("t", Seq((2, 25)).toDF("k", "hi")) // holds; deletes k=1
+    assert(store.readTable("t", where = Some("k = 2")).select("hi").collect().head.getInt(0) == 25)
+  }
 }
