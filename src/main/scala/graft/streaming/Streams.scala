@@ -803,6 +803,36 @@ object Streams {
         })
   }
 
+  /** S19: streaming point-in-time enrichment — the streaming consumer
+    * of C22's SCD2 history and the streaming twin of A27's batch PIT
+    * join. Each micro-batch LEFT-joins the STATIC version table on the
+    * key with the validity interval as a residual, so every event picks
+    * the dimension version valid AT ITS EVENT TIME.
+    *
+    * Deliberately STATELESS: a stream-static join re-reads the
+    * dimension per micro-batch (no state store, no watermark), which
+    * is the right contract for a slowly-changing dimension — versions
+    * committed between batches enrich later events through the same
+    * validity predicate, and event time (not arrival time) picks the
+    * version, so replays are deterministic. Facts with no valid
+    * version keep their row (LEFT) and audit as null dimension
+    * columns rather than dropping. Scale: the per-batch join is the
+    * same plan as A27's — key equijoin + short per-key version-chain
+    * residual; AQE broadcasts the dimension when it fits. */
+  def pitEnrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      tsCol: String = "ts"): DataFrame = {
+    val ts = col(Identifiers.quote(tsCol))
+    stream.join(dim,
+      col(Identifiers.quote(streamKey)) === col(Identifiers.quote(dimKey)) &&
+        ts >= col("_valid_from") &&
+        (col("_valid_to").isNull || ts < col("_valid_to")),
+      "left")
+  }
+
   final case class Packed(doc_id: Long, group: String, pack_shard: Int,
       n_tokens: Long, seq_id: Long, start_off: Long)
 

@@ -353,6 +353,47 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S19: streaming PIT enrichment equals the batch temporal join per event") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.TimestampType
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two-version SCD2 dimension, as in the A27 driver query
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pit_").toString)
+    store.createTable("dim",
+      Seq("c_custkey" -> "bigint", "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"))
+    val cust = GraftSession.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    store.scd2("dim", cust, clock = lit("2024-01-01 00:00:00").cast(TimestampType))
+    store.scd2("dim", cust.filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), lit("MOVED").as("c_mktsegment")),
+      clock = lit("2024-01-15 00:00:00").cast(TimestampType))
+    val dim = store.readTable("dim")
+    val events = GraftSession.table(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts")
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("event_id", "user_id", "ts")
+    val q = Streams.pitEnrich(in, dim, "user_id", "c_custkey")
+      .select(col("event_id"), coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .writeStream.format("memory").queryName("s19").outputMode("append").start()
+    try {
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("s19").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val want = Streams.pitEnrich(events, dim, "user_id", "c_custkey")
+        .select(col("event_id"), coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+      // the enrichment is version-sensitive: both segments appear for
+      // users the second SCD2 pass moved
+      assert(got.exists(_._2 == "MOVED"))
+    } finally q.stop()
+  }
+
   test("S18: streaming pack equals the batch packer when fed in hash order; offsets survive batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Curation
