@@ -158,6 +158,9 @@ final case class Graft(
     /** Post-crash recovery: re-list and commit a fresh manifest (run
       * after clearing a dead APPEND writer's commit lock). */
     def repair(name: String): Unit = store.repair(name)
+    /** Change the PK-hash bucket count (0 = flat) — one staged rewrite;
+      * older snapshots keep pruning under their own layout. */
+    def rebucket(name: String, buckets: Int): Unit = store.rebucket(name, buckets)
   }
 
   /** Reference `get_schema` (package.py:105). */

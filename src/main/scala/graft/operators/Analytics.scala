@@ -492,6 +492,31 @@ object Analytics {
       .limit(100)
   }
 
+  // ── A31: aggregate-then-argmax (TPC-H Q15 shape: the top supplier(s)
+  // by quarterly revenue — a view's MAX joined back to the view). The
+  // third correlated-subquery shape beside Q2's per-group MIN (A29) and
+  // Q17's per-group AVG (A20): here the subquery is GLOBAL, so the
+  // floor is a 1-ROW aggregate. 100 TB plan: ONE fact-scale shuffle
+  // (the supplier revenue groupBy, map-side combined); the scalar max
+  // reduces FROM that supplier-sized relation (no second fact scan) and
+  // broadcasts back as a 1-row crossJoin; equality filters on the exact
+  // DECIMAL (no double rounding inside the comparison); supplier
+  // decoration broadcasts. Ties keep every achieving supplier, as Q15
+  // demands. ──────────────────────────────────────────────────────────
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenue).as("__rev"))
+    val top = rev.agg(max(col("__rev")).as("__max"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("__rev") === col("__max"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), fin(col("__rev")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -703,6 +728,7 @@ object Analytics {
     "window_range_frame" -> windowRangeFrame,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q21_sole_failing_supplier" -> q21SoleFailingSupplier,
+    "q15_top_supplier" -> q15TopSupplier,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -1008,6 +1034,17 @@ object Analytics {
         |     AND l3.l_returnflag = 'R')
         |GROUP BY s_name, n_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (
+        | SELECT l_suppkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }

@@ -1897,6 +1897,30 @@ final class TableStore(
     overwriteData(name, result)
   }
 
+  /** C31: change a table's PK-hash bucket count online (0 = flat).
+    * The bucket count chosen at create is a capacity decision, not
+    * forever: a table that grew 100× wants more buckets so keyed
+    * mutations keep touching a small fraction of files. One staged
+    * rewrite under the NEW layout (same data.tmp swap as every
+    * rewrite), committed as a generation — and because manifests pin
+    * the FULL meta, snapshot reads of older generations keep pruning
+    * under the layout they were written with. Meta is committed first
+    * and rolled back if the rewrite fails, so a crash never leaves the
+    * new meta describing old-layout files (readers would mis-prune). */
+  def rebucket(name: String, buckets: Int): Unit = withCommitLock(name) {
+    val m = meta(name)
+    if (buckets < 0)
+      throw errors.InvalidValue("buckets", s"negative bucket count: $buckets")
+    if (buckets == m.buckets)
+      throw errors.RecastColumnUnchanged("buckets", s"table $name already has $buckets buckets")
+    if (buckets > 0 && m.primaryKey.isEmpty) throw errors.UndefinedPrimaryKey(name)
+    val df = read(name)
+    writeMeta(name, m.copy(buckets = buckets))
+    try overwriteData(name, df)
+    catch { case e: Throwable => writeMeta(name, m); throw e }
+    audit(s"rebucket $name: ${m.buckets} -> $buckets buckets")
+  }
+
   private def overwriteData(name: String, df: DataFrame): Unit = {
     val m = meta(name)
     val tmp = new Path(tablePath(name), "data.tmp")

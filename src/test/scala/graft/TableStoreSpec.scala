@@ -964,6 +964,37 @@ class TableStoreSpec extends AnyFunSuite {
       Seq((2, "m"), (2, "m"), (3, "n")))
   }
 
+  test("C31: rebucket rewrites the layout online; old snapshots keep their own layout") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 4)
+    store.insert("t", (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val before = store.readTable("t", orderBy = Seq("k")).collect().toSeq
+    val genBefore = store.snapshots("t").map(_._1).max
+    // refusals: no-op count; bucketed layout needs a PK
+    assertThrows[errors.RecastColumnUnchanged](store.rebucket("t", 4))
+    store.rebucket("t", 16)
+    assert(store.meta("t").buckets == 16)
+    // contents identical, keyed read prunes under the NEW layout
+    assert(store.readTable("t", orderBy = Seq("k")).collect().toSeq == before)
+    val all = store.readTable("t").inputFiles.length
+    val point = store.readTable("t", where = Some("k = 7"))
+    assert(point.count() == 1)
+    assert(point.inputFiles.length < all,
+      s"new layout did not prune: ${point.inputFiles.length} of $all")
+    // the pre-rebucket snapshot still reads — and prunes under the OLD
+    // 4-bucket layout it was written with (manifest pins its meta)
+    val snapAll = store.readTable("t", asOf = Some(genBefore)).inputFiles.length
+    val snapPoint = store.readTable("t", where = Some("k = 7"), asOf = Some(genBefore))
+    assert(snapPoint.count() == 1)
+    assert(snapPoint.inputFiles.length < snapAll,
+      s"snapshot lost its layout pruning: ${snapPoint.inputFiles.length} of $snapAll")
+    assert(store.readTable("t", orderBy = Seq("k"), asOf = Some(genBefore))
+      .collect().toSeq == before)
+    // back to flat works too
+    store.rebucket("t", 0)
+    assert(store.readTable("t", orderBy = Seq("k")).collect().toSeq == before)
+  }
+
   test("C30: check add validates existing data; enforcement on insert; UNKNOWN passes") {
     val rootDir = Files.createTempDirectory("graft_test_").toString
     val store = new TableStore(spark, rootDir)
