@@ -351,9 +351,14 @@ object Curation {
     docs.withColumn("__g", grams)
       .select(col("doc_id"), size(col("__g")).cast("long").as("n_grams"),
         aggregate(col("__g"), lit(0L), (acc, g) => acc + get(w, bucket(g))).as("__raw"))
+      // NO round(): raw and n are exact integers (<2^53), so the bare
+      // IEEE division is bit-identical across engines — whereas a
+      // 6dp round() DIVERGES on representation ties (sf0.1 caught
+      // 0.0629375: Spark rounds the double's exact decimal expansion
+      // HALF_UP → …38, DuckDB rounds the scaled double → …37)
       .select(col("doc_id"), col("n_grams"),
-        round(col("__raw").cast("double") /
-          (lit(1000.0) * greatest(col("n_grams"), lit(1L))), 6).as("score"))
+        (col("__raw").cast("double") /
+          (lit(1000.0) * greatest(col("n_grams"), lit(1L)))).as("score"))
       .withColumn("accept", col("score") > 0)
   }
 

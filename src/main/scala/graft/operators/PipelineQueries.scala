@@ -1097,8 +1097,8 @@ object PipelineQueries {
          |        COUNT(*) AS n
          |      FROM gw GROUP BY doc_id)
          |SELECT t.doc_id AS doc_id, COALESCE(n, 0) AS n_grams,
-         | ROUND(COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)), 6) AS score,
-         | ROUND(COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)), 6) > 0 AS accept
+         | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) AS score,
+         | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) > 0 AS accept
          |FROM t LEFT JOIN s ON t.doc_id = s.doc_id ORDER BY t.doc_id""".stripMargin,
     "sample_importance" ->
       s"""WITH b AS (

@@ -167,8 +167,9 @@ class CurationSpec extends AnyFunSuite {
     }
     def weight(g: String): Long = h8("wt|" + (h8("w|" + g) % 4096)) % 2001 - 1000
     val raw1 = weight("alpha beta") + weight("beta gamma")
-    val exp1 = BigDecimal(raw1 / 2000.0)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact IEEE division — the operator deliberately does NOT round
+    // (representation ties at 6dp round differently across engines)
+    val exp1 = raw1 / 2000.0
     assert(got(0) == ((1L, 2L, exp1, exp1 > 0)))
     assert(got(1) == ((2L, 0L, 0.0, false)))
     assert(got(2) == ((3L, 0L, 0.0, false)))
