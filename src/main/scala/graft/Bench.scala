@@ -30,6 +30,7 @@ object Bench {
     "q13_order_distribution", // NEW r6 entry (A24) — absent from earlier records
     "q19_disjunctive_join", // NEW r6 entry (A26) — absent from earlier records
     "q21_sole_failing_supplier", // NEW r6 entry (A30) — absent from earlier records
+    "q2_min_cost_supplier", // NEW r6 entry (A29) — absent from earlier records
     "text_classifier", // NEW r6 entry (L36) — absent from earlier records
     "sample_importance", // NEW r6 entry (L37) — absent from earlier records
     "text_ngrams", // NEW r6 entry (L35) — absent from earlier records
