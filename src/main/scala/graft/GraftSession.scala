@@ -38,14 +38,32 @@ object GraftSession {
 
   /** Load one of the test tables from a scale-factor directory.
     *
-    * Parquet TIMESTAMP(NANOS) columns are read as Long (via
-    * `spark.sql.legacy.parquet.nanosAsLong`) and normalized here to
-    * micro-precision timestamps (floor division — matching how
-    * micro-precision engines, incl. the DuckDB oracle, truncate nanos). */
+    * Timestamp flavor normalization — the driver has generated the
+    * parquet with different physical timestamp types across rounds, and
+    * every operator (and Row.getTimestamp in the specs, and Structured
+    * Streaming's watermark, which REQUIRES TimestampType) assumes
+    * session-zone instants:
+    *  - TIMESTAMP(NANOS) read as Long via
+    *    `spark.sql.legacy.parquet.nanosAsLong` → floor-divided to
+    *    micro-precision instants (how micro-precision engines, incl.
+    *    the DuckDB oracle, truncate nanos);
+    *  - naive TIMESTAMP(MICROS) (isAdjustedToUTC=false) read as
+    *    TIMESTAMP_NTZ under Spark 4's `inferTimestampNTZ` → cast to
+    *    TimestampType. The session zone is pinned UTC, so the wall
+    *    clock is preserved bit-for-bit and renders identically to how
+    *    DuckDB reads the same naive values. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+    val normalized =
+      if (ntz.isEmpty) df
+      else df.select(df.schema.fieldNames.map { n =>
+        if (ntz.contains(n)) col(n).cast(TimestampType).as(n) else col(n)
+      }.toIndexedSeq: _*)
+    if (name == "events" && normalized.schema("ts").dataType == LongType)
+      normalized.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else normalized
   }
 }
