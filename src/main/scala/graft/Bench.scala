@@ -31,6 +31,9 @@ object Bench {
     "q19_disjunctive_join", // NEW r6 entry (A26) — absent from earlier records
     "q21_sole_failing_supplier", // NEW r6 entry (A30) — absent from earlier records
     "q2_min_cost_supplier", // NEW r6 entry (A29) — absent from earlier records
+    "q7_volume_shipping", // NEW r7 entry (A34) — absent from earlier records
+    "q9_product_profit", // NEW r7 entry (A36) — absent from earlier records
+    "q16_part_suppliers", // NEW r7 entry (A41) — absent from earlier records
     "text_classifier", // NEW r6 entry (L36) — absent from earlier records
     "sample_importance", // NEW r6 entry (L37) — absent from earlier records
     "text_ngrams", // NEW r6 entry (L35) — absent from earlier records
@@ -56,41 +59,73 @@ object Bench {
     "pipeline_stats",
   )
 
-  /** Streaming micro-bench: the S6 minhash near-dup detector driven
-    * AvailableNow over the documents table (setup writes excluded from
-    * the timing; the timed span is stream start → drain). */
+  /** Streaming micro-benches, driven AvailableNow over parquet inputs
+    * (setup writes excluded from the timing; the timed span is stream
+    * start → drain, best of 2):
+    *  - S6 minhash near-dup detector over the documents table — the
+    *    heaviest stateless-shuffle streaming path (signatures + band
+    *    exchange + dedup state);
+    *  - S17 streaming funnel over the events table — the heaviest
+    *    flatMapGroupsWithState path (per-user multi-step event-time
+    *    state + timeout-driven emission). VERDICT r6 #8: with only
+    *    stream_minhash timed, a stateful-API regression was
+    *    driver-invisible. */
   private def streamBench(
       spark: SparkSession,
       sfDir: String,
       errors: scala.collection.mutable.LinkedHashMap[String, String]): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    try {
-      val docs = GraftSession.table(spark, sfDir, "documents")
-      val in = java.nio.file.Files.createTempDirectory("graft_bench_s6_").toString + "/in"
-      // write the stream input as one file per core: a single-file input
-      // pins the pre-shuffle signature stage to one task (measured 2×)
-      docs.repartition(spark.sparkContext.defaultParallelism).write.parquet(in)
-      val schema = spark.read.parquet(in).schema
-      def run(tag: Int): Double = {
-        val s = spark.readStream.schema(schema).parquet(in)
-          .withColumn("ts", timestamp_seconds(lit(1735689600L) + col("doc_id")))
-        val t0 = System.nanoTime()
-        val q = graft.streaming.Streams.minhashCandidates(s)
-          .toDF().writeStream.format("memory").queryName(s"bench_s6_$tag")
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
+    def timed(name: String)(body: Int => Double): Seq[(String, Double)] =
+      try {
+        val t1 = body(1)
+        val t2 = body(2)
+        Seq(name -> math.min(t1, t2))
+      } catch {
+        case e: Throwable =>
+          errors += name -> e.getMessage.take(200).replaceAll("\\s+", " ")
+          Seq(name -> -1.0)
       }
-      val t1 = run(1)
-      val t2 = run(2)
-      Seq("stream_minhash" -> math.min(t1, t2))
-    } catch {
-      case e: Throwable =>
-        errors += "stream_minhash" -> e.getMessage.take(200).replaceAll("\\s+", " ")
-        Seq("stream_minhash" -> -1.0)
+    // one file per core: a single-file input pins the pre-shuffle
+    // signature stage to one task (measured 2×)
+    def stage(df: org.apache.spark.sql.DataFrame, tag: String): (String, org.apache.spark.sql.types.StructType) = {
+      val in = java.nio.file.Files.createTempDirectory(s"graft_bench_$tag").toString + "/in"
+      df.repartition(spark.sparkContext.defaultParallelism).write.parquet(in)
+      (in, spark.read.parquet(in).schema)
     }
+    val minhash = timed("stream_minhash") { tag =>
+      val (in, schema) = if (tag == 1) {
+        val staged = stage(GraftSession.table(spark, sfDir, "documents"), "s6_")
+        s6Input = staged; staged
+      } else s6Input
+      val s = spark.readStream.schema(schema).parquet(in)
+        .withColumn("ts", timestamp_seconds(lit(1735689600L) + col("doc_id")))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.minhashCandidates(s)
+        .toDF().writeStream.format("memory").queryName(s"bench_s6_$tag")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val funnel = timed("stream_funnel") { tag =>
+      val (in, schema) = if (tag == 1) {
+        val staged = stage(GraftSession.table(spark, sfDir, "events"), "s17_")
+        s17Input = staged; staged
+      } else s17Input
+      val s = spark.readStream.schema(schema).parquet(in)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.streamingFunnel(s)
+        .toDF().writeStream.format("memory").queryName(s"bench_s17_$tag")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    minhash ++ funnel
   }
+  // staged stream inputs, written once and reused by the second run
+  private var s6Input: (String, org.apache.spark.sql.types.StructType) = _
+  private var s17Input: (String, org.apache.spark.sql.types.StructType) = _
 
   /** Box-contention calibration: fixed-size compute probes whose clean-box
     * times are known constants for a given JVM+hardware, independent of SF.
@@ -232,9 +267,12 @@ object Bench {
     val probes = probeByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // field order matters: the driver keeps only the last 2 KB of this
     // line (BENCH_r05 lost the queries dict to tail truncation — VERDICT
-    // r5 #1), so the graded fields "queries" and "value" go LAST and the
-    // large diagnostic dicts (probes, peak memory) go first
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"calib":$calib,"calib_start":$calibStart,"probe_34m":$probes,"peak_task_mem":$mem,"queries":$qs,"value":$total}""")
+    // r5 #1; BENCH_r06 then lost calib/calib_start because they sat
+    // BEFORE the large probe/peak dicts — VERDICT r6 #5). Order: big
+    // diagnostic dicts first, then the tiny calib pair, then the graded
+    // "queries"/"value" — so the last ~1.5 KB always carries
+    // calib_start + calib + queries + value together.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib_start":$calibStart,"calib":$calib,"queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

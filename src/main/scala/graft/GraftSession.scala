@@ -49,18 +49,28 @@ object GraftSession {
     *    the DuckDB oracle, truncate nanos);
     *  - naive TIMESTAMP(MICROS) (isAdjustedToUTC=false) read as
     *    TIMESTAMP_NTZ under Spark 4's `inferTimestampNTZ` → cast to
-    *    TimestampType. The session zone is pinned UTC, so the wall
-    *    clock is preserved bit-for-bit and renders identically to how
-    *    DuckDB reads the same naive values. */
+    *    TimestampType. The NTZ→instant cast is only wall-clock-
+    *    preserving because the session zone is UTC — asserted below, so
+    *    a session not built via [[local]] fails loudly instead of
+    *    silently shifting instants (ADVICE r6).
+    *
+    * The NTZ scan is TOP-LEVEL only by design: the driver's generated
+    * tables are flat (TESTDATA.md), so nested-struct/array timestamps
+    * cannot occur here; store-managed tables normalize on write. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "GraftSession.table requires a UTC session (the NTZ→Timestamp cast below " +
+        "preserves wall clocks only in UTC); build the session via GraftSession.local()")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }.toSet
     val normalized =
       if (ntz.isEmpty) df
+      // df(n), not col(n): positional resolution keeps a field name
+      // containing a dot or backtick from being parsed as a nested path
       else df.select(df.schema.fieldNames.map { n =>
-        if (ntz.contains(n)) col(n).cast(TimestampType).as(n) else col(n)
+        if (ntz.contains(n)) df(n).cast(TimestampType).as(n) else df(n)
       }.toIndexedSeq: _*)
     if (name == "events" && normalized.schema("ts").dataType == LongType)
       normalized.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

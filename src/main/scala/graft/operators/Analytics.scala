@@ -104,25 +104,28 @@ object Analytics {
 
   // ── A20: join-against-aggregate scalar subquery (TPC-H Q17 shape):
   // revenue from small-quantity lineitems, "small" defined per part as
-  // quantity < 0.2 × that part's average. 100 TB plan: the tiny filtered
-  // part set broadcast-restricts lineitem FIRST, so the per-part stats
-  // aggregate and the final filter both run over the restricted slice
-  // (one shuffle on l_partkey), never the full fact table; the stats
-  // relation (≤ #filtered parts rows) broadcasts back. The avg
-  // comparison is rearranged to 5·qty·cnt < sum(qty) — exact decimal
-  // arithmetic, no engine-specific decimal-division rounding. ──────────
+  // quantity < 0.2 × that part's average. 100 TB plan: the filtered
+  // part set restricts lineitem FIRST, so the per-part stats aggregate
+  // and the final filter both run over the restricted slice, never the
+  // full fact table. NO hint on either side: the 1-brand slice of PART
+  // still scales linearly with the corpus, so AQE picks broadcast at
+  // small SF and falls back to a shuffle join at scale — where the
+  // restriction join, the stats groupBy and the stats join-back all
+  // hash-partition on l_partkey, so the exchange is REUSED across the
+  // three. The avg comparison is rearranged to 5·qty·cnt < sum(qty) —
+  // exact decimal arithmetic, no engine-specific division rounding. ───
   def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "part")
       .filter(col("p_brand") === "Brand#1" && col("p_size") < 10)
       .select("p_partkey")
     val restricted = t(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"),
         col("l_quantity").cast(DecimalType(18, 6)).as("__qd"),
         dec2(col("l_extendedprice")).as("__pd"))
     val stats = restricted.groupBy("l_partkey")
       .agg(sum(col("__qd")).as("__sum_q"), count(lit(1)).as("__cnt"))
-    restricted.join(broadcast(stats), "l_partkey")
+    restricted.join(stats, "l_partkey")
       .filter(col("__qd") * 5 * col("__cnt") < col("__sum_q"))
       .agg(round(sum(col("__pd")).cast("double") / 7.0, 2).as("avg_yearly"))
   }
@@ -431,11 +434,16 @@ object Analytics {
   // different plan problem because the minimizing ROWS must come back
   // out, not just the scalar — the classic formulations are a
   // self-join against a groupBy-min or a correlated subquery per row.
-  // 100 TB plan: the filtered part set broadcast-restricts lineitem
-  // FIRST (same restriction discipline as Q17); then ONE window
-  // min-over-partition computes the per-part floor and the equality
-  // filter keeps the achieving rows inside the same exchange — no
-  // second scan of the fact table and no join-back. The (part,
+  // 100 TB plan: the filtered part set restricts lineitem FIRST (same
+  // restriction discipline as Q17); then ONE window min-over-partition
+  // computes the per-part floor and the equality filter keeps the
+  // achieving rows inside the same exchange — no second scan of the
+  // fact table and no join-back. NO hint on the part slice or on
+  // supplier: both scale linearly with the corpus (p_size<5 keeps ~8%
+  // of PART), so a pinned broadcast OOMs at scale — AQE broadcasts at
+  // small SF and shuffles at large, and the part-restriction shuffle,
+  // the window and the dedup groupBy all hash-partition on l_partkey.
+  // Only the ≤25-row nation decoration is hint-pinned. The (part,
   // supplier) dedup and the supplier/nation decoration run on the
   // min-achieving survivors only (tiny). MIN is a SELECTION, not
   // arithmetic: the compared values are raw parquet doubles in both
@@ -444,14 +452,14 @@ object Analytics {
     val parts = t(s, dir, "part").filter(col("p_size") < 5)
       .select("p_partkey", "p_brand")
     val restricted = t(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_brand"), col("l_suppkey"), col("l_extendedprice"))
     val floor = min(col("l_extendedprice")).over(Window.partitionBy("l_partkey"))
     restricted.withColumn("__min", floor)
       .filter(col("l_extendedprice") === col("__min"))
       .groupBy("l_partkey", "p_brand", "l_suppkey")
       .agg(min(col("l_extendedprice")).as("min_price"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("l_partkey").as("p_partkey"), col("p_brand"), col("s_name"),
         col("n_name"), col("min_price"))
@@ -464,17 +472,20 @@ object Analytics {
   // correlated subqueries against the fact table itself). Spark-first:
   // both subqueries become fact-side LEFT SEMI / LEFT ANTI self-joins
   // on l_orderkey with the supplier-inequality as a residual join
-  // condition — no correlated per-row execution, and all three fact
-  // legs hash-partition on the SAME key (l_orderkey), so the exchanges
-  // line up. The returned-line leg is pre-restricted to 'F' orders via
-  // a broadcast semi-join before any self-join work. Count per
-  // supplier is a tiny aggregate; supplier/nation decorate last. ──────
+  // condition — no correlated per-row execution, and all four fact
+  // legs (the 'F'-order restriction plus the three self-join legs)
+  // hash-partition on the SAME key (l_orderkey), so ONE partitioning
+  // is reused end to end. NO hint on the 'F'-order set (~half of
+  // ORDERS — it scales with the corpus; a pinned broadcast OOMs at
+  // 100 TB) and none on supplier (also SF-scaling): AQE picks
+  // broadcast at small SF, shuffle at scale. Count per supplier is a
+  // tiny aggregate; nation (fixed 25 rows) decorates last. ────────────
   def q21SoleFailingSupplier(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       .select("o_orderkey")
     val l1 = li.filter(col("l_returnflag") === "R")
-      .join(broadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select("l_orderkey", "l_suppkey")
     val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
     val l3 = li.filter(col("l_returnflag") === "R")
@@ -485,7 +496,7 @@ object Analytics {
         "left_anti")
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_name"), col("n_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -500,9 +511,11 @@ object Analytics {
   // (the supplier revenue groupBy, map-side combined); the scalar max
   // reduces FROM that supplier-sized relation (no second fact scan) and
   // broadcasts back as a 1-row crossJoin; equality filters on the exact
-  // DECIMAL (no double rounding inside the comparison); supplier
-  // decoration broadcasts. Ties keep every achieving supplier, as Q15
-  // demands. ──────────────────────────────────────────────────────────
+  // DECIMAL (no double rounding inside the comparison). The supplier
+  // decoration carries NO hint — supplier scales with SF, so AQE
+  // chooses broadcast at small SF and a shuffle join at scale (the
+  // revenue side is already partitioned on l_suppkey = the join key).
+  // Ties keep every achieving supplier, as Q15 demands. ───────────────
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -512,8 +525,265 @@ object Analytics {
     val top = rev.agg(max(col("__rev")).as("__max"))
     rev.crossJoin(broadcast(top))
       .filter(col("__rev") === col("__max"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), fin(col("__rev")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // ═══ r7: the TPC-H tail completion (A32–A42) — with these, every
+  // TPC-H query shape the schema can express is covered (the classic
+  // partsupp/commitdate columns don't exist in the corpus, so Q4/Q9/
+  // Q11/Q12/Q16/Q20 keep their PLAN shape with predicates adapted to
+  // available columns, the same discipline r6 used for Q2/Q21).
+  // Broadcast rule throughout: hints ONLY on nation/region (≤25 rows at
+  // any SF) and 1-row scalar aggregates; every relation that scales
+  // with the corpus is un-hinted — AQE broadcasts at small SF, shuffles
+  // at 100 TB (PlanAuditSpec's registry-wide hint audit enforces this).
+
+  // ── A32: EXISTS with a correlated inequality (TPC-H Q4 shape): count
+  // date-windowed orders having at least one line shipped after the
+  // order date. The EXISTS becomes ONE left-semi join carrying the
+  // cross-table inequality as the join residual — no correlated per-row
+  // subquery, one shuffle on the order key, and the date filter reaches
+  // the orders scan. ──────────────────────────────────────────────────
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ords = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ords.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ── A33: pure filtered aggregation (TPC-H Q6 shape) — the pushdown
+  // showcase: all three range predicates reach the parquet scan
+  // (PushedFilters), no join, no shuffle beyond the 1-row aggregate.
+  // At 100 TB this is a scan-bound query; correctness of the pushdown
+  // (filters prune row groups via parquet min/max) is the whole
+  // performance story. ────────────────────────────────────────────────
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(fin(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))).as("revenue"))
+
+  // ── A34: bi-directional nation-pair volume (TPC-H Q7 shape). The two
+  // fact-scale joins (supplier on l_suppkey, orders+customer on
+  // l_orderkey/o_custkey) are un-hinted; both sides are PRE-RESTRICTED
+  // to the two nations by a broadcast semi against the ≤25-row nation
+  // slice (the Q5 discipline), so the shuffled legs carry ~2/25 of
+  // supplier and customer, not the full dims. ─────────────────────────
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val nat = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === pair(0) && col("cust_nation") === pair(1)) ||
+        (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(fin(sum(revenue)).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // ── A35: market share — conditional share of a grouped total (TPC-H
+  // Q8 shape). Two nation roles: the customer side restricts the market
+  // to one REGION (broadcast semi, fixed-size), the supplier side
+  // decorates each line with its nation for the CASE split. ONE
+  // aggregation computes both the conditional and the total sum; the
+  // ratio is a per-group scalar division AFTER the exact decimal sums
+  // (both rendered double, division bit-identical across engines). ────
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val amNat = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("__am_nk"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(amNat), col("c_nationkey") === col("__am_nk"), "left_semi")
+      .select("c_custkey")
+    val supNat = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").filter(col("p_type") === "MEDIUM").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("o_year"), revenue.as("__vol"),
+        col("supp_nation"))
+    vol.groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === "NATION_3", col("__vol"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("__target"),
+        sum(col("__vol")).as("__all"))
+      .select(col("o_year"),
+        round(fin(col("__target")) / fin(col("__all")), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  // ── A36: multi-way star join + signed profit aggregation (TPC-H Q9
+  // shape; ps_supplycost doesn't exist, so the cost term is
+  // p_retailprice × quantity — same join shape, same exact-decimal
+  // subtraction). The part filter (LIKE on p_name) restricts lineitem
+  // first; supplier/orders join un-hinted on their fact keys; nation
+  // (25 rows) broadcasts. All arithmetic stays decimal until the final
+  // double render. ────────────────────────────────────────────────────
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice")
+    val profit = dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))) -
+      dec4(col("p_retailprice")) * dec4(col("l_quantity"))
+    t(s, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(fin(sum(profit)).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  // ── A37: revenue-ranked entity report (TPC-H Q10 shape): top-20
+  // customers by returned-line revenue in a quarter. The returnflag +
+  // date filters restrict BOTH fact inputs before the joins; customer
+  // joins un-hinted (scales with SF); the final top-20 is an ORDER BY +
+  // LIMIT that Spark plans as TakeOrderedAndProject — no global sort at
+  // any scale. ────────────────────────────────────────────────────────
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(fin(sum(revenue)).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), fin(col("c_acctbal")).as("acctbal"),
+        col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // ── A38: group value vs a global-total threshold (TPC-H Q11 shape;
+  // per-supplier line value stands in for partsupp stock value). ONE
+  // fact-scale groupBy; the global total reduces FROM the supplier-
+  // sized aggregate (no second fact scan) and broadcasts back as a
+  // 1-row crossJoin — the Q15/Q22 scalar-subquery discipline. The
+  // threshold compare runs in DOUBLE on both engines (identical bits →
+  // identical keep set). ──────────────────────────────────────────────
+  def q11ImportantValues(s: SparkSession, dir: String): DataFrame = {
+    val sv = t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(sum(revenue).as("__val"))
+    val tot = sv.agg(sum(col("__val")).as("__total"))
+    sv.crossJoin(broadcast(tot))
+      .filter(fin(col("__val")) > fin(col("__total")) * 0.003)
+      .select(col("l_suppkey"), fin(col("__val")).as("value"))
+      .orderBy(col("value").desc, col("l_suppkey"))
+  }
+
+  // ── A39: conditional two-way count split (TPC-H Q12 shape; the
+  // late-shipment predicate is a cross-table date inequality instead of
+  // the absent commit/receipt dates). The inequality is a JOIN RESIDUAL
+  // on the single o_orderkey shuffle — the date-window filter still
+  // reaches the lineitem scan. ────────────────────────────────────────
+  def q12LateLines(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  // ── A40: conditional revenue percentage (TPC-H Q14 shape). One month
+  // of lineitem joins part un-hinted; a SINGLE aggregate computes both
+  // the conditional and total sums; the 100·x/y render happens in
+  // double with a fixed operation order, bit-identical across
+  // engines. ──────────────────────────────────────────────────────────
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(t(s, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).as("__promo"),
+        sum(revenue).as("__all"))
+      .select(round(lit(100.0) * fin(col("__promo")) / fin(col("__all")), 4)
+        .as("promo_revenue"))
+  }
+
+  // ── A41: distinct-entity count per attribute bracket with an
+  // exclusion list (TPC-H Q16 shape; the supplier blacklist is
+  // s_acctbal < 0 in place of the absent comment column, and lineitem's
+  // (part, supplier) pairs stand in for partsupp). The blacklist is an
+  // ANTI join (NOT IN with non-null keys ≡ anti); the distinct count
+  // de-dups (bracket, supplier) inside the single groupBy exchange. ───
+  def q16PartSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // ── A42: per-pair share of a per-group total gating an entity list
+  // (TPC-H Q20 shape; shipped-quantity share stands in for the absent
+  // availqty). The (part, supplier) aggregate and the per-part total
+  // share ONE exchange via a window over l_partkey (the Q2 pattern);
+  // qualifying suppliers semi-join supplier un-hinted; nation
+  // decorates broadcast. ──────────────────────────────────────────────
+  def q20ExcessShippers(s: SparkSession, dir: String): DataFrame = {
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec2(col("l_quantity"))).as("__qty"))
+    val tot = sum(col("__qty")).over(Window.partitionBy("l_partkey"))
+    val big = shipped.withColumn("__tot", tot)
+      .filter(fin(col("__qty")) > lit(0.3) * fin(col("__tot")))
+      .select("l_suppkey").distinct()
+    t(s, dir, "supplier")
+      .join(big, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_2", "NATION_5"))
+      .select("s_suppkey", "s_name", "n_name")
       .orderBy("s_suppkey")
   }
 
@@ -729,6 +999,17 @@ object Analytics {
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q21_sole_failing_supplier" -> q21SoleFailingSupplier,
     "q15_top_supplier" -> q15TopSupplier,
+    "q4_order_priority" -> q4OrderPriority,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q11_important_values" -> q11ImportantValues,
+    "q12_late_lines" -> q12LateLines,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q16_part_suppliers" -> q16PartSuppliers,
+    "q20_excess_shippers" -> q20ExcessShippers,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -1044,6 +1325,123 @@ object Analytics {
         |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
         |FROM r JOIN supplier ON s_suppkey = l_suppkey
         |WHERE rev = (SELECT MAX(rev) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        | AND EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """WITH v AS (
+        | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS INT) AS l_year,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        | FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+        |SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+        |FROM v GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH a AS (
+        | SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+        |  n2.n_name AS supp_nation
+        | FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        | ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |   / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+        |FROM a GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_important_values" ->
+      """WITH sv AS (
+        | SELECT l_suppkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS val
+        | FROM lineitem GROUP BY l_suppkey),
+        |tot AS (SELECT SUM(val) AS total FROM sv)
+        |SELECT l_suppkey, CAST(val AS DOUBLE) AS value
+        |FROM sv, tot
+        |WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.003
+        |ORDER BY value DESC, l_suppkey""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        | AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT ROUND(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |  4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        | AND p_size IN (1,4,7,10,13,16,19,22)
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_shippers" ->
+      """WITH shipped AS (
+        | SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY l_partkey, l_suppkey),
+        |pt AS (SELECT l_partkey, SUM(qty) AS tot FROM shipped GROUP BY l_partkey),
+        |big AS (SELECT DISTINCT s.l_suppkey FROM shipped s JOIN pt USING (l_partkey)
+        | WHERE CAST(s.qty AS DOUBLE) > 0.3 * CAST(pt.tot AS DOUBLE))
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+        | AND n_name IN ('NATION_2','NATION_5')
         |ORDER BY s_suppkey""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )

@@ -256,6 +256,63 @@ object CoreQueries {
     store.readTable("cust", orderBy = Seq("c_custkey"))
   }
 
+  // C26: keyed delete — unlike merge's WHEN-NOT-MATCHED-BY-SOURCE
+  // deletes (which can hit any bucket and force a full rewrite), a
+  // keyed delete rewrites only the buckets the source keys hash into
+  // (prunedMutation). Bucketed store so the driver verifies the
+  // bucket-pruned rewrite path; the oracle is the complementary SELECT.
+  def deleteByKey(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "delete_key")
+    val cust = t(s, dir, "customer")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint", "c_name" -> "varchar(max)", "c_nationkey" -> "int",
+      "c_acctbal" -> "float", "c_mktsegment" -> "varchar(max)"),
+      Seq("c_custkey"), buckets = 8)
+    store.insert("cust", cust)
+    store.delete("cust", cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"))
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+  }
+
+  // C19: small-file compaction is a PURE REWRITE — many per-insert
+  // files coalesce into one file per bucket with the multiset of rows
+  // unchanged. The query inserts in 5 batches (5 files per touched
+  // bucket), compacts, and reads the LIVE table; the oracle is the
+  // plain SELECT of everything inserted — bit-equal contents is exactly
+  // the compaction contract (the file-count drop is spec-pinned in
+  // TableStoreSpec).
+  def compactRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "compact")
+    val cust = t(s, dir, "customer")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint", "c_name" -> "varchar(max)", "c_nationkey" -> "int",
+      "c_acctbal" -> "float", "c_mktsegment" -> "varchar(max)"),
+      Seq("c_custkey"), buckets = 4)
+    (0 until 5).foreach(i => store.insert("cust", cust.filter(col("c_custkey") % 5 === i)))
+    store.compact("cust")
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+  }
+
+  // C31: online rebucketing — the layout migration (4 → 8 buckets)
+  // rewrites every file under the new hash but must not change a single
+  // row; a post-rebucket upsert then proves the NEW layout routes
+  // mutations correctly (updated rows land in 8-bucket dirs). The
+  // oracle is the update algebra over the original relation — identical
+  // to what a never-rebucketed table would return.
+  def rebucketRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "rebucket")
+    val cust = t(s, dir, "customer")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint", "c_name" -> "varchar(max)", "c_nationkey" -> "int",
+      "c_acctbal" -> "float", "c_mktsegment" -> "varchar(max)"),
+      Seq("c_custkey"), buckets = 4)
+    store.insert("cust", cust)
+    store.rebucket("cust", 8)
+    val updates = cust.filter(col("c_custkey") <= 150)
+      .select(col("c_custkey"), (col("c_acctbal") + 250).as("c_acctbal"))
+    store.update("cust", updates)
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+  }
+
   // C20: file-statistics pruning — analyze computes per-file min/max on
   // the PK; a where-d readTable then skips every file whose range can't
   // match (zone-map pruning; the reference's clustered-index-seek analog).
@@ -453,6 +510,9 @@ object CoreQueries {
     "update_by_key" -> updateByKey,
     "upsert_by_key" -> upsertByKey,
     "upsert_bucketed" -> upsertBucketed,
+    "delete_by_key" -> deleteByKey,
+    "compact_read" -> compactRead,
+    "rebucket_read" -> rebucketRead,
     "merge_full" -> mergeFull,
     "merge_delete_requires" -> mergeDeleteRequires,
     "merge_timestamps" -> mergeTimestamps,
@@ -629,6 +689,20 @@ object CoreQueries {
         | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
         | CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
         |FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "delete_by_key" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+    "compact_read" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "rebucket_read" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CASE WHEN c_custkey <= 150 THEN c_acctbal + 250 ELSE c_acctbal END AS c_acctbal,
+        | c_mktsegment
+        |FROM customer
         |ORDER BY c_custkey""".stripMargin,
     "upsert_by_key" ->
       """WITH src AS (

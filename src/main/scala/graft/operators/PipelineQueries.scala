@@ -48,13 +48,19 @@ object PipelineQueries {
 
   /** L16: pairwise near-dups → duplicate clusters with a canonical
     * keeper (min doc_id reachable). */
+  /** The production clustering default is the O(log n)-round
+    * alternating-star algorithm (L16b): the min-label path's round count
+    * grows with the longest chain in the pair graph, which made it the
+    * heaviest + most contention-sensitive driver query (12.7 s driver vs
+    * 3.0 s clean-box in r6 — VERDICT r6 #5). Both implement the SAME
+    * labeling contract (spec-pinned equal), so they share one oracle. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
-
-  /** L16b: same labeling contract as [[dedupClusters]] via the
-    * O(log n)-round alternating-star algorithm — shares its oracle. */
-  def dedupClustersStar(s: SparkSession, dir: String): DataFrame =
     Dedup.clustersAltStar(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
+
+  /** L16: the iterative min-label variant, kept driver-covered under its
+    * own key (same oracle — same labeling contract as [[dedupClusters]]). */
+  def dedupClustersMinLabel(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(Dedup.ngramJaccardPairs(t(s, dir, "documents"))).orderBy("doc_id")
 
   /** L24: asymmetric containment pairs (quote/subset detection). */
   def dedupContainment(s: SparkSession, dir: String): DataFrame =
@@ -370,7 +376,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_portable" -> dedupSimhashPortable,
     "dedup_clusters" -> dedupClusters,
-    "dedup_clusters_star" -> dedupClustersStar,
+    "dedup_clusters_minlabel" -> dedupClustersMinLabel,
     "dedup_clusters_incr" -> dedupClustersIncr,
     "dedup_cross" -> dedupCross,
     "dedup_containment" -> dedupContainment,
@@ -542,10 +548,10 @@ object PipelineQueries {
       |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
       |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3""".stripMargin
 
-  /** Connected-components oracle shared by `dedup_clusters` and
-    * `dedup_clusters_star` — both operators implement the SAME labeling
-    * contract (min reachable doc_id), only the iteration schedule
-    * differs, so one recursive-CTE oracle pins both. */
+  /** Connected-components oracle shared by `dedup_clusters` (alternating
+    * star) and `dedup_clusters_minlabel` — both operators implement the
+    * SAME labeling contract (min reachable doc_id), only the iteration
+    * schedule differs, so one recursive-CTE oracle pins both. */
   private val clustersOracle: String =
     """WITH RECURSIVE tok AS (
       | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
@@ -698,7 +704,7 @@ object PipelineQueries {
     "dedup_clusters" -> clustersOracle,
     // L16b/L16c compute the SAME labeling (alternating-star schedule /
     // incremental delta fold), so they share the oracle verbatim
-    "dedup_clusters_star" -> clustersOracle,
+    "dedup_clusters_minlabel" -> clustersOracle,
     "dedup_clusters_incr" -> clustersOracle,
     "contamination_check" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -1118,7 +1124,10 @@ object PipelineQueries {
          |GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
-        | CASE WHEN doc_id % 10 = 0 THEN 'unknown' ELSE 'png' END AS format,
+        | CASE WHEN doc_id % 10 = 0 THEN 'unknown'
+        |      WHEN doc_id % 3 = 0 THEN 'png'
+        |      WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |      ELSE 'bmp' END AS format,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars % 31 + 4 END AS BIGINT) AS width,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 17 + 4 END AS BIGINT) AS height,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_channels,

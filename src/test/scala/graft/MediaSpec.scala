@@ -30,6 +30,41 @@ class MediaSpec extends AnyFunSuite {
     assert(m.width == 2 && m.height == 1 && m.mean_px == 20)
   }
 
+  test("JPEG(q=1.0) and BMP round-trip EXACTLY over the full synthetic parameter range") {
+    // The multimodal_decode oracle states the decoded mean in closed
+    // form for every format; lossless PNG/BMP make that trivially true,
+    // but JPEG earns it only because constant-color + q=1.0 round-trips
+    // exactly (see encodeJpeg). Sweep every gray value the synthetic
+    // table can produce at the size extremes, and every size at a few
+    // grays — if any (gray, w, h) drifted by ±1 the driver hash check
+    // would fail, so pin it here first.
+    for (g <- 0 until 256; (w, h) <- Seq((4, 4), (34, 20))) {
+      val j = Media.decodeImage(Media.encodeJpeg(w, h, g))
+      assert(j.format == "jpeg" && j.width == w && j.height == h &&
+        j.n_channels == 3 && j.mean_px == g, s"jpeg drift at gray=$g ${w}x$h: $j")
+      val b = Media.decodeImage(Media.encodeBmp(w, h, g))
+      assert(b.format == "bmp" && b.width == w && b.height == h &&
+        b.n_channels == 3 && b.mean_px == g, s"bmp drift at gray=$g ${w}x$h: $b")
+    }
+    for (w <- 4 to 34; h <- 4 to 20; g <- Seq(0, 101, 255)) {
+      val j = Media.decodeImage(Media.encodeJpeg(w, h, g))
+      assert(j.mean_px == g && j.width == w && j.height == h,
+        s"jpeg drift at gray=$g ${w}x$h: $j")
+    }
+  }
+
+  test("the synthetic media table mixes real formats per row and each decodes") {
+    val docs = GraftSession.table(spark, SparkTestSession.sfDir, "documents")
+    val decoded = Media.decodeTable(Media.syntheticMediaTable(docs))
+      .select("doc_id", "format").as[(Long, String)].collect().toMap
+    decoded.foreach { case (id, fmt) =>
+      val expected = if (id % 10 == 0) "unknown"
+        else if (id % 3 == 0) "png" else if (id % 3 == 1) "jpeg" else "bmp"
+      assert(fmt == expected, s"doc $id: expected $expected, decoded $fmt")
+    }
+    assert(Set("png", "jpeg", "bmp", "unknown").subsetOf(decoded.values.toSet))
+  }
+
   test("corrupt bytes degrade to the unknown sentinel, never throw") {
     val png = Media.encodePng(8, 8, 42)
     // bare signature: PNG reader selected, pixel read fails
@@ -131,7 +166,7 @@ class MediaSpec extends AnyFunSuite {
       .orderBy("doc_id")
       .as[Media.MediaMeta].collect()
     assert(out(0) == Media.MediaMeta(10L, "unknown", -1, -1, 0, -1)) // 10 % 10 == 0
-    assert(out(1) == Media.MediaMeta(11L, "png", 40 % 31 + 4, 11 % 17 + 4, 3, 11))
-    assert(out(2) == Media.MediaMeta(12L, "png", 77 % 31 + 4, 12 % 17 + 4, 3, 12))
+    assert(out(1) == Media.MediaMeta(11L, "bmp", 40 % 31 + 4, 11 % 17 + 4, 3, 11)) // 11 % 3 == 2
+    assert(out(2) == Media.MediaMeta(12L, "png", 77 % 31 + 4, 12 % 17 + 4, 3, 12)) // 12 % 3 == 0
   }
 }

