@@ -466,36 +466,43 @@ object Analytics {
       .orderBy("p_partkey", "s_name")
   }
 
-  // ── A30: double-correlated EXISTS + NOT EXISTS self-join (TPC-H Q21
-  // shape): on finalized multi-supplier orders, suppliers who were the
-  // ONLY one with a returned line — the hardest TPC-H plan shape (two
-  // correlated subqueries against the fact table itself). Spark-first:
-  // both subqueries become fact-side LEFT SEMI / LEFT ANTI self-joins
-  // on l_orderkey with the supplier-inequality as a residual join
-  // condition — no correlated per-row execution, and all four fact
-  // legs (the 'F'-order restriction plus the three self-join legs)
-  // hash-partition on the SAME key (l_orderkey), so ONE partitioning
-  // is reused end to end. NO hint on the 'F'-order set (~half of
-  // ORDERS — it scales with the corpus; a pinned broadcast OOMs at
-  // 100 TB) and none on supplier (also SF-scaling): AQE picks
-  // broadcast at small SF, shuffle at scale. Count per supplier is a
-  // tiny aggregate; nation (fixed 25 rows) decorates last. ────────────
+  // ── A30: double-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape):
+  // on finalized multi-supplier orders, suppliers who were the ONLY
+  // one with a returned line — the hardest TPC-H plan shape (two
+  // correlated subqueries against the fact table itself). Spark-first,
+  // r7 plan: both subqueries are really PER-ORDER set predicates
+  // ("another supplier has a line" / "no other supplier has an R
+  // line"), so instead of the textbook three self-join legs (3 fact
+  // scans + 3 fact shuffles — r6's shape) the fact table is scanned
+  // ONCE, repartitioned ONCE on l_orderkey, reduced to per-(order,
+  // supplier) R-line counts, and the two EXISTS become window counts
+  // over the same partitioning — zero additional exchanges. A pair
+  // qualifies iff it has R lines, the order has ≥2 suppliers, and it
+  // is the order's only R-supplier; numwait = sum of its R-line counts
+  // (identical to counting the surviving semi/anti rows). The 'F'
+  // restriction is a left-semi at the QUALIFIER level (tiny) — un-
+  // hinted, as is supplier: both scale with the corpus (the r6 verdict
+  // flagged the pinned broadcast(fOrders) as an OOM at 100 TB); AQE
+  // broadcasts at small SF, shuffles at scale. Nation (25 rows)
+  // decorates last. ───────────────────────────────────────────────────
   def q21SoleFailingSupplier(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val w = Window.partitionBy("l_orderkey")
+    val pairs = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      // ONE exchange on the order key serves the aggregate AND both
+      // windows (no explicit count → AQE still coalesces partitions)
+      .repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__r"))
+    val sole = pairs
+      .withColumn("__nsupp", count(lit(1)).over(w))
+      .withColumn("__nrsupp", sum(when(col("__r") > 0, 1).otherwise(0)).over(w))
+      .filter(col("__r") > 0 && col("__nsupp") >= 2 && col("__nrsupp") === 1)
     val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       .select("o_orderkey")
-    val l1 = li.filter(col("l_returnflag") === "R")
-      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .select("l_orderkey", "l_suppkey")
-    val l2 = li.select(col("l_orderkey").as("__ok2"), col("l_suppkey").as("__sk2"))
-    val l3 = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("__ok3"), col("l_suppkey").as("__sk3"))
-    l1.join(l2, col("l_orderkey") === col("__ok2") && col("l_suppkey") =!= col("__sk2"),
-        "left_semi")
-      .join(l3, col("l_orderkey") === col("__ok3") && col("l_suppkey") =!= col("__sk3"),
-        "left_anti")
+    sole.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_suppkey")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("__r")).as("numwait"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_name"), col("n_name"), col("numwait"))

@@ -300,10 +300,15 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q21 correlated subqueries become semi/anti self-joins, never per-row execution") {
     val plan = executedPlan(operators.Analytics.q21SoleFailingSupplier(spark, sfDir))
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("LeftSemi"), s"EXISTS leg should be a semi join:\n$plan")
-    assert(plan.contains("LeftAnti"), s"NOT-EXISTS leg should be an anti join:\n$plan")
-    // all three fact legs hash-partition on l_orderkey; with the final
-    // tiny aggregate + broadcast decoration that bounds the exchanges
+    // r7 shape: the two correlated subqueries are per-order WINDOW
+    // predicates over ONE (order, supplier) aggregate — the fact table
+    // is scanned once (the r6 semi/anti formulation scanned it three
+    // times); the 'F' restriction is the only remaining semi join
+    assert(occurrences(plan, "Scan parquet") == 4, // lineitem + orders + supplier + nation
+      s"expected single scans of 4 relations:\n$plan")
+    assert(plan.contains("Window"), s"EXISTS legs should be window counts:\n$plan")
+    assert(plan.contains("LeftSemi"), s"'F' restriction should be a semi join:\n$plan")
+    // one fact repartition + qualifier semi + supplier agg/join + sort
     assert(occurrences(plan, "Exchange ") <= 6, s"unexpected shuffle count:\n$plan")
   }
 
