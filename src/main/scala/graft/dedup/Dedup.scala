@@ -848,4 +848,29 @@ object Dedup {
         round(coalesce(col("__dt"), lit(0L)).cast("double") / col("n_tokens"), 6)
           .as("dup_frac"))
   }
+
+  /** L40: cluster-canonical selection by QUALITY — the same connected
+    * components as [[clustersAltStar]], but the kept representative per
+    * cluster is the member with the highest English-stopword ratio
+    * (most natural-language text), tie-broken to the smallest doc_id —
+    * the keep-the-best policy real dedup pipelines use instead of
+    * keep-the-min-id. The policy is a per-cluster window argmax over
+    * the tiny labeled set; the expensive pair/label work is unchanged
+    * and shared, so the 100 TB cost profile is identical to the base
+    * clusterer. */
+  def clustersQualityKeeper(docs: DataFrame): DataFrame = {
+    val labeled = clustersAltStar(ngramJaccardPairs(docs)).select("doc_id", "cluster_id")
+    val toks = split(col("text"), " ")
+    val en = typedLit(graft.functions.Text.Stopwords.toMap.apply("en"))
+    val score = round(
+      size(org.apache.spark.sql.functions.filter(toks, t => array_contains(en, t)))
+        .cast("double") / size(toks), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality_score").desc, col("doc_id"))
+    labeled.join(docs.select(col("doc_id"), score.as("quality_score")), "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("__rn") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
 }

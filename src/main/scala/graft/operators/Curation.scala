@@ -413,4 +413,29 @@ object Curation {
       .orderBy(col("log_weight").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** L38: RAG-style sliding-window chunking — each document fans out to
+    * overlapping word-window chunks with stable (doc_id, chunk_idx)
+    * identity (the retrieval-corpus preparation step between curation
+    * and embedding). Pure array algebra riding the scan (sequence →
+    * transform-slice → posexplode), fully codegen'd — no UDF and no
+    * shuffle except the output ORDER BY; at 100 TB the fan-out is
+    * embarrassingly parallel and per-row chunk count is bounded by the
+    * window/stride knobs. The last chunk may be shorter than `window`
+    * but is never empty (the chunk-count formula keeps every start
+    * strictly inside the document). */
+  def chunkDocuments(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window, "need 0 < stride <= window")
+    val toks = split(col("text"), " ")
+    val nChunks = when(size(toks) <= window, lit(1))
+      .otherwise(lit(1) + ceil((size(toks) - window).cast("double") / stride).cast("int"))
+    docs.select(col("doc_id"), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(window)))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

@@ -413,6 +413,9 @@ object PipelineQueries {
     "text_logprob" -> textLogprob,
     "text_classifier" -> textClassifier,
     "sample_importance" -> sampleImportance,
+    "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
+    "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
+    "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
@@ -1122,6 +1125,57 @@ object PipelineQueries {
          | CAST(SUM(CAST(c AS DECIMAL(12,0)) * r) AS DOUBLE) AS log_weight
          |FROM doc JOIN ratio USING (bucket)
          |GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin,
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks, len(string_split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  list_slice(toks, CAST(i*48+1 AS INT), CAST(i*48+64 AS INT)) AS chunk
+        | FROM t, UNNEST(range(0, CASE WHEN n <= 64 THEN 1 ELSE 1 + CAST(CEIL((n-64)*1.0/48) AS INT) END)) AS u(i))
+        |SELECT doc_id, chunk_idx, array_to_string(chunk, ' ') AS chunk_text, CAST(len(chunk) AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e)
+        |SELECT vec_id, ROUND(sc, 6) AS scale,
+        | CAST(list_aggregate(list_transform(v,
+        |   x -> CASE WHEN sc > 0 THEN least(greatest(round(x/sc, 0), -127), 127) ELSE 0 END), 'sum') AS BIGINT) AS q_sum,
+        | ROUND(list_max(list_transform(v,
+        |   x -> abs(x - (CASE WHEN sc > 0 THEN least(greatest(round(x/sc, 0), -127), 127) ELSE 0 END) * sc))), 6) AS max_abs_err
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "dedup_keeper_quality" ->
+      """WITH RECURSIVE tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
+        | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |prs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        | SELECT a_id, b_id FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        | WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        | SELECT src AS id, dst AS r FROM edges
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |q AS (SELECT doc_id,
+        |  ROUND(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) * 1.0
+        |   / len(string_split(text,' ')), 6) AS quality_score
+        | FROM documents),
+        |lab AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+        |rk AS (SELECT lab.doc_id, cluster_id, quality_score,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, lab.doc_id) AS rn
+        | FROM lab JOIN q ON lab.doc_id = q.doc_id)
+        |SELECT doc_id, cluster_id, quality_score, (rn = 1) AS keep FROM rk ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 10 = 0 THEN 'unknown'

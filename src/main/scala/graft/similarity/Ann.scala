@@ -462,4 +462,31 @@ object Ann {
       .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
     rankTopK(scored, k)
   }
+
+  /** L39: per-vector symmetric int8 quantization + reconstruction-error
+    * report — the storage-tier transform an embedding corpus wants at
+    * 100 TB (4× smaller than float32). scale = max|x|/127; code_i =
+    * round-half-away(x_i/scale) clamped to ±127 (round() on doubles is
+    * half-away in both Spark and DuckDB, over identical IEEE quotients,
+    * so the codes are engine-exact). Pure scan-riding array algebra
+    * (transform + array_max + aggregate), no shuffle but the output
+    * sort; `q_sum` is an exact integer checksum of the code vector and
+    * `max_abs_err` the reconstruction bound. All-zero vectors take
+    * scale 0 with zero codes and zero error. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = Vectors.toDouble(col("embedding"))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    def code(x: Column): Column =
+      when(col("__s") > 0,
+        least(greatest(round(x / col("__s"), 0), lit(-127.0)), lit(127.0)))
+        .otherwise(lit(0.0))
+    embeddings.select(col("vec_id"), v.as("__v"), scale.as("__s"))
+      .select(col("vec_id"),
+        round(col("__s"), 6).as("scale"),
+        aggregate(transform(col("__v"), x => code(x)), lit(0L),
+          (a, q) => a + q.cast("long")).as("q_sum"),
+        round(array_max(transform(col("__v"),
+          x => abs(x - code(x) * col("__s")))), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
 }

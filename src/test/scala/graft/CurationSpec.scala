@@ -200,4 +200,27 @@ class CurationSpec extends AnyFunSuite {
     assert(run(corpus.repartition(7)) == res)
     Graft.clearOperatorCaches()
   }
+
+  test("L38 chunking: window/stride fan-out, overlap content, short-doc identity") {
+    import spark.implicits._
+    val words = (1 to 130).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),            // 130 words → chunks at 0/48/96
+      (2L, "a b c"),                        // shorter than the window → 1 chunk
+      (3L, (1 to 64).map(i => s"x$i").mkString(" "))) // exactly one window
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 3)
+    // chunk k starts at word k*stride+1 and the overlap region is shared
+    assert(byDoc(1L)(0)._3.startsWith("w1 ") && byDoc(1L)(1)._3.startsWith("w49 "))
+    assert(byDoc(1L)(0)._3.split(" ").takeRight(16).toSeq ==
+      byDoc(1L)(1)._3.split(" ").take(16).toSeq) // 64-48 = 16 shared words
+    assert(byDoc(1L)(2)._4 == 130 - 96)           // short tail chunk, never empty
+    assert(byDoc(2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    assert(byDoc(3L).length == 1 && byDoc(3L)(0)._4 == 64)
+    // every token of every doc appears in at least one of its chunks
+    assert(byDoc(1L).flatMap(_._3.split(" ")).toSet == words.toSet)
+  }
 }

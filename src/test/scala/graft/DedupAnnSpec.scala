@@ -411,4 +411,43 @@ class DedupAnnSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got == Map(1L -> false, 2L -> false, 3L -> true))
   }
+
+  test("L39 int8 quantization: reconstruction bound, exact code checksum, zero-vector identity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0),   // all-zero → scale 0, no NaNs
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val out = Ann.quantizeInt8(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSeq
+    val Seq(v1, v2, v3) = out
+    // max|x| maps to ±127 exactly, so q_sum is derivable by hand:
+    // v1 codes = [127, -64 (0.5/ (1/127) = 63.5 → half-away 64), 32, 0] → 95
+    assert(v1 == ((1L, 0.007874, 95L, v1._4)))
+    assert(v1._4 <= v1._2 / 2 + 1e-12, "reconstruction error exceeds scale/2")
+    assert(v2 == ((2L, 0.0, 0L, 0.0)))
+    // symmetric vector → codes cancel to 0; ±max reconstructs exactly
+    assert(v3._3 == 0L && v3._2 == 0.015748)
+    assert(v3._4 <= v3._2 / 2 + 1e-12)
+  }
+
+  test("L40 quality keeper: exactly one keeper per cluster, and it has the max score") {
+    val out = Dedup.clustersQualityKeeper(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cl has ${keepers.length} keepers")
+      val best = members.map(m => (-m._3, m._1)).min // max score, tie → min doc_id
+      assert((-best._1, best._2) == ((keepers.head._3, keepers.head._1)),
+        s"cluster $cl keeper is not the quality argmax")
+    }
+    // same component structure as the base clusterer — only the keeper
+    // policy differs
+    val base = Dedup.clustersAltStar(Dedup.ngramJaccardPairs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.map(o => (o._1, o._2)).toMap == base)
+  }
 }
