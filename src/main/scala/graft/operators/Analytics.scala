@@ -794,6 +794,27 @@ object Analytics {
       .orderBy("s_suppkey")
   }
 
+  // ── A43: event-transition matrix (NEW r7) — per-user next-event
+  // sequencing folded to (from, to) counts and per-source transition
+  // probabilities (the Markov-chain view product analytics builds
+  // funnels from). 100 TB plan: ONE shuffle on user_id for the lead();
+  // the matrix is |event_types|² — tiny at any corpus size — so the
+  // per-source probability window and the ORDER BY run on a
+  // vocabulary-sized relation. Ordering ties on ts break by event_id
+  // (deterministic in both engines). ──────────────────────────────────
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__next", lead(col("event_type"), 1).over(seq))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -1017,6 +1038,7 @@ object Analytics {
     "q14_promo_revenue" -> q14PromoRevenue,
     "q16_part_suppliers" -> q16PartSuppliers,
     "q20_excess_shippers" -> q20ExcessShippers,
+    "events_transitions" -> eventsTransitions,
   )
 
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
@@ -1450,6 +1472,16 @@ object Analytics {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM big)
         | AND n_name IN ('NATION_2','NATION_5')
         |ORDER BY s_suppkey""".stripMargin,
+    "events_transitions" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |m AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        | FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     // approx_distinct, sample_hash: rows-only (engine-specific hashes), no oracle.
   )
 }
