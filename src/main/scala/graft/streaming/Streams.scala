@@ -764,6 +764,58 @@ object Streams {
         })
   }
 
+  final case class TransitionPair(user_id: Long, from_type: String, to_type: String)
+  final case class TransitionState(evs: Seq[(Long, Long, String)]) // (us, event_id, type)
+
+  /** S20: streaming event-transition emission — the streaming twin of
+    * the batch transition matrix (Analytics.eventsTransitions). Events
+    * buffer per user (capped at `maxEvents`) until the user goes idle
+    * past `idleMs` beyond the watermark; on timeout the buffer sorts by
+    * (event-time micros, event_id) — the batch operator's exact
+    * ordering contract — and consecutive (from, to) pairs emit as
+    * Append rows (a user's transition history is terminal once idle),
+    * so out-of-order arrivals within the watermark are handled exactly.
+    * State is bounded: `maxEvents` caps the buffer (beyond it the
+    * earliest-arrived events win and the tail under-reports — raise
+    * for exactness; the spec runs exact) and the TTL evicts idle
+    * users. The downstream matrix is a plain streaming groupBy count
+    * over the emitted pairs — vocabulary-sized state. */
+  def streamingTransitions(
+      stream: DataFrame,
+      maxEvents: Int = 4096,
+      watermarkDelay: String = "10 minutes",
+      idleMs: Long = 3600L * 1000): Dataset[TransitionPair] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rows = stream
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("ts").cast("timestamp").as("__ts"),
+        unix_micros(col("ts").cast("timestamp")).as("__us"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(Long, Long, String, java.sql.Timestamp, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[(Long, Long, String, java.sql.Timestamp, Long)],
+         state: GroupState[TransitionState]) => {
+          if (state.hasTimedOut) {
+            val evs = state.get.evs.sortBy(e => (e._1, e._2))
+            state.remove()
+            if (evs.size < 2) Iterator.empty
+            else evs.sliding(2).map(w => TransitionPair(user, w(0)._3, w(1)._3))
+          } else {
+            var st = state.getOption.getOrElse(TransitionState(Nil))
+            it.foreach { case (_, eid, tpe, _, us) =>
+              if (st.evs.size < maxEvents) st = TransitionState(st.evs :+ ((us, eid, tpe)))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleMs)
+            Iterator.empty
+          }
+        })
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** S3: custom keyed state — running per-user totals via

@@ -377,6 +377,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(plan, "HashAggregate") >= 2, s"no partial aggregation:\n$plan")
   }
 
+  test("chunking and quantization are pure scan-riding fan-outs: one scan, no join, sort-only shuffle") {
+    Seq(
+      operators.Curation.chunkDocuments(GraftSession.table(spark, sfDir, "documents")),
+      similarity.Ann.quantizeInt8(GraftSession.table(spark, sfDir, "embeddings"))
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      assert(occurrences(plan, "Scan parquet") == 1, s"expected one scan:\n$plan")
+      assert(!plan.contains("Join"), s"scan-riding op must not join:\n$plan")
+      // the output ORDER BY's range exchange is the only data movement
+      assert(occurrences(plan, "Exchange ") <= 1, s"unexpected shuffle:\n$plan")
+    }
+  }
+
   test("NO registered query pins a broadcast hint on an SF-scaling input (SURVEY §5)") {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

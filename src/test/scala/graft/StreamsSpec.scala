@@ -316,6 +316,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("S20: streaming transitions equal the batch matrix after idle timeout") {
+    val dir = Files.createTempDirectory("graft_s20_").toString + "/in"
+    val ev = GraftSession.table(spark, sfDir, "events")
+    ev.coalesce(1).write.parquet(dir)
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    // same harness as S17: two far-future sentinels — one to advance the
+    // watermark past every user's idle TTL, one to fire the armed timeouts
+    def sentinel(days: Long) = ev.limit(1)
+      .withColumn("user_id", lit(999999999L))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + days * 86400 * 1000)))
+    sentinel(1).coalesce(1).write.mode("append").parquet(dir)
+    sentinel(2).coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val pairs = runToTable(Streams.streamingTransitions(s).toDF(), "s20", "append")
+      .filter(col("user_id") =!= 999999999L)
+    val got = pairs.groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = operators.Analytics.eventsTransitions(spark, sfDir)
+      .select("from_type", "to_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("S12: streaming weighted sample emits closed windows equal to the batch twin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Curation
