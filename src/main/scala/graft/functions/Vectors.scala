@@ -25,7 +25,17 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native one-pass codegen'd expression — the HOF
+    * composition below runs interpreted (ArrayAggregate/ZipWith are
+    * CodegenFallback) with two intermediate arrays per row, and this
+    * sits in every ANN scoring loop. Bit-identical by construction
+    * (same fold order, same null semantics); VectorsSpec pins it. */
+  def cosine(a: Column, b: Column): Column = graft.plans.GraftFunctions.cosine(a, b)
+
+  /** The composed higher-order form, kept as the equivalence reference
+    * for the native expression's spec. */
+  private[graft] def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine rounded to 6 dp — the canonical comparison/ranking score
     * (stable under engine-level last-bit differences). */

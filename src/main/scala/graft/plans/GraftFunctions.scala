@@ -23,4 +23,9 @@ object GraftFunctions {
     * analyze-side aggregate; see [[BloomSketch]] for the payload. */
   def bloomSketch(rendered: Column, bits: Int, numHashes: Int): Column =
     bridge.column(BloomAgg(bridge.expression(rendered), bits, numHashes).toAggregateExpression())
+
+  /** One-pass codegen'd cosine similarity (see [[CosineSimilarity]]);
+    * bit-identical to the composed higher-order form. */
+  def cosine(a: Column, b: Column): Column =
+    bridge.column(CosineSimilarity(bridge.expression(a), bridge.expression(b)))
 }

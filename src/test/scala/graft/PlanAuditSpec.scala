@@ -183,6 +183,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // intentional broadcast nested-loop: tiny query set × corpus
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("BuildRight") || plan.contains("broadcast"), plan)
+    // the scoring loop is the NATIVE one-pass expression inside a
+    // whole-stage-codegen span (the composed HOF form was interpreted)
+    assert(plan.contains("graft_cosine"), s"native cosine missing from the plan:\n$plan")
+    assert(plan.split("\n").exists(l => l.contains("graft_cosine") && l.contains("*(")),
+      s"cosine fell out of codegen:\n$plan")
   }
 
   test("minhash LSH candidates come from the pair operator, not a self-join") {

@@ -84,4 +84,46 @@ class PlansSpec extends AnyFunSuite {
     }
     assert(got == want)
   }
+
+  test("CosineSimilarity is bit-identical to the composed HOF form, nulls included") {
+    import graft.functions.Vectors
+    val rnd = new scala.util.Random(42)
+    val dims = Seq(1, 2, 64, 65)
+    // no zero vector here: under ANSI the composed form THROWS on the
+    // 0/0 norm division while the native returns NaN (strictly more
+    // forgiving — and unreachable on real embeddings); the equality
+    // contract covers every non-degenerate input
+    val vecs = dims.flatMap { d =>
+      (0 until 8).map(_ => Seq.fill(d)(rnd.nextDouble() * 2 - 1))
+    }
+    val pairs = for (a <- vecs; b <- vecs if a.length == b.length) yield (a, b)
+    val df = pairs.toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("native"),
+        Vectors.cosineComposed(col("a"), col("b")).as("composed"))
+    df.collect().foreach { r =>
+      val (n, c) = (r.getDouble(0), r.getDouble(1))
+      // bit equality, not epsilon: the fold order is identical by contract
+      assert(java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(c),
+        s"native $n != composed $c")
+    }
+    // null-propagation contract matches zip_with padding semantics:
+    // mismatched lengths, null element, null array → null in BOTH forms
+    val edge = Seq(
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(1.0)))),             // length mismatch
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),       // null element
+      (None, Some(Seq(Some(1.0)))))                                        // null array
+      .toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("native"),
+        Vectors.cosineComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    edge.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"expected null/null, got $r"))
+    // float32 input path (the raw embeddings type) agrees with the
+    // cast-to-double composed path
+    val f = Seq((Seq(1.5f, -2.25f, 0.5f), Seq(0.25f, 1.0f, -3.5f))).toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("native"),
+        Vectors.cosineComposed(Vectors.toDouble(col("a")), Vectors.toDouble(col("b"))).as("composed"))
+      .collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(f.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(f.getDouble(1)))
+  }
 }
