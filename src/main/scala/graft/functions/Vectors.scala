@@ -20,7 +20,11 @@ object Vectors {
   /** Elementwise cast to double (float32 embeddings → exact double). */
   def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd expression (interpreted HOF
+    * fold below kept as the spec's equivalence reference). */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftFunctions.dot(a, b)
+
+  private[graft] def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -33,9 +37,10 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = graft.plans.GraftFunctions.cosine(a, b)
 
   /** The composed higher-order form, kept as the equivalence reference
-    * for the native expression's spec. */
+    * for the native expression's spec (built on dotComposed so the
+    * reference stays fully interpreted). */
   private[graft] def cosineComposed(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dotComposed(a, b) / (sqrt(dotComposed(a, a)) * sqrt(dotComposed(b, b)))
 
   /** Cosine rounded to 6 dp — the canonical comparison/ranking score
     * (stable under engine-level last-bit differences). */

@@ -123,3 +123,87 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native codegen'd dot product — the [[CosineSimilarity]] loop without
+  * the norms. Same bit-compatibility contract: left-to-right sequential
+  * IEEE sum (≡ the composed `aggregate(zip_with(a,b,_*_),0,_+_)`), same
+  * null propagation (null array / length mismatch / null element →
+  * null). Sits under the sign-LSH bucketing (nPlanes dots per corpus
+  * row) and any caller of Vectors.dot. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if (lt == DoubleType || lt == FloatType) && (rt == DoubleType || rt == FloatType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float|double> inputs, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    if (bd.numElements() != n) return null
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (ad.isNullAt(i) || bd.isNullAt(i)) return null
+      val x = if (lf) ad.getFloat(i).toDouble else ad.getDouble(i)
+      val y = if (rf) bd.getFloat(i).toDouble else bd.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val a = ctx.freshName("a")
+    val b = ctx.freshName("b")
+    val n = ctx.freshName("n")
+    val bad = ctx.freshName("bad")
+    val dot = ctx.freshName("dot")
+    val i = ctx.freshName("i")
+    val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+    val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${lg.value};
+        org.apache.spark.sql.catalyst.util.ArrayData $b = ${rg.value};
+        int $n = $a.numElements();
+        if ($b.numElements() == $n) {
+          boolean $bad = false;
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            $dot += ($getX) * ($getY);
+          }
+          if (!$bad) { ${ev.isNull} = false; ${ev.value} = $dot; }
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -28,4 +28,9 @@ object GraftFunctions {
     * bit-identical to the composed higher-order form. */
   def cosine(a: Column, b: Column): Column =
     bridge.column(CosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  /** Codegen'd dot product (see [[DotProduct]]); bit-identical to the
+    * composed `aggregate(zip_with(...))` fold. */
+  def dot(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 }

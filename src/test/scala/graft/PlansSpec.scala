@@ -125,5 +125,14 @@ class PlansSpec extends AnyFunSuite {
       .collect()(0)
     assert(java.lang.Double.doubleToRawLongBits(f.getDouble(0)) ==
       java.lang.Double.doubleToRawLongBits(f.getDouble(1)))
+    // the native dot obeys the same fold-order contract
+    val d = pairs.toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("native"),
+        Vectors.dotComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    d.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
   }
 }
