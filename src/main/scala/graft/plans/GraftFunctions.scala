@@ -33,4 +33,10 @@ object GraftFunctions {
     * composed `aggregate(zip_with(...))` fold. */
   def dot(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Codegen'd IVF coarse assignment (see [[NearestCentroid]]);
+    * bit-identical to array_position(array_min) over the composed
+    * distance transform, first-min tie-break included. */
+  def nearestCentroid(v: Column, cents: Seq[Seq[Double]]): Column =
+    bridge.column(NearestCentroid(bridge.expression(v), cents))
 }

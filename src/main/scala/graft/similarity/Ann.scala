@@ -261,7 +261,17 @@ object Ann {
     transform(typedLit(cents), c =>
       aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)), lit(0.0), (acc, d) => acc + d))
 
-  private def nearestCluster(v: Column, cents: Seq[Seq[Double]]): Column = {
+  /** Corpus-side quantizer assignment — the native codegen'd argmin
+    * (graft.plans.NearestCentroid): the composed
+    * array_position(array_min(distances)) stack is CodegenFallback and
+    * this runs once per ingested vector. Bit-identical incl. the
+    * first-min tie-break (pinned in PlansSpec). */
+  private def nearestCluster(v: Column, cents: Seq[Seq[Double]]): Column =
+    graft.plans.GraftFunctions.nearestCentroid(v, cents)
+
+  /** The composed form, kept as the native expression's equivalence
+    * reference in PlansSpec. */
+  private[graft] def nearestClusterComposed(v: Column, cents: Seq[Seq[Double]]): Column = {
     val d = distances(v, cents)
     // first index attaining the min → deterministic tie-break
     (array_position(d, array_min(d)) - 1).cast("int")

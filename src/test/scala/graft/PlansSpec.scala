@@ -135,4 +135,28 @@ class PlansSpec extends AnyFunSuite {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
     }
   }
+
+  test("NearestCentroid equals the composed argmin, first-min tie-break included") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val cents = Seq.fill(5)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // duplicate an interior centroid: any vector nearest to it produces
+    // an exact distance TIE between index 2 and index 5 — both forms
+    // must resolve to the FIRST index
+    val withDup = cents :+ cents(2)
+    val vecs = (0 until 60).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) ++ cents
+    val got = vecs.toDF("v")
+      .select(graft.plans.GraftFunctions.nearestCentroid(col("v"), withDup).as("n"),
+        graft.similarity.Ann.nearestClusterComposed(col("v"), withDup).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    got.foreach { case (n, c) => assert(n == c, s"native $n != composed $c") }
+    // the exact-hit on the duplicated centroid is present and resolves to 2
+    assert(got.exists(_._1 == 2) && !got.map(_._1).contains(5))
+    // dimension mismatch → null in both forms
+    val bad = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(graft.plans.GraftFunctions.nearestCentroid(col("v"), withDup).as("n"),
+        graft.similarity.Ann.nearestClusterComposed(col("v"), withDup).as("c"))
+      .collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
 }
