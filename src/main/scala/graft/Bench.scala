@@ -57,6 +57,9 @@ object Bench {
     "pack_sequences",
     "multimodal_decode",
     "pipeline_stats",
+    "text_chunks", // NEW r7 entry (L38) — absent from earlier records
+    "embedding_quantize", // NEW r7 entry (L39) — absent from earlier records
+    "events_transitions", // NEW r7 entry (A43) — absent from earlier records
   )
 
   /** Streaming micro-benches, driven AvailableNow over parquet inputs

@@ -354,8 +354,9 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(plan, "Scan parquet") == 1 ||
       plan.contains("ReusedExchange") || plan.contains("InMemoryTableScan"),
       s"fact aggregate recomputed for the scalar total:\n$plan")
-    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin") ||
-      true) // 1-row crossJoin is a broadcast NL join — structurally bounded
+    // the 1-row crossJoin must plan as a broadcast nested-loop, never a
+    // partition-pairing cartesian
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
   test("q20: pair aggregate and per-part total share one window partitioning; supplier semi") {
