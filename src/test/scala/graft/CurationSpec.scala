@@ -223,4 +223,29 @@ class CurationSpec extends AnyFunSuite {
     // every token of every doc appears in at least one of its chunks
     assert(byDoc(1L).flatMap(_._3.split(" ")).toSet == words.toSet)
   }
+
+  test("L38 chunking matches a reference model over random docs and knob settings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 80).map { i =>
+      val n = rnd.nextInt(200) + 1
+      (i.toLong, Seq.fill(n)("t" + rnd.nextInt(50)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    for ((w, s) <- Seq((64, 48), (16, 16), (10, 3))) {
+      val got = Curation.chunkDocuments(df, w, s).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        val nc = if (toks.length <= w) 1
+          else 1 + math.ceil((toks.length - w).toDouble / s).toInt
+        (0 until nc).map { i =>
+          val chunk = toks.slice(i * s, i * s + w)
+          (id, i, chunk.mkString(" "), chunk.length)
+        }
+      }.sortBy(x => (x._1, x._2))
+      assert(got == want, s"window=$w stride=$s diverged from the model")
+    }
+  }
 }
