@@ -858,6 +858,32 @@ object Dedup {
     * the tiny labeled set; the expensive pair/label work is unchanged
     * and shared, so the 100 TB cost profile is identical to the base
     * clusterer. */
+  /** L41: leakage-safe train/val/test split — the assignment hashes the
+    * near-dup CLUSTER, not the document, so near-duplicates can never
+    * straddle train and test (the contamination vector a doc-level
+    * random split leaves open; cf. the dedup literature's
+    * train/test-overlap findings). Docs with no near-dup pair are their
+    * own singleton cluster (left join + coalesce). The hash is the
+    * portable md5 bucket of A14b, so the assignment is engine-exact,
+    * stable under re-runs, and ADDITIVE: new corpus batches join an
+    * existing cluster's split or hash a fresh one — no global shuffle
+    * of prior assignments. Cost profile = the base clusterer (shared
+    * pair/label work) + one corpus-scale hash projection. */
+  def clusterSafeSplit(docs: DataFrame, testPct: Int = 10, valPct: Int = 10): DataFrame = {
+    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100, "bad split fractions")
+    val labeled = clustersAltStar(ngramJaccardPairs(docs)).select("doc_id", "cluster_id")
+    val lab = docs.select(col("doc_id"))
+      .join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val key = conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10).cast("long")
+    lab.withColumn("__b", pmod(key, lit(100L)))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("__b") < testPct, "test")
+          .when(col("__b") < testPct + valPct, "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   def clustersQualityKeeper(docs: DataFrame): DataFrame = {
     val labeled = clustersAltStar(ngramJaccardPairs(docs)).select("doc_id", "cluster_id")
     val toks = split(col("text"), " ")

@@ -416,6 +416,7 @@ object PipelineQueries {
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
+    "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
@@ -1176,6 +1177,47 @@ object PipelineQueries {
         |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, lab.doc_id) AS rn
         | FROM lab JOIN q ON lab.doc_id = q.doc_id)
         |SELECT doc_id, cluster_id, quality_score, (rn = 1) AS keep FROM rk ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_split" ->
+      """WITH RECURSIVE tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, lang, band, s, COUNT(*) OVER (PARTITION BY lang, band, s) AS df FROM sh)
+        | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |prs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        | SELECT a_id, b_id FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        | WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        | SELECT src AS id, dst AS r FROM edges
+        | UNION
+        | SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |lab AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+        |alldocs AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+        |keyed AS (SELECT doc_id, cluster_id, md5(CAST(cluster_id AS VARCHAR)) AS h FROM alldocs),
+        |b AS (SELECT doc_id, cluster_id,
+        | CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |  + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        |  + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        |  + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        |  + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        |  + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        |  + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        |  + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) % 100 AS bb FROM keyed)
+        |SELECT doc_id, cluster_id,
+        | CASE WHEN bb < 10 THEN 'test' WHEN bb < 20 THEN 'val' ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 10 = 0 THEN 'unknown'

@@ -433,6 +433,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(v3._4 <= v3._2 / 2 + 1e-12)
   }
 
+  test("L41 cluster-safe split: near-dups NEVER straddle splits; every doc assigned") {
+    val out = Dedup.clusterSafeSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == docs.count())
+    // the leakage guarantee: one split per cluster
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // pairs found by the near-dup pass land in the SAME split
+    val split = out.map(o => o._1 -> o._3).toMap
+    val pairs = Dedup.ngramJaccardPairs(docs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dups $a/$b split across ${split(a)}/${split(b)}")
+    }
+    // all three splits materialize at the default fractions on this corpus
+    assert(out.map(_._3).distinct.toSet == Set("train", "val", "test"))
+    // deterministic under re-run and input repartitioning
+    val again = Dedup.clusterSafeSplit(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("L40 quality keeper: exactly one keeper per cluster, and it has the max score") {
     val out = Dedup.clustersQualityKeeper(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
