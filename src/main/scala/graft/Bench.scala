@@ -60,6 +60,7 @@ object Bench {
     "text_chunks", // NEW r7 entry (L38) — absent from earlier records
     "embedding_quantize", // NEW r7 entry (L39) — absent from earlier records
     "events_transitions", // NEW r7 entry (A43) — absent from earlier records
+    "dedup_cluster_split", // NEW r7 entry (L41) — absent from earlier records
   )
 
   /** Streaming micro-benches, driven AvailableNow over parquet inputs
