@@ -17,6 +17,24 @@ object MediaProps extends Properties("Media") {
         m.n_channels == 3 && m.mean_px == g
     }
 
+  property("BMP round-trip: dims and exact constant mean") =
+    Prop.forAll(Gen.choose(1, 48), Gen.choose(1, 48), Gen.choose(0, 255)) { (w, h, g) =>
+      val m = Media.decodeImage(Media.encodeBmp(w, h, g))
+      m.format == "bmp" && m.width == w && m.height == h &&
+        m.n_channels == 3 && m.mean_px == g
+    }
+
+  property("JPEG(q=1.0) round-trip: constant-color images decode EXACTLY") =
+    Prop.forAll(Gen.choose(1, 48), Gen.choose(1, 48), Gen.choose(0, 255)) { (w, h, g) =>
+      // lossy in general, exact for constant color at quality 1.0 (pure
+      // DC blocks + unit quant tables) — the property the closed-form
+      // multimodal oracle rests on, over ARBITRARY sizes, not just the
+      // synthetic table's range
+      val m = Media.decodeImage(Media.encodeJpeg(w, h, g))
+      m.format == "jpeg" && m.width == w && m.height == h &&
+        m.n_channels == 3 && m.mean_px == g
+    }
+
   property("WAV round-trip: rate, samples and exact |mean|") =
     Prop.forAll(
       Gen.choose(1, 192000), Gen.choose(0, 2000),
