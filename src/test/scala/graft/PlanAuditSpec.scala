@@ -383,6 +383,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(plan, "HashAggregate") >= 2, s"no partial aggregation:\n$plan")
   }
 
+  test("q10: top-20 plans as TakeOrderedAndProject — no global sort at any scale") {
+    val plan = executedPlan(operators.Analytics.q10ReturnedItems(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT should push to a partial top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q8/q14: conditional + total reduce in ONE aggregation — no second fact pass") {
+    Seq(
+      operators.Analytics.q8MarketShare(spark, sfDir) -> 8, // li, part, orders, cust, supplier, nation×2 roles, region
+      operators.Analytics.q14PromoRevenue(spark, sfDir) -> 2) // li, part
+      .foreach { case (df, scans) =>
+        val plan = executedPlan(df)
+        assert(!plan.contains("CartesianProduct"))
+        assert(occurrences(plan, "Scan parquet") == scans,
+          s"expected $scans single scans (a second pass would re-scan):\n$plan")
+      }
+  }
+
+  test("q12: the late-shipment inequality rides the single order-key join as a residual") {
+    val plan = executedPlan(operators.Analytics.q12LateLines(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(occurrences(plan, "Scan parquet") == 2, s"lineitem + orders once each:\n$plan")
+    // the date-window filter must still reach the lineitem scan even
+    // though the 60-day lateness test needs the join
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"ship-date window did not reach the scan:\n$plan")
+  }
+
   test("chunking and quantization are pure scan-riding fan-outs: one scan, no join, sort-only shuffle") {
     Seq(
       operators.Curation.chunkDocuments(GraftSession.table(spark, sfDir, "documents")),
