@@ -492,7 +492,51 @@ object CoreQueries {
     Seq(store.countRows("ord")).toDF("n")
   }
 
+  // C32: CSV ingest — the reference workflow's read_csv →
+  // create.table_from_dataframe leg, fully distributed: the customer
+  // relation round-trips through a pipe-delimited CSV directory
+  // (splittable line format), Spark's sampled inference types it, and
+  // the store's smallest-type pass narrows it under a PK. Doubles
+  // round-trip exactly (shortest-repr render, correctly-rounded parse),
+  // so the final table must equal the source parquet bit-for-bit.
+  def sourceCsvIngest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_src/csv_${System.nanoTime()}"
+    graft.sources.TextSources.writeCsv(
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      tmp, delimiter = "|")
+    val store = newStore(s, "src_csv")
+    graft.sources.TextSources.ingestCsv(store, "cust", tmp,
+      primaryKey = Seq("c_custkey"), delimiter = "|")
+    store.readTable("cust", orderBy = Seq("c_custkey"))
+      .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
+  }
+
+  // C33: JSON Lines ingest — events (timestamps at micro precision via
+  // the explicit timestampFormat, a JSON-string payload column that must
+  // SURVIVE as text, and a double measure) round-trip through a .jsonl
+  // directory into a PK'd store table. ts is returned as epoch micros so
+  // the exactness claim is explicit rather than riding on engine
+  // timestamp rendering.
+  def sourceJsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_src/jsonl_${System.nanoTime()}"
+    graft.sources.TextSources.writeJsonl(t(s, dir, "events"), tmp)
+    val store = newStore(s, "src_jsonl")
+    graft.sources.TextSources.ingestJsonl(store, "ev", tmp, primaryKey = Seq("event_id"))
+    store.readTable("ev", orderBy = Seq("event_id"))
+      .select(col("event_id").cast("bigint").as("event_id"),
+        // store timestamps read back NTZ; the UTC session makes the
+        // instant cast wall-clock-preserving (GraftSession contract)
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"),
+        col("user_id").cast("bigint").as("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_ingest" -> sourceCsvIngest,
+    "source_jsonl_ingest" -> sourceJsonlIngest,
     "create_table_cast" -> createTableCast,
     "snapshot_read" -> snapshotRead,
     "restore_read" -> restoreRead,
@@ -530,6 +574,15 @@ object CoreQueries {
        |     ELSE 'bigint' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // source_csv_ingest / source_jsonl_ingest: a lossless round-trip
+    // through the text format + store means the oracle is simply the
+    // original parquet relation
+    "source_csv_ingest" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "source_jsonl_ingest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     "time_roundtrip" ->
       """SELECT event_id,
         | CAST((hour(ts)*3600 + minute(ts)*60)*1000000 + extract(microseconds FROM ts) AS BIGINT) AS t,

@@ -109,7 +109,7 @@ object TableStore {
   *   user debugging "why did my column widen" has a trace. Defaults to
   *   `java.util.logging` at INFO under the "graft.store" logger. */
 final class TableStore(
-    spark: SparkSession,
+    val spark: SparkSession,
     root: String,
     audit: String => Unit = TableStore.defaultAudit) {
   import TableStore.Meta

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TextSources
+import graft.store.TableStore
+
+/** Pins the text-ingestion surface (SURVEY C32/C33): CSV and JSON Lines
+  * round-trips including the corners the formats are notorious for —
+  * embedded delimiters/quotes, nulls, micro-precision timestamps, and
+  * JSON's field-omission convention. */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    s"${sys.props("java.io.tmpdir")}/graft_sources_spec/${tag}_${System.nanoTime()}"
+
+  test("CSV round-trips embedded delimiters, quotes and nulls") {
+    val df = Seq(
+      (1L, Some("""plain"""), Some(10)),
+      (2L, Some("""has,comma"""), None),
+      (3L, Some("""has "quotes" inside"""), Some(-3)),
+      (4L, None, Some(255))).toDF("id", "s", "n")
+    val dir = tmp("csv_quote")
+    TextSources.writeCsv(df, dir)
+    val back = TextSources.readCsv(spark, dir)
+    assert(back.orderBy("id").collect().toSeq == Seq(
+      Row(1, "plain", 10), Row(2, "has,comma", null),
+      Row(3, """has "quotes" inside""", -3), Row(4, null, 255)))
+  }
+
+  test("CSV explicit schema skips inference and pins the declared types") {
+    val df = Seq((1L, "a", 1.5)).toDF("id", "s", "x")
+    val dir = tmp("csv_schema")
+    TextSources.writeCsv(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("x", DoubleType)))
+    val back = TextSources.readCsv(spark, dir, schema = Some(schema))
+    assert(back.schema == schema)
+    assert(back.collect().toSeq == Seq(Row(1L, "a", 1.5)))
+  }
+
+  test("JSONL round-trips micro-precision timestamps and omitted nulls") {
+    val ts = Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val df = Seq(
+      (1L, Some(ts), Some("""{"k":1}""")),
+      (2L, None, None)).toDF("id", "ts", "payload")
+    val dir = tmp("jsonl_ts")
+    TextSources.writeJsonl(df, dir)
+    val back = TextSources.readJsonl(spark, dir)
+    assert(back.schema("ts").dataType == TimestampType,
+      "ISO timestamps must infer as TimestampType, not string")
+    val rows = back.select("id", "ts", "payload").orderBy("id").collect()
+    assert(rows(0) == Row(1L, ts, """{"k":1}"""))
+    assert(rows(1) == Row(2L, null, null))
+  }
+
+  test("JSONL keeps a JSON-encoded string payload as text, not a struct") {
+    val df = Seq((1L, """{"nested":{"deep":true}}""")).toDF("id", "payload")
+    val dir = tmp("jsonl_str")
+    TextSources.writeJsonl(df, dir)
+    val back = TextSources.readJsonl(spark, dir)
+    assert(back.schema("payload").dataType == StringType)
+    assert(back.select("payload").first().getString(0) == """{"nested":{"deep":true}}""")
+  }
+
+  test("ingestCsv creates a narrowed, PK'd store table") {
+    val df = Seq((1L, 200L, "aa"), (2L, 90000L, "b")).toDF("k", "v", "s")
+    val dir = tmp("csv_ingest")
+    TextSources.writeCsv(df, dir)
+    val store = new TableStore(spark,
+      s"${sys.props("java.io.tmpdir")}/graft_sources_spec/store_${System.nanoTime()}")
+    TextSources.ingestCsv(store, "t", dir, primaryKey = Seq("k"))
+    val types = store.describe("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // smallest-type narrowing ran over the CSV-read frame
+    assert(types("k") == "tinyint" && types("v") == "int" && types("s") == "varchar(2)")
+    assert(store.readTable("t", orderBy = Seq("k"))
+      .selectExpr("cast(k as int) k", "cast(v as int) v", "s").collect().toSeq ==
+      Seq(Row(1, 200, "aa"), Row(2, 90000, "b")))
+    // the PK registered: a duplicate insert surfaces via the C5 check
+    store.insert("t", Seq((1L, 5L, "x")).toDF("k", "v", "s"))
+    assert(store.primaryKeyViolations("t").count() > 0)
+  }
+}
