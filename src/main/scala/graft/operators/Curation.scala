@@ -126,6 +126,45 @@ object Curation {
       .drop("__start")
   }
 
+  /** Deterministic shard export (L42) — the last step of a training-data
+    * pipeline: the curated corpus lands in `nShards` output shards with
+    * a stable, engine-reproducible assignment (shard = first-8-hex of
+    * md5(doc_id) mod nShards — A14b's portable arithmetic) and a
+    * deterministic within-shard order (`pos`, ranked by the full md5
+    * then id). Properties a trainer needs and a random split lacks:
+    *  - RE-RUN STABLE: the same corpus always produces the same shards,
+    *    so a resumed/re-executed export job is idempotent.
+    *  - ADDITIVE: a document's shard depends only on its own id — new
+    *    batches never reshuffle previously exported docs.
+    *  - EVEN: md5 uniformity keeps shard sizes within sampling noise of
+    *    corpus/nShards; nShards is chosen for target file size, so no
+    *    shard outgrows a task.
+    * The `pos` ranking is one window per shard — each shard sorts its
+    * own rows, which is exactly the write-side sort [[writeShards]]
+    * needs anyway; nothing global, nothing collected. */
+  def shardAssignments(docs: DataFrame, nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = hashKey(col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__h")
+  }
+
+  /** Materialize [[shardAssignments]] as one parquet dir per shard
+    * (`shard=K/`): one hash-partition shuffle, each task writing its
+    * shard sorted in the deterministic order — byte-stable output for a
+    * byte-stable input. */
+  def writeShards(docs: DataFrame, path: String, nShards: Int,
+      idCol: String = "doc_id"): Unit =
+    shardAssignments(docs, nShards, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Temperature-based mix resampling (L29) — flatten a skewed group
     * (language/domain) distribution toward shares ∝ n^alpha, the
     * multilingual-pretraining mixing step: group g keeps each row with

@@ -327,6 +327,17 @@ object PipelineQueries {
       .drop("__ord")
   }
 
+  /** L42: deterministic 8-shard export assignment — per-shard doc
+    * count, char mass and max position; the oracle re-derives the md5
+    * shard hash and the within-shard rank independently.
+    * See [[Curation.shardAssignments]]. */
+  def exportShards(s: SparkSession, dir: String): DataFrame =
+    Curation.shardAssignments(t(s, dir, "documents"), 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        max(col("pos").cast("long")).as("max_pos"))
+      .orderBy("shard")
+
   /** L30: boilerplate stripping — remove terms present in > 80% of
     * documents (on this shared-vocabulary corpus that cuts the handful
     * of truly-everywhere words while keeping most text — non-vacuous in
@@ -413,6 +424,7 @@ object PipelineQueries {
     "text_logprob" -> textLogprob,
     "text_classifier" -> textClassifier,
     "sample_importance" -> sampleImportance,
+    "export_shards" -> exportShards,
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
@@ -1126,6 +1138,14 @@ object PipelineQueries {
          | CAST(SUM(CAST(c AS DECIMAL(12,0)) * r) AS DOUBLE) AS log_weight
          |FROM doc JOIN ratio USING (bucket)
          |GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin,
+    "export_shards" ->
+      s"""WITH h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |a AS (SELECT doc_id, n_chars, h,
+         |  CAST(${duckHex8("h")} AS BIGINT) % 8 AS shard FROM h),
+         |p AS (SELECT shard, n_chars,
+         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos FROM a)
+         |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(pos) AS max_pos
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks, len(string_split(text,' ')) AS n FROM documents),
         |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,

@@ -248,4 +248,39 @@ class CurationSpec extends AnyFunSuite {
       assert(got == want, s"window=$w stride=$s diverged from the model")
     }
   }
+
+  test("shardAssignments is deterministic, even, and additive under corpus growth") {
+    val a1 = Curation.shardAssignments(docs, 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    val a2 = Curation.shardAssignments(docs.repartition(7), 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(a1 == a2, "assignment must be partition-invariant")
+    // even: every shard populated, no shard over 2× the uniform share
+    val sizes = a1.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.max <= 2 * a1.size / 8)
+    // pos is a dense 0..n-1 rank within each shard
+    for ((_, rows) <- a1.groupBy(_._2))
+      assert(rows.map(_._3).sorted == (0 until rows.size))
+    // additive: dropping half the corpus never moves a survivor's shard
+    val half = Curation.shardAssignments(docs.filter(col("doc_id") % 2 === 0), 8)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = a1.map(x => (x._1, x._2)).toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+  }
+
+  test("writeShards lays out one dir per shard matching the assignment") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_shards_${System.nanoTime()}"
+    Curation.writeShards(docs, path, nShards = 4)
+    val back = spark.read.parquet(path)
+    // partition column survives; contents = corpus exactly once
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    val want = Curation.shardAssignments(docs, 4)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = back.select(col("doc_id"), col("shard").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
 }
