@@ -162,6 +162,35 @@ object PipelineQueries {
     Ann.topKIvfPortable(e, queriesOf(e)).orderBy("q_id", "rank")
   }
 
+  /** L43: PQ full-scan ADC top-k (Lloyd codebooks memoized like the IVF
+    * quantizer). Rows-only: Lloyd + double ADC have no ANSI oracle; the
+    * portable twin below converts the same pipeline to hash-verified. */
+  def simTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val books = pqCodebooks.computeIfAbsent(
+      QuantizerKey(dir, nCentroids = 8, iters = 5, maxTrainRows = 65536),
+      _ => Ann.trainPqCodebooks(e, m = 4, ksub = 8, iters = 5))
+    Ann.topKPq(e, queriesOf(e), codebooks = Some(books)).orderBy("q_id", "rank")
+  }
+
+  /** L43b portable twin: hash-sampled sub-codebooks + exact integer ADC
+    * — codebooks, codes, distance table, score and rank all exist
+    * verbatim in ANSI SQL. See [[Ann.topKPqPortable]]. */
+  def simTopkPqPortable(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.topKPqPortable(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
+  /** L43c: IVF-PQ — coarse-probe pruning × compressed ADC scoring (the
+    * faiss IVFADC layout, the actual disk-scale configuration). */
+  def simTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.topKIvfPq(e, queriesOf(e)).orderBy("q_id", "rank")
+  }
+
+  private val pqCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[QuantizerKey, Seq[Seq[Seq[Double]]]]()
+
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val cents = ivfQuantizers.computeIfAbsent(
@@ -404,6 +433,9 @@ object PipelineQueries {
     "sim_topk_ivf" -> simTopkIvf,
     "sim_topk_ivf_portable" -> simTopkIvfPortable,
     "sim_topk_ivf_indexed" -> simTopkIvfIndexed,
+    "sim_topk_pq" -> simTopkPq,
+    "sim_topk_pq_portable" -> simTopkPqPortable,
+    "sim_topk_ivfpq" -> simTopkIvfPq,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -863,6 +895,41 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
         | FROM scored)
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // sim_topk_pq_portable mirrors Ann.topKPqPortable end-to-end:
+    // hash-sampled sub-codebooks (ksub=8 smallest (md5, id) rows, m=4
+    // subspaces of 16 dims), integer distances over floor(x·2^20), exact
+    // long ADC sums, (adc asc, n_id) rank. Every value integer-exact in
+    // both engines.
+    "sim_topk_pq_portable" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sub AS (SELECT CAST(j AS INT) AS j FROM range(0, 4) t(j)),
+        |sv AS (SELECT vec_id, j, list_slice(vi, j*16+1, j*16+16) AS svi
+        | FROM ei CROSS JOIN sub),
+        |sr AS (SELECT vec_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM e),
+        |seeds AS (SELECT r.cl, s.j, s.svi FROM sr r JOIN sv s USING (vec_id) WHERE r.cl < 8),
+        |dist AS (
+        | SELECT c.vec_id, c.j, s.cl,
+        |  list_inner_product(c.svi, c.svi) + list_inner_product(s.svi, s.svi)
+        |   - 2 * list_inner_product(c.svi, s.svi) AS d
+        | FROM sv c JOIN seeds s ON c.j = s.j),
+        |codes AS (SELECT vec_id, j, cl FROM (
+        |  SELECT vec_id, j, cl, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cl) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, j, cl, d FROM dist WHERE vec_id % 50 = 0),
+        |scored AS (
+        | SELECT q.q_id, c.vec_id AS n_id, CAST(SUM(q.d) AS BIGINT) AS adc
+        | FROM codes c JOIN qd q ON q.j = c.j AND q.cl = c.cl
+        | WHERE c.vec_id <> q.q_id GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, n_id, adc,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT q_id, n_id, rank, adc FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id, lang, $langCase AS pred_lang

@@ -298,12 +298,25 @@ object Ann {
       nCentroids: Int,
       iters: Int = 5,
       maxTrainRows: Int = 65536): Seq[Seq[Double]] = {
-    val sample: Array[Array[Double]] = scatter(corpus)
+    val sample = trainSample(corpus, maxTrainRows)
+    if (sample.isEmpty) Nil
+    else lloyd(sample, nCentroids, iters).map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** The deterministic bounded training sample every driver-side trainer
+    * shares: the `maxTrainRows` smallest xxhash64(vec_id) vectors. */
+  private def trainSample(corpus: DataFrame, maxTrainRows: Int): Array[Array[Double]] =
+    scatter(corpus)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__v"))
       .orderBy(xxhash64(col("vec_id"))).limit(maxTrainRows)
       .select("__v").collect().map(_.getSeq[Double](0).toArray)
-    if (sample.isEmpty) return Nil
-    var cents: Array[Array[Double]] = sample.take(nCentroids).map(_.clone())
+
+  /** In-memory Lloyd with the deterministic contract the distributed
+    * trainer had: seeds = first k sample rows, first-min tie-break,
+    * per-position means rounded to 6 dp each iteration, empty clusters
+    * keep their previous centroid. */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = sample.take(k).map(_.clone())
     val dim = cents.head.length
     for (_ <- 0 until iters) {
       val sums = Array.fill(cents.length, dim)(0.0)
@@ -329,7 +342,7 @@ object Ann {
           BigDecimal(sums(ci)(j) / counts(ci)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toArray
     }
-    cents.map(_.toIndexedSeq).toIndexedSeq
+    cents
   }
 
   /** Persist a trained quantizer in a managed store table as
@@ -483,6 +496,172 @@ object Ann {
     * sort; `q_sum` is an exact integer checksum of the code vector and
     * `max_abs_err` the reconstruction bound. All-zero vectors take
     * scale 0 with zero codes and zero error. */
+  // ── L43: product quantization (PQ / IVF-PQ — the billion-vector
+  // compression path: m sub-codebooks of ksub centroids turn a dim-D
+  // float vector into m small codes; search scores candidates with an
+  // asymmetric-distance (ADC) table computed ONCE per query, so the
+  // per-candidate cost is m array lookups + adds instead of a dim-D
+  // dot product, and the corpus storage drops ~(4·dim)/m bytes→m) ──
+
+  /** Subvector j (0-based) of an m-way split: dims [j·dsub, (j+1)·dsub). */
+  private def subVec(v: Column, j: Int, dsub: Int): Column =
+    slice(v, j * dsub + 1, dsub)
+
+  /** Per-subspace Lloyd codebooks over the shared deterministic hash
+    * sample (one distributed job for the sample; m in-memory Lloyd runs
+    * on the driver — model-sized compute, same contract as
+    * [[trainIvfCentroids]]). Returns m × ksub × (dim/m). */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 5,
+      maxTrainRows: Int = 65536): Seq[Seq[Seq[Double]]] = {
+    val sample = trainSample(corpus, maxTrainRows)
+    if (sample.isEmpty) return Nil
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = sample.map(v => v.slice(j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, iters).map(_.toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** Encode every corpus vector as m sub-codes — one scan, codegen'd
+    * per-subspace argmin (the native NearestCentroid kernel), no
+    * shuffle. The 100 TB storage transform: this is what an ADC search
+    * scans instead of the float corpus. */
+  def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = books.head.head.length
+    val v = Vectors.toDouble(col("embedding"))
+    val codes = array(books.indices.map(j =>
+      nearestCluster(subVec(v, j, dsub), books(j))): _*)
+    scatter(corpus).select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** ADC score: Σ_j table[j][codes[j]] — m lookups into the query's
+    * per-subspace distance table. */
+  private def adcScore(codes: Column, table: Column, m: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(m - 1)),
+        j => element_at(element_at(table, j + 1), element_at(codes, j + 1) + 1)),
+      lit(0.0), (a, x) => a + x)
+
+  /** PQ top-k (full-scan ADC): every candidate is scored — the value is
+    * the per-candidate cost (m lookups) and the compressed scan, not
+    * candidate pruning; compose with IVF ([[topKIvfPq]]) to prune too.
+    * Rank ascending by approximate squared distance, id tie-break. */
+  def topKPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 5,
+      maxTrainRows: Int = 65536,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val books = codebooks.getOrElse(trainPqCodebooks(corpus, m, ksub, iters, maxTrainRows))
+    val dsub = books.head.head.length
+    val c = pqEncode(corpus, books).withColumnRenamed("vec_id", "n_id")
+    val vq = Vectors.toDouble(col("embedding"))
+    val table = array(books.indices.map(j => distances(subVec(vq, j, dsub), books(j))): _*)
+    val q = queries.select(col("vec_id").as("q_id"), table.as("__tab"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc", adcScore(col("codes"), col("__tab"), books.length))
+    rankTopKAsc(scored, k, round(col("adc"), 6).as("adc"))
+  }
+
+  /** IVF-PQ (the faiss IVFADC composition — THE disk-scale ANN layout):
+    * the coarse quantizer prunes candidates to nProbe inverted lists,
+    * PQ codes make each surviving candidate m lookups. Same coarse
+    * quantizer as [[topKIvf]], same codebooks as [[topKPq]]. */
+  def topKIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 5,
+      maxTrainRows: Int = 65536): DataFrame = {
+    val cents = trainIvfCentroids(corpus, nCentroids, iters, maxTrainRows)
+    val books = trainPqCodebooks(corpus, m, ksub, iters, maxTrainRows)
+    val dsub = books.head.head.length
+    val v = Vectors.toDouble(col("embedding"))
+    val c = pqEncode(corpus, books).withColumnRenamed("vec_id", "n_id")
+      .join(scatter(corpus).select(col("vec_id").as("n_id"),
+        nearestCluster(v, cents).as("__cl")), "n_id")
+    val probeIds = {
+      val d = distances(col("__vq"), cents)
+      val idx = transform(typedLit(cents.indices.toList),
+        i => struct(element_at(d, i + 1).as("d"), i.as("i")))
+      slice(transform(array_sort(idx), s => s.getField("i")), 1, nProbe)
+    }
+    val table = array(books.indices.map(j => distances(subVec(col("__vq"), j, dsub), books(j))): _*)
+    val q = queries.select(col("vec_id").as("q_id"), v.as("__vq"))
+      .withColumn("__tab", table)
+      .withColumn("__cl", explode(probeIds))
+      .drop("__vq")
+    val scored = c.join(broadcast(q), Seq("__cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adcScore(col("codes"), col("__tab"), books.length))
+    rankTopKAsc(scored, k, round(col("adc"), 6).as("adc"))
+  }
+
+  /** Engine-PORTABLE PQ twin (the A14b/L3b/L7d idiom, applied to PQ):
+    * codebook j = the subvectors of the ksub smallest-(md5(vec_id), id)
+    * corpus rows (hash-sampled codebooks — valid PQ, just less even;
+    * recall/cost, not correctness), every distance an exact INTEGER over
+    * floor(v_i · 2^20) coordinates, the ADC score an exact long sum —
+    * so the WHOLE pipeline (codebooks → codes → table → score → rank)
+    * is reproducible bit-for-bit in ANSI SQL and the driver query is
+    * hash-verified. [[topKPq]] (Lloyd books, double ADC) stays the
+    * quality/scale path. */
+  def topKPqPortable(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      m: Int = 4,
+      ksub: Int = 8): DataFrame = {
+    val seeds = portableSeeds(corpus, ksub)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val subSeeds: IndexedSeq[Array[Array[Long]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    def subDists(v: Column, j: Int): Column =
+      intDists(subVec(intVec(v), j, dsub), subSeeds(j))
+    val vc = Vectors.toDouble(col("embedding"))
+    // corpus: per-subspace argmin code (first-min = smaller cl on ties)
+    val codes = array((0 until m).map { j =>
+      val d = subDists(vc, j)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+    val c = scatter(corpus).select(col("vec_id").as("n_id"), codes.as("codes"))
+    // query: exact integer ADC table, m × ksub longs
+    val table = array((0 until m).map(j => subDists(col("__vq"), j)): _*)
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__tab", table).drop("__vq")
+    val score = aggregate(
+      transform(sequence(lit(0), lit(m - 1)),
+        j => element_at(element_at(col("__tab"), j + 1), element_at(col("codes"), j + 1) + 1)),
+      lit(0L), (a, x) => a + x)
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc", score)
+    rankTopKAsc(scored, k, col("adc"))
+  }
+
+  /** Ascending-rank tail for distance-scored variants: (q_id, n_id,
+    * rank, adc) by (adc asc, n_id) per query, top k. */
+  private def rankTopKAsc(scored: DataFrame, k: Int, adcOut: Column): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), adcOut)
+  }
+
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
     val v = Vectors.toDouble(col("embedding"))
     val scale = array_max(transform(v, x => abs(x))) / lit(127.0)

@@ -475,4 +475,128 @@ class DedupAnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out.map(o => (o._1, o._2)).toMap == base)
   }
+
+  // ── L43 product quantization ─────────────────────────────────────────
+
+  private def embMap: Map[Long, Array[Double]] =
+    emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0 // same fold order as the Spark aggregate (element order)
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+    acc
+  }
+
+  private def argminFirst(ds: Seq[Double]): Int = {
+    var best = 0
+    var i = 1
+    while (i < ds.length) { if (ds(i) < ds(best)) best = i; i += 1 }
+    best
+  }
+
+  test("L43 PQ: deterministic codebooks, codes in range, ADC equals the definition exactly") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val books = Ann.trainPqCodebooks(emb, m = 4, ksub = 4, iters = 3)
+    assert(books == Ann.trainPqCodebooks(emb, m = 4, ksub = 4, iters = 3),
+      "PQ training is not deterministic")
+    assert(books.length == 4 && books.forall(_.length == 4))
+    val dsub = books.head.head.length
+    val codes = Ann.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 4)))
+    // reference: codes by first-min argmin per subspace, ADC by table lookup
+    val vecs = embMap
+    val refCodes = vecs.map { case (id, v) =>
+      id -> (0 until 4).map { j =>
+        val sv = v.slice(j * dsub, (j + 1) * dsub)
+        argminFirst(books(j).map(c => sqDist(sv, c.toArray)))
+      }
+    }
+    assert(codes.map { case (id, c) => id -> c.toSeq } == refCodes)
+    val got = Ann.topKPq(emb, queries, k = 5, codebooks = Some(books)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val qIds = queries.select("vec_id").collect().map(_.getLong(0))
+    val refTop = qIds.flatMap { qid =>
+      val qv = vecs(qid)
+      val table = (0 until 4).map { j =>
+        val sv = qv.slice(j * dsub, (j + 1) * dsub)
+        books(j).map(c => sqDist(sv, c.toArray))
+      }
+      val scored = vecs.keys.filter(_ != qid).toSeq.map { nid =>
+        val adc = (0 until 4).foldLeft(0.0)((a, j) => a + table(j)(refCodes(nid)(j)))
+        (nid, adc)
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(5)
+      scored.zipWithIndex.map { case ((nid, adc), i) =>
+        (qid, nid, i + 1,
+          BigDecimal(adc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got.sortBy(x => (x._1, x._3)).toSeq == refTop.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
+  test("L43b portable PQ: exact integer twin, partition-invariant") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val got = Ann.topKPqPortable(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // integer reference: md5-ordered seeds, floor(x·2^20) coordinates
+    val vecs = embMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ints: Map[Long, Array[Long]] =
+      vecs.view.mapValues(_.map(x => math.floor(x * 1048576).toLong)).toMap
+    val seedIds = vecs.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(8)
+    val dim = vecs.head._2.length
+    val dsub = dim / 4
+    def subv(v: Array[Long], j: Int) = v.slice(j * dsub, (j + 1) * dsub)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val subSeeds = (0 until 4).map(j => seedIds.map(id => subv(ints(id), j)))
+    val codes = ints.map { case (id, v) =>
+      id -> (0 until 4).map(j => argminFirst(subSeeds(j).map(s => d2(subv(v, j), s).toDouble)))
+    }
+    val qIds = queries.select("vec_id").collect().map(_.getLong(0))
+    val ref = qIds.flatMap { qid =>
+      val table = (0 until 4).map(j => subSeeds(j).map(s => d2(subv(ints(qid), j), s)))
+      vecs.keys.filter(_ != qid).toSeq
+        .map { nid => (nid, (0 until 4).map(j => table(j)(codes(nid)(j))).sum) }
+        .sortBy { case (nid, adc) => (adc, nid) }.take(5)
+        .zipWithIndex.map { case ((nid, adc), i) => (qid, nid, i + 1, adc) }
+    }
+    assert(got.sortBy(x => (x._1, x._3)).toSeq == ref.sortBy(x => (x._1, x._3)).toSeq)
+    val again = Ann.topKPqPortable(emb.repartition(7), queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(again.sortBy(x => (x._1, x._3)).toSeq == got.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
+  test("L43c IVF-PQ: candidates only from probed lists, ADC agrees with full-scan PQ") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val got = Ann.topKIvfPq(emb, queries, k = 5, nCentroids = 4, nProbe = 2,
+      m = 4, ksub = 4, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val cents = Ann.trainIvfCentroids(emb, nCentroids = 4, iters = 3)
+    val vecs = embMap
+    def nearest(v: Array[Double]) = argminFirst(cents.map(c => sqDist(v, c.toArray)))
+    def probes(v: Array[Double]) = cents.indices
+      .sortBy(i => (sqDist(v, cents(i).toArray), i)).take(2).toSet
+    got.foreach { case (q, n, _, _) =>
+      assert(probes(vecs(q)).contains(nearest(vecs(n))),
+        s"candidate $n for query $q is outside the probed lists")
+    }
+    // ADC values agree with the full-scan variant on shared pairs
+    val books = Ann.trainPqCodebooks(emb, m = 4, ksub = 4, iters = 3)
+    val full = Ann.topKPq(emb, queries, k = 50, codebooks = Some(books)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach { case (q, n, _, adc) =>
+      full.get((q, n)).foreach(x => assert(x == adc, s"ADC mismatch for ($q,$n)"))
+    }
+  }
 }

@@ -190,6 +190,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cosine fell out of codegen:\n$plan")
   }
 
+  test("PQ ADC: query side broadcast, corpus encode through the native argmin kernel") {
+    import org.apache.spark.sql.functions.col
+    val e = GraftSession.table(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val books = similarity.Ann.trainPqCodebooks(e, m = 4, ksub = 4, iters = 2)
+    val plan = executedPlan(similarity.Ann.topKPq(e, q, codebooks = Some(books)))
+    // the per-candidate work is the broadcast ADC join, never a corpus
+    // broadcast or a shuffle keyed by query
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // codes come from the codegen'd nearest-centroid kernel (the
+    // composed array_position/array_min stack was CodegenFallback)
+    assert(plan.contains("graft_nearest_centroid"),
+      s"native argmin missing from the PQ encode:\n$plan")
+  }
+
   test("minhash LSH candidates come from the pair operator, not a self-join") {
     val plan = executedPlan(dedup.Dedup.minhashLshPairs(GraftSession.table(spark, sfDir, "documents")))
     assert(!plan.contains("CartesianProduct"), s"all-pairs blowup:\n$plan")
