@@ -159,6 +159,101 @@ object Media {
       .toDF("doc_id", "media")
   }
 
+  final case class ResizeMeta(
+      doc_id: Long, format: String, width: Long, height: Long,
+      out_width: Long, out_height: Long, out_mean_px: Long)
+
+  private val CorruptResize = ResizeMeta(0L, "unknown", -1L, -1L, -1L, -1L, -1L)
+
+  /** Real box-average (area) resample over the decoded raster: output
+    * sample (ox, oy, b) is the floor-mean of its source region
+    * [⌊ox·w/outW⌋, ⌊(ox+1)·w/outW⌋) × [⌊oy·h/outH⌋, ⌊(oy+1)·h/outH⌋)
+    * (clamped to ≥1 source pixel, so upscale degrades to
+    * nearest-neighbor replication). Deterministic integer arithmetic —
+    * no AWT rendering pipeline, no interpolation-hint variance — and a
+    * constant image stays exactly constant at ANY target size, which is
+    * what lets the driver oracle state the resized mean in closed form.
+    * Single-band sources replicate their band across the 3-band output. */
+  def boxResize(img: java.awt.image.BufferedImage, outW: Int, outH: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val in = img.getRaster
+    val nbIn = in.getNumBands
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val outR = out.getRaster
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * h / outH
+      val y1 = math.max(y0 + 1, (oy + 1) * h / outH)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * w / outW
+        val x1 = math.max(x0 + 1, (ox + 1) * w / outW)
+        var b = 0
+        while (b < 3) {
+          val bIn = math.min(b, nbIn - 1)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += in.getSample(x, y, bIn); x += 1 }
+            y += 1
+          }
+          outR.setSample(ox, oy, b, (sum / ((x1 - x0).toLong * (y1 - y0))).toInt)
+          b += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Decode + [[boxResize]] + exact integer mean over the RESIZED
+    * raster — the thumbnail/feature-prep transform of an image ingest,
+    * with the same corrupt-object degrade contract as [[decodeImage]]
+    * (same memory-backed reader pattern; see the notes there). */
+  def resizeMeta(bytes: Array[Byte], outW: Int, outH: Int): ResizeMeta = {
+    if (bytes == null || bytes.length == 0) return CorruptResize
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) CorruptResize
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val img = r.read(0)
+            val res = boxResize(img, outW, outH)
+            val raster = res.getRaster
+            val nb = raster.getNumBands
+            var sum = 0L
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                var b = 0
+                while (b < nb) { sum += raster.getSample(x, y, b); b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            val n = outW.toLong * outH * nb
+            ResizeMeta(0L, fmt, img.getWidth.toLong, img.getHeight.toLong,
+              outW.toLong, outH.toLong, if (n > 0) sum / n else -1L)
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => CorruptResize }
+  }
+
+  /** Resize a (doc_id, media binary) table per partition (L12e). */
+  def resizeTable(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame =
+    decodedBy(media)((id, bytes) => Seq(resizeMeta(bytes, outW, outH).copy(doc_id = id)))
+
   final case class AudioMeta(
       doc_id: Long, format: String, sample_rate: Long, n_channels: Long,
       bits: Long, n_samples: Long, mean_abs: Long)

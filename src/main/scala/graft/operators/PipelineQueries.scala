@@ -390,6 +390,13 @@ object PipelineQueries {
     Media.decodeTable(Media.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** L12e: real resize — every synthetic payload (PNG/JPEG/BMP mix)
+    * box-resampled to 8×8; constant-gray inputs must stay exactly
+    * constant, so the resized mean is closed-form. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Media.resizeTable(Media.syntheticMediaTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Media.frameTable(t(s, dir, "documents")).orderBy("doc_id", "frame_idx")
 
@@ -462,6 +469,7 @@ object PipelineQueries {
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
     "multimodal_video" -> multimodalVideo,
@@ -1315,6 +1323,21 @@ object PipelineQueries {
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 17 + 4 END AS BIGINT) AS height,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_channels,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 256 END AS BIGINT) AS mean_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // multimodal_resize: a constant-gray input stays exactly constant
+    // under box-average resampling, so the 8×8 output's mean is the
+    // input gray; dims/format mirror multimodal_decode's closed form
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 10 = 0 THEN 'unknown'
+        |      WHEN doc_id % 3 = 0 THEN 'png'
+        |      WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |      ELSE 'bmp' END AS format,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars % 31 + 4 END AS BIGINT) AS width,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 17 + 4 END AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 8 END AS BIGINT) AS out_width,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 8 END AS BIGINT) AS out_height,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 256 END AS BIGINT) AS out_mean_px
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       """SELECT doc_id,

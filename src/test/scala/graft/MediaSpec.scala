@@ -169,4 +169,45 @@ class MediaSpec extends AnyFunSuite {
     assert(out(1) == Media.MediaMeta(11L, "bmp", 40 % 31 + 4, 11 % 17 + 4, 3, 11)) // 11 % 3 == 2
     assert(out(2) == Media.MediaMeta(12L, "png", 77 % 31 + 4, 12 % 17 + 4, 3, 12)) // 12 % 3 == 0
   }
+
+  // ── L12e: real box-average resize ────────────────────────────────────
+
+  test("boxResize: constant images stay exactly constant at any target size, all formats") {
+    for (enc <- Seq[(Int, Int, Int) => Array[Byte]](
+           Media.encodePng, Media.encodeJpeg, Media.encodeBmp);
+         (w, h) <- Seq((4, 4), (34, 20), (5, 17));
+         (ow, oh) <- Seq((1, 1), (8, 8), (64, 3))) {
+      val m = Media.resizeMeta(enc(w, h, 201), ow, oh)
+      assert(m.width == w && m.height == h)
+      assert(m.out_width == ow && m.out_height == oh)
+      assert(m.out_mean_px == 201,
+        s"resize $w×$h→$ow×$oh lost constancy: mean ${m.out_mean_px}")
+    }
+  }
+
+  test("boxResize really averages regions (downscale) and replicates (upscale)") {
+    // 2×1 image, pixels 10 and 30
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, (10 << 16) | (10 << 8) | 10)
+    img.setRGB(1, 0, (30 << 16) | (30 << 8) | 30)
+    // downscale to 1×1: floor mean (10+30)/2 = 20 in every band
+    val down = Media.boxResize(img, 1, 1)
+    assert((0 until 3).forall(b => down.getRaster.getSample(0, 0, b) == 20))
+    // upscale to 4×1: each source pixel replicated twice
+    val up = Media.boxResize(img, 4, 1)
+    val row = (0 until 4).map(x => up.getRaster.getSample(x, 0, 0))
+    assert(row == Seq(10, 10, 30, 30))
+  }
+
+  test("resizeTable: corrupt rows degrade in place while the rest resizes") {
+    val docs = Seq((10L, 40L), (11L, 40L), (12L, 77L))
+      .toDF("doc_id", "n_chars")
+    val out = Media.resizeTable(Media.syntheticMediaTable(docs), 8, 8)
+      .orderBy("doc_id")
+      .as[Media.ResizeMeta].collect()
+    assert(out(0) == Media.ResizeMeta(10L, "unknown", -1, -1, -1, -1, -1))
+    assert(out(1) == Media.ResizeMeta(11L, "bmp", 40 % 31 + 4, 11 % 17 + 4, 8, 8, 11))
+    assert(out(2) == Media.ResizeMeta(12L, "png", 77 % 31 + 4, 12 % 17 + 4, 8, 8, 12))
+  }
 }
