@@ -92,6 +92,25 @@ object TextSources {
       .option("timestampFormat", TimestampMicrosFormat)
       .json(path)
 
+  /** Streaming JSON Lines source over a directory (S21) — the
+    * file-watch ingest path: new .json/.jsonl files landing in `path`
+    * become micro-batches. Structured Streaming file sources REQUIRE an
+    * explicit schema (inference would race arriving files);
+    * `maxFilesPerTrigger` bounds a micro-batch so a backlog drains in
+    * controlled steps instead of one giant batch. Pipe into
+    * [[graft.streaming.Streams.insertSinkWithStats]] for a store table
+    * with one-batch-fresh zone maps. */
+  def readJsonlStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("timestampFormat", TimestampMicrosFormat)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(path)
+
   /** Load a CSV directory into a NEW store table: distributed read +
     * smallest-type narrowing + PK — the end-to-end analog of the
     * reference's read_csv → create.table_from_dataframe workflow. */

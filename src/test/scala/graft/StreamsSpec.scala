@@ -601,6 +601,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(store.primaryKeyViolations("ev").count() == 0)
   }
 
+  test("S21: streaming JSONL directory ingest lands micro-batches in the store with live stats") {
+    import graft.store.TableStore
+    import graft.sources.TextSources
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("graft_s21_in_").toString + "/jsonl"
+    val docs = GraftSession.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    b1.coalesce(1).write.mode("append").json(in)
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s21_").toString)
+    store.createTable("d", Seq(
+      "doc_id" -> "bigint", "lang" -> "varchar(8)", "n_chars" -> "bigint"),
+      Seq("doc_id"), buckets = 4)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val q = Streams.insertSinkWithStats(
+      TextSources.readJsonlStream(spark, in, schema, maxFilesPerTrigger = 1),
+      store, "d", statsColumns = Seq("doc_id", "n_chars")).start()
+    try {
+      q.processAllAvailable()
+      assert(store.readTable("d").count() == b1.count(), "first file not ingested")
+      // a file landing AFTER the query started becomes its own batch
+      b2.coalesce(1).write.mode("append").json(in)
+      q.processAllAvailable()
+      assert(store.readTable("d").count() == docs.count())
+      // full-fidelity: the store equals the source relation
+      assert(store.readTable("d", orderBy = Seq("doc_id"))
+        .as[(Long, String, Long)].collect().toSeq ==
+        docs.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq)
+      // stats stayed one-batch-fresh: a keyed point read prunes to a
+      // strict subset of the table's files
+      val one = docs.select("doc_id").as[Long].head()
+      val pruned = store.readTable("d", where = Some(s"doc_id = $one"))
+      assert(pruned.as[(Long, String, Long)].collect().length == 1)
+      assert(pruned.inputFiles.length < store.readTable("d").inputFiles.length,
+        "point read did not prune the streamed files")
+    } finally q.stop()
+  }
+
   test("S16: streaming CDC apply replicates a table from its own change feed") {
     import graft.store.TableStore
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
