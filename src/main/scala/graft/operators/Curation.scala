@@ -165,6 +165,45 @@ object Curation {
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Count-min sketch over corpus tokens (L44) — the bounded-memory
+    * point-frequency summary next to L25's SpaceSaving top-k: d hash
+    * rows × w buckets answer "how often does ANY term occur" with a
+    * one-sided error (estimate ≥ truth, overshoot ≤ εN with d·w memory
+    * independent of vocabulary size). Properties that matter at 100 TB:
+    *  - ONE linear pass with map-side combine; the d-way row fan-out
+    *    collapses to ≤ d·w rows per task before the only shuffle;
+    *  - MERGEABLE: sketches are counters, so shard sketches sum into
+    *    the corpus sketch (spec-pinned) — build per ingest batch, add;
+    *  - PORTABLE: bucket = first-8-hex(md5("r|term")) mod w (the A14b
+    *    idiom), so an ANSI engine rebuilds the sketch bit-for-bit.
+    * Returns (r, b, n) — d·w rows at most. */
+  def countMinSketch(docs: DataFrame, d: Int = 4, w: Int = 1024,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(Text.tokens(col(textCol))).as("t"))
+      .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col("t"))
+      .select(col("r"), pmod(conv(substring(
+        md5(concat(col("r").cast("string"), lit("|"), col("t"))), 1, 8), 16, 10)
+        .cast("long"), lit(w.toLong)).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("n"))
+
+  /** Point estimates from a [[countMinSketch]]: each probe term reads
+    * its d buckets and takes the min. `terms` is a small relation
+    * (probe list) — the join against the ≤ d·w sketch is trivially
+    * broadcast by AQE; nothing corpus-scale moves. */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, d: Int = 4, w: Int = 1024,
+      termCol: String = "term"): DataFrame =
+    terms
+      .select(col(termCol).as("term"))
+      .select(col("term"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("b", pmod(conv(substring(
+        md5(concat(col("r").cast("string"), lit("|"), col("term"))), 1, 8), 16, 10)
+        .cast("long"), lit(w.toLong)))
+      .join(sketch, Seq("r", "b"), "left")
+      .groupBy("term")
+      // a term whose bucket row is absent was never counted → estimate 0
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+
   /** Temperature-based mix resampling (L29) — flatten a skewed group
     * (language/domain) distribution toward shares ∝ n^alpha, the
     * multilingual-pretraining mixing step: group g keeps each row with

@@ -367,6 +367,21 @@ object PipelineQueries {
         max(col("pos").cast("long")).as("max_pos"))
       .orderBy("shard")
 
+  /** L44: count-min sketch point estimates, probed with the corpus's
+    * top-5 exact terms (self-derived so the oracle can rebuild the probe
+    * set); the exact count rides along so the one-sided error contract
+    * (cms_est ≥ exact_n) is visible in the output.
+    * See [[Curation.countMinSketch]]. */
+  def textCms(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val probes = d.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("t")).limit(5)
+      .select(col("t").as("term"), col("exact_n"))
+    Curation.cmsEstimate(Curation.countMinSketch(d), probes)
+      .join(probes, "term").orderBy("term")
+  }
+
   /** L30: boilerplate stripping — remove terms present in > 80% of
     * documents (on this shared-vocabulary corpus that cuts the handful
     * of truly-everywhere words while keeping most text — non-vacuous in
@@ -464,6 +479,7 @@ object PipelineQueries {
     "text_classifier" -> textClassifier,
     "sample_importance" -> sampleImportance,
     "export_shards" -> exportShards,
+    "text_cms" -> textCms,
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
@@ -1213,6 +1229,23 @@ object PipelineQueries {
          | CAST(SUM(CAST(c AS DECIMAL(12,0)) * r) AS DOUBLE) AS log_weight
          |FROM doc JOIN ratio USING (bucket)
          |GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin,
+    "text_cms" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+         |probes AS (SELECT t, n FROM cnt ORDER BY n DESC, t LIMIT 5),
+         |rws AS (SELECT CAST(r AS INT) AS r FROM range(0, 4) q(r)),
+         |sketch AS (
+         | SELECT r, CAST(${duckHex8("md5(CAST(r AS VARCHAR) || '|' || t)")} AS BIGINT) % 1024 AS b,
+         |  COUNT(*) AS n
+         | FROM tok CROSS JOIN rws GROUP BY 1, 2),
+         |est AS (
+         | SELECT p.t, MIN(COALESCE(s.n, 0)) AS cms_est
+         | FROM probes p CROSS JOIN rws r
+         | LEFT JOIN sketch s ON s.r = r.r
+         |  AND s.b = CAST(${duckHex8("md5(CAST(r.r AS VARCHAR) || '|' || p.t)")} AS BIGINT) % 1024
+         | GROUP BY p.t)
+         |SELECT e.t AS term, CAST(e.cms_est AS BIGINT) AS cms_est, p.n AS exact_n
+         |FROM est e JOIN probes p USING (t) ORDER BY term""".stripMargin,
     "export_shards" ->
       s"""WITH h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
          |a AS (SELECT doc_id, n_chars, h,

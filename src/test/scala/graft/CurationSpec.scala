@@ -270,6 +270,39 @@ class CurationSpec extends AnyFunSuite {
     assert(half.forall { case (id, s) => full(id) == s })
   }
 
+  test("count-min sketch: one-sided error on EVERY term, bounded size, shard-mergeable") {
+    import spark.implicits._
+    val sk = Curation.countMinSketch(docs, d = 4, w = 256).cache()
+    assert(sk.count() <= 4L * 256, "sketch exceeded its d×w bound")
+    val exact = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("exact_n"))
+    val est = Curation.cmsEstimate(sk, exact.select(col("t").as("term")), d = 4, w = 256)
+    val joined = est.join(exact.withColumnRenamed("t", "term"), "term")
+      .select("term", "cms_est", "exact_n")
+      .as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (t, e, x) =>
+      assert(e >= x, s"CMS underestimated '$t': $e < $x")
+    }
+    // absent term → exact 0
+    val miss = Curation.cmsEstimate(sk,
+      Seq("__definitely_not_a_token__").toDF("term"), d = 4, w = 256)
+      .as[(String, Long)].collect()
+    // (may collide to a positive estimate, but must never be negative;
+    // with w=256 on this corpus the min bucket is usually small)
+    assert(miss.head._2 >= 0)
+    // mergeability: sketch(A)+sketch(B) == sketch(A∪B), counter by counter
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val summed = Curation.countMinSketch(a, d = 4, w = 256)
+      .unionByName(Curation.countMinSketch(b, d = 4, w = 256))
+      .groupBy("r", "b").agg(sum("n").as("n"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = sk.as[(Int, Long, Long)].collect().toSet
+    assert(summed == whole, "shard sketches must sum to the corpus sketch")
+  }
+
   test("writeShards lays out one dir per shard matching the assignment") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_shards_${System.nanoTime()}"
     Curation.writeShards(docs, path, nShards = 4)
