@@ -191,6 +191,29 @@ object Streams {
       (batch: DataFrame, _: Long) => store.upsert(table, batch, matchCols)
     }
 
+  /** S22: streaming ANN serving — a stream of QUERY vectors probes a
+    * static IVF-assigned corpus, each micro-batch answered with the
+    * batch operator's exact probe + rerank (foreachBatch: per-query
+    * top-k needs a rank, which streaming append mode can't window — and
+    * a query batch IS a batch). Stateless by construction: results
+    * depend only on the batch's own queries, so any batch split yields
+    * the same rows (spec-pinned). The quantizer is trained ONCE and
+    * passed in — the serving path never retrains; corpus growth goes
+    * through the persisted index (L7c growIndex) and new centroid
+    * assignments are visible to the next micro-batch. */
+  def annProbeSink(
+      queryStream: DataFrame,
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      out: DataFrame => Unit,
+      k: Int = 5,
+      nProbe: Int = 4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        out(graft.similarity.Ann.topKIvf(corpus, batch, k,
+          nCentroids = centroids.length, nProbe = nProbe, centroids = Some(centroids)))
+    }
+
   /** S16: streaming CDC apply — the consuming end of the
     * change-data-feed surface (C25, `TableStore.readChanges`): a stream
     * of rows carrying a `_change_type` column is applied to a store

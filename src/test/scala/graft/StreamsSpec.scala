@@ -601,6 +601,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(store.primaryKeyViolations("ev").count() == 0)
   }
 
+  test("S22: streaming ANN probe equals the batch IVF answer regardless of batch split") {
+    import graft.similarity.Ann
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = GraftSession.table(spark, sfDir, "embeddings").cache()
+    val cents = Ann.trainIvfCentroids(emb, nCentroids = 4, iters = 3)
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (q1, q2) = qs.splitAt(qs.size / 2)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.annProbeSink(
+      ms.toDF().toDF("vec_id", "embedding"), emb, cents,
+      out = df => got.synchronized {
+        got ++= df.as[(Long, Long, Int, Double)].collect()
+      }).start()
+    try {
+      ms.addData(q1); q.processAllAvailable()
+      ms.addData(q2); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Ann.topKIvf(emb, emb.filter(col("vec_id") % 10 === 0),
+        nCentroids = 4, centroids = Some(cents))
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.sorted.toSeq == batch.sorted.toSeq,
+      "streamed probe answers diverged from the batch operator")
+  }
+
   test("S21: streaming JSONL directory ingest lands micro-batches in the store with live stats") {
     import graft.store.TableStore
     import graft.sources.TextSources
