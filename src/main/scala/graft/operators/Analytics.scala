@@ -815,6 +815,42 @@ object Analytics {
       .orderBy("from_type", "to_type")
   }
 
+  // ── A44: per-type daily z-score anomalies ───────────────────────────────
+  /** Statistical outlier detection over a metric stream — the monitoring
+    * query every event warehouse runs: each (event_type, day)'s value
+    * total scored against its type's cross-day distribution,
+    * |z| > 2 flagged. Engine-exact by the integer-unit discipline:
+    * daily sums are EXACT integer 1e-4 units (value cut to DECIMAL(18,4)
+    * per event — the C13/A27 money idiom — then scaled to BIGINT), the
+    * per-type moment sums (Σx, Σx²) stay exact in bounded DECIMAL, and
+    * the only doubles are one correctly-rounded cast each into a fixed
+    * z = (n·x − S)/√(n·Q − S²) expression mirrored token-for-token in
+    * the oracle, rounded to 6 dp. Zero-variance types drop (den = 0 —
+    * no anomaly is definable). Plan: one fact-scale (type, day) shuffle
+    * with map-side combine; the per-type moments REDUCE from the tiny
+    * daily relation and join back un-hinted (AQE broadcasts). */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("int").as("day_num"))
+      .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("si"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("si")).as("ss"),
+      sum(col("si").cast("decimal(19,0)") * col("si").cast("decimal(19,0)"))
+        .cast("decimal(30,0)").as("q"))
+    daily.join(stats, "event_type")
+      .withColumn("__num", (col("n") * col("si") - col("ss")).cast("double"))
+      .withColumn("__den", sqrt((col("n").cast("decimal(4,0)") * col("q")
+        - col("ss").cast("decimal(17,0)") * col("ss").cast("decimal(17,0)")).cast("double")))
+      .filter(col("__den") > 0)
+      .withColumn("z", round(col("__num") / col("__den"), 6))
+      .select(col("event_type"), col("day_num"),
+        (col("si").cast("double") / 10000.0).as("daily_value"),
+        col("z"), (abs(col("z")) > 2.0).as("is_anomaly"))
+      .orderBy("event_type", "day_num")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -1008,6 +1044,7 @@ object Analytics {
     "events_sessionize" -> eventsSessionize,
     "events_funnel" -> ((s, dir) => eventsFunnel(s, dir)),
     "events_retention" -> eventsRetention,
+    "events_anomaly" -> eventsAnomaly,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
     "sample_hash_portable" -> sampleHashPortable,
@@ -1472,6 +1509,30 @@ object Analytics {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM big)
         | AND n_name IN ('NATION_2','NATION_5')
         |ORDER BY s_suppkey""".stripMargin,
+    // events_anomaly: exact integer 1e-4-unit daily sums and exact
+    // decimal moments; the z expression mirrors the Spark side
+    // token-for-token so the double bits agree
+    "events_anomaly" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day_num,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS si
+        | FROM events GROUP BY 1, 2),
+        |stats AS (
+        | SELECT event_type, COUNT(*) AS n, CAST(SUM(si) AS BIGINT) AS ss,
+        |  CAST(SUM(CAST(si AS HUGEINT) * CAST(si AS HUGEINT)) AS DECIMAL(30,0)) AS q
+        | FROM daily GROUP BY 1),
+        |scored AS (
+        | SELECT d.event_type, d.day_num, CAST(d.si AS DOUBLE) / 10000.0 AS daily_value,
+        |  ROUND(CAST(s.n * d.si - s.ss AS DOUBLE) /
+        |    sqrt(CAST(CAST(s.n AS HUGEINT) * CAST(s.q AS HUGEINT)
+        |      - CAST(s.ss AS HUGEINT) * CAST(s.ss AS HUGEINT) AS DOUBLE)), 6) AS z,
+        |  sqrt(CAST(CAST(s.n AS HUGEINT) * CAST(s.q AS HUGEINT)
+        |      - CAST(s.ss AS HUGEINT) * CAST(s.ss AS HUGEINT) AS DOUBLE)) AS den
+        | FROM daily d JOIN stats s USING (event_type))
+        |SELECT event_type, day_num, daily_value, z, ABS(z) > 2.0 AS is_anomaly
+        |FROM scored WHERE den > 0
+        |ORDER BY event_type, day_num""".stripMargin,
     "events_transitions" ->
       """WITH seq AS (
         | SELECT user_id, event_type,

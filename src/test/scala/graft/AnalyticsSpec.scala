@@ -210,4 +210,30 @@ class AnalyticsSpec extends AnyFunSuite {
         s"sample rate off for $k: $n of $total")
     }
   }
+
+  test("A44: z-score anomaly flags exactly the injected spike day") {
+    val out = operators.Analytics.eventsAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    // contract checks on the real table: flag ⇔ |z| > 2, and within each
+    // type the z-scores sum to ~0 (population z over the type's days)
+    out.foreach { case (_, _, _, z, flag) => assert(flag == (math.abs(z) > 2.0)) }
+    out.groupBy(_._1).foreach { case (ty, rows) =>
+      val zsum = rows.map(_._4).sum
+      assert(math.abs(zsum) < 1e-3, s"$ty z-scores sum to $zsum, expected ~0")
+    }
+    // crafted spike: 9 calm days + one 100× day must flag only the spike
+    import spark.implicits._
+    val base = (0 until 10).flatMap { d =>
+      val v = if (d == 7) 1000.0 else 10.0
+      Seq((d.toLong, java.sql.Timestamp.valueOf(f"2024-02-${d + 1}%02d 12:00:00"), 1L, "m", v, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_a44_").toString
+    base.write.parquet(s"$dir/events.parquet")
+    val crafted = operators.Analytics.eventsAnomaly(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getBoolean(4)))
+    assert(crafted.length == 10)
+    assert(crafted.count(_._3) == 1, "exactly the spike day must flag")
+    assert(crafted.find(_._3).get._2 == 1000.0)
+  }
 }
