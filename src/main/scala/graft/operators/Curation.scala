@@ -295,6 +295,49 @@ object Curation {
         round(col("__sum").cast("double") / col("n_tokens"), 6).as("avg_logprob"))
   }
 
+  /** Per-document BIGRAM language-model score (L45) — the CCNet-style
+    * perplexity-filter shape next to L19's unigram: each document's
+    * mean log P(w|v) under add-1-smoothed corpus bigram counts
+    * (P(w|v) = (c(v,w)+1)/(c(v·)+V)). Sequence-aware where the unigram
+    * is bag-of-words: shuffled or template-stitched text keeps its
+    * unigram score but collapses here. Same exactness discipline as
+    * L19: per-bigram log-probs rounded to 6 dp and cut to DECIMAL
+    * before the weighted sum, so the aggregate is bit-stable under any
+    * partitioning and in ANSI SQL.
+    *
+    * Scale: the bigram stream is ≈ token count; everything reduces
+    * through (v, w, doc) partial counts — corpus bigram counts, context
+    * totals (Σ_w c(v,w), derived FROM the bigram table, no second
+    * corpus pass) and the per-doc score all ride linear partial-agg
+    * shuffles; the model is bigram-vocabulary-sized and joins back
+    * un-hinted (AQE). Self-scoring by construction (every doc bigram is
+    * in the corpus); scoring a FOREIGN corpus would left-join with the
+    * unseen-bigram floor log(1/(c(v·)+V)). */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val perDoc = toks.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => struct(element_at(col("__toks"), i + 1).as("v"),
+            element_at(col("__toks"), i + 2).as("w")))).as("g"))
+      .select(col("doc_id"), col("g.v").as("v"), col("g.w").as("w"))
+      .groupBy("v", "w", "doc_id").agg(count(lit(1)).as("__c"))
+    val bi = perDoc.groupBy("v", "w").agg(sum("__c").as("__cvw"))
+    val ctx = bi.groupBy("v").agg(sum("__cvw").as("__cv"))
+    val vocab = docs.select(explode(Text.tokens(col("text"))).as("t"))
+      .agg(count_distinct(col("t")).as("__V"))
+    val lp = bi.join(ctx, "v").crossJoin(broadcast(vocab))
+      .select(col("v"), col("w"),
+        round(log((col("__cvw") + 1).cast("double") / (col("__cv") + col("__V"))), 6)
+          .cast("decimal(18,6)").as("__lp"))
+    perDoc.join(lp, Seq("v", "w"))
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_bigrams"),
+        sum(col("__c").cast("decimal(12,0)") * col("__lp")).as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
   /** Corpus n-gram statistics (L35): top-k word n-grams by total
     * occurrence count with exact document frequency — the vocabulary
     * census a tokenizer-training or contamination-audit step starts

@@ -480,6 +480,8 @@ object PipelineQueries {
     "sample_importance" -> sampleImportance,
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
+    "text_bigram" -> ((s, dir) =>
+      Curation.bigramLogprob(t(s, dir, "documents")).orderBy("doc_id")),
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
@@ -1229,6 +1231,23 @@ object PipelineQueries {
          | CAST(SUM(CAST(c AS DECIMAL(12,0)) * r) AS DOUBLE) AS log_weight
          |FROM doc JOIN ratio USING (bucket)
          |GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 100""".stripMargin,
+    "text_bigram" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, toks[i] AS v, toks[i+1] AS w
+        |  FROM tk, UNNEST(range(1, len(toks))) AS u(i)),
+        |pd AS (SELECT v, w, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |bi AS (SELECT v, w, CAST(SUM(c) AS BIGINT) AS cvw FROM pd GROUP BY 1, 2),
+        |ctx AS (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv FROM bi GROUP BY 1),
+        |vocab AS (SELECT COUNT(DISTINCT t) AS nvocab FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |lp AS (SELECT v, w,
+        |  CAST(ROUND(ln(CAST(cvw + 1 AS DOUBLE) / (cv + nvocab)), 6) AS DECIMAL(18,6)) AS lp
+        | FROM bi JOIN ctx USING (v), vocab)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        | ROUND(CAST(SUM(CAST(c AS DECIMAL(12,0)) * lp) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6) AS avg_logprob
+        |FROM pd JOIN lp USING (v, w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_cms" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
          |cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),

@@ -303,6 +303,29 @@ class CurationSpec extends AnyFunSuite {
     assert(summed == whole, "shard sketches must sum to the corpus sketch")
   }
 
+  test("bigram LM is sequence-aware where the unigram is bag-of-words") {
+    import spark.implicits._
+    // same token BAG, different order: d1 alternates (high bigram
+    // probability), d2 is sorted (rare transitions)
+    val crafted = Seq((1L, "a b a b a b"), (2L, "a a a b b b")).toDF("doc_id", "text")
+    val uni = Curation.unigramLogprob(crafted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L), "unigram must not see order")
+    val bi = Curation.bigramLogprob(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(bi.forall(_._2 == 5), "6 tokens → 5 bigram positions")
+    val m = bi.map(x => x._1 -> x._3).toMap
+    // hand-computed add-1 model: c(ab)=4,c(ba)=2,c(aa)=2,c(bb)=2,
+    // c(a·)=6, c(b·)=4, V=2
+    def lp6(num: Double, den: Double) =
+      BigDecimal(math.log(num / den)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def avg6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L) == avg6((3 * lp6(5, 8) + 2 * lp6(3, 6)) / 5))
+    assert(m(2L) == avg6((2 * lp6(3, 8) + lp6(5, 8) + 2 * lp6(3, 6)) / 5))
+    assert(m(1L) > m(2L), "alternating text must outscore sorted text")
+  }
+
   test("writeShards lays out one dir per shard matching the assignment") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_shards_${System.nanoTime()}"
     Curation.writeShards(docs, path, nShards = 4)
