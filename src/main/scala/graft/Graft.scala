@@ -107,6 +107,21 @@ final case class Graft(
     def count(name: String): Long = store.countRows(name)
   }
 
+  /** Run arbitrary Spark SQL over managed tables (C34) — the declarative
+    * half of the reference workflow: its users write T-SQL against
+    * server tables and pull frames back; here the named tables resolve
+    * through the SAME governed read path as `read.table` (schema
+    * rendering, file manifests, pruning inputs), registered as session
+    * views, and the full Spark SQL surface (joins, windows, CTEs) runs
+    * distributed over them. Views are snapshots of the CURRENT
+    * generation at call time — a concurrent mutation doesn't shift an
+    * in-flight query (the C23 reader contract). */
+  def sql(query: String, tables: Seq[String] = Seq.empty): DataFrame = {
+    val names = if (tables.nonEmpty) tables else store.tableNames()
+    names.foreach(n => store.readTable(n).createOrReplaceTempView(n))
+    spark.sql(query)
+  }
+
   /** Reference `write` namespace (core/write). */
   object write {
     def insert(name: String, df: DataFrame, autoAdjust: Boolean = false): Unit =

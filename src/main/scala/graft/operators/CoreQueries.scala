@@ -534,7 +534,28 @@ object CoreQueries {
         col("event_type"), col("value"), col("props"))
   }
 
+  // C34: arbitrary Spark SQL over managed tables through the facade —
+  // a window-ranked query against a store table; the oracle runs the
+  // equivalent ANSI text over the source parquet.
+  def facadeSql(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.Graft(s,
+      s"${sys.props("java.io.tmpdir")}/graft_store/facade_sql_${System.nanoTime()}")
+    g.create.table("cust", Seq(
+      "c_custkey" -> "bigint", "c_mktsegment" -> "varchar(12)",
+      "c_acctbal" -> "decimal(12,2)"), Seq("c_custkey"))
+    g.write.insert("cust",
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"))
+    g.sql(
+      """SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, rn FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+        | FROM cust)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "facade_sql" -> facadeSql,
     "source_csv_ingest" -> sourceCsvIngest,
     "source_jsonl_ingest" -> sourceJsonlIngest,
     "create_table_cast" -> createTableCast,
@@ -580,6 +601,13 @@ object CoreQueries {
     "source_csv_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "facade_sql" ->
+      """SELECT c_mktsegment, c_custkey, CAST(bal2 AS DOUBLE) AS bal, rn FROM (
+        | SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal2,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey) AS INT) AS rn
+        | FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "source_jsonl_ingest" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,

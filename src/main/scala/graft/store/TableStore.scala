@@ -300,6 +300,19 @@ final class TableStore(
 
   def exists(name: String): Boolean = fs.exists(metaPath(name))
 
+  /** All managed table names under this root (one listing of the root
+    * dir — O(#tables), driver-side, like the reference's
+    * INFORMATION_SCHEMA.TABLES query). */
+  def tableNames(): Seq[String] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(exists)
+      .sorted
+  }
+
   /** (column_name, sql_type) schema description, like the reference's
     * get_schema surface (core/conversion.py get_schema). */
   def describe(name: String): DataFrame = {

@@ -106,4 +106,25 @@ class GraftApiSpec extends AnyFunSuite {
     sql.maintenance.vacuum("t")
     assert(log.size < events.size) // vacuum audited too
   }
+
+  test("C34: Spark SQL runs over managed tables through the facade") {
+    val g = Graft(spark, Files.createTempDirectory("graft_sql_").toString)
+    g.create.table("dim", Seq("k" -> "int", "name" -> "varchar(10)"), Seq("k"))
+    g.create.table("fact", Seq("id" -> "int", "k" -> "int", "v" -> "int"), Seq("id"))
+    g.write.insert("dim", Seq((1, "one"), (2, "two")).toDF("k", "name"))
+    g.write.insert("fact",
+      Seq((10, 1, 5), (11, 1, 7), (12, 2, 9)).toDF("id", "k", "v"))
+    assert(g.sql("SELECT 1").count() == 1) // registers every table by default
+    val out = g.sql(
+      """SELECT d.name, SUM(f.v) AS total
+        |FROM fact f JOIN dim d ON f.k = d.k
+        |GROUP BY d.name ORDER BY d.name""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("one", 12L), ("two", 9L)))
+    // views are point-in-time: a mutation after registration is not
+    // visible to an already-captured view until the next sql() call
+    g.write.insert("fact", Seq((13, 2, 1)).toDF("id", "k", "v"))
+    val again = g.sql("SELECT COUNT(*) AS n FROM fact").as[Long].head()
+    assert(again == 4)
+  }
 }
