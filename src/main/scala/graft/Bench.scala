@@ -61,6 +61,14 @@ object Bench {
     "embedding_quantize", // NEW r7 entry (L39) — absent from earlier records
     "events_transitions", // NEW r7 entry (A43) — absent from earlier records
     "dedup_cluster_split", // NEW r7 entry (L41) — absent from earlier records
+    "sim_topk_pq", // NEW r7 entry (L43) — absent from earlier records
+    "sim_topk_ivfpq", // NEW r7 entry (L43c) — absent from earlier records
+    "text_cms", // NEW r7 entry (L44) — absent from earlier records
+    "text_bigram", // NEW r7 entry (L45) — absent from earlier records
+    "events_anomaly", // NEW r7 entry (A44) — absent from earlier records
+    "export_shards", // NEW r7 entry (L42) — absent from earlier records
+    "multimodal_resize", // NEW r7 entry (L12e) — absent from earlier records
+    "source_jsonl_ingest", // NEW r7 entry (C33) — absent from earlier records
   )
 
   /** Streaming micro-benches, driven AvailableNow over parquet inputs
