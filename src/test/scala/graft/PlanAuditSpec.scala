@@ -190,6 +190,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cosine fell out of codegen:\n$plan")
   }
 
+  test("events_anomaly: one fact scan — the per-type moments reduce from the daily relation") {
+    val plan = executedPlan(operators.Analytics.eventsAnomaly(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(occurrences(plan, "Scan parquet") == 1,
+      s"moments must derive FROM the daily aggregate, not re-scan events:\n$plan")
+    assert(occurrences(plan, "HashAggregate") >= 2, s"no map-side combine:\n$plan")
+  }
+
+  test("export_shards: one hash exchange; the per-shard rank rides the shard partitioning") {
+    val plan = executedPlan(operators.PipelineQueries.exportShards(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(occurrences(plan, "Scan parquet") == 1, s"expected one corpus scan:\n$plan")
+    assert(plan.contains("Window"), s"per-shard rank missing:\n$plan")
+    // the window, the stats aggregation and the final sort all key on
+    // `shard` — nothing reshuffles on a wider key between them
+    assert(occurrences(plan, "Exchange hashpartitioning") <= 1,
+      s"shard rank and stats must share the shard partitioning:\n$plan")
+  }
+
+  test("text_cms: sketch is a bounded two-phase aggregate, estimates never move the corpus") {
+    val plan = executedPlan(operators.PipelineQueries.textCms(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // (r, b) sketch + probe top-5 + estimate groupBy: partial aggregation
+    // everywhere the token stream is touched
+    assert(occurrences(plan, "HashAggregate") >= 4, s"no map-side combine:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"probe top-5 must plan as a heap, not a global sort:\n$plan")
+  }
+
+  test("text_bigram: model joins un-hinted; the only nested-loop join is the 1-row vocab") {
+    val df = operators.PipelineQueries.queries("text_bigram")(spark, sfDir)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 1-row vocabulary count broadcast is the single allowed
+    // nested-loop; everything else must be an equi-join
+    assert(occurrences(plan, "BroadcastNestedLoopJoin") <= 1, plan)
+    assert(occurrences(plan, "HashAggregate") >= 6, s"no map-side combine:\n$plan")
+  }
+
   test("PQ ADC: query side broadcast, corpus encode through the native argmin kernel") {
     import org.apache.spark.sql.functions.col
     val e = GraftSession.table(spark, sfDir, "embeddings")
