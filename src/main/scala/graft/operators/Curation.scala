@@ -338,6 +338,78 @@ object Curation {
         round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
   }
 
+  /** One left-to-right non-overlapping BPE merge pass over a symbol
+    * array: adjacent (a, b) becomes the concatenated symbol, scanning
+    * once without re-examining a freshly merged token ("aaaa" under
+    * (a,a) → [aa, aa], not [aaa, a]) — the classic merge semantics.
+    * CaseWhen branches evaluate lazily, so the last-element probe never
+    * runs on an empty accumulator (ANSI element_at would throw). */
+  private def bpeMergeStep(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, typedLit(Seq.empty[String]),
+      (acc, s) => when(size(acc) === 0, concat(acc, array(s)))
+        .when(element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Distributed BPE merge training (L46) — the tokenizer-training step
+    * of an LLM data pipeline, at the scale trick every production BPE
+    * trainer uses: train on the WORD VOCABULARY (word → corpus count),
+    * not the corpus. One fact-scale shuffle builds the weighted vocab;
+    * each of the k merge rounds is then a pair-count aggregate + an
+    * argmax + a scan-side array rewrite over the VOCABULARY-sized
+    * relation — corpus size never re-enters. Deterministic end to end:
+    * exact integer pair counts, argmax ties break (count desc, a, b),
+    * and the only driver traffic is one 1-row argmax per round (the
+    * scalar-collect class the no-collect rule allows). Per-round
+    * lineage is eagerly truncated (k nested HOF rewrites would
+    * otherwise stack in one plan). Returns (merge_rank, left, right,
+    * pair_count) — the ordered merge table a tokenizer ships. */
+  def trainBpeMerges(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        val next = vocab.select(bpeMergeStep(col("syms"), a, b).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Apply an ordered merge table to a corpus (the tokenizer-apply
+    * step): every word re-derives its BPE segmentation by replaying the
+    * merges in rank order — k chained scan-side rewrites, no shuffle
+    * but the output sort. Returns per-doc whitespace and BPE token
+    * counts (the compression a trained tokenizer achieves). */
+  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val segmented = merges.foldLeft(split(col("w"), ""): Column) {
+      case (c, (a, b)) => bpeMergeStep(c, a, b)
+    }
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), size(segmented).cast("long").as("__n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("__n")).as("bpe_tokens"))
+  }
+
   /** Corpus n-gram statistics (L35): top-k word n-grams by total
     * occurrence count with exact document frequency — the vocabulary
     * census a tokenizer-training or contamination-audit step starts

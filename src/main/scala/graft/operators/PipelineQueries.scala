@@ -482,6 +482,12 @@ object PipelineQueries {
     "text_cms" -> textCms,
     "text_bigram" -> ((s, dir) =>
       Curation.bigramLogprob(t(s, dir, "documents")).orderBy("doc_id")),
+    // L46 rows-only: the iterative merge rewrite has no ANSI oracle;
+    // the exact-twin contract lives in CurationSpec (in-memory classic
+    // BPE on the collected word counts equals the distributed trainer)
+    "text_bpe" -> ((s, dir) =>
+      Curation.trainBpeMerges(t(s, dir, "documents"), k = 8)
+        .orderBy("merge_rank")),
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),

@@ -326,6 +326,54 @@ class CurationSpec extends AnyFunSuite {
     assert(m(1L) > m(2L), "alternating text must outscore sorted text")
   }
 
+  test("BPE trainer: classic merge sequence on the textbook example; apply segments correctly") {
+    import spark.implicits._
+    // vocab: low×2, lower×1 → pairs (l,o)=3 (o,w)=3 tie → 'l'<'o' picks
+    // (l,o); then (lo,w)=3; then (low,e)=1 (e,r)=1 tie → (e,r); (low,er)
+    val crafted = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val merges = Curation.trainBpeMerges(crafted, k = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "e", "r", 1L), (4, "low", "er", 1L)),
+      s"merge table diverged: $merges")
+    // apply: "low" → [low]; "lower" → [low, er] → merge 4 → [lower]
+    val applied = Curation.applyBpe(crafted, merges.map(m => (m._2, m._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(applied.toSeq == Seq((1L, 3L, 3L))) // every word one token
+    // a truncated merge table leaves "lower" split: [low, er]
+    val partial = Curation.applyBpe(crafted, merges.take(3).map(m => (m._2, m._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(partial.toSeq == Seq((1L, 3L, 4L)))
+  }
+
+  test("BPE trainer equals an in-memory classic BPE on the real corpus") {
+    val got = Curation.trainBpeMerges(docs, k = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // in-memory twin: word counts → iterative argmax merge
+    var vocab: Map[Vector[String], Long] = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0).split("").toVector -> r.getLong(1)).toMap
+    val want = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to 8) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pairs.nonEmpty) {
+        val ((a, b), n) = pairs.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        want += ((r, a, b, n))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          for (s <- syms)
+            if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+            else out += s
+          out.toVector
+        } { case (_, c) => c }(_ + _)
+      }
+    }
+    assert(got == want.toSeq, s"distributed trainer diverged from the classic algorithm")
+  }
+
   test("writeShards lays out one dir per shard matching the assignment") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_shards_${System.nanoTime()}"
     Curation.writeShards(docs, path, nShards = 4)
