@@ -830,7 +830,11 @@ object Dedup {
     * unless a 64-bit collision falsely marks a window (birthday odds
     * ~1e-4 at 10^8 windows; DedupAnnSpec pins exact equality of both
     * paths on the test corpus). */
-  def substringDupStats(docs: DataFrame, k: Int = 8, hash64: Boolean = true): DataFrame = {
+  /** Shared L32/L47 front half: tokenized docs + maximal duplicated
+    * spans (doc_id, __island, __s, __e, __nw) — window positions whose
+    * k-token hash occurs in ≥ 2 distinct docs, merged gap-and-islands.
+    * See [[substringDupStats]] for the full scale/correctness notes. */
+  private def substringSpans(docs: DataFrame, k: Int, hash64: Boolean): (DataFrame, DataFrame) = {
     require(k >= 2, s"window size must be >= 2, got $k")
     val hashOf: Column => Column = if (hash64) xxhash64(_) else md5(_)
     val toksed = docs.select(col("doc_id"),
@@ -850,6 +854,11 @@ object Dedup {
       .withColumn("__island", sum("__brk").over(w))
       .groupBy(col("doc_id"), col("__island"))
       .agg(min("pos").as("__s"), max("pos").as("__e"), count(lit(1)).as("__nw"))
+    (toksed, spans)
+  }
+
+  def substringDupStats(docs: DataFrame, k: Int = 8, hash64: Boolean = true): DataFrame = {
+    val (toksed, spans) = substringSpans(docs, k, hash64)
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("__nspans"), sum("__nw").as("__dw"),
         sum(col("__e") - col("__s") + lit(k)).as("__dt"))
@@ -866,6 +875,35 @@ object Dedup {
         coalesce(col("__dt"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("__dt"), lit(0L)).cast("double") / col("n_tokens"), 6)
           .as("dup_frac"))
+  }
+
+  /** L47: duplicated-span REMOVAL — the action L32's stats inform (the
+    * Lee et al. 2021 span-cut policy): every token inside a maximal
+    * duplicated span ([__s, __e + k − 1] in token positions) is cut and
+    * the document is re-emitted clean. Shares [[substringSpans]]'s
+    * front half, so the cost profile is L32's; the cut itself is
+    * scan-side array algebra after ONE left join of the per-doc span
+    * list (spans per doc are few — bounded by n_tokens/k — so the
+    * collected span array is document-sized, never corpus-sized).
+    * Span-free documents pass through with their tokens rejoined
+    * (whitespace-normalized, the tokenizer's contract). Same
+    * hash64/md5 dual as L32: output carries no hash values, so the md5
+    * oracle verifies the xxhash64 scale path unchanged. */
+  def removeDupSpans(docs: DataFrame, k: Int = 8, hash64: Boolean = true): DataFrame = {
+    val (toksed, spans) = substringSpans(docs, k, hash64)
+    val spanArr = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("__s").as("s"), (col("__e") + (k - 1)).as("t"))).as("__spans"))
+    val idx = transform(sequence(lit(1), size(col("__toks"))),
+      i => struct(i.as("p"), element_at(col("__toks"), i).as("tk")))
+    val kept = filter(idx, s => !exists(col("__spans"),
+      sp => s.getField("p") >= sp.getField("s") && s.getField("p") <= sp.getField("t")))
+    toksed.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise(col("n_tokens") - size(kept)).as("removed_tokens"),
+        when(col("__spans").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ", transform(kept, s => s.getField("tk"))))
+          .as("clean_text"))
   }
 
   /** L40: cluster-canonical selection by QUALITY — the same connected

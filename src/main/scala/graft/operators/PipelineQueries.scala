@@ -445,6 +445,8 @@ object PipelineQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_substring" -> dedupSubstring,
+    "dedup_despan" -> ((s, dir) =>
+      Dedup.removeDupSpans(t(s, dir, "documents")).orderBy("doc_id")),
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
@@ -666,6 +668,43 @@ object PipelineQueries {
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> s"$jaccardOracleBody\nORDER BY a_id, b_id",
+    // dedup_despan: the L32 span CTEs extended with the token-level cut;
+    // positions inside [s, e+7] drop, survivors rejoin in order
+    "dedup_despan" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        | SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+        | FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dpos AS (
+        | SELECT w.doc_id, w.pos,
+        |   CASE WHEN w.pos - lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) <= 8
+        |        THEN 0 ELSE 1 END AS brk
+        | FROM w JOIN dup USING (h)),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dpos),
+        |spans AS (
+        | SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+        | FROM isl GROUP BY doc_id, island),
+        |tokens AS (
+        | SELECT doc_id, i AS p, toks[i] AS tk
+        | FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+        |rem AS (
+        | SELECT DISTINCT tk.doc_id, tk.p
+        | FROM tokens tk JOIN spans s ON tk.doc_id = s.doc_id
+        |  AND tk.p BETWEEN s.s AND s.e + 7),
+        |kept AS (
+        | SELECT t2.doc_id, t2.p, t2.tk FROM tokens t2
+        | LEFT JOIN rem ON t2.doc_id = rem.doc_id AND t2.p = rem.p
+        | WHERE rem.p IS NULL)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        | CAST(len(t.toks) - COUNT(k.p) AS BIGINT) AS removed_tokens,
+        | COALESCE(string_agg(k.tk, ' ' ORDER BY k.p), '') AS clean_text
+        |FROM t LEFT JOIN kept k USING (doc_id)
+        |GROUP BY t.doc_id, len(t.toks) ORDER BY t.doc_id""".stripMargin,
     "dedup_substring" ->
       """WITH t AS (
         | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

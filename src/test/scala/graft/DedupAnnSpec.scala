@@ -476,6 +476,34 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out.map(o => (o._1, o._2)).toMap == base)
   }
 
+  test("L47 span removal cuts exactly the duplicated tokens; paths agree; stats consistent") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-token run; doc 3 is clean
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val crafted = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "nothing in common here at all with anyone")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(crafted, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 11L, 8L, "alpha beta gamma")))
+    assert(out(1) == ((2L, 11L, 8L, "delta epsilon zeta")))
+    assert(out(2) == ((3L, 8L, 0L, "nothing in common here at all with anyone")))
+    // removed_tokens equals L32's dup_tokens doc-for-doc on the corpus
+    val removed = Dedup.removeDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val stats = Dedup.substringDupStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(removed == stats, "span cut must remove exactly the stats' dup_tokens")
+    // md5 portable path identical to the xxhash64 scale path
+    val md5Out = Dedup.removeDupSpans(docs, hash64 = false).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val xxOut = Dedup.removeDupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(md5Out == xxOut)
+  }
+
   // ── L43 product quantization ─────────────────────────────────────────
 
   private def embMap: Map[Long, Array[Double]] =
