@@ -829,25 +829,38 @@ object Analytics {
     * no anomaly is definable). Plan: one fact-scale (type, day) shuffle
     * with map-side combine; the per-type moments REDUCE from the tiny
     * daily relation and join back un-hinted (AQE broadcasts). */
-  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
-      .groupBy(col("event_type"),
+  /** A44's building blocks, shared with the streaming gate (S23):
+    * exact integer 1e-4-unit daily sums, and the per-type moments
+    * (n, Σx, Σx² in bounded exact decimal). */
+  def anomalyDailySums(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
         datediff(to_date(col("ts")), lit("1970-01-01")).cast("int").as("day_num"))
       .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("si"))
-    val stats = daily.groupBy("event_type").agg(
+
+  def anomalyMoments(daily: DataFrame): DataFrame =
+    daily.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("si")).as("ss"),
       sum(col("si").cast("decimal(19,0)") * col("si").cast("decimal(19,0)"))
         .cast("decimal(30,0)").as("q"))
-    daily.join(stats, "event_type")
+
+  /** z-scoring projection over (…, si, n, ss, q) rows — the exact fixed
+    * z = (n·x − S)/√(n·Q − S²) expression both A44 and S23 emit. */
+  private[graft] def anomalyScore(scored: DataFrame): DataFrame =
+    scored
       .withColumn("__num", (col("n") * col("si") - col("ss")).cast("double"))
       .withColumn("__den", sqrt((col("n").cast("decimal(4,0)") * col("q")
         - col("ss").cast("decimal(17,0)") * col("ss").cast("decimal(17,0)")).cast("double")))
       .filter(col("__den") > 0)
       .withColumn("z", round(col("__num") / col("__den"), 6))
-      .select(col("event_type"), col("day_num"),
-        (col("si").cast("double") / 10000.0).as("daily_value"),
-        col("z"), (abs(col("z")) > 2.0).as("is_anomaly"))
+      .withColumn("daily_value", col("si").cast("double") / 10000.0)
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = anomalyDailySums(t(s, dir, "events"))
+    anomalyScore(daily.join(anomalyMoments(daily), "event_type"))
+      .select(col("event_type"), col("day_num"), col("daily_value"),
+        col("z"), col("is_anomaly"))
       .orderBy("event_type", "day_num")
   }
 

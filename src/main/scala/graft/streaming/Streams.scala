@@ -191,6 +191,30 @@ object Streams {
       (batch: DataFrame, _: Long) => store.upsert(table, batch, matchCols)
     }
 
+  /** S23: streaming anomaly gate — the serving twin of A44's z-score
+    * monitor: arriving events aggregate into per-(type, day) exact
+    * integer value sums under a watermark (the ONLY state: open
+    * windows' counters), and each CLOSED window's total scores against
+    * a STATIC per-type baseline (A44's exact moments, trained batch —
+    * the model/serving split every monitoring deployment has; the
+    * baseline is a tiny static relation, joined stateless per
+    * micro-batch). Emits the batch operator's exact z expression, so a
+    * window fed the same events flags identically to the batch path
+    * scored against the same baseline (spec-pinned). */
+  def streamingAnomaly(
+      stream: DataFrame,
+      baseline: DataFrame,
+      watermarkDelay: String = "1 day"): DataFrame = {
+    import graft.operators.Analytics
+    val daily = stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("si"))
+    Analytics.anomalyScore(daily.join(baseline, "event_type"))
+      .select(col("event_type"), col("window.start").as("day"),
+        col("daily_value"), col("z"), col("is_anomaly"))
+  }
+
   /** S22: streaming ANN serving — a stream of QUERY vectors probes a
     * static IVF-assigned corpus, each micro-batch answered with the
     * batch operator's exact probe + rerank (foreachBatch: per-query

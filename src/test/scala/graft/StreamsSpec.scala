@@ -601,6 +601,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(store.primaryKeyViolations("ev").count() == 0)
   }
 
+  test("S23: streaming anomaly gate matches the batch z-score per closed window") {
+    import graft.operators.Analytics
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val baseline = Analytics.anomalyMoments(Analytics.anomalyDailySums(ev))
+    val got = runToTable(Streams.streamingAnomaly(stream, baseline), "s23", "append")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.nonEmpty, "no windows closed under the watermark")
+    val want = Analytics.anomalyScore(
+        Analytics.anomalyDailySums(ev).join(baseline, "event_type"))
+      .select(col("event_type"), col("day_num"), col("daily_value"), col("z"), col("is_anomaly"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    got.foreach { case (ty, day, v, z, fl) =>
+      val dayNum = (day.getTime / 86400000L).toInt
+      assert(want((ty, dayNum)) == ((v, z, fl)),
+        s"window ($ty, $dayNum) diverged from the batch score")
+    }
+    // all but each type's last TWO days must emit (the watermark sits
+    // maxTs − 1 day, so the final day is open and the one before it has
+    // window-end just past the watermark)
+    val nTypes = ev.select("event_type").distinct().count().toInt
+    assert(got.length >= want.size - 2 * nTypes)
+  }
+
   test("S22: streaming ANN probe equals the batch IVF answer regardless of batch split") {
     import graft.similarity.Ann
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
