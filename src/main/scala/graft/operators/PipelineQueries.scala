@@ -211,6 +211,18 @@ object PipelineQueries {
     Ann.topKIvfIndexed(store, "ivf", e, queriesOf(e)).orderBy("q_id", "rank")
   }
 
+  /** L43d: the persisted IVF-PQ path end-to-end — build the compressed
+    * index on 80% of the corpus, grow it with the rest (no retrain),
+    * answer from the index alone (no float-corpus scan). */
+  def simTopkIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_ivfpq_q_").toString)
+    Ann.saveIndexPq(s, store, "pq", e.filter(col("vec_id") % 5 =!= 0))
+    Ann.growIndexPq(store, "pq", e.filter(col("vec_id") % 5 === 0))
+    Ann.topKIvfPqIndexed(store, "pq", queriesOf(e)).orderBy("q_id", "rank")
+  }
+
   def textLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("pred_lang"))
@@ -460,6 +472,7 @@ object PipelineQueries {
     "sim_topk_pq" -> simTopkPq,
     "sim_topk_pq_portable" -> simTopkPqPortable,
     "sim_topk_ivfpq" -> simTopkIvfPq,
+    "sim_topk_ivfpq_indexed" -> simTopkIvfPqIndexed,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,

@@ -610,6 +610,115 @@ object Ann {
     rankTopKAsc(scored, k, round(col("adc"), 6).as("adc"))
   }
 
+  /** Persist a FULL IVF-PQ index (L43d — the L7c story for the
+    * compressed layout): coarse centroids (`<name>_centroids`),
+    * sub-codebooks (`<name>_books`, (j, cl, pos, x) rows — m·ksub·dsub
+    * model-sized data) and every vector's (coarse list, PQ codes) in a
+    * vec_id-PK bucketed table with the m codes as TINYINT columns.
+    * The payoff over L7c: [[topKIvfPqIndexed]] answers queries from the
+    * INDEX ALONE — the float corpus is never scanned again, which at
+    * 100 TB is the difference between reading m bytes and 4·dim bytes
+    * per candidate. Incremental growth via [[growIndexPq]]. */
+  def saveIndexPq(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.TableStore,
+      name: String,
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 5,
+      maxTrainRows: Int = 65536,
+      assignBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val cents = trainIvfCentroids(corpus, nCentroids, iters, maxTrainRows)
+    val books = trainPqCodebooks(corpus, m, ksub, iters, maxTrainRows)
+    saveCentroids(spark, store, s"${name}_centroids", cents)
+    val bookRows = books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.flatMap { case (c, cl) =>
+        c.zipWithIndex.map { case (x, pos) => (j, cl, pos, x) } } }
+    if (!store.exists(s"${name}_books")) {
+      store.createTable(s"${name}_books",
+        Seq("j" -> "int", "cl" -> "int", "pos" -> "int", "x" -> "float"),
+        Seq("j", "cl", "pos"))
+      store.insert(s"${name}_books", bookRows.toDF("j", "cl", "pos", "x"))
+    } else store.merge(s"${name}_books", bookRows.toDF("j", "cl", "pos", "x"))
+    if (!store.exists(s"${name}_assign")) {
+      store.createTable(s"${name}_assign",
+        ("vec_id" -> "bigint") +: ("cl" -> "int") +:
+          (0 until m).map(j => s"c$j" -> "tinyint"),
+        Seq("vec_id"), buckets = assignBuckets)
+      store.insert(s"${name}_assign", pqAssignments(corpus, cents, books))
+    } else store.merge(s"${name}_assign", pqAssignments(corpus, cents, books))
+  }
+
+  /** (vec_id, coarse cl, c0..c{m-1}) rows for an IVF-PQ index. */
+  private[graft] def pqAssignments(corpus: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = books.head.head.length
+    val v = Vectors.toDouble(col("embedding"))
+    scatter(corpus).select(
+      (col("vec_id") +: nearestCluster(v, cents).as("cl") +:
+        books.indices.map(j =>
+          nearestCluster(subVec(v, j, dsub), books(j)).as(s"c$j"))): _*)
+  }
+
+  /** Load a persisted sub-codebook table back to m × ksub × dsub. */
+  def loadPqBooks(store: graft.store.TableStore, table: String): Seq[Seq[Seq[Double]]] =
+    store.readTable(table, orderBy = Seq("j", "cl", "pos")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, js) => js.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, cs) => cs.sortBy(_._3).map(_._4).toIndexedSeq } }
+
+  /** Assign ONLY `newVectors` under the persisted quantizers and upsert
+    * — the faiss add() contract for the compressed index: stored lists
+    * and codes stay valid, cost is O(new vectors). */
+  def growIndexPq(store: graft.store.TableStore, name: String,
+      newVectors: DataFrame): Unit = {
+    val cents = loadCentroids(store, s"${name}_centroids")
+    val books = loadPqBooks(store, s"${name}_books")
+    store.upsert(s"${name}_assign", pqAssignments(newVectors, cents, books))
+  }
+
+  /** IVF-PQ top-k answered from the PERSISTED index alone — no float
+    * corpus scan: candidates come from the bucketed assign table, and
+    * each candidate's ADC score is m table lookups over its stored
+    * codes. Equal to [[topKIvfPq]] under the same trained model
+    * (spec-pinned). */
+  def topKIvfPqIndexed(
+      store: graft.store.TableStore,
+      name: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val cents = loadCentroids(store, s"${name}_centroids")
+    val books = loadPqBooks(store, s"${name}_books")
+    val dsub = books.head.head.length
+    val m = books.length
+    val c = store.readTable(s"${name}_assign")
+      .select((col("vec_id").as("n_id") +: col("cl").as("__cl") +:
+        (0 until m).map(j => col(s"c$j").cast("int").as(s"c$j"))): _*)
+    val probeIds = {
+      val d = distances(col("__vq"), cents)
+      val idx = transform(typedLit(cents.indices.toList),
+        i => struct(element_at(d, i + 1).as("d"), i.as("i")))
+      slice(transform(array_sort(idx), s => s.getField("i")), 1, nProbe)
+    }
+    val table = array(books.indices.map(j => distances(subVec(col("__vq"), j, dsub), books(j))): _*)
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__tab", table)
+      .withColumn("__cl", explode(probeIds))
+      .drop("__vq")
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__tab"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val scored = c.join(broadcast(q), Seq("__cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+    rankTopKAsc(scored, k, round(col("adc"), 6).as("adc"))
+  }
+
   /** Engine-PORTABLE PQ twin (the A14b/L3b/L7d idiom, applied to PQ):
     * codebook j = the subvectors of the ksub smallest-(md5(vec_id), id)
     * corpus rows (hash-sampled codebooks — valid PQ, just less even;

@@ -604,6 +604,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(again.sortBy(x => (x._1, x._3)).toSeq == got.sortBy(x => (x._1, x._3)).toSeq)
   }
 
+  test("L43d persisted IVF-PQ: index-only search equals the direct operator; growth keeps the model") {
+    import graft.store.TableStore
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivfpq_store_").toString)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    Ann.saveIndexPq(spark, store, "pq", emb)
+    val viaIndex = Ann.topKIvfPqIndexed(store, "pq", queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      .sortBy(x => (x._1, x._3))
+    val direct = Ann.topKIvfPq(emb, queries).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      .sortBy(x => (x._1, x._3))
+    assert(viaIndex == direct,
+      "index-only answers must equal the direct operator under the same trained model")
+    // growth: an 80%-trained index grown with the rest holds exactly the
+    // assignments the STORED model gives every vector (no retrain drift)
+    val store2 = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivfpq_grow_").toString)
+    Ann.saveIndexPq(spark, store2, "pq", emb.filter(col("vec_id") % 5 =!= 0))
+    Ann.growIndexPq(store2, "pq", emb.filter(col("vec_id") % 5 === 0))
+    val cents = Ann.loadCentroids(store2, "pq_centroids")
+    val books = Ann.loadPqBooks(store2, "pq_books")
+    val want = Ann.pqAssignments(emb, cents, books).collect()
+      .map(_.toSeq).toSet
+    val got = store2.readTable("pq_assign")
+      .selectExpr("vec_id", "cast(cl as int) cl",
+        "cast(c0 as int) c0", "cast(c1 as int) c1", "cast(c2 as int) c2", "cast(c3 as int) c3")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("L43c IVF-PQ: candidates only from probed lists, ADC agrees with full-scan PQ") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val got = Ann.topKIvfPq(emb, queries, k = 5, nCentroids = 4, nProbe = 2,
