@@ -69,6 +69,12 @@ object Bench {
     "export_shards", // NEW r7 entry (L42) — absent from earlier records
     "multimodal_resize", // NEW r7 entry (L12e) — absent from earlier records
     "source_jsonl_ingest", // NEW r7 entry (C33) — absent from earlier records
+    "text_bpe", // NEW r7 entry (L46) — absent from earlier records
+    "dedup_despan", // NEW r7 entry (L47) — absent from earlier records
+    // sim_topk_ivfpq_indexed is NOT benched: like sim_topk_ivf_indexed,
+    // its wall time is dominated by store-index CONSTRUCTION (two Lloyd
+    // trainings + table writes per run) — the steady-state search cost
+    // is sim_topk_ivfpq's
   )
 
   /** Streaming micro-benches, driven AvailableNow over parquet inputs
