@@ -181,6 +181,19 @@ final case class Graft(
   /** Reference `get_schema` (package.py:105). */
   def getSchema(name: String): DataFrame = store.describe(name)
 
+  /** Reference `log_init` (package.py:85): engine/runtime versions for
+    * debugging, emitted through the same audit channel as DDL — the
+    * "what was I even running" line every support thread starts with. */
+  def logInit(): Map[String, String] = {
+    val info = Map(
+      "spark" -> spark.version,
+      "scala" -> scala.util.Properties.versionNumberString,
+      "java" -> sys.props("java.version"))
+    audit("version info: " +
+      info.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", "))
+    info
+  }
+
   /** PK-duplicate diagnostics (enforced by the server in the reference). */
   def primaryKeyViolations(name: String): DataFrame = store.primaryKeyViolations(name)
 

@@ -334,8 +334,15 @@ object Curation {
       .groupBy("doc_id")
       .agg(sum(col("__c")).as("n_bigrams"),
         sum(col("__c").cast("decimal(12,0)") * col("__lp")).as("__sum"))
+      // 6-dp mean via EXACT integer micros (the labelCentroids idiom):
+      // engines' double round() disagrees on near-tie quotients — one
+      // sf0.1 row landed on exactly such a boundary — while integer
+      // half-away-from-zero division is bit-identical everywhere
+      .withColumn("__s", (col("__sum").cast("decimal(18,6)") * 1000000).cast("long"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("__sum").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+        ((signum(col("__s")).cast("long") *
+          expr("(2 * abs(__s) + n_bigrams) div (2 * n_bigrams)")).cast("double")
+          / 1000000.0).as("avg_logprob"))
   }
 
   /** One left-to-right non-overlapping BPE merge pass over a symbol

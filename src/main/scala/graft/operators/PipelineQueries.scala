@@ -1302,10 +1302,13 @@ object PipelineQueries {
         |lp AS (SELECT v, w,
         |  CAST(ROUND(ln(CAST(cvw + 1 AS DOUBLE) / (cv + nvocab)), 6) AS DECIMAL(18,6)) AS lp
         | FROM bi JOIN ctx USING (v), vocab)
-        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-        | ROUND(CAST(SUM(CAST(c AS DECIMAL(12,0)) * lp) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6) AS avg_logprob
-        |FROM pd JOIN lp USING (v, w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, n AS n_bigrams,
+        | CAST(SIGN(s) * ((2 * ABS(s) + n) // (2 * n)) AS DOUBLE) / 1000000.0 AS avg_logprob
+        |FROM (
+        | SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(c AS DECIMAL(12,0)) * lp) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS s
+        | FROM pd JOIN lp USING (v, w) GROUP BY doc_id) t
+        |ORDER BY doc_id""".stripMargin,
     "text_cms" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
          |cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),

@@ -107,6 +107,15 @@ class GraftApiSpec extends AnyFunSuite {
     assert(log.size < events.size) // vacuum audited too
   }
 
+  test("logInit reports runtime versions through the audit channel") {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val g = Graft(spark, Files.createTempDirectory("graft_ver_").toString,
+      audit = lines += _)
+    val info = g.logInit()
+    assert(info("spark") == spark.version && info.contains("scala") && info.contains("java"))
+    assert(lines.exists(_.startsWith("version info: ")))
+  }
+
   test("C34: Spark SQL runs over managed tables through the facade") {
     val g = Graft(spark, Files.createTempDirectory("graft_sql_").toString)
     g.create.table("dim", Seq("k" -> "int", "name" -> "varchar(10)"), Seq("k"))

@@ -35,6 +35,37 @@ object MediaProps extends Properties("Media") {
         m.n_channels == 3 && m.mean_px == g
     }
 
+  property("boxResize keeps constant images exactly constant at ANY target size, all codecs") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 40), Gen.choose(0, 255),
+      Gen.choose(1, 24), Gen.choose(1, 24), Gen.choose(0, 2)) { (w, h, g, ow, oh, fmt) =>
+      val enc = fmt match {
+        case 0 => Media.encodePng _
+        case 1 => Media.encodeJpeg _
+        case _ => Media.encodeBmp _
+      }
+      val m = Media.resizeMeta(enc(w, h, g), ow, oh)
+      m.width == w && m.height == h && m.out_width == ow &&
+        m.out_height == oh && m.out_mean_px == g
+    }
+
+  property("boxResize covers every source pixel exactly once on downscale") =
+    Prop.forAll(Gen.choose(1, 30), Gen.choose(1, 30)) { (w, h) =>
+      // gradient image; any partition-of-source property: the sum of
+      // (region mean × region area) over output pixels = source sum when
+      // regions tile the source exactly — checked here for ow=oh=1
+      // (single region: floor mean over everything)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 7 + y * 13) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        sum += v
+      }
+      val out = Media.boxResize(img, 1, 1)
+      (0 until 3).forall(b => out.getRaster.getSample(0, 0, b) == (sum / (w.toLong * h)).toInt)
+    }
+
   property("WAV round-trip: rate, samples and exact |mean|") =
     Prop.forAll(
       Gen.choose(1, 192000), Gen.choose(0, 2000),
