@@ -116,9 +116,16 @@ final case class Graft(
     * distributed over them. Views are snapshots of the CURRENT
     * generation at call time — a concurrent mutation doesn't shift an
     * in-flight query (the C23 reader contract). */
-  def sql(query: String, tables: Seq[String] = Seq.empty): DataFrame = {
+  def sql(query: String, tables: Seq[String] = Seq.empty,
+      asOf: Map[String, Int] = Map.empty): DataFrame = {
     val names = if (tables.nonEmpty) tables else store.tableNames()
-    names.foreach(n => store.readTable(n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      // asOf pins a table to a committed generation — SQL over history
+      // (C23 × C34): audit queries, before/after diffs, reproducible
+      // reports against a fixed snapshot
+      val df = asOf.get(n).map(store.readTableAt(n, _)).getOrElse(store.readTable(n))
+      df.createOrReplaceTempView(n)
+    }
     spark.sql(query)
   }
 

@@ -864,6 +864,41 @@ object Analytics {
       .orderBy("event_type", "day_num")
   }
 
+  // ── A45: mergeable distinct-count sketches ──────────────────────────────
+  /** Persistable HLL sketches (Apache DataSketches via Spark's native
+    * `hll_sketch_agg`) built per fine-grained cell — the "distinct
+    * users over ANY slice" pattern: build sketches ONCE per
+    * (segment, day) in one linear aggregate, then answer any segment
+    * combination by UNIONING sketch bytes (register max-merge —
+    * associative, order/partition-independent), never re-scanning the
+    * fact table. A rollup over a 100 TB table becomes an aggregation
+    * over sketch-sized rows. */
+  def distinctSketches(df: DataFrame, cellCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(cellCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+
+  /** Union per-cell sketches up to `by` and estimate. The estimate is
+    * DETERMINISTIC: unioned registers equal the registers of a sketch
+    * built directly on the coarser group (spec-pinned equality). */
+  def sketchEstimate(sketches: DataFrame, by: Seq[String]): DataFrame =
+    sketches.groupBy(by.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_distinct"))
+
+  /** A45 driver entry (rows-only — DuckDB's approx_distinct is a
+    * different HLL implementation, no cross-engine oracle): per-type
+    * daily sketches over events unioned to per-type estimates, with the
+    * exact distinct alongside so the error contract is visible. */
+  def eventsDistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // build at (type, day) grain and union up — the mergeability path
+    val cells = distinctSketches(
+      ev.withColumn("day", to_date(col("ts"))), Seq("event_type", "day"), "user_id")
+    val unioned = sketchEstimate(cells, Seq("event_type"))
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    unioned.join(exact, "event_type").orderBy("event_type")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -1058,6 +1093,7 @@ object Analytics {
     "events_funnel" -> ((s, dir) => eventsFunnel(s, dir)),
     "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
+    "events_distinct_sketch" -> eventsDistinctSketch,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
     "sample_hash_portable" -> sampleHashPortable,

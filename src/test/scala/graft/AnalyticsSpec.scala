@@ -211,6 +211,29 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("A45: HLL sketches union exactly to the direct sketch; estimates near exact") {
+    val ev = GraftSession.table(spark, sfDir, "events")
+    // mergeability: per-(type, day) sketches unioned per type must give
+    // the SAME estimate as sketches built directly per type (register
+    // merge is associative — identical sketch state)
+    val cells = operators.Analytics.distinctSketches(
+      ev.withColumn("day", to_date(col("ts"))), Seq("event_type", "day"), "user_id")
+    val viaUnion = operators.Analytics.sketchEstimate(cells, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = operators.Analytics.sketchEstimate(
+        operators.Analytics.distinctSketches(ev, Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaUnion == direct, "unioned sketches diverged from the direct build")
+    // accuracy: default HLL (lgK=12) is well under 5% at this cardinality
+    val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (ty, n) =>
+      val est = viaUnion(ty)
+      assert(math.abs(est - n).toDouble / n < 0.05, s"$ty: est $est vs exact $n")
+    }
+  }
+
   test("A44: z-score anomaly flags exactly the injected spike day") {
     val out = operators.Analytics.eventsAnomaly(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))

@@ -135,5 +135,11 @@ class GraftApiSpec extends AnyFunSuite {
     g.write.insert("fact", Seq((13, 2, 1)).toDF("id", "k", "v"))
     val again = g.sql("SELECT COUNT(*) AS n FROM fact").as[Long].head()
     assert(again == 4)
+    // asOf pins a table to a generation: SQL over history (the
+    // second-latest generation is the pre-append 3-row state)
+    val preAppend = g.read.snapshots("fact").map(_._1).sorted.takeRight(2).head
+    val old = g.sql("SELECT COUNT(*) AS n FROM fact", asOf = Map("fact" -> preAppend))
+      .as[Long].head()
+    assert(old == 3, "asOf view must serve the pinned snapshot")
   }
 }
