@@ -183,6 +183,10 @@ final case class Graft(
     /** Change the PK-hash bucket count (0 = flat) — one staged rewrite;
       * older snapshots keep pruning under their own layout. */
     def rebucket(name: String, buckets: Int): Unit = store.rebucket(name, buckets)
+    /** File counts each skip layer leaves for a WHERE (metadata-only) —
+      * the "will this read be fast" probe; see TableStore.explainPruning. */
+    def explainPruning(name: String, where: String): Map[String, Long] =
+      store.explainPruning(name, where)
   }
 
   /** Reference `get_schema` (package.py:105). */

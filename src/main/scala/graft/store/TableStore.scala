@@ -1321,19 +1321,22 @@ final class TableStore(
     * Files without stats are kept by cut 2, and the full predicate is
     * re-applied by the caller — pruning only shrinks the scan, never
     * the answer. */
-  private def prunedRead(name: String, m: Meta, where: String): DataFrame = {
+  /** The layered file-cut pipeline shared by [[prunedRead]] and the
+    * pruning report: (all files, after bucket cut, after zone-map/Bloom
+    * cut). None when the table has no files or the predicate doesn't
+    * resolve to a prunable condition. */
+  private def pruneStages(name: String, m: Meta, where: String): Option[(Seq[Path], Seq[Path], Seq[Path])] = {
     val base = read(name)
-    if (!hasDataFiles(name)) return base
+    if (!hasDataFiles(name)) return None
     // resolve the predicate through the analyzer so the pruners see real
     // Catalyst comparisons over AttributeReferences (the raw Column is
     // an unresolved ColumnNode tree in Spark 4)
     val pred = base.filter(Filters.parseWhere(base, where))
       .queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-      .getOrElse(return base)
+      .getOrElse(return None)
     val types = m.columns.map { case (n, t) => n -> t.spark }.toMap
     val all = listDataFiles(name)
-
     val afterBuckets = allowedBuckets(m, pred, types) match {
       case Some(ids) => all.filter { p =>
         val dir = p.getParent.getName
@@ -1347,6 +1350,35 @@ final class TableStore(
         st.get(FileStats.relativeKey(dataPath(name), p))
           .forall(s => FileStats.mayMatch(pred, s, types)))
       case None => afterBuckets
+    }
+    Some((all, afterBuckets, surviving))
+  }
+
+  /** C35: pruning report — how many data files each skip layer leaves
+    * for a `where`, WITHOUT reading any data (driver-side metadata
+    * only, the same code path real reads take): total → after PK-hash
+    * bucket cut (C20b) → after zone-map/Bloom cut (C20/C27). The
+    * operational "will this point read be fast, and which layer is
+    * doing the work" probe; a report showing no cut says to analyze,
+    * rebucket or recluster BEFORE burning a cluster-wide scan. */
+  def explainPruning(name: String, where: String): Map[String, Long] = {
+    val m = meta(name)
+    pruneStages(name, m, where) match {
+      case Some((all, buckets, stats)) => Map(
+        "total_files" -> all.length.toLong,
+        "after_bucket_prune" -> buckets.length.toLong,
+        "after_stats_prune" -> stats.length.toLong)
+      case None =>
+        val n = if (hasDataFiles(name)) listDataFiles(name).length.toLong else 0L
+        Map("total_files" -> n, "after_bucket_prune" -> n, "after_stats_prune" -> n)
+    }
+  }
+
+  private def prunedRead(name: String, m: Meta, where: String): DataFrame = {
+    val base = read(name)
+    val (all, surviving) = pruneStages(name, m, where) match {
+      case Some((a, _, s)) => (a, s)
+      case None => return base
     }
     if (surviving.length == all.length) base
     else if (surviving.isEmpty)

@@ -1101,4 +1101,27 @@ class TableStoreSpec extends AnyFunSuite {
     store.merge("t", Seq((2, 25)).toDF("k", "hi")) // holds; deletes k=1
     assert(store.readTable("t", where = Some("k = 2")).select("hi").collect().head.getInt(0) == 25)
   }
+
+  test("C35: explainPruning attributes the cut to the right layer, metadata-only") {
+    import spark.implicits._
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"), buckets = 8)
+    store.insert("t", (0L until 800L).map(i => (i, i * 3)).toDF("k", "v"))
+    store.analyze("t")
+    val rep = store.explainPruning("t", "k = 17")
+    // a PK point read cuts at the bucket layer to ≤ 1/8 of the files,
+    // and stats can only narrow further
+    assert(rep("total_files") > 0)
+    assert(rep("after_bucket_prune") <= rep("total_files") / 4,
+      s"bucket layer did not cut: $rep")
+    assert(rep("after_stats_prune") <= rep("after_bucket_prune"))
+    assert(rep("after_stats_prune") >= 1, "the matching file must survive")
+    // a non-PK range predicate can't bucket-prune; zone maps still can
+    val rep2 = store.explainPruning("t", "v >= 0")
+    assert(rep2("after_bucket_prune") == rep2("total_files"))
+    // report and actual read agree on the surviving set size
+    val read = store.readTable("t", where = Some("k = 17"))
+    assert(read.inputFiles.length == rep("after_stats_prune").toInt)
+    assert(read.count() == 1)
+  }
 }
