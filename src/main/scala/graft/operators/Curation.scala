@@ -204,6 +204,41 @@ object Curation {
       // a term whose bucket row is absent was never counted → estimate 0
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
 
+  /** Domain-level curation rollup (L48) — the per-SOURCE verdict table
+    * a blocklist pipeline builds (the C4/RefinedWeb "bad domains" step):
+    * each source's mean stopword ratio (natural-language-ness) and mean
+    * duplicated-token fraction (L32's span stats), with a block flag
+    * when the source reads like boilerplate (low stopword mass) or
+    * like a mirror (high duplication). Engine-exact throughout: both
+    * per-doc ratios are 6-dp integer micros computed by half-up
+    * integer division from exact counts (never a rounded double), the
+    * per-source means divide exact micro sums the same way, and the
+    * flag compares integer micros against integer thresholds.
+    * Cost = L32's span pass + one tokens scan + a source-keyed rollup
+    * (sources ≪ docs — the aggregate collapses map-side). */
+  def sourceQuality(docs: DataFrame,
+      minStopMicros: Long = 55000, maxDupMicros: Long = 50000): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val en = typedLit(Text.Stopwords.toMap.apply("en"))
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("__n"),
+        size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
+      .withColumn("__stopm", expr("(2 * 1000000 * __stop + __n) div (2 * __n)"))
+    val dup = graft.dedup.Dedup.substringDupStats(docs)
+      .withColumn("__dupm", expr("(2 * 1000000 * dup_tokens + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("__dupm"))
+    perDoc.join(dup, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__stopm").as("__ss"), sum("__dupm").as("__sd"))
+      .withColumn("__ms", expr("(2 * __ss + n_docs) div (2 * n_docs)"))
+      .withColumn("__md", expr("(2 * __sd + n_docs) div (2 * n_docs)"))
+      .select(col("source"), col("n_docs"),
+        (col("__ms").cast("double") / 1000000.0).as("mean_stopword_ratio"),
+        (col("__md").cast("double") / 1000000.0).as("mean_dup_frac"),
+        (col("__ms") < minStopMicros || col("__md") > maxDupMicros).as("blocked"))
+  }
+
   /** Temperature-based mix resampling (L29) — flatten a skewed group
     * (language/domain) distribution toward shares ∝ n^alpha, the
     * multilingual-pretraining mixing step: group g keeps each row with

@@ -495,6 +495,8 @@ object PipelineQueries {
     "sample_importance" -> sampleImportance,
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
+    "source_quality" -> ((s, dir) =>
+      Curation.sourceQuality(t(s, dir, "documents")).orderBy("source")),
     "text_bigram" -> ((s, dir) =>
       Curation.bigramLogprob(t(s, dir, "documents")).orderBy("doc_id")),
     // L46 rows-only: the iterative merge rewrite has no ANSI oracle;
@@ -681,6 +683,48 @@ object PipelineQueries {
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> s"$jaccardOracleBody\nORDER BY a_id, b_id",
+    // source_quality: the L32 span CTEs + the text_quality stopword
+    // expression rolled up per source with exact integer-micros means
+    "source_quality" ->
+      """WITH t AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |q AS (
+        | SELECT doc_id, source, len(toks) AS n,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS stop
+        | FROM t),
+        |w AS (
+        | SELECT doc_id, i AS pos, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+        | FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+        | WHERE len(toks) >= 8),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dpos AS (
+        | SELECT w.doc_id, w.pos,
+        |   CASE WHEN w.pos - lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) <= 8
+        |        THEN 0 ELSE 1 END AS brk
+        | FROM w JOIN dup USING (h)),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM dpos),
+        |spans AS (
+        | SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+        | FROM isl GROUP BY doc_id, island),
+        |perdoc AS (
+        | SELECT doc_id, CAST(SUM(e - s + 8) AS BIGINT) AS dup_tokens
+        | FROM spans GROUP BY doc_id),
+        |d AS (
+        | SELECT t.doc_id, len(t.toks) AS nt, COALESCE(p.dup_tokens, 0) AS dt
+        | FROM t LEFT JOIN perdoc p USING (doc_id)),
+        |m AS (
+        | SELECT q.source,
+        |  (2 * 1000000 * q.stop + q.n) // (2 * q.n) AS stopm,
+        |  (2 * 1000000 * d.dt + d.nt) // (2 * d.nt) AS dupm
+        | FROM q JOIN d USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(CAST((2 * SUM(stopm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_stopword_ratio,
+        | CAST(CAST((2 * SUM(dupm) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS DOUBLE) / 1000000.0 AS mean_dup_frac,
+        | ((2 * SUM(stopm) + COUNT(*)) // (2 * COUNT(*)) < 55000
+        |  OR (2 * SUM(dupm) + COUNT(*)) // (2 * COUNT(*)) > 50000) AS blocked
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // dedup_despan: the L32 span CTEs extended with the token-level cut;
     // positions inside [s, e+7] drop, survivors rejoin in order
     "dedup_despan" ->

@@ -111,6 +111,24 @@ object TextSources {
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(path)
 
+  /** Streaming CSV twin of [[readJsonlStream]] — same file-watch
+    * contract, same explicit-schema requirement, [[writeCsv]]-matching
+    * parse options. */
+  def readCsvStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ",",
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("timestampFormat", TimestampMicrosFormat)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .csv(path)
+
   /** Load a CSV directory into a NEW store table: distributed read +
     * smallest-type narrowing + PK — the end-to-end analog of the
     * reference's read_csv → create.table_from_dataframe workflow. */

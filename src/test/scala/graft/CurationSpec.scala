@@ -374,6 +374,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want.toSeq, s"distributed trainer diverged from the classic algorithm")
   }
 
+  test("source rollup: flag matches its definition and splits the corpus both ways") {
+    val out = Curation.sourceQuality(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (src, _, stop, dup, blocked) =>
+      val expect = math.round(stop * 1000000) < 55000 || math.round(dup * 1000000) > 50000
+      assert(blocked == expect, s"$src flag diverged from its definition")
+    }
+    assert(out.exists(_._5) && out.exists(!_._5),
+      "thresholds must split the corpus (vacuous flag otherwise)")
+  }
+
   test("writeShards lays out one dir per shard matching the assignment") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_shards_${System.nanoTime()}"
     Curation.writeShards(docs, path, nShards = 4)

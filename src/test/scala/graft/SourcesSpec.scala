@@ -70,6 +70,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select("payload").first().getString(0) == """{"nested":{"deep":true}}""")
   }
 
+  test("streaming CSV source drains a directory batch by batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val dir = tmp("csv_stream")
+    TextSources.writeCsv(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val q = TextSources.readCsvStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("csv_stream_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("csv_stream_t").orderBy("id").collect().toSeq ==
+      Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+  }
+
   test("ingestCsv creates a narrowed, PK'd store table") {
     val df = Seq((1L, 200L, "aa"), (2L, 90000L, "b")).toDF("k", "v", "s")
     val dir = tmp("csv_ingest")
