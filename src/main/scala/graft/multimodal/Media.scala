@@ -335,6 +335,94 @@ object Media {
     } catch { case _: Exception => CorruptAudio }
   }
 
+  final case class ResampleMeta(
+      doc_id: Long, format: String, sample_rate: Long, n_samples: Long,
+      out_rate: Long, out_samples: Long, out_mean_abs: Long)
+
+  private val CorruptResample = ResampleMeta(0L, "unknown", -1L, -1L, -1L, -1L, -1L)
+
+  /** Real PCM rate conversion (L12f, the audio twin of [[boxResize]]):
+    * endpoint-aligned linear interpolation per channel in exact integer
+    * arithmetic — out frame i reads source position i·(n−1)/(outN−1),
+    * sample = s[idx] + (s[idx+1] − s[idx])·frac/denom with floor
+    * division — so a constant-amplitude signal stays exactly constant
+    * at ANY target rate (the closed-form-oracle lever, as with the
+    * image resize) and the result is bit-deterministic. outN =
+    * ⌊n·outRate/inRate⌋ (≥ 1 for non-empty input). Same degrade
+    * contract as [[decodeWav]]. */
+  def resampleWavMeta(bytes: Array[Byte], outRate: Int): ResampleMeta = {
+    try {
+      if (bytes == null || bytes.length < 44) return CorruptResample
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val tag = new Array[Byte](4)
+      bb.get(tag)
+      if (new String(tag, "US-ASCII") != "RIFF") return CorruptResample
+      bb.getInt
+      bb.get(tag)
+      if (new String(tag, "US-ASCII") != "WAVE") return CorruptResample
+      var rate = -1L; var channels = 0; var bits = -1L
+      var samples: Array[Short] = null
+      var sawFmt = false
+      while (bb.remaining() >= 8 && samples == null) {
+        bb.get(tag)
+        val id = new String(tag, "US-ASCII")
+        val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return CorruptResample
+        val next = bb.position() + len
+        id match {
+          case "fmt " =>
+            if (len < 16) return CorruptResample
+            if (bb.getShort != 1) return CorruptResample // PCM only
+            channels = bb.getShort.toInt
+            rate = bb.getInt.toLong
+            bb.getInt; bb.getShort
+            bits = bb.getShort.toLong
+            if (bits != 16 || channels < 1) return CorruptResample
+            sawFmt = true
+          case "data" =>
+            if (!sawFmt) return CorruptResample
+            val total = len / 2
+            samples = new Array[Short](total)
+            var i = 0
+            while (i < total) { samples(i) = bb.getShort; i += 1 }
+          case _ =>
+        }
+        bb.position(next + (len & 1))
+      }
+      if (!sawFmt || samples == null) return CorruptResample
+      val n = samples.length / channels
+      if (n == 0) return ResampleMeta(0L, "wav", rate, 0L, outRate.toLong, 0L, -1L)
+      val outN = math.max(1L, n.toLong * outRate / rate)
+      var sumAbs = 0L
+      var c = 0
+      while (c < channels) {
+        var i = 0L
+        while (i < outN) {
+          val v =
+            if (outN == 1 || n == 1) samples(c).toLong
+            else {
+              val denom = outN - 1
+              val posNum = i * (n - 1)
+              val idx = (posNum / denom).toInt
+              val frac = posNum % denom
+              val s0 = samples(idx * channels + c).toLong
+              val s1 = samples(math.min(idx + 1, n - 1) * channels + c).toLong
+              s0 + (s1 - s0) * frac / denom
+            }
+          sumAbs += math.abs(v)
+          i += 1
+        }
+        c += 1
+      }
+      val total = outN * channels
+      ResampleMeta(0L, "wav", rate, n.toLong, outRate.toLong, outN, sumAbs / total)
+    } catch { case _: Exception => CorruptResample }
+  }
+
+  /** Resample a (doc_id, media binary) audio table per partition. */
+  def resampleAudioTable(media: DataFrame, outRate: Int = 16000): DataFrame =
+    decodedBy(media)((id, bytes) => Seq(resampleWavMeta(bytes, outRate).copy(doc_id = id)))
+
   /** [[syntheticMediaTable]]'s audio twin: real deterministic WAVs —
     * sample rate `8000 + (doc_id%4)*4000`, `n_chars%500 + 50` samples,
     * constant amplitude `(doc_id*37) % 30000 - 15000`. Every 10th

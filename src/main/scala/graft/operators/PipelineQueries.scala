@@ -424,6 +424,13 @@ object PipelineQueries {
     Media.resizeTable(Media.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** L12f: real PCM rate conversion — every synthetic WAV resampled to
+    * 16 kHz by exact-integer linear interpolation; constant-amplitude
+    * inputs stay exactly constant, so the resampled mean is closed-form. */
+  def multimodalResample(s: SparkSession, dir: String): DataFrame =
+    Media.resampleAudioTable(Media.syntheticAudioTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Media.frameTable(t(s, dir, "documents")).orderBy("doc_id", "frame_idx")
 
@@ -511,6 +518,7 @@ object PipelineQueries {
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,
+    "multimodal_resample" -> multimodalResample,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
     "multimodal_video" -> multimodalVideo,
@@ -1495,6 +1503,19 @@ object PipelineQueries {
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 8 END AS BIGINT) AS out_width,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 8 END AS BIGINT) AS out_height,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 256 END AS BIGINT) AS out_mean_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // multimodal_resample: constant-amplitude PCM stays exactly constant
+    // under endpoint-aligned linear interpolation; out_samples is the
+    // integer floor n·16000/rate (≥ 1)
+    "multimodal_resample" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 10 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 8000 + (doc_id % 4) * 4000 END AS BIGINT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE n_chars % 500 + 50 END AS BIGINT) AS n_samples,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE 16000 END AS BIGINT) AS out_rate,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1
+        |      ELSE GREATEST((n_chars % 500 + 50) * 16000 // (8000 + (doc_id % 4) * 4000), 1) END AS BIGINT) AS out_samples,
+        | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE abs((doc_id * 37) % 30000 - 15000) END AS BIGINT) AS out_mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       """SELECT doc_id,

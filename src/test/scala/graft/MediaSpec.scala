@@ -200,6 +200,34 @@ class MediaSpec extends AnyFunSuite {
     assert(row == Seq(10, 10, 30, 30))
   }
 
+  test("resampleWav: constant amplitude survives any rate exactly; ramps interpolate") {
+    // constancy across up/down/identity conversions
+    for ((inRate, n, amp) <- Seq((8000, 100, 1234), (16000, 373, -9000), (20000, 50, 0));
+         outRate <- Seq(8000, 16000, 44100)) {
+      val m = Media.resampleWavMeta(Media.encodeWav(inRate, n, amp.toShort), outRate)
+      assert(m.format == "wav" && m.sample_rate == inRate && m.n_samples == n)
+      assert(m.out_rate == outRate)
+      assert(m.out_samples == math.max(1L, n.toLong * outRate / inRate))
+      assert(m.out_mean_abs == math.abs(amp),
+        s"$inRate->$outRate lost constancy: ${m.out_mean_abs} vs ${math.abs(amp)}")
+    }
+    // a 2-sample ramp [0, 1000] to 3 samples: endpoint-aligned midpoint
+    val dataLen = 2 * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.putShort(0).putShort(1000)
+    val m = Media.resampleWavMeta(bb.array(), 12000)
+    // outN = 2*12000/8000 = 3 → samples [0, 500, 1000] → mean 500
+    assert(m.out_samples == 3 && m.out_mean_abs == 500)
+    // corrupt bytes degrade
+    assert(Media.resampleWavMeta(Array[Byte](1, 2, 3), 16000).format == "unknown")
+  }
+
   test("resizeTable: corrupt rows degrade in place while the rest resizes") {
     val docs = Seq((10L, 40L), (11L, 40L), (12L, 77L))
       .toDF("doc_id", "n_chars")
