@@ -71,6 +71,9 @@ object Bench {
     "source_jsonl_ingest", // NEW r7 entry (C33) — absent from earlier records
     "text_bpe", // NEW r7 entry (L46) — absent from earlier records
     "dedup_despan", // NEW r7 entry (L47) — absent from earlier records
+    "source_quality", // NEW r7 entry (L48) — absent from earlier records
+    "events_distinct_sketch", // NEW r7 entry (A45) — absent from earlier records
+    "multimodal_resample", // NEW r7 entry (L12f) — absent from earlier records
     // sim_topk_ivfpq_indexed is NOT benched: like sim_topk_ivf_indexed,
     // its wall time is dominated by store-index CONSTRUCTION (two Lloyd
     // trainings + table writes per run) — the steady-state search cost

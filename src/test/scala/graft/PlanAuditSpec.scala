@@ -229,6 +229,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(occurrences(plan, "HashAggregate") >= 6, s"no map-side combine:\n$plan")
   }
 
+  test("facade SQL: the rn<=k window filter plans as a group limit, not a full rank") {
+    val plan = executedPlan(operators.CoreQueries.facadeSql(spark, sfDir))
+    // Spark 4 rewrites row_number()<=k into WindowGroupLimit — per-group
+    // top-k heaps instead of ranking every row; at 100 TB that is the
+    // difference between k rows per group and the whole partition sorted
+    assert(plan.contains("WindowGroupLimit"),
+      s"window top-k did not push down to a group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("PQ ADC: query side broadcast, corpus encode through the native argmin kernel") {
     import org.apache.spark.sql.functions.col
     val e = GraftSession.table(spark, sfDir, "embeddings")
