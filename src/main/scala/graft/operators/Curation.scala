@@ -597,6 +597,87 @@ object Curation {
       .withColumn("accept", col("score") > 0)
   }
 
+  /** L50: linear quality-probe TRAINING over hashed bigram features —
+    * the missing front half of [[classifierScore]]'s train→serve story
+    * (L36 serves a weight vector; this learns one from labeled data at
+    * corpus scale). Squared-loss batch gradient descent on the
+    * fastText-style hashing-trick feature space, with every quantity an
+    * EXACT INTEGER so the training run is bit-reproducible across
+    * partitionings and engines (the driver query is hash-exact vs an
+    * unrolled-SQL oracle — "deterministic distributed training" as a
+    * checkable property, not a hope):
+    *
+    *  - features: hashed word-bigram counts (md5 % nBuckets, L36's
+    *    bucket function) plus a constant bias feature at index
+    *    `nBuckets`; labels in integer micros (1e6 = positive class);
+    *  - step size 1/T with T = trace(XᵀX) = Σx² — a data-derived upper
+    *    bound on the quadratic-loss curvature, so descent never
+    *    diverges regardless of corpus scale, and T is itself one exact
+    *    integer aggregate;
+    *  - update: w ← w − sdiv(g, T) in half-away-from-zero integer
+    *    micros ([[Ann.labelCentroids]]'s division discipline).
+    *
+    * Scale: the feature relation (doc, bucket, x) is built by ONE
+    * map-side-combined fact shuffle and cached — each iteration is then
+    * two linear aggregates over it (per-doc prediction, per-bucket
+    * gradient) with the model joining in as an O(nBuckets) broadcast
+    * literal; per-iteration driver traffic is the nBuckets+1-row model,
+    * never the corpus. The FINAL iteration's gradient aggregate returns
+    * as the result (kmeansTrain's contract): (bucket, weight_micros,
+    * weight) for every feature bucket the corpus touches. */
+  def trainClassifier(docs: DataFrame, positive: Column,
+      nBuckets: Int = 64, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "trainClassifier needs at least one GD iteration")
+    val toks = Text.tokens(col("text"))
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bucket = (conv(substring(md5(concat(lit("w|"), col("__g"))), 1, 8), 16, 10)
+      .cast("long") % nBuckets).cast("int")
+    val xb = graft.OperatorCache.cached(
+      docs.select(col("doc_id"), explode(grams).as("__g"))
+        .select(col("doc_id"), bucket.as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+        .unionByName(docs.select(col("doc_id"),
+          lit(nBuckets).as("bucket"), lit(1L).as("x"))))
+    val labels = docs.select(col("doc_id"),
+      when(positive, lit(1000000L)).otherwise(lit(0L)).as("__t"))
+    val trace = xb.agg(sum(col("x") * col("x"))).head.getLong(0)
+    // half-away-from-zero integer division by the trace (in-plan twin
+    // of sdivL; `div` exists only in SQL text, labelCentroids' idiom)
+    def sdiv(gName: String): Column = expr(
+      s"cast(signum($gName) as bigint) * ((2 * abs($gName) + ${trace}L) div (2 * ${trace}L))")
+    // per-bucket gradient of the squared loss at the current weights
+    def grad(w: Array[Long]): DataFrame = {
+      val wLit = typedLit(w.toSeq)
+      val p = xb.withColumn("__w", get(wLit, col("bucket")))
+        .groupBy("doc_id").agg(sum(col("__w") * col("x")).as("__p"))
+      val e = labels.join(p, "doc_id")
+        .select(col("doc_id"), (col("__p") - col("__t")).as("__e"))
+      xb.join(e, "doc_id")
+        .groupBy("bucket").agg(sum(col("__e") * col("x")).as("__g"))
+    }
+    var w: Array[Long] = Array.fill(nBuckets + 1)(0L)
+    for (_ <- 1 until iters) {
+      val g = grad(w).collect()
+      val next = w.clone()
+      g.foreach(r => next(r.getInt(0)) = next(r.getInt(0)) - sdivL(r.getLong(1), trace))
+      w = next
+    }
+    val wLit = typedLit(w.toSeq)
+    grad(w)
+      .select(col("bucket"),
+        (get(wLit, col("bucket")) - sdiv("__g")).as("weight_micros"))
+      .withColumn("weight", col("weight_micros").cast("double") / 1000000.0)
+      .orderBy("bucket")
+  }
+
+  /** Driver-side half-away-from-zero integer division — the exact twin
+    * of the in-plan sdiv above, applied to collected gradient rows. */
+  private def sdivL(g: Long, t: Long): Long =
+    java.lang.Long.signum(g) * ((2L * math.abs(g) + t) / (2L * t))
+
   /** L37: hashed-n-gram importance resampling (DSIR, Xie et al. 2023,
     * arXiv:2302.03169): re-weight a raw corpus toward a target
     * distribution using importance ratios over hashed unigram features

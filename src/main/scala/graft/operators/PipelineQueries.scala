@@ -480,6 +480,10 @@ object PipelineQueries {
     "sim_topk_pq_portable" -> simTopkPqPortable,
     "sim_topk_ivfpq" -> simTopkIvfPq,
     "sim_topk_ivfpq_indexed" -> simTopkIvfPqIndexed,
+    // L49: full-corpus distributed Lloyd — every iteration a cluster-wide
+    // pass; oracle = the same two iterations unrolled in SQL
+    "sim_kmeans_train" -> ((s, dir) =>
+      Ann.kmeansTrain(t(s, dir, "embeddings"), k = 8, iters = 2)),
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
@@ -499,6 +503,11 @@ object PipelineQueries {
     "text_heavyhitters" -> textHeavyHitters,
     "text_logprob" -> textLogprob,
     "text_classifier" -> textClassifier,
+    // L50: exact-integer-GD linear-probe training (lang='en' target,
+    // 64 hashed bigram buckets + bias, 2 unrolled iterations)
+    "text_classifier_train" -> ((s, dir) =>
+      Curation.trainClassifier(t(s, dir, "documents"), col("lang") === "en",
+        nBuckets = 64, iters = 2)),
     "sample_importance" -> sampleImportance,
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
@@ -1032,6 +1041,56 @@ object PipelineQueries {
         | FROM scored)
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // sim_kmeans_train: Ann.kmeansTrain's two Lloyd iterations unrolled —
+    // hash-sampled integer seeds, exact integer distances/argmin (ties to
+    // the smaller cl), per-(cl,pos) integer sums, half-away integer-micros
+    // division in the 2^20 scale, empty clusters carrying their previous
+    // centroid; the output centroid is the exact power-of-two division.
+    "sim_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei),
+        |c0 AS (SELECT cl, vi FROM sr WHERE cl < 8),
+        |d1 AS (SELECT e.vec_id, c.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(c.vi, c.vi)
+        |   - 2 * list_inner_product(e.vi, c.vi) AS d
+        | FROM ei e CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a.cl, CAST(u.i AS INT) AS pos,
+        |  SUM(CAST(e.vi[u.i + 1] AS BIGINT)) AS s, COUNT(*) AS n
+        | FROM a1 a JOIN ei e USING (vec_id), UNNEST(generate_series(0, 63)) u(i)
+        | GROUP BY a.cl, u.i),
+        |m1 AS (SELECT cl, pos,
+        |  CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+        |       ELSE (2 * s + n) // (2 * n) END AS c
+        | FROM s1),
+        |c1 AS (SELECT c0.cl, COALESCE(u.vi, c0.vi) AS vi
+        | FROM c0 LEFT JOIN (
+        |   SELECT cl, list(CAST(c AS DOUBLE) ORDER BY pos) AS vi FROM m1 GROUP BY cl) u
+        |  ON u.cl = c0.cl),
+        |d2 AS (SELECT e.vec_id, c.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(c.vi, c.vi)
+        |   - 2 * list_inner_product(e.vi, c.vi) AS d
+        | FROM ei e CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cl FROM (
+        |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        |  FROM d2) WHERE rn = 1),
+        |s2 AS (SELECT a.cl, CAST(u.i AS INT) AS pos,
+        |  SUM(CAST(e.vi[u.i + 1] AS BIGINT)) AS s, COUNT(*) AS n
+        | FROM a2 a JOIN ei e USING (vec_id), UNNEST(generate_series(0, 63)) u(i)
+        | GROUP BY a.cl, u.i),
+        |m2 AS (SELECT cl, pos, n,
+        |  CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+        |       ELSE (2 * s + n) // (2 * n) END AS c
+        | FROM s2)
+        |SELECT cl, pos, n, CAST(c AS DOUBLE) / 1048576.0 AS centroid
+        |FROM m2 ORDER BY cl, pos""".stripMargin,
     // sim_topk_pq_portable mirrors Ann.topKPqPortable end-to-end:
     // hash-sampled sub-codebooks (ksub=8 smallest (md5, id) rows, m=4
     // subspaces of 16 dims), integer distances over floor(x·2^20), exact
@@ -1325,6 +1384,40 @@ object PipelineQueries {
          | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) AS score,
          | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) > 0 AS accept
          |FROM t LEFT JOIN s ON t.doc_id = s.doc_id ORDER BY t.doc_id""".stripMargin,
+    // text_classifier_train: Curation.trainClassifier's two GD iterations
+    // unrolled — w0 = 0 makes iteration 1's gradient the closed form
+    // Σ(−label)·x; all arithmetic exact BIGINT, step = 1/trace(XᵀX),
+    // half-away integer division mirrored via the CASE idiom.
+    "text_classifier_train" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |  CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS tt FROM documents),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         |      FROM t, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+         |xb AS (
+         | SELECT doc_id,
+         |  CAST(CAST(${duckHex8("md5('w|' || gram)")} AS BIGINT) % 64 AS INT) AS bucket,
+         |  COUNT(*) AS x
+         | FROM g GROUP BY doc_id, bucket
+         | UNION ALL SELECT doc_id, 64 AS bucket, 1 AS x FROM t),
+         |tr AS (SELECT SUM(x * x) AS tv FROM xb),
+         |g1 AS (SELECT bucket, SUM((0 - t.tt) * x) AS gr
+         |       FROM xb JOIN t USING (doc_id) GROUP BY bucket),
+         |w1 AS (SELECT bucket,
+         |  -(CASE WHEN gr < 0 THEN -((2 * (-gr) + tr.tv) // (2 * tr.tv))
+         |         ELSE (2 * gr + tr.tv) // (2 * tr.tv) END) AS wm
+         | FROM g1, tr),
+         |p2 AS (SELECT doc_id, SUM(w1.wm * x) AS p
+         |       FROM xb JOIN w1 USING (bucket) GROUP BY doc_id),
+         |e2 AS (SELECT t.doc_id, p2.p - t.tt AS e FROM p2 JOIN t ON p2.doc_id = t.doc_id),
+         |g2 AS (SELECT bucket, SUM(e * x) AS gr
+         |       FROM xb JOIN e2 USING (doc_id) GROUP BY bucket),
+         |w2 AS (SELECT g2.bucket,
+         |  w1.wm - (CASE WHEN g2.gr < 0 THEN -((2 * (-g2.gr) + tr.tv) // (2 * tr.tv))
+         |                ELSE (2 * g2.gr + tr.tv) // (2 * tr.tv) END) AS wm
+         | FROM g2 JOIN w1 USING (bucket), tr)
+         |SELECT bucket, CAST(wm AS BIGINT) AS weight_micros,
+         | CAST(wm AS DOUBLE) / 1000000.0 AS weight
+         |FROM w2 ORDER BY bucket""".stripMargin,
     "sample_importance" ->
       s"""WITH b AS (
          | SELECT doc_id, lang = 'en' AS is_t,

@@ -228,6 +228,63 @@ object Ann {
         array_min(col("__d")).as("__dc"))
   }
 
+  /** Distributed full-corpus k-means training (L49) — Lloyd's algorithm
+    * where EVERY iteration is a distributed pass over the whole corpus,
+    * unlike [[trainIvfCentroids]]'s bounded driver-side sample. This is
+    * the "cluster 100 TB of embeddings" operator (quantizer training on
+    * the full distribution, SemDeDup/diverse-sampling partitioning, the
+    * k-means step of IVF index builds at corpus scale): the corpus never
+    * leaves the executors; the only driver traffic per iteration is the
+    * k×dim model (the scalar/model-collect class SURVEY §5 allows).
+    *
+    * Engine-portable by the L7d fixed-point contract, so the whole
+    * unrolled iteration is expressible in ANSI SQL and the driver query
+    * is hash-exact vs DuckDB:
+    *  - init: the k smallest (md5(vec_id), vec_id) corpus vectors as
+    *    floor(x·2^20) integer coordinates ([[portableSeeds]]);
+    *  - assignment: exact integer squared distances ([[intDists]]),
+    *    first-minimum tie-break to the smaller cluster id;
+    *  - update: per-(cluster, position) integer coordinate sums (ONE
+    *    map-side-combined shuffle per iteration, k×dim reducer rows),
+    *    new centroid = half-away-from-zero integer division — the
+    *    labelCentroids discipline, still in the 2^20 scale so the next
+    *    iteration's distances stay exact longs;
+    *  - empty clusters keep their previous centroid (the in-memory
+    *    [[lloyd]] contract).
+    *
+    * The FINAL iteration's aggregate is returned as the result — it
+    * never round-trips the driver: (cl, pos, n, centroid) with
+    * `centroid = c / 2^20` (a power-of-two division, exact in double)
+    * and `n` the cluster size that produced it. Clusters empty in the
+    * final assignment emit no rows, matching the SQL form. */
+  def kmeansTrain(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "kmeansTrain needs at least one Lloyd iteration")
+    var cents: Array[Array[Long]] = portableSeeds(corpus, k)
+    val ints = scatter(corpus)
+      .select(col("vec_id"), intVec(Vectors.toDouble(col("embedding"))).as("__vi"))
+    def stats(c: Array[Array[Long]]): DataFrame =
+      ints
+        .withColumn("__d", intDists(col("__vi"), c))
+        // first index attaining the integer min — ties to the smaller cl
+        .select((array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cl"),
+          col("__vi"))
+        .select(col("cl"), posexplode(col("__vi")).as(Seq("pos", "__x")))
+        .groupBy("cl", "pos")
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("n"))
+        .withColumn("__c", signum(col("__s")).cast("long") *
+          expr("(2 * abs(__s) + n) div (2 * n)"))
+    for (_ <- 1 until iters) {
+      val updated = stats(cents).select("cl", "pos", "__c").collect()
+      val next = cents.map(_.clone()) // empty clusters keep their centroid
+      updated.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next
+    }
+    stats(cents)
+      .select(col("cl"), col("pos"), col("n"),
+        (col("__c").cast("double") / 1048576.0).as("centroid"))
+      .orderBy("cl", "pos")
+  }
+
   def topKIvfPortable(
       corpus: DataFrame,
       queries: DataFrame,

@@ -399,4 +399,48 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
   }
+
+  test("L50 classifier training: descends the loss, learns the label mean on a bias-only corpus, partition-invariant") {
+    import spark.implicits._
+    // bias-only corpus (no bigrams): with w0=0, trace = N, iteration 1's
+    // bias weight is EXACTLY the half-away-rounded mean label in micros
+    val biasOnly = Seq(
+      (1L, "word", "en"), (2L, "word", "en"), (3L, "word", "de"),
+      (4L, "word", "en"), (5L, "word", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val w1 = Curation.trainClassifier(biasOnly, col("lang") === "en",
+      nBuckets = 4, iters = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // mean label = 3/5 → 600000 micros
+    assert(w1 == Map(4 -> 600000L))
+    // real corpus: squared loss at the trained weights is below the
+    // all-zeros loss (descent actually happened), recomputed from an
+    // independent scoring of the same feature definition
+    def loss(weights: Map[Int, Long]): Double = {
+      val toks = split(col("text"), " ")
+      val grams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val wLit = typedLit((0 to 64).map(b => weights.getOrElse(b, 0L)))
+      val bucket = (g: org.apache.spark.sql.Column) =>
+        (conv(substring(md5(concat(lit("w|"), g)), 1, 8), 16, 10).cast("long") % 64).cast("int")
+      docs.select(
+          (aggregate(grams, lit(0L), (acc, g) => acc + get(wLit, bucket(g)))
+            + get(wLit, lit(64))).as("__p"),
+          when(col("lang") === "en", lit(1000000L)).otherwise(lit(0L)).as("__t"))
+        .select(pow(col("__p") - col("__t"), 2).as("__l"))
+        .agg(sum(col("__l"))).head.getDouble(0)
+    }
+    val trained = Curation.trainClassifier(docs, col("lang") === "en",
+      nBuckets = 64, iters = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(loss(trained) < loss(Map.empty),
+      s"training did not descend: ${loss(trained)} !< ${loss(Map.empty)}")
+    // partition invariance: exact integer gradients → identical model
+    val re = Curation.trainClassifier(docs.repartition(7), col("lang") === "en",
+      nBuckets = 64, iters = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(re == trained)
+  }
 }

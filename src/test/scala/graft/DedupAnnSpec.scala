@@ -658,4 +658,48 @@ class DedupAnnSpec extends AnyFunSuite {
       full.get((q, n)).foreach(x => assert(x == adc, s"ADC mismatch for ($q,$n)"))
     }
   }
+
+  test("L49 distributed k-means: k=1 degenerates to the global mean; Lloyd descends; partition-invariant") {
+    // k=1: one iteration's centroid is the half-away-rounded mean of the
+    // floor(x·2^20) integer coordinates, independently recomputed here
+    val one = Ann.kmeansTrain(emb, k = 1, iters = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val vecs = embMap
+    val n = vecs.size.toLong
+    val dim = vecs.head._2.length
+    val sums = Array.fill(dim)(0L)
+    vecs.values.foreach { v =>
+      var j = 0
+      while (j < dim) { sums(j) += math.floor(v(j) * 1048576).toLong; j += 1 }
+    }
+    assert(one.length == dim)
+    one.foreach { case (pos, cnt, c) =>
+      assert(cnt == n)
+      val s = sums(pos)
+      val exp = java.lang.Long.signum(s) * ((2L * math.abs(s) + n) / (2L * n))
+      assert(c == exp.toDouble / 1048576.0, s"pos $pos mean mismatch")
+    }
+    // Lloyd descends: total within-cluster SSE (against each iteration's
+    // output centroids, measured over the raw doubles) never increases
+    def sse(centDf: Array[(Int, Int, Double)]): Double = {
+      val byCl = centDf.groupBy(_._1).map { case (cl, rows) =>
+        cl -> rows.sortBy(_._2).map(_._3).toArray
+      }
+      vecs.values.map { v =>
+        byCl.values.map(c => sqDist(v, c)).min
+      }.sum
+    }
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      Ann.kmeansTrain(df, k = 4, iters = iters).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val it1 = run(emb, 1)
+    val it3 = run(emb, 3)
+    def cents(rows: Array[(Int, Int, Long, Double)]) =
+      rows.map(r => (r._1, r._2, r._4))
+    assert(sse(cents(it1)) >= sse(cents(it3)) - 1e-6,
+      s"Lloyd SSE rose: iters=1 ${sse(cents(it1))} -> iters=3 ${sse(cents(it3))}")
+    // partition invariance: a different physical layout trains the
+    // identical model — sizes included (exact integer arithmetic)
+    assert(run(emb.repartition(7), 3).toSeq == it3.toSeq)
+  }
 }
