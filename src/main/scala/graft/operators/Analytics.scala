@@ -884,6 +884,74 @@ object Analytics {
     sketches.groupBy(by.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_distinct"))
 
+  /** A46: mergeable quantile sketches — the "p99 over ANY slice without
+    * re-scanning the fact table" primitive beside A45's distinct-count
+    * sketches. A DDSketch-flavored log histogram (Masson et al. 2019,
+    * VLDB 12(12)) re-derived in EXACT INTEGER arithmetic so the sketch
+    * is bit-identical in any engine and under any partitioning:
+    * values go to 1e-4 integer units (A44's discipline), each unit
+    * value to a bucket keyed by (bit-length L, top 5 bits m) —
+    * 16 sub-buckets per octave, so a bucket's relative width is ≤ 1/16
+    * (quantile estimates within ~6% relative error, spec-pinned
+    * against the exact percentiles); values < 32 are their own bucket
+    * (exact small-value quantiles). Buckets are COUNTERS, so sketches
+    * merge by addition: build once at a fine grain, answer any
+    * coarser slice by summing — [[sketchQuantiles]] of summed cells is
+    * identical to sketching the coarse slice directly (spec-pinned).
+    *
+    * Scale: ONE map-side-combined fact shuffle to (keys, bucket)
+    * — per-task partials are at most keys × occupied buckets (hundreds)
+    * — and everything downstream rides the bucket-sized relation. */
+  def valueSketch(df: DataFrame, keyCols: Seq[String],
+      valueCol: String = "value"): DataFrame =
+    df.select(keyCols.map(col) :+
+        greatest((col(valueCol).cast("decimal(18,4)") * 10000).cast("long"), lit(1L))
+          .as("__x"): _*)
+      .withColumn("__l", length(bin(col("__x"))))
+      // bin ids are monotone in the value: small values map to
+      // themselves, larger to 16·L + m − 16 (L ≥ 6 ⇒ id ≥ 96 > 31)
+      .withColumn("bin_id", expr(
+        "CASE WHEN __l <= 5 THEN __x ELSE 16 * __l + shiftright(__x, __l - 5) - 16 END"))
+      .withColumn("bin_upper", expr(
+        "CASE WHEN __l <= 5 THEN __x " +
+          "ELSE shiftleft(shiftright(__x, __l - 5) + 1, __l - 5) - 1 END"))
+      .groupBy((keyCols.map(col) :+ col("bin_id") :+ col("bin_upper")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a (possibly merged) [[valueSketch]]:
+    * rank_q = ceil(q·n) in exact integers, the estimate = the first
+    * bucket whose cumulative count reaches the rank, reported as the
+    * bucket's inclusive upper bound in original units. The only doubles
+    * are the final fixed-scale divisions (identically rounded in any
+    * engine). */
+  def sketchQuantiles(sketch: DataFrame, by: Seq[String]): DataFrame = {
+    val merged = sketch.groupBy((by.map(col) :+ col("bin_id") :+ col("bin_upper")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val wcum = Window.partitionBy(by.map(col): _*).orderBy("bin_id")
+    val wall = Window.partitionBy(by.map(col): _*)
+    merged
+      .withColumn("__cum", sum(col("cnt")).over(wcum))
+      .withColumn("__n", sum(col("cnt")).over(wall))
+      .groupBy(by.map(col): _*)
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("n_bins"),
+        (expr("min(CASE WHEN __cum >= (__n + 1) div 2 THEN bin_upper END)")
+          .cast("double") / 10000.0).as("p50"),
+        (expr("min(CASE WHEN __cum >= (9 * __n + 9) div 10 THEN bin_upper END)")
+          .cast("double") / 10000.0).as("p90"),
+        (expr("min(CASE WHEN __cum >= (99 * __n + 99) div 100 THEN bin_upper END)")
+          .cast("double") / 10000.0).as("p99"))
+  }
+
+  /** A46 driver entry: per-type value-quantile estimates from sketches
+    * built at the (type, day) grain and MERGED up to type — the slice
+    * reuse the sketch exists for, exercised on the driver path. */
+  def eventsQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val cells = valueSketch(
+      t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+      Seq("event_type", "day"))
+    sketchQuantiles(cells, Seq("event_type")).orderBy("event_type")
+  }
+
   /** A45 driver entry (rows-only — DuckDB's approx_distinct is a
     * different HLL implementation, no cross-engine oracle): per-type
     * daily sketches over events unioned to per-type estimates, with the
@@ -1094,6 +1162,7 @@ object Analytics {
     "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
     "events_distinct_sketch" -> eventsDistinctSketch,
+    "events_quantile_sketch" -> eventsQuantileSketch,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
     "sample_hash_portable" -> sampleHashPortable,
@@ -1558,6 +1627,35 @@ object Analytics {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM big)
         | AND n_name IN ('NATION_2','NATION_5')
         |ORDER BY s_suppkey""".stripMargin,
+    // events_quantile_sketch: the integer DDSketch-style histogram —
+    // the oracle builds the (type, bucket) counts directly (merging the
+    // Spark side's (type, day) cells is pure counter addition, so the
+    // merged sketch is identical by associativity) and reads the same
+    // ceil-rank quantiles off the cumulative counts.
+    "events_quantile_sketch" ->
+      """WITH u AS (SELECT event_type,
+        |  GREATEST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), 1) AS x
+        | FROM events),
+        |b AS (SELECT event_type, x, length(bin(x)) AS l FROM u),
+        |h AS (SELECT event_type,
+        |   CASE WHEN l <= 5 THEN x ELSE 16 * l + (x >> (l - 5)) - 16 END AS bin_id,
+        |   CASE WHEN l <= 5 THEN x
+        |        ELSE (((x >> (l - 5)) + 1) << (l - 5)) - 1 END AS bin_upper,
+        |   COUNT(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |c AS (SELECT event_type, bin_id, bin_upper, cnt,
+        |   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        | CAST(COUNT(*) AS BIGINT) AS n_bins,
+        | CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p50,
+        | CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p90,
+        | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p99
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // events_anomaly: exact integer 1e-4-unit daily sums and exact
     // decimal moments; the z expression mirrors the Spark side
     // token-for-token so the double bits agree

@@ -678,6 +678,30 @@ object Curation {
   private def sdivL(g: Long, t: Long): Long =
     java.lang.Long.signum(g) * ((2L * math.abs(g) + t) / (2L * t))
 
+  /** Scan-riding inference under a TRAINED hashed-feature model (the
+    * serving expression of [[trainClassifier]]'s train→serve pair):
+    * Σ w[bucket(bigram)]·count + w[bias] in exact integer micros, as a
+    * single projection over `text` — zero shuffles, zero joins, the
+    * same feature definition the trainer optimized (bucket function
+    * and bias index included), so a served score is exactly the
+    * quantity training minimized the loss of. `weights` has nBuckets+1
+    * entries, bias last — [[trainClassifier]]'s output shape. Shared by
+    * the batch eval and the streaming gate (S24) so the two can't
+    * drift. */
+  def linearScoreMicros(weights: IndexedSeq[Long]): Column = {
+    val nBuckets = weights.length - 1
+    val toks = Text.tokens(col("text"))
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val wLit = typedLit(weights)
+    val bucket = (g: Column) =>
+      (conv(substring(md5(concat(lit("w|"), g)), 1, 8), 16, 10)
+        .cast("long") % nBuckets).cast("int")
+    aggregate(grams, lit(weights(nBuckets)), (acc, g) => acc + get(wLit, bucket(g)))
+  }
+
   /** L37: hashed-n-gram importance resampling (DSIR, Xie et al. 2023,
     * arXiv:2302.03169): re-weight a raw corpus toward a target
     * distribution using importance ratios over hashed unigram features

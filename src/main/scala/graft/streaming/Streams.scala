@@ -238,6 +238,25 @@ object Streams {
           nCentroids = centroids.length, nProbe = nProbe, centroids = Some(centroids)))
     }
 
+  /** S24: streaming quality-classifier gate — the serving end of the
+    * L50→L36 train→serve story: each arriving document is scored by a
+    * TRAINED hashed-feature weight vector (e.g. `Curation
+    * .trainClassifier`'s collected model — nBuckets+1 longs, bias
+    * last) through the SAME scan-riding integer expression the trainer
+    * optimized ([[graft.operators.Curation.linearScoreMicros]]), and
+    * admitted against a micros threshold. Stateless and shuffle-free:
+    * the score is a projection, so any micro-batch split emits
+    * identical rows (spec-pinned against the batch scoring) and the
+    * gate sustains ingest-rate throughput — the admission decision a
+    * live corpus pipeline places between landing and training. */
+  def classifierGate(
+      stream: DataFrame,
+      weights: IndexedSeq[Long],
+      thresholdMicros: Long = 500000L): DataFrame =
+    stream.select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.Curation.linearScoreMicros(weights).as("score_micros"))
+      .withColumn("accept", col("score_micros") >= thresholdMicros)
+
   /** S16: streaming CDC apply — the consuming end of the
     * change-data-feed surface (C25, `TableStore.readChanges`): a stream
     * of rows carrying a `_change_type` column is applied to a store

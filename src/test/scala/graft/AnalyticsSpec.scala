@@ -259,4 +259,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(crafted.count(_._3) == 1, "exactly the spike day must flag")
     assert(crafted.find(_._3).get._2 == 1000.0)
   }
+
+  test("A46 quantile sketch: merge-identical, within the 1/16 relative bound of exact, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import operators.Analytics
+    val ev = GraftSession.table(spark, sfDir, "events").cache()
+    // merge identity: (type, day) cells summed up to type ≡ direct type sketch
+    val direct = Analytics.sketchQuantiles(
+        Analytics.valueSketch(ev, Seq("event_type")), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val merged = Analytics.sketchQuantiles(
+        Analytics.valueSketch(ev.withColumn("day", to_date(col("ts"))),
+          Seq("event_type", "day")), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(direct == merged)
+    assert(direct.nonEmpty)
+    // error bound vs the quantity the sketch approximates — the exact
+    // ceil-rank (disc) percentile d: the estimate is d's bucket's upper
+    // bound, so est ≥ d always and est < d·17/16 for values ≥ 32 (the
+    // m ≥ 16 sub-bucket geometry)
+    val byType = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (ty, vs) => ty -> vs.map(_._2).sorted }
+    def disc(sorted: Array[Double], qNum: Int, qDen: Int): Double = {
+      val n = sorted.length.toLong
+      sorted(((qNum * n + qDen - 1) / qDen - 1).toInt)
+    }
+    direct.foreach { r =>
+      val ty = r.getString(0)
+      val s = byType(ty).toArray
+      Seq(r.getDouble(3) -> disc(s, 1, 2), r.getDouble(4) -> disc(s, 9, 10),
+        r.getDouble(5) -> disc(s, 99, 100)).foreach { case (est, d) =>
+        assert(est >= d - 1e-9, s"$ty estimate $est below the disc rank $d")
+        assert(est <= d * 17.0 / 16 + 1e-9,
+          s"$ty estimate $est above the bucket bound of disc $d")
+      }
+    }
+    // sketch size is bucket-bounded, far below the value cardinality
+    val nBins = direct.map(_.getLong(2)).max
+    assert(nBins < 400, s"sketch too large: $nBins bins")
+    // exact integer arithmetic → identical under any partitioning
+    val re = Analytics.sketchQuantiles(
+        Analytics.valueSketch(ev.repartition(7), Seq("event_type")),
+        Seq("event_type")).orderBy("event_type").collect().toSeq
+    assert(re == direct)
+  }
 }

@@ -116,6 +116,38 @@ class StreamsSpec extends AnyFunSuite {
       s"candidate flood: ${got.size} pairs for ${strong.size} strong ones")
   }
 
+  test("S24: streaming classifier gate equals batch scoring and ignores the batch split") {
+    import graft.operators.Curation
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val weights = Curation.trainClassifier(docs, col("lang") === "en",
+        nBuckets = 64, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val wVec = (0 to 64).map(b => weights.getOrElse(b, 0L))
+    val in = Files.createTempDirectory("graft_s24_").toString + "/in"
+    docs.repartition(4).write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def gated(maxFiles: Int, name: String) = {
+      val s = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFiles).parquet(in)
+      runToTable(Streams.classifierGate(s, wVec, thresholdMicros = 0L),
+          name, "append")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    }
+    val got = gated(1, "s24a")
+    // batch twin through the SAME serving expression
+    val want = docs.select(col("doc_id"),
+        Curation.linearScoreMicros(wVec).as("score_micros"))
+      .withColumn("accept", col("score_micros") >= 0L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == want)
+    // scores are a real signal, not a constant
+    assert(got.map(_._2).distinct.size > 1)
+    // stateless: a different micro-batch split emits identical rows
+    assert(gated(4, "s24b") == got)
+  }
+
   test("S8: streaming contamination gate equals the batch operator") {
     import graft.dedup.Contamination
     val docs = GraftSession.table(spark, sfDir, "documents")
