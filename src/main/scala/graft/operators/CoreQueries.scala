@@ -554,9 +554,24 @@ object CoreQueries {
         |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin)
   }
 
+  /** C36: hive-partitioned export + directory-pruned read-back — the
+    * filtered read touches only the `event_type=click/` tree (pruning
+    * pinned by SourcesSpec's inputFiles audit; the driver row proves
+    * the round-trip loses nothing vs the source relation). */
+  def exportPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_src/part_${System.nanoTime()}"
+    graft.sources.ParquetLayout.exportPartitioned(
+      t(s, dir, "events"), tmp, Seq("event_type"))
+    graft.sources.ParquetLayout.readPartitioned(s, tmp)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value", "event_type")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "facade_sql" -> facadeSql,
     "source_csv_ingest" -> sourceCsvIngest,
+    "export_partitioned" -> exportPartitioned,
     "source_jsonl_ingest" -> sourceJsonlIngest,
     "create_table_cast" -> createTableCast,
     "snapshot_read" -> snapshotRead,
@@ -601,6 +616,11 @@ object CoreQueries {
     "source_csv_ingest" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // export_partitioned: a lossless hive-layout round-trip + partition
+    // filter ≡ the same filter on the source relation
+    "export_partitioned" ->
+      """SELECT event_id, user_id, value, event_type FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "facade_sql" ->
       """SELECT c_mktsegment, c_custkey, CAST(bal2 AS DOUBLE) AS bal, rn FROM (
         | SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal2,

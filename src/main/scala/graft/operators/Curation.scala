@@ -265,6 +265,35 @@ object Curation {
       .drop("__n", "__n_min", "__r")
   }
 
+  /** L51: tokenizer-vocabulary coverage audit — the "will my tokenizer
+    * handle this corpus" check between vocabulary training (L46) and
+    * encoding: given the deterministic top-V corpus vocabulary, the
+    * out-of-vocabulary token share per language. High OOV in a language
+    * says the vocabulary under-serves it (the multilingual-fairness
+    * audit a tokenizer ships with). One token explode feeds BOTH the
+    * vocabulary heap-top-V and the coverage join (cached); the rollup
+    * output is language-sized. The share is half-up integer micros —
+    * engine-exact. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = graft.OperatorCache.cached(
+      docs.select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("w")))
+    // deterministic top-V vocabulary: ties at the cut break on the term
+    // (TakeOrderedAndProject — per-partition heaps, no global sort)
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in"))
+    // vocab joins back un-hinted (vocabulary-sized; AQE broadcasts)
+    toks.join(vocab, Seq("w"), "left")
+      .groupBy("lang")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_share", expr(
+        "cast((2 * 1000000 * oov_tokens + n_tokens) div (2 * n_tokens) as double)") / 1000000.0)
+      .orderBy("lang")
+  }
+
   /** Corpus-boilerplate stripping (L30) — the transform cousin of the
     * dedup df-cut: terms whose DOCUMENT frequency exceeds `maxDf` are
     * corpus furniture (headers, footers, injected templates) and are

@@ -522,6 +522,9 @@ object PipelineQueries {
       Curation.trainBpeMerges(t(s, dir, "documents"), k = 8)
         .orderBy("merge_rank")),
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
+    // L51: per-language OOV share under the deterministic top-V vocab
+    "text_vocab_coverage" -> ((s, dir) =>
+      Curation.vocabCoverage(t(s, dir, "documents"))),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
@@ -1384,6 +1387,22 @@ object PipelineQueries {
          | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) AS score,
          | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) > 0 AS accept
          |FROM t LEFT JOIN s ON t.doc_id = s.doc_id ORDER BY t.doc_id""".stripMargin,
+    // text_vocab_coverage: deterministic top-V vocabulary (count desc,
+    // term tie-break), per-language OOV share in half-up integer micros
+    "text_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |v AS (SELECT w, 1 AS i FROM (
+        |  SELECT w, COUNT(*) AS n FROM t GROUP BY w ORDER BY n DESC, w LIMIT 1000)),
+        |j AS (SELECT t.doc_id, t.lang, CASE WHEN v.i IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN v USING (w)),
+        |a AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+        |       SUM(oov) AS oov FROM j GROUP BY lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(n_tokens AS BIGINT) AS n_tokens, CAST(oov AS BIGINT) AS oov_tokens,
+        | CAST((2 * 1000000 * oov + n_tokens) // (2 * n_tokens) AS DOUBLE)
+        |   / 1000000.0 AS oov_share
+        |FROM a ORDER BY lang""".stripMargin,
     // text_classifier_train: Curation.trainClassifier's two GD iterations
     // unrolled — w0 = 0 makes iteration 1's gradient the closed form
     // Σ(−label)·x; all arithmetic exact BIGINT, step = 1/trace(XᵀX),

@@ -400,6 +400,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("L51 vocab coverage: deterministic top-V cut with term tie-break, exact OOV shares") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1, d=1
+    val d = Seq((1L, "a a b c", "en"), (2L, "a b d", "de"))
+      .toDF("doc_id", "text", "lang")
+    def shares(v: Int) = Curation.vocabCoverage(d, vocabSize = v).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // V=2 → {a,b}: en misses c (1/4), de misses d (1/3, half-up micros)
+    assert(shares(2) == Map(
+      "de" -> ((1L, 3L, 1L, 0.333333)), "en" -> ((1L, 4L, 1L, 0.25))))
+    // V=3: c and d tie on count — the term tie-break keeps 'c'
+    assert(shares(3) == Map(
+      "de" -> ((1L, 3L, 1L, 0.333333)), "en" -> ((1L, 4L, 0L, 0.0))))
+  }
+
   test("L50 classifier training: descends the loss, learns the label mean on a bias-only corpus, partition-invariant") {
     import spark.implicits._
     // bias-only corpus (no bigrams): with w0=0, trace = N, iteration 1's

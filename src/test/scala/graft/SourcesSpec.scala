@@ -101,4 +101,42 @@ class SourcesSpec extends AnyFunSuite {
     store.insert("t", Seq((1L, 5L, "x")).toDF("k", "v", "s"))
     assert(store.primaryKeyViolations("t").count() > 0)
   }
+
+  test("C36 partitioned export: lossless round-trip, and a partition filter reads ONLY the matching directory") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ParquetLayout
+    val ev = GraftSession.table(spark, SparkTestSession.sfDir, "events")
+    val path = tmp("part")
+    ParquetLayout.exportPartitioned(ev, path, Seq("event_type"))
+    // one directory per partition value, no small-file spray: the
+    // pre-write repartition means ≤ a handful of files per directory
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    val nTypes = ev.select("event_type").distinct().count().toInt
+    assert(dirs.length == nTypes)
+    dirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 4, s"${d.getName}: $files files — small-file spray")
+    }
+    // round-trip loses nothing (column order differs: partition col last)
+    val back = ParquetLayout.readPartitioned(spark, path)
+    val cols = ev.columns.toSeq
+    assert(back.columns.toSet == cols.toSet)
+    val a = ev.select(cols.map(col): _*).orderBy("event_id").collect().toSeq
+    val b = back.select(cols.map(col): _*).orderBy("event_id").collect().toSeq
+    assert(a == b)
+    // directory-level pruning: the partition predicate lands in the
+    // scan's PartitionFilters (plan-time directory pruning), not in the
+    // data filters, and the filtered count matches the source relation
+    val filtered = back.filter(col("event_type") === "click")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scanLine = plan.split("\n").find(_.contains("PartitionFilters"))
+      .getOrElse(fail("no PartitionFilters in the scan"))
+    assert(scanLine.contains("event_type"),
+      s"partition predicate not pushed to directory pruning: $scanLine")
+    assert(filtered.count() ==
+      ev.filter(col("event_type") === "click").count())
+  }
 }
