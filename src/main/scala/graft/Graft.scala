@@ -107,6 +107,23 @@ final case class Graft(
     def count(name: String): Long = store.countRows(name)
   }
 
+  object export {
+    /** C37: hand a managed table off as a hive-partitioned parquet tree
+      * (C36's layout) through the GOVERNED read path — the committed
+      * manifest file set and rendered schema, optionally pinned to a
+      * snapshot generation, so the export is a point-in-time artifact
+      * (a mutation racing the export cannot produce a mixed tree) and
+      * reproducible: re-exporting the same generation yields the same
+      * rows. The store's PK-hash buckets serve keyed mutation; this
+      * re-lays the same data out for downstream scan-with-predicate
+      * consumers — the two layouts each doing the job the other can't. */
+    def partitioned(name: String, path: String, partitionBy: Seq[String],
+        asOf: Option[Int] = None): Unit =
+      graft.sources.ParquetLayout.exportPartitioned(
+        asOf.map(g => store.readTableAt(name, g)).getOrElse(store.readTable(name)),
+        path, partitionBy)
+  }
+
   /** Run arbitrary Spark SQL over managed tables (C34) — the declarative
     * half of the reference workflow: its users write T-SQL against
     * server tables and pull frames back; here the named tables resolve

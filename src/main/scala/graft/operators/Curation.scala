@@ -274,15 +274,26 @@ object Curation {
     * vocabulary heap-top-V and the coverage join (cached); the rollup
     * output is language-sized. The share is half-up integer micros —
     * engine-exact. */
+  /** Deterministic top-V vocabulary over a token relation: ties at the
+    * cut break on the term (TakeOrderedAndProject — per-partition
+    * heaps, no global sort). One column `w`. */
+  private def vocabFromTokens(toks: DataFrame, vocabSize: Int): DataFrame =
+    toks.groupBy("w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w")).limit(vocabSize)
+      .select(col("w"))
+
+  /** The corpus's deterministic top-V vocabulary as a standalone
+    * relation — the static model side of the streaming drift monitor
+    * (S25) and the shareable artifact of the L51 audit. */
+  def topVocabulary(docs: DataFrame, vocabSize: Int = 1000): DataFrame =
+    vocabFromTokens(
+      docs.select(explode(Text.tokens(col("text"))).as("w")), vocabSize)
+
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val toks = graft.OperatorCache.cached(
       docs.select(col("doc_id"), col("lang"),
         explode(Text.tokens(col("text"))).as("w")))
-    // deterministic top-V vocabulary: ties at the cut break on the term
-    // (TakeOrderedAndProject — per-partition heaps, no global sort)
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("__n"))
-      .orderBy(col("__n").desc, col("w")).limit(vocabSize)
-      .select(col("w"), lit(1).as("__in"))
+    val vocab = vocabFromTokens(toks, vocabSize).withColumn("__in", lit(1))
     // vocab joins back un-hinted (vocabulary-sized; AQE broadcasts)
     toks.join(vocab, Seq("w"), "left")
       .groupBy("lang")
@@ -730,6 +741,36 @@ object Curation {
         .cast("long") % nBuckets).cast("int")
     aggregate(grams, lit(weights(nBuckets)), (acc, g) => acc + get(wLit, bucket(g)))
   }
+
+  /** L52: classifier calibration / curriculum-mix report — the audit
+    * that closes the L50→L36 loop: bucket every document by its served
+    * score (fixed-width integer-micros buckets) and report each
+    * bucket's size and positive-label share. Monotone share across
+    * buckets = the model actually ranks quality (calibration); the
+    * bucket sizes are the curriculum mix a score-thresholded training
+    * run would draw from. EXACT end to end: scores are
+    * [[linearScoreMicros]] longs, the floor bucket is computed as
+    * (p − posmod(p, W)) / W — an exact multiple of W, so truncating
+    * and flooring division agree in every engine on negative scores
+    * too — and the share is half-up integer micros.
+    *
+    * Scale: ONE scan-riding scoring projection (the L36 serving shape)
+    * into a bucket-sized aggregate — no joins, no windows over the
+    * corpus. */
+  def scoreCalibration(docs: DataFrame, positive: Column,
+      weights: IndexedSeq[Long], bucketMicros: Long = 1000L): DataFrame =
+    docs.select(positive.cast("int").cast("long").as("__y"),
+        linearScoreMicros(weights).as("__p"))
+      .withColumn("bucket", expr(
+        s"(__p - ((__p % $bucketMicros) + $bucketMicros) % $bucketMicros) div $bucketMicros"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("n_pos"))
+      .withColumn("pos_share", expr(
+        "cast((2 * 1000000 * n_pos + n_docs) div (2 * n_docs) as double)") / 1000000.0)
+      .withColumn("score_lo",
+        (col("bucket") * bucketMicros).cast("double") / 1000000.0)
+      .select("bucket", "score_lo", "n_docs", "n_pos", "pos_share")
+      .orderBy("bucket")
 
   /** L37: hashed-n-gram importance resampling (DSIR, Xie et al. 2023,
     * arXiv:2302.03169): re-weight a raw corpus toward a target

@@ -508,6 +508,15 @@ object PipelineQueries {
     "text_classifier_train" -> ((s, dir) =>
       Curation.trainClassifier(t(s, dir, "documents"), col("lang") === "en",
         nBuckets = 64, iters = 2)),
+    // L52: the trained model's calibration table (train → serve → audit)
+    "text_classifier_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Curation.trainClassifier(docs, col("lang") === "en",
+          nBuckets = 64, iters = 2).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      Curation.scoreCalibration(docs, col("lang") === "en",
+        (0 to 64).map(b => w.getOrElse(b, 0L)))
+    }),
     "sample_importance" -> sampleImportance,
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
@@ -523,8 +532,10 @@ object PipelineQueries {
         .orderBy("merge_rank")),
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
     // L51: per-language OOV share under the deterministic top-V vocab
+    // vocabSize 20 < the 31-term synthetic vocabulary, so the OOV side
+    // is non-vacuous at every SF
     "text_vocab_coverage" -> ((s, dir) =>
-      Curation.vocabCoverage(t(s, dir, "documents"))),
+      Curation.vocabCoverage(t(s, dir, "documents"), vocabSize = 20)),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
@@ -697,6 +708,37 @@ object PipelineQueries {
       |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id,
       | (id = LEAST(id, MIN(r))) AS keep
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** The L50 training CTE chain (both GD iterations unrolled to the
+    * final weight table `w2`) — shared by the trainer oracle and the
+    * L52 calibration oracle so the two cannot drift. */
+  private lazy val classifierTrainCtes: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |  CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS tt FROM documents),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         |      FROM t, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+         |xb AS (
+         | SELECT doc_id,
+         |  CAST(CAST(${duckHex8("md5('w|' || gram)")} AS BIGINT) % 64 AS INT) AS bucket,
+         |  COUNT(*) AS x
+         | FROM g GROUP BY doc_id, bucket
+         | UNION ALL SELECT doc_id, 64 AS bucket, 1 AS x FROM t),
+         |tr AS (SELECT SUM(x * x) AS tv FROM xb),
+         |g1 AS (SELECT bucket, SUM((0 - t.tt) * x) AS gr
+         |       FROM xb JOIN t USING (doc_id) GROUP BY bucket),
+         |w1 AS (SELECT bucket,
+         |  -(CASE WHEN gr < 0 THEN -((2 * (-gr) + tr.tv) // (2 * tr.tv))
+         |         ELSE (2 * gr + tr.tv) // (2 * tr.tv) END) AS wm
+         | FROM g1, tr),
+         |p2 AS (SELECT doc_id, SUM(w1.wm * x) AS p
+         |       FROM xb JOIN w1 USING (bucket) GROUP BY doc_id),
+         |e2 AS (SELECT t.doc_id, p2.p - t.tt AS e FROM p2 JOIN t ON p2.doc_id = t.doc_id),
+         |g2 AS (SELECT bucket, SUM(e * x) AS gr
+         |       FROM xb JOIN e2 USING (doc_id) GROUP BY bucket),
+         |w2 AS (SELECT g2.bucket,
+         |  w1.wm - (CASE WHEN g2.gr < 0 THEN -((2 * (-g2.gr) + tr.tv) // (2 * tr.tv))
+         |                ELSE (2 * g2.gr + tr.tv) // (2 * tr.tv) END) AS wm
+         | FROM g2 JOIN w1 USING (bucket), tr)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1393,7 +1435,7 @@ object PipelineQueries {
       """WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
         |           FROM documents),
         |v AS (SELECT w, 1 AS i FROM (
-        |  SELECT w, COUNT(*) AS n FROM t GROUP BY w ORDER BY n DESC, w LIMIT 1000)),
+        |  SELECT w, COUNT(*) AS n FROM t GROUP BY w ORDER BY n DESC, w LIMIT 20)),
         |j AS (SELECT t.doc_id, t.lang, CASE WHEN v.i IS NULL THEN 1 ELSE 0 END AS oov
         |      FROM t LEFT JOIN v USING (w)),
         |a AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
@@ -1408,35 +1450,28 @@ object PipelineQueries {
     // Σ(−label)·x; all arithmetic exact BIGINT, step = 1/trace(XᵀX),
     // half-away integer division mirrored via the CASE idiom.
     "text_classifier_train" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
-         |  CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS tt FROM documents),
-         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
-         |      FROM t, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
-         |xb AS (
-         | SELECT doc_id,
-         |  CAST(CAST(${duckHex8("md5('w|' || gram)")} AS BIGINT) % 64 AS INT) AS bucket,
-         |  COUNT(*) AS x
-         | FROM g GROUP BY doc_id, bucket
-         | UNION ALL SELECT doc_id, 64 AS bucket, 1 AS x FROM t),
-         |tr AS (SELECT SUM(x * x) AS tv FROM xb),
-         |g1 AS (SELECT bucket, SUM((0 - t.tt) * x) AS gr
-         |       FROM xb JOIN t USING (doc_id) GROUP BY bucket),
-         |w1 AS (SELECT bucket,
-         |  -(CASE WHEN gr < 0 THEN -((2 * (-gr) + tr.tv) // (2 * tr.tv))
-         |         ELSE (2 * gr + tr.tv) // (2 * tr.tv) END) AS wm
-         | FROM g1, tr),
-         |p2 AS (SELECT doc_id, SUM(w1.wm * x) AS p
-         |       FROM xb JOIN w1 USING (bucket) GROUP BY doc_id),
-         |e2 AS (SELECT t.doc_id, p2.p - t.tt AS e FROM p2 JOIN t ON p2.doc_id = t.doc_id),
-         |g2 AS (SELECT bucket, SUM(e * x) AS gr
-         |       FROM xb JOIN e2 USING (doc_id) GROUP BY bucket),
-         |w2 AS (SELECT g2.bucket,
-         |  w1.wm - (CASE WHEN g2.gr < 0 THEN -((2 * (-g2.gr) + tr.tv) // (2 * tr.tv))
-         |                ELSE (2 * g2.gr + tr.tv) // (2 * tr.tv) END) AS wm
-         | FROM g2 JOIN w1 USING (bucket), tr)
+      s"""$classifierTrainCtes
          |SELECT bucket, CAST(wm AS BIGINT) AS weight_micros,
          | CAST(wm AS DOUBLE) / 1000000.0 AS weight
          |FROM w2 ORDER BY bucket""".stripMargin,
+    // text_classifier_calibration: the same trained w2 weights serve
+    // every document (bias included via xb's bucket-64 rows); the score
+    // bucket is an exact multiple of 1000 so floor ≡ truncate on
+    // negatives in both engines
+    "text_classifier_calibration" ->
+      s"""$classifierTrainCtes,
+         |p3 AS (SELECT doc_id, SUM(w2.wm * x) AS p
+         |       FROM xb JOIN w2 USING (bucket) GROUP BY doc_id),
+         |cal AS (SELECT ((p - ((p % 1000) + 1000) % 1000) // 1000) AS sb,
+         |         t.tt // 1000000 AS y
+         |        FROM p3 JOIN t USING (doc_id)),
+         |a AS (SELECT sb, COUNT(*) AS n_docs, SUM(y) AS n_pos FROM cal GROUP BY sb)
+         |SELECT CAST(sb AS BIGINT) AS bucket,
+         | CAST(sb * 1000 AS DOUBLE) / 1000000.0 AS score_lo,
+         | CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pos AS BIGINT) AS n_pos,
+         | CAST((2 * 1000000 * n_pos + n_docs) // (2 * n_docs) AS DOUBLE)
+         |   / 1000000.0 AS pos_share
+         |FROM a ORDER BY bucket""".stripMargin,
     "sample_importance" ->
       s"""WITH b AS (
          | SELECT doc_id, lang = 'en' AS is_t,

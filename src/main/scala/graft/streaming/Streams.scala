@@ -257,6 +257,37 @@ object Streams {
         graft.operators.Curation.linearScoreMicros(weights).as("score_micros"))
       .withColumn("accept", col("score_micros") >= thresholdMicros)
 
+  /** S25: streaming vocabulary-drift monitor — the serving twin of
+    * L51's coverage audit: arriving documents' tokens LEFT-join a
+    * STATIC top-V vocabulary (`Curation.topVocabulary`, trained batch —
+    * vocabulary-sized, stateless join per micro-batch) and aggregate
+    * per (lang, event-time window) under a watermark into token/OOV
+    * counts and the same half-up-micros OOV share the batch audit
+    * reports. Rising OOV across windows = the live corpus drifting off
+    * the tokenizer's vocabulary — the retrain signal, caught at ingest
+    * instead of at the next offline audit. Only streaming state: the
+    * open windows' two counters per language. */
+  def vocabDriftMonitor(
+      stream: DataFrame,
+      vocab: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.functions.Text
+    val toks = stream
+      .select(col("lang"), col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
+        explode(Text.tokens(col("text"))).as("w"))
+      .withWatermark("__ts", watermarkDelay)
+    toks
+      .join(vocab.select("w").distinct().withColumn("__in", lit(1)), Seq("w"), "left")
+      .groupBy(col("lang"), window(col("__ts"), watermarkDelay))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_share", expr(
+        "cast((2 * 1000000 * oov_tokens + n_tokens) div (2 * n_tokens) as double)") / 1000000.0)
+      .select(col("lang"), col("window.start").as("window_start"),
+        col("n_tokens"), col("oov_tokens"), col("oov_share"))
+  }
+
   /** S16: streaming CDC apply — the consuming end of the
     * change-data-feed surface (C25, `TableStore.readChanges`): a stream
     * of rows carrying a `_change_type` column is applied to a store

@@ -400,6 +400,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("L52 calibration: conserves totals, share is definitional, the model ranks the classes") {
+    import spark.implicits._
+    val weights = Curation.trainClassifier(docs, col("lang") === "en",
+        nBuckets = 64, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val wVec = (0 to 64).map(b => weights.getOrElse(b, 0L))
+    val cal = Curation.scoreCalibration(docs, col("lang") === "en", wVec)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // conservation: every document lands in exactly one bucket
+    assert(cal.map(_._2).sum == docs.count())
+    assert(cal.map(_._3).sum == docs.filter(col("lang") === "en").count())
+    // the share column is the definitional half-up micros ratio
+    cal.foreach { case (_, n, p, share) =>
+      val exp = ((2L * 1000000 * p + n) / (2 * n)).toDouble / 1000000.0
+      assert(share == exp)
+    }
+    // ranking direction on a cleanly separable crafted corpus (the real
+    // synthetic corpus shares its tiny vocabulary across languages and
+    // confounds score with length — a modeling artifact, not a trainer
+    // property): positive docs use one gram vocabulary, negatives
+    // another, so the trained model must score positives higher
+    val crafted = ((1 to 20).map(i => (i.toLong, "alpha beta alpha beta", "en")) ++
+      (21 to 40).map(i => (i.toLong, "gamma delta gamma delta", "de")))
+      .toDF("doc_id", "text", "lang")
+    val cw = Curation.trainClassifier(crafted, col("lang") === "en",
+        nBuckets = 64, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val cVec = (0 to 64).map(b => cw.getOrElse(b, 0L))
+    val ccal = Curation.scoreCalibration(crafted, col("lang") === "en", cVec)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // every positive doc sits in a strictly higher score bucket
+    val maxNegBucket = ccal.filter(c => c._3 < c._2).map(_._1).max
+    val minPosBucket = ccal.filter(_._3 > 0).map(_._1).min
+    assert(minPosBucket > maxNegBucket,
+      s"crafted positives not separated: pos from $minPosBucket, neg up to $maxNegBucket")
+    Graft.clearOperatorCaches()
+  }
+
   test("L51 vocab coverage: deterministic top-V cut with term tie-break, exact OOV shares") {
     import spark.implicits._
     // counts: a=3, b=2, c=1, d=1
@@ -414,6 +453,7 @@ class CurationSpec extends AnyFunSuite {
     // V=3: c and d tie on count — the term tie-break keeps 'c'
     assert(shares(3) == Map(
       "de" -> ((1L, 3L, 1L, 0.333333)), "en" -> ((1L, 4L, 0L, 0.0))))
+    Graft.clearOperatorCaches()
   }
 
   test("L50 classifier training: descends the loss, learns the label mean on a bias-only corpus, partition-invariant") {
@@ -458,5 +498,6 @@ class CurationSpec extends AnyFunSuite {
       nBuckets = 64, iters = 3).collect()
       .map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(re == trained)
+    Graft.clearOperatorCaches()
   }
 }

@@ -701,5 +701,6 @@ class DedupAnnSpec extends AnyFunSuite {
     // partition invariance: a different physical layout trains the
     // identical model — sizes included (exact integer arithmetic)
     assert(run(emb.repartition(7), 3).toSeq == it3.toSeq)
+    Graft.clearOperatorCaches()
   }
 }

@@ -544,4 +544,38 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(offenders.isEmpty, offenders.mkString("\n\n"))
     } finally Graft.clearOperatorCaches()
   }
+
+  test("r7 trainers + quantile sketch: bounded-exchange scan-riding shapes") {
+    // L49 one Lloyd iteration: the scatter repartition, ONE
+    // map-side-combined (cl,pos) aggregate, and the output sort — the
+    // corpus is never joined or cartesian'd against the centroids (they
+    // ride the scan as literals)
+    val km = executedPlan(graft.similarity.Ann.kmeansTrain(
+      GraftSession.table(spark, sfDir, "embeddings"), k = 8, iters = 1))
+    assert(!km.contains("CartesianProduct") && !km.contains("BroadcastNestedLoop"))
+    assert(occurrences(km, "Exchange ") <= 4, s"kmeans shuffle count:\n$km")
+    assert(occurrences(km, "HashAggregate") >= 2, s"kmeans lost map-side combine:\n$km")
+    // A46: ONE fact-scale aggregate (partial+final), windows and
+    // quantile reads ride the bucket-sized relation
+    val qs = executedPlan(operators.Analytics.eventsQuantileSketch(spark, sfDir))
+    assert(!qs.contains("CartesianProduct"))
+    assert(occurrences(qs, "Exchange ") <= 5, s"sketch shuffle count:\n$qs")
+    assert(occurrences(qs, "HashAggregate") >= 2, s"sketch lost map-side combine:\n$qs")
+    // L50 final-iteration gradient: the cached feature relation is
+    // REUSED (InMemoryTableScan), not rebuilt from the corpus per use
+    val tc = operators.Curation.trainClassifier(
+      GraftSession.table(spark, sfDir, "documents"),
+      org.apache.spark.sql.functions.col("lang") === "en", nBuckets = 64, iters = 2)
+    try {
+      val plan = executedPlan(tc)
+      assert(!plan.contains("CartesianProduct"))
+      // the cache serves the feature relation: the only raw corpus scans
+      // are the column-pruned label reads — a cache miss would rebuild
+      // xb's two scans (grams + bias union) at every use
+      assert(plan.contains("InMemoryTableScan"),
+        s"classifier feature cache absent from the plan:\n$plan")
+      assert(occurrences(plan, "documents.parquet") <= 2,
+        s"classifier re-scanned the corpus for features:\n$plan")
+    } finally Graft.clearOperatorCaches()
+  }
 }

@@ -146,6 +146,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.size > 1)
     // stateless: a different micro-batch split emits identical rows
     assert(gated(4, "s24b") == got)
+    Graft.clearOperatorCaches()
+  }
+
+  test("S25: streaming vocab-drift monitor equals the batch coverage audit per closed window") {
+    import graft.operators.Curation
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val vocab = Curation.topVocabulary(docs, 20).cache()
+    val in = Files.createTempDirectory("graft_s25_").toString + "/in"
+    docs.write.parquet(in)
+    // far-future sentinel (second file → second micro-batch) closes the
+    // corpus window under the watermark; filtered back out of the result
+    docs.limit(1).withColumn("doc_id", lit(999999L)).withColumn("lang", lit("zz"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", timestamp_seconds(
+        when(col("lang") === "zz", lit(1735689600L + 86400L))
+          .otherwise(lit(1735689600L) + pmod(col("doc_id"), lit(300L)))))
+    val got = runToTable(Streams.vocabDriftMonitor(s, vocab), "s25", "append")
+      .filter(col("lang") =!= "zz")
+      .groupBy("lang")
+      .agg(sum("n_tokens").as("n_tokens"), sum("oov_tokens").as("oov_tokens"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Curation.vocabCoverage(docs, 20)
+      .select("lang", "n_tokens", "oov_tokens").orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum > 0, "no OOV tokens — the audit is vacuous")
+    vocab.unpersist(); Graft.clearOperatorCaches()
   }
 
   test("S8: streaming contamination gate equals the batch operator") {
