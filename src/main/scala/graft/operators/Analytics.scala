@@ -902,12 +902,16 @@ object Analytics {
     * Scale: ONE map-side-combined fact shuffle to (keys, bucket)
     * — per-task partials are at most keys × occupied buckets (hundreds)
     * — and everything downstream rides the bucket-sized relation. */
-  def valueSketch(df: DataFrame, keyCols: Seq[String],
-      valueCol: String = "value"): DataFrame =
-    df.select(keyCols.map(col) :+
-        greatest((col(valueCol).cast("decimal(18,4)") * 10000).cast("long"), lit(1L))
-          .as("__x"): _*)
-      .withColumn("__l", length(bin(col("__x"))))
+  /** The sketch's value→unit mapping: 1e-4 integer units, clamped ≥ 1. */
+  private[graft] def sketchUnits(valueCol: String): Column =
+    greatest((col(valueCol).cast("decimal(18,4)") * 10000).cast("long"), lit(1L))
+
+  /** Adds `bin_id`/`bin_upper` for the `__x` units column — the single
+    * bucket definition the batch sketch and its streaming twin (S26)
+    * share, so the two histograms are counter-identical by
+    * construction. */
+  private[graft] def withSketchBuckets(df: DataFrame): DataFrame =
+    df.withColumn("__l", length(bin(col("__x"))))
       // bin ids are monotone in the value: small values map to
       // themselves, larger to 16·L + m − 16 (L ≥ 6 ⇒ id ≥ 96 > 31)
       .withColumn("bin_id", expr(
@@ -915,6 +919,12 @@ object Analytics {
       .withColumn("bin_upper", expr(
         "CASE WHEN __l <= 5 THEN __x " +
           "ELSE shiftleft(shiftright(__x, __l - 5) + 1, __l - 5) - 1 END"))
+      .drop("__l")
+
+  def valueSketch(df: DataFrame, keyCols: Seq[String],
+      valueCol: String = "value"): DataFrame =
+    withSketchBuckets(
+      df.select(keyCols.map(col) :+ sketchUnits(valueCol).as("__x"): _*))
       .groupBy((keyCols.map(col) :+ col("bin_id") :+ col("bin_upper")): _*)
       .agg(count(lit(1)).as("cnt"))
 

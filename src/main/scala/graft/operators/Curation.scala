@@ -492,6 +492,77 @@ object Curation {
       .agg(count(lit(1)).as("ws_tokens"), sum(col("__n")).as("bpe_tokens"))
   }
 
+  /** The shipped tokenizer's vocabulary for a trained merge table
+    * (L53): the corpus's distinct base characters (sorted) followed by
+    * the merge products in rank order, ids 0..V−1 — the deterministic
+    * id assignment an encoder and a decoder both re-derive. Bounded:
+    * |alphabet| + |merges| rows. */
+  def bpeVocabulary(docs: DataFrame, merges: Seq[(String, String)]): Seq[String] = {
+    val chars = docs
+      .select(explode(split(concat_ws("", Text.tokens(col("text"))), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .orderBy("c").collect().map(_.getString(0)).toIndexedSeq
+    chars ++ merges.map { case (a, b) => a + b }
+  }
+
+  /** BPE ENCODING to token ids (L53) — the step [[applyBpe]]'s counts
+    * summarize: every document's actual id sequence under a trained
+    * tokenizer (merge table + [[bpeVocabulary]] ids). ZERO shuffles and
+    * zero explodes: the whole encode — word split, per-word merge
+    * replay (the same single-pass [[bpeMergeStep]] semantics the
+    * trainer used), symbol→id lookup — is nested higher-order array
+    * algebra riding the scan, embarrassingly parallel at any scale.
+    * Symbols outside the vocabulary (characters unseen at train time)
+    * encode as −1 (UNK). Returns (doc_id, input_ids, n_tokens). */
+  def encodeBpe(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Seq[String]): DataFrame = {
+    val idOf = typedLit(vocab.zipWithIndex.toMap)
+    val segmented = (w: Column) => merges.foldLeft(split(w, ""): Column) {
+      case (c, (a, b)) => bpeMergeStep(c, a, b)
+    }
+    docs.select(col("doc_id"),
+        flatten(transform(Text.tokens(col("text")),
+          w => transform(segmented(w), s => coalesce(element_at(idOf, s), lit(-1)))))
+          .as("input_ids"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+  }
+
+  /** Training-ready packed sequences (L54) — the artifact an LLM
+    * trainer actually consumes, closing the tokenize story end to end
+    * (L46 train → L53 encode → pack → fixed-length `input_ids`):
+    * documents encode scan-side, lay out in the deterministic
+    * [[shardAssignments]]-style order (md5 order within md5-assigned
+    * shards — re-run stable, additive), concatenate shard-locally and
+    * split at `seqLen` boundaries; the final short sequence per shard
+    * pads with −1 and carries its real token count.
+    *
+    * Scale: the layout window is per-shard (nothing global), the only
+    * fact-scale exchange is the (shard, seq) regrouping of exploded
+    * token positions — linear in corpus tokens with map-side combine
+    * unavailable by nature (each row lands in exactly one sequence),
+    * exactly how production packers parallelize. */
+  def trainingSequences(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Seq[String], seqLen: Int, shards: Int = 64): DataFrame = {
+    val ord = hashKey(col("doc_id"))
+    val shard = pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards.toLong))
+    val w = Window.partitionBy(col("pack_shard")).orderBy(col("__ord"), col("doc_id"))
+    encodeBpe(docs, merges, vocab)
+      .select(col("doc_id"), col("input_ids"), col("n_tokens"),
+        ord.as("__ord"), shard.as("pack_shard"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("pack_shard"), col("__start"),
+        posexplode(col("input_ids")).as(Seq("__i", "__id")))
+      .select(col("pack_shard"), (col("__start") + col("__i")).as("__pos"), col("__id"))
+      .withColumn("seq_id", expr(s"__pos div ${seqLen}L"))
+      .groupBy("pack_shard", "seq_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("__pos"), col("__id")))).as("__ps"))
+      .select(col("pack_shard"), col("seq_id"), col("n_tokens"),
+        concat(transform(col("__ps"), p => p.getField("__id")),
+          array_repeat(lit(-1), lit(seqLen) - size(col("__ps")))).as("input_ids"))
+      .orderBy("pack_shard", "seq_id")
+  }
+
   /** Corpus n-gram statistics (L35): top-k word n-grams by total
     * occurrence count with exact document frequency — the vocabulary
     * census a tokenizer-training or contamination-audit step starts
@@ -675,12 +746,17 @@ object Curation {
       .otherwise(array().cast("array<string>"))
     val bucket = (conv(substring(md5(concat(lit("w|"), col("__g"))), 1, 8), 16, 10)
       .cast("long") % nBuckets).cast("int")
+    // cached hash-partitioned on doc_id: every iteration's per-doc
+    // prediction groupBy AND its doc_id gradient join reuse this one
+    // partitioning — without it each of the `iters` iterations pays two
+    // fact-scale exchanges of the feature relation
     val xb = graft.OperatorCache.cached(
       docs.select(col("doc_id"), explode(grams).as("__g"))
         .select(col("doc_id"), bucket.as("bucket"))
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
         .unionByName(docs.select(col("doc_id"),
-          lit(nBuckets).as("bucket"), lit(1L).as("x"))))
+          lit(nBuckets).as("bucket"), lit(1L).as("x")))
+        .repartition(col("doc_id")))
     val labels = docs.select(col("doc_id"),
       when(positive, lit(1000000L)).otherwise(lit(0L)).as("__t"))
     val trace = xb.agg(sum(col("x") * col("x"))).head.getLong(0)

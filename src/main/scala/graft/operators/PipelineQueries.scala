@@ -530,6 +530,16 @@ object PipelineQueries {
     "text_bpe" -> ((s, dir) =>
       Curation.trainBpeMerges(t(s, dir, "documents"), k = 8)
         .orderBy("merge_rank")),
+    // L54 rows-only (BPE replay has no ANSI oracle; the classic
+    // in-memory twin pins encode + layout + padding in CurationSpec):
+    // the full tokenize capstone — train → encode → pack → input_ids
+    "text_training_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Curation.trainBpeMerges(docs, k = 8).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = Curation.bpeVocabulary(docs, merges)
+      Curation.trainingSequences(docs, merges, vocab, seqLen = 128, shards = 8)
+    }),
     "text_chunks" -> ((s, dir) => Curation.chunkDocuments(t(s, dir, "documents"))),
     // L51: per-language OOV share under the deterministic top-V vocab
     // vocabSize 20 < the 31-term synthetic vocabulary, so the OOV side

@@ -285,6 +285,20 @@ object Ann {
       .orderBy("cl", "pos")
   }
 
+  /** Collect a [[kmeansTrain]] result into the dense centroid model the
+    * IVF searchers accept — the bridge from full-corpus training (L49)
+    * to index serving (L7b/L7c): k×dim doubles, the same bounded model
+    * contract as [[trainIvfCentroids]]'s output, but learned from the
+    * WHOLE corpus instead of a driver-side sample. Clusters empty in
+    * the final assignment (absent rows) drop; survivors keep cluster
+    * order. */
+  def kmeansCentroids(trained: DataFrame): Seq[Seq[Double]] = {
+    val rows = trained.select("cl", "pos", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, ps) => ps.sortBy(_._2).map(_._3).toIndexedSeq }
+  }
+
   def topKIvfPortable(
       corpus: DataFrame,
       queries: DataFrame,

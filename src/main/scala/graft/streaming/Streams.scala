@@ -257,6 +257,34 @@ object Streams {
         graft.operators.Curation.linearScoreMicros(weights).as("score_micros"))
       .withColumn("accept", col("score_micros") >= thresholdMicros)
 
+  /** S26: streaming quantile-sketch maintenance — A46's streaming twin,
+    * and the purest form of the sketch-as-state idea: arriving events
+    * fold into per-(type, event-time window) integer histogram buckets
+    * under a watermark (only state: the open windows' occupied
+    * buckets — bounded by the bucket geometry, NOT by the event rate),
+    * and each closed window emits its BUCKET ROWS — the mergeable
+    * sketch itself, not a quantile. Downstream answers any window
+    * range by counter addition (`Analytics.sketchQuantiles` over the
+    * emitted rows), exactly as the batch path answers any slice; batch
+    * and stream share the single bucket definition
+    * (`Analytics.withSketchBuckets`), so the histograms are
+    * counter-identical by construction (spec-pinned). */
+  def quantileSketchStream(
+      stream: DataFrame,
+      watermarkDelay: String = "1 day"): DataFrame = {
+    import graft.operators.Analytics
+    val units = stream
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_type"), col("ts"),
+        Analytics.sketchUnits("value").as("__x"))
+    Analytics.withSketchBuckets(units)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"),
+        col("bin_id"), col("bin_upper"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("bin_id"), col("bin_upper"), col("cnt"))
+  }
+
   /** S25: streaming vocabulary-drift monitor — the serving twin of
     * L51's coverage audit: arriving documents' tokens LEFT-join a
     * STATIC top-V vocabulary (`Curation.topVocabulary`, trained batch —

@@ -374,6 +374,58 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want.toSeq, s"distributed trainer diverged from the classic algorithm")
   }
 
+  test("L53/L54: id encoding and packed training sequences equal the classic in-memory pipeline") {
+    val merges = Curation.trainBpeMerges(docs, k = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Curation.bpeVocabulary(docs, merges)
+    val idOf = vocab.zipWithIndex.toMap
+    // in-memory twin encoder (the classic single-pass merge semantics)
+    def segment(word: String): Vector[String] =
+      merges.foldLeft(word.split("").toVector) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (s <- syms)
+          if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+          else out += s
+        out.toVector
+      }
+    def encode(text: String): Vector[Int] =
+      text.split(" ").toVector.flatMap(segment).map(s => idOf.getOrElse(s, -1))
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = Curation.encodeBpe(docs, merges, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toVector, r.getLong(2)))).toMap
+    corpus.foreach { case (id, text) =>
+      val exp = encode(text)
+      assert(got(id) == ((exp, exp.length.toLong)), s"doc $id encoding diverged")
+    }
+    // packed sequences: shard-local concatenation in (md5, id) order,
+    // split at seqLen, last chunk padded with -1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seqLen = 64
+    val want = corpus
+      .map { case (id, text) => (hex(id.toString), id, encode(text)) }
+      .groupBy { case (h, _, _) => java.lang.Long.parseLong(h.take(8), 16) % 4 }
+      .flatMap { case (shard, ds) =>
+        val ids = ds.sortBy { case (h, id, _) => (h, id) }.flatMap(_._3).toVector
+        ids.grouped(seqLen).zipWithIndex.map { case (chunk, i) =>
+          (shard, i.toLong, chunk.length.toLong,
+            chunk.padTo(seqLen, -1).toVector)
+        }
+      }.toSet
+    val seqs = Curation.trainingSequences(docs, merges, vocab, seqLen, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Int](3).toVector))
+    assert(seqs.toSet == want)
+    // every non-final sequence per shard is exactly full
+    seqs.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).dropRight(1).foreach { s =>
+        assert(s._3 == seqLen, s"non-final sequence ${s._2} not full: ${s._3}")
+      }
+    }
+    Graft.clearOperatorCaches()
+  }
+
   test("source rollup: flag matches its definition and splits the corpus both ways") {
     val out = Curation.sourceQuality(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))

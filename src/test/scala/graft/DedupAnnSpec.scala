@@ -703,4 +703,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(run(emb.repartition(7), 3).toSeq == it3.toSeq)
     Graft.clearOperatorCaches()
   }
+
+  test("L49→L7b: the full-corpus-trained quantizer serves the IVF index") {
+    val cents = Ann.kmeansCentroids(Ann.kmeansTrain(emb, k = 4, iters = 3))
+    assert(cents.length == 4 && cents.forall(_.length == 64))
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val got = Ann.topKIvf(emb, queries, k = 5, nProbe = 2, centroids = Some(cents))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // every candidate comes from the query's 2 probed lists under THESE
+    // centroids — the quantizer actually partitions the search
+    val vecs = embMap
+    def nearest(v: Array[Double]) = argminFirst(cents.map(c => sqDist(v, c.toArray)))
+    def probes(v: Array[Double]) = cents.indices
+      .sortBy(i => (sqDist(v, cents(i).toArray), i)).take(2).toSet
+    got.foreach { case (q, n, _, _) =>
+      assert(probes(vecs(q)).contains(nearest(vecs(n))),
+        s"candidate $n for query $q outside the probed lists")
+    }
+    // full probe budget (nProbe = k) ⇒ exact brute-force answer
+    val full = Ann.topKIvf(emb, queries, k = 5, nProbe = 4, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3))).toSet
+    val brute = Ann.topKBruteForce(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getDouble(3))).toSet
+    assert(full == brute)
+    Graft.clearOperatorCaches()
+  }
 }

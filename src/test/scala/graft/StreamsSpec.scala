@@ -149,6 +149,46 @@ class StreamsSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("S26: streaming sketch buckets equal the batch histogram per closed window; merged quantiles agree") {
+    import graft.operators.Analytics
+    val got = runToTable(Streams.quantileSketchStream(stream), "s26", "append")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "no windows closed under the watermark")
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val want = Analytics.valueSketch(
+        ev.withColumn("day", date_trunc("day", col("ts"))),
+        Seq("event_type", "day")).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    // every emitted bucket row is counter-identical to the batch
+    // histogram of the same (type, day) cell
+    got.foreach { case (ty, day, bin, up, cnt) =>
+      assert(want((ty, day, bin)) == ((up, cnt)),
+        s"bucket ($ty, $day, $bin) diverged from the batch sketch")
+    }
+    // closure accounting (the S23 contract): all but each type's last
+    // two open days must have emitted
+    val emittedCells = got.map(t => (t._1, t._2)).distinct.length
+    val allCells = want.keySet.map(k => (k._1, k._2)).size
+    val nTypes = ev.select("event_type").distinct().count().toInt
+    assert(emittedCells >= allCells - 2 * nTypes)
+    // the emitted rows ARE the sketch: merging them up to type answers
+    // the same quantiles as the batch sketch over the same events
+    val emitted = got.toSeq
+      .toDF("event_type", "window_start", "bin_id", "bin_upper", "cnt")
+    val mergedQ = Analytics.sketchQuantiles(emitted, Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    val dayKeys = got.map { case (t, d, _, _, _) => s"$t|${d.getTime}" }.distinct
+    val subset = ev.withColumn("day", date_trunc("day", col("ts")))
+      .filter(concat_ws("|", col("event_type"),
+        expr("unix_millis(day)").cast("string")).isInCollection(dayKeys))
+    val batchQ = Analytics.sketchQuantiles(
+        Analytics.valueSketch(subset, Seq("event_type")), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(mergedQ == batchQ)
+  }
+
   test("S25: streaming vocab-drift monitor equals the batch coverage audit per closed window") {
     import graft.operators.Curation
     val docs = GraftSession.table(spark, sfDir, "documents")
