@@ -78,6 +78,8 @@ object Bench {
     "text_classifier_train", // NEW r7 entry (L50) — absent from earlier records
     "text_vocab_coverage", // NEW r7 entry (L51) — absent from earlier records
     "events_quantile_sketch", // NEW r7 entry (A46) — absent from earlier records
+    "text_training_sequences", // NEW r7 entry (L54) — absent from earlier records
+    "multimodal_patches", // NEW r7 entry (L12g) — absent from earlier records
     // sim_topk_ivfpq_indexed is NOT benched: like sim_topk_ivf_indexed,
     // its wall time is dominated by store-index CONSTRUCTION (two Lloyd
     // trainings + table writes per run) — the steady-state search cost

@@ -254,6 +254,77 @@ object Media {
   def resizeTable(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame =
     decodedBy(media)((id, bytes) => Seq(resizeMeta(bytes, outW, outH).copy(doc_id = id)))
 
+  final case class PatchMeta(
+      doc_id: Long, format: String, patch_row: Int, patch_col: Int,
+      n_px: Long, mean_px: Long, var_px: Long)
+
+  private val CorruptPatch = PatchMeta(0L, "unknown", -1, -1, -1L, -1L, -1L)
+
+  /** ViT-style patch extraction (L12g): the decoded raster cut into a
+    * `rows`×`cols` grid (the [[boxResize]] region geometry — every
+    * pixel in exactly one patch, ≥1 source pixel per patch), each patch
+    * emitting (row, col, n_px, mean, variance) — the patch-sequence
+    * shape a vision transformer consumes, 1 image row → rows·cols
+    * feature rows (L12b's fan-out contract, with grid identity instead
+    * of frame index). Features are EXACT integers: mean = ⌊Σ/n⌋ and
+    * var = ⌊(n·Σx² − (Σx)²)/n²⌋ over all bands, so a constant image
+    * has every patch mean equal to its gray and variance exactly 0 —
+    * the closed form the driver oracle states across all three real
+    * codecs. Corrupt bytes degrade to one sentinel row. */
+  def patchMeta(bytes: Array[Byte], rows: Int, cols: Int): Seq[PatchMeta] = {
+    if (bytes == null || bytes.length == 0) return Seq(CorruptPatch)
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq(CorruptPatch)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val img = r.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val nb = raster.getNumBands
+            (0 until rows).flatMap { pr =>
+              val y0 = pr * h / rows
+              val y1 = math.max(y0 + 1, (pr + 1) * h / rows)
+              (0 until cols).map { pc =>
+                val x0 = pc * w / cols
+                val x1 = math.max(x0 + 1, (pc + 1) * w / cols)
+                var sum = 0L
+                var sumSq = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    var b = 0
+                    while (b < nb) {
+                      val v = raster.getSample(x, y, b).toLong
+                      sum += v; sumSq += v * v; b += 1
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (x1 - x0).toLong * (y1 - y0) * nb
+                PatchMeta(0L, fmt, pr, pc, n, sum / n,
+                  (n * sumSq - sum * sum) / (n * n))
+              }
+            }
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => Seq(CorruptPatch) }
+  }
+
+  /** Patchify a (doc_id, media binary) table per partition (L12g). */
+  def patchTable(media: DataFrame, rows: Int = 4, cols: Int = 4): DataFrame =
+    decodedBy(media)((id, bytes) =>
+      patchMeta(bytes, rows, cols).map(_.copy(doc_id = id)))
+
   final case class AudioMeta(
       doc_id: Long, format: String, sample_rate: Long, n_channels: Long,
       bits: Long, n_samples: Long, mean_abs: Long)

@@ -424,6 +424,14 @@ object PipelineQueries {
     Media.resizeTable(Media.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** L12g: ViT-style patch grid — 1 image row fans out to 16 patch
+    * rows with exact integer mean/variance features; constant inputs
+    * give the closed-form (mean = gray, variance = 0) across all three
+    * real codecs, corrupt bytes one sentinel row. */
+  def multimodalPatches(s: SparkSession, dir: String): DataFrame =
+    Media.patchTable(Media.syntheticMediaTable(t(s, dir, "documents")))
+      .orderBy("doc_id", "patch_row", "patch_col")
+
   /** L12f: real PCM rate conversion — every synthetic WAV resampled to
     * 16 kHz by exact-integer linear interpolation; constant-amplitude
     * inputs stay exactly constant, so the resampled mean is closed-form. */
@@ -551,6 +559,7 @@ object PipelineQueries {
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,
+    "multimodal_patches" -> multimodalPatches,
     "multimodal_resample" -> multimodalResample,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio" -> multimodalAudio,
@@ -1646,6 +1655,31 @@ object PipelineQueries {
         | CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_channels,
         | CAST(CASE WHEN doc_id % 10 = 0 THEN -1 ELSE doc_id % 256 END AS BIGINT) AS mean_px
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // multimodal_patches: the grid geometry (boxResize regions) in
+    // closed form — every source is 3-band, constant-gray inputs make
+    // every patch mean the gray and every variance exactly 0
+    "multimodal_patches" ->
+      """WITH d AS (SELECT doc_id,
+        |  doc_id % 10 = 0 AS corrupt,
+        |  CAST(n_chars % 31 + 4 AS BIGINT) AS w, CAST(doc_id % 17 + 4 AS BIGINT) AS h,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'bmp' END AS fmt
+        | FROM documents),
+        |g AS (SELECT CAST(a.pr AS BIGINT) AS pr, CAST(b.pc AS BIGINT) AS pc
+        |      FROM range(0, 4) a(pr), range(0, 4) b(pc)),
+        |valid AS (
+        | SELECT doc_id, fmt AS format, CAST(pr AS INT) AS patch_row,
+        |  CAST(pc AS INT) AS patch_col,
+        |  CAST(((pc+1)*w//4 - pc*w//4) * ((pr+1)*h//4 - pr*h//4) * 3 AS BIGINT) AS n_px,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_px, CAST(0 AS BIGINT) AS var_px
+        | FROM d CROSS JOIN g WHERE NOT corrupt),
+        |bad AS (SELECT doc_id, 'unknown' AS format, -1 AS patch_row, -1 AS patch_col,
+        |  CAST(-1 AS BIGINT) AS n_px, CAST(-1 AS BIGINT) AS mean_px,
+        |  CAST(-1 AS BIGINT) AS var_px
+        | FROM d WHERE corrupt)
+        |SELECT doc_id, format, patch_row, patch_col, n_px, mean_px, var_px
+        |FROM (SELECT * FROM valid UNION ALL SELECT * FROM bad)
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
     // multimodal_resize: a constant-gray input stays exactly constant
     // under box-average resampling, so the 8×8 output's mean is the
     // input gray; dims/format mirror multimodal_decode's closed form

@@ -238,4 +238,28 @@ class MediaSpec extends AnyFunSuite {
     assert(out(1) == Media.ResizeMeta(11L, "bmp", 40 % 31 + 4, 11 % 17 + 4, 8, 8, 11))
     assert(out(2) == Media.ResizeMeta(12L, "png", 77 % 31 + 4, 12 % 17 + 4, 8, 8, 12))
   }
+
+  test("L12g patches: region means and variances on a crafted two-tone image; corrupt sentinel") {
+    // 8×8 BMP, left 4 columns gray 0, right 4 columns gray 200
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = if (x < 4) 0 else 200
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bytes = bos.toByteArray
+    // 2×2 grid: each patch a pure tone — mean = tone, var = 0
+    val grid = Media.patchMeta(bytes, 2, 2)
+    assert(grid.map(p => (p.patch_row, p.patch_col, p.n_px, p.mean_px, p.var_px)) ==
+      Seq((0, 0, 48L, 0L, 0L), (0, 1, 48L, 200L, 0L),
+        (1, 0, 48L, 0L, 0L), (1, 1, 48L, 200L, 0L)))
+    // 1×1 grid mixes the tones: mean = 100, var = E[x²] − mean² = 10000
+    val whole = Media.patchMeta(bytes, 1, 1)
+    assert(whole.map(p => (p.n_px, p.mean_px, p.var_px)) == Seq((192L, 100L, 10000L)))
+    // corrupt bytes → one sentinel row
+    assert(Media.patchMeta(Array[Byte](1, 2, 3), 4, 4) ==
+      Seq(Media.PatchMeta(0L, "unknown", -1, -1, -1L, -1L, -1L)))
+  }
 }
