@@ -94,6 +94,10 @@ final case class Graft(
     def tableAsOf(name: String, tsMillis: Long): DataFrame = store.readTableAsOf(name, tsMillis)
     def snapshots(name: String): Seq[(Int, Long)] = store.snapshots(name)
 
+    /** Generation history as a relation (C38) — metadata-only audit of
+      * the table's write traffic; see TableStore.history. */
+    def history(name: String): DataFrame = store.history(name)
+
     /** Change-data-feed between two committed generations (`insert` /
       * `delete` / `update_preimage` / `update_postimage` rows in a
       * `_change_type` column) — computed on demand from the manifests'

@@ -929,6 +929,31 @@ final class TableStore(
       (g, node.get("ts").asLong())
     }
 
+  /** C38: the table's generation history as a queryable relation —
+    * (gen, commit_time, n_files, files_added, files_removed), derived
+    * METADATA-ONLY from the committed manifests (no data I/O; one
+    * manifest read per retained generation, bounded by the vacuum
+    * retention): the operational audit of a table's write traffic
+    * ("what did that nightly job actually do to the file set") and the
+    * sizing input for retention/compaction decisions. File deltas are
+    * set differences between consecutive RETAINED manifests — after a
+    * vacuum, the earliest surviving generation reports its full file
+    * set as added. */
+  def history(name: String): DataFrame = {
+    val gens = snapshots(name) // (gen, commitTimeMillis) ascending
+    var prev = Set.empty[String]
+    var first = true
+    val rows = gens.map { case (g, ts) =>
+      val rels = readManifest(name, g)._2.toSet
+      val added = if (first) rels.size.toLong else (rels -- prev).size.toLong
+      val removed = if (first) 0L else (prev -- rels).size.toLong
+      first = false; prev = rels
+      (g, new java.sql.Timestamp(ts), rels.size.toLong, added, removed)
+    }
+    import spark.implicits._
+    rows.toDF("gen", "commit_time", "n_files", "files_added", "files_removed")
+  }
+
   private def manifestGens(name: String): Seq[Int] = {
     val h = historyPath(name)
     if (!fs.exists(h)) return Nil

@@ -1124,4 +1124,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(read.inputFiles.length == rep("after_stats_prune").toInt)
     assert(read.count() == 1)
   }
+
+  test("C38 history: per-generation file deltas match the manifests, metadata-only") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"))
+    store.insert("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    store.insert("t", Seq((3L, 30L)).toDF("k", "v"))
+    store.update("t", Seq((1L, 11L)).toDF("k", "v"))
+    val h = store.history("t").orderBy("gen").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(h.nonEmpty)
+    // deltas are self-consistent: n_files evolves by added − removed
+    h.sliding(2).foreach {
+      case Array((_, n0, _, _), (_, n1, a1, r1)) => assert(n1 == n0 + a1 - r1)
+      case _ =>
+    }
+    // the first retained generation reports its full set as added
+    assert(h.head._2 == h.head._3 && h.head._4 == 0L)
+    // appends only add; the keyed update both adds and removes
+    val appendRow = h(h.length - 2)
+    assert(appendRow._3 > 0 && appendRow._4 == 0L, s"append row: $appendRow")
+    val updateRow = h.last
+    assert(updateRow._3 > 0 && updateRow._4 > 0, s"update row: $updateRow")
+    // the newest generation's file count is the table's current set
+    assert(updateRow._2 == store.readTable("t").inputFiles.length.toLong)
+    // commit times never regress
+    val times = store.history("t").orderBy("gen").collect().map(_.getTimestamp(1).getTime)
+    assert(times.sameElements(times.sorted))
+  }
 }
