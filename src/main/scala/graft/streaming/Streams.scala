@@ -257,6 +257,37 @@ object Streams {
         graft.operators.Curation.linearScoreMicros(weights).as("score_micros"))
       .withColumn("accept", col("score_micros") >= thresholdMicros)
 
+  /** S27: streaming media-ingest monitor — the multimodal codec-health
+    * gate at landing (the missing streaming leg of the L12 family):
+    * arriving (doc_id, ts, media) binaries decode STATELESS inside each
+    * micro-batch (the L12 codec riding mapPartitions — no state and no
+    * shuffle before the counters) and aggregate per (format, event-time
+    * window) under a watermark into file counts and total decoded
+    * pixels. Corrupt objects surface as format='unknown' rows, so a
+    * corrupt-rate spike inside a window is the "upstream export broke"
+    * alarm, caught at ingest. Only streaming state: the open windows'
+    * per-format counters. */
+  def mediaIngestMonitor(
+      stream: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val decoded = stream
+      .select(col("doc_id").cast("long"), col("ts").cast("timestamp"), col("media"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions(_.map { case (_, ts, bytes) =>
+        val m = graft.multimodal.Media.decodeImage(bytes)
+        (ts, m.format, m.width, m.height)
+      })
+      .toDF("__ts", "format", "__w", "__h")
+    decoded.withWatermark("__ts", watermarkDelay)
+      .groupBy(col("format"), window(col("__ts"), watermarkDelay))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("__w") > 0, col("__w") * col("__h")).otherwise(0L)).as("n_px"))
+      .select(col("format"), col("window.start").as("window_start"),
+        col("n_files"), col("n_px"))
+  }
+
   /** S26: streaming quantile-sketch maintenance — A46's streaming twin,
     * and the purest form of the sketch-as-state idea: arriving events
     * fold into per-(type, event-time window) integer histogram buckets

@@ -149,6 +149,40 @@ class StreamsSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("S27: streaming media monitor equals batch decode stats; corrupt objects surface as unknown") {
+    import graft.multimodal.Media
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val media = Media.syntheticMediaTable(docs)
+    val in = Files.createTempDirectory("graft_s27_").toString + "/in"
+    media.write.parquet(in)
+    // far-future sentinel closes the corpus window (corrupt on purpose:
+    // 1-byte payload → 'unknown'; excluded from the comparison window)
+    media.limit(1).withColumn("doc_id", lit(999999L))
+      .withColumn("media", lit(Array[Byte](9)))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", timestamp_seconds(
+        when(col("doc_id") === 999999L, lit(1735689600L + 86400L))
+          .otherwise(lit(1735689600L) + pmod(col("doc_id"), lit(300L)))))
+    val got = runToTable(Streams.mediaIngestMonitor(s), "s27", "append")
+      .filter(col("window_start") < lit("2025-01-02").cast("timestamp"))
+      .groupBy("format")
+      .agg(sum("n_files").as("n_files"), sum("n_px").as("n_px"))
+      .orderBy("format").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Media.decodeTable(media)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("width") > 0, col("width") * col("height")).otherwise(0L)).as("n_px"))
+      .orderBy("format").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the corrupt class is present and visible (doc_id % 10 == 0 docs)
+    assert(got.exists(g => g._1 == "unknown" && g._2 > 0))
+    assert(got.map(_._1).toSet == Set("png", "jpeg", "bmp", "unknown"))
+  }
+
   test("S26: streaming sketch buckets equal the batch histogram per closed window; merged quantiles agree") {
     import graft.operators.Analytics
     val got = runToTable(Streams.quantileSketchStream(stream), "s26", "append")
