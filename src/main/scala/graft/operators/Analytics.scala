@@ -837,6 +837,33 @@ object Analytics {
         datediff(to_date(col("ts")), lit("1970-01-01")).cast("int").as("day_num"))
       .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("si"))
 
+  /** A47: per-type metric TREND — the least-squares slope of each
+    * event type's daily value total over time, the "is this metric
+    * drifting" question beside A44's "did this day spike". Engine-exact
+    * by construction: x = day number and y = the exact integer 1e-4
+    * unit daily sum (A44's discipline), all four OLS moments (Σx, Σy,
+    * Σxy, Σx²) are exact longs, and the closed-form slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE division of two exact
+    * integers — both engines convert long→double with the same
+    * correct rounding and divide identically, no summation-order
+    * doubt anywhere. Types with fewer than two observed days drop
+    * (undefined slope). ONE fact-scale shuffle (the daily sums); the
+    * regression reduces from the tiny daily relation. */
+  def eventsTrend(s: SparkSession, dir: String): DataFrame =
+    anomalyDailySums(t(s, dir, "events"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day_num").cast("long")).as("__sx"),
+        sum(col("si")).as("__sy"),
+        sum(col("day_num").cast("long") * col("si")).as("__sxy"),
+        sum(col("day_num").cast("long") * col("day_num").cast("long")).as("__sxx"))
+      .filter(col("n_days") >= 2)
+      .withColumn("slope_per_day",
+        (col("n_days") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (col("n_days") * col("__sxx") - col("__sx") * col("__sx")).cast("double") / 10000.0)
+      .select("event_type", "n_days", "slope_per_day")
+      .orderBy("event_type")
+
   def anomalyMoments(daily: DataFrame): DataFrame =
     daily.groupBy("event_type").agg(
       count(lit(1)).as("n"),
@@ -1173,6 +1200,7 @@ object Analytics {
     "events_anomaly" -> eventsAnomaly,
     "events_distinct_sketch" -> eventsDistinctSketch,
     "events_quantile_sketch" -> eventsQuantileSketch,
+    "events_trend" -> eventsTrend,
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
     "sample_hash_portable" -> sampleHashPortable,
@@ -1666,6 +1694,21 @@ object Analytics {
         | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
         |   / 10000.0 AS p99
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // events_trend: exact integer OLS moments over the A44 daily sums;
+    // the slope is one division of two exact integers (identical
+    // long→double rounding in both engines), then the fixed 1e-4 scale
+    "events_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |      FROM daily GROUP BY event_type HAVING COUNT(*) >= 2)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        | CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |   / 10000.0 AS slope_per_day
+        |FROM m ORDER BY event_type""".stripMargin,
     // events_anomaly: exact integer 1e-4-unit daily sums and exact
     // decimal moments; the z expression mirrors the Spark side
     // token-for-token so the double bits agree

@@ -260,6 +260,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(crafted.find(_._3).get._2 == 1000.0)
   }
 
+  test("A47 trend: exact OLS slope on a crafted linear series; flat series slope 0") {
+    import spark.implicits._
+    // type "up": value = 5 + 3·d per day (one event/day) → slope exactly 3;
+    // type "fl": constant 7 → slope exactly 0
+    val base = (0 until 10).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00")
+      Seq((d.toLong, ts, 1L, "up", 5.0 + 3 * d, "{}"),
+        (100L + d, ts, 1L, "fl", 7.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_a47_").toString
+    base.write.parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.eventsTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("fl", 10L, 0.0), ("up", 10L, 3.0)))
+    // the real table: one row per type with ≥2 days, finite slopes
+    val real = operators.Analytics.eventsTrend(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
   test("A46 quantile sketch: merge-identical, within the 1/16 relative bound of exact, partition-invariant") {
     import org.apache.spark.sql.functions._
     import operators.Analytics
