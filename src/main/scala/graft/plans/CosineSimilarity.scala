@@ -207,3 +207,85 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native codegen'd EXACT integer dot product over two `array<long>`
+  * columns — the fixed-point twin of [[DotProduct]], sitting under
+  * every portable integer-distance path (k-means assignment, portable
+  * IVF/PQ quantization, SemDeDup's cluster scoping, diverse sampling):
+  * those compute |a|² + |b|² − 2·a·b per (row, seed) from long dots,
+  * and the composed `aggregate(zip_with(...))` form runs INTERPRETED
+  * (both HOFs are CodegenFallback) with an intermediate array per
+  * (row, seed). This is one fused allocation-free loop in the stage's
+  * generated code. Exactness is free: integer addition is associative,
+  * so ANY evaluation order gives the identical long — the
+  * bit-compatibility contract the fixed-point oracles rely on needs no
+  * fold-order clause here. Null array / length mismatch / null element
+  * → null (the zip_with contract). */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got $other")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    if (bd.numElements() != n) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (ad.isNullAt(i) || bd.isNullAt(i)) return null
+      dot += ad.getLong(i) * bd.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = left.genCode(ctx)
+    val rg = right.genCode(ctx)
+    val a = ctx.freshName("a")
+    val b = ctx.freshName("b")
+    val n = ctx.freshName("n")
+    val bad = ctx.freshName("bad")
+    val dot = ctx.freshName("dot")
+    val i = ctx.freshName("i")
+    ev.copy(code = code"""
+      ${lg.code}
+      ${rg.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${lg.isNull} && !${rg.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = ${lg.value};
+        org.apache.spark.sql.catalyst.util.ArrayData $b = ${rg.value};
+        int $n = $a.numElements();
+        if ($b.numElements() == $n) {
+          boolean $bad = false;
+          long $dot = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            $dot += $a.getLong($i) * $b.getLong($i);
+          }
+          if (!$bad) { ${ev.isNull} = false; ${ev.value} = $dot; }
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}

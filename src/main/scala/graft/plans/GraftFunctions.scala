@@ -34,6 +34,12 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 
+  /** Codegen'd EXACT integer dot product (see [[LongDot]]); equals the
+    * composed `aggregate(zip_with(...))` fold on every input (integer
+    * addition is order-independent). */
+  def dotLong(a: Column, b: Column): Column =
+    bridge.column(LongDot(bridge.expression(a), bridge.expression(b)))
+
   /** Codegen'd IVF coarse assignment (see [[NearestCentroid]]);
     * bit-identical to array_position(array_min) over the composed
     * distance transform, first-min tie-break included. */

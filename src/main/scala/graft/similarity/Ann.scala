@@ -155,8 +155,15 @@ object Ann {
 
   /** Long inner product of two integer-scaled vectors — exact, and
     * order-independent (integer addition is associative), so any engine
-    * computing it over the same values gets the same long. */
+    * computing it over the same values gets the same long. Native
+    * codegen'd expression (r7 cont.): the composed HOF form ran
+    * interpreted in every (row × seed) distance of the fixed-point
+    * paths; [[dotLComposed]] stays as the spec's equivalence
+    * reference. */
   private def dotL(a: Column, b: Column): Column =
+    graft.plans.GraftFunctions.dotLong(a, b)
+
+  private[graft] def dotLComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
 
   /** Engine-PORTABLE IVF twin (L7d of the A14b/L3b/L7b md5 idiom): the

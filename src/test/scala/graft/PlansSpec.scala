@@ -136,6 +136,34 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("LongDot equals the composed integer fold; nulls propagate; big values exact") {
+    val rnd = new scala.util.Random(11)
+    val dims = Seq(1, 2, 64, 65)
+    val vecs = dims.flatMap { d =>
+      (0 until 6).map(_ => Seq.fill(d)(rnd.nextLong() % 1048576L))
+    }
+    val pairs = for (a <- vecs; b <- vecs if a.length == b.length) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(graft.plans.GraftFunctions.dotLong(col("a"), col("b")).as("native"),
+        graft.similarity.Ann.dotLComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // JVM-exact too (the oracles' ground truth)
+    pairs.zip(got).foreach { case ((a, b), r) =>
+      assert(r.getLong(0) == a.zip(b).map { case (x, y) => x * y }.sum)
+    }
+    // null propagation: length mismatch, null element, null array
+    val edge = Seq(
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(1L)))),
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(1L), Some(2L)))),
+      (None, Some(Seq(Some(1L)))))
+      .toDF("a", "b")
+      .select(graft.plans.GraftFunctions.dotLong(col("a"), col("b")).as("native"),
+        graft.similarity.Ann.dotLComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    edge.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"expected null/null, got $r"))
+  }
+
   test("NearestCentroid equals the composed argmin, first-min tie-break included") {
     val rnd = new scala.util.Random(7)
     val dim = 8
