@@ -257,6 +257,53 @@ object Streams {
         graft.operators.Curation.linearScoreMicros(weights).as("score_micros"))
       .withColumn("accept", col("score_micros") >= thresholdMicros)
 
+  /** S28: streaming running-trend monitor — A47's serving twin, and
+    * the cleanest demonstration that exact-integer MOMENTS are
+    * streaming state: each micro-batch's newly CLOSED (type, day)
+    * windows (the append rows of the watermark'd daily aggregate) fold
+    * into per-type OLS moments (n, Σx, Σy, Σxy, Σx²) — five longs per
+    * type, updated by pure addition, so arrival order and batch split
+    * cannot change the model — and every batch emits each updated
+    * type's running least-squares slope through A47's exact division.
+    * The live "is this metric drifting" readout that sharpens as days
+    * close. foreachBatch because the moment fold CONSUMES a windowed
+    * aggregate (chained stateful operators; the S22 precedent), with
+    * the bounded per-type state held by the sink closure. */
+  def trendMonitorSink(
+      stream: DataFrame,
+      out: DataFrame => Unit,
+      watermarkDelay: String = "1 day"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val daily = stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("si"))
+      .select(col("event_type"),
+        (unix_millis(col("window.start")) / 86400000L).cast("long").as("x"),
+        col("si").as("y"))
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
+    daily.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // closed windows only: ≤ types × days/batch
+        val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+        rows.foreach { r =>
+          val (ty, x, y) = (r.getString(0), r.getLong(1), r.getLong(2))
+          val (n, sx, sy, sxy, sxx) = state.getOrElse(ty, (0L, 0L, 0L, 0L, 0L))
+          state(ty) = (n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x)
+          touched += ty
+        }
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val emitted = touched.toSeq.map { ty =>
+          val (n, sx, sy, sxy, sxx) = state(ty)
+          val slope =
+            if (n < 2) Double.NaN
+            else (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble / 10000.0
+          (ty, n, slope)
+        }
+        out(emitted.toDF("event_type", "n_days", "slope_per_day"))
+    }
+  }
+
   /** S27: streaming media-ingest monitor — the multimodal codec-health
     * gate at landing (the missing streaming leg of the L12 family):
     * arriving (doc_id, ts, media) binaries decode STATELESS inside each

@@ -551,6 +551,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Graft.clearOperatorCaches()
   }
 
+  test("r7 tail: training sequences keep every window shard-partitioned; vocab coverage reuses one cached explode") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val merges = operators.Curation.trainBpeMerges(docs, k = 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = operators.Curation.bpeVocabulary(docs, merges)
+    val seqs = operators.Curation.trainingSequences(docs, merges, vocab, 64, shards = 4)
+    seqs.collect()
+    val windows = allNodes(seqs.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in the packing layout:\n$w"))
+    // L51: one cached token explode feeds both the vocab top-V and the
+    // coverage join — no third corpus scan
+    try {
+      val vc = operators.Curation.vocabCoverage(docs, 20)
+      val plan = executedPlan(vc)
+      assert(plan.contains("InMemoryTableScan"),
+        s"vocab coverage did not cache the token explode:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    } finally Graft.clearOperatorCaches()
+  }
+
   test("r7 trainers + quantile sketch: bounded-exchange scan-riding shapes") {
     // L49 one Lloyd iteration: the scatter repartition, ONE
     // map-side-combined (cl,pos) aggregate, and the output sort — the

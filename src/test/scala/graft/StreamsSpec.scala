@@ -149,6 +149,37 @@ class StreamsSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("S28: streaming running trend equals the batch OLS over each type's closed days") {
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+    val q = Streams.trendMonitorSink(stream, df =>
+      got.synchronized { got ++= df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))) })
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.nonEmpty, "no windows closed under the watermark")
+    // last emission per type carries the full folded state
+    val last = got.groupBy(_._1).map { case (ty, es) => ty -> es.last }
+    // expected: exact OLS over the type's n_days EARLIEST days (the
+    // watermark closes windows in event-time order)
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val daily = ev.groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+      .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    last.foreach { case (ty, (_, nDays, slope)) =>
+      val days = daily(ty).sortBy(_._2).take(nDays.toInt)
+      assert(days.length == nDays.toInt, s"$ty: closed more days than exist")
+      val n = days.length.toLong
+      val (sx, sy) = (days.map(_._2).sum, days.map(_._3).sum)
+      val sxy = days.map(d => d._2 * d._3).sum
+      val sxx = days.map(d => d._2 * d._2).sum
+      val exp = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble / 10000.0
+      assert(slope == exp, s"$ty: streaming slope $slope != batch $exp over $n closed days")
+    }
+    // every type with ≥2 closed days reports a finite slope
+    assert(last.values.exists(v => v._2 >= 2 && !v._3.isNaN))
+  }
+
   test("S27: streaming media monitor equals batch decode stats; corrupt objects surface as unknown") {
     import graft.multimodal.Media
     val docs = GraftSession.table(spark, sfDir, "documents")
