@@ -262,7 +262,9 @@ object Bench {
     calibrate(spark) // Janino/JIT warm for both probe shapes
     val (js1, ss1) = calibrate(spark)
     val (js2, ss2) = calibrate(spark)
-    val calibStart = s"""{"jvm_mix_268m":${math.min(js1, js2)},"spark_hash_2048m":${math.min(ss1, ss2)}}"""
+    def cs4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val calibStart = s"""{"jvm_mix_268m":${cs4(math.min(js1, js2))},"spark_hash_2048m":${cs4(math.min(ss1, ss2))}}"""
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
@@ -279,12 +281,19 @@ object Bench {
     } ++ (if (withStream) streamBench(spark, sfDir, errors) else Nil)
     val (j1, s1) = calibrate(spark)
     val (j2, s2) = calibrate(spark)
-    val calib = s"""{"jvm_mix_268m":${math.min(j1, j2)},"spark_hash_2048m":${math.min(s1, s2)}}"""
-    // 4-decimal timings (0.1 ms grain): full double precision would push
-    // the ~32-entry dict near the driver's 2 KB tail budget by itself
+    def c4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // calib values at 4 decimals: with the 71-entry queries dict the
+    // tail budget is counted in single characters (see below)
+    val calib = s"""{"jvm_mix_268m":${c4(math.min(j1, j2))},"spark_hash_2048m":${c4(math.min(s1, s2))}}"""
+    // 3-decimal timings (1 ms grain, well under any query's ~50 ms
+    // floor): at 71 entries a 4-decimal dict alone is ~1.92 KB and
+    // pushes calib_start past the driver's 2 KB tail window — the exact
+    // truncation class VERDICT r6 #5 flagged. 3 decimals + 4-decimal
+    // calib keeps calib_start+calib+queries+value inside ~2.0 KB.
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1"
-        else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
+        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
