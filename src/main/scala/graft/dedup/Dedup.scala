@@ -81,6 +81,45 @@ object Dedup {
       maxDf: Int = 128): DataFrame =
     ngramJaccardFrom(shingled(docs, n, bandWidth), tau, maxDf)
 
+  /** L55: dedup threshold-sensitivity report — the calibration table a
+    * dedup rollout reads BEFORE choosing τ ("how aggressive should
+    * dedup be"): for each candidate threshold, how many verified pairs
+    * qualify and how many documents are touched. ONE verified-pair
+    * pass at the floor threshold feeds every candidate τ (a pair
+    * qualifies for all τ ≤ its jaccard; a doc for all τ ≤ its best
+    * pair's jaccard) — rerunning the dedup per candidate is the
+    * anti-pattern this table exists to avoid. Thresholds compare as
+    * INTEGER MICROS against round(jaccard·1e6) so the τ = j boundary
+    * is engine-exact (a raw double compare at e.g. 0.65 is not).
+    * Candidate τs with nothing qualifying still emit (zeros). */
+  def thresholdReport(docs: DataFrame,
+      tauMicros: Seq[Long] = (6 to 19).map(_ * 50000L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val floor = tauMicros.min.toDouble / 1000000.0
+    val pairs = graft.OperatorCache.cached(
+      ngramJaccardPairs(docs, tau = floor)
+        .withColumn("__j6", round(col("jaccard") * 1000000, 0).cast("long")))
+    val tl = typedLit(tauMicros.sorted)
+    val byPair = pairs.select(col("__j6"), explode(tl).as("tau_micros"))
+      .filter(col("__j6") >= col("tau_micros"))
+      .groupBy("tau_micros").agg(count(lit(1)).as("n_pairs"))
+    val byDoc = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"), col("__j6"))
+      .groupBy("doc_id").agg(max(col("__j6")).as("__best"))
+      .select(col("__best"), explode(tl).as("tau_micros"))
+      .filter(col("__best") >= col("tau_micros"))
+      .groupBy("tau_micros").agg(count(lit(1)).as("n_docs"))
+    tauMicros.sorted.toDF("tau_micros")
+      .join(byPair, Seq("tau_micros"), "left")
+      .join(byDoc, Seq("tau_micros"), "left")
+      .select(col("tau_micros"),
+        (col("tau_micros").cast("double") / 1000000.0).as("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("tau_micros")
+  }
+
   /** Adaptive-threshold variant of [[ngramJaccardPairs]]: instead of a
     * fixed df cut, the threshold is
     * `greatest(minDf, floor(percentile(df, dfQuantile)))` over the

@@ -459,6 +459,9 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    // L55: τ calibration table from one verified-pair pass
+    "dedup_threshold_report" -> ((s, dir) =>
+      Dedup.thresholdReport(t(s, dir, "documents"))),
     "dedup_jaccard_adaptive" -> dedupJaccardAdaptive,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_portable" -> dedupMinhashPortable,
@@ -764,6 +767,27 @@ object PipelineQueries {
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> s"$jaccardOracleBody\nORDER BY a_id, b_id",
+    // dedup_threshold_report: the shared jaccard CTE + integer-micros
+    // cumulative counts per candidate τ (pairs ≥ τ; docs whose best
+    // pair ≥ τ); zero rows still emit
+    "dedup_threshold_report" ->
+      s"""WITH jp AS ($jaccardOracleBody),
+         |j6 AS (SELECT a_id, b_id, CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) AS j
+         |       FROM jp),
+         |taus AS (SELECT CAST(t * 50000 AS BIGINT) AS tau_micros FROM range(6, 20) r(t)),
+         |pc AS (SELECT tau_micros, COUNT(*) AS n_pairs
+         |       FROM taus JOIN j6 ON j >= tau_micros GROUP BY tau_micros),
+         |db AS (SELECT doc_id, MAX(j) AS best FROM (
+         |        SELECT a_id AS doc_id, j FROM j6
+         |        UNION ALL SELECT b_id AS doc_id, j FROM j6) GROUP BY doc_id),
+         |dc AS (SELECT tau_micros, COUNT(*) AS n_docs
+         |       FROM taus JOIN db ON best >= tau_micros GROUP BY tau_micros)
+         |SELECT t.tau_micros, CAST(t.tau_micros AS DOUBLE) / 1000000.0 AS tau,
+         | CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+         | CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+         |FROM taus t LEFT JOIN pc USING (tau_micros) LEFT JOIN dc USING (tau_micros)
+         |ORDER BY tau_micros""".stripMargin,
+
     // source_quality: the L32 span CTEs + the text_quality stopword
     // expression rolled up per source with exact integer-micros means
     "source_quality" ->

@@ -659,6 +659,23 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("L55 threshold report equals an independent recompute; every candidate τ emits") {
+    val taus = (6 to 19).map(_ * 50000L)
+    val got = Dedup.thresholdReport(docs, taus).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == taus)
+    val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1000000)))
+    val best = (pairs.map(p => (p._1, p._3)) ++ pairs.map(p => (p._2, p._3)))
+      .groupBy(_._1).map { case (id, js) => id -> js.map(_._2).max }
+    got.foreach { case (t, nPairs, nDocs) =>
+      assert(nPairs == pairs.count(_._3 >= t), s"pairs at tau=$t")
+      assert(nDocs == best.count(_._2 >= t), s"docs at tau=$t")
+    }
+    assert(got.head._2 > 0, "floor threshold found no pairs — vacuous corpus")
+    Graft.clearOperatorCaches()
+  }
+
   test("L49 distributed k-means: k=1 degenerates to the global mean; Lloyd descends; partition-invariant") {
     // k=1: one iteration's centroid is the half-away-rounded mean of the
     // floor(x·2^20) integer coordinates, independently recomputed here
