@@ -989,6 +989,37 @@ object Analytics {
     sketchQuantiles(cells, Seq("event_type")).orderBy("event_type")
   }
 
+  /** A48: numeric table profile — the `read.table` → pandas
+    * `.describe()` workflow the reference's users run client-side,
+    * pushed into the engine as ONE distributed pass: per column,
+    * non-null count, null count, exact distinct count, min/max, and an
+    * exact-integer mean (values cut to DECIMAL(18,4) 1e-4 units, summed
+    * exactly, divided half-away — engine-exact, unlike a float mean).
+    * The multi-column distinct counts plan as one Expand over the
+    * single scan (Spark's multi-count-distinct rewrite) — no per-column
+    * re-scan; the wide 1-row aggregate unpivots via `stack`. The
+    * profile a data owner reads before trusting a new drop. */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        sum((col(c).cast("decimal(18,4)") * 10000).cast("long")).as(s"__s_$c"))
+    }
+    val entries = cols.map { c =>
+      s"'$c', __n_$c, __nn_$c, __d_$c, __mn_$c, __mx_$c, " +
+        s"cast(cast(signum(__s_$c) as bigint) * " +
+        s"((2 * abs(__s_$c) + __n_$c) div (2 * __n_$c)) as double) / 10000.0"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $entries) as " +
+        "(col_name, n_values, n_nulls, n_distinct, min_v, max_v, mean_v)")
+      .orderBy("col_name")
+  }
+
   /** A45 driver entry (rows-only — DuckDB's approx_distinct is a
     * different HLL implementation, no cross-engine oracle): per-type
     * daily sketches over events unioned to per-type estimates, with the
@@ -1201,6 +1232,9 @@ object Analytics {
     "events_distinct_sketch" -> eventsDistinctSketch,
     "events_quantile_sketch" -> eventsQuantileSketch,
     "events_trend" -> eventsTrend,
+    // A48: the describe() profile over lineitem's measure columns
+    "profile_numeric" -> ((sp, dir) => profileNumeric(t(sp, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     "approx_distinct" -> approxDistinct,
     "sample_hash" -> sampleHash,
     "sample_hash_portable" -> sampleHashPortable,
@@ -1694,6 +1728,49 @@ object Analytics {
         | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
         |   / 10000.0 AS p99
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // profile_numeric: per-column UNION ALL mirror of the one-pass
+    // profile; the mean is the same half-away integer-micros division
+    "profile_numeric" ->
+      """SELECT 'l_discount' AS col_name, CAST(COUNT(l_discount) AS BIGINT) AS n_values,
+        | CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+        | CAST(MIN(l_discount) AS DOUBLE) AS min_v, CAST(MAX(l_discount) AS DOUBLE) AS max_v,
+        | CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+        |      ELSE (2 * s + n) // (2 * n) END AS DOUBLE) / 10000.0 AS mean_v
+        |FROM lineitem, (SELECT COUNT(l_discount) AS n,
+        | SUM(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS s FROM lineitem) m
+        |GROUP BY n, s
+        |UNION ALL
+        |SELECT 'l_extendedprice' AS col_name, CAST(COUNT(l_extendedprice) AS BIGINT) AS n_values,
+        | CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS n_distinct,
+        | CAST(MIN(l_extendedprice) AS DOUBLE) AS min_v, CAST(MAX(l_extendedprice) AS DOUBLE) AS max_v,
+        | CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+        |      ELSE (2 * s + n) // (2 * n) END AS DOUBLE) / 10000.0 AS mean_v
+        |FROM lineitem, (SELECT COUNT(l_extendedprice) AS n,
+        | SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS s FROM lineitem) m
+        |GROUP BY n, s
+        |UNION ALL
+        |SELECT 'l_quantity' AS col_name, CAST(COUNT(l_quantity) AS BIGINT) AS n_values,
+        | CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        | CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+        | CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+        |      ELSE (2 * s + n) // (2 * n) END AS DOUBLE) / 10000.0 AS mean_v
+        |FROM lineitem, (SELECT COUNT(l_quantity) AS n,
+        | SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS s FROM lineitem) m
+        |GROUP BY n, s
+        |UNION ALL
+        |SELECT 'l_tax' AS col_name, CAST(COUNT(l_tax) AS BIGINT) AS n_values,
+        | CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | CAST(COUNT(DISTINCT l_tax) AS BIGINT) AS n_distinct,
+        | CAST(MIN(l_tax) AS DOUBLE) AS min_v, CAST(MAX(l_tax) AS DOUBLE) AS max_v,
+        | CAST(CASE WHEN s < 0 THEN -((2 * (-s) + n) // (2 * n))
+        |      ELSE (2 * s + n) // (2 * n) END AS DOUBLE) / 10000.0 AS mean_v
+        |FROM lineitem, (SELECT COUNT(l_tax) AS n,
+        | SUM(CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS s FROM lineitem) m
+        |GROUP BY n, s
+        |ORDER BY col_name""".stripMargin,
     // events_trend: exact integer OLS moments over the A44 daily sums;
     // the slope is one division of two exact integers (identical
     // long→double rounding in both engines), then the fixed 1e-4 scale

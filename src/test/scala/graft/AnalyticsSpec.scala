@@ -260,6 +260,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(crafted.find(_._3).get._2 == 1000.0)
   }
 
+  test("A48 profile: nulls, distincts and exact means on a crafted table; one scan with Expand") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(1.0), Some(0.5)), (Some(2.0), None),
+      (None, None), (Some(2.0), Some(1.5)))
+      .toDF("a", "b")
+    val got = operators.Analytics.profileNumeric(df, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // mean(a) = 5/3 → 16667 half-up micros-of-1e-4 → 1.6667
+    assert(got == Seq(
+      ("a", 3L, 1L, 2L, 1.0, 2.0, 1.6667),
+      ("b", 2L, 2L, 2L, 0.5, 1.5, 1.0)))
+    // plan shape on the real table: ONE parquet scan; the multi-column
+    // distinct counts ride it through one Expand, never per-column scans
+    val prof = operators.Analytics.profileNumeric(
+      GraftSession.table(spark, sfDir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    prof.collect()
+    val plan = prof.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"profile re-scanned the table:\n$plan")
+    assert(plan.contains("Expand"), s"multi-distinct did not plan as Expand:\n$plan")
+  }
+
   test("A47 trend: exact OLS slope on a crafted linear series; flat series slope 0") {
     import spark.implicits._
     // type "up": value = 5 + 3·d per day (one event/day) → slope exactly 3;
