@@ -37,6 +37,58 @@ object ParquetLayout {
     df.repartition(partCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** C39: CDF-driven incremental mirror sync — keep a hive-partitioned
+    * downstream COPY of a managed table fresh by rewriting ONLY the
+    * partitions the change-data-feed touched (C25 × C36): the
+    * "downstream mirror" maintenance job every lakehouse runs for
+    * consumers that can't read the store's bucketed layout. The cost is
+    * proportional to CHANGED partitions, not table size — at 100 TB a
+    * nightly sync rewrites a handful of date directories, never the
+    * tree.
+    *
+    *  - touched partition values = distinct partition-column values in
+    *    `readChanges(from, to)` (pre- and post-images both count, so a
+    *    row MOVING between partitions rewrites both sides);
+    *  - rewrite via dynamic partition overwrite (only written
+    *    partitions replace; untouched directories keep their exact
+    *    files — spec pins file identity);
+    *  - a partition whose rows all vanished writes nothing under
+    *    dynamic overwrite, so its stale directory is deleted
+    *    explicitly.
+    *
+    * Returns the touched partition values (rendered), for the sync
+    * job's own audit log. */
+  def syncMirror(
+      store: graft.store.TableStore,
+      table: String,
+      mirrorPath: String,
+      partCol: String,
+      fromGen: Int,
+      toGen: Int): Seq[String] = {
+    val changes = store.readChanges(table, fromGen, toGen)
+    val touched = changes.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+    val current = store.readTable(table)
+      .filter(col(partCol).cast("string").isInCollection(touched))
+    current
+      .repartition(col(partCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(mirrorPath)
+    // stale directories of fully-deleted partitions
+    val live = current.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    touched.filterNot(live).foreach { v =>
+      val dir = new java.io.File(s"$mirrorPath/$partCol=$v")
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+    touched
+  }
+
   /** Read a partitioned export back. Partition values come from the
     * directory names (strings for string columns; Spark infers
     * numeric/date partition values natively), and predicates on them

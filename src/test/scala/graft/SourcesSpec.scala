@@ -102,6 +102,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.primaryKeyViolations("t").count() > 0)
   }
 
+  test("C39 mirror sync: rewrites only changed partitions, prunes fully-deleted ones, file-identity elsewhere") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ParquetLayout
+    import graft.store.TableStore
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_c39_").toString)
+    store.createTable("t",
+      Seq("k" -> "bigint", "grp" -> "varchar(8)", "v" -> "bigint"), Seq("k"))
+    store.insert("t", Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "grp", "v"))
+    val mirror = tmp("mirror")
+    ParquetLayout.exportPartitioned(store.readTable("t"), mirror, Seq("grp"))
+    val gen0 = store.snapshots("t").map(_._1).max
+    def files(grp: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$mirror/grp=$grp")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val dBefore = files("d")
+    assert(dBefore.nonEmpty)
+    // mutate: update a, insert into b, delete ALL of c; d untouched
+    store.update("t", Seq((1L, "a", 11L)).toDF("k", "grp", "v"))
+    store.insert("t", Seq((5L, "b", 50L)).toDF("k", "grp", "v"))
+    store.delete("t", Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    val gen1 = store.snapshots("t").map(_._1).max
+    val touched = ParquetLayout.syncMirror(store, "t", mirror, "grp", gen0, gen1)
+    assert(touched == Seq("a", "b", "c"))
+    // the mirror serves the table's exact current content
+    val got = spark.read.parquet(mirror)
+      .select(col("k").cast("long"), col("grp"), col("v").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 11L), (2L, "b", 20L), (5L, "b", 50L), (4L, "d", 40L)))
+    // untouched partition keeps its exact files; deleted one is gone
+    assert(files("d") == dBefore, "sync rewrote an untouched partition")
+    assert(files("c").isEmpty && !new java.io.File(s"$mirror/grp=c").exists())
+  }
+
   test("C36 partitioned export: lossless round-trip, and a partition filter reads ONLY the matching directory") {
     import org.apache.spark.sql.functions._
     import graft.sources.ParquetLayout
