@@ -206,6 +206,13 @@ final case class Graft(
     def rebucket(name: String, buckets: Int): Unit = store.rebucket(name, buckets)
     /** File counts each skip layer leaves for a WHERE (metadata-only) —
       * the "will this read be fast" probe; see TableStore.explainPruning. */
+    /** CDF-driven incremental mirror sync (C39) — rewrite only the
+      * partitions the change feed touched; see ParquetLayout.syncMirror. */
+    def syncMirror(name: String, mirrorPath: String, partitionBy: String,
+        fromGen: Int, toGen: Int): Seq[String] =
+      graft.sources.ParquetLayout.syncMirror(store, name, mirrorPath,
+        partitionBy, fromGen, toGen)
+
     def explainPruning(name: String, where: String): Map[String, Long] =
       store.explainPruning(name, where)
   }

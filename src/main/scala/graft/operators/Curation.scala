@@ -563,6 +563,34 @@ object Curation {
       .orderBy("pack_shard", "seq_id")
   }
 
+  /** L56: tokenizer fertility report — the second multilingual-fairness
+    * audit beside L51's OOV share: per language, how many BPE tokens
+    * the trained tokenizer spends per word and per character
+    * (Ács/Scao-style "fertility"). A language whose fertility is far
+    * above the corpus mean pays more context budget per sentence —
+    * the signal that the merge table under-serves it. Rides
+    * [[applyBpe]]'s per-doc counts (scan-side merge replay, no
+    * shuffle) into a language-sized rollup; ratios are half-up integer
+    * micros over exact token/char sums — engine-exact arithmetic even
+    * though the BPE replay itself has no ANSI oracle (rows-only; the
+    * classic-twin contract lives in the L53 spec). */
+  def fertilityReport(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val perDoc = applyBpe(docs, merges)
+    docs.select(col("doc_id"), col("lang"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("__chars"))
+      .join(perDoc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_words"),
+        sum(col("bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("__chars")).as("n_chars"))
+      .withColumn("tokens_per_word", expr(
+        "cast((2 * 1000000 * n_bpe_tokens + n_words) div (2 * n_words) as double)") / 1000000.0)
+      .withColumn("tokens_per_char", expr(
+        "cast((2 * 1000000 * n_bpe_tokens + n_chars) div (2 * n_chars) as double)") / 1000000.0)
+      .orderBy("lang")
+  }
+
   /** Corpus n-gram statistics (L35): top-k word n-grams by total
     * occurrence count with exact document frequency — the vocabulary
     * census a tokenizer-training or contamination-audit step starts

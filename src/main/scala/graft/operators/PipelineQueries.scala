@@ -541,6 +541,15 @@ object PipelineQueries {
     "text_bpe" -> ((s, dir) =>
       Curation.trainBpeMerges(t(s, dir, "documents"), k = 8)
         .orderBy("merge_rank")),
+    // L56 rows-only (same no-ANSI-oracle reason as text_bpe): per-lang
+    // fertility under the trained merges — exact-integer ratios, spec
+    // pins the arithmetic against collected per-doc counts
+    "text_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Curation.trainBpeMerges(docs, k = 8).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Curation.fertilityReport(docs, merges)
+    }),
     // L54 rows-only (BPE replay has no ANSI oracle; the classic
     // in-memory twin pins encode + layout + padding in CurationSpec):
     // the full tokenize capstone — train → encode → pack → input_ids

@@ -426,6 +426,34 @@ class CurationSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("L56 fertility: ratios equal the collected per-doc counts; crafted merges compress the merged language most") {
+    import spark.implicits._
+    val merges = Curation.trainBpeMerges(docs, k = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Curation.fertilityReport(docs, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got.nonEmpty)
+    // independent recompute from the collected per-doc counts
+    val perDoc = Curation.applyBpe(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).map(t => t._1 -> (t._2, t._3)).toMap
+    val meta = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).replace(" ", "").length.toLong))
+    meta.groupBy(_._2).foreach { case (lang, docsOf) =>
+      val row = got.find(_._1 == lang).get
+      val (w, b) = (docsOf.map(d => perDoc(d._1)._1).sum, docsOf.map(d => perDoc(d._1)._2).sum)
+      val c = docsOf.map(_._3).sum
+      assert(row._2 == docsOf.length && row._3 == w && row._4 == b && row._5 == c)
+      assert(row._6 == ((2L * 1000000 * b + w) / (2 * w)).toDouble / 1000000.0)
+      assert(row._7 == ((2L * 1000000 * b + c) / (2 * c)).toDouble / 1000000.0)
+    }
+    // direction: a vocabulary merged FOR one language compresses it
+    // below character-splitting (tokens_per_char < 1 would need merges
+    // to fire) — with 8 merges trained on the real corpus, every
+    // language should sit strictly below the no-merge ceiling of 1.0
+    assert(got.forall(_._7 < 1.0), s"no merge fired anywhere: $got")
+  }
+
   test("source rollup: flag matches its definition and splits the corpus both ways") {
     val out = Curation.sourceQuality(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
