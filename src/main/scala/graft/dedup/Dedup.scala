@@ -179,6 +179,33 @@ object Dedup {
     jaccardFromKept(kept, tau)
   }
 
+  /** L57: near-dup pair EXPLAIN — the operational "why did these two
+    * documents pair" surface a dedup rollout owes its data owners: the
+    * corpus's TOP verified pair (jaccard desc, id tie-break) together
+    * with every informative shingle the verdict rests on (the df-cut
+    * survivors both sides share) and each shingle's block document
+    * frequency. Runs on RAW shingle text, not the scale path's xxhash64
+    * — hashes explain nothing to a human, and the text is what the
+    * ANSI oracle can compare. Cost: one shingle+cut pass (shared via
+    * cache between the pair ranking and the explain join) — the output
+    * is one pair's shingles, never corpus-sized. */
+  def explainTopPair(docs: DataFrame, n: Int = 3, bandWidth: Int = 50,
+      maxDf: Int = 128, tau: Double = 0.3): DataFrame = {
+    val ex = shingled(docs, n, bandWidth)
+      .select(col("doc_id"), col("lang"), col("__band"), explode(col("__sh")).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "__band", "__s")
+    val kept = cached(ex.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf))
+    val top = jaccardFromKept(kept, tau)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(1)
+    top
+      .join(kept.select(col("doc_id").as("a_id"), col("__s"), col("__df")), "a_id")
+      .join(kept.select(col("doc_id").as("b_id"), col("__s")), Seq("b_id", "__s"))
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        col("__s").as("shingle"), col("__df").as("df"))
+      .orderBy("shingle")
+  }
+
   /** Intersection counts + set sizes + threshold over a df-cut shingle
     * relation (shared by the fixed and adaptive cuts). Pair generation
     * runs through the custom [[graft.plans.Pairs]] operator: one

@@ -459,6 +459,9 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    // L57: the corpus's top pair with its shared informative shingles
+    "dedup_explain_pair" -> ((s, dir) =>
+      Dedup.explainTopPair(t(s, dir, "documents"))),
     // L55: τ calibration table from one verified-pair pass
     "dedup_threshold_report" -> ((s, dir) =>
       Dedup.thresholdReport(t(s, dir, "documents"))),
@@ -686,7 +689,11 @@ object PipelineQueries {
 
   /** Exact-jaccard oracle body (no ORDER BY — reused standalone and
     * inside the portable-families union). */
-  private val jaccardOracleBody: String =
+  /** The shared jaccard CTE prefix (tok → shingles → df-cut kept →
+    * sizes → intersection pairs) — reused by the pair oracle, the L55
+    * threshold oracle and the L57 explain oracle so the blocking and
+    * df-cut semantics cannot drift between them. */
+  private val jaccardKeptCtes: String =
     """WITH tok AS (
       | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band, string_split(text, ' ') AS toks
       | FROM documents),
@@ -702,7 +709,10 @@ object PipelineQueries {
       |pairs AS (
       | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
       | FROM kept a JOIN kept b ON a.s = b.s AND a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-      | GROUP BY a.doc_id, b.doc_id)
+      | GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  private val jaccardOracleBody: String =
+    s"""$jaccardKeptCtes
       |SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
       |FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
       |WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3""".stripMargin
@@ -776,6 +786,21 @@ object PipelineQueries {
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dedup_ngram_jaccard" -> s"$jaccardOracleBody\nORDER BY a_id, b_id",
+    // dedup_explain_pair: the shared kept CTEs + the top pair by
+    // (jaccard desc, ids) joined back to both sides' surviving shingles
+    "dedup_explain_pair" ->
+      s"""$jaccardKeptCtes,
+         |jp AS (SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+         |  FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |  WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3),
+         |top AS (SELECT a_id, b_id, jaccard FROM (
+         |  SELECT jp.*, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a_id, b_id) AS rn
+         |  FROM jp) WHERE rn = 1)
+         |SELECT t.a_id, t.b_id, t.jaccard, k.s AS shingle, CAST(k.df AS BIGINT) AS df
+         |FROM top t
+         | JOIN kept k ON k.doc_id = t.a_id
+         | JOIN kept k2 ON k2.doc_id = t.b_id AND k2.s = k.s
+         |ORDER BY shingle""".stripMargin,
     // dedup_threshold_report: the shared jaccard CTE + integer-micros
     // cumulative counts per candidate τ (pairs ≥ τ; docs whose best
     // pair ≥ τ); zero rows still emit

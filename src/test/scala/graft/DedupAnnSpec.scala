@@ -659,6 +659,23 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("L57 explain: one pair, its jaccard matches the pair relation, shingles distinct and informative") {
+    val ex = Dedup.explainTopPair(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3), r.getLong(4)))
+    assert(ex.nonEmpty)
+    // exactly one pair explained, and it is the TOP pair by the ranking
+    assert(ex.map(t => (t._1, t._2, t._3)).distinct.length == 1)
+    val (a, b, j) = (ex.head._1, ex.head._2, ex.head._3)
+    val top = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .minBy(t => (-t._3, t._1, t._2))
+    assert((a, b, j) == top)
+    // the evidence is real: distinct informative shingles under the cut
+    assert(ex.map(_._4).distinct.length == ex.length)
+    assert(ex.forall(_._5 <= 128))
+    Graft.clearOperatorCaches()
+  }
+
   test("L55 threshold report equals an independent recompute; every candidate τ emits") {
     val taus = (6 to 19).map(_ * 50000L)
     val got = Dedup.thresholdReport(docs, taus).collect()
