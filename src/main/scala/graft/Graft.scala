@@ -193,6 +193,11 @@ final case class Graft(
     def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit =
       store.cluster(name, columns, filesTarget)
     /** Drop snapshot history older than the last `keepLast` generations. */
+    /** Vacuum dry-run (C40) — what a vacuum at this retention would
+      * free, per retired generation tree; see TableStore.vacuumDryRun. */
+    def vacuumDryRun(name: String, keepLast: Int = 1): DataFrame =
+      store.vacuumDryRun(name, keepLast)
+
     def vacuum(name: String, keepLast: Int = 1): Unit =
       store.vacuum(name, keepLast)
     /** Roll the table back to snapshot `gen` (data + schema) as a NEW

@@ -1332,6 +1332,39 @@ final class TableStore(
     audit(s"vacuum $name: kept generations >= $cutoff")
   }
 
+  /** C40: vacuum DRY-RUN — exactly what `vacuum(name, keepLast)` would
+    * free, without freeing it: the manifests to drop and, per retired
+    * generation tree, the file count and bytes reclaimed. Shares
+    * [[vacuum]]'s cutoff arithmetic verbatim (gens.takeRight(keepLast)
+    * .head), so the report can never promise a different cut than the
+    * real run takes — the retention-decision input a data owner reads
+    * next to [[history]] before destroying time travel. Metadata-only:
+    * one manifest listing + one recursive listing of the to-be-deleted
+    * trees (the trees being sized for deletion is the one case where
+    * listing them is the cheap path). */
+  def vacuumDryRun(name: String, keepLast: Int = 1): DataFrame = {
+    require(keepLast >= 1, "vacuumDryRun: keepLast must be >= 1")
+    import spark.implicits._
+    val gens = manifestGens(name)
+    if (gens.size <= keepLast)
+      return Seq.empty[(Int, Long, Long)].toDF("gen", "n_files", "bytes")
+    val cutoff = gens.takeRight(keepLast).head
+    val rows = fs.listStatus(historyPath(name))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
+      .filter(_.getPath.getName.stripPrefix("g").toInt <= cutoff)
+      .map { s =>
+        var n = 0L
+        var bytes = 0L
+        val it = fs.listFiles(s.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile) { n += 1; bytes += f.getLen }
+        }
+        (s.getPath.getName.stripPrefix("g").toInt, n, bytes)
+      }.toSeq.sortBy(_._1)
+    rows.toDF("gen", "n_files", "bytes")
+  }
+
   /** File-level pruning for a keyed read, two independent cuts composed:
     *
     *  1. BUCKET pruning (bucketed tables, no stats needed): when the

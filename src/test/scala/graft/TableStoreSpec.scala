@@ -1125,6 +1125,41 @@ class TableStoreSpec extends AnyFunSuite {
     assert(read.count() == 1)
   }
 
+  test("C40 vacuum dry-run: promises exactly what vacuum then frees; empty when nothing to free") {
+    val root = Files.createTempDirectory("graft_test_").toString
+    val store = new TableStore(spark, root)
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"))
+    store.insert("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    store.update("t", Seq((1L, 11L)).toDF("k", "v"))
+    store.update("t", Seq((2L, 21L)).toDF("k", "v"))
+    def treeBytes(root: java.io.File): Long =
+      if (!root.exists()) 0L
+      else if (root.isFile) root.length()
+      else root.listFiles().map(treeBytes).sum
+    val report = store.vacuumDryRun("t", keepLast = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(report.nonEmpty, "rewrites must have retired files to free")
+    assert(report.map(_._2).sum > 0 && report.map(_._3).sum > 0)
+    // the promised per-generation sizes match the real trees on disk
+    val rootDir = new java.io.File(root, "t/history")
+    val treesByGen = Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+      .map(f => f.getName.stripPrefix("g").toInt -> f).toMap
+    report.foreach { case (g, _, bytes) =>
+      assert(treeBytes(treesByGen(g)) >= bytes, s"g$g promised more than exists")
+    }
+    val promised = report.map(_._3).sum
+    val before = treeBytes(rootDir)
+    store.vacuum("t", keepLast = 1)
+    val after = treeBytes(rootDir)
+    // vacuum freed at LEAST the promised data bytes (plus manifests)
+    assert(before - after >= promised,
+      s"vacuum freed ${before - after}, promised $promised")
+    // and a fresh dry-run at the same retention has nothing left
+    assert(store.vacuumDryRun("t", keepLast = 1).collect()
+      .forall(r => r.getLong(1) == 0L))
+  }
+
   test("C38 history: per-generation file deltas match the manifests, metadata-only") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"))
