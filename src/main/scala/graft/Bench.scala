@@ -286,6 +286,21 @@ object Bench {
     // calib values at 4 decimals: with the 71-entry queries dict the
     // tail budget is counted in single characters (see below)
     val calib = s"""{"jvm_mix_268m":${c4(math.min(j1, j2))},"spark_hash_2048m":${c4(math.min(s1, s2))}}"""
+    // VERDICT r7 #3: the per-query probe_34m map scrolls out of the
+    // driver's 2 KB tail at 71+ queries — exactly when it's needed. This
+    // compact summary survives in the tail: the WORST per-query probe
+    // and its ratio to this run's own expected-clean probe (the probe is
+    // the same mix loop as jvm_mix_268m at 1/8 size, so min(calib)/8 is
+    // the in-band clean constant — no hardware-specific hardcode).
+    // ratio >> 1 ⇒ transient contention DURING that query's window even
+    // if the end-of-run calib pair looks clean (the r4/r7 ambiguity).
+    val jvmClean = math.min(math.min(js1, js2), math.min(j1, j2)) / 8.0
+    val probeWorst =
+      if (probeByQuery.isEmpty || jvmClean <= 0) "{}"
+      else {
+        val (pwName, pwVal) = probeByQuery.maxBy(_._2)
+        s"""{"query":"$pwName","probe":${c4(pwVal)},"ratio":${c4(pwVal / jvmClean)}}"""
+      }
     // 3-decimal timings (1 ms grain, well under any query's ~50 ms
     // floor): at 71 entries a 4-decimal dict alone is ~1.92 KB and
     // pushes calib_start past the driver's 2 KB tail window — the exact
@@ -308,7 +323,7 @@ object Bench {
     // diagnostic dicts first, then the tiny calib pair, then the graded
     // "queries"/"value" — so the last ~1.5 KB always carries
     // calib_start + calib + queries + value together.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib_start":$calibStart,"calib":$calib,"queries":$qs,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib_start":$calibStart,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

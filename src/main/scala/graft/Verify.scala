@@ -31,10 +31,27 @@ object Verify {
     // dump + oracle manifest (the driver never sets it → full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Registration-time guard (VERDICT r7 #2): the driver gate sorts
+    // result rows with pandas sort_values, which cannot factorize
+    // array/map/struct cells — a query emitting one would error in the
+    // REAL gate while a lenient local mirror stayed green. Reject such
+    // schemas here (per-query, so the failure is attributed) and let
+    // check.py flag the missing output via the _queries.json manifest.
+    def driverSortable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }
     selected.foreach { case (name, fn) =>
-      try canonical(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val complex = df.schema.fields.filter(f => !driverSortable(f.dataType))
+        if (complex.nonEmpty) throw new IllegalStateException(
+          s"driver query schema contains non-scalar columns the gate's pandas sort " +
+            s"cannot factorize: ${complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+        canonical(df).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // cache hygiene: operators persist() intermediates that only their
@@ -59,6 +76,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of every SELECTED query: check.py flags any name with no
+    // output dir — without this, a rows-only query that failed to dump
+    // (e.g. the schema guard above) would silently vanish from the
+    // local gate while the real driver records it as an error.
+    Files.writeString(Paths.get(s"$outDir/_queries.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -63,4 +63,15 @@ object errors {
 
   final case class UndefinedCheckConstraint(table: String, constraint: String)
       extends GraftException(s"no check constraint $constraint on table $table")
+
+  /** A driver-side partition-value collect exceeded the caller's bound
+    * — the maxGroupRows discipline applied to partition maintenance
+    * (syncMirror): bounded-cardinality partition columns are the
+    * operator's CONTRACT, and the cap turns a silently unbounded
+    * collect over a high-cardinality column into this loud error. */
+  final case class TooManyPartitions(op: String, limit: Int)
+      extends GraftException(
+        s"$op touched more than $limit distinct partition values — " +
+          "partition columns must be bounded-cardinality (dates, types, languages); " +
+          "raise maxPartitions only if the driver can hold the values")
 }

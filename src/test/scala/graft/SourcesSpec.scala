@@ -141,6 +141,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(files("c").isEmpty && !new java.io.File(s"$mirror/grp=c").exists())
   }
 
+  test("C39 guards: partition-collect cap is a named error; escaped and NULL partition values sync correctly") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ParquetLayout
+    import graft.store.TableStore
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_c39g_").toString)
+    store.createTable("t",
+      Seq("k" -> "bigint", "grp" -> "varchar(8)", "v" -> "bigint"), Seq("k"))
+    // 'x:y' needs Hive path escaping (grp=x%3Ay); null lands in
+    // __HIVE_DEFAULT_PARTITION__ — both classes the r7 ADVICE flagged
+    // as silently mishandled by the hand-built `$col=$v` path
+    store.insert("t", Seq((1L, Some("x:y"), 1L), (2L, None, 2L), (3L, Some("ok"), 3L))
+      .toDF("k", "grp", "v"))
+    val mirror = tmp("mirror_guard")
+    ParquetLayout.exportPartitioned(store.readTable("t"), mirror, Seq("grp"))
+    val escDir = new java.io.File(s"$mirror/grp=x%3Ay")
+    val nullDir = new java.io.File(s"$mirror/grp=__HIVE_DEFAULT_PARTITION__")
+    assert(escDir.isDirectory, "export must escape ':' exactly as Spark's writer does")
+    assert(nullDir.isDirectory, "export must land NULL in the Hive default partition")
+    val gen0 = store.snapshots("t").map(_._1).max
+    // delete BOTH awkward partitions entirely, update the plain one
+    store.delete("t", Seq(Tuple1(1L), Tuple1(2L)).toDF("k"), Seq("k"))
+    store.update("t", Seq((3L, "ok", 33L)).toDF("k", "grp", "v"))
+    val gen1 = store.snapshots("t").map(_._1).max
+    // the cap: 3 touched partition values over a limit of 1 must be the
+    // NAMED error, thrown before any driver-side accumulation
+    intercept[graft.errors.TooManyPartitions] {
+      ParquetLayout.syncMirror(store, "t", mirror, "grp", gen0, gen1, maxPartitions = 1)
+    }
+    val touched = ParquetLayout.syncMirror(store, "t", mirror, "grp", gen0, gen1)
+    assert(touched == Seq("ok", "x:y", "__HIVE_DEFAULT_PARTITION__"))
+    // fully-deleted escaped + null partitions are pruned via the
+    // FileSystem API against the writer's own directory names
+    assert(!escDir.exists(), "stale escaped partition directory must be deleted")
+    assert(!nullDir.exists(), "stale null partition directory must be deleted")
+    val got = spark.read.parquet(mirror)
+      .select(col("k").cast("long"), col("v").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 33L)))
+  }
+
   test("C36 partitioned export: lossless round-trip, and a partition filter reads ONLY the matching directory") {
     import org.apache.spark.sql.functions._
     import graft.sources.ParquetLayout

@@ -66,6 +66,17 @@ def cell_eq(a, b):
     return ca == cb
 
 
+def driver_sort(df):
+    """The REAL driver's row canonicalization: columns sorted by name,
+    then pandas sort_values over the RAW (un-canonicalized) frame. This
+    is the code path that errored on an array column in round 7 while
+    the old mirror (row-order compare, no sort) stayed green — the
+    mirror must run the same sort so it can never pass where the driver
+    fails."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -85,6 +96,11 @@ def main():
         except Exception as e:
             failures.append((name, f"spark output unreadable: {e}"))
             continue
+        try:
+            s = driver_sort(s)
+        except Exception as e:
+            failures.append((name, f"driver sort_values failed (the r7 gate-crash class): {e}"))
+            continue
         if name not in oracle:
             print(f"  ~ {name}: rows-only ({len(s)} rows)")
             if len(s) == 0:
@@ -97,8 +113,11 @@ def main():
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
-        s = s[sorted(s.columns)].reset_index(drop=True)
-        d = d[sorted(d.columns)].reset_index(drop=True)
+        try:
+            d = driver_sort(d)
+        except Exception as e:
+            failures.append((name, f"oracle sort_values failed: {e}"))
+            continue
         if list(s.columns) != list(d.columns):
             failures.append((name, f"columns differ: spark={list(s.columns)} duckdb={list(d.columns)}"))
             continue
@@ -120,9 +139,17 @@ def main():
             print(f"  ✓ {name}: {len(s)} rows match")
             n_ok += 1
 
-    missing = set(oracle) - {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
-    for m in missing:
+    written = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for m in set(oracle) - written:
         failures.append((m, "oracle declared but no spark output written"))
+    # the Verify-side manifest covers rows-only queries too: a query
+    # that failed to dump (schema guard, runtime error) must fail the
+    # mirror, not silently vanish from it
+    manifest = os.path.join(out_dir, "_queries.json")
+    if os.path.exists(manifest):
+        expected = set(json.load(open(manifest)))
+        for m in sorted(expected - written - set(oracle)):
+            failures.append((m, "registered query produced no spark output (see [verify] stderr)"))
     print(f"\n{n_ok} ok, {len(failures)} failed")
     for name, why in failures:
         print(f"  ✗ {name}: {why}")
