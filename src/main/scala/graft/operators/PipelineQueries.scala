@@ -234,26 +234,33 @@ object PipelineQueries {
 
   /** The persisted-index path end-to-end: build the IVF index (store
     * tables) on 80% of the corpus, grow it incrementally with the rest,
-    * answer through the assignment table. */
+    * answer through the assignment table. Registered in its PORTABLE
+    * form (hash-sampled integer seeds — VERDICT r7 #4) so the stored
+    * quantizer, the grown assignment table and the answer all re-derive
+    * in the DuckDB oracle and the entry is hash-verified; the
+    * Lloyd-trained persisted path ([[Ann.saveIndex]]/topKIvfIndexed)
+    * stays the quality path, spec-pinned equal to topKIvf. */
   def simTopkIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val store = new graft.store.TableStore(s,
       java.nio.file.Files.createTempDirectory("graft_ivf_q_").toString)
-    Ann.saveIndex(s, store, "ivf", e.filter(col("vec_id") % 5 =!= 0))
-    Ann.growIndex(store, "ivf", e.filter(col("vec_id") % 5 === 0))
-    Ann.topKIvfIndexed(store, "ivf", e, queriesOf(e)).orderBy("q_id", "rank")
+    Ann.saveIndexPortable(s, store, "ivf", e.filter(col("vec_id") % 5 =!= 0))
+    Ann.growIndexPortable(store, "ivf", e.filter(col("vec_id") % 5 === 0))
+    Ann.topKIvfIndexedPortable(store, "ivf", e, queriesOf(e)).orderBy("q_id", "rank")
   }
 
   /** L43d: the persisted IVF-PQ path end-to-end — build the compressed
     * index on 80% of the corpus, grow it with the rest (no retrain),
-    * answer from the index alone (no float-corpus scan). */
+    * answer from the index alone (no float-corpus scan). PORTABLE form
+    * for the same reason as [[simTopkIvfIndexed]]; the Lloyd persisted
+    * path stays spec-pinned. */
   def simTopkIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val store = new graft.store.TableStore(s,
       java.nio.file.Files.createTempDirectory("graft_ivfpq_q_").toString)
-    Ann.saveIndexPq(s, store, "pq", e.filter(col("vec_id") % 5 =!= 0))
-    Ann.growIndexPq(store, "pq", e.filter(col("vec_id") % 5 === 0))
-    Ann.topKIvfPqIndexed(store, "pq", queriesOf(e)).orderBy("q_id", "rank")
+    Ann.saveIndexPqPortable(s, store, "pq", e.filter(col("vec_id") % 5 =!= 0))
+    Ann.growIndexPqPortable(store, "pq", e.filter(col("vec_id") % 5 === 0))
+    Ann.topKIvfPqIndexedPortable(store, "pq", queriesOf(e)).orderBy("q_id", "rank")
   }
 
   def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -1194,9 +1201,94 @@ object PipelineQueries {
         | FROM scored)
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
-    // sim_topk_ivf / sim_topk_ivf_indexed: rows-only (Lloyd-trained
-    // quantizer isn't ANSI-expressible); the portable twin below is the
-    // hash-verified form of the same assign/probe/rerank family.
+    // sim_topk_ivf: rows-only (Lloyd-trained quantizer isn't
+    // ANSI-expressible); the portable twin below is the hash-verified
+    // form of the same assign/probe/rerank family.
+    // sim_topk_ivf_indexed: the PERSISTED portable index — seeds are
+    // the 16 smallest-(md5, id) vectors of the SAVE corpus (vec_id%5<>0
+    // — the grown 20% never re-seeds, the faiss add() contract), all
+    // vectors assigned under them, probe + exact-cosine rerank.
+    "sim_topk_ivf_indexed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei WHERE vec_id % 5 <> 0),
+        |sd AS (SELECT cl, vi FROM sr WHERE cl < 16),
+        |dist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN sd s),
+        |da AS (SELECT vec_id, cl,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dist),
+        |assign AS (SELECT vec_id, cl FROM da WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cl FROM da WHERE vec_id % 50 = 0 AND rn <= 4),
+        |scored AS (
+        | SELECT p.q_id, a.vec_id AS n_id,
+        |  ROUND(list_inner_product(q.v, e.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
+        | FROM probes p JOIN assign a ON a.cl = p.cl
+        |  JOIN e q ON q.vec_id = p.q_id JOIN e ON e.vec_id = a.vec_id
+        | WHERE a.vec_id <> p.q_id),
+        |ranked AS (
+        | SELECT q_id, n_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // sim_topk_ivfpq_indexed: the PERSISTED portable IVF-PQ index —
+    // coarse seeds (16) and sub-codebook seeds (8) both hash-sampled
+    // from the save corpus, codes + coarse lists for ALL vectors,
+    // nProbe=4 coarse pruning, exact long ADC over the stored codes.
+    "sim_topk_ivfpq_indexed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |csr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei WHERE vec_id % 5 <> 0),
+        |cs AS (SELECT cl, vi FROM csr WHERE cl < 16),
+        |cdist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN cs s),
+        |cda AS (SELECT vec_id, cl,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM cdist),
+        |cassign AS (SELECT vec_id, cl FROM cda WHERE rn = 1),
+        |cprobes AS (SELECT vec_id AS q_id, cl FROM cda WHERE vec_id % 50 = 0 AND rn <= 4),
+        |sub AS (SELECT CAST(j AS INT) AS j FROM range(0, 4) t(j)),
+        |sv AS (SELECT vec_id, j, list_slice(vi, j*16+1, j*16+16) AS svi
+        | FROM ei CROSS JOIN sub),
+        |sr AS (SELECT vec_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM e WHERE vec_id % 5 <> 0),
+        |seeds AS (SELECT r.cl, s.j, s.svi FROM sr r JOIN sv s USING (vec_id) WHERE r.cl < 8),
+        |dist AS (
+        | SELECT c.vec_id, c.j, s.cl,
+        |  list_inner_product(c.svi, c.svi) + list_inner_product(s.svi, s.svi)
+        |   - 2 * list_inner_product(c.svi, s.svi) AS d
+        | FROM sv c JOIN seeds s ON c.j = s.j),
+        |codes AS (SELECT vec_id, j, cl FROM (
+        |  SELECT vec_id, j, cl, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cl) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, j, cl, d FROM dist WHERE vec_id % 50 = 0),
+        |scored AS (
+        | SELECT q.q_id, c.vec_id AS n_id, CAST(SUM(q.d) AS BIGINT) AS adc
+        | FROM codes c
+        | JOIN cassign ca ON ca.vec_id = c.vec_id
+        | JOIN cprobes p ON p.cl = ca.cl
+        | JOIN qd q ON q.q_id = p.q_id AND q.j = c.j AND q.cl = c.cl
+        | WHERE c.vec_id <> q.q_id GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, n_id, adc,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT q_id, n_id, rank, adc FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "sim_topk_ivf_portable" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ei AS (SELECT vec_id,

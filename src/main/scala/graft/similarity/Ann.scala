@@ -235,6 +235,99 @@ object Ann {
         array_min(col("__d")).as("__dc"))
   }
 
+  /** Assignment of `corpus` under FIXED integer seeds — the persisted-
+    * index form of [[portableAssignments]] (the quantizer comes from a
+    * stored table, not from re-sampling the corpus). */
+  private def assignUnderSeeds(corpus: DataFrame, seeds: Array[Array[Long]]): DataFrame =
+    scatter(corpus)
+      .select(col("vec_id"), intVec(Vectors.toDouble(col("embedding"))).as("__vi"))
+      .withColumn("__d", intDists(col("__vi"), seeds))
+      .select(col("vec_id"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int").as("cl"))
+
+  /** Persist a PORTABLE IVF index (the L7c layout with L7d arithmetic —
+    * VERDICT r7 #4): hash-sampled integer seeds in `<name>_centroids`
+    * ((cl, pos, xi) BIGINT rows — exact at rest, no float round-trip)
+    * plus every vector's exact-integer-distance assignment in the
+    * vec_id-PK bucketed `<name>_assign`. Because the seeds are the
+    * nCentroids smallest-(md5(vec_id), vec_id) corpus vectors and every
+    * distance is exact integer arithmetic, BOTH index tables re-derive
+    * verbatim in ANSI SQL — the indexed search is hash-verifiable
+    * end-to-end, stored tables included. [[saveIndex]] (Lloyd quantizer)
+    * stays the quality path. */
+  def saveIndexPortable(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.TableStore,
+      name: String,
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      assignBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val seeds = portableSeeds(corpus, nCentroids)
+    val rows = seeds.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (x, p) => (c, p, x) } }.toSeq
+    if (!store.exists(s"${name}_centroids")) {
+      store.createTable(s"${name}_centroids",
+        Seq("cl" -> "int", "pos" -> "int", "xi" -> "bigint"), Seq("cl", "pos"))
+      store.insert(s"${name}_centroids", rows.toDF("cl", "pos", "xi"))
+    } else store.merge(s"${name}_centroids", rows.toDF("cl", "pos", "xi"))
+    if (!store.exists(s"${name}_assign")) {
+      store.createTable(s"${name}_assign",
+        Seq("vec_id" -> "bigint", "cl" -> "int"), Seq("vec_id"), buckets = assignBuckets)
+      store.insert(s"${name}_assign", assignUnderSeeds(corpus, seeds))
+    } else store.merge(s"${name}_assign", assignUnderSeeds(corpus, seeds))
+  }
+
+  /** Load persisted integer seeds back — exact (BIGINT at rest). */
+  def loadPortableSeeds(store: graft.store.TableStore, table: String): Array[Array[Long]] =
+    store.readTable(table, orderBy = Seq("cl", "pos")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3).toArray }.toArray
+
+  /** faiss add() for the portable index: assign ONLY `newVectors` under
+    * the PERSISTED seeds and upsert — no retrain, stored lists stay
+    * valid, cost O(new vectors). */
+  def growIndexPortable(
+      store: graft.store.TableStore,
+      name: String,
+      newVectors: DataFrame): Unit =
+    store.upsert(s"${name}_assign",
+      assignUnderSeeds(newVectors, loadPortableSeeds(store, s"${name}_centroids")))
+
+  /** IVF top-k over the PERSISTED portable index: inverted lists from
+    * the assignment table (co-keyed join, no corpus-wide assign scan),
+    * probing by exact integer distance to the stored seeds, exact
+    * cosine rerank. Identical results to [[topKIvfPortable]] built on
+    * the same save/grow corpus (spec-pinned) — and, unlike the Lloyd
+    * path, the whole answer is DuckDB-oracle-exact. */
+  def topKIvfIndexedPortable(
+      store: graft.store.TableStore,
+      name: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val seeds = loadPortableSeeds(store, s"${name}_centroids")
+    val assign = store.readTable(s"${name}_assign")
+    val c = scatter(corpus)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("__vc"))
+      .join(assign.select(col("vec_id"), col("cl").as("__cl")), "vec_id")
+      .select(col("vec_id").as("n_id"), col("__vc"), col("__cl"))
+    val probeIds = {
+      val d = intDists(intVec(col("__vq")), seeds)
+      val idx = transform(typedLit(seeds.indices.toList),
+        i => struct(element_at(d, i + 1).as("d"), i.as("i")))
+      slice(transform(array_sort(idx), s => s.getField("i")), 1, nProbe)
+    }
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__cl", explode(probeIds))
+    val scored = c.join(broadcast(q), Seq("__cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Vectors.cosine6(col("__vq"), col("__vc")))
+    rankTopK(scored, k)
+  }
+
   /** Distributed full-corpus k-means training (L49) — Lloyd's algorithm
     * where EVERY iteration is a distributed pass over the whole corpus,
     * unlike [[trainIvfCentroids]]'s bounded driver-side sample. This is
@@ -795,6 +888,126 @@ object Ann {
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", adc)
     rankTopKAsc(scored, k, round(col("adc"), 6).as("adc"))
+  }
+
+  /** (vec_id, coarse cl, c0..c{m-1}) under FIXED integer seeds — the
+    * portable-index form of [[pqAssignments]]. */
+  private def pqAssignUnderSeeds(
+      corpus: DataFrame,
+      coarse: Array[Array[Long]],
+      subSeeds: IndexedSeq[Array[Array[Long]]]): DataFrame = {
+    val m = subSeeds.length
+    val dsub = subSeeds.head.head.length
+    def argmin(d: Column): Column = (array_position(d, array_min(d)) - 1).cast("int")
+    scatter(corpus)
+      .select(col("vec_id"), intVec(Vectors.toDouble(col("embedding"))).as("__vi"))
+      .select((col("vec_id") +:
+        argmin(intDists(col("__vi"), coarse)).as("cl") +:
+        (0 until m).map(j =>
+          argmin(intDists(subVec(col("__vi"), j, dsub), subSeeds(j))).as(s"c$j"))): _*)
+  }
+
+  /** Persist a PORTABLE IVF-PQ index (the L43d layout with L43b
+    * arithmetic — VERDICT r7 #4): coarse integer seeds
+    * (`<name>_centroids`), integer sub-codebooks (`<name>_books`,
+    * (j, cl, pos, xi) BIGINT — the ksub hash-sampled seed vectors
+    * sliced into m subspaces) and every vector's (coarse list,
+    * m TINYINT codes). Every stored table re-derives verbatim in ANSI
+    * SQL, so the from-index-alone search is hash-verifiable end to end.
+    * [[saveIndexPq]] (Lloyd model) stays the quality path. */
+  def saveIndexPqPortable(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.TableStore,
+      name: String,
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      m: Int = 4,
+      ksub: Int = 8,
+      assignBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val coarse = portableSeeds(corpus, nCentroids)
+    val seeds = portableSeeds(corpus, ksub)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val subSeeds = (0 until m).map(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    val centRows = coarse.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (x, p) => (c, p, x) } }.toSeq
+    if (!store.exists(s"${name}_centroids")) {
+      store.createTable(s"${name}_centroids",
+        Seq("cl" -> "int", "pos" -> "int", "xi" -> "bigint"), Seq("cl", "pos"))
+      store.insert(s"${name}_centroids", centRows.toDF("cl", "pos", "xi"))
+    } else store.merge(s"${name}_centroids", centRows.toDF("cl", "pos", "xi"))
+    val bookRows = subSeeds.zipWithIndex.flatMap { case (cb, j) =>
+      cb.toIndexedSeq.zipWithIndex.flatMap { case (c, cl) =>
+        c.toIndexedSeq.zipWithIndex.map { case (x, pos) => (j, cl, pos, x) } } }.toSeq
+    if (!store.exists(s"${name}_books")) {
+      store.createTable(s"${name}_books",
+        Seq("j" -> "int", "cl" -> "int", "pos" -> "int", "xi" -> "bigint"),
+        Seq("j", "cl", "pos"))
+      store.insert(s"${name}_books", bookRows.toDF("j", "cl", "pos", "xi"))
+    } else store.merge(s"${name}_books", bookRows.toDF("j", "cl", "pos", "xi"))
+    if (!store.exists(s"${name}_assign")) {
+      store.createTable(s"${name}_assign",
+        ("vec_id" -> "bigint") +: ("cl" -> "int") +:
+          (0 until m).map(j => s"c$j" -> "tinyint"),
+        Seq("vec_id"), buckets = assignBuckets)
+      store.insert(s"${name}_assign", pqAssignUnderSeeds(corpus, coarse, subSeeds))
+    } else store.merge(s"${name}_assign", pqAssignUnderSeeds(corpus, coarse, subSeeds))
+  }
+
+  /** Load persisted integer sub-codebooks back to m × ksub × dsub. */
+  def loadPortableBooks(store: graft.store.TableStore, table: String): IndexedSeq[Array[Array[Long]]] =
+    store.readTable(table, orderBy = Seq("j", "cl", "pos")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, js) => js.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, cs) => cs.sortBy(_._3).map(_._4).toArray }.toArray }.toIndexedSeq
+
+  /** faiss add() for the portable compressed index: assign ONLY
+    * `newVectors` under the PERSISTED quantizers and upsert. */
+  def growIndexPqPortable(store: graft.store.TableStore, name: String,
+      newVectors: DataFrame): Unit =
+    store.upsert(s"${name}_assign",
+      pqAssignUnderSeeds(newVectors,
+        loadPortableSeeds(store, s"${name}_centroids"),
+        loadPortableBooks(store, s"${name}_books")))
+
+  /** IVF-PQ top-k answered from the PERSISTED portable index alone —
+    * no float-corpus scan, every ADC term an exact long, the whole
+    * pipeline (stored tables included) DuckDB-oracle-exact. */
+  def topKIvfPqIndexedPortable(
+      store: graft.store.TableStore,
+      name: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    val coarse = loadPortableSeeds(store, s"${name}_centroids")
+    val books = loadPortableBooks(store, s"${name}_books")
+    val m = books.length
+    val dsub = books.head.head.length
+    val c = store.readTable(s"${name}_assign")
+      .select((col("vec_id").as("n_id") +: col("cl").as("__cl") +:
+        (0 until m).map(j => col(s"c$j").cast("int").as(s"c$j"))): _*)
+    val probeIds = {
+      val d = intDists(intVec(col("__vq")), coarse)
+      val idx = transform(typedLit(coarse.indices.toList),
+        i => struct(element_at(d, i + 1).as("d"), i.as("i")))
+      slice(transform(array_sort(idx), s => s.getField("i")), 1, nProbe)
+    }
+    val table = array((0 until m).map(j =>
+      intDists(subVec(intVec(col("__vq")), j, dsub), books(j))): _*)
+    val q = queries.select(col("vec_id").as("q_id"), Vectors.toDouble(col("embedding")).as("__vq"))
+      .withColumn("__tab", table)
+      .withColumn("__cl", explode(probeIds))
+      .drop("__vq")
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__tab"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val scored = c.join(broadcast(q), Seq("__cl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+    rankTopKAsc(scored, k, col("adc"))
   }
 
   /** Engine-PORTABLE PQ twin (the A14b/L3b/L7d idiom, applied to PQ):

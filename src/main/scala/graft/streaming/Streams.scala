@@ -378,6 +378,35 @@ object Streams {
         col("bin_id"), col("bin_upper"), col("cnt"))
   }
 
+  /** S29: streaming count-min maintenance — L44's serving twin,
+    * completing the sketch-as-state family (A46→S26 quantiles, A45
+    * distinct counts, and now the CMS): arriving (ts, text) documents
+    * tokenize STATELESS inside the batch, every token lands in its d
+    * md5-derived buckets — the SAME (r, b) definition
+    * [[graft.operators.Curation.countMinSketch]] uses, so the streamed
+    * and batch sketches are counter-identical by construction
+    * (spec-pinned) — and the per-(window, r, b) counters aggregate
+    * under the watermark. Only streaming state: the open windows'
+    * ≤ d·w counters — the sketch IS the state, which is the point of
+    * sketch maintenance. Closed windows merge into any at-rest CMS by
+    * addition, and [[graft.operators.Curation.cmsEstimate]] reads the
+    * merged rows unchanged. */
+  def cmsMaintenanceStream(
+      stream: DataFrame,
+      d: Int = 4,
+      w: Int = 1024,
+      watermarkDelay: String = "1 day"): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(graft.functions.Text.tokens(col("text"))).as("__t"))
+      .select(col("ts"), explode(sequence(lit(0), lit(d - 1))).as("r"), col("__t"))
+      .select(col("ts"), col("r"), pmod(conv(substring(
+        md5(concat(col("r").cast("string"), lit("|"), col("__t"))), 1, 8), 16, 10)
+        .cast("long"), lit(w.toLong)).as("b"))
+      .groupBy(window(col("ts"), "1 day"), col("r"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("r"), col("b"), col("n"))
+
   /** S25: streaming vocabulary-drift monitor — the serving twin of
     * L51's coverage audit: arriving documents' tokens LEFT-join a
     * STATIC top-V vocabulary (`Curation.topVocabulary`, trained batch —

@@ -635,6 +635,49 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("portable persisted index: indexed answers equal the unindexed portable twins; grow never retrains") {
+    import graft.store.TableStore
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    // IVF: a full-corpus save answers EXACTLY like the unindexed
+    // portable twin (same hash-sampled seeds, same integer distances)
+    val s1 = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pivf_idx_").toString)
+    Ann.saveIndexPortable(spark, s1, "ivf", emb)
+    val viaIdx = Ann.topKIvfIndexedPortable(s1, "ivf", emb, queries)
+      .collect().map(_.toSeq).toSeq
+    val direct = Ann.topKIvfPortable(emb, queries).collect().map(_.toSeq).toSeq
+    assert(viaIdx.nonEmpty && viaIdx == direct,
+      "portable index-only answers must equal the unindexed portable twin")
+    // IVF-PQ with every coarse list probed degenerates to the full-scan
+    // portable PQ: same codes, same exact long ADC, same ranks
+    val s2 = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pivfpq_idx_").toString)
+    Ann.saveIndexPqPortable(spark, s2, "pq", emb)
+    val allProbes = Ann.topKIvfPqIndexedPortable(s2, "pq", queries, nProbe = 16)
+      .collect().map(_.toSeq).toSeq
+    val fullScan = Ann.topKPqPortable(emb, queries).collect().map(_.toSeq).toSeq
+    assert(allProbes == fullScan,
+      "probing all lists must equal the full-scan portable ADC")
+    // growth contract: grow assigns under the STORED model — the seed
+    // tables are untouched and a replayed grow is idempotent
+    val s3 = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pivf_grow_").toString)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    Ann.saveIndexPortable(spark, s3, "ivf", old, nCentroids = 8)
+    val seedsBefore = s3.readTable("ivf_centroids", orderBy = Seq("cl", "pos"))
+      .collect().map(_.toSeq).toSeq
+    Ann.growIndexPortable(s3, "ivf", fresh)
+    val assignAfter = s3.readTable("ivf_assign", orderBy = Seq("vec_id"))
+      .collect().map(_.toSeq).toSeq
+    Ann.growIndexPortable(s3, "ivf", fresh) // replay: idempotent upsert
+    assert(s3.readTable("ivf_centroids", orderBy = Seq("cl", "pos"))
+      .collect().map(_.toSeq).toSeq == seedsBefore, "grow must not retrain the quantizer")
+    assert(s3.readTable("ivf_assign", orderBy = Seq("vec_id"))
+      .collect().map(_.toSeq).toSeq == assignAfter, "replayed grow must be a no-op")
+    assert(assignAfter.size == emb.count(), "every vector assigned after growth")
+  }
+
   test("L43c IVF-PQ: candidates only from probed lists, ADC agrees with full-scan PQ") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val got = Ann.topKIvfPq(emb, queries, k = 5, nCentroids = 4, nProbe = 2,

@@ -254,6 +254,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(mergedQ == batchQ)
   }
 
+  test("S29: streaming CMS maintenance is counter-identical to the batch sketch; estimates agree") {
+    import graft.operators.Curation
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val in = Files.createTempDirectory("graft_s29_").toString + "/in"
+    docs.write.parquet(in)
+    // far-future sentinel (second file → second micro-batch) closes the
+    // corpus window under the watermark; its own window is filtered out
+    docs.limit(1).withColumn("doc_id", lit(999999L)).withColumn("lang", lit("zz"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", timestamp_seconds(
+        when(col("lang") === "zz", lit(1735689600L + 86400L * 2))
+          .otherwise(lit(1735689600L) + pmod(col("doc_id"), lit(300L)))))
+    val corpusWindow = new java.sql.Timestamp(1735689600L * 1000L)
+    val got = runToTable(Streams.cmsMaintenanceStream(s), "s29", "append")
+      .filter(col("window_start") === lit(corpusWindow))
+      .select("r", "b", "n").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = Curation.countMinSketch(docs).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty && got == want,
+      "streamed CMS counters must be identical to the batch sketch")
+    // the streamed rows serve estimates exactly as the batch sketch does
+    val probes = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").count().orderBy(col("count").desc, col("term")).limit(5)
+      .select("term")
+    val streamedSketch = got.toSeq.map { case ((r, b), n) => (r, b, n) }
+      .toDF("r", "b", "n")
+    val estStream = Curation.cmsEstimate(streamedSketch, probes)
+      .orderBy("term").collect().toSeq
+    val estBatch = Curation.cmsEstimate(Curation.countMinSketch(docs), probes)
+      .orderBy("term").collect().toSeq
+    assert(estStream == estBatch)
+  }
+
   test("S25: streaming vocab-drift monitor equals the batch coverage audit per closed window") {
     import graft.operators.Curation
     val docs = GraftSession.table(spark, sfDir, "documents")
