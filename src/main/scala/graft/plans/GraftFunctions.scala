@@ -40,6 +40,11 @@ object GraftFunctions {
   def dotLong(a: Column, b: Column): Column =
     bridge.column(LongDot(bridge.expression(a), bridge.expression(b)))
 
+  /** Codegen'd fixed-point scaling (see [[FloorScale]]); bit-identical
+    * to the composed `transform(v, x => floor(x*scale).cast("long"))`. */
+  def floorScale(v: Column, scale: Long): Column =
+    bridge.column(FloorScale(bridge.expression(v), scale))
+
   /** Codegen'd IVF coarse assignment (see [[NearestCentroid]]);
     * bit-identical to array_position(array_min) over the composed
     * distance transform, first-min tie-break included. */

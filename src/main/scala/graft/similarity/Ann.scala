@@ -189,7 +189,13 @@ object Ann {
     * This converts IVF candidate generation from rows-only to
     * hash-verified against DuckDB; [[topKIvf]] (Lloyd-trained quantizer,
     * double distances) stays the quality/scale path. */
-  private def intVec(v: Column): Column = transform(v, x => floor(x * 1048576).cast("long"))
+  private def intVec(v: Column): Column =
+    graft.plans.GraftFunctions.floorScale(v, 1048576L)
+
+  /** The composed form, kept as the native [[graft.plans.FloorScale]]
+    * expression's equivalence witness (PlansSpec). */
+  private[graft] def intVecComposed(v: Column): Column =
+    transform(v, x => floor(x * 1048576).cast("long"))
 
   /** The portable quantizer's seeds: the `nCentroids` corpus vectors
     * with the smallest (md5(vec_id), vec_id), as integer-scaled

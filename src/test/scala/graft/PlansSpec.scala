@@ -164,6 +164,41 @@ class PlansSpec extends AnyFunSuite {
     edge.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), s"expected null/null, got $r"))
   }
 
+  test("FloorScale equals the composed floor-transform, negatives, exact halves and nulls included") {
+    val rnd = new scala.util.Random(13)
+    // negatives exercise floor-vs-truncate; exact power-of-two values
+    // exercise the boundary where floor(x·2^20) is an integer already
+    val vecs = (0 until 40).map(_ => Seq.fill(16)(rnd.nextDouble() * 4 - 2)) ++
+      Seq(Seq(0.0, -0.5, 0.5, -1.0, 1.0, 1.0 / 1048576, -1.0 / 1048576, 0.25))
+    val got = vecs.toDF("v")
+      .select(graft.plans.GraftFunctions.floorScale(col("v"), 1048576L).as("native"),
+        graft.similarity.Ann.intVecComposed(col("v")).as("composed"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"native/composed diverged: $r")
+    }
+    // JVM-exact too (the oracles' ground truth)
+    vecs.zip(got).foreach { case (v, r) =>
+      assert(r.getSeq[Long](0) == v.map(x => math.floor(x * 1048576L).toLong))
+    }
+    // float input widens exactly like the composed cast chain
+    val f = Seq(Seq(0.5f, -0.25f, 1.5f)).toDF("v")
+      .select(graft.plans.GraftFunctions.floorScale(col("v"), 1048576L).as("native"),
+        graft.similarity.Ann.intVecComposed(col("v").cast("array<double>")).as("composed"))
+      .collect()(0)
+    assert(f.getSeq[Long](0) == f.getSeq[Long](1))
+    // null array → null; null element → null element (both forms)
+    val edge = Seq((Option.empty[Seq[Option[Double]]], 1),
+        (Some(Seq(Some(1.5), None, Some(-2.5))), 2))
+      .toDF("v", "tag")
+      .select(col("tag"), graft.plans.GraftFunctions.floorScale(col("v"), 1048576L).as("native"),
+        graft.similarity.Ann.intVecComposed(col("v")).as("composed"))
+      .collect().sortBy(_.getInt(0))
+    assert(edge(0).isNullAt(1) && edge(0).isNullAt(2))
+    assert(edge(1).getSeq[Any](1) == edge(1).getSeq[Any](2) &&
+      edge(1).getSeq[Any](1)(1) == null)
+  }
+
   test("NearestCentroid equals the composed argmin, first-min tie-break included") {
     val rnd = new scala.util.Random(7)
     val dim = 8
