@@ -515,6 +515,18 @@ object Curation {
     * Symbols outside the vocabulary (characters unseen at train time)
     * encode as −1 (UNK). Returns (doc_id, input_ids, n_tokens). */
   def encodeBpe(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.bpeEncode(col("text"), merges, vocab).as("input_ids"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+
+  /** The composed nested-HOF encode, kept as the native
+    * [[graft.plans.BpeEncode]] expression's equivalence witness
+    * (CurationSpec pins native ≡ composed ≡ the classic twin). The
+    * HOFs are CodegenFallback — ~10 interpreted ArrayData traversals
+    * per word — which is why the native expression serves the hot
+    * path. */
+  private[graft] def encodeBpeComposed(docs: DataFrame, merges: Seq[(String, String)],
       vocab: Seq[String]): DataFrame = {
     val idOf = typedLit(vocab.zipWithIndex.toMap)
     val segmented = (w: Column) => merges.foldLeft(split(w, ""): Column) {

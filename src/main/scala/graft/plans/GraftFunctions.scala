@@ -40,6 +40,11 @@ object GraftFunctions {
   def dotLong(a: Column, b: Column): Column =
     bridge.column(LongDot(bridge.expression(a), bridge.expression(b)))
 
+  /** Native BPE document encode (see [[BpeEncode]]); bit-identical to
+    * the composed nested-HOF encode and the classic in-memory twin. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)], vocab: Seq[String]): Column =
+    bridge.column(BpeEncode(bridge.expression(text), merges, vocab))
+
   /** Codegen'd fixed-point scaling (see [[FloorScale]]); bit-identical
     * to the composed `transform(v, x => floor(x*scale).cast("long"))`. */
   def floorScale(v: Column, scale: Long): Column =

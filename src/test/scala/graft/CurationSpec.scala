@@ -398,6 +398,18 @@ class CurationSpec extends AnyFunSuite {
       val exp = encode(text)
       assert(got(id) == ((exp, exp.length.toLong)), s"doc $id encoding diverged")
     }
+    // the native BpeEncode expression is bit-identical to the composed
+    // nested-HOF encode it replaced on the hot path (incl. a crafted
+    // empty-word edge: double space → "" word → one −1 id in both)
+    import spark.implicits._
+    val edge = Seq((9000001L, "join  hash"), (9000002L, "")).toDF("doc_id", "text")
+    val withEdge = docs.select("doc_id", "text").unionByName(edge)
+    val comp = Curation.encodeBpeComposed(withEdge, merges, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toVector, r.getLong(2)))).toMap
+    val nat = Curation.encodeBpe(withEdge, merges, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toVector, r.getLong(2)))).toMap
+    assert(nat == comp, "native BpeEncode diverged from the composed HOF encode")
+    assert(nat(9000001L)._1.contains(-1), "empty word must encode as -1 in both forms")
     // packed sequences: shard-local concatenation in (md5, id) order,
     // split at seqLen, last chunk padded with -1
     val md = java.security.MessageDigest.getInstance("MD5")
