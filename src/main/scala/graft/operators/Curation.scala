@@ -482,7 +482,19 @@ object Curation {
     * merges in rank order — k chained scan-side rewrites, no shuffle
     * but the output sort. Returns per-doc whitespace and BPE token
     * counts (the compression a trained tokenizer achieves). */
-  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def applyBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    // counts ride the native one-pass encoder (ids are irrelevant to a
+    // count, so the vocabulary is empty): total segments = the id-array
+    // size, words = the token-array size — ZERO shuffles where the
+    // composed form exploded words and regrouped them per doc
+    docs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(graft.plans.GraftFunctions.bpeEncode(col("text"), merges, Nil))
+        .cast("long").as("bpe_tokens"))
+
+  /** The composed explode→segment→regroup form, kept as the native
+    * path's equivalence witness (CurationSpec). */
+  private[graft] def applyBpeComposed(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val segmented = merges.foldLeft(split(col("w"), ""): Column) {
       case (c, (a, b)) => bpeMergeStep(c, a, b)
     }

@@ -475,6 +475,13 @@ class CurationSpec extends AnyFunSuite {
     // to fire) — with 8 merges trained on the real corpus, every
     // language should sit strictly below the no-merge ceiling of 1.0
     assert(got.forall(_._7 < 1.0), s"no merge fired anywhere: $got")
+    // the zero-shuffle native count path equals the composed
+    // explode→segment→regroup form it replaced
+    val comp = Curation.applyBpeComposed(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nat = Curation.applyBpe(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nat == comp, "native applyBpe counts diverged from the composed form")
   }
 
   test("source rollup: flag matches its definition and splits the corpus both ways") {
