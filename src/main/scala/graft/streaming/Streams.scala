@@ -407,6 +407,27 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("r"), col("b"), col("n"))
 
+  /** S30: streaming distinct-count sketch maintenance — A45's serving
+    * twin, the last leg of the sketch-as-state family (quantiles
+    * A46→S26, CMS L44→S29, HLL here): per (event_type, event-time
+    * window) HLL sketch BYTES under the watermark — the same
+    * `hll_sketch_agg` payload the batch
+    * [[graft.operators.Analytics.distinctSketches]] emits, so closed
+    * windows merge into any at-rest sketch store through
+    * `hll_union_agg`, and A45's register-equality contract (unioned
+    * registers == the directly-built sketch's) carries over: stream
+    * and batch compose into ONE estimate with no fact re-scan. Only
+    * streaming state: the open windows' sketch registers. */
+  def hllMaintenanceStream(
+      stream: DataFrame,
+      valueCol: String = "user_id",
+      watermarkDelay: String = "1 day"): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+      .select(col("event_type"), col("window.start").as("window_start"), col("sketch"))
+
   /** S25: streaming vocabulary-drift monitor — the serving twin of
     * L51's coverage audit: arriving documents' tokens LEFT-join a
     * STATIC top-V vocabulary (`Curation.topVocabulary`, trained batch —

@@ -254,6 +254,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(mergedQ == batchQ)
   }
 
+  test("S30: streamed HLL window sketches merge to the batch estimate exactly") {
+    import graft.operators.Analytics
+    val got = runToTable(Streams.hllMaintenanceStream(stream), "s30", "append")
+    val cells = got.select(col("event_type"), col("window_start")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    assert(cells.nonEmpty, "no windows closed under the watermark")
+    // merging the emitted per-day sketch payloads up to type equals the
+    // batch sketch path over the SAME closed (type, day) cells — the
+    // A45 register-equality contract surviving the stream boundary
+    val streamedEst = Analytics.sketchEstimate(got, Seq("event_type"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dayKeys = cells.map { case (t, d) => s"$t|${d.getTime}" }.distinct.toSeq
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val subset = ev.withColumn("day", date_trunc("day", col("ts")))
+      .filter(concat_ws("|", col("event_type"),
+        expr("unix_millis(day)").cast("string")).isInCollection(dayKeys))
+    val batchEst = Analytics.sketchEstimate(
+        Analytics.distinctSketches(subset, Seq("event_type", "day"), "user_id"),
+        Seq("event_type"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamedEst == batchEst,
+      "streamed sketches must merge to the batch estimate exactly")
+    assert(streamedEst.forall(_._2 > 0))
+  }
+
   test("S29: streaming CMS maintenance is counter-identical to the batch sketch; estimates agree") {
     import graft.operators.Curation
     val docs = GraftSession.table(spark, sfDir, "documents")
