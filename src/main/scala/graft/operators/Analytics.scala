@@ -1043,6 +1043,34 @@ object Analytics {
     unioned.join(exact, "event_type").orderBy("event_type")
   }
 
+  /** A45b: engine-PORTABLE distinct-count sketch — the md5 idiom
+    * (A14b/L3b/L7b) applied to cardinality: a K-minimum-values sketch
+    * over md5-derived 32-bit hashes. The k smallest DISTINCT hash
+    * values per group ARE the sketch (mergeable: the union's k
+    * smallest), and the estimator (k−1)·2^32 div h_k is exact integer
+    * arithmetic — registers AND estimate re-derive verbatim in ANSI
+    * SQL, making the distinct-count family cross-engine-verifiable
+    * beside A45's DataSketches HLL (which stays the quality/scale
+    * path: bounded-register aggregation vs this twin's distinct
+    * shuffle + per-group sort). A group with fewer than k distinct
+    * values reports its EXACT count (KMV's small-range contract). */
+  def distinctKmvPortable(events: DataFrame, k: Int = 64): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("__h")
+    events.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("__h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hashes"), max(col("__h")).as("kth_hash"))
+      .select(col("event_type"), col("n_hashes"), col("kth_hash"),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div kth_hash"))
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   // ── A15: exact percentiles per group ────────────────────────────────────
   /** `percentile` sorts within the aggregation buffer — exact and
     * deterministic (unlike approx_percentile), matching DuckDB's
@@ -1238,6 +1266,9 @@ object Analytics {
     "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
     "events_distinct_sketch" -> eventsDistinctSketch,
+    // A45b: the hash-verified portable twin of the distinct-count
+    // sketch family (KMV over md5 — registers + estimate ANSI-exact)
+    "events_distinct_kmv" -> ((s, dir) => distinctKmvPortable(t(s, dir, "events"))),
     "events_quantile_sketch" -> eventsQuantileSketch,
     "events_trend" -> eventsTrend,
     // A48: the describe() profile over lineitem's measure columns
@@ -1500,6 +1531,29 @@ object Analytics {
         | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // events_distinct_kmv: the same 8-hex-digit md5 decode as
+    // sample_hash_portable; k=64 smallest distinct hashes per type,
+    // exact-integer estimator, exact count below k
+    "events_distinct_kmv" ->
+      """WITH h AS (
+        | SELECT DISTINCT event_type,
+        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |   + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        |   + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        |   + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        |   + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) AS hh
+        | FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events)),
+        |r AS (SELECT event_type, hh,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn FROM h),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes, MAX(hh) AS kth_hash
+        |      FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type, n_hashes, kth_hash,
+        | CASE WHEN n_hashes < 64 THEN n_hashes
+        |      ELSE (63 * 4294967296) // kth_hash END AS est_distinct
+        |FROM t ORDER BY event_type""".stripMargin,
     "sample_hash_portable" ->
       """WITH keyed AS (
         | SELECT l_returnflag, l_quantity,

@@ -234,6 +234,36 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("A45b portable KMV: small groups exact, large within the k=64 error bound; k-smallest merge = full sketch") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = GraftSession.table(spark, sfDir, "events")
+    val got = operators.Analytics.distinctKmvPortable(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (ty, nHashes, _, est) =>
+      val n = exact(ty)
+      if (nHashes < 64) assert(est == n, s"$ty: below-k group must be exact ($est vs $n)")
+      else assert(math.abs(est - n).toDouble / n < 0.4, // 3σ ≈ 3/√62
+        s"$ty: KMV est $est vs exact $n beyond the k=64 bound")
+    }
+    // mergeability: the k smallest of (half A's sketch ∪ half B's
+    // sketch) is exactly the full corpus's sketch — the KMV merge rule
+    val h = ev.select(col("event_type"), col("user_id"),
+      conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "h").distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 64).drop("rn")
+    val merged = sketch(sketch(h.filter(pmod(col("user_id"), lit(2)) === 0))
+        .unionByName(sketch(h.filter(pmod(col("user_id"), lit(2)) === 1))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val full = sketch(h).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == full, "merged half-sketches diverged from the full KMV sketch")
+  }
+
   test("A44: z-score anomaly flags exactly the injected spike day") {
     val out = operators.Analytics.eventsAnomaly(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
