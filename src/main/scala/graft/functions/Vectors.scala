@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
 
 /** Vector math over `array<float|double>` columns, built from Spark's
   * higher-order functions so the whole computation stays inside
@@ -17,8 +16,13 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Vectors {
 
-  /** Elementwise cast to double (float32 embeddings → exact double). */
-  def toDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+  /** Elementwise cast to double (float32 embeddings → exact double) —
+    * as an ARRAY cast, not `transform(v, _.cast(double))`: Cast
+    * handles arrays inside whole-stage codegen and a same-type cast
+    * optimizes away entirely, where the HOF form is CodegenFallback
+    * and rebuilds the array even when the input is already double.
+    * Identical values either way (float→double widening is exact). */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product via the native codegen'd expression (interpreted HOF
     * fold below kept as the spec's equivalence reference). */
