@@ -260,6 +260,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"native argmin missing from the PQ encode:\n$plan")
   }
 
+  test("r8 native kernels stay inside whole-stage codegen (BpeEncode, FloorScale)") {
+    import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case w: WholeStageCodegenExec => w.children.flatMap(nodes)
+      case _ => p.children.flatMap(nodes)
+    })
+    // a Project that evaluates the kernel must sit under a
+    // WholeStageCodegenExec ancestor — the whole point of the reference-
+    // object call pattern is that the stage does NOT fall back
+    def kernelInCodegen(df: org.apache.spark.sql.DataFrame, kernel: String): Unit = {
+      df.collect()
+      val root = df.queryExecution.executedPlan
+      def walk(p: SparkPlan, underCodegen: Boolean): Seq[(SparkPlan, Boolean)] = {
+        val here = (p, underCodegen)
+        val nextFlag = underCodegen || p.isInstanceOf[WholeStageCodegenExec]
+        here +: (p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, nextFlag)
+          case q: QueryStageExec => walk(q.plan, nextFlag)
+          case _ => p.children.flatMap(c => walk(c, nextFlag))
+        })
+      }
+      val hits = walk(root, underCodegen = false).collect {
+        case (pr: ProjectExec, flag) if pr.projectList.exists(_.toString.contains(kernel)) => flag
+      }
+      assert(hits.nonEmpty, s"$kernel not found in any Project:\n$root")
+      assert(hits.forall(identity), s"$kernel evaluated OUTSIDE whole-stage codegen:\n$root")
+    }
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val merges = operators.Curation.trainBpeMerges(docs, k = 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = operators.Curation.bpeVocabulary(docs, merges)
+    kernelInCodegen(operators.Curation.encodeBpe(docs, merges, vocab), "graft_bpe_encode")
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    kernelInCodegen(similarity.Ann.portableAssignments(emb, nCentroids = 4), "graft_floor_scale")
+  }
+
   test("minhash LSH candidates come from the pair operator, not a self-join") {
     val plan = executedPlan(dedup.Dedup.minhashLshPairs(GraftSession.table(spark, sfDir, "documents")))
     assert(!plan.contains("CartesianProduct"), s"all-pairs blowup:\n$plan")
