@@ -60,6 +60,22 @@ object CurationProps extends Properties("Curation") {
       got == classicBpe(words, 4)
     }
 
+  property("native BpeEncode equals the composed HOF encode under random merge tables") =
+    Prop.forAll(corpusGen, Gen.choose(0, 4)) { (corpus, k) =>
+      val df = corpus.toDF("doc_id", "text")
+      // RANDOM-corpus-trained merges (not fixture-trained): the subtle
+      // cases are chains like (a,a) then (aa,a) — random 3-letter words
+      // hit them; k=0 pins the no-merge character path
+      val merges = Curation.trainBpeMerges(df, k).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = Curation.bpeVocabulary(df, merges)
+      val nat = Curation.encodeBpe(df, merges, vocab).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toMap
+      val comp = Curation.encodeBpeComposed(df, merges, vocab).collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toMap
+      nat == comp
+    }
+
   property("CMS one-sided error holds for every term on random corpora") =
     Prop.forAll(corpusGen) { corpus =>
       val df = corpus.toDF("doc_id", "text")
