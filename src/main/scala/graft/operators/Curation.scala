@@ -239,6 +239,56 @@ object Curation {
         (col("__ms") < minStopMicros || col("__md") > maxDupMicros).as("blocked"))
   }
 
+  /** L58: token-budget corpus selection — the "fill the training
+    * budget with the best data" cut every pretraining run makes:
+    * documents rank by (quality desc, doc_id) and the kept set is the
+    * greedy PREFIX — every document whose cumulative token count
+    * (itself included) fits `budgetTokens`. Quality is the en-stopword
+    * ratio in exact integer micros (the sourceQuality idiom), so the
+    * total order is engine-portable and the whole selection has an
+    * ANSI oracle.
+    *
+    * Scale: a global cumulative sum WITHOUT a global window — a bare
+    * `Window.orderBy` would funnel 100 TB through ONE partition.
+    * Instead: scores quantize into ≤ 1001 bands (micros div 1000); one
+    * map-side-combined band rollup (bounded, model-sized) gives each
+    * band's token total; the driver folds the 1001-row cumulative (the
+    * scalar-collect class) into per-band offsets; fully-fitting bands
+    * pass straight through, and ONLY the single crossing band pays a
+    * window — partitioned BY BAND. In-band order (score desc, doc_id)
+    * agrees with the global order because bands are score-disjoint, so
+    * the result is exactly the naive global prefix (the oracle computes
+    * that naive form). */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val en = typedLit(Text.Stopwords.toMap.apply("en"))
+    val toks = Text.tokens(col("text"))
+    val scored = docs.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
+      .withColumn("score_micros",
+        expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
+      .withColumn("__band", expr("score_micros div 1000"))
+      .drop("__stop")
+    val bandTotals = scored.groupBy("__band").agg(sum(col("n_tokens")).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    val offsets = bandTotals.map { case (b, t) => val s = acc; acc += t; (b, s, s + t) }
+    val fullBands = offsets.filter(_._3 <= budgetTokens).map(_._1).toSeq
+    val crossing = offsets.find(_._3 > budgetTokens)
+    val kept = scored.filter(col("__band").isInCollection(fullBands))
+    val partial = crossing match {
+      case Some((b, start, _)) if start < budgetTokens =>
+        val w = Window.partitionBy("__band")
+          .orderBy(col("score_micros").desc, col("doc_id"))
+        scored.filter(col("__band") === b)
+          .withColumn("__cum", sum(col("n_tokens")).over(w) + lit(start))
+          .filter(col("__cum") <= budgetTokens).drop("__cum")
+      case _ => scored.limit(0)
+    }
+    kept.unionByName(partial)
+      .select("doc_id", "n_tokens", "score_micros").orderBy("doc_id")
+  }
+
   /** Temperature-based mix resampling (L29) — flatten a skewed group
     * (language/domain) distribution toward shares ∝ n^alpha, the
     * multilingual-pretraining mixing step: group g keeps each row with

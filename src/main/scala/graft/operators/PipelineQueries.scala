@@ -590,6 +590,10 @@ object PipelineQueries {
         (0 to 64).map(b => w.getOrElse(b, 0L)))
     }),
     "sample_importance" -> sampleImportance,
+    // L58: greedy best-quality prefix under a token budget (the banded
+    // global-cumsum plan; oracle computes the naive global window)
+    "sample_token_budget" -> ((s, dir) =>
+      Curation.budgetSelect(t(s, dir, "documents"), budgetTokens = 8000L)),
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
     "source_quality" -> ((s, dir) =>
@@ -912,6 +916,22 @@ object PipelineQueries {
          |FROM taus t LEFT JOIN pc USING (tau_micros) LEFT JOIN dc USING (tau_micros)
          |ORDER BY tau_micros""".stripMargin,
 
+    // sample_token_budget: the naive global-prefix form of the banded
+    // selection — (score desc, doc_id) cumulative ≤ budget
+    "sample_token_budget" ->
+      """WITH q AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        | FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |  CAST((2 * 1000000 * stop + n_tokens) // (2 * n_tokens) AS BIGINT) AS score_micros
+        | FROM q),
+        |c AS (SELECT doc_id, n_tokens, score_micros,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY score_micros DESC, doc_id) AS BIGINT) AS cum
+        | FROM s)
+        |SELECT doc_id, n_tokens, score_micros FROM c WHERE cum <= 8000
+        |ORDER BY doc_id""".stripMargin,
     // source_quality: the L32 span CTEs + the text_quality stopword
     // expression rolled up per source with exact integer-micros means
     "source_quality" ->

@@ -484,6 +484,39 @@ class CurationSpec extends AnyFunSuite {
     assert(nat == comp, "native applyBpe counts diverged from the composed form")
   }
 
+  test("L58 budget select: equals the naive greedy prefix, tight to the budget, partition-invariant") {
+    import graft.functions.Text
+    val budget = 8000L
+    val got = Curation.budgetSelect(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    // the naive in-memory greedy prefix over the same exact-integer score
+    val en = Text.Stopwords.toMap.apply("en").toSet
+    val scored = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      val n = toks.length.toLong
+      val stop = toks.count(en).toLong
+      (r.getLong(0), n, (2L * 1000000 * stop + n) / (2 * n))
+    }
+    val order = scored.sortBy { case (id, _, s) => (-s, id) }
+    var cum = 0L
+    val want = order.filter { case (_, n, _) => cum += n; cum <= budget }
+    assert(got.toSet == want.map(t => (t._1, t._2, t._3)).toSet,
+      "banded selection diverged from the naive global prefix")
+    // tight: within budget, and the NEXT document in order cannot fit
+    val total = got.map(_._2).sum
+    assert(total <= budget)
+    val keptIds = got.map(_._1).toSet
+    order.find(d => !keptIds.contains(d._1)).foreach { next =>
+      assert(total + next._2 > budget, "prefix stopped early — next doc still fits")
+    }
+    // partition invariance (the band rollup + crossing-band window must
+    // not depend on physical layout)
+    val re = Curation.budgetSelect(docs.repartition(7), budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(re == got)
+  }
+
   test("source rollup: flag matches its definition and splits the corpus both ways") {
     val out = Curation.sourceQuality(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
