@@ -612,6 +612,28 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Graft.clearOperatorCaches()
   }
 
+  test("L58 budget select: no single-partition window anywhere in the plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec => allNodes(q.plan)
+      case _ => p.children.flatMap(allNodes)
+    })
+    // the design claim behind the banded cumulative sum: a naive global
+    // prefix is Window.orderBy with NO partition — one partition for
+    // the whole corpus. The banded plan may only ever window WITHIN a
+    // band partition.
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val sel = operators.Curation.budgetSelect(docs, budgetTokens = 500L)
+    sel.collect() // small budget at this SF forces the crossing-band window
+    val windows = allNodes(sel.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global (single-partition) window in the budget-select plan:\n$w"))
+  }
+
   test("r7 tail: training sequences keep every window shard-partitioned; vocab coverage reuses one cached explode") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
