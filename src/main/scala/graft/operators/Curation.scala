@@ -289,6 +289,61 @@ object Curation {
       .select("doc_id", "n_tokens", "score_micros").orderBy("doc_id")
   }
 
+  /** L59: PER-GROUP token-budget selection — [[budgetSelect]]'s
+    * data-mixing form: each group (source/domain/language) fills its
+    * OWN token budget with its best documents, the way a mixture spec
+    * ("x tokens of web, y of code") is actually materialized. Same
+    * greedy-prefix contract per group, same exact-integer score, same
+    * banded plan — the band rollup and the driver fold go per
+    * (group, band) (bounded: groups × ≤1001 rows, capped by
+    * `maxGroups` under the maxGroupRows discipline), fully-fitting
+    * bands pass through, and the per-group crossing bands pay ONE
+    * window partitioned by (group, band). Groups proceed fully in
+    * parallel; no stage depends on corpus-global order. */
+  def budgetSelectPerGroup(docs: DataFrame, groupCol: String,
+      budgetPerGroup: Long, maxGroups: Int = 1000): DataFrame = {
+    val en = typedLit(Text.Stopwords.toMap.apply("en"))
+    val toks = Text.tokens(col("text"))
+    val scored = docs.select(col(groupCol).as("__g"), col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
+      .withColumn("score_micros",
+        expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
+      .withColumn("__band", expr("score_micros div 1000"))
+      .drop("__stop")
+    val SEP = '\u0001' // unambiguous (group, band) key separator
+    val bandRows = scored.groupBy("__g", "__band").agg(sum(col("n_tokens")).as("__t"))
+      .limit(maxGroups * 1001 + 1).collect()
+    if (bandRows.iterator.map(_.getString(0)).toSet.size > maxGroups)
+      throw graft.errors.TooManyPartitions(s"budgetSelectPerGroup($groupCol)", maxGroups)
+    // per-group cumulative over the ≤1001 bands (driver fold, model-sized)
+    val perGroup = bandRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val fullKeys = scala.collection.mutable.ArrayBuffer[String]()
+    val crossings = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    perGroup.foreach { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(-_._2).foreach { case (_, band, t) =>
+        if (acc + t <= budgetPerGroup) { fullKeys += s"$g$SEP$band"; acc += t }
+        else if (acc < budgetPerGroup && crossings.forall(_._1 != g)) {
+          crossings += ((g, band, acc)); acc += t
+        } else acc += t
+      }
+    }
+    val key = concat_ws(SEP.toString, col("__g"), col("__band"))
+    val kept = scored.filter(key.isInCollection(fullKeys.toSeq))
+    val crossKeys = crossings.map { case (g, b, _) => s"$g$SEP$b" }.toSeq
+    val offsetOf = typedLit(crossings.map { case (g, b, s) => (s"$g$SEP$b", s) }.toMap)
+    val w = Window.partitionBy("__g", "__band")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+    val partial = scored.filter(key.isInCollection(crossKeys))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) + element_at(offsetOf, key))
+      .filter(col("__cum") <= budgetPerGroup).drop("__cum")
+    kept.unionByName(partial)
+      .select(col("__g").as(groupCol), col("doc_id"), col("n_tokens"), col("score_micros"))
+      .orderBy(groupCol, "doc_id")
+  }
+
   /** Temperature-based mix resampling (L29) — flatten a skewed group
     * (language/domain) distribution toward shares ∝ n^alpha, the
     * multilingual-pretraining mixing step: group g keeps each row with

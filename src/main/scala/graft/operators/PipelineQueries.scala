@@ -594,6 +594,11 @@ object PipelineQueries {
     // global-cumsum plan; oracle computes the naive global window)
     "sample_token_budget" -> ((s, dir) =>
       Curation.budgetSelect(t(s, dir, "documents"), budgetTokens = 8000L)),
+    // L59: the per-group (mixture-spec) form — each source fills its
+    // own 2000-token budget with its best documents
+    "sample_token_budget_grouped" -> ((s, dir) =>
+      Curation.budgetSelectPerGroup(t(s, dir, "documents"), "source",
+        budgetPerGroup = 2000L)),
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
     "source_quality" -> ((s, dir) =>
@@ -932,6 +937,21 @@ object PipelineQueries {
         | FROM s)
         |SELECT doc_id, n_tokens, score_micros FROM c WHERE cum <= 8000
         |ORDER BY doc_id""".stripMargin,
+    // sample_token_budget_grouped: the per-source naive windows
+    "sample_token_budget_grouped" ->
+      """WITH q AS (
+        | SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        | FROM documents),
+        |s AS (SELECT source, doc_id, n_tokens,
+        |  CAST((2 * 1000000 * stop + n_tokens) // (2 * n_tokens) AS BIGINT) AS score_micros
+        | FROM q),
+        |c AS (SELECT source, doc_id, n_tokens, score_micros,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score_micros DESC, doc_id) AS BIGINT) AS cum
+        | FROM s)
+        |SELECT source, doc_id, n_tokens, score_micros FROM c WHERE cum <= 2000
+        |ORDER BY source, doc_id""".stripMargin,
     // source_quality: the L32 span CTEs + the text_quality stopword
     // expression rolled up per source with exact integer-micros means
     "source_quality" ->

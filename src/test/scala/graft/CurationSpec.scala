@@ -517,6 +517,36 @@ class CurationSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("L59 per-group budget select: each group's own naive prefix; group cap is the named error") {
+    import graft.functions.Text
+    val budget = 2000L
+    val got = Curation.budgetSelectPerGroup(docs, "source", budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    val en = Text.Stopwords.toMap.apply("en").toSet
+    val scored = docs.select("source", "doc_id", "text").collect().map { r =>
+      val toks = r.getString(2).split(" ")
+      val n = toks.length.toLong
+      val stop = toks.count(en).toLong
+      (r.getString(0), r.getLong(1), n, (2L * 1000000 * stop + n) / (2 * n))
+    }
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy { case (_, id, _, s) => (-s, id) }
+        .filter { case (_, _, n, _) => cum += n; cum <= budget }.toSeq
+    }.toSet
+    assert(got.toSet == want, "per-group selection diverged from the per-group naive prefix")
+    // every group independently within budget
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= budget, s"$src over budget")
+    }
+    assert(got.map(_._1).distinct.size > 1, "selection must span several groups")
+    // the maxGroups cap is the named TooManyPartitions error
+    intercept[graft.errors.TooManyPartitions] {
+      Curation.budgetSelectPerGroup(docs, "source", budget, maxGroups = 1).collect()
+    }
+  }
+
   test("source rollup: flag matches its definition and splits the corpus both ways") {
     val out = Curation.sourceQuality(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
