@@ -299,12 +299,21 @@ object Curation {
     * `maxGroups` under the maxGroupRows discipline), fully-fitting
     * bands pass through, and the per-group crossing bands pay ONE
     * window partitioned by (group, band). Groups proceed fully in
-    * parallel; no stage depends on corpus-global order. */
+    * parallel; no stage depends on corpus-global order.
+    *
+    * Groups render as STRINGS in the output, and a NULL group value is
+    * its own budget line under the reserved `__NULL_GROUP__` key
+    * (spec-pinned) — silently dropping null-group documents would be
+    * the unguarded alternative. */
   def budgetSelectPerGroup(docs: DataFrame, groupCol: String,
       budgetPerGroup: Long, maxGroups: Int = 1000): DataFrame = {
     val en = typedLit(Text.Stopwords.toMap.apply("en"))
     val toks = Text.tokens(col("text"))
-    val scored = docs.select(col(groupCol).as("__g"), col("doc_id"),
+    // groups render to strings; a NULL group is its own budget line
+    // under a reserved key (concat_ws SKIPS nulls — unguarded, null-
+    // group documents would silently never be selected)
+    val g = coalesce(col(groupCol).cast("string"), lit("__NULL_GROUP__"))
+    val scored = docs.select(g.as("__g"), col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
       .withColumn("score_micros",

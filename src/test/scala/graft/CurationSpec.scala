@@ -545,6 +545,14 @@ class CurationSpec extends AnyFunSuite {
     intercept[graft.errors.TooManyPartitions] {
       Curation.budgetSelectPerGroup(docs, "source", budget, maxGroups = 1).collect()
     }
+    // NULL groups are their own budget line under the reserved key —
+    // not silently dropped
+    val withNull = docs.limit(5).withColumn("source",
+      when(col("doc_id") % 2 === 0, col("source")))
+    val nulled = Curation.budgetSelectPerGroup(withNull, "source", budget).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(nulled.exists(_._1 == "__NULL_GROUP__"),
+      "null-group documents must select under the reserved group")
   }
 
   test("source rollup: flag matches its definition and splits the corpus both ways") {
