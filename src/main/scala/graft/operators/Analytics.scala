@@ -1056,7 +1056,9 @@ object Analytics {
     * values reports its EXACT count (KMV's small-range contract). */
   def distinctKmvPortable(events: DataFrame, k: Int = 64): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("__h")
-    events.select(col("event_type"),
+    // a NULL value is no observation (the sketchUnits discipline): its
+    // null hash would otherwise sort FIRST and poison rank 1 + n_hashes
+    events.filter(col("user_id").isNotNull).select(col("event_type"),
         conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
           .cast("long").as("__h"))
       .distinct()

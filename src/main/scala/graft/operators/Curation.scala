@@ -262,7 +262,10 @@ object Curation {
   def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val en = typedLit(Text.Stopwords.toMap.apply("en"))
     val toks = Text.tokens(col("text"))
-    val scored = docs.select(col("doc_id"),
+    // a NULL text has no tokens and can never be selected — filtered
+    // explicitly (its null score would otherwise flow into the band
+    // arithmetic as a silent null row)
+    val scored = docs.filter(col("text").isNotNull).select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
       .withColumn("score_micros",
@@ -313,7 +316,7 @@ object Curation {
     // under a reserved key (concat_ws SKIPS nulls — unguarded, null-
     // group documents would silently never be selected)
     val g = coalesce(col(groupCol).cast("string"), lit("__NULL_GROUP__"))
-    val scored = docs.select(g.as("__g"), col("doc_id"),
+    val scored = docs.filter(col("text").isNotNull).select(g.as("__g"), col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
       .withColumn("score_micros",

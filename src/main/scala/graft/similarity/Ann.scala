@@ -270,6 +270,8 @@ object Ann {
       assignBuckets: Int = 8): Unit = {
     import spark.implicits._
     val seeds = portableSeeds(corpus, nCentroids)
+    require(seeds.nonEmpty,
+      "saveIndexPortable: empty corpus — no vectors to seed the quantizer from")
     val rows = seeds.zipWithIndex.flatMap { case (v, c) =>
       v.zipWithIndex.map { case (x, p) => (c, p, x) } }.toSeq
     if (!store.exists(s"${name}_centroids")) {
@@ -933,6 +935,8 @@ object Ann {
     import spark.implicits._
     val coarse = portableSeeds(corpus, nCentroids)
     val seeds = portableSeeds(corpus, ksub)
+    require(seeds.nonEmpty,
+      "saveIndexPqPortable: empty corpus — no vectors to seed the codebooks from")
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
