@@ -309,7 +309,27 @@ object Curation {
     * (spec-pinned) — silently dropping null-group documents would be
     * the unguarded alternative. */
   def budgetSelectPerGroup(docs: DataFrame, groupCol: String,
-      budgetPerGroup: Long, maxGroups: Int = 1000): DataFrame = {
+      budgetPerGroup: Long, maxGroups: Int = 1000): DataFrame =
+    budgetSelectGrouped(docs, groupCol, s"budgetSelectPerGroup($groupCol)",
+      _ => budgetPerGroup, maxGroups)
+
+  /** L59b: mixture-SPEC budget selection — the full materializer of a
+    * data-mixture table ("800 tokens of src0, 400 of src5, none of the
+    * rest"): per-group budgets come from the spec map, and a group
+    * ABSENT from the spec has budget 0 — it contributes nothing, which
+    * is exactly what a mixture spec means by omission. Same banded
+    * plan as [[budgetSelectPerGroup]] (the uniform-budget special
+    * case); the spec map is driver-side config, model-sized by
+    * nature. */
+  def budgetSelectMixture(docs: DataFrame, groupCol: String,
+      budgets: Map[String, Long], maxGroups: Int = 1000): DataFrame =
+    budgetSelectGrouped(docs, groupCol, s"budgetSelectMixture($groupCol)",
+      g => budgets.getOrElse(g, 0L), maxGroups)
+
+  /** Shared banded per-group greedy-prefix core (see the public
+    * wrappers above for the contract and scale rationale). */
+  private def budgetSelectGrouped(docs: DataFrame, groupCol: String,
+      opName: String, budgetOf: String => Long, maxGroups: Int): DataFrame = {
     val en = typedLit(Text.Stopwords.toMap.apply("en"))
     val toks = Text.tokens(col("text"))
     // groups render to strings; a NULL group is its own budget line
@@ -327,17 +347,18 @@ object Curation {
     val bandRows = scored.groupBy("__g", "__band").agg(sum(col("n_tokens")).as("__t"))
       .limit(maxGroups * 1001 + 1).collect()
     if (bandRows.iterator.map(_.getString(0)).toSet.size > maxGroups)
-      throw graft.errors.TooManyPartitions(s"budgetSelectPerGroup($groupCol)", maxGroups)
+      throw graft.errors.TooManyPartitions(opName, maxGroups)
     // per-group cumulative over the ≤1001 bands (driver fold, model-sized)
     val perGroup = bandRows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     val fullKeys = scala.collection.mutable.ArrayBuffer[String]()
     val crossings = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     perGroup.foreach { case (g, rows) =>
+      val budget = budgetOf(g)
       var acc = 0L
       rows.sortBy(-_._2).foreach { case (_, band, t) =>
-        if (acc + t <= budgetPerGroup) { fullKeys += s"$g$SEP$band"; acc += t }
-        else if (acc < budgetPerGroup && crossings.forall(_._1 != g)) {
+        if (acc + t <= budget) { fullKeys += s"$g$SEP$band"; acc += t }
+        else if (acc < budget && crossings.forall(_._1 != g)) {
           crossings += ((g, band, acc)); acc += t
         } else acc += t
       }
@@ -346,11 +367,14 @@ object Curation {
     val kept = scored.filter(key.isInCollection(fullKeys.toSeq))
     val crossKeys = crossings.map { case (g, b, _) => s"$g$SEP$b" }.toSeq
     val offsetOf = typedLit(crossings.map { case (g, b, s) => (s"$g$SEP$b", s) }.toMap)
+    // budgets of the groups PRESENT (driver-derived, model-sized): the
+    // crossing-band filter compares each group's own budget
+    val budgetLit = typedLit(perGroup.keysIterator.map(g => g -> budgetOf(g)).toMap)
     val w = Window.partitionBy("__g", "__band")
       .orderBy(col("score_micros").desc, col("doc_id"))
     val partial = scored.filter(key.isInCollection(crossKeys))
       .withColumn("__cum", sum(col("n_tokens")).over(w) + element_at(offsetOf, key))
-      .filter(col("__cum") <= budgetPerGroup).drop("__cum")
+      .filter(col("__cum") <= element_at(budgetLit, col("__g"))).drop("__cum")
     kept.unionByName(partial)
       .select(col("__g").as(groupCol), col("doc_id"), col("n_tokens"), col("score_micros"))
       .orderBy(groupCol, "doc_id")

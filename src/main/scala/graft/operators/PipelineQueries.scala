@@ -598,7 +598,13 @@ object PipelineQueries {
     // own 2000-token budget with its best documents
     "sample_token_budget_grouped" -> ((s, dir) =>
       Curation.budgetSelectPerGroup(t(s, dir, "documents"), "source",
-        budgetPerGroup = 2000L)),
+        budgetPerGroup = 800L)),
+    // L59b: a real mixture SPEC — src0..src4 get 800 tokens, src5..src9
+    // get 400, every other source is OMITTED (budget 0 by omission)
+    "sample_token_budget_spec" -> ((s, dir) =>
+      Curation.budgetSelectMixture(t(s, dir, "documents"), "source",
+        ((0 to 4).map(i => s"src$i" -> 800L) ++
+          (5 to 9).map(i => s"src$i" -> 400L)).toMap)),
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
     "source_quality" -> ((s, dir) =>
@@ -950,7 +956,26 @@ object PipelineQueries {
         |c AS (SELECT source, doc_id, n_tokens, score_micros,
         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score_micros DESC, doc_id) AS BIGINT) AS cum
         | FROM s)
-        |SELECT source, doc_id, n_tokens, score_micros FROM c WHERE cum <= 2000
+        |SELECT source, doc_id, n_tokens, score_micros FROM c WHERE cum <= 800
+        |ORDER BY source, doc_id""".stripMargin,
+    // sample_token_budget_spec: per-source naive windows against the
+    // CASE-rendered mixture spec (omitted sources → budget 0)
+    "sample_token_budget_spec" ->
+      """WITH q AS (
+        | SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        | FROM documents),
+        |s AS (SELECT source, doc_id, n_tokens,
+        |  CAST((2 * 1000000 * stop + n_tokens) // (2 * n_tokens) AS BIGINT) AS score_micros
+        | FROM q),
+        |c AS (SELECT source, doc_id, n_tokens, score_micros,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score_micros DESC, doc_id) AS BIGINT) AS cum,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 800
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 400
+        |       ELSE 0 END AS budget
+        | FROM s)
+        |SELECT source, doc_id, n_tokens, score_micros FROM c WHERE cum <= budget
         |ORDER BY source, doc_id""".stripMargin,
     // source_quality: the L32 span CTEs + the text_quality stopword
     // expression rolled up per source with exact integer-micros means

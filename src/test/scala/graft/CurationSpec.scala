@@ -519,7 +519,7 @@ class CurationSpec extends AnyFunSuite {
 
   test("L59 per-group budget select: each group's own naive prefix; group cap is the named error") {
     import graft.functions.Text
-    val budget = 2000L
+    val budget = 800L // below every source's total — each group must CUT
     val got = Curation.budgetSelectPerGroup(docs, "source", budget).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got.nonEmpty)
@@ -553,6 +553,24 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(nulled.exists(_._1 == "__NULL_GROUP__"),
       "null-group documents must select under the reserved group")
+    // L59b mixture spec: per-group budgets from the spec table, groups
+    // OMITTED from the spec contribute nothing (budget 0 by omission)
+    val spec = Map("src0" -> 500L, "src1" -> 120L)
+    val mixed = Curation.budgetSelectMixture(docs, "source", spec).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(mixed.map(_._1).toSet == Set("src0", "src1"),
+      "only spec'd groups may contribute to the mixture")
+    mixed.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= spec(src), s"$src over its spec budget")
+    }
+    // each spec'd group equals its own naive prefix under ITS budget
+    val wantMix = scored.filter(d => spec.contains(d._1)).groupBy(_._1).toSeq
+      .flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy { case (_, id, _, s) => (-s, id) }
+          .filter { case (_, _, n, _) => cum += n; cum <= spec(src) }.toSeq
+      }.toSet
+    assert(mixed.toSet == wantMix)
   }
 
   test("source rollup: flag matches its definition and splits the corpus both ways") {
