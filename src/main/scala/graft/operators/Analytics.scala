@@ -1547,7 +1547,8 @@ object Analytics {
         |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
         |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
         |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) AS hh
-        | FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events)),
+        | FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |       FROM events WHERE user_id IS NOT NULL)),
         |r AS (SELECT event_type, hh,
         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn FROM h),
         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes, MAX(hh) AS kth_hash

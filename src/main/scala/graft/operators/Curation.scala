@@ -627,8 +627,10 @@ object Curation {
     // counts ride the native one-pass encoder (ids are irrelevant to a
     // count, so the vocabulary is empty): total segments = the id-array
     // size, words = the token-array size — ZERO shuffles where the
-    // composed form exploded words and regrouped them per doc
-    docs.select(col("doc_id"),
+    // composed form exploded words and regrouped them per doc.
+    // null-text docs are dropped — the same row set as the composed
+    // witness, whose explode skips null token arrays (ADVICE r8)
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
       size(Text.tokens(col("text"))).cast("long").as("ws_tokens"),
       size(graft.plans.GraftFunctions.bpeEncode(col("text"), merges, Nil))
         .cast("long").as("bpe_tokens"))

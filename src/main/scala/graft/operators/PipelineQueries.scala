@@ -594,8 +594,9 @@ object PipelineQueries {
     // global-cumsum plan; oracle computes the naive global window)
     "sample_token_budget" -> ((s, dir) =>
       Curation.budgetSelect(t(s, dir, "documents"), budgetTokens = 8000L)),
-    // L59: the per-group (mixture-spec) form — each source fills its
-    // own 2000-token budget with its best documents
+    // L59: the per-group form — each source fills its own 800-token
+    // budget with its best documents (800 cuts every source at sf0.01,
+    // so the crossing-band path is driver-exercised)
     "sample_token_budget_grouped" -> ((s, dir) =>
       Curation.budgetSelectPerGroup(t(s, dir, "documents"), "source",
         budgetPerGroup = 800L)),

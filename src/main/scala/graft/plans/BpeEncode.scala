@@ -65,11 +65,29 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)], vocab: Se
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
-      // single-char symbols, "abc".split("") semantics — including the
-      // empty-word edge: "".split("") is [""], one empty symbol (→ −1)
-      val syms = if (w.isEmpty) Array("") else new Array[String](w.length)
-      var ci = 0
-      while (ci < w.length) { syms(ci) = String.valueOf(w.charAt(ci)); ci += 1 }
+      // single-symbol split with Spark's `split(w, "")` semantics:
+      // symbols are CODE POINTS (UTF8String iterates code points, so
+      // a surrogate pair is ONE symbol), and the empty word yields one
+      // empty symbol (→ −1). NOTE this differs from Java's
+      // `String.split("")`, which splits BETWEEN surrogates on this
+      // JVM — a charAt walk (or the Java split) would shred
+      // supplementary characters (emoji, CJK ext-B) into unmatched
+      // half-surrogates and break bit-compatibility with the composed
+      // form and the trainer (ADVICE r8).
+      val syms =
+        if (w.isEmpty) Array("")
+        else {
+          val arr = new Array[String](w.codePointCount(0, w.length))
+          var ci = 0
+          var off = 0
+          while (off < w.length) {
+            val cc = Character.charCount(w.codePointAt(off))
+            arr(ci) = w.substring(off, off + cc)
+            ci += 1
+            off += cc
+          }
+          arr
+        }
       var n = syms.length
       // replay merges in rank order: single left-to-right pass each
       var r = 0

@@ -17,19 +17,31 @@ object CurationProps extends Properties("Curation") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(3)
 
+  // the alphabet includes a SUPPLEMENTARY code point (😀, U+1F600 — two
+  // UTF-16 units): every splitter in the chain (trainer, vocabulary,
+  // native encoder, composed encoder, classic twin) must treat it as
+  // ONE symbol, never two lone surrogates (ADVICE r8)
   private val wordGen: Gen[String] =
-    Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "😀")).map(_.mkString))
   private val docGen: Gen[String] =
     Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
   private val corpusGen: Gen[Seq[(Long, String)]] =
     Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
       .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
 
+  /** Code-point split — the engine's symbol alphabet (Spark
+    * `split(s, "")` iterates code points; Java's `String.split("")`
+    * would shred surrogate pairs). Empty → one empty symbol. */
+  private def cpSplit(s: String): Vector[String] =
+    if (s.isEmpty) Vector("")
+    else s.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   /** The classic single-machine BPE trainer (argmax by count desc then
     * pair lexicographic; left-to-right non-overlapping merge). */
   private def classicBpe(words: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
     var vocab: Map[Vector[String], Long] =
-      words.groupMapReduce { case (w, _) => w.split("").toVector } { case (_, c) => c }(_ + _)
+      words.groupMapReduce { case (w, _) => cpSplit(w) } { case (_, c) => c }(_ + _)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (r <- 1 to k) {
       val pairs = scala.collection.mutable.Map[(String, String), Long]()

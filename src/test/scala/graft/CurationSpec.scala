@@ -13,6 +13,13 @@ class CurationSpec extends AnyFunSuite {
 
   private lazy val docs = GraftSession.table(spark, sfDir, "documents").cache()
 
+  /** Code-point split — the engine's symbol alphabet (Spark
+    * `split(s, "")` iterates code points; Java's `String.split("")`
+    * shreds surrogate pairs on this JVM). Empty → one empty symbol. */
+  private def cpSplit(s: String): Vector[String] =
+    if (s.isEmpty) Vector("")
+    else s.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   test("stratifiedCap equals the single-window reference selection") {
     val got = Curation.stratifiedCap(docs, "lang", "doc_id", cap = 30)
       .select("doc_id", "lang", "sample_rank").collect()
@@ -353,7 +360,7 @@ class CurationSpec extends AnyFunSuite {
     var vocab: Map[Vector[String], Long] = docs
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getString(0).split("").toVector -> r.getLong(1)).toMap
+      .map(r => cpSplit(r.getString(0)) -> r.getLong(1)).toMap
     val want = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (r <- 1 to 8) {
       val pairs = scala.collection.mutable.Map[(String, String), Long]()
@@ -381,7 +388,7 @@ class CurationSpec extends AnyFunSuite {
     val idOf = vocab.zipWithIndex.toMap
     // in-memory twin encoder (the classic single-pass merge semantics)
     def segment(word: String): Vector[String] =
-      merges.foldLeft(word.split("").toVector) { case (syms, (a, b)) =>
+      merges.foldLeft(cpSplit(word)) { case (syms, (a, b)) =>
         val out = scala.collection.mutable.ArrayBuffer[String]()
         for (s <- syms)
           if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
@@ -402,7 +409,12 @@ class CurationSpec extends AnyFunSuite {
     // nested-HOF encode it replaced on the hot path (incl. a crafted
     // empty-word edge: double space → "" word → one −1 id in both)
     import spark.implicits._
-    val edge = Seq((9000001L, "join  hash"), (9000002L, "")).toDF("doc_id", "text")
+    val edge = Seq(
+      (9000001L, "join  hash"), (9000002L, ""),
+      // non-BMP: emoji (U+1F600) and CJK ext-B (U+2A6A5) are single
+      // symbols (one −1 each, unknown to the corpus vocab) — a UTF-16
+      // charAt split would shred each into TWO lone surrogates
+      (9000003L, "jo😀in 𪚥𪚥")).toDF("doc_id", "text")
     val withEdge = docs.select("doc_id", "text").unionByName(edge)
     val comp = Curation.encodeBpeComposed(withEdge, merges, vocab).collect()
       .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toVector, r.getLong(2)))).toMap
@@ -410,6 +422,8 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toVector, r.getLong(2)))).toMap
     assert(nat == comp, "native BpeEncode diverged from the composed HOF encode")
     assert(nat(9000001L)._1.contains(-1), "empty word must encode as -1 in both forms")
+    assert(nat(9000003L)._1.count(_ == -1) == 3,
+      "each supplementary code point must be ONE unknown symbol (one -1), not two surrogates")
     // packed sequences: shard-local concatenation in (md5, id) order,
     // split at seqLen, last chunk padded with -1
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -476,12 +490,19 @@ class CurationSpec extends AnyFunSuite {
     // language should sit strictly below the no-merge ceiling of 1.0
     assert(got.forall(_._7 < 1.0), s"no merge fired anywhere: $got")
     // the zero-shuffle native count path equals the composed
-    // explode→segment→regroup form it replaced
-    val comp = Curation.applyBpeComposed(docs, merges).collect()
+    // explode→segment→regroup form it replaced — including the row
+    // SET on a corpus with a null-text doc, which both forms drop
+    // (composed: explode skips null arrays; native: explicit filter —
+    // ADVICE r8)
+    import spark.implicits._
+    val withNull = docs.select("doc_id", "text")
+      .unionByName(Seq((9000011L, Option.empty[String])).toDF("doc_id", "text"))
+    val comp = Curation.applyBpeComposed(withNull, merges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val nat = Curation.applyBpe(docs, merges).collect()
+    val nat = Curation.applyBpe(withNull, merges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(nat == comp, "native applyBpe counts diverged from the composed form")
+    assert(!nat.exists(_._1 == 9000011L), "null-text docs must be dropped by both forms")
   }
 
   test("L58 budget select: equals the naive greedy prefix, tight to the budget, partition-invariant") {
