@@ -80,6 +80,9 @@ object Bench {
     "events_quantile_sketch", // NEW r7 entry (A46) — absent from earlier records
     "text_training_sequences", // NEW r7 entry (L54) — absent from earlier records
     "multimodal_patches", // NEW r7 entry (L12g) — absent from earlier records
+    "dedup_paragraph", // NEW r9 entry (L60) — absent from earlier records
+    "sim_recall", // NEW r9 entry (L61) — absent from earlier records
+    "text_lexdiv", // NEW r9 entry (L62) — absent from earlier records
     // sim_topk_ivfpq_indexed is NOT benched: like sim_topk_ivf_indexed,
     // its wall time is dominated by store-index CONSTRUCTION (two Lloyd
     // trainings + table writes per run) — the steady-state search cost
@@ -264,7 +267,6 @@ object Bench {
     val (js2, ss2) = calibrate(spark)
     def cs4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val calibStart = s"""{"jvm_mix_268m":${cs4(math.min(js1, js2))},"spark_hash_2048m":${cs4(math.min(ss1, ss2))}}"""
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
@@ -283,9 +285,14 @@ object Bench {
     val (j2, s2) = calibrate(spark)
     def c4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    // calib values at 4 decimals: with the 71-entry queries dict the
-    // tail budget is counted in single characters (see below)
-    val calib = s"""{"jvm_mix_268m":${c4(math.min(j1, j2))},"spark_hash_2048m":${c4(math.min(s1, s2))}}"""
+    // calib values at 4 decimals: with the 74-entry queries dict the
+    // tail budget is counted in single characters (see below). Since r9
+    // the start/end pairs share ONE dict as [start, end] arrays — same
+    // information as the old calib_start/calib pair, ~60 tail chars
+    // cheaper, which paid for the three r9 headline entries.
+    val calib =
+      s"""{"jvm_mix_268m":[${cs4(math.min(js1, js2))},${c4(math.min(j1, j2))}],""" +
+        s""""spark_hash_2048m":[${cs4(math.min(ss1, ss2))},${c4(math.min(s1, s2))}]}"""
     // VERDICT r7 #3: the per-query probe_34m map scrolls out of the
     // driver's 2 KB tail at 71+ queries — exactly when it's needed. This
     // compact summary survives in the tail: the WORST per-query probe
@@ -320,10 +327,10 @@ object Bench {
     // line (BENCH_r05 lost the queries dict to tail truncation — VERDICT
     // r5 #1; BENCH_r06 then lost calib/calib_start because they sat
     // BEFORE the large probe/peak dicts — VERDICT r6 #5). Order: big
-    // diagnostic dicts first, then the tiny calib pair, then the graded
-    // "queries"/"value" — so the last ~1.5 KB always carries
-    // calib_start + calib + queries + value together.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib_start":$calibStart,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$total}""")
+    // diagnostic dicts first, then the tiny calib dict ([start, end]
+    // per probe), then the graded "queries"/"value" — so the last
+    // ~1.5 KB always carries calib + probe_worst + queries + value.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

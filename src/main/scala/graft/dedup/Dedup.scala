@@ -1022,4 +1022,56 @@ object Dedup {
         (col("__rn") === 1).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** L60: PARAGRAPH-level exact dedup + document reassembly — the
+    * sub-document dedup granularity production pipelines run between
+    * whole-document dedup (L1) and span cutting (L47): a paragraph
+    * duplicated anywhere in the corpus survives only at its first
+    * occurrence (min (doc_id, para_idx)), and every document is
+    * re-emitted with its surviving paragraphs rejoined in order
+    * (cf. RefinedWeb/Dolma paragraph dedup; mssql_dataframe has no
+    * sub-row analogue — this is engine-added surface).
+    *
+    * The synthetic corpus has no newline delimiters, so a "paragraph"
+    * is a non-overlapping `para`-token window ([[graft.operators
+    * .Curation.chunkDocuments]]'s segmentation at stride = window); on
+    * real corpora pass a delimiter-split upstream and `para` large.
+    *
+    * Scale: three exchanges, all map-side combinable — (1) winner
+    * aggregate keyed by paragraph content (partial min per mapper, so
+    * a boilerplate paragraph duplicated a billion times reduces to one
+    * row per mapper BEFORE the shuffle — no hot-key task, the reason
+    * this is an aggregate and not a PARTITION BY window); (2) regroup
+    * of the winner rows (≤ one per distinct paragraph) by keeper doc;
+    * (3) a doc-keyed count join. Shuffle volume is O(distinct
+    * paragraphs), never O(corpus paragraphs). */
+  def paragraphDedup(docs: DataFrame, para: Int = 20): DataFrame = {
+    require(para > 0, "need para > 0")
+    val toks = split(col("text"), " ")
+    val nP = when(size(toks) <= para, lit(1))
+      .otherwise(ceil(size(toks).cast("double") / para).cast("int"))
+    val paras = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("__toks"), nP.as("__np"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__np") - 1),
+          i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
+      .select(col("doc_id"), col("pos").cast("int").as("para_idx"),
+        col("col").as("para_text"))
+    val winners = paras
+      .groupBy("para_text")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"),
+        col("__w.para_idx").as("para_idx"), col("para_text"))
+    val rebuilt = winners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para_text")))),
+          s => s.getField("para_text")), " ").as("clean_text"))
+    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

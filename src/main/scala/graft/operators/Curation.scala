@@ -1144,4 +1144,37 @@ object Curation {
         size(col("col")).as("n_tokens"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** L62: lexical-diversity profile per source — the corpus-mix
+    * diagnostics a data curator reads before weighting sources:
+    * type-token ratio (vocabulary richness), hapax share (how much of
+    * the vocabulary is seen once — the Zipf tail mass), and top-term
+    * share (how head-heavy the distribution is; near 1 means a
+    * degenerate/boilerplate source). All ratios are exact integer
+    * micros (floor(x·10⁶)), so the whole report is ANSI-oracle-exact.
+    *
+    * Scale: one (source, term) aggregate — map-side combined, so the
+    * exchange carries per-mapper distinct terms, not corpus tokens —
+    * then a per-source rollup of that already-small relation; the
+    * per-source doc count rides a third, trivially small exchange.
+    * Nothing corpus-scale crosses the wire. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("__w"))
+      .groupBy("source", "__w").agg(count(lit(1)).as("__f"))
+    val stats = tf.groupBy("source").agg(
+      sum(col("__f")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("__f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      max(col("__f")).as("top_f"))
+    docs.filter(col("text").isNotNull)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("top_f"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micros"),
+        expr("n_hapax * 1000000 div n_tokens").as("hapax_micros"),
+        expr("top_f * 1000000 div n_tokens").as("top_micros"))
+      .orderBy("source")
+  }
 }

@@ -526,6 +526,10 @@ object PipelineQueries {
     "dedup_substring" -> dedupSubstring,
     "dedup_despan" -> ((s, dir) =>
       Dedup.removeDupSpans(t(s, dir, "documents")).orderBy("doc_id")),
+    // L60: corpus-wide paragraph dedup + reassembly (paragraph =
+    // 20-token window on the newline-free synthetic corpus)
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(t(s, dir, "documents"))),
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
@@ -540,6 +544,12 @@ object PipelineQueries {
     "sim_topk_pq_portable" -> simTopkPqPortable,
     "sim_topk_ivfpq" -> simTopkIvfPq,
     "sim_topk_ivfpq_indexed" -> simTopkIvfPqIndexed,
+    // L61: recall@k of the portable IVF path vs brute-force ground
+    // truth — the accept/reject gate before an index replaces the scan
+    "sim_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.annRecall(e, queriesOf(e))
+    }),
     // L49: full-corpus distributed Lloyd — every iteration a cluster-wide
     // pass; oracle = the same two iterations unrolled in SQL
     "sim_kmeans_train" -> ((s, dir) =>
@@ -646,6 +656,10 @@ object PipelineQueries {
     // is non-vacuous at every SF
     "text_vocab_coverage" -> ((s, dir) =>
       Curation.vocabCoverage(t(s, dir, "documents"), vocabSize = 20)),
+    // L62: per-source lexical-diversity profile (TTR, hapax share,
+    // top-term share — exact integer micros)
+    "text_lexdiv" -> ((s, dir) =>
+      Curation.lexicalDiversity(t(s, dir, "documents"))),
     "embedding_quantize" -> ((s, dir) => Ann.quantizeInt8(t(s, dir, "embeddings"))),
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
@@ -1020,6 +1034,26 @@ object PipelineQueries {
         | ((2 * SUM(stopm) + COUNT(*)) // (2 * COUNT(*)) < 55000
         |  OR (2 * SUM(dupm) + COUNT(*)) // (2 * COUNT(*)) > 50000) AS blocked
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // dedup_paragraph: 20-token windows, first occurrence (min doc_id,
+    // para_idx) wins corpus-wide, survivors rejoin in window order
+    "dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS para_idx,
+        |  array_to_string(list_slice(toks, CAST(i*20+1 AS INT), CAST(i*20+20 AS INT)), ' ') AS para_text
+        | FROM t, UNNEST(range(0, CASE WHEN n <= 20 THEN 1 ELSE CAST(CEIL(n*1.0/20) AS INT) END)) AS u(i)),
+        |w AS (SELECT doc_id, para_idx, para_text FROM (
+        |  SELECT doc_id, para_idx, para_text,
+        |   ROW_NUMBER() OVER (PARTITION BY para_text ORDER BY doc_id, para_idx) AS rn FROM p)
+        | WHERE rn = 1),
+        |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  string_agg(para_text, ' ' ORDER BY para_idx) AS clean_text
+        | FROM w GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_paras, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        | COALESCE(r.clean_text, '') AS clean_text
+        |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // dedup_despan: the L32 span CTEs extended with the token-level cut;
     // positions inside [s, e+7] drop, survivors rejoin in order
     "dedup_despan" ->
@@ -1404,6 +1438,55 @@ object PipelineQueries {
         | FROM scored)
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // sim_recall: recall@k of the portable IVF path against brute-force
+    // ground truth — the truth CTEs are sim_topk_bruteforce's, the
+    // approx CTEs sim_topk_ivf_portable's, joined on (q_id, n_id);
+    // recall is the exact integer floor(hits·10⁶ / k_truth)
+    "sim_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id % 50 = 0),
+        |ts AS (
+        | SELECT q.q_id, e.vec_id AS n_id,
+        |  ROUND(list_inner_product(q.vq, e.v) /
+        |    (sqrt(list_inner_product(q.vq, q.vq)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
+        | FROM q JOIN e ON e.vec_id <> q.q_id),
+        |truth AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM ts)
+        | WHERE rank <= 5),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei),
+        |sd AS (SELECT cl, vi FROM sr WHERE cl < 16),
+        |dist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN sd s),
+        |da AS (SELECT vec_id, cl,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dist),
+        |assign AS (SELECT vec_id, cl FROM da WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cl FROM da WHERE vec_id % 50 = 0 AND rn <= 4),
+        |ascored AS (
+        | SELECT p.q_id, a.vec_id AS n_id,
+        |  ROUND(list_inner_product(q.v, e.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
+        | FROM probes p JOIN assign a ON a.cl = p.cl
+        |  JOIN e q ON q.vec_id = p.q_id JOIN e ON e.vec_id = a.vec_id
+        | WHERE a.vec_id <> p.q_id),
+        |approx AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM ascored)
+        | WHERE rank <= 5)
+        |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
+        | CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+        | (CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |   // CAST(COUNT(*) AS BIGINT) AS recall_micros
+        |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
     // sim_kmeans_train: Ann.kmeansTrain's two Lloyd iterations unrolled —
     // hash-sampled integer seeds, exact integer distances/argmin (ties to
     // the smaller cl), per-(cl,pos) integer sums, half-away integer-micros
@@ -1747,6 +1830,24 @@ object PipelineQueries {
          | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) AS score,
          | COALESCE(raw, 0) / (1000.0 * GREATEST(COALESCE(n, 0), 1)) > 0 AS accept
          |FROM t LEFT JOIN s ON t.doc_id = s.doc_id ORDER BY t.doc_id""".stripMargin,
+    // text_lexdiv: per-source TTR / hapax / top-term shares as exact
+    // floor-integer micros (BIGINT // BIGINT on both engines)
+    "text_lexdiv" ->
+      """WITH tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |  SELECT source, UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL) GROUP BY source, w),
+        |st AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(MAX(f) AS BIGINT) AS top_f FROM tf GROUP BY source),
+        |d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM documents WHERE text IS NOT NULL GROUP BY source)
+        |SELECT d.source, d.n_docs, s.n_tokens, s.n_types, s.n_hapax, s.top_f,
+        | (s.n_types * 1000000) // s.n_tokens AS ttr_micros,
+        | (s.n_hapax * 1000000) // s.n_tokens AS hapax_micros,
+        | (s.top_f * 1000000) // s.n_tokens AS top_micros
+        |FROM d JOIN st s ON d.source = s.source
+        |ORDER BY d.source""".stripMargin,
     // text_vocab_coverage: deterministic top-V vocabulary (count desc,
     // term tie-break), per-language OOV share in half-up integer micros
     "text_vocab_coverage" ->

@@ -434,6 +434,38 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** L61: ANN recall evaluation — the harness that tells you whether an
+    * approximate index is GOOD ENOUGH to replace the brute-force scan
+    * before you flip 100 TB of retrieval onto it: per query,
+    * recall@k of [[topKIvfPortable]] against the [[topKBruteForce]]
+    * ground truth over the same query set (the faiss-bench protocol).
+    * recall_micros is the exact integer floor(hits·10⁶ / k_truth), so
+    * the whole report — both retrieval paths included — re-derives in
+    * ANSI SQL.
+    *
+    * Scale: evaluation runs over a SAMPLED query set (both paths
+    * broadcast only queries); the ground-truth brute-force pass is the
+    * one corpus-scale scan per run you pay for the measurement, which
+    * is the point — you pay it once offline, not per serving query.
+    * The hit join is keyed (q_id, n_id): ≤ k rows per query per side. */
+  def annRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val truth = topKBruteForce(corpus, queries, k).select(col("q_id"), col("n_id"))
+    val approx = topKIvfPortable(corpus, queries, k, nCentroids, nProbe)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("k_hit"))
+      .select(col("q_id"), col("k_truth"), col("k_hit"),
+        expr("k_hit * 1000000 div k_truth").as("recall_micros"))
+      .orderBy("q_id")
+  }
+
   /** Squared euclidean distance to each centroid (literal array),
     * evaluated as one expression per row. */
   private def distances(v: Column, cents: Seq[Seq[Double]]): Column =

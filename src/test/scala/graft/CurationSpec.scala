@@ -720,4 +720,27 @@ class CurationSpec extends AnyFunSuite {
     assert(re == trained)
     Graft.clearOperatorCaches()
   }
+
+  test("L62 lexical diversity equals an in-memory recompute per source") {
+    val got = Curation.lexicalDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got.nonEmpty)
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.map(_._1) == rows.map(_._1).distinct.sorted.toSeq)
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      // Spark split(text, ' ') keeps trailing empties (limit −1)
+      val toks = ds.flatMap(_._2.split(" ", -1))
+      val tf = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.length.toLong
+      val types = tf.size.toLong
+      val hapax = tf.values.count(_ == 1L).toLong
+      val top = tf.values.max
+      val row = got.find(_._1 == src).get
+      assert(row == ((src, ds.length.toLong, n, types, hapax, top,
+        types * 1000000L / n, hapax * 1000000L / n, top * 1000000L / n)),
+        s"source $src diverged")
+    }
+  }
 }

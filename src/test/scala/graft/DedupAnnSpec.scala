@@ -807,4 +807,53 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(full == brute)
     Graft.clearOperatorCaches()
   }
+
+  test("L60 paragraph dedup: first occurrence wins corpus-wide and intra-doc; reassembly ordered") {
+    import spark.implicits._
+    // para = 2 tokens. doc 1: [a b][c d]; doc 2 shares [a b], keeps
+    // [e f]; doc 3 is an exact copy of doc 1 → fully emptied; doc 4
+    // duplicates ITS OWN paragraph → keeps the first only; doc 5 has
+    // null text → absent from the output entirely
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b e f"), (3L, "a b c d"),
+      (4L, "g h g h"), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val want = Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 1L, "g h"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.paragraphDedup(df, para = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(run(corpus) == want)
+    // partition-invariant (the winner rule is a global min, not
+    // an order-dependent scan)
+    assert(run(corpus.repartition(7)) == want)
+    // short docs (< para tokens) are one paragraph of their own
+    val short = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    assert(run(short) == Seq((1L, 1L, 1L, "a"), (2L, 1L, 0L, "")))
+  }
+
+  test("L61 ANN recall: probing every list recovers brute force exactly; partial probing is bounded") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    // nProbe = nCentroids → the candidate set is the whole corpus, so
+    // the 'approximate' path IS brute force and recall must be 10⁶
+    val full = Ann.annRecall(emb, q, k = 5, nCentroids = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(full.nonEmpty)
+    full.foreach { case (qid, kt, kh, rm) =>
+      assert(kt == 5L && kh == 5L && rm == 1000000L,
+        s"query $qid: full probing must have perfect recall, got $kh/$kt")
+    }
+    // the driver configuration: hits bounded by truth, the micros
+    // value is exactly the integer floor, and at least one query is
+    // imperfect (otherwise the measurement is vacuous on this corpus)
+    val part = Ann.annRecall(emb, q, k = 5, nCentroids = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    part.foreach { case (_, kt, kh, rm) =>
+      assert(kt == 5L && kh <= kt && rm == kh * 1000000L / kt)
+    }
+    assert(part.exists(_._3 < 5L), "every query perfect — recall harness vacuous")
+    Graft.clearOperatorCaches()
+  }
 }
