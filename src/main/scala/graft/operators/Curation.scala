@@ -694,6 +694,33 @@ object Curation {
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
   }
 
+  /** L64: BPE round-trip DECODE — ids back to text through the
+    * vocabulary, the audit that proves the shipped tokenizer is
+    * lossless before a trainer consumes its ids. BPE merges only ever
+    * concatenate the original symbols, so decoding a word's segments
+    * and joining them reconstructs the word exactly; word boundaries
+    * are not marked in the id stream (no ▁-style prefix in this
+    * tokenizer), so the reconstruction target is the text with spaces
+    * removed. Unknown ids (−1) decode to "" — with the vocabulary
+    * trained on the same corpus they arise only from empty words
+    * (double spaces), which the space-stripped target also drops, so
+    * `round_trip_ok` must be true for every document. Scan-side only:
+    * the native encode kernel plus a per-row vocabulary lookup, zero
+    * shuffles before the output sort. */
+  def decodeBpe(docs: DataFrame, merges: Seq[(String, String)],
+      vocab: Seq[String]): DataFrame = {
+    val vlit = typedLit(vocab)
+    val ids = graft.plans.GraftFunctions.bpeEncode(col("text"), merges, vocab)
+    val decoded = array_join(transform(ids,
+      id => when(id >= 0, element_at(vlit, id + 1)).otherwise(lit(""))), "")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), decoded.as("decoded_text"))
+      .select(col("doc_id"), col("decoded_text"),
+        (col("decoded_text") === regexp_replace(col("text"), " ", ""))
+          .as("round_trip_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Training-ready packed sequences (L54) — the artifact an LLM
     * trainer actually consumes, closing the tokenize story end to end
     * (L46 train → L53 encode → pack → fixed-length `input_ids`):

@@ -550,6 +550,10 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
       Ann.annRecall(e, queriesOf(e))
     }),
+    // L63: IVF list-balance report (skew diagnostic over the portable
+    // assignment; empty cells included)
+    "sim_index_stats" -> ((s, dir) =>
+      Ann.indexStats(t(s, dir, "embeddings"))),
     // L49: full-corpus distributed Lloyd — every iteration a cluster-wide
     // pass; oracle = the same two iterations unrolled in SQL
     "sim_kmeans_train" -> ((s, dir) =>
@@ -639,6 +643,13 @@ object PipelineQueries {
     // and shipped; the serving queries must not re-pay training).
     "text_fertility" -> ((s, dir) =>
       Curation.fertilityReport(t(s, dir, "documents"), trainedBpe(s, dir)._1)),
+    // L64: round-trip decode under the shared trained tokenizer — the
+    // oracle IS the round-trip contract (decode must reconstruct the
+    // space-stripped text, ok = true for every doc)
+    "text_detokenize" -> ((s, dir) => {
+      val (merges, vocab) = trainedBpe(s, dir)
+      Curation.decodeBpe(t(s, dir, "documents"), merges, vocab)
+    }),
     // L54: the full tokenize capstone — train → encode → pack. The
     // driver face is the scalar-checksum projection (pandas sort_values
     // cannot factorize array cells — VERDICT r7 #1); the raw input_ids
@@ -1438,6 +1449,42 @@ object PipelineQueries {
         | FROM scored)
         |SELECT q_id, n_id, rank, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // sim_index_stats: per-cell list sizes under the portable
+    // assignment (same assign CTEs), empty cells via range(0,16);
+    // share/balance are exact BIGINT floor divisions
+    "sim_index_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei),
+        |sd AS (SELECT cl, vi FROM sr WHERE cl < 16),
+        |dist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN sd s),
+        |da AS (SELECT vec_id, cl,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dist),
+        |assign AS (SELECT vec_id, cl FROM da WHERE rn = 1),
+        |l AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM assign GROUP BY cl),
+        |tt AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS tot FROM l)
+        |SELECT CAST(r.range AS INT) AS cl,
+        | CAST(COALESCE(l.n_vectors, 0) AS BIGINT) AS n_vectors,
+        | (CAST(COALESCE(l.n_vectors, 0) AS BIGINT) * 1000000) // tt.tot AS share_micros,
+        | (CAST(COALESCE(l.n_vectors, 0) AS BIGINT) * 16000000) // tt.tot AS balance_micros
+        |FROM range(0, 16) r CROSS JOIN tt LEFT JOIN l ON l.cl = r.range
+        |ORDER BY cl""".stripMargin,
+    // text_detokenize: the oracle states the round-trip CONTRACT — the
+    // engine's vocab-lookup decode must equal the space-stripped
+    // source text with ok = true everywhere; any decode defect
+    // hash-mismatches both columns
+    "text_detokenize" ->
+      """SELECT doc_id, replace(text, ' ', '') AS decoded_text,
+        | true AS round_trip_ok
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // sim_recall: recall@k of the portable IVF path against brute-force
     // ground truth — the truth CTEs are sim_topk_bruteforce's, the
     // approx CTEs sim_topk_ivf_portable's, joined on (q_id, n_id);

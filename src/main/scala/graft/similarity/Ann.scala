@@ -241,6 +241,32 @@ object Ann {
         array_min(col("__d")).as("__dc"))
   }
 
+  /** L63: IVF list-balance report — the skew diagnostic you read BEFORE
+    * trusting an IVF index at scale: per coarse cell, the list size,
+    * its corpus share, and a balance factor (n·K/total in micros — 10⁶
+    * is perfectly balanced; a cell at 8×10⁶ holds 8× its fair share,
+    * so probes hitting it rerank 8× the vectors and the index's
+    * speedup claim collapses on exactly the hot queries). Cells the
+    * quantizer never fills report n = 0 — wasted probe budget. Built
+    * on the portable assignment, so every number re-derives in ANSI
+    * SQL. One map-side-combined aggregate over the assignment; the
+    * K-row totals cross-join is broadcast. */
+  def indexStats(corpus: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val lists = portableAssignments(corpus, nCentroids)
+      .groupBy("cl").agg(count(lit(1)).as("n_vectors"))
+    val tot = lists.agg(sum(col("n_vectors")).as("__t"))
+    corpus.sparkSession.range(0, nCentroids)
+      .select(col("id").cast("int").as("cl"))
+      .join(lists, Seq("cl"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cl"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        col("__t"))
+      .select(col("cl"), col("n_vectors"),
+        expr("n_vectors * 1000000 div __t").as("share_micros"),
+        expr(s"n_vectors * ${nCentroids * 1000000L} div __t").as("balance_micros"))
+      .orderBy("cl")
+  }
+
   /** Assignment of `corpus` under FIXED integer seeds — the persisted-
     * index form of [[portableAssignments]] (the quantizer comes from a
     * stored table, not from re-sampling the corpus). */

@@ -56,6 +56,35 @@ object Streams {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** S31: streaming PARAGRAPH admission — the live-ingest twin of the
+    * batch paragraph dedup ([[graft.dedup.Dedup.paragraphDedup]] L60):
+    * each arriving document explodes into the batch operator's exact
+    * segmentation (non-overlapping `para`-token windows) STATELESSLY
+    * on the scan side, and only first-seen paragraph content within
+    * the watermark horizon is admitted downstream. The batch winner
+    * rule (global min (doc_id, para_idx)) is order-free; a stream
+    * admits by ARRIVAL order instead — same admitted content SET, the
+    * honest streaming contract. State keys are raw 16-byte md5 digests
+    * (S5's footprint discipline): O(distinct paragraphs × 16 bytes)
+    * within the watermark, regardless of document sizes. */
+  def paragraphAdmission(stream: DataFrame, tsCol: String = "ts",
+      para: Int = 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nP = when(size(toks) <= para, lit(1))
+      .otherwise(ceil(size(toks).cast("double") / para).cast("int"))
+    stream.filter(col("text").isNotNull)
+      .select(col("doc_id"), col(tsCol), toks.as("__toks"), nP.as("__np"))
+      .select(col("doc_id"), col(tsCol),
+        posexplode(transform(sequence(lit(0), col("__np") - 1),
+          i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
+      .select(col("doc_id"), col(tsCol), col("pos").cast("int").as("para_idx"),
+        col("col").as("para_text"))
+      .withColumn("__h", unhex(md5(col("para_text"))))
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+  }
+
   /** S13: streaming sessionization — the streaming twin of the batch
     * gap-based sessionize (Analytics.eventsSessionize): Spark's
     * `session_window` merges events within the inactivity gap into one

@@ -721,6 +721,28 @@ class CurationSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("L64 decode: round trip holds corpus-wide incl. double spaces; a gutted vocab is caught") {
+    import spark.implicits._
+    val merges = Curation.trainBpeMerges(docs, k = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = Curation.bpeVocabulary(docs, merges)
+    val edge = docs.select("doc_id", "text")
+      .unionByName(Seq((9000021L, "join  hash")).toDF("doc_id", "text"))
+    val got = Curation.decodeBpe(edge, merges, vocab).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.nonEmpty && got.forall(_._3),
+      s"round trip failed for ${got.filterNot(_._3).take(3).mkString(", ")}")
+    // the double-space doc: the empty word encodes -1, decodes to "",
+    // and the space-stripped target drops it too
+    assert(got.find(_._1 == 9000021L).get._2 == "joinhash")
+    // negative control: drop the vocabulary's first base character —
+    // every document containing it must now fail the round trip (the
+    // flag can actually fire)
+    val gutted = Curation.decodeBpe(edge, merges, vocab.drop(1)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(gutted.exists(!_._2), "gutted vocab went undetected")
+  }
+
   test("L62 lexical diversity equals an in-memory recompute per source") {
     val got = Curation.lexicalDiversity(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -834,6 +834,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(run(short) == Seq((1L, 1L, 1L, "a"), (2L, 1L, 0L, "")))
   }
 
+  test("L63 index stats: lists partition the corpus, shares/balance exact, empty cells reported") {
+    val n = emb.count()
+    val got = Ann.indexStats(emb, nCentroids = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (0 until 16))
+    assert(got.map(_._2).sum == n, "lists must partition the corpus exactly")
+    got.foreach { case (_, nv, share, bal) =>
+      assert(share == nv * 1000000L / n)
+      assert(bal == nv * 16L * 1000000L / n)
+    }
+    // more cells than vectors forces empty lists — they must still
+    // report (n = 0), not vanish: probe budget spent on them is wasted
+    val tiny = emb.filter(col("vec_id") < 8)
+    val sparse = Ann.indexStats(tiny, nCentroids = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(sparse.length == 16 && sparse.map(_._2).sum == 8L)
+    assert(sparse.exists(_._2 == 0L), "expected at least one empty cell")
+    Graft.clearOperatorCaches()
+  }
+
   test("L61 ANN recall: probing every list recovers brute force exactly; partial probing is bounded") {
     val q = emb.filter(col("vec_id") % 50 === 0)
     // nProbe = nCentroids → the candidate set is the whole corpus, so

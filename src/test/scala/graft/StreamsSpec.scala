@@ -90,6 +90,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.count() == distinctPayloads)
   }
 
+  test("S31: paragraph admission admits each distinct paragraph once; set equals the batch segmentation") {
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val in = Files.createTempDirectory("graft_s31_").toString + "/in"
+    // two files so duplicated paragraphs straddle micro-batches; the
+    // second file REPLAYS half the corpus — pure duplicate content
+    docs.coalesce(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", timestamp_seconds(lit(1735689600L) + col("doc_id")))
+    val got = runToTable(Streams.paragraphAdmission(s), "s31", "append")
+      .select("para_text").collect().map(_.getString(0)).toSeq
+    // every paragraph admitted EXACTLY once...
+    assert(got.size == got.distinct.size, "a duplicate paragraph was admitted twice")
+    // ...and the admitted set is the batch segmentation's distinct
+    // paragraph contents (in-memory twin of L60's 20-token windows)
+    val want = docs.select("text").collect().map(_.getString(0)).flatMap { t =>
+      t.split(" ", -1).grouped(20).map(_.mkString(" "))
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("S6: streaming minhash detects the known near-dup pairs across micro-batches") {
     import graft.dedup.Dedup
     val docs = GraftSession.table(spark, sfDir, "documents")
