@@ -579,7 +579,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // same batch for the oracle, which makes it look corpus-shaped to
     // this structural audit. The "ANN broadcasts the query side, never
     // the corpus" test below pins the corpus side un-hinted.
-    val querySideByContract = (n: String) => n.startsWith("sim_topk_")
+    val querySideByContract =
+      (n: String) => n.startsWith("sim_topk_") || n == "sim_recall"
     Graft.clearOperatorCaches()
     try {
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -695,6 +696,35 @@ class PlanAuditSpec extends AnyFunSuite {
         s"classifier feature cache absent from the plan:\n$plan")
       assert(occurrences(plan, "documents.parquet") <= 2,
         s"classifier re-scanned the corpus for features:\n$plan")
+    } finally Graft.clearOperatorCaches()
+  }
+
+  test("r9 additions: paragraph dedup is window-free map-combined; lexdiv/recall/index-stats bounded") {
+    spark.catalog.clearCache()
+    try {
+      // L60: winner selection must be an AGGREGATE (partial min per
+      // mapper — skew-safe under a boilerplate paragraph duplicated a
+      // billion times), never a PARTITION BY window over content
+      val p = executedPlan(dedup.Dedup.paragraphDedup(
+        GraftSession.table(spark, sfDir, "documents")))
+      assert(!p.contains("Window"), s"content window in paragraph dedup:\n$p")
+      assert(p.contains("partial_min") || p.contains("partial_count"),
+        s"winner aggregate lost its map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"))
+      // L62: two map-combined aggregates + a tiny source-keyed join
+      val l = executedPlan(operators.Curation.lexicalDiversity(
+        GraftSession.table(spark, sfDir, "documents")))
+      assert(l.contains("partial_count") || l.contains("partial_sum"), l)
+      assert(!l.contains("CartesianProduct"))
+      // L61/L63: queries/totals broadcast; the corpus is never the
+      // build side of a nested loop
+      val e = GraftSession.table(spark, sfDir, "embeddings")
+      val r = executedPlan(similarity.Ann.annRecall(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)))
+      assert(!r.contains("CartesianProduct"), r)
+      val s = executedPlan(similarity.Ann.indexStats(e))
+      // the only nested-loop join is the broadcast 1-row totals
+      assert(occurrences(s, "BroadcastNestedLoopJoin") <= 1, s)
     } finally Graft.clearOperatorCaches()
   }
 }
