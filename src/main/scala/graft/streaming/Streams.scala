@@ -657,6 +657,75 @@ object Streams {
         })
   }
 
+  final case class BudgetAdmitted(doc_id: Long, group: String,
+      window_start: java.sql.Timestamp, n_tokens: Long, budget_used: Long)
+
+  /** S32: streaming per-group TOKEN-BUDGET admission — the serving twin
+    * of the batch budget-selection family (L58/L59): admit arriving
+    * documents while the (group, tumbling event-time window) still has
+    * token budget, carrying tokens-used in keyed state so the budget
+    * holds ACROSS micro-batches. The batch selector fills the budget
+    * with the best-QUALITY prefix (it sees the whole corpus); a live
+    * gate admits in ARRIVAL order — the honest streaming contract, same
+    * as S31 vs L60 — and SKIPS a document that doesn't fit rather than
+    * closing the window (one oversized document must not starve the
+    * admission stream; the batch prefix-stop rule is a selection
+    * semantic, not an admission one — both pinned in the spec). Within
+    * a batch, rows order by (window, md5(id), id) before admission
+    * (S9's determinism discipline), so results never depend on shuffle
+    * arrival order. State is one long per open (group, window);
+    * watermark-evicted, idle groups dropped by event-time timeout. */
+  def streamingBudget(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      budgetTokens: Long,
+      windowDuration: String = "10 minutes",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): Dataset[BudgetAdmitted] = {
+    require(budgetTokens > 0, "need budgetTokens > 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val winMs = windowMillis(windowDuration)
+    val rows = stream.filter(col("text").isNotNull).select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(idCol)).cast("long").as("id"),
+        md5(col(Identifiers.quote(idCol)).cast("string")).as("hk"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        col(Identifiers.quote(tsCol)).cast("timestamp").as("__ts"),
+        window(col(Identifiers.quote(tsCol)), windowDuration).getField("start").as("__ws"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, String, Long, java.sql.Timestamp, java.sql.Timestamp)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (g: String,
+         it: Iterator[(String, Long, String, Long, java.sql.Timestamp, java.sql.Timestamp)],
+         state: GroupState[Map[Long, Long]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var used = state.getOption.getOrElse(Map.empty)
+              .filter { case (ws, _) => ws + winMs >= wm }
+            val out = scala.collection.mutable.ListBuffer.empty[BudgetAdmitted]
+            it.toSeq.sortBy(r => (r._6.getTime, r._3, r._2)).foreach {
+              case (_, id, _, nt, _, ws) =>
+                val k = ws.getTime
+                val u = used.getOrElse(k, 0L)
+                if (u + nt <= budgetTokens) {
+                  used = used.updated(k, u + nt)
+                  out += BudgetAdmitted(id, g, ws, nt, u + nt)
+                }
+            }
+            if (used.isEmpty) state.remove()
+            else {
+              state.update(used)
+              state.setTimeoutTimestamp(math.max(used.keys.max + winMs, wm + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** S10: streaming embedding-centroid drift monitor — the streaming
     * twin of [[graft.similarity.Ann.labelCentroids]], watching a live
     * embedding feed for distribution shift against a fixed reference.

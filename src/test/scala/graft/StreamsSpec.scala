@@ -462,6 +462,43 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S32: streaming budget holds across micro-batches, skips oversized docs, never overspends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def at(offsetSec: Long) = new java.sql.Timestamp(base.getTime + offsetSec * 1000)
+    val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "source", "text", "ts")
+    val q = Streams.streamingBudget(in, "source", "doc_id", budgetTokens = 5,
+        windowDuration = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("s32").outputMode("append").start()
+    try {
+      // budget = 5 tokens per (source, 10-min window). Batch 1, all one
+      // window, admission order = md5(id): doc1 (2 tok, used 2), doc2
+      // (2 tok, used 4), doc3 (3 tok — 4+3 > 5, skipped)
+      ms.addData((1L, "en", "a b", at(10)), (2L, "en", "a b", at(20)),
+        (3L, "en", "a b c", at(30)))
+      q.processAllAvailable()
+      // batch 2: state carries used=4 — doc4 (1 tok) fits exactly
+      // (used 5), doc5 (1 tok) rejected (5+1 > 5). 'de' group: doc6
+      // (6 tok > budget) can NEVER fit and is SKIPPED — doc8 (1 tok,
+      // later in md5 order) must still be admitted: the gate skips,
+      // it does not close the window (the batch prefix-stop is a
+      // selection semantic, not an admission one). doc7 opens the NEXT
+      // 'en' window with a fresh budget.
+      ms.addData((4L, "en", "a", at(40)), (5L, "en", "a", at(50)),
+        (6L, "de", "a b c d e f", at(40)), (8L, "de", "a", at(50)),
+        (7L, "en", "a", at(700)))
+      q.processAllAvailable()
+      val got = spark.table("s32")
+        .select("doc_id", "group", "n_tokens", "budget_used").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, "en", 2L, 2L), (2L, "en", 2L, 4L), (4L, "en", 1L, 5L),
+        (8L, "de", 1L, 1L), (7L, "en", 1L, 1L)), s"admissions: $got")
+    } finally q.stop()
+  }
+
   test("S11: fused admission gate equals contamination-filter + quota; cap survives batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.Contamination
