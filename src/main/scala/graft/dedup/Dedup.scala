@@ -1023,6 +1023,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** L65: paragraph-level NEAR-dup pairs — [[paragraphDedup]]'s exact
+    * match extended to the fuzzy case: n-gram Jaccard over PARAGRAPHS
+    * (non-overlapping `para`-token windows), via the same
+    * blocked/df-cut/verified [[ngramJaccardPairs]] machinery the
+    * document level uses — paragraphs become synthetic documents
+    * (pid = doc_id·idxCap + para_idx) and every scale property
+    * (bounded blocks, df cut, single pair exchange) carries over.
+    * Blocking is LENGTH-BAND ONLY: a paragraph is a sub-document unit,
+    * and the corpus's known near-dup trait (identical text under
+    * different language labels) means a lang block would hide exactly
+    * the reuse this operator exists to find. Intra-document pairs are
+    * legitimate output (a doc repeating its own near-boilerplate).
+    * `idxCap` bounds para_idx in-plan (assert_true — the maxGroupRows
+    * named-failure discipline); doc_id must fit Long.Max/idxCap
+    * (~8.8e12 at the default — beyond any real corpus id space). */
+  def paragraphNearDupPairs(
+      docs: DataFrame,
+      para: Int = 20,
+      n: Int = 3,
+      tau: Double = 0.3,
+      bandWidth: Int = 50,
+      maxDf: Int = 128,
+      idxCap: Int = 1 << 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nP = when(size(toks) <= para, lit(1))
+      .otherwise(ceil(size(toks).cast("double") / para).cast("int"))
+    // the pid depends on the guard so the assertion cannot be pruned
+    val guard = coalesce(
+      assert_true(col("pos") < idxCap,
+        concat(lit(s"para_idx >= idxCap $idxCap for doc "), col("doc_id")))
+        .cast("long"), lit(0L))
+    val paras = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("__toks"), nP.as("__np"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__np") - 1),
+          i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
+      .select((col("doc_id") * idxCap + col("pos") + guard).as("doc_id"),
+        lit("").as("lang"),
+        length(col("col")).cast("long").as("n_chars"), col("col").as("text"))
+    ngramJaccardPairs(paras, n, tau, bandWidth, maxDf)
+      .select(expr(s"a_id div $idxCap").as("a_doc"),
+        expr(s"a_id % $idxCap").cast("int").as("a_idx"),
+        expr(s"b_id div $idxCap").as("b_doc"),
+        expr(s"b_id % $idxCap").cast("int").as("b_idx"),
+        col("jaccard"))
+      .orderBy("a_doc", "a_idx", "b_doc", "b_idx")
+  }
+
   /** L60: PARAGRAPH-level exact dedup + document reassembly — the
     * sub-document dedup granularity production pipelines run between
     * whole-document dedup (L1) and span cutting (L47): a paragraph

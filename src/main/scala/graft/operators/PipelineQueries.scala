@@ -530,6 +530,10 @@ object PipelineQueries {
     // 20-token window on the newline-free synthetic corpus)
     "dedup_paragraph" -> ((s, dir) =>
       Dedup.paragraphDedup(t(s, dir, "documents"))),
+    // L65: paragraph-level near-dup pairs (band-only blocking — lang
+    // blocking would hide the cross-label reuse)
+    "dedup_paragraph_near" -> ((s, dir) =>
+      Dedup.paragraphNearDupPairs(t(s, dir, "documents"))),
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
@@ -1045,6 +1049,36 @@ object PipelineQueries {
         | ((2 * SUM(stopm) + COUNT(*)) // (2 * COUNT(*)) < 55000
         |  OR (2 * SUM(dupm) + COUNT(*)) // (2 * COUNT(*)) > 50000) AS blocked
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // dedup_paragraph_near: the jaccard kept/pair CTEs over the
+    // paragraph relation (pid = doc_id*2^20 + idx), band-only blocking
+    "dedup_paragraph_near" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks0,
+        |  len(string_split(text, ' ')) AS n0 FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id * 1048576 + CAST(i AS BIGINT) AS pid,
+        |  array_to_string(list_slice(toks0, CAST(i*20+1 AS INT), CAST(i*20+20 AS INT)), ' ') AS text
+        | FROM t0, UNNEST(range(0, CASE WHEN n0 <= 20 THEN 1 ELSE CAST(CEIL(n0*1.0/20) AS INT) END)) AS u(i)),
+        |tok AS (SELECT pid AS doc_id, CAST(length(text) // 50 AS INT) AS band,
+        |  string_split(text, ' ') AS toks FROM p),
+        |sh AS (
+        | SELECT DISTINCT doc_id, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |kept AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, band, s, COUNT(*) OVER (PARTITION BY band, s) AS df FROM sh)
+        | WHERE df <= 128),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |prs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM kept a JOIN kept b ON a.s = b.s AND a.band = b.band AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        | SELECT a_id, b_id, ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        | FROM prs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+        | WHERE ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.3)
+        |SELECT a_id // 1048576 AS a_doc, CAST(a_id % 1048576 AS INT) AS a_idx,
+        | b_id // 1048576 AS b_doc, CAST(b_id % 1048576 AS INT) AS b_idx, jaccard
+        |FROM j ORDER BY a_doc, a_idx, b_doc, b_idx""".stripMargin,
     // dedup_paragraph: 20-token windows, first occurrence (min doc_id,
     // para_idx) wins corpus-wide, survivors rejoin in window order
     "dedup_paragraph" ->

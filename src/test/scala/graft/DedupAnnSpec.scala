@@ -834,6 +834,41 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(run(short) == Seq((1L, 1L, 1L, "a"), (2L, 1L, 0L, "")))
   }
 
+  test("L65 paragraph near-dup: crafted fuzzy pair found, unrelated not, intra-doc reuse found, cap guard fires") {
+    import spark.implicits._
+    val p1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val p1fuzz = ((1 to 19).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val p2 = (1 to 20).map(i => s"x$i").mkString(" ")
+    val filler = (1 to 20).map(i => s"y$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$p1 $p2"),           // paragraphs [p1][p2]
+      (2L, s"$p1fuzz $filler"),   // [≈p1][unique filler]
+      (3L, s"$p2 $p2"),           // intra-doc exact reuse
+      (4L, other)).toDF("doc_id", "text")
+    val got = Dedup.paragraphNearDupPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val keys = got.map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(keys.contains((1L, 0, 2L, 0)), s"fuzzy paragraph pair missed: ${got.toSeq}")
+    assert(keys.contains((1L, 1, 3L, 0)) && keys.contains((1L, 1, 3L, 1)),
+      s"cross-doc exact paragraph pairs missed: ${got.toSeq}")
+    assert(keys.contains((3L, 0, 3L, 1)), s"intra-doc reuse missed: ${got.toSeq}")
+    assert(!keys.exists(k => k._1 == 4L || k._3 == 4L),
+      s"unrelated doc paired: ${got.toSeq}")
+    // exact pairs score 1.0; the fuzzy pair is strictly between tau and 1
+    val fuzzy = got.find(t => (t._1, t._2, t._3, t._4) == ((1L, 0, 2L, 0))).get._5
+    assert(fuzzy >= 0.3 && fuzzy < 1.0)
+    assert(got.find(t => (t._1, t._2, t._3, t._4) == ((3L, 0, 3L, 1))).get._5 == 1.0)
+    // the in-plan idxCap guard is a named failure, not silent id reuse
+    val long3 = Seq((7L, s"$p1 $p2 $other")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.paragraphNearDupPairs(long3, idxCap = 2).collect()
+    }
+    assert(e.getMessage.contains("idxCap") ||
+      Option(e.getCause).exists(_.getMessage.contains("idxCap")), e.getMessage)
+    Graft.clearOperatorCaches()
+  }
+
   test("L63 index stats: lists partition the corpus, shares/balance exact, empty cells reported") {
     val n = emb.count()
     val got = Ann.indexStats(emb, nCentroids = 16).collect()
