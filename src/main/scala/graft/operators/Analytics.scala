@@ -249,6 +249,24 @@ object Analytics {
       .orderBy("window_start", "event_type")
   }
 
+  // ── A49: event dedup within a time window — the batch twin of the
+  // streaming key-dedup gate (S2): keep the FIRST event per (user,
+  // type, tumbling hour) by (ts, event_id) — the "drop re-fired
+  // events" cleanup every event pipeline runs before aggregation. The
+  // window partitions on the dedup key, so it shuffles once on exactly
+  // the keys the downstream aggregates group by.
+  def eventsDedupWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type", "window_start")
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"), col("window_start"),
+        col("event_id"), col("ts"))
+      .orderBy("user_id", "event_type", "window_start")
+  }
+
   // ── A12: sessionization (30-minute gap) ─────────────────────────────────
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1263,6 +1281,8 @@ object Analytics {
     "asof_join" -> asofJoin,
     "events_tumbling" -> eventsTumbling,
     "events_hopping" -> eventsHopping,
+    // A49: batch twin of the S2 streaming key-dedup gate
+    "events_dedup_window" -> eventsDedupWindow,
     "events_sessionize" -> eventsSessionize,
     "events_funnel" -> ((s, dir) => eventsFunnel(s, dir)),
     "events_retention" -> eventsRetention,
@@ -1442,6 +1462,13 @@ object Analytics {
         |   FIRST_VALUE(n_users) OVER (PARTITION BY cohort_day ORDER BY day_offset), 6)
         |  AS retention
         |FROM g ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_dedup_window" ->
+      """SELECT user_id, event_type, date_trunc('hour', ts) AS window_start,
+        | event_id, ts
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        |  ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type, window_start""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         | SELECT user_id, event_id, ts,

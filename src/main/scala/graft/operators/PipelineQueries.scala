@@ -558,6 +558,10 @@ object PipelineQueries {
     // assignment; empty cells included)
     "sim_index_stats" -> ((s, dir) =>
       Ann.indexStats(t(s, dir, "embeddings"))),
+    // L66: per-cell inertia (mean/max exact-integer squared distance) —
+    // the elbow-curve companion of the balance report
+    "sim_cluster_quality" -> ((s, dir) =>
+      Ann.clusterQuality(t(s, dir, "embeddings"))),
     // L49: full-corpus distributed Lloyd — every iteration a cluster-wide
     // pass; oracle = the same two iterations unrolled in SQL
     "sim_kmeans_train" -> ((s, dir) =>
@@ -1511,6 +1515,29 @@ object PipelineQueries {
         | (CAST(COALESCE(l.n_vectors, 0) AS BIGINT) * 16000000) // tt.tot AS balance_micros
         |FROM range(0, 16) r CROSS JOIN tt LEFT JOIN l ON l.cl = r.range
         |ORDER BY cl""".stripMargin,
+    // sim_cluster_quality: the same assign CTEs keeping the exact
+    // integer distance; sum in HUGEINT, BIGINT-safe mean/max emitted
+    "sim_cluster_quality" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sr AS (SELECT vi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM ei),
+        |sd AS (SELECT cl, vi FROM sr WHERE cl < 16),
+        |dist AS (
+        | SELECT e.vec_id, s.cl,
+        |  list_inner_product(e.vi, e.vi) + list_inner_product(s.vi, s.vi)
+        |   - 2 * list_inner_product(e.vi, s.vi) AS d
+        | FROM ei e CROSS JOIN sd s),
+        |da AS (SELECT vec_id, cl, d,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM dist),
+        |a AS (SELECT vec_id, cl, CAST(d AS BIGINT) AS dc FROM da WHERE rn = 1)
+        |SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        | CAST(CAST(SUM(dc) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_sse,
+        | CAST(MAX(dc) AS BIGINT) AS max_sse
+        |FROM a GROUP BY cl ORDER BY cl""".stripMargin,
     // text_detokenize: the oracle states the round-trip CONTRACT — the
     // engine's vocab-lookup decode must equal the space-stripped
     // source text with ok = true everywhere; any decode defect

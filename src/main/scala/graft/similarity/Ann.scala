@@ -267,6 +267,26 @@ object Ann {
       .orderBy("cl")
   }
 
+  /** L66: cluster GEOMETRIC quality — [[indexStats]]'s companion: per
+    * coarse cell, the mean and max exact-integer squared distance to
+    * the assigned seed (inertia per cell — the elbow-curve data that
+    * says whether K is too small before anyone trusts the partitioning
+    * for IVF or SemDeDup scoping). The per-vector distance is already
+    * exact integer (`__dc`); the sum accumulates in DECIMAL(38,0) so a
+    * billion-vector cell cannot overflow the intermediate, and only
+    * the BIGINT-safe mean/max are emitted. One map-side-combined
+    * aggregate over the assignment. */
+  def clusterQuality(corpus: DataFrame, nCentroids: Int = 16): DataFrame =
+    portableAssignmentsDetailed(corpus, nCentroids)
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__dc").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__sse"),
+        max(col("__dc")).as("max_sse"))
+      .select(col("cl"), col("n_vectors"),
+        expr("__sse div n_vectors").cast("long").as("mean_sse"),
+        col("max_sse"))
+      .orderBy("cl")
+
   /** Assignment of `corpus` under FIXED integer seeds — the persisted-
     * index form of [[portableAssignments]] (the quantizer comes from a
     * stored table, not from re-sampling the corpus). */

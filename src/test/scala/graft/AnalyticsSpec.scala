@@ -380,4 +380,25 @@ class AnalyticsSpec extends AnyFunSuite {
         Seq("event_type")).orderBy("event_type").collect().toSeq
     assert(re == direct)
   }
+
+  test("A49 window dedup: one survivor per (user, type, hour) and it is the (ts, event_id) minimum") {
+    import graft.operators.Analytics
+    val got = Analytics.eventsDedupWindow(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getTimestamp(2)),
+        (r.getTimestamp(4), r.getLong(3))))
+    val all = GraftSession.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), date_trunc("hour", col("ts")),
+        col("ts"), col("event_id")).collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getTimestamp(2)),
+        (r.getTimestamp(3), r.getLong(4))))
+    // the op is non-vacuous on this corpus (some window holds a re-fire)
+    assert(got.length < all.length, "no duplicate events — dedup vacuous")
+    // exactly one survivor per key, and it is the group's minimum
+    val want = all.groupBy(_._1).view
+      .mapValues(_.map(_._2).minBy(v => (v._1.getTime, v._2))).toMap
+    assert(got.length == want.size)
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"kept $v for $k, expected ${want(k)}")
+    }
+  }
 }

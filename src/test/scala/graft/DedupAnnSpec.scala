@@ -889,6 +889,32 @@ class DedupAnnSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("L66 cluster quality: mean/max inertia equal the in-memory recompute over the exact assignment") {
+    val detail = Ann.portableAssignmentsDetailed(emb, nCentroids = 16)
+      .select("vec_id", "cl", "__dc").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    val got = Ann.clusterQuality(emb, nCentroids = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == detail.length.toLong)
+    val want = detail.groupBy(_._1).view.mapValues { ds =>
+      val dcs = ds.map(_._2)
+      (dcs.length.toLong,
+        (dcs.map(BigInt(_)).sum / dcs.length).toLong, // exact floor mean
+        dcs.max)
+    }.toMap
+    got.foreach { case (cl, n, mean, mx) =>
+      assert((n, mean, mx) == want(cl), s"cell $cl diverged")
+    }
+    // inertia is the elbow signal: more cells must not increase the
+    // corpus-wide total (finer partitions only tighten assignments)
+    def total(k: Int) = Ann.portableAssignmentsDetailed(emb, k)
+      .agg(org.apache.spark.sql.functions.sum(
+        col("__dc").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head.getDecimal(0)
+    assert(total(16).compareTo(total(4)) <= 0, "inertia rose with more cells")
+    Graft.clearOperatorCaches()
+  }
+
   test("L61 ANN recall: probing every list recovers brute force exactly; partial probing is bounded") {
     val q = emb.filter(col("vec_id") % 50 === 0)
     // nProbe = nCentroids → the candidate set is the whole corpus, so
