@@ -554,6 +554,11 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
       Ann.annRecall(e, queriesOf(e))
     }),
+    // L61b: the quantization-loss half — PQ ADC recall vs exact cosine
+    "sim_recall_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.annRecallPq(e, queriesOf(e))
+    }),
     // L63: IVF list-balance report (skew diagnostic over the portable
     // assignment; empty cells included)
     "sim_index_stats" -> ((s, dir) =>
@@ -1588,6 +1593,53 @@ object PipelineQueries {
         |approx AS (SELECT q_id, n_id FROM (
         |  SELECT q_id, n_id,
         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM ascored)
+        | WHERE rank <= 5)
+        |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
+        | CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,
+        | (CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |   // CAST(COUNT(*) AS BIGINT) AS recall_micros
+        |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
+    // sim_recall_pq: brute-force truth CTEs + the PQ code/ADC CTEs
+    // (sim_topk_pq_portable's), joined on (q_id, n_id)
+    "sim_recall_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS vq FROM e WHERE vec_id % 50 = 0),
+        |ts AS (
+        | SELECT q.q_id, e.vec_id AS n_id,
+        |  ROUND(list_inner_product(q.vq, e.v) /
+        |    (sqrt(list_inner_product(q.vq, q.vq)) * sqrt(list_inner_product(e.v, e.v))), 6) AS cosine
+        | FROM q JOIN e ON e.vec_id <> q.q_id),
+        |truth AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM ts)
+        | WHERE rank <= 5),
+        |ei AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(CAST(FLOOR(x * 1048576) AS BIGINT) AS DOUBLE)) AS vi
+        | FROM e),
+        |sub AS (SELECT CAST(j AS INT) AS j FROM range(0, 4) t(j)),
+        |sv AS (SELECT vec_id, j, list_slice(vi, j*16+1, j*16+16) AS svi
+        | FROM ei CROSS JOIN sub),
+        |sr AS (SELECT vec_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cl
+        | FROM e),
+        |seeds AS (SELECT r.cl, s.j, s.svi FROM sr r JOIN sv s USING (vec_id) WHERE r.cl < 8),
+        |dist AS (
+        | SELECT c.vec_id, c.j, s.cl,
+        |  list_inner_product(c.svi, c.svi) + list_inner_product(s.svi, s.svi)
+        |   - 2 * list_inner_product(c.svi, s.svi) AS d
+        | FROM sv c JOIN seeds s ON c.j = s.j),
+        |codes AS (SELECT vec_id, j, cl FROM (
+        |  SELECT vec_id, j, cl, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cl) AS rn
+        |  FROM dist) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, j, cl, d FROM dist WHERE vec_id % 50 = 0),
+        |ascored AS (
+        | SELECT q.q_id, c.vec_id AS n_id, CAST(SUM(q.d) AS BIGINT) AS adc
+        | FROM codes c JOIN qd q ON q.j = c.j AND q.cl = c.cl
+        | WHERE c.vec_id <> q.q_id GROUP BY 1, 2),
+        |approx AS (SELECT q_id, n_id FROM (
+        |  SELECT q_id, n_id,
+        |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank FROM ascored)
         | WHERE rank <= 5)
         |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
         | CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_hit,

@@ -499,18 +499,37 @@ object Ann {
       queries: DataFrame,
       k: Int = 5,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val truth = topKBruteForce(corpus, queries, k).select(col("q_id"), col("n_id"))
-    val approx = topKIvfPortable(corpus, queries, k, nCentroids, nProbe)
-      .select(col("q_id"), col("n_id"), lit(1L).as("__hit"))
-    truth.join(approx, Seq("q_id", "n_id"), "left")
+      nProbe: Int = 4): DataFrame =
+    recallAgainstTruth(
+      topKBruteForce(corpus, queries, k),
+      topKIvfPortable(corpus, queries, k, nCentroids, nProbe))
+
+  /** L61b: PQ recall — the quantization-loss half of the evaluation
+    * story [[annRecall]] starts: how much recall@k the m-byte ADC
+    * codes cost against exact cosine ground truth (IVF loses recall by
+    * NOT VISITING neighbors; PQ by MIS-RANKING them — a deployment
+    * gates on both numbers). Portable path, so the measurement
+    * re-derives in ANSI SQL like L61's. */
+  def annRecallPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      m: Int = 4,
+      ksub: Int = 8): DataFrame =
+    recallAgainstTruth(
+      topKBruteForce(corpus, queries, k),
+      topKPqPortable(corpus, queries, k, m, ksub))
+
+  private def recallAgainstTruth(truthTopK: DataFrame, approxTopK: DataFrame): DataFrame =
+    truthTopK.select(col("q_id"), col("n_id"))
+      .join(approxTopK.select(col("q_id"), col("n_id"), lit(1L).as("__hit")),
+        Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("k_truth"),
         sum(coalesce(col("__hit"), lit(0L))).as("k_hit"))
       .select(col("q_id"), col("k_truth"), col("k_hit"),
         expr("k_hit * 1000000 div k_truth").as("recall_micros"))
       .orderBy("q_id")
-  }
 
   /** Squared euclidean distance to each centroid (literal array),
     * evaluated as one expression per row. */

@@ -915,6 +915,21 @@ class DedupAnnSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("L61b PQ recall: exact integer arithmetic, bounded, and the measurement is non-vacuous") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val got = Ann.annRecallPq(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, kt, kh, rm) =>
+      assert(kt == 5L && kh >= 0L && kh <= kt && rm == kh * 1000000L / kt)
+    }
+    // 4-subspace 3-bit codes on this corpus must neither be perfect
+    // everywhere (quantization loss exists) nor useless everywhere
+    assert(got.exists(_._3 < 5L), "PQ perfect on every query — loss measurement vacuous")
+    assert(got.exists(_._3 > 0L), "PQ found nothing anywhere — harness broken")
+    Graft.clearOperatorCaches()
+  }
+
   test("L61 ANN recall: probing every list recovers brute force exactly; partial probing is bounded") {
     val q = emb.filter(col("vec_id") % 50 === 0)
     // nProbe = nCentroids → the candidate set is the whole corpus, so
