@@ -83,6 +83,10 @@ object Bench {
     "dedup_paragraph", // NEW r9 entry (L60) — absent from earlier records
     "sim_recall", // NEW r9 entry (L61) — absent from earlier records
     "text_lexdiv", // NEW r9 entry (L62) — absent from earlier records
+    "dedup_paragraph_near", // NEW r9 entry (L65) — absent from earlier records
+    "sim_recall_pq", // NEW r9 entry (L61b) — absent from earlier records
+    "sim_cluster_quality", // NEW r9 entry (L66) — absent from earlier records
+    "events_dedup_window", // NEW r9 entry (A49) — absent from earlier records
     // sim_topk_ivfpq_indexed is NOT benched: like sim_topk_ivf_indexed,
     // its wall time is dominated by store-index CONSTRUCTION (two Lloyd
     // trainings + table writes per run) — the steady-state search cost
@@ -266,7 +270,7 @@ object Bench {
     val (js1, ss1) = calibrate(spark)
     val (js2, ss2) = calibrate(spark)
     def cs4(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = selected.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
@@ -284,12 +288,14 @@ object Bench {
     val (j1, s1) = calibrate(spark)
     val (j2, s2) = calibrate(spark)
     def c4(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    // calib values at 4 decimals: with the 74-entry queries dict the
-    // tail budget is counted in single characters (see below). Since r9
-    // the start/end pairs share ONE dict as [start, end] arrays — same
-    // information as the old calib_start/calib pair, ~60 tail chars
-    // cheaper, which paid for the three r9 headline entries.
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // calib values at 3 decimals (1 ms on a ~0.4 s probe): with the
+    // 76-entry queries dict the tail budget is counted in single
+    // characters (see below). Since r9 the start/end pairs share ONE
+    // dict as [start, end] arrays — same information as the old
+    // calib_start/calib pair, ~60 tail chars cheaper — and probe_worst
+    // carries only {query, ratio} (ratio IS the contention signal;
+    // the raw probe seconds reconstruct as ratio × min(calib)/8).
     val calib =
       s"""{"jvm_mix_268m":[${cs4(math.min(js1, js2))},${c4(math.min(j1, j2))}],""" +
         s""""spark_hash_2048m":[${cs4(math.min(ss1, ss2))},${c4(math.min(s1, s2))}]}"""
@@ -306,16 +312,19 @@ object Bench {
       if (probeByQuery.isEmpty || jvmClean <= 0) "{}"
       else {
         val (pwName, pwVal) = probeByQuery.maxBy(_._2)
-        s"""{"query":"$pwName","probe":${c4(pwVal)},"ratio":${c4(pwVal / jvmClean)}}"""
+        s"""{"query":"$pwName","ratio":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(pwVal / jvmClean))}}"""
       }
     // 3-decimal timings (1 ms grain, well under any query's ~50 ms
     // floor): at 71 entries a 4-decimal dict alone is ~1.92 KB and
     // pushes calib_start past the driver's 2 KB tail window — the exact
     // truncation class VERDICT r6 #5 flagged. 3 decimals + 4-decimal
     // calib keeps calib_start+calib+queries+value inside ~2.0 KB.
+    // adaptive precision: 3 decimals under 1 s (1 ms grain), 2 above
+    // (1% grain) — equal relative resolution, one tail char cheaper
+    // for every second-scale entry
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1"
-        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        else String.format(java.util.Locale.ROOT, if (v < 1) "%.3f" else "%.2f", Double.box(v)))
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -330,7 +339,8 @@ object Bench {
     // diagnostic dicts first, then the tiny calib dict ([start, end]
     // per probe), then the graded "queries"/"value" — so the last
     // ~1.5 KB always carries calib + probe_worst + queries + value.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$total}""")
+    val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$totalStr}""")
     spark.stop()
   }
 }
