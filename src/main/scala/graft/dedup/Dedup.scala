@@ -1023,6 +1023,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** L67: reuse-by-source report — the "which sources can I trust"
+    * rollup a curator reads next to the lexical profile (L62) before
+    * weighting a mixture: per source, how much of its content is
+    * REUSED (paragraph occurrences that lose the corpus-wide
+    * [[paragraphDedup]] winner rule — i.e. what fraction paragraph
+    * dedup would delete from this source) and how much it OVERLAPS the
+    * rest of the corpus (distinct paragraph contents that also appear
+    * in another source — mirror/scrape detection). Granularity is the
+    * paragraph because that is where real corpora duplicate (this one
+    * included: zero whole-doc duplicates, 59 duplicated paragraphs at
+    * sf0.01); a very large `para` degrades gracefully to whole-doc
+    * rates. Ratios are exact floor-integer micros.
+    *
+    * Scale: content keys are 128-bit hashes, never text (L1's
+    * discipline); the winner aggregate and per-content source counts
+    * are map-side combined; everything downstream is keyed joins and
+    * per-source rollups over O(distinct paragraphs). */
+  def dedupRateBySource(docs: DataFrame, para: Int = 20): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nP = when(size(toks) <= para, lit(1))
+      .otherwise(ceil(size(toks).cast("double") / para).cast("int"))
+    val paras = docs.filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"), toks.as("__toks"), nP.as("__np"))
+      .select(col("source"), col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__np") - 1),
+          i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
+      .select(col("source"), col("doc_id"), col("pos").cast("int").as("para_idx"),
+        md5(col("col")).as("__h"))
+    val winners = paras.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
+    val occ = paras.join(winners, Seq("__h"))
+      .withColumn("__dup",
+        !(col("doc_id") === col("__w.doc_id") && col("para_idx") === col("__w.para_idx")))
+    val perSrcContent = paras.select("source", "__h").distinct()
+    val bySources = perSrcContent.groupBy("__h").agg(count(lit(1)).as("__ns"))
+    val shared = perSrcContent.join(bySources, Seq("__h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("__ns") > 1, 1L).otherwise(0L)).as("n_shared"))
+    occ.groupBy("source")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
+      .join(shared, Seq("source"))
+      .select(col("source"), col("n_paras"), col("n_dup"),
+        expr("n_dup * 1000000 div n_paras").as("dup_micros"),
+        col("n_distinct"), col("n_shared"),
+        expr("n_shared * 1000000 div n_distinct").as("shared_micros"))
+      .orderBy("source")
+  }
+
   /** L65: paragraph-level NEAR-dup pairs — [[paragraphDedup]]'s exact
     * match extended to the fuzzy case: n-gram Jaccard over PARAGRAPHS
     * (non-overlapping `para`-token windows), via the same

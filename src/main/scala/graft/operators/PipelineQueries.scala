@@ -534,6 +534,9 @@ object PipelineQueries {
     // blocking would hide the cross-label reuse)
     "dedup_paragraph_near" -> ((s, dir) =>
       Dedup.paragraphNearDupPairs(t(s, dir, "documents"))),
+    // L67: per-source paragraph reuse + cross-source overlap
+    "dedup_source_rate" -> ((s, dir) =>
+      Dedup.dedupRateBySource(t(s, dir, "documents"))),
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
@@ -1058,6 +1061,35 @@ object PipelineQueries {
         | ((2 * SUM(stopm) + COUNT(*)) // (2 * COUNT(*)) < 55000
         |  OR (2 * SUM(dupm) + COUNT(*)) // (2 * COUNT(*)) > 50000) AS blocked
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // dedup_source_rate: the paragraph relation rolled up per source —
+    // occurrences losing the corpus-wide winner rule, and distinct
+    // contents shared with another source
+    "dedup_source_rate" ->
+      """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT source, doc_id, CAST(i AS INT) AS para_idx,
+        |  md5(array_to_string(list_slice(toks, CAST(i*20+1 AS INT), CAST(i*20+20 AS INT)), ' ')) AS h
+        | FROM t, UNNEST(range(0, CASE WHEN n <= 20 THEN 1 ELSE CAST(CEIL(n*1.0/20) AS INT) END)) AS u(i)),
+        |w AS (SELECT h, doc_id AS w_doc, para_idx AS w_idx FROM (
+        |  SELECT h, doc_id, para_idx,
+        |   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, para_idx) AS rn FROM p)
+        | WHERE rn = 1),
+        |occ AS (SELECT p.source,
+        |  CASE WHEN p.doc_id = w.w_doc AND p.para_idx = w.w_idx THEN 0 ELSE 1 END AS dup
+        | FROM p JOIN w USING (h)),
+        |d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(dup) AS BIGINT) AS n_dup FROM occ GROUP BY source),
+        |sc AS (SELECT DISTINCT source, h FROM p),
+        |cs AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS ns FROM sc GROUP BY h),
+        |sh AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN c.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        | FROM sc s JOIN cs c USING (h) GROUP BY s.source)
+        |SELECT d.source, d.n_paras, d.n_dup,
+        | (d.n_dup * 1000000) // d.n_paras AS dup_micros,
+        | sh.n_distinct, sh.n_shared,
+        | (sh.n_shared * 1000000) // sh.n_distinct AS shared_micros
+        |FROM d JOIN sh ON d.source = sh.source
+        |ORDER BY d.source""".stripMargin,
     // dedup_paragraph_near: the jaccard kept/pair CTEs over the
     // paragraph relation (pid = doc_id*2^20 + idx), band-only blocking
     "dedup_paragraph_near" ->

@@ -869,6 +869,35 @@ class DedupAnnSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("L67 source reuse: totals reconcile with paragraph dedup; shared overlap equals an in-memory recompute") {
+    val got = Dedup.dedupRateBySource(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty && got.exists(_._3 > 0L), "no reuse found — report vacuous")
+    // the per-source dup occurrences must sum to exactly what the
+    // paragraph deduplicator deletes corpus-wide
+    val pd = Dedup.paragraphDedup(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sum == pd.map(t => t._1 - t._2).sum,
+      "per-source dup total diverged from paragraphDedup's deletions")
+    assert(got.map(_._2).sum == pd.map(_._1).sum)
+    // shared-content overlap: in-memory recompute over the same
+    // 20-token segmentation
+    val segs = docs.select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).grouped(20)
+        .map(w => (r.getString(0), w.mkString(" "))))
+    val bySources = segs.distinct.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val wantShared = segs.distinct.groupBy(_._1).view.mapValues(_.count {
+      case (_, p) => bySources(p).size > 1
+    }.toLong).toMap
+    got.foreach { case (src, _, _, dupM, nDist, nShared, sharedM) =>
+      assert(nShared == wantShared(src), s"source $src shared count diverged")
+      assert(sharedM == nShared * 1000000L / nDist)
+      assert(dupM >= 0L && dupM <= 1000000L)
+    }
+    Graft.clearOperatorCaches()
+  }
+
   test("L63 index stats: lists partition the corpus, shares/balance exact, empty cells reported") {
     val n = emb.count()
     val got = Ann.indexStats(emb, nCentroids = 16).collect()
