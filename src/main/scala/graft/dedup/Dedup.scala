@@ -1073,6 +1073,34 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** L68: document NOVELTY scores — the per-document inverse of the
+    * boilerplate story (L30 strips what is common; this measures what
+    * is NOT): the fraction of a document's distinct word-n-gram
+    * shingles that appear NOWHERE else in the corpus. High novelty =
+    * original content worth keeping; near-zero novelty = assembled
+    * from corpus-common material (template/spam signal) even when no
+    * single near-dup partner exists — the case pairwise dedup cannot
+    * see. Corpus-wide document frequency (unblocked — novelty is a
+    * global property), computed on 128-bit shingle hashes, never
+    * shingle text; one map-side-combined df aggregate + one keyed
+    * join + a per-doc rollup. Docs too short to shingle (< n tokens)
+    * are absent — no evidence either way, the L15 convention. */
+  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = scatter(docs.filter(col("text").isNotNull)
+        .filter(size(Text.tokens(col("text"))) >= n))
+      .select(col("doc_id"),
+        explode(Text.wordShingles(col("text"), n)).as("__s"))
+      .select(col("doc_id"), md5(col("__s")).as("__h"))
+    val df = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+    sh.join(df, Seq("__h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000 div n_shingles").as("novelty_micros"))
+      .orderBy("doc_id")
+  }
+
   /** L65: paragraph-level NEAR-dup pairs — [[paragraphDedup]]'s exact
     * match extended to the fuzzy case: n-gram Jaccard over PARAGRAPHS
     * (non-overlapping `para`-token windows), via the same

@@ -537,6 +537,9 @@ object PipelineQueries {
     // L67: per-source paragraph reuse + cross-source overlap
     "dedup_source_rate" -> ((s, dir) =>
       Dedup.dedupRateBySource(t(s, dir, "documents"))),
+    // L68: per-doc novelty (share of corpus-unique shingles)
+    "text_novelty" -> ((s, dir) =>
+      Dedup.noveltyScores(t(s, dir, "documents"))),
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
@@ -1061,6 +1064,22 @@ object PipelineQueries {
         | ((2 * SUM(stopm) + COUNT(*)) // (2 * COUNT(*)) < 55000
         |  OR (2 * SUM(dupm) + COUNT(*)) // (2 * COUNT(*)) > 50000) AS blocked
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // text_novelty: corpus-wide shingle df on md5 keys, per-doc share
+    // of df=1 shingles in exact floor micros
+    "text_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        | CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        | (CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |   // CAST(COUNT(*) AS BIGINT) AS novelty_micros
+        |FROM sh s JOIN df f USING (h) GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     // dedup_source_rate: the paragraph relation rolled up per source —
     // occurrences losing the corpus-wide winner rule, and distinct
     // contents shared with another source

@@ -869,6 +869,34 @@ class DedupAnnSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("L68 novelty equals an in-memory recompute; copies score zero, originals one") {
+    val got = Dedup.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    // in-memory twin: distinct 3-gram shingles per doc, corpus-wide df
+    val sh = docs.select("doc_id", "text").collect().flatMap { r =>
+      val t = r.getString(1).split(" ", -1)
+      if (t.length < 3) Nil
+      else t.sliding(3).map(g => (r.getLong(0), g.mkString(" "))).toSeq.distinct
+    }
+    val dfm = sh.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = sh.groupBy(_._1).view.mapValues { ss =>
+      val n = ss.length.toLong
+      val u = ss.count(s => dfm(s._2) == 1L).toLong
+      (n, u, u * 1000000L / n)
+    }.toMap
+    assert(got == want)
+    // crafted: a verbatim copy zeroes BOTH sides' novelty; a unique
+    // doc scores the full 10^6
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t")).toDF("doc_id", "text")
+    val g2 = Dedup.noveltyScores(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 0L, 3L -> 1000000L), s"$g2")
+    Graft.clearOperatorCaches()
+  }
+
   test("L67 source reuse: totals reconcile with paragraph dedup; shared overlap equals an in-memory recompute") {
     val got = Dedup.dedupRateBySource(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
