@@ -580,7 +580,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // this structural audit. The "ANN broadcasts the query side, never
     // the corpus" test below pins the corpus side un-hinted.
     val querySideByContract =
-      (n: String) => n.startsWith("sim_topk_") || n == "sim_recall"
+      (n: String) => n.startsWith("sim_topk_") || n.startsWith("sim_recall")
     Graft.clearOperatorCaches()
     try {
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
