@@ -69,6 +69,32 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  // C23 (timestamp form): AS-OF-TIMESTAMP time travel — snapshotRead's
+  // wall-clock twin, upgrading the spec-only readTableAsOf surface to
+  // driver-verified:
+  // capture the FIRST generation's commit time, mutate twice, then read
+  // as of that instant; the later update/merge must be invisible. The
+  // timestamp is taken from the store's own metadata at runtime (commit
+  // wall-clocks are nondeterministic), but the RESULT it must resolve
+  // to — the original cast relation — is oracle-exact.
+  def snapshotAsofRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "snapasof")
+    store.createTable("cust", Seq(
+      "c_custkey" -> "bigint",
+      "c_name" -> "varchar(40)",
+      "c_nationkey" -> "int",
+      "c_acctbal" -> "decimal(12,2)",
+      "c_mktsegment" -> "varchar(12)"), Seq("c_custkey"))
+    store.insert("cust", t(s, dir, "customer"))
+    val ts1 = store.snapshots("cust").last._2
+    store.update("cust", t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), (col("c_acctbal") + 1000).as("c_acctbal")))
+    store.merge("cust", t(s, dir, "customer").filter(col("c_custkey") > 100))
+    store.readTableAsOf("cust", ts1)
+      .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+      .orderBy("c_custkey")
+  }
+
   // C29: restore (rollback) — the snapshot surface's WRITE half: after
   // a bad update and a destructive merge, restore re-points the CURRENT
   // table at the first generation's data and schema (zero-copy renames,
@@ -575,6 +601,8 @@ object CoreQueries {
     "source_jsonl_ingest" -> sourceJsonlIngest,
     "create_table_cast" -> createTableCast,
     "snapshot_read" -> snapshotRead,
+    // C23 timestamp form: TIMESTAMP AS OF time travel
+    "snapshot_asof_read" -> snapshotAsofRead,
     "restore_read" -> restoreRead,
     "count_metadata" -> countMetadata,
     "temporal_pit_join" -> temporalPitJoin,
@@ -664,6 +692,13 @@ object CoreQueries {
     // snapshot_read: the pre-mutation generation IS the original cast
     // relation — the later update/merge must be invisible to it
     "snapshot_read" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // snapshot_asof_read: same contract as snapshot_read — the as-of
+    // resolution must land on the pre-mutation generation, whose
+    // content is the original cast relation
+    "snapshot_asof_read" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
