@@ -550,6 +550,63 @@ object Streams {
         store.analyze(table, statsColumns, incremental = true, bloomBits = bloomBits)
     }
 
+  /** S33: streaming REUSE-RATE monitor — the live twin of the batch
+    * reuse-by-source report ([[graft.dedup.Dedup.dedupRateBySource]]
+    * L67): as documents land, each micro-batch's paragraph occurrences
+    * classify NOVEL (first corpus-wide arrival of that content) or
+    * REUSED against an AT-REST seen-set store table, and per-source
+    * counters append to an output table — the "source X started
+    * mirroring source Y this morning" alarm at ingest time.
+    *
+    * State lives in the STORE, not the state store (the S15/S16
+    * lakehouse-integration idiom): the seen-set is a PK table of
+    * 128-bit content hashes, so it survives restarts, is queryable,
+    * and grows O(distinct paragraphs) — never O(stream). Within a
+    * batch, the novel occurrence of a new content is the (doc_id,
+    * para_idx) minimum (deterministic under any shuffle order); when
+    * the stream arrives in document order this classification is
+    * EXACTLY the batch report's winner rule, which the spec pins by
+    * reconciling drained totals against L67 per source. */
+  def reuseMonitorSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      seenTable: String,
+      outTable: String,
+      para: Int = 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val toks = split(col("text"), " ")
+        val nP = when(size(toks) <= para, lit(1))
+          .otherwise(ceil(size(toks).cast("double") / para).cast("int"))
+        val paras = batch.filter(col("text").isNotNull)
+          .select(col("source"), col("doc_id"), toks.as("__toks"), nP.as("__np"))
+          .select(col("source"), col("doc_id"),
+            posexplode(transform(sequence(lit(0), col("__np") - 1),
+              i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
+          .select(col("source"), col("doc_id"), col("pos").cast("int").as("para_idx"),
+            md5(col("col")).as("h"))
+        val cached = paras.persist()
+        try {
+          val seen = store.readTable(seenTable).select(col("h"), lit(1).as("__old"))
+          val winners = cached.groupBy("h")
+            .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
+          val marked = cached
+            .join(seen, Seq("h"), "left")
+            .join(winners, Seq("h"))
+            .withColumn("__novel", col("__old").isNull &&
+              col("doc_id") === col("__w.doc_id") &&
+              col("para_idx") === col("__w.para_idx"))
+          val counters = marked.groupBy("source")
+            .agg(count(lit(1)).as("n_paras"),
+              sum(when(col("__novel"), 1L).otherwise(0L)).as("n_novel"))
+            .select(lit(batchId).as("batch_id"), col("source"),
+              col("n_paras"), col("n_novel"),
+              (col("n_paras") - col("n_novel")).as("n_reused"))
+          store.insert(outTable, counters)
+          store.insert(seenTable, marked.filter(col("__novel")).select("h"))
+        } finally cached.unpersist()
+    }
+
   /** S8: streaming contamination gate — the streaming twin of
     * [[graft.dedup.Contamination.overlap]]. Arriving documents' shingle
     * hashes LEFT-join a STATIC train-shingle set (build once with

@@ -1023,6 +1023,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S33: streaming reuse monitor reconciles with the batch L67 report after a doc-ordered drain") {
+    import graft.store.TableStore
+    import graft.dedup.Dedup
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s33_").toString)
+    store.createTable("seen", Seq("h" -> "varchar(32)"), Seq("h"))
+    store.createTable("reuse", Seq("batch_id" -> "bigint", "source" -> "varchar(16)",
+      "n_paras" -> "bigint", "n_novel" -> "bigint", "n_reused" -> "bigint"), Seq.empty)
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val in = Files.createTempDirectory("graft_s33_in_").toString + "/in"
+    // two doc-ordered slices → arrival order == doc_id order, so the
+    // streaming first-seen rule coincides with the batch min-winner
+    val cut = 250L
+    docs.filter(col("doc_id") < cut).coalesce(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") >= cut).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+    val q = Streams.reuseMonitorSink(s, store, "seen", "reuse")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = store.readTable("reuse").groupBy("source")
+      .agg(sum("n_paras").as("p"), sum("n_novel").as("nv"), sum("n_reused").as("ru"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = Dedup.dedupRateBySource(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap // (n_paras, n_dup)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (src, (p, _, ru)) =>
+      assert((p, ru) == want(src), s"source $src diverged from the batch report")
+    }
+    assert(got.values.map(_._3).sum > 0, "no reuse detected — monitor vacuous")
+    // the seen-set holds exactly the corpus's distinct paragraphs
+    assert(store.readTable("seen").count() == got.values.map(_._2).sum)
+  }
+
   test("S15: streaming insert sink keeps file statistics fresh per batch") {
     import graft.store.TableStore
     val store = new TableStore(spark, Files.createTempDirectory("graft_s15_").toString)
