@@ -126,6 +126,74 @@ object Curation {
       .drop("__start")
   }
 
+  /** L69: NO-SPLIT greedy packing — the document-boundary-preserving
+    * twin of [[packSequences]] (L28): L28 concatenates then splits, so
+    * a document can straddle two training sequences; this packer keeps
+    * every document whole — a new sequence opens when the next document
+    * does not fit — the layout EOS-separated training and most
+    * fine-tuning recipes require. A document longer than `seqLen` gets
+    * a bin of its own (`overflow` = true: the trainer's truncation
+    * decision, not silently dropped).
+    *
+    * Greedy fill is a sequential recurrence (the bin break depends on
+    * the running remainder — not associative, no window/prefix-sum
+    * escape), so it folds PER CELL (group × md5-shard): the cell's
+    * sorted doc list is collected into one row (bounded by
+    * `maxCellRows` with an in-plan assert_true — the maxGroupRows
+    * discipline) and folded by one `aggregate` expression. Cells are
+    * the packing contract's parallel unit (exactly L28/L42's: `shards`
+    * scales with the corpus so a cell stays thousands of docs), and
+    * the fold is one pass over each cell's array. Determinism: the
+    * (md5, id) order and shard arithmetic are L28's, verbatim-ANSI. */
+  def packNoSplit(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokens: Column,
+      seqLen: Int,
+      shards: Int = 64,
+      maxCellRows: Int = 8192): DataFrame = {
+    require(seqLen > 0, "need seqLen > 0")
+    val ord = hashKey(col(idCol))
+    val shard = pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards))
+    val rows = docs.select(col(groupCol), col(idCol).as("__id"),
+      tokens.cast("long").as("n_tokens"), ord.as("__ord"), shard.as("pack_shard"))
+    val cells = rows.groupBy(col(groupCol), col("pack_shard"))
+      .agg(count(lit(1)).as("__cnt"),
+        array_sort(collect_list(struct(col("__ord"), col("__id"), col("n_tokens"))))
+          .as("__ds"))
+      // the guard rides the shard column so it cannot be pruned
+      .withColumn("__g", coalesce(
+        assert_true(col("__cnt") <= maxCellRows,
+          concat(lit(s"pack cell exceeds maxCellRows $maxCellRows: "), col("__cnt")))
+          .cast("long"), lit(0L)))
+      .withColumn("pack_shard", col("pack_shard") + col("__g"))
+    val init = struct(
+      expr("cast(array() as array<struct<id:bigint,n:bigint,bin:bigint,off:bigint>>)")
+        .as("a"),
+      lit(0L).as("bin"), lit(0L).as("end"))
+    val folded = aggregate(col("__ds"), init,
+      (acc, d) => {
+        val n = d.getField("n_tokens")
+        val end = acc.getField("end")
+        val fits = end === 0L || end + n <= seqLen
+        val bin = when(fits, acc.getField("bin")).otherwise(acc.getField("bin") + 1)
+        val off = when(fits, end).otherwise(lit(0L))
+        struct(
+          concat(acc.getField("a"), array(struct(
+            d.getField("__id").as("id"), n.as("n"), bin.as("bin"), off.as("off"))))
+            .as("a"),
+          bin.as("bin"), (off + n).as("end"))
+      },
+      acc => acc.getField("a"))
+    cells.select(col(groupCol), col("pack_shard"), explode(folded).as("__p"))
+      .select(col(groupCol), col("pack_shard"),
+        col("__p.id").as("doc_id"), col("__p.n").as("n_tokens"),
+        col("__p.bin").as("bin_seq"), col("__p.off").as("start_off"),
+        (col("__p.n") > seqLen).as("overflow"))
+      .orderBy(groupCol, "pack_shard", "bin_seq", "start_off", "doc_id")
+  }
+
   /** Deterministic shard export (L42) — the last step of a training-data
     * pipeline: the curated corpus lands in `nShards` output shards with
     * a stable, engine-reproducible assignment (shard = first-8-hex of

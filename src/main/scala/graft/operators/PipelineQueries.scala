@@ -588,6 +588,13 @@ object PipelineQueries {
     "sample_diverse" -> sampleDiverse,
     "sample_weighted" -> sampleWeighted,
     "pack_sequences" -> packSequences,
+    // L69: document-boundary-preserving greedy packing (seqLen 48 so
+    // BOTH paths exercise at sf0.01: small docs pack together,
+    // >48-token docs take overflow bins of their own)
+    "pack_nosplit" -> ((s, dir) =>
+      Curation.packNoSplit(t(s, dir, "documents"), "lang", "doc_id",
+        org.apache.spark.sql.functions.size(Text.tokens(col("text"))),
+        seqLen = 48, shards = 8)),
     "sample_temperature" -> sampleTemperature,
     "text_boilerplate" -> textBoilerplate,
     "text_tfidf" -> textTfidf,
@@ -1901,6 +1908,41 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS INT) AS sample_rank
         | FROM keyed)
         |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin,
+    // pack_nosplit: the greedy no-split recurrence as a linear
+    // recursive CTE per (lang, shard) cell — anchor rn=1 at (bin 0,
+    // off 0); each step's candidate offset is the previous end
+    "pack_nosplit" ->
+      """WITH RECURSIVE d AS (
+        | SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents),
+        |v AS (
+        | SELECT doc_id, lang, n_tokens, h,
+        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |   + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        |   + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        |   + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        |   + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) % 8 AS pack_shard
+        | FROM d),
+        |r AS (SELECT lang, pack_shard, doc_id, n_tokens,
+        |  ROW_NUMBER() OVER (PARTITION BY lang, pack_shard ORDER BY h, doc_id) AS rn FROM v),
+        |f AS (
+        | SELECT lang, pack_shard, doc_id, n_tokens, rn,
+        |  CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off
+        | FROM r WHERE rn = 1
+        | UNION ALL
+        | SELECT r.lang, r.pack_shard, r.doc_id, r.n_tokens, r.rn,
+        |  CASE WHEN f.off + f.n_tokens + r.n_tokens <= 48 THEN f.bin ELSE f.bin + 1 END,
+        |  CASE WHEN f.off + f.n_tokens + r.n_tokens <= 48 THEN f.off + f.n_tokens
+        |       ELSE CAST(0 AS BIGINT) END
+        | FROM f JOIN r ON r.lang = f.lang AND r.pack_shard = f.pack_shard AND r.rn = f.rn + 1)
+        |SELECT lang, CAST(pack_shard AS BIGINT) AS pack_shard, doc_id,
+        | CAST(n_tokens AS BIGINT) AS n_tokens, bin AS bin_seq, off AS start_off,
+        | n_tokens > 48 AS overflow
+        |FROM f ORDER BY lang, pack_shard, bin_seq, start_off, doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (
         | SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,

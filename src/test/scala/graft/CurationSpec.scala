@@ -743,6 +743,58 @@ class CurationSpec extends AnyFunSuite {
     assert(gutted.exists(!_._2), "gutted vocab went undetected")
   }
 
+  test("L69 no-split packing equals the in-memory greedy fold; docs stay whole; cell cap fires") {
+    import org.apache.spark.sql.functions.size
+    val seqLen = 48
+    val got = Curation.packNoSplit(docs, "lang", "doc_id",
+        size(graft.functions.Text.tokens(col("text"))), seqLen, shards = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.nonEmpty)
+    // in-memory greedy twin over the same (md5, id) cell order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.select("lang", "doc_id", "text").collect().map { r =>
+      val h = hex(r.getLong(1).toString)
+      (r.getString(0), java.lang.Long.parseLong(h.take(8), 16) % 8, h,
+        r.getLong(1), r.getString(2).split(" ", -1).length.toLong)
+    }
+    val want = rows.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((lang, sh), ds) =>
+      var bin = 0L; var end = 0L
+      ds.sortBy(t => (t._3, t._4)).map { case (_, _, _, id, n) =>
+        val fits = end == 0L || end + n <= seqLen
+        if (!fits) { bin += 1; end = 0L }
+        val off = end
+        end = off + n
+        (lang, sh, id, n, bin, off, n > seqLen)
+      }
+    }.toSet
+    assert(got.toSet == want)
+    // documents never split: every doc appears exactly once
+    assert(got.map(_._3).distinct.length == got.length)
+    // bins never exceed seqLen unless they hold a single overflow doc
+    got.groupBy(t => (t._1, t._2, t._5)).values.foreach { bs =>
+      if (!bs.exists(_._7)) assert(bs.map(_._4).sum <= seqLen)
+      else assert(bs.length == 1, s"overflow doc shares a bin: $bs")
+    }
+    // both paths exercised on this corpus
+    assert(got.exists(_._7) && got.groupBy(t => (t._1, t._2, t._5)).values.exists(_.length > 1))
+    // partition invariance
+    val re = Curation.packNoSplit(docs.repartition(7), "lang", "doc_id",
+        size(graft.functions.Text.tokens(col("text"))), seqLen, shards = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(re == want)
+    // the cell bound is a named in-plan failure, not silent truncation
+    val e = intercept[Exception] {
+      Curation.packNoSplit(docs, "lang", "doc_id",
+        size(graft.functions.Text.tokens(col("text"))), seqLen,
+        shards = 1, maxCellRows = 10).collect()
+    }
+    assert(e.getMessage.contains("maxCellRows") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxCellRows")), e.getMessage)
+  }
+
   test("L62 lexical diversity equals an in-memory recompute per source") {
     val got = Curation.lexicalDiversity(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
