@@ -1368,4 +1368,57 @@ object Streams {
           out.iterator
         })
   }
+
+  final case class PackedNoSplit(doc_id: Long, group: String, pack_shard: Int,
+      n_tokens: Long, bin_seq: Long, start_off: Long, overflow: Boolean)
+
+  /** S34: streaming NO-SPLIT packing — the streaming twin of
+    * [[graft.operators.Curation.packNoSplit]] (L69), and S18's
+    * document-boundary-preserving sibling: each arriving document is
+    * placed WHOLE into its (group, shard) cell's current bin, or opens
+    * a new bin when it doesn't fit; oversized documents take a flagged
+    * overflow bin of their own. Within a micro-batch documents place
+    * in the batch packer's (md5(id), id) order; across batches in
+    * arrival order — fed in hash-order batches the stream reproduces
+    * the batch packing row-for-row (spec-pinned), and under ANY
+    * arrival order every emitted bin still satisfies the invariants
+    * (docs whole; non-overflow bins ≤ seqLen; overflow bins
+    * singleton). State per (group, shard) is TWO longs (current bin,
+    * running end) — S18's NoTimeout reasoning applies verbatim:
+    * evicting the state would restart bin numbering and overwrite
+    * already-emitted slots. */
+  def streamingPackNoSplit(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: Column,
+      seqLen: Int,
+      shards: Int = 64): Dataset[PackedNoSplit] = {
+    require(seqLen > 0, "need seqLen > 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ord = md5(col(Identifiers.quote(idCol)).cast("string"))
+    val shard = pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards)).cast("int")
+    stream.select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(idCol)).cast("long").as("id"),
+        tokensCol.cast("long").as("n"),
+        ord.as("hk"), shard.as("sh"))
+      .as[(String, Long, Long, String, Int)]
+      .groupByKey(r => (r._1, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Int), it: Iterator[(String, Long, Long, String, Int)],
+         state: GroupState[(Long, Long)]) => {
+          var (bin, end) = state.getOption.getOrElse((0L, 0L))
+          val out = it.toSeq.sortBy(r => (r._4, r._2)).map { case (g, id, n, _, sh) =>
+            val fits = end == 0L || end + n <= seqLen
+            if (!fits) { bin += 1; end = 0L }
+            val off = end
+            end = off + n
+            PackedNoSplit(id, g, sh, n, bin, off, n > seqLen)
+          }
+          state.update((bin, end))
+          out.iterator
+        })
+  }
 }

@@ -742,6 +742,40 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S34: streaming no-split pack equals the batch packer in hash order; bins survive batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = GraftSession.table(spark, sfDir, "documents")
+      .withColumn("__n", size(graft.functions.Text.tokens(col("text"))).cast("long"))
+    val ordered = docs
+      .select(col("doc_id"), col("lang"), col("__n"), md5(col("doc_id").cast("string")).as("__hk"))
+      .orderBy("__hk", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ms = MemoryStream[(Long, String, Long)]
+    val in = ms.toDF().toDF("doc_id", "lang", "__n")
+    val q = Streams.streamingPackNoSplit(in, "lang", "doc_id", col("__n"),
+        seqLen = 48, shards = 8)
+      .toDF().writeStream.format("memory").queryName("s34").outputMode("append").start()
+    try {
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("s34").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+      val want = Curation.packNoSplit(docs, "lang", "doc_id", col("__n"),
+          seqLen = 48, shards = 8)
+        .select(col("doc_id"), col("lang"), col("pack_shard").cast("int"),
+          col("n_tokens"), col("bin_seq"), col("start_off"), col("overflow"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+      assert(got.size == ordered.length)
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("S14: streaming heavy hitters equal the exact batch top-k per closed window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window
