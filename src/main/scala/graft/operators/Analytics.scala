@@ -1266,7 +1266,99 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // ── A50: Bloom semi-join reduction — the manual form of Spark's
+  // runtime row-level filter (InjectRuntimeFilter), for when the dim
+  // side is too large to broadcast-join raw rows but its KEY SET
+  // compresses into a Bloom filter: build the filter over the dim keys
+  // in one distributed aggregate (Spark's own BloomFilterAggregate —
+  // the only driver traffic is the filter's bits, sized by
+  // `expectedDimRows`, never by the fact), then probe it on the fact
+  // side BELOW the join's shuffle so non-matching fact rows never
+  // enter the exchange. No false negatives by construction, and false
+  // positives are removed by the exact join that follows — the result
+  // is bit-identical to the plain join (the oracle states exactly
+  // that), only the shuffled volume changes. At 100 TB this is the
+  // difference between shuffling the whole fact and shuffling the
+  // ~matching fraction. Plan audit pins might_contain below the
+  // fact-side exchange.
+  def bloomReduceJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, expectedDimRows: Long): DataFrame = {
+    import org.apache.spark.sql.graftx.bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bf = dim.select(bridge.column(
+        new BloomFilterAggregate(
+          bridge.expression(xxhash64(col(dimKey))), expectedDimRows)
+          .toAggregateExpression()).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    val pre = fact.where(bridge.column(BloomFilterMightContain(
+      bridge.expression(lit(bf)),
+      bridge.expression(xxhash64(col(factKey))))))
+    pre.join(dim, pre(factKey) === dim(dimKey))
+  }
+
+  /** A50 driver query: lineitem reduced by a Bloom of the urgent-order
+    * keys (~1/5 of orders — a dim that shrinks the fact but is not a
+    * 25-row hint candidate), then the exact join + revenue rollup. */
+  def joinBloomReduce(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    bloomReduceJoin(t(s, dir, "lineitem"), urgent,
+        "l_orderkey", "o_orderkey", expectedDimRows = 4096L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), fin(sum(revenue)).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  // ── A51: sketch join-size estimation (AGMS/count-min family) — the
+  // planner-side question "how big would R ⋈ S be on key k" answered
+  // from two d×w count-min sketches instead of a real join: per hash
+  // row r, Σ_b R_r[b]·S_r[b] upper-bounds the true pair count
+  // (colliding keys only ADD cross products), and min over the d rows
+  // tightens it. Each sketch is one linear pass with map-side combine
+  // to ≤ d·w rows; the estimate joins two ≤ d·w relations — nothing
+  // fact-scale moves after the scans, which is the point: at 100 TB
+  // the real join's size is exactly what you cannot afford to measure
+  // by running it. Buckets are md5-derived (the A14b/L44 portable
+  // idiom) so an ANSI engine re-derives both sketches bit-for-bit;
+  // DECIMAL(38,0) cross products keep the arithmetic exact past 2^63.
+  def cmKeySketch(df: DataFrame, key: String, d: Int, w: Int): DataFrame =
+    df.filter(col(key).isNotNull) // a NULL key joins nothing — not an observation
+      .select(explode(sequence(lit(0), lit(d - 1))).as("r"),
+        col(key).cast("string").as("__t"))
+      .select(col("r"), pmod(conv(substring(
+        md5(concat(col("r").cast("string"), lit("|"), col("__t"))), 1, 8), 16, 10)
+        .cast("long"), lit(w.toLong)).as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("n"))
+
+  def joinSizeEstimate(r: DataFrame, rKey: String, sDf: DataFrame, sKey: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val skR = cmKeySketch(r, rKey, d, w)
+    val skS = cmKeySketch(sDf, sKey, d, w)
+    val est = skR.as("a").join(skS.as("b"), Seq("r", "b"))
+      .groupBy(col("r"))
+      .agg(sum(col("a.n").cast(DecimalType(38, 0)) * col("b.n")).as("__s"))
+      .agg(min(col("__s")).cast("long").as("est_pairs"))
+    val truth = r.filter(col(rKey).isNotNull)
+      .groupBy(col(rKey).as("__k")).agg(count(lit(1)).as("__cr"))
+      .join(sDf.filter(col(sKey).isNotNull)
+        .groupBy(col(sKey).as("__k")).agg(count(lit(1)).as("__cs")), "__k")
+      .agg(coalesce(sum(col("__cr").cast(DecimalType(38, 0)) * col("__cs")), lit(0))
+        .cast("long").as("true_pairs"))
+    est.crossJoin(truth)
+      .select(col("est_pairs"), col("true_pairs"),
+        (col("est_pairs") - col("true_pairs")).as("overshoot"))
+  }
+
+  /** A51 driver query: events × orders on user/customer key — real
+    * multiplicity on BOTH sides, so the estimate is non-trivial. */
+  def joinSizeEst(s: SparkSession, dir: String): DataFrame =
+    joinSizeEstimate(t(s, dir, "events"), "user_id", t(s, dir, "orders"), "o_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_reduce" -> joinBloomReduce,
+    "join_size_est" -> joinSizeEst,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -1332,6 +1424,35 @@ object Analytics {
   /** DuckDB oracles. Shared conventions: same decimal casts, same final
     * ORDER BY, aggregate aliases identical to the Spark side. */
   val oracles: Map[String, String] = Map(
+    // A50: the oracle is the PLAIN join — the Bloom prefilter must be
+    // invisible in the result (no false negatives; false positives die
+    // in the exact join), so any divergence hash-fails.
+    "join_bloom_reduce" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // A51: both count-min sketches re-derived bucket-for-bucket in SQL
+    // (md5 idiom), the same min-over-rows estimate, and the exact
+    // group-counts truth — est, truth and overshoot all integer-exact.
+    "join_size_est" ->
+      s"""WITH rws AS (SELECT CAST(r AS INT) AS r FROM range(0, 4) q(r)),
+         |ek AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events WHERE user_id IS NOT NULL),
+         |ok AS (SELECT CAST(o_custkey AS VARCHAR) AS t FROM orders WHERE o_custkey IS NOT NULL),
+         |se AS (SELECT r, CAST(${PipelineQueries.duckHex8("md5(CAST(r AS VARCHAR) || '|' || t)")} AS BIGINT) % 1024 AS b,
+         |  COUNT(*) AS n FROM ek CROSS JOIN rws GROUP BY 1, 2),
+         |so AS (SELECT r, CAST(${PipelineQueries.duckHex8("md5(CAST(r AS VARCHAR) || '|' || t)")} AS BIGINT) % 1024 AS b,
+         |  COUNT(*) AS n FROM ok CROSS JOIN rws GROUP BY 1, 2),
+         |perr AS (SELECT se.r, SUM(CAST(se.n AS DECIMAL(38,0)) * so.n) AS s
+         | FROM se JOIN so ON se.r = so.r AND se.b = so.b GROUP BY se.r),
+         |est AS (SELECT CAST(MIN(s) AS BIGINT) AS est_pairs FROM perr),
+         |tru AS (SELECT CAST(COALESCE(SUM(CAST(ce.n AS DECIMAL(38,0)) * co.n), 0) AS BIGINT) AS true_pairs
+         | FROM (SELECT user_id AS k, COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1) ce
+         | JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) co USING (k))
+         |SELECT est_pairs, true_pairs, est_pairs - true_pairs AS overshoot
+         |FROM est, tru""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -732,7 +732,7 @@ object PipelineQueries {
       val mult = 1L << (4 * (digits - i))
       s"(strpos('0123456789abcdef', substr($hexExpr,$i,1))-1)*$mult"
     }.mkString(" + ")
-  private def duckHex8(hexExpr: String): String = duckHex(hexExpr, 8)
+  private[operators] def duckHex8(hexExpr: String): String = duckHex(hexExpr, 8)
 
   /** The k=8 BPE merge-training CTE chain (`w0..w8`, `m1..m8`,
     * `merges`) — the L46 trainer re-derived in SQL. Each round counts

@@ -9,6 +9,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnalyticsSpec extends AnyFunSuite {
   import SparkTestSession.{sfDir, spark}
 
+  test("A50: bloomReduceJoin is bit-identical to the plain join, false positives included") {
+    import spark.implicits._
+    val fact = (1L to 2000L).map(k => (k, k % 7)).toDF("fk", "payload")
+    val dim = (1L to 2000L by 5).map(k => (k, s"d$k")).toDF("dk", "name")
+    // expectedDimRows=64 for 400 real keys → deliberately undersized
+    // bloom → real false positives, so the exact-join cleanup path is
+    // exercised, not just the happy path
+    val got = operators.Analytics.bloomReduceJoin(fact, dim, "fk", "dk", 64L)
+      .select("fk", "payload", "dk", "name").orderBy("fk").collect().toSeq
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "dk", "name").orderBy("fk").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("A51: join-size estimate is exact on the truth side and never undershoots") {
+    import spark.implicits._
+    val r = Seq(Some(1L), Some(1L), Some(2L), Some(3L), Some(3L), Some(3L), None)
+      .toDF("k")
+    val s = Seq(Some(1L), Some(2L), Some(2L), Some(4L), None).toDF("k2")
+    // truth: k=1 → 2·1, k=2 → 1·2, k=3/4 unmatched, NULLs join nothing
+    val row = operators.Analytics.joinSizeEstimate(r, "k", s, "k2").collect().head
+    assert(row.getLong(1) == 4L, "exact pair count")
+    assert(row.getLong(0) >= row.getLong(1), "CM estimate must upper-bound truth")
+    assert(row.getLong(2) == row.getLong(0) - row.getLong(1))
+  }
+
   test("A22: funnel fold handles ordering, ties and partial stages on a crafted log") {
     import spark.implicits._
     import java.sql.Timestamp

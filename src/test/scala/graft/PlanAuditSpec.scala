@@ -727,4 +727,24 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(occurrences(s, "BroadcastNestedLoopJoin") <= 1, s)
     } finally Graft.clearOperatorCaches()
   }
+
+  test("A50/A51: bloom probe filters the fact under the join; sketch estimate joins only d*w relations") {
+    // A50: the might_contain probe must sit on the FACT side BELOW the
+    // exact join (between the join node and the lineitem scan in the
+    // printed tree) — at scale that is pre-shuffle, which is the whole
+    // point of the reduction.
+    val plan = executedPlan(operators.Analytics.joinBloomReduce(spark, sfDir))
+    assert(plan.contains("might_contain"), plan)
+    val j = plan.indexOf("Join")
+    val m = plan.indexOf("might_contain")
+    val sc = plan.indexOf("lineitem")
+    assert(j >= 0 && m > j, s"bloom probe is not under the join:\n$plan")
+    assert(sc > m, s"bloom probe is not above the fact scan:\n$plan")
+    // A51: after the two sketch scans everything is sketch-sized — the
+    // estimate side must contain no cartesian blowup and exactly one
+    // 1-row cross (est × truth).
+    val p2 = executedPlan(operators.Analytics.joinSizeEst(spark, sfDir))
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(occurrences(p2, "BroadcastNestedLoopJoin") <= 1, p2)
+  }
 }
