@@ -466,6 +466,40 @@ object CoreQueries {
       .orderBy("c_custkey", "_change_type")
   }
 
+  // C41: incremental aggregate maintenance — a per-nation COUNT/SUM
+  // summary table follows the base through an upsert batch (value
+  // updates 201..600 + fresh inserts 601..800) and a group-killing
+  // keyed delete (nation 7 vanishes), each folded from the change feed
+  // alone — O(changes), never a base rescan. The oracle recomputes the
+  // final state from scratch, so any maintenance drift hash-fails.
+  def incrAggRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "incragg")
+    val cust = t(s, dir, "customer")
+    store.createTableFromDataFrame("cust",
+      cust.filter(col("c_custkey") <= 600), Seq("c_custkey"), infer = false)
+    val g0 = store.snapshots("cust").last._1
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(
+        store.readTable("cust"), Seq("c_nationkey"), "c_acctbal"),
+      Seq("c_nationkey"), infer = false)
+    store.upsert("cust", cust
+      .filter(col("c_custkey") > 200 && col("c_custkey") <= 800)
+      .withColumn("c_acctbal", col("c_acctbal") + 10))
+    val g1 = store.snapshots("cust").last._1
+    graft.store.IncrementalAgg.maintain(store, "cust", "summary",
+      Seq("c_nationkey"), "c_acctbal", g0, g1)
+    store.delete("cust", cust
+      .filter(col("c_custkey") <= 800 && col("c_nationkey") === 7)
+      .select("c_custkey"))
+    val g2 = store.snapshots("cust").last._1
+    graft.store.IncrementalAgg.maintain(store, "cust", "summary",
+      Seq("c_nationkey"), "c_acctbal", g1, g2)
+    store.readTable("summary")
+      .select(col("c_nationkey"), col("n_rows"),
+        col("sum_val").cast("double").as("sum_bal"))
+      .orderBy("c_nationkey")
+  }
+
   // A27: point-in-time (temporal) join — the query C22's SCD2 history
   // exists to serve: each fact row joined to the dimension version VALID
   // AT ITS EVENT TIME, here events × a customer-segment dim whose keys
@@ -607,6 +641,7 @@ object CoreQueries {
     "count_metadata" -> countMetadata,
     "temporal_pit_join" -> temporalPitJoin,
     "cdf_diff" -> cdfDiff,
+    "incr_agg_read" -> incrAggRead,
     "time_roundtrip" -> timeRoundtrip,
     "create_infer_narrow" -> createInferNarrow,
     "modify_columns" -> modifyColumns,
@@ -709,6 +744,17 @@ object CoreQueries {
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // incr_agg_read: the maintained summary vs a from-scratch
+    // recompute of the final base state (keys ≤800, +10 past key 200,
+    // nation 7 deleted). Sums decimal-exact, final cast to double.
+    "incr_agg_read" ->
+      """WITH final AS (
+        | SELECT c_nationkey, CASE WHEN c_custkey > 200
+        |   THEN CAST(c_acctbal + 10 AS DECIMAL(18,2))
+        |   ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+        | FROM customer WHERE c_custkey <= 800 AND c_nationkey <> 7)
+        |SELECT c_nationkey, COUNT(*) AS n_rows, CAST(SUM(bal) AS DOUBLE) AS sum_bal
+        |FROM final GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // cdf_diff: pre = customer<=600, post = full-merge result; the
     // oracle classifies with the same null-safe IS DISTINCT FROM the
     // operator uses. (c_custkey, _change_type) is unique → total order.

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{IncrementalAgg, TableStore}
+
+/** C41: the maintained summary must be bit-identical to a full
+  * recompute of the final base state after every batch — that is the
+  * whole contract. */
+class IncrementalAggSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def newStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("graft_incr_").toString)
+
+  private def recompute(store: TableStore) =
+    IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v")
+      .orderBy("g").collect().toSeq
+
+  private def maintained(store: TableStore) =
+    store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+
+  test("summary follows inserts, value updates, deletes and group death batch by batch") {
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    var gen = store.snapshots("base").last._1
+
+    // batch 1: value update (k=1), new key in an existing group (k=4),
+    // new group entirely (k=5)
+    store.upsert("base",
+      Seq((1L, "a", 15.5), (4L, "b", 40.0), (5L, "c", 50.0)).toDF("k", "g", "v"))
+    var next = store.snapshots("base").last._1
+    IncrementalAgg.maintain(store, "base", "summary", Seq("g"), "v", gen, next)
+    assert(maintained(store) == recompute(store))
+    gen = next
+
+    // batch 2: delete k=3 and k=4 — group b dies, its summary row must go
+    store.delete("base", Seq(3L, 4L).toDF("k"))
+    next = store.snapshots("base").last._1
+    IncrementalAgg.maintain(store, "base", "summary", Seq("g"), "v", gen, next)
+    assert(maintained(store) == recompute(store))
+    assert(!maintained(store).exists(_.getString(0) == "b"), "dead group must be deleted")
+    gen = next
+
+    // batch 3: a row MOVES groups (update changes g) — −1 on the old
+    // group, +1 on the new, both from the same pre/post image pair
+    store.upsert("base", Seq((5L, "a", 50.0)).toDF("k", "g", "v"))
+    next = store.snapshots("base").last._1
+    IncrementalAgg.maintain(store, "base", "summary", Seq("g"), "v", gen, next)
+    assert(maintained(store) == recompute(store))
+    assert(!maintained(store).exists(_.getString(0) == "c"), "emptied source group must go")
+  }
+
+  test("a pure rewrite (compaction) produces an empty feed and commits nothing") {
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.insert("base", Seq((3L, "b", 3.0)).toDF("k", "g", "v"))
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    val gen = store.snapshots("base").last._1
+    store.compact("base")
+    val next = store.snapshots("base").last._1
+    assert(next > gen, "compaction must commit a base generation")
+    val summaryGens = store.snapshots("summary").size
+    IncrementalAgg.maintain(store, "base", "summary", Seq("g"), "v", gen, next)
+    assert(store.snapshots("summary").size == summaryGens,
+      "an empty change feed must not commit to the summary")
+    assert(maintained(store) == recompute(store))
+  }
+
+  test("a NULL group value in the feed raises instead of silently diverging") {
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, Some("a"), 1.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    val gen = store.snapshots("base").last._1
+    store.insert("base", Seq((2L, Option.empty[String], 2.0)).toDF("k", "g", "v"))
+    val next = store.snapshots("base").last._1
+    val e = intercept[Exception] {
+      IncrementalAgg.maintain(store, "base", "summary", Seq("g"), "v", gen, next)
+    }
+    assert(e.getMessage != null)
+  }
+}
