@@ -500,6 +500,22 @@ object CoreQueries {
       .orderBy("c_nationkey")
   }
 
+  // C42: referential-integrity audit — orders' customer references
+  // checked against a TRUNCATED parent (keys ≤ 1000), so orphans
+  // genuinely exist and the anti-join path is driver-exercised (the
+  // L59 must-cut lesson); each orphan key reports how many child rows
+  // it strands.
+  def fkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "fk")
+    store.createTableFromDataFrame("cust",
+      t(s, dir, "customer").filter(col("c_custkey") <= 1000),
+      Seq("c_custkey"), infer = false)
+    store.createTableFromDataFrame("ord", t(s, dir, "orders"),
+      Seq("o_orderkey"), infer = false)
+    store.fkViolations("ord", Seq("o_custkey"), "cust", Seq("c_custkey"))
+      .orderBy("o_custkey")
+  }
+
   // A27: point-in-time (temporal) join — the query C22's SCD2 history
   // exists to serve: each fact row joined to the dimension version VALID
   // AT ITS EVENT TIME, here events × a customer-segment dim whose keys
@@ -642,6 +658,7 @@ object CoreQueries {
     "temporal_pit_join" -> temporalPitJoin,
     "cdf_diff" -> cdfDiff,
     "incr_agg_read" -> incrAggRead,
+    "fk_orphans" -> fkOrphans,
     "time_roundtrip" -> timeRoundtrip,
     "create_infer_narrow" -> createInferNarrow,
     "modify_columns" -> modifyColumns,
@@ -744,6 +761,14 @@ object CoreQueries {
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // fk_orphans: NULL FKs excluded on both sides (a NULL reference is
+    // no reference); parent truncated at 1000 so violations exist.
+    "fk_orphans" ->
+      """SELECT o_custkey, COUNT(*) AS n_orphans
+        |FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey <= 1000)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // incr_agg_read: the maintained summary vs a from-scratch
     // recompute of the final base state (keys ≤800, +10 past key 200,
     // nation 7 deleted). Sums decimal-exact, final cast to double.

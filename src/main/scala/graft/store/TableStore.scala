@@ -538,6 +538,45 @@ final class TableStore(
     df.filter(checkCond(df, expression))
   }
 
+  /** C42: referential-integrity audit between two managed tables — the
+    * pre-flight a data owner runs before trusting joins: child FK
+    * values with no matching parent key, with how many child rows each
+    * orphan strands. NULL FK components are NOT violations (SQL FK
+    * semantics: a NULL reference is "no reference" — the C30 checks
+    * handle NOT NULL separately).
+    *
+    * Scale shape: the parent collapses to its DISTINCT key relation
+    * before anything moves (parent row width never shuffles), then ONE
+    * left-anti join against the child and a key-grouped rollup — both
+    * shuffle on the same key, so they share a single exchange; output
+    * is orphan-key-sized, never child-sized. Supports composite keys. */
+  def fkViolations(child: String, childCols: Seq[String],
+      parent: String, parentCols: Seq[String]): DataFrame = {
+    if (childCols.isEmpty || childCols.length != parentCols.length)
+      throw errors.InvalidValue("fkViolations",
+        s"child/parent key column lists must be non-empty and the same length " +
+          s"(got ${childCols.length} vs ${parentCols.length})")
+    val mC = meta(child)
+    val mP = meta(parent)
+    val missC = childCols.filterNot(mC.columns.map(_._1).contains)
+    if (missC.nonEmpty) throw errors.ColumnDoesNotExist(child, missC)
+    val missP = parentCols.filterNot(mP.columns.map(_._1).contains)
+    if (missP.nonEmpty) throw errors.ColumnDoesNotExist(parent, missP)
+    val c = read(child)
+    val keys = read(parent)
+      .select(parentCols.zip(childCols).map { case (pc, cc) =>
+        col(Identifiers.quote(pc)).as(s"__fk_$cc") }: _*)
+      .distinct()
+    val fkPresent = childCols.map(cc => col(Identifiers.quote(cc)).isNotNull)
+      .reduce(_ && _)
+    val cond = childCols.map(cc =>
+      col(Identifiers.quote(cc)) === col(s"__fk_$cc")).reduce(_ && _)
+    c.filter(fkPresent)
+      .join(keys, cond, "left_anti")
+      .groupBy(childCols.map(cc => col(Identifiers.quote(cc))): _*)
+      .agg(count(lit(1)).as("n_orphans"))
+  }
+
   /** CHECK enforcement for a batch — ONE aggregate over all applicable
     * constraints (rides beside typeViolations' pass). A constraint
     * whose referenced columns are not all present in the batch cannot

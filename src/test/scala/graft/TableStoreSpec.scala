@@ -1187,4 +1187,33 @@ class TableStoreSpec extends AnyFunSuite {
     val times = store.history("t").orderBy("gen").collect().map(_.getTimestamp(1).getTime)
     assert(times.sameElements(times.sorted))
   }
+
+  test("C42: fkViolations reports orphan keys with strand counts; NULL FKs exempt; composite keys") {
+    val store = newStore()
+    store.createTableFromDataFrame("parent",
+      Seq((1L, "x"), (2L, "y")).toDF("pk", "sub"), Seq("pk"), infer = false)
+    store.createTableFromDataFrame("child", Seq(
+      (10L, Some(1L), Some("x")), // valid
+      (11L, Some(2L), Some("y")), // valid
+      (12L, Some(2L), Some("z")), // composite orphan: (2,z) has no parent
+      (13L, Some(9L), Some("x")), // orphan key 9
+      (14L, Some(9L), Some("x")), // same orphan again → count 2
+      (15L, None, Some("x")),     // NULL FK component: not a violation
+      (16L, Some(1L), None))      // NULL second component: not a violation
+      .toDF("ck", "fk", "fsub"), Seq("ck"), infer = false)
+    val got = store.fkViolations("child", Seq("fk", "fsub"), "parent", Seq("pk", "sub"))
+      .orderBy("fk", "fsub").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, "z", 1L), (9L, "x", 2L)))
+    // a fully valid child audits clean
+    val clean = store.fkViolations("child", Seq("ck"), "child", Seq("ck"))
+    assert(clean.count() == 0)
+    // arity and column-existence errors are named, not silent
+    intercept[graft.GraftException] {
+      store.fkViolations("child", Seq("fk"), "parent", Seq("pk", "sub"))
+    }
+    intercept[graft.GraftException] {
+      store.fkViolations("child", Seq("nope"), "parent", Seq("pk"))
+    }
+  }
 }
