@@ -116,4 +116,45 @@ object Contamination {
     java.util.Arrays.sort(arr)
     arr
   }
+
+  /** L70: SEMANTIC train/eval contamination — the embedding-space half
+    * of the leakage gate beside the lexical shingle check above: an
+    * eval item is contaminated when some train vector sits within
+    * cosine ≥ tau of it (paraphrased leakage the n-gram gate cannot
+    * see). Per eval vector: its best train match (max cosine, ties to
+    * the smaller train id — the 6-dp fixed cosine leaves no
+    * engine-dependent ties) and the verdict; eval items with no
+    * same-block train candidate report clean with a NULL match.
+    *
+    * Scale shape: candidates pair ONLY within a block (here a label;
+    * at corpus scale the L34 coarse-quantizer cell plays that role),
+    * so the join is block-partitioned — one shuffle per side, per-cell
+    * candidate sets bounded by the blocking contract, nothing
+    * all-pairs. The argmax is a window partitioned BY EVAL VECTOR
+    * (never a global window); eval is typically ≪ train, and AQE
+    * broadcasts the eval side of the block join. */
+  def semanticContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      tau: Double = 0.35,
+      blockCol: String = "label"): DataFrame = {
+    import graft.functions.Vectors
+    val tr = train.select(col("vec_id").as("train_id"),
+      col(blockCol).as("__blk"), Vectors.toDouble(col("embedding")).as("__tv"))
+    val ev = eval.select(col("vec_id").as("eval_id"),
+      col(blockCol).as("__blk"), Vectors.toDouble(col("embedding")).as("__ev"))
+    val cand = ev.join(tr, "__blk")
+      .select(col("eval_id"), col("train_id"),
+        Vectors.cosine6(col("__ev"), col("__tv")).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("eval_id").orderBy(col("__cos").desc, col("train_id"))
+    val best = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("eval_id"), col("train_id").as("best_train"),
+        col("__cos").as("best_cosine"), (col("__cos") >= tau).as("contaminated"))
+    ev.select("eval_id").join(best, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("best_train"), col("best_cosine"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("eval_id")
+  }
 }

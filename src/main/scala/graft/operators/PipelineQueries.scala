@@ -157,6 +157,16 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 10 === 0)).orderBy("doc_id")
   }
 
+  /** L70: the SEMANTIC half of the leakage gate — eval vectors
+    * (vec_id % 5 == 0) scored against the train rest by best same-label
+    * cosine; tau 0.35 splits the corpus 9 contaminated / 91 clean, so
+    * both verdicts are driver-exercised. */
+  def contaminationSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.dedup.Contamination.semanticContamination(
+      e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0))
+  }
+
   private def queriesOf(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)
 
   /** L20: per-label embedding centroids (data-mix / drift primitive). */
@@ -543,6 +553,7 @@ object PipelineQueries {
     "dedup_families" -> dedupFamilies,
     "dedup_families_portable" -> dedupFamiliesPortable,
     "contamination_check" -> contaminationCheck,
+    "contamination_semantic" -> contaminationSemantic,
     "embedding_centroids" -> embeddingCentroids,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_topk_lsh" -> simTopkLsh,
@@ -1338,6 +1349,22 @@ object PipelineQueries {
         | ROUND(COALESCE(h.n_contaminated,0) * 1.0 / t.n_shingles, 6) AS contamination,
         | (ROUND(COALESCE(h.n_contaminated,0) * 1.0 / t.n_shingles, 6) >= 0.2) AS flagged
         |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
+    // L70: same-label best-match argmax with the 6-dp cosine idiom;
+    // ties broken by train id, NULL-match evals report clean.
+    "contamination_semantic" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        |tr AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        |cand AS (SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+        |  ROUND(list_inner_product(ev.v, tr.v) /
+        |    (sqrt(list_inner_product(ev.v, ev.v)) * sqrt(list_inner_product(tr.v, tr.v))), 6) AS c
+        | FROM ev JOIN tr ON ev.label = tr.label),
+        |best AS (SELECT eval_id, train_id, c,
+        |  ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY c DESC, train_id) AS rn FROM cand)
+        |SELECT ev.vec_id AS eval_id, b.train_id AS best_train, b.c AS best_cosine,
+        | COALESCE(b.c >= 0.35, FALSE) AS contaminated
+        |FROM ev LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON ev.vec_id = b.eval_id
+        |ORDER BY eval_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -1009,4 +1009,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(part.exists(_._3 < 5L), "every query perfect — recall harness vacuous")
     Graft.clearOperatorCaches()
   }
+
+  test("L70 semantic contamination: exact copies flag, orthogonal evals stay clean, blockless evals report NULL") {
+    import SparkTestSession.spark.implicits._
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val eval = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f), 0), // exact copy of train 1 → cosine 1.0
+      (101L, Seq(0.0f, 0.0f, 1.0f), 0), // orthogonal to BOTH label-0 train vecs
+      (102L, Seq(1.0f, 0.0f, 0.0f), 7)) // label 7 has no train rows → NULL match
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.dedup.Contamination.semanticContamination(train, eval, tau = 0.9)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).toSeq
+    assert(got == Seq((100L, 1L, true), (101L, 1L, false), (102L, -1L, false)))
+    // tie on cosine resolves to the SMALLER train id: eval 101 is
+    // orthogonal to both train 1 and 2 (cosine 0.0 each) → best_train 1
+  }
 }
