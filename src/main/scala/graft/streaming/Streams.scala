@@ -1421,4 +1421,101 @@ object Streams {
           out.iterator
         })
   }
+
+  /** S35: streaming referential-integrity monitor — C42's live twin:
+    * arriving child rows classify against the at-rest parent's key set
+    * (a STATELESS stream-static left join; NULL FK components are
+    * exempt exactly as the batch audit — a NULL reference is no
+    * reference). The parent collapses to its DISTINCT key relation
+    * before the join — parent row width never enters the stream plan,
+    * and AQE broadcasts the key relation when it is small. Emits every
+    * child row with an `is_orphan` verdict — route flagged rows to a
+    * quarantine sink, clean ones onward.
+    *
+    * The parent key set is CAPTURED WHEN THE QUERY STARTS: Spark pins
+    * the static side's file listing at plan time (probed empirically —
+    * a parent insert between triggers does NOT change verdicts), so
+    * this form suits an immutable reference table. For a parent that
+    * grows while the monitor runs, use [[fkMonitorSink]], which
+    * re-reads the parent every trigger. */
+  def fkMonitor(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      parent: String,
+      childCols: Seq[String],
+      parentCols: Seq[String]): DataFrame =
+    fkClassify(stream, parentKeys(store, parent, childCols, parentCols), childCols)
+
+  /** S35b: [[fkMonitor]] with a LIVE parent — the foreachBatch form
+    * (Spark's own pattern for refreshable static joins): every trigger
+    * re-reads the parent's current key relation, classifies the batch,
+    * and hands the verdicted rows to `route` (quarantine/forward —
+    * the caller's side effect). An orphan stops flagging in the first
+    * batch after its parent key lands (spec-pinned). */
+  def fkMonitorSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      parent: String,
+      childCols: Seq[String],
+      parentCols: Seq[String])(
+      route: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        route(fkClassify(batch,
+          parentKeys(store, parent, childCols, parentCols), childCols))
+    }
+
+  private def parentKeys(store: graft.store.TableStore, parent: String,
+      childCols: Seq[String], parentCols: Seq[String]): DataFrame = {
+    require(childCols.nonEmpty && childCols.length == parentCols.length,
+      s"child/parent key column lists must be non-empty and the same length " +
+        s"(got ${childCols.length} vs ${parentCols.length})")
+    store.readTable(parent)
+      .select(parentCols.zip(childCols).map { case (pc, cc) =>
+        col(Identifiers.quote(pc)).as(s"__fk_$cc") }: _*)
+      .distinct()
+      .withColumn("__fk_hit", lit(true))
+  }
+
+  private def fkClassify(child: DataFrame, keys: DataFrame,
+      childCols: Seq[String]): DataFrame = {
+    val fkPresent = childCols.map(cc => col(Identifiers.quote(cc)).isNotNull)
+      .reduce(_ && _)
+    val cond = childCols.map(cc =>
+      col(Identifiers.quote(cc)) === col(s"__fk_$cc")).reduce(_ && _)
+    child.join(keys, cond, "left")
+      .withColumn("is_orphan", fkPresent && col("__fk_hit").isNull)
+      .drop("__fk_hit")
+      .drop(childCols.map(cc => s"__fk_$cc"): _*)
+  }
+
+  /** S36: streaming summary maintenance — C41's live twin and the
+    * closing piece of the maintained-materialized-view family: each
+    * micro-batch of base changes upserts into the base table (S7's
+    * sink contract) and the SAME commit's change feed folds into the
+    * summary via [[graft.store.IncrementalAgg.maintain]] — so updates
+    * to existing keys maintain exactly (the feed carries pre/post
+    * images; a naive "add the batch" sink would double-count them).
+    * Per trigger: O(batch) upsert + O(changes) maintenance, no base
+    * rescan ever. Batch replays after a failure re-upsert the same
+    * keys, the replayed feed is the diff of the replayed commit, and
+    * the summary converges to summarize(base) after every trigger
+    * (spec-pinned reconciliation). */
+  def summaryMaintenanceSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      base: String,
+      summary: String,
+      groupCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val g0 = store.snapshots(base).last._1
+          store.upsert(base, batch)
+          val g1 = store.snapshots(base).last._1
+          graft.store.IncrementalAgg.maintain(
+            store, base, summary, groupCols, valueCol, g0, g1)
+        }
+    }
 }

@@ -1162,4 +1162,93 @@ class StreamsSpec extends AnyFunSuite {
       assert(math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-6)
     }
   }
+
+  test("S35: streaming FK monitor flags orphans per batch; NULL FKs exempt") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.TableStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s35_").toString)
+    store.createTableFromDataFrame("parent",
+      Seq((1L, "p1"), (2L, "p2")).toDF("pk", "pname"), Seq("pk"), infer = false)
+    val ms = MemoryStream[(Long, Option[Long])]
+    val out = Streams.fkMonitor(ms.toDF().toDF("ck", "fk"),
+      store, "parent", Seq("fk"), Seq("pk"))
+    val q = out.writeStream.format("memory").queryName("s35").outputMode("append").start()
+    try {
+      ms.addData((10L, Some(1L)), (11L, Some(9L)), (12L, None))
+      q.processAllAvailable()
+      val b1 = spark.table("s35").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      assert(b1 == Map(10L -> false, 11L -> true, 12L -> false),
+        s"batch-1 verdicts wrong: $b1")
+      // the monitor's verdict matches the batch audit's orphan set
+      val batchOrphans = store.fkViolations("parent", Seq("pk"), "parent", Seq("pk"))
+      assert(batchOrphans.count() == 0) // sanity: parent self-audits clean
+      // pinned-at-start contract: a parent insert between triggers does
+      // NOT change this query's verdicts (the file listing is captured
+      // at plan time — the liveness path is fkMonitorSink, below)
+      store.insert("parent", Seq((9L, "p9")).toDF("pk", "pname"))
+      ms.addData((13L, Some(9L)))
+      q.processAllAvailable()
+      val b2 = spark.table("s35").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      assert(b2(13L) == true, "pinned query unexpectedly saw the new parent key")
+      assert(b2(11L) == true, "already-emitted verdicts must not rewrite")
+    } finally q.stop()
+  }
+
+  test("S35b: the foreachBatch FK monitor sees parent keys inserted between triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.TableStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s35b_").toString)
+    store.createTableFromDataFrame("parent",
+      Seq((1L, "p1")).toDF("pk", "pname"), Seq("pk"), infer = false)
+    val got = scala.collection.mutable.Map.empty[Long, Boolean]
+    val ms = MemoryStream[(Long, Option[Long])]
+    val q = Streams.fkMonitorSink(ms.toDF().toDF("ck", "fk"),
+        store, "parent", Seq("fk"), Seq("pk")) { verdicts =>
+        verdicts.collect().foreach(r => got(r.getLong(0)) = r.getBoolean(2))
+      }.start()
+    try {
+      ms.addData((10L, Some(1L)), (11L, Some(9L)))
+      q.processAllAvailable()
+      assert(got(10L) == false && got(11L) == true, s"batch-1 verdicts wrong: $got")
+      store.insert("parent", Seq((9L, "p9")).toDF("pk", "pname"))
+      ms.addData((12L, Some(9L)))
+      q.processAllAvailable()
+      assert(got(12L) == false, "live parent key not visible to the next trigger")
+    } finally q.stop()
+  }
+
+  test("S36: streaming summary maintenance converges to the batch recompute after every trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.{IncrementalAgg, TableStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s36_").toString)
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    def check(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v")
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"summary diverged: $got vs $want")
+    }
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = Streams.summaryMaintenanceSink(ms.toDF().toDF("k", "g", "v"),
+      store, "base", "summary", Seq("g"), "v").start()
+    try {
+      ms.addData((2L, "a", 20.0), (3L, "b", 30.0)) // inserts, one new group
+      q.processAllAvailable()
+      check()
+      ms.addData((1L, "b", 15.0)) // key 1 MOVES group a→b (update via upsert)
+      q.processAllAvailable()
+      check()
+      assert(store.readTable("summary").filter(col("g") === "a").count() == 1,
+        "group a must survive with one row after the move")
+    } finally q.stop()
+  }
 }
