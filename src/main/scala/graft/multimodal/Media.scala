@@ -250,6 +250,89 @@ object Media {
     } catch { case _: Exception => CorruptResize }
   }
 
+  final case class PerceptualSig(doc_id: Long, format: String, psig: String)
+
+  private val CorruptSig = PerceptualSig(0L, "unknown", null)
+
+  /** L71 signature half: the CANONICAL perceptual signature of an image
+    * — decode, box-resample to a fixed `outW`×`outH`×3 raster (size and
+    * aspect differences die here, exactly as a pHash pipeline's first
+    * step), then md5 the pixel sequence rendered `"p0|p1|…"` in
+    * row-major (y, then x) order with the 3 bands inner-most. Two
+    * images get the same signature iff their canonical rasters are
+    * pixel-identical — REGARDLESS of codec (a PNG and a BMP of the same
+    * picture collide, which is the reason pipelines dedup on decoded
+    * pixels, never on container bytes) and regardless of stored size.
+    * The render is plain integers + '|' so any ANSI engine rebuilds the
+    * digest bit-for-bit (the A14b md5 idiom, applied to pixels).
+    * Corrupt payloads yield a NULL signature. */
+  def perceptualSig(bytes: Array[Byte], outW: Int, outH: Int): PerceptualSig = {
+    if (bytes == null || bytes.length == 0) return CorruptSig
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) CorruptSig
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val raster = boxResize(r.read(0), outW, outH).getRaster
+            val sb = new java.lang.StringBuilder(outW * outH * 3 * 4)
+            var y = 0
+            while (y < outH) {
+              var x = 0
+              while (x < outW) {
+                var b = 0
+                while (b < 3) {
+                  if (sb.length > 0) sb.append('|')
+                  sb.append(raster.getSample(x, y, b))
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map(b => f"${b & 0xFF}%02x").mkString
+            PerceptualSig(0L, fmt, hex)
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => CorruptSig }
+  }
+
+  /** Canonical perceptual signatures for a (doc_id, media) table. */
+  def perceptualSigTable(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame =
+    decodedBy(media)((id, bytes) => Seq(perceptualSig(bytes, outW, outH).copy(doc_id = id)))
+
+  /** L71: perceptual image dedup — exact-match grouping on the
+    * canonical signature: per signature one keeper (min doc_id) and the
+    * group size; corrupt payloads pass through as their own trivial
+    * keepers (no signature → no dedup evidence). The group step is a
+    * map-side-combinable aggregate on a 32-hex key (the L60 lesson —
+    * never a content window), one shuffle end-to-end after the decode
+    * scan. At 100 TB the same shape holds: signatures are
+    * corpus-row-count keys, and a near-match (Hamming-ball) variant
+    * would band-block the signature bits through the L4 SimHash
+    * machinery rather than widen this exact group. */
+  def perceptualDedup(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame = {
+    val sig = perceptualSigTable(media, outW, outH)
+    val valid = sig.filter(col("psig").isNotNull)
+    val groups = valid.groupBy("psig")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+    val deduped = valid.join(groups, "psig")
+      .select(col("doc_id"), col("format"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("kept"), col("group_size"))
+    val corrupt = sig.filter(col("psig").isNull)
+      .select(col("doc_id"), col("format"), col("doc_id").as("keeper"),
+        lit(true).as("kept"), lit(1L).as("group_size"))
+    deduped.unionByName(corrupt).orderBy("doc_id")
+  }
+
   /** Resize a (doc_id, media binary) table per partition (L12e). */
   def resizeTable(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame =
     decodedBy(media)((id, bytes) => Seq(resizeMeta(bytes, outW, outH).copy(doc_id = id)))

@@ -473,6 +473,14 @@ object PipelineQueries {
     Media.decodeTable(Media.syntheticMediaTable(t(s, dir, "documents")))
       .orderBy("doc_id")
 
+  /** L71: perceptual image dedup — same-gray docs collide on the
+    * canonical 8×8 signature ACROSS codecs and stored sizes (id and
+    * id+256 differ in format since 256 % 3 = 1 — the cross-format
+    * collisions are the point), corrupt docs pass through as trivial
+    * keepers. */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame =
+    Media.perceptualDedup(Media.syntheticMediaTable(t(s, dir, "documents")))
+
   /** L12e: real resize — every synthetic payload (PNG/JPEG/BMP mix)
     * box-resampled to 8×8; constant-gray inputs must stay exactly
     * constant, so the resized mean is closed-form. */
@@ -712,6 +720,7 @@ object PipelineQueries {
     "dedup_keeper_quality" -> ((s, dir) => Dedup.clustersQualityKeeper(t(s, dir, "documents"))),
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_phash" -> multimodalPhash,
     "multimodal_resize" -> multimodalResize,
     "multimodal_patches" -> multimodalPatches,
     "multimodal_resample" -> multimodalResample,
@@ -2386,6 +2395,32 @@ object PipelineQueries {
         |SELECT doc_id, cluster_id,
         | CASE WHEN bb < 10 THEN 'test' WHEN bb < 20 THEN 'val' ELSE 'train' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // L71: constant-gray rasters make the canonical 8×8×3 pixel render
+    // 192 copies of the gray joined '|'; md5 of that string IS the
+    // signature, so the oracle groups by the same digest the engine
+    // computes from decoded pixels.
+    "multimodal_phash" ->
+      """WITH d AS (SELECT doc_id,
+        |  doc_id % 10 = 0 AS corrupt,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'bmp' END AS fmt,
+        |  doc_id % 256 AS g
+        | FROM documents),
+        |sig AS (SELECT doc_id, fmt AS format,
+        |  md5(array_to_string(list_transform(range(0, 192),
+        |    x -> CAST(g AS VARCHAR)), '|')) AS psig
+        | FROM d WHERE NOT corrupt),
+        |grp AS (SELECT psig, MIN(doc_id) AS keeper, COUNT(*) AS group_size
+        | FROM sig GROUP BY psig),
+        |valid AS (SELECT s.doc_id, s.format, g.keeper,
+        |  s.doc_id = g.keeper AS kept, g.group_size
+        | FROM sig s JOIN grp g USING (psig)),
+        |bad AS (SELECT doc_id, 'unknown' AS format, doc_id AS keeper,
+        |  TRUE AS kept, CAST(1 AS BIGINT) AS group_size
+        | FROM d WHERE corrupt)
+        |SELECT doc_id, format, keeper, kept, group_size
+        |FROM (SELECT * FROM valid UNION ALL SELECT * FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 10 = 0 THEN 'unknown'

@@ -262,4 +262,53 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.patchMeta(Array[Byte](1, 2, 3), 4, 4) ==
       Seq(Media.PatchMeta(0L, "unknown", -1, -1, -1L, -1L, -1L)))
   }
+
+  test("L71 perceptual signature: documented render order, cross-format and cross-size collisions") {
+    def bytesOf(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // 2×1 non-constant image, canonically resized to 2×1 (identity) —
+    // render must be y-major, x inner, bands inner-most: "10|10|10|30|30|30"
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, (10 << 16) | (10 << 8) | 10)
+    img.setRGB(1, 0, (30 << 16) | (30 << 8) | 30)
+    val got = Media.perceptualSig(bytesOf(img, "png"), 2, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("10|10|10|30|30|30".getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    assert(got.psig == want, "canonical render order drifted")
+    // same pixels in PNG and BMP collide; different pixels do not
+    assert(Media.perceptualSig(bytesOf(img, "bmp"), 2, 1).psig == want)
+    val other = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    other.setRGB(0, 0, (30 << 16) | (30 << 8) | 30)
+    other.setRGB(1, 0, (10 << 16) | (10 << 8) | 10)
+    assert(Media.perceptualSig(bytesOf(other, "png"), 2, 1).psig != want,
+      "mirror image must not collide (order matters)")
+    // cross-SIZE: the same constant gray at different stored sizes
+    // canonicalizes to one signature
+    val a = Media.perceptualSig(Media.encodePng(4, 6, 77), 8, 8)
+    val b = Media.perceptualSig(Media.encodeBmp(10, 3, 77), 8, 8)
+    assert(a.psig == b.psig && a.psig != null)
+    assert(Media.perceptualSig(Media.encodePng(4, 6, 78), 8, 8).psig != a.psig)
+    // corrupt bytes yield a NULL signature
+    assert(Media.perceptualSig("not an image".getBytes("UTF-8"), 8, 8).psig == null)
+  }
+
+  test("L71 perceptual dedup: min-id keepers, corrupt passthrough") {
+    import SparkTestSession.spark.implicits._
+    val rows = Seq(
+      (1L, Media.encodePng(4, 6, 50)),  // group A keeper
+      (2L, Media.encodeBmp(9, 2, 50)),  // group A dup (other codec+size)
+      (3L, Media.encodePng(5, 5, 60)),  // group B singleton
+      (4L, "junk".getBytes("UTF-8")))   // corrupt passthrough
+      .toDF("doc_id", "media")
+    val got = Media.perceptualDedup(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 1L, true, 2L), (2L, 1L, false, 2L),
+      (3L, 3L, true, 1L), (4L, 4L, true, 1L)))
+  }
 }
