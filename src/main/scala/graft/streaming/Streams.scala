@@ -1422,6 +1422,56 @@ object Streams {
         })
   }
 
+  final case class LatenessVerdict(group: String, event_id: Long,
+      ts: java.sql.Timestamp, late_by_ms: Long, is_late: Boolean)
+
+  /** S37: streaming late-data monitor — the ops question Spark's own
+    * watermark answers SILENTLY (late rows just vanish from windowed
+    * aggregates): how much of the feed is arriving late, per group, and
+    * by how far? Each group keeps ONE long of state — the max event
+    * time over all PRIOR micro-batches (its high-watermark) — and an
+    * arriving event is late when it trails that mark by more than
+    * `delayMs`; `late_by_ms` is the excess. Judging against the
+    * prior-batch mark (never the current batch's) keeps verdicts
+    * independent of intra-batch order — a micro-batch is an unordered
+    * set, so a straggler and the fresh rows it arrived WITH never
+    * re-judge each other (spec-pinned). Feed the flagged share into
+    * the watermark-delay decision for every S1-family window — the
+    * delay stops being a guess. NoTimeout: the state is 8 bytes per
+    * GROUP (event types, not keys), the bounded-cardinality contract
+    * S14/S18 already document. */
+  def latenessMonitor(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      delayMs: Long,
+      tsCol: String = "ts"): Dataset[LatenessVerdict] = {
+    require(delayMs >= 0, "need delayMs >= 0")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(
+        col(Identifiers.quote(groupCol)).cast("string").as("g"),
+        col(Identifiers.quote(idCol)).cast("long").as("id"),
+        col(Identifiers.quote(tsCol)).as("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (g: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) => {
+          val mark = state.getOption.getOrElse(Long.MinValue)
+          var newMark = mark
+          val out = it.map { case (_, id, ts) =>
+            val t = ts.getTime
+            if (t > newMark) newMark = t
+            val lateBy = if (mark == Long.MinValue) 0L
+                         else math.max(0L, mark - delayMs - t)
+            LatenessVerdict(g, id, ts, lateBy, lateBy > 0L)
+          }.toVector
+          state.update(newMark)
+          out.iterator
+        })
+  }
+
   /** S35: streaming referential-integrity monitor — C42's live twin:
     * arriving child rows classify against the at-rest parent's key set
     * (a STATELESS stream-static left join; NULL FK components are

@@ -1221,6 +1221,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S37: lateness monitor judges against the PRIOR batch's high-watermark, per group") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val ms = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = Streams.latenessMonitor(ms.toDF().toDF("event_type", "event_id", "ts"),
+        "event_type", "event_id", delayMs = 60000L)
+      .toDF().writeStream.format("memory").queryName("s37").outputMode("append").start()
+    try {
+      // batch 1: first sight of each group — nothing can be late yet,
+      // even the out-of-order row within the batch
+      ms.addData(("a", 1L, at(600)), ("a", 2L, at(0)), ("b", 3L, at(300)))
+      q.processAllAvailable()
+      // batch 2: 'a' straggler 90 s behind the 600 s mark (60 s grace →
+      // 30 s excess); a fresh 'a' row is fine; 'b' judges against ITS
+      // OWN 300 s mark (240 s-old row is within 60 s grace)
+      ms.addData(("a", 4L, at(510)), ("a", 5L, at(700)), ("b", 6L, at(240)))
+      q.processAllAvailable()
+      val got = spark.table("s37").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      assert(got(1L) == ((0L, false)) && got(2L) == ((0L, false)) && got(3L) == ((0L, false)))
+      assert(got(4L) == ((30000L, true)), s"straggler excess wrong: ${got(4L)}")
+      assert(got(5L) == ((0L, false)))
+      assert(got(6L) == ((0L, false)), "group b must judge against its own mark")
+      // batch 3: the mark advanced to 700 s in batch 2 — a 500 s row is
+      // 200 s behind, minus the 60 s grace → 140 s excess
+      ms.addData(("a", 7L, at(500)))
+      q.processAllAvailable()
+      val g3 = spark.table("s37").collect()
+        .map(r => r.getLong(1) -> r.getLong(3)).toMap
+      assert(g3(7L) == 140000L)
+    } finally q.stop()
+  }
+
   test("S36: streaming summary maintenance converges to the batch recompute after every trigger") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.store.{IncrementalAgg, TableStore}
