@@ -448,6 +448,61 @@ object Curation {
       .orderBy(groupCol, "doc_id")
   }
 
+  /** L72: curriculum phase assignment — the ordering step of
+    * quality-curriculum training ("start on the cleanest data, finish
+    * on the rest"): every document gets a phase 0..nPhases−1 by its
+    * position in the corpus-wide quality order (score desc, doc_id),
+    * phase = ⌊pos·nPhases/n⌋ — phase 0 is the best n/nPhases documents.
+    *
+    * A global rank without a global window (the L58 banded plan,
+    * rank-flavored): per-band DOC COUNTS roll up (≤1001 rows — scores
+    * are micros, bands are score div 1000), the driver folds cumulative
+    * offsets, bands lying entirely inside one phase take it as a
+    * constant via a literal map, and ONLY the ≤ nPhases−1
+    * phase-crossing bands pay a window — partitioned BY BAND, never
+    * single-partition. Ties cannot straddle bands (equal scores share a
+    * band), so the banded order equals the global order exactly. */
+  def curriculumPhases(docs: DataFrame, nPhases: Int = 3): DataFrame = {
+    require(nPhases > 0, "need nPhases > 0")
+    val en = typedLit(Text.Stopwords.toMap.apply("en"))
+    val toks = Text.tokens(col("text"))
+    val scored = docs.filter(col("text").isNotNull).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
+      .withColumn("score_micros",
+        expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
+      .withColumn("__band", expr("score_micros div 1000"))
+      .drop("__stop")
+    val bandCounts = scored.groupBy("__band").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val n = bandCounts.iterator.map(_._2).sum
+    if (n == 0L)
+      return scored.withColumn("phase", lit(0)).limit(0)
+    var acc = 0L
+    val offsets = bandCounts.map { case (b, c) => val s = acc; acc += c; (b, s, s + c) }
+    def phaseAt(pos: Long): Int = (pos * nPhases / n).toInt
+    val (uniform, crossing) = offsets.partition { case (_, s, e) =>
+      phaseAt(s) == phaseAt(e - 1) }
+    val uni =
+      if (uniform.isEmpty) scored.limit(0).withColumn("phase", lit(0))
+      else scored.filter(col("__band").isInCollection(uniform.map(_._1).toSeq))
+        .withColumn("phase", element_at(
+          typedLit(uniform.map { case (b, s, _) => (b, phaseAt(s)) }.toMap), col("__band")))
+    val cr =
+      if (crossing.isEmpty) scored.limit(0).withColumn("phase", lit(0))
+      else {
+        val w = Window.partitionBy("__band")
+          .orderBy(col("score_micros").desc, col("doc_id"))
+        scored.filter(col("__band").isInCollection(crossing.map(_._1).toSeq))
+          .withColumn("__pos", row_number().over(w).cast("long") - 1 + element_at(
+            typedLit(crossing.map { case (b, s, _) => (b, s) }.toMap), col("__band")))
+          .withColumn("phase", expr(s"(__pos * $nPhases) div $n").cast("int"))
+          .drop("__pos")
+      }
+    uni.unionByName(cr)
+      .select("doc_id", "n_tokens", "score_micros", "phase").orderBy("doc_id")
+  }
+
   /** Temperature-based mix resampling (L29) — flatten a skewed group
     * (language/domain) distribution toward shares ∝ n^alpha, the
     * multilingual-pretraining mixing step: group g keeps each row with

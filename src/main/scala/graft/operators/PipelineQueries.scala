@@ -665,6 +665,11 @@ object PipelineQueries {
       Curation.budgetSelectMixture(t(s, dir, "documents"), "source",
         ((0 to 4).map(i => s"src$i" -> 800L) ++
           (5 to 9).map(i => s"src$i" -> 400L)).toMap)),
+    // L72: curriculum phases over the corpus-wide quality order —
+    // 3 phases at sf0.01 put ~167 docs per phase with the boundary
+    // bands paying the only windows
+    "sample_curriculum" -> ((s, dir) =>
+      Curation.curriculumPhases(t(s, dir, "documents"))),
     "export_shards" -> exportShards,
     "text_cms" -> textCms,
     "source_quality" -> ((s, dir) =>
@@ -1001,6 +1006,22 @@ object PipelineQueries {
 
     // sample_token_budget: the naive global-prefix form of the banded
     // selection — (score desc, doc_id) cumulative ≤ budget
+    // L72: the oracle is the NAIVE global rank — the banded plan must
+    // reproduce it row-for-row
+    "sample_curriculum" ->
+      """WITH q AS (
+        | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        | FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |  CAST((2 * 1000000 * stop + n_tokens) // (2 * n_tokens) AS BIGINT) AS score_micros
+        | FROM q),
+        |r AS (SELECT doc_id, n_tokens, score_micros,
+        |  ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id) - 1 AS p,
+        |  COUNT(*) OVER () AS n FROM s)
+        |SELECT doc_id, n_tokens, score_micros, CAST((p * 3) // n AS INT) AS phase
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sample_token_budget" ->
       """WITH q AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

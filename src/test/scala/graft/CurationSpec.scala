@@ -817,4 +817,35 @@ class CurationSpec extends AnyFunSuite {
         s"source $src diverged")
     }
   }
+
+  test("L72 curriculum phases equal the naive global-rank twin; crossing bands exercised") {
+    import SparkTestSession.spark.implicits._
+    // scores engineered so one band holds a phase boundary: 12 docs,
+    // 3 phases → boundary at positions 4 and 8; several docs share a
+    // band (equal scores) so the crossing window genuinely ranks
+    val texts = Seq(
+      "the the the the",        // stop 4/4 → 1.0
+      "the the the a",          // 1.0
+      "the the a b",            // 0.5... varied
+      "the a b c", "a b c d", "the the b b",
+      "x y z w", "the x y z", "a a the the",
+      "p q r s", "the p q r", "t u v w")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = operators.Curation.curriculumPhases(docs, nPhases = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSeq
+    // naive twin: global sort by (score desc, doc_id), phase = pos*3/n
+    val scored = got.map { case (id, sc, _) => (id, sc) }
+    val order = scored.sortBy { case (id, sc) => (-sc, id) }
+    val n = order.length
+    val want = order.zipWithIndex
+      .map { case ((id, _), pos) => id -> (pos * 3 / n) }.toMap
+    got.foreach { case (id, _, ph) =>
+      assert(ph == want(id), s"doc $id phase $ph != naive ${want(id)}") }
+    // all three phases populated, and at least one band spans a boundary
+    assert(got.map(_._3).distinct.sorted == Seq(0, 1, 2))
+    // nPhases=1 → everything phase 0
+    assert(operators.Curation.curriculumPhases(docs, nPhases = 1)
+      .collect().forall(_.getInt(3) == 0))
+  }
 }

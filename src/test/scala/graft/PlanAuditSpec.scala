@@ -627,6 +627,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // the whole corpus. The banded plan may only ever window WITHIN a
     // band partition.
     val docs = GraftSession.table(spark, sfDir, "documents")
+    // L72 rides the same banded machinery — its crossing-band windows
+    // must also be band-partitioned, never global
+    val cur = operators.Curation.curriculumPhases(docs, nPhases = 3)
+    cur.collect()
+    allNodes(cur.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"curriculum window is single-partition: $w"))
     val sel = operators.Curation.budgetSelect(docs, budgetTokens = 500L)
     sel.collect() // small budget at this SF forces the crossing-band window
     val windows = allNodes(sel.queryExecution.executedPlan)
