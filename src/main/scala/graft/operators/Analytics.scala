@@ -1336,10 +1336,18 @@ object Analytics {
       d: Int = 4, w: Int = 1024): DataFrame = {
     val skR = cmKeySketch(r, rKey, d, w)
     val skS = cmKeySketch(sDf, sKey, d, w)
-    val est = skR.as("a").join(skS.as("b"), Seq("r", "b"))
-      .groupBy(col("r"))
-      .agg(sum(col("a.n").cast(DecimalType(38, 0)) * col("b.n")).as("__s"))
-      .agg(min(col("__s")).cast("long").as("est_pairs"))
+    // every hash row participates in the MIN: a row whose buckets have
+    // ZERO overlap is the tightest estimate (0), so left-join the
+    // per-row sums against the d row ids and coalesce absentees to 0 —
+    // fully disjoint key sets estimate 0, not NULL (true count-min)
+    val rowIds = r.sparkSession.range(d).select(col("id").cast("int").as("r"))
+    val est = rowIds.join(
+        skR.as("a").join(skS.as("b"), Seq("r", "b"))
+          .groupBy(col("r"))
+          .agg(sum(col("a.n").cast(DecimalType(38, 0)) * col("b.n")).as("__s")),
+        Seq("r"), "left")
+      .agg(min(coalesce(col("__s"), lit(0).cast(DecimalType(38, 0))))
+        .cast("long").as("est_pairs"))
     val truth = r.filter(col(rKey).isNotNull)
       .groupBy(col(rKey).as("__k")).agg(count(lit(1)).as("__cr"))
       .join(sDf.filter(col(sKey).isNotNull)
@@ -1447,7 +1455,8 @@ object Analytics {
          |  COUNT(*) AS n FROM ok CROSS JOIN rws GROUP BY 1, 2),
          |perr AS (SELECT se.r, SUM(CAST(se.n AS DECIMAL(38,0)) * so.n) AS s
          | FROM se JOIN so ON se.r = so.r AND se.b = so.b GROUP BY se.r),
-         |est AS (SELECT CAST(MIN(s) AS BIGINT) AS est_pairs FROM perr),
+         |est AS (SELECT CAST(MIN(COALESCE(s, CAST(0 AS DECIMAL(38,0)))) AS BIGINT) AS est_pairs
+         | FROM rws LEFT JOIN perr USING (r)),
          |tru AS (SELECT CAST(COALESCE(SUM(CAST(ce.n AS DECIMAL(38,0)) * co.n), 0) AS BIGINT) AS true_pairs
          | FROM (SELECT user_id AS k, COUNT(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY 1) ce
          | JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) co USING (k))

@@ -129,6 +129,68 @@ object CoreQueries {
     store.describe("li").orderBy("column_name")
   }
 
+  // C38: generation history — the commit manifests as a queryable
+  // relation, driver-verified end to end. Determinism comes from two
+  // injected levers: the store's commit CLOCK (a counter ticking one
+  // second per commit — the same injectable-time discipline as SCD2's
+  // clock column) and single-file batches (each region's nations
+  // coalesce(1) → exactly one file per append; the closing compact
+  // rewrites the whole table to exactly one file). The oracle rebuilds
+  // the ledger from first principles: R = count(distinct regions)
+  // appends of one file each, then a compaction adding 1 and retiring
+  // all R.
+  def generationHistory(s: SparkSession, dir: String): DataFrame = {
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store/genhist_${System.nanoTime()}"
+    val store = new TableStore(s, root,
+      clock = () => 1735689600000L + counter.incrementAndGet() * 1000L)
+    val nation = t(s, dir, "nation")
+    // buckets=1: a bucketed create writes NO seed file (a flat create
+    // seeds an empty parquet that would count in the ledger), and a
+    // single bucket keeps one coalesce(1) append = exactly one file
+    store.createTable("nat", Seq(
+      "n_nationkey" -> "bigint",
+      "n_name" -> "varchar(max)",
+      "n_regionkey" -> "bigint"), Seq("n_nationkey"), buckets = 1)
+    val regions = nation.select(col("n_regionkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    regions.foreach { rk =>
+      store.insert("nat", nation.filter(col("n_regionkey") === rk).coalesce(1))
+    }
+    store.compact("nat")
+    store.history("nat").orderBy("gen")
+  }
+
+  // C24: the audit trail as a queryable relation — every DDL and
+  // auto-adjust action the store performs, captured through the
+  // injected audit callback (the reference routes the same trail
+  // through Python logging, package.py:52-66). Data-dependence keeps
+  // the oracle honest: the create line carries the INFERRED schema
+  // (C3's smallest-type pass over nation), and the auto-adjust lines
+  // carry the widened type derived from the out-of-range batch — the
+  // DuckDB oracle re-derives every type token from the same data.
+  def auditTrail(s: SparkSession, dir: String): DataFrame = {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val root = s"${sys.props("java.io.tmpdir")}/graft_store/audit_${System.nanoTime()}"
+    val store = new TableStore(s, root, audit = m => lines += m)
+    val nation = t(s, dir, "nation")
+    store.createTableFromDataFrame("nat", nation, Seq("n_nationkey"))
+    store.addColumn("nat", "n_extra", "varchar(10)")
+    store.alterColumn("nat", "n_extra", "varchar(20)")
+    store.dropColumn("nat", "n_extra")
+    store.addCheckConstraint("nat", "chk_key", "n_nationkey >= 0")
+    store.dropCheckConstraint("nat", "chk_key")
+    // out-of-range keys + a novel column in one batch → the auto-adjust
+    // ladder emits adding-missing-column AND widening trails
+    store.insert("nat", nation.select(
+      (col("n_nationkey") + 1000).cast("long").as("n_nationkey"),
+      col("n_name"), col("n_regionkey"),
+      lit(1L).as("n_flag")), autoAdjust = true)
+    import s.implicits._
+    lines.toSeq.zipWithIndex.map { case (l, i) => (i + 1, l) }.toDF("seq", "line")
+      .orderBy("seq")
+  }
+
   // C4: add / alter / drop column
   def modifyColumns(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "modify")
@@ -681,6 +743,8 @@ object CoreQueries {
     "stats_bloom_read" -> statsBloomRead,
     "zorder_read" -> zorderRead,
     "scd2_history" -> scd2History,
+    "generation_history" -> generationHistory,
+    "audit_trail" -> auditTrail,
   )
 
   private def inferCase(c: String): String =
@@ -690,6 +754,42 @@ object CoreQueries {
        |     ELSE 'bigint' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // C38: the ledger from first principles — R single-file appends
+    // (one per distinct region, clock ticking 1 s per commit) then a
+    // compaction that adds 1 file and retires all R
+    "generation_history" ->
+      """WITH r AS (SELECT COUNT(DISTINCT n_regionkey) AS nr FROM nation),
+        |reg AS (SELECT CAST(row_number() OVER (ORDER BY n_regionkey) AS INT) AS gen
+        |        FROM (SELECT DISTINCT n_regionkey FROM nation) d),
+        |g AS (SELECT gen FROM reg UNION ALL SELECT CAST(nr + 1 AS INT) FROM r)
+        |SELECT gen,
+        | TIMESTAMP '2025-01-01 00:00:00' + gen * INTERVAL 1 SECOND AS commit_time,
+        | CASE WHEN gen <= (SELECT nr FROM r) THEN CAST(gen AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_files,
+        | CAST(1 AS BIGINT) AS files_added,
+        | CASE WHEN gen <= (SELECT nr FROM r) THEN CAST(0 AS BIGINT) ELSE (SELECT CAST(nr AS BIGINT) FROM r) END AS files_removed
+        |FROM g ORDER BY gen""".stripMargin,
+    // C24: every type token re-derived from the data — the create line
+    // via the C3 inference ladder, the widen target via the same ladder
+    // over the shifted keys (widen(tinyint, X) = X whenever X is wider)
+    "audit_trail" ->
+      s"""WITH st AS (SELECT
+         |  ${inferCase("n_nationkey")} AS tk,
+         |  ${inferCase("n_regionkey")} AS tr,
+         |  ${inferCase("(n_nationkey + 1000)")} AS tw,
+         |  CAST(MAX(length(n_name)) AS VARCHAR) AS ln FROM nation)
+         |SELECT seq, line FROM (
+         | SELECT 1 AS seq, 'create table nat (n_nationkey ' || tk || ', n_name varchar(' || ln ||
+         |   '), n_regionkey ' || tr || ') primary key (n_nationkey)' AS line FROM st
+         | UNION ALL SELECT 2, 'add column nat.n_extra varchar(10)' FROM st
+         | UNION ALL SELECT 3, 'alter column nat.n_extra varchar(10) -> varchar(20)' FROM st
+         | UNION ALL SELECT 4, 'drop column nat.n_extra' FROM st
+         | UNION ALL SELECT 5, 'add check nat.chk_key: n_nationkey >= 0' FROM st
+         | UNION ALL SELECT 6, 'drop check nat.chk_key' FROM st
+         | UNION ALL SELECT 7, 'auto-adjust: adding missing column nat.n_flag tinyint' FROM st
+         | UNION ALL SELECT 8, 'add column nat.n_flag tinyint' FROM st
+         | UNION ALL SELECT 9, 'auto-adjust: widening nat.n_nationkey ' || tk || ' -> ' || tw FROM st
+         | UNION ALL SELECT 10, 'alter column nat.n_nationkey ' || tk || ' -> ' || tw FROM st
+         |) q ORDER BY seq""".stripMargin,
     // source_csv_ingest / source_jsonl_ingest: a lossless round-trip
     // through the text format + store means the oracle is simply the
     // original parquet relation

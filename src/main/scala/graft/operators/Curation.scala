@@ -477,7 +477,10 @@ object Curation {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     val n = bandCounts.iterator.map(_._2).sum
     if (n == 0L)
-      return scored.withColumn("phase", lit(0)).limit(0)
+      // same final projection as the populated path — an empty corpus
+      // must not leak the internal __band column into the schema
+      return scored.limit(0).withColumn("phase", lit(0))
+        .select("doc_id", "n_tokens", "score_micros", "phase")
     var acc = 0L
     val offsets = bandCounts.map { case (b, c) => val s = acc; acc += c; (b, s, s + c) }
     def phaseAt(pos: Long): Int = (pos * nPhases / n).toInt

@@ -192,6 +192,59 @@ object Mutations {
     kept.select(outCols.toIndexedSeq: _*)
   }
 
+  /** CDC-apply: upsert and delete in ONE keyed join — the primitive a
+    * change-feed consumer needs to fold a batch of per-key verdicts
+    * ("new value" vs "gone") into a table as a single relation. Source
+    * rows whose boolean `deleteCol` is false upsert (update matched,
+    * insert unmatched); rows with it true delete their matched target
+    * row (an absent key is a no-op). This is merge()'s full-outer
+    * algebra with the delete verdict carried PER ROW by the source
+    * instead of inferred from target-side absence — so a row the
+    * source does not mention is always kept, which is what makes it a
+    * keyed (bucket-prunable) mutation rather than a full-table merge. */
+  def applyChanges(
+      target: DataFrame,
+      source: DataFrame,
+      matchCols: Seq[String],
+      deleteCol: String,
+      timeInsert: Option[Column] = None,
+      timeUpdate: Option[Column] = None): DataFrame = {
+    requireCols(target, matchCols, "target")
+    requireCols(source, matchCols :+ deleteCol, "source")
+    val updateCols =
+      source.columns.filterNot(c => matchCols.contains(c) || c == deleteCol).toSeq
+    requireCols(target, updateCols, "target")
+
+    var t0 = target
+    if (timeInsert.isDefined) t0 = ensureTimeCol(t0, TimeInsert)
+    if (timeUpdate.isDefined) t0 = ensureTimeCol(t0, TimeUpdate)
+
+    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
+      .withColumn("__s", lit(true))
+    val joinCond = matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _)
+    val j = t0.withColumn("__t", lit(true)).join(s, joinCond, "full_outer")
+
+    val del = coalesce(col(srcAlias(deleteCol)).cast("boolean"), lit(false))
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val insertOnly = col("__t").isNull
+    val targetOnly = col("__s").isNull
+    val kept = j.filter(targetOnly || ((matched || insertOnly) && !del))
+
+    val outCols = t0.columns.map { c =>
+      val dt = t0.schema(c).dataType
+      if (matchCols.contains(c))
+        when(insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
+      else if (updateCols.contains(c))
+        when(matched || insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
+      else if (c == TimeInsert && timeInsert.isDefined)
+        when(insertOnly, timeInsert.get.cast(dt)).otherwise(t0(c)).as(c)
+      else if (c == TimeUpdate && timeUpdate.isDefined)
+        when(matched, timeUpdate.get.cast(dt)).otherwise(t0(c)).as(c)
+      else t0(c).as(c)
+    }
+    kept.select(outCols.toIndexedSeq: _*)
+  }
+
   /** Type-2 slowly-changing-dimension upsert — the warehouse history
     * merge a reference user hand-writes as a multi-statement T-SQL
     * transaction. The target carries `_valid_from`/`_valid_to`; rows

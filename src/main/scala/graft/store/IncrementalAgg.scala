@@ -39,14 +39,14 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("n_rows"),
         sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_val"))
 
-  /** Fold the change feed of `base` between two committed generations
-    * into the `summary` store table (schema = [[summarize]]'s, PK =
-    * `groupCols`). Inserts and update-postimages count +1/+value,
-    * deletes and update-preimages −1/−value; groups whose count
-    * reaches zero are deleted from the summary. A feed with no rows
-    * (e.g. a pure rewrite: compaction, Z-order) commits nothing. */
-  def maintain(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): Unit = {
+  /** Post-maintenance rows for every group the feed touched, with the
+    * zero-count groups flagged `__dead` — the source relation of ONE
+    * [[TableStore.applyChanges]] commit. Eagerly checkpointed: the
+    * plan reads the summary's live data directory and the mutation
+    * retires files out of it, so a lazy re-evaluation mid-commit would
+    * read the half-updated table (the L16 checkpoint idiom). */
+  private def mergedDelta(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): DataFrame = {
     val ch = store.readChanges(base, fromGen, toGen)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
@@ -61,21 +61,109 @@ object IncrementalAgg {
       .agg((sum(sign) + first(guard)).as("__dn"),
         sum(sign * col(valueCol).cast(DecimalType(18, 2))).as("__dsum"))
     val cur = store.readTable(summary)
-    // MATERIALIZE before mutating: the plan reads the summary's live
-    // data directory, and the upsert below retires files out of it —
-    // a lazy re-evaluation between the two commits would read the
-    // half-updated table. The eager checkpoint pins the change-sized
-    // result and severs the lineage (the L16 checkpoint idiom).
-    val merged = delta.join(cur,
+    val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
+    // a negative post-count means the feed and the summary disagree
+    // (corrupt feed, or a writer bypassed maintenance) — fail loudly
+    // instead of silently dropping the group; the guard rides n_rows
+    // (null on success → +0) so pruning cannot elide it
+    val negGuard = coalesce(assert_true(nRows >= 0,
+      lit(s"incremental aggregate: negative row count maintaining '$summary' from " +
+        s"the change feed of '$base' — feed and summary are inconsistent")).cast("long"),
+      lit(0L))
+    delta.join(cur,
         groupCols.map(c => delta(c) <=> cur(c)).reduce(_ && _), "left")
       .select(groupCols.map(delta(_)) :+
-        (coalesce(cur("n_rows"), lit(0L)) + col("__dn")).as("n_rows") :+
+        (nRows + negGuard).as("n_rows") :+
         (coalesce(cur("sum_val"), lit(0).cast(DecimalType(18, 2))) + col("__dsum"))
           .cast(DecimalType(18, 2)).as("sum_val"): _*)
+      .withColumn("__dead", col("n_rows") === 0L)
       .localCheckpoint(true)
-    val live = merged.filter(col("n_rows") > 0)
-    val dead = merged.filter(col("n_rows") === 0).select(groupCols.map(col): _*)
-    if (!live.isEmpty) store.upsert(summary, live, groupCols)
-    if (!dead.isEmpty) store.delete(summary, dead, groupCols)
+  }
+
+  /** Fold the change feed of `base` between two committed generations
+    * into the `summary` store table (schema = [[summarize]]'s, PK =
+    * `groupCols`). Inserts and update-postimages count +1/+value,
+    * deletes and update-preimages −1/−value; groups whose count
+    * reaches zero are deleted from the summary. The whole fold is ONE
+    * [[TableStore.applyChanges]] commit (upsert live + delete dead
+    * atomically — two commits would expose dead groups with stale
+    * counts to a reader landing between them, permanently so on a
+    * crash). A feed with no rows (e.g. a pure rewrite: compaction,
+    * Z-order) commits nothing. */
+  def maintain(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): Unit = {
+    val merged = mergedDelta(store, base, summary, groupCols, valueCol, fromGen, toGen)
+    if (!merged.isEmpty) store.applyChanges(summary, merged, "__dead", groupCols)
+  }
+
+  private def appliedKey(base: String) = s"graft.maint.$base.applied"
+  private def pendingKey(base: String) = s"graft.maint.$base.pending"
+  private def sgenKey(base: String) = s"graft.maint.$base.sgen"
+
+  /** Record that `summary` currently reflects `base` at generation
+    * `gen` — call once after bootstrapping the summary from
+    * [[summarize]]. Seeds the durable watermark [[maintainToCurrent]]
+    * advances. */
+  def markMaintained(store: TableStore, base: String, summary: String, gen: Int): Unit =
+    store.setProperties(summary, Map(appliedKey(base) -> gen.toString),
+      remove = Seq(pendingKey(base), sgenKey(base)))
+
+  /** The base generation `summary` durably reflects (None before
+    * [[markMaintained]] has seeded it). */
+  def maintainedGen(store: TableStore, base: String, summary: String): Option[Int] = {
+    recover(store, base, summary)
+    store.properties(summary).get(appliedKey(base)).map(_.toInt)
+  }
+
+  /** Finish or roll back an interrupted [[maintainToCurrent]]: the
+    * intent record {pending, sgen} plus the summary's current
+    * generation decide whether the single maintenance commit landed —
+    * if the summary advanced past `sgen` it did (advance the
+    * watermark), otherwise it never committed (drop the intent and the
+    * next call refolds from the old watermark). Decidable both ways
+    * BECAUSE maintenance is one commit; this is why [[maintain]] must
+    * never be split back into upsert+delete. */
+  private def recover(store: TableStore, base: String, summary: String): Unit = {
+    val props = store.properties(summary)
+    props.get(pendingKey(base)).foreach { p =>
+      val committed = props.get(sgenKey(base)).map(_.toInt) match {
+        case Some(sAtStart) => store.snapshots(summary).last._1 > sAtStart
+        case None           => false
+      }
+      if (committed) markMaintained(store, base, summary, p.toInt)
+      else store.setProperties(summary, Map.empty,
+        remove = Seq(pendingKey(base), sgenKey(base)))
+    }
+  }
+
+  /** S36's crash-safe driver: fold everything committed to `base`
+    * since the durable watermark into `summary`, idempotently across
+    * failures and Structured-Streaming batch replays. Protocol per
+    * call: recover any interrupted attempt, compute the delta for the
+    * pinned range (watermark → current base generation), write a
+    * write-ahead intent {pending, summary-generation}, apply the delta
+    * as ONE commit, then advance the watermark. A crash at any point
+    * either left the intent undecided-but-uncommitted (next call
+    * refolds the same range — same result) or committed (next call's
+    * recovery advances the watermark without re-applying). Replayed
+    * upserts of the same rows produce self-cancelling feed diffs, so
+    * folding a range that spans them stays exact. Single-writer: the
+    * summary must be written only through this path (the standard
+    * materialized-view ownership contract). */
+  def maintainToCurrent(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String): Unit = {
+    recover(store, base, summary)
+    val applied = store.properties(summary).get(appliedKey(base)).map(_.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"no maintenance watermark for '$base' on '$summary' — seed it with " +
+          "markMaintained at the generation the summary was bootstrapped from"))
+    val cur = store.snapshots(base).last._1
+    if (cur <= applied) return
+    val merged = mergedDelta(store, base, summary, groupCols, valueCol, applied, cur)
+    if (merged.isEmpty) { markMaintained(store, base, summary, cur); return }
+    store.setProperties(summary, Map(pendingKey(base) -> cur.toString,
+      sgenKey(base) -> store.snapshots(summary).last._1.toString))
+    store.applyChanges(summary, merged, "__dead", groupCols)
+    markMaintained(store, base, summary, cur)
   }
 }

@@ -107,11 +107,16 @@ object TableStore {
   *   (create/add/alter/drop/auto-adjust) — the reference's `logging`
   *   audit trail of DDL and auto-adjustment (package.py:52-66), so a
   *   user debugging "why did my column widen" has a trace. Defaults to
-  *   `java.util.logging` at INFO under the "graft.store" logger. */
+  *   `java.util.logging` at INFO under the "graft.store" logger.
+  * @param clock millisecond source stamped into each commit manifest —
+  *   injectable for the same reason SCD2 and the metadata timestamps
+  *   take a clock column (the reference uses GETDATE(); determinism
+  *   needs the time source swappable). Defaults to wall clock. */
 final class TableStore(
     val spark: SparkSession,
     root: String,
-    audit: String => Unit = TableStore.defaultAudit) {
+    audit: String => Unit = TableStore.defaultAudit,
+    clock: () => Long = () => System.currentTimeMillis()) {
   import TableStore.Meta
 
   private val mapper = new ObjectMapper()
@@ -299,6 +304,50 @@ final class TableStore(
   }
 
   def exists(name: String): Boolean = fs.exists(metaPath(name))
+
+  private def propsPath(name: String) = new Path(tablePath(name), "props.json")
+
+  /** Durable per-table key→value properties — the carrier for
+    * consumer-owned bookkeeping (e.g. the incremental-maintenance
+    * watermark and its write-ahead intent record, [[IncrementalAgg]]).
+    * Written with the tmp-write + rename swap, so a reader never sees
+    * a torn file; a crash mid-set leaves the previous version. */
+  def properties(name: String): Map[String, String] = {
+    if (!exists(name)) throw errors.TableDoesNotExist(name)
+    // a missing main file with a complete tmp is the delete→rename
+    // crash window of setProperties — the tmp IS the committed state
+    // (it is only ever deleted-into-place after a successful close)
+    val path =
+      if (fs.exists(propsPath(name))) propsPath(name)
+      else if (fs.exists(new Path(tablePath(name), "props.json.tmp")))
+        new Path(tablePath(name), "props.json.tmp")
+      else return Map.empty
+    val in = fs.open(path)
+    val node: JsonNode = try mapper.readTree(in) finally in.close()
+    val it = node.fieldNames()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asText() }
+    b.result()
+  }
+
+  /** Merge `kvs` into (and drop `remove` from) the table's properties
+    * in one atomic swap. */
+  def setProperties(name: String, kvs: Map[String, String],
+      remove: Seq[String] = Nil): Unit = {
+    val tmp = new Path(tablePath(name), "props.json.tmp")
+    // heal a previous delete→rename crash window BEFORE truncating the
+    // tmp (which is the committed state in that window)
+    if (!fs.exists(propsPath(name)) && fs.exists(tmp)) fs.rename(tmp, propsPath(name))
+    val merged = (properties(name) ++ kvs) -- remove
+    val node = mapper.createObjectNode()
+    merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(tmp, true)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    out.close()
+    fs.delete(propsPath(name), false)
+    if (!fs.rename(tmp, propsPath(name)))
+      throw new IllegalStateException(s"properties swap failed for table $name")
+  }
 
   /** All managed table names under this root (one listing of the root
     * dir — O(#tables), driver-side, like the reference's
@@ -1034,7 +1083,7 @@ final class TableStore(
   private def commitSnapshot(name: String, gen: Int, files: Option[Seq[String]] = None): Unit = {
     val o = mapper.createObjectNode()
     o.put("gen", gen)
-    o.put("ts", System.currentTimeMillis())
+    o.put("ts", clock())
     o.set("meta", metaNode(meta(name)): JsonNode)
     val arr = o.putArray("files")
     files.getOrElse(currentRels(name)).foreach(arr.add)
@@ -1890,6 +1939,37 @@ final class TableStore(
     prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
       (target, src) =>
         val r = Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
+        validatePartialChecks(m, r, partial); r
+    }
+  }
+
+  /** CDC-apply in ONE commit (see [[Mutations.applyChanges]]): source
+    * rows flagged true by boolean column `deleteCol` delete their key,
+    * the rest upsert. This is the atomic primitive incremental view
+    * maintenance needs — upsert-live then delete-dead as two commits
+    * leaves dead groups visible (with stale values) to a reader that
+    * lands between them, and permanently if the process dies there.
+    * Keyed on both halves, so bucketed tables rewrite only the buckets
+    * the source keys hash into. Check constraints are enforced on the
+    * live (non-delete) rows only — a delete row carries just a key. */
+  def applyChanges(
+      name: String,
+      source: DataFrame,
+      deleteCol: String,
+      matchCols: Seq[String] = Seq.empty,
+      timeInsert: Option[Column] = None,
+      timeUpdate: Option[Column] = None): Unit = withCommitLock(name) {
+    val m = meta(name)
+    val keys = resolveKeys(name, m, matchCols)
+    if (!source.columns.contains(deleteCol))
+      throw errors.DataFrameColumnDoesNotExist(Seq(s"source.$deleteCol"))
+    val isDelete = coalesce(col(Identifiers.quote(deleteCol)).cast("boolean"), lit(false))
+    validateSource(m, source.filter(!isDelete).drop(deleteCol))
+    val partial =
+      enforceChecks(m, source.filter(!isDelete).drop(deleteCol), "source", deferrable = true)
+    prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
+      (target, src) =>
+        val r = Mutations.applyChanges(target, src, keys, deleteCol, timeInsert, timeUpdate)
         validatePartialChecks(m, r, partial); r
     }
   }

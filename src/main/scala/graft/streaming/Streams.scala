@@ -695,7 +695,13 @@ object Streams {
             var counts = state.getOption.getOrElse(Map.empty)
               .filter { case (ws, _) => ws + winMs >= wm }
             val out = scala.collection.mutable.ListBuffer.empty[Admitted]
-            it.toSeq.sortBy(r => (r._5.getTime, r._3, r._2)).foreach {
+            // flatMapGroupsWithState does NOT drop sub-watermark rows
+            // itself: a late event for an already-evicted window would
+            // recreate it with a FRESH zero counter and admit past the
+            // cap — drop rows whose window closed below the watermark
+            // (the exact eviction criterion above)
+            it.toSeq.filter(_._5.getTime + winMs >= wm)
+              .sortBy(r => (r._5.getTime, r._3, r._2)).foreach {
               case (_, id, _, _, ws) =>
                 val k = ws.getTime
                 val n = counts.getOrElse(k, 0)
@@ -764,7 +770,12 @@ object Streams {
             var used = state.getOption.getOrElse(Map.empty)
               .filter { case (ws, _) => ws + winMs >= wm }
             val out = scala.collection.mutable.ListBuffer.empty[BudgetAdmitted]
-            it.toSeq.sortBy(r => (r._6.getTime, r._3, r._2)).foreach {
+            // drop rows whose window closed below the watermark: a late
+            // event for an evicted (group, window) would otherwise
+            // recreate it with a fresh ZERO budget and admit past
+            // budgetTokens (same criterion as the state eviction above)
+            it.toSeq.filter(_._6.getTime + winMs >= wm)
+              .sortBy(r => (r._6.getTime, r._3, r._2)).foreach {
               case (_, id, _, nt, _, ws) =>
                 val k = ws.getTime
                 val u = used.getOrElse(k, 0L)
@@ -1547,10 +1558,15 @@ object Streams {
     * to existing keys maintain exactly (the feed carries pre/post
     * images; a naive "add the batch" sink would double-count them).
     * Per trigger: O(batch) upsert + O(changes) maintenance, no base
-    * rescan ever. Batch replays after a failure re-upsert the same
-    * keys, the replayed feed is the diff of the replayed commit, and
-    * the summary converges to summarize(base) after every trigger
-    * (spec-pinned reconciliation). */
+    * rescan ever. Crash-safe via the durable maintenance watermark
+    * ([[graft.store.IncrementalAgg.maintainToCurrent]]): the fold
+    * always runs from the last generation the summary durably
+    * reflects to the base's current one, so a failure between the
+    * base upsert and the maintenance commit — or a batch replay,
+    * whose re-upsert produces a self-cancelling feed diff — never
+    * loses or double-applies a delta, and the summary converges to
+    * summarize(base) after every trigger (spec-pinned, including a
+    * kill-between-the-commits reconciliation). */
   def summaryMaintenanceSink(
       stream: DataFrame,
       store: graft.store.TableStore,
@@ -1561,11 +1577,15 @@ object Streams {
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val g0 = store.snapshots(base).last._1
+          // first trigger: the caller bootstrapped the summary in sync
+          // with the base's current generation — seed the watermark
+          // there (idempotent: seeded once, before the first upsert)
+          if (graft.store.IncrementalAgg.maintainedGen(store, base, summary).isEmpty)
+            graft.store.IncrementalAgg.markMaintained(
+              store, base, summary, store.snapshots(base).last._1)
           store.upsert(base, batch)
-          val g1 = store.snapshots(base).last._1
-          graft.store.IncrementalAgg.maintain(
-            store, base, summary, groupCols, valueCol, g0, g1)
+          graft.store.IncrementalAgg.maintainToCurrent(
+            store, base, summary, groupCols, valueCol)
         }
     }
 }

@@ -36,6 +36,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getLong(2) == row.getLong(0) - row.getLong(1))
   }
 
+  test("A51: fully disjoint key sets estimate 0 pairs, not NULL (true count-min)") {
+    import spark.implicits._
+    val r = Seq(1L, 2L, 3L).toDF("k")
+    val s = Seq(100L, 200L).toDF("k2")
+    // disjoint keys CAN still collide in buckets, so only assert the
+    // tight case when no hash row overlaps; with d=4 rows of w=1024
+    // buckets and 6 keys, est is exact-0 unless a collision lands —
+    // either way est_pairs must be non-null and >= true_pairs (=0)
+    val row = operators.Analytics.joinSizeEstimate(r, "k", s, "k2").collect().head
+    assert(!row.isNullAt(0), "empty bucket overlap must estimate 0, not NULL")
+    assert(row.getLong(1) == 0L)
+    assert(row.getLong(0) >= 0L)
+  }
+
   test("A22: funnel fold handles ordering, ties and partial stages on a crafted log") {
     import spark.implicits._
     import java.sql.Timestamp

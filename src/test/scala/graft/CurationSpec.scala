@@ -847,5 +847,11 @@ class CurationSpec extends AnyFunSuite {
     // nPhases=1 → everything phase 0
     assert(operators.Curation.curriculumPhases(docs, nPhases = 1)
       .collect().forall(_.getInt(3) == 0))
+    // empty corpus: same 4-column schema as the populated path (the
+    // internal __band column must not leak out)
+    val empty = operators.Curation.curriculumPhases(
+      docs.filter(org.apache.spark.sql.functions.lit(false)), nPhases = 3)
+    assert(empty.columns.toSeq == Seq("doc_id", "n_tokens", "score_micros", "phase"))
+    assert(empty.count() == 0)
   }
 }

@@ -79,6 +79,77 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(maintained(store) == recompute(store))
   }
 
+  test("maintenance with group deaths is ONE summary commit (no stale-dead window)") {
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    val gen = store.snapshots("base").last._1
+    // one batch that both updates a live group AND kills another
+    store.upsert("base", Seq((1L, "a", 11.0)).toDF("k", "g", "v"))
+    store.delete("base", Seq(2L).toDF("k"))
+    val next = store.snapshots("base").last._1
+    val summaryGens = store.snapshots("summary").size
+    IncrementalAgg.maintain(store, "base", "summary", Seq("g"), "v", gen, next)
+    assert(store.snapshots("summary").size == summaryGens + 1,
+      "upsert-live + delete-dead must be one atomic commit, not two")
+    assert(maintained(store) == recompute(store))
+  }
+
+  test("maintainToCurrent survives a crash at every protocol point (S36 replay contract)") {
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+
+    // crash point 1: base committed, maintenance never ran — the next
+    // call folds the backlog (TWO base generations) from the watermark
+    store.upsert("base", Seq((2L, "a", 20.0)).toDF("k", "g", "v"))
+    store.upsert("base", Seq((3L, "b", 30.0)).toDF("k", "g", "v"))
+    IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+    assert(maintained(store) == recompute(store))
+
+    // crash point 2: intent written, maintenance commit never landed —
+    // recovery drops the intent and refolds the same range exactly once
+    store.upsert("base", Seq((4L, "b", 40.0)).toDF("k", "g", "v"))
+    val cur = store.snapshots("base").last._1
+    store.setProperties("summary", Map(
+      "graft.maint.base.pending" -> cur.toString,
+      "graft.maint.base.sgen" -> store.snapshots("summary").last._1.toString))
+    IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+    assert(maintained(store) == recompute(store))
+    assert(IncrementalAgg.maintainedGen(store, "base", "summary").contains(cur))
+
+    // crash point 3: maintenance committed, watermark never advanced —
+    // the intent record decides it landed; the delta is NOT re-applied
+    store.upsert("base", Seq((5L, "c", 50.0)).toDF("k", "g", "v"))
+    val sgenBefore = store.snapshots("summary").last._1
+    IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+    val afterGen = store.snapshots("base").last._1
+    // wind the clock back to just after the commit: pending present,
+    // summary generation advanced past the recorded one
+    store.setProperties("summary", Map(
+      "graft.maint.base.pending" -> afterGen.toString,
+      "graft.maint.base.sgen" -> sgenBefore.toString,
+      "graft.maint.base.applied" -> (afterGen - 1).toString))
+    IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+    assert(maintained(store) == recompute(store),
+      "a committed delta must not be applied twice")
+    assert(IncrementalAgg.maintainedGen(store, "base", "summary").contains(afterGen))
+
+    // streaming replay: re-upserting the same rows yields a
+    // self-cancelling feed diff — folding a range that spans it is exact
+    store.upsert("base", Seq((5L, "c", 50.0)).toDF("k", "g", "v"))
+    IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+    assert(maintained(store) == recompute(store))
+  }
+
   test("a NULL group value in the feed raises instead of silently diverging") {
     val store = newStore()
     store.createTableFromDataFrame("base",

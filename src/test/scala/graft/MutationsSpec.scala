@@ -136,4 +136,21 @@ class MutationsSpec extends AnyFunSuite {
     assert(v4.filter(col("PK") === 1 && col(Mutations.ValidTo).isNull).count() == 1)
     assert(v4.filter(col("PK") === 2).count() == 2)
   }
+
+  test("applyChanges: per-row verdicts — update, insert, delete, absent-key delete no-op, unmentioned kept") {
+    val src = Seq(
+      (1, "B", 9, "x", false),  // matched, live → update
+      (2, "C", 6, "d", false),  // unmatched, live → insert
+      (0, "A", 0, "?", true),   // matched, delete → row 0 goes
+      (7, "Z", 0, "?", true))   // unmatched, delete → no-op
+      .toDF("PK", "State", "ColumnA", "ColumnB", "__del")
+    val out = Mutations.applyChanges(target, src, Seq("PK"), "__del")
+    assert(rows(out) == Seq(Row(1, "B", 9, "x"), Row(2, "C", 6, "d")))
+  }
+
+  test("applyChanges: unlike merge, target rows the source does not mention survive") {
+    val src = Seq((1, "B", 9, "x", false)).toDF("PK", "State", "ColumnA", "ColumnB", "__del")
+    val out = Mutations.applyChanges(target, src, Seq("PK"), "__del")
+    assert(rows(out) == Seq(Row(0, "A", 3, "a"), Row(1, "B", 9, "x")))
+  }
 }

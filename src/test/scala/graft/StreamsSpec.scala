@@ -499,6 +499,32 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S32/S9: a late row for a watermark-evicted window is dropped, not readmitted with a fresh budget") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    def at(offsetSec: Long) = new java.sql.Timestamp(base.getTime + offsetSec * 1000)
+    val ms = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "source", "text", "ts")
+    val q = Streams.streamingBudget(in, "source", "doc_id", budgetTokens = 3,
+        windowDuration = "10 minutes", watermarkDelay = "10 minutes")
+      .toDF().writeStream.format("memory").queryName("s32late").outputMode("append").start()
+    try {
+      // batch 1: window [00:00,00:10) uses its full budget; the far-future
+      // row pushes the watermark to 3600−600 = 3000 s, past that window's
+      // end — its counter is evicted from state
+      ms.addData((1L, "en", "a b c", at(10)), (2L, "en", "x", at(3600)))
+      q.processAllAvailable()
+      // batch 2: a late row targeting the EVICTED window — without the
+      // eviction-criterion row filter it would recreate the window with
+      // a fresh zero budget and be admitted past the cap
+      ms.addData((3L, "en", "a", at(20)))
+      q.processAllAvailable()
+      val got = spark.table("s32late").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L), s"evicted-window late row must be dropped: $got")
+    } finally q.stop()
+  }
+
   test("S11: fused admission gate equals contamination-filter + quota; cap survives batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.dedup.Contamination
@@ -1284,6 +1310,14 @@ class StreamsSpec extends AnyFunSuite {
       check()
       assert(store.readTable("summary").filter(col("g") === "a").count() == 1,
         "group a must survive with one row after the move")
+      // kill-between-the-commits: a base generation lands with NO
+      // maintenance (exactly the crash window between the sink's upsert
+      // and its maintain call) — the durable watermark makes the next
+      // trigger fold the backlog, so the summary still converges
+      store.upsert("base", Seq((4L, "c", 40.0)).toDF("k", "g", "v"))
+      ms.addData((5L, "c", 50.0))
+      q.processAllAvailable()
+      check()
     } finally q.stop()
   }
 }

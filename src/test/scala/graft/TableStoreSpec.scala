@@ -1216,4 +1216,35 @@ class TableStoreSpec extends AnyFunSuite {
       store.fkViolations("child", Seq("nope"), "parent", Seq("pk"))
     }
   }
+
+  test("applyChanges folds upserts and deletes in ONE commit, bucket-pruned") {
+    val store = newStore()
+    store.createTable("t",
+      Seq("k" -> "bigint", "g" -> "varchar(5)", "v" -> "float"), Seq("k"), buckets = 4)
+    store.insert("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "g", "v"))
+    val gens = store.snapshots("t").size
+    store.applyChanges("t",
+      Seq((1L, "a", 15.0, false),   // update
+          (4L, "d", 40.0, false),   // insert
+          (2L, "b", 0.0, true),     // delete
+          (9L, "x", 0.0, true))     // absent key: no-op
+        .toDF("k", "g", "v", "__dead"),
+      "__dead")
+    assert(store.snapshots("t").size == gens + 1,
+      "upsert+delete must land as a single commit")
+    val got = store.readTable("t", orderBy = Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 15.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("per-table properties: merge, remove, atomic swap survives reread") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int"), Seq("k"))
+    assert(store.properties("t").isEmpty)
+    store.setProperties("t", Map("a" -> "1", "b" -> "2"))
+    store.setProperties("t", Map("b" -> "3", "c" -> "4"), remove = Seq("a"))
+    assert(store.properties("t") == Map("b" -> "3", "c" -> "4"))
+    intercept[graft.GraftException] { store.properties("nope") }
+  }
 }
