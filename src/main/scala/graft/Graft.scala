@@ -32,6 +32,41 @@ final case class Graft(
 
   private val store = new TableStore(spark, root, audit)
 
+  // ── session-scoped temp tables (reference `##` global temp tables,
+  // create.py:54 doctests) ────────────────────────────────────────────
+  // A name starting with "##" routes to a session-PRIVATE store rooted
+  // under the warehouse (one directory per Graft value), participates
+  // in every surface — create/read/keyed mutation/snapshots/maintenance
+  // — and vanishes on [[close]] (and at JVM exit via a shutdown hook),
+  // like the server dropping a connection's temp tables.
+  private val sessionId = java.util.UUID.randomUUID().toString.take(8)
+  private lazy val tempStore: TableStore = {
+    sys.addShutdownHook(dropTempRoot())
+    new TableStore(spark, tempRootPath, audit)
+  }
+  private def tempRootPath = s"$root/.session_$sessionId"
+  private def dropTempRoot(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tempRootPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Route a user-facing table name: `##`-prefixed names live in the
+    * session store under a `tmp_` physical name (a `#` is not a legal
+    * path/identifier character everywhere; the prefix keeps the two
+    * namespaces from colliding in [[sql]]'s view registry). */
+  private def route(name: String): (TableStore, String) =
+    if (name.startsWith("##")) (tempStore, "tmp_" + name.drop(2)) else (store, name)
+  private def st(name: String): TableStore = route(name)._1
+  private def pn(name: String): String = route(name)._2
+
+  /** Drop every `##` session table and its directory — the reference's
+    * connection-close semantics made explicit (a JVM shutdown hook
+    * covers the implicit case). Idempotent; the session can keep
+    * creating temp tables afterwards (a fresh lazy store re-roots on
+    * the same session directory). */
+  def close(): Unit = dropTempRoot()
+
   private def ti: Option[Column] = if (includeMetadataTimestamps) Some(clock()) else None
   private def tu: Option[Column] = if (includeMetadataTimestamps) Some(clock()) else None
 
@@ -43,35 +78,35 @@ final case class Graft(
         primaryKey: Seq[String] = Seq.empty,
         buckets: Int = 0,
         sqlPrimaryKey: Boolean = false): Unit =
-      store.createTable(name, columns, primaryKey, buckets, sqlPrimaryKey)
+      st(name).createTable(pn(name), columns, primaryKey, buckets, sqlPrimaryKey)
 
     def tableFromDataFrame(
         name: String,
         df: DataFrame,
         primaryKey: Seq[String] = Seq.empty,
         infer: Boolean = true): Unit =
-      store.createTableFromDataFrame(name, df, primaryKey, infer)
+      st(name).createTableFromDataFrame(pn(name), df, primaryKey, infer)
   }
 
   /** Reference `modify` namespace (core/modify.py). */
   object modify {
     def addColumn(name: String, column: String, dataType: String): Unit =
-      store.addColumn(name, column, dataType)
+      st(name).addColumn(pn(name), column, dataType)
     def alterColumn(name: String, column: String, dataType: String,
         isNullable: Boolean = true): Unit =
-      store.alterColumn(name, column, dataType, isNullable)
+      st(name).alterColumn(pn(name), column, dataType, isNullable)
     def dropColumn(name: String, column: String): Unit =
-      store.dropColumn(name, column)
+      st(name).dropColumn(pn(name), column)
     def primaryKey(name: String, columns: Seq[String]): Unit =
-      store.setPrimaryKey(name, columns)
+      st(name).setPrimaryKey(pn(name), columns)
 
     /** CHECK constraints (C30) — the remaining server-side constraint
       * class (PK/NOT NULL/types are C5/C4/C14). The predicate uses the
       * `dynamic.where` grammar; existing data is validated on add. */
     def checkConstraint(name: String, constraint: String, expression: String): Unit =
-      store.addCheckConstraint(name, constraint, expression)
+      st(name).addCheckConstraint(pn(name), constraint, expression)
     def dropCheckConstraint(name: String, constraint: String): Unit =
-      store.dropCheckConstraint(name, constraint)
+      st(name).dropCheckConstraint(pn(name), constraint)
   }
 
   /** Reference `read` namespace (core/read.py). */
@@ -84,31 +119,31 @@ final case class Graft(
         orderBy: Seq[String] = Seq.empty,
         orderDesc: Boolean = false,
         asOf: Option[Int] = None): DataFrame =
-      store.readTable(name, columns, where, limit, orderBy, orderDesc, asOf)
+      st(name).readTable(pn(name), columns, where, limit, orderBy, orderDesc, asOf)
 
     /** Snapshot (time-travel) reads — the table as of a committed
       * generation or wall-clock instant; see TableStore's snapshot
       * section. Beyond the reference (a server table has no history),
       * closing the mutation story's concurrent-reader gap. */
-    def tableAt(name: String, gen: Int): DataFrame = store.readTableAt(name, gen)
-    def tableAsOf(name: String, tsMillis: Long): DataFrame = store.readTableAsOf(name, tsMillis)
-    def snapshots(name: String): Seq[(Int, Long)] = store.snapshots(name)
+    def tableAt(name: String, gen: Int): DataFrame = st(name).readTableAt(pn(name), gen)
+    def tableAsOf(name: String, tsMillis: Long): DataFrame = st(name).readTableAsOf(pn(name), tsMillis)
+    def snapshots(name: String): Seq[(Int, Long)] = st(name).snapshots(pn(name))
 
     /** Generation history as a relation (C38) — metadata-only audit of
       * the table's write traffic; see TableStore.history. */
-    def history(name: String): DataFrame = store.history(name)
+    def history(name: String): DataFrame = st(name).history(pn(name))
 
     /** Change-data-feed between two committed generations (`insert` /
       * `delete` / `update_preimage` / `update_postimage` rows in a
       * `_change_type` column) — computed on demand from the manifests'
       * file diff, O(changed files); see TableStore.readChanges. */
     def changes(name: String, fromGen: Int, toGen: Int): DataFrame =
-      store.readChanges(name, fromGen, toGen)
+      st(name).readChanges(pn(name), fromGen, toGen)
 
     /** Metadata-only `COUNT(*)` from the stats sidecar (analyzed files
       * cost zero I/O; un-analyzed appends are counted with one scan over
       * just those files) — see TableStore.countRows. */
-    def count(name: String): Long = store.countRows(name)
+    def count(name: String): Long = st(name).countRows(pn(name))
   }
 
   object export {
@@ -124,7 +159,7 @@ final case class Graft(
     def partitioned(name: String, path: String, partitionBy: Seq[String],
         asOf: Option[Int] = None): Unit =
       graft.sources.ParquetLayout.exportPartitioned(
-        asOf.map(g => store.readTableAt(name, g)).getOrElse(store.readTable(name)),
+        asOf.map(g => st(name).readTableAt(pn(name), g)).getOrElse(st(name).readTable(pn(name))),
         path, partitionBy)
   }
 
@@ -139,13 +174,19 @@ final case class Graft(
     * in-flight query (the C23 reader contract). */
   def sql(query: String, tables: Seq[String] = Seq.empty,
       asOf: Map[String, Int] = Map.empty): DataFrame = {
-    val names = if (tables.nonEmpty) tables else store.tableNames()
+    // session (##) tables register under their PHYSICAL tmp_<name>
+    // view name — `#` is not a legal Spark SQL identifier character,
+    // so `##Example` is addressed as tmp_Example in the query text
+    val names =
+      if (tables.nonEmpty) tables
+      else store.tableNames() ++
+        tempStore.tableNames().map(p => "##" + p.stripPrefix("tmp_"))
     names.foreach { n =>
       // asOf pins a table to a committed generation — SQL over history
       // (C23 × C34): audit queries, before/after diffs, reproducible
       // reports against a fixed snapshot
-      val df = asOf.get(n).map(store.readTableAt(n, _)).getOrElse(store.readTable(n))
-      df.createOrReplaceTempView(n)
+      val df = asOf.get(n).map(st(n).readTableAt(pn(n), _)).getOrElse(st(n).readTable(pn(n)))
+      df.createOrReplaceTempView(pn(n))
     }
     spark.sql(query)
   }
@@ -153,10 +194,10 @@ final case class Graft(
   /** Reference `write` namespace (core/write). */
   object write {
     def insert(name: String, df: DataFrame, autoAdjust: Boolean = false): Unit =
-      store.insert(name, df, autoAdjust, ti)
+      st(name).insert(pn(name), df, autoAdjust, ti)
 
     def update(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =
-      store.update(name, df, matchColumns, tu)
+      st(name).update(pn(name), df, matchColumns, tu)
 
     def merge(
         name: String,
@@ -166,64 +207,64 @@ final case class Graft(
         deleteRequires: Seq[String] = Seq.empty): Unit =
       if (upsert) {
         require(deleteRequires.isEmpty, "delete_requires can only be specified if upsert=false")
-        store.upsert(name, df, matchColumns, ti, tu)
-      } else store.merge(name, df, matchColumns, deleteRequires, ti, tu)
+        st(name).upsert(pn(name), df, matchColumns, ti, tu)
+      } else st(name).merge(pn(name), df, matchColumns, deleteRequires, ti, tu)
 
     /** Keyed delete — the CDC-apply primitive (beyond the reference,
       * which deletes only through full MERGE); bucket-pruned like
       * update/upsert. */
     def delete(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =
-      store.delete(name, df, matchColumns)
+      st(name).delete(pn(name), df, matchColumns)
 
     /** Type-2 SCD history merge (beyond the reference's MERGE — the
       * hand-written history transaction, as one operator). */
     def scd2(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =
-      store.scd2(name, df, matchColumns, clock())
+      st(name).scd2(pn(name), df, matchColumns, clock())
   }
 
   /** Table maintenance (beyond the reference; the DBA-side jobs its
     * users run as server tasks): compaction, statistics, clustering. */
   object maintenance {
     def compact(name: String, rowsPerFile: Long = 1000000L): Unit =
-      store.compact(name, rowsPerFile)
+      st(name).compact(pn(name), rowsPerFile)
     def analyze(name: String, columns: Seq[String] = Seq.empty,
         incremental: Boolean = false, bloomBits: Int = 0,
         bloomHashes: Int = 6): Unit =
-      store.analyze(name, columns, incremental, bloomBits, bloomHashes)
+      st(name).analyze(pn(name), columns, incremental, bloomBits, bloomHashes)
     def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit =
-      store.cluster(name, columns, filesTarget)
+      st(name).cluster(pn(name), columns, filesTarget)
     /** Drop snapshot history older than the last `keepLast` generations. */
     /** Vacuum dry-run (C40) — what a vacuum at this retention would
       * free, per retired generation tree; see TableStore.vacuumDryRun. */
     def vacuumDryRun(name: String, keepLast: Int = 1): DataFrame =
-      store.vacuumDryRun(name, keepLast)
+      st(name).vacuumDryRun(pn(name), keepLast)
 
     def vacuum(name: String, keepLast: Int = 1): Unit =
-      store.vacuum(name, keepLast)
+      st(name).vacuum(pn(name), keepLast)
     /** Roll the table back to snapshot `gen` (data + schema) as a NEW
       * generation — metadata-only renames, no data copied. */
-    def restore(name: String, gen: Int): Unit = store.restore(name, gen)
+    def restore(name: String, gen: Int): Unit = st(name).restore(pn(name), gen)
     /** Post-crash recovery: re-list and commit a fresh manifest (run
       * after clearing a dead APPEND writer's commit lock). */
-    def repair(name: String): Unit = store.repair(name)
+    def repair(name: String): Unit = st(name).repair(pn(name))
     /** Change the PK-hash bucket count (0 = flat) — one staged rewrite;
       * older snapshots keep pruning under their own layout. */
-    def rebucket(name: String, buckets: Int): Unit = store.rebucket(name, buckets)
+    def rebucket(name: String, buckets: Int): Unit = st(name).rebucket(pn(name), buckets)
     /** File counts each skip layer leaves for a WHERE (metadata-only) —
       * the "will this read be fast" probe; see TableStore.explainPruning. */
     /** CDF-driven incremental mirror sync (C39) — rewrite only the
       * partitions the change feed touched; see ParquetLayout.syncMirror. */
     def syncMirror(name: String, mirrorPath: String, partitionBy: String,
         fromGen: Int, toGen: Int): Seq[String] =
-      graft.sources.ParquetLayout.syncMirror(store, name, mirrorPath,
+      graft.sources.ParquetLayout.syncMirror(st(name), pn(name), mirrorPath,
         partitionBy, fromGen, toGen)
 
     def explainPruning(name: String, where: String): Map[String, Long] =
-      store.explainPruning(name, where)
+      st(name).explainPruning(pn(name), where)
   }
 
   /** Reference `get_schema` (package.py:105). */
-  def getSchema(name: String): DataFrame = store.describe(name)
+  def getSchema(name: String): DataFrame = st(name).describe(pn(name))
 
   /** Reference `log_init` (package.py:85): engine/runtime versions for
     * debugging, emitted through the same audit channel as DDL — the
@@ -239,12 +280,12 @@ final case class Graft(
   }
 
   /** PK-duplicate diagnostics (enforced by the server in the reference). */
-  def primaryKeyViolations(name: String): DataFrame = store.primaryKeyViolations(name)
+  def primaryKeyViolations(name: String): DataFrame = st(name).primaryKeyViolations(pn(name))
 
   /** Pre-flight audit for a PROPOSED check constraint: the rows that
     * would refuse `modify.checkConstraint` (C30). */
   def checkViolations(name: String, expression: String): DataFrame =
-    store.checkViolations(name, expression)
+    st(name).checkViolations(pn(name), expression)
 
   /** See [[Graft.clearOperatorCaches]]; instance alias for discoverability. */
   def clearOperatorCaches(): Unit = Graft.clearOperatorCaches()

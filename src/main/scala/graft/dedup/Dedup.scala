@@ -1082,22 +1082,31 @@ object Dedup {
     * single near-dup partner exists — the case pairwise dedup cannot
     * see. Corpus-wide document frequency (unblocked — novelty is a
     * global property), computed on 128-bit shingle hashes, never
-    * shingle text; one map-side-combined df aggregate + one keyed
-    * join + a per-doc rollup. Docs too short to shingle (< n tokens)
-    * are absent — no evidence either way, the L15 convention. */
+    * shingle text. NO join-back to the occurrence relation: a df==1
+    * shingle has exactly ONE owner, so the same df aggregate that
+    * counts it can carry min(doc_id) and unique counts roll up from
+    * the (distinct-shingle-sized) aggregate directly — the r9 plan
+    * paid a second shingle-scale exchange shipping every occurrence
+    * through a join on the hash; this one's only full-width exchange
+    * is the map-side-combined df aggregate itself. Per-doc totals are
+    * a second combine-to-tiny rollup of the same occurrences. Docs
+    * too short to shingle (< n tokens) are absent — no evidence
+    * either way, the L15 convention. */
   def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
     val sh = scatter(docs.filter(col("text").isNotNull)
         .filter(size(Text.tokens(col("text"))) >= n))
       .select(col("doc_id"),
         explode(Text.wordShingles(col("text"), n)).as("__s"))
       .select(col("doc_id"), md5(col("__s")).as("__h"))
-    val df = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
-    sh.join(df, Seq("__h"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        expr("n_unique * 1000000 div n_shingles").as("novelty_micros"))
+    val uniq = sh.groupBy("__h")
+      .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__owner"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__owner").as("doc_id")).agg(count(lit(1)).as("n_unique"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
+      .withColumn("novelty_micros", expr("n_unique * 1000000 div n_shingles"))
+      .select("doc_id", "n_shingles", "n_unique", "novelty_micros")
       .orderBy("doc_id")
   }
 
@@ -1164,7 +1173,7 @@ object Dedup {
     * real corpora pass a delimiter-split upstream and `para` large.
     *
     * Scale: three exchanges, all map-side combinable — (1) winner
-    * aggregate keyed by paragraph content (partial min per mapper, so
+    * aggregate keyed by the paragraph content HASH (partial min per mapper, so
     * a boilerplate paragraph duplicated a billion times reduces to one
     * row per mapper BEFORE the shuffle — no hot-key task, the reason
     * this is an aggregate and not a PARTITION BY window); (2) regroup
@@ -1183,11 +1192,18 @@ object Dedup {
           i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
       .select(col("doc_id"), col("pos").cast("int").as("para_idx"),
         col("col").as("para_text"))
+    // winner aggregate keyed on the 16-byte content hash, text carried
+    // once in the min-struct payload: fixed-width group keys make the
+    // combiner's hash table and the exchange's key compares cheap at
+    // 100 TB (variable-length multi-hundred-byte text keys were the r9
+    // shape); (doc_id, para_idx) leads the struct, so the winner never
+    // tie-breaks into the text. 128-bit md5 collisions are below any
+    // corpus's error floor (the L3/L4 sketch convention).
     val winners = paras
-      .groupBy("para_text")
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
+      .groupBy(unhex(md5(col("para_text"))).as("__h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"), col("para_text"))).as("__w"))
       .select(col("__w.doc_id").as("doc_id"),
-        col("__w.para_idx").as("para_idx"), col("para_text"))
+        col("__w.para_idx").as("para_idx"), col("__w.para_text").as("para_text"))
     val rebuilt = winners.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -1271,8 +1271,8 @@ object Analytics {
   // side is too large to broadcast-join raw rows but its KEY SET
   // compresses into a Bloom filter: build the filter over the dim keys
   // in one distributed aggregate (Spark's own BloomFilterAggregate —
-  // the only driver traffic is the filter's bits, sized by
-  // `expectedDimRows`, never by the fact), then probe it on the fact
+  // the only driver traffic is the filter's bits, sized by the dim's
+  // own counted cardinality, never by the fact), then probe it on the fact
   // side BELOW the join's shuffle so non-matching fact rows never
   // enter the exchange. No false negatives by construction, and false
   // positives are removed by the exact join that follows — the result
@@ -1281,19 +1281,40 @@ object Analytics {
   // difference between shuffling the whole fact and shuffling the
   // ~matching fraction. Plan audit pins might_contain below the
   // fact-side exchange.
-  def bloomReduceJoin(fact: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String, expectedDimRows: Long): DataFrame = {
+  /** The serialized Bloom filter over `dim`'s key set. Capacity is
+    * derived from the DATA unless the caller pins it: one count over
+    * the (small, by construction) dim side buys an FPP that holds at
+    * any scale — a constant capacity silently degrades toward
+    * pass-through as the dim grows with SF (r9 verdict finding #1),
+    * which keeps the result correct (the exact join eats the false
+    * positives) but erodes the shuffle reduction the operator exists
+    * for. The count is the cheapest honest estimate: it scans only the
+    * key column of the small side, once, before the filter build. */
+  private[graft] def bloomFilterFor(dim: DataFrame, dimKey: String,
+      expectedDimRows: Long = 0L): Array[Byte] = {
     import org.apache.spark.sql.graftx.bridge
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val bf = dim.select(bridge.column(
+    val n =
+      if (expectedDimRows > 0L) expectedDimRows
+      else math.max(64L, dim.select(col(dimKey)).na.drop().count())
+    dim.select(bridge.column(
         new BloomFilterAggregate(
-          bridge.expression(xxhash64(col(dimKey))), expectedDimRows)
+          bridge.expression(xxhash64(col(dimKey))), n)
           .toAggregateExpression()).as("__bf"))
       .head().getAs[Array[Byte]](0)
-    val pre = fact.where(bridge.column(BloomFilterMightContain(
-      bridge.expression(lit(bf)),
-      bridge.expression(xxhash64(col(factKey))))))
+  }
+
+  private[graft] def bloomMightContain(bf: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.graftx.bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    bridge.column(BloomFilterMightContain(
+      bridge.expression(lit(bf)), bridge.expression(xxhash64(key))))
+  }
+
+  def bloomReduceJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, expectedDimRows: Long = 0L): DataFrame = {
+    val bf = bloomFilterFor(dim, dimKey, expectedDimRows)
+    val pre = fact.where(bloomMightContain(bf, col(factKey)))
     pre.join(dim, pre(factKey) === dim(dimKey))
   }
 
@@ -1305,7 +1326,7 @@ object Analytics {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
     bloomReduceJoin(t(s, dir, "lineitem"), urgent,
-        "l_orderkey", "o_orderkey", expectedDimRows = 4096L)
+        "l_orderkey", "o_orderkey")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"), fin(sum(revenue)).as("revenue"))
       .orderBy("l_returnflag")

@@ -509,6 +509,26 @@ object CoreQueries {
       .withColumn("t_str", SqlType.renderTime(col("t")))
   }
 
+  // C14c: DATETIMEOFFSET fidelity — the one reference type-rule row
+  // (conversion_rules.py:98) with no graft mapping until round 10.
+  // Events get a data-derived offset (−14:00..+14:00 in 30-minute
+  // steps), are rendered to the canonical store form, inserted into a
+  // datetimeoffset column, and read back with BOTH halves extracted —
+  // the canonical string, the UTC instant, and the preserved offset
+  // must all survive the round trip exactly.
+  def dtoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "dto_rt")
+    store.createTable("ev",
+      Seq("event_id" -> "bigint", "dto" -> "datetimeoffset"), Seq("event_id"))
+    val ev = t(s, dir, "events")
+    val off = (col("event_id") % 57 - 28) * 30 // signed minutes, ±840
+    store.insert("ev", ev.select(col("event_id"),
+      SqlType.dtoFromTimestamp(col("ts").cast("timestamp"), off).as("dto")))
+    store.readTable("ev", orderBy = Seq("event_id"))
+      .withColumn("instant_utc", SqlType.dtoInstant(col("dto")))
+      .withColumn("offset_minutes", SqlType.dtoOffsetMinutes(col("dto")))
+  }
+
   // C25: change-data-feed between generations — load commits a base
   // generation, one full merge commits deletes (keys <= 200), updates
   // (201..600, acctbal + 10) and inserts (601..800) at once, and the
@@ -745,6 +765,7 @@ object CoreQueries {
     "scd2_history" -> scd2History,
     "generation_history" -> generationHistory,
     "audit_trail" -> auditTrail,
+    "dto_roundtrip" -> dtoRoundtrip,
   )
 
   private def inferCase(c: String): String =
@@ -768,6 +789,18 @@ object CoreQueries {
         | CAST(1 AS BIGINT) AS files_added,
         | CASE WHEN gen <= (SELECT nr FROM r) THEN CAST(0 AS BIGINT) ELSE (SELECT CAST(nr AS BIGINT) FROM r) END AS files_removed
         |FROM g ORDER BY gen""".stripMargin,
+    // C14c: the canonical datetimeoffset render, the UTC instant and
+    // the signed offset all re-derived from events.ts in plain SQL
+    "dto_roundtrip" ->
+      """WITH e AS (SELECT event_id, ts, (event_id % 57 - 28) * 30 AS om FROM events)
+        |SELECT event_id,
+        | strftime(ts + om * INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S.%f') || ' ' ||
+        |   CASE WHEN om < 0 THEN '-' ELSE '+' END ||
+        |   lpad(CAST(abs(om) // 60 AS VARCHAR), 2, '0') || ':' ||
+        |   lpad(CAST(abs(om) % 60 AS VARCHAR), 2, '0') AS dto,
+        | ts AS instant_utc,
+        | CAST(om AS BIGINT) AS offset_minutes
+        |FROM e ORDER BY event_id""".stripMargin,
     // C24: every type token re-derived from the data — the create line
     // via the C3 inference ladder, the widen target via the same ladder
     // over the shifted keys (widen(tinyint, X) = X whenever X is wider)

@@ -726,6 +726,8 @@ final class TableStore(
         val isTs = df.schema.fields.exists(f =>
           f.name == n && (f.dataType == TimestampType || f.dataType == TimestampNTZType))
         if (t.name == "time" && isTs) SqlType.timeFromTimestamp(src).as(n)
+        else if (t.name == "datetimeoffset" && isTs)
+          SqlType.dtoFromTimestamp(src.cast(TimestampType), lit(0L)).as(n)
         else src.cast(t.spark).as(n)
       } else lit(null).cast(t.spark).as(n)
     }
@@ -1696,15 +1698,20 @@ final class TableStore(
     }
     var m = meta(name)
 
-    // TIME ingest: timestamps inserted into TIME columns store their
-    // time-of-day, not an epoch cast (see alignTo)
+    // TIME / DATETIMEOFFSET ingest: timestamps inserted into TIME
+    // columns store their time-of-day; into DATETIMEOFFSET columns they
+    // localize as UTC +00:00 (the reference's naive-means-UTC rule,
+    // conversion.py:528) — see alignTo for the mutation-path twin
     val df = {
       import org.apache.spark.sql.types.TimestampNTZType
-      val timeCols = m.columns.collect { case (n, t) if t.name == "time" &&
+      def tsCols(tn: String) = m.columns.collect { case (n, t) if t.name == tn &&
         df0.schema.fields.exists(f => f.name == n &&
           (f.dataType == TimestampType || f.dataType == TimestampNTZType)) => n }
-      timeCols.foldLeft(df0)((d, n) =>
+      val d1 = tsCols("time").foldLeft(df0)((d, n) =>
         d.withColumn(n, SqlType.timeFromTimestamp(col(Identifiers.quote(n)))))
+      tsCols("datetimeoffset").foldLeft(d1)((d, n) =>
+        d.withColumn(n, SqlType.dtoFromTimestamp(
+          col(Identifiers.quote(n)).cast(TimestampType), lit(0L))))
     }
 
     // columns present in df but not in the table

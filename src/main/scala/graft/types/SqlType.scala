@@ -47,6 +47,12 @@ final case class SqlType(
     * None = type has no bounds to enforce. */
   def violation(c: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{abs, length, octet_length}
+    if (name == "datetimeoffset")
+      // canonical render + the SQL offset limit of -14:00..+14:00
+      // (conversion_rules.py:98's TODO enforced here)
+      return Some(c.isNotNull && (
+        !c.rlike(SqlType.DtoPattern) ||
+          abs(SqlType.dtoOffsetMinutes(c)) > 14L * 60L))
     spark match {
       case d: DecimalType =>
         // value magnitude must fit precision-scale integer digits
@@ -102,6 +108,16 @@ object SqlType {
       // faithful mapping (naive wall-clock, environment-independent).
       case "datetime" | "datetime2" | "smalldatetime" => SqlType("datetime2", TimestampNTZType)
       case "time"          => SqlType("time", LongType)
+      // DATETIMEOFFSET preserves a per-row timezone offset — a fact no
+      // Spark temporal type carries (TimestampType normalizes to one
+      // session zone). Storage is the canonical lossless render
+      // 'yyyy-MM-dd HH:mm:ss.ffffff ±HH:MM' (SQL Server's own wire
+      // form, micro precision to match parquet), with ingest/extract
+      // conversions alongside TIME's micros-of-day pair: a timestamp
+      // inserted into a datetimeoffset column localizes as UTC +00:00
+      // (the reference's rule, conversion.py:528 prepare_datetimeoffset),
+      // and dtoInstant/dtoOffsetMinutes recover both halves exactly.
+      case "datetimeoffset" => SqlType("datetimeoffset", StringType)
       case "text" => SqlType("varchar", StringType)
       // SQL Server defaults unsized [n]varchar/[var]binary in DDL to length 1
       // (same as char/nchar); "varchar(max)" is the explicit unbounded form.
@@ -145,6 +161,41 @@ object SqlType {
       lpad(floor(c / 3600000000L).cast("long").cast("string"), 2, "0"),
       lpad((floor(c / 60000000L) % 60).cast("long").cast("string"), 2, "0"),
       lpad((floor(c / 1000000L) % 60).cast("long").cast("string"), 2, "0"))
+
+  /** Canonical DATETIMEOFFSET render: `yyyy-MM-dd HH:mm:ss.ffffff ±HH:MM`
+    * (26-char wall clock, space, 6-char signed offset). */
+  val DtoPattern: String =
+    "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6} [+-]\\d{2}:\\d{2}$"
+
+  /** DATETIMEOFFSET ingest: render a UTC instant at a per-row offset.
+    * The wall-clock half is the instant shifted by the offset (exact
+    * micros arithmetic — no zone-db lookup, offsets are fixed), the
+    * offset half is formatted ±HH:MM. Inverse of [[dtoInstant]] +
+    * [[dtoOffsetMinutes]] (round-trip spec-pinned like TIME's). */
+  def dtoFromTimestamp(ts: Column, offsetMinutes: Column): Column = {
+    val om = offsetMinutes.cast("long")
+    val local = timestamp_micros(unix_micros(ts) + om * 60000000L)
+    val absm = abs(om)
+    concat(
+      date_format(local, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      when(om < 0, " -").otherwise(" +"),
+      lpad(floor(absm / 60).cast("long").cast("string"), 2, "0"),
+      lit(":"),
+      lpad((absm % 60).cast("string"), 2, "0"))
+  }
+
+  /** DATETIMEOFFSET → its UTC instant (offset subtracted from the
+    * stored wall clock; SQL Server compares datetimeoffsets this way). */
+  def dtoInstant(c: Column): Column = {
+    val wall = to_timestamp(substring(c, 1, 26), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    timestamp_micros(unix_micros(wall) - dtoOffsetMinutes(c) * 60000000L)
+  }
+
+  /** DATETIMEOFFSET → its preserved offset in signed minutes. */
+  def dtoOffsetMinutes(c: Column): Column = {
+    val mag = substring(c, 29, 2).cast("long") * 60L + substring(c, 32, 2).cast("long")
+    when(substring(c, 28, 1) === "-", -mag).otherwise(mag)
+  }
 
   /** Default SQL type for a Spark type (used when persisting inferred
     * schemas; inverse of the widest parse mapping). */

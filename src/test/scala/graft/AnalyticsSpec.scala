@@ -36,6 +36,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getLong(2) == row.getLong(0) - row.getLong(1))
   }
 
+  test("A50: bloom capacity tracks the dim cardinality — FPP holds where the r9 constant eroded") {
+    import spark.implicits._
+    val n = 30000L
+    val dim = spark.range(n).select(col("id").as("k"))
+    val nonMembers = spark.range(n, 2 * n).select(col("id").as("k"))
+    // auto-sized: capacity = counted dim rows → FPP stays near the 3%
+    // default at ANY dim size
+    val bfAuto = operators.Analytics.bloomFilterFor(dim, "k")
+    val fpAuto = nonMembers
+      .where(operators.Analytics.bloomMightContain(bfAuto, col("k"))).count()
+    assert(fpAuto.toDouble / n < 0.06, s"auto-sized FPP too high: $fpAuto/$n")
+    // the old fixed 4096 capacity at ~7x its design load: the filter
+    // saturates and passes most non-members through — the erosion the
+    // data-derived sizing removes
+    val bfConst = operators.Analytics.bloomFilterFor(dim, "k", expectedDimRows = 4096L)
+    val fpConst = nonMembers
+      .where(operators.Analytics.bloomMightContain(bfConst, col("k"))).count()
+    assert(fpConst > fpAuto * 5,
+      s"expected the saturated constant-capacity filter to leak: $fpConst vs $fpAuto")
+    // no false negatives either way
+    assert(dim.where(!operators.Analytics.bloomMightContain(bfAuto, col("k"))).count() == 0)
+  }
+
   test("A51: fully disjoint key sets estimate 0 pairs, not NULL (true count-min)") {
     import spark.implicits._
     val r = Seq(1L, 2L, 3L).toDF("k")

@@ -167,4 +167,33 @@ class GraftApiSpec extends AnyFunSuite {
     assert(oldBack.select(col("k").cast("long")).collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
+
+  test("## session temp tables: create/mutate/sql like the reference doctests, dropped on close") {
+    val root = Files.createTempDirectory("graft_tmp_").toString
+    val sql = Graft(spark, root)
+    // reference create.py:54 doctest shape: ##-prefixed scratch table
+    sql.create.table("##ExampleCreateTable",
+      Seq("A" -> "VARCHAR(100)", "B" -> "INT"), primaryKey = Seq("B"))
+    sql.write.insert("##ExampleCreateTable", Seq(("x", 1), ("y", 2)).toDF("A", "B"))
+    // participates in keyed mutation
+    sql.write.merge("##ExampleCreateTable", Seq(("z", 2), ("w", 3)).toDF("A", "B"), upsert = true)
+    assert(sql.read.table("##ExampleCreateTable", orderBy = Seq("B"))
+      .select("A").as[String].collect().toSeq == Seq("x", "z", "w"))
+    // a permanent table of the same base name is a DIFFERENT table
+    sql.create.table("ExampleCreateTable", Seq("A" -> "VARCHAR(100)"))
+    assert(sql.read.table("##ExampleCreateTable").count() == 3)
+    assert(sql.read.table("ExampleCreateTable").count() == 0)
+    // SQL surface: session tables register under their physical name
+    assert(sql.sql("SELECT count(*) AS n FROM tmp_ExampleCreateTable")
+      .collect().head.getLong(0) == 3L)
+    // close drops every session table; permanent tables survive
+    sql.close()
+    assertThrows[errors.TableDoesNotExist](sql.read.table("##ExampleCreateTable").count())
+    assert(sql.read.table("ExampleCreateTable").count() == 0)
+    // and the session keeps working after close (fresh scratch space)
+    sql.create.table("##Again", Seq("A" -> "INT"), primaryKey = Seq("A"))
+    sql.write.insert("##Again", Seq(7).toDF("A"))
+    assert(sql.read.table("##Again").count() == 1)
+    sql.close()
+  }
 }

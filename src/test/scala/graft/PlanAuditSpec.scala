@@ -755,4 +755,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"), p2)
     assert(occurrences(p2, "BroadcastNestedLoopJoin") <= 1, p2)
   }
+
+  test("text_novelty: the df aggregate carries the unique owner — no shingle-scale join-back") {
+    spark.catalog.clearCache()
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val plan = executedPlan(graft.dedup.Dedup.noveltyScores(docs))
+    // r9 shipped every shingle occurrence through a join on the hash
+    // (__h) AFTER the df aggregate — a second shingle-scale exchange.
+    // r10's only join is doc-keyed (doc-count-sized): no join node may
+    // mention the shingle hash.
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, s"expected the doc-keyed totals join:\n$plan")
+    assert(joinLines.forall(!_.contains("__h")),
+      s"shingle-hash join-back reappeared:\n$plan")
+    // hash exchanges: df agg on __h, owner rollup (distinct-shingle-
+    // sized), per-doc totals — the r9 join-back added a FOURTH,
+    // re-shuffling every occurrence row onto __h after the df agg
+    assert(occurrences(plan, "Exchange hashpartitioning") <= 3,
+      s"unexpected shuffle count:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

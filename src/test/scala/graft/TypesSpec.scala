@@ -47,6 +47,53 @@ class TypesSpec extends AnyFunSuite {
     assert(violations("decimal(4,2)", decs, "d") == 1)
   }
 
+  test("datetimeoffset: canonical render round-trips instant and offset exactly") {
+    assert(SqlType.parse("DATETIMEOFFSET").spark == StringType)
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-06-15 08:30:00.123456"), 120L),   // +02:00
+      (2L, java.sql.Timestamp.valueOf("2025-01-01 00:00:00.0"), -570L),       // -09:30
+      (3L, java.sql.Timestamp.valueOf("2024-12-31 23:59:59.999999"), 0L),     // +00:00
+      (4L, java.sql.Timestamp.valueOf("2025-03-09 12:00:00.0"), 840L))        // +14:00
+      .toDF("id", "ts", "om")
+    val rt = df.select(col("id"), col("ts"), col("om"),
+        SqlType.dtoFromTimestamp(col("ts"), col("om")).as("dto"))
+      .withColumn("instant", SqlType.dtoInstant(col("dto")))
+      .withColumn("om2", SqlType.dtoOffsetMinutes(col("dto")))
+    rt.collect().foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("instant") == r.getAs[java.sql.Timestamp]("ts"),
+        s"instant drifted for id ${r.getLong(0)}: ${r.getAs[String]("dto")}")
+      assert(r.getAs[Long]("om2") == r.getAs[Long]("om"),
+        s"offset lost for id ${r.getLong(0)}: ${r.getAs[String]("dto")}")
+    }
+    // the canonical strings themselves
+    val strs = rt.orderBy("id").select("dto").collect().map(_.getString(0)).toSeq
+    assert(strs == Seq(
+      "2025-06-15 10:30:00.123456 +02:00",
+      "2024-12-31 14:30:00.000000 -09:30",
+      "2024-12-31 23:59:59.999999 +00:00",
+      "2025-03-10 02:00:00.000000 +14:00"))
+  }
+
+  test("datetimeoffset violation: malformed renders and offsets past ±14:00 are caught") {
+    val t = SqlType.parse("datetimeoffset")
+    val df = Seq(
+      "2025-06-15 10:30:00.123456 +02:00",  // ok
+      "2025-06-15 10:30:00 +02:00",          // missing fraction
+      "2025-06-15 10:30:00.123456 +15:00",   // offset out of range
+      "not a datetimeoffset").toDF("v")
+    assert(t.violation(col("v")).map(v => df.filter(v).count()).getOrElse(0L) == 3L)
+  }
+
+  test("datetimeoffset ingest: a timestamp inserted into a datetimeoffset column localizes as UTC") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dto_").toString)
+    store.createTable("t", Seq("k" -> "bigint", "d" -> "datetimeoffset"), Seq("k"))
+    store.insert("t", Seq((1L, java.sql.Timestamp.valueOf("2025-06-15 08:30:00.5")))
+      .toDF("k", "d"))
+    val got = store.readTable("t").select("d").collect().head.getString(0)
+    assert(got == "2025-06-15 08:30:00.500000 +00:00")
+  }
+
   test("narrowSchema picks smallest integral, date vs datetime2, varchar(n)") {
     val df = Seq(
       (1L, 200L, 40000L, 1.5, 25.0, "abc", "2024-01-01 00:00:00", "2024-01-01 10:30:00"),
