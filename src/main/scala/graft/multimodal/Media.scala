@@ -333,6 +333,143 @@ object Media {
     deduped.unionByName(corrupt).orderBy("doc_id")
   }
 
+  // ── L71b: perceptual NEAR-dup (Hamming-banded bit signatures) ──────
+
+  /** Deterministic real 8×8 gradient image: pixel gray
+    * g(x,y) = (base + 13·x + 29·y) mod 256, with an optional single
+    * cell perturbed by +128 (mod 256) — the "same image, one corrupted
+    * tile" near-duplicate shape. Lossless formats only (PNG/BMP): a
+    * lossy codec would smear the closed-form raster the oracle
+    * recomputes. */
+  def encodeGradient(base: Int, flipCell: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val g0 = (base + x * 13 + y * 29) % 256
+        val g = if (y * 8 + x == flipCell) (g0 + 128) % 256 else g0
+        var b = 0
+        while (b < 3) { r.setSample(x, y, b, g); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Test-scaffold gradient media: base pattern `(doc_id%128)·2`, every
+    * 5th image perturbed at cell `doc_id%64` (the near-dup planted
+    * pair: same base, ≤2 bits apart), PNG/BMP mix, every 10th payload
+    * truncated (corrupt path) — [[syntheticMediaTable]]'s shape with
+    * structure the BIT signature can see (a constant image thresholds
+    * to all-zero bits, which would make near-dup vacuous). */
+  def syntheticGradientTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = ((id % 128) * 2).toInt
+          val flip = if (id % 5 == 0) (id % 64).toInt else -1
+          val img = encodeGradient(base, flip, if (id % 2 == 0) "png" else "bmp")
+          (id, if (id % 10 == 0) img.take(8) else img)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  final case class PerceptualBits(doc_id: Long, ok: Boolean, pbits: Long)
+
+  /** The 64-bit fixed-threshold signature of an image: canonical
+    * 8×8×3 box-resample, bit y·8+x set iff the cell's band-sum ≥ 384
+    * (mid-gray ×3). A FIXED threshold (not the image mean) keeps every
+    * bit a local property of its cell, so a single changed tile flips
+    * exactly its own bit — which is what makes Hamming distance count
+    * changed tiles, and what lets an ANSI oracle rebuild the bits from
+    * a closed-form raster without modeling mean coupling. */
+  def perceptualBits(bytes: Array[Byte]): PerceptualBits = {
+    if (bytes == null || bytes.length == 0) return PerceptualBits(0L, ok = false, 0L)
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) PerceptualBits(0L, ok = false, 0L)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val raster = boxResize(r.read(0), 8, 8).getRaster
+            var bits = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val s = raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                  raster.getSample(x, y, 2)
+                if (s >= 384) bits |= (1L << (y * 8 + x))
+                x += 1
+              }
+              y += 1
+            }
+            PerceptualBits(0L, ok = true, bits)
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => PerceptualBits(0L, ok = false, 0L) }
+  }
+
+  /** Bit signatures for a (doc_id, media) table. */
+  def perceptualBitsTable(media: DataFrame): DataFrame =
+    decodedBy(media)((id, bytes) => Seq(perceptualBits(bytes).copy(doc_id = id)))
+
+  /** L71b: perceptual NEAR-dup pairs — images within `maxDist` Hamming
+    * bits on the 64-bit signature, found without any all-pairs stage:
+    * the signature splits into `bands` equal slices and candidate
+    * pairs are generated ONLY inside equal-slice buckets. Pigeonhole
+    * makes this EXACT, not approximate: d ≤ bands−1 differing bits
+    * cannot touch every band, so every qualifying pair shares at least
+    * one band bucket (requires maxDist < bands, enforced). Hot buckets
+    * (a boilerplate image duplicated corpus-wide) are cut at
+    * `maxBucket` members — the L2 maxDf tradeoff, documented loss:
+    * pairs whose every shared band is hot are dropped. Scale shape:
+    * decode scan → 4 band rows per image → bucket self-join →
+    * distinct + one codegen'd xor/popcount verify; shuffle volume is
+    * O(images·bands + candidate pairs), never O(n²). */
+  def perceptualNearDupPairs(media: DataFrame, maxDist: Int = 3,
+      bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    require(maxDist < bands, s"pigeonhole exactness needs maxDist < bands ($maxDist >= $bands)")
+    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bits = perceptualBitsTable(media).filter(col("ok"))
+      .select(col("doc_id"), col("pbits"))
+    val banded = bits
+      .select(col("doc_id"), col("pbits"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bv", expr(s"shiftrightunsigned(pbits, b * $width)")
+        .bitwiseAND(lit(mask)))
+    val counts = banded.groupBy("b", "bv").agg(count(lit(1)).as("__n"))
+    val cold = banded.join(counts.filter(col("__n") <= maxBucket), Seq("b", "bv"))
+      .select(col("doc_id"), col("pbits"), col("b"), col("bv"))
+    val cand = cold.as("x").join(cold.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.pbits").as("__pa"), col("y.pbits").as("__pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("__pa").bitwiseXOR(col("__pb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Resize a (doc_id, media binary) table per partition (L12e). */
   def resizeTable(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame =
     decodedBy(media)((id, bytes) => Seq(resizeMeta(bytes, outW, outH).copy(doc_id = id)))

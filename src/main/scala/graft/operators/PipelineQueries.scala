@@ -481,6 +481,17 @@ object PipelineQueries {
   def multimodalPhash(s: SparkSession, dir: String): DataFrame =
     Media.perceptualDedup(Media.syntheticMediaTable(t(s, dir, "documents")))
 
+  /** L71b: perceptual NEAR-dup pairs — Hamming-banded 64-bit signatures
+    * over the gradient corpus (structured rasters; a constant image
+    * thresholds to all-zero bits and the operator would be vacuous).
+    * Same-base images differ only at their planted perturbed tiles
+    * (≤ 2 bits); the banded engine must find EXACTLY the naive
+    * quadratic truth (pigeonhole: maxDist 3 < 4 bands), which is what
+    * the oracle computes from the closed-form rasters. */
+  def multimodalPhashNear(s: SparkSession, dir: String): DataFrame =
+    Media.perceptualNearDupPairs(
+      Media.syntheticGradientTable(t(s, dir, "documents")))
+
   /** L12e: real resize — every synthetic payload (PNG/JPEG/BMP mix)
     * box-resampled to 8×8; constant-gray inputs must stay exactly
     * constant, so the resized mean is closed-form. */
@@ -726,6 +737,7 @@ object PipelineQueries {
     "dedup_cluster_split" -> ((s, dir) => Dedup.clusterSafeSplit(t(s, dir, "documents"))),
     "multimodal_decode" -> multimodalDecode,
     "multimodal_phash" -> multimodalPhash,
+    "multimodal_phash_near" -> multimodalPhashNear,
     "multimodal_resize" -> multimodalResize,
     "multimodal_patches" -> multimodalPatches,
     "multimodal_resample" -> multimodalResample,
@@ -2442,6 +2454,28 @@ object PipelineQueries {
         |SELECT doc_id, format, keeper, kept, group_size
         |FROM (SELECT * FROM valid UNION ALL SELECT * FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    // L71b: the naive quadratic truth over closed-form rasters — the
+    // per-cell bit is (base + 13x + 29y) mod 256 >= 128 with the
+    // planted tile's +128 flip; hamming = count of differing bits.
+    // The banded engine is exact (pigeonhole), so naive == banded.
+    "multimodal_phash_near" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 128) * 2 AS base,
+        |  doc_id % 10 = 0 AS corrupt,
+        |  CASE WHEN doc_id % 5 = 0 THEN doc_id % 64 ELSE -1 END AS fc
+        | FROM documents),
+        |cells AS (SELECT CAST(a.range AS BIGINT) AS x, CAST(b.range AS BIGINT) AS y
+        |          FROM range(0, 8) a, range(0, 8) b),
+        |px AS (SELECT doc_id,
+        |  CASE WHEN y*8 + x = fc THEN ((base + x*13 + y*29) % 256 + 128) % 256
+        |       ELSE (base + x*13 + y*29) % 256 END >= 128 AS bit,
+        |  x, y
+        | FROM d CROSS JOIN cells WHERE NOT corrupt),
+        |pairs AS (SELECT p.doc_id AS a_id, q.doc_id AS b_id,
+        |  SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS hamming
+        | FROM px p JOIN px q ON p.x = q.x AND p.y = q.y AND p.doc_id < q.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 10 = 0 THEN 'unknown'

@@ -1588,4 +1588,48 @@ object Streams {
             store, base, summary, groupCols, valueCol)
         }
     }
+
+  /** S38: streaming CDC apply — the live consumer of a change-data
+    * stream (Debezium/OGG shape: per-key rows carrying new values or a
+    * delete verdict plus a monotone sequence column — LSN, offset,
+    * event time) folded into a managed table. Per trigger: ONE
+    * map-side-combinable aggregate picks the LAST verdict per key
+    * (max (seq, md5-tiebreak, payload) struct — S9's determinism
+    * discipline: two verdicts tying on `seqCol` resolve by content
+    * hash, never by shuffle arrival), then ONE atomic
+    * [[graft.store.TableStore.applyChanges]] commit upserts the live
+    * verdicts and deletes the flagged keys — a reader between triggers
+    * always sees a consistent table, and a batch REPLAY is naturally
+    * idempotent (same verdicts → same upserts, deletes of
+    * already-absent keys no-op). Bucketed targets rewrite only the
+    * buckets the batch's keys hash into: a 1k-row trigger against a
+    * 100 TB table moves a handful of files. */
+  def cdcApplySink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      table: String,
+      matchCols: Seq[String],
+      deleteCol: String,
+      seqCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(matchCols.nonEmpty, "need match columns")
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // the sequence column is transport metadata (it orders the
+          // verdicts), not table payload — it rides the max struct but
+          // is not applied
+          val payload = batch.columns
+            .filterNot(c => matchCols.contains(c) || c == seqCol).toSeq
+          val tiebreak = md5(concat_ws("|",
+            batch.columns.toIndexedSeq.map(c => col(Identifiers.quote(c)).cast("string")): _*))
+          val last = batch.groupBy(matchCols.map(c => col(Identifiers.quote(c))): _*)
+            .agg(max(struct(col(Identifiers.quote(seqCol)).as("__seq") +:
+              tiebreak.as("__tb") +:
+              payload.map(c => col(Identifiers.quote(c)).as(c)): _*)).as("__v"))
+            .select(matchCols.map(c => col(Identifiers.quote(c))) ++
+              payload.map(c => col(s"__v.${Identifiers.quote(c)}").as(c)): _*)
+          store.applyChanges(table, last, deleteCol, matchCols)
+        }
+    }
+  }
 }

@@ -311,4 +311,62 @@ class MediaSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, true, 2L), (2L, 1L, false, 2L),
       (3L, 3L, true, 1L), (4L, 4L, true, 1L)))
   }
+
+  test("L71b bits: gradient round-trips the closed-form signature across codecs") {
+    def formulaBits(base: Int, flip: Int): Long = {
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g0 = (base + x * 13 + y * 29) % 256
+        val g = if (y * 8 + x == flip) (g0 + 128) % 256 else g0
+        if (g >= 128) bits |= (1L << (y * 8 + x))
+      }
+      bits
+    }
+    for (base <- Seq(0, 2, 100, 254); flip <- Seq(-1, 0, 37, 63); fmt <- Seq("png", "bmp")) {
+      val got = Media.perceptualBits(Media.encodeGradient(base, flip, fmt))
+      assert(got.ok && got.pbits == formulaBits(base, flip),
+        s"bits diverged for base=$base flip=$flip fmt=$fmt")
+    }
+    // a flipped tile moves EXACTLY its own bit (the fixed-threshold point)
+    assert(java.lang.Long.bitCount(formulaBits(10, -1) ^ formulaBits(10, 5)) == 1)
+    assert(!Media.perceptualBits("junk".getBytes("UTF-8")).ok)
+  }
+
+  test("L71b banded near-dup pairs equal the naive quadratic truth") {
+    import SparkTestSession.spark.implicits._
+    // 40 docs on the driver-query formulas: bases repeat (docs 128 apart
+    // collide), every 5th doc gets a planted tile flip
+    val ids = (0L until 40L) ++ Seq(128L, 133L, 256L)
+    val rows = ids.map { id =>
+      val base = ((id % 128) * 2).toInt
+      val flip = if (id % 5 == 0) (id % 64).toInt else -1
+      val img = Media.encodeGradient(base, flip, if (id % 2 == 0) "png" else "bmp")
+      (id, if (id % 10 == 0) img.take(8) else img)
+    }.toDF("doc_id", "media")
+    val got = Media.perceptualNearDupPairs(rows, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // naive truth from the same formulas, corrupt ids excluded
+    def bits(id: Long): Long = {
+      var b = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g0 = (((id % 128) * 2).toInt + x * 13 + y * 29) % 256
+        val g = if (id % 5 == 0 && y * 8 + x == id % 64) (g0 + 128) % 256 else g0
+        if (g >= 128) b |= (1L << (y * 8 + x))
+      }
+      b
+    }
+    val valid = ids.filter(_ % 10 != 0)
+    val want = (for {
+      a <- valid; b <- valid if a < b
+      d = java.lang.Long.bitCount(bits(a) ^ bits(b)) if d <= 3
+    } yield (a, b, d)).sortBy(p => (p._1, p._2))
+    assert(got == want, s"banded != naive: got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty, "vacuous fixture")
+    // the planted same-base near-dup is present: 5 and 133 share base
+    // 10, only doc 5 has a flipped tile → hamming exactly 1
+    assert(got.contains((5L, 133L, 1)), s"planted near-dup missing: $got")
+    intercept[IllegalArgumentException] {
+      Media.perceptualNearDupPairs(rows, maxDist = 4, bands = 4)
+    }
+  }
 }

@@ -1320,4 +1320,39 @@ class StreamsSpec extends AnyFunSuite {
       check()
     } finally q.stop()
   }
+
+  test("S38: CDC-apply sink folds last-verdict-per-key atomically; replays are idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.TableStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s38_").toString)
+    store.createTable("t",
+      Seq("k" -> "bigint", "v" -> "varchar(10)"), Seq("k"), buckets = 4)
+    def state(): Seq[(Long, String)] =
+      store.readTable("t", orderBy = Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String, Boolean, Long)]
+    val q = Streams.cdcApplySink(ms.toDF().toDF("k", "v", "__del", "seq"),
+      store, "t", Seq("k"), "__del", "seq").start()
+    try {
+      ms.addData((1L, "a", false, 1L), (2L, "b", false, 2L))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a"), (2L, "b")))
+      val gens = store.snapshots("t").size
+      // one batch: update k1, delete k2, insert k3, and TWO verdicts for
+      // k4 — the later sequence (a delete) must win, so k4 never lands
+      ms.addData((1L, "a2", false, 3L), (2L, "", true, 4L),
+        (3L, "c", false, 5L), (4L, "d", false, 6L), (4L, "", true, 7L))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a2"), (3L, "c")))
+      assert(store.snapshots("t").size == gens + 1,
+        "a trigger's verdicts must land as ONE commit")
+      // replay shape: re-sending the same verdicts converges to the
+      // same state (deletes of absent keys no-op, upserts re-assert)
+      ms.addData((1L, "a2", false, 3L), (2L, "", true, 4L),
+        (3L, "c", false, 5L), (4L, "", true, 7L))
+      q.processAllAvailable()
+      assert(state() == Seq((1L, "a2"), (3L, "c")))
+    } finally q.stop()
+  }
 }
