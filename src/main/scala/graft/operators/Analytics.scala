@@ -1385,9 +1385,48 @@ object Analytics {
   def joinSizeEst(s: SparkSession, dir: String): DataFrame =
     joinSizeEstimate(t(s, dir, "events"), "user_id", t(s, dir, "orders"), "o_custkey")
 
+  // ── A52: key-skew diagnostics — the pre-flight behind every salting
+  // decision (A17's salted agg/join fix a skew someone first has to
+  // SEE): per key column, the heavy hitters with their corpus share
+  // and the skew factor (how many times the heaviest key exceeds a
+  // uniform spread — >> 1e6 micros means one reducer eats the key).
+  // Scale shape: one map-side-combined count to a DISTINCT-KEY-sized
+  // relation; everything after (top-k, 1-row totals) is key-scale and
+  // the totals broadcast back. Exact integer micros throughout — no
+  // float percentiles, so any ANSI engine reproduces it bit-for-bit.
+  def keySkewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(key).isNotNull)
+      .groupBy(col(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_key_rows"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n_key_rows")).as("n_rows"), max(col("n_key_rows")).as("__mx"))
+    // top-k via distributed sort-limit (TakeOrderedAndProject — every
+    // partition contributes its local top-k, never a one-partition
+    // global window), then rank the ≤ topK survivors on the driver
+    // (model-sized collect, the bandCounts idiom)
+    val top = counts.orderBy(col("n_key_rows").desc, col("key")).limit(topK)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getString(0), r.getLong(1)) }
+    val ranked = spark.createDataset(top.toIndexedSeq)
+      .toDF("rank", "key", "n_key_rows")
+    ranked.crossJoin(broadcast(totals))
+      .select(col("rank"), col("key"), col("n_key_rows"),
+        expr("n_key_rows * 1000000 div n_rows").as("share_micros"),
+        col("n_rows"), col("n_keys"),
+        expr("__mx * n_keys * 1000000 div n_rows").as("skew_micros"))
+      .orderBy("rank")
+  }
+
+  /** A52 driver query: skew of the event stream's user key. */
+  def skewReport(s: SparkSession, dir: String): DataFrame =
+    keySkewReport(t(s, dir, "events"), "user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bloom_reduce" -> joinBloomReduce,
     "join_size_est" -> joinSizeEst,
+    "skew_report" -> skewReport,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -1463,6 +1502,19 @@ object Analytics {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // A52: exact integer-micros skew diagnostics — shares and the
+    // uniform-excess factor recomputed from the same grouped counts
+    "skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_key_rows
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n_key_rows) AS BIGINT) AS n_rows,
+        |      MAX(n_key_rows) AS mx FROM c),
+        |r AS (SELECT key, n_key_rows,
+        |      row_number() OVER (ORDER BY n_key_rows DESC, key) AS rk FROM c)
+        |SELECT CAST(rk AS INT) AS rank, key, n_key_rows,
+        | n_key_rows * 1000000 // n_rows AS share_micros,
+        | n_rows, n_keys, mx * n_keys * 1000000 // n_rows AS skew_micros
+        |FROM r, t WHERE rk <= 5 ORDER BY rank""".stripMargin,
     // A51: both count-min sketches re-derived bucket-for-bucket in SQL
     // (md5 idiom), the same min-over-rows estimate, and the exact
     // group-counts truth — est, truth and overshoot all integer-exact.

@@ -307,6 +307,33 @@ object Curation {
         (col("__ms") < minStopMicros || col("__md") > maxDupMicros).as("blocked"))
   }
 
+  /** L73: source-mix sampling plan — the rebalancing arithmetic every
+    * multi-source pretraining run does before it touches a row: given
+    * the per-source token inventory, compute the UNIFORM per-source
+    * target (total div sources), the keep-rate that downsamples each
+    * over-represented source toward it (capped at 1e6 micros — an
+    * under-represented source keeps everything; upsampling/repetition
+    * is a different operator, L29's temperature family), and the
+    * expected post-sampling tokens. Exact integer micros throughout
+    * (floor semantics), so the plan is engine-portable and the rates
+    * feed [[weightedSample]]'s hash gate directly. Scale: one
+    * map-side-combined rollup to G rows; the totals broadcast back. */
+  def mixPlan(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val g = docs.filter(col("text").isNotNull)
+      .groupBy(col(groupCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = g.agg(count(lit(1)).as("__g"), sum(col("n_tokens")).as("__t"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("__t div __g"))
+      .withColumn("rate_micros",
+        least(lit(1000000L), expr("(__t div __g) * 1000000 div n_tokens")))
+      .withColumn("expected_tokens", expr("n_tokens * rate_micros div 1000000"))
+      .select("source", "n_docs", "n_tokens", "target_tokens",
+        "rate_micros", "expected_tokens")
+      .orderBy("source")
+  }
+
   /** L58: token-budget corpus selection — the "fill the training
     * budget with the best data" cut every pretraining run makes:
     * documents rank by (quality desc, doc_id) and the kept set is the

@@ -660,6 +660,9 @@ object PipelineQueries {
         (0 to 64).map(b => w.getOrElse(b, 0L)))
     }),
     "sample_importance" -> sampleImportance,
+    // L73: uniform source-rebalance plan — exact integer micros
+    "sample_mix_plan" -> ((s, dir) =>
+      Curation.mixPlan(t(s, dir, "documents"))),
     // L58: greedy best-quality prefix under a token budget (the banded
     // global-cumsum plan; oracle computes the naive global window)
     "sample_token_budget" -> ((s, dir) =>
@@ -1034,6 +1037,18 @@ object PipelineQueries {
         |  COUNT(*) OVER () AS n FROM s)
         |SELECT doc_id, n_tokens, score_micros, CAST((p * 3) // n AS INT) AS phase
         |FROM r ORDER BY doc_id""".stripMargin,
+    // L73: the same floor-exact integer arithmetic over the grouped
+    // token inventory
+    "sample_mix_plan" ->
+      """WITH g AS (SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |t AS (SELECT COUNT(*) AS ng, CAST(SUM(n_tokens) AS BIGINT) AS tt FROM g)
+        |SELECT source, n_docs, n_tokens,
+        | tt // ng AS target_tokens,
+        | least(1000000, (tt // ng) * 1000000 // n_tokens) AS rate_micros,
+        | n_tokens * least(1000000, (tt // ng) * 1000000 // n_tokens) // 1000000 AS expected_tokens
+        |FROM g, t ORDER BY source""".stripMargin,
     "sample_token_budget" ->
       """WITH q AS (
         | SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -59,6 +59,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(dim.where(!operators.Analytics.bloomMightContain(bfAuto, col("k"))).count() == 0)
   }
 
+  test("A52: skew report ranks heavy keys with exact shares and uniform-excess factor") {
+    import spark.implicits._
+    // 10 rows of key a, 5 of b, 1 each of c,d,e (+ nulls, excluded)
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq("c", "d", "e"))
+      .map(Option(_)).appended(None).toDF("k")
+    val got = operators.Analytics.keySkewReport(df, "k", topK = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // 18 non-null rows, 5 keys; max 10 → skew = 10*5*1e6/18 = 2777777
+    assert(got == Seq(
+      (1, "a", 10L, 555555L, 18L, 5L, 2777777L),
+      (2, "b", 5L, 277777L, 18L, 5L, 2777777L),
+      (3, "c", 1L, 55555L, 18L, 5L, 2777777L)))
+  }
+
   test("A51: fully disjoint key sets estimate 0 pairs, not NULL (true count-min)") {
     import spark.implicits._
     val r = Seq(1L, 2L, 3L).toDF("k")

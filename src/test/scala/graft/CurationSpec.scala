@@ -505,6 +505,31 @@ class CurationSpec extends AnyFunSuite {
     assert(!nat.exists(_._1 == 9000011L), "null-text docs must be dropped by both forms")
   }
 
+  test("L73 mix plan: over-represented sources downsample to the uniform target, small ones keep all") {
+    import spark.implicits._
+    // tokens: big=60 (3 docs), mid=30 (2 docs), tiny=10 (1 doc) → total
+    // 100, G=3, target 33; rates: big 550000, mid 1e6 (capped), tiny 1e6
+    val docs = Seq(
+      ("big", "a b c d e f g h i j a b c d e f g h i j"),
+      ("big", "a b c d e f g h i j a b c d e f g h i j"),
+      ("big", "a b c d e f g h i j a b c d e f g h i j"),
+      ("mid", "a b c d e f g h i j a b c d e"),
+      ("mid", "a b c d e f g h i j a b c d e"),
+      ("tiny", "a b c d e f g h i j"))
+      .toDF("source", "text")
+    val got = operators.Curation.mixPlan(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("big", 3L, 60L, 33L, 550000L, 33L),
+      ("mid", 2L, 30L, 33L, 1000000L, 30L),
+      ("tiny", 1L, 10L, 33L, 1000000L, 10L)))
+    // expected tokens never exceed the inventory, rates never exceed 1
+    got.foreach { case (_, _, n, _, r, e) =>
+      assert(r <= 1000000L && e <= n)
+    }
+  }
+
   test("L58 budget select: equals the naive greedy prefix, tight to the budget, partition-invariant") {
     import graft.functions.Text
     val budget = 8000L
