@@ -216,6 +216,14 @@ final case class Graft(
     def delete(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =
       st(name).delete(pn(name), df, matchColumns)
 
+    /** CDC apply (C12b): rows whose boolean `deleteColumn` is true
+      * delete their key, the rest upsert — ONE atomic, bucket-pruned
+      * commit (upsert-then-delete as two commits exposes half-applied
+      * state to concurrent readers, permanently on a crash). */
+    def applyChanges(name: String, df: DataFrame, deleteColumn: String,
+        matchColumns: Seq[String] = Seq.empty): Unit =
+      st(name).applyChanges(pn(name), df, deleteColumn, matchColumns, ti, tu)
+
     /** Type-2 SCD history merge (beyond the reference's MERGE — the
       * hand-written history transaction, as one operator). */
     def scd2(name: String, df: DataFrame, matchColumns: Seq[String] = Seq.empty): Unit =

@@ -529,6 +529,40 @@ object CoreQueries {
       .withColumn("offset_minutes", SqlType.dtoOffsetMinutes(col("dto")))
   }
 
+  // C44: automatic summary rewrite, end to end — base built from
+  // orders, summary maintained + watermarked, rule registered, then the
+  // aggregate. The query function ASSERTS the optimized plan reads the
+  // SUMMARY scan (a silent fall-back to the base would produce the same
+  // rows and hide a dead rule); the oracle recomputes the aggregate
+  // from orders directly, so the served summary must be exact.
+  def summaryRewriteRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrw")
+    store.createTableFromDataFrame("base",
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(
+        store.readTable("base"), Seq("o_orderstatus"), "o_totalprice"),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(
+      s, store, "base", "summary", Seq("o_orderstatus"), "o_totalprice")
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"summary rewrite did not fire — plan scans $scans")
+    q.withColumn("sum_val", col("sum_val").cast("double")).orderBy("o_orderstatus")
+  }
+
   // C25: change-data-feed between generations — load commits a base
   // generation, one full merge commits deletes (keys <= 200), updates
   // (201..600, acctbal + 10) and inserts (601..800) at once, and the
@@ -766,6 +800,7 @@ object CoreQueries {
     "generation_history" -> generationHistory,
     "audit_trail" -> auditTrail,
     "dto_roundtrip" -> dtoRoundtrip,
+    "summary_rewrite_read" -> summaryRewriteRead,
   )
 
   private def inferCase(c: String): String =
@@ -789,6 +824,12 @@ object CoreQueries {
         | CAST(1 AS BIGINT) AS files_added,
         | CASE WHEN gen <= (SELECT nr FROM r) THEN CAST(0 AS BIGINT) ELSE (SELECT CAST(nr AS BIGINT) FROM r) END AS files_removed
         |FROM g ORDER BY gen""".stripMargin,
+    // C44: the oracle recomputes the aggregate from the raw relation —
+    // exact iff the maintained summary the plan was rewritten onto is
+    "summary_rewrite_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // C14c: the canonical datetimeoffset render, the UTC instant and
     // the signed offset all re-derived from events.ts in plain SQL
     "dto_roundtrip" ->

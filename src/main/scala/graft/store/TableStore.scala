@@ -123,6 +123,11 @@ final class TableStore(
 
   private def tablePath(name: String) = new Path(root, name)
   private def dataPath(name: String) = new Path(tablePath(name), "data")
+
+  /** The table's live data directory as an absolute path string — the
+    * identity a plan-level rule needs to recognize "this scan reads
+    * table X" (see graft.plans.SummaryRewrite). */
+  private[graft] def dataLocation(name: String): String = dataPath(name).toString
   private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
   private def statsPath(name: String) = new Path(tablePath(name), "stats.json")
   private def historyPath(name: String) = new Path(tablePath(name), "history")

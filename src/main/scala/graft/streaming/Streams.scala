@@ -493,22 +493,26 @@ object Streams {
     * of rows carrying a `_change_type` column is applied to a store
     * table per micro-batch — `insert` and `update_postimage` rows
     * upsert by key, `delete` rows drop their keys, `update_preimage`
-    * rows are informational and skipped. Deletes apply AFTER upserts,
-    * so a batch holding a key's whole lifecycle (insert → delete)
-    * converges to the key absent. Batch contract: at most one
-    * insert/postimage row per key per batch (feeding one generation's
-    * feed per batch guarantees this — a generation diff is keyed);
-    * batches spanning multiple generations must be pre-compacted to
-    * their final image, as the feed carries no intra-batch ordering.
+    * rows are informational and skipped. A delete verdict DOMINATES an
+    * upsert for the same key, so a batch holding a key's whole
+    * lifecycle (insert → delete) converges to the key absent. Batch
+    * contract: at most one insert/postimage row per key per batch
+    * (feeding one generation's feed per batch guarantees this — a
+    * generation diff is keyed); batches spanning multiple generations
+    * must be pre-compacted to their final image, as the feed carries no
+    * intra-batch ordering.
     *
-    * Scale: both halves are bucket-pruned keyed mutations (the delete
-    * primitive exists precisely because merge's NOT-MATCHED-BY-SOURCE
-    * delete cannot prune), so a small change batch against a 100 TB
-    * bucketed replica rewrites only the touched buckets. Batch replays
-    * re-apply the same changes onto the same keys — idempotent,
-    * exactly-once table state (the S7 contract). Applying a table's own
-    * feed generation-by-generation replicates it exactly (spec-pinned
-    * against C25). */
+    * Scale + atomicity: per trigger, one map-side-combinable aggregate
+    * reduces the batch to one verdict per key (delete wins — max over
+    * the (__dead, payload) struct), then ONE bucket-pruned
+    * [[graft.store.TableStore.applyChanges]] commit applies everything
+    * — r10, replacing the r7 upsert-then-delete pair whose crash
+    * window exposed half-applied batches. A small change batch against
+    * a 100 TB bucketed replica rewrites only the touched buckets.
+    * Batch replays re-apply the same changes onto the same keys —
+    * idempotent, exactly-once table state (the S7 contract). Applying
+    * a table's own feed generation-by-generation replicates it exactly
+    * (spec-pinned against C25). */
   def applyChangesSink(
       stream: DataFrame,
       store: graft.store.TableStore,
@@ -516,14 +520,21 @@ object Streams {
       matchCols: Seq[String] = Seq.empty): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          val up = b.filter(col("_change_type").isin("insert", "update_postimage"))
-            .drop("_change_type")
-          val del = b.filter(col("_change_type") === "delete").drop("_change_type")
-          if (!up.isEmpty) store.upsert(table, up, matchCols)
-          if (!del.isEmpty) store.delete(table, del, matchCols)
-        } finally { b.unpersist(); () }
+        val b = batch
+          .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+          .withColumn("__dead", col("_change_type") === "delete")
+          .drop("_change_type")
+        if (!b.isEmpty) {
+          val keys =
+            if (matchCols.nonEmpty) matchCols else store.meta(table).primaryKey
+          val payload = b.columns.filterNot(c => keys.contains(c) || c == "__dead").toSeq
+          val last = b.groupBy(keys.map(c => col(Identifiers.quote(c))): _*)
+            .agg(max(struct(col("__dead") +:
+              payload.map(c => col(Identifiers.quote(c)).as(c)): _*)).as("__v"))
+            .select(keys.map(c => col(Identifiers.quote(c))) ++
+              ("__dead" +: payload).map(c => col(s"__v.${Identifiers.quote(c)}").as(c)): _*)
+          store.applyChanges(table, last, "__dead", keys)
+        }
     }
 
   /** S15: streaming append sink with LIVE zone-map maintenance — the

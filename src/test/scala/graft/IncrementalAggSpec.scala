@@ -150,6 +150,62 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(maintained(store) == recompute(store))
   }
 
+  test("C44: matching aggregates rewrite onto the FRESH summary and stand down when stale or reshaped") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 5.0)).toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      def q = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def expect() = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+        .orderBy("g").collect().toSeq
+
+      // fresh: the aggregate reads the SUMMARY, never the base scan
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"expected a summary-only plan: ${q.queryExecution.optimizedPlan}")
+      assert(q.orderBy("g").collect().toSeq == expect())
+
+      // stale: a base commit without maintenance makes the rule stand
+      // down — plain aggregate over the base, still correct
+      store.upsert("base", Seq((4L, "b", 7.0)).toDF("k", "g", "v"))
+      assert(scanPaths(q).exists(_.contains("base")),
+        "a stale summary must never be served")
+      assert(q.orderBy("g").collect().toSeq == expect())
+
+      // maintenance catches up → rewrite resumes, rows track the base
+      IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+      assert(scanPaths(q).forall(_.contains("summary")))
+      assert(q.orderBy("g").collect().toSeq == expect())
+
+      // a FILTERED aggregate cannot be answered from the summary
+      val filtered = store.readTable("base").filter(col("v") > 6.0).groupBy("g")
+        .agg(count(lit(1)).as("n_rows"))
+      assert(scanPaths(filtered).exists(_.contains("base")))
+
+      // a different aggregate shape (avg) is never rewritten
+      val other = store.readTable("base").groupBy("g").agg(avg(col("v")).as("m"))
+      assert(scanPaths(other).exists(_.contains("base")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("a NULL group value in the feed raises instead of silently diverging") {
     val store = newStore()
     store.createTableFromDataFrame("base",

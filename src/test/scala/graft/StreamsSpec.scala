@@ -1072,10 +1072,15 @@ class StreamsSpec extends AnyFunSuite {
         src.readTable("t", orderBy = Seq("k")).as[(Int, String)].collect().toSeq,
         "replica diverged from source after applying its change feed")
       // a batch holding a key's full lifecycle converges to absent;
-      // preimages are informational and must not resurrect old values
+      // preimages are informational and must not resurrect old values.
+      // The whole batch (upserts AND deletes) is ONE commit — r10's
+      // crash-window fix; the r7 form committed the halves separately
+      val repGens = rep.snapshots("t").size
       ms.addData(Seq((9, "x", "insert"), (9, "x", "delete"),
         (5, "stale", "update_preimage")))
       q.processAllAvailable()
+      assert(rep.snapshots("t").size == repGens + 1,
+        "a mixed upsert+delete batch must land as a single commit")
       assert(rep.readTable("t", where = Some("k = 9")).count() == 0,
         "insert→delete in one batch must converge to the key absent")
       assert(rep.readTable("t", where = Some("k = 5")).select("v")

@@ -1238,6 +1238,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", 15.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("applyChanges enforces CHECK constraints on live rows only — a delete row is just a key") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "int"), Seq("k"))
+    store.insert("t", Seq((1L, 10), (2L, 20)).toDF("k", "v"))
+    store.addCheckConstraint("t", "v_pos", "v > 0")
+    // delete rows carry a constraint-violating payload — irrelevant,
+    // only their key matters; the live row must still be validated
+    store.applyChanges("t",
+      Seq((2L, -999, true), (3L, 30, false)).toDF("k", "v", "__dead"), "__dead")
+    assert(store.readTable("t", orderBy = Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 10), (3L, 30)))
+    // a LIVE row violating the check refuses the whole commit
+    intercept[graft.GraftException] {
+      store.applyChanges("t",
+        Seq((4L, -1, false)).toDF("k", "v", "__dead"), "__dead")
+    }
+    assert(store.readTable("t").count() == 2, "refused commit must not land")
+  }
+
   test("per-table properties: merge, remove, atomic swap survives reread") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "int"), Seq("k"))
