@@ -176,7 +176,11 @@ final case class Graft(
       asOf: Map[String, Int] = Map.empty): DataFrame = {
     // session (##) tables register under their PHYSICAL tmp_<name>
     // view name — `#` is not a legal Spark SQL identifier character,
-    // so `##Example` is addressed as tmp_Example in the query text
+    // so `##Example` is addressed as tmp_Example in the query text.
+    // Schema-qualified names (the reference's `dbo.Example` form,
+    // create.py:41 — stored here as one opaque name) register with the
+    // dot replaced by `_` for the same reason: Spark view names are
+    // single-part, so `dbo.Example` is addressed as dbo_Example.
     val names =
       if (tables.nonEmpty) tables
       else store.tableNames() ++
@@ -186,7 +190,7 @@ final case class Graft(
       // (C23 × C34): audit queries, before/after diffs, reproducible
       // reports against a fixed snapshot
       val df = asOf.get(n).map(st(n).readTableAt(pn(n), _)).getOrElse(st(n).readTable(pn(n)))
-      df.createOrReplaceTempView(pn(n))
+      df.createOrReplaceTempView(pn(n).replace(".", "_"))
     }
     spark.sql(query)
   }

@@ -168,6 +168,17 @@ class GraftApiSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("schema-qualified names (dbo.Example) work end to end, addressed as dbo_Example in SQL") {
+    val sql = Graft(spark, Files.createTempDirectory("graft_dbo_").toString)
+    sql.create.table("dbo.Example", Seq("A" -> "INT", "B" -> "VARCHAR(5)"),
+      primaryKey = Seq("A"))
+    sql.write.insert("dbo.Example", Seq((1, "x"), (2, "y")).toDF("A", "B"))
+    sql.write.merge("dbo.Example", Seq((2, "z"), (3, "w")).toDF("A", "B"), upsert = true)
+    assert(sql.read.table("dbo.Example", orderBy = Seq("A"))
+      .select("B").as[String].collect().toSeq == Seq("x", "z", "w"))
+    assert(sql.sql("SELECT count(*) AS n FROM dbo_Example").collect().head.getLong(0) == 3L)
+  }
+
   test("## session temp tables: create/mutate/sql like the reference doctests, dropped on close") {
     val root = Files.createTempDirectory("graft_tmp_").toString
     val sql = Graft(spark, root)

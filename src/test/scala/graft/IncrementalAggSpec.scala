@@ -195,6 +195,16 @@ class IncrementalAggSpec extends AnyFunSuite {
       assert(scanPaths(q).forall(_.contains("summary")))
       assert(q.orderBy("g").collect().toSeq == expect())
 
+      // the rewrite serves SQL-text queries too: a view over the base
+      // read bottoms at the same scan, so C34's sql() surface benefits
+      store.readTable("base").createOrReplaceTempView("c44_base")
+      val viaSql = spark.sql(
+        "SELECT g, count(1) AS n_rows, sum(CAST(v AS DECIMAL(18,2))) AS sum_val " +
+          "FROM c44_base GROUP BY g")
+      assert(scanPaths(viaSql).forall(_.contains("summary")),
+        s"SQL-text aggregate not rewritten: ${viaSql.queryExecution.optimizedPlan}")
+      assert(viaSql.orderBy("g").collect().toSeq == expect())
+
       // a FILTERED aggregate cannot be answered from the summary
       val filtered = store.readTable("base").filter(col("v") > 6.0).groupBy("g")
         .agg(count(lit(1)).as("n_rows"))
