@@ -365,6 +365,11 @@ class MediaSpec extends AnyFunSuite {
     // the planted same-base near-dup is present: 5 and 133 share base
     // 10, only doc 5 has a flipped tile → hamming exactly 1
     assert(got.contains((5L, 133L, 1)), s"planted near-dup missing: $got")
+    // partition-invariant: banding + distinct + verify depend on no
+    // shuffle arrival order
+    val got7 = Media.perceptualNearDupPairs(rows.repartition(7), maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got7 == want)
     intercept[IllegalArgumentException] {
       Media.perceptualNearDupPairs(rows, maxDist = 4, bands = 4)
     }
