@@ -1266,4 +1266,22 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.properties("t") == Map("b" -> "3", "c" -> "4"))
     intercept[graft.GraftException] { store.properties("nope") }
   }
+
+  test("properties survive the delete→rename crash window (tmp IS the committed state)") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "int"), Seq("k"))
+    store.setProperties("t", Map("x" -> "1"))
+    // simulate the crash: main deleted, completed tmp left behind
+    val root = store.dataLocation("t").stripSuffix("/data")
+    val main = new java.io.File(root, "props.json")
+    val tmp = new java.io.File(root, "props.json.tmp")
+    assert(main.exists())
+    java.nio.file.Files.copy(main.toPath, tmp.toPath)
+    assert(main.delete())
+    // reads fall back to the tmp; a subsequent set heals it into place
+    assert(store.properties("t") == Map("x" -> "1"))
+    store.setProperties("t", Map("y" -> "2"))
+    assert(store.properties("t") == Map("x" -> "1", "y" -> "2"))
+    assert(new java.io.File(root, "props.json").exists())
+  }
 }
