@@ -1180,18 +1180,65 @@ object Dedup {
     * of the winner rows (≤ one per distinct paragraph) by keeper doc;
     * (3) a doc-keyed count join. Shuffle volume is O(distinct
     * paragraphs), never O(corpus paragraphs). */
-  def paragraphDedup(docs: DataFrame, para: Int = 20): DataFrame = {
+  /** Non-overlapping `para`-token windows of every non-null-text doc:
+    * (doc_id, para_idx, para_text) — the shared segmentation under
+    * L60/L74 (and the synthetic-doc form L65 builds inline). */
+  private def segmentParagraphs(docs: DataFrame, para: Int): DataFrame = {
     require(para > 0, "need para > 0")
     val toks = split(col("text"), " ")
     val nP = when(size(toks) <= para, lit(1))
       .otherwise(ceil(size(toks).cast("double") / para).cast("int"))
-    val paras = docs.filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), toks.as("__toks"), nP.as("__np"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("__np") - 1),
           i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
       .select(col("doc_id"), col("pos").cast("int").as("para_idx"),
         col("col").as("para_text"))
+  }
+
+  /** Reassemble per-doc surviving paragraphs against the full per-doc
+    * totals — L60/L74's shared output shape: (doc_id, n_paras, n_kept,
+    * clean_text), emptied docs kept with n_kept = 0. */
+  private def reassemble(all: DataFrame, kept: DataFrame): DataFrame = {
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para_text")))),
+          s => s.getField("para_text")), " ").as("clean_text"))
+    all.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** L74: paragraph-level DECONTAMINATION — cut from every training
+    * document the paragraphs that appear ANYWHERE in the eval corpus,
+    * and reassemble the survivors in order. The span-granular sibling
+    * of the L15 doc-level contamination gate: a mostly-clean document
+    * keeps its clean paragraphs instead of being dropped whole (or
+    * worse, kept whole because its CONTAMINATION ratio sat under the
+    * doc-level tau while its eval paragraphs leaked verbatim).
+    *
+    * Scale: the eval side reduces to a DISTINCT 16-byte-hash relation
+    * (eval corpora are benchmark-sized — the anti-join's broadcast
+    * side at any corpus scale, and AQE makes that call); the train
+    * side is one segmentation scan, the hash anti-join, and L60's two
+    * map-side-combinable reassembly rollups. Shuffle volume is
+    * O(train paragraphs), nothing quadratic. */
+  def decontaminateParagraphs(train: DataFrame, evalSet: DataFrame,
+      para: Int = 20): DataFrame = {
+    val evalH = segmentParagraphs(evalSet, para)
+      .select(unhex(md5(col("para_text"))).as("__h")).distinct()
+    val tp = segmentParagraphs(train, para)
+    val kept = tp.join(evalH, unhex(md5(tp("para_text"))) === evalH("__h"), "left_anti")
+    reassemble(tp, kept)
+  }
+
+  def paragraphDedup(docs: DataFrame, para: Int = 20): DataFrame = {
+    val paras = segmentParagraphs(docs, para)
     // winner aggregate keyed on the 16-byte content hash, text carried
     // once in the min-struct payload: fixed-width group keys make the
     // combiner's hash table and the exchange's key compares cheap at
@@ -1204,16 +1251,6 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("para_idx"), col("para_text"))).as("__w"))
       .select(col("__w.doc_id").as("doc_id"),
         col("__w.para_idx").as("para_idx"), col("__w.para_text").as("para_text"))
-    val rebuilt = winners.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("para_idx"), col("para_text")))),
-          s => s.getField("para_text")), " ").as("clean_text"))
-    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy("doc_id")
+    reassemble(paras, winners)
   }
 }

@@ -563,6 +563,16 @@ object PipelineQueries {
     // blocking would hide the cross-label reuse)
     "dedup_paragraph_near" -> ((s, dir) =>
       Dedup.paragraphNearDupPairs(t(s, dir, "documents"))),
+    // L74: paragraph decontamination — train docs (doc_id % 10 != 0)
+    // lose every paragraph that appears in the eval slice (% 10 == 0);
+    // the corpus's paragraph-granularity duplication crosses the split,
+    // so the cut path is driver-exercised (the L59 budget-must-cut rule)
+    "decontam_paragraph" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateParagraphs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
     // L67: per-source paragraph reuse + cross-source overlap
     "dedup_source_rate" -> ((s, dir) =>
       Dedup.dedupRateBySource(t(s, dir, "documents"))),
@@ -1230,6 +1240,26 @@ object PipelineQueries {
         |  string_agg(para_text, ' ' ORDER BY para_idx) AS clean_text
         | FROM w GROUP BY doc_id),
         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_paras, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        | COALESCE(r.clean_text, '') AS clean_text
+        |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    // L74: the same segmentation, eval paragraphs anti-joined away
+    "decontam_paragraph" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS para_idx,
+        |  array_to_string(list_slice(toks, CAST(i*20+1 AS INT), CAST(i*20+20 AS INT)), ' ') AS para_text
+        | FROM t, UNNEST(range(0, CASE WHEN n <= 20 THEN 1 ELSE CAST(CEIL(n*1.0/20) AS INT) END)) AS u(i)),
+        |tr AS (SELECT * FROM p WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT DISTINCT para_text FROM p WHERE doc_id % 10 = 0),
+        |k AS (SELECT tr.doc_id, tr.para_idx, tr.para_text
+        |      FROM tr LEFT JOIN ev ON tr.para_text = ev.para_text
+        |      WHERE ev.para_text IS NULL),
+        |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  string_agg(para_text, ' ' ORDER BY para_idx) AS clean_text
+        | FROM k GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM tr GROUP BY doc_id)
         |SELECT c.doc_id, c.n_paras, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
         | COALESCE(r.clean_text, '') AS clean_text
         |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id

@@ -834,6 +834,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(run(short) == Seq((1L, 1L, 1L, "a"), (2L, 1L, 0L, "")))
   }
 
+  test("L74 paragraph decontamination: eval paragraphs cut, clean docs untouched, emptied docs kept") {
+    import spark.implicits._
+    // para = 2. eval holds [a b] and [x y]; train doc 1 = [a b][c d]
+    // (loses its first), doc 2 = [e f][g h] (clean, untouched), doc 3 =
+    // [a b][x y] (fully contaminated → emptied, still reported)
+    val train = Seq(
+      (1L, "a b c d"), (2L, "e f g h"), (3L, "a b x y")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b x y")).toDF("doc_id", "text")
+    def run(t: org.apache.spark.sql.DataFrame) =
+      Dedup.decontaminateParagraphs(t, evalSet, para = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val want = Seq(
+      (1L, 2L, 1L, "c d"),
+      (2L, 2L, 2L, "e f g h"),
+      (3L, 2L, 0L, ""))
+    assert(run(train) == want)
+    // partition-invariant: the cut is a keyed anti-join, no scan order
+    assert(run(train.repartition(5)) == want)
+  }
+
   test("L65 paragraph near-dup: crafted fuzzy pair found, unrelated not, intra-doc reuse found, cap guard fires") {
     import spark.implicits._
     val p1 = (1 to 20).map(i => s"w$i").mkString(" ")
