@@ -88,6 +88,7 @@ object Bench {
     "sim_cluster_quality", // NEW r9 entry (L66) — absent from earlier records
     "events_dedup_window", // NEW r9 entry (A49) — absent from earlier records
     "dto_roundtrip", // NEW r10 entry (C14c) — absent from earlier records
+    "decontam_paragraph", // NEW r10 entry (L74) — absent from earlier records
     // generation_history / audit_trail are NOT benched: near-constant
     // store-metadata micro-ops (25-row nation), no scale signal, and the
     // 2 KB tail budget is the scarce resource (VERDICT r9 #3).

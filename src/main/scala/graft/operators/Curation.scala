@@ -1357,4 +1357,37 @@ object Curation {
         expr("top_f * 1000000 div n_tokens").as("top_micros"))
       .orderBy("source")
   }
+
+  /** L75: corpus drift between two table GENERATIONS — the "what did
+    * that refresh actually do to my training mix" audit a recurring
+    * ingest owes its consumers: per source, documents added / removed /
+    * rewritten and the net token delta, folded from a C25 change feed
+    * ([[graft.store.TableStore.readChanges]]).
+    *
+    * Scale: the input is the change feed, which reads O(changed files),
+    * never the base table — so the report costs O(changes) + one
+    * map-side-combined rollup to a source-sized relation. A 100-row
+    * nightly delta against a 100 TB corpus reports in seconds; diffing
+    * two full snapshot reads (the naive plan) would scan both. Token
+    * counts come from the changed rows' text itself (whitespace
+    * tokens, the L10 convention), so a stale n_chars column cannot
+    * skew the delta. Sources only TOUCHED by the interval appear —
+    * an absent source means "nothing happened", by construction. */
+  def corpusDrift(changes: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val ntok = coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+    val ct = col("_change_type")
+    changes
+      .groupBy(col(groupCol).as("source"))
+      .agg(
+        sum(when(ct === "insert", 1L).otherwise(0L)).as("n_added"),
+        sum(when(ct === "delete", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(ct === "update_postimage", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(ct === "insert" || ct === "update_postimage", ntok)
+          .when(ct === "delete" || ct === "update_preimage", -ntok)
+          .otherwise(0L)).as("tok_delta"))
+      .select(col("source"), col("n_added"), col("n_removed"), col("n_changed"),
+        (col("n_added") - col("n_removed")).as("doc_delta"), col("tok_delta"))
+      .orderBy("source")
+  }
 }

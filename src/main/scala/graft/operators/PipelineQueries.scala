@@ -279,6 +279,31 @@ object PipelineQueries {
     Ann.topKIvfPqIndexedPortable(store, "pq", queriesOf(e)).orderBy("q_id", "rank")
   }
 
+  /** L75 driver entry: a stored documents corpus takes ONE deterministic
+    * refresh — takedowns (doc_id % 7 == 0 leave), truncation re-crawls
+    * (doc_id % 5 == 0 survivors keep only their first 20 tokens; docs
+    * at or under 20 tokens are value-identical and must NOT report as
+    * changed — the C25 feed drops them, and so does the oracle), and
+    * re-crawled clones (doc_id % 11 == 0 re-land under doc_id +
+    * 1000000) — and the drift report folds from the change feed of
+    * that single merge commit, never a base rescan. */
+  def corpusDriftEntry(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = new graft.store.TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft_drift_").toString)
+    store.createTableFromDataFrame("docs", docs, Seq("doc_id"), infer = false)
+    val g0 = store.snapshots("docs").last._1
+    val trunc = array_join(slice(split(col("text"), " "), 1, 20), " ")
+    val post = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, trunc).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    store.merge("docs", post)
+    Curation.corpusDrift(
+      store.readChanges("docs", g0, store.snapshots("docs").last._1))
+  }
+
   def textLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("pred_lang"))
@@ -573,6 +598,8 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0))
     }),
+    // L75: per-source doc/token drift folded from one refresh's change feed
+    "corpus_drift" -> corpusDriftEntry,
     // L67: per-source paragraph reuse + cross-source overlap
     "dedup_source_rate" -> ((s, dir) =>
       Dedup.dedupRateBySource(t(s, dir, "documents"))),
@@ -1264,6 +1291,29 @@ object PipelineQueries {
         | COALESCE(r.clean_text, '') AS clean_text
         |FROM cnt c LEFT JOIN reb r ON c.doc_id = r.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+    // L75: the oracle replays the refresh arithmetic directly from the
+    // source parquet — deletes, ACTUAL text changes (ntok > 20 only:
+    // value-identical truncations drop out of the feed) and clone
+    // inserts — and folds the same per-source deltas
+    "corpus_drift" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN text IS NULL THEN 0 ELSE len(string_split(text, ' ')) END AS ntok
+        | FROM documents),
+        |legs AS (
+        |  SELECT source, 0 AS a, 1 AS r, 0 AS c, -ntok AS td
+        |    FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT source, 0, 0, 1, 20 - ntok
+        |    FROM d WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND ntok > 20
+        |  UNION ALL
+        |  SELECT source, 1, 0, 0, ntok FROM d WHERE doc_id % 11 = 0)
+        |SELECT source,
+        |  CAST(SUM(a) AS BIGINT) AS n_added,
+        |  CAST(SUM(r) AS BIGINT) AS n_removed,
+        |  CAST(SUM(c) AS BIGINT) AS n_changed,
+        |  CAST(SUM(a) - SUM(r) AS BIGINT) AS doc_delta,
+        |  CAST(SUM(td) AS BIGINT) AS tok_delta
+        |FROM legs GROUP BY source ORDER BY source""".stripMargin,
     // dedup_despan: the L32 span CTEs extended with the token-level cut;
     // positions inside [s, e+7] drop, survivors rejoin in order
     "dedup_despan" ->

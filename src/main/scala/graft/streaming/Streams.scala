@@ -1643,4 +1643,32 @@ object Streams {
         }
     }
   }
+
+  /** S39: streaming paragraph-DECONTAMINATION gate — the serving twin
+    * of [[graft.dedup.Dedup.decontaminateParagraphs]] (L74): documents
+    * are scrubbed of eval-set paragraphs AS THEY LAND, before anything
+    * downstream (tokenize / pack / train) ever sees the leaked spans.
+    * Each micro-batch runs the BATCH operator verbatim (shared code —
+    * stream and batch cannot drift) against the static eval corpus,
+    * and the cleaned documents keyed-upsert into a managed table.
+    *
+    * Stateless by construction: decontamination is per-document (the
+    * eval side is a static relation, reduced inside the operator to a
+    * distinct hash set — the anti-join's broadcast side), so ANY batch
+    * split emits identical rows, and a replayed batch re-asserts the
+    * same doc_id keys — exactly-once table state from at-least-once
+    * execution (the S7 idempotence argument). No state store, no
+    * watermark: the only cross-batch artifact is the target table. */
+  def decontamGateSink(
+      stream: DataFrame,
+      evalSet: DataFrame,
+      store: graft.store.TableStore,
+      table: String,
+      para: Int = 20): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          store.upsert(table,
+            graft.dedup.Dedup.decontaminateParagraphs(batch, evalSet, para))
+    }
 }

@@ -879,4 +879,32 @@ class CurationSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("doc_id", "n_tokens", "score_micros", "phase"))
     assert(empty.count() == 0)
   }
+
+  test("L75 corpus drift: per-source deltas fold exactly from a crafted change feed") {
+    import spark.implicits._
+    // source A: one insert (3 tok), one delete (2 tok); source B: one
+    // update 5 → 1 tokens (pre+post rows), one NULL-text insert (0 tok)
+    val feed = Seq(
+      (10L, "a b c", "A", "insert"),
+      (11L, "d e", "A", "delete"),
+      (20L, "p q r s t", "B", "update_preimage"),
+      (20L, "p", "B", "update_postimage"),
+      (21L, null.asInstanceOf[String], "B", "insert")
+    ).toDF("doc_id", "text", "source", "_change_type")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDrift(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    val want = Seq(
+      ("A", 1L, 1L, 0L, 0L, 1L),   // +3 (insert) − 2 (delete)
+      ("B", 1L, 0L, 1L, 1L, -4L))  // +1 − 5 (update) + 0 (null insert)
+    assert(got(feed) == want)
+    // the fold is a keyed aggregate — scan order cannot matter
+    assert(got(feed.repartition(4)) == want)
+    // an empty feed (no-op refresh) reports nothing, with the schema intact
+    val empty = Curation.corpusDrift(feed.limit(0))
+    assert(empty.columns.toSeq ==
+      Seq("source", "n_added", "n_removed", "n_changed", "doc_delta", "tok_delta"))
+    assert(empty.count() == 0)
+  }
 }
