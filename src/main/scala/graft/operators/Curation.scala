@@ -1373,6 +1373,41 @@ object Curation {
     * tokens, the L10 convention), so a stale n_chars column cannot
     * skew the delta. Sources only TOUCHED by the interval appear —
     * an absent source means "nothing happened", by construction. */
+  /** L76: per-document curation VERDICT with reason codes — the
+    * debuggable per-row form of the L13 aggregate pipeline, and the
+    * audit table a curation rollout owes its data owners (the
+    * Dolma-attributes pattern): every document gets its FIRST failing
+    * gate, in a fixed precedence, or `keep`.
+    *
+    * Precedence is cheapest-first — the four scan-riding gates (empty,
+    * lang_mismatch via L14's langId, low_quality via L16's gate,
+    * repetitive via L26's combined flag) shadow the one gate that
+    * needs an exchange (exact-duplicate loser: the L1 md5 winner
+    * rule, one O(distinct texts) map-side-combined aggregate joined
+    * back). The gate DEFINITIONS are the existing operators' columns,
+    * shared verbatim — this surface re-labels them, it cannot drift
+    * from them. Scale: one corpus scan + the winner aggregate;
+    * nothing else crosses the wire. */
+  def curationVerdicts(docs: DataFrame): DataFrame = {
+    val q = Text.qualityColumns(col("text")).toMap
+    val r = Text.repetitionColumns(col("text")).toMap
+    val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
+      Text.langId(col("text")).as("__pred"),
+      q("n_words").as("__nw"), q("quality").as("__q"), r("repetitive").as("__rep"))
+    val winners = docs.filter(col("text").isNotNull)
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("__keep"))
+    base.join(winners, md5(base("text")) === winners("__h"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("text").isNull || col("__nw") < 10, "empty")
+          .when(col("__pred") =!= col("lang"), "lang_mismatch")
+          .when(!col("__q"), "low_quality")
+          .when(col("__rep"), "repetitive")
+          .when(col("doc_id") =!= col("__keep"), "duplicate")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   def corpusDrift(changes: DataFrame, groupCol: String = "source",
       textCol: String = "text"): DataFrame = {
     val ntok = coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))

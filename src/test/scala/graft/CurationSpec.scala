@@ -880,6 +880,34 @@ class CurationSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("L76 curation verdicts: every reason code reachable, precedence fixed, partition-invariant") {
+    import spark.implicits._
+    val dup = "the quick brown fox jumps over that lazy dog and cat runs"
+    val crafted = Seq(
+      (1L, null.asInstanceOf[String], "en", "s1"), // empty: null text
+      (2L, "a b c", "en", "s1"),                   // empty: under 10 tokens
+      // 12 tokens, six EN stopwords, tagged de → lang_mismatch
+      (3L, "the cat of dog and fish to bird that cow is horse", "de", "s1"),
+      // 10 one-char tokens: avg_word_len 1 < 2 fails quality BEFORE the
+      // 0.9 dup-word fraction can label it repetitive (precedence)
+      (4L, "a a a a a a a a a a", "en", "s2"),
+      // 10 tokens, avg len 2.8 (quality passes), dup_word_frac 0.5 → repetitive
+      (5L, "the cat sat on the mat the cat sat on", "en", "s2"),
+      (6L, dup, "en", "s3"),                       // keep: md5 winner (min id)
+      (7L, dup, "en", "s3")                        // duplicate: md5 loser
+    ).toDF("doc_id", "text", "lang", "source")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Curation.curationVerdicts(df).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val want = Seq(
+      (1L, "s1", "empty"), (2L, "s1", "empty"), (3L, "s1", "lang_mismatch"),
+      (4L, "s2", "low_quality"), (5L, "s2", "repetitive"),
+      (6L, "s3", "keep"), (7L, "s3", "duplicate"))
+    assert(got(crafted) == want)
+    // the winner rule is a keyed aggregate — scan order cannot matter
+    assert(got(crafted.repartition(5)) == want)
+  }
+
   test("L75 corpus drift: per-source deltas fold exactly from a crafted change feed") {
     import spark.implicits._
     // source A: one insert (3 tok), one delete (2 tok); source B: one
