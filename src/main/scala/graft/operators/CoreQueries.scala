@@ -476,6 +476,73 @@ object CoreQueries {
     store.readTable("dim", orderBy = Seq("c_custkey", "_valid_from"))
   }
 
+  // C39: CDF-driven incremental mirror sync — the downstream
+  // hive-partitioned COPY stays fresh by rewriting ONLY the partitions
+  // the change feed touched. Bootstrap is the C36 full partitioned
+  // export at the load generation (the real deployment shape: one full
+  // copy, then incremental forever); a BUILDING-only upsert (+10) and a
+  // full MACHINERY key delete then commit two generations, and the
+  // incremental sync over (load, head) must rewrite exactly those two
+  // partitions: BUILDING from current state, MACHINERY to a REMOVED
+  // stale directory. The driver result is the mirror read back through
+  // plain spark.read — the downstream consumer's view — so a sync that
+  // skipped a touched partition, resurrected the deleted one, or
+  // clobbered the three UNTOUCHED partitions (whose files must survive
+  // from the bootstrap) all hash-fail against the recomputed final
+  // state.
+  def mirrorSync(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "mirror")
+    val cust = t(s, dir, "customer").filter(col("c_custkey") <= 600)
+    store.createTableFromDataFrame("cust", cust, Seq("c_custkey"), infer = false)
+    val gLoad = store.snapshots("cust").last._1
+    val mirror = java.nio.file.Files.createTempDirectory("graft_mirror_").toString + "/m"
+    graft.sources.ParquetLayout.exportPartitioned(
+      store.readTable("cust"), mirror, Seq("c_mktsegment"))
+    store.upsert("cust", cust.filter(col("c_mktsegment") === "BUILDING")
+      .withColumn("c_acctbal", col("c_acctbal") + 10))
+    store.delete("cust", cust.filter(col("c_mktsegment") === "MACHINERY")
+      .select("c_custkey"))
+    graft.sources.ParquetLayout.syncMirror(store, "cust", mirror, "c_mktsegment",
+      gLoad, store.snapshots("cust").last._1)
+    s.read.parquet(mirror)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment").cast("string").as("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  // C37: governed point-in-time partitioned export — the handoff
+  // artifact comes from the COMMITTED manifest set pinned to a snapshot
+  // generation, so exporting yesterday's generation today reproduces it
+  // exactly no matter what mutated in between. The entry loads the
+  // table, records the load generation, then UPDATES every BUILDING
+  // balance (+999) and DELETES the AUTOMOBILE keys — and only then
+  // exports asOf the load generation. The driver result is the exported
+  // tree read back through the C36 directory reader: any leakage of the
+  // post-pin mutations into the artifact (the mixed-tree race the
+  // governed path exists to prevent) hash-fails against the oracle's
+  // pre-mutation state.
+  def exportAsof(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.Graft(s,
+      s"${sys.props("java.io.tmpdir")}/graft_store/export_asof_${System.nanoTime()}")
+    val cust = t(s, dir, "customer").filter(col("c_custkey") <= 600)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    g.create.table("cust", Seq(
+      "c_custkey" -> "bigint", "c_mktsegment" -> "varchar(12)",
+      "c_acctbal" -> "decimal(12,2)"), Seq("c_custkey"))
+    g.write.insert("cust", cust)
+    val gLoad = g.read.snapshots("cust").last._1
+    g.write.update("cust", cust.filter(col("c_mktsegment") === "BUILDING")
+      .withColumn("c_acctbal", col("c_acctbal") + 999))
+    g.write.delete("cust", cust.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select("c_custkey"))
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_src/asof_${System.nanoTime()}"
+    g.export.partitioned("cust", tmp, Seq("c_mktsegment"), asOf = Some(gLoad))
+    graft.sources.ParquetLayout.readPartitioned(s, tmp)
+      .select(col("c_custkey"), col("c_mktsegment").cast("string").as("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   // C15: auto-adjust — widen types + add column on insert
   def autoadjustWiden(s: SparkSession, dir: String): DataFrame = {
     val store = newStore(s, "widen")
@@ -773,6 +840,8 @@ object CoreQueries {
     "count_metadata" -> countMetadata,
     "temporal_pit_join" -> temporalPitJoin,
     "cdf_diff" -> cdfDiff,
+    "mirror_sync" -> mirrorSync,
+    "export_asof" -> exportAsof,
     "incr_agg_read" -> incrAggRead,
     "fk_orphans" -> fkOrphans,
     "time_roundtrip" -> timeRoundtrip,
@@ -954,6 +1023,24 @@ object CoreQueries {
         | FROM customer WHERE c_custkey <= 800 AND c_nationkey <> 7)
         |SELECT c_nationkey, COUNT(*) AS n_rows, CAST(SUM(bal) AS DOUBLE) AS sum_bal
         |FROM final GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // mirror_sync: the final mirror ≡ the final table state — keys <=600
+    // minus MACHINERY, +10 on BUILDING, everything else untouched
+    "mirror_sync" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 10
+        |      ELSE c_acctbal END AS c_acctbal,
+        | c_mktsegment
+        |FROM customer
+        |WHERE c_custkey <= 600 AND c_mktsegment <> 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+    // export_asof: the artifact is pinned to the LOAD generation, so the
+    // post-pin update (+999 BUILDING) and delete (AUTOMOBILE) must be
+    // invisible — the oracle is the pre-mutation state verbatim
+    "export_asof" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey <= 600
+        |ORDER BY c_custkey""".stripMargin,
     // cdf_diff: pre = customer<=600, post = full-merge result; the
     // oracle classifies with the same null-safe IS DISTINCT FROM the
     // operator uses. (c_custkey, _change_type) is unique → total order.
