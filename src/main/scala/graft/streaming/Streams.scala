@@ -1671,4 +1671,58 @@ object Streams {
           store.upsert(table,
             graft.dedup.Dedup.decontaminateParagraphs(batch, evalSet, para))
     }
+
+  /** S40: streaming mirror maintenance — the live twin of the C39
+    * batch sync ([[graft.sources.ParquetLayout.syncMirror]]): each
+    * micro-batch keyed-upserts into the managed base table, then
+    * brings the downstream hive-partitioned mirror current by
+    * rewriting ONLY the partitions that batch's change feed touched.
+    * The downstream consumer (a trainer reading `source=`-partitioned
+    * parquet, another engine) sees a tree that lags the base by at
+    * most one trigger, at per-trigger cost O(changed partitions),
+    * never O(table).
+    *
+    * Crash-safe via a durable synced-generation watermark in the BASE
+    * table's properties (keyed by the mirror's identity, so several
+    * mirrors of one base coexist): every trigger syncs from the
+    * watermark to the base's CURRENT generation and only then advances
+    * the mark, and [[graft.sources.ParquetLayout.syncMirror]] rewrites
+    * touched partitions from CURRENT state — so a crash between the
+    * upsert and the sync (next trigger folds the backlog window), a
+    * crash between the sync and the mark (the re-sync rewrites the
+    * same partitions to the same bytes), and a full batch REPLAY (the
+    * re-upsert's keyed change feed is EMPTY — readChanges drops no-op
+    * rows — so the sync touches nothing) all converge the mirror to
+    * the base. First trigger bootstraps the mirror with the C36 full
+    * partitioned export pinned at the current generation before
+    * seeding the mark there (the S36 seeding discipline). */
+  def mirrorMaintenanceSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      base: String,
+      mirrorPath: String,
+      partCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val key = "graft.mirror.synced." +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(mirrorPath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (store.properties(base).get(key).isEmpty) {
+            val g = store.snapshots(base).last._1
+            graft.sources.ParquetLayout.exportPartitioned(
+              store.readTableAt(base, g), mirrorPath, Seq(partCol))
+            store.setProperties(base, Map(key -> g.toString))
+          }
+          store.upsert(base, batch)
+          val from = store.properties(base)(key).toInt
+          val cur = store.snapshots(base).last._1
+          if (cur > from) {
+            graft.sources.ParquetLayout.syncMirror(
+              store, base, mirrorPath, partCol, from, cur)
+            store.setProperties(base, Map(key -> cur.toString))
+          }
+        }
+    }
+  }
 }

@@ -1398,4 +1398,57 @@ class StreamsSpec extends AnyFunSuite {
       assert(store.primaryKeyViolations("clean").count() == 0)
     } finally q.stop()
   }
+
+  test("S40: streaming mirror maintenance keeps the hive tree ≡ base across triggers, backlog and replays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.TableStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s40_").toString)
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "seg", "v"),
+      Seq("k"), infer = false)
+    val mirror = Files.createTempDirectory("graft_s40m_").toString + "/m"
+    def check(tag: String): Unit = {
+      val got = spark.read.parquet(mirror)
+        .select(col("k"), col("seg").cast("string"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq.sorted
+      val want = store.readTable("base").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq.sorted
+      assert(got == want, s"$tag: mirror diverged: $got vs $want")
+    }
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = Streams.mirrorMaintenanceSink(ms.toDF().toDF("k", "seg", "v"),
+      store, "base", mirror, "seg").start()
+    try {
+      // trigger 1: bootstrap export + incremental sync of the batch
+      // (insert into an existing segment + a brand-new segment)
+      ms.addData((3L, "a", 30.0), (4L, "c", 40.0))
+      q.processAllAvailable()
+      check("bootstrap+insert")
+      val segBFile = new java.io.File(mirror, "seg=b").listFiles().toSeq
+      // trigger 2: key 1 MOVES a→c (both sides' partitions rewrite);
+      // segment b untouched — its files must survive byte-identical
+      ms.addData((1L, "c", 11.0))
+      q.processAllAvailable()
+      check("move")
+      assert(new java.io.File(mirror, "seg=b").listFiles().toSeq == segBFile,
+        "untouched partition was rewritten")
+      // backlog: a base mutation lands OUTSIDE the sink (the crash
+      // window between upsert and sync) — segment c dies entirely; the
+      // next trigger folds the backlog and prunes the stale directory
+      store.delete("base", Seq((1L, "c", 0.0), (4L, "c", 0.0)).toDF("k", "seg", "v")
+        .select("k"))
+      ms.addData((5L, "b", 50.0))
+      q.processAllAvailable()
+      check("backlog+segment death")
+      assert(!new java.io.File(mirror, "seg=c").exists(),
+        "fully-deleted segment's stale directory survived")
+      // replay: identical rows re-upsert → EMPTY keyed feed → sync
+      // touches nothing and the mirror stays converged
+      ms.addData((5L, "b", 50.0))
+      q.processAllAvailable()
+      check("replay")
+    } finally q.stop()
+  }
 }
