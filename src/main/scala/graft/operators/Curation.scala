@@ -1388,7 +1388,10 @@ object Curation {
     * shared verbatim — this surface re-labels them, it cannot drift
     * from them. Scale: one corpus scan + the winner aggregate;
     * nothing else crosses the wire. */
-  def curationVerdicts(docs: DataFrame): DataFrame = {
+  /** Shared verdict derivation for L76/L77: one corpus scan + the
+    * winner aggregate, emitting the per-document verdict plus the
+    * whitespace token count the L77 rollup weighs by. */
+  private def verdictFrame(docs: DataFrame): DataFrame = {
     val q = Text.qualityColumns(col("text")).toMap
     val r = Text.repetitionColumns(col("text")).toMap
     val base = docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
@@ -1404,8 +1407,38 @@ object Curation {
           .when(!col("__q"), "low_quality")
           .when(col("__rep"), "repetitive")
           .when(col("doc_id") =!= col("__keep"), "duplicate")
-          .otherwise("keep").as("verdict"))
-      .orderBy("doc_id")
+          .otherwise("keep").as("verdict"),
+        when(col("text").isNull, 0L)
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("__ntok"))
+  }
+
+  def curationVerdicts(docs: DataFrame): DataFrame =
+    verdictFrame(docs).select("doc_id", "source", "verdict").orderBy("doc_id")
+
+  /** L77: per-source data card — the datasheet a corpus ships with:
+    * for each source, how many documents arrived, how each curation
+    * gate disposed of them (the L76 first-failing-gate codes), and the
+    * token inventory before and after curation. The numbers a data
+    * owner quotes ("source X: 12M docs in, 9.1M kept, 4.2B of 5.0B
+    * tokens survive") and the drift baseline the next refresh's card
+    * is compared against. Rides the SAME verdict derivation as L76
+    * (shared [[verdictFrame]] — the card cannot disagree with the
+    * per-document verdicts), then ONE map-side-combined rollup to
+    * S rows; nothing else crosses the wire. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    def nv(v: String) = sum(when(col("verdict") === v, 1L).otherwise(0L))
+    verdictFrame(docs).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      nv("keep").as("n_keep"),
+      nv("empty").as("n_empty"),
+      nv("lang_mismatch").as("n_lang_mismatch"),
+      nv("low_quality").as("n_low_quality"),
+      nv("repetitive").as("n_repetitive"),
+      nv("duplicate").as("n_duplicate"),
+      sum(col("__ntok")).as("total_tokens"),
+      sum(when(col("verdict") === "keep", col("__ntok")).otherwise(0L))
+        .as("kept_tokens"))
+      .orderBy("source")
   }
 
   def corpusDrift(changes: DataFrame, groupCol: String = "source",

@@ -19,6 +19,24 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)
 
+  /** Shared L76/L77 driver corpus: documents plus deterministic
+    * synthetic rows (the text_pii precedent) — a null text, a 2-token
+    * stub, a 1-char-word doc, and %10==9 clones whose keep-verdict
+    * originals make the clones exact-dup losers — so every verdict
+    * reason code is driver-exercised (the L59 rule). */
+  private def verdictCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    val synth = Seq(
+      (2000000L, null.asInstanceOf[String], "en", "synthetic"),
+      (2000001L, "too short", "en", "synthetic"),
+      (2000002L, "a a a a a a a a a a", "en", "synthetic")
+    ).toDF("doc_id", "text", "lang", "source")
+    val clones = d.filter(col("doc_id") % 10 === 9)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    d.unionByName(synth).unionByName(clones)
+  }
+
   /** Shared trained-BPE artifacts per sf directory (VERDICT r7 #5): the
     * three BPE driver entries need the SAME k=8 merge table over the
     * same corpus, and retraining it per entry tripled the bench's
@@ -607,18 +625,11 @@ object PipelineQueries {
     // text, a 2-token stub, a 1-char-word doc, and %10==9 clones whose
     // keep-verdict originals make the clones exact-dup losers — so
     // every reason code is driver-exercised (the L59 rule)
-    "curation_verdicts" -> ((s, dir) => {
-      import s.implicits._
-      val d = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
-      val synth = Seq(
-        (2000000L, null.asInstanceOf[String], "en", "synthetic"),
-        (2000001L, "too short", "en", "synthetic"),
-        (2000002L, "a a a a a a a a a a", "en", "synthetic")
-      ).toDF("doc_id", "text", "lang", "source")
-      val clones = d.filter(col("doc_id") % 10 === 9)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      Curation.curationVerdicts(d.unionByName(synth).unionByName(clones))
-    }),
+    "curation_verdicts" -> ((s, dir) =>
+      Curation.curationVerdicts(verdictCorpus(s, dir))),
+    // L77: per-source data card — verdict-code counts + token inventory
+    // over the SAME augmented corpus, so every column is non-zero
+    "data_card" -> ((s, dir) => Curation.dataCard(verdictCorpus(s, dir))),
     // L67: per-source paragraph reuse + cross-source overlap
     "dedup_source_rate" -> ((s, dir) =>
       Dedup.dedupRateBySource(t(s, dir, "documents"))),
@@ -1355,6 +1366,61 @@ object PipelineQueries {
          |  ELSE 'keep' END AS verdict
          |FROM m LEFT JOIN w ON md5(m.text) = w.h
          |ORDER BY m.doc_id""".stripMargin,
+    // L77: the card is the L76 verdict chain rolled up per source with
+    // token inventories (HUGEINT sums cast to BIGINT — the r9 rule)
+    "data_card" ->
+      s"""WITH corpus AS (
+         | SELECT doc_id, text, lang, source FROM documents
+         | UNION ALL SELECT 2000000, NULL, 'en', 'synthetic'
+         | UNION ALL SELECT 2000001, 'too short', 'en', 'synthetic'
+         | UNION ALL SELECT 2000002, 'a a a a a a a a a a', 'en', 'synthetic'
+         | UNION ALL SELECT doc_id + 1000000, text, lang, source
+         |   FROM documents WHERE doc_id % 10 = 9),
+         |q AS (
+         | SELECT doc_id, lang, source, text,
+         |  string_split(text, ' ') AS toks,
+         |  len(string_split(text, ' ')) AS n_words,
+         |  list_aggregate(list_transform(string_split(text, ' '), x -> len(x)), 'sum') AS sum_len,
+         |  $langCase AS pred_lang
+         | FROM corpus),
+         |g AS (SELECT *,
+         |  CASE WHEN n_words >= 2
+         |   THEN [toks[i] || ' ' || toks[i+1] for i in range(1, n_words)]
+         |   ELSE [] END AS g2,
+         |  CASE WHEN n_words >= 3
+         |   THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, n_words - 1)]
+         |   ELSE [] END AS g3
+         | FROM q),
+         |m AS (SELECT doc_id, lang, source, text, n_words, pred_lang,
+         |  ROUND(sum_len * 1.0 / n_words, 6) AS awl,
+         |  CASE WHEN n_words > 0 THEN round(CAST(n_words - len(list_distinct(toks)) AS DOUBLE) / n_words, 6) END AS dw,
+         |  CASE WHEN len(g2) > 0 THEN round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS d2,
+         |  CASE WHEN len(g3) > 0 THEN round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS d3
+         | FROM g),
+         |w AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM corpus
+         |      WHERE text IS NOT NULL GROUP BY 1),
+         |v AS (SELECT m.source,
+         | CASE WHEN m.text IS NULL OR m.n_words < 10 THEN 'empty'
+         |  WHEN m.pred_lang <> m.lang THEN 'lang_mismatch'
+         |  WHEN NOT (m.n_words >= 10 AND m.n_words <= 1000
+         |            AND m.awl >= 2.0 AND m.awl <= 12.0) THEN 'low_quality'
+         |  WHEN COALESCE(m.dw, 0) > 0.3 OR COALESCE(m.d2, 0) > 0.18
+         |       OR COALESCE(m.d3, 0) > 0.12 THEN 'repetitive'
+         |  WHEN m.doc_id <> w.keep THEN 'duplicate'
+         |  ELSE 'keep' END AS verdict,
+         | CASE WHEN m.text IS NULL THEN 0 ELSE m.n_words END AS ntok
+         |FROM m LEFT JOIN w ON md5(m.text) = w.h)
+         |SELECT source,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         | CAST(SUM(CASE WHEN verdict = 'empty' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         | CAST(SUM(CASE WHEN verdict = 'lang_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_mismatch,
+         | CAST(SUM(CASE WHEN verdict = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         | CAST(SUM(CASE WHEN verdict = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         | CAST(SUM(CASE WHEN verdict = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate,
+         | CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         | CAST(SUM(CASE WHEN verdict = 'keep' THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
     // L75: the oracle replays the refresh arithmetic directly from the
     // source parquet — deletes, ACTUAL text changes (ntok > 20 only:
     // value-identical truncations drop out of the feed) and clone

@@ -906,6 +906,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got(crafted) == want)
     // the winner rule is a keyed aggregate — scan order cannot matter
     assert(got(crafted.repartition(5)) == want)
+
+    // L77 data card: the rollup reconciles with the per-doc verdicts
+    // exactly (shared verdictFrame — it CANNOT drift, this pins it)
+    val card = Curation.dataCard(crafted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).toSeq
+    // (source, n_docs, keep, empty, lang, quality, rep, dup, total, kept)
+    assert(card == Seq(
+      ("s1", 3L, 0L, 2L, 1L, 0L, 0L, 0L, 15L, 0L),  // null=0 + 3 + 12 tok
+      ("s2", 2L, 0L, 0L, 0L, 1L, 1L, 0L, 20L, 0L),
+      ("s3", 2L, 1L, 0L, 0L, 0L, 0L, 1L, 24L, 12L)))
+    // every row's codes partition its documents; kept ≤ total
+    card.foreach { case (_, n, k, e, l, q, rp, d, tot, kept) =>
+      assert(k + e + l + q + rp + d == n)
+      assert(kept <= tot)
+    }
   }
 
   test("L75 corpus drift: per-source deltas fold exactly from a crafted change feed") {
