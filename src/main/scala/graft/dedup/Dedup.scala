@@ -120,6 +120,37 @@ object Dedup {
       .orderBy("tau_micros")
   }
 
+  /** L78: near-dup REVIEW QUEUE — the deterministic, similarity-
+    * stratified sample of candidate pairs a human QA pass actually
+    * reads before a threshold ships: `perBand` pairs from every
+    * 0.1-wide Jaccard band, picked by a content-hash priority (md5 of
+    * the id pair) so the queue is reproducible run-to-run and unbiased
+    * by scan order — the missing middle of the L55 → L57 workflow
+    * (the threshold report says WHERE the mass is, explain-pair says
+    * WHY one pair matched; this picks WHICH pairs to eyeball).
+    *
+    * Scale: rides the SAME blocked/df-cut pair generation as L2 (no
+    * all-pairs stage); the per-band top-k window shuffles only the
+    * candidate-pair relation — O(near-dup pairs), not O(corpus) — and
+    * k·10 rows come out. Band count is ≤ 10, so a pathologically
+    * duplicate-heavy corpus concentrates one band's pairs in one
+    * partition; if that ever bites, pre-thin with a hash-prefix gate
+    * before the window (the A17 salting family). */
+  def reviewQueue(docs: DataFrame, perBand: Int = 5): DataFrame = {
+    require(perBand > 0, "need perBand > 0")
+    val pairs = ngramJaccardPairs(docs)
+      .withColumn("__j6", round(col("jaccard") * 1000000, 0).cast("long"))
+      .withColumn("band_micros", expr("(__j6 div 100000) * 100000"))
+      .withColumn("__pr", md5(concat_ws(":", col("a_id"), col("b_id"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_micros")
+      .orderBy(col("__pr"), col("a_id"), col("b_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perBand)
+      .select(col("band_micros"), col("rank"), col("a_id"), col("b_id"),
+        col("__j6").as("jaccard_micros"))
+      .orderBy("band_micros", "rank")
+  }
+
   /** Adaptive-threshold variant of [[ngramJaccardPairs]]: instead of a
     * fixed df cut, the threshold is
     * `greatest(minDf, floor(percentile(df, dfQuantile)))` over the

@@ -583,6 +583,9 @@ object PipelineQueries {
     // L55: τ calibration table from one verified-pair pass
     "dedup_threshold_report" -> ((s, dir) =>
       Dedup.thresholdReport(t(s, dir, "documents"))),
+    // L78: hash-stratified per-band pair sample for human threshold QA
+    "dedup_review_queue" -> ((s, dir) =>
+      Dedup.reviewQueue(t(s, dir, "documents"))),
     "dedup_jaccard_adaptive" -> dedupJaccardAdaptive,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_portable" -> dedupMinhashPortable,
@@ -1085,6 +1088,23 @@ object PipelineQueries {
          | CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
          |FROM taus t LEFT JOIN pc USING (tau_micros) LEFT JOIN dc USING (tau_micros)
          |ORDER BY tau_micros""".stripMargin,
+
+    // L78: same pair relation, 0.1-wide bands, md5(a:b) priority, top-k
+    // per band — rank cast BIGINT both sides
+    "dedup_review_queue" ->
+      s"""WITH jp AS ($jaccardOracleBody),
+         |b AS (SELECT a_id, b_id,
+         |       CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) AS j,
+         |       (CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) // 100000) * 100000 AS band_micros,
+         |       md5(a_id || ':' || b_id) AS pr
+         |      FROM jp),
+         |r AS (SELECT band_micros, a_id, b_id, j,
+         |       ROW_NUMBER() OVER (PARTITION BY band_micros ORDER BY pr, a_id, b_id) AS rank
+         |      FROM b)
+         |SELECT band_micros, CAST(rank AS BIGINT) AS rank, a_id, b_id,
+         | j AS jaccard_micros
+         |FROM r WHERE rank <= 5
+         |ORDER BY band_micros, rank""".stripMargin,
 
     // sample_token_budget: the naive global-prefix form of the banded
     // selection — (score desc, doc_id) cumulative ≤ budget

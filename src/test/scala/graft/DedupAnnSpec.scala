@@ -736,6 +736,45 @@ class DedupAnnSpec extends AnyFunSuite {
     Graft.clearOperatorCaches()
   }
 
+  test("L78 review queue: per-band top-k by md5 priority, multi-band, cut exercised, partition-invariant") {
+    import spark.implicits._
+    // crafted corpus inside ONE (lang, length-band) block: a 4-doc
+    // near-identical cluster (6 high-band pairs — more than perBand=2,
+    // so the cut fires) plus a mid-similarity pair in a LOWER band
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val crafted = Seq(
+      (1L, base, "en", "s"),
+      (2L, base, "en", "s"),
+      (3L, base, "en", "s"),
+      (4L, base, "en", "s"),
+      (5L, "alpha beta gamma delta epsilon zeta nu xi omicron pi rho sigma", "en", "s"),
+      (6L, "alpha beta gamma delta epsilon zeta nu xi fig grape lime mango", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    val pairs = Dedup.ngramJaccardPairs(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1000000)))
+    // expected queue recomputed from the raw pairs with the operator's
+    // published contract: 0.1-wide bands, md5("a:b") priority, top-2
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = pairs.groupBy { case (_, _, j) => j / 100000 * 100000 }
+      .toSeq.flatMap { case (band, ps) =>
+        ps.sortBy { case (a, b, _) => (md5hex(s"$a:$b"), a, b) }.take(2).zipWithIndex
+          .map { case ((a, b, j), i) => (band, i + 1L, a, b, j) }
+      }.sorted
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Dedup.reviewQueue(df, perBand = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+    val queue = got(crafted)
+    assert(queue == want, s"queue diverged: $queue vs $want")
+    assert(queue.map(_._1).distinct.size >= 2, "single band — stratification unexercised")
+    assert(pairs.count(_._3 >= 900000) > 2, "top band not larger than perBand — cut unexercised")
+    // hash priority is content-derived — scan order cannot matter
+    assert(got(crafted.repartition(5)) == want)
+  }
+
   test("L49 distributed k-means: k=1 degenerates to the global mean; Lloyd descends; partition-invariant") {
     // k=1: one iteration's centroid is the half-away-rounded mean of the
     // floor(x·2^20) integer coordinates, independently recomputed here
