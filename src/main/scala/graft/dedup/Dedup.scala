@@ -151,6 +151,45 @@ object Dedup {
       .orderBy("band_micros", "rank")
   }
 
+  /** L79: dedup COST pre-flight — "will this pair stage explode, and
+    * what is the maxDf cut buying" BEFORE the big run: per (lang,
+    * length-band) block, document and distinct-shingle counts, the
+    * EXACT self-join row count the pair stage will produce under the
+    * cut (Σ C(df,2) over shingles with df ≤ maxDf), and what the cut
+    * drops (shingles over the df limit and the quadratic rows they
+    * would have contributed). The knob-tuning table for
+    * maxDf/bandWidth at 100 TB: a block whose cut_pairs dwarfs
+    * est_pairs is boilerplate-dominated and safe; a block whose
+    * est_pairs is itself quadratic needs a tighter cut or band.
+    *
+    * Cost: one shingle pass + two map-side-combinable rollups (df per
+    * shingle, then the block summary) — O(distinct shingles) shuffle,
+    * NO self-join, which is the point: the report prices the join
+    * without running it. Raw shingle text (the explain-pair
+    * discipline) so the ANSI oracle recomputes it verbatim. */
+  def dedupCostReport(docs: DataFrame, n: Int = 3, bandWidth: Int = 50,
+      maxDf: Int = 128): DataFrame = {
+    // ONE shingle pass feeds both the df rollup and the block doc
+    // counts (the ngramJaccardFrom single-scan discipline)
+    val sh = cached(shingled(docs, n, bandWidth))
+    val ex = sh.select(col("doc_id"), col("lang"), col("__band"),
+      explode(col("__sh")).as("__s"))
+    val dfs = ex.groupBy("lang", "__band", "__s")
+      .agg(count(lit(1)).as("__df"))
+    val nd = sh.groupBy("lang", "__band").agg(count(lit(1)).as("n_docs"))
+    dfs.groupBy("lang", "__band").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("__df") <= maxDf, expr("__df * (__df - 1) div 2"))
+        .otherwise(0L)).as("est_pairs"),
+      sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("cut_shingles"),
+      sum(when(col("__df") > maxDf, expr("__df * (__df - 1) div 2"))
+        .otherwise(0L)).as("cut_pairs"))
+      .join(nd, Seq("lang", "__band"))
+      .select(col("lang"), col("__band").as("band"), col("n_docs"),
+        col("n_shingles"), col("est_pairs"), col("cut_shingles"), col("cut_pairs"))
+      .orderBy("lang", "band")
+  }
+
   /** Adaptive-threshold variant of [[ngramJaccardPairs]]: instead of a
     * fixed df cut, the threshold is
     * `greatest(minDf, floor(percentile(df, dfQuantile)))` over the

@@ -586,6 +586,11 @@ object PipelineQueries {
     // L78: hash-stratified per-band pair sample for human threshold QA
     "dedup_review_queue" -> ((s, dir) =>
       Dedup.reviewQueue(t(s, dir, "documents"))),
+    // L79: pair-stage cost pre-flight. maxDf=2 so the cut path is
+    // driver-exercised (corpus max df is 4 — the default 128 cuts
+    // nothing at sf0.01; the L59 rule)
+    "dedup_cost_report" -> ((s, dir) =>
+      Dedup.dedupCostReport(t(s, dir, "documents"), maxDf = 2)),
     "dedup_jaccard_adaptive" -> dedupJaccardAdaptive,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_portable" -> dedupMinhashPortable,
@@ -1105,6 +1110,28 @@ object PipelineQueries {
          | j AS jaccard_micros
          |FROM r WHERE rank <= 5
          |ORDER BY band_micros, rank""".stripMargin,
+
+    // L79: df rollup per (lang, band, shingle) → block summary; the
+    // C(df,2) arithmetic in exact integers, HUGEINT sums cast BIGINT
+    "dedup_cost_report" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang, CAST(n_chars // 50 AS INT) AS band,
+        |  string_split(text, ' ') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id, lang, band, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+        | FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        | WHERE len(toks) >= 3),
+        |dfs AS (SELECT lang, band, s, COUNT(*) AS df FROM sh GROUP BY 1, 2, 3),
+        |nd AS (SELECT lang, band, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1, 2)
+        |SELECT d.lang, d.band, CAST(nd.n_docs AS BIGINT) AS n_docs,
+        | CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        | CAST(SUM(CASE WHEN df <= 2 THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS est_pairs,
+        | CAST(SUM(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS cut_shingles,
+        | CAST(SUM(CASE WHEN df > 2 THEN df * (df - 1) // 2 ELSE 0 END) AS BIGINT) AS cut_pairs
+        |FROM dfs d JOIN nd USING (lang, band)
+        |GROUP BY d.lang, d.band, nd.n_docs
+        |ORDER BY d.lang, d.band""".stripMargin,
 
     // sample_token_budget: the naive global-prefix form of the banded
     // selection — (score desc, doc_id) cumulative ≤ budget

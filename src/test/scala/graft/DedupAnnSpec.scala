@@ -775,6 +775,47 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(crafted.repartition(5)) == want)
   }
 
+  test("L79 cost report: Σ C(df,2) recomputed in-memory; est+cut conserved across maxDf; partition-invariant") {
+    def rows(maxDf: Int) = Dedup.dedupCostReport(docs, maxDf = maxDf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val uncut = rows(Int.MaxValue)
+    val cut = rows(2)
+    assert(uncut.keySet == cut.keySet)
+    // the cut conserves the quadratic mass: est(maxDf) + cutPairs(maxDf)
+    // == est(∞), and the uncut report never cuts
+    uncut.foreach { case (k, (nd, ns, est, cs, cp)) =>
+      assert(cs == 0L && cp == 0L)
+      val (nd2, ns2, est2, _, cp2) = cut(k)
+      assert(nd2 == nd && ns2 == ns, s"block $k doc/shingle counts moved with maxDf")
+      assert(est2 + cp2 == est, s"block $k quadratic mass not conserved")
+    }
+    // ground truth for one block family: recompute Σ C(df,2) in memory
+    // from the corpus' raw shingles
+    val shingleOcc: Seq[((String, Int), String)] =
+      docs.select("doc_id", "lang", "n_chars", "text").collect().toSeq
+        .filter(_.getString(3) != null)
+        .flatMap { r =>
+          val toks = r.getString(3).split(" ").toSeq
+          if (toks.size < 3) Nil
+          else toks.sliding(3).map(_.mkString(" ")).toSet.toSeq
+            .map((s: String) => ((r.getString(1), (r.getLong(2) / 50).toInt), s))
+        }
+    val inMem: Map[(String, Int), Long] = shingleOcc
+      .groupBy(x => x).map { case (k, v) => k -> v.length.toLong }.toSeq
+      .groupBy(_._1._1)
+      .map { case (blk, dfsSeq) =>
+        blk -> dfsSeq.map { case (_, d) => d * (d - 1) / 2 }.sum }
+    uncut.foreach { case (k, (_, _, est, _, _)) =>
+      assert(est == inMem.getOrElse(k, 0L), s"block $k est_pairs != in-memory C(df,2) sum")
+    }
+    // one shingle pass + keyed rollups — scan order cannot matter
+    assert(rows(2) == Dedup.dedupCostReport(docs.repartition(7), maxDf = 2)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap)
+    Graft.clearOperatorCaches()
+  }
+
   test("L49 distributed k-means: k=1 degenerates to the global mean; Lloyd descends; partition-invariant") {
     // k=1: one iteration's centroid is the half-away-rounded mean of the
     // floor(x·2^20) integer coordinates, independently recomputed here
