@@ -175,6 +175,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dedup_cost_report prices the pair self-join WITHOUT executing one") {
+    spark.catalog.clearCache()
+    val plan = executedPlan(
+      dedup.Dedup.dedupCostReport(GraftSession.table(spark, sfDir, "documents")))
+    // the operator's whole point: the quadratic shingle self-join never
+    // runs — the only join is the block-level (lang, band) rollup join,
+    // and no join condition touches the shingle column
+    assert(occurrences(plan, "Join") <= 1, s"more than the block rollup join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // df rollup has map-side combine before the shingle exchange
+    assert(occurrences(plan, "HashAggregate") >= 2, s"no partial aggregation:\n$plan")
+    Graft.clearOperatorCaches()
+  }
+
   test("ANN brute force broadcasts the query side, never the corpus") {
     import org.apache.spark.sql.functions.col
     val e = GraftSession.table(spark, sfDir, "embeddings")
