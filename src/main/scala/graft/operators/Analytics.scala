@@ -1423,10 +1423,58 @@ object Analytics {
   def skewReport(s: SparkSession, dir: String): DataFrame =
     keySkewReport(t(s, dir, "events"), "user_id")
 
+  // ── A53: per-key join contribution report — A52 answers "is this
+  // INPUT concentrated"; this answers the question the salting
+  // decision actually turns on: "which keys dominate the join's
+  // OUTPUT, and by how much". A key's contribution is n_left·n_right,
+  // which can be maximal for a key that is only moderately heavy on
+  // BOTH sides — so the top set cannot be derived from per-side top-k
+  // lists; it needs the count-relation join. That join is KEY-sized
+  // (distinct keys, after two map-side-combined rollups), never
+  // fact-sized — at 100 TB it is exactly the join you can afford, and
+  // its sum is the EXACT join cardinality, the precise twin of A51's
+  // sketch estimate (sketch: no shuffle, upper bound; this: one
+  // key-sized shuffle, exact). Top-k via distributed sort-limit
+  // (TakeOrderedAndProject), ranks folded on the driver (the A52
+  // model-sized-collect idiom). Exact integer micros for shares.
+  def joinSkewReport(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int = 10): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame, key: String, as: String) =
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).cast("string").as("key"))
+        .agg(count(lit(1)).as(as))
+    val joined = counts(left, leftKey, "n_left")
+      .join(counts(right, rightKey, "n_right"), Seq("key"))
+      .withColumn("est_rows", expr("n_left * n_right"))
+    val total = joined.agg(sum(col("est_rows")).as("est_total"))
+    val top = joined.orderBy(col("est_rows").desc, col("key")).limit(topK)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        (i + 1L, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) }
+    spark.createDataset(top.toIndexedSeq)
+      .toDF("rank", "key", "n_left", "n_right", "est_rows")
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("key"), col("n_left"), col("n_right"),
+        col("est_rows"),
+        expr("est_rows * 1000000 div est_total").as("share_micros"),
+        col("est_total"))
+      .orderBy("rank")
+  }
+
+  /** A53 driver query: events × orders on the user/customer key —
+    * real multiplicity on both sides (the A51 fixture), so the
+    * contribution ranking differs from either side's own top-k. */
+  def joinSkew(s: SparkSession, dir: String): DataFrame =
+    joinSkewReport(t(s, dir, "events"), "user_id",
+      t(s, dir, "orders"), "o_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bloom_reduce" -> joinBloomReduce,
     "join_size_est" -> joinSizeEst,
     "skew_report" -> skewReport,
+    "join_skew" -> joinSkew,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -1518,6 +1566,24 @@ object Analytics {
     // A51: both count-min sketches re-derived bucket-for-bucket in SQL
     // (md5 idiom), the same min-over-rows estimate, and the exact
     // group-counts truth — est, truth and overshoot all integer-exact.
+    // A53: exact per-key join contribution — count-relation join, top
+    // 10 by (contribution desc, key); HUGEINT sums cast BIGINT
+    "join_skew" ->
+      """WITH lc AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_left
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS n_right
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT key, n_left, n_right, n_left * n_right AS est
+        |  FROM lc JOIN rc USING (key)),
+        |tot AS (SELECT CAST(SUM(est) AS BIGINT) AS est_total FROM j),
+        |r AS (SELECT key, n_left, n_right, est,
+        |  ROW_NUMBER() OVER (ORDER BY est DESC, key) AS rank FROM j)
+        |SELECT CAST(rank AS BIGINT) AS rank, key,
+        | CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+        | CAST(est AS BIGINT) AS est_rows,
+        | CAST(est * 1000000 // est_total AS BIGINT) AS share_micros,
+        | est_total
+        |FROM r, tot WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "join_size_est" ->
       s"""WITH rws AS (SELECT CAST(r AS INT) AS r FROM range(0, 4) q(r)),
          |ek AS (SELECT CAST(user_id AS VARCHAR) AS t FROM events WHERE user_id IS NOT NULL),

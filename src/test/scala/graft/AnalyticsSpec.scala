@@ -74,6 +74,28 @@ class AnalyticsSpec extends AnyFunSuite {
       (3, "c", 1L, 55555L, 18L, 5L, 2777777L)))
   }
 
+  test("A53: join skew ranks by CONTRIBUTION — a both-sides-moderate key beats each side's top key") {
+    import spark.implicits._
+    // left: a×100, b×20, c×1   right: c×100, b×20, a×1 — 'a' tops the
+    // left and 'c' tops the right, but the join is dominated by 'b'
+    // (20·20=400 vs 100·1=100 for either side's champion). This is why
+    // a per-side top-k union is NOT a correct candidate set and the
+    // operator joins the full count relations.
+    val l = (Seq.fill(100)("a") ++ Seq.fill(20)("b") ++ Seq("c")).toDF("k")
+    val r = (Seq.fill(100)("c") ++ Seq.fill(20)("b") ++ Seq("a")).toDF("k2")
+    def got(lf: org.apache.spark.sql.DataFrame, rf: org.apache.spark.sql.DataFrame) =
+      operators.Analytics.joinSkewReport(lf, "k", rf, "k2", topK = 2).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+          x.getLong(4), x.getLong(5), x.getLong(6))).toSeq
+    // totals: 400 + 100 + 100 = 600; shares floor to micros
+    val want = Seq(
+      (1L, "b", 20L, 20L, 400L, 666666L, 600L),
+      (2L, "a", 100L, 1L, 100L, 166666L, 600L))
+    assert(got(l, r) == want)
+    // keyed rollups + key-sized join — scan order cannot matter
+    assert(got(l.repartition(7), r.repartition(3)) == want)
+  }
+
   test("A51: fully disjoint key sets estimate 0 pairs, not NULL (true count-min)") {
     import spark.implicits._
     val r = Seq(1L, 2L, 3L).toDF("k")
