@@ -1441,6 +1441,24 @@ object Curation {
       .orderBy("source")
   }
 
+  /** L80: Unicode NFC normalization pass — the canonical-composition
+    * scrub a corpus takes before anything content-addressed runs: two
+    * byte-different encodings of the same visible string ("e"+U+0301
+    * vs "é") otherwise defeat exact dedup (L1's md5 winner), rolling
+    * fingerprints (L11) and shingle hashes (L2). One scan through the
+    * native codegen'd [[graft.plans.NfcNormalize]] expression, whose
+    * isNormalized fast path returns the input buffer untouched — on
+    * real corpora nearly every document is already NFC, so the hot
+    * path allocates nothing. `changed` flags the rewritten documents
+    * (the audit trail a scrub job reports). */
+  def nfcNormalizeDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.plans.GraftFunctions.nfcNormalize(col("text")).as("text_nfc"),
+        col("text"))
+      .select(col("doc_id"), col("text_nfc"),
+        (col("text") =!= col("text_nfc")).as("changed"))
+      .orderBy("doc_id")
+
   def corpusDrift(changes: DataFrame, groupCol: String = "source",
       textCol: String = "text"): DataFrame = {
     val ntok = coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))

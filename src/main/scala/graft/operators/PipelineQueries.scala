@@ -638,6 +638,20 @@ object PipelineQueries {
     // L77: per-source data card — verdict-code counts + token inventory
     // over the SAME augmented corpus, so every column is non-zero
     "data_card" -> ((s, dir) => Curation.dataCard(verdictCorpus(s, dir))),
+    // L80: NFC scrub — the ASCII corpus is already normalized, so the
+    // entry injects decomposed/composed/NULL fixtures (the text_pii
+    // precedent) so BOTH the rewrite and the fast path are exercised
+    "text_nfc" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val synth = Seq(
+        (3000000L, "café au lait"),
+        (3000001L, "café au lait"),
+        (3000002L, "Ångström unit"),
+        (3000003L, null.asInstanceOf[String])
+      ).toDF("doc_id", "text")
+      Curation.nfcNormalizeDocs(d.unionByName(synth))
+    }),
     // L67: per-source paragraph reuse + cross-source overlap
     "dedup_source_rate" -> ((s, dir) =>
       Dedup.dedupRateBySource(t(s, dir, "documents"))),
@@ -1110,6 +1124,20 @@ object PipelineQueries {
          | j AS jaccard_micros
          |FROM r WHERE rank <= 5
          |ORDER BY band_micros, rank""".stripMargin,
+
+    // L80: DuckDB nfc_normalize (utf8proc) vs the native expression
+    // (java.text.Normalizer) — both canonical composition; fixtures
+    // built with chr() so the SQL is byte-explicit
+    "text_nfc" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT 3000000, 'cafe' || chr(769) || ' au lait'
+        | UNION ALL SELECT 3000001, 'caf' || chr(233) || ' au lait'
+        | UNION ALL SELECT 3000002, 'A' || chr(778) || 'ngstro' || chr(776) || 'm unit'
+        | UNION ALL SELECT 3000003, NULL)
+        |SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        | (text <> nfc_normalize(text)) AS changed
+        |FROM corpus ORDER BY doc_id""".stripMargin,
 
     // L79: df rollup per (lang, band, shingle) → block summary; the
     // C(df,2) arithmetic in exact integers, HUGEINT sums cast BIGINT

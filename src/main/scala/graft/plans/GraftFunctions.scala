@@ -14,6 +14,10 @@ object GraftFunctions {
   def rollingHash(text: Column): Column =
     bridge.column(RollingHash(bridge.expression(text)))
 
+  /** Unicode NFC canonical normalization of a string column. */
+  def nfcNormalize(text: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(text)))
+
   /** Top-k frequent terms per group via the capacity-bounded
     * space-saving sketch (exact when distinct ≤ capacity). */
   def topKByFreq(term: Column, k: Int, capacity: Int = 4096): Column =

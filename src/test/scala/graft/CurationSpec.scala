@@ -925,6 +925,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("L80 NFC: decomposed composes, composed is zero-copy identity, supplementary-plane safe, NULL passes") {
+    import spark.implicits._
+    val decomposed = "café"
+    val composed = "café"
+    val emoji = "a 😀 b"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, emoji),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Curation.nfcNormalizeDocs(df).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSeq
+    assert(got == Seq(
+      (1L, Some(composed), Some(true)),
+      (2L, Some(composed), Some(false)),
+      (3L, Some(emoji), Some(false)),
+      (4L, None, None)))
+    // the fast path returns the INPUT buffer — zero allocation on
+    // already-normalized text (nearly every real document)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(composed)
+    assert(graft.plans.NfcNormalize.normalize(u) eq u)
+    assert(graft.plans.NfcNormalize.normalize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed))
+      .toString == composed)
+  }
+
   test("L75 corpus drift: per-source deltas fold exactly from a crafted change feed") {
     import spark.implicits._
     // source A: one insert (3 tok), one delete (2 tok); source B: one

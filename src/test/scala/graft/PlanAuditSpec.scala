@@ -311,6 +311,7 @@ class PlanAuditSpec extends AnyFunSuite {
     kernelInCodegen(operators.Curation.encodeBpe(docs, merges, vocab), "graft_bpe_encode")
     val emb = GraftSession.table(spark, sfDir, "embeddings")
     kernelInCodegen(similarity.Ann.portableAssignments(emb, nCentroids = 4), "graft_floor_scale")
+    kernelInCodegen(operators.Curation.nfcNormalizeDocs(docs), "graft_nfc_normalize")
   }
 
   test("minhash LSH candidates come from the pair operator, not a self-join") {
