@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 
 import graft.operators.Curation
 
@@ -98,6 +99,46 @@ object CurationProps extends Properties("Curation") {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       exact.forall { case (t, n) => est(t) >= n }
     }
+
+  /** L58's banded global-prefix plan vs the trivially-correct naive
+    * model: random stopword mixes produce scores that collide inside
+    * and across the 1000-micro bands, and random budgets land on every
+    * boundary class (zero, mid-document, exactly-on-a-document,
+    * all-fit) — the band-offset arithmetic's edge cases a crafted
+    * fixture can't sweep. */
+  property("banded budget selection equals the naive global prefix on random corpora") = {
+    val en = graft.functions.Text.Stopwords.toMap.apply("en")
+    val wordGen = Gen.oneOf(en ++ Seq("alpha", "beta", "gamma", "delta"))
+    val docGen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, docGen))
+    Prop.forAll(corpusGen, Gen.choose(0L, 120L)) { (texts, budget) =>
+      import SparkTestSession.spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Curation.budgetSelect(docs, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // naive model: rank by (score desc, doc_id), keep the cumulative
+      // prefix that fits
+      val ranked = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        val n = toks.size.toLong
+        val stop = toks.count(en.contains).toLong
+        val score = (2L * 1000000L * stop + n) / (2L * n)
+        (i.toLong, n, score)
+      }.sortBy { case (id, _, s) => (-s, id) }
+      // running cumsum in rank order; the first overflow ends the prefix
+      // (the operator's window keeps rows whose running total fits, and
+      // the total only grows — identical semantics)
+      var cum = 0L
+      var open = true
+      val want = ranked.flatMap { case (id, n, s) =>
+        cum += n
+        if (open && cum <= budget) Some((id, n, s))
+        else { open = false; None }
+      }.toSet
+      (got == want) :| s"got $got want $want (budget=$budget texts=$texts)"
+    }
+  }
 
   property("shard assignment is additive and partition-invariant on random corpora") =
     Prop.forAll(corpusGen, Gen.choose(2, 5)) { (corpus, nShards) =>
