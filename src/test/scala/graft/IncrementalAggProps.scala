@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+import graft.store.{IncrementalAgg, TableStore}
+
+/** ScalaCheck property for C41 incremental aggregate maintenance:
+  * under RANDOM keyed mutation sequences (group moves, group deaths,
+  * re-inserts) with maintenance at RANDOM points — so single triggers
+  * fold MULTI-generation backlogs — the summary after every
+  * maintenance call must be bit-identical to the batch recompute. The
+  * crafted IncrementalAggSpec scenarios can't sweep the interleavings;
+  * this does. Sample count is small: every sample drives real store
+  * commits. */
+object IncrementalAggProps extends Properties("IncrementalAgg") {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(3)
+
+  // one step: an upsert batch (key -> (group, value)) or a key-delete
+  // set, plus whether to run maintenance after the commit
+  private val stepGen: Gen[(Either[Map[Int, (String, Double)], Set[Int]], Boolean)] =
+    Gen.zip(
+      Gen.oneOf(
+        Gen.choose(1, 5).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(Gen.choose(0, 6),
+            Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(1, 99).map(_ / 4.0))))
+            .map(l => Left(l.toMap))),
+        Gen.choose(1, 4).flatMap(n =>
+          Gen.listOfN(n, Gen.choose(0, 6)).map(l => Right(l.toSet)))),
+      Gen.oneOf(true, false))
+
+  private val opsGen: Gen[List[(Either[Map[Int, (String, Double)], Set[Int]], Boolean)]] =
+    Gen.choose(1, 4).flatMap(Gen.listOfN(_, stepGen))
+
+  property("summary ≡ batch recompute at every maintenance point under random feeds") =
+    Prop.forAll(opsGen) { ops =>
+      val store = new TableStore(spark,
+        Files.createTempDirectory("graft_iaprop_").toString)
+      store.createTableFromDataFrame("base",
+        Seq((0, "a", 1.0), (1, "b", 2.0)).toDF("k", "g", "v"),
+        Seq("k"), infer = false)
+      store.createTableFromDataFrame("summary",
+        IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+        Seq("g"), infer = false)
+      IncrementalAgg.markMaintained(store, "base", "summary",
+        store.snapshots("base").last._1)
+      def snap(df: org.apache.spark.sql.DataFrame): Set[(String, Long, java.math.BigDecimal)] =
+        df.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      // run every op; maintenance only at flagged points (unflagged
+      // commits become the NEXT maintenance call's multi-gen backlog);
+      // a final maintenance closes the sequence
+      val checks = (ops :+ (Right(Set.empty[Int]), true)).map { case (op, maintain) =>
+        op match {
+          case Left(ups) =>
+            store.upsert("base",
+              ups.toSeq.map { case (k, (g, v)) => (k, g, v) }.toDF("k", "g", "v"))
+          case Right(dels) if dels.nonEmpty =>
+            store.delete("base", dels.toSeq.toDF("k"))
+          case _ => ()
+        }
+        if (maintain) {
+          IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+          val got = snap(store.readTable("summary").select("g", "n_rows", "sum_val"))
+          val want = snap(IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"))
+          (got == want) :| s"summary diverged after $op: $got vs $want"
+        } else Prop.passed
+      }
+      checks.reduce(_ && _)
+    }
+}
