@@ -62,13 +62,24 @@ object PruningProps extends Properties("Pruning") {
         Files.createTempDirectory("graft_prprop_f_").toString)
       flat.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"))
       flat.insert("t", df)
+      // third layout: Z-order clustered + re-analyzed — the interleave
+      // rewrite must never change an answer either
+      val zed = new TableStore(spark,
+        Files.createTempDirectory("graft_prprop_z_").toString)
+      zed.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"))
+      zed.insert("t", df)
+      zed.cluster("t", Seq("k", "v"), filesTarget = 3)
+      zed.analyze("t")
       def got(s: TableStore, p: String): Seq[(Long, Option[Long])] =
         s.readTable("t", where = Some(p)).collect()
           .map(r => (r.getLong(0),
             if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
-      val checks = preds.map { p =>
-        (got(pruning, p) == got(flat, p)) :|
-          s"pruned read diverged on '$p': ${got(pruning, p)} vs ${got(flat, p)} (rows=$rows)"
+      val checks = preds.flatMap { p =>
+        Seq(
+          (got(pruning, p) == got(flat, p)) :|
+            s"pruned read diverged on '$p': ${got(pruning, p)} vs ${got(flat, p)} (rows=$rows)",
+          (got(zed, p) == got(flat, p)) :|
+            s"z-ordered read diverged on '$p': ${got(zed, p)} vs ${got(flat, p)} (rows=$rows)")
       }
       checks.reduce(_ && _)
     }
