@@ -1445,9 +1445,13 @@ object Analytics {
       df.filter(col(key).isNotNull)
         .groupBy(col(key).cast("string").as("key"))
         .agg(count(lit(1)).as(as))
-    val joined = counts(left, leftKey, "n_left")
-      .join(counts(right, rightKey, "n_right"), Seq("key"))
-      .withColumn("est_rows", expr("n_left * n_right"))
+    // ONE materialization feeds both consumers (the total aggregate and
+    // the top-k job) — uncached, the two rollups and the key join would
+    // run twice over a distinct-keys-sized relation
+    val joined = graft.OperatorCache.cached(
+      counts(left, leftKey, "n_left")
+        .join(counts(right, rightKey, "n_right"), Seq("key"))
+        .withColumn("est_rows", expr("n_left * n_right")))
     val total = joined.agg(sum(col("est_rows")).as("est_total"))
     val top = joined.orderBy(col("est_rows").desc, col("key")).limit(topK)
       .collect().zipWithIndex
