@@ -1397,9 +1397,12 @@ object Analytics {
   def keySkewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.filter(col(key).isNotNull)
-      .groupBy(col(key).cast("string").as("key"))
-      .agg(count(lit(1)).as("n_key_rows"))
+    // ONE materialization feeds both consumers (totals + the top-k
+    // job) — the A53 sharing discipline
+    val counts = graft.OperatorCache.cached(
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).cast("string").as("key"))
+        .agg(count(lit(1)).as("n_key_rows")))
     val totals = counts.agg(count(lit(1)).as("n_keys"),
       sum(col("n_key_rows")).as("n_rows"), max(col("n_key_rows")).as("__mx"))
     // top-k via distributed sort-limit (TakeOrderedAndProject — every
