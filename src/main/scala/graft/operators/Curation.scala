@@ -359,14 +359,17 @@ object Curation {
     val toks = Text.tokens(col("text"))
     // a NULL text has no tokens and can never be selected — filtered
     // explicitly (its null score would otherwise flow into the band
-    // arithmetic as a silent null row)
-    val scored = docs.filter(col("text").isNotNull).select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
-      .withColumn("score_micros",
-        expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
-      .withColumn("__band", expr("score_micros div 1000"))
-      .drop("__stop")
+    // arithmetic as a silent null row). ONE scoring scan feeds the
+    // band rollup AND the pass-through/crossing branches (three
+    // consumers — uncached, the tokenize+score pipeline runs thrice)
+    val scored = graft.OperatorCache.cached(
+      docs.filter(col("text").isNotNull).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
+        .withColumn("score_micros",
+          expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
+        .withColumn("__band", expr("score_micros div 1000"))
+        .drop("__stop"))
     val bandTotals = scored.groupBy("__band").agg(sum(col("n_tokens")).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     var acc = 0L
@@ -431,13 +434,17 @@ object Curation {
     // under a reserved key (concat_ws SKIPS nulls — unguarded, null-
     // group documents would silently never be selected)
     val g = coalesce(col(groupCol).cast("string"), lit("__NULL_GROUP__"))
-    val scored = docs.filter(col("text").isNotNull).select(g.as("__g"), col("doc_id"),
+    // ONE scoring scan feeds the (group, band) rollup AND the
+    // pass-through/crossing branches (the budgetSelect sharing
+    // discipline)
+    val scored = graft.OperatorCache.cached(docs
+      .filter(col("text").isNotNull).select(g.as("__g"), col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
       .withColumn("score_micros",
         expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
       .withColumn("__band", expr("score_micros div 1000"))
-      .drop("__stop")
+      .drop("__stop"))
     val SEP = '\u0001' // unambiguous (group, band) key separator
     val bandRows = scored.groupBy("__g", "__band").agg(sum(col("n_tokens")).as("__t"))
       .limit(maxGroups * 1001 + 1).collect()
@@ -493,13 +500,17 @@ object Curation {
     require(nPhases > 0, "need nPhases > 0")
     val en = typedLit(Text.Stopwords.toMap.apply("en"))
     val toks = Text.tokens(col("text"))
-    val scored = docs.filter(col("text").isNotNull).select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
-      .withColumn("score_micros",
-        expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
-      .withColumn("__band", expr("score_micros div 1000"))
-      .drop("__stop")
+    // ONE scoring scan feeds the band rollup AND the uniform/crossing
+    // branches (three consumers — uncached, the tokenize+score pipeline
+    // would run three times; the budgetSelect sharing discipline)
+    val scored = graft.OperatorCache.cached(
+      docs.filter(col("text").isNotNull).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(toks, t => array_contains(en, t))).cast("long").as("__stop"))
+        .withColumn("score_micros",
+          expr("(2 * 1000000 * __stop + n_tokens) div (2 * n_tokens)"))
+        .withColumn("__band", expr("score_micros div 1000"))
+        .drop("__stop"))
     val bandCounts = scored.groupBy("__band").agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     val n = bandCounts.iterator.map(_._2).sum
