@@ -319,10 +319,13 @@ object Curation {
     * feed [[weightedSample]]'s hash gate directly. Scale: one
     * map-side-combined rollup to G rows; the totals broadcast back. */
   def mixPlan(docs: DataFrame, groupCol: String = "source"): DataFrame = {
-    val g = docs.filter(col("text").isNotNull)
-      .groupBy(col(groupCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    // ONE corpus scan: the G-sized rollup feeds both the totals and
+    // the final projection (uncached, the corpus is scanned twice)
+    val g = graft.OperatorCache.cached(
+      docs.filter(col("text").isNotNull)
+        .groupBy(col(groupCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens")))
     val tot = g.agg(count(lit(1)).as("__g"), sum(col("n_tokens")).as("__t"))
     g.crossJoin(broadcast(tot))
       .withColumn("target_tokens", expr("__t div __g"))
