@@ -1005,7 +1005,10 @@ object Curation {
     * top-k window partitions by doc_id, which is never skewed. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // ONE tokenize+explode+rollup feeds both the df rollup and the
+    // scoring join (uncached it runs twice)
+    val tf = graft.OperatorCache.cached(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -1039,8 +1042,12 @@ object Curation {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val withDl = docs.select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("__dl"))
-    val tf = withDl.select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
-      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("__tf"))
+    // ONE tokenize+explode+rollup feeds both the df rollup and the
+    // contribution join (uncached it runs twice; the stats 1-row agg
+    // stays on the cheap pre-explode relation)
+    val tf = graft.OperatorCache.cached(
+      withDl.select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("__tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val stats = withDl.agg(count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
