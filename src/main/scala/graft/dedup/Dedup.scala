@@ -1114,19 +1114,24 @@ object Dedup {
     val toks = split(col("text"), " ")
     val nP = when(size(toks) <= para, lit(1))
       .otherwise(ceil(size(toks).cast("double") / para).cast("int"))
-    val paras = docs.filter(col("text").isNotNull)
+    // ONE paragraph-explode pass feeds the winner aggregate, the
+    // occurrence join-back AND the per-source content relation (three
+    // consumers — uncached, the tokenize+explode+hash pipeline runs
+    // three times); perSrcContent likewise feeds its df rollup and the
+    // shared join
+    val paras = cached(docs.filter(col("text").isNotNull)
       .select(col("source"), col("doc_id"), toks.as("__toks"), nP.as("__np"))
       .select(col("source"), col("doc_id"),
         posexplode(transform(sequence(lit(0), col("__np") - 1),
           i => array_join(slice(col("__toks"), i * para + 1, lit(para)), " "))))
       .select(col("source"), col("doc_id"), col("pos").cast("int").as("para_idx"),
-        md5(col("col")).as("__h"))
+        md5(col("col")).as("__h")))
     val winners = paras.groupBy("__h")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("__w"))
     val occ = paras.join(winners, Seq("__h"))
       .withColumn("__dup",
         !(col("doc_id") === col("__w.doc_id") && col("para_idx") === col("__w.para_idx")))
-    val perSrcContent = paras.select("source", "__h").distinct()
+    val perSrcContent = cached(paras.select("source", "__h").distinct())
     val bySources = perSrcContent.groupBy("__h").agg(count(lit(1)).as("__ns"))
     val shared = perSrcContent.join(bySources, Seq("__h"))
       .groupBy("source")
