@@ -1168,11 +1168,13 @@ object Dedup {
     * too short to shingle (< n tokens) are absent — no evidence
     * either way, the L15 convention. */
   def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = scatter(docs.filter(col("text").isNotNull)
+    // ONE shingle pass feeds the df rollup and the per-doc totals
+    // (uncached, the tokenize+shingle+hash pipeline runs twice)
+    val sh = cached(scatter(docs.filter(col("text").isNotNull)
         .filter(size(Text.tokens(col("text"))) >= n))
       .select(col("doc_id"),
         explode(Text.wordShingles(col("text"), n)).as("__s"))
-      .select(col("doc_id"), md5(col("__s")).as("__h"))
+      .select(col("doc_id"), md5(col("__s")).as("__h")))
     val uniq = sh.groupBy("__h")
       .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__owner"))
       .filter(col("__df") === 1)
@@ -1313,7 +1315,10 @@ object Dedup {
   }
 
   def paragraphDedup(docs: DataFrame, para: Int = 20): DataFrame = {
-    val paras = segmentParagraphs(docs, para)
+    // ONE segmentation pass feeds the winner aggregate and the
+    // reassembly join (uncached, the tokenize+explode pipeline runs
+    // twice)
+    val paras = cached(segmentParagraphs(docs, para))
     // winner aggregate keyed on the 16-byte content hash, text carried
     // once in the min-struct payload: fixed-width group keys make the
     // combiner's hash table and the exchange's key compares cheap at
