@@ -1313,9 +1313,12 @@ object Analytics {
 
   def bloomReduceJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, expectedDimRows: Long = 0L): DataFrame = {
-    val bf = bloomFilterFor(dim, dimKey, expectedDimRows)
+    // dim has up to three consumers (sizing count, bloom aggregate,
+    // exact join) — one materialization instead of three dim scans
+    val d = graft.OperatorCache.cached(dim)
+    val bf = bloomFilterFor(d, dimKey, expectedDimRows)
     val pre = fact.where(bloomMightContain(bf, col(factKey)))
-    pre.join(dim, pre(factKey) === dim(dimKey))
+    pre.join(d, pre(factKey) === d(dimKey))
   }
 
   /** A50 driver query: lineitem reduced by a Bloom of the urgent-order
