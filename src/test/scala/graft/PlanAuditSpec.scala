@@ -175,6 +175,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("shared-scan discipline: TF-IDF's second consumer reads the cached tf relation, not a re-derivation") {
+    spark.catalog.clearCache()
+    val plan = executedPlan(
+      operators.Curation.tfidfTopTerms(GraftSession.table(spark, sfDir, "documents")))
+    // the df rollup and the scoring join both consume tf; with the
+    // cache in place the executed plan reads InMemory scans instead of
+    // re-running tokenize+explode+rollup — at least one cache scan and
+    // at most ONE Generate (the explode) may appear
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"tf relation not served from cache:\n$plan")
+    assert(occurrences(plan, "Generate") <= 1,
+      s"tokenize+explode re-derived for a second consumer:\n$plan")
+    Graft.clearOperatorCaches()
+  }
+
   test("dedup_cost_report prices the pair self-join WITHOUT executing one") {
     spark.catalog.clearCache()
     val plan = executedPlan(
