@@ -49,10 +49,13 @@ object Contamination {
       n: Int = 5,
       tau: Double = 0.2): DataFrame = {
     val parallelism = eval.sparkSession.sparkContext.defaultParallelism
-    val evalSh = eval.filter(size(Text.tokens(col("text"))) >= n)
-      .repartition(parallelism) // scatter compute-bound shingling
-      .select(col("doc_id"),
-        explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s"))
+    // ONE eval shingling pass feeds the totals and the hit counts
+    // (uncached, the tokenize+shingle+hash pipeline runs twice)
+    val evalSh = graft.OperatorCache.cached(
+      eval.filter(size(Text.tokens(col("text"))) >= n)
+        .repartition(parallelism) // scatter compute-bound shingling
+        .select(col("doc_id"),
+          explode(transform(Text.wordShingles(col("text"), n), s => xxhash64(s))).as("__s")))
     val totals = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = evalSh.join(trainShingles, Seq("__s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
@@ -141,8 +144,10 @@ object Contamination {
     import graft.functions.Vectors
     val tr = train.select(col("vec_id").as("train_id"),
       col(blockCol).as("__blk"), Vectors.toDouble(col("embedding")).as("__tv"))
-    val ev = eval.select(col("vec_id").as("eval_id"),
-      col(blockCol).as("__blk"), Vectors.toDouble(col("embedding")).as("__ev"))
+    // ev feeds the candidate join AND the keep-every-eval left join
+    val ev = graft.OperatorCache.cached(
+      eval.select(col("vec_id").as("eval_id"),
+        col(blockCol).as("__blk"), Vectors.toDouble(col("embedding")).as("__ev")))
     val cand = ev.join(tr, "__blk")
       .select(col("eval_id"), col("train_id"),
         Vectors.cosine6(col("__ev"), col("__tv")).as("__cos"))
