@@ -185,12 +185,25 @@ final case class Graft(
       if (tables.nonEmpty) tables
       else store.tableNames() ++
         tempStore.tableNames().map(p => "##" + p.stripPrefix("tmp_"))
-    names.foreach { n =>
+    // the mangling is not injective ('##X' and a permanent table
+    // literally named tmp_X both become view tmp_X; 'a.b' and a table
+    // named a_b both become a_b) — a silent last-write-wins would read
+    // the WRONG table, so ambiguity is an error here, at registration
+    val mangled = names.map(n => n -> pn(n).replace(".", "_"))
+    val clashes = mangled.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
+    if (clashes.nonEmpty)
+      throw new IllegalArgumentException(
+        "ambiguous sql() view names: " + clashes.map { case (v, ns) =>
+          ns.map(_._1).distinct.sorted.mkString("'", "', '", "'") +
+            s" would all register as view '$v'"
+        }.mkString("; ") +
+          " — rename a table or pass a disjoint `tables` list")
+    mangled.foreach { case (n, view) =>
       // asOf pins a table to a committed generation — SQL over history
       // (C23 × C34): audit queries, before/after diffs, reproducible
       // reports against a fixed snapshot
       val df = asOf.get(n).map(st(n).readTableAt(pn(n), _)).getOrElse(st(n).readTable(pn(n)))
-      df.createOrReplaceTempView(pn(n).replace(".", "_"))
+      df.createOrReplaceTempView(view)
     }
     spark.sql(query)
   }

@@ -630,6 +630,55 @@ object CoreQueries {
     q.withColumn("sum_val", col("sum_val").cast("double")).orderBy("o_orderstatus")
   }
 
+  // C44b: the summary rewrite's FILTERED and AVG shapes, end to end
+  // with maintenance in the loop — base loaded from orders, summary
+  // bootstrapped, a price-bump upsert folded through
+  // maintainToCurrent (so freshness is the durable watermark, not the
+  // bootstrap), then a group-column-filtered aggregate carrying
+  // count, sum AND avg. The query ASSERTS the optimized plan reads
+  // the SUMMARY scan; the oracle recomputes everything from the raw
+  // relation, with avg quantized to exact micros (half-away division)
+  // so the decimal(22,6) the rewrite serves must be bit-identical.
+  def summaryRewriteFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwf")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    store.createTableFromDataFrame("base", orders, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(
+        store.readTable("base"), Seq("o_orderstatus"), "o_totalprice"),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(
+      s, store, "base", "summary", Seq("o_orderstatus"), "o_totalprice")
+    // a real mutation after bootstrap: freshness now depends on the
+    // maintenance fold, not the seed watermark
+    store.upsert("base", orders.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    graft.store.IncrementalAgg.maintainToCurrent(
+      store, "base", "summary", Seq("o_orderstatus"), "o_totalprice")
+    val q = store.readTable("base")
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"),
+        avg(col("o_totalprice").cast(DecimalType(18, 2))).as("avg_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"filtered summary rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_rows"),
+        col("sum_val").cast("double").as("sum_val"),
+        (col("avg_val") * lit(1000000)).cast("long").as("avg_micros"))
+      .orderBy("o_orderstatus")
+  }
+
   // C25: change-data-feed between generations — load commits a base
   // generation, one full merge commits deletes (keys <= 200), updates
   // (201..600, acctbal + 10) and inserts (601..800) at once, and the
@@ -870,6 +919,7 @@ object CoreQueries {
     "audit_trail" -> auditTrail,
     "dto_roundtrip" -> dtoRoundtrip,
     "summary_rewrite_read" -> summaryRewriteRead,
+    "summary_rewrite_filter" -> summaryRewriteFilter,
   )
 
   private def inferCase(c: String): String =
@@ -899,6 +949,20 @@ object CoreQueries {
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // C44b: raw recompute with the price bump applied; avg re-derived
+    // as exact micros — (2s+n) div (2n) is round-half-away of s/n
+    // (sums are positive here), matching Spark's decimal divide
+    "summary_rewrite_filter" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders WHERE o_orderstatus <> 'P'),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) * 100 AS HUGEINT) AS cents FROM f GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        | CAST(cents AS DOUBLE) / 100 AS sum_val,
+        | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
     // C14c: the canonical datetimeoffset render, the UTC instant and
     // the signed offset all re-derived from events.ts in plain SQL
     "dto_roundtrip" ->

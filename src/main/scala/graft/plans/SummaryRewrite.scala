@@ -1,13 +1,16 @@
 package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
 
 import graft.store.{IncrementalAgg, TableStore}
 
@@ -18,10 +21,10 @@ import graft.store.{IncrementalAgg, TableStore}
   * through `spark.experimental.extraOptimizations` (the same runtime
   * hook the Pairs strategy uses; `graft.plans.GraftExtensions` is the
   * declarative twin): when a query aggregates the base table's scan
-  * with exactly the summary's grouping and aggregate shape, the whole
-  * Aggregate collapses into a scan of the summary — at 100 TB that is
-  * the difference between re-scanning the fact table and reading a
-  * group-count-sized relation.
+  * with the summary's grouping and an answerable aggregate shape, the
+  * whole Aggregate collapses into a scan of the summary — at 100 TB
+  * that is the difference between re-scanning the fact table and
+  * reading a group-count-sized relation.
   *
   * The rewrite fires only when ALL of the following hold, and is
   * conservative by construction (a miss costs nothing — the plain
@@ -29,24 +32,43 @@ import graft.store.{IncrementalAgg, TableStore}
   *
   *  - the Aggregate's child is a FAITHFUL read of the registered base
   *    table: Project/SubqueryAlias layers that only pass attributes
-  *    through (optionally cast) under the SAME name, bottoming at the
-  *    base's parquet scan. A Filter, a rename, or any computed column
-  *    breaks faithfulness — a filtered or reshaped aggregate cannot be
-  *    answered from the summary;
+  *    through (optionally cast LOSSLESSLY — a value-changing cast such
+  *    as a decimal truncation breaks faithfulness, because the
+  *    aggregate would then range over different values than the
+  *    summary was maintained from) under the SAME name, plus
+  *    deterministic Filters whose predicates reference ONLY group
+  *    columns (groups are atomic under a group-column predicate, so
+  *    filtering the summary's rows is exactly filtering the groups),
+  *    bottoming at the base's parquet scan — and at NOTHING ELSE:
+  *    every scan root path must resolve to the same single
+  *    registration, so a multi-directory read (base dir plus extras)
+  *    never collapses to a summary that covers fewer rows;
   *  - the grouping is exactly the summary's group columns, and every
-  *    aggregate is `count(1)` or `sum(cast(valueCol as decimal(18,2)))`
-  *    (the [[IncrementalAgg.summarize]] shape, which is what the
-  *    summary stores losslessly);
-  *  - the summary is FRESH: its durable maintenance watermark
-  *    ([[IncrementalAgg.maintainedGen]]) equals the base's current
-  *    generation. A base commit without maintenance makes the rule
-  *    stand down until [[IncrementalAgg.maintainToCurrent]] catches up
-  *    — a stale summary is never served.
+  *    aggregate is `count(1)`, `sum(cast(valueCol as decimal(18,2)))`
+  *    or `avg(cast(valueCol as decimal(18,2)))` (the
+  *    [[IncrementalAgg.summarize]] shape; avg is served as
+  *    sum_val/n_rows through the exact expression tree
+  *    `Average.evaluateExpression` builds for a decimal child, so the
+  *    served value is bit-identical to the plain aggregate's);
+  *  - the summary is FRESH: its durable maintenance watermark equals
+  *    the base's current generation AND no write-ahead intent is
+  *    pending. The probe is READ-ONLY — recovery of an interrupted
+  *    maintenance attempt belongs to the maintenance path
+  *    ([[IncrementalAgg.maintainToCurrent]]); an optimizer rule must
+  *    never write store state (a healing write from plan time would
+  *    race the maintainer's unsynchronized properties update). An
+  *    undecided intent simply stands the rule down. The probe result
+  *    is cached per base and invalidated by the store's commit path
+  *    ([[TableStore.commitEpoch]]), so a session compiling many
+  *    queries against a registered base pays the O(#generations)
+  *    manifest listing once per commit, not once per compile.
   *
   * Output attribute ids are preserved (each replacement column is
   * aliased under the original exprId), so parent operators above the
   * rewritten Aggregate resolve unchanged. Single-writer contract:
-  * the summary must be maintained through the watermark API. */
+  * the summary must be maintained through the watermark API, via the
+  * same TableStore instance this JVM registered (the commit-epoch
+  * cache is in-process, like the rest of the single-writer story). */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
   final case class Registration(
@@ -58,6 +80,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   // prefixes; the store's path string may not).
   private val registry = new ConcurrentHashMap[String, Registration]()
 
+  private final case class Freshness(store: TableStore, epoch: Long, fresh: Boolean)
+  private val freshCache = new ConcurrentHashMap[String, Freshness]()
+
+  /** Store probes actually performed (cache misses) — the PlanAudit
+    * hook proving consecutive compiles don't re-list the store. */
+  private[graft] val freshnessProbes = new AtomicLong(0L)
+
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
@@ -65,8 +94,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * the session's experimental optimizations (idempotent). */
   def register(spark: SparkSession, store: TableStore, base: String, summary: String,
       groupCols: Seq[String], valueCol: String): Unit = {
-    registry.put(normalize(store.dataLocation(base)),
-      Registration(store, base, summary, groupCols, valueCol))
+    val key = normalize(store.dataLocation(base))
+    registry.put(key, Registration(store, base, summary, groupCols, valueCol))
+    freshCache.remove(key)
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
@@ -74,7 +104,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   /** Drop a registration (tests; a summary being decommissioned). */
   def unregister(store: TableStore, base: String): Unit = {
-    registry.remove(normalize(store.dataLocation(base))); ()
+    val key = normalize(store.dataLocation(base))
+    registry.remove(key)
+    freshCache.remove(key)
+    ()
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -85,13 +118,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** Strip faithful Project/SubqueryAlias layers; None on anything that
-    * could change row content, row count, or column identity. */
-  private def faithfulScanPaths(p: LogicalPlan): Option[Seq[String]] = p match {
+  /** Strip faithful Project/SubqueryAlias/Filter layers down to the
+    * scan, collecting filter predicates on the way; None on anything
+    * that could change row content or column identity in a way the
+    * summary can't reproduce. Filter predicates are vetted against
+    * the group columns by the caller. */
+  private def faithfulScan(p: LogicalPlan): Option[(Seq[String], Seq[Expression])] = p match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some(fs.location.rootPaths.map(_.toString))
-    case SubqueryAlias(_, c) => faithfulScanPaths(c)
-    case Project(list, c) if list.forall(faithfulColumn) => faithfulScanPaths(c)
+      Some((fs.location.rootPaths.map(_.toString), Nil))
+    case SubqueryAlias(_, c) => faithfulScan(c)
+    case Project(list, c) if list.forall(faithfulColumn) => faithfulScan(c)
+    case Filter(cond, c) if cond.deterministic =>
+      faithfulScan(c).map { case (paths, conds) => (paths, cond +: conds) }
     case _ => None
   }
 
@@ -99,10 +137,37 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _: AttributeReference => true
     case a @ Alias(ar: AttributeReference, _) => ar.name == a.name
     case a @ Alias(c: Cast, _) => c.child match {
-      case ar: AttributeReference => ar.name == a.name
+      case ar: AttributeReference =>
+        ar.name == a.name && losslessCast(ar.dataType, c.dataType)
       case _ => false
     }
     case _ => false
+  }
+
+  /** True only when every value of `from` maps injectively and exactly
+    * into `to` — the cast neither truncates, rounds, overflows, nor
+    * merges distinct values (so grouping, filtering, and summing over
+    * the cast column equal the same over the original). Anything not
+    * provably lossless is NOT faithful; conservative by design. */
+  private def losslessCast(from: DataType, to: DataType): Boolean = {
+    def intDigits(t: DataType): Int = t match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case LongType => 19; case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType | ShortType, FloatType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (f @ (ByteType | ShortType | IntegerType | LongType), t: DecimalType) =>
+        t.precision - t.scale >= intDigits(f)
+      case _ => false
+    }
   }
 
   private def isCountStar(e: Expression): Boolean = e match {
@@ -113,36 +178,87 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** `sum(cast(valueCol as decimal(18,2)))` or `sum(valueCol)` when the
-    * column already is decimal(18,2) — summarize's lossless shape. */
-  private def isSummarySum(e: Expression, valueCol: String): Boolean = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
-      case s: Sum => s.child match {
-        case c: Cast => c.dataType match {
-          case d: org.apache.spark.sql.types.DecimalType
-            if d.precision == 18 && d.scale == 2 => c.child match {
-              case ar: AttributeReference => ar.name == valueCol
-              case _ => false
-            }
-          case _ => false
-        }
-        case ar: AttributeReference =>
-          ar.name == valueCol && (ar.dataType match {
-            case d: org.apache.spark.sql.types.DecimalType =>
-              d.precision == 18 && d.scale == 2
-            case _ => false
-          })
+  /** `cast(valueCol as decimal(18,2))` or a bare `valueCol` already of
+    * that type — the child shape [[IncrementalAgg.summarize]] sums. */
+  private def isSummaryValue(e: Expression, valueCol: String): Boolean = e match {
+    case c: Cast => c.dataType match {
+      case d: DecimalType if d.precision == 18 && d.scale == 2 => c.child match {
+        case ar: AttributeReference => ar.name == valueCol
         case _ => false
       }
+      case _ => false
+    }
+    case ar: AttributeReference =>
+      ar.name == valueCol && (ar.dataType match {
+        case d: DecimalType => d.precision == 18 && d.scale == 2
+        case _ => false
+      })
+    case _ => false
+  }
+
+  private def isSummarySum(e: Expression, valueCol: String): Boolean = e match {
+    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+      case s: Sum => isSummaryValue(s.child, valueCol)
       case _ => false
     }
     case _ => false
   }
 
+  private def isSummaryAvg(e: Expression, valueCol: String): Boolean = e match {
+    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+      case a: Average => isSummaryValue(a.child, valueCol)
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** The exact expression tree `Average.evaluateExpression` builds for
+    * a decimal(18,2) child, applied to the summary's (sum_val, n_rows)
+    * — sumDataType decimal(28,2), resultType decimal(22,6), ANSI flag
+    * from the live conf — so a served avg is bit-identical to the
+    * plain aggregate's, including the divide's rounding and the
+    * empty-group null. */
+  private def avgFromSummary(sumVal: Expression, nRows: Expression): Expression = {
+    val resultType = DecimalType(22, 6)
+    If(EqualTo(nRows, Literal(0L)),
+      Literal(null, resultType),
+      DecimalDivideWithOverflowCheck(
+        Cast(sumVal, DecimalType(28, 2)),
+        Cast(nRows, DecimalType(20, 0)), // DecimalType.LongDecimal (private[sql])
+        resultType, null, SQLConf.get.ansiEnabled))
+  }
+
+  /** Read-only freshness, cached per base and invalidated by the
+    * store's in-process commit epoch (any manifest commit or
+    * properties write bumps it). */
+  private def isFresh(key: String, reg: Registration): Boolean = {
+    // epoch FIRST: a commit landing between this read and the probe
+    // makes the cached entry stale-by-epoch immediately, so a probe
+    // can never be served past a change it didn't see
+    val epoch = reg.store.commitEpoch.get()
+    val cached = freshCache.get(key)
+    if (cached != null && (cached.store eq reg.store) && cached.epoch == epoch)
+      return cached.fresh
+    freshnessProbes.incrementAndGet()
+    val fresh = try {
+      reg.store.exists(reg.summary) &&
+        IncrementalAgg.maintainedGenReadOnly(reg.store, reg.base, reg.summary)
+          .contains(reg.store.snapshots(reg.base).last._1)
+    } catch { case _: Exception => false }
+    freshCache.put(key, Freshness(reg.store, epoch, fresh))
+    fresh
+  }
+
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    val paths = faithfulScanPaths(child).getOrElse(return None)
-    val reg = paths.flatMap(p => Option(registry.get(normalize(p)))).distinct match {
+    val (paths, conds) = faithfulScan(child).getOrElse(return None)
+    // EVERY root path must resolve, and to the SAME registration — a
+    // scan of the base dir plus anything else covers more rows than
+    // the summary and must never collapse
+    if (paths.isEmpty) return None
+    val regs = paths.map(p => Option(registry.get(normalize(p))))
+    if (regs.exists(_.isEmpty)) return None
+    val reg = regs.flatten.distinct match {
       case Seq(r) => r
       case _      => return None
     }
@@ -152,39 +268,49 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (groupNames.sorted != reg.groupCols.sorted) return None
-    // every output: a grouping attribute, count(1), or the summary sum
+    // filters may reference ONLY group columns (then a group survives
+    // the filter as a whole or not at all — answerable by filtering
+    // the summary's rows)
+    if (!conds.forall(_.references.forall(a => reg.groupCols.contains(a.name))))
+      return None
+    // every output: a grouping attribute, count(1), the summary sum,
+    // or the summary avg
     aggExprs.foreach {
       case ar: AttributeReference if groupNames.contains(ar.name) =>
       case a: Alias => a.child match {
         case ar: AttributeReference if groupNames.contains(ar.name) =>
-        case e if isCountStar(e) || isSummarySum(e, reg.valueCol) =>
+        case e if isCountStar(e) || isSummarySum(e, reg.valueCol) ||
+          isSummaryAvg(e, reg.valueCol) =>
         case _ => return None
       }
-      case e if isCountStar(e) || isSummarySum(e, reg.valueCol) => return None // unnamed agg can't happen post-analysis; bail
       case _ => return None
     }
-    // freshness: the durable watermark must sit at the base's current
-    // generation — otherwise the summary is missing changes and the
-    // rule stands down (driver-side metadata reads only)
-    val fresh = try {
-      reg.store.exists(reg.summary) &&
-        IncrementalAgg.maintainedGen(reg.store, reg.base, reg.summary)
-          .contains(reg.store.snapshots(reg.base).last._1)
-    } catch { case _: Exception => false }
-    if (!fresh) return None
+    if (!isFresh(normalize(paths.head), reg)) return None
 
     val sumPlan = reg.store.readTable(reg.summary).queryExecution.analyzed
     val byName = sumPlan.output.map(a => a.name -> a).toMap
     // the summary must carry the expected columns
     if (!(reg.groupCols :+ "n_rows" :+ "sum_val").forall(byName.contains)) return None
 
+    // a base-side attribute remapped to its summary twin; cast back to
+    // the referenced type when a faithful (lossless) widening sat
+    // between the scan and the reference, so the predicate stays
+    // well-typed and value-identical
+    def remap(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if byName.contains(ar.name) =>
+        val s = byName(ar.name)
+        if (s.dataType == ar.dataType) s else Cast(s, ar.dataType)
+    }
+
     val projected: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
       case (orig, src) =>
         val replacement: Expression = src match {
-          case ar: AttributeReference => byName(ar.name)
+          case ar: AttributeReference => remap(ar)
           case a: Alias => a.child match {
-            case ar: AttributeReference => byName(ar.name)
+            case ar: AttributeReference => remap(ar)
             case e if isCountStar(e) => byName("n_rows")
+            case e if isSummaryAvg(e, reg.valueCol) =>
+              avgFromSummary(byName("sum_val"), byName("n_rows"))
             case _ => byName("sum_val") // isSummarySum verified above
           }
           case _ => return None
@@ -193,6 +319,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                    else Cast(replacement, orig.dataType)
         Alias(cast, orig.name)(exprId = orig.exprId)
     }
-    Some(Project(projected, sumPlan))
+    val filteredSummary = conds.map(remap) match {
+      case Nil => sumPlan
+      case cs  => Filter(cs.reduce(And), sumPlan)
+    }
+    Some(Project(projected, filteredSummary))
   }
 }

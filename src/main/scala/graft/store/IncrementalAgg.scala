@@ -115,6 +115,21 @@ object IncrementalAgg {
     store.properties(summary).get(appliedKey(base)).map(_.toInt)
   }
 
+  /** READ-ONLY twin of [[maintainedGen]] for the optimizer path
+    * (graft.plans.SummaryRewrite): never heals an interrupted attempt
+    * — a pending write-ahead intent is undecided, so it answers None
+    * (not fresh, rewrite stands down) and leaves recovery to the
+    * maintenance path. An optimizer probe that wrote store state would
+    * race a concurrent maintainer's properties update (setProperties
+    * is a read-modify-write serialized only by the single-writer
+    * contract, which a query compile is not part of). */
+  private[graft] def maintainedGenReadOnly(
+      store: TableStore, base: String, summary: String): Option[Int] = {
+    val props = store.properties(summary)
+    if (props.contains(pendingKey(base))) None
+    else props.get(appliedKey(base)).map(_.toInt)
+  }
+
   /** Finish or roll back an interrupted [[maintainToCurrent]]: the
     * intent record {pending, sgen} plus the summary's current
     * generation decide whether the single maintenance commit landed —

@@ -119,6 +119,14 @@ final class TableStore(
     clock: () => Long = () => System.currentTimeMillis()) {
   import TableStore.Meta
 
+  /** In-process change counter: bumped by every manifest commit and
+    * every properties write through THIS instance. Cheap (no I/O)
+    * invalidation signal for plan-time metadata caches
+    * (graft.plans.SummaryRewrite's freshness cache) — sound under the
+    * same single-writer-per-JVM contract the maintenance path already
+    * requires. */
+  private[graft] val commitEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val mapper = new ObjectMapper()
 
   private def tablePath(name: String) = new Path(root, name)
@@ -352,6 +360,8 @@ final class TableStore(
     fs.delete(propsPath(name), false)
     if (!fs.rename(tmp, propsPath(name)))
       throw new IllegalStateException(s"properties swap failed for table $name")
+    commitEpoch.incrementAndGet()
+    ()
   }
 
   /** All managed table names under this root (one listing of the root
@@ -1102,6 +1112,8 @@ final class TableStore(
     out.close()
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"manifest commit failed: $dst")
+    commitEpoch.incrementAndGet()
+    ()
   }
 
   /** The current file set as data-dir-relative keys (one listing). */

@@ -168,28 +168,52 @@ object SqlType {
     "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6} [+-]\\d{2}:\\d{2}$"
 
   /** DATETIMEOFFSET ingest: render a UTC instant at a per-row offset.
-    * The wall-clock half is the instant shifted by the offset (exact
-    * micros arithmetic — no zone-db lookup, offsets are fixed), the
-    * offset half is formatted ±HH:MM. Inverse of [[dtoInstant]] +
+    * The wall-clock half is the instant shifted by the offset, built
+    * with ZONE-FREE micros arithmetic (days via date_from_unix_date,
+    * time-of-day via pmod) — date_format/to_timestamp would render in
+    * the SESSION time zone, and TableStore/Graft are public entry
+    * points usable with an arbitrary SparkSession, where a non-UTC
+    * zone would silently store shifted wall clocks. The offset half is
+    * formatted ±HH:MM. Inverse of [[dtoInstant]] +
     * [[dtoOffsetMinutes]] (round-trip spec-pinned like TIME's). */
   def dtoFromTimestamp(ts: Column, offsetMinutes: Column): Column = {
     val om = offsetMinutes.cast("long")
-    val local = timestamp_micros(unix_micros(ts) + om * 60000000L)
+    val us = unix_micros(ts) + om * 60000000L
+    val dayUs = 86400000000L
+    val tod = pmod(us, lit(dayUs)).cast("long")
+    // (us - tod) is an exact multiple of dayUs but can exceed 2^53, so
+    // the division must not go through doubles — decimal division is
+    // exact BigDecimal arithmetic and the integral quotient survives
+    // the int cast unchanged
+    val days = ((us - tod).cast(DecimalType(38, 0)) / lit(dayUs)).cast("int")
     val absm = abs(om)
     concat(
-      date_format(local, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      date_from_unix_date(days).cast("string"), lit(" "),
+      lpad(floor(tod / 3600000000L).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad((floor(tod / 60000000L) % 60).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad((floor(tod / 1000000L) % 60).cast("long").cast("string"), 2, "0"), lit("."),
+      lpad((tod % 1000000L).cast("string"), 6, "0"),
       when(om < 0, " -").otherwise(" +"),
       lpad(floor(absm / 60).cast("long").cast("string"), 2, "0"),
       lit(":"),
       lpad((absm % 60).cast("string"), 2, "0"))
   }
 
-  /** DATETIMEOFFSET → its UTC instant (offset subtracted from the
-    * stored wall clock; SQL Server compares datetimeoffsets this way). */
-  def dtoInstant(c: Column): Column = {
-    val wall = to_timestamp(substring(c, 1, 26), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    timestamp_micros(unix_micros(wall) - dtoOffsetMinutes(c) * 60000000L)
+  /** DATETIMEOFFSET → its UTC instant epoch micros — SQL Server's
+    * comparison semantics for the type (the stored render orders by
+    * WALL CLOCK; comparisons, ORDER BY and zone maps must use this
+    * instead). Native codegen'd decode, zone-free by construction;
+    * see [[graft.plans.DtoInstant]]. */
+  def dtoInstantMicros(c: Column): Column = {
+    import org.apache.spark.sql.graftx.bridge
+    bridge.column(graft.plans.DtoInstant(bridge.expression(c)))
   }
+
+  /** DATETIMEOFFSET → its UTC instant (offset subtracted from the
+    * stored wall clock; SQL Server compares datetimeoffsets this way).
+    * Zone-free like [[dtoFromTimestamp]]: decoded by the native
+    * [[graft.plans.DtoInstant]], never through the session zone. */
+  def dtoInstant(c: Column): Column = timestamp_micros(dtoInstantMicros(c))
 
   /** DATETIMEOFFSET → its preserved offset in signed minutes. */
   def dtoOffsetMinutes(c: Column): Column = {

@@ -207,4 +207,28 @@ class GraftApiSpec extends AnyFunSuite {
     assert(sql.read.table("##Again").count() == 1)
     sql.close()
   }
+
+  test("sql() refuses ambiguous mangled view names instead of silently picking one") {
+    val g = Graft(spark, Files.createTempDirectory("graft_clash_").toString)
+    // '##X' registers as view tmp_X — identical to a permanent table
+    // literally named tmp_X
+    g.create.table("##X", Seq("A" -> "INT"), primaryKey = Seq("A"))
+    g.write.insert("##X", Seq(1).toDF("A"))
+    g.create.table("tmp_X", Seq("A" -> "INT"), primaryKey = Seq("A"))
+    val e1 = intercept[IllegalArgumentException](g.sql("SELECT count(*) FROM tmp_X"))
+    assert(e1.getMessage.contains("tmp_X"))
+    // an explicit disjoint tables list resolves it
+    assert(g.sql("SELECT count(*) AS n FROM tmp_X", tables = Seq("##X"))
+      .collect().head.getLong(0) == 1L)
+    assert(g.sql("SELECT count(*) AS n FROM tmp_X", tables = Seq("tmp_X"))
+      .collect().head.getLong(0) == 0L)
+    g.close()
+    // 'a.b' registers as a_b — identical to a table literally named a_b
+    val h = Graft(spark, Files.createTempDirectory("graft_clash2_").toString)
+    h.create.table("a.b", Seq("A" -> "INT"), primaryKey = Seq("A"))
+    h.create.table("a_b", Seq("A" -> "INT"), primaryKey = Seq("A"))
+    val e2 = intercept[IllegalArgumentException](h.sql("SELECT count(*) FROM a_b"))
+    assert(e2.getMessage.contains("a_b"))
+    h.close()
+  }
 }

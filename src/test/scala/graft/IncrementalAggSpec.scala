@@ -205,14 +205,61 @@ class IncrementalAggSpec extends AnyFunSuite {
         s"SQL-text aggregate not rewritten: ${viaSql.queryExecution.optimizedPlan}")
       assert(viaSql.orderBy("g").collect().toSeq == expect())
 
-      // a FILTERED aggregate cannot be answered from the summary
+      // a VALUE-column filter cannot be answered from the summary
       val filtered = store.readTable("base").filter(col("v") > 6.0).groupBy("g")
         .agg(count(lit(1)).as("n_rows"))
       assert(scanPaths(filtered).exists(_.contains("base")))
 
-      // a different aggregate shape (avg) is never rewritten
+      // avg over the raw DOUBLE column is a float sum, not the
+      // summary's exact decimal — never rewritten
       val other = store.readTable("base").groupBy("g").agg(avg(col("v")).as("m"))
       assert(scanPaths(other).exists(_.contains("base")))
+
+      // a GROUP-column filter IS answerable: groups are atomic under
+      // it, so the summary rows are filtered instead — and the rows
+      // must equal the plain aggregate's
+      def gFiltered = store.readTable("base").filter(col("g") =!= "zzz")
+        .groupBy("g").agg(count(lit(1)).as("n_rows"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_val"))
+      assert(scanPaths(gFiltered).forall(_.contains("summary")),
+        s"group-column filter should rewrite: ${gFiltered.queryExecution.optimizedPlan}")
+      assert(gFiltered.orderBy("g").collect().toSeq == expect())
+
+      // avg over the summarize-shaped decimal cast IS answerable as
+      // sum_val/n_rows — served through Average's own expression tree,
+      // so the values are bit-identical to the plain aggregate's
+      def avgQ = store.readTable("base").groupBy("g")
+        .agg(avg(col("v").cast(DecimalType(18, 2))).as("m"))
+      assert(scanPaths(avgQ).forall(_.contains("summary")),
+        s"decimal avg should rewrite: ${avgQ.queryExecution.optimizedPlan}")
+      SummaryRewrite.unregister(store, "base")
+      val rawAvg = store.readTable("base").groupBy("g")
+        .agg(avg(col("v").cast(DecimalType(18, 2))).as("m"))
+        .orderBy("g").collect().toSeq
+      SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+      assert(avgQ.orderBy("g").collect().toSeq == rawAvg)
+
+      // a LOSSY cast feeding the aggregate breaks faithfulness —
+      // decimal(10,0) truncates cents, so the sum ranges over
+      // different values than the summary holds (a count-only
+      // aggregate over the same plan is still rewritable: pruning
+      // drops the cast column entirely)
+      val lossy = store.readTable("base")
+        .withColumn("v", col("v").cast(DecimalType(10, 0)))
+        .groupBy("g")
+        .agg(sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+      assert(scanPaths(lossy).exists(_.contains("base")),
+        s"lossy cast must stand down: ${lossy.queryExecution.optimizedPlan}")
+
+      // consecutive compiles hit the store's freshness probe ONCE —
+      // the cache is invalidated by commits, not by compiles
+      val before = SummaryRewrite.freshnessProbes.get()
+      q.queryExecution.optimizedPlan
+      q.queryExecution.optimizedPlan
+      gFiltered.queryExecution.optimizedPlan
+      val missesAcrossCompiles = SummaryRewrite.freshnessProbes.get() - before
+      assert(missesAcrossCompiles <= 1,
+        s"expected at most one store probe across compiles, saw $missesAcrossCompiles")
     } finally SummaryRewrite.unregister(store, "base")
   }
 

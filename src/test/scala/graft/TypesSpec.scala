@@ -74,6 +74,50 @@ class TypesSpec extends AnyFunSuite {
       "2025-03-10 02:00:00.000000 +14:00"))
   }
 
+  test("datetimeoffset helpers are session-zone-free (ADVICE r10: public entry points run on arbitrary sessions)") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2025-06-15 08:30:00.123456"), 120L),
+      (2L, java.sql.Timestamp.valueOf("2025-01-01 00:00:00.0"), -570L),
+      (3L, java.sql.Timestamp.valueOf("2024-12-31 23:59:59.999999"), 840L))
+      .toDF("id", "ts", "om")
+    def render(): Seq[(String, Long)] = df
+      .select(col("id"), SqlType.dtoFromTimestamp(col("ts"), col("om")).as("dto"))
+      .withColumn("us", unix_micros(SqlType.dtoInstant(col("dto"))))
+      .orderBy("id").collect().toSeq
+      .map(r => (r.getAs[String]("dto"), r.getAs[Long]("us")))
+    val underUtc = render()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla") // +08:45
+      assert(render() == underUtc, "render or decode consulted the session zone")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(render() == underUtc, "render or decode consulted the session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("DtoInstant native decode: malformed strings are null, boundaries exact") {
+    val vals = Seq(
+      "2025-06-15 10:30:00.123456 +02:00", // canonical
+      "1969-12-31 23:59:59.999999 +00:00", // pre-epoch
+      "0001-01-01 00:00:00.000000 -14:00", // extreme civil date
+      "9999-12-31 23:59:59.999999 +14:00",
+      "2025-06-15 10:30:00 +02:00",        // missing fraction → null
+      "not a dto",                          // → null
+      null)
+    val out = vals.toDF("s")
+      .select(unix_micros(SqlType.dtoInstant(col("s"))).as("us")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(out(4).isEmpty && out(5).isEmpty && out(6).isEmpty)
+    // cross-check the well-formed ones against java.time
+    val expected = vals.take(4).map { s =>
+      val f = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS XXX")
+      val odt = java.time.OffsetDateTime.parse(s.replace(" +", " +").trim, f)
+      odt.toInstant.getEpochSecond * 1000000L + odt.toInstant.getNano / 1000L
+    }
+    assert(out.take(4).map(_.get) == expected)
+  }
+
   test("datetimeoffset violation: malformed renders and offsets past ±14:00 are caught") {
     val t = SqlType.parse("datetimeoffset")
     val df = Seq(
