@@ -120,16 +120,30 @@ object Filters {
       .getOrElse(throw errors.ColumnDoesNotExist("<dataframe>", Seq(name)))
   }
 
-  private def literal(text: String, dt: DataType): Column = {
+  private def unquoteLiteral(text: String): String = {
     val t = text.trim
-    val raw =
-      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
-        t.substring(1, t.length - 1).replace("''", "'")
-      else t
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  private def literal(text: String, dt: DataType): Column = {
+    val raw = unquoteLiteral(text)
     if (raw.equalsIgnoreCase("null")) lit(null).cast(dt) else lit(raw).cast(dt)
   }
 
-  private def condition(df: DataFrame, frag: String): Column = {
+  /** Instant micros of a datetimeoffset literal (normalized: naive
+    * forms localize as UTC, short fractions pad to 6 digits). */
+  private def dtoLiteral(text: String): Column = {
+    val raw = unquoteLiteral(text)
+    if (raw.equalsIgnoreCase("null"))
+      graft.types.SqlType.dtoInstantMicros(lit(null).cast(StringType))
+    else
+      graft.types.SqlType.dtoInstantMicros(
+        lit(graft.types.SqlType.dtoNormalizeLiteral(raw)))
+  }
+
+  private def condition(df: DataFrame, frag: String, dtoCols: Set[String]): Column = {
     val upper = frag.toUpperCase
     // IS [NOT] NULL
     val isNotNull = "(?i)\\s+IS\\s+NOT\\s+NULL\\s*$".r
@@ -150,8 +164,12 @@ object Filters {
       if (rest.startsWith("(") && rest.endsWith(")")) {
         val (lhs, not) = stripTrailingNot(frag.substring(0, inIdx))
         val (n, dt) = columnOf(df, lhs)
-        val vals = splitCsv(rest.substring(1, rest.length - 1)).map(v => literal(v, dt))
-        val c = col(Identifiers.quote(n)).isin(vals: _*)
+        val raws = splitCsv(rest.substring(1, rest.length - 1))
+        val c =
+          if (dtoCols.contains(n))
+            graft.types.SqlType.dtoInstantMicros(col(Identifiers.quote(n)))
+              .isin(raws.map(dtoLiteral): _*)
+          else col(Identifiers.quote(n)).isin(raws.map(v => literal(v, dt)): _*)
         return if (not) !c else c
       }
     }
@@ -169,7 +187,6 @@ object Filters {
     opIdx match {
       case Some((op, idx)) =>
         val (n, dt) = columnOf(df, frag.substring(0, idx))
-        val c = col(Identifiers.quote(n))
         // SQL identifier resolution: an UNQUOTED rhs that names an
         // existing column is a column reference (`lo <= hi` — the shape
         // CHECK constraints live on); quoted text stays a literal, so
@@ -180,8 +197,16 @@ object Filters {
         val rhsCol = if (rhsIsQuoted) None else
           df.schema.fields.find(_.name == Identifiers.unquote(rhsRaw))
             .orElse(df.schema.fields.find(_.name.equalsIgnoreCase(Identifiers.unquote(rhsRaw))))
-        val v = rhsCol.map(f => col(Identifiers.quote(f.name)))
-          .getOrElse(literal(rhsRaw, dt))
+        // a datetimeoffset lhs compares INSTANTS when the rhs is a
+        // literal or another datetimeoffset column; a mixed-type
+        // column pair falls back to the raw comparison
+        val asInstants = dtoCols.contains(n) &&
+          rhsCol.forall(f => dtoCols.contains(f.name))
+        def side(raw: Column): Column =
+          if (asInstants) graft.types.SqlType.dtoInstantMicros(raw) else raw
+        val c = side(col(Identifiers.quote(n)))
+        val v = rhsCol.map(f => side(col(Identifiers.quote(f.name))))
+          .getOrElse(if (asInstants) dtoLiteral(rhsRaw) else literal(rhsRaw, dt))
         op match {
           case "="          => c === v
           case ">"          => c > v
@@ -251,8 +276,17 @@ object Filters {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Parse a raw where string into a Catalyst predicate over df. */
-  def parseWhere(df: DataFrame, where: String): Column = {
+  /** Parse a raw where string into a Catalyst predicate over df.
+    *
+    * `dtoCols` names columns of SQL type DATETIMEOFFSET: comparisons
+    * and IN lists on those compare UTC INSTANTS (SQL Server's
+    * semantics for the type — the stored render orders by wall clock,
+    * which is a different order whenever offsets vary), via the native
+    * [[graft.plans.DtoInstant]] decode on both sides. Literals may be
+    * a full canonical render, or a naive `yyyy-MM-dd HH:mm:ss[.f…]`
+    * (localized as UTC, the reference's naive-means-UTC rule).
+    * IS NULL and LIKE stay on the stored string. */
+  def parseWhere(df: DataFrame, where: String, dtoCols: Set[String] = Set.empty): Column = {
     val toks = lex(where)
     if (toks.isEmpty) throw errors.InvalidSyntax(s"empty where: $where")
     var pos = 0
@@ -263,7 +297,7 @@ object Filters {
         val c = orExpr()
         if (peek.contains(RP)) { next(); c }
         else throw errors.InvalidSyntax(s"unbalanced parentheses in: $where")
-      case Frag(f) => condition(df, f)
+      case Frag(f) => condition(df, f, dtoCols)
       case other => throw errors.InvalidSyntax(s"unexpected token $other in: $where")
     }
     def andExpr(): Column = {

@@ -596,6 +596,30 @@ object CoreQueries {
       .withColumn("offset_minutes", SqlType.dtoOffsetMinutes(col("dto")))
   }
 
+  // C14d: INSTANT-semantics reads over datetimeoffset — the stored
+  // render orders by wall clock, but SQL Server compares the type by
+  // UTC instant (conversion.py round-trips through UTC), so where
+  // clauses on a dto column must cut by instant regardless of each
+  // row's offset. Offsets here vary ±14:00 across rows, so a
+  // wall-clock comparison would misclassify thousands of rows near
+  // the range edges; the oracle filters the original UTC timestamps
+  // directly. analyze() runs first so the read ALSO exercises the
+  // derived `#instant` zone maps (a mis-prune hash-fails).
+  def dtoInstantRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "dtoq")
+    store.createTable("ev",
+      Seq("event_id" -> "bigint", "dto" -> "datetimeoffset"), Seq("event_id"))
+    val ev = t(s, dir, "events")
+    val off = (col("event_id") % 57 - 28) * 30
+    store.insert("ev", ev.select(col("event_id"),
+      SqlType.dtoFromTimestamp(col("ts").cast("timestamp"), off).as("dto")))
+    store.analyze("ev", Seq("event_id", "dto"))
+    store.readTable("ev",
+        where = Some("dto >= '2024-01-10 00:00:00' AND dto < '2024-01-20 00:00:00'"),
+        orderBy = Seq("event_id"))
+      .withColumn("instant_utc", SqlType.dtoInstant(col("dto")))
+  }
+
   // C44: automatic summary rewrite, end to end — base built from
   // orders, summary maintained + watermarked, rule registered, then the
   // aggregate. The query function ASSERTS the optimized plan reads the
@@ -918,6 +942,7 @@ object CoreQueries {
     "generation_history" -> generationHistory,
     "audit_trail" -> auditTrail,
     "dto_roundtrip" -> dtoRoundtrip,
+    "dto_instant_read" -> dtoInstantRead,
     "summary_rewrite_read" -> summaryRewriteRead,
     "summary_rewrite_filter" -> summaryRewriteFilter,
   )
@@ -975,6 +1000,19 @@ object CoreQueries {
         | ts AS instant_utc,
         | CAST(om AS BIGINT) AS offset_minutes
         |FROM e ORDER BY event_id""".stripMargin,
+    // C14d: the instant cut re-derived from the ORIGINAL UTC instants
+    // (instant(dto) == ts by construction); render as in dto_roundtrip
+    "dto_instant_read" ->
+      """WITH e AS (SELECT event_id, ts, (event_id % 57 - 28) * 30 AS om FROM events)
+        |SELECT event_id,
+        | strftime(ts + om * INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S.%f') || ' ' ||
+        |   CASE WHEN om < 0 THEN '-' ELSE '+' END ||
+        |   lpad(CAST(abs(om) // 60 AS VARCHAR), 2, '0') || ':' ||
+        |   lpad(CAST(abs(om) % 60 AS VARCHAR), 2, '0') AS dto,
+        | ts AS instant_utc
+        |FROM e
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     // C24: every type token re-derived from the data — the create line
     // via the C3 inference ladder, the widen target via the same ladder
     // over the shifted keys (widen(tinyint, X) = X whenever X is wider)

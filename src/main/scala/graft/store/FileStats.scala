@@ -201,6 +201,10 @@ object FileStats {
   private def nameOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.nameParts.last)
+    // instant decode of a datetimeoffset column → its DERIVED zone-map
+    // entry (analyze() records min/max instant micros under
+    // `<c>#instant`; '#' cannot appear in a physical column name)
+    case graft.plans.DtoInstant(inner) => nameOf(inner).map(_ + "#instant")
     case _ => None
   }
 

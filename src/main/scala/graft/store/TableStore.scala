@@ -5,7 +5,7 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType, TimestampType}
 
 import graft.{errors, Filters, Identifiers}
 import graft.operators.Mutations
@@ -257,6 +257,21 @@ final class TableStore(
     * moved batch files into data/ without committing their manifest. */
   def clearCommitLock(name: String): Unit = fs.delete(lockPath(name), false)
 
+  /** Columns of SQL type DATETIMEOFFSET: comparisons, ORDER BY sort
+    * keys and zone maps on these use the UTC INSTANT (the stored
+    * render orders by wall clock — a different order whenever offsets
+    * vary; see [[graft.plans.DtoInstant]]). */
+  private def dtoColsOf(m: Meta): Set[String] =
+    m.columns.collect { case (n, t) if t.name == "datetimeoffset" => n }.toSet
+
+  /** Column name → aligned Spark type for predicate/stats evaluation,
+    * plus the DERIVED `<c>#instant` bigint domain for datetimeoffset
+    * columns ('#' cannot appear in a physical column name, so the key
+    * space is disjoint by construction). */
+  private def typesWithDerived(m: Meta): Map[String, DataType] =
+    m.columns.map { case (n, t) => n -> t.spark }.toMap ++
+      dtoColsOf(m).map(n => (n + "#instant") -> (LongType: DataType))
+
   private def bucketExpr(m: Meta): Column =
     pmod(xxhash64(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets))
 
@@ -499,7 +514,8 @@ final class TableStore(
     // even an unscrubbed entry can't mis-prune across a type change.
     FileStats.read(fs, statsPath(name)).foreach { st =>
       FileStats.write(fs, statsPath(name),
-        st.map { case (f, s) => f -> s.copy(cols = s.cols - column) })
+        st.map { case (f, s) =>
+          f -> s.copy(cols = s.cols -- Seq(column, column + "#instant")) })
     }
     writeMeta(name, m.copy(
       columns = m.columns.filterNot(_._1 == column),
@@ -809,12 +825,37 @@ final class TableStore(
       else FileStats.write(fs, statsPath(name), forSnapshots)
       return
     }
-    val domOf: Map[String, String] =
-      m.columns.map { case (n, t) => n -> t.spark.catalogString }.toMap
+    // stat entries to collect per file: each requested column under its
+    // aligned domain, PLUS a derived `<c>#instant` bigint entry for
+    // datetimeoffset columns — the zone map an instant-range predicate
+    // prunes with (the column's own min/max order by WALL CLOCK, a
+    // different order whenever offsets vary, so they cannot serve an
+    // instant comparison). Derived entries carry no bloom: equality
+    // probes on a dto value prune through the string entry's sketch.
+    final case class StatKey(key: String, value: Column, raw: Column,
+        dom: String, bloomable: Boolean)
+    val dtos = dtoColsOf(m)
+    val statKeys: Seq[StatKey] = cols0.flatMap { c =>
+      val isTz = m.columns.find(_._1 == c).get._2.spark == TimestampType
+      // zoned timestamps persist as EPOCH MICROS: a rendered local
+      // string would need the analyze-time session zone to read
+      // back (and is ambiguous in the repeated DST hour) — micros
+      // are zone-free and exact
+      val q0 = col(Identifiers.quote(c))
+      val q = if (isTz) unix_micros(q0) else q0
+      val base = StatKey(c, q, q0, m.columns.find(_._1 == c).get._2.spark.catalogString,
+        bloomable = true)
+      if (dtos.contains(c))
+        Seq(base, StatKey(c + "#instant", SqlType.dtoInstantMicros(q0),
+          SqlType.dtoInstantMicros(q0), "bigint", bloomable = false))
+      else Seq(base)
+    }
+    val domOf: Map[String, String] = statKeys.map(s => s.key -> s.dom).toMap
+    val bloomable: Set[String] = statKeys.filter(_.bloomable).map(_.key).toSet
     val kept: Map[String, FileStats.FileStat] =
       if (!incremental) Map.empty
       else existing.filter { case (f, st) =>
-        presentKeys.contains(f) && st.cols.keySet == cols0.toSet &&
+        presentKeys.contains(f) && st.cols.keySet == statKeys.map(_.key).toSet &&
           // re-scan entries computed under another type domain (or
           // legacy ones without a domain tag) — they can't prune
           st.cols.forall { case (c, cs) => cs.dom.contains(domOf(c)) } &&
@@ -823,8 +864,9 @@ final class TableStore(
           // (immutable files — a sketch once true stays true). rows=0
           // entries are exempt: an empty file prunes by its row count
           // and would re-scan forever (a scan yields it no sketch)
-          (bloomBits == 0 || st.rows == 0 || st.cols.forall { case (_, cs) =>
-            cs.bloom.exists(b => graft.plans.BloomSketch.bitsOf(b) == bloomBits)
+          (bloomBits == 0 || st.rows == 0 || st.cols.forall { case (k, cs) =>
+            !bloomable(k) ||
+              cs.bloom.exists(b => graft.plans.BloomSketch.bitsOf(b) == bloomBits)
           })
       }
     val toScan = present.filterNot(p => kept.contains(FileStats.relativeKey(dataDir, p)))
@@ -835,24 +877,17 @@ final class TableStore(
           .option("basePath", dataPath(name).toString)
           .parquet(toScan.map(_.toString): _*)
         val aligned = alignTo(raw, m, extra = Seq(input_file_name().as("__file")))
-        val aggs = cols0.flatMap { c =>
-          val isTz = m.columns.find(_._1 == c).get._2.spark == TimestampType
-          // zoned timestamps persist as EPOCH MICROS: a rendered local
-          // string would need the analyze-time session zone to read
-          // back (and is ambiguous in the repeated DST hour) — micros
-          // are zone-free and exact
-          val q0 = col(Identifiers.quote(c))
-          val q = if (isTz) unix_micros(q0) else q0
-          Seq(min(q).cast("string").as(s"__min_$c"),
-            max(q).cast("string").as(s"__max_$c"),
-            sum(when(q0.isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+        val aggs = statKeys.flatMap { sk =>
+          Seq(min(sk.value).cast("string").as(s"__min_${sk.key}"),
+            max(sk.value).cast("string").as(s"__max_${sk.key}"),
+            sum(when(sk.raw.isNull, 1L).otherwise(0L)).as(s"__nulls_${sk.key}")) ++
             // the bloom hashes the SAME rendering the min/max persist
             // (cast-to-string of the aligned value; zoned ts as micros) —
             // the contract FileStats.renderLit reproduces probe-side
-            (if (bloomBits > 0)
+            (if (bloomBits > 0 && sk.bloomable)
               Seq(graft.plans.GraftFunctions
-                .bloomSketch(q.cast("string"), bloomBits, bloomHashes)
-                .as(s"__bloom_$c"))
+                .bloomSketch(sk.value.cast("string"), bloomBits, bloomHashes)
+                .as(s"__bloom_${sk.key}"))
             else Nil)
         }
         val rows = aligned.groupBy(col("__file"))
@@ -860,12 +895,13 @@ final class TableStore(
           .collect()
         rows.map { r =>
           val key = FileStats.fileKey(dataDir, r.getAs[String]("__file"))
-          val cs = cols0.map { c =>
+          val cs = statKeys.map { sk =>
+            val c = sk.key
             val fresh =
-              if (bloomBits == 0) None
+              if (bloomBits == 0 || !sk.bloomable) None
               else Option(r.getAs[Array[Byte]](s"__bloom_$c"))
                 .map(java.util.Base64.getEncoder.encodeToString)
-            val dom = Some(domOf(c))
+            val dom = Some(sk.dom)
             // a re-scan that didn't build a sketch carries the file's
             // existing one forward (immutable files — a sketch once
             // true stays true): a routine analyze() or cluster()'s
@@ -884,7 +920,8 @@ final class TableStore(
       }
     // scanned files the aggregation never saw are EMPTY (e.g. the
     // flat-layout seed file) — record rows=0 so pruning can drop them too
-    val empty = cols0.map(c => c -> FileStats.ColStat(None, None, 0L, Some(domOf(c)))).toMap
+    val empty = statKeys.map(sk =>
+      sk.key -> FileStats.ColStat(None, None, 0L, Some(sk.dom))).toMap
     val empties = toScan.map(p => FileStats.relativeKey(dataDir, p) -> FileStats.FileStat(0L, empty)).toMap
     FileStats.write(fs, statsPath(name), forSnapshots ++ empties ++ kept ++ scanned)
   }
@@ -1221,11 +1258,11 @@ final class TableStore(
     // so pruning decides the file set BEFORE any parquet resolution —
     // file resolution (one recursive history listing) and the scan's
     // schema merge then each run ONCE, over the survivors only
-    val pred = emptyDf.filter(Filters.parseWhere(emptyDf, where))
+    val pred = emptyDf.filter(Filters.parseWhere(emptyDf, where, dtoColsOf(mAt)))
       .queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .getOrElse(return snapshotScan(name, gen, mAt, rels))
-    val types = mAt.columns.map { case (n, t) => n -> t.spark }.toMap
+    val types = typesWithDerived(mAt)
     val afterBuckets = allowedBuckets(mAt, pred, types) match {
       case Some(ids) => rels.filter { rel =>
         val dir = rel.takeWhile(_ != '/')
@@ -1496,11 +1533,11 @@ final class TableStore(
     // resolve the predicate through the analyzer so the pruners see real
     // Catalyst comparisons over AttributeReferences (the raw Column is
     // an unresolved ColumnNode tree in Spark 4)
-    val pred = base.filter(Filters.parseWhere(base, where))
+    val pred = base.filter(Filters.parseWhere(base, where, dtoColsOf(m)))
       .queryExecution.analyzed
       .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .getOrElse(return None)
-    val types = m.columns.map { case (n, t) => n -> t.spark }.toMap
+    val types = typesWithDerived(m)
     val all = listDataFiles(name)
     val afterBuckets = allowedBuckets(m, pred, types) match {
       case Some(ids) => all.filter { p =>
@@ -1670,7 +1707,7 @@ final class TableStore(
         val m0 = meta(name)
         (m0, where.map(w => prunedRead(name, m0, w)).getOrElse(read(name)))
     }
-    where.foreach(w => df = df.filter(Filters.parseWhere(df, w)))
+    where.foreach(w => df = df.filter(Filters.parseWhere(df, w, dtoColsOf(m))))
     val avail = df.columns.toSeq // snapshot schema when asOf is set
     if (columns.nonEmpty) {
       val missing = columns.filterNot(avail.contains)
@@ -1681,7 +1718,15 @@ final class TableStore(
     if (orderBy.nonEmpty) {
       val missing = orderBy.filterNot(avail.contains)
       if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
-      val ord = orderBy.map(c => if (orderDesc) col(Identifiers.quote(c)).desc else col(Identifiers.quote(c)))
+      // datetimeoffset columns sort by INSTANT (the type's SQL
+      // comparison semantics), not by the wall-clock string render
+      val dtos = dtoColsOf(m)
+      val ord = orderBy.map { c =>
+        val key = if (dtos.contains(c))
+          SqlType.dtoInstantMicros(col(Identifiers.quote(c)))
+        else col(Identifiers.quote(c))
+        if (orderDesc) key.desc else key
+      }
       df = df.orderBy(ord: _*)
     }
     limit.foreach(n => df = df.limit(n))

@@ -215,6 +215,22 @@ object SqlType {
     * [[graft.plans.DtoInstant]], never through the session zone. */
   def dtoInstant(c: Column): Column = timestamp_micros(dtoInstantMicros(c))
 
+  private val DtoLitRe =
+    "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})(?:\\.(\\d{1,6}))?( [+-]\\d{2}:\\d{2})?$".r
+
+  /** Normalize a user-written datetimeoffset literal to the canonical
+    * render: short/missing fractions pad to 6 digits, a missing offset
+    * localizes as UTC (the reference's naive-means-UTC rule,
+    * conversion.py prepare_datetimeoffset). Unrecognized text passes
+    * through (it decodes to NULL downstream, matching the engine's
+    * cast-failure convention). */
+  def dtoNormalizeLiteral(raw: String): String = raw.trim match {
+    case DtoLitRe(base, frac, off) =>
+      base + "." + Option(frac).getOrElse("").padTo(6, '0') +
+        Option(off).getOrElse(" +00:00")
+    case other => other
+  }
+
   /** DATETIMEOFFSET → its preserved offset in signed minutes. */
   def dtoOffsetMinutes(c: Column): Column = {
     val mag = substring(c, 29, 2).cast("long") * 60L + substring(c, 32, 2).cast("long")

@@ -142,6 +142,41 @@ class FileStatsSpec extends AnyFunSuite {
     assert(may("s = 'mm'", ss) && !may("s = 'mn'", ss))
   }
 
+  test("datetimeoffset instant predicates prune through the derived #instant entry") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dtoDf = Seq("2026-01-15 12:00:00.000000 +02:00").toDF("o")
+    def dtoPred(where: String) =
+      dtoDf.filter(Filters.parseWhere(dtoDf, where, dtoCols = Set("o")))
+        .queryExecution.analyzed
+        .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+        .get
+    val t2 = Map[String, DataType]("o" -> StringType, "o#instant" -> LongType)
+    def us(s: String): String =
+      graft.plans.DtoInstant.micros(UTF8String.fromString(s)).toString
+    // a file whose instants span 10:00..11:00 UTC
+    val st = stat("o#instant" -> ColStat(
+      Some(us("2026-01-15 10:00:00.000000 +00:00")),
+      Some(us("2026-01-15 11:00:00.000000 +00:00")), 0, Some("bigint")))
+    // naive literal localizes as UTC; instants past the file's max prune
+    assert(!FileStats.mayMatch(dtoPred("o >= '2026-01-15 11:30:00'"), st, t2))
+    assert(FileStats.mayMatch(dtoPred("o >= '2026-01-15 10:30:00'"), st, t2))
+    // an offset literal compares by INSTANT: 13:30 +03:00 is 10:30 UTC
+    assert(FileStats.mayMatch(dtoPred("o >= '2026-01-15 13:30:00 +03:00'"), st, t2))
+    // 14:30 +03:00 is 11:30 UTC — past the max
+    assert(!FileStats.mayMatch(dtoPred("o <= '2026-01-15 09:30:00'"), st, t2))
+    assert(!FileStats.mayMatch(dtoPred("o = '2026-01-15 09:59:59.999999'"), st, t2))
+    assert(FileStats.mayMatch(dtoPred("o = '2026-01-15 10:00:00'"), st, t2))
+    // IN prunes by instant-range overlap too
+    assert(!FileStats.mayMatch(
+      dtoPred("o IN ('2026-01-15 09:00:00', '2026-01-15 11:30:00')"), st, t2))
+    assert(FileStats.mayMatch(
+      dtoPred("o IN ('2026-01-15 09:00:00', '2026-01-15 10:30:00')"), st, t2))
+    // a file without the derived entry never mis-prunes
+    val bare = stat("o" -> ColStat(Some("a"), Some("z"), 0, Some("string")))
+    assert(FileStats.mayMatch(dtoPred("o >= '2026-01-15 11:30:00'"), bare, t2))
+  }
+
   test("conservative fallbacks: unknown columns, stat-less columns, odd shapes") {
     val s = stat(k("100", "200"))
     assert(may("s = 'anything'", s))      // no stats for s → keep

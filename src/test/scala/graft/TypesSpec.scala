@@ -138,6 +138,42 @@ class TypesSpec extends AnyFunSuite {
     assert(got == "2025-06-15 08:30:00.500000 +00:00")
   }
 
+  test("datetimeoffset reads use INSTANT semantics end to end: where, ORDER BY, file pruning") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dtoq_").toString)
+    store.createTable("t", Seq("k" -> "bigint", "d" -> "datetimeoffset"), Seq("k"))
+    def dto(ts: String, om: Long) = Seq((ts, om)).toDF("ts", "om")
+      .select(SqlType.dtoFromTimestamp(col("ts").cast("timestamp"), col("om")))
+      .collect().head.getString(0)
+    // wall order ≠ instant order: A is the EARLIER instant but the
+    // LATER wall clock (offset +14:00); B the reverse (−10:00)
+    val a = dto("2026-01-15 00:00:00", 840L)   // wall 14:00, instant 00:00Z
+    val b = dto("2026-01-15 10:00:00", -600L)  // wall 00:00, instant 10:00Z
+    assert(a.startsWith("2026-01-15 14:00:00") && b.startsWith("2026-01-15 00:00:00"))
+    store.insert("t", Seq((1L, a)).toDF("k", "d"))
+    store.insert("t", Seq((2L, b)).toDF("k", "d")) // second file
+    // ORDER BY sorts by instant: A (00:00Z) before B (10:00Z), though
+    // A's stored string is the lexicographically larger one
+    assert(store.readTable("t", orderBy = Seq("d"))
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // where compares instants (naive literal = UTC): only B is ≥ 05:00Z
+    assert(store.readTable("t", where = Some("d >= '2026-01-15 05:00:00'"))
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // and the zone map prunes files by the derived instant stats: the
+    // predicate excludes file 1's instant range entirely
+    store.analyze("t", Seq("k", "d"))
+    val report = store.explainPruning("t", "d >= '2026-01-15 05:00:00'")
+    // 3 files: the flat create's empty seed + the two inserts; stats
+    // drop the seed (rows=0) and file 1 (instant range below the probe)
+    assert(report("total_files") == 3L, s"unexpected layout: $report")
+    assert(report("after_stats_prune") == 1L,
+      s"instant predicate did not prune by derived stats: $report")
+    // wall-clock-identical probe in another offset: equality by instant
+    val probe = "2026-01-14 14:00:00 -10:00" // == 2026-01-15 00:00Z == A
+    assert(store.readTable("t", where = Some(s"d = '$probe'"))
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("narrowSchema picks smallest integral, date vs datetime2, varchar(n)") {
     val df = Seq(
       (1L, 200L, 40000L, 1.5, 25.0, "abc", "2024-01-01 00:00:00", "2024-01-01 10:30:00"),
