@@ -12,96 +12,115 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private val headline = Seq(
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "window_running",
-    "events_sessionize",
-    "events_tumbling",
-    "asof_join",
-    "percentiles_by_group",
-    "merge_full",
-    "update_by_key",
-    "upsert_bucketed",
-    "cdf_diff", // NEW r6 entry (C25) — absent from r1–r5 records
-    // mirror_sync (C39) deliberately NOT benched: the 80th entry pushes
-    // "calib" out of the driver's 2 KB tail (measured 2057 chars from
-    // calib to EOL at sf0.001 — 9 over; sf0.1 digits make it worse).
-    // Correctness rides CORRECTNESS_r10; cost class ≈ upsert_bucketed
-    // (same store-mutation machinery) which IS on the record.
-    "q13_order_distribution", // NEW r6 entry (A24) — absent from earlier records
-    "q19_disjunctive_join", // NEW r6 entry (A26) — absent from earlier records
-    "q21_sole_failing_supplier", // NEW r6 entry (A30) — absent from earlier records
-    "q2_min_cost_supplier", // NEW r6 entry (A29) — absent from earlier records
-    "q7_volume_shipping", // NEW r7 entry (A34) — absent from earlier records
-    "q9_product_profit", // NEW r7 entry (A36) — absent from earlier records
-    "q16_part_suppliers", // NEW r7 entry (A41) — absent from earlier records
-    "text_classifier", // NEW r6 entry (L36) — absent from earlier records
-    "sample_importance", // NEW r6 entry (L37) — absent from earlier records
-    "text_ngrams", // NEW r6 entry (L35) — absent from earlier records
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_adaptive",
-    "dedup_minhash_lsh",
-    "dedup_substring", // NEW r6 entry (L32) — absent from r1–r5 records
-    "dedup_families",
-    "dedup_clusters",
-    "contamination_check",
-    "sample_stratified",
-    "sample_diverse", // NEW r6 entry (L31) — absent from r1–r5 records
-    "text_tfidf",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "embedding_centroids",
-    "text_quality",
-    "text_repetition",
-    "text_fingerprint",
-    "pack_sequences",
-    "multimodal_decode",
-    "pipeline_stats",
-    "text_chunks", // NEW r7 entry (L38) — absent from earlier records
-    "embedding_quantize", // NEW r7 entry (L39) — absent from earlier records
-    "events_transitions", // NEW r7 entry (A43) — absent from earlier records
-    "dedup_cluster_split", // NEW r7 entry (L41) — absent from earlier records
-    "sim_topk_pq", // NEW r7 entry (L43) — absent from earlier records
-    "sim_topk_ivfpq", // NEW r7 entry (L43c) — absent from earlier records
-    "text_cms", // NEW r7 entry (L44) — absent from earlier records
-    "text_bigram", // NEW r7 entry (L45) — absent from earlier records
-    "events_anomaly", // NEW r7 entry (A44) — absent from earlier records
-    "export_shards", // NEW r7 entry (L42) — absent from earlier records
-    "multimodal_resize", // NEW r7 entry (L12e) — absent from earlier records
-    "source_jsonl_ingest", // NEW r7 entry (C33) — absent from earlier records
-    "text_bpe", // NEW r7 entry (L46) — absent from earlier records
-    "dedup_despan", // NEW r7 entry (L47) — absent from earlier records
-    "source_quality", // NEW r7 entry (L48) — absent from earlier records
-    "events_distinct_sketch", // NEW r7 entry (A45) — absent from earlier records
-    "multimodal_resample", // NEW r7 entry (L12f) — absent from earlier records
-    "sim_kmeans_train", // NEW r7 entry (L49) — absent from earlier records
-    "text_classifier_train", // NEW r7 entry (L50) — absent from earlier records
-    "text_vocab_coverage", // NEW r7 entry (L51) — absent from earlier records
-    "events_quantile_sketch", // NEW r7 entry (A46) — absent from earlier records
-    "text_training_sequences", // NEW r7 entry (L54) — absent from earlier records
-    "multimodal_patches", // NEW r7 entry (L12g) — absent from earlier records
-    "dedup_paragraph", // NEW r9 entry (L60) — absent from earlier records
-    "sim_recall", // NEW r9 entry (L61) — absent from earlier records
-    "text_lexdiv", // NEW r9 entry (L62) — absent from earlier records
-    "dedup_paragraph_near", // NEW r9 entry (L65) — absent from earlier records
-    "sim_recall_pq", // NEW r9 entry (L61b) — absent from earlier records
-    "sim_cluster_quality", // NEW r9 entry (L66) — absent from earlier records
-    "events_dedup_window", // NEW r9 entry (A49) — absent from earlier records
-    "dto_roundtrip", // NEW r10 entry (C14c) — absent from earlier records
-    "decontam_paragraph", // NEW r10 entry (L74) — absent from earlier records
+  // (query name, tail alias). The graded "queries" dict is keyed by the
+  // ALIAS (r11, VERDICT r10 #5): the driver keeps only the LAST 2 KB of
+  // the JSON line, and full names at 84+ entries would push calib out of
+  // that tail. The alias→name map is also emitted in-band as "alias"
+  // (early in the line — it survives in local records, tools/bench_local
+  // _r*.json, while the driver tail carries the compact dict). Aliases
+  // are frozen once used in a record; never re-bind one.
+  private val headline: Seq[(String, String)] = Seq(
+    "q1_pricing_summary" -> "q1",
+    "q3_shipping_priority" -> "q3",
+    "q5_local_supplier" -> "q5",
+    "q17_small_quantity" -> "q17",
+    "q18_large_orders" -> "q18",
+    "window_running" -> "wrun",
+    "events_sessionize" -> "sess",
+    "events_tumbling" -> "tumb",
+    "asof_join" -> "asof",
+    "percentiles_by_group" -> "pctl",
+    "merge_full" -> "mrgf",
+    "update_by_key" -> "updk",
+    "upsert_bucketed" -> "upsb",
+    "cdf_diff" -> "cdf", // NEW r6 entry (C25) — absent from r1–r5 records
+    "q13_order_distribution" -> "q13", // NEW r6 (A24)
+    "q19_disjunctive_join" -> "q19", // NEW r6 (A26)
+    "q21_sole_failing_supplier" -> "q21", // NEW r6 (A30)
+    "q2_min_cost_supplier" -> "q2", // NEW r6 (A29)
+    "q7_volume_shipping" -> "q7", // NEW r7 (A34)
+    "q9_product_profit" -> "q9", // NEW r7 (A36)
+    "q16_part_suppliers" -> "q16", // NEW r7 (A41)
+    "text_classifier" -> "tcls", // NEW r6 (L36)
+    "sample_importance" -> "simp", // NEW r6 (L37)
+    "text_ngrams" -> "tngr", // NEW r6 (L35)
+    "dedup_exact" -> "dexa",
+    "dedup_ngram_jaccard" -> "djac",
+    "dedup_jaccard_adaptive" -> "djad",
+    "dedup_minhash_lsh" -> "dmlsh",
+    "dedup_substring" -> "dsub", // NEW r6 (L32)
+    "dedup_families" -> "dfam",
+    "dedup_clusters" -> "dclu",
+    "contamination_check" -> "cont",
+    "sample_stratified" -> "sstr",
+    "sample_diverse" -> "sdiv", // NEW r6 (L31)
+    "text_tfidf" -> "tfidf",
+    "sim_topk_bruteforce" -> "sbf",
+    "sim_topk_ivf" -> "sivf",
+    "embedding_centroids" -> "ecen",
+    "text_quality" -> "tqua",
+    "text_repetition" -> "trep",
+    "text_fingerprint" -> "tfin",
+    "pack_sequences" -> "pack",
+    "multimodal_decode" -> "mdec",
+    "pipeline_stats" -> "pstat",
+    "text_chunks" -> "tchk", // NEW r7 (L38)
+    "embedding_quantize" -> "equa", // NEW r7 (L39)
+    "events_transitions" -> "etra", // NEW r7 (A43)
+    "dedup_cluster_split" -> "dcsp", // NEW r7 (L41)
+    "sim_topk_pq" -> "spq", // NEW r7 (L43)
+    "sim_topk_ivfpq" -> "sipq", // NEW r7 (L43c)
+    "text_cms" -> "tcms", // NEW r7 (L44)
+    "text_bigram" -> "tbig", // NEW r7 (L45)
+    "events_anomaly" -> "eano", // NEW r7 (A44)
+    "export_shards" -> "exsh", // NEW r7 (L42)
+    "multimodal_resize" -> "mrsz", // NEW r7 (L12e)
+    "source_jsonl_ingest" -> "sjin", // NEW r7 (C33)
+    "text_bpe" -> "tbpe", // NEW r7 (L46)
+    "dedup_despan" -> "ddes", // NEW r7 (L47)
+    "source_quality" -> "squa", // NEW r7 (L48)
+    "events_distinct_sketch" -> "edsk", // NEW r7 (A45)
+    "multimodal_resample" -> "mrsp", // NEW r7 (L12f)
+    "sim_kmeans_train" -> "skmt", // NEW r7 (L49)
+    "text_classifier_train" -> "tclt", // NEW r7 (L50)
+    "text_vocab_coverage" -> "tvoc", // NEW r7 (L51)
+    "events_quantile_sketch" -> "eqsk", // NEW r7 (A46)
+    "text_training_sequences" -> "ttsq", // NEW r7 (L54)
+    "multimodal_patches" -> "mpat", // NEW r7 (L12g)
+    "dedup_paragraph" -> "dpar", // NEW r9 (L60)
+    "sim_recall" -> "srec", // NEW r9 (L61)
+    "text_lexdiv" -> "tlex", // NEW r9 (L62)
+    "dedup_paragraph_near" -> "dpnr", // NEW r9 (L65)
+    "sim_recall_pq" -> "srpq", // NEW r9 (L61b)
+    "sim_cluster_quality" -> "scqu", // NEW r9 (L66)
+    "events_dedup_window" -> "eddw", // NEW r9 (A49)
+    "dto_roundtrip" -> "dtor", // NEW r10 (C14c)
+    "decontam_paragraph" -> "dcnp", // NEW r10 (L74)
+    // r11 additions — the alias map bought the tail room the r10 record
+    // lacked (VERDICT r9 #3 / r10 "five un-benched surfaces"):
+    "dto_instant_read" -> "dtoi", // NEW r11 (C14d)
+    "incr_agg_read" -> "iagr", // NEW r11 (C41, un-benched in r10)
+    "summary_rewrite_read" -> "swrr", // NEW r11 (C44, un-benched in r10)
+    "summary_rewrite_filter" -> "swrf", // NEW r11 (C44 filtered/avg shapes)
+    "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
+    "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
+    "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)
+    "skew_report" -> "skrp", // NEW r11 (A52, un-benched in r10)
     // generation_history / audit_trail are NOT benched: near-constant
-    // store-metadata micro-ops (25-row nation), no scale signal, and the
-    // 2 KB tail budget is the scarce resource (VERDICT r9 #3).
+    // store-metadata micro-ops (25-row nation), no scale signal.
     // sim_topk_ivfpq_indexed is NOT benched: like sim_topk_ivf_indexed,
     // its wall time is dominated by store-index CONSTRUCTION (two Lloyd
     // trainings + table writes per run) — the steady-state search cost
     // is sim_topk_ivfpq's
   )
+
+  /** Stream rider aliases (same tail-alias scheme as [[headline]]). */
+  private val streamAliases: Map[String, String] = Map(
+    "stream_minhash" -> "smin",
+    "stream_funnel" -> "sfun",
+    "stream_budget" -> "sbud",
+    "stream_cdc_apply" -> "scdc", // NEW r11 (S38 rider)
+    "stream_mirror" -> "smir") // NEW r11 (S40 rider)
 
   /** Streaming micro-benches, driven AvailableNow over parquet inputs
     * (setup writes excluded from the timing; the timed span is stream
@@ -182,11 +201,64 @@ object Bench {
       q.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
-    minhash ++ funnel ++ budget
+    // S38 rider (VERDICT r10 #8): the streaming CDC apply — per-trigger
+    // last-verdict-per-key reduce + ONE atomic applyChanges commit into
+    // a bucketed store table. Catches state-free sink regressions the
+    // batch twin (cdf/merge entries) can't: the foreachBatch round trip
+    // and the per-trigger commit machinery are on the timed path.
+    val cdc = timed("stream_cdc_apply") { tag =>
+      val cust = GraftSession.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val (in, schema) = if (tag == 1) {
+        val staged = stage(cust
+          .withColumn("__del", col("c_custkey") % 10 === 0)
+          .withColumn("seq", col("c_custkey")), "s38_")
+        s38Input = staged; staged
+      } else s38Input
+      // fresh store per run: the timed span must include the verdict
+      // fold AND the keyed commit, from a comparable starting state
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_bench_s38t_").toString)
+      store.createTableFromDataFrame("t",
+        cust.filter(col("c_custkey") % 2 === 0), Seq("c_custkey"), infer = false)
+      val s = spark.readStream.schema(schema).parquet(in)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.cdcApplySink(s, store, "t",
+          Seq("c_custkey"), "__del", "seq")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // S40 rider: the streaming mirror sink — bootstrap export on the
+    // first trigger plus the keyed upsert and changed-partition sync.
+    val mir = timed("stream_mirror") { tag =>
+      val cust = GraftSession.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val (in, schema) = if (tag == 1) {
+        val staged = stage(cust, "s40_")
+        s40Input = staged; staged
+      } else s40Input
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_bench_s40t_").toString)
+      store.createTableFromDataFrame("base",
+        cust.filter(col("c_custkey") % 2 === 0), Seq("c_custkey"), infer = false)
+      val mirror = java.nio.file.Files
+        .createTempDirectory("graft_bench_s40m_").toString + "/mirror"
+      val s = spark.readStream.schema(schema).parquet(in)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.mirrorMaintenanceSink(s, store, "base",
+          mirror, "c_mktsegment")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    minhash ++ funnel ++ budget ++ cdc ++ mir
   }
   // staged stream inputs, written once and reused by the second run
   private var s6Input: (String, org.apache.spark.sql.types.StructType) = _
   private var s17Input: (String, org.apache.spark.sql.types.StructType) = _
+  private var s38Input: (String, org.apache.spark.sql.types.StructType) = _
+  private var s40Input: (String, org.apache.spark.sql.types.StructType) = _
 
   /** Box-contention calibration: fixed-size compute probes whose clean-box
     * times are known constants for a given JVM+hardware, independent of SF.
@@ -221,7 +293,9 @@ object Bench {
     // iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (the
     // driver never sets it, so driver benches always run the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val selected = only.map(o => headline.filter(o)).getOrElse(headline)
+    // filter by full name or tail alias
+    val selected = only.map(o => headline.filter { case (n, a) =>
+      o.contains(n) || o.contains(a) }).getOrElse(headline)
     val withStream = only.forall(_.contains("stream_minhash"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -241,7 +315,7 @@ object Bench {
     // cannot accidentally reuse them.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      selected.foreach { name =>
+      selected.foreach { case (name, _) =>
         try SparkEntry.queries(name)(spark, warmDir).count()
         catch { case _: Throwable => }
       }
@@ -306,7 +380,7 @@ object Bench {
     // clean box and bounded extra time (one run per contended query)
     // on a loaded one.
     val startClean = math.min(js1, js2) / 8.0
-    val results = selected.flatMap { name =>
+    val results = selected.flatMap { case (name, _) =>
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
         val t1 = once(name, fn)
@@ -355,12 +429,13 @@ object Bench {
     // the in-band clean constant — no hardware-specific hardcode).
     // ratio >> 1 ⇒ transient contention DURING that query's window even
     // if the end-of-run calib pair looks clean (the r4/r7 ambiguity).
+    val aliasOf: Map[String, String] = headline.toMap ++ streamAliases
     val jvmClean = math.min(math.min(js1, js2), math.min(j1, j2)) / 8.0
     val probeWorst =
       if (probeByQuery.isEmpty || jvmClean <= 0) "{}"
       else {
         val (pwName, pwVal) = probeByQuery.maxBy(_._2)
-        s"""{"query":"$pwName","ratio":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(pwVal / jvmClean))}}"""
+        s"""{"query":"${aliasOf.getOrElse(pwName, pwName)}","ratio":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(pwVal / jvmClean))}}"""
       }
     // 2-decimal timings throughout (VERDICT r9 #3's budget fix): the
     // 76-entry r9 dict left 28 chars of 2 KB tail headroom — the one
@@ -368,9 +443,14 @@ object Bench {
     // below the run-to-run noise floor anyway (>=10% swings on 50 ms
     // queries are routine even clean-box). 10 ms grain, ~60 chars
     // back, room for the r10 entries.
+    // graded dict keyed by ALIAS (see headline) — full names live in
+    // the in-band "alias" dict and in this source file
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1"
+      "\"" + aliasOf.getOrElse(k, k) + "\":" + (if (v < 0) "-1"
         else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)))
+    }.mkString("{", ",", "}")
+    val aliasJson = results.map { case (k, _) =>
+      "\"" + aliasOf.getOrElse(k, k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -386,7 +466,7 @@ object Bench {
     // per probe), then the graded "queries"/"value" — so the last
     // ~1.5 KB always carries calib + probe_worst + queries + value.
     val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"probe_34m":$probes,"peak_task_mem":$mem,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$totalStr}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"alias":$aliasJson,"probe_34m":$probes,"peak_task_mem":$mem,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$totalStr}""")
     spark.stop()
   }
 }

@@ -979,9 +979,17 @@ final class TableStore(
     val missing = columns.filterNot(m.columns.map(_._1).contains)
     if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
     def linear(c: String): Column = {
-      val dt = m.columns.find(_._1 == c).get._2.spark
+      val t = m.columns.find(_._1 == c).get._2
       val q = col(Identifiers.quote(c))
-      dt match {
+      // datetimeoffset clusters by INSTANT (its comparison semantics;
+      // C14d) — the post-cluster auto-analyze then writes `#instant`
+      // zone maps over files that are contiguous in exactly that
+      // order, so instant-range predicates prune like any clustered
+      // numeric. Linearizing the wall-clock STRING would interleave
+      // offsets into the curve and destroy that locality.
+      if (t.name == "datetimeoffset")
+        return coalesce(SqlType.dtoInstantMicros(q), lit(0L)).cast("double")
+      t.spark match {
         case _: NumericType => q.cast("double")
         case DateType => unix_date(q).cast("double")
         case TimestampType | TimestampNTZType => unix_micros(q).cast("double")

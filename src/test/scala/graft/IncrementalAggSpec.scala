@@ -251,6 +251,18 @@ class IncrementalAggSpec extends AnyFunSuite {
       assert(scanPaths(lossy).exists(_.contains("base")),
         s"lossy cast must stand down: ${lossy.queryExecution.optimizedPlan}")
 
+      // HAVING composes for free: a filter ABOVE the aggregate sits on
+      // the rewritten Project's preserved exprIds, so it filters the
+      // summary-served rows
+      def having = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+        .filter(col("n_rows") >= 2)
+      assert(scanPaths(having).forall(_.contains("summary")),
+        s"HAVING should compose over the rewrite: ${having.queryExecution.optimizedPlan}")
+      assert(having.orderBy("g").collect().toSeq ==
+        expect().filter(_.getLong(1) >= 2))
+
       // consecutive compiles hit the store's freshness probe ONCE —
       // the cache is invalidated by commits, not by compiles
       val before = SummaryRewrite.freshnessProbes.get()

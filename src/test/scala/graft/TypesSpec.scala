@@ -174,6 +174,35 @@ class TypesSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("cluster() on a datetimeoffset column lays out by INSTANT and prunes instant ranges") {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dtoz_").toString)
+    store.createTable("t", Seq("k" -> "bigint", "d" -> "datetimeoffset"), Seq("k"))
+    // 1000 rows over ~42 days of instants, offsets cycling the full
+    // ±14:00 span — wall-clock order is thoroughly scrambled
+    val rows = spark.range(0, 1000).toDF("k")
+      .withColumn("ts", expr("timestamp_micros(1700000000000000 + k * 3600000000)"))
+      .withColumn("om", (col("k") % 57 - 28) * 30)
+      .select(col("k"), SqlType.dtoFromTimestamp(col("ts"), col("om")).as("d"))
+    store.insert("t", rows)
+    store.cluster("t", Seq("d"), filesTarget = 8)
+    // a 10%-of-range instant predicate must skip most files
+    val report = store.explainPruning("t",
+      "d >= '2023-11-14 22:13:20' AND d < '2023-11-19 00:00:00'")
+    assert(report("total_files") >= 8L, s"unexpected layout: $report")
+    assert(report("after_stats_prune") <= 2L,
+      s"instant-clustered layout should prune to ~1 file: $report")
+    // and the pruned read returns exactly the instant-filtered rows
+    val got = store.readTable("t",
+        where = Some("d >= '2023-11-14 22:13:20' AND d < '2023-11-19 00:00:00'"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val want = (0L until 1000L).filter { k =>
+      val us = 1700000000000000L + k * 3600000000L
+      us >= 1700000000000000L && us < 1700352000000000L
+    }.toSet
+    assert(got == want)
+  }
+
   test("narrowSchema picks smallest integral, date vs datetime2, varchar(n)") {
     val df = Seq(
       (1L, 200L, 40000L, 1.5, 25.0, "abc", "2024-01-01 00:00:00", "2024-01-01 10:30:00"),

@@ -53,8 +53,18 @@ def load(path):
     raise SystemExit(f"no bench JSON line in {path}")
 
 
+def expand_aliases(doc):
+    """r11+: the graded queries dict is keyed by tail ALIASES; the
+    alias->name map rides in-band as "alias". Re-key to full names so
+    pre-r11 records compare directly."""
+    amap = doc.get("alias") or {}
+    if amap and "queries" in doc:
+        doc["queries"] = {amap.get(k, k): v for k, v in doc["queries"].items()}
+    return doc
+
+
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    old, new = expand_aliases(load(sys.argv[1])), expand_aliases(load(sys.argv[2]))
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     oq, nq = old["queries"], new["queries"]
     regressed = []
