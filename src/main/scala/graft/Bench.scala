@@ -102,6 +102,7 @@ object Bench {
     "incr_agg_read" -> "iagr", // NEW r11 (C41, un-benched in r10)
     "summary_rewrite_read" -> "swrr", // NEW r11 (C44, un-benched in r10)
     "summary_rewrite_filter" -> "swrf", // NEW r11 (C44 filtered/avg shapes)
+    "summary_rewrite_rollup" -> "swrg", // NEW r11 (C44c subset-rollup routing)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)

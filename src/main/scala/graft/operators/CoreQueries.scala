@@ -703,6 +703,49 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
+  // C44c: SUBSET-grouping rollup routing — the summary is maintained at
+  // (status, priority) grain; the query groups by status ONLY, so the
+  // rule re-aggregates the summary (counts add, decimal sums add
+  // exactly, avg = total/total through Average's own tree) instead of
+  // rescanning the base. At 100 TB one fine-grained summary then
+  // serves the whole family of coarser rollups. In-plan assert +
+  // raw-recompute oracle, like the other C44 entries.
+  def summaryRewriteRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwg")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    store.createTableFromDataFrame("base", orders, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(store.readTable("base"),
+        Seq("o_orderstatus", "o_orderpriority"), "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(s, store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    store.upsert("base", orders.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    graft.store.IncrementalAgg.maintainToCurrent(store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"),
+        avg(col("o_totalprice").cast(DecimalType(18, 2))).as("avg_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"rollup summary rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_rows"),
+        col("sum_val").cast("double").as("sum_val"),
+        (col("avg_val") * lit(1000000)).cast("long").as("avg_micros"))
+      .orderBy("o_orderstatus")
+  }
+
   // C25: change-data-feed between generations — load commits a base
   // generation, one full merge commits deletes (keys <= 200), updates
   // (201..600, acctbal + 10) and inserts (601..800) at once, and the
@@ -945,6 +988,7 @@ object CoreQueries {
     "dto_instant_read" -> dtoInstantRead,
     "summary_rewrite_read" -> summaryRewriteRead,
     "summary_rewrite_filter" -> summaryRewriteFilter,
+    "summary_rewrite_rollup" -> summaryRewriteRollup,
   )
 
   private def inferCase(c: String): String =
@@ -982,6 +1026,19 @@ object CoreQueries {
         |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
         |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
         | FROM orders WHERE o_orderstatus <> 'P'),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) * 100 AS HUGEINT) AS cents FROM f GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        | CAST(cents AS DOUBLE) / 100 AS sum_val,
+        | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C44c: coarser-than-summary recompute — same raw relation, status
+    // grain only; exact iff the rollup over the maintained summary is
+    "summary_rewrite_rollup" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders),
         |a AS (SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(p) * 100 AS HUGEINT) AS cents FROM f GROUP BY 1)
         |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -262,12 +262,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Seq(r) => r
       case _      => return None
     }
-    // grouping must be exactly the summary's group columns (bare attrs)
+    // grouping must be bare attributes over a SUBSET of the summary's
+    // group columns: an exact match reads the summary rows directly; a
+    // strict subset (including the empty set — a global aggregate)
+    // RE-AGGREGATES the summary, which is lossless for exactly this
+    // aggregate family (counts add, decimal sums add order-free, and
+    // avg = total sum / total count)
     val groupNames = groupings.map {
       case ar: AttributeReference => ar.name
       case _ => return None
     }
-    if (groupNames.sorted != reg.groupCols.sorted) return None
+    if (!groupNames.toSet.subsetOf(reg.groupCols.toSet)) return None
+    val exactGrouping = groupNames.sorted == reg.groupCols.sorted
     // filters may reference ONLY group columns (then a group survives
     // the filter as a whole or not at all — answerable by filtering
     // the summary's rows)
@@ -302,16 +308,39 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         if (s.dataType == ar.dataType) s else Cast(s, ar.dataType)
     }
 
+    val filteredSummary = conds.map(remap) match {
+      case Nil => sumPlan
+      case cs  => Filter(cs.reduce(And), sumPlan)
+    }
+    // replacement sources per mode: an exact grouping reads the summary
+    // row's columns; a SUBSET grouping re-aggregates the summary first
+    // — counts add (sum(n_rows)), decimal(18,2) sums add exactly in any
+    // order (sum(sum_val): decimal(28,2), the same type Average keeps
+    // internally), and avg divides the rolled-up pair through the same
+    // Average tree, so all three stay bit-identical to the plain
+    // aggregate over the base
+    val (source: LogicalPlan, nExpr: Expression, sExpr: Expression) =
+      if (exactGrouping) (filteredSummary, byName("n_rows"), byName("sum_val"))
+      else {
+        val nAgg = Alias(Sum(byName("n_rows")).toAggregateExpression(), "__n")()
+        val sAgg = Alias(Sum(byName("sum_val")).toAggregateExpression(), "__s")()
+        val groupAttrs: Seq[NamedExpression] = groupNames.map(byName(_))
+        val rolled = Aggregate(groupAttrs, groupAttrs ++ Seq(nAgg, sAgg), filteredSummary)
+        // a GLOBAL aggregate over an EMPTY summary: count(1) on the base
+        // is 0 but sum over zero rows is null — coalesce restores count
+        // semantics (grouped outputs never see the null: every summary
+        // row has a non-null n_rows)
+        (rolled, Coalesce(Seq(nAgg.toAttribute, Literal(0L))), sAgg.toAttribute)
+      }
     val projected: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
       case (orig, src) =>
         val replacement: Expression = src match {
           case ar: AttributeReference => remap(ar)
           case a: Alias => a.child match {
             case ar: AttributeReference => remap(ar)
-            case e if isCountStar(e) => byName("n_rows")
-            case e if isSummaryAvg(e, reg.valueCol) =>
-              avgFromSummary(byName("sum_val"), byName("n_rows"))
-            case _ => byName("sum_val") // isSummarySum verified above
+            case e if isCountStar(e) => nExpr
+            case e if isSummaryAvg(e, reg.valueCol) => avgFromSummary(sExpr, nExpr)
+            case _ => sExpr // isSummarySum verified above
           }
           case _ => return None
         }
@@ -319,10 +348,6 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                    else Cast(replacement, orig.dataType)
         Alias(cast, orig.name)(exprId = orig.exprId)
     }
-    val filteredSummary = conds.map(remap) match {
-      case Nil => sumPlan
-      case cs  => Filter(cs.reduce(And), sumPlan)
-    }
-    Some(Project(projected, filteredSummary))
+    Some(Project(projected, source))
   }
 }

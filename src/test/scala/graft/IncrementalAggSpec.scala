@@ -275,6 +275,70 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("C44: SUBSET groupings re-aggregate the summary — finer rollup serves coarser queries") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", "x", 10.0), (2L, "b", "x", 20.0), (3L, "a", "y", 5.0),
+        (4L, "b", "y", 7.25), (5L, "a", "x", 2.5)).toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g", "h"), "v"),
+      Seq("g", "h"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def raw[T](mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+        SummaryRewrite.unregister(store, "base")
+        val r = mk.collect().toSeq.map(_.toString)
+        SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+        r
+      }
+      // coarser grouping (g ⊂ {g,h}): count/sum/avg all served
+      def byG = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("m"))
+        .orderBy("g")
+      assert(scanPaths(byG).forall(_.contains("summary")),
+        s"subset grouping should rewrite: ${byG.queryExecution.optimizedPlan}")
+      assert(byG.collect().toSeq.map(_.toString) == raw(byG))
+      // GLOBAL aggregate (empty grouping) — one row from the rollup
+      def global = store.readTable("base")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("m"))
+      assert(scanPaths(global).forall(_.contains("summary")),
+        s"global aggregate should rewrite: ${global.queryExecution.optimizedPlan}")
+      assert(global.collect().toSeq.map(_.toString) == raw(global))
+      // subset grouping + filter on ANY summary group column composes
+      def filtered = store.readTable("base").filter(col("h") === "x")
+        .groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+      assert(scanPaths(filtered).forall(_.contains("summary")),
+        s"filtered subset should rewrite: ${filtered.queryExecution.optimizedPlan}")
+      assert(filtered.collect().toSeq.map(_.toString) == raw(filtered))
+      // a grouping OUTSIDE the summary's columns stands down
+      val byK = store.readTable("base").groupBy("k").agg(count(lit(1)).as("n"))
+      assert(scanPaths(byK).exists(_.contains("base")))
+      // GLOBAL count over an EMPTIED base: rollup over the empty
+      // summary must serve 0, not null
+      store.delete("base", Seq(1L, 2L, 3L, 4L, 5L).toDF("k"))
+      IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g", "h"), "v")
+      assert(store.readTable("summary").count() == 0)
+      def emptyCount = store.readTable("base").agg(count(lit(1)).as("n"))
+      assert(scanPaths(emptyCount).forall(_.contains("summary")))
+      assert(emptyCount.collect().head.getLong(0) == 0L)
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("a NULL group value in the feed raises instead of silently diverging") {
     val store = newStore()
     store.createTableFromDataFrame("base",

@@ -57,7 +57,7 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
   }
 
   property("rewrite fires iff fresh; rows ≡ plain aggregate on every shape") =
-    Prop.forAll(opsGen, Gen.choose(0, 2)) { (ops, shape) =>
+    Prop.forAll(opsGen, Gen.choose(0, 3)) { (ops, shape) =>
       val store = new TableStore(spark,
         Files.createTempDirectory("graft_srwprop_").toString)
       store.createTableFromDataFrame("base",
@@ -77,11 +77,16 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
           case 1 => store.readTable("base").filter(col("g") =!= "c").groupBy("g")
             .agg(count(lit(1)).as("n_rows"),
               sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
-          case _ => store.readTable("base").groupBy("g")
+          case 2 => store.readTable("base").groupBy("g")
             .agg(avg(col("v").cast(DecimalType(18, 2))).as("m"))
+          case _ => store.readTable("base") // GLOBAL: subset-rollup path
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("v").cast(DecimalType(18, 2))).as("sum_val"),
+              avg(col("v").cast(DecimalType(18, 2))).as("m"))
         }
         def rows(df: DataFrame): Seq[String] =
-          df.orderBy("g").collect().toSeq.map(_.toString)
+          (if (df.columns.contains("g")) df.orderBy("g") else df)
+            .collect().toSeq.map(_.toString)
         val checks = (ops :+ (Right(Set.empty[Int]), true)).map { case (op, maintain) =>
           op match {
             case Left(ups) =>
