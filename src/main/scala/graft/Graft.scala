@@ -258,6 +258,11 @@ final case class Graft(
       st(name).analyze(pn(name), columns, incremental, bloomBits, bloomHashes)
     def cluster(name: String, columns: Seq[String], filesTarget: Int = 0): Unit =
       st(name).cluster(pn(name), columns, filesTarget)
+    /** C45: refresh zone maps/Blooms INCREMENTALLY on every commit —
+      * O(batch) per commit; see TableStore.setAutoAnalyze. */
+    def autoAnalyze(name: String, columns: Seq[String], bloomBits: Int = 0): Unit =
+      st(name).setAutoAnalyze(pn(name), columns, bloomBits)
+    def clearAutoAnalyze(name: String): Unit = st(name).clearAutoAnalyze(pn(name))
     /** Drop snapshot history older than the last `keepLast` generations. */
     /** Vacuum dry-run (C40) — what a vacuum at this retention would
       * free, per retired generation tree; see TableStore.vacuumDryRun. */

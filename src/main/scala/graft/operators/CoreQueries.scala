@@ -620,6 +620,27 @@ object CoreQueries {
       .withColumn("instant_utc", SqlType.dtoInstant(col("dto")))
   }
 
+  // C45: auto-analyze — zone maps refresh INCREMENTALLY on every
+  // commit (O(new files), never O(table)), so an append stream prunes
+  // its freshest data without anyone running ANALYZE. The entry
+  // commits three append generations under auto-analyze, ASSERTS the
+  // pruning report cuts files for a key-range predicate with no manual
+  // analyze anywhere, and returns the where-d read for the oracle.
+  def autoAnalyzeRead(s: SparkSession, dir: String): DataFrame = {
+    val store = newStore(s, "autoan")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    store.createTableFromDataFrame("ev",
+      ev.filter(col("event_id") <= 3000), Seq("event_id"), infer = false)
+    store.setAutoAnalyze("ev", Seq("event_id", "value"))
+    store.insert("ev", ev.filter(col("event_id") > 3000 && col("event_id") <= 6500))
+    store.insert("ev", ev.filter(col("event_id") > 6500))
+    val rep = store.explainPruning("ev", "event_id > 6500")
+    if (rep("after_stats_prune") >= rep("total_files"))
+      throw new IllegalStateException(s"auto-analyze produced no pruning cut: $rep")
+    store.readTable("ev", where = Some("event_id > 6500"), orderBy = Seq("event_id"))
+  }
+
   // C44: automatic summary rewrite, end to end — base built from
   // orders, summary maintained + watermarked, rule registered, then the
   // aggregate. The query function ASSERTS the optimized plan reads the
@@ -989,6 +1010,7 @@ object CoreQueries {
     "summary_rewrite_read" -> summaryRewriteRead,
     "summary_rewrite_filter" -> summaryRewriteFilter,
     "summary_rewrite_rollup" -> summaryRewriteRollup,
+    "auto_analyze_read" -> autoAnalyzeRead,
   )
 
   private def inferCase(c: String): String =
@@ -1032,6 +1054,11 @@ object CoreQueries {
         | CAST(cents AS DOUBLE) / 100 AS sum_val,
         | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros
         |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C45: the filtered relation itself — exact iff auto-analyzed
+    // pruning dropped only files that provably hold no matches
+    "auto_analyze_read" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id > 6500 ORDER BY event_id""".stripMargin,
     // C44c: coarser-than-summary recompute — same raw relation, status
     // grain only; exact iff the rollup over the maintained summary is
     "summary_rewrite_rollup" ->

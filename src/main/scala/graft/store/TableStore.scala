@@ -1158,7 +1158,58 @@ final class TableStore(
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"manifest commit failed: $dst")
     commitEpoch.incrementAndGet()
-    ()
+    maybeAutoAnalyze(name)
+  }
+
+  private[graft] val AutoAnalyzeCols = "graft.autoanalyze.cols"
+  private[graft] val AutoAnalyzeBloom = "graft.autoanalyze.bloom"
+
+  /** C45: opt a table into AUTO-ANALYZE — every committed generation
+    * incrementally refreshes the stats sidecar for `columns` (plus the
+    * derived instant entries of datetimeoffset columns, and per-file
+    * Bloom sketches when `bloomBits` > 0). Incremental analyze scans
+    * only the files the commit ADDED (O(batch), never O(table) — the
+    * zone-map upkeep cost a 100 TB append stream can actually afford),
+    * so a where-d read prunes fresh data without anyone remembering to
+    * run ANALYZE — the gap where zone maps silently rot on exactly the
+    * newest (most-queried) files. Durable in table properties: every
+    * writer process honors it. Runs one backfill immediately. */
+  def setAutoAnalyze(name: String, columns: Seq[String], bloomBits: Int = 0): Unit = {
+    val m = meta(name)
+    val missing = columns.filterNot(m.columns.map(_._1).contains)
+    if (missing.nonEmpty) throw errors.ColumnDoesNotExist(name, missing)
+    require(columns.nonEmpty, "setAutoAnalyze: need at least one column")
+    setProperties(name, Map(AutoAnalyzeCols -> columns.mkString(","),
+      AutoAnalyzeBloom -> bloomBits.toString))
+    audit(s"auto-analyze ON for $name: ${columns.mkString(", ")}" +
+      (if (bloomBits > 0) s" bloom=$bloomBits" else ""))
+    analyze(name, columns, incremental = true, bloomBits = bloomBits)
+  }
+
+  /** Turn C45 auto-analyze off (existing stats stay). */
+  def clearAutoAnalyze(name: String): Unit = {
+    setProperties(name, Map.empty, remove = Seq(AutoAnalyzeCols, AutoAnalyzeBloom))
+    audit(s"auto-analyze OFF for $name")
+  }
+
+  /** The post-commit half of C45: incremental stats refresh when the
+    * table opted in. Columns dropped since opt-in are skipped (a DDL
+    * commit must not throw here); a stats failure is audited, never
+    * allowed to poison the data commit that already landed. */
+  private def maybeAutoAnalyze(name: String): Unit = {
+    val props = try properties(name) catch { case _: Exception => return }
+    props.get(AutoAnalyzeCols).foreach { csv =>
+      try {
+        val existing = meta(name).columns.map(_._1).toSet
+        val cols = csv.split(",").map(_.trim).filter(c => c.nonEmpty && existing(c)).toSeq
+        if (cols.nonEmpty)
+          analyze(name, cols, incremental = true,
+            bloomBits = props.get(AutoAnalyzeBloom).map(_.toInt).getOrElse(0))
+      } catch {
+        case e: Exception =>
+          audit(s"auto-analyze of $name failed (commit unaffected): ${e.getMessage}")
+      }
+    }
   }
 
   /** The current file set as data-dir-relative keys (one listing). */

@@ -1284,4 +1284,34 @@ class TableStoreSpec extends AnyFunSuite {
     assert(store.properties("t") == Map("x" -> "1", "y" -> "2"))
     assert(new java.io.File(root, "props.json").exists())
   }
+
+  test("C45 auto-analyze: every commit refreshes stats incrementally; DDL-safe; clear stops it") {
+    val store = newStore()
+    store.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"))
+    store.setAutoAnalyze("t", Seq("k", "v"))
+    store.insert("t", (0L until 50L).map(k => (k, k * 2)).toDF("k", "v"))
+    store.insert("t", (100L until 150L).map(k => (k, k * 2)).toDF("k", "v"))
+    // no manual analyze anywhere: the second batch's files must still
+    // prune a key-range predicate that excludes them
+    val rep = store.explainPruning("t", "k >= 100")
+    assert(rep("after_stats_prune") < rep("total_files"),
+      s"auto-analyze left fresh files unpruned: $rep")
+    assert(store.readTable("t", where = Some("k >= 100")).count() == 50)
+    // keyed mutation commits refresh too — and never mis-prune
+    store.upsert("t", Seq((10L, 999L)).toDF("k", "v"))
+    assert(store.readTable("t", where = Some("v = 999")).count() == 1)
+    assert(store.readTable("t", where = Some("v = 20")).count() == 0) // old value gone
+    // dropping an auto column must not break the next commit
+    store.dropColumn("t", "v")
+    store.insert("t", (200L until 210L).map(Tuple1(_)).toDF("k"))
+    assert(store.readTable("t", where = Some("k >= 200")).count() == 10)
+    // clear: later commits stop refreshing (files without stats are
+    // kept conservatively — correctness unchanged, pruning degrades)
+    store.clearAutoAnalyze("t")
+    val before = store.explainPruning("t", "k >= 1000000")("after_stats_prune")
+    store.insert("t", Seq(Tuple1(300L)).toDF("k"))
+    val after = store.explainPruning("t", "k >= 1000000")("after_stats_prune")
+    assert(after == before + 1,
+      s"post-clear commit should add one unanalyzed (unprunable) file: $before -> $after")
+  }
 }
