@@ -63,6 +63,13 @@ import graft.store.{IncrementalAgg, TableStore}
   *    queries against a registered base pays the O(#generations)
   *    manifest listing once per commit, not once per compile.
   *
+  * A base may carry SEVERAL registered summaries (different grains,
+  * different value columns); the query routes to the CHEAPEST fresh
+  * one that can answer — fewest group columns first — and a stale or
+  * mismatched candidate falls through to the next, so one stale
+  * coarse rollup degrades to a finer summary before it ever degrades
+  * to the base scan.
+  *
   * Output attribute ids are preserved (each replacement column is
   * aliased under the original exprId), so parent operators above the
   * rewritten Aggregate resolve unchanged. Single-writer contract:
@@ -77,8 +84,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   // keyed by the base table's live data directory — the scan identity.
   // Scheme-normalized (a parquet scan's rootPaths carry `file:`/`hdfs:`
-  // prefixes; the store's path string may not).
-  private val registry = new ConcurrentHashMap[String, Registration]()
+  // prefixes; the store's path string may not). A base can carry
+  // SEVERAL registered summaries (different grains, different value
+  // columns); the rewrite routes each query to the cheapest fresh one
+  // that can answer it.
+  private val registry = new ConcurrentHashMap[String, List[Registration]]()
 
   private final case class Freshness(store: TableStore, epoch: Long, fresh: Boolean)
   private val freshCache = new ConcurrentHashMap[String, Freshness]()
@@ -91,22 +101,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Register a maintained summary for rewrite and install the rule on
-    * the session's experimental optimizations (idempotent). */
+    * the session's experimental optimizations (idempotent per
+    * (base, summary); re-registering a summary replaces its entry). */
   def register(spark: SparkSession, store: TableStore, base: String, summary: String,
       groupCols: Seq[String], valueCol: String): Unit = {
     val key = normalize(store.dataLocation(base))
-    registry.put(key, Registration(store, base, summary, groupCols, valueCol))
-    freshCache.remove(key)
+    val reg = Registration(store, base, summary, groupCols, valueCol)
+    registry.compute(key, (_, old) =>
+      reg :: Option(old).getOrElse(Nil).filterNot(r =>
+        r.summary == summary && (r.store eq store)))
+    freshCache.remove(key + "::" + summary)
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
   }
 
-  /** Drop a registration (tests; a summary being decommissioned). */
+  /** Drop every registration of `base` (tests; decommissioning). */
   def unregister(store: TableStore, base: String): Unit = {
     val key = normalize(store.dataLocation(base))
-    registry.remove(key)
-    freshCache.remove(key)
+    Option(registry.remove(key)).getOrElse(Nil)
+      .foreach(r => freshCache.remove(key + "::" + r.summary))
     ()
   }
 
@@ -232,11 +246,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * store's in-process commit epoch (any manifest commit or
     * properties write bumps it). */
   private def isFresh(key: String, reg: Registration): Boolean = {
+    val cacheKey = key + "::" + reg.summary
     // epoch FIRST: a commit landing between this read and the probe
     // makes the cached entry stale-by-epoch immediately, so a probe
     // can never be served past a change it didn't see
     val epoch = reg.store.commitEpoch.get()
-    val cached = freshCache.get(key)
+    val cached = freshCache.get(cacheKey)
     if (cached != null && (cached.store eq reg.store) && cached.epoch == epoch)
       return cached.fresh
     freshnessProbes.incrementAndGet()
@@ -245,34 +260,43 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         IncrementalAgg.maintainedGenReadOnly(reg.store, reg.base, reg.summary)
           .contains(reg.store.snapshots(reg.base).last._1)
     } catch { case _: Exception => false }
-    freshCache.put(key, Freshness(reg.store, epoch, fresh))
+    freshCache.put(cacheKey, Freshness(reg.store, epoch, fresh))
     fresh
   }
 
   private def rewrite(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val (paths, conds) = faithfulScan(child).getOrElse(return None)
-    // EVERY root path must resolve, and to the SAME registration — a
-    // scan of the base dir plus anything else covers more rows than
-    // the summary and must never collapse
+    // EVERY root path must normalize to ONE registered base directory —
+    // a scan of the base dir plus anything else covers more rows than
+    // any summary and must never collapse
     if (paths.isEmpty) return None
-    val regs = paths.map(p => Option(registry.get(normalize(p))))
-    if (regs.exists(_.isEmpty)) return None
-    val reg = regs.flatten.distinct match {
-      case Seq(r) => r
+    val key = paths.map(normalize).distinct match {
+      case Seq(k) => k
       case _      => return None
     }
-    // grouping must be bare attributes over a SUBSET of the summary's
-    // group columns: an exact match reads the summary rows directly; a
-    // strict subset (including the empty set — a global aggregate)
-    // RE-AGGREGATES the summary, which is lossless for exactly this
-    // aggregate family (counts add, decimal sums add order-free, and
-    // avg = total sum / total count)
+    val candidates = Option(registry.get(key)).getOrElse(return None)
+    // grouping must be bare attributes; per candidate they must be a
+    // SUBSET of its group columns (exact → read the rows; strict subset
+    // incl. the empty set → re-aggregate, lossless for this family)
     val groupNames = groupings.map {
       case ar: AttributeReference => ar.name
       case _ => return None
     }
-    if (!groupNames.toSet.subsetOf(reg.groupCols.toSet)) return None
+    // route to the CHEAPEST fresh summary that can answer: fewest
+    // group columns ⇒ fewest rows to scan/roll up; a stale or
+    // shape-mismatched candidate falls through to the next
+    candidates
+      .filter(c => groupNames.toSet.subsetOf(c.groupCols.toSet))
+      .sortBy(_.groupCols.size)
+      .iterator
+      .map(c => tryCandidate(agg, groupNames, aggExprs, conds, key, c))
+      .collectFirst { case Some(p) => p }
+  }
+
+  private def tryCandidate(agg: Aggregate, groupNames: Seq[String],
+      aggExprs: Seq[NamedExpression], conds: Seq[Expression],
+      key: String, reg: Registration): Option[LogicalPlan] = {
     val exactGrouping = groupNames.sorted == reg.groupCols.sorted
     // filters may reference ONLY group columns (then a group survives
     // the filter as a whole or not at all — answerable by filtering
@@ -291,7 +315,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }
       case _ => return None
     }
-    if (!isFresh(normalize(paths.head), reg)) return None
+    if (!isFresh(key, reg)) return None
 
     val sumPlan = reg.store.readTable(reg.summary).queryExecution.analyzed
     val byName = sumPlan.output.map(a => a.name -> a).toMap

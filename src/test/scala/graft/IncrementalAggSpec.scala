@@ -339,6 +339,66 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("C44d: multi-summary routing — cheapest fresh summary answers, stale falls through") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", "x", 10.0), (2L, "b", "x", 20.0), (3L, "a", "y", 5.0))
+        .toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    for ((name, cols) <- Seq("s_fine" -> Seq("g", "h"), "s_coarse" -> Seq("g"))) {
+      store.createTableFromDataFrame(name,
+        IncrementalAgg.summarize(store.readTable("base"), cols, "v"), cols, infer = false)
+      IncrementalAgg.markMaintained(store, "base", name, store.snapshots("base").last._1)
+      SummaryRewrite.register(spark, store, "base", name, cols, "v")
+    }
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"))
+        .orderBy("g")
+      def raw = {
+        SummaryRewrite.unregister(store, "base")
+        val r = q.collect().toSeq.map(_.toString)
+        for ((name, cols) <- Seq("s_fine" -> Seq("g", "h"), "s_coarse" -> Seq("g")))
+          SummaryRewrite.register(spark, store, "base", name, cols, "v")
+        r
+      }
+      // both fresh: the by-g query routes to the COARSE summary (fewer
+      // rows than the fine one — the cheaper answer)
+      assert(scanPaths(q).forall(_.contains("s_coarse")),
+        s"expected the coarse summary: ${q.queryExecution.optimizedPlan}")
+      assert(q.collect().toSeq.map(_.toString) == raw)
+      // mutate, maintain ONLY the fine summary: coarse is stale, so the
+      // query falls through to a ROLLUP of the fine one — never the base
+      store.upsert("base", Seq((4L, "b", "y", 7.0)).toDF("k", "g", "h", "v"))
+      IncrementalAgg.maintainToCurrent(store, "base", "s_fine", Seq("g", "h"), "v")
+      assert(scanPaths(q).forall(_.contains("s_fine")),
+        s"stale coarse should fall through to fine: ${q.queryExecution.optimizedPlan}")
+      assert(q.collect().toSeq.map(_.toString) == raw)
+      // coarse catches up → routing returns to it
+      IncrementalAgg.maintainToCurrent(store, "base", "s_coarse", Seq("g"), "v")
+      assert(scanPaths(q).forall(_.contains("s_coarse")))
+      // both stale → plain base aggregate, still correct
+      store.upsert("base", Seq((5L, "a", "x", 1.0)).toDF("k", "g", "h", "v"))
+      assert(scanPaths(q).exists(_.contains("base")))
+      assert(q.collect().toSeq.map(_.toString) == raw)
+      // a (g,h) query can only be served by the fine summary — and it
+      // is stale, so the base answers until maintenance catches up
+      IncrementalAgg.maintainToCurrent(store, "base", "s_fine", Seq("g", "h"), "v")
+      def qFine = store.readTable("base").groupBy("g", "h")
+        .agg(count(lit(1)).as("n")).orderBy("g", "h")
+      assert(scanPaths(qFine).forall(_.contains("s_fine")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("a NULL group value in the feed raises instead of silently diverging") {
     val store = newStore()
     store.createTableFromDataFrame("base",
