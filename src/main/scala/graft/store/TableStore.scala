@@ -359,9 +359,12 @@ final class TableStore(
   }
 
   /** Merge `kvs` into (and drop `remove` from) the table's properties
-    * in one atomic swap. */
+    * in one atomic swap — under the table's COMMIT LOCK, so two
+    * writers' read-modify-write cycles serialize instead of one
+    * clobbering the other's keys (ADVICE r10: the optimizer-path probe
+    * is read-only, and this closes the writer-vs-writer half). */
   def setProperties(name: String, kvs: Map[String, String],
-      remove: Seq[String] = Nil): Unit = {
+      remove: Seq[String] = Nil): Unit = withCommitLock(name) {
     val tmp = new Path(tablePath(name), "props.json.tmp")
     // heal a previous delete→rename crash window BEFORE truncating the
     // tmp (which is the committed state in that window)

@@ -1323,6 +1323,33 @@ class StreamsSpec extends AnyFunSuite {
       ms.addData((5L, "c", 50.0))
       q.processAllAvailable()
       check()
+
+      // the STREAMING MV story end to end: with the C44 rule
+      // registered, an aggregate over the base is served from the
+      // stream-maintained summary between triggers (fresh), and stands
+      // down exactly while a base commit is awaiting the next trigger
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      import org.apache.spark.sql.types.DecimalType
+      graft.plans.SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+      try {
+        def agg = store.readTable("base").groupBy("g")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+        def scans = agg.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+        assert(scans.forall(_.contains("summary")),
+          "a stream-maintained summary should serve the aggregate between triggers")
+        store.upsert("base", Seq((6L, "d", 60.0)).toDF("k", "g", "v"))
+        assert(scans.exists(_.contains("base")),
+          "a base commit awaiting its trigger must stand the rule down")
+        ms.addData((7L, "d", 70.0)) // next trigger folds the backlog
+        q.processAllAvailable()
+        check()
+        assert(scans.forall(_.contains("summary")),
+          "the trigger's maintenance should restore summary routing")
+      } finally graft.plans.SummaryRewrite.unregister(store, "base")
     } finally q.stop()
   }
 
