@@ -620,6 +620,55 @@ object CoreQueries {
       .withColumn("instant_utc", SqlType.dtoInstant(col("dto")))
   }
 
+  // C41b/C44e: MIN/MAX summary end to end — summarizeMinMax by status,
+  // a price-bump upsert (update preimages force the targeted
+  // group-rescan path) plus a keyed delete folded by
+  // maintainMinMaxToCurrent, then a five-shape aggregate
+  // (count/sum/avg/min/max) ASSERTED in-plan to read the SUMMARY. The
+  // oracle recomputes everything from the raw relation, so both the
+  // maintenance (incremental fold + rescan) and the rewrite must be
+  // exact to the last cent.
+  def summaryMinmaxRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwm")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    store.createTableFromDataFrame("base", orders, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeMinMax(
+        store.readTable("base"), Seq("o_orderstatus"), "o_totalprice"),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(
+      s, store, "base", "summary", Seq("o_orderstatus"), "o_totalprice")
+    store.upsert("base", orders.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    store.delete("base", orders.filter(col("o_orderkey") <= 500).select("o_orderkey"))
+    graft.store.IncrementalAgg.maintainMinMaxToCurrent(
+      store, "base", "summary", Seq("o_orderstatus"), "o_totalprice")
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"),
+        avg(col("o_totalprice").cast(DecimalType(18, 2))).as("avg_val"),
+        min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_val"),
+        max(col("o_totalprice").cast(DecimalType(18, 2))).as("max_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"minmax summary rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_rows"),
+        col("sum_val").cast("double").as("sum_val"),
+        (col("avg_val") * lit(1000000)).cast("long").as("avg_micros"),
+        col("min_val").cast("double").as("min_val"),
+        col("max_val").cast("double").as("max_val"))
+      .orderBy("o_orderstatus")
+  }
+
   // C45: auto-analyze — zone maps refresh INCREMENTALLY on every
   // commit (O(new files), never O(table)), so an append stream prunes
   // its freshest data without anyone running ANALYZE. The entry
@@ -1011,6 +1060,7 @@ object CoreQueries {
     "summary_rewrite_filter" -> summaryRewriteFilter,
     "summary_rewrite_rollup" -> summaryRewriteRollup,
     "auto_analyze_read" -> autoAnalyzeRead,
+    "summary_minmax_read" -> summaryMinmaxRead,
   )
 
   private def inferCase(c: String): String =
@@ -1053,6 +1103,21 @@ object CoreQueries {
         |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
         | CAST(cents AS DOUBLE) / 100 AS sum_val,
         | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C41b/C44e: raw recompute with the bump and the deletion applied;
+    // min/max as exact decimal-to-double, avg as half-away micros
+    "summary_minmax_read" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders WHERE o_orderkey > 500),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) * 100 AS HUGEINT) AS cents,
+        |  MIN(p) AS lo, MAX(p) AS hi FROM f GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        | CAST(cents AS DOUBLE) / 100 AS sum_val,
+        | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros,
+        | CAST(lo AS DOUBLE) AS min_val, CAST(hi AS DOUBLE) AS max_val
         |FROM a ORDER BY o_orderstatus""".stripMargin,
     // C45: the filtered relation itself — exact iff auto-analyzed
     // pruning dropped only files that provably hold no matches

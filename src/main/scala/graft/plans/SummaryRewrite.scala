@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -226,6 +226,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def isSummaryMin(e: Expression, valueCol: String): Boolean = e match {
+    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+      case m: Min => isSummaryValue(m.child, valueCol)
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def isSummaryMax(e: Expression, valueCol: String): Boolean = e match {
+    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+      case m: Max => isSummaryValue(m.child, valueCol)
+      case _ => false
+    }
+    case _ => false
+  }
+
   /** The exact expression tree `Average.evaluateExpression` builds for
     * a decimal(18,2) child, applied to the summary's (sum_val, n_rows)
     * — sumDataType decimal(28,2), resultType decimal(22,6), ANSI flag
@@ -304,13 +320,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     if (!conds.forall(_.references.forall(a => reg.groupCols.contains(a.name))))
       return None
     // every output: a grouping attribute, count(1), the summary sum,
-    // or the summary avg
+    // avg, min or max — tracking which summary columns the query needs
+    // (min/max exist only on a summarizeMinMax summary; a plain
+    // summary simply fails the column check below and the candidate
+    // falls through)
+    var needCount = false; var needSum = false; var needAvg = false
+    var needMin = false; var needMax = false
     aggExprs.foreach {
       case ar: AttributeReference if groupNames.contains(ar.name) =>
       case a: Alias => a.child match {
         case ar: AttributeReference if groupNames.contains(ar.name) =>
-        case e if isCountStar(e) || isSummarySum(e, reg.valueCol) ||
-          isSummaryAvg(e, reg.valueCol) =>
+        case e if isCountStar(e) => needCount = true
+        case e if isSummarySum(e, reg.valueCol) => needSum = true
+        case e if isSummaryAvg(e, reg.valueCol) => needAvg = true
+        case e if isSummaryMin(e, reg.valueCol) => needMin = true
+        case e if isSummaryMax(e, reg.valueCol) => needMax = true
         case _ => return None
       }
       case _ => return None
@@ -319,8 +343,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
     val sumPlan = reg.store.readTable(reg.summary).queryExecution.analyzed
     val byName = sumPlan.output.map(a => a.name -> a).toMap
-    // the summary must carry the expected columns
-    if (!(reg.groupCols :+ "n_rows" :+ "sum_val").forall(byName.contains)) return None
+    // the summary must carry the columns THIS query needs
+    val neededCols = reg.groupCols ++
+      (if (needCount || needAvg) Seq("n_rows") else Nil) ++
+      (if (needSum || needAvg) Seq("sum_val") else Nil) ++
+      (if (needMin) Seq("min_val") else Nil) ++
+      (if (needMax) Seq("max_val") else Nil)
+    if (!neededCols.forall(byName.contains)) return None
 
     // a base-side attribute remapped to its summary twin; cast back to
     // the referenced type when a faithful (lossless) widening sat
@@ -340,22 +369,32 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // row's columns; a SUBSET grouping re-aggregates the summary first
     // — counts add (sum(n_rows)), decimal(18,2) sums add exactly in any
     // order (sum(sum_val): decimal(28,2), the same type Average keeps
-    // internally), and avg divides the rolled-up pair through the same
-    // Average tree, so all three stay bit-identical to the plain
+    // internally), avg divides the rolled-up pair through the same
+    // Average tree, and min-of-mins / max-of-maxes ARE the group's
+    // min/max — so every shape stays bit-identical to the plain
     // aggregate over the base
-    val (source: LogicalPlan, nExpr: Expression, sExpr: Expression) =
-      if (exactGrouping) (filteredSummary, byName("n_rows"), byName("sum_val"))
+    val nonGroup = neededCols.filterNot(reg.groupCols.contains).distinct
+    val (source: LogicalPlan, get: (String => Expression)) =
+      if (exactGrouping) (filteredSummary, (n: String) => byName(n))
       else {
-        val nAgg = Alias(Sum(byName("n_rows")).toAggregateExpression(), "__n")()
-        val sAgg = Alias(Sum(byName("sum_val")).toAggregateExpression(), "__s")()
+        def rollOf(n: String): Expression = n match {
+          case "min_val" => Min(byName(n)).toAggregateExpression()
+          case "max_val" => Max(byName(n)).toAggregateExpression()
+          case _ => Sum(byName(n)).toAggregateExpression()
+        }
+        val rolledAliases = nonGroup.map(n => n -> Alias(rollOf(n), "__" + n)()).toMap
         val groupAttrs: Seq[NamedExpression] = groupNames.map(byName(_))
-        val rolled = Aggregate(groupAttrs, groupAttrs ++ Seq(nAgg, sAgg), filteredSummary)
-        // a GLOBAL aggregate over an EMPTY summary: count(1) on the base
-        // is 0 but sum over zero rows is null — coalesce restores count
-        // semantics (grouped outputs never see the null: every summary
-        // row has a non-null n_rows)
-        (rolled, Coalesce(Seq(nAgg.toAttribute, Literal(0L))), sAgg.toAttribute)
+        val rolled = Aggregate(groupAttrs,
+          groupAttrs ++ nonGroup.map(rolledAliases), filteredSummary)
+        (rolled, (n: String) => rolledAliases(n).toAttribute)
       }
+    // a GLOBAL aggregate over an EMPTY summary: count(1) on the base is
+    // 0 but sum over zero rows is null — coalesce restores count
+    // semantics (grouped outputs never see the null; exact-grouping
+    // n_rows is non-null by construction, coalesce is then a no-op)
+    def nExpr: Expression =
+      if (exactGrouping) byName("n_rows")
+      else Coalesce(Seq(get("n_rows"), Literal(0L)))
     val projected: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
       case (orig, src) =>
         val replacement: Expression = src match {
@@ -363,8 +402,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case a: Alias => a.child match {
             case ar: AttributeReference => remap(ar)
             case e if isCountStar(e) => nExpr
-            case e if isSummaryAvg(e, reg.valueCol) => avgFromSummary(sExpr, nExpr)
-            case _ => sExpr // isSummarySum verified above
+            case e if isSummaryAvg(e, reg.valueCol) => avgFromSummary(get("sum_val"), nExpr)
+            case e if isSummaryMin(e, reg.valueCol) => get("min_val")
+            case e if isSummaryMax(e, reg.valueCol) => get("max_val")
+            case _ => get("sum_val") // isSummarySum verified above
           }
           case _ => return None
         }

@@ -166,7 +166,19 @@ object IncrementalAgg {
     * summary must be written only through this path (the standard
     * materialized-view ownership contract). */
   def maintainToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String): Unit = {
+      groupCols: Seq[String], valueCol: String): Unit =
+    maintainProtocol(store, base, summary) { (applied, cur) =>
+      val merged = mergedDelta(store, base, summary, groupCols, valueCol, applied, cur)
+      if (merged.isEmpty) None
+      else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
+    }
+
+  /** The reusable crash-safety half of [[maintainToCurrent]]: `fold`
+    * inspects the pinned range and returns None (nothing to commit —
+    * the watermark just advances) or the ONE summary commit to run
+    * between the write-ahead intent and the watermark advance. */
+  private def maintainProtocol(store: TableStore, base: String, summary: String)(
+      fold: (Int, Int) => Option[() => Unit]): Unit = {
     recover(store, base, summary)
     val applied = store.properties(summary).get(appliedKey(base)).map(_.toInt)
       .getOrElse(throw new IllegalStateException(
@@ -174,11 +186,101 @@ object IncrementalAgg {
           "markMaintained at the generation the summary was bootstrapped from"))
     val cur = store.snapshots(base).last._1
     if (cur <= applied) return
-    val merged = mergedDelta(store, base, summary, groupCols, valueCol, applied, cur)
-    if (merged.isEmpty) { markMaintained(store, base, summary, cur); return }
-    store.setProperties(summary, Map(pendingKey(base) -> cur.toString,
-      sgenKey(base) -> store.snapshots(summary).last._1.toString))
-    store.applyChanges(summary, merged, "__dead", groupCols)
-    markMaintained(store, base, summary, cur)
+    fold(applied, cur) match {
+      case None => markMaintained(store, base, summary, cur)
+      case Some(commit) =>
+        store.setProperties(summary, Map(pendingKey(base) -> cur.toString,
+          sgenKey(base) -> store.snapshots(summary).last._1.toString))
+        commit()
+        markMaintained(store, base, summary, cur)
+    }
   }
+
+  // ── C41b: min/max summaries ─────────────────────────────────────────
+
+  /** The extended summary: [[summarize]]'s count/sum plus the exact
+    * DECIMAL(18,2) min and max of `valueCol` per group. COUNT/SUM are
+    * self-maintainable under ANY feed; MIN/MAX are self-maintainable
+    * only under growth (an insert can only tighten an extremum), so
+    * [[maintainMinMaxToCurrent]] folds insert-only groups from the
+    * change feed and RESCANS just the groups the feed deleted from —
+    * bounded by the affected groups' rows, never the base. */
+  def summarizeMinMax(base: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_val"),
+        min(col(valueCol).cast(DecimalType(18, 2))).as("min_val"),
+        max(col(valueCol).cast(DecimalType(18, 2))).as("max_val"))
+
+  /** Post-maintenance rows for every group the feed touched, min/max
+    * included. Groups with ONLY inserts fold incrementally (count/sum
+    * deltas; min/max tighten via least/greatest). Groups with any
+    * delete or update-preimage row re-derive from the CURRENT base
+    * restricted to exactly those groups (a deleted extremum cannot be
+    * maintained from the summary — the next-best value lives only in
+    * the base). Eagerly checkpointed like [[mergedDelta]]: the plan
+    * reads both the summary's and the base's live directories and the
+    * mutation rewrites the summary out from under a lazy plan. */
+  private def mergedMinMaxDelta(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): DataFrame = {
+    val ch = store.readChanges(base, fromGen, toGen)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val guard = coalesce(assert_true(
+      groupCols.map(col(_).isNotNull).reduce(_ && _),
+      lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
+        "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    val v = col(valueCol).cast(DecimalType(18, 2))
+    val delta = ch.groupBy(groupCols.map(col): _*)
+      .agg((sum(sign) + first(guard)).as("__dn"),
+        sum(sign * v).as("__dsum"),
+        min(when(sign === 1L, v)).as("__imin"),
+        max(when(sign === 1L, v)).as("__imax"),
+        sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"))
+    val cur = store.readTable(summary)
+    val grown = delta.filter(col("__dels") === 0L)
+    val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
+    val negGuard = coalesce(assert_true(nRows >= 0,
+      lit(s"incremental aggregate: negative row count maintaining '$summary' from " +
+        s"the change feed of '$base' — feed and summary are inconsistent")).cast("long"),
+      lit(0L))
+    val dec = DecimalType(18, 2)
+    val grownRows = grown.join(cur,
+        groupCols.map(c => grown(c) <=> cur(c)).reduce(_ && _), "left")
+      .select(groupCols.map(grown(_)) :+
+        (nRows + negGuard).as("n_rows") :+
+        (coalesce(cur("sum_val"), lit(0).cast(dec)) + col("__dsum")).cast(dec).as("sum_val") :+
+        // least/greatest skip nulls (null only when BOTH sides are) —
+        // exactly the tighten-or-keep semantics growth needs
+        least(cur("min_val"), col("__imin")).cast(dec).as("min_val") :+
+        greatest(cur("max_val"), col("__imax")).cast(dec).as("max_val"): _*)
+    // groups the feed deleted from: re-derive from the base PINNED AT
+    // toGen (the fold's watermark target — reading the live table would
+    // leak a concurrent base writer's newer rows past the watermark and
+    // double-apply them on the next fold), restricted to exactly those
+    // groups (semi-join — prunes on a bucketed/clustered base); a group
+    // with no surviving rows emits NO rescan row and must die — recover
+    // it from the delta side
+    val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    val rescan = summarizeMinMax(
+      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      groupCols, valueCol)
+    val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
+      .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+
+        lit(null).cast(dec).as("sum_val") :+ lit(null).cast(dec).as("min_val") :+
+        lit(null).cast(dec).as("max_val"): _*)
+    grownRows.unionByName(rescan).unionByName(dead)
+      .withColumn("__dead", col("n_rows") === 0L)
+      .localCheckpoint(true)
+  }
+
+  /** [[maintainToCurrent]] for a [[summarizeMinMax]] summary — same
+    * durable watermark/intent protocol, min/max-aware fold. */
+  def maintainMinMaxToCurrent(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String): Unit =
+    maintainProtocol(store, base, summary) { (applied, cur) =>
+      val merged = mergedMinMaxDelta(store, base, summary, groupCols, valueCol, applied, cur)
+      if (merged.isEmpty) None
+      else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
+    }
 }

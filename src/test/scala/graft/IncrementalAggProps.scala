@@ -74,4 +74,43 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
       }
       checks.reduce(_ && _)
     }
+
+  /** C41b: the min/max summary under the same random interleavings —
+    * the insert-only incremental fold and the deleted-group rescan
+    * must both land bit-identical to the batch recompute (a rescan
+    * that reads the wrong generation, or a tighten that survives a
+    * deleted extremum, fails here). */
+  property("minmax summary ≡ batch recompute at every maintenance point under random feeds") =
+    Prop.forAll(opsGen) { ops =>
+      val store = new TableStore(spark,
+        Files.createTempDirectory("graft_iamm_").toString)
+      store.createTableFromDataFrame("base",
+        Seq((0, "a", 1.0), (1, "b", 2.0)).toDF("k", "g", "v"),
+        Seq("k"), infer = false)
+      store.createTableFromDataFrame("summary",
+        IncrementalAgg.summarizeMinMax(store.readTable("base"), Seq("g"), "v"),
+        Seq("g"), infer = false)
+      IncrementalAgg.markMaintained(store, "base", "summary",
+        store.snapshots("base").last._1)
+      def snap(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toString).toSet
+      val checks = (ops :+ (Right(Set.empty[Int]), true)).map { case (op, maintain) =>
+        op match {
+          case Left(ups) =>
+            store.upsert("base",
+              ups.toSeq.map { case (k, (g, v)) => (k, g, v) }.toDF("k", "g", "v"))
+          case Right(dels) if dels.nonEmpty =>
+            store.delete("base", dels.toSeq.toDF("k"))
+          case _ => ()
+        }
+        if (maintain) {
+          IncrementalAgg.maintainMinMaxToCurrent(store, "base", "summary", Seq("g"), "v")
+          val got = snap(store.readTable("summary"))
+          val want = snap(IncrementalAgg.summarizeMinMax(
+            store.readTable("base"), Seq("g"), "v"))
+          (got == want) :| s"minmax summary diverged after $op: $got vs $want"
+        } else Prop.passed
+      }
+      checks.reduce(_ && _)
+    }
 }

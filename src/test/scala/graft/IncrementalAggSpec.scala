@@ -399,6 +399,98 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("C41b: min/max summary — inserts fold incrementally, deletes rescan ONLY touched groups, rewrite serves all five shapes") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMinMax(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def checkMM(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeMinMax(store.readTable("base"), Seq("g"), "v")
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"minmax summary diverged: $got vs $want")
+    }
+    def sync(): Unit = {
+      IncrementalAgg.maintainMinMaxToCurrent(store, "base", "summary", Seq("g"), "v")
+      checkMM()
+    }
+    // pure growth: min/max tighten from the feed alone
+    store.insert("base", Seq((4L, "a", 5.0), (5L, "b", 99.0)).toDF("k", "g", "v"))
+    sync()
+    // a value UPDATE (preimage counts as a delete) — rescan path
+    store.upsert("base", Seq((4L, "a", 50.0)).toDF("k", "g", "v")) // old min leaves
+    sync()
+    // deleting the current MAX of b — the next-best must come back
+    store.delete("base", Seq(5L).toDF("k"))
+    sync()
+    // group death
+    store.delete("base", Seq(3L).toDF("k"))
+    sync()
+    assert(store.readTable("summary").filter(col("g") === "b").count() == 0)
+    // multi-generation backlog folded in one call
+    store.insert("base", Seq((6L, "c", 1.0)).toDF("k", "g", "v"))
+    store.upsert("base", Seq((6L, "c", 2.0)).toDF("k", "g", "v"))
+    store.delete("base", Seq(1L).toDF("k"))
+    sync()
+
+    // the rewrite serves min/max (exact grouping AND subset rollup)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("m"),
+          min(col("v").cast(DecimalType(18, 2))).as("lo"),
+          max(col("v").cast(DecimalType(18, 2))).as("hi"))
+        .orderBy("g")
+      def qGlobal = store.readTable("base")
+        .agg(min(col("v").cast(DecimalType(18, 2))).as("lo"),
+          max(col("v").cast(DecimalType(18, 2))).as("hi"))
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"five-shape aggregate should rewrite: ${q.queryExecution.optimizedPlan}")
+      assert(scanPaths(qGlobal).forall(_.contains("summary")))
+      def raw[T](mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+        SummaryRewrite.unregister(store, "base")
+        val r = mk.collect().toSeq.map(_.toString)
+        SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+        r
+      }
+      assert(q.collect().toSeq.map(_.toString) == raw(q))
+      assert(qGlobal.collect().toSeq.map(_.toString) == raw(qGlobal))
+    } finally SummaryRewrite.unregister(store, "base")
+
+    // a PLAIN count/sum summary never serves a min query (column check)
+    store.createTableFromDataFrame("plain",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "plain",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "plain", Seq("g"), "v")
+    try {
+      val qMin = store.readTable("base").groupBy("g")
+        .agg(min(col("v").cast(DecimalType(18, 2))).as("lo"))
+      val paths = qMin.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(paths.exists(_.contains("base")),
+        "a count/sum summary must not serve min")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("a NULL group value in the feed raises instead of silently diverging") {
     val store = newStore()
     store.createTableFromDataFrame("base",
