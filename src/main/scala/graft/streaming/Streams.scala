@@ -1600,6 +1600,31 @@ object Streams {
         }
     }
 
+  /** S36b: [[summaryMaintenanceSink]] for a C41b min/max summary
+    * ([[graft.store.IncrementalAgg.summarizeMinMax]]) — identical
+    * watermark/replay story; the fold additionally rescans exactly the
+    * groups each trigger's updates deleted extrema from. With the C44
+    * rule registered, min/max aggregates over the base are then served
+    * from the stream-maintained summary between triggers. */
+  def summaryMinMaxMaintenanceSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      base: String,
+      summary: String,
+      groupCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (graft.store.IncrementalAgg.maintainedGen(store, base, summary).isEmpty)
+            graft.store.IncrementalAgg.markMaintained(
+              store, base, summary, store.snapshots(base).last._1)
+          store.upsert(base, batch)
+          graft.store.IncrementalAgg.maintainMinMaxToCurrent(
+            store, base, summary, groupCols, valueCol)
+        }
+    }
+
   /** S38: streaming CDC apply — the live consumer of a change-data
     * stream (Debezium/OGG shape: per-key rows carrying new values or a
     * delete verdict plus a monotone sequence column — LSN, offset,

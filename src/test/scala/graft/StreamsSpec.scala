@@ -1353,6 +1353,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S36b: streaming min/max summary converges to the batch recompute, update-through-extremum included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.{IncrementalAgg, TableStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s36b_").toString)
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMinMax(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    def check(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeMinMax(store.readTable("base"), Seq("g"), "v")
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"minmax summary diverged: $got vs $want")
+    }
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = Streams.summaryMinMaxMaintenanceSink(ms.toDF().toDF("k", "g", "v"),
+      store, "base", "summary", Seq("g"), "v").start()
+    try {
+      ms.addData((2L, "a", 3.0), (3L, "b", 30.0)) // growth: min of a tightens
+      q.processAllAvailable()
+      check()
+      ms.addData((2L, "a", 50.0)) // the current MIN of a moves up — rescan path
+      q.processAllAvailable()
+      check()
+      // backlog window: a base delete outside the sink kills b's only row
+      store.delete("base", Seq(3L).toDF("k"))
+      ms.addData((4L, "a", 20.0))
+      q.processAllAvailable()
+      check()
+      assert(store.readTable("summary").filter(col("g") === "b").count() == 0)
+    } finally q.stop()
+  }
+
   test("S38: CDC-apply sink folds last-verdict-per-key atomically; replays are idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.store.TableStore
