@@ -105,6 +105,7 @@ object Bench {
     "summary_rewrite_rollup" -> "swrg", // NEW r11 (C44c subset-rollup routing)
     "auto_analyze_read" -> "aana", // NEW r11 (C45 commit-coupled stats upkeep)
     "summary_minmax_read" -> "swrm", // NEW r11 (C41b min/max summary + rewrite)
+    "summary_multi_read" -> "swrq", // NEW r11 (C41c multi-measure summary)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)

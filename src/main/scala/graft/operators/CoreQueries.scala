@@ -669,6 +669,55 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
+  // C41c/C44f: MULTI-measure summary end to end — the TPC-H Q1 shape
+  // ("per (returnflag, linestatus): count, sum of quantity, sum of
+  // price, average") maintained as ONE summary with one change-feed
+  // fold, then served by the rewrite: a quantity bump is upserted,
+  // maintainMultiToCurrent folds it, and the multi-measure aggregate
+  // is ASSERTED in-plan to read the SUMMARY. At 100 TB this answers
+  // the most-run query in the benchmark suite from a 6-row relation.
+  def summaryMultiRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwq")
+    // NB: this synthetic lineitem has DUPLICATE (orderkey, linenumber)
+    // pairs, so the keyed base is orders with a data-derived second
+    // measure (the oracle reproduces the same formula)
+    val ord = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      col("o_totalprice"), ((col("o_orderkey") % 100) / 4.0).as("o_disc"))
+    store.createTableFromDataFrame("base", ord, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeMulti(store.readTable("base"),
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice", "o_disc")),
+      Seq("o_orderstatus", "o_orderpriority"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerMulti(s, store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice", "o_disc"))
+    store.upsert("base", ord.filter(col("o_orderkey") <= 400)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    graft.store.IncrementalAgg.maintainMultiToCurrent(store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice", "o_disc"))
+    val q = store.readTable("base").groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"),
+        sum(col("o_disc").cast(DecimalType(18, 2))).as("sum_disc"),
+        avg(col("o_totalprice").cast(DecimalType(18, 2))).as("avg_price"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"multi-measure summary rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("o_orderpriority"), col("n_rows"),
+        col("sum_price").cast("double").as("sum_price"),
+        col("sum_disc").cast("double").as("sum_disc"),
+        (col("avg_price") * lit(1000000)).cast("long").as("avg_price_micros"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   // C45: auto-analyze — zone maps refresh INCREMENTALLY on every
   // commit (O(new files), never O(table)), so an append stream prunes
   // its freshest data without anyone running ANALYZE. The entry
@@ -1061,6 +1110,7 @@ object CoreQueries {
     "summary_rewrite_rollup" -> summaryRewriteRollup,
     "auto_analyze_read" -> autoAnalyzeRead,
     "summary_minmax_read" -> summaryMinmaxRead,
+    "summary_multi_read" -> summaryMultiRead,
   )
 
   private def inferCase(c: String): String =
@@ -1119,6 +1169,21 @@ object CoreQueries {
         | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros,
         | CAST(lo AS DOUBLE) AS min_val, CAST(hi AS DOUBLE) AS max_val
         |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C41c/C44f: the Q1-shaped recompute with the quantity bump applied;
+    // both sums as exact cents, avg as half-away micros
+    "summary_multi_read" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 400 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p,
+        |  CAST((o_orderkey % 100) / 4.0 AS DECIMAL(18,2)) AS d FROM orders),
+        |a AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(p) * 100 AS HUGEINT) AS pc,
+        |  CAST(SUM(d) * 100 AS HUGEINT) AS dc FROM f GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+        | CAST(pc AS DOUBLE) / 100 AS sum_price,
+        | CAST(dc AS DOUBLE) / 100 AS sum_disc,
+        | CAST((2 * pc * 10000 + n) // (2 * n) AS BIGINT) AS avg_price_micros
+        |FROM a ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     // C45: the filtered relation itself — exact iff auto-analyzed
     // pruning dropped only files that provably hold no matches
     "auto_analyze_read" ->

@@ -78,9 +78,18 @@ import graft.store.{IncrementalAgg, TableStore}
   * cache is in-process, like the rest of the single-writer story). */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
+  /** `sums` maps each BASE value column to the summary column holding
+    * its decimal(18,2) sum — `Map(v -> "sum_val")` for the canonical
+    * single-measure summaries (C41/C41b), `v -> s"sum_$v"` per measure
+    * for C41c multi-measure ones. min/max are servable only from the
+    * canonical single-measure minmax summary. */
   final case class Registration(
       store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String)
+      groupCols: Seq[String], sums: Map[String, String]) {
+    def minmaxCol: Option[String] =
+      if (sums.size == 1 && sums.values.head == "sum_val") Some(sums.keys.head)
+      else None
+  }
 
   // keyed by the base table's live data directory — the scan identity.
   // Scheme-normalized (a parquet scan's rootPaths carry `file:`/`hdfs:`
@@ -104,13 +113,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * the session's experimental optimizations (idempotent per
     * (base, summary); re-registering a summary replaces its entry). */
   def register(spark: SparkSession, store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String): Unit = {
-    val key = normalize(store.dataLocation(base))
-    val reg = Registration(store, base, summary, groupCols, valueCol)
+      groupCols: Seq[String], valueCol: String): Unit =
+    registerEntry(spark, Registration(store, base, summary, groupCols,
+      Map(valueCol -> "sum_val")))
+
+  /** Register a C41c MULTI-measure summary ([[IncrementalAgg
+    * .summarizeMulti]]'s `sum_<c>` naming). */
+  def registerMulti(spark: SparkSession, store: TableStore, base: String,
+      summary: String, groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    registerEntry(spark, Registration(store, base, summary, groupCols,
+      valueCols.map(c => c -> ("sum_" + c)).toMap))
+
+  private def registerEntry(spark: SparkSession, reg: Registration): Unit = {
+    val key = normalize(reg.store.dataLocation(reg.base))
     registry.compute(key, (_, old) =>
       reg :: Option(old).getOrElse(Nil).filterNot(r =>
-        r.summary == summary && (r.store eq store)))
-    freshCache.remove(key + "::" + summary)
+        r.summary == reg.summary && (r.store eq reg.store)))
+    freshCache.remove(key + "::" + reg.summary)
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
@@ -192,51 +211,54 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** `cast(valueCol as decimal(18,2))` or a bare `valueCol` already of
-    * that type — the child shape [[IncrementalAgg.summarize]] sums. */
-  private def isSummaryValue(e: Expression, valueCol: String): Boolean = e match {
+  /** `cast(<v> as decimal(18,2))` or a bare `<v>` already of that type
+    * for a SUMMARIZED value column `<v>` — the child shape the
+    * summarize family sums. Returns the matched value column. */
+  private def summaryValueOf(e: Expression, sums: Map[String, String]): Option[String] = e match {
     case c: Cast => c.dataType match {
       case d: DecimalType if d.precision == 18 && d.scale == 2 => c.child match {
-        case ar: AttributeReference => ar.name == valueCol
-        case _ => false
+        case ar: AttributeReference if sums.contains(ar.name) => Some(ar.name)
+        case _ => None
       }
+      case _ => None
+    }
+    case ar: AttributeReference if sums.contains(ar.name) =>
+      ar.dataType match {
+        case d: DecimalType if d.precision == 18 && d.scale == 2 => Some(ar.name)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def sumMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
+    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+      case s: Sum => summaryValueOf(s.child, sums)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def avgMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
+    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+      case a: Average => summaryValueOf(a.child, sums)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def isSummaryMin(e: Expression, reg: Registration): Boolean = e match {
+    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+      case m: Min => reg.minmaxCol.exists(vc =>
+        summaryValueOf(m.child, reg.sums).contains(vc))
       case _ => false
     }
-    case ar: AttributeReference =>
-      ar.name == valueCol && (ar.dataType match {
-        case d: DecimalType => d.precision == 18 && d.scale == 2
-        case _ => false
-      })
     case _ => false
   }
 
-  private def isSummarySum(e: Expression, valueCol: String): Boolean = e match {
+  private def isSummaryMax(e: Expression, reg: Registration): Boolean = e match {
     case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
-      case s: Sum => isSummaryValue(s.child, valueCol)
-      case _ => false
-    }
-    case _ => false
-  }
-
-  private def isSummaryAvg(e: Expression, valueCol: String): Boolean = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
-      case a: Average => isSummaryValue(a.child, valueCol)
-      case _ => false
-    }
-    case _ => false
-  }
-
-  private def isSummaryMin(e: Expression, valueCol: String): Boolean = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
-      case m: Min => isSummaryValue(m.child, valueCol)
-      case _ => false
-    }
-    case _ => false
-  }
-
-  private def isSummaryMax(e: Expression, valueCol: String): Boolean = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
-      case m: Max => isSummaryValue(m.child, valueCol)
+      case m: Max => reg.minmaxCol.exists(vc =>
+        summaryValueOf(m.child, reg.sums).contains(vc))
       case _ => false
     }
     case _ => false
@@ -319,22 +341,25 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // the summary's rows)
     if (!conds.forall(_.references.forall(a => reg.groupCols.contains(a.name))))
       return None
-    // every output: a grouping attribute, count(1), the summary sum,
+    // every output: a grouping attribute, count(1), a summarized sum,
     // avg, min or max — tracking which summary columns the query needs
     // (min/max exist only on a summarizeMinMax summary; a plain
     // summary simply fails the column check below and the candidate
     // falls through)
-    var needCount = false; var needSum = false; var needAvg = false
+    var needCount = false; var needAvg = false
     var needMin = false; var needMax = false
+    val usedSums = scala.collection.mutable.LinkedHashSet.empty[String]
     aggExprs.foreach {
       case ar: AttributeReference if groupNames.contains(ar.name) =>
       case a: Alias => a.child match {
         case ar: AttributeReference if groupNames.contains(ar.name) =>
         case e if isCountStar(e) => needCount = true
-        case e if isSummarySum(e, reg.valueCol) => needSum = true
-        case e if isSummaryAvg(e, reg.valueCol) => needAvg = true
-        case e if isSummaryMin(e, reg.valueCol) => needMin = true
-        case e if isSummaryMax(e, reg.valueCol) => needMax = true
+        case e if sumMatch(e, reg.sums).isDefined =>
+          usedSums += reg.sums(sumMatch(e, reg.sums).get)
+        case e if avgMatch(e, reg.sums).isDefined =>
+          needAvg = true; usedSums += reg.sums(avgMatch(e, reg.sums).get)
+        case e if isSummaryMin(e, reg) => needMin = true
+        case e if isSummaryMax(e, reg) => needMax = true
         case _ => return None
       }
       case _ => return None
@@ -346,7 +371,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // the summary must carry the columns THIS query needs
     val neededCols = reg.groupCols ++
       (if (needCount || needAvg) Seq("n_rows") else Nil) ++
-      (if (needSum || needAvg) Seq("sum_val") else Nil) ++
+      usedSums.toSeq ++
       (if (needMin) Seq("min_val") else Nil) ++
       (if (needMax) Seq("max_val") else Nil)
     if (!neededCols.forall(byName.contains)) return None
@@ -402,10 +427,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case a: Alias => a.child match {
             case ar: AttributeReference => remap(ar)
             case e if isCountStar(e) => nExpr
-            case e if isSummaryAvg(e, reg.valueCol) => avgFromSummary(get("sum_val"), nExpr)
-            case e if isSummaryMin(e, reg.valueCol) => get("min_val")
-            case e if isSummaryMax(e, reg.valueCol) => get("max_val")
-            case _ => get("sum_val") // isSummarySum verified above
+            case e if avgMatch(e, reg.sums).isDefined =>
+              avgFromSummary(get(reg.sums(avgMatch(e, reg.sums).get)), nExpr)
+            case e if isSummaryMin(e, reg) => get("min_val")
+            case e if isSummaryMax(e, reg) => get("max_val")
+            case e => get(reg.sums(sumMatch(e, reg.sums).get)) // sum verified above
           }
           case _ => return None
         }

@@ -196,6 +196,67 @@ object IncrementalAgg {
     }
   }
 
+  // ── C41c: multi-measure summaries ───────────────────────────────────
+
+  /** One summary maintaining SEVERAL measures: n_rows plus an exact
+    * DECIMAL(18,2) `sum_<c>` per value column — one maintenance fold
+    * and one table where N single-measure summaries would cost N folds
+    * and N change-feed reads per commit. The TPC-H-Q1 shape ("per
+    * flag: row count, sum of quantity, sum of price, averages") is one
+    * of these. */
+  def summarizeMulti(base: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "summarizeMulti: need at least one value column")
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        valueCols.map(c =>
+          sum(col(c).cast(DecimalType(18, 2))).as("sum_" + c)): _*)
+  }
+
+  /** [[mergedDelta]] generalized over the measure list — the same
+    * change-feed algebra, one signed decimal delta per measure. */
+  private def mergedMultiDelta(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCols: Seq[String],
+      fromGen: Int, toGen: Int): DataFrame = {
+    val ch = store.readChanges(base, fromGen, toGen)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val guard = coalesce(assert_true(
+      groupCols.map(col(_).isNotNull).reduce(_ && _),
+      lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
+        "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    val dec = DecimalType(18, 2)
+    val delta = ch.groupBy(groupCols.map(col): _*)
+      .agg((sum(sign) + first(guard)).as("__dn"),
+        valueCols.map(c =>
+          sum(sign * col(c).cast(dec)).as("__d_" + c)): _*)
+    val cur = store.readTable(summary)
+    val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
+    val negGuard = coalesce(assert_true(nRows >= 0,
+      lit(s"incremental aggregate: negative row count maintaining '$summary' from " +
+        s"the change feed of '$base' — feed and summary are inconsistent")).cast("long"),
+      lit(0L))
+    delta.join(cur,
+        groupCols.map(c => delta(c) <=> cur(c)).reduce(_ && _), "left")
+      .select(groupCols.map(delta(_)) :+
+        (nRows + negGuard).as("n_rows") :++
+        valueCols.map(c =>
+          (coalesce(cur("sum_" + c), lit(0).cast(dec)) + col("__d_" + c))
+            .cast(dec).as("sum_" + c)): _*)
+      .withColumn("__dead", col("n_rows") === 0L)
+      .localCheckpoint(true)
+  }
+
+  /** [[maintainToCurrent]] for a [[summarizeMulti]] summary — same
+    * durable watermark/intent protocol, one fold for all measures. */
+  def maintainMultiToCurrent(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    maintainProtocol(store, base, summary) { (applied, cur) =>
+      val merged = mergedMultiDelta(store, base, summary, groupCols, valueCols, applied, cur)
+      if (merged.isEmpty) None
+      else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
+    }
+
   // ── C41b: min/max summaries ─────────────────────────────────────────
 
   /** The extended summary: [[summarize]]'s count/sum plus the exact

@@ -491,6 +491,75 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("C41c: multi-measure summary — one fold maintains every sum; rewrite serves multi-measure aggregates") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0, 1.0), (2L, "a", 20.0, 2.5), (3L, "b", 30.0, 4.0))
+        .toDF("k", "g", "v1", "v2"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMulti(store.readTable("base"), Seq("g"), Seq("v1", "v2")),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def checkM(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeMulti(
+        store.readTable("base"), Seq("g"), Seq("v1", "v2"))
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"multi summary diverged: $got vs $want")
+    }
+    // growth, update, delete, group death — one fold each
+    store.insert("base", Seq((4L, "b", 5.0, 0.5)).toDF("k", "g", "v1", "v2"))
+    IncrementalAgg.maintainMultiToCurrent(store, "base", "summary", Seq("g"), Seq("v1", "v2"))
+    checkM()
+    store.upsert("base", Seq((1L, "a", 11.0, 1.5)).toDF("k", "g", "v1", "v2"))
+    store.delete("base", Seq(3L).toDF("k"))
+    IncrementalAgg.maintainMultiToCurrent(store, "base", "summary", Seq("g"), Seq("v1", "v2"))
+    checkM()
+
+    SummaryRewrite.registerMulti(spark, store, "base", "summary", Seq("g"), Seq("v1", "v2"))
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      // a MULTI-measure aggregate (both sums + an avg + count) rewrites
+      def q = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v1").cast(DecimalType(18, 2))).as("s1"),
+          sum(col("v2").cast(DecimalType(18, 2))).as("s2"),
+          avg(col("v2").cast(DecimalType(18, 2))).as("m2"))
+        .orderBy("g")
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"multi-measure aggregate should rewrite: ${q.queryExecution.optimizedPlan}")
+      def raw = {
+        SummaryRewrite.unregister(store, "base")
+        val r = q.collect().toSeq.map(_.toString)
+        SummaryRewrite.registerMulti(spark, store, "base", "summary", Seq("g"), Seq("v1", "v2"))
+        r
+      }
+      assert(q.collect().toSeq.map(_.toString) == raw)
+      // the global rollup works across measures too
+      def g = store.readTable("base")
+        .agg(sum(col("v1").cast(DecimalType(18, 2))).as("s1"),
+          avg(col("v2").cast(DecimalType(18, 2))).as("m2"))
+      assert(scanPaths(g).forall(_.contains("summary")))
+      // a sum over a NON-summarized column stands down
+      val other = store.readTable("base").groupBy("g")
+        .agg(sum(col("k").cast(DecimalType(18, 2))).as("sk"))
+      assert(scanPaths(other).exists(_.contains("base")))
+      // min is never served from a multi summary (no min_val column)
+      val mn = store.readTable("base").groupBy("g")
+        .agg(min(col("v1").cast(DecimalType(18, 2))).as("lo"))
+      assert(scanPaths(mn).exists(_.contains("base")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("a NULL group value in the feed raises instead of silently diverging") {
     val store = newStore()
     store.createTableFromDataFrame("base",
