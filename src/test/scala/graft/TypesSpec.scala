@@ -118,6 +118,25 @@ class TypesSpec extends AnyFunSuite {
     assert(out.take(4).map(_.get) == expected)
   }
 
+  test("dtoNormalizeLiteral: fractions pad, naive localizes as UTC, offsets survive, garbage passes through") {
+    assert(SqlType.dtoNormalizeLiteral("2024-01-10 00:00:00") ==
+      "2024-01-10 00:00:00.000000 +00:00")
+    assert(SqlType.dtoNormalizeLiteral("2024-01-10 00:00:00.5") ==
+      "2024-01-10 00:00:00.500000 +00:00") // left-aligned fraction pads right
+    assert(SqlType.dtoNormalizeLiteral("2024-01-10 00:00:00.123456") ==
+      "2024-01-10 00:00:00.123456 +00:00")
+    assert(SqlType.dtoNormalizeLiteral("2024-01-10 00:00:00 +05:30") ==
+      "2024-01-10 00:00:00.000000 +05:30")
+    assert(SqlType.dtoNormalizeLiteral("2024-01-10 00:00:00.25 -09:30") ==
+      "2024-01-10 00:00:00.250000 -09:30")
+    assert(SqlType.dtoNormalizeLiteral("  2024-01-10 00:00:00  ".trim) ==
+      "2024-01-10 00:00:00.000000 +00:00")
+    // unrecognized text passes through (decodes to NULL downstream,
+    // the engine's cast-failure convention)
+    assert(SqlType.dtoNormalizeLiteral("not a dto") == "not a dto")
+    assert(SqlType.dtoNormalizeLiteral("2024-01-10") == "2024-01-10")
+  }
+
   test("datetimeoffset violation: malformed renders and offsets past ±14:00 are caught") {
     val t = SqlType.parse("datetimeoffset")
     val df = Seq(
