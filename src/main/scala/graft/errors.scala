@@ -64,6 +64,17 @@ object errors {
   final case class UndefinedCheckConstraint(table: String, constraint: String)
       extends GraftException(s"no check constraint $constraint on table $table")
 
+  /** Several source rows of a keyed mutation carried the same match-key
+    * tuple — the reference's T-SQL MERGE raises here ("attempted to
+    * UPDATE or DELETE the same row more than once", merge.py builds
+    * exactly that statement); the join algebra would instead emit one
+    * output row per duplicate and silently break the PK invariant. */
+  final case class DuplicateSourceKey(table: String, keys: Seq[String])
+      extends GraftException(
+        s"duplicate source keys mutating $table: several source rows carry the " +
+          s"same (${keys.mkString(", ")}) value — pre-aggregate the source to one " +
+          "row per key (the reference MERGE raises on multi-match)")
+
   /** A driver-side partition-value collect exceeded the caller's bound
     * — the maxGroupRows discipline applied to partition maintenance
     * (syncMirror): bounded-cardinality partition columns are the

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampNTZType
+import org.apache.spark.sql.types.{DataType, TimestampNTZType}
 
 import graft.errors
 
@@ -44,6 +45,39 @@ object Mutations {
 
   private def srcAlias(c: String) = s"__src_$c"
 
+  /** Marker carried by the in-plan duplicate-source-key assert —
+    * [[graft.store.TableStore]] translates any failure whose cause
+    * chain contains it into the named [[errors.DuplicateSourceKey]]. */
+  val DupKeyMsg = "duplicate key in mutation source"
+  private val DupGuardCol = "__dup_guard"
+
+  /** The reference's T-SQL MERGE raises when several source rows match
+    * one target row ("attempted to UPDATE or DELETE the same row more
+    * than once"); the full-outer-join algebra here would instead emit
+    * one output row per source duplicate — the table GROWS and the PK
+    * uniqueness the store promises is silently gone. So every keyed
+    * mutation rides this guard: a window count per match-key over the
+    * RENAMED source (source-sized work on what is usually the small
+    * join side — never a pass over the target), asserted in-plan and
+    * folded into an output column by [[rideGuard]] so column pruning
+    * cannot elide it. Null on success (assert_true's contract), throws
+    * on the first duplicate anywhere in the source. */
+  private def withDupGuard(s: DataFrame, matchCols: Seq[String], op: String): DataFrame = {
+    val w = Window.partitionBy(matchCols.map(c => col(srcAlias(c))): _*)
+    s.withColumn(DupGuardCol,
+      assert_true(count(lit(1)).over(w) <= 1L,
+        lit(s"$op: $DupKeyMsg — several source rows carry the same " +
+          s"(${matchCols.mkString(", ")}) key; the reference MERGE raises when " +
+          "multiple source rows match one target row. Pre-aggregate the source " +
+          "to one row per key.")))
+  }
+
+  /** Fold the dup guard into an output expression: the guard is null on
+    * success, so `coalesce(guard, e)` ≡ `e` — but the guard column now
+    * rides a REAL output column and pruning cannot drop the assert. */
+  private def rideGuard(e: Column, dt: DataType): Column =
+    coalesce(col(DupGuardCol).cast(dt), e)
+
   private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
     val missing = cols.filterNot(df.columns.contains)
     if (missing.nonEmpty) throw errors.DataFrameColumnDoesNotExist(missing.map(c => s"$what.$c"))
@@ -78,8 +112,9 @@ object Mutations {
     requireCols(target, updateCols, "target")
 
     val t0 = if (timeUpdate.isDefined) ensureTimeCol(target, TimeUpdate) else target
-    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
-      .withColumn("__matched", lit(true))
+    val s = withDupGuard(
+      source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
+      matchCols, "update").withColumn("__matched", lit(true))
     // no broadcast hint: the source is USUALLY small (AQE broadcasts it
     // then), but an update fed by another 100 TB relation must be free
     // to shuffle — a forced broadcast would OOM the driver
@@ -89,11 +124,14 @@ object Mutations {
       "left")
 
     val outCols = t0.columns.map { c =>
-      if (updateCols.contains(c))
-        when(col("__matched"), col(srcAlias(c)).cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
-      else if (c == TimeUpdate && timeUpdate.isDefined)
-        when(col("__matched"), timeUpdate.get.cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
-      else t0(c).as(c)
+      val dt = t0.schema(c).dataType
+      val base =
+        if (updateCols.contains(c))
+          when(col("__matched"), col(srcAlias(c)).cast(dt)).otherwise(t0(c))
+        else if (c == TimeUpdate && timeUpdate.isDefined)
+          when(col("__matched"), timeUpdate.get.cast(dt)).otherwise(t0(c))
+        else t0(c)
+      (if (c == matchCols.head) rideGuard(base, dt) else base).as(c)
     }
     joined.select(outCols.toIndexedSeq: _*)
   }
@@ -151,8 +189,9 @@ object Mutations {
     if (timeInsert.isDefined) t0 = ensureTimeCol(t0, TimeInsert)
     if (timeUpdate.isDefined) t0 = ensureTimeCol(t0, TimeUpdate)
 
-    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
-      .withColumn("__s", lit(true))
+    val s = withDupGuard(
+      source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
+      matchCols, if (upsertOnly) "upsert" else "merge").withColumn("__s", lit(true))
     val joinCond = matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _)
     var j = t0.withColumn("__t", lit(true)).join(s, joinCond, "full_outer")
 
@@ -179,15 +218,15 @@ object Mutations {
       val dt = t0.schema(c).dataType
       val base =
         if (matchCols.contains(c))
-          when(insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
+          when(insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c))
         else if (updateCols.contains(c))
-          when(matched || insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
+          when(matched || insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c))
         else if (c == TimeInsert && timeInsert.isDefined)
-          when(insertOnly, timeInsert.get.cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
+          when(insertOnly, timeInsert.get.cast(dt)).otherwise(t0(c))
         else if (c == TimeUpdate && timeUpdate.isDefined)
-          when(matched, timeUpdate.get.cast(t0.schema(c).dataType)).otherwise(t0(c)).as(c)
-        else t0(c).as(c) // target-only column: null for inserted rows
-      base
+          when(matched, timeUpdate.get.cast(dt)).otherwise(t0(c))
+        else t0(c) // target-only column: null for inserted rows
+      (if (c == matchCols.head) rideGuard(base, dt) else base).as(c)
     }
     kept.select(outCols.toIndexedSeq: _*)
   }
@@ -219,8 +258,9 @@ object Mutations {
     if (timeInsert.isDefined) t0 = ensureTimeCol(t0, TimeInsert)
     if (timeUpdate.isDefined) t0 = ensureTimeCol(t0, TimeUpdate)
 
-    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
-      .withColumn("__s", lit(true))
+    val s = withDupGuard(
+      source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
+      matchCols, "applyChanges").withColumn("__s", lit(true))
     val joinCond = matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _)
     val j = t0.withColumn("__t", lit(true)).join(s, joinCond, "full_outer")
 
@@ -232,15 +272,17 @@ object Mutations {
 
     val outCols = t0.columns.map { c =>
       val dt = t0.schema(c).dataType
-      if (matchCols.contains(c))
-        when(insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
-      else if (updateCols.contains(c))
-        when(matched || insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c)).as(c)
-      else if (c == TimeInsert && timeInsert.isDefined)
-        when(insertOnly, timeInsert.get.cast(dt)).otherwise(t0(c)).as(c)
-      else if (c == TimeUpdate && timeUpdate.isDefined)
-        when(matched, timeUpdate.get.cast(dt)).otherwise(t0(c)).as(c)
-      else t0(c).as(c)
+      val base =
+        if (matchCols.contains(c))
+          when(insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c))
+        else if (updateCols.contains(c))
+          when(matched || insertOnly, col(srcAlias(c)).cast(dt)).otherwise(t0(c))
+        else if (c == TimeInsert && timeInsert.isDefined)
+          when(insertOnly, timeInsert.get.cast(dt)).otherwise(t0(c))
+        else if (c == TimeUpdate && timeUpdate.isDefined)
+          when(matched, timeUpdate.get.cast(dt)).otherwise(t0(c))
+        else t0(c)
+      (if (c == matchCols.head) rideGuard(base, dt) else base).as(c)
     }
     kept.select(outCols.toIndexedSeq: _*)
   }
@@ -280,8 +322,9 @@ object Mutations {
 
     val history = target.filter(col(ValidTo).isNotNull)
     val current = target.filter(col(ValidTo).isNull)
-    val s = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c)))
-      .withColumn("__s", lit(true))
+    val s = withDupGuard(
+      source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
+      matchCols, "scd2").withColumn("__s", lit(true))
     val j = current.withColumn("__t", lit(true))
       .join(s, matchCols.map(c => current(c) === s(srcAlias(c))).reduce(_ && _), "full_outer")
 
@@ -307,12 +350,14 @@ object Mutations {
       case c if tracked.contains(c)       => col(srcAlias(c)).cast(dt(c))
       case c                              => current(c) // untracked extras: carried, null on insert
     }
-    val emitted = j.select(explode(array_compact(array(
+    val emitted = j.select(col(DupGuardCol), explode(array_compact(array(
         when(matched && !changed || targetOnly, keepRow),
         when(changed, closedRow),
         when(changed || insertOnly, newRow)))).as("__r"))
-      .select(target.columns.toIndexedSeq.map(c =>
-        col("__r." + graft.Identifiers.quote(c)).as(c)): _*)
+      .select(target.columns.toIndexedSeq.map { c =>
+        val e = col("__r." + graft.Identifiers.quote(c))
+        (if (c == matchCols.head) rideGuard(e, dt(c)) else e).as(c)
+      }: _*)
     history.unionByName(emitted)
   }
 

@@ -94,9 +94,20 @@ object DtoInstant {
     val y = num(0, 4); val mo = num(5, 2); val d = num(8, 2)
     val hh = num(11, 2); val mm = num(14, 2); val ss = num(17, 2)
     val frac = num(20, 6); val oh = num(28, 2); val om = num(31, 2)
-    if (y < 0 || mo < 1 || mo > 12 || d < 1 || d > 31 || hh > 23 || hh < 0 ||
+    if (y < 0 || mo < 1 || mo > 12 || d < 1 || hh > 23 || hh < 0 ||
         mm < 0 || mm > 59 || ss < 0 || ss > 59 || frac < 0 ||
         oh < 0 || om < 0 || om > 59) return null
+    // calendar validity: '2024-02-31' is not a later February day, it's
+    // garbage — decode to null, not a wrong instant
+    val leap = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+    val maxDay = mo match {
+      case 2 => if (leap) 29 else 28
+      case 4 | 6 | 9 | 11 => 30
+      case _ => 31
+    }
+    if (d > maxDay) return null
+    // SQL Server's datetimeoffset offset bound is ±14:00 inclusive
+    if (oh > 14 || (oh == 14 && om > 0)) return null
     val wallUs = daysFromCivil(y, mo, d) * 86400000000L +
       hh * 3600000000L + mm * 60000000L + ss * 1000000L + frac
     val offMin = (oh * 60 + om) * (if (sign == '-'.toByte) -1 else 1)

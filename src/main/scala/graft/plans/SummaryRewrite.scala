@@ -203,8 +203,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** DISTINCT and FILTER-clause aggregates range over different rows
+    * than the summary was maintained from — `count(*) FILTER (WHERE
+    * v > 0)` must fall through to the base scan, so every matcher
+    * requires both flags clear. */
+  private def plainAgg(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty
+
   private def isCountStar(e: Expression): Boolean = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
       case Count(Seq(Literal(_, _))) => true
       case _ => false
     }
@@ -231,7 +238,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   private def sumMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
       case s: Sum => summaryValueOf(s.child, sums)
       case _ => None
     }
@@ -239,7 +246,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   private def avgMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
       case a: Average => summaryValueOf(a.child, sums)
       case _ => None
     }
@@ -247,7 +254,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   private def isSummaryMin(e: Expression, reg: Registration): Boolean = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
       case m: Min => reg.minmaxCol.exists(vc =>
         summaryValueOf(m.child, reg.sums).contains(vc))
       case _ => false
@@ -256,7 +263,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   private def isSummaryMax(e: Expression, reg: Registration): Boolean = e match {
-    case ae: AggregateExpression if !ae.isDistinct => ae.aggregateFunction match {
+    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
       case m: Max => reg.minmaxCol.exists(vc =>
         summaryValueOf(m.child, reg.sums).contains(vc))
       case _ => false
@@ -277,7 +284,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       DecimalDivideWithOverflowCheck(
         Cast(sumVal, DecimalType(28, 2)),
         Cast(nRows, DecimalType(20, 0)), // DecimalType.LongDecimal (private[sql])
-        resultType, null, SQLConf.get.ansiEnabled))
+        // 5th param is nullOnOverflow — Average.evaluateExpression
+        // passes `evalMode != ANSI`: non-ANSI nulls, ANSI throws
+        resultType, null, !SQLConf.get.ansiEnabled))
   }
 
   /** Read-only freshness, cached per base and invalidated by the

@@ -833,8 +833,12 @@ final class TableStore(
     // datetimeoffset columns — the zone map an instant-range predicate
     // prunes with (the column's own min/max order by WALL CLOCK, a
     // different order whenever offsets vary, so they cannot serve an
-    // instant comparison). Derived entries carry no bloom: equality
-    // probes on a dto value prune through the string entry's sketch.
+    // instant comparison). The derived entry carries its OWN bloom:
+    // parseWhere rewrites every dto comparison (including =) to
+    // DtoInstant(col) form, so an equality probe resolves to the
+    // `#instant` entry — a sketch on the string column would never be
+    // consulted. The bigint's cast-to-string render is reproduced
+    // bit-exactly probe-side by FileStats.renderLit's LongType arm.
     final case class StatKey(key: String, value: Column, raw: Column,
         dom: String, bloomable: Boolean)
     val dtos = dtoColsOf(m)
@@ -850,7 +854,7 @@ final class TableStore(
         bloomable = true)
       if (dtos.contains(c))
         Seq(base, StatKey(c + "#instant", SqlType.dtoInstantMicros(q0),
-          SqlType.dtoInstantMicros(q0), "bigint", bloomable = false))
+          SqlType.dtoInstantMicros(q0), "bigint", bloomable = true))
       else Seq(base)
     }
     val domOf: Map[String, String] = statKeys.map(s => s.key -> s.dom).toMap
@@ -2050,9 +2054,11 @@ final class TableStore(
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
     val partial = enforceChecks(m, source, "source", deferrable = true)
-    prunedMutation(name, m, source, keys, timeUpdate.isDefined) { (target, src) =>
-      val r = Mutations.update(target, src, keys, timeUpdate)
-      validatePartialChecks(m, r, partial); r
+    translatingDupKeys(name, keys) {
+      prunedMutation(name, m, source, keys, timeUpdate.isDefined) { (target, src) =>
+        val r = Mutations.update(target, src, keys, timeUpdate)
+        validatePartialChecks(m, r, partial); r
+      }
     }
   }
 
@@ -2067,10 +2073,12 @@ final class TableStore(
     val keys = resolveKeys(name, m, matchCols)
     validateSource(m, source)
     val partial = enforceChecks(m, source, "source", deferrable = true)
-    prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
-      (target, src) =>
-        val r = Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
-        validatePartialChecks(m, r, partial); r
+    translatingDupKeys(name, keys) {
+      prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
+        (target, src) =>
+          val r = Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
+          validatePartialChecks(m, r, partial); r
+      }
     }
   }
 
@@ -2098,10 +2106,12 @@ final class TableStore(
     validateSource(m, source.filter(!isDelete).drop(deleteCol))
     val partial =
       enforceChecks(m, source.filter(!isDelete).drop(deleteCol), "source", deferrable = true)
-    prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
-      (target, src) =>
-        val r = Mutations.applyChanges(target, src, keys, deleteCol, timeInsert, timeUpdate)
-        validatePartialChecks(m, r, partial); r
+    translatingDupKeys(name, keys) {
+      prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
+        (target, src) =>
+          val r = Mutations.applyChanges(target, src, keys, deleteCol, timeInsert, timeUpdate)
+          validatePartialChecks(m, r, partial); r
+      }
     }
   }
 
@@ -2138,8 +2148,10 @@ final class TableStore(
     val partial = enforceChecks(m, source, "source", deferrable = true)
     val merged = Mutations.merge(read(name), source, keys, upsertOnly = false,
       deleteRequires, timeInsert, timeUpdate)
-    validatePartialChecks(m, merged, partial)
-    rewrite(name, merged, timeInsert.isDefined || timeUpdate.isDefined)
+    translatingDupKeys(name, keys) {
+      validatePartialChecks(m, merged, partial)
+      rewrite(name, merged, timeInsert.isDefined || timeUpdate.isDefined)
+    }
   }
 
   /** Type-2 SCD history upsert (see [[Mutations.scd2Upsert]]): closes
@@ -2160,8 +2172,22 @@ final class TableStore(
       if (!m.columns.exists(_._1 == c)) { addColumn(name, c, "datetime2"); m = meta(name) }
     }
     validateSource(m, source)
-    rewrite(name, Mutations.scd2Upsert(read(name), source, keys, clock), mayAddTimeCols = false)
+    translatingDupKeys(name, keys) {
+      rewrite(name, Mutations.scd2Upsert(read(name), source, keys, clock), mayAddTimeCols = false)
+    }
   }
+
+  /** Translate the in-plan duplicate-source-key assert
+    * ([[Mutations.DupKeyMsg]], thrown task-side as Spark's
+    * USER_RAISED_EXCEPTION) into the named store error — the same
+    * failure the reference's multi-match MERGE raises server-side. */
+  private def translatingDupKeys[T](name: String, keys: Seq[String])(body: => T): T =
+    try body catch {
+      case e: Throwable if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(20)
+          .exists(t => t.getMessage != null && t.getMessage.contains(Mutations.DupKeyMsg)) =>
+        throw errors.DuplicateSourceKey(name, keys)
+    }
 
   private def resolveKeys(name: String, m: Meta, matchCols: Seq[String]): Seq[String] =
     if (matchCols.nonEmpty) matchCols

@@ -175,6 +175,25 @@ class FileStatsSpec extends AnyFunSuite {
     // a file without the derived entry never mis-prunes
     val bare = stat("o" -> ColStat(Some("a"), Some("z"), 0, Some("string")))
     assert(FileStats.mayMatch(dtoPred("o >= '2026-01-15 11:30:00'"), bare, t2))
+
+    // the #instant entry carries its OWN bloom (the dto rewrite means an
+    // equality probe never references the raw string column): an
+    // in-range instant the file provably lacks is bloom-cut
+    import graft.plans.BloomSketch
+    def payload(values: String*): String = {
+      val words = BloomSketch.emptyWords(1024)
+      values.foreach(v => BloomSketch.add(words, UTF8String.fromString(v), 6))
+      java.util.Base64.getEncoder.encodeToString(BloomSketch.serialize(words, 6))
+    }
+    val lo = us("2026-01-15 10:00:00.000000 +00:00")
+    val hi = us("2026-01-15 11:00:00.000000 +00:00")
+    val withBloom = stat("o#instant" -> ColStat(
+      Some(lo), Some(hi), 0, Some("bigint"), Some(payload(lo, hi))))
+    assert(FileStats.mayMatch(dtoPred("o = '2026-01-15 10:00:00'"), withBloom, t2))
+    assert(!FileStats.mayMatch(dtoPred("o = '2026-01-15 10:30:00'"), withBloom, t2),
+      "in-range absent instant must be bloom-cut")
+    assert(!FileStats.mayMatch(
+      dtoPred("o IN ('2026-01-15 10:30:00', '2026-01-15 10:45:00')"), withBloom, t2))
   }
 
   test("conservative fallbacks: unknown columns, stat-less columns, odd shapes") {

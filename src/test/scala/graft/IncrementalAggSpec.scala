@@ -215,6 +215,18 @@ class IncrementalAggSpec extends AnyFunSuite {
       val other = store.readTable("base").groupBy("g").agg(avg(col("v")).as("m"))
       assert(scanPaths(other).exists(_.contains("base")))
 
+      // a FILTER-clause aggregate ranges over different rows than the
+      // summary was maintained from — must stand down (and DISTINCT too)
+      for (shape <- Seq(
+          "count(1) FILTER (WHERE v > 6.0) AS n_rows",
+          "sum(CAST(v AS DECIMAL(18,2))) FILTER (WHERE k > 1) AS sum_val",
+          "avg(CAST(v AS DECIMAL(18,2))) FILTER (WHERE v > 6.0) AS m",
+          "count(DISTINCT v) AS n_rows")) {
+        val fq = spark.sql(s"SELECT g, $shape FROM c44_base GROUP BY g")
+        assert(scanPaths(fq).exists(_.contains("base")),
+          s"'$shape' must not be served from the summary: ${fq.queryExecution.optimizedPlan}")
+      }
+
       // a GROUP-column filter IS answerable: groups are atomic under
       // it, so the summary rows are filtered instead — and the rows
       // must equal the plain aggregate's

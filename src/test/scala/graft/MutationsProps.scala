@@ -61,6 +61,36 @@ object MutationsProps extends Properties("Mutations") {
       (viaApply == viaUpsert) :| s"apply $viaApply upsert $viaUpsert"
     }
 
+  /** Duplicate keys ANYWHERE in the source raise (the reference's
+    * multi-match MERGE error) — matched, unmatched, any batch shape.
+    * rowsGen/verdictsGen above generate duplicate-free keys by
+    * construction (`.toMap`), so this generator is the net for exactly
+    * the case they sidestep. */
+  private val dupSourceGen: Gen[List[(Int, String)]] =
+    for {
+      base <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 11), Gen.oneOf("x", "y", "z")))
+      pick <- Gen.oneOf(base)
+      v2 <- Gen.oneOf("x", "y", "z")
+    } yield (pick._1, v2) :: base
+
+  property("duplicate source keys raise on update/upsert/merge/applyChanges") =
+    Prop.forAll(rowsGen, dupSourceGen) { (target, src) =>
+      import org.apache.spark.sql.functions.lit
+      val t = target.toSeq.toDF("PK", "V")
+      val s = src.toDF("PK", "V")
+      def raises(body: => Unit): Boolean =
+        try { body; false } catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20)
+              .exists(x => x.getMessage != null && x.getMessage.contains(Mutations.DupKeyMsg))
+        }
+      (raises(Mutations.update(t, s, Seq("PK")).collect()) :| "update") &&
+      (raises(Mutations.upsert(t, s, Seq("PK")).collect()) :| "upsert") &&
+      (raises(Mutations.merge(t, s, Seq("PK")).collect()) :| "merge") &&
+      (raises(Mutations.applyChanges(
+        t, s.withColumn("__del", lit(false)), Seq("PK"), "__del").collect()) :| "applyChanges")
+    }
+
   /** Idempotence: applying the same verdict batch twice is a no-op the
     * second time — the property that makes a replayed streaming
     * trigger (S38) safe. */

@@ -153,4 +153,35 @@ class MutationsSpec extends AnyFunSuite {
     val out = Mutations.applyChanges(target, src, Seq("PK"), "__del")
     assert(rows(out) == Seq(Row(0, "A", 3, "a"), Row(1, "B", 9, "x")))
   }
+
+  test("duplicate source keys raise the named error on every keyed mutation (reference MERGE semantics)") {
+    import java.nio.file.Files
+    import graft.store.TableStore
+    val store = new TableStore(spark, Files.createTempDirectory("graft_dup_").toString)
+    store.createTableFromDataFrame("t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), infer = false)
+    val dup = Seq((1L, "x"), (1L, "y"), (3L, "z")).toDF("k", "v")
+    // every keyed mutation surface raises the NAMED error, not a raw
+    // Spark task failure — and the table is unchanged afterwards
+    intercept[errors.DuplicateSourceKey] { store.update("t", dup) }
+    intercept[errors.DuplicateSourceKey] { store.upsert("t", dup) }
+    intercept[errors.DuplicateSourceKey] { store.merge("t", dup) }
+    intercept[errors.DuplicateSourceKey] {
+      store.applyChanges("t", dup.withColumn("__dead", lit(false)), "__dead")
+    }
+    assert(store.readTable("t").count() == 2,
+      "a failed mutation must not commit")
+    // a dup key that matches NO target row still raises (dup inserts
+    // would grow the table just the same)
+    val dupNew = Seq((9L, "x"), (9L, "y")).toDF("k", "v")
+    intercept[errors.DuplicateSourceKey] { store.upsert("t", dupNew) }
+    // scd2 guards too
+    intercept[errors.DuplicateSourceKey] {
+      store.scd2("t", dup, clock = to_timestamp(lit("2026-01-01 00:00:00")))
+    }
+    // duplicate-free sources still work end-to-end
+    store.upsert("t", Seq((1L, "x"), (3L, "z")).toDF("k", "v"))
+    assert(store.readTable("t", orderBy = Seq("k")).collect().map(_.getString(1)).toSeq ==
+      Seq("x", "b", "z"))
+  }
 }

@@ -103,11 +103,22 @@ class TypesSpec extends AnyFunSuite {
       "9999-12-31 23:59:59.999999 +14:00",
       "2025-06-15 10:30:00 +02:00",        // missing fraction → null
       "not a dto",                          // → null
-      null)
+      null,
+      "2024-02-31 00:00:00.000000 +00:00", // invalid calendar day → null
+      "2023-02-29 00:00:00.000000 +00:00", // not a leap year → null
+      "2024-02-29 00:00:00.000000 +00:00", // leap day, valid
+      "2025-04-31 00:00:00.000000 +00:00", // April has 30 days → null
+      "2025-06-15 10:30:00.000000 +15:00", // offset past +14:00 → null
+      "2025-06-15 10:30:00.000000 -14:30") // past -14:00 → null
     val out = vals.toDF("s")
       .select(unix_micros(SqlType.dtoInstant(col("s"))).as("us")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
     assert(out(4).isEmpty && out(5).isEmpty && out(6).isEmpty)
+    assert(out(7).isEmpty && out(8).isEmpty && out(10).isEmpty,
+      "calendar-invalid dates must decode to null, not a wrong instant")
+    assert(out(9).nonEmpty, "a real leap day must decode")
+    assert(out(11).isEmpty && out(12).isEmpty,
+      "offsets beyond SQL Server's ±14:00 bound must decode to null")
     // cross-check the well-formed ones against java.time
     val expected = vals.take(4).map { s =>
       val f = java.time.format.DateTimeFormatter
