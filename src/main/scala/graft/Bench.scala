@@ -106,12 +106,14 @@ object Bench {
     "auto_analyze_read" -> "aana", // NEW r11 (C45 commit-coupled stats upkeep)
     "summary_minmax_read" -> "swrm", // NEW r11 (C41b min/max summary + rewrite)
     "summary_multi_read" -> "swrq", // NEW r11 (C41c multi-measure summary)
+    "summary_multi_minmax_read" -> "swrx", // NEW r12 (C41e multi-measure min/max)
+    "summary_distinct_read" -> "swrd", // NEW r12 (C41d KMV distinct-count summary)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)
     "skew_report" -> "skrp", // NEW r11 (A52, un-benched in r10)
-    // generation_history / audit_trail are NOT benched: near-constant
-    // store-metadata micro-ops (25-row nation), no scale signal.
+    // generation_history / audit_trail / describe_table are NOT
+    // benched: near-constant store-metadata micro-ops, no scale signal.
     // sim_topk_ivfpq_indexed is NOT benched: like sim_topk_ivf_indexed,
     // its wall time is dominated by store-index CONSTRUCTION (two Lloyd
     // trainings + table writes per run) — the steady-state search cost
@@ -124,7 +126,8 @@ object Bench {
     "stream_funnel" -> "sfun",
     "stream_budget" -> "sbud",
     "stream_cdc_apply" -> "scdc", // NEW r11 (S38 rider)
-    "stream_mirror" -> "smir") // NEW r11 (S40 rider)
+    "stream_mirror" -> "smir", // NEW r11 (S40 rider)
+    "stream_minmax_summary" -> "smms") // NEW r12 (S36b rider)
 
   /** Streaming micro-benches, driven AvailableNow over parquet inputs
     * (setup writes excluded from the timing; the timed span is stream
@@ -256,9 +259,40 @@ object Bench {
       q.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
-    minhash ++ funnel ++ budget ++ cdc ++ mir
+    // S36b rider (VERDICT r11 #7): the streaming min/max summary
+    // maintenance — per trigger a keyed base upsert plus the C41b fold
+    // (incremental tighten + pinned rescan of deleted-from groups).
+    // The only maintenance family on the streaming path with a rescan
+    // leg; its batch twin summary_minmax_read is benched separately.
+    val mms = timed("stream_minmax_summary") { tag =>
+      val cust = GraftSession.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val (in, schema) = if (tag == 1) {
+        val staged = stage(cust, "s36b_")
+        s36bInput = staged; staged
+      } else s36bInput
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_bench_s36bt_").toString)
+      store.createTableFromDataFrame("base",
+        cust.filter(col("c_custkey") % 2 === 0), Seq("c_custkey"), infer = false)
+      store.createTableFromDataFrame("summary",
+        graft.store.IncrementalAgg.summarizeMinMax(
+          store.readTable("base"), Seq("c_mktsegment"), "c_acctbal"),
+        Seq("c_mktsegment"), infer = false)
+      graft.store.IncrementalAgg.markMaintained(
+        store, "base", "summary", store.snapshots("base").last._1)
+      val s = spark.readStream.schema(schema).parquet(in)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.summaryMinMaxMaintenanceSink(
+          s, store, "base", "summary", Seq("c_mktsegment"), "c_acctbal")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    minhash ++ funnel ++ budget ++ cdc ++ mir ++ mms
   }
   // staged stream inputs, written once and reused by the second run
+  private var s36bInput: (String, org.apache.spark.sql.types.StructType) = _
   private var s6Input: (String, org.apache.spark.sql.types.StructType) = _
   private var s17Input: (String, org.apache.spark.sql.types.StructType) = _
   private var s38Input: (String, org.apache.spark.sql.types.StructType) = _

@@ -126,7 +126,10 @@ object CoreQueries {
     val store = newStore(s, "infer")
     store.createTableFromDataFrame("li",
       t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))
-    store.describe("li").orderBy("column_name")
+    // the narrowing entry predates describe's r12 widening to
+    // ordinal/nullable/pk (pinned by describe_table); keep its
+    // original two-column projection and oracle
+    store.describe("li").select("column_name", "sql_type").orderBy("column_name")
   }
 
   // C38: generation history — the commit manifests as a queryable
@@ -718,6 +721,119 @@ object CoreQueries {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  // C41c×C41b/C44g: MULTI-measure MIN/MAX summary end to end — ONE
+  // summary carries sum/min/max for BOTH measures, one fold maintains
+  // them through a price bump (update preimages → group rescan) AND a
+  // keyed delete (extrema leave — the next-best must come back from
+  // the pinned rescan), and a query MIXING min(price), max(disc),
+  // avg(price), sum(disc) and count is ASSERTED in-plan to read the
+  // SUMMARY. The r11 gap this closes: min/max used to be servable only
+  // from single-measure summaries, so this exact query fell back to a
+  // base scan.
+  def summaryMultiMinmaxRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwmm")
+    val ord = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"), ((col("o_orderkey") % 100) / 4.0).as("o_disc"))
+    store.createTableFromDataFrame("base", ord, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeMultiMinMax(store.readTable("base"),
+        Seq("o_orderstatus"), Seq("o_totalprice", "o_disc")),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerMulti(s, store, "base", "summary",
+      Seq("o_orderstatus"), Seq("o_totalprice", "o_disc"))
+    store.upsert("base", ord.filter(col("o_orderkey") <= 400)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    store.delete("base", ord.filter(col("o_orderkey") <= 200).select("o_orderkey"))
+    graft.store.IncrementalAgg.maintainMultiMinMaxToCurrent(store, "base", "summary",
+      Seq("o_orderstatus"), Seq("o_totalprice", "o_disc"))
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_price"),
+        max(col("o_disc").cast(DecimalType(18, 2))).as("max_disc"),
+        avg(col("o_totalprice").cast(DecimalType(18, 2))).as("avg_price"),
+        sum(col("o_disc").cast(DecimalType(18, 2))).as("sum_disc"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"multi-measure minmax rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_rows"),
+        col("min_price").cast("double").as("min_price"),
+        col("max_disc").cast("double").as("max_disc"),
+        (col("avg_price") * lit(1000000)).cast("long").as("avg_price_micros"),
+        col("sum_disc").cast("double").as("sum_disc"))
+      .orderBy("o_orderstatus")
+  }
+
+  // C41d/C44h: DISTINCT-COUNT summary end to end — the portable KMV
+  // sketch (k smallest distinct md5 hashes, the A45b idiom) maintained
+  // as a summary column: a custkey-shifting upsert (preimages force
+  // the group rescan) plus a keyed delete folded by
+  // maintainDistinctToCurrent, then a count + kmvDistinct aggregate
+  // ASSERTED in-plan to read the SUMMARY. Unlike an HLL column, the
+  // KMV registers AND estimate re-derive verbatim in the DuckDB
+  // oracle, so the maintained sketch is hash-exact end to end.
+  def summaryDistinctRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val store = newStore(s, "sumrwd")
+    val ord = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+    store.createTableFromDataFrame("base", ord, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeDistinct(store.readTable("base"),
+        Seq("o_orderstatus"), "o_custkey", k = 64),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerDistinct(s, store, "base", "summary",
+      Seq("o_orderstatus"), "o_custkey", k = 64)
+    store.upsert("base", ord.filter(col("o_orderkey") <= 400)
+      .withColumn("o_custkey", col("o_custkey") + 1000000))
+    store.delete("base", ord.filter(col("o_orderkey") <= 200).select("o_orderkey"))
+    graft.store.IncrementalAgg.maintainDistinctToCurrent(
+      store, "base", "summary", Seq("o_orderstatus"), "o_custkey", k = 64)
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.plans.GraftFunctions.kmvDistinct(col("o_custkey"), 64).as("est_distinct"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"distinct-count summary rewrite did not fire — plan scans $scans")
+    q.orderBy("o_orderstatus")
+  }
+
+  // C35b: get_schema twin driver-verified — the reference's
+  // core/conversion.py get_schema renders a table's declared schema
+  // (name, SQL type, nullability, key membership); here the store's
+  // metadata is rendered as scalar rows against a literal oracle, so
+  // the declared types (incl. the conversion-rule renders: datetime2,
+  // datetimeoffset, nvarchar lengths, varbinary) are pinned end to end.
+  // A widening insert (autoAdjust) then re-describes: the int column
+  // must read back at its widened type.
+  def describeTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = newStore(s, "desc")
+    store.createTable("t", Seq(
+      "id" -> "bigint", "qty" -> "tinyint", "price" -> "decimal(12,2)",
+      "nm" -> "nvarchar(40)", "created" -> "datetime2", "d" -> "date",
+      "flag" -> "bit", "ratio" -> "float", "t0" -> "time",
+      "dto" -> "datetimeoffset", "payload" -> "varbinary(100)"), Seq("id"))
+    // widen qty tinyint→smallint through the insert auto-adjust ladder
+    store.insert("t",
+      Seq((1L, 300)).toDF("id", "qty"), autoAdjust = true)
+    store.describe("t").orderBy("ordinal")
+  }
+
   // C45: auto-analyze — zone maps refresh INCREMENTALLY on every
   // commit (O(new files), never O(table)), so an append stream prunes
   // its freshest data without anyone running ANALYZE. The entry
@@ -1111,6 +1227,9 @@ object CoreQueries {
     "auto_analyze_read" -> autoAnalyzeRead,
     "summary_minmax_read" -> summaryMinmaxRead,
     "summary_multi_read" -> summaryMultiRead,
+    "summary_multi_minmax_read" -> summaryMultiMinmaxRead,
+    "summary_distinct_read" -> summaryDistinctRead,
+    "describe_table" -> describeTable,
   )
 
   private def inferCase(c: String): String =
@@ -1184,6 +1303,71 @@ object CoreQueries {
         | CAST(dc AS DOUBLE) / 100 AS sum_disc,
         | CAST((2 * pc * 10000 + n) // (2 * n) AS BIGINT) AS avg_price_micros
         |FROM a ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // C41c×C41b/C44g: raw recompute with the bump and the deletion
+    // applied; min/max as exact decimal-to-double across BOTH measures,
+    // avg as half-away micros
+    "summary_multi_minmax_read" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey <= 400 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p,
+        |  CAST((o_orderkey % 100) / 4.0 AS DECIMAL(18,2)) AS d
+        | FROM orders WHERE o_orderkey > 200),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) * 100 AS HUGEINT) AS pc,
+        |  CAST(SUM(d) * 100 AS HUGEINT) AS dc,
+        |  MIN(p) AS lop, MAX(d) AS hid FROM f GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        | CAST(lop AS DOUBLE) AS min_price,
+        | CAST(hid AS DOUBLE) AS max_disc,
+        | CAST((2 * pc * 10000 + n) // (2 * n) AS BIGINT) AS avg_price_micros,
+        | CAST(dc AS DOUBLE) / 100 AS sum_disc
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C41d/C44h: raw recompute with the custkey shift and the deletion
+    // applied; the KMV estimate via the 8-hex-digit md5 decode (the
+    // A45b idiom) — k=64 smallest distinct hashes per status, exact
+    // integer estimator, exact count below k
+    "summary_distinct_read" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey <= 400 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS ck
+        | FROM orders WHERE o_orderkey > 200),
+        |n AS (SELECT o_orderstatus, COUNT(*) AS n_rows FROM f GROUP BY 1),
+        |h AS (SELECT DISTINCT o_orderstatus,
+        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |   + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
+        |   + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
+        |   + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
+        |   + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
+        |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
+        |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
+        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) AS hh
+        | FROM (SELECT o_orderstatus, md5(CAST(ck AS VARCHAR)) AS h FROM f)),
+        |r AS (SELECT o_orderstatus, hh,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY hh) AS rn FROM h),
+        |t AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS nh, MAX(hh) AS kth
+        |      FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT n.o_orderstatus, CAST(n.n_rows AS BIGINT) AS n_rows,
+        | CAST(CASE WHEN t.nh < 64 THEN t.nh
+        |           ELSE (63 * 4294967296) // t.kth END AS BIGINT) AS est_distinct
+        |FROM n JOIN t USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
+    // C35b: the declared schema as a literal — pins the type renders,
+    // the auto-adjust widening (qty tinyint→smallint), the PK flag and
+    // the PK-implies-NOT-NULL rule
+    "describe_table" ->
+      """SELECT * FROM (VALUES
+        | (1,'id','bigint',FALSE,TRUE),
+        | (2,'qty','smallint',TRUE,FALSE),
+        | (3,'price','decimal(12,2)',TRUE,FALSE),
+        | (4,'nm','nvarchar(40)',TRUE,FALSE),
+        | (5,'created','datetime2',TRUE,FALSE),
+        | (6,'d','date',TRUE,FALSE),
+        | (7,'flag','bit',TRUE,FALSE),
+        | (8,'ratio','float',TRUE,FALSE),
+        | (9,'t0','time',TRUE,FALSE),
+        | (10,'dto','datetimeoffset',TRUE,FALSE),
+        | (11,'payload','varbinary(100)',TRUE,FALSE)
+        |) AS t(ordinal, column_name, sql_type, is_nullable, is_pk)
+        |ORDER BY ordinal""".stripMargin,
     // C45: the filtered relation itself — exact iff auto-analyzed
     // pruning dropped only files that provably hold no matches
     "auto_analyze_read" ->

@@ -54,6 +54,30 @@ object GraftFunctions {
   def floorScale(v: Column, scale: Long): Column =
     bridge.column(FloorScale(bridge.expression(v), scale))
 
+  /** Portable KMV distinct-count estimate of a value column (see
+    * [[KmvDistinct]]) — the aggregate shape [[SummaryRewrite]] serves
+    * from a maintained C41d sketch summary, bit-identically. The value
+    * is hashed through its STRING rendering (the md5 idiom). */
+  def kmvDistinct(value: Column, k: Int = 64): Column =
+    bridge.column(KmvDistinct(
+      bridge.expression(value.cast("string")), k).toAggregateExpression())
+
+  /** The KMV registers themselves (sorted ascending `array<bigint>`,
+    * at most k) — the bootstrap/rescan aggregate of
+    * [[graft.store.IncrementalAgg.summarizeDistinct]]. */
+  def kmvSketch(value: Column, k: Int = 64): Column =
+    bridge.column(KmvSketchAgg(
+      bridge.expression(value.cast("string")), k).toAggregateExpression())
+
+  /** Merge stored KMV register arrays (exact set algebra — the union's
+    * k smallest distinct hashes). */
+  def kmvMerge(registers: Column, k: Int = 64): Column =
+    bridge.column(KmvMergeAgg(bridge.expression(registers), k).toAggregateExpression())
+
+  /** Scalar estimate from stored KMV registers. */
+  def kmvEstimate(registers: Column, k: Int = 64): Column =
+    bridge.column(KmvEstimate(bridge.expression(registers), k))
+
   /** Codegen'd IVF coarse assignment (see [[NearestCentroid]]);
     * bit-identical to array_position(array_min) over the composed
     * distance transform, first-min tie-break included. */

@@ -78,18 +78,20 @@ import graft.store.{IncrementalAgg, TableStore}
   * cache is in-process, like the rest of the single-writer story). */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
-  /** `sums` maps each BASE value column to the summary column holding
-    * its decimal(18,2) sum — `Map(v -> "sum_val")` for the canonical
-    * single-measure summaries (C41/C41b), `v -> s"sum_$v"` per measure
-    * for C41c multi-measure ones. min/max are servable only from the
-    * canonical single-measure minmax summary. */
+  /** `sums`/`mins`/`maxs` map each BASE value column to the summary
+    * column holding its decimal(18,2) sum / min / max — `sum_val`/
+    * `min_val`/`max_val` for the canonical single-measure summaries
+    * (C41/C41b), `sum_<c>`/`min_<c>`/`max_<c>` per measure for the
+    * multi-measure families (C41c, summarizeMultiMinMax). mins/maxs
+    * are registered unconditionally; whether the summary actually
+    * CARRIES the column is decided by the rewrite's column check, so
+    * one registration path serves plain, minmax and multi shapes. */
   final case class Registration(
       store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], sums: Map[String, String]) {
-    def minmaxCol: Option[String] =
-      if (sums.size == 1 && sums.values.head == "sum_val") Some(sums.keys.head)
-      else None
-  }
+      groupCols: Seq[String], sums: Map[String, String],
+      mins: Map[String, String], maxs: Map[String, String],
+      kmv: Map[String, String] = Map.empty, kmvK: Int = 0,
+      kmvTypes: Map[String, DataType] = Map.empty)
 
   // keyed by the base table's live data directory — the scan identity.
   // Scheme-normalized (a parquet scan's rootPaths carry `file:`/`hdfs:`
@@ -99,7 +101,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   // that can answer it.
   private val registry = new ConcurrentHashMap[String, List[Registration]]()
 
-  private final case class Freshness(store: TableStore, epoch: Long, fresh: Boolean)
+  private final case class Freshness(store: TableStore, epoch: Long,
+      sig: (Long, Long), fresh: Boolean)
   private val freshCache = new ConcurrentHashMap[String, Freshness]()
 
   /** Store probes actually performed (cache misses) — the PlanAudit
@@ -115,14 +118,31 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   def register(spark: SparkSession, store: TableStore, base: String, summary: String,
       groupCols: Seq[String], valueCol: String): Unit =
     registerEntry(spark, Registration(store, base, summary, groupCols,
-      Map(valueCol -> "sum_val")))
+      Map(valueCol -> "sum_val"),
+      Map(valueCol -> "min_val"), Map(valueCol -> "max_val")))
 
   /** Register a C41c MULTI-measure summary ([[IncrementalAgg
     * .summarizeMulti]]'s `sum_<c>` naming). */
   def registerMulti(spark: SparkSession, store: TableStore, base: String,
       summary: String, groupCols: Seq[String], valueCols: Seq[String]): Unit =
     registerEntry(spark, Registration(store, base, summary, groupCols,
-      valueCols.map(c => c -> ("sum_" + c)).toMap))
+      valueCols.map(c => c -> ("sum_" + c)).toMap,
+      valueCols.map(c => c -> ("min_" + c)).toMap,
+      valueCols.map(c => c -> ("max_" + c)).toMap))
+
+  /** Register a C41d distinct-count (KMV) summary ([[IncrementalAgg
+    * .summarizeDistinct]]): serves `GraftFunctions.kmvDistinct(v, k)`
+    * aggregates bit-identically (KMV union is exact set algebra). The
+    * base column's type is captured HERE: the sketch hashes the
+    * column's STRING RENDERING, so a query whose attribute was
+    * losslessly WIDENED upstream (different render) must not match. */
+  def registerDistinct(spark: SparkSession, store: TableStore, base: String,
+      summary: String, groupCols: Seq[String], valueCol: String, k: Int): Unit = {
+    val vt = store.readTable(base).schema(valueCol).dataType
+    registerEntry(spark, Registration(store, base, summary, groupCols,
+      Map.empty, Map.empty, Map.empty,
+      kmv = Map(valueCol -> "kmv_val"), kmvK = k, kmvTypes = Map(valueCol -> vt)))
+  }
 
   private def registerEntry(spark: SparkSession, reg: Registration): Unit = {
     val key = normalize(reg.store.dataLocation(reg.base))
@@ -253,22 +273,47 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def isSummaryMin(e: Expression, reg: Registration): Boolean = e match {
+  /** min over a summarized measure → the summary column carrying its
+    * per-group minimum (None if the shape doesn't match; whether the
+    * SUMMARY carries the column is the caller's check). */
+  private def minMatch(e: Expression, reg: Registration): Option[String] = e match {
     case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case m: Min => reg.minmaxCol.exists(vc =>
-        summaryValueOf(m.child, reg.sums).contains(vc))
-      case _ => false
+      case m: Min => summaryValueOf(m.child, reg.mins).map(reg.mins)
+      case _ => None
     }
-    case _ => false
+    case _ => None
   }
 
-  private def isSummaryMax(e: Expression, reg: Registration): Boolean = e match {
+  private def maxMatch(e: Expression, reg: Registration): Option[String] = e match {
     case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case m: Max => reg.minmaxCol.exists(vc =>
-        summaryValueOf(m.child, reg.sums).contains(vc))
-      case _ => false
+      case m: Max => summaryValueOf(m.child, reg.maxs).map(reg.maxs)
+      case _ => None
     }
-    case _ => false
+    case _ => None
+  }
+
+  /** `kmvDistinct(v, k)` over a registered sketch column → the summary
+    * column carrying its registers. The function wrapper casts the
+    * value to string (SimplifyCasts drops it when v already IS one);
+    * either shape must reference the base column at its ORIGINAL type
+    * — the render the sketch hashed. */
+  private def kmvMatch(e: Expression, reg: Registration): Option[String] = e match {
+    case ae: AggregateExpression if plainAgg(ae) && reg.kmv.nonEmpty =>
+      ae.aggregateFunction match {
+        case KmvDistinct(child, k, _, _) if k == reg.kmvK =>
+          val ar = child match {
+            case c: Cast if c.dataType == StringType => c.child match {
+              case a: AttributeReference => Some(a)
+              case _ => None
+            }
+            case a: AttributeReference if a.dataType == StringType => Some(a)
+            case _ => None
+          }
+          ar.filter(a => reg.kmvTypes.get(a.name).contains(a.dataType))
+            .map(a => reg.kmv(a.name))
+        case _ => None
+      }
+    case _ => None
   }
 
   /** The exact expression tree `Average.evaluateExpression` builds for
@@ -289,17 +334,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         resultType, null, !SQLConf.get.ansiEnabled))
   }
 
-  /** Read-only freshness, cached per base and invalidated by the
+  /** Read-only freshness, cached per base and invalidated by (a) the
     * store's in-process commit epoch (any manifest commit or
-    * properties write bumps it). */
+    * properties write bumps it) and (b) a cheap OUT-OF-BAND staleness
+    * signature — mtimes of the base's manifest dir and the summary's
+    * props file — so a SECOND process committing to the same directory
+    * cannot leave this session serving a stale summary silently (the
+    * r11 "sharp edge"; the in-process epoch can't see foreign writers).
+    * The signature costs two getFileStatus calls per compile on a
+    * cache hit; the O(#generations) full probe still runs only when
+    * either signal moved. */
   private def isFresh(key: String, reg: Registration): Boolean = {
     val cacheKey = key + "::" + reg.summary
     // epoch FIRST: a commit landing between this read and the probe
     // makes the cached entry stale-by-epoch immediately, so a probe
     // can never be served past a change it didn't see
     val epoch = reg.store.commitEpoch.get()
+    val sig = reg.store.stalenessSignature(reg.base, reg.summary)
     val cached = freshCache.get(cacheKey)
-    if (cached != null && (cached.store eq reg.store) && cached.epoch == epoch)
+    if (cached != null && (cached.store eq reg.store) && cached.epoch == epoch &&
+        cached.sig == sig && sig._1 >= 0 && sig._2 >= 0)
       return cached.fresh
     freshnessProbes.incrementAndGet()
     val fresh = try {
@@ -307,7 +361,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         IncrementalAgg.maintainedGenReadOnly(reg.store, reg.base, reg.summary)
           .contains(reg.store.snapshots(reg.base).last._1)
     } catch { case _: Exception => false }
-    freshCache.put(cacheKey, Freshness(reg.store, epoch, fresh))
+    freshCache.put(cacheKey, Freshness(reg.store, epoch, sig, fresh))
     fresh
   }
 
@@ -356,8 +410,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // summary simply fails the column check below and the candidate
     // falls through)
     var needCount = false; var needAvg = false
-    var needMin = false; var needMax = false
     val usedSums = scala.collection.mutable.LinkedHashSet.empty[String]
+    val usedMinMax = scala.collection.mutable.LinkedHashSet.empty[String]
+    val usedKmv = scala.collection.mutable.LinkedHashSet.empty[String]
     aggExprs.foreach {
       case ar: AttributeReference if groupNames.contains(ar.name) =>
       case a: Alias => a.child match {
@@ -367,8 +422,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           usedSums += reg.sums(sumMatch(e, reg.sums).get)
         case e if avgMatch(e, reg.sums).isDefined =>
           needAvg = true; usedSums += reg.sums(avgMatch(e, reg.sums).get)
-        case e if isSummaryMin(e, reg) => needMin = true
-        case e if isSummaryMax(e, reg) => needMax = true
+        case e if minMatch(e, reg).isDefined => usedMinMax += minMatch(e, reg).get
+        case e if maxMatch(e, reg).isDefined => usedMinMax += maxMatch(e, reg).get
+        case e if kmvMatch(e, reg).isDefined => usedKmv += kmvMatch(e, reg).get
         case _ => return None
       }
       case _ => return None
@@ -380,9 +436,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // the summary must carry the columns THIS query needs
     val neededCols = reg.groupCols ++
       (if (needCount || needAvg) Seq("n_rows") else Nil) ++
-      usedSums.toSeq ++
-      (if (needMin) Seq("min_val") else Nil) ++
-      (if (needMax) Seq("max_val") else Nil)
+      usedSums.toSeq ++ usedMinMax.toSeq ++ usedKmv.toSeq
     if (!neededCols.forall(byName.contains)) return None
 
     // a base-side attribute remapped to its summary twin; cast back to
@@ -411,11 +465,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val (source: LogicalPlan, get: (String => Expression)) =
       if (exactGrouping) (filteredSummary, (n: String) => byName(n))
       else {
-        def rollOf(n: String): Expression = n match {
-          case "min_val" => Min(byName(n)).toAggregateExpression()
-          case "max_val" => Max(byName(n)).toAggregateExpression()
-          case _ => Sum(byName(n)).toAggregateExpression()
-        }
+        val minCols = reg.mins.values.toSet
+        val maxCols = reg.maxs.values.toSet
+        val kmvCols = reg.kmv.values.toSet
+        def rollOf(n: String): Expression =
+          if (minCols(n)) Min(byName(n)).toAggregateExpression()
+          else if (maxCols(n)) Max(byName(n)).toAggregateExpression()
+          else if (kmvCols(n)) KmvMergeStrAgg(byName(n), reg.kmvK).toAggregateExpression()
+          else Sum(byName(n)).toAggregateExpression()
         val rolledAliases = nonGroup.map(n => n -> Alias(rollOf(n), "__" + n)()).toMap
         val groupAttrs: Seq[NamedExpression] = groupNames.map(byName(_))
         val rolled = Aggregate(groupAttrs,
@@ -438,8 +495,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             case e if isCountStar(e) => nExpr
             case e if avgMatch(e, reg.sums).isDefined =>
               avgFromSummary(get(reg.sums(avgMatch(e, reg.sums).get)), nExpr)
-            case e if isSummaryMin(e, reg) => get("min_val")
-            case e if isSummaryMax(e, reg) => get("max_val")
+            case e if minMatch(e, reg).isDefined => get(minMatch(e, reg).get)
+            case e if maxMatch(e, reg).isDefined => get(maxMatch(e, reg).get)
+            case e if kmvMatch(e, reg).isDefined =>
+              KmvEstimateStr(get(kmvMatch(e, reg).get), reg.kmvK)
             case e => get(reg.sums(sumMatch(e, reg.sums).get)) // sum verified above
           }
           case _ => return None

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -253,6 +253,173 @@ object IncrementalAgg {
       groupCols: Seq[String], valueCols: Seq[String]): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
       val merged = mergedMultiDelta(store, base, summary, groupCols, valueCols, applied, cur)
+      if (merged.isEmpty) None
+      else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
+    }
+
+  // ── C41d: distinct-count (KMV sketch) summaries ─────────────────────
+
+  /** Sketch registers persist as a comma-joined ascending decimal
+    * string — store tables are SQL-typed (no arrays), and the CSV form
+    * is itself oracle-derivable (DuckDB string_agg over the same
+    * ordered hashes). Empty sketch (a group of all-NULL values) is the
+    * empty string. */
+  private def kmvToStr(a: Column): Column = array_join(a.cast("array<string>"), ",")
+  private def kmvFromStr(s: Column): Column =
+    when(length(s) === 0, array().cast("array<bigint>"))
+      .otherwise(split(s, ",").cast("array<bigint>"))
+
+  /** The C41d summary: one row per group with the row count and the
+    * portable KMV distinct-count registers of `valueCol` (the k
+    * smallest distinct md5-derived 32-bit hashes of its string
+    * rendering — [[graft.plans.KmvCore]]). COUNT is self-maintainable;
+    * the sketch only GROWS under inserts (exact set union), so
+    * [[maintainDistinctToCurrent]] merges insert-only groups from the
+    * feed and rescans just the groups a delete touched — the C41b
+    * protocol applied to cardinality. */
+  def summarizeDistinct(base: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 64): DataFrame =
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        kmvToStr(graft.plans.GraftFunctions.kmvSketch(col(valueCol), k)).as("kmv_val"))
+
+  /** Post-maintenance rows for every group the feed touched. Insert-
+    * only groups: count delta + register union (sorted distinct merge
+    * truncated to k — EXACT, the union's k smallest distinct hashes of
+    * any row split are the whole's). Groups any delete touched:
+    * re-derive from the base pinned at the fold's target generation,
+    * restricted to exactly those groups. */
+  private def mergedDistinctDelta(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String, k: Int,
+      fromGen: Int, toGen: Int): DataFrame = {
+    val ch = store.readChanges(base, fromGen, toGen)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val guard = coalesce(assert_true(
+      groupCols.map(col(_).isNotNull).reduce(_ && _),
+      lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
+        "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    val delta = ch.groupBy(groupCols.map(col): _*)
+      .agg((sum(sign) + first(guard)).as("__dn"),
+        graft.plans.GraftFunctions.kmvSketch(
+          when(sign === 1L, col(valueCol)), k).as("__ins"),
+        sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"))
+    val cur = store.readTable(summary)
+    val grown = delta.filter(col("__dels") === 0L)
+    val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
+    val negGuard = coalesce(assert_true(nRows >= 0,
+      lit(s"incremental aggregate: negative row count maintaining '$summary' from " +
+        s"the change feed of '$base' — feed and summary are inconsistent")).cast("long"),
+      lit(0L))
+    val curArr = coalesce(kmvFromStr(cur("kmv_val")), array().cast("array<bigint>"))
+    val grownRows = grown.join(cur,
+        groupCols.map(c => grown(c) <=> cur(c)).reduce(_ && _), "left")
+      .select(groupCols.map(grown(_)) :+
+        (nRows + negGuard).as("n_rows") :+
+        kmvToStr(slice(array_sort(array_distinct(
+          concat(curArr, col("__ins")))), 1, k)).as("kmv_val"): _*)
+    val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    val rescan = summarizeDistinct(
+      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      groupCols, valueCol, k)
+    val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
+      .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+
+        lit(null).cast("string").as("kmv_val"): _*)
+    grownRows.unionByName(rescan).unionByName(dead)
+      .withColumn("__dead", col("n_rows") === 0L)
+      .localCheckpoint(true)
+  }
+
+  /** [[maintainToCurrent]] for a [[summarizeDistinct]] summary — same
+    * durable watermark/intent protocol; `k` must match the bootstrap's. */
+  def maintainDistinctToCurrent(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String, k: Int = 64): Unit =
+    maintainProtocol(store, base, summary) { (applied, cur) =>
+      val merged = mergedDistinctDelta(
+        store, base, summary, groupCols, valueCol, k, applied, cur)
+      if (merged.isEmpty) None
+      else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
+    }
+
+  // ── C41c × C41b: multi-measure min/max summaries ────────────────────
+
+  /** [[summarizeMulti]] extended with per-measure extrema: n_rows plus
+    * `sum_<c>`, `min_<c>`, `max_<c>` for every value column — ONE
+    * summary (and one maintenance fold) serving the full TPC-H-Q1
+    * aggregate menu (count/sum/avg/min/max over several measures). */
+  def summarizeMultiMinMax(base: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "summarizeMultiMinMax: need at least one value column")
+    val dec = DecimalType(18, 2)
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        valueCols.flatMap(c => Seq(
+          sum(col(c).cast(dec)).as("sum_" + c),
+          min(col(c).cast(dec)).as("min_" + c),
+          max(col(c).cast(dec)).as("max_" + c))): _*)
+  }
+
+  /** [[mergedMinMaxDelta]] generalized over the measure list: groups
+    * with only inserts fold incrementally (sums add, extrema tighten
+    * via least/greatest PER measure), groups any delete touched
+    * re-derive from the base pinned at the fold's target generation —
+    * the C41b rescan protocol, one fold for all measures. */
+  private def mergedMultiMinMaxDelta(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCols: Seq[String],
+      fromGen: Int, toGen: Int): DataFrame = {
+    val ch = store.readChanges(base, fromGen, toGen)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val guard = coalesce(assert_true(
+      groupCols.map(col(_).isNotNull).reduce(_ && _),
+      lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
+        "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    val dec = DecimalType(18, 2)
+    def v(c: String) = col(c).cast(dec)
+    val delta = ch.groupBy(groupCols.map(col): _*)
+      .agg((sum(sign) + first(guard)).as("__dn"),
+        valueCols.flatMap(c => Seq(
+          sum(sign * v(c)).as("__d_" + c),
+          min(when(sign === 1L, v(c))).as("__imin_" + c),
+          max(when(sign === 1L, v(c))).as("__imax_" + c))) :+
+          sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"): _*)
+    val cur = store.readTable(summary)
+    val grown = delta.filter(col("__dels") === 0L)
+    val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
+    val negGuard = coalesce(assert_true(nRows >= 0,
+      lit(s"incremental aggregate: negative row count maintaining '$summary' from " +
+        s"the change feed of '$base' — feed and summary are inconsistent")).cast("long"),
+      lit(0L))
+    val grownRows = grown.join(cur,
+        groupCols.map(c => grown(c) <=> cur(c)).reduce(_ && _), "left")
+      .select(groupCols.map(grown(_)) :+
+        (nRows + negGuard).as("n_rows") :++
+        valueCols.flatMap(c => Seq(
+          (coalesce(cur("sum_" + c), lit(0).cast(dec)) + col("__d_" + c))
+            .cast(dec).as("sum_" + c),
+          least(cur("min_" + c), col("__imin_" + c)).cast(dec).as("min_" + c),
+          greatest(cur("max_" + c), col("__imax_" + c)).cast(dec).as("max_" + c))): _*)
+    val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    val rescan = summarizeMultiMinMax(
+      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      groupCols, valueCols)
+    val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
+      .select(groupCols.map(col) :+ lit(0L).as("n_rows") :++
+        valueCols.flatMap(c => Seq(
+          lit(null).cast(dec).as("sum_" + c),
+          lit(null).cast(dec).as("min_" + c),
+          lit(null).cast(dec).as("max_" + c))): _*)
+    grownRows.unionByName(rescan).unionByName(dead)
+      .withColumn("__dead", col("n_rows") === 0L)
+      .localCheckpoint(true)
+  }
+
+  /** [[maintainToCurrent]] for a [[summarizeMultiMinMax]] summary. */
+  def maintainMultiMinMaxToCurrent(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    maintainProtocol(store, base, summary) { (applied, cur) =>
+      val merged = mergedMultiMinMaxDelta(
+        store, base, summary, groupCols, valueCols, applied, cur)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }

@@ -139,6 +139,28 @@ final class TableStore(
   private def metaPath(name: String) = new Path(tablePath(name), "meta.json")
   private def statsPath(name: String) = new Path(tablePath(name), "stats.json")
   private def historyPath(name: String) = new Path(tablePath(name), "history")
+
+  /** Cheap cross-process change signal for the SummaryRewrite freshness
+    * cache: (mtime of the base's manifest directory, mtime of the
+    * summary's props.json). A SECOND process committing to the base
+    * adds a manifest file (dir mtime moves) and one maintaining the
+    * summary rewrites props.json (file mtime moves) — either moves the
+    * signature, so a cached verdict taken before the foreign write is
+    * never served past it. Two getFileStatus calls, O(1) — never the
+    * O(#generations) listing the full probe pays. Best-effort by
+    * filesystem contract (mtime granularity), which is why the
+    * single-writer-per-JVM story remains the documented contract and
+    * this is the safety net. Missing path → 0, error → −1 (both differ
+    * from any real mtime, forcing a full probe). */
+  private[graft] def stalenessSignature(base: String, summary: String): (Long, Long) = {
+    def mt(p: Path): Long =
+      try fs.getFileStatus(p).getModificationTime
+      catch {
+        case _: java.io.FileNotFoundException => 0L
+        case _: Exception => -1L
+      }
+    (mt(historyPath(base)), mt(propsPath(summary)))
+  }
   private def manifestPath(name: String, gen: Int) =
     new Path(historyPath(name), f"m$gen%06d.json")
   private def removedPath(name: String, gen: Int) =
@@ -395,11 +417,21 @@ final class TableStore(
       .sorted
   }
 
-  /** (column_name, sql_type) schema description, like the reference's
-    * get_schema surface (core/conversion.py get_schema). */
+  /** Schema description, like the reference's get_schema surface
+    * (core/conversion.py get_schema: column_name/data_type plus the
+    * nullability and key flags its pandas frame carries). Ordinal is
+    * the declaration order — the stable sort key a driver-side
+    * consumer needs. */
   def describe(name: String): DataFrame = {
     import spark.implicits._
-    meta(name).columns.map { case (n, t) => (n, t.render) }.toDF("column_name", "sql_type")
+    val m = meta(name)
+    m.columns.zipWithIndex.map { case ((n, t), i) =>
+      // PK membership implies NOT NULL (the violation gate enforces it),
+      // matching the server's catalog view the reference reads
+      (i + 1, n, t.render,
+        !m.notNull.contains(n) && !m.primaryKey.contains(n),
+        m.primaryKey.contains(n))
+    }.toDF("ordinal", "column_name", "sql_type", "is_nullable", "is_pk")
   }
 
   // ── create ──────────────────────────────────────────────────────────────

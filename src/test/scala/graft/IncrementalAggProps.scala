@@ -113,4 +113,73 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
       }
       checks.reduce(_ && _)
     }
+
+  /** Shared harness for the two-measure summary families: run the same
+    * random interleavings against a (bootstrap, maintain, recompute)
+    * triple and require bit-identity at every maintenance point. */
+  private def twoMeasureSweep(
+      ops: List[(Either[Map[Int, (String, Double)], Set[Int]], Boolean)],
+      tag: String,
+      bootstrap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      maintain: (TableStore, String, String) => Unit,
+      recompute: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Prop = {
+    val store = new TableStore(spark,
+      Files.createTempDirectory(s"graft_ia${tag}_").toString)
+    // second measure derived from (key, value) so updates move BOTH
+    store.createTableFromDataFrame("base",
+      Seq((0, "a", 1.0, 3.0), (1, "b", 2.0, 0.5)).toDF("k", "g", "v", "w"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      bootstrap(store.readTable("base")), Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def snap(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val checks = (ops :+ (Right(Set.empty[Int]), true)).map { case (op, m) =>
+      op match {
+        case Left(ups) =>
+          store.upsert("base", ups.toSeq.map { case (k, (g, v)) =>
+            (k, g, v, (k * 7 % 13) + v / 2.0) }.toDF("k", "g", "v", "w"))
+        case Right(dels) if dels.nonEmpty =>
+          store.delete("base", dels.toSeq.toDF("k"))
+        case _ => ()
+      }
+      if (m) {
+        maintain(store, "base", "summary")
+        val got = snap(store.readTable("summary"))
+        val want = snap(recompute(store.readTable("base")))
+        (got == want) :| s"$tag summary diverged after $op: $got vs $want"
+      } else Prop.passed
+    }
+    checks.reduce(_ && _)
+  }
+
+  /** C41c: the multi-measure fold under random interleavings. */
+  property("multi-measure summary ≡ batch recompute at every maintenance point") =
+    Prop.forAll(opsGen) { ops =>
+      twoMeasureSweep(ops, "multi",
+        IncrementalAgg.summarizeMulti(_, Seq("g"), Seq("v", "w")),
+        (s, b, t) => IncrementalAgg.maintainMultiToCurrent(s, b, t, Seq("g"), Seq("v", "w")),
+        IncrementalAgg.summarizeMulti(_, Seq("g"), Seq("v", "w")))
+    }
+
+  /** C41e: multi-measure MIN/MAX — per-measure tighten and rescan. */
+  property("multi-minmax summary ≡ batch recompute at every maintenance point") =
+    Prop.forAll(opsGen) { ops =>
+      twoMeasureSweep(ops, "mmm",
+        IncrementalAgg.summarizeMultiMinMax(_, Seq("g"), Seq("v", "w")),
+        (s, b, t) => IncrementalAgg.maintainMultiMinMaxToCurrent(s, b, t, Seq("g"), Seq("v", "w")),
+        IncrementalAgg.summarizeMultiMinMax(_, Seq("g"), Seq("v", "w")))
+    }
+
+  /** C41d: the KMV distinct-count fold — register union on growth,
+    * rescan on deletes — with a small k so the estimator regime (not
+    * just the exact below-k regime) is exercised. */
+  property("distinct-count summary ≡ batch recompute at every maintenance point") =
+    Prop.forAll(opsGen) { ops =>
+      twoMeasureSweep(ops, "kmv",
+        IncrementalAgg.summarizeDistinct(_, Seq("g"), "v", k = 3),
+        (s, b, t) => IncrementalAgg.maintainDistinctToCurrent(s, b, t, Seq("g"), "v", k = 3),
+        IncrementalAgg.summarizeDistinct(_, Seq("g"), "v", k = 3))
+    }
 }

@@ -572,6 +572,206 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("C41c×C41b: multi-measure MIN/MAX summary — one fold maintains sums and extrema; rewrite mixes min/avg/count from ONE summary") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0, 1.0), (2L, "a", 20.0, 2.5), (3L, "b", 30.0, 4.0),
+        (4L, "b", 5.0, 9.0)).toDF("k", "g", "v1", "v2"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMultiMinMax(
+        store.readTable("base"), Seq("g"), Seq("v1", "v2")),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def checkMM(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeMultiMinMax(
+        store.readTable("base"), Seq("g"), Seq("v1", "v2"))
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"multi-minmax summary diverged: $got vs $want")
+    }
+    def sync(): Unit = {
+      IncrementalAgg.maintainMultiMinMaxToCurrent(
+        store, "base", "summary", Seq("g"), Seq("v1", "v2"))
+      checkMM()
+    }
+    // pure growth tightens extrema per measure from the feed alone
+    store.insert("base", Seq((5L, "a", 3.0, 7.0)).toDF("k", "g", "v1", "v2"))
+    sync()
+    // deleting the min of one measure AND the max of the other in one
+    // group — the rescan must restore both next-best extrema
+    store.delete("base", Seq(4L).toDF("k"))
+    sync()
+    // value update (preimage = delete) + group death in one backlog
+    store.upsert("base", Seq((5L, "a", 100.0, 0.5)).toDF("k", "g", "v1", "v2"))
+    store.delete("base", Seq(3L).toDF("k"))
+    sync()
+    assert(store.readTable("summary").filter(col("g") === "b").count() == 0)
+
+    // the rewrite serves min(v1), max(v2), avg(v2), count from ONE summary
+    SummaryRewrite.registerMulti(spark, store, "base", "summary", Seq("g"), Seq("v1", "v2"))
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          min(col("v1").cast(DecimalType(18, 2))).as("lo1"),
+          max(col("v2").cast(DecimalType(18, 2))).as("hi2"),
+          avg(col("v2").cast(DecimalType(18, 2))).as("m2"),
+          sum(col("v1").cast(DecimalType(18, 2))).as("s1"))
+        .orderBy("g")
+      def qGlobal = store.readTable("base")
+        .agg(min(col("v2").cast(DecimalType(18, 2))).as("lo2"),
+          max(col("v1").cast(DecimalType(18, 2))).as("hi1"))
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"multi-minmax aggregate should rewrite: ${q.queryExecution.optimizedPlan}")
+      assert(scanPaths(qGlobal).forall(_.contains("summary")),
+        "global min/max rollup should rewrite")
+      def raw[T](mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+        SummaryRewrite.unregister(store, "base")
+        val r = mk.collect().toSeq.map(_.toString)
+        SummaryRewrite.registerMulti(spark, store, "base", "summary", Seq("g"), Seq("v1", "v2"))
+        r
+      }
+      assert(q.collect().toSeq.map(_.toString) == raw(q))
+      assert(qGlobal.collect().toSeq.map(_.toString) == raw(qGlobal))
+      // min over a NON-summarized column stands down
+      val mk = store.readTable("base").groupBy("g")
+        .agg(min(col("k").cast(DecimalType(18, 2))).as("lo"))
+      assert(scanPaths(mk).exists(_.contains("base")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C41d: distinct-count (KMV) summary — inserts union registers, deletes rescan touched groups, rewrite serves kmvDistinct") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.{GraftFunctions, SummaryRewrite}
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "b", 30L))
+        .toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeDistinct(store.readTable("base"), Seq("g"), "v", k = 4),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def checkD(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeDistinct(
+        store.readTable("base"), Seq("g"), "v", k = 4)
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"distinct summary diverged: $got vs $want")
+    }
+    def sync(): Unit = {
+      IncrementalAgg.maintainDistinctToCurrent(store, "base", "summary", Seq("g"), "v", k = 4)
+      checkD()
+    }
+    // growth: new values union in (incl. past k — registers stay the k
+    // smallest), duplicate values change nothing
+    store.insert("base", Seq((5L, "a", 40L), (6L, "a", 50L), (7L, "a", 20L),
+      (8L, "b", 60L)).toDF("k", "g", "v"))
+    sync()
+    // a value update (preimage = delete) and a plain delete — rescan
+    store.upsert("base", Seq((1L, "a", 99L)).toDF("k", "g", "v"))
+    store.delete("base", Seq(4L).toDF("k"))
+    sync()
+    // group death
+    store.delete("base", Seq(8L).toDF("k"))
+    sync()
+    assert(store.readTable("summary").filter(col("g") === "b").count() == 0)
+
+    // the rewrite serves kmvDistinct (exact grouping AND global rollup)
+    SummaryRewrite.registerDistinct(spark, store, "base", "summary", Seq("g"), "v", k = 4)
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          GraftFunctions.kmvDistinct(col("v"), 4).as("d"))
+        .orderBy("g")
+      def qGlobal = store.readTable("base")
+        .agg(GraftFunctions.kmvDistinct(col("v"), 4).as("d"))
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"kmvDistinct should rewrite: ${q.queryExecution.optimizedPlan}")
+      assert(scanPaths(qGlobal).forall(_.contains("summary")),
+        "global kmv rollup should rewrite")
+      def raw[T](mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+        SummaryRewrite.unregister(store, "base")
+        val r = mk.collect().toSeq.map(_.toString)
+        SummaryRewrite.registerDistinct(spark, store, "base", "summary", Seq("g"), "v", k = 4)
+        r
+      }
+      assert(q.collect().toSeq.map(_.toString) == raw(q))
+      assert(qGlobal.collect().toSeq.map(_.toString) == raw(qGlobal))
+      // a DIFFERENT k never matches the registration
+      val qK8 = store.readTable("base").groupBy("g")
+        .agg(GraftFunctions.kmvDistinct(col("v"), 8).as("d"))
+      assert(scanPaths(qK8).exists(_.contains("base")))
+      // kmvDistinct over a non-summarized column stands down
+      val qOther = store.readTable("base").groupBy("g")
+        .agg(GraftFunctions.kmvDistinct(col("k"), 4).as("d"))
+      assert(scanPaths(qOther).exists(_.contains("base")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("cross-process staleness: a SECOND store instance's commit stands the cached rewrite down") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val dir = Files.createTempDirectory("graft_xproc_").toString
+    val storeA = new TableStore(spark, dir)
+    storeA.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    storeA.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(storeA.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(storeA, "base", "summary",
+      storeA.snapshots("base").last._1)
+    SummaryRewrite.register(spark, storeA, "base", "summary", Seq("g"), "v")
+    try {
+      def q = storeA.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      // session A compiles and caches fresh=true
+      assert(scanPaths(q).forall(_.contains("summary")))
+      // a SECOND TableStore instance (a different "process": its own
+      // commitEpoch — A's in-process cache invalidation cannot see it)
+      // commits to the base
+      Thread.sleep(15) // past local-fs mtime granularity
+      val storeB = new TableStore(spark, dir)
+      storeB.upsert("base", Seq((3L, "a", 5.0)).toDF("k", "g", "v"))
+      // A's NEXT compile must stand down — the out-of-band signature
+      // (base manifest-dir mtime) moved even though A's epoch did not
+      assert(scanPaths(q).exists(_.contains("base")),
+        "a foreign commit must not leave session A serving the stale summary")
+      assert(q.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 1L)))
+      // B maintains the summary and advances the watermark; A resumes
+      // serving it (props.json mtime moved → re-probe → fresh)
+      Thread.sleep(15)
+      IncrementalAgg.maintainToCurrent(storeB, "base", "summary", Seq("g"), "v")
+      assert(scanPaths(q).forall(_.contains("summary")),
+        "a foreign maintenance catch-up must be visible without a local commit")
+      assert(q.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a", 2L), ("b", 1L)))
+    } finally SummaryRewrite.unregister(storeA, "base")
+  }
+
   test("a NULL group value in the feed raises instead of silently diverging") {
     val store = newStore()
     store.createTableFromDataFrame("base",

@@ -222,4 +222,51 @@ class PlansSpec extends AnyFunSuite {
       .collect()(0)
     assert(bad.isNullAt(0) && bad.isNullAt(1))
   }
+
+  test("C41d: KmvDistinct aggregate == the composed portable KMV query (A45b twin), registers round-trip") {
+    import spark.implicits._
+    // synthetic groups: 'big' has >64 distinct users (estimator regime),
+    // 'small' has 5 (exact regime), duplicates everywhere
+    val rows = (0 until 400).map(i => ("big", s"u${i % 200}")) ++
+      (0 until 40).map(i => ("small", s"s${i % 5}"))
+    val df = rows.toDF("event_type", "user_id")
+    val viaAgg = df.groupBy("event_type")
+      .agg(GraftFunctions.kmvDistinct(col("user_id"), 64).as("est_distinct"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaQuery = graft.operators.Analytics.distinctKmvPortable(df, 64)
+      .select(col("event_type"), col("est_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaAgg == viaQuery,
+      s"bounded-buffer aggregate and distinct+window query disagree: $viaAgg vs $viaQuery")
+    // estimate-from-registers == direct estimate (the serving path)
+    val viaSketch = df.groupBy("event_type")
+      .agg(GraftFunctions.kmvEstimate(
+        GraftFunctions.kmvSketch(col("user_id"), 64), 64).as("est_distinct"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSketch == viaAgg)
+    // the small group is EXACT (KMV's below-k contract)
+    assert(viaAgg.find(_._1 == "small").map(_._2).contains(5L))
+    // merge of split sketches == whole sketch (exact set algebra)
+    val half1 = df.filter(col("user_id").substr(2, 10).cast("int") % 2 === 0)
+    val half2 = df.filter(col("user_id").substr(2, 10).cast("int") % 2 === 1)
+    val whole = df.groupBy("event_type")
+      .agg(GraftFunctions.kmvSketch(col("user_id"), 64).as("s"))
+    val merged = half1.groupBy("event_type")
+      .agg(GraftFunctions.kmvSketch(col("user_id"), 64).as("s"))
+      .unionByName(half2.groupBy("event_type")
+        .agg(GraftFunctions.kmvSketch(col("user_id"), 64).as("s")))
+      .groupBy("event_type").agg(GraftFunctions.kmvMerge(col("s"), 64).as("s"))
+    def rows64(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    assert(rows64(merged) == rows64(whole),
+      "KMV union must equal the whole's registers exactly")
+    // the JVM hash equals Spark SQL's conv(substring(md5(s),1,8),16,10)
+    val sqlHash = df.select(
+        conv(substring(md5(col("user_id")), 1, 8), 16, 10).cast("long").as("h")).collect()
+    val jvmHash = df.select(col("user_id")).collect().map(r =>
+      graft.plans.KmvCore.hash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+    assert(sqlHash.map(_.getLong(0)).toSeq == jvmHash.toSeq)
+  }
 }

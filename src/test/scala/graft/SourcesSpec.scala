@@ -91,7 +91,8 @@ class SourcesSpec extends AnyFunSuite {
     val store = new TableStore(spark,
       s"${sys.props("java.io.tmpdir")}/graft_sources_spec/store_${System.nanoTime()}")
     TextSources.ingestCsv(store, "t", dir, primaryKey = Seq("k"))
-    val types = store.describe("t").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val types = store.describe("t").select("column_name", "sql_type")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     // smallest-type narrowing ran over the CSV-read frame
     assert(types("k") == "tinyint" && types("v") == "int" && types("s") == "varchar(2)")
     assert(store.readTable("t", orderBy = Seq("k"))
