@@ -812,6 +812,56 @@ object CoreQueries {
     q.orderBy("o_orderstatus")
   }
 
+  // C41f/C44i: NULL-bearing measures end to end — the r12 audit found
+  // avg was served as sum_val/n_rows, but Spark's Average divides by
+  // the NON-NULL count, so a measure with NULLs got a silently wrong
+  // avg through the rewrite. Summaries now maintain nn_val (the
+  // non-null count); avg divides by it and count(v) is servable. The
+  // entry nulls every 7th price, mutates through the fold (update
+  // preimages + a keyed delete), and serves count(1), count(v), sum
+  // and avg from the summary — the oracle divides by COUNT(p), so a
+  // relapse to n_rows division hash-fails.
+  def summaryNullableRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwn")
+    def withNulls(df: DataFrame): DataFrame = df.select(
+      col("o_orderkey"), col("o_orderstatus"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("price_n"))
+    val ord = t(s, dir, "orders")
+    store.createTableFromDataFrame("base", withNulls(ord), Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(store.readTable("base"),
+        Seq("o_orderstatus"), "price_n"),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(s, store, "base", "summary",
+      Seq("o_orderstatus"), "price_n")
+    store.upsert("base", withNulls(ord.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)))
+    store.delete("base", ord.filter(col("o_orderkey") <= 500).select("o_orderkey"))
+    graft.store.IncrementalAgg.maintainToCurrent(
+      store, "base", "summary", Seq("o_orderstatus"), "price_n")
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("price_n")).as("nn_price"),
+        sum(col("price_n").cast(DecimalType(18, 2))).as("sum_val"),
+        avg(col("price_n").cast(DecimalType(18, 2))).as("avg_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"nullable-measure rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_rows"), col("nn_price"),
+        col("sum_val").cast("double").as("sum_val"),
+        (col("avg_val") * lit(1000000)).cast("long").as("avg_micros"))
+      .orderBy("o_orderstatus")
+  }
+
   // C35b: get_schema twin driver-verified — the reference's
   // core/conversion.py get_schema renders a table's declared schema
   // (name, SQL type, nullability, key membership); here the store's
@@ -1230,6 +1280,7 @@ object CoreQueries {
     "summary_multi_minmax_read" -> summaryMultiMinmaxRead,
     "summary_distinct_read" -> summaryDistinctRead,
     "describe_table" -> describeTable,
+    "summary_nullable_read" -> summaryNullableRead,
   )
 
   private def inferCase(c: String): String =
@@ -1350,6 +1401,22 @@ object CoreQueries {
         | CAST(CASE WHEN t.nh < 64 THEN t.nh
         |           ELSE (63 * 4294967296) // t.kth END AS BIGINT) AS est_distinct
         |FROM n JOIN t USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
+    // C41f/C44i: raw recompute with the bump, the deletion and the
+    // every-7th NULL applied; avg divides by COUNT(p) — the non-null
+    // count — exactly as Average does
+    "summary_nullable_read" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |                      ELSE o_totalprice END AS DECIMAL(18,2)) END AS p
+        | FROM orders WHERE o_orderkey > 500),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(SUM(p) * 100 AS HUGEINT) AS cents FROM f GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        | CAST(nn AS BIGINT) AS nn_price,
+        | CAST(cents AS DOUBLE) / 100 AS sum_val,
+        | CAST((2 * cents * 10000 + nn) // (2 * nn) AS BIGINT) AS avg_micros
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
     // C35b: the declared schema as a literal — pins the type renders,
     // the auto-adjust widening (qty tinyint→smallint), the PK flag and
     // the PK-implies-NOT-NULL rule

@@ -238,6 +238,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The summary column holding a measure's NON-NULL count. */
+  private def nnOf(sumCol: String): String =
+    if (sumCol == "sum_val") "nn_val" else "nn_" + sumCol.stripPrefix("sum_")
+
+  /** `count(v)` (non-null count) over a summarized value column — the
+    * BARE attribute only: `count(cast(v as decimal(18,2)))` is NOT the
+    * same count (a non-ANSI overflow casts to null), so only the raw
+    * column's null-ness provably equals the maintained nn column's. */
+  private def countColMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
+    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
+      case Count(Seq(ar: AttributeReference)) if sums.contains(ar.name) =>
+        Some(nnOf(sums(ar.name)))
+      case _ => None
+    }
+    case _ => None
+  }
+
   /** `cast(<v> as decimal(18,2))` or a bare `<v>` already of that type
     * for a SUMMARIZED value column `<v>` — the child shape the
     * summarize family sums. Returns the matched value column. */
@@ -409,8 +426,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // (min/max exist only on a summarizeMinMax summary; a plain
     // summary simply fails the column check below and the candidate
     // falls through)
-    var needCount = false; var needAvg = false
+    var needCount = false
     val usedSums = scala.collection.mutable.LinkedHashSet.empty[String]
+    val usedNns = scala.collection.mutable.LinkedHashSet.empty[String]
     val usedMinMax = scala.collection.mutable.LinkedHashSet.empty[String]
     val usedKmv = scala.collection.mutable.LinkedHashSet.empty[String]
     aggExprs.foreach {
@@ -421,7 +439,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case e if sumMatch(e, reg.sums).isDefined =>
           usedSums += reg.sums(sumMatch(e, reg.sums).get)
         case e if avgMatch(e, reg.sums).isDefined =>
-          needAvg = true; usedSums += reg.sums(avgMatch(e, reg.sums).get)
+          val sc = reg.sums(avgMatch(e, reg.sums).get)
+          usedSums += sc; usedNns += nnOf(sc)
+        case e if countColMatch(e, reg.sums).isDefined =>
+          usedNns += countColMatch(e, reg.sums).get
         case e if minMatch(e, reg).isDefined => usedMinMax += minMatch(e, reg).get
         case e if maxMatch(e, reg).isDefined => usedMinMax += maxMatch(e, reg).get
         case e if kmvMatch(e, reg).isDefined => usedKmv += kmvMatch(e, reg).get
@@ -435,8 +456,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val byName = sumPlan.output.map(a => a.name -> a).toMap
     // the summary must carry the columns THIS query needs
     val neededCols = reg.groupCols ++
-      (if (needCount || needAvg) Seq("n_rows") else Nil) ++
-      usedSums.toSeq ++ usedMinMax.toSeq ++ usedKmv.toSeq
+      (if (needCount) Seq("n_rows") else Nil) ++
+      usedSums.toSeq ++ usedNns.toSeq ++ usedMinMax.toSeq ++ usedKmv.toSeq
     if (!neededCols.forall(byName.contains)) return None
 
     // a base-side attribute remapped to its summary twin; cast back to
@@ -482,10 +503,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // a GLOBAL aggregate over an EMPTY summary: count(1) on the base is
     // 0 but sum over zero rows is null — coalesce restores count
     // semantics (grouped outputs never see the null; exact-grouping
-    // n_rows is non-null by construction, coalesce is then a no-op)
-    def nExpr: Expression =
-      if (exactGrouping) byName("n_rows")
-      else Coalesce(Seq(get("n_rows"), Literal(0L)))
+    // counts are non-null by construction, coalesce is then a no-op)
+    def countExpr(n: String): Expression =
+      if (exactGrouping) byName(n)
+      else Coalesce(Seq(get(n), Literal(0L)))
+    def nExpr: Expression = countExpr("n_rows")
     val projected: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
       case (orig, src) =>
         val replacement: Expression = src match {
@@ -494,7 +516,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             case ar: AttributeReference => remap(ar)
             case e if isCountStar(e) => nExpr
             case e if avgMatch(e, reg.sums).isDefined =>
-              avgFromSummary(get(reg.sums(avgMatch(e, reg.sums).get)), nExpr)
+              val sc = reg.sums(avgMatch(e, reg.sums).get)
+              avgFromSummary(get(sc), countExpr(nnOf(sc)))
+            case e if countColMatch(e, reg.sums).isDefined =>
+              countExpr(countColMatch(e, reg.sums).get)
             case e if minMatch(e, reg).isDefined => get(minMatch(e, reg).get)
             case e if maxMatch(e, reg).isDefined => get(maxMatch(e, reg).get)
             case e if kmvMatch(e, reg).isDefined =>

@@ -37,6 +37,9 @@ object IncrementalAgg {
   def summarize(base: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
+        // the NON-NULL count: what Average divides by and what count(v)
+        // means — n_rows alone cannot serve either when v has NULLs
+        count(col(valueCol)).as("nn_val"),
         sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_val"))
 
   /** Post-maintenance rows for every group the feed touched, with the
@@ -59,6 +62,7 @@ object IncrementalAgg {
     val delta = ch
       .groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
+        sum(when(col(valueCol).isNotNull, sign).otherwise(0L)).as("__dnn"),
         sum(sign * col(valueCol).cast(DecimalType(18, 2))).as("__dsum"))
     val cur = store.readTable(summary)
     val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
@@ -74,6 +78,7 @@ object IncrementalAgg {
         groupCols.map(c => delta(c) <=> cur(c)).reduce(_ && _), "left")
       .select(groupCols.map(delta(_)) :+
         (nRows + negGuard).as("n_rows") :+
+        (coalesce(cur("nn_val"), lit(0L)) + col("__dnn")).as("nn_val") :+
         (coalesce(cur("sum_val"), lit(0).cast(DecimalType(18, 2))) + col("__dsum"))
           .cast(DecimalType(18, 2)).as("sum_val"): _*)
       .withColumn("__dead", col("n_rows") === 0L)
@@ -209,8 +214,9 @@ object IncrementalAgg {
     require(valueCols.nonEmpty, "summarizeMulti: need at least one value column")
     base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        valueCols.map(c =>
-          sum(col(c).cast(DecimalType(18, 2))).as("sum_" + c)): _*)
+        valueCols.flatMap(c => Seq(
+          count(col(c)).as("nn_" + c),
+          sum(col(c).cast(DecimalType(18, 2))).as("sum_" + c))): _*)
   }
 
   /** [[mergedDelta]] generalized over the measure list — the same
@@ -228,8 +234,9 @@ object IncrementalAgg {
     val dec = DecimalType(18, 2)
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
-        valueCols.map(c =>
-          sum(sign * col(c).cast(dec)).as("__d_" + c)): _*)
+        valueCols.flatMap(c => Seq(
+          sum(when(col(c).isNotNull, sign).otherwise(0L)).as("__dnn_" + c),
+          sum(sign * col(c).cast(dec)).as("__d_" + c))): _*)
     val cur = store.readTable(summary)
     val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
     val negGuard = coalesce(assert_true(nRows >= 0,
@@ -240,9 +247,10 @@ object IncrementalAgg {
         groupCols.map(c => delta(c) <=> cur(c)).reduce(_ && _), "left")
       .select(groupCols.map(delta(_)) :+
         (nRows + negGuard).as("n_rows") :++
-        valueCols.map(c =>
+        valueCols.flatMap(c => Seq(
+          (coalesce(cur("nn_" + c), lit(0L)) + col("__dnn_" + c)).as("nn_" + c),
           (coalesce(cur("sum_" + c), lit(0).cast(dec)) + col("__d_" + c))
-            .cast(dec).as("sum_" + c)): _*)
+            .cast(dec).as("sum_" + c))): _*)
       .withColumn("__dead", col("n_rows") === 0L)
       .localCheckpoint(true)
   }
@@ -354,6 +362,7 @@ object IncrementalAgg {
     base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         valueCols.flatMap(c => Seq(
+          count(col(c)).as("nn_" + c),
           sum(col(c).cast(dec)).as("sum_" + c),
           min(col(c).cast(dec)).as("min_" + c),
           max(col(c).cast(dec)).as("max_" + c))): _*)
@@ -379,6 +388,7 @@ object IncrementalAgg {
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
         valueCols.flatMap(c => Seq(
+          sum(when(col(c).isNotNull, sign).otherwise(0L)).as("__dnn_" + c),
           sum(sign * v(c)).as("__d_" + c),
           min(when(sign === 1L, v(c))).as("__imin_" + c),
           max(when(sign === 1L, v(c))).as("__imax_" + c))) :+
@@ -395,6 +405,7 @@ object IncrementalAgg {
       .select(groupCols.map(grown(_)) :+
         (nRows + negGuard).as("n_rows") :++
         valueCols.flatMap(c => Seq(
+          (coalesce(cur("nn_" + c), lit(0L)) + col("__dnn_" + c)).as("nn_" + c),
           (coalesce(cur("sum_" + c), lit(0).cast(dec)) + col("__d_" + c))
             .cast(dec).as("sum_" + c),
           least(cur("min_" + c), col("__imin_" + c)).cast(dec).as("min_" + c),
@@ -406,6 +417,7 @@ object IncrementalAgg {
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :++
         valueCols.flatMap(c => Seq(
+          lit(0L).as("nn_" + c),
           lit(null).cast(dec).as("sum_" + c),
           lit(null).cast(dec).as("min_" + c),
           lit(null).cast(dec).as("max_" + c))): _*)
@@ -436,6 +448,7 @@ object IncrementalAgg {
   def summarizeMinMax(base: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     base.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
+        count(col(valueCol)).as("nn_val"),
         sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_val"),
         min(col(valueCol).cast(DecimalType(18, 2))).as("min_val"),
         max(col(valueCol).cast(DecimalType(18, 2))).as("max_val"))
@@ -461,6 +474,7 @@ object IncrementalAgg {
     val v = col(valueCol).cast(DecimalType(18, 2))
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
+        sum(when(col(valueCol).isNotNull, sign).otherwise(0L)).as("__dnn"),
         sum(sign * v).as("__dsum"),
         min(when(sign === 1L, v)).as("__imin"),
         max(when(sign === 1L, v)).as("__imax"),
@@ -477,6 +491,7 @@ object IncrementalAgg {
         groupCols.map(c => grown(c) <=> cur(c)).reduce(_ && _), "left")
       .select(groupCols.map(grown(_)) :+
         (nRows + negGuard).as("n_rows") :+
+        (coalesce(cur("nn_val"), lit(0L)) + col("__dnn")).as("nn_val") :+
         (coalesce(cur("sum_val"), lit(0).cast(dec)) + col("__dsum")).cast(dec).as("sum_val") :+
         // least/greatest skip nulls (null only when BOTH sides are) —
         // exactly the tighten-or-keep semantics growth needs
@@ -494,7 +509,7 @@ object IncrementalAgg {
       store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
       groupCols, valueCol)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
-      .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+
+      .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+ lit(0L).as("nn_val") :+
         lit(null).cast(dec).as("sum_val") :+ lit(null).cast(dec).as("min_val") :+
         lit(null).cast(dec).as("max_val"): _*)
     grownRows.unionByName(rescan).unionByName(dead)

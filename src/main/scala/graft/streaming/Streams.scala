@@ -1625,6 +1625,57 @@ object Streams {
         }
     }
 
+  /** S36c: [[summaryMaintenanceSink]] for a C41d distinct-count
+    * summary ([[graft.store.IncrementalAgg.summarizeDistinct]]) —
+    * identical watermark/replay story; each trigger UNIONS the insert
+    * rows' KMV registers (exact set algebra) and rescans only the
+    * groups its updates deleted values from. With the C44 rule
+    * registered, `GraftFunctions.kmvDistinct` aggregates over the base
+    * serve from the stream-maintained sketch between triggers. `k`
+    * must match the bootstrap's. */
+  def summaryDistinctMaintenanceSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      base: String,
+      summary: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (graft.store.IncrementalAgg.maintainedGen(store, base, summary).isEmpty)
+            graft.store.IncrementalAgg.markMaintained(
+              store, base, summary, store.snapshots(base).last._1)
+          store.upsert(base, batch)
+          graft.store.IncrementalAgg.maintainDistinctToCurrent(
+            store, base, summary, groupCols, valueCol, k)
+        }
+    }
+
+  /** S36d: [[summaryMaintenanceSink]] for a C41e multi-measure MIN/MAX
+    * summary ([[graft.store.IncrementalAgg.summarizeMultiMinMax]]) —
+    * one trigger-time fold maintains every sum, non-null count and
+    * both extrema per measure. */
+  def summaryMultiMinMaxMaintenanceSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      base: String,
+      summary: String,
+      groupCols: Seq[String],
+      valueCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (graft.store.IncrementalAgg.maintainedGen(store, base, summary).isEmpty)
+            graft.store.IncrementalAgg.markMaintained(
+              store, base, summary, store.snapshots(base).last._1)
+          store.upsert(base, batch)
+          graft.store.IncrementalAgg.maintainMultiMinMaxToCurrent(
+            store, base, summary, groupCols, valueCols)
+        }
+    }
+
   /** S38: streaming CDC apply — the live consumer of a change-data
     * stream (Debezium/OGG shape: per-key rows carrying new values or a
     * delete verdict plus a monotone sequence column — LSN, offset,

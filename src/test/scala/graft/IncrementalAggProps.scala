@@ -50,9 +50,9 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
         Seq("g"), infer = false)
       IncrementalAgg.markMaintained(store, "base", "summary",
         store.snapshots("base").last._1)
-      def snap(df: org.apache.spark.sql.DataFrame): Set[(String, Long, java.math.BigDecimal)] =
-        df.collect().map(r =>
-          (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      def snap(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, java.math.BigDecimal)] =
+        df.select("g", "n_rows", "nn_val", "sum_val").collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3))).toSet
       // run every op; maintenance only at flagged points (unflagged
       // commits become the NEXT maintenance call's multi-gen backlog);
       // a final maintenance closes the sequence
@@ -67,7 +67,7 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
         }
         if (maintain) {
           IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
-          val got = snap(store.readTable("summary").select("g", "n_rows", "sum_val"))
+          val got = snap(store.readTable("summary"))
           val want = snap(IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"))
           (got == want) :| s"summary diverged after $op: $got vs $want"
         } else Prop.passed

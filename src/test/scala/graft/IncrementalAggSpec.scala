@@ -724,6 +724,64 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("NULL values in the measure: avg divides by the NON-NULL count, count(v) is servable, count(cast) is not") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", Some(10.0)), (2L, "a", None), (3L, "a", Some(20.0)),
+        (4L, "b", None), (5L, "b", None)).toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n"), count(col("v")).as("nn"),
+          avg(col("v").cast(DecimalType(18, 2))).as("m"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"))
+        .orderBy("g")
+      def qGlobal = store.readTable("base")
+        .agg(count(col("v")).as("nn"), avg(col("v").cast(DecimalType(18, 2))).as("m"))
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"count(v)+avg under NULLs should rewrite: ${q.queryExecution.optimizedPlan}")
+      assert(scanPaths(qGlobal).forall(_.contains("summary")))
+      def raw[T](mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+        SummaryRewrite.unregister(store, "base")
+        val r = mk.collect().toSeq.map(_.toString)
+        SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+        r
+      }
+      assert(q.collect().toSeq.map(_.toString) == raw(q),
+        "avg over a NULL-bearing measure must divide by the non-null count")
+      assert(qGlobal.collect().toSeq.map(_.toString) == raw(qGlobal))
+      // group b is ALL-NULL: avg must be null, count(v) 0 — from the summary
+      val b = q.collect().find(_.getString(0) == "b").get
+      assert(b.getLong(2) == 0L && b.isNullAt(3), s"all-null group wrong: $b")
+      // count over the decimal CAST is NOT the raw column's null-ness
+      // (non-ANSI overflow casts to null) — must stand down
+      val qCast = store.readTable("base").groupBy("g")
+        .agg(count(col("v").cast(DecimalType(18, 2))).as("nn"))
+      assert(scanPaths(qCast).exists(_.contains("base")))
+      // maintenance keeps nn right through NULL inserts and deletes
+      store.insert("base", Seq((6L, "a", Option.empty[Double]),
+        (7L, "b", Some(9.0))).toDF("k", "g", "v"))
+      store.delete("base", Seq(3L).toDF("k"))
+      IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g"), "v")
+      assert(scanPaths(q).forall(_.contains("summary")))
+      assert(q.collect().toSeq.map(_.toString) == raw(q))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("cross-process staleness: a SECOND store instance's commit stands the cached rewrite down") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.types.DecimalType

@@ -1388,6 +1388,80 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S36c: streaming distinct-count summary converges to the batch recompute, value-churn rescan included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.{IncrementalAgg, TableStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s36c_").toString)
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10L)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeDistinct(store.readTable("base"), Seq("g"), "v", k = 3),
+      Seq("g"), infer = false)
+    def check(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeDistinct(
+        store.readTable("base"), Seq("g"), "v", k = 3)
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"distinct summary diverged: $got vs $want")
+    }
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = Streams.summaryDistinctMaintenanceSink(ms.toDF().toDF("k", "g", "v"),
+      store, "base", "summary", Seq("g"), "v", k = 3).start()
+    try {
+      // growth past k: register union truncates to the 3 smallest
+      ms.addData((2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L), (5L, "b", 50L))
+      q.processAllAvailable()
+      check()
+      ms.addData((2L, "a", 99L)) // value churn on an existing key — rescan
+      q.processAllAvailable()
+      check()
+      // backlog window: a base delete outside the sink kills b
+      store.delete("base", Seq(5L).toDF("k"))
+      ms.addData((6L, "a", 60L))
+      q.processAllAvailable()
+      check()
+      assert(store.readTable("summary").filter(col("g") === "b").count() == 0)
+    } finally q.stop()
+  }
+
+  test("S36d: streaming multi-measure min/max summary converges to the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.{IncrementalAgg, TableStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s36d_").toString)
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0, 1.0)).toDF("k", "g", "v", "w"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMultiMinMax(
+        store.readTable("base"), Seq("g"), Seq("v", "w")),
+      Seq("g"), infer = false)
+    def check(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeMultiMinMax(
+        store.readTable("base"), Seq("g"), Seq("v", "w"))
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"multi-minmax summary diverged: $got vs $want")
+    }
+    val ms = MemoryStream[(Long, String, Double, Double)]
+    val q = Streams.summaryMultiMinMaxMaintenanceSink(
+      ms.toDF().toDF("k", "g", "v", "w"),
+      store, "base", "summary", Seq("g"), Seq("v", "w")).start()
+    try {
+      ms.addData((2L, "a", 3.0, 9.0), (3L, "b", 30.0, 0.5)) // tighten both measures
+      q.processAllAvailable()
+      check()
+      ms.addData((2L, "a", 50.0, 0.1)) // min of v AND max of w move — rescan
+      q.processAllAvailable()
+      check()
+      store.delete("base", Seq(3L).toDF("k")) // backlog kill of group b
+      ms.addData((4L, "a", 20.0, 2.0))
+      q.processAllAvailable()
+      check()
+      assert(store.readTable("summary").filter(col("g") === "b").count() == 0)
+    } finally q.stop()
+  }
+
   test("S38: CDC-apply sink folds last-verdict-per-key atomically; replays are idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.store.TableStore
