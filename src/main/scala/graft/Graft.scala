@@ -293,6 +293,98 @@ final case class Graft(
       st(name).explainPruning(pn(name), where)
   }
 
+  /** C46: the MATERIALIZED-VIEW operational surface over the C41
+    * family — `define` is CREATE MATERIALIZED VIEW (bootstrap + durable
+    * descriptor + rewrite registration), `maintain` is REFRESH
+    * (incremental, through the crash-safe watermark protocol), `attach`
+    * re-registers an existing summary with THIS session (the rewrite
+    * registry is in-process). The descriptor lives in the summary's
+    * table properties, so any session can attach/maintain without
+    * re-stating the definition — and `maintain` dispatches to the
+    * right fold (count/sum, min/max, multi, multi-minmax, distinct)
+    * from it. */
+  object summaries {
+    import graft.store.IncrementalAgg
+
+    private val KindKey = "graft.summary.kind"
+    private val BaseKey = "graft.summary.base"
+    private val GroupsKey = "graft.summary.groups"
+    private val ValuesKey = "graft.summary.values"
+    private val KKey = "graft.summary.k"
+
+    /** Bootstrap `name` as a maintained summary of `base` and register
+      * it for automatic query rewrite. `kind`: "sum" (count/sum — the
+      * C41 canonical), "minmax" (C41b), "multi" (C41c), "multiminmax"
+      * (C41e), "distinct" (C41d KMV, `k` registers). Single-measure
+      * kinds take exactly one value column. */
+    def define(name: String, base: String, groupCols: Seq[String],
+        valueCols: Seq[String], kind: String = "sum", k: Int = 64): Unit = {
+      val store = st(name)
+      require(store eq st(base), "summary and base must share a store root")
+      val (summary, b) = (pn(name), pn(base))
+      val single = Set("sum", "minmax", "distinct")
+      if (single(kind)) require(valueCols.size == 1,
+        s"summary kind '$kind' takes exactly one value column")
+      val bootstrap = kind match {
+        case "sum" => IncrementalAgg.summarize(store.readTable(b), groupCols, valueCols.head)
+        case "minmax" => IncrementalAgg.summarizeMinMax(store.readTable(b), groupCols, valueCols.head)
+        case "multi" => IncrementalAgg.summarizeMulti(store.readTable(b), groupCols, valueCols)
+        case "multiminmax" => IncrementalAgg.summarizeMultiMinMax(store.readTable(b), groupCols, valueCols)
+        case "distinct" => IncrementalAgg.summarizeDistinct(store.readTable(b), groupCols, valueCols.head, k)
+        case other => throw new IllegalArgumentException(
+          s"unknown summary kind '$other' (sum|minmax|multi|multiminmax|distinct)")
+      }
+      store.createTableFromDataFrame(summary, bootstrap, groupCols, infer = false)
+      IncrementalAgg.markMaintained(store, b, summary, store.snapshots(b).last._1)
+      store.setProperties(summary, Map(KindKey -> kind, BaseKey -> b,
+        GroupsKey -> groupCols.mkString(","), ValuesKey -> valueCols.mkString(","),
+        KKey -> k.toString))
+      attach(name)
+    }
+
+    private def descriptor(name: String): (String, String, Seq[String], Seq[String], Int) = {
+      val store = st(name)
+      val props = store.properties(pn(name))
+      val kind = props.getOrElse(KindKey, throw new IllegalArgumentException(
+        s"$name carries no summary descriptor — define() it first"))
+      (kind, props(BaseKey), props(GroupsKey).split(',').toSeq,
+        props(ValuesKey).split(',').toSeq, props(KKey).toInt)
+    }
+
+    /** Register an EXISTING summary (defined here or by another
+      * session) with this session's rewrite rule. */
+    def attach(name: String): Unit = {
+      val store = st(name)
+      val (kind, b, groups, values, k) = descriptor(name)
+      kind match {
+        case "sum" | "minmax" =>
+          graft.plans.SummaryRewrite.register(spark, store, b, pn(name), groups, values.head)
+        case "multi" | "multiminmax" =>
+          graft.plans.SummaryRewrite.registerMulti(spark, store, b, pn(name), groups, values)
+        case "distinct" =>
+          graft.plans.SummaryRewrite.registerDistinct(spark, store, b, pn(name), groups, values.head, k)
+      }
+    }
+
+    /** Incremental REFRESH: fold everything committed to the base
+      * since the durable watermark — crash-safe, replay-idempotent. */
+    def maintain(name: String): Unit = {
+      val store = st(name)
+      val (kind, b, groups, values, k) = descriptor(name)
+      kind match {
+        case "sum" => IncrementalAgg.maintainToCurrent(store, b, pn(name), groups, values.head)
+        case "minmax" => IncrementalAgg.maintainMinMaxToCurrent(store, b, pn(name), groups, values.head)
+        case "multi" => IncrementalAgg.maintainMultiToCurrent(store, b, pn(name), groups, values)
+        case "multiminmax" => IncrementalAgg.maintainMultiMinMaxToCurrent(store, b, pn(name), groups, values)
+        case "distinct" => IncrementalAgg.maintainDistinctToCurrent(store, b, pn(name), groups, values.head, k)
+      }
+    }
+
+    /** Drop the rewrite registrations of `base` (decommissioning). */
+    def detach(base: String): Unit =
+      graft.plans.SummaryRewrite.unregister(st(base), pn(base))
+  }
+
   /** Reference `get_schema` (package.py:105). */
   def getSchema(name: String): DataFrame = st(name).describe(pn(name))
 

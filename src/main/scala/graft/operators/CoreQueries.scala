@@ -862,6 +862,51 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
+  // C46/C44j: the MATERIALIZED-VIEW facade end to end — define (CREATE
+  // MV: bootstrap + durable descriptor + registration), a second
+  // ATTACH from the descriptor alone (what a fresh session does),
+  // mutations, maintain-by-name (descriptor-dispatched REFRESH), then
+  // the served aggregate asserted in-plan onto the summary. The oracle
+  // recomputes from raw, so define/attach/maintain must compose with
+  // the whole rewrite stack exactly.
+  def summaryFacadeRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val g = graft.Graft(s,
+      s"${sys.props("java.io.tmpdir")}/graft_store/summary_facade_${System.nanoTime()}")
+    try {
+      g.create.tableFromDataFrame("base",
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_orderkey"))
+      g.summaries.define("bystatus", "base",
+        Seq("o_orderstatus"), Seq("o_totalprice"), kind = "minmax")
+      // a fresh session would only have the descriptor — attach from it
+      g.summaries.attach("bystatus")
+      g.write.update("base", t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), (col("o_totalprice") + 10).as("o_totalprice")))
+      g.write.delete("base", t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select("o_orderkey"))
+      g.summaries.maintain("bystatus")
+      val q = g.read.table("base").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"),
+          min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_val"),
+          max(col("o_totalprice").cast(DecimalType(18, 2))).as("max_val"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      if (scans.isEmpty || !scans.forall(_.contains("bystatus")))
+        throw new IllegalStateException(
+          s"facade-defined summary did not serve the aggregate — plan scans $scans")
+      q.select(col("o_orderstatus"), col("n_rows"),
+          col("sum_val").cast("double").as("sum_val"),
+          col("min_val").cast("double").as("min_val"),
+          col("max_val").cast("double").as("max_val"))
+        .orderBy("o_orderstatus")
+    } finally g.summaries.detach("base")
+  }
+
   // C35b: get_schema twin driver-verified — the reference's
   // core/conversion.py get_schema renders a table's declared schema
   // (name, SQL type, nullability, key membership); here the store's
@@ -1281,6 +1326,7 @@ object CoreQueries {
     "summary_distinct_read" -> summaryDistinctRead,
     "describe_table" -> describeTable,
     "summary_nullable_read" -> summaryNullableRead,
+    "summary_facade_read" -> summaryFacadeRead,
   )
 
   private def inferCase(c: String): String =
@@ -1401,6 +1447,18 @@ object CoreQueries {
         | CAST(CASE WHEN t.nh < 64 THEN t.nh
         |           ELSE (63 * 4294967296) // t.kth END AS BIGINT) AS est_distinct
         |FROM n JOIN t USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
+    // C46/C44j: raw recompute with the facade's update and delete
+    // applied — exact iff define/attach/maintain composed correctly
+    "summary_facade_read" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders WHERE o_orderkey > 500)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        | CAST(SUM(p) AS DOUBLE) AS sum_val,
+        | CAST(MIN(p) AS DOUBLE) AS min_val,
+        | CAST(MAX(p) AS DOUBLE) AS max_val
+        |FROM f GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // C41f/C44i: raw recompute with the bump, the deletion and the
     // every-7th NULL applied; avg divides by COUNT(p) — the non-null
     // count — exactly as Average does

@@ -231,4 +231,56 @@ class GraftApiSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("a_b"))
     h.close()
   }
+
+  test("C46: summaries facade — define/attach/maintain/detach across all five kinds") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.store.IncrementalAgg
+    val g = Graft(spark, Files.createTempDirectory("graft_mvapi_").toString)
+    try {
+      g.create.tableFromDataFrame("base",
+        Seq((1L, "a", 10.0, 1.0), (2L, "a", 20.0, 2.0), (3L, "b", 30.0, 3.0))
+          .toDF("k", "grp", "v", "w"), Seq("k"))
+      g.summaries.define("s_sum", "base", Seq("grp"), Seq("v"))
+      g.summaries.define("s_mm", "base", Seq("grp"), Seq("v"), kind = "minmax")
+      g.summaries.define("s_multi", "base", Seq("grp"), Seq("v", "w"), kind = "multi")
+      g.summaries.define("s_mmm", "base", Seq("grp"), Seq("v", "w"), kind = "multiminmax")
+      g.summaries.define("s_d", "base", Seq("grp"), Seq("v"), kind = "distinct", k = 4)
+      // mutate, then REFRESH each by name — the descriptor dispatches
+      g.write.merge("base", Seq((1L, "a", 99.0, 0.5), (4L, "c", 7.0, 7.0))
+        .toDF("k", "grp", "v", "w"), upsert = true)
+      g.write.delete("base", Seq(3L).toDF("k"))
+      Seq("s_sum", "s_mm", "s_multi", "s_mmm", "s_d").foreach(g.summaries.maintain)
+      // every maintained table equals its batch recompute
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("grp").collect().map(_.toString).toSeq
+      val base = g.read.table("base")
+      assert(rows(g.read.table("s_sum")) == rows(IncrementalAgg.summarize(base, Seq("grp"), "v")))
+      assert(rows(g.read.table("s_mm")) == rows(IncrementalAgg.summarizeMinMax(base, Seq("grp"), "v")))
+      assert(rows(g.read.table("s_multi")) == rows(IncrementalAgg.summarizeMulti(base, Seq("grp"), Seq("v", "w"))))
+      assert(rows(g.read.table("s_mmm")) == rows(IncrementalAgg.summarizeMultiMinMax(base, Seq("grp"), Seq("v", "w"))))
+      assert(rows(g.read.table("s_d")) == rows(IncrementalAgg.summarizeDistinct(base, Seq("grp"), "v", 4)))
+      // the rewrite routes: a min query reads a minmax-capable summary
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def qMin = g.read.table("base").groupBy("grp")
+        .agg(min(col("v").cast(DecimalType(18, 2))).as("lo"))
+      assert(scans(qMin).forall(p => p.contains("s_mm") || p.contains("s_mmm")),
+        s"min should route to a minmax summary: ${qMin.queryExecution.optimizedPlan}")
+      def qKmv = g.read.table("base").groupBy("grp")
+        .agg(graft.plans.GraftFunctions.kmvDistinct(col("v"), 4).as("d"))
+      assert(scans(qKmv).forall(_.contains("s_d")))
+      // maintain on an undefined table raises; detach stands everything down
+      intercept[IllegalArgumentException](g.summaries.maintain("base"))
+      g.summaries.detach("base")
+      assert(scans(qMin).exists(_.contains("base")))
+      // attach restores routing from the descriptors alone
+      Seq("s_sum", "s_mm", "s_multi", "s_mmm", "s_d").foreach(g.summaries.attach)
+      assert(scans(qMin).forall(p => p.contains("s_mm") || p.contains("s_mmm")))
+    } finally { g.summaries.detach("base"); g.close() }
+  }
 }
