@@ -110,6 +110,7 @@ object Bench {
     "summary_distinct_read" -> "swrd", // NEW r12 (C41d KMV distinct-count summary)
     "summary_nullable_read" -> "swrn", // NEW r12 (C41f non-null counts / avg-under-NULLs)
     "summary_facade_read" -> "sfac", // NEW r12 (C46 MV facade lifecycle)
+    "summary_derived_read" -> "swrv", // NEW r12 (C47 derived-group daily rollup)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)

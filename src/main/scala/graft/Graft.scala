@@ -311,6 +311,15 @@ final case class Graft(
     private val GroupsKey = "graft.summary.groups"
     private val ValuesKey = "graft.summary.values"
     private val KKey = "graft.summary.k"
+    private val DeriveKey = "graft.summary.derive"
+    // derivation exprs can contain commas/colons — use control-char
+    // separators that no SQL expression carries
+    private def encodeDerive(d: Seq[(String, String)]): String =
+      d.map { case (n, e) => n + "\u0002" + e }.mkString("\u0001")
+    private def decodeDerive(s: String): Seq[(String, String)] =
+      if (s.isEmpty) Nil
+      else s.split("\u0001").toSeq.map { p =>
+        val i = p.indexOf("\u0002"); (p.substring(0, i), p.substring(i + 1)) }
 
     /** Bootstrap `name` as a maintained summary of `base` and register
       * it for automatic query rewrite. `kind`: "sum" (count/sum — the
@@ -318,19 +327,23 @@ final case class Graft(
       * (C41e), "distinct" (C41d KMV, `k` registers). Single-measure
       * kinds take exactly one value column. */
     def define(name: String, base: String, groupCols: Seq[String],
-        valueCols: Seq[String], kind: String = "sum", k: Int = 64): Unit = {
+        valueCols: Seq[String], kind: String = "sum", k: Int = 64,
+        deriveCols: Seq[(String, String)] = Nil): Unit = {
       val store = st(name)
       require(store eq st(base), "summary and base must share a store root")
       val (summary, b) = (pn(name), pn(base))
       val single = Set("sum", "minmax", "distinct")
       if (single(kind)) require(valueCols.size == 1,
         s"summary kind '$kind' takes exactly one value column")
+      // C47: derived group columns (e.g. "day" -> "to_date(ts)") are
+      // projected identically at bootstrap, fold and rescan time
+      val baseDf = IncrementalAgg.derivedView(store.readTable(b), deriveCols)
       val bootstrap = kind match {
-        case "sum" => IncrementalAgg.summarize(store.readTable(b), groupCols, valueCols.head)
-        case "minmax" => IncrementalAgg.summarizeMinMax(store.readTable(b), groupCols, valueCols.head)
-        case "multi" => IncrementalAgg.summarizeMulti(store.readTable(b), groupCols, valueCols)
-        case "multiminmax" => IncrementalAgg.summarizeMultiMinMax(store.readTable(b), groupCols, valueCols)
-        case "distinct" => IncrementalAgg.summarizeDistinct(store.readTable(b), groupCols, valueCols.head, k)
+        case "sum" => IncrementalAgg.summarize(baseDf, groupCols, valueCols.head)
+        case "minmax" => IncrementalAgg.summarizeMinMax(baseDf, groupCols, valueCols.head)
+        case "multi" => IncrementalAgg.summarizeMulti(baseDf, groupCols, valueCols)
+        case "multiminmax" => IncrementalAgg.summarizeMultiMinMax(baseDf, groupCols, valueCols)
+        case "distinct" => IncrementalAgg.summarizeDistinct(baseDf, groupCols, valueCols.head, k)
         case other => throw new IllegalArgumentException(
           s"unknown summary kind '$other' (sum|minmax|multi|multiminmax|distinct)")
       }
@@ -338,31 +351,32 @@ final case class Graft(
       IncrementalAgg.markMaintained(store, b, summary, store.snapshots(b).last._1)
       store.setProperties(summary, Map(KindKey -> kind, BaseKey -> b,
         GroupsKey -> groupCols.mkString(","), ValuesKey -> valueCols.mkString(","),
-        KKey -> k.toString))
+        KKey -> k.toString, DeriveKey -> encodeDerive(deriveCols)))
       attach(name)
     }
 
-    private def descriptor(name: String): (String, String, Seq[String], Seq[String], Int) = {
+    private def descriptor(name: String): (String, String, Seq[String], Seq[String], Int, Seq[(String, String)]) = {
       val store = st(name)
       val props = store.properties(pn(name))
       val kind = props.getOrElse(KindKey, throw new IllegalArgumentException(
         s"$name carries no summary descriptor — define() it first"))
       (kind, props(BaseKey), props(GroupsKey).split(',').toSeq,
-        props(ValuesKey).split(',').toSeq, props(KKey).toInt)
+        props(ValuesKey).split(',').toSeq, props(KKey).toInt,
+        decodeDerive(props.getOrElse(DeriveKey, "")))
     }
 
     /** Register an EXISTING summary (defined here or by another
       * session) with this session's rewrite rule. */
     def attach(name: String): Unit = {
       val store = st(name)
-      val (kind, b, groups, values, k) = descriptor(name)
+      val (kind, b, groups, values, k, derive) = descriptor(name)
       kind match {
         case "sum" | "minmax" =>
-          graft.plans.SummaryRewrite.register(spark, store, b, pn(name), groups, values.head)
+          graft.plans.SummaryRewrite.register(spark, store, b, pn(name), groups, values.head, derive)
         case "multi" | "multiminmax" =>
-          graft.plans.SummaryRewrite.registerMulti(spark, store, b, pn(name), groups, values)
+          graft.plans.SummaryRewrite.registerMulti(spark, store, b, pn(name), groups, values, derive)
         case "distinct" =>
-          graft.plans.SummaryRewrite.registerDistinct(spark, store, b, pn(name), groups, values.head, k)
+          graft.plans.SummaryRewrite.registerDistinct(spark, store, b, pn(name), groups, values.head, k, derive)
       }
     }
 
@@ -370,13 +384,13 @@ final case class Graft(
       * since the durable watermark — crash-safe, replay-idempotent. */
     def maintain(name: String): Unit = {
       val store = st(name)
-      val (kind, b, groups, values, k) = descriptor(name)
+      val (kind, b, groups, values, k, derive) = descriptor(name)
       kind match {
-        case "sum" => IncrementalAgg.maintainToCurrent(store, b, pn(name), groups, values.head)
-        case "minmax" => IncrementalAgg.maintainMinMaxToCurrent(store, b, pn(name), groups, values.head)
-        case "multi" => IncrementalAgg.maintainMultiToCurrent(store, b, pn(name), groups, values)
-        case "multiminmax" => IncrementalAgg.maintainMultiMinMaxToCurrent(store, b, pn(name), groups, values)
-        case "distinct" => IncrementalAgg.maintainDistinctToCurrent(store, b, pn(name), groups, values.head, k)
+        case "sum" => IncrementalAgg.maintainToCurrent(store, b, pn(name), groups, values.head, derive)
+        case "minmax" => IncrementalAgg.maintainMinMaxToCurrent(store, b, pn(name), groups, values.head, derive)
+        case "multi" => IncrementalAgg.maintainMultiToCurrent(store, b, pn(name), groups, values, derive)
+        case "multiminmax" => IncrementalAgg.maintainMultiMinMaxToCurrent(store, b, pn(name), groups, values, derive)
+        case "distinct" => IncrementalAgg.maintainDistinctToCurrent(store, b, pn(name), groups, values.head, k, derive)
       }
     }
 

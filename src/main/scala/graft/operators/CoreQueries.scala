@@ -907,6 +907,52 @@ object CoreQueries {
     } finally g.summaries.detach("base")
   }
 
+  // C47/C44k: summaries over DERIVED group columns — the daily-rollup
+  // MV: the base stores raw event timestamps, the summary groups by
+  // to_date(ts) (a column the base does NOT have), maintenance derives
+  // it identically over the change feed, and a GROUP BY to_date(ts)
+  // query is matched BY EXPRESSION TEMPLATE (the optimizer's pulled-out
+  // grouping projection is inlined before matching) and served from
+  // the summary — asserted in-plan.
+  def summaryDerivedRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwv")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    store.createTableFromDataFrame("base", ev, Seq("event_id"), infer = false)
+    val derive = Seq("day" -> "to_date(ts)")
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(
+        graft.store.IncrementalAgg.derivedView(store.readTable("base"), derive),
+        Seq("event_type", "day"), "value"),
+      Seq("event_type", "day"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(s, store, "base", "summary",
+      Seq("event_type", "day"), "value", derive)
+    store.upsert("base", ev.filter(col("event_id") <= 2000)
+      .withColumn("value", col("value") + 1))
+    store.delete("base", ev.filter(col("event_id") <= 1000).select("event_id"))
+    graft.store.IncrementalAgg.maintainToCurrent(
+      store, "base", "summary", Seq("event_type", "day"), "value", derive)
+    val q = store.readTable("base")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"derived-grouping rewrite did not fire — plan scans $scans")
+    q.select(col("event_type"), col("day").cast("string").as("day"),
+        col("n_rows"), col("sum_val").cast("double").as("sum_val"))
+      .orderBy("event_type", "day")
+  }
+
   // C35b: get_schema twin driver-verified — the reference's
   // core/conversion.py get_schema renders a table's declared schema
   // (name, SQL type, nullability, key membership); here the store's
@@ -1327,6 +1373,7 @@ object CoreQueries {
     "describe_table" -> describeTable,
     "summary_nullable_read" -> summaryNullableRead,
     "summary_facade_read" -> summaryFacadeRead,
+    "summary_derived_read" -> summaryDerivedRead,
   )
 
   private def inferCase(c: String): String =
@@ -1447,6 +1494,20 @@ object CoreQueries {
         | CAST(CASE WHEN t.nh < 64 THEN t.nh
         |           ELSE (63 * 4294967296) // t.kth END AS BIGINT) AS est_distinct
         |FROM n JOIN t USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
+    // C47/C44k: raw recompute with the bump and the deletion applied,
+    // grouped by the DERIVED day — exact iff maintenance derived the
+    // same day over the feed and the template-matched rewrite is exact
+    "summary_derived_read" ->
+      """WITH f AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(CASE WHEN event_id <= 2000 THEN value + 1
+        |            ELSE value END AS DECIMAL(18,2)) AS v
+        | FROM events WHERE event_id > 1000),
+        |a AS (SELECT event_type, day, COUNT(*) AS n,
+        |  CAST(SUM(v) * 100 AS HUGEINT) AS cents FROM f GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        | CAST(n AS BIGINT) AS n_rows,
+        | CAST(cents AS DOUBLE) / 100 AS sum_val
+        |FROM a ORDER BY event_type, day""".stripMargin,
     // C46/C44j: raw recompute with the facade's update and delete
     // applied — exact iff define/attach/maintain composed correctly
     "summary_facade_read" ->

@@ -91,7 +91,56 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       groupCols: Seq[String], sums: Map[String, String],
       mins: Map[String, String], maxs: Map[String, String],
       kmv: Map[String, String] = Map.empty, kmvK: Int = 0,
-      kmvTypes: Map[String, DataType] = Map.empty)
+      kmvTypes: Map[String, DataType] = Map.empty,
+      derive: Map[String, DeriveTemplate] = Map.empty)
+
+  /** C47: the normalized shape of a derived group expression — the
+    * tree with every attribute reduced to its NAME, plus the leaf
+    * (name, type) vector so an upstream lossless widening (same names,
+    * different types, possibly different VALUES through render-
+    * sensitive functions) never matches. */
+  final case class DeriveTemplate(tree: Expression, leaves: Seq[(String, DataType)])
+
+  private def normalizeExpr(e: Expression): DeriveTemplate =
+    DeriveTemplate(
+      e.transform { case ar: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(ar.name)) },
+      e.collect { case ar: AttributeReference => (ar.name, ar.dataType) })
+
+  /** Resolve derivation SQL against the base relation into templates
+    * (registration-time; one plan compile, no job). Templates come
+    * from the OPTIMIZED projection, not the analyzed one: the rule
+    * matches OPTIMIZER-output grouping expressions, and functions like
+    * to_date are RuntimeReplaceable — analysis keeps ParseToDate while
+    * the optimizer (which also produced the query side) rewrites it to
+    * the Cast the grouping actually carries. */
+  private def deriveTemplates(store: TableStore, base: String,
+      derive: Seq[(String, String)]): Map[String, DeriveTemplate] =
+    if (derive.isEmpty) Map.empty
+    else {
+      val optimized = store.readTable(base)
+        .select(derive.map { case (n, e) =>
+          org.apache.spark.sql.functions.expr(e).as(n) }: _*)
+        .queryExecution.optimizedPlan
+      val exprs = optimized.asInstanceOf[Project].projectList
+      derive.map(_._1).zip(exprs).map { case (n, a) =>
+        val child = a match {
+          case al: Alias => al.child
+          case ar: AttributeReference => ar // identity derivation
+        }
+        require(child.deterministic, s"derived group column $n must be deterministic")
+        n -> normalizeExpr(child)
+      }.toMap
+    }
+
+  /** The registered derived-column name a grouping expression matches
+    * (None: not a registered derivation for this candidate). */
+  private def deriveName(e: Expression, reg: Registration): Option[String] =
+    if (reg.derive.isEmpty) None
+    else {
+      lazy val norm = normalizeExpr(e)
+      reg.derive.collectFirst { case (n, t) if t == norm => n }
+    }
 
   // keyed by the base table's live data directory — the scan identity.
   // Scheme-normalized (a parquet scan's rootPaths carry `file:`/`hdfs:`
@@ -116,19 +165,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * the session's experimental optimizations (idempotent per
     * (base, summary); re-registering a summary replaces its entry). */
   def register(spark: SparkSession, store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String): Unit =
+      groupCols: Seq[String], valueCol: String,
+      derive: Seq[(String, String)] = Nil): Unit =
     registerEntry(spark, Registration(store, base, summary, groupCols,
       Map(valueCol -> "sum_val"),
-      Map(valueCol -> "min_val"), Map(valueCol -> "max_val")))
+      Map(valueCol -> "min_val"), Map(valueCol -> "max_val"),
+      derive = deriveTemplates(store, base, derive)))
 
   /** Register a C41c MULTI-measure summary ([[IncrementalAgg
     * .summarizeMulti]]'s `sum_<c>` naming). */
   def registerMulti(spark: SparkSession, store: TableStore, base: String,
-      summary: String, groupCols: Seq[String], valueCols: Seq[String]): Unit =
+      summary: String, groupCols: Seq[String], valueCols: Seq[String],
+      derive: Seq[(String, String)] = Nil): Unit =
     registerEntry(spark, Registration(store, base, summary, groupCols,
       valueCols.map(c => c -> ("sum_" + c)).toMap,
       valueCols.map(c => c -> ("min_" + c)).toMap,
-      valueCols.map(c => c -> ("max_" + c)).toMap))
+      valueCols.map(c => c -> ("max_" + c)).toMap,
+      derive = deriveTemplates(store, base, derive)))
 
   /** Register a C41d distinct-count (KMV) summary ([[IncrementalAgg
     * .summarizeDistinct]]): serves `GraftFunctions.kmvDistinct(v, k)`
@@ -137,11 +190,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * column's STRING RENDERING, so a query whose attribute was
     * losslessly WIDENED upstream (different render) must not match. */
   def registerDistinct(spark: SparkSession, store: TableStore, base: String,
-      summary: String, groupCols: Seq[String], valueCol: String, k: Int): Unit = {
+      summary: String, groupCols: Seq[String], valueCol: String, k: Int,
+      derive: Seq[(String, String)] = Nil): Unit = {
     val vt = store.readTable(base).schema(valueCol).dataType
     registerEntry(spark, Registration(store, base, summary, groupCols,
       Map.empty, Map.empty, Map.empty,
-      kmv = Map(valueCol -> "kmv_val"), kmvK = k, kmvTypes = Map(valueCol -> vt)))
+      kmv = Map(valueCol -> "kmv_val"), kmvK = k, kmvTypes = Map(valueCol -> vt),
+      derive = deriveTemplates(store, base, derive)))
   }
 
   private def registerEntry(spark: SparkSession, reg: Registration): Unit = {
@@ -172,17 +227,39 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   /** Strip faithful Project/SubqueryAlias/Filter layers down to the
-    * scan, collecting filter predicates on the way; None on anything
-    * that could change row content or column identity in a way the
-    * summary can't reproduce. Filter predicates are vetted against
-    * the group columns by the caller. */
-  private def faithfulScan(p: LogicalPlan): Option[(Seq[String], Seq[Expression])] = p match {
+    * scan, collecting filter predicates AND computed projection columns
+    * on the way; None on anything that could change row content. A
+    * COMPUTED column (the optimizer's PullOutGroupingExpressions emits
+    * `cast(ts as date) AS _groupingexpression` below the Aggregate —
+    * also any user-derived column) does not break faithfulness: rows
+    * are unchanged, the new attribute is just a name for an expression
+    * over them, so it is returned as an exprId→expression substitution
+    * for the caller to INLINE before matching. Only deterministic
+    * computations qualify. Filter predicates are vetted against the
+    * group columns by the caller (after inlining). */
+  private def faithfulScan(
+      p: LogicalPlan): Option[(Seq[String], Seq[Expression],
+        Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = p match {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some((fs.location.rootPaths.map(_.toString), Nil))
+      Some((fs.location.rootPaths.map(_.toString), Nil, Map.empty))
     case SubqueryAlias(_, c) => faithfulScan(c)
-    case Project(list, c) if list.forall(faithfulColumn) => faithfulScan(c)
+    case Project(list, c) =>
+      faithfulScan(c).flatMap { case (paths, conds, subst) =>
+        def inline(e: Expression): Expression = e.transform {
+          case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+        }
+        val extra = scala.collection.mutable.Map.empty[
+          org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+        val ok = list.forall {
+          case e if faithfulColumn(e) => true
+          case a @ Alias(e, _) if e.deterministic =>
+            extra += a.exprId -> inline(e); true // nested computed cols inline too
+          case _ => false
+        }
+        if (ok) Some((paths, conds, subst ++ extra)) else None
+      }
     case Filter(cond, c) if cond.deterministic =>
-      faithfulScan(c).map { case (paths, conds) => (paths, cond +: conds) }
+      faithfulScan(c).map { case (paths, conds, subst) => (paths, cond +: conds, subst) }
     case _ => None
   }
 
@@ -382,9 +459,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     fresh
   }
 
-  private def rewrite(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    val (paths, conds) = faithfulScan(child).getOrElse(return None)
+  private def rewrite(agg: Aggregate, groupings0: Seq[Expression],
+      aggExprs0: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val (paths, conds0, subst) = faithfulScan(child).getOrElse(return None)
+    // inline computed projection columns so matching sees the real
+    // expression trees (derived groupings; pulled-out grouping exprs)
+    def inline(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+    }
+    val groupings = groupings0.map(inline)
+    // a TOP-LEVEL substituted attribute must stay named: re-alias the
+    // inlined expression under the original name and exprId
+    val aggExprs: Seq[NamedExpression] = aggExprs0.map {
+      case ar: AttributeReference if subst.contains(ar.exprId) =>
+        Alias(subst(ar.exprId), ar.name)(exprId = ar.exprId)
+      case ne => inline(ne).asInstanceOf[NamedExpression]
+    }
+    val conds = conds0.map(inline)
     // EVERY root path must normalize to ONE registered base directory —
     // a scan of the base dir plus anything else covers more rows than
     // any summary and must never collapse
@@ -394,27 +485,27 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _      => return None
     }
     val candidates = Option(registry.get(key)).getOrElse(return None)
-    // grouping must be bare attributes; per candidate they must be a
-    // SUBSET of its group columns (exact → read the rows; strict subset
-    // incl. the empty set → re-aggregate, lossless for this family)
-    val groupNames = groupings.map {
-      case ar: AttributeReference => ar.name
-      case _ => return None
-    }
-    // route to the CHEAPEST fresh summary that can answer: fewest
-    // group columns ⇒ fewest rows to scan/roll up; a stale or
-    // shape-mismatched candidate falls through to the next
+    // each grouping must be a bare attribute or (per candidate) a
+    // registered DERIVED expression; they must be a SUBSET of the
+    // candidate's group columns (exact → read the rows; strict subset
+    // incl. the empty set → re-aggregate, lossless for this family).
+    // Resolution is per-candidate (derivations differ), so routing
+    // happens inside tryCandidate; cheapest-first order is preserved.
     candidates
-      .filter(c => groupNames.toSet.subsetOf(c.groupCols.toSet))
       .sortBy(_.groupCols.size)
       .iterator
-      .map(c => tryCandidate(agg, groupNames, aggExprs, conds, key, c))
+      .map(c => tryCandidate(agg, groupings, aggExprs, conds, key, c))
       .collectFirst { case Some(p) => p }
   }
 
-  private def tryCandidate(agg: Aggregate, groupNames: Seq[String],
+  private def tryCandidate(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], conds: Seq[Expression],
       key: String, reg: Registration): Option[LogicalPlan] = {
+    val groupNames: Seq[String] = groupings.map {
+      case ar: AttributeReference => ar.name
+      case e => deriveName(e, reg).getOrElse(return None)
+    }
+    if (!groupNames.toSet.subsetOf(reg.groupCols.toSet)) return None
     val exactGrouping = groupNames.sorted == reg.groupCols.sorted
     // filters may reference ONLY group columns (then a group survives
     // the filter as a whole or not at all — answerable by filtering
@@ -435,6 +526,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case ar: AttributeReference if groupNames.contains(ar.name) =>
       case a: Alias => a.child match {
         case ar: AttributeReference if groupNames.contains(ar.name) =>
+        case e if deriveName(e, reg).exists(groupNames.contains) =>
         case e if isCountStar(e) => needCount = true
         case e if sumMatch(e, reg.sums).isDefined =>
           usedSums += reg.sums(sumMatch(e, reg.sums).get)
@@ -514,6 +606,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case ar: AttributeReference => remap(ar)
           case a: Alias => a.child match {
             case ar: AttributeReference => remap(ar)
+            case e if deriveName(e, reg).exists(groupNames.contains) =>
+              byName(deriveName(e, reg).get)
             case e if isCountStar(e) => nExpr
             case e if avgMatch(e, reg.sums).isDefined =>
               val sc = reg.sums(avgMatch(e, reg.sums).get)

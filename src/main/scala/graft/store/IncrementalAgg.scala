@@ -30,6 +30,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IncrementalAgg {
 
+  /** C47: derived group columns — `derive` maps a NEW column name to a
+    * deterministic SQL expression over the base's columns (e.g.
+    * `"day" -> "to_date(ts)"`). Applied identically to the bootstrap
+    * relation, the change feed and the rescan reads, so a summary can
+    * group by an expression the base does not store (the daily-rollup
+    * MV shape). The maintenance algebra is unchanged: a derived column
+    * is just another group column once projected. */
+  def derivedView(df: DataFrame, derive: Seq[(String, String)]): DataFrame =
+    derive.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+
   /** The summary this module maintains: one row per group with the
     * row count and the exact DECIMAL(18,2) sum of `valueCol`. Used
     * once at bootstrap (the only full base scan) and by the
@@ -49,8 +59,9 @@ object IncrementalAgg {
     * retires files out of it, so a lazy re-evaluation mid-commit would
     * read the half-updated table (the L16 checkpoint idiom). */
   private def mergedDelta(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): DataFrame = {
-    val ch = store.readChanges(base, fromGen, toGen)
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int,
+      derive: Seq[(String, String)] = Nil): DataFrame = {
+    val ch = derivedView(store.readChanges(base, fromGen, toGen), derive)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     // the null-group guard rides the count delta (null on success → +0)
@@ -96,8 +107,9 @@ object IncrementalAgg {
     * crash). A feed with no rows (e.g. a pure rewrite: compaction,
     * Z-order) commits nothing. */
   def maintain(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): Unit = {
-    val merged = mergedDelta(store, base, summary, groupCols, valueCol, fromGen, toGen)
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int,
+      derive: Seq[(String, String)] = Nil): Unit = {
+    val merged = mergedDelta(store, base, summary, groupCols, valueCol, fromGen, toGen, derive)
     if (!merged.isEmpty) store.applyChanges(summary, merged, "__dead", groupCols)
   }
 
@@ -171,9 +183,10 @@ object IncrementalAgg {
     * summary must be written only through this path (the standard
     * materialized-view ownership contract). */
   def maintainToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String): Unit =
+      groupCols: Seq[String], valueCol: String,
+      derive: Seq[(String, String)] = Nil): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
-      val merged = mergedDelta(store, base, summary, groupCols, valueCol, applied, cur)
+      val merged = mergedDelta(store, base, summary, groupCols, valueCol, applied, cur, derive)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }
@@ -223,8 +236,8 @@ object IncrementalAgg {
     * change-feed algebra, one signed decimal delta per measure. */
   private def mergedMultiDelta(store: TableStore, base: String, summary: String,
       groupCols: Seq[String], valueCols: Seq[String],
-      fromGen: Int, toGen: Int): DataFrame = {
-    val ch = store.readChanges(base, fromGen, toGen)
+      fromGen: Int, toGen: Int, derive: Seq[(String, String)] = Nil): DataFrame = {
+    val ch = derivedView(store.readChanges(base, fromGen, toGen), derive)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     val guard = coalesce(assert_true(
@@ -258,9 +271,10 @@ object IncrementalAgg {
   /** [[maintainToCurrent]] for a [[summarizeMulti]] summary — same
     * durable watermark/intent protocol, one fold for all measures. */
   def maintainMultiToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCols: Seq[String]): Unit =
+      groupCols: Seq[String], valueCols: Seq[String],
+      derive: Seq[(String, String)] = Nil): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
-      val merged = mergedMultiDelta(store, base, summary, groupCols, valueCols, applied, cur)
+      val merged = mergedMultiDelta(store, base, summary, groupCols, valueCols, applied, cur, derive)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }
@@ -299,8 +313,8 @@ object IncrementalAgg {
     * restricted to exactly those groups. */
   private def mergedDistinctDelta(store: TableStore, base: String, summary: String,
       groupCols: Seq[String], valueCol: String, k: Int,
-      fromGen: Int, toGen: Int): DataFrame = {
-    val ch = store.readChanges(base, fromGen, toGen)
+      fromGen: Int, toGen: Int, derive: Seq[(String, String)] = Nil): DataFrame = {
+    val ch = derivedView(store.readChanges(base, fromGen, toGen), derive)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     val guard = coalesce(assert_true(
@@ -328,7 +342,8 @@ object IncrementalAgg {
           concat(curArr, col("__ins")))), 1, k)).as("kmv_val"): _*)
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
     val rescan = summarizeDistinct(
-      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      derivedView(store.readTableAt(base, toGen), derive)
+        .join(touched, groupCols, "left_semi"),
       groupCols, valueCol, k)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+
@@ -341,10 +356,11 @@ object IncrementalAgg {
   /** [[maintainToCurrent]] for a [[summarizeDistinct]] summary — same
     * durable watermark/intent protocol; `k` must match the bootstrap's. */
   def maintainDistinctToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String, k: Int = 64): Unit =
+      groupCols: Seq[String], valueCol: String, k: Int = 64,
+      derive: Seq[(String, String)] = Nil): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
       val merged = mergedDistinctDelta(
-        store, base, summary, groupCols, valueCol, k, applied, cur)
+        store, base, summary, groupCols, valueCol, k, applied, cur, derive)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }
@@ -375,8 +391,8 @@ object IncrementalAgg {
     * the C41b rescan protocol, one fold for all measures. */
   private def mergedMultiMinMaxDelta(store: TableStore, base: String, summary: String,
       groupCols: Seq[String], valueCols: Seq[String],
-      fromGen: Int, toGen: Int): DataFrame = {
-    val ch = store.readChanges(base, fromGen, toGen)
+      fromGen: Int, toGen: Int, derive: Seq[(String, String)] = Nil): DataFrame = {
+    val ch = derivedView(store.readChanges(base, fromGen, toGen), derive)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     val guard = coalesce(assert_true(
@@ -412,7 +428,8 @@ object IncrementalAgg {
           greatest(cur("max_" + c), col("__imax_" + c)).cast(dec).as("max_" + c))): _*)
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
     val rescan = summarizeMultiMinMax(
-      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      derivedView(store.readTableAt(base, toGen), derive)
+        .join(touched, groupCols, "left_semi"),
       groupCols, valueCols)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :++
@@ -428,10 +445,11 @@ object IncrementalAgg {
 
   /** [[maintainToCurrent]] for a [[summarizeMultiMinMax]] summary. */
   def maintainMultiMinMaxToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCols: Seq[String]): Unit =
+      groupCols: Seq[String], valueCols: Seq[String],
+      derive: Seq[(String, String)] = Nil): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
       val merged = mergedMultiMinMaxDelta(
-        store, base, summary, groupCols, valueCols, applied, cur)
+        store, base, summary, groupCols, valueCols, applied, cur, derive)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }
@@ -463,8 +481,9 @@ object IncrementalAgg {
     * reads both the summary's and the base's live directories and the
     * mutation rewrites the summary out from under a lazy plan. */
   private def mergedMinMaxDelta(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): DataFrame = {
-    val ch = store.readChanges(base, fromGen, toGen)
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int,
+      derive: Seq[(String, String)] = Nil): DataFrame = {
+    val ch = derivedView(store.readChanges(base, fromGen, toGen), derive)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     val guard = coalesce(assert_true(
@@ -506,7 +525,8 @@ object IncrementalAgg {
     // it from the delta side
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
     val rescan = summarizeMinMax(
-      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      derivedView(store.readTableAt(base, toGen), derive)
+        .join(touched, groupCols, "left_semi"),
       groupCols, valueCol)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+ lit(0L).as("nn_val") :+
@@ -520,9 +540,10 @@ object IncrementalAgg {
   /** [[maintainToCurrent]] for a [[summarizeMinMax]] summary — same
     * durable watermark/intent protocol, min/max-aware fold. */
   def maintainMinMaxToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String): Unit =
+      groupCols: Seq[String], valueCol: String,
+      derive: Seq[(String, String)] = Nil): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
-      val merged = mergedMinMaxDelta(store, base, summary, groupCols, valueCol, applied, cur)
+      val merged = mergedMinMaxDelta(store, base, summary, groupCols, valueCol, applied, cur, derive)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }

@@ -283,4 +283,62 @@ class GraftApiSpec extends AnyFunSuite {
       assert(scans(qMin).forall(p => p.contains("s_mm") || p.contains("s_mmm")))
     } finally { g.summaries.detach("base"); g.close() }
   }
+
+  test("C47: summaries over DERIVED group columns — daily rollup defined, maintained and served by expression") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.store.IncrementalAgg
+    val g = Graft(spark, Files.createTempDirectory("graft_mvder_").toString)
+    try {
+      val rows = (1L to 60L).map(i =>
+        (i, java.time.LocalDateTime.of(2026, 1, (i % 9 + 1).toInt, (i % 24).toInt, 0),
+          (i % 7).toDouble))
+      g.create.tableFromDataFrame("ev",
+        rows.toDF("event_id", "ts", "v"), Seq("event_id"), infer = false)
+      g.summaries.define("daily", "ev", Seq("day"), Seq("v"),
+        kind = "minmax", deriveCols = Seq("day" -> "to_date(ts)"))
+      // mutate through the fold: bump values (preimages → rescan) + delete
+      g.write.merge("ev", rows.filter(_._1 <= 20)
+        .map { case (i, t, v) => (i, t, v + 1) }.toDF("event_id", "ts", "v"),
+        upsert = true)
+      g.write.delete("ev", Seq(5L, 6L).toDF("event_id"))
+      g.summaries.maintain("daily")
+      // maintained table == batch recompute over the derived view
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("day").collect().map(_.toString).toSeq
+      assert(rowsOf(g.read.table("daily")) == rowsOf(
+        IncrementalAgg.summarizeMinMax(
+          IncrementalAgg.derivedView(g.read.table("ev"), Seq("day" -> "to_date(ts)")),
+          Seq("day"), "v")))
+      // a GROUP BY to_date(ts) aggregate is served from the summary
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = g.read.table("ev").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          min(col("v").cast(DecimalType(18, 2))).as("lo"))
+        .orderBy("day")
+      assert(scans(q).forall(_.contains("daily")),
+        s"derived grouping should rewrite: ${q.queryExecution.optimizedPlan}")
+      def raw = {
+        g.summaries.detach("ev")
+        val r = q.collect().toSeq.map(_.toString)
+        g.summaries.attach("daily")
+        r
+      }
+      assert(q.collect().toSeq.map(_.toString) == raw)
+      // the GLOBAL rollup over the derived summary serves too
+      def qg = g.read.table("ev")
+        .agg(count(lit(1)).as("n"), max(col("v").cast(DecimalType(18, 2))).as("hi"))
+      assert(scans(qg).forall(_.contains("daily")))
+      // a DIFFERENT derivation over the same column stands down
+      val qOther = g.read.table("ev").groupBy(date_trunc("month", col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      assert(scans(qOther).exists(_.contains("ev")))
+    } finally { g.summaries.detach("ev"); g.close() }
+  }
 }
