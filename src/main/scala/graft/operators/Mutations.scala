@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, TimestampNTZType}
 
@@ -56,20 +55,25 @@ object Mutations {
     * than once"); the full-outer-join algebra here would instead emit
     * one output row per source duplicate — the table GROWS and the PK
     * uniqueness the store promises is silently gone. So every keyed
-    * mutation rides this guard: a window count per match-key over the
-    * RENAMED source (source-sized work on what is usually the small
-    * join side — never a pass over the target), asserted in-plan and
-    * folded into an output column by [[rideGuard]] so column pruning
-    * cannot elide it. Null on success (assert_true's contract), throws
-    * on the first duplicate anywhere in the source. */
+    * mutation GROUPS the renamed source by its match key with an
+    * in-plan count assert riding ([[rideGuard]] folds it into an
+    * output column so pruning cannot elide it): a duplicate key throws
+    * before any row lands; a clean source passes through one row per
+    * key (`first` over a group the assert proves is a singleton).
+    * Shape chosen for scale: a hash aggregate, not a window — no sort,
+    * map-side partial combine, and the aggregate's key exchange is the
+    * SAME partitioning the keyed join needs, so EnsureRequirements
+    * reuses it instead of shuffling the source twice. */
   private def withDupGuard(s: DataFrame, matchCols: Seq[String], op: String): DataFrame = {
-    val w = Window.partitionBy(matchCols.map(c => col(srcAlias(c))): _*)
-    s.withColumn(DupGuardCol,
-      assert_true(count(lit(1)).over(w) <= 1L,
-        lit(s"$op: $DupKeyMsg — several source rows carry the same " +
-          s"(${matchCols.mkString(", ")}) key; the reference MERGE raises when " +
-          "multiple source rows match one target row. Pre-aggregate the source " +
-          "to one row per key.")))
+    val keyCols = matchCols.map(c => col(srcAlias(c)))
+    val payload = s.columns.filterNot(matchCols.map(srcAlias).contains)
+    val guard = assert_true(count(lit(1)) <= 1L,
+      lit(s"$op: $DupKeyMsg — several source rows carry the same " +
+        s"(${matchCols.mkString(", ")}) key; the reference MERGE raises when " +
+        "multiple source rows match one target row. Pre-aggregate the source " +
+        "to one row per key."))
+    s.groupBy(keyCols: _*).agg(guard.as(DupGuardCol),
+      payload.map(c => first(col(graft.Identifiers.quote(c))).as(c)): _*)
   }
 
   /** Fold the dup guard into an output expression: the guard is null on
