@@ -831,4 +831,77 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected shuffle count:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("r12 KMV sketch: bounded-register ObjectHashAggregate with map-side partial combine, no distinct shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.plans.GraftFunctions
+    val df = (0 until 2000).map(i => (s"g${i % 4}", s"u${i % 300}")).toDF("g", "u")
+      .repartition(8)
+    val q = df.groupBy("g").agg(GraftFunctions.kmvDistinct(col("u"), 64).as("d"))
+    val plan = executedPlan(q)
+    // TypedImperativeAggregate plans as ObjectHashAggregate: a partial
+    // (map-side) pass and a final merge — registers travel, rows don't
+    assert(occurrences(plan, "ObjectHashAggregate") >= 2,
+      s"expected partial+final object hash aggregation:\n$plan")
+    // ONE key exchange (the test's own repartition adds a RoundRobin);
+    // no distinct/expand anywhere — the buffer dedupes, the plan never
+    // shuffles per-value
+    assert(occurrences(plan, "Exchange hashpartitioning") == 1,
+      s"one key exchange expected:\n$plan")
+    assert(!plan.contains("Expand") && occurrences(plan, "Distinct") == 0,
+      s"no distinct machinery expected:\n$plan")
+  }
+
+  test("r12 dup-key guard: the source-side count assert reuses the mutation join's exchange") {
+    import spark.implicits._
+    val target = (0 until 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(4)
+    val source = (0 until 50).map(i => (i.toLong, "nv")).toDF("k", "v")
+    val merged = graft.operators.Mutations.upsert(target, source, Seq("k"))
+    val plan = executedPlan(merged)
+    // the guard aggregates the source by the SAME key the join shuffles
+    // on — EnsureRequirements must not add a second source exchange:
+    // total exchanges = one per join side (AQE may turn the small side
+    // into a broadcast, which is also fine — never THREE)
+    assert(occurrences(plan, "Exchange hashpartitioning") <= 2,
+      s"guard must not add a source shuffle beyond the join's:\n$plan")
+    // first()'s buffer makes Spark pick SortAggregate here — still a
+    // keyed aggregate with a map-side partial pass (partial_count)
+    assert(plan.contains("Aggregate") && plan.contains("partial_count"),
+      s"expected the keyed guard aggregate with partial combine:\n$plan")
+  }
+
+  test("r12 derived-group rewrite: the served daily rollup plans as a summary-only scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.store.{IncrementalAgg, TableStore}
+    import graft.plans.SummaryRewrite
+    import org.apache.spark.sql.types.DecimalType
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_audit_c47_").toString)
+    store.createTableFromDataFrame("base",
+      (1L to 40L).map(i => (i,
+        java.time.LocalDateTime.of(2026, 2, (i % 5 + 1).toInt, 0, 0), i.toDouble))
+        .toDF("k", "ts", "v"),
+      Seq("k"), infer = false)
+    val derive = Seq("day" -> "to_date(ts)")
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(
+        IncrementalAgg.derivedView(store.readTable("base"), derive), Seq("day"), "v"),
+      Seq("day"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("day"), "v", derive)
+    try {
+      val q = store.readTable("base").groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("v").cast(DecimalType(18, 2))).as("s"))
+      val plan = executedPlan(q)
+      assert(plan.contains("summary") && !plan.contains("base/data"),
+        s"derived grouping must serve from the summary scan:\n$plan")
+      // served read is scan+project: no aggregate at all in the plan
+      assert(!plan.contains("HashAggregate"),
+        s"an exact-grouping serve needs no aggregation:\n$plan")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
 }
