@@ -324,17 +324,41 @@ final case class Graft(
     /** Bootstrap `name` as a maintained summary of `base` and register
       * it for automatic query rewrite. `kind`: "sum" (count/sum — the
       * C41 canonical), "minmax" (C41b), "multi" (C41c), "multiminmax"
-      * (C41e), "distinct" (C41d KMV, `k` registers). Single-measure
-      * kinds take exactly one value column. */
+      * (C41e), "distinct" (C41d KMV, `k` registers), "distinctmulti"
+      * (one KMV sketch per measure), "quantile" (C41g — the A46
+      * integer log-histogram as counter rows; pure add/subtract
+      * maintenance, no rescan, serves the valueSketch query shape).
+      * Single-measure kinds take exactly one value column. */
     def define(name: String, base: String, groupCols: Seq[String],
         valueCols: Seq[String], kind: String = "sum", k: Int = 64,
         deriveCols: Seq[(String, String)] = Nil): Unit = {
       val store = st(name)
       require(store eq st(base), "summary and base must share a store root")
       val (summary, b) = (pn(name), pn(base))
-      val single = Set("sum", "minmax", "distinct")
+      val single = Set("sum", "minmax", "distinct", "quantile")
       if (single(kind)) require(valueCols.size == 1,
         s"summary kind '$kind' takes exactly one value column")
+      if (kind == "quantile") require(deriveCols.isEmpty,
+        "quantile summaries derive their own bucket columns — deriveCols unsupported")
+      // group columns are the summary's PK — a GLOBAL (zero-group)
+      // summary has no keyable row identity, and the empty list would
+      // not round-trip through the descriptor ("".split(',') is [""]);
+      // reject it here rather than fail with a column-resolution error
+      // at attach/maintain time
+      require(groupCols.nonEmpty,
+        "summaries need at least one group column (a global total is a " +
+          "one-group summary over a constant derived column)")
+      // a derived column SHADOWING a physical base column would be
+      // silently substituted during maintenance (withColumn replaces)
+      // while queries over the physical column template-match by name
+      // — reject early, before any table is bootstrapped; the rewrite
+      // registration (deriveTemplates) enforces the same contract
+      val baseFields = store.readTable(pn(base)).columns.toSet
+      deriveCols.foreach { case (n, e) =>
+        require(!baseFields.contains(n) || e.trim == n,
+          s"derived column '$n' shadows a physical column of '$base' — " +
+            "pick a fresh name (only the identity derivation may reuse one)")
+      }
       // C47: derived group columns (e.g. "day" -> "to_date(ts)") are
       // projected identically at bootstrap, fold and rescan time
       val baseDf = IncrementalAgg.derivedView(store.readTable(b), deriveCols)
@@ -344,10 +368,15 @@ final case class Graft(
         case "multi" => IncrementalAgg.summarizeMulti(baseDf, groupCols, valueCols)
         case "multiminmax" => IncrementalAgg.summarizeMultiMinMax(baseDf, groupCols, valueCols)
         case "distinct" => IncrementalAgg.summarizeDistinct(baseDf, groupCols, valueCols.head, k)
+        case "distinctmulti" => IncrementalAgg.summarizeDistinctMulti(baseDf, groupCols, valueCols, k)
+        case "quantile" => IncrementalAgg.summarizeQuantile(baseDf, groupCols, valueCols.head)
         case other => throw new IllegalArgumentException(
-          s"unknown summary kind '$other' (sum|minmax|multi|multiminmax|distinct)")
+          s"unknown summary kind '$other' " +
+            "(sum|minmax|multi|multiminmax|distinct|distinctmulti|quantile)")
       }
-      store.createTableFromDataFrame(summary, bootstrap, groupCols, infer = false)
+      // a quantile summary's rows are keyed by (groups, bucket)
+      val pk = if (kind == "quantile") groupCols ++ Seq("bin_id", "bin_upper") else groupCols
+      store.createTableFromDataFrame(summary, bootstrap, pk, infer = false)
       IncrementalAgg.markMaintained(store, b, summary, store.snapshots(b).last._1)
       store.setProperties(summary, Map(KindKey -> kind, BaseKey -> b,
         GroupsKey -> groupCols.mkString(","), ValuesKey -> valueCols.mkString(","),
@@ -377,6 +406,10 @@ final case class Graft(
           graft.plans.SummaryRewrite.registerMulti(spark, store, b, pn(name), groups, values, derive)
         case "distinct" =>
           graft.plans.SummaryRewrite.registerDistinct(spark, store, b, pn(name), groups, values.head, k, derive)
+        case "distinctmulti" =>
+          graft.plans.SummaryRewrite.registerDistinctMulti(spark, store, b, pn(name), groups, values, k, derive)
+        case "quantile" =>
+          graft.plans.SummaryRewrite.registerQuantile(spark, store, b, pn(name), groups, values.head)
       }
     }
 
@@ -391,6 +424,8 @@ final case class Graft(
         case "multi" => IncrementalAgg.maintainMultiToCurrent(store, b, pn(name), groups, values, derive)
         case "multiminmax" => IncrementalAgg.maintainMultiMinMaxToCurrent(store, b, pn(name), groups, values, derive)
         case "distinct" => IncrementalAgg.maintainDistinctToCurrent(store, b, pn(name), groups, values.head, k, derive)
+        case "distinctmulti" => IncrementalAgg.maintainDistinctMultiToCurrent(store, b, pn(name), groups, values, k)
+        case "quantile" => IncrementalAgg.maintainQuantileToCurrent(store, b, pn(name), groups, values.head)
       }
     }
 

@@ -1076,9 +1076,12 @@ object Analytics {
     val w = Window.partitionBy("event_type").orderBy("__h")
     // a NULL value is no observation (the sketchUnits discipline): its
     // null hash would otherwise sort FIRST and poison rank 1 + n_hashes
+    // greatest(·, 1): the KMV estimator divides by the kth register, so
+    // hash 0 (p = 2⁻³² per distinct value) maps to 1 on BOTH engines —
+    // the KmvCore.hash32 clamp, mirrored here and in the oracle
     events.filter(col("user_id").isNotNull).select(col("event_type"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-          .cast("long").as("__h"))
+        greatest(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1L)).as("__h"))
       .distinct()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -1845,14 +1848,14 @@ object Analytics {
     "events_distinct_kmv" ->
       """WITH h AS (
         | SELECT DISTINCT event_type,
-        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |  GREATEST(CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
         |   + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
         |   + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
         |   + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
         |   + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
         |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
         |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
-        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) AS hh
+        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT), 1) AS hh
         | FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
         |       FROM events WHERE user_id IS NOT NULL)),
         |r AS (SELECT event_type, hh,

@@ -1477,14 +1477,14 @@ object CoreQueries {
         | FROM orders WHERE o_orderkey > 200),
         |n AS (SELECT o_orderstatus, COUNT(*) AS n_rows FROM f GROUP BY 1),
         |h AS (SELECT DISTINCT o_orderstatus,
-        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
+        |  GREATEST(CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456.0
         |   + (strpos('0123456789abcdef', substr(h,2,1))-1)*16777216.0
         |   + (strpos('0123456789abcdef', substr(h,3,1))-1)*1048576.0
         |   + (strpos('0123456789abcdef', substr(h,4,1))-1)*65536.0
         |   + (strpos('0123456789abcdef', substr(h,5,1))-1)*4096.0
         |   + (strpos('0123456789abcdef', substr(h,6,1))-1)*256.0
         |   + (strpos('0123456789abcdef', substr(h,7,1))-1)*16.0
-        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT) AS hh
+        |   + (strpos('0123456789abcdef', substr(h,8,1))-1) AS BIGINT), 1) AS hh
         | FROM (SELECT o_orderstatus, md5(CAST(ck AS VARCHAR)) AS h FROM f)),
         |r AS (SELECT o_orderstatus, hh,
         |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY hh) AS rn FROM h),

@@ -48,6 +48,14 @@ object Mutations {
     * [[graft.store.TableStore]] translates any failure whose cause
     * chain contains it into the named [[errors.DuplicateSourceKey]]. */
   val DupKeyMsg = "duplicate key in mutation source"
+
+  /** Marker for the NULL-key collision case: GROUP BY treats NULLs as
+    * equal, so several all-null-key source rows land in ONE group —
+    * but they are not duplicates under the `===` match contract (a
+    * null key matches nothing), they are a null-PK contract violation.
+    * [[graft.store.TableStore]] translates this marker into the same
+    * NOT-NULL error the insert path raises, not DuplicateSourceKey. */
+  val NullKeyMsg = "NULL match key in mutation source"
   private val DupGuardCol = "__dup_guard"
 
   /** The reference's T-SQL MERGE raises when several source rows match
@@ -64,15 +72,40 @@ object Mutations {
     * map-side partial combine, and the aggregate's key exchange is the
     * SAME partitioning the keyed join needs, so EnsureRequirements
     * reuses it instead of shuffling the source twice. */
-  private def withDupGuard(s: DataFrame, matchCols: Seq[String], op: String): DataFrame = {
+  /** NULL-key policy alongside the dup guard. `nullKeys = "raise"` for
+    * the INSERT-CAPABLE mutations (merge/upsert/applyChanges/scd2): a
+    * null-key source row can never match, so it would become an insert
+    * with a NULL key — a PK-contract violation reported as
+    * [[NullKeyMsg]] whether or not the row is duplicated. `"ignore"`
+    * for update: SQL UPDATE ... FROM semantics — a null key matches
+    * nothing and the row is a no-op, DROPPED EXPLICITLY here because
+    * relying on the guard for the collision case is plan-dependent
+    * (the left join lets the optimizer infer isnotnull on the source
+    * key and prune the rows below the aggregate, so the assert may
+    * never see them). */
+  private def withDupGuard(s: DataFrame, matchCols: Seq[String], op: String,
+      nullKeys: String): DataFrame = {
     val keyCols = matchCols.map(c => col(srcAlias(c)))
     val payload = s.columns.filterNot(matchCols.map(srcAlias).contains)
-    val guard = assert_true(count(lit(1)) <= 1L,
-      lit(s"$op: $DupKeyMsg — several source rows carry the same " +
-        s"(${matchCols.mkString(", ")}) key; the reference MERGE raises when " +
-        "multiple source rows match one target row. Pre-aggregate the source " +
-        "to one row per key."))
-    s.groupBy(keyCols: _*).agg(guard.as(DupGuardCol),
+    val anyNullKey = keyCols.map(_.isNull).reduce(_ || _)
+    val s0 = if (nullKeys == "ignore") s.filter(!anyNullKey) else s
+    // key columns are GROUPING columns, so they are directly
+    // referencable inside the aggregate list (anyNullKey below)
+    val cond =
+      if (nullKeys == "raise") !anyNullKey && count(lit(1)) <= 1L
+      else count(lit(1)) <= 1L
+    val guard = assert_true(cond,
+      when(anyNullKey,
+        lit(s"$op: $NullKeyMsg — a source row carries a NULL " +
+          s"(${matchCols.mkString(", ")}) key; a null key can never match a " +
+          "target row, so it would insert a NULL key — match-key columns are " +
+          "non-null by the PK contract."))
+        .otherwise(
+          lit(s"$op: $DupKeyMsg — several source rows carry the same " +
+            s"(${matchCols.mkString(", ")}) key; the reference MERGE raises when " +
+            "multiple source rows match one target row. Pre-aggregate the source " +
+            "to one row per key.")))
+    s0.groupBy(keyCols: _*).agg(guard.as(DupGuardCol),
       payload.map(c => first(col(graft.Identifiers.quote(c))).as(c)): _*)
   }
 
@@ -102,8 +135,16 @@ object Mutations {
     *
     * Updated columns = source columns minus `matchCols`. Unmatched
     * target rows are unchanged; source rows with no match are ignored
-    * (same as SQL UPDATE ... FROM). Result schema = target schema
-    * (+ `_time_update` when `timeUpdate` is set).
+    * (same as SQL UPDATE ... FROM) — EXCEPT that duplicate source keys
+    * raise [[DupKeyMsg]] regardless of whether they match any target
+    * row (the guard is a contract check on the source relation itself,
+    * stricter than the reference MERGE's multi-MATCH error by design:
+    * a source carrying duplicate keys is malformed whether or not the
+    * duplicates happen to match today). NULL-key source rows are
+    * dropped (a null key matches nothing — the "no match" case above),
+    * unlike the insert-capable mutations, where a null-key row would
+    * become a NULL-PK insert and raises [[NullKeyMsg]]. Result schema
+    * = target schema (+ `_time_update` when `timeUpdate` is set).
     */
   def update(
       target: DataFrame,
@@ -118,7 +159,7 @@ object Mutations {
     val t0 = if (timeUpdate.isDefined) ensureTimeCol(target, TimeUpdate) else target
     val s = withDupGuard(
       source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
-      matchCols, "update").withColumn("__matched", lit(true))
+      matchCols, "update", nullKeys = "ignore").withColumn("__matched", lit(true))
     // no broadcast hint: the source is USUALLY small (AQE broadcasts it
     // then), but an update fed by another 100 TB relation must be free
     // to shuffle — a forced broadcast would OOM the driver
@@ -195,7 +236,8 @@ object Mutations {
 
     val s = withDupGuard(
       source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
-      matchCols, if (upsertOnly) "upsert" else "merge").withColumn("__s", lit(true))
+      matchCols, if (upsertOnly) "upsert" else "merge",
+      nullKeys = "raise").withColumn("__s", lit(true))
     val joinCond = matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _)
     var j = t0.withColumn("__t", lit(true)).join(s, joinCond, "full_outer")
 
@@ -264,7 +306,7 @@ object Mutations {
 
     val s = withDupGuard(
       source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
-      matchCols, "applyChanges").withColumn("__s", lit(true))
+      matchCols, "applyChanges", nullKeys = "raise").withColumn("__s", lit(true))
     val joinCond = matchCols.map(c => t0(c) === s(srcAlias(c))).reduce(_ && _)
     val j = t0.withColumn("__t", lit(true)).join(s, joinCond, "full_outer")
 
@@ -328,7 +370,7 @@ object Mutations {
     val current = target.filter(col(ValidTo).isNull)
     val s = withDupGuard(
       source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, srcAlias(c))),
-      matchCols, "scd2").withColumn("__s", lit(true))
+      matchCols, "scd2", nullKeys = "raise").withColumn("__s", lit(true))
     val j = current.withColumn("__t", lit(true))
       .join(s, matchCols.map(c => current(c) === s(srcAlias(c))).reduce(_ && _), "full_outer")
 

@@ -48,12 +48,30 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KmvCore {
 
-  /** First 8 hex digits of md5(bytes) as an unsigned 32-bit value —
-    * equals `conv(substring(md5(s),1,8),16,10)` and the DuckDB
-    * strpos-decode idiom, byte for byte. */
+  // per-row hot path of every sketch update/bootstrap/rescan: reuse one
+  // digest per thread instead of a per-value provider lookup+allocation
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 hex digits of md5(bytes) as an unsigned 32-bit value,
+    * CLAMPED to ≥ 1 — equals `greatest(conv(substring(md5(s),1,8),16,
+    * 10), 1)` and the GREATEST-wrapped DuckDB strpos-decode idiom,
+    * byte for byte. The clamp exists because the estimator divides by
+    * the kth register: an md5 whose first four bytes are zero
+    * (p = 2⁻³² per distinct value) would otherwise be BY CONSTRUCTION
+    * the kth-smallest and turn every estimate over its group into a
+    * division by zero. Mapping 0→1 merges that value with the hash-1
+    * preimages — a one-in-4-billion extra collision, the sketch's
+    * native error class — and every SQL twin applies the same clamp,
+    * so engine and oracle stay bit-identical. */
   def hash32(s: UTF8String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(s.getBytes)
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    if (h == 0L) 1L else h
   }
 
   /** Keep the k smallest distinct values. TreeSet: last() is the
@@ -66,10 +84,13 @@ object KmvCore {
   }
 
   /** (k−1)·2^32 div h_k, exact integer arithmetic; a sketch holding
-    * fewer than k hashes IS the exact distinct count. */
+    * fewer than k hashes IS the exact distinct count. The divisor is
+    * clamped ≥ 1 as a second line of defense behind [[hash32]]'s 0→1
+    * mapping (a register array handed in from outside the sketch
+    * builders could still carry a 0). */
   def estimate(nHashes: Int, kthHash: Long, k: Int): Long =
     if (nHashes < k) nHashes.toLong
-    else (k - 1).toLong * 4294967296L / kthHash
+    else (k - 1).toLong * 4294967296L / math.max(kthHash, 1L)
 
   def estimateOf(sorted: Array[Long], k: Int): Long =
     if (sorted.length < k) sorted.length.toLong

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -92,7 +92,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       mins: Map[String, String], maxs: Map[String, String],
       kmv: Map[String, String] = Map.empty, kmvK: Int = 0,
       kmvTypes: Map[String, DataType] = Map.empty,
-      derive: Map[String, DeriveTemplate] = Map.empty)
+      derive: Map[String, DeriveTemplate] = Map.empty,
+      // C41g: filters BAKED INTO the summary (a quantile summary
+      // covers only non-null observations). A query is servable only
+      // when its scan-level filters include a template-match of every
+      // base filter; the matched conds are then DROPPED (already
+      // applied at maintenance time) instead of being re-applied to
+      // the summary's rows.
+      baseFilters: Seq[DeriveTemplate] = Nil)
 
   /** C47: the normalized shape of a derived group expression — the
     * tree with every attribute reduced to its NAME, plus the leaf
@@ -118,7 +125,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       derive: Seq[(String, String)]): Map[String, DeriveTemplate] =
     if (derive.isEmpty) Map.empty
     else {
-      val optimized = store.readTable(base)
+      val baseDf = store.readTable(base)
+      val baseFields = baseDf.columns.toSet
+      val optimized = baseDf
         .select(derive.map { case (n, e) =>
           org.apache.spark.sql.functions.expr(e).as(n) }: _*)
         .queryExecution.optimizedPlan
@@ -129,6 +138,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case ar: AttributeReference => ar // identity derivation
         }
         require(child.deterministic, s"derived group column $n must be deterministic")
+        // a derivation SHADOWING a physical column is rejected (only
+        // identity may reuse the name): maintenance's withColumn would
+        // silently replace the physical values, while tryCandidate
+        // matches bare-attribute groupings on the physical column BY
+        // NAME — a query over the physical column would be served the
+        // derived values
+        val identity = child match {
+          case ar: AttributeReference => ar.name == n
+          case _ => false
+        }
+        require(!baseFields.contains(n) || identity,
+          s"derived column '$n' shadows a physical column of '$base' — " +
+            "pick a fresh name (only the identity derivation may reuse one)")
         n -> normalizeExpr(child)
       }.toMap
     }
@@ -151,7 +173,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private val registry = new ConcurrentHashMap[String, List[Registration]]()
 
   private final case class Freshness(store: TableStore, epoch: Long,
-      sig: (Long, Long), fresh: Boolean)
+      baseGen: Int, sig: (Long, Long), fresh: Boolean)
   private val freshCache = new ConcurrentHashMap[String, Freshness]()
 
   /** Store probes actually performed (cache misses) — the PlanAudit
@@ -197,6 +219,65 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       Map.empty, Map.empty, Map.empty,
       kmv = Map(valueCol -> "kmv_val"), kmvK = k, kmvTypes = Map(valueCol -> vt),
       derive = deriveTemplates(store, base, derive)))
+  }
+
+  /** Register a MULTI-MEASURE distinct-count summary ([[IncrementalAgg
+    * .summarizeDistinctMulti]]'s `kmv_<c>` naming) — one fold, one
+    * table, serving `kmvDistinct(c, k)` for every registered measure. */
+  def registerDistinctMulti(spark: SparkSession, store: TableStore, base: String,
+      summary: String, groupCols: Seq[String], valueCols: Seq[String], k: Int,
+      derive: Seq[(String, String)] = Nil): Unit = {
+    val schema = store.readTable(base).schema
+    registerEntry(spark, Registration(store, base, summary, groupCols,
+      Map.empty, Map.empty, Map.empty,
+      kmv = valueCols.map(c => c -> ("kmv_" + c)).toMap, kmvK = k,
+      kmvTypes = valueCols.map(c => c -> schema(c).dataType).toMap,
+      derive = deriveTemplates(store, base, derive)))
+  }
+
+  /** C41g: register a QUANTILE-SKETCH summary ([[IncrementalAgg
+    * .summarizeQuantile]]) — the A46 integer log-histogram maintained
+    * as per-(group, bucket) COUNTER rows. The served query shape is
+    * `Analytics.valueSketch(base, groups, v)` — an aggregate grouped
+    * by (groups, bin_id, bin_upper) over the units-not-null filter —
+    * so bin_id/bin_upper register as DERIVED group columns and the
+    * filter registers as a BASE filter. The templates are extracted
+    * from the optimizer's output of the very same Column constructions
+    * valueSketch uses ([[faithfulScan]] inlining, identical to what
+    * the rule sees at query time), so the match is by construction. */
+  def registerQuantile(spark: SparkSession, store: TableStore, base: String,
+      summary: String, groupCols: Seq[String], valueCol: String): Unit = {
+    val df = store.readTable(base)
+    val probe = graft.operators.Analytics.withSketchBuckets(
+        df.select(df.columns.toIndexedSeq.map(c =>
+            org.apache.spark.sql.functions.col(graft.Identifiers.quote(c))) :+
+          graft.operators.Analytics.sketchUnits(valueCol).as("__x"): _*)
+          .filter(org.apache.spark.sql.functions.col("__x").isNotNull))
+      .select(org.apache.spark.sql.functions.col("bin_id"),
+        org.apache.spark.sql.functions.col("bin_upper"))
+    val (derived, filters) = templatesFromPlan(probe, Seq("bin_id", "bin_upper"))
+    registerEntry(spark, Registration(store, base, summary,
+      groupCols ++ Seq("bin_id", "bin_upper"),
+      Map.empty, Map.empty, Map.empty,
+      derive = derived, baseFilters = filters))
+  }
+
+  /** Normalized templates for named output columns of a probe plan,
+    * plus the templates of every scan-level filter — extracted through
+    * [[faithfulScan]]'s OWN inlining, so registration-side and
+    * query-side trees normalize through the identical code path. */
+  private def templatesFromPlan(probe: org.apache.spark.sql.DataFrame,
+      outNames: Seq[String]): (Map[String, DeriveTemplate], Seq[DeriveTemplate]) = {
+    val plan = probe.queryExecution.optimizedPlan
+    val (_, conds, subst) = faithfulScan(plan).getOrElse(
+      throw new IllegalArgumentException(
+        "summary registration probe did not reduce to a faithful scan: " + plan))
+    def inline(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+    }
+    val byName = plan.output.map(a => a.name -> a).toMap
+    (outNames.map(n => n -> normalizeExpr(inline(byName(n)))).toMap,
+      conds.map(c => normalizeExpr(inline(c))))
   }
 
   private def registerEntry(spark: SparkSession, reg: Registration): Unit = {
@@ -300,50 +381,56 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** DISTINCT and FILTER-clause aggregates range over different rows
-    * than the summary was maintained from — `count(*) FILTER (WHERE
-    * v > 0)` must fall through to the base scan, so every matcher
-    * requires both flags clear. */
-  private def plainAgg(ae: AggregateExpression): Boolean =
-    !ae.isDistinct && ae.filter.isEmpty
-
-  private def isCountStar(e: Expression): Boolean = e match {
-    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case Count(Seq(Literal(_, _))) => true
-      case _ => false
-    }
-    case _ => false
-  }
-
   /** The summary column holding a measure's NON-NULL count. */
   private def nnOf(sumCol: String): String =
     if (sumCol == "sum_val") "nn_val" else "nn_" + sumCol.stripPrefix("sum_")
 
-  /** `count(v)` (non-null count) over a summarized value column — the
-    * BARE attribute only: `count(cast(v as decimal(18,2)))` is NOT the
-    * same count (a non-ANSI overflow casts to null), so only the raw
-    * column's null-ness provably equals the maintained nn column's. */
-  private def countColMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
-    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case Count(Seq(ar: AttributeReference)) if sums.contains(ar.name) =>
-        Some(nnOf(sums(ar.name)))
-      case _ => None
-    }
-    case _ => None
+  /** One matched servable aggregate: which summary columns answer it
+    * and the optional FILTER-clause predicate (group-column-only,
+    * verified by [[matchAgg]]). `needed` drives the column-presence
+    * check — min/max columns exist only on minmax-capable summaries,
+    * so a plain summary fails there and the candidate falls through. */
+  private sealed trait ServedAgg {
+    def filter: Option[Expression]; def needed: Seq[String]
+  }
+  private final case class SCountStar(filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq("n_rows")
+  }
+  private final case class SCountCol(nn: String, filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq(nn)
+  }
+  private final case class SSum(sumCol: String, filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq(sumCol)
+  }
+  private final case class SAvg(sumCol: String, nn: String,
+      filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq(sumCol, nn)
+  }
+  private final case class SMin(col: String, filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq(col)
+  }
+  private final case class SMax(col: String, filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq(col)
+  }
+  private final case class SKmv(col: String, filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq(col)
   }
 
-  /** `cast(<v> as decimal(18,2))` or a bare `<v>` already of that type
-    * for a SUMMARIZED value column `<v>` — the child shape the
-    * summarize family sums. Returns the matched value column. */
-  private def summaryValueOf(e: Expression, sums: Map[String, String]): Option[String] = e match {
+  /** `cast(<v> as decimal(18,2))` over a summarized value column or a
+    * registered DERIVED value expression (sum(price*qty) — the measure
+    * maintenance already takes through derivedView), or a bare `<v>`
+    * already of that type — the child shapes the summarize family
+    * sums. Returns the matched value-column/derivation name. */
+  private def valueTarget(e: Expression, cols: Map[String, String],
+      reg: Registration): Option[String] = e match {
     case c: Cast => c.dataType match {
       case d: DecimalType if d.precision == 18 && d.scale == 2 => c.child match {
-        case ar: AttributeReference if sums.contains(ar.name) => Some(ar.name)
-        case _ => None
+        case ar: AttributeReference if cols.contains(ar.name) => Some(ar.name)
+        case other => deriveName(other, reg).filter(cols.contains)
       }
       case _ => None
     }
-    case ar: AttributeReference if sums.contains(ar.name) =>
+    case ar: AttributeReference if cols.contains(ar.name) =>
       ar.dataType match {
         case d: DecimalType if d.precision == 18 && d.scale == 2 => Some(ar.name)
         case _ => None
@@ -351,61 +438,76 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def sumMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
-    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case s: Sum => summaryValueOf(s.child, sums)
-      case _ => None
-    }
-    case _ => None
+  /** `count(v)` (non-null count): the BARE attribute or a registered
+    * derived value expression — `count(cast(v as decimal(18,2)))` is
+    * NOT the same count (a non-ANSI overflow casts to null), but the
+    * maintained nn column of a DERIVED measure counts the expression's
+    * own null-ness, which is exactly what count(<expr>) asks. */
+  private def countTarget(child: Expression, reg: Registration): Option[String] = child match {
+    case ar: AttributeReference if reg.sums.contains(ar.name) =>
+      Some(nnOf(reg.sums(ar.name)))
+    case e => deriveName(e, reg).filter(reg.sums.contains)
+      .map(n => nnOf(reg.sums(n)))
   }
 
-  private def avgMatch(e: Expression, sums: Map[String, String]): Option[String] = e match {
-    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case a: Average => summaryValueOf(a.child, sums)
-      case _ => None
+  /** Match one output aggregate against the candidate registration.
+    * DISTINCT aggregates never serve. A FILTER clause serves when its
+    * predicate is deterministic and references ONLY the candidate's
+    * group columns — group columns are constant within a group, so the
+    * predicate keeps or drops a group's rows AS A WHOLE and is
+    * answerable over summary rows (exact groupings: a conditional over
+    * the row; subset rollups: aggregate over `If(p, col, null)`).
+    * Anything else (value-column filters, nondeterminism) → None →
+    * the candidate falls through to the base scan. */
+  /** References of `e` not covered by a registered derived-group
+    * subtree — the servability test for predicates: empty-or-group-col
+    * means the predicate is answerable over summary rows. */
+  private def unservableRefs(e: Expression, reg: Registration): Set[String] =
+    if (deriveName(e, reg).exists(n => reg.groupCols.contains(n))) Set.empty
+    else e match {
+      case ar: AttributeReference => Set(ar.name)
+      case other => other.children.flatMap(unservableRefs(_, reg)).toSet
     }
-    case _ => None
-  }
 
-  /** min over a summarized measure → the summary column carrying its
-    * per-group minimum (None if the shape doesn't match; whether the
-    * SUMMARY carries the column is the caller's check). */
-  private def minMatch(e: Expression, reg: Registration): Option[String] = e match {
-    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case m: Min => summaryValueOf(m.child, reg.mins).map(reg.mins)
-      case _ => None
-    }
-    case _ => None
-  }
-
-  private def maxMatch(e: Expression, reg: Registration): Option[String] = e match {
-    case ae: AggregateExpression if plainAgg(ae) => ae.aggregateFunction match {
-      case m: Max => summaryValueOf(m.child, reg.maxs).map(reg.maxs)
-      case _ => None
-    }
-    case _ => None
-  }
-
-  /** `kmvDistinct(v, k)` over a registered sketch column → the summary
-    * column carrying its registers. The function wrapper casts the
-    * value to string (SimplifyCasts drops it when v already IS one);
-    * either shape must reference the base column at its ORIGINAL type
-    * — the render the sketch hashed. */
-  private def kmvMatch(e: Expression, reg: Registration): Option[String] = e match {
-    case ae: AggregateExpression if plainAgg(ae) && reg.kmv.nonEmpty =>
-      ae.aggregateFunction match {
-        case KmvDistinct(child, k, _, _) if k == reg.kmvK =>
-          val ar = child match {
-            case c: Cast if c.dataType == StringType => c.child match {
-              case a: AttributeReference => Some(a)
+  private def matchAgg(e: Expression, reg: Registration): Option[ServedAgg] = e match {
+    case ae: AggregateExpression if !ae.isDistinct =>
+      val fil: Option[Option[Expression]] = ae.filter match {
+        case None => Some(None)
+        case Some(p) if p.deterministic &&
+            unservableRefs(p, reg).subsetOf(reg.groupCols.toSet) => Some(Some(p))
+        case _ => None
+      }
+      fil.flatMap { f =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) => Some(SCountStar(f))
+          case Count(Seq(child)) => countTarget(child, reg).map(SCountCol(_, f))
+          case s: Sum => valueTarget(s.child, reg.sums, reg)
+            .map(v => SSum(reg.sums(v), f))
+          case a: Average => valueTarget(a.child, reg.sums, reg)
+            .map { v => val sc = reg.sums(v); SAvg(sc, nnOf(sc), f) }
+          case m: Min => valueTarget(m.child, reg.mins, reg)
+            .map(v => SMin(reg.mins(v), f))
+          case m: Max => valueTarget(m.child, reg.maxs, reg)
+            .map(v => SMax(reg.maxs(v), f))
+          // kmvDistinct(v, k) over a registered sketch column. The
+          // function wrapper casts the value to string (SimplifyCasts
+          // drops it when v already IS one); either shape must
+          // reference the base column at its ORIGINAL type — the
+          // render the sketch hashed. A group-column FILTER serves
+          // (all-or-nothing per group; the empty set estimates 0).
+          case KmvDistinct(child, k, _, _) if reg.kmv.nonEmpty && k == reg.kmvK =>
+            val ar = child match {
+              case c: Cast if c.dataType == StringType => c.child match {
+                case a: AttributeReference => Some(a)
+                case _ => None
+              }
+              case a: AttributeReference if a.dataType == StringType => Some(a)
               case _ => None
             }
-            case a: AttributeReference if a.dataType == StringType => Some(a)
-            case _ => None
-          }
-          ar.filter(a => reg.kmvTypes.get(a.name).contains(a.dataType))
-            .map(a => reg.kmv(a.name))
-        case _ => None
+            ar.filter(a => reg.kmvTypes.get(a.name).contains(a.dataType))
+              .map(a => SKmv(reg.kmv(a.name), f))
+          case _ => None
+        }
       }
     case _ => None
   }
@@ -444,18 +546,30 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // makes the cached entry stale-by-epoch immediately, so a probe
     // can never be served past a change it didn't see
     val epoch = reg.store.commitEpoch.get()
-    val sig = reg.store.stalenessSignature(reg.base, reg.summary)
     val cached = freshCache.get(cacheKey)
-    if (cached != null && (cached.store eq reg.store) && cached.epoch == epoch &&
-        cached.sig == sig && sig._1 >= 0 && sig._2 >= 0)
-      return cached.fresh
+    if (cached != null && (cached.store eq reg.store) && cached.epoch == epoch) {
+      // the signature is generation-anchored: existence of the NEXT
+      // manifest past the cached probe's base generation (content-
+      // derived — no mtime-granularity hole, object-store safe) plus
+      // the summary's props mtime; any movement forces a re-probe
+      val sig = reg.store.stalenessSignature(reg.base, reg.summary, cached.baseGen)
+      if (cached.sig == sig && sig._1 == 0L && sig._2 >= 0) return cached.fresh
+    }
     freshnessProbes.incrementAndGet()
-    val fresh = try {
-      reg.store.exists(reg.summary) &&
+    val (fresh, baseGen) = try {
+      val g = reg.store.snapshots(reg.base).last._1
+      (reg.store.exists(reg.summary) &&
         IncrementalAgg.maintainedGenReadOnly(reg.store, reg.base, reg.summary)
-          .contains(reg.store.snapshots(reg.base).last._1)
-    } catch { case _: Exception => false }
-    freshCache.put(cacheKey, Freshness(reg.store, epoch, sig, fresh))
+          .contains(g), g)
+    } catch { case _: Exception => (false, -1) }
+    // the signature is taken AFTER the probe: if a foreign commit
+    // landed mid-probe, m{baseGen+1} now exists, the first component
+    // reads −1 and the entry can never satisfy the cache check above —
+    // every compile re-probes until a probe sees a settled state
+    val sig = if (baseGen >= 0)
+      reg.store.stalenessSignature(reg.base, reg.summary, baseGen)
+    else (-1L, -1L)
+    freshCache.put(cacheKey, Freshness(reg.store, epoch, baseGen, sig, fresh))
     fresh
   }
 
@@ -502,43 +616,48 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], conds: Seq[Expression],
       key: String, reg: Registration): Option[LogicalPlan] = {
     val groupNames: Seq[String] = groupings.map {
-      case ar: AttributeReference => ar.name
+      // a bare attribute whose name collides with a registered
+      // derivation must template-match it (true only for the identity
+      // derivation) — registration already forbids shadowing, this is
+      // the in-rule backstop for hand-built Registrations
+      case ar: AttributeReference if !reg.derive.contains(ar.name) => ar.name
       case e => deriveName(e, reg).getOrElse(return None)
     }
     if (!groupNames.toSet.subsetOf(reg.groupCols.toSet)) return None
     val exactGrouping = groupNames.sorted == reg.groupCols.sorted
-    // filters may reference ONLY group columns (then a group survives
-    // the filter as a whole or not at all — answerable by filtering
-    // the summary's rows)
-    if (!conds.forall(_.references.forall(a => reg.groupCols.contains(a.name))))
+    // scan-level filters: conds template-matching a registered BASE
+    // filter are already baked into the summary's rows and DROP here;
+    // every registered base filter must be present in the query
+    // (otherwise the query ranges over more rows than the summary
+    // covers); the remaining conds may reference ONLY group columns
+    // (then a group survives the filter as a whole or not at all —
+    // answerable by filtering the summary's rows)
+    val (baked, rest) =
+      if (reg.baseFilters.isEmpty) (Nil, conds)
+      else conds.partition(c => reg.baseFilters.contains(normalizeExpr(c)))
+    if (!reg.baseFilters.forall(bf => baked.exists(c => normalizeExpr(c) == bf)))
       return None
-    // every output: a grouping attribute, count(1), a summarized sum,
-    // avg, min or max — tracking which summary columns the query needs
-    // (min/max exist only on a summarizeMinMax summary; a plain
-    // summary simply fails the column check below and the candidate
-    // falls through)
-    var needCount = false
-    val usedSums = scala.collection.mutable.LinkedHashSet.empty[String]
-    val usedNns = scala.collection.mutable.LinkedHashSet.empty[String]
-    val usedMinMax = scala.collection.mutable.LinkedHashSet.empty[String]
-    val usedKmv = scala.collection.mutable.LinkedHashSet.empty[String]
+    // a predicate reference hidden inside a registered DERIVED
+    // expression is servable (the summary row carries the derived
+    // column — e.g. HAVING day = X pushed down as to_date(ts) = X):
+    // only the references NOT covered by a derived subtree count
+    if (!rest.forall(c => unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)))
+      return None
+    // classify every output — a grouping attribute, a derived
+    // grouping, or a servable aggregate — collecting the summary
+    // columns this query needs (min/max/kmv columns exist only on the
+    // capable summaries; a plain summary fails the presence check and
+    // the candidate falls through)
+    val needCols = scala.collection.mutable.LinkedHashSet.empty[String]
     aggExprs.foreach {
       case ar: AttributeReference if groupNames.contains(ar.name) =>
       case a: Alias => a.child match {
         case ar: AttributeReference if groupNames.contains(ar.name) =>
         case e if deriveName(e, reg).exists(groupNames.contains) =>
-        case e if isCountStar(e) => needCount = true
-        case e if sumMatch(e, reg.sums).isDefined =>
-          usedSums += reg.sums(sumMatch(e, reg.sums).get)
-        case e if avgMatch(e, reg.sums).isDefined =>
-          val sc = reg.sums(avgMatch(e, reg.sums).get)
-          usedSums += sc; usedNns += nnOf(sc)
-        case e if countColMatch(e, reg.sums).isDefined =>
-          usedNns += countColMatch(e, reg.sums).get
-        case e if minMatch(e, reg).isDefined => usedMinMax += minMatch(e, reg).get
-        case e if maxMatch(e, reg).isDefined => usedMinMax += maxMatch(e, reg).get
-        case e if kmvMatch(e, reg).isDefined => usedKmv += kmvMatch(e, reg).get
-        case _ => return None
+        case e => matchAgg(e, reg) match {
+          case Some(sa) => needCols ++= sa.needed
+          case None => return None
+        }
       }
       case _ => return None
     }
@@ -547,10 +666,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val sumPlan = reg.store.readTable(reg.summary).queryExecution.analyzed
     val byName = sumPlan.output.map(a => a.name -> a).toMap
     // the summary must carry the columns THIS query needs
-    val neededCols = reg.groupCols ++
-      (if (needCount) Seq("n_rows") else Nil) ++
-      usedSums.toSeq ++ usedNns.toSeq ++ usedMinMax.toSeq ++ usedKmv.toSeq
-    if (!neededCols.forall(byName.contains)) return None
+    if (!(reg.groupCols ++ needCols.toSeq).forall(byName.contains)) return None
 
     // a base-side attribute remapped to its summary twin; cast back to
     // the referenced type when a faithful (lossless) widening sat
@@ -562,44 +678,66 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         if (s.dataType == ar.dataType) s else Cast(s, ar.dataType)
     }
 
-    val filteredSummary = conds.map(remap) match {
+    // derived subtrees FIRST (their leaf attrs must not be remapped
+    // piecemeal), then the by-name remap for bare group columns
+    def remapCond(e: Expression): Expression = remap(e.transformDown {
+      case sub if deriveName(sub, reg).exists(n =>
+        reg.groupCols.contains(n) && byName.contains(n)) =>
+        byName(deriveName(sub, reg).get)
+    })
+
+    val filteredSummary = rest.map(remapCond) match {
       case Nil => sumPlan
       case cs  => Filter(cs.reduce(And), sumPlan)
     }
-    // replacement sources per mode: an exact grouping reads the summary
-    // row's columns; a SUBSET grouping re-aggregates the summary first
-    // — counts add (sum(n_rows)), decimal(18,2) sums add exactly in any
-    // order (sum(sum_val): decimal(28,2), the same type Average keeps
-    // internally), avg divides the rolled-up pair through the same
-    // Average tree, and min-of-mins / max-of-maxes ARE the group's
-    // min/max — so every shape stays bit-identical to the plain
-    // aggregate over the base
-    val nonGroup = neededCols.filterNot(reg.groupCols.contains).distinct
-    val (source: LogicalPlan, get: (String => Expression)) =
-      if (exactGrouping) (filteredSummary, (n: String) => byName(n))
-      else {
-        val minCols = reg.mins.values.toSet
-        val maxCols = reg.maxs.values.toSet
-        val kmvCols = reg.kmv.values.toSet
-        def rollOf(n: String): Expression =
-          if (minCols(n)) Min(byName(n)).toAggregateExpression()
-          else if (maxCols(n)) Max(byName(n)).toAggregateExpression()
-          else if (kmvCols(n)) KmvMergeStrAgg(byName(n), reg.kmvK).toAggregateExpression()
-          else Sum(byName(n)).toAggregateExpression()
-        val rolledAliases = nonGroup.map(n => n -> Alias(rollOf(n), "__" + n)()).toMap
-        val groupAttrs: Seq[NamedExpression] = groupNames.map(byName(_))
-        val rolled = Aggregate(groupAttrs,
-          groupAttrs ++ nonGroup.map(rolledAliases), filteredSummary)
-        (rolled, (n: String) => rolledAliases(n).toAttribute)
+
+    val minCols = reg.mins.values.toSet
+    val maxCols = reg.maxs.values.toSet
+    val kmvCols = reg.kmv.values.toSet
+    // SUBSET-grouping rollup aggregate: one alias per distinct
+    // (summary column, FILTER predicate) pair — one query can need the
+    // same column both raw and under several different predicates
+    val rolledAliases = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Option[Expression]), Alias]
+    def rolledOf(n: String, f: Option[Expression]): Attribute =
+      rolledAliases.getOrElseUpdate((n, f.map(p => remapCond(p).canonicalized)), {
+        val raw = byName(n)
+        val child = f match {
+          case None => raw
+          case Some(p) => If(remapCond(p), raw, Literal.create(null, raw.dataType))
+        }
+        val fn = if (minCols(n)) Min(child).toAggregateExpression()
+          else if (maxCols(n)) Max(child).toAggregateExpression()
+          else if (kmvCols(n)) KmvMergeStrAgg(child, reg.kmvK).toAggregateExpression()
+          else Sum(child).toAggregateExpression()
+        Alias(fn, "__" + n + "_" + rolledAliases.size)()
+      }).toAttribute
+
+    // per-output serving cells. Exact grouping reads the summary row's
+    // column, conditionally nulled/zeroed under a FILTER predicate
+    // (empty-set semantics: sum/avg/min/max → null, counts → 0, kmv
+    // estimate → 0). Subset groupings aggregate the (filtered) cells —
+    // counts add, decimal(18,2) sums add exactly in any order, avg
+    // divides the rolled-up pair through the same Average tree,
+    // min-of-mins / max-of-maxes ARE the group's extrema, and KMV
+    // register union is exact set algebra — so every served shape
+    // stays bit-identical to the plain aggregate over the base.
+    def cell(n: String, f: Option[Expression]): Expression =
+      if (exactGrouping) f match {
+        case None => byName(n)
+        case Some(p) => If(remapCond(p), byName(n), Literal.create(null, byName(n).dataType))
       }
-    // a GLOBAL aggregate over an EMPTY summary: count(1) on the base is
-    // 0 but sum over zero rows is null — coalesce restores count
-    // semantics (grouped outputs never see the null; exact-grouping
-    // counts are non-null by construction, coalesce is then a no-op)
-    def countExpr(n: String): Expression =
-      if (exactGrouping) byName(n)
-      else Coalesce(Seq(get(n), Literal(0L)))
-    def nExpr: Expression = countExpr("n_rows")
+      else rolledOf(n, f)
+    // counts restore 0-semantics: sum over zero rolled rows (a GLOBAL
+    // aggregate over an empty summary) and the excluded exact-path
+    // branch are both the empty count, which is 0, not null
+    def countCell(n: String, f: Option[Expression]): Expression =
+      if (exactGrouping) f match {
+        case None => byName(n)
+        case Some(p) => If(remapCond(p), byName(n), Literal(0L))
+      }
+      else Coalesce(Seq(rolledOf(n, f), Literal(0L)))
+
     val projected: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
       case (orig, src) =>
         val replacement: Expression = src match {
@@ -608,17 +746,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             case ar: AttributeReference => remap(ar)
             case e if deriveName(e, reg).exists(groupNames.contains) =>
               byName(deriveName(e, reg).get)
-            case e if isCountStar(e) => nExpr
-            case e if avgMatch(e, reg.sums).isDefined =>
-              val sc = reg.sums(avgMatch(e, reg.sums).get)
-              avgFromSummary(get(sc), countExpr(nnOf(sc)))
-            case e if countColMatch(e, reg.sums).isDefined =>
-              countExpr(countColMatch(e, reg.sums).get)
-            case e if minMatch(e, reg).isDefined => get(minMatch(e, reg).get)
-            case e if maxMatch(e, reg).isDefined => get(maxMatch(e, reg).get)
-            case e if kmvMatch(e, reg).isDefined =>
-              KmvEstimateStr(get(kmvMatch(e, reg).get), reg.kmvK)
-            case e => get(reg.sums(sumMatch(e, reg.sums).get)) // sum verified above
+            case e => matchAgg(e, reg) match {
+              case Some(SCountStar(f)) => countCell("n_rows", f)
+              case Some(SCountCol(nn, f)) => countCell(nn, f)
+              case Some(SSum(sc, f)) => cell(sc, f)
+              case Some(SAvg(sc, nn, f)) =>
+                avgFromSummary(cell(sc, f), countCell(nn, f))
+              case Some(SMin(c, f)) => cell(c, f)
+              case Some(SMax(c, f)) => cell(c, f)
+              case Some(SKmv(c, f)) =>
+                if (exactGrouping) f match {
+                  case None => KmvEstimateStr(byName(c), reg.kmvK)
+                  case Some(p) =>
+                    If(remapCond(p), KmvEstimateStr(byName(c), reg.kmvK), Literal(0L))
+                }
+                else KmvEstimateStr(rolledOf(c, f), reg.kmvK)
+              case None => return None
+            }
           }
           case _ => return None
         }
@@ -626,6 +770,12 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                    else Cast(replacement, orig.dataType)
         Alias(cast, orig.name)(exprId = orig.exprId)
     }
+    val source: LogicalPlan =
+      if (exactGrouping) filteredSummary
+      else {
+        val groupAttrs: Seq[NamedExpression] = groupNames.map(byName(_))
+        Aggregate(groupAttrs, groupAttrs ++ rolledAliases.values.toSeq, filteredSummary)
+      }
     Some(Project(projected, source))
   }
 }

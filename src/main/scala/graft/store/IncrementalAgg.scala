@@ -365,6 +365,148 @@ object IncrementalAgg {
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }
 
+  // ── C41g: quantile-sketch summaries ─────────────────────────────────
+
+  /** The C41g summary: the A46 integer log-histogram
+    * ([[graft.operators.Analytics.valueSketch]]'s bucket definition,
+    * shared code — the two histograms are counter-identical by
+    * construction) maintained as one COUNTER row per
+    * (group, bin_id, bin_upper). Bucket counts are pure counters, so
+    * unlike min/max/distinct this family maintains under ANY feed by
+    * addition/subtraction alone — deletes need NO base rescan: a
+    * deleted observation just decrements its bucket, and a bucket
+    * reaching zero dies. The "p99 latency per segment, maintained" MV.
+    *
+    * NULL values are no observation (the sketchUnits discipline): the
+    * bootstrap, the fold and the served query shape all filter them
+    * before bucketing, which is what [[graft.plans.SummaryRewrite
+    * .registerQuantile]] registers as the summary's BASE FILTER. */
+  def summarizeQuantile(base: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    graft.operators.Analytics.withSketchBuckets(
+        base.select(groupCols.map(col) :+
+          graft.operators.Analytics.sketchUnits(valueCol).as("__x"): _*)
+          .filter(col("__x").isNotNull))
+      .groupBy(groupCols.map(col) :+ col("bin_id") :+ col("bin_upper"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Post-maintenance rows for every (group, bucket) the feed touched
+    * — the C41 counter fold with the bucket as a derived group column:
+    * inserts +1, deletes −1 on the observation's bucket, dead buckets
+    * (count 0) deleted. O(changes), never a rescan. */
+  private def mergedQuantileDelta(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): DataFrame = {
+    val allGroups = groupCols ++ Seq("bin_id", "bin_upper")
+    val ch = graft.operators.Analytics.withSketchBuckets(
+      store.readChanges(base, fromGen, toGen)
+        .select(groupCols.map(col) :+ col("_change_type") :+
+          graft.operators.Analytics.sketchUnits(valueCol).as("__x"): _*)
+        .filter(col("__x").isNotNull))
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val guard = coalesce(assert_true(
+      groupCols.map(col(_).isNotNull).reduce(_ && _),
+      lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
+        "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    val delta = ch.groupBy(allGroups.map(col): _*)
+      .agg((sum(sign) + first(guard)).as("__dn"))
+    val cur = store.readTable(summary)
+    val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
+    val negGuard = coalesce(assert_true(nRows >= 0,
+      lit(s"incremental aggregate: negative bucket count maintaining '$summary' from " +
+        s"the change feed of '$base' — feed and summary are inconsistent")).cast("long"),
+      lit(0L))
+    delta.join(cur,
+        allGroups.map(c => delta(c) <=> cur(c)).reduce(_ && _), "left")
+      .select(allGroups.map(delta(_)) :+
+        (nRows + negGuard).as("n_rows"): _*)
+      .withColumn("__dead", col("n_rows") === 0L)
+      .localCheckpoint(true)
+  }
+
+  /** [[maintainToCurrent]] for a [[summarizeQuantile]] summary — same
+    * durable watermark/intent protocol; the summary's PK must be
+    * groupCols ++ (bin_id, bin_upper). */
+  def maintainQuantileToCurrent(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCol: String): Unit =
+    maintainProtocol(store, base, summary) { (applied, cur) =>
+      val merged = mergedQuantileDelta(store, base, summary, groupCols, valueCol, applied, cur)
+      if (merged.isEmpty) None
+      else Some(() => store.applyChanges(summary, merged, "__dead",
+        groupCols ++ Seq("bin_id", "bin_upper")))
+    }
+
+  // ── C41d × C41c: multi-measure distinct-count (KMV) summaries ───────
+
+  /** [[summarizeDistinct]] over SEVERAL measures: n_rows plus a
+    * `kmv_<c>` register column per value column — one maintenance fold
+    * and one table where N single-measure distinct summaries would
+    * cost N change-feed reads per commit. */
+  def summarizeDistinctMulti(base: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String], k: Int = 64): DataFrame = {
+    require(valueCols.nonEmpty, "summarizeDistinctMulti: need at least one value column")
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        valueCols.map(c => kmvToStr(
+          graft.plans.GraftFunctions.kmvSketch(col(c), k)).as("kmv_" + c)): _*)
+  }
+
+  /** [[mergedDistinctDelta]] generalized over the measure list: groups
+    * with only inserts union registers PER measure (exact set
+    * algebra), groups any delete touched re-derive from the base
+    * pinned at the fold's target generation. */
+  private def mergedDistinctMultiDelta(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCols: Seq[String], k: Int,
+      fromGen: Int, toGen: Int): DataFrame = {
+    val ch = store.readChanges(base, fromGen, toGen)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val guard = coalesce(assert_true(
+      groupCols.map(col(_).isNotNull).reduce(_ && _),
+      lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
+        "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    val delta = ch.groupBy(groupCols.map(col): _*)
+      .agg((sum(sign) + first(guard)).as("__dn"),
+        valueCols.map(c => graft.plans.GraftFunctions.kmvSketch(
+          when(sign === 1L, col(c)), k).as("__ins_" + c)) :+
+          sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"): _*)
+    val cur = store.readTable(summary)
+    val grown = delta.filter(col("__dels") === 0L)
+    val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
+    val negGuard = coalesce(assert_true(nRows >= 0,
+      lit(s"incremental aggregate: negative row count maintaining '$summary' from " +
+        s"the change feed of '$base' — feed and summary are inconsistent")).cast("long"),
+      lit(0L))
+    val grownRows = grown.join(cur,
+        groupCols.map(c => grown(c) <=> cur(c)).reduce(_ && _), "left")
+      .select(groupCols.map(grown(_)) :+
+        (nRows + negGuard).as("n_rows") :++
+        valueCols.map { c =>
+          val curArr = coalesce(kmvFromStr(cur("kmv_" + c)), array().cast("array<bigint>"))
+          kmvToStr(slice(array_sort(array_distinct(
+            concat(curArr, col("__ins_" + c)))), 1, k)).as("kmv_" + c)
+        }: _*)
+    val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    val rescan = summarizeDistinctMulti(
+      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      groupCols, valueCols, k)
+    val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
+      .select(groupCols.map(col) :+ lit(0L).as("n_rows") :++
+        valueCols.map(c => lit(null).cast("string").as("kmv_" + c)): _*)
+    grownRows.unionByName(rescan).unionByName(dead)
+      .withColumn("__dead", col("n_rows") === 0L)
+      .localCheckpoint(true)
+  }
+
+  /** [[maintainToCurrent]] for a [[summarizeDistinctMulti]] summary. */
+  def maintainDistinctMultiToCurrent(store: TableStore, base: String, summary: String,
+      groupCols: Seq[String], valueCols: Seq[String], k: Int = 64): Unit =
+    maintainProtocol(store, base, summary) { (applied, cur) =>
+      val merged = mergedDistinctMultiDelta(
+        store, base, summary, groupCols, valueCols, k, applied, cur)
+      if (merged.isEmpty) None
+      else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
+    }
+
   // ── C41c × C41b: multi-measure min/max summaries ────────────────────
 
   /** [[summarizeMulti]] extended with per-measure extrema: n_rows plus

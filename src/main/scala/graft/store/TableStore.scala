@@ -141,25 +141,33 @@ final class TableStore(
   private def historyPath(name: String) = new Path(tablePath(name), "history")
 
   /** Cheap cross-process change signal for the SummaryRewrite freshness
-    * cache: (mtime of the base's manifest directory, mtime of the
-    * summary's props.json). A SECOND process committing to the base
-    * adds a manifest file (dir mtime moves) and one maintaining the
-    * summary rewrites props.json (file mtime moves) — either moves the
-    * signature, so a cached verdict taken before the foreign write is
-    * never served past it. Two getFileStatus calls, O(1) — never the
-    * O(#generations) listing the full probe pays. Best-effort by
-    * filesystem contract (mtime granularity), which is why the
-    * single-writer-per-JVM story remains the documented contract and
-    * this is the safety net. Missing path → 0, error → −1 (both differ
-    * from any real mtime, forcing a full probe). */
-  private[graft] def stalenessSignature(base: String, summary: String): (Long, Long) = {
+    * cache, CONTENT-DERIVED on the base side: generations are
+    * sequential (m000042.json lands after m000041), so ANY foreign
+    * commit past the probed generation CREATES the `m{baseGen+1}` file
+    * — an existence check on that specific path is immune to mtime
+    * granularity (the r12 directory-mtime scheme could miss a commit
+    * landing in the same filesystem tick) and works on object stores
+    * that never bump directory mtimes at all (S3-style). First
+    * component: 0 while no newer manifest exists, −1 once one does (or
+    * on probe error) — −1 never matches a cached signature, forcing
+    * the full freshness probe. Second component: props.json mtime, the
+    * signal for props-only changes (watermark advance, write-ahead
+    * intent). Props-only transitions can only flip a summary
+    * STALE→fresh (every fresh→stale transition starts with a base
+    * commit, which the existence probe catches), so a same-tick props
+    * change can only DELAY serving, never serve stale. Two
+    * getFileStatus calls, O(1) — never the O(#generations) listing the
+    * full probe pays. */
+  private[graft] def stalenessSignature(base: String, summary: String,
+      baseGen: Int): (Long, Long) = {
     def mt(p: Path): Long =
       try fs.getFileStatus(p).getModificationTime
       catch {
         case _: java.io.FileNotFoundException => 0L
         case _: Exception => -1L
       }
-    (mt(historyPath(base)), mt(propsPath(summary)))
+    val next = mt(manifestPath(base, baseGen + 1))
+    (if (next == 0L) 0L else -1L, mt(propsPath(summary)))
   }
   private def manifestPath(name: String, gen: Int) =
     new Path(historyPath(name), f"m$gen%06d.json")
@@ -2212,13 +2220,23 @@ final class TableStore(
   /** Translate the in-plan duplicate-source-key assert
     * ([[Mutations.DupKeyMsg]], thrown task-side as Spark's
     * USER_RAISED_EXCEPTION) into the named store error — the same
-    * failure the reference's multi-match MERGE raises server-side. */
+    * failure the reference's multi-match MERGE raises server-side.
+    * The NULL-key collision marker ([[Mutations.NullKeyMsg]]) maps to
+    * the NOT-NULL violation instead: several null-key source rows are
+    * not duplicates (a null key matches nothing), they break the PK
+    * non-null contract — same error family as the insert path's. */
   private def translatingDupKeys[T](name: String, keys: Seq[String])(body: => T): T =
     try body catch {
-      case e: Throwable if Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-          .take(20)
-          .exists(t => t.getMessage != null && t.getMessage.contains(Mutations.DupKeyMsg)) =>
-        throw errors.DuplicateSourceKey(name, keys)
+      case e: Throwable =>
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20)
+          .flatMap(t => Option(t.getMessage)).toSeq
+        if (msgs.exists(_.contains(Mutations.NullKeyMsg)))
+          throw errors.InvalidValue(keys.mkString(", "),
+            "several source rows carry a NULL match key — match-key columns are " +
+              "PK columns and must be non-null")
+        if (msgs.exists(_.contains(Mutations.DupKeyMsg)))
+          throw errors.DuplicateSourceKey(name, keys)
+        throw e
     }
 
   private def resolveKeys(name: String, m: Meta, matchCols: Seq[String]): Seq[String] =

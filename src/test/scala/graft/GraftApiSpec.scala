@@ -341,4 +341,42 @@ class GraftApiSpec extends AnyFunSuite {
       assert(scans(qOther).exists(_.contains("ev")))
     } finally { g.summaries.detach("ev"); g.close() }
   }
+
+  test("summary define() guards: derived-name shadowing and empty group list are rejected") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_mvguard_").toString
+    val g = Graft(spark, dir)
+    try {
+      g.create.tableFromDataFrame("base",
+        Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "grp", "v"), Seq("k"))
+      // a derivation named after a PHYSICAL column would silently
+      // replace its values during maintenance while queries over the
+      // physical column template-match by name — must reject, and
+      // BEFORE anything is bootstrapped
+      val e = intercept[IllegalArgumentException] {
+        g.summaries.define("bad", "base", Seq("grp"), Seq("v"),
+          deriveCols = Seq("grp" -> "upper(grp)"))
+      }
+      assert(e.getMessage.contains("shadows"), e.getMessage)
+      intercept[Exception] { g.read.table("bad") } // nothing half-created
+      // the identity derivation may reuse the name (it IS the column)
+      g.summaries.define("ok", "base", Seq("grp"), Seq("v"),
+        deriveCols = Seq("grp" -> "grp"))
+      g.summaries.maintain("ok")
+      assert(g.read.table("ok").count() == 2)
+      // zero group columns would not round-trip the descriptor
+      // ("".split(',') is [""]) and have no keyable row identity
+      val e2 = intercept[IllegalArgumentException] {
+        g.summaries.define("glob", "base", Seq.empty, Seq("v"))
+      }
+      assert(e2.getMessage.contains("group column"), e2.getMessage)
+      // the rewrite-registration path enforces shadowing independently
+      val e3 = intercept[IllegalArgumentException] {
+        graft.plans.SummaryRewrite.register(spark,
+          new graft.store.TableStore(spark, dir), "base", "ok",
+          Seq("grp"), "v", derive = Seq("v" -> "v * 2"))
+      }
+      assert(e3.getMessage.contains("shadows"), e3.getMessage)
+    } finally { g.summaries.detach("base"); g.close() }
+  }
 }

@@ -122,7 +122,8 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
       tag: String,
       bootstrap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       maintain: (TableStore, String, String) => Unit,
-      recompute: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Prop = {
+      recompute: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      summaryPk: Seq[String] = Seq("g")): Prop = {
     val store = new TableStore(spark,
       Files.createTempDirectory(s"graft_ia${tag}_").toString)
     // second measure derived from (key, value) so updates move BOTH
@@ -130,7 +131,7 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
       Seq((0, "a", 1.0, 3.0), (1, "b", 2.0, 0.5)).toDF("k", "g", "v", "w"),
       Seq("k"), infer = false)
     store.createTableFromDataFrame("summary",
-      bootstrap(store.readTable("base")), Seq("g"), infer = false)
+      bootstrap(store.readTable("base")), summaryPk, infer = false)
     IncrementalAgg.markMaintained(store, "base", "summary",
       store.snapshots("base").last._1)
     def snap(df: org.apache.spark.sql.DataFrame): Set[String] =
@@ -181,5 +182,30 @@ object IncrementalAggProps extends Properties("IncrementalAgg") {
         IncrementalAgg.summarizeDistinct(_, Seq("g"), "v", k = 3),
         (s, b, t) => IncrementalAgg.maintainDistinctToCurrent(s, b, t, Seq("g"), "v", k = 3),
         IncrementalAgg.summarizeDistinct(_, Seq("g"), "v", k = 3))
+    }
+
+  /** C41d×C41c: the multi-measure KMV fold — per-measure register
+    * union on growth, one shared rescan on deletes. */
+  property("multi-measure KMV summary ≡ batch recompute at every maintenance point") =
+    Prop.forAll(opsGen) { ops =>
+      twoMeasureSweep(ops, "kmvm",
+        IncrementalAgg.summarizeDistinctMulti(_, Seq("g"), Seq("v", "w"), k = 3),
+        (s, b, t) => IncrementalAgg.maintainDistinctMultiToCurrent(
+          s, b, t, Seq("g"), Seq("v", "w"), k = 3),
+        IncrementalAgg.summarizeDistinctMulti(_, Seq("g"), Seq("v", "w"), k = 3))
+    }
+
+  /** C41g: the quantile-sketch counter fold — pure add/subtract under
+    * ANY feed (no rescan protocol to fall back on, so a divergence
+    * here is a real algebra bug, not a missed rescan). The generator's
+    * value updates move observations between buckets; deletes empty
+    * buckets and kill groups. */
+  property("quantile summary ≡ batch recompute at every maintenance point") =
+    Prop.forAll(opsGen) { ops =>
+      twoMeasureSweep(ops, "qnt",
+        IncrementalAgg.summarizeQuantile(_, Seq("g"), "v"),
+        (s, b, t) => IncrementalAgg.maintainQuantileToCurrent(s, b, t, Seq("g"), "v"),
+        IncrementalAgg.summarizeQuantile(_, Seq("g"), "v"),
+        summaryPk = Seq("g", "bin_id", "bin_upper"))
     }
 }

@@ -809,18 +809,24 @@ class IncrementalAggSpec extends AnyFunSuite {
       assert(scanPaths(q).forall(_.contains("summary")))
       // a SECOND TableStore instance (a different "process": its own
       // commitEpoch — A's in-process cache invalidation cannot see it)
-      // commits to the base
-      Thread.sleep(15) // past local-fs mtime granularity
+      // commits to the base. NO sleep: the base-side signature is the
+      // EXISTENCE of the next manifest file (content-derived), so a
+      // commit landing in the same filesystem-mtime tick as A's cached
+      // probe is still caught — the r12 directory-mtime scheme needed
+      // the granularity sleep here, the r13 scheme must not
       val storeB = new TableStore(spark, dir)
       storeB.upsert("base", Seq((3L, "a", 5.0)).toDF("k", "g", "v"))
       // A's NEXT compile must stand down — the out-of-band signature
-      // (base manifest-dir mtime) moved even though A's epoch did not
+      // (next-manifest existence) moved even though A's epoch did not
       assert(scanPaths(q).exists(_.contains("base")),
         "a foreign commit must not leave session A serving the stale summary")
       assert(q.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
         Seq(("a", 2L), ("b", 1L)))
       // B maintains the summary and advances the watermark; A resumes
-      // serving it (props.json mtime moved → re-probe → fresh)
+      // serving it (props.json mtime moved → re-probe → fresh). The
+      // props side IS still mtime-based — safe, because a props-only
+      // change can only flip STALE→fresh (delayed serving at worst),
+      // never fresh→stale; the sleep covers the granularity here
       Thread.sleep(15)
       IncrementalAgg.maintainToCurrent(storeB, "base", "summary", Seq("g"), "v")
       assert(scanPaths(q).forall(_.contains("summary")),
@@ -844,5 +850,264 @@ class IncrementalAggSpec extends AnyFunSuite {
       IncrementalAgg.maintain(store, "base", "summary", Seq("g"), "v", gen, next)
     }
     assert(e.getMessage != null)
+  }
+
+  test("C41g: quantile-sketch summary — pure counter maintenance under any feed; rewrite serves the valueSketch shape") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.SummaryRewrite
+    import graft.operators.Analytics
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", Some(0.05)), (2L, "a", Some(1.20)), (3L, "a", Some(7.00)),
+        (4L, "a", Some(1.20)), (5L, "b", Some(42.0)), (6L, "b", Option.empty[Double]))
+        .toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeQuantile(store.readTable("base"), Seq("g"), "v"),
+      Seq("g", "bin_id", "bin_upper"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def checkQ(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g", "bin_id")).collect().toSeq
+      val want = IncrementalAgg.summarizeQuantile(store.readTable("base"), Seq("g"), "v")
+        .orderBy("g", "bin_id").collect().toSeq
+      assert(got == want, s"quantile summary diverged:\n$got\nvs\n$want")
+    }
+    def sync(): Unit = {
+      IncrementalAgg.maintainQuantileToCurrent(store, "base", "summary", Seq("g"), "v")
+      checkQ()
+    }
+    // inserts: same-bucket duplicates just increment; a NULL value is
+    // no observation
+    store.insert("base", Seq((7L, "a", Some(1.21)), (8L, "a", Some(900.0)),
+      (9L, "b", Option.empty[Double])).toDF("k", "g", "v"))
+    sync()
+    // value updates move observations BETWEEN buckets (preimage −1,
+    // postimage +1) — counters, no rescan; null→value and value→null
+    store.upsert("base", Seq((1L, "a", Some(950.0)), (6L, "b", Some(0.10)),
+      (5L, "b", Option.empty[Double])).toDF("k", "g", "v"))
+    sync()
+    // deletes: bucket decrement, bucket death, and group death
+    store.delete("base", Seq(6L).toDF("k")) // b's only observation → group dies
+    store.delete("base", Seq(4L).toDF("k")) // one of the two 1.20s → decrement
+    sync()
+    assert(store.readTable("summary").filter(col("g") === "b").count() == 0,
+      "a group with no surviving observations must leave no bucket rows")
+
+    // the rewrite serves the valueSketch aggregate (buckets are derived
+    // group columns; the units-not-null filter is the BASE filter)
+    SummaryRewrite.registerQuantile(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def sk = Analytics.valueSketch(store.readTable("base"), Seq("g"), "v")
+      assert(scanPaths(sk).forall(_.contains("summary")),
+        s"valueSketch should rewrite to the quantile summary: ${sk.queryExecution.optimizedPlan}")
+      // the full quantile read composes ON TOP of the served sketch
+      def quant = Analytics.sketchQuantiles(sk, Seq("g")).orderBy("g")
+      assert(scanPaths(quant).forall(_.contains("summary")))
+      def raw(mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+        SummaryRewrite.unregister(store, "base")
+        val r = mk.collect().toSeq.map(_.toString)
+        SummaryRewrite.registerQuantile(spark, store, "base", "summary", Seq("g"), "v")
+        r
+      }
+      assert(sk.orderBy("g", "bin_id").collect().toSeq.map(_.toString) ==
+        raw(sk.orderBy("g", "bin_id")))
+      assert(quant.collect().toSeq.map(_.toString) == raw(quant))
+      // a plain aggregate WITHOUT the units filter ranges over more
+      // rows than the summary covers (null observations) — stands down
+      val qPlain = store.readTable("base").groupBy("g").agg(count(lit(1)).as("n"))
+      assert(scanPaths(qPlain).exists(_.contains("base")),
+        "a query missing the base filter must not be served")
+      // a sketch over a DIFFERENT value column stands down
+      val skOther = Analytics.valueSketch(
+        store.readTable("base").withColumn("w", col("k").cast("double"))
+          .select("g", "w"), Seq("g"), "w")
+      assert(scanPaths(skOther).exists(_.contains("base")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C41d×C41c: multi-measure KMV summary — one fold, kmvDistinct served per measure") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.{GraftFunctions, SummaryRewrite}
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10L, "x"), (2L, "a", 20L, "x"), (3L, "a", 20L, "y"),
+        (4L, "b", 30L, "z")).toDF("k", "g", "v", "w"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeDistinctMulti(store.readTable("base"), Seq("g"),
+        Seq("v", "w"), k = 4),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def checkDm(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+      val want = IncrementalAgg.summarizeDistinctMulti(
+        store.readTable("base"), Seq("g"), Seq("v", "w"), k = 4)
+        .orderBy("g").collect().toSeq
+      assert(got == want, s"multi-distinct summary diverged: $got vs $want")
+    }
+    def sync(): Unit = {
+      IncrementalAgg.maintainDistinctMultiToCurrent(store, "base", "summary",
+        Seq("g"), Seq("v", "w"), k = 4)
+      checkDm()
+    }
+    store.insert("base", Seq((5L, "a", 40L, "y"), (6L, "b", 30L, "q"))
+      .toDF("k", "g", "v", "w"))
+    sync()
+    store.upsert("base", Seq((1L, "a", 99L, "p")).toDF("k", "g", "v", "w"))
+    store.delete("base", Seq(4L).toDF("k"))
+    sync()
+    SummaryRewrite.registerDistinctMulti(spark, store, "base", "summary",
+      Seq("g"), Seq("v", "w"), k = 4)
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g")
+        .agg(GraftFunctions.kmvDistinct(col("v"), 4).as("dv"),
+          GraftFunctions.kmvDistinct(col("w"), 4).as("dw"),
+          count(lit(1)).as("n"))
+        .orderBy("g")
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"multi-measure kmv should rewrite: ${q.queryExecution.optimizedPlan}")
+      SummaryRewrite.unregister(store, "base")
+      val raw = q.collect().toSeq.map(_.toString)
+      SummaryRewrite.registerDistinctMulti(spark, store, "base", "summary",
+        Seq("g"), Seq("v", "w"), k = 4)
+      assert(q.collect().toSeq.map(_.toString) == raw)
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C44l: FILTER (WHERE <group cols>) serves — exact grouping, subset rollup, and value-filter stand-down") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", "x", Some(10.0)), (2L, "a", "y", Some(20.0)),
+        (3L, "b", "x", Some(30.0)), (4L, "b", "y", None),
+        (5L, "c", "x", Some(50.0))).toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMinMax(
+        IncrementalAgg.derivedView(store.readTable("base"), Nil), Seq("g", "h"), "v"),
+      Seq("g", "h"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    // NB: summarizeMinMax is single-measure but two group cols — use
+    // register (sum_val naming) with BOTH group columns
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def raw(mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+        SummaryRewrite.unregister(store, "base")
+        val r = mk.collect().toSeq.map(_.toString)
+        SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+        r
+      }
+      // EXACT grouping: every aggregate shape under a group-col filter
+      def qe = store.readTable("base").groupBy("g", "h").agg(
+        expr("count(1) FILTER (WHERE g = 'a')").as("cnt_a"),
+        expr("count(v) FILTER (WHERE h = 'x')").as("nn_x"),
+        expr("sum(CAST(v AS DECIMAL(18,2))) FILTER (WHERE g = 'a')").as("sum_a"),
+        expr("avg(CAST(v AS DECIMAL(18,2))) FILTER (WHERE g IN ('a','b'))").as("avg_ab"),
+        expr("min(CAST(v AS DECIMAL(18,2))) FILTER (WHERE h = 'y')").as("min_y"),
+        expr("max(CAST(v AS DECIMAL(18,2))) FILTER (WHERE g <> 'c')").as("max_nc"),
+        count(lit(1)).as("n")).orderBy("g", "h")
+      assert(scanPaths(qe).forall(_.contains("summary")),
+        s"group-col FILTER should serve: ${qe.queryExecution.optimizedPlan}")
+      assert(qe.collect().toSeq.map(_.toString) == raw(qe))
+      // SUBSET rollup: filters over a group column NOT in the output
+      // grouping (the rollup aggregates If(p, col, null) cells)
+      def qr = store.readTable("base").groupBy("g").agg(
+        expr("sum(CAST(v AS DECIMAL(18,2))) FILTER (WHERE h = 'x')").as("sum_x"),
+        expr("count(1) FILTER (WHERE h = 'y')").as("cnt_y"),
+        expr("min(CAST(v AS DECIMAL(18,2))) FILTER (WHERE h = 'x')").as("min_x"),
+        expr("sum(CAST(v AS DECIMAL(18,2)))").as("sum_all")).orderBy("g")
+      assert(scanPaths(qr).forall(_.contains("summary")),
+        s"rollup FILTER should serve: ${qr.queryExecution.optimizedPlan}")
+      assert(qr.collect().toSeq.map(_.toString) == raw(qr))
+      // GLOBAL rollup with filter — the empty-set count must be 0L
+      def qg = store.readTable("base").agg(
+        expr("count(1) FILTER (WHERE g = 'zzz')").as("cnt_none"),
+        expr("sum(CAST(v AS DECIMAL(18,2))) FILTER (WHERE g = 'zzz')").as("sum_none"),
+        expr("avg(CAST(v AS DECIMAL(18,2))) FILTER (WHERE g = 'zzz')").as("avg_none"))
+      assert(scanPaths(qg).forall(_.contains("summary")))
+      assert(qg.collect().toSeq.map(_.toString) == raw(qg))
+      // a VALUE-column filter must stand down
+      val qv = store.readTable("base").groupBy("g").agg(
+        expr("count(1) FILTER (WHERE v > 0)").as("cnt_pos"))
+      assert(scanPaths(qv).exists(_.contains("base")),
+        "value-column FILTER must fall through to the base scan")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C44m: derived VALUE columns — sum(p*q) maintained through derivedView and served by template") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 2.0, 3.0), (2L, "a", 5.0, 4.0), (3L, "b", 7.0, 2.0))
+        .toDF("k", "g", "p", "q"),
+      Seq("k"), infer = false)
+    val derive = Seq("rev" -> "p * q")
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMulti(
+        IncrementalAgg.derivedView(store.readTable("base"), derive),
+        Seq("g"), Seq("rev")),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    // mutate THROUGH the fold — maintenance already takes arbitrary
+    // derive projections; the r12 gap was registration/matching only
+    store.upsert("base", Seq((1L, "a", 2.5, 3.0), (4L, "c", 1.0, 9.0))
+      .toDF("k", "g", "p", "q"))
+    store.delete("base", Seq(3L).toDF("k"))
+    IncrementalAgg.maintainMultiToCurrent(store, "base", "summary",
+      Seq("g"), Seq("rev"), derive)
+    val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+    val want = IncrementalAgg.summarizeMulti(
+      IncrementalAgg.derivedView(store.readTable("base"), derive), Seq("g"), Seq("rev"))
+      .orderBy("g").collect().toSeq
+    assert(got == want, s"derived-measure summary diverged: $got vs $want")
+    SummaryRewrite.registerMulti(spark, store, "base", "summary",
+      Seq("g"), Seq("rev"), derive)
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      // sum/avg/count over the EXPRESSION serve from the summary
+      def q = store.readTable("base").groupBy("g").agg(
+        sum(expr("p * q").cast(DecimalType(18, 2))).as("rev_sum"),
+        avg(expr("p * q").cast(DecimalType(18, 2))).as("rev_avg"),
+        count(expr("p * q")).as("rev_n"),
+        count(lit(1)).as("n")).orderBy("g")
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"derived-measure aggregate should serve: ${q.queryExecution.optimizedPlan}")
+      SummaryRewrite.unregister(store, "base")
+      val raw = q.collect().toSeq.map(_.toString)
+      SummaryRewrite.registerMulti(spark, store, "base", "summary",
+        Seq("g"), Seq("rev"), derive)
+      assert(q.collect().toSeq.map(_.toString) == raw)
+      // a DIFFERENT expression over the same columns stands down
+      val qOther = store.readTable("base").groupBy("g").agg(
+        sum(expr("p + q").cast(DecimalType(18, 2))).as("s"))
+      assert(scanPaths(qOther).exists(_.contains("base")),
+        "a non-registered derived measure must fall through")
+    } finally SummaryRewrite.unregister(store, "base")
   }
 }

@@ -184,4 +184,38 @@ class MutationsSpec extends AnyFunSuite {
     assert(store.readTable("t", orderBy = Seq("k")).collect().map(_.getString(1)).toSeq ==
       Seq("x", "b", "z"))
   }
+
+  test("several NULL-key source rows raise the PK null error, not DuplicateSourceKey") {
+    import java.nio.file.Files
+    import graft.store.TableStore
+    val store = new TableStore(spark, Files.createTempDirectory("graft_nullk_").toString)
+    store.createTableFromDataFrame("t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), infer = false)
+    // a null-key source row can never match (===), so in an
+    // insert-capable mutation it would become a NULL-PK insert — the
+    // accurate error is the PK non-null contract, NOT DuplicateSourceKey
+    // (GROUP BY collapsing the null keys is a grouping artifact)
+    val nulls = Seq((Option.empty[Long], "x"), (Option.empty[Long], "y"))
+      .toDF("k", "v")
+    val e = intercept[errors.InvalidValue] { store.upsert("t", nulls) }
+    assert(e.getMessage.contains("NULL match key"), e.getMessage)
+    intercept[errors.InvalidValue] { store.merge("t", nulls) }
+    // even a SINGLE null-key row raises on the insert-capable paths —
+    // it cannot match, so it IS a null-PK insert
+    val oneNull = Seq((Option.empty[Long], "z")).toDF("k", "v")
+    intercept[errors.InvalidValue] { store.upsert("t", oneNull) }
+    assert(store.readTable("t").count() == 2, "a failed mutation must not commit")
+    // update IGNORES null-key rows by contract (SQL UPDATE ... FROM: a
+    // null key matches nothing) — explicitly dropped, deterministic
+    store.update("t", nulls)
+    assert(store.readTable("t", orderBy = Seq("k")).collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"), "null-key update rows are no-ops")
+    // a null key alongside a real duplicate: both named errors are
+    // correct (whichever task's assert fires first), never a raw one
+    val mixed = Seq((Some(7L), "x"), (Some(7L), "y"),
+      (Option.empty[Long], "z")).toDF("k", "v")
+    val err = intercept[GraftException] { store.upsert("t", mixed) }
+    assert(err.isInstanceOf[errors.DuplicateSourceKey] ||
+      err.isInstanceOf[errors.InvalidValue])
+  }
 }

@@ -261,12 +261,39 @@ class PlansSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
     assert(rows64(merged) == rows64(whole),
       "KMV union must equal the whole's registers exactly")
-    // the JVM hash equals Spark SQL's conv(substring(md5(s),1,8),16,10)
+    // the JVM hash equals Spark SQL's zero-clamped
+    // greatest(conv(substring(md5(s),1,8),16,10), 1) — the 0→1 mapping
+    // keeps the estimator's divisor nonzero on both engines
     val sqlHash = df.select(
-        conv(substring(md5(col("user_id")), 1, 8), 16, 10).cast("long").as("h")).collect()
+        greatest(conv(substring(md5(col("user_id")), 1, 8), 16, 10).cast("long"),
+          lit(1L)).as("h")).collect()
     val jvmHash = df.select(col("user_id")).collect().map(r =>
       graft.plans.KmvCore.hash32(
         org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
     assert(sqlHash.map(_.getLong(0)).toSeq == jvmHash.toSeq)
+  }
+
+  test("KMV zero-register guard: hash32 clamps to ≥1, a forced 0 register cannot divide by zero") {
+    import graft.plans.KmvCore
+    // hash32 is clamped at insert: no string may hash to 0 (the md5
+    // whose first four bytes are zero maps to 1 — the estimator's
+    // divisor is the kth register and must stay nonzero)
+    val rnd = new scala.util.Random(0xC41D)
+    (0 until 20000).foreach { i =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+        rnd.alphanumeric.take(1 + (i % 24)).mkString + i)
+      val h = KmvCore.hash32(s)
+      assert(h >= 1L && h <= 0xffffffffL, s"hash32 out of clamped range: $h")
+    }
+    // second line of defense: a register array carrying a literal 0
+    // (e.g. handed in from outside the sketch builders) estimates via
+    // the clamped divisor instead of throwing ArithmeticException
+    val k = 4
+    val forced = Array(0L, 1L, 2L, 3L) // kth (index k-1) nonzero, 0 present
+    assert(KmvCore.estimateOf(forced, k) == 3L * 4294967296L / 3L)
+    val zeroKth = Array(0L, 0L, 0L, 0L)
+    assert(KmvCore.estimateOf(zeroKth, k) == 3L * 4294967296L) // divisor clamps to 1
+    // estimate stays the exact count below k regardless of content
+    assert(KmvCore.estimateOf(Array(0L, 5L), k) == 2L)
   }
 }
