@@ -111,6 +111,13 @@ object Bench {
     "summary_nullable_read" -> "swrn", // NEW r12 (C41f non-null counts / avg-under-NULLs)
     "summary_facade_read" -> "sfac", // NEW r12 (C46 MV facade lifecycle)
     "summary_derived_read" -> "swrv", // NEW r12 (C47 derived-group daily rollup)
+    "summary_quantile_read" -> "swqt", // NEW r13 (C41g maintained quantile sketch)
+    "summary_kmv_multi_read" -> "swkm", // NEW r13 (C41h multi-measure KMV)
+    "summary_rewrite_filteragg" -> "swfa", // NEW r13 (C44l FILTER-clause serving)
+    "summary_derived_value_read" -> "swdv", // NEW r13 (C44m derived-measure serving)
+    "summary_rewrite_having" -> "swhv", // NEW r13 (C44n HAVING pushdown)
+    "summary_automaintain_read" -> "swam", // NEW r13 (C48 auto-maintained MV)
+    "summary_rewrite_countdistinct" -> "swcd", // NEW r13 (C44q count-distinct-group)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)

@@ -312,6 +312,7 @@ final case class Graft(
     private val ValuesKey = "graft.summary.values"
     private val KKey = "graft.summary.k"
     private val DeriveKey = "graft.summary.derive"
+    private val AutoKey = "graft.summary.automaintain"
     // derivation exprs can contain commas/colons — use control-char
     // separators that no SQL expression carries
     private def encodeDerive(d: Seq[(String, String)]): String =
@@ -331,7 +332,8 @@ final case class Graft(
       * Single-measure kinds take exactly one value column. */
     def define(name: String, base: String, groupCols: Seq[String],
         valueCols: Seq[String], kind: String = "sum", k: Int = 64,
-        deriveCols: Seq[(String, String)] = Nil): Unit = {
+        deriveCols: Seq[(String, String)] = Nil,
+        autoMaintain: Boolean = false): Unit = {
       val store = st(name)
       require(store eq st(base), "summary and base must share a store root")
       val (summary, b) = (pn(name), pn(base))
@@ -380,7 +382,8 @@ final case class Graft(
       IncrementalAgg.markMaintained(store, b, summary, store.snapshots(b).last._1)
       store.setProperties(summary, Map(KindKey -> kind, BaseKey -> b,
         GroupsKey -> groupCols.mkString(","), ValuesKey -> valueCols.mkString(","),
-        KKey -> k.toString, DeriveKey -> encodeDerive(deriveCols)))
+        KKey -> k.toString, DeriveKey -> encodeDerive(deriveCols)) ++
+        (if (autoMaintain) Map(AutoKey -> "true") else Map.empty))
       attach(name)
     }
 
@@ -395,7 +398,8 @@ final case class Graft(
     }
 
     /** Register an EXISTING summary (defined here or by another
-      * session) with this session's rewrite rule. */
+      * session) with this session's rewrite rule; re-arms the C48
+      * auto-maintenance coupling when the descriptor carries it. */
     def attach(name: String): Unit = {
       val store = st(name)
       val (kind, b, groups, values, k, derive) = descriptor(name)
@@ -411,6 +415,57 @@ final case class Graft(
         case "quantile" =>
           graft.plans.SummaryRewrite.registerQuantile(spark, store, b, pn(name), groups, values.head)
       }
+      if (store.properties(pn(name)).contains(AutoKey)) armAutoMaintain(store, b, name)
+    }
+
+    /** C48: couple `maintain(name)` to the BASE's commit path — every
+      * committed base generation runs the descriptor-dispatched fold
+      * as a post-commit hook, so the summary is ALWAYS fresh (and the
+      * C44 rewrite always serves) without an operator in the refresh
+      * loop. The auto-analyze contract applied to maintenance: O(feed)
+      * per commit, a hook failure is audited and leaves the summary
+      * STALE (the freshness probe then falls back to the base scan —
+      * never a wrong answer). Durable in the descriptor — any session
+      * that attach()es re-arms it; the hook itself is in-process, like
+      * the rewrite registry (the single-writer contract already makes
+      * this session the summary's only maintainer). */
+    def autoMaintainOn(name: String): Unit = {
+      val store = st(name)
+      val (_, b, _, _, _, _) = descriptor(name)
+      store.setProperties(pn(name), Map(AutoKey -> "true"))
+      armAutoMaintain(store, b, name)
+    }
+
+    /** Disarm C48 (the summary stays valid; it just goes stale until
+      * the next explicit maintain). */
+    def autoMaintainOff(name: String): Unit = {
+      val store = st(name)
+      val (_, b, _, _, _, _) = descriptor(name)
+      store.setProperties(pn(name), Map.empty, remove = Seq(AutoKey))
+      store.removePostCommitHook(b, "summary-maintain:" + pn(name))
+    }
+
+    private def armAutoMaintain(store: graft.store.TableStore, b: String, name: String): Unit =
+      store.addPostCommitHook(b, "summary-maintain:" + pn(name), () => maintain(name))
+
+    /** C46b: MV freshness/status introspection — the operational probe
+      * an owner reads before trusting a dashboard: definition, the
+      * base generation the summary durably reflects, the base's
+      * current generation, whether the rewrite would serve it, and
+      * whether auto-maintenance is armed. Metadata-only (two property
+      * reads + one manifest listing, zero data I/O). */
+    def status(name: String): Map[String, String] = {
+      val store = st(name)
+      val (kind, b, groups, values, _, _) = descriptor(name)
+      val applied = IncrementalAgg.maintainedGen(store, b, pn(name))
+      val cur = store.snapshots(b).last._1
+      Map(
+        "summary" -> pn(name), "base" -> b, "kind" -> kind,
+        "groups" -> groups.mkString(","), "values" -> values.mkString(","),
+        "maintained_gen" -> applied.map(_.toString).getOrElse("none"),
+        "base_gen" -> cur.toString,
+        "fresh" -> applied.contains(cur).toString,
+        "auto_maintain" -> store.properties(pn(name)).contains(AutoKey).toString)
     }
 
     /** Incremental REFRESH: fold everything committed to the base

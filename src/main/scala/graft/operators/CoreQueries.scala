@@ -953,6 +953,324 @@ object CoreQueries {
       .orderBy("event_type", "day")
   }
 
+  // C41g/C44o: QUANTILE-SKETCH summary end to end — the A46 integer
+  // log-histogram maintained as pure COUNTER rows keyed by
+  // (group, bucket): a value-tripling upsert moves observations
+  // between buckets as −1/+1 pairs from the feed's pre/post images and
+  // a keyed delete decrements/kills buckets — NO rescan ever (unlike
+  // min/max/distinct, deletes are self-maintainable). The served shape
+  // is Analytics.valueSketch (bin_id/bin_upper as derived group
+  // columns, the units-not-null filter as the summary's BASE filter),
+  // ASSERTED in-plan; the full p50/p90/p99 read composes on top. The
+  // oracle rebuilds the histogram and the ceil-rank quantiles from the
+  // mutated raw relation — the "p99 per segment, maintained" MV,
+  // hash-exact.
+  def summaryQuantileRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val store = newStore(s, "sumrwqt")
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+    store.createTableFromDataFrame("base", ev, Seq("event_id"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeQuantile(
+        store.readTable("base"), Seq("event_type"), "value"),
+      Seq("event_type", "bin_id", "bin_upper"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerQuantile(
+      s, store, "base", "summary", Seq("event_type"), "value")
+    store.upsert("base", ev.filter(col("event_id") <= 2000)
+      .withColumn("value", col("value") * 3 + 1))
+    store.delete("base", ev.filter(col("event_id") <= 1000).select("event_id"))
+    graft.store.IncrementalAgg.maintainQuantileToCurrent(
+      store, "base", "summary", Seq("event_type"), "value")
+    val cells = graft.operators.Analytics.valueSketch(
+      store.readTable("base"), Seq("event_type"), "value")
+    val q = graft.operators.Analytics.sketchQuantiles(cells, Seq("event_type"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"quantile summary rewrite did not fire — plan scans $scans")
+    q.orderBy("event_type")
+  }
+
+  // C44l(driver): FILTER-clause aggregates served from a summary — the
+  // summary is maintained at (status, priority) grain, the query rolls
+  // up to status with `agg FILTER (WHERE priority …)` clauses: the
+  // rule serves them as aggregates over If(p, col, null) cells of the
+  // summary's rows (counts coalesce to 0, sums/avgs keep empty-set
+  // NULL semantics), ASSERTED in-plan onto the summary. r12 correctly
+  // STOOD DOWN on this shape; r13 serves it.
+  def summaryRewriteFilterAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val store = newStore(s, "sumrwfc")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    store.createTableFromDataFrame("base", orders, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(store.readTable("base"),
+        Seq("o_orderstatus", "o_orderpriority"), "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(s, store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    store.upsert("base", orders.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    graft.store.IncrementalAgg.maintainToCurrent(store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("count(1) FILTER (WHERE o_orderpriority = '1-URGENT')").as("n_urgent"),
+        expr("sum(cast(o_totalprice as decimal(18,2))) " +
+          "FILTER (WHERE o_orderpriority = '1-URGENT')").as("sum_urgent"),
+        expr("avg(cast(o_totalprice as decimal(18,2))) " +
+          "FILTER (WHERE o_orderpriority <> '1-URGENT')").as("avg_rest"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"FILTER-clause summary rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_rows"), col("n_urgent"),
+        col("sum_urgent").cast("double").as("sum_urgent"),
+        (col("avg_rest") * lit(1000000)).cast("long").as("avg_rest_micros"))
+      .orderBy("o_orderstatus")
+  }
+
+  // C44n(driver): HAVING pushdown onto the summary scan — the query
+  // filters AFTER the aggregate on BOTH a group column and a served
+  // aggregate value. The group-column conjunct reaches the summary
+  // through the ordinary filter path; the `HAVING count(*) >= …`
+  // conjunct exists only ABOVE the aggregate in the base plan, but
+  // after the rewrite it is a stored summary column, so the rule moves
+  // it below the Project onto the summary relation (asserted: a Filter
+  // sits DIRECTLY on the summary scan and none remains above) — at
+  // scale the summary read itself prunes on it.
+  def summaryRewriteHaving(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwh")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    store.createTableFromDataFrame("base", orders, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(store.readTable("base"),
+        Seq("o_orderstatus", "o_orderpriority"), "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(s, store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    store.upsert("base", orders.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    graft.store.IncrementalAgg.maintainToCurrent(store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    val q = store.readTable("base").groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"))
+      .filter(col("n_rows") >= 100 && col("o_orderpriority") =!= "3-MEDIUM")
+    val opt = q.queryExecution.optimizedPlan
+    val scans = opt.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"HAVING summary rewrite did not fire — plan scans $scans")
+    val onScan = opt.collect { case LFilter(c, _: LogicalRelation) => c }
+    if (onScan.isEmpty || !onScan.head.references.map(_.name).toSet.contains("n_rows") ||
+        opt.collect { case LFilter(_, _: LProject) => () }.nonEmpty)
+      throw new IllegalStateException(
+        s"HAVING must land on the summary scan, not above the Project:\n$opt")
+    q.select(col("o_orderstatus"), col("o_orderpriority"), col("n_rows"),
+        col("sum_val").cast("double").as("sum_val"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  // C44m(driver): summaries over DERIVED VALUE columns — the base
+  // stores decimal price and quantity, the summary maintains
+  // sum(o_price * o_qty) through derivedView (exact decimal algebra),
+  // and a sum/avg over the EXPRESSION is matched by template and
+  // served — asserted in-plan. The revenue-rollup MV every warehouse
+  // keeps, without storing the product column.
+  def summaryDerivedValueRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwdv")
+    val ord = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("o_price"),
+      (col("o_orderkey") % 7).cast(DecimalType(3, 0)).as("o_qty"))
+    store.createTableFromDataFrame("base", ord, Seq("o_orderkey"), infer = false)
+    val derive = Seq("rev" -> "o_price * o_qty")
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeMulti(
+        graft.store.IncrementalAgg.derivedView(store.readTable("base"), derive),
+        Seq("o_orderstatus"), Seq("rev")),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerMulti(s, store, "base", "summary",
+      Seq("o_orderstatus"), Seq("rev"), derive)
+    store.upsert("base", ord.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_price", (col("o_price") + 10).cast(DecimalType(12, 2))))
+    store.delete("base", ord.filter(col("o_orderkey") <= 500).select("o_orderkey"))
+    graft.store.IncrementalAgg.maintainMultiToCurrent(store, "base", "summary",
+      Seq("o_orderstatus"), Seq("rev"), derive)
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("o_price * o_qty").cast(DecimalType(18, 2))).as("rev_sum"),
+        avg(expr("o_price * o_qty").cast(DecimalType(18, 2))).as("rev_avg"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"derived-measure summary rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_rows"),
+        col("rev_sum").cast("double").as("rev_sum"),
+        (col("rev_avg") * lit(1000000)).cast("long").as("rev_avg_micros"))
+      .orderBy("o_orderstatus")
+  }
+
+  // C41h/C44p: MULTI-measure distinct-count (KMV) summary — ONE fold
+  // maintains a kmv_<c> register column per measure (a custkey shift
+  // forces the rescan path, the keyed delete the group-death path),
+  // then kmvDistinct over BOTH measures plus count is ASSERTED in-plan
+  // to read the summary. One measure has more distincts than k
+  // (estimator path), the other fewer (exact-count path), so both
+  // branches of the KMV contract re-derive in the oracle.
+  def summaryKmvMultiRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val store = newStore(s, "sumrwkm")
+    val ord = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_custkey"), col("o_orderpriority"))
+    store.createTableFromDataFrame("base", ord, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeDistinctMulti(store.readTable("base"),
+        Seq("o_orderstatus"), Seq("o_custkey", "o_orderpriority"), k = 64),
+      Seq("o_orderstatus"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerDistinctMulti(s, store, "base", "summary",
+      Seq("o_orderstatus"), Seq("o_custkey", "o_orderpriority"), k = 64)
+    store.upsert("base", ord.filter(col("o_orderkey") <= 400)
+      .withColumn("o_custkey", col("o_custkey") + 1000000))
+    store.delete("base", ord.filter(col("o_orderkey") <= 200).select("o_orderkey"))
+    graft.store.IncrementalAgg.maintainDistinctMultiToCurrent(store, "base", "summary",
+      Seq("o_orderstatus"), Seq("o_custkey", "o_orderpriority"), k = 64)
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.plans.GraftFunctions.kmvDistinct(col("o_custkey"), 64).as("est_cust"),
+        graft.plans.GraftFunctions.kmvDistinct(col("o_orderpriority"), 64).as("est_prio"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"multi-measure KMV summary rewrite did not fire — plan scans $scans")
+    q.orderBy("o_orderstatus")
+  }
+
+  // C48/C46b: AUTO-MAINTAINED summary end to end — define(autoMaintain)
+  // arms a post-commit hook on the BASE, then an update and a keyed
+  // delete land with NO maintain() call anywhere: each commit folds its
+  // own change feed before returning (the C45 auto-analyze contract
+  // applied to maintenance — O(feed) per commit, a hook failure only
+  // leaves the summary stale, which the freshness probe turns into a
+  // safe base-scan fallback). `summaries.status` is asserted fresh, the
+  // aggregate asserted in-plan onto the summary, and the oracle
+  // recomputes from raw — "the MV is just always fresh".
+  def summaryAutoMaintainRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val g = graft.Graft(s,
+      s"${sys.props("java.io.tmpdir")}/graft_store/summary_auto_${System.nanoTime()}")
+    try {
+      g.create.tableFromDataFrame("base",
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_orderkey"))
+      g.summaries.define("bystatus", "base",
+        Seq("o_orderstatus"), Seq("o_totalprice"), kind = "minmax",
+        autoMaintain = true)
+      // NO maintain() below — each commit's hook folds its own feed
+      g.write.update("base", t(s, dir, "orders").filter(col("o_orderkey") <= 800)
+        .select(col("o_orderkey"), (col("o_totalprice") + 5).as("o_totalprice")))
+      g.write.delete("base", t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select("o_orderkey"))
+      val st = g.summaries.status("bystatus")
+      if (st("fresh") != "true" || st("auto_maintain") != "true")
+        throw new IllegalStateException(s"auto-maintained summary is not fresh: $st")
+      val q = g.read.table("base").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"),
+          max(col("o_totalprice").cast(DecimalType(18, 2))).as("max_val"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      if (scans.isEmpty || !scans.forall(_.contains("bystatus")))
+        throw new IllegalStateException(
+          s"auto-maintained summary did not serve — plan scans $scans")
+      q.select(col("o_orderstatus"), col("n_rows"),
+          col("sum_val").cast("double").as("sum_val"),
+          col("max_val").cast("double").as("max_val"))
+        .orderBy("o_orderstatus")
+    } finally g.summaries.detach("base")
+  }
+
+  // C44q(driver): COUNT(DISTINCT <group column>) served from the
+  // summary — groups are the summary's PK, so the summary holds
+  // exactly one row per (status, priority) and the distinct priority
+  // set per status is readable off its rows: an EXACT distinct count
+  // (not a sketch) answered without touching the base, plain and under
+  // a FILTER clause, beside the ordinary count/sum — asserted in-plan.
+  def summaryRewriteCountDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwcd")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    store.createTableFromDataFrame("base", orders, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarize(store.readTable("base"),
+        Seq("o_orderstatus", "o_orderpriority"), "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(s, store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    store.upsert("base", orders.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    graft.store.IncrementalAgg.maintainToCurrent(store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    // NB: a FILTER clause on a DISTINCT aggregate is expanded by the
+    // main optimizer's RewriteDistinctAggregates BEFORE this rule runs
+    // (correct stand-down, spec-pinned) — the servable shape is the
+    // plain single-group DISTINCT, which Spark leaves logical
+    val q = store.readTable("base").groupBy("o_orderstatus")
+      .agg(count_distinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"count-distinct summary rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("n_prio"),
+        col("n_rows"), col("sum_val").cast("double").as("sum_val"))
+      .orderBy("o_orderstatus")
+  }
+
   // C35b: get_schema twin driver-verified — the reference's
   // core/conversion.py get_schema renders a table's declared schema
   // (name, SQL type, nullability, key membership); here the store's
@@ -1374,7 +1692,27 @@ object CoreQueries {
     "summary_nullable_read" -> summaryNullableRead,
     "summary_facade_read" -> summaryFacadeRead,
     "summary_derived_read" -> summaryDerivedRead,
+    "summary_quantile_read" -> summaryQuantileRead,
+    "summary_rewrite_filteragg" -> summaryRewriteFilterAgg,
+    "summary_rewrite_having" -> summaryRewriteHaving,
+    "summary_derived_value_read" -> summaryDerivedValueRead,
+    "summary_kmv_multi_read" -> summaryKmvMultiRead,
+    "summary_automaintain_read" -> summaryAutoMaintainRead,
+    "summary_rewrite_countdistinct" -> summaryRewriteCountDistinct,
   )
+
+  /** The A45b md5-decode idiom: the first 8 hex digits of md5(`c`) as
+    * an exact 32-bit integer, clamped ≥ 1 (the KmvCore.hash32 zero-
+    * register clamp, mirrored so engine and oracle stay bit-identical). */
+  private def kmvHashSql(c: String): String =
+    s"""GREATEST(CAST((strpos('0123456789abcdef', substr(md5($c),1,1))-1)*268435456.0
+       | + (strpos('0123456789abcdef', substr(md5($c),2,1))-1)*16777216.0
+       | + (strpos('0123456789abcdef', substr(md5($c),3,1))-1)*1048576.0
+       | + (strpos('0123456789abcdef', substr(md5($c),4,1))-1)*65536.0
+       | + (strpos('0123456789abcdef', substr(md5($c),5,1))-1)*4096.0
+       | + (strpos('0123456789abcdef', substr(md5($c),6,1))-1)*256.0
+       | + (strpos('0123456789abcdef', substr(md5($c),7,1))-1)*16.0
+       | + (strpos('0123456789abcdef', substr(md5($c),8,1))-1) AS BIGINT), 1)""".stripMargin
 
   private def inferCase(c: String): String =
     s"""CASE WHEN MIN($c) >= 0 AND MAX($c) <= 255 THEN 'tinyint'
@@ -1536,6 +1874,138 @@ object CoreQueries {
         | CAST(cents AS DOUBLE) / 100 AS sum_val,
         | CAST((2 * cents * 10000 + nn) // (2 * nn) AS BIGINT) AS avg_micros
         |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C41g/C44o: the integer log-histogram and the ceil-rank quantiles
+    // rebuilt from the MUTATED raw relation (value-tripling bump, keys
+    // ≤ 1000 deleted) — exact iff the counter maintenance and the
+    // base-filter/derived-bucket rewrite both are
+    "summary_quantile_read" ->
+      """WITH f AS (SELECT event_type,
+        |  CASE WHEN event_id <= 2000 THEN value * 3 + 1 ELSE value END AS value
+        | FROM events WHERE event_id > 1000),
+        |u AS (SELECT event_type,
+        |  GREATEST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), 1) AS x
+        | FROM f WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, x, length(bin(x)) AS l FROM u),
+        |h AS (SELECT event_type,
+        |   CASE WHEN l <= 5 THEN x ELSE 16 * l + (x >> (l - 5)) - 16 END AS bin_id,
+        |   CASE WHEN l <= 5 THEN x
+        |        ELSE (((x >> (l - 5)) + 1) << (l - 5)) - 1 END AS bin_upper,
+        |   COUNT(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |c AS (SELECT event_type, bin_id, bin_upper, cnt,
+        |   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        | CAST(COUNT(*) AS BIGINT) AS n_bins,
+        | CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p50,
+        | CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p90,
+        | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p99
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // C44l(driver): conditional aggregation over the bumped raw
+    // relation — FILTER-clause counts/sums/avg recomputed directly;
+    // empty-set sums stay NULL, avg as half-away micros over the
+    // filtered count
+    "summary_rewrite_filteragg" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS nu,
+        |  CAST(SUM(p) FILTER (WHERE o_orderpriority = '1-URGENT') * 100 AS HUGEINT) AS cu,
+        |  COUNT(*) FILTER (WHERE o_orderpriority <> '1-URGENT') AS nr,
+        |  CAST(SUM(p) FILTER (WHERE o_orderpriority <> '1-URGENT') * 100 AS HUGEINT) AS cr
+        | FROM f GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        | CAST(nu AS BIGINT) AS n_urgent,
+        | CAST(cu AS DOUBLE) / 100 AS sum_urgent,
+        | CAST((2 * cr * 10000 + nr) // (2 * nr) AS BIGINT) AS avg_rest_micros
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C44n(driver): the HAVING recompute — group-column and
+    // aggregate-value conjuncts applied after the bumped aggregate
+    "summary_rewrite_having" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders),
+        |a AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(p) AS sp FROM f GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+        | CAST(sp AS DOUBLE) AS sum_val
+        |FROM a WHERE n >= 100 AND o_orderpriority <> '3-MEDIUM'
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // C44m(driver): the derived revenue measure recomputed in exact
+    // decimal algebra with the bump and the deletion applied — the
+    // decimal bump adds AFTER the 2-dp cut, exactly as the engine's
+    // decimal column arithmetic does
+    "summary_derived_value_read" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CAST((CAST(o_totalprice AS DECIMAL(12,2)) +
+        |        CASE WHEN o_orderkey <= 1000 THEN 10 ELSE 0 END)
+        |   * CAST(o_orderkey % 7 AS DECIMAL(3,0)) AS DECIMAL(18,2)) AS r
+        | FROM orders WHERE o_orderkey > 500),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(r) * 100 AS HUGEINT) AS cents FROM f GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+        | CAST(cents AS DOUBLE) / 100 AS rev_sum,
+        | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS rev_avg_micros
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // C41h/C44p: BOTH maintained KMV sketches re-derived from the
+    // mutated raw relation — per measure, the k=64 smallest distinct
+    // clamped md5 hashes and the exact-integer estimator (exact count
+    // below k: the priority measure has 5 distincts)
+    "summary_kmv_multi_read" ->
+      s"""WITH f AS (SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey <= 400 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS ck,
+        |  o_orderpriority AS pr
+        | FROM orders WHERE o_orderkey > 200),
+        |n AS (SELECT o_orderstatus, COUNT(*) AS n_rows FROM f GROUP BY 1),
+        |h1 AS (SELECT DISTINCT o_orderstatus,
+        |  ${kmvHashSql("CAST(ck AS VARCHAR)")} AS hh FROM f),
+        |r1 AS (SELECT o_orderstatus, hh,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY hh) AS rn FROM h1),
+        |t1 AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS nh, MAX(hh) AS kth
+        |      FROM r1 WHERE rn <= 64 GROUP BY 1),
+        |h2 AS (SELECT DISTINCT o_orderstatus,
+        |  ${kmvHashSql("pr")} AS hh FROM f),
+        |r2 AS (SELECT o_orderstatus, hh,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY hh) AS rn FROM h2),
+        |t2 AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS nh, MAX(hh) AS kth
+        |      FROM r2 WHERE rn <= 64 GROUP BY 1)
+        |SELECT n.o_orderstatus, CAST(n.n_rows AS BIGINT) AS n_rows,
+        | CAST(CASE WHEN t1.nh < 64 THEN t1.nh
+        |           ELSE (63 * 4294967296) // t1.kth END AS BIGINT) AS est_cust,
+        | CAST(CASE WHEN t2.nh < 64 THEN t2.nh
+        |           ELSE (63 * 4294967296) // t2.kth END AS BIGINT) AS est_prio
+        |FROM n JOIN t1 USING (o_orderstatus) JOIN t2 USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+    // C48/C46b: raw recompute with the hook-folded update and delete
+    // applied — exact iff every commit's auto-maintenance fold was
+    "summary_automaintain_read" ->
+      """WITH f AS (SELECT o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey <= 800 THEN o_totalprice + 5
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders WHERE o_orderkey > 300)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        | CAST(SUM(p) AS DOUBLE) AS sum_val,
+        | CAST(MAX(p) AS DOUBLE) AS max_val
+        |FROM f GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // C44q(driver): exact distinct priority counts per status
+    // recomputed from the bumped raw relation
+    "summary_rewrite_countdistinct" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders)
+        |SELECT o_orderstatus,
+        | CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        | COUNT(*) AS n_rows, CAST(SUM(p) AS DOUBLE) AS sum_val
+        |FROM f GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // C35b: the declared schema as a literal — pins the type renders,
     // the auto-adjust widening (qty tinyint→smallint), the PK flag and
     // the PK-implies-NOT-NULL rule

@@ -178,7 +178,21 @@ object Mutations {
         else t0(c)
       (if (c == matchCols.head) rideGuard(base, dt) else base).as(c)
     }
-    joined.select(outCols.toIndexedSeq: _*)
+    val result = joined.select(outCols.toIndexedSeq: _*)
+    // an EMPTY target lets empty-relation propagation delete the whole
+    // left join — source side, dup guard and all — so duplicates in
+    // the source would silently pass exactly once (found by the r13
+    // MutationsProps run: shrunk to target = Map()). Append a branch
+    // that is provably empty ON SUCCESS but forces the guard aggregate
+    // to evaluate in every plan: the guard column is null unless the
+    // assert throws, and the filter's predicate is non-foldable, so
+    // the optimizer can neither drop the aggregate nor prove the
+    // branch empty. The aggregate subtree is IDENTICAL to the join's
+    // source side, so ReuseExchange keeps it one shuffle.
+    val keeper = s.filter(col(DupGuardCol).isNotNull)
+      .select(t0.columns.map(c =>
+        lit(null).cast(t0.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    result.unionByName(keeper)
   }
 
   /** Keyed delete: drop target rows whose match-key values appear in

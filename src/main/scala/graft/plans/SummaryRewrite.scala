@@ -299,11 +299,31 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     ()
   }
 
+  /** Split a predicate into its AND-conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** transformDown so a HAVING Filter is seen TOGETHER WITH its
+    * Aggregate child (bottom-up would rewrite the Aggregate first and
+    * hide the pair). Group-column HAVING is already below the Aggregate
+    * when the rule runs (the main optimizer's predicate pushdown) and
+    * lands on the summary through the scan-filter path; what only THIS
+    * pairing can push is HAVING over the SERVED AGGREGATES themselves
+    * (`HAVING count(*) > 5`): after the rewrite those are stored summary
+    * columns, so on the exact-grain path the predicate moves below the
+    * Project onto the summary relation, where the parquet source prunes
+    * row groups on it — the difference between reading a large summary
+    * and reading the qualifying slice. */
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
-    plan.transformUp {
+    plan.transformDown {
+      case f @ Filter(cond, agg @ Aggregate(groupings, aggExprs, child, _))
+          if cond.deterministic =>
+        rewrite(agg, groupings, aggExprs, child, conjuncts(cond)).getOrElse(f)
       case agg @ Aggregate(groupings, aggExprs, child, _) =>
-        rewrite(agg, groupings, aggExprs, child).getOrElse(agg)
+        rewrite(agg, groupings, aggExprs, child, Nil).getOrElse(agg)
     }
   }
 
@@ -415,6 +435,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private final case class SKmv(col: String, filter: Option[Expression]) extends ServedAgg {
     def needed: Seq[String] = Seq(col)
   }
+  /** C44q: `COUNT(DISTINCT <group column>)` — groups are the summary's
+    * PK, so the summary holds exactly one row per full group
+    * combination and the distinct set of any group column within a
+    * coarser output group is readable off the summary's rows (exact,
+    * not an estimate). Measures stay unservable under DISTINCT. */
+  private final case class SCountDistinctGroup(col: String,
+      filter: Option[Expression]) extends ServedAgg {
+    def needed: Seq[String] = Seq(col)
+  }
 
   /** `cast(<v> as decimal(18,2))` over a summarized value column or a
     * registered DERIVED value expression (sum(price*qty) — the measure
@@ -451,14 +480,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   /** Match one output aggregate against the candidate registration.
-    * DISTINCT aggregates never serve. A FILTER clause serves when its
-    * predicate is deterministic and references ONLY the candidate's
-    * group columns — group columns are constant within a group, so the
-    * predicate keeps or drops a group's rows AS A WHOLE and is
-    * answerable over summary rows (exact groupings: a conditional over
-    * the row; subset rollups: aggregate over `If(p, col, null)`).
-    * Anything else (value-column filters, nondeterminism) → None →
-    * the candidate falls through to the base scan. */
+    * DISTINCT aggregates serve only as `COUNT(DISTINCT <group col>)`
+    * (C44q — exact off the summary's PK rows); DISTINCT over measures
+    * never serves (kmvDistinct is the estimate path). A FILTER clause
+    * serves when its predicate is deterministic and references ONLY
+    * the candidate's group columns — group columns are constant within
+    * a group, so the predicate keeps or drops a group's rows AS A
+    * WHOLE and is answerable over summary rows (exact groupings: a
+    * conditional over the row; subset rollups: aggregate over
+    * `If(p, col, null)`). Anything else (value-column filters,
+    * nondeterminism) → None → the candidate falls through to the
+    * base scan. */
   /** References of `e` not covered by a registered derived-group
     * subtree — the servability test for predicates: empty-or-group-col
     * means the predicate is answerable over summary rows. */
@@ -469,14 +501,31 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case other => other.children.flatMap(unservableRefs(_, reg)).toSet
     }
 
+  /** The aggregate's FILTER clause if servable: absent, or a
+    * deterministic predicate answerable over summary rows. */
+  private def servableFilter(ae: AggregateExpression,
+      reg: Registration): Option[Option[Expression]] = ae.filter match {
+    case None => Some(None)
+    case Some(p) if p.deterministic &&
+        unservableRefs(p, reg).subsetOf(reg.groupCols.toSet) => Some(Some(p))
+    case _ => None
+  }
+
   private def matchAgg(e: Expression, reg: Registration): Option[ServedAgg] = e match {
-    case ae: AggregateExpression if !ae.isDistinct =>
-      val fil: Option[Option[Expression]] = ae.filter match {
-        case None => Some(None)
-        case Some(p) if p.deterministic &&
-            unservableRefs(p, reg).subsetOf(reg.groupCols.toSet) => Some(Some(p))
-        case _ => None
+    case ae: AggregateExpression if ae.isDistinct =>
+      servableFilter(ae, reg).flatMap { f =>
+        ae.aggregateFunction match {
+          case Count(Seq(child)) =>
+            val n = child match {
+              case ar: AttributeReference if !reg.derive.contains(ar.name) => Some(ar.name)
+              case other => deriveName(other, reg)
+            }
+            n.filter(reg.groupCols.contains).map(SCountDistinctGroup(_, f))
+          case _ => None
+        }
       }
+    case ae: AggregateExpression if !ae.isDistinct =>
+      val fil = servableFilter(ae, reg)
       fil.flatMap { f =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(_, _))) => Some(SCountStar(f))
@@ -574,7 +623,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate, groupings0: Seq[Expression],
-      aggExprs0: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+      aggExprs0: Seq[NamedExpression], child: LogicalPlan,
+      having: Seq[Expression]): Option[LogicalPlan] = {
     val (paths, conds0, subst) = faithfulScan(child).getOrElse(return None)
     // inline computed projection columns so matching sees the real
     // expression trees (derived groupings; pulled-out grouping exprs)
@@ -608,13 +658,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     candidates
       .sortBy(_.groupCols.size)
       .iterator
-      .map(c => tryCandidate(agg, groupings, aggExprs, conds, key, c))
+      .map(c => tryCandidate(agg, groupings, aggExprs, conds, key, c, having))
       .collectFirst { case Some(p) => p }
   }
 
   private def tryCandidate(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], conds: Seq[Expression],
-      key: String, reg: Registration): Option[LogicalPlan] = {
+      key: String, reg: Registration,
+      having: Seq[Expression]): Option[LogicalPlan] = {
     val groupNames: Seq[String] = groupings.map {
       // a bare attribute whose name collides with a registered
       // derivation must template-match it (true only for the identity
@@ -663,7 +714,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     }
     if (!isFresh(key, reg)) return None
 
-    val sumPlan = reg.store.readTable(reg.summary).queryExecution.analyzed
+    // the OPTIMIZED read: the store's type-render projection is all
+    // identity casts for a summary's SQL types, and optimizing them
+    // away here leaves the bare relation — so pushed predicates sit
+    // DIRECTLY on the scan (parquet row-group pruning) instead of
+    // above a cast Project (re-entering the optimizer inside a rule is
+    // the same recursion Spark's own subquery rewrite performs)
+    val sumPlan = reg.store.readTable(reg.summary).queryExecution.optimizedPlan
     val byName = sumPlan.output.map(a => a.name -> a).toMap
     // the summary must carry the columns THIS query needs
     if (!(reg.groupCols ++ needCols.toSeq).forall(byName.contains)) return None
@@ -686,10 +743,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         byName(deriveName(sub, reg).get)
     })
 
-    val filteredSummary = rest.map(remapCond) match {
-      case Nil => sumPlan
-      case cs  => Filter(cs.reduce(And), sumPlan)
-    }
+    val summaryConds = rest.map(remapCond)
 
     val minCols = reg.mins.values.toSet
     val maxCols = reg.maxs.values.toSet
@@ -711,6 +765,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           else if (kmvCols(n)) KmvMergeStrAgg(child, reg.kmvK).toAggregateExpression()
           else Sum(child).toAggregateExpression()
         Alias(fn, "__" + n + "_" + rolledAliases.size)()
+      }).toAttribute
+    // C44q rollup: exact distinct count of a group column over summary
+    // rows (one row per full group combo; COUNT DISTINCT skips the
+    // If-null of a failing FILTER predicate). Keyed apart from the
+    // measure roll-ups — the same column name can never collide, but
+    // the same GROUP column may roll under several predicates.
+    def rolledDistinctOf(n: String, f: Option[Expression]): Attribute =
+      rolledAliases.getOrElseUpdate(("cd:" + n, f.map(p => remapCond(p).canonicalized)), {
+        val raw = byName(n)
+        val child = f match {
+          case None => raw
+          case Some(p) => If(remapCond(p), raw, Literal.create(null, raw.dataType))
+        }
+        Alias(Count(Seq(child)).toAggregateExpression(isDistinct = true),
+          "__cd_" + n + "_" + rolledAliases.size)()
       }).toAttribute
 
     // per-output serving cells. Exact grouping reads the summary row's
@@ -761,6 +830,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                     If(remapCond(p), KmvEstimateStr(byName(c), reg.kmvK), Literal(0L))
                 }
                 else KmvEstimateStr(rolledOf(c, f), reg.kmvK)
+              // exact grain: the column is part of the grouping, so its
+              // distinct count within the group is 1 (group cols are
+              // non-null PK columns) — 0 when a FILTER drops the group
+              case Some(SCountDistinctGroup(c, f)) =>
+                if (exactGrouping) f match {
+                  case None => Literal(1L)
+                  case Some(p) => If(remapCond(p), Literal(1L), Literal(0L))
+                }
+                else rolledDistinctOf(c, f)
               case None => return None
             }
           }
@@ -770,12 +848,36 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                    else Cast(replacement, orig.dataType)
         Alias(cast, orig.name)(exprId = orig.exprId)
     }
+    // HAVING conjuncts whose every reference is a served output PUSH
+    // BELOW the Project on the exact-grain path: each output exprId
+    // substitutes to the expression the Project computes for it (a
+    // summary column, or a tree over summary columns already cast to
+    // the output type), and the Project is 1:1 over summary rows, so
+    // filtering below equals filtering above — but below, a simple
+    // comparison like `n_rows > 5` reaches the parquet scan as a
+    // pushed filter. Rollup groupings keep HAVING above (the served
+    // value only exists after the re-aggregation; no scan to prune).
+    val outMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
+      projected.collect { case a: Alias => a.exprId -> a.child }.toMap
+    val (pushed, above) =
+      if (having.isEmpty) (Nil, Nil)
+      else if (exactGrouping)
+        having.partition(c => c.references.forall(r => outMap.contains(r.exprId)))
+      else (Nil, having)
+    val pushedSubst = pushed.map(_.transform {
+      case ar: AttributeReference if outMap.contains(ar.exprId) => outMap(ar.exprId)
+    })
+    val filteredSummary = (summaryConds ++ pushedSubst) match {
+      case Nil => sumPlan
+      case cs  => Filter(cs.reduce(And), sumPlan)
+    }
     val source: LogicalPlan =
       if (exactGrouping) filteredSummary
       else {
         val groupAttrs: Seq[NamedExpression] = groupNames.map(byName(_))
         Aggregate(groupAttrs, groupAttrs ++ rolledAliases.values.toSeq, filteredSummary)
       }
-    Some(Project(projected, source))
+    val rewritten = Project(projected, source)
+    Some(if (above.isEmpty) rewritten else Filter(above.reduce(And), rewritten))
   }
 }

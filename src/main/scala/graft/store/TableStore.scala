@@ -1206,6 +1206,54 @@ final class TableStore(
       throw new IllegalStateException(s"manifest commit failed: $dst")
     commitEpoch.incrementAndGet()
     maybeAutoAnalyze(name)
+    firePostCommitHooks(name)
+  }
+
+  /** C48: in-process post-commit hooks — the auto-maintained-summary
+    * coupling (Graft.summaries.autoMaintainOn registers one per
+    * summary). Fired after the manifest commit and after C45
+    * auto-analyze, still inside the table's commit lock (hooks that
+    * write OTHER tables take those tables' own locks; per-table locks
+    * never nest on the same table thanks to the re-entrancy guard). A
+    * hook failure is audited and swallowed: the data commit already
+    * landed, and a missed fold only leaves the summary STALE, which
+    * the C44 freshness probe turns into a safe base-scan fallback —
+    * never a wrong answer. */
+  private val postCommitHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, () => Unit]]()
+  // a hook committing to its OWN table (self-referential registration)
+  // must not recurse through commitSnapshot forever
+  private val inHook = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
+  }
+
+  private[graft] def addPostCommitHook(name: String, id: String, hook: () => Unit): Unit = {
+    postCommitHooks.compute(name, (_, old) =>
+      Option(old).getOrElse(Map.empty[String, () => Unit]) + (id -> hook))
+    ()
+  }
+
+  private[graft] def removePostCommitHook(name: String, id: String): Unit = {
+    postCommitHooks.computeIfPresent(name, (_, old) =>
+      (old - id) match { case m if m.isEmpty => null; case m => m })
+    ()
+  }
+
+  private def firePostCommitHooks(name: String): Unit = {
+    val hooks = postCommitHooks.get(name)
+    if (hooks == null) return
+    val guard = inHook.get()
+    if (!guard.add(name)) return
+    try hooks.foreach { case (id, h) =>
+      try h() catch {
+        case e: Exception =>
+          audit(s"post-commit hook '$id' of $name failed (commit unaffected): ${e.getMessage}")
+      }
+    } finally {
+      guard.remove(name)
+      ()
+    }
   }
 
   private[graft] val AutoAnalyzeCols = "graft.autoanalyze.cols"

@@ -1676,6 +1676,34 @@ object Streams {
         }
     }
 
+  /** S36e: [[summaryMaintenanceSink]] for a C41g quantile-sketch
+    * summary ([[graft.store.IncrementalAgg.summarizeQuantile]]) — the
+    * lightest twin of the family: bucket counts are pure counters, so
+    * every trigger folds by addition/subtraction alone (value churn
+    * moves an observation between buckets as a −1/+1 pair from the
+    * feed's pre/post images) and NO trigger ever rescans the base.
+    * With the C44 rule registered, `Analytics.valueSketch` over the
+    * base — and any quantile read composed on it — serves from the
+    * stream-maintained histogram between triggers. */
+  def summaryQuantileMaintenanceSink(
+      stream: DataFrame,
+      store: graft.store.TableStore,
+      base: String,
+      summary: String,
+      groupCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (graft.store.IncrementalAgg.maintainedGen(store, base, summary).isEmpty)
+            graft.store.IncrementalAgg.markMaintained(
+              store, base, summary, store.snapshots(base).last._1)
+          store.upsert(base, batch)
+          graft.store.IncrementalAgg.maintainQuantileToCurrent(
+            store, base, summary, groupCols, valueCol)
+        }
+    }
+
   /** S38: streaming CDC apply — the live consumer of a change-data
     * stream (Debezium/OGG shape: per-key rows carrying new values or a
     * delete verdict plus a monotone sequence column — LSN, offset,

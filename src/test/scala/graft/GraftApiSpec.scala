@@ -284,6 +284,56 @@ class GraftApiSpec extends AnyFunSuite {
     } finally { g.summaries.detach("base"); g.close() }
   }
 
+  test("C48/C46b: auto-maintained summaries — every base commit folds; status reports freshness") {
+    import org.apache.spark.sql.functions._
+    import graft.store.IncrementalAgg
+    val g = Graft(spark, Files.createTempDirectory("graft_mvauto_").toString)
+    try {
+      g.create.tableFromDataFrame("base",
+        Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "grp", "v"),
+        Seq("k"))
+      g.summaries.define("s_auto", "base", Seq("grp"), Seq("v"),
+        kind = "minmax", autoMaintain = true)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("grp").collect().map(_.toString).toSeq
+      def converged(): Unit = assert(
+        rows(g.read.table("s_auto")) ==
+          rows(IncrementalAgg.summarizeMinMax(g.read.table("base"), Seq("grp"), "v")),
+        "auto-maintained summary must equal the batch recompute with no maintain() call")
+      // NO maintain() call anywhere below — the post-commit hook folds
+      g.write.insert("base", Seq((4L, "c", 40.0)).toDF("k", "grp", "v"))
+      converged()
+      g.write.merge("base", Seq((1L, "a", 99.0), (5L, "a", 5.0)).toDF("k", "grp", "v"),
+        upsert = true)
+      converged()
+      g.write.delete("base", Seq(3L).toDF("k")) // group b dies through the hook
+      converged()
+      assert(g.read.table("s_auto").filter(col("grp") === "b").count() == 0)
+      val st = g.summaries.status("s_auto")
+      assert(st("fresh") == "true" && st("auto_maintain") == "true" &&
+        st("kind") == "minmax" && st("maintained_gen") == st("base_gen"), st.toString)
+      // disarm: the next commit leaves the summary STALE (safe — the
+      // rewrite stands down), status says so, explicit maintain heals
+      g.summaries.autoMaintainOff("s_auto")
+      g.write.insert("base", Seq((6L, "d", 60.0)).toDF("k", "grp", "v"))
+      val st2 = g.summaries.status("s_auto")
+      assert(st2("fresh") == "false" && st2("auto_maintain") == "false", st2.toString)
+      g.summaries.maintain("s_auto")
+      converged()
+      // re-arm via autoMaintainOn and via a fresh-session attach
+      g.summaries.autoMaintainOn("s_auto")
+      g.write.insert("base", Seq((7L, "d", 70.0)).toDF("k", "grp", "v"))
+      converged()
+      val g2 = Graft(spark, g.root)
+      try {
+        g2.summaries.attach("s_auto") // descriptor carries the flag — re-arms
+        g2.write.insert("base", Seq((8L, "e", 80.0)).toDF("k", "grp", "v"))
+        assert(rows(g2.read.table("s_auto")) ==
+          rows(IncrementalAgg.summarizeMinMax(g2.read.table("base"), Seq("grp"), "v")))
+      } finally { g2.summaries.detach("base"); g2.close() }
+    } finally { g.summaries.detach("base"); g.close() }
+  }
+
   test("C47: summaries over DERIVED group columns — daily rollup defined, maintained and served by expression") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.functions._

@@ -1110,4 +1110,122 @@ class IncrementalAggSpec extends AnyFunSuite {
         "a non-registered derived measure must fall through")
     } finally SummaryRewrite.unregister(store, "base")
   }
+
+  test("C44n: HAVING over served aggregates pushes below the Project onto the summary scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", "x", 10.0), (2L, "a", "y", 20.0), (3L, "a", "y", 21.0),
+        (4L, "b", "x", 30.0), (5L, "c", "x", 50.0), (6L, "c", "x", 51.0))
+        .toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g", "h"), "v"),
+      Seq("g", "h"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      // exact grain: HAVING mixes a group column (main-optimizer
+      // pushdown) and a served COUNT (only this rule can push it — the
+      // count doesn't exist below the Aggregate)
+      def q = store.readTable("base").groupBy("g", "h")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"))
+        .filter(col("n") >= 2 && col("g") =!= "b")
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"HAVING aggregate should still serve: ${q.queryExecution.optimizedPlan}")
+      val opt = q.queryExecution.optimizedPlan
+      // the Filter must sit DIRECTLY on the summary relation (below the
+      // Project), not compose above it
+      val scanFilters = opt.collect {
+        case LFilter(cond, _: LogicalRelation) => cond }
+      assert(scanFilters.nonEmpty && scanFilters.head.references
+          .map(_.name).toSeq.toSet == Set("n_rows", "g"),
+        s"HAVING must land on the summary scan: $opt")
+      assert(opt.collect { case LFilter(_, _: LProject) => () }.isEmpty,
+        s"no residual Filter above the Project: $opt")
+      // the simple count comparison reaches the parquet source as a
+      // pushed data filter — the scan prunes row groups on it
+      val pushedStr = q.queryExecution.executedPlan.toString
+      assert(pushedStr.contains("PushedFilters") && pushedStr.contains("n_rows"),
+        s"n_rows filter should push into the parquet scan:\n$pushedStr")
+      SummaryRewrite.unregister(store, "base")
+      val raw = q.orderBy("g", "h").collect().toSeq.map(_.toString)
+      SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+      assert(q.orderBy("g", "h").collect().toSeq.map(_.toString) == raw)
+      // subset-grain rollup: the served count exists only AFTER the
+      // re-aggregation — HAVING stays above the Project, still served
+      def qr = store.readTable("base").groupBy("g")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      assert(scanPaths(qr).forall(_.contains("summary")))
+      SummaryRewrite.unregister(store, "base")
+      val rawR = qr.orderBy("g").collect().toSeq.map(_.toString)
+      SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+      assert(qr.orderBy("g").collect().toSeq.map(_.toString) == rawR)
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C44q: COUNT(DISTINCT <group col>) serves exactly off the summary's PK rows; measures stand down") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", "x", 10.0), (2L, "a", "y", 20.0), (3L, "a", "y", 21.0),
+        (4L, "b", "x", 30.0), (5L, "c", "x", 50.0), (6L, "c", "z", 51.0))
+        .toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g", "h"), "v"),
+      Seq("g", "h"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def checkServed(mk: => org.apache.spark.sql.DataFrame, by: String): Unit = {
+        assert(scanPaths(mk).forall(_.contains("summary")),
+          s"should serve: ${mk.queryExecution.optimizedPlan}")
+        SummaryRewrite.unregister(store, "base")
+        val raw = mk.orderBy(by).collect().toSeq.map(_.toString)
+        SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+        assert(mk.orderBy(by).collect().toSeq.map(_.toString) == raw)
+      }
+      // rollup grain: distinct h per g off summary rows
+      checkServed(store.readTable("base").groupBy("g")
+        .agg(count_distinct(col("h")).as("nh"),
+          count(lit(1)).as("n")), "g")
+      // global grain: one row, distinct over everything
+      checkServed(store.readTable("base")
+        .agg(count_distinct(col("h")).as("nh"), count(lit(1)).as("n")), "nh")
+      // exact grain: the column is part of the grouping — constant 1
+      checkServed(store.readTable("base").groupBy("g", "h")
+        .agg(count_distinct(col("h")).as("nh"), count(lit(1)).as("n")), "g")
+      // DISTINCT over a MEASURE must stand down (exact vs estimate)
+      val qv = store.readTable("base").groupBy("g")
+        .agg(count_distinct(col("v")).as("nv"))
+      assert(scanPaths(qv).exists(_.contains("base")),
+        "count(DISTINCT measure) must fall through to the base scan")
+      // a FILTER on a DISTINCT aggregate is expanded by the main
+      // optimizer's RewriteDistinctAggregates before this rule runs —
+      // the expanded shape correctly stands down (values still exact
+      // from the base)
+      val qf = store.readTable("base").groupBy("g")
+        .agg(expr("count(DISTINCT h) FILTER (WHERE h <> 'x')").as("nh_rest"))
+      assert(scanPaths(qf).exists(_.contains("base")),
+        "FILTER+DISTINCT is pre-expanded and must fall through")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
 }

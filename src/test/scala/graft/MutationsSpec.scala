@@ -183,6 +183,17 @@ class MutationsSpec extends AnyFunSuite {
     store.upsert("t", Seq((1L, "x"), (3L, "z")).toDF("k", "v"))
     assert(store.readTable("t", orderBy = Seq("k")).collect().map(_.getString(1)).toSeq ==
       Seq("x", "b", "z"))
+    // an EMPTY target must not elide the guard: the optimizer's
+    // empty-relation propagation deletes update's whole left join
+    // (source side included), so without the guard-keeper branch the
+    // duplicates silently pass — found by the r13 MutationsProps run
+    val e0 = intercept[Throwable] {
+      Mutations.update(
+        Seq.empty[(Long, String)].toDF("k", "v"), dup, Seq("k")).collect()
+    }
+    assert(Iterator.iterate(e0)(_.getCause).takeWhile(_ != null).take(20)
+        .exists(x => x.getMessage != null && x.getMessage.contains(Mutations.DupKeyMsg)),
+      s"empty-target update must still raise the dup guard: $e0")
   }
 
   test("several NULL-key source rows raise the PK null error, not DuplicateSourceKey") {

@@ -1462,6 +1462,46 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S36e: streaming quantile-sketch summary converges by pure counter folds — no rescan under churn") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.{IncrementalAgg, TableStore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("graft_s36e_").toString)
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", Some(1.2))).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeQuantile(store.readTable("base"), Seq("g"), "v"),
+      Seq("g", "bin_id", "bin_upper"), infer = false)
+    def check(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("g", "bin_id")).collect().toSeq
+      val want = IncrementalAgg.summarizeQuantile(store.readTable("base"), Seq("g"), "v")
+        .orderBy("g", "bin_id").collect().toSeq
+      assert(got == want, s"quantile summary diverged: $got vs $want")
+    }
+    val ms = MemoryStream[(Long, String, Option[Double])]
+    val q = Streams.summaryQuantileMaintenanceSink(ms.toDF().toDF("k", "g", "v"),
+      store, "base", "summary", Seq("g"), "v").start()
+    try {
+      // growth incl. a NULL observation (no bucket) and a new group
+      ms.addData((2L, "a", Some(900.0)), (3L, "b", Some(42.0)),
+        (4L, "a", Option.empty[Double]))
+      q.processAllAvailable()
+      check()
+      // value churn: pre/post images move the observation between
+      // buckets as a −1/+1 counter pair; null→value adds one
+      ms.addData((2L, "a", Some(0.05)), (4L, "a", Some(7.0)))
+      q.processAllAvailable()
+      check()
+      // backlog window: a base delete outside the sink kills b's bucket
+      store.delete("base", Seq(3L).toDF("k"))
+      ms.addData((5L, "a", Some(1.2)))
+      q.processAllAvailable()
+      check()
+      assert(store.readTable("summary").filter(col("g") === "b").count() == 0,
+        "a group with no surviving observations must leave no bucket rows")
+    } finally q.stop()
+  }
+
   test("S38: CDC-apply sink folds last-verdict-per-key atomically; replays are idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.store.TableStore
