@@ -112,6 +112,7 @@ object Bench {
     "summary_facade_read" -> "sfac", // NEW r12 (C46 MV facade lifecycle)
     "summary_derived_read" -> "swrv", // NEW r12 (C47 derived-group daily rollup)
     "summary_quantile_read" -> "swqt", // NEW r13 (C41g maintained quantile sketch)
+    "summary_quantile_daily_read" -> "swqd", // NEW r13 (C41g×C47 daily quantile rollup)
     "summary_kmv_multi_read" -> "swkm", // NEW r13 (C41h multi-measure KMV)
     "summary_rewrite_filteragg" -> "swfa", // NEW r13 (C44l FILTER-clause serving)
     "summary_derived_value_read" -> "swdv", // NEW r13 (C44m derived-measure serving)

@@ -340,8 +340,6 @@ final case class Graft(
       val single = Set("sum", "minmax", "distinct", "quantile")
       if (single(kind)) require(valueCols.size == 1,
         s"summary kind '$kind' takes exactly one value column")
-      if (kind == "quantile") require(deriveCols.isEmpty,
-        "quantile summaries derive their own bucket columns — deriveCols unsupported")
       // group columns are the summary's PK — a GLOBAL (zero-group)
       // summary has no keyable row identity, and the empty list would
       // not round-trip through the descriptor ("".split(',') is [""]);
@@ -413,7 +411,7 @@ final case class Graft(
         case "distinctmulti" =>
           graft.plans.SummaryRewrite.registerDistinctMulti(spark, store, b, pn(name), groups, values, k, derive)
         case "quantile" =>
-          graft.plans.SummaryRewrite.registerQuantile(spark, store, b, pn(name), groups, values.head)
+          graft.plans.SummaryRewrite.registerQuantile(spark, store, b, pn(name), groups, values.head, derive)
       }
       if (store.properties(pn(name)).contains(AutoKey)) armAutoMaintain(store, b, name)
     }
@@ -480,7 +478,7 @@ final case class Graft(
         case "multiminmax" => IncrementalAgg.maintainMultiMinMaxToCurrent(store, b, pn(name), groups, values, derive)
         case "distinct" => IncrementalAgg.maintainDistinctToCurrent(store, b, pn(name), groups, values.head, k, derive)
         case "distinctmulti" => IncrementalAgg.maintainDistinctMultiToCurrent(store, b, pn(name), groups, values, k)
-        case "quantile" => IncrementalAgg.maintainQuantileToCurrent(store, b, pn(name), groups, values.head)
+        case "quantile" => IncrementalAgg.maintainQuantileToCurrent(store, b, pn(name), groups, values.head, derive)
       }
     }
 

@@ -996,6 +996,49 @@ object CoreQueries {
     q.orderBy("event_type")
   }
 
+  // C41g×C47: the DAILY QUANTILE rollup — "p99 per day, maintained":
+  // the quantile summary's bucket counters keyed by a DERIVED day
+  // column (to_date(ts), a column the base does not store), folded
+  // through value churn + a keyed delete with no rescan, then a
+  // valueSketch grouped by the derived day is template-matched and
+  // served — asserted in-plan; sketchQuantiles composes on top.
+  def summaryQuantileDailyRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val store = newStore(s, "sumrwqd")
+    val ev = t(s, dir, "events").select(col("event_id"),
+      col("ts").cast("timestamp").as("ts"), col("value"))
+    store.createTableFromDataFrame("base", ev, Seq("event_id"), infer = false)
+    val derive = Seq("day" -> "to_date(ts)")
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeQuantile(
+        graft.store.IncrementalAgg.derivedView(store.readTable("base"), derive),
+        Seq("day"), "value"),
+      Seq("day", "bin_id", "bin_upper"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerQuantile(
+      s, store, "base", "summary", Seq("day"), "value", derive)
+    store.upsert("base", ev.filter(col("event_id") <= 2000)
+      .withColumn("value", col("value") * 2 + 1))
+    store.delete("base", ev.filter(col("event_id") <= 1000).select("event_id"))
+    graft.store.IncrementalAgg.maintainQuantileToCurrent(
+      store, "base", "summary", Seq("day"), "value", derive)
+    val cells = graft.operators.Analytics.valueSketch(
+      store.readTable("base").withColumn("day", expr("to_date(ts)")),
+      Seq("day"), "value")
+    val q = graft.operators.Analytics.sketchQuantiles(cells, Seq("day"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"daily quantile rewrite did not fire — plan scans $scans")
+    q.select(col("day").cast("string").as("day"), col("n"), col("n_bins"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy("day")
+  }
+
   // C44l(driver): FILTER-clause aggregates served from a summary — the
   // summary is maintained at (status, priority) grain, the query rolls
   // up to status with `agg FILTER (WHERE priority …)` clauses: the
@@ -1693,6 +1736,7 @@ object CoreQueries {
     "summary_facade_read" -> summaryFacadeRead,
     "summary_derived_read" -> summaryDerivedRead,
     "summary_quantile_read" -> summaryQuantileRead,
+    "summary_quantile_daily_read" -> summaryQuantileDailyRead,
     "summary_rewrite_filteragg" -> summaryRewriteFilterAgg,
     "summary_rewrite_having" -> summaryRewriteHaving,
     "summary_derived_value_read" -> summaryDerivedValueRead,
@@ -1905,6 +1949,35 @@ object CoreQueries {
         | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
         |   / 10000.0 AS p99
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // C41g×C47: the daily-quantile recompute — same integer histogram
+    // and ceil-rank quantiles, grouped by the DERIVED day
+    "summary_quantile_daily_read" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS day,
+        |  CASE WHEN event_id <= 2000 THEN value * 2 + 1 ELSE value END AS value
+        | FROM events WHERE event_id > 1000),
+        |u AS (SELECT day,
+        |  GREATEST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), 1) AS x
+        | FROM f WHERE value IS NOT NULL),
+        |b AS (SELECT day, x, length(bin(x)) AS l FROM u),
+        |h AS (SELECT day,
+        |   CASE WHEN l <= 5 THEN x ELSE 16 * l + (x >> (l - 5)) - 16 END AS bin_id,
+        |   CASE WHEN l <= 5 THEN x
+        |        ELSE (((x >> (l - 5)) + 1) << (l - 5)) - 1 END AS bin_upper,
+        |   COUNT(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |c AS (SELECT day, bin_id, bin_upper, cnt,
+        |   SUM(cnt) OVER (PARTITION BY day ORDER BY bin_id) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY day) AS n
+        |  FROM h)
+        |SELECT CAST(day AS VARCHAR) AS day, CAST(MAX(n) AS BIGINT) AS n,
+        | CAST(COUNT(*) AS BIGINT) AS n_bins,
+        | CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p50,
+        | CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p90,
+        | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p99
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
     // C44l(driver): conditional aggregation over the bumped raw
     // relation — FILTER-clause counts/sums/avg recomputed directly;
     // empty-set sums stay NULL, avg as half-away micros over the

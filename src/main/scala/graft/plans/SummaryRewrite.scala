@@ -246,16 +246,27 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * valueSketch uses ([[faithfulScan]] inlining, identical to what
     * the rule sees at query time), so the match is by construction. */
   def registerQuantile(spark: SparkSession, store: TableStore, base: String,
-      summary: String, groupCols: Seq[String], valueCol: String): Unit = {
-    val df = store.readTable(base)
+      summary: String, groupCols: Seq[String], valueCol: String,
+      derive: Seq[(String, String)] = Nil): Unit = {
+    val baseDf = store.readTable(base)
+    // C47×C41g: user-derived group columns (day → to_date(ts)) compose
+    // with the bucket derivations — "p99 per day, maintained". Strict
+    // no-shadowing here (no identity carve-out: a quantile grouping
+    // that IS a physical column needs no derivation at all)
+    derive.foreach { case (n, _) =>
+      require(!baseDf.columns.contains(n),
+        s"derived column '$n' shadows a physical column of '$base' — pick a fresh name")
+    }
+    val df = IncrementalAgg.derivedView(baseDf, derive)
     val probe = graft.operators.Analytics.withSketchBuckets(
         df.select(df.columns.toIndexedSeq.map(c =>
             org.apache.spark.sql.functions.col(graft.Identifiers.quote(c))) :+
           graft.operators.Analytics.sketchUnits(valueCol).as("__x"): _*)
           .filter(org.apache.spark.sql.functions.col("__x").isNotNull))
-      .select(org.apache.spark.sql.functions.col("bin_id"),
-        org.apache.spark.sql.functions.col("bin_upper"))
-    val (derived, filters) = templatesFromPlan(probe, Seq("bin_id", "bin_upper"))
+      .select((derive.map(_._1) ++ Seq("bin_id", "bin_upper")).map(c =>
+        org.apache.spark.sql.functions.col(graft.Identifiers.quote(c))): _*)
+    val (derived, filters) = templatesFromPlan(
+      probe, derive.map(_._1) ++ Seq("bin_id", "bin_upper"))
     registerEntry(spark, Registration(store, base, summary,
       groupCols ++ Seq("bin_id", "bin_upper"),
       Map.empty, Map.empty, Map.empty,

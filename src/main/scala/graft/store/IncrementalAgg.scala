@@ -392,12 +392,15 @@ object IncrementalAgg {
   /** Post-maintenance rows for every (group, bucket) the feed touched
     * — the C41 counter fold with the bucket as a derived group column:
     * inserts +1, deletes −1 on the observation's bucket, dead buckets
-    * (count 0) deleted. O(changes), never a rescan. */
+    * (count 0) deleted. O(changes), never a rescan. `derive` (C47)
+    * projects user-derived group columns (e.g. day → to_date(ts))
+    * before bucketing — the "p99 per day, maintained" MV. */
   private def mergedQuantileDelta(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int): DataFrame = {
+      groupCols: Seq[String], valueCol: String, fromGen: Int, toGen: Int,
+      derive: Seq[(String, String)] = Nil): DataFrame = {
     val allGroups = groupCols ++ Seq("bin_id", "bin_upper")
     val ch = graft.operators.Analytics.withSketchBuckets(
-      store.readChanges(base, fromGen, toGen)
+      derivedView(store.readChanges(base, fromGen, toGen), derive)
         .select(groupCols.map(col) :+ col("_change_type") :+
           graft.operators.Analytics.sketchUnits(valueCol).as("__x"): _*)
         .filter(col("__x").isNotNull))
@@ -427,9 +430,11 @@ object IncrementalAgg {
     * durable watermark/intent protocol; the summary's PK must be
     * groupCols ++ (bin_id, bin_upper). */
   def maintainQuantileToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCol: String): Unit =
+      groupCols: Seq[String], valueCol: String,
+      derive: Seq[(String, String)] = Nil): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
-      val merged = mergedQuantileDelta(store, base, summary, groupCols, valueCol, applied, cur)
+      val merged = mergedQuantileDelta(
+        store, base, summary, groupCols, valueCol, applied, cur, derive)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead",
         groupCols ++ Seq("bin_id", "bin_upper")))

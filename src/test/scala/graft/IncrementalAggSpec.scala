@@ -1174,6 +1174,66 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("C41g×C47: quantile summary over a DERIVED day column — counter folds + template serve") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.SummaryRewrite
+    import graft.operators.Analytics
+    val store = newStore()
+    def d(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2026-02-$day%02d $h%02d:00:00")
+    store.createTableFromDataFrame("base",
+      Seq((1L, d(1, 3), Some(0.05)), (2L, d(1, 9), Some(1.20)), (3L, d(2, 4), Some(7.0)),
+        (4L, d(2, 5), Some(1.20)), (5L, d(3, 1), Option.empty[Double]))
+        .toDF("k", "ts", "v"),
+      Seq("k"), infer = false)
+    val derive = Seq("day" -> "to_date(ts)")
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeQuantile(
+        IncrementalAgg.derivedView(store.readTable("base"), derive), Seq("day"), "v"),
+      Seq("day", "bin_id", "bin_upper"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    def checkQ(): Unit = {
+      val got = store.readTable("summary", orderBy = Seq("day", "bin_id")).collect().toSeq
+      val want = IncrementalAgg.summarizeQuantile(
+        IncrementalAgg.derivedView(store.readTable("base"), derive), Seq("day"), "v")
+        .orderBy("day", "bin_id").collect().toSeq
+      assert(got == want, s"derived quantile summary diverged:\n$got\nvs\n$want")
+    }
+    // churn across days and buckets; a day dies entirely
+    store.insert("base", Seq((6L, d(3, 2), Some(900.0)), (7L, d(1, 11), Some(1.21)))
+      .toDF("k", "ts", "v"))
+    IncrementalAgg.maintainQuantileToCurrent(store, "base", "summary", Seq("day"), "v", derive)
+    checkQ()
+    store.upsert("base", Seq((3L, d(2, 4), Some(0.10)), (6L, d(3, 2), Option.empty[Double]))
+      .toDF("k", "ts", "v"))
+    store.delete("base", Seq(1L, 2L, 7L).toDF("k")) // day 1 dies
+    IncrementalAgg.maintainQuantileToCurrent(store, "base", "summary", Seq("day"), "v", derive)
+    checkQ()
+    assert(store.readTable("summary").filter(col("day") === "2026-02-01").count() == 0)
+    SummaryRewrite.registerQuantile(spark, store, "base", "summary", Seq("day"), "v", derive)
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def sk = Analytics.valueSketch(
+        store.readTable("base").withColumn("day", expr("to_date(ts)")), Seq("day"), "v")
+      assert(scanPaths(sk).forall(_.contains("summary")),
+        s"derived-day valueSketch should serve: ${sk.queryExecution.optimizedPlan}")
+      def quant = Analytics.sketchQuantiles(sk, Seq("day")).orderBy("day")
+      SummaryRewrite.unregister(store, "base")
+      val raw = quant.collect().toSeq.map(_.toString)
+      SummaryRewrite.registerQuantile(spark, store, "base", "summary", Seq("day"), "v", derive)
+      assert(quant.collect().toSeq.map(_.toString) == raw)
+      // shadowing a physical column is rejected outright
+      intercept[IllegalArgumentException] {
+        SummaryRewrite.registerQuantile(spark, store, "base", "summary",
+          Seq("ts"), "v", Seq("ts" -> "to_date(ts)"))
+      }
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("C44q: COUNT(DISTINCT <group col>) serves exactly off the summary's PK rows; measures stand down") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import graft.plans.SummaryRewrite

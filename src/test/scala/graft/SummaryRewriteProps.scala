@@ -14,8 +14,9 @@ import graft.store.{IncrementalAgg, TableStore}
 
 /** ScalaCheck property for the C44 summary-routing optimizer rule:
   * under RANDOM mutation/maintenance interleavings, and across the
-  * three answerable query shapes (bare rollup, group-column-filtered
-  * rollup, decimal avg), the rewrite must fire EXACTLY when the
+  * answerable query shapes (bare rollup, group-column-filtered
+  * rollup, decimal avg, global rollup, served-aggregate HAVING,
+  * FILTER-clause cells), the rewrite must fire EXACTLY when the
   * durable watermark sits at the base's current generation — and the
   * served rows must always equal the plain aggregate's, whether the
   * plan read the summary or the base. A rule that ever serves a stale
@@ -57,7 +58,7 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
   }
 
   property("rewrite fires iff fresh; rows ≡ plain aggregate on every shape") =
-    Prop.forAll(opsGen, Gen.choose(0, 3)) { (ops, shape) =>
+    Prop.forAll(opsGen, Gen.choose(0, 5)) { (ops, shape) =>
       val store = new TableStore(spark,
         Files.createTempDirectory("graft_srwprop_").toString)
       store.createTableFromDataFrame("base",
@@ -79,10 +80,18 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
               sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
           case 2 => store.readTable("base").groupBy("g")
             .agg(avg(col("v").cast(DecimalType(18, 2))).as("m"))
-          case _ => store.readTable("base") // GLOBAL: subset-rollup path
+          case 3 => store.readTable("base") // GLOBAL: subset-rollup path
             .agg(count(lit(1)).as("n_rows"),
               sum(col("v").cast(DecimalType(18, 2))).as("sum_val"),
               avg(col("v").cast(DecimalType(18, 2))).as("m"))
+          case 4 => store.readTable("base").groupBy("g") // C44n HAVING mix
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+            .filter(col("n_rows") >= 2 && col("g") =!= "c")
+          case _ => store.readTable("base") // C44l FILTER cells, global grain
+            .agg(expr("sum(cast(v as decimal(18,2))) FILTER (WHERE g = 'a')").as("sum_a"),
+              expr("count(1) FILTER (WHERE g <> 'b')").as("n_not_b"),
+              count(lit(1)).as("n_rows"))
         }
         def rows(df: DataFrame): Seq[String] =
           (if (df.columns.contains("g")) df.orderBy("g") else df)
