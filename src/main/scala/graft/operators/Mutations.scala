@@ -187,11 +187,19 @@ object Mutations {
     // to evaluate in every plan: the guard column is null unless the
     // assert throws, and the filter's predicate is non-foldable, so
     // the optimizer can neither drop the aggregate nor prove the
-    // branch empty. The aggregate subtree is IDENTICAL to the join's
-    // source side, so ReuseExchange keeps it one shuffle.
+    // branch empty. The branch projects the SOURCE columns (its rows
+    // are never observed — empty on success, thrown past on failure)
+    // so column pruning leaves the aggregate subtree IDENTICAL to the
+    // join's source side and exchange/stage reuse keeps it ONE source
+    // shuffle (plan-audited); null-projecting here pruned the payload
+    // and broke the reuse.
+    val srcCols = s.columns.toSet
     val keeper = s.filter(col(DupGuardCol).isNotNull)
-      .select(t0.columns.map(c =>
-        lit(null).cast(t0.schema(c).dataType).as(c)).toIndexedSeq: _*)
+      .select(t0.columns.map { c =>
+        val dt = t0.schema(c).dataType
+        (if (srcCols.contains(srcAlias(c))) col(srcAlias(c)).cast(dt)
+         else lit(null).cast(dt)).as(c)
+      }.toIndexedSeq: _*)
     result.unionByName(keeper)
   }
 

@@ -872,6 +872,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the keyed guard aggregate with partial combine:\n$plan")
   }
 
+  test("r13 update guard-keeper: the empty-target-proof branch REUSES the source exchange") {
+    import spark.implicits._
+    val target = (0 until 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(4)
+    val source = (0 until 50).map(i => (i.toLong, "nv")).toDF("k", "v")
+    val updated = graft.operators.Mutations.update(target, source, Seq("k"))
+    val plan = executedPlan(updated)
+    // the keeper branch projects the source columns so pruning leaves
+    // its aggregate IDENTICAL to the join's source side — the source
+    // shuffles ONCE (a null-projecting keeper pruned the payload,
+    // broke canonical equality and shuffled the source twice)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"keeper must reuse the join's source exchange:\n$plan")
+    assert(occurrences(plan.linesIterator.takeWhile(!_.contains("Initial Plan"))
+        .mkString("\n"), "Exchange hashpartitioning") <= 2,
+      s"keeper must not add a source shuffle:\n$plan")
+  }
+
+  test("r13 quantile rewrite: the served valueSketch is a pure summary scan — no aggregate, no shuffle") {
+    import spark.implicits._
+    import graft.store.{IncrementalAgg, TableStore}
+    import graft.plans.SummaryRewrite
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_audit_c41g_").toString)
+    store.createTableFromDataFrame("base",
+      (1L to 60L).map(i => (i, s"t${i % 3}", (i % 17).toDouble + 0.5))
+        .toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeQuantile(store.readTable("base"), Seq("g"), "v"),
+      Seq("g", "bin_id", "bin_upper"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.registerQuantile(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      val sk = graft.operators.Analytics.valueSketch(
+        store.readTable("base"), Seq("g"), "v")
+      val plan = executedPlan(sk)
+      assert(plan.contains("summary") && !plan.contains("base/data"),
+        s"sketch must serve from the summary:\n$plan")
+      // the histogram IS the summary's rows: at 100 TB the "p99 per
+      // segment" read costs a bucket-count-sized scan — no aggregate,
+      // no exchange anywhere in the served plan
+      assert(!plan.contains("Aggregate") && !plan.contains("Exchange"),
+        s"served sketch read must be scan+project only:\n$plan")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("r12 derived-group rewrite: the served daily rollup plans as a summary-only scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
