@@ -446,6 +446,14 @@ final case class Graft(
     private def armAutoMaintain(store: graft.store.TableStore, b: String, name: String): Unit =
       store.addPostCommitHook(b, "summary-maintain:" + pn(name), () => maintain(name))
 
+    /** C46c: the MV inventory — every summary DEFINED under this
+      * store root (any session), by descriptor presence. One root
+      * listing + one property read per table, zero data I/O; feed the
+      * names to [[status]]/[[attach]]/[[maintain]]. */
+    def list(): Seq[String] =
+      store.tableNames().filter(n =>
+        store.properties(n).contains(KindKey))
+
     /** C46b: MV freshness/status introspection — the operational probe
       * an owner reads before trusting a dashboard: definition, the
       * base generation the summary durably reflects, the base's

@@ -247,6 +247,10 @@ class GraftApiSpec extends AnyFunSuite {
       g.summaries.define("s_multi", "base", Seq("grp"), Seq("v", "w"), kind = "multi")
       g.summaries.define("s_mmm", "base", Seq("grp"), Seq("v", "w"), kind = "multiminmax")
       g.summaries.define("s_d", "base", Seq("grp"), Seq("v"), kind = "distinct", k = 4)
+      // C46c: the inventory lists exactly the defined summaries (by
+      // descriptor presence — the base itself carries none)
+      assert(g.summaries.list().toSet ==
+        Set("s_sum", "s_mm", "s_multi", "s_mmm", "s_d"))
       // mutate, then REFRESH each by name — the descriptor dispatches
       g.write.merge("base", Seq((1L, "a", 99.0, 0.5), (4L, "c", 7.0, 7.0))
         .toDF("k", "grp", "v", "w"), upsert = true)

@@ -1108,6 +1108,62 @@ class IncrementalAggSpec extends AnyFunSuite {
         sum(expr("p + q").cast(DecimalType(18, 2))).as("s"))
       assert(scanPaths(qOther).exists(_.contains("base")),
         "a non-registered derived measure must fall through")
+      // min/max over the derived measure need a minmax-CAPABLE summary:
+      // the plain multi summary lacks min_rev/max_rev, so the column
+      // check stands the candidate down rather than serving a wrong row
+      val qMin = store.readTable("base").groupBy("g").agg(
+        min(expr("p * q").cast(DecimalType(18, 2))).as("lo"))
+      assert(scanPaths(qMin).exists(_.contains("base")),
+        "min over a derived measure must not serve from a sum-only summary")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C44m-b: min/max over a DERIVED measure serve from a multiminmax summary") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 2.0, 3.0), (2L, "a", 5.0, 4.0), (3L, "b", 7.0, 2.0))
+        .toDF("k", "g", "p", "q"),
+      Seq("k"), infer = false)
+    val derive = Seq("rev" -> "p * q")
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMultiMinMax(
+        IncrementalAgg.derivedView(store.readTable("base"), derive),
+        Seq("g"), Seq("rev")),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    store.upsert("base", Seq((1L, "a", 9.0, 9.0), (4L, "c", 1.0, 1.0))
+      .toDF("k", "g", "p", "q"))
+    store.delete("base", Seq(3L).toDF("k"))
+    IncrementalAgg.maintainMultiMinMaxToCurrent(store, "base", "summary",
+      Seq("g"), Seq("rev"), derive)
+    val got = store.readTable("summary", orderBy = Seq("g")).collect().toSeq
+    val want = IncrementalAgg.summarizeMultiMinMax(
+      IncrementalAgg.derivedView(store.readTable("base"), derive), Seq("g"), Seq("rev"))
+      .orderBy("g").collect().toSeq
+    assert(got == want, s"derived minmax summary diverged: $got vs $want")
+    SummaryRewrite.registerMulti(spark, store, "base", "summary",
+      Seq("g"), Seq("rev"), derive)
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g").agg(
+        min(expr("p * q").cast(DecimalType(18, 2))).as("lo"),
+        max(expr("p * q").cast(DecimalType(18, 2))).as("hi"),
+        sum(expr("p * q").cast(DecimalType(18, 2))).as("s")).orderBy("g")
+      assert(scanPaths(q).forall(_.contains("summary")),
+        s"derived min/max should serve: ${q.queryExecution.optimizedPlan}")
+      SummaryRewrite.unregister(store, "base")
+      val raw = q.collect().toSeq.map(_.toString)
+      SummaryRewrite.registerMulti(spark, store, "base", "summary",
+        Seq("g"), Seq("rev"), derive)
+      assert(q.collect().toSeq.map(_.toString) == raw)
     } finally SummaryRewrite.unregister(store, "base")
   }
 
