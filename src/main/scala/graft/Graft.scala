@@ -355,9 +355,18 @@ final case class Graft(
       // registration (deriveTemplates) enforces the same contract
       val baseFields = store.readTable(pn(base)).columns.toSet
       deriveCols.foreach { case (n, e) =>
-        require(!baseFields.contains(n) || e.trim == n,
+        // quantile is STRICT (no identity carve-out, matching
+        // registerQuantile): validating it here keeps a failing define
+        // from bootstrapping the table and THEN throwing inside the
+        // trailing attach(), which would leave a permanently broken
+        // summary whose every future attach() also throws
+        val identityOk = e.trim == n && kind != "quantile"
+        require(!baseFields.contains(n) || identityOk,
           s"derived column '$n' shadows a physical column of '$base' — " +
-            "pick a fresh name (only the identity derivation may reuse one)")
+            (if (kind == "quantile")
+              "pick a fresh name (a quantile grouping that IS a physical " +
+                "column needs no derivation at all)"
+            else "pick a fresh name (only the identity derivation may reuse one)"))
       }
       // C47: derived group columns (e.g. "day" -> "to_date(ts)") are
       // projected identically at bootstrap, fold and rescan time
@@ -446,13 +455,19 @@ final case class Graft(
     private def armAutoMaintain(store: graft.store.TableStore, b: String, name: String): Unit =
       store.addPostCommitHook(b, "summary-maintain:" + pn(name), () => maintain(name))
 
-    /** C46c: the MV inventory — every summary DEFINED under this
-      * store root (any session), by descriptor presence. One root
-      * listing + one property read per table, zero data I/O; feed the
-      * names to [[status]]/[[attach]]/[[maintain]]. */
+    /** C46c: the MV inventory — every summary DEFINED under the
+      * session's store roots (any session), by descriptor presence:
+      * the default root plus this session's `##` temp root (temp
+      * summaries surface under their user-facing `##` names, like
+      * every other summaries API resolves them). One root listing +
+      * one property read per table, zero data I/O; feed the names to
+      * [[status]]/[[attach]]/[[maintain]]. */
     def list(): Seq[String] =
       store.tableNames().filter(n =>
-        store.properties(n).contains(KindKey))
+        store.properties(n).contains(KindKey)) ++
+        tempStore.tableNames().filter(n =>
+          tempStore.properties(n).contains(KindKey))
+          .map(p => "##" + p.stripPrefix("tmp_"))
 
     /** C46b: MV freshness/status introspection — the operational probe
       * an owner reads before trusting a dashboard: definition, the
@@ -490,9 +505,15 @@ final case class Graft(
       }
     }
 
-    /** Drop the rewrite registrations of `base` (decommissioning). */
-    def detach(base: String): Unit =
+    /** Drop the rewrite registrations of `base` AND disarm its C48
+      * auto-maintenance hooks (decommissioning) — a detached base must
+      * not keep folding into its summaries on every commit from this
+      * session. The descriptors stay durable: a later attach() re-arms
+      * both the rewrite and (if flagged) the auto-maintenance. */
+    def detach(base: String): Unit = {
       graft.plans.SummaryRewrite.unregister(st(base), pn(base))
+      st(base).removePostCommitHooksByPrefix(pn(base), "summary-maintain:")
+    }
   }
 
   /** Reference `get_schema` (package.py:105). */

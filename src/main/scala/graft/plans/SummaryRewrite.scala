@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, IsNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -842,12 +842,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 }
                 else KmvEstimateStr(rolledOf(c, f), reg.kmvK)
               // exact grain: the column is part of the grouping, so its
-              // distinct count within the group is 1 (group cols are
-              // non-null PK columns) — 0 when a FILTER drops the group
+              // distinct count within the group is 1 — except the NULL
+              // group (DISTINCT ignores NULL → 0; the managed define()
+              // path makes groups PK-non-null, but register() is public
+              // and a hand-registered base may carry a NULL group row) —
+              // and 0 when a FILTER drops the group
               case Some(SCountDistinctGroup(c, f)) =>
-                if (exactGrouping) f match {
-                  case None => Literal(1L)
-                  case Some(p) => If(remapCond(p), Literal(1L), Literal(0L))
+                if (exactGrouping) {
+                  val one = If(IsNull(byName(c)), Literal(0L), Literal(1L))
+                  f match {
+                    case None => one
+                    case Some(p) => If(remapCond(p), one, Literal(0L))
+                  }
                 }
                 else rolledDistinctOf(c, f)
               case None => return None

@@ -1240,6 +1240,17 @@ final class TableStore(
     ()
   }
 
+  /** Drop every post-commit hook of `name` whose id starts with
+    * `prefix` — the decommissioning twin of [[addPostCommitHook]]
+    * (Graft.summaries.detach disarms all `summary-maintain:*` hooks of
+    * a base without knowing the summary names this session armed). */
+  private[graft] def removePostCommitHooksByPrefix(name: String, prefix: String): Unit = {
+    postCommitHooks.computeIfPresent(name, (_, old) =>
+      old.filterNot(_._1.startsWith(prefix)) match {
+        case m if m.isEmpty => null; case m => m })
+    ()
+  }
+
   private def firePostCommitHooks(name: String): Unit = {
     val hooks = postCommitHooks.get(name)
     if (hooks == null) return

@@ -431,6 +431,47 @@ class GraftApiSpec extends AnyFunSuite {
           Seq("grp"), "v", derive = Seq("v" -> "v * 2"))
       }
       assert(e3.getMessage.contains("shadows"), e3.getMessage)
+      // QUANTILE is strict — even the identity derivation is rejected
+      // (registerQuantile has no identity carve-out; without this
+      // define-side guard the table bootstraps and THEN the trailing
+      // attach() throws, leaving a permanently broken summary)
+      val e4 = intercept[IllegalArgumentException] {
+        g.summaries.define("badq", "base", Seq("grp"), Seq("v"),
+          kind = "quantile", deriveCols = Seq("grp" -> "grp"))
+      }
+      assert(e4.getMessage.contains("shadows"), e4.getMessage)
+      intercept[Exception] { g.read.table("badq") } // nothing half-created
+    } finally { g.summaries.detach("base"); g.close() }
+  }
+
+  test("detach() disarms auto-maintenance; list() covers the ## session temp root") {
+    import org.apache.spark.sql.functions._
+    val g = Graft(spark, Files.createTempDirectory("graft_mvdet_").toString)
+    try {
+      g.create.tableFromDataFrame("base",
+        Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "grp", "v"), Seq("k"))
+      g.summaries.define("s_auto", "base", Seq("grp"), Seq("v"), autoMaintain = true)
+      g.write.insert("base", Seq((3L, "c", 30.0)).toDF("k", "grp", "v"))
+      assert(g.summaries.status("s_auto")("fresh") == "true")
+      val gensBefore = g.read.snapshots("s_auto").size
+      // detach must remove the armed hook too — a detached base keeps
+      // committing without ANY summary write from this session
+      g.summaries.detach("base")
+      g.write.insert("base", Seq((4L, "d", 40.0)).toDF("k", "grp", "v"))
+      assert(g.read.snapshots("s_auto").size == gensBefore,
+        "a post-detach base commit must not fold into the summary")
+      assert(g.summaries.status("s_auto")("fresh") == "false")
+      // attach() re-arms from the durable descriptor flag
+      g.summaries.attach("s_auto")
+      g.write.insert("base", Seq((5L, "e", 50.0)).toDF("k", "grp", "v"))
+      assert(g.summaries.status("s_auto")("fresh") == "true")
+      // C46c across roots: a summary on a ## session table surfaces in
+      // the inventory under its user-facing name
+      g.create.tableFromDataFrame("##scratch",
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "grp", "v"), Seq("k"))
+      g.summaries.define("##s_tmp", "##scratch", Seq("grp"), Seq("v"))
+      assert(g.summaries.list().toSet == Set("s_auto", "##s_tmp"), g.summaries.list().toString)
+      assert(g.summaries.status("##s_tmp")("fresh") == "true")
     } finally { g.summaries.detach("base"); g.close() }
   }
 }

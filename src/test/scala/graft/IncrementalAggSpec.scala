@@ -1344,4 +1344,39 @@ class IncrementalAggSpec extends AnyFunSuite {
         "FILTER+DISTINCT is pre-expanded and must fall through")
     } finally SummaryRewrite.unregister(store, "base")
   }
+
+  test("C44q: exact-grain COUNT(DISTINCT group col) answers 0 for a NULL group (public register() path)") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    // the managed define() path makes groups PK-non-null, but
+    // register() is public — a hand-registered base may carry NULL
+    // group rows (groupBy keeps a NULL group; DISTINCT ignores it)
+    store.createTableFromDataFrame("base",
+      Seq((1L, Some("a"), 10.0), (2L, Some("a"), 20.0),
+        (3L, Option.empty[String], 30.0), (4L, Option.empty[String], 31.0))
+        .toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq.empty, infer = false) // NO PK: g is nullable here
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      val q = store.readTable("base").groupBy("g")
+        .agg(count_distinct(col("g")).as("ng"), count(lit(1)).as("n"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.forall(_.contains("summary")),
+        s"should serve: ${q.queryExecution.optimizedPlan}")
+      val served = q.orderBy(asc_nulls_first("g")).collect().toSeq.map(_.toString)
+      SummaryRewrite.unregister(store, "base")
+      val raw = q.orderBy(asc_nulls_first("g")).collect().toSeq.map(_.toString)
+      assert(served == raw, s"served=$served raw=$raw")
+      assert(raw.head.contains("0"), "the NULL group's COUNT(DISTINCT g) is 0")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
 }
