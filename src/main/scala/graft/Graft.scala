@@ -500,7 +500,7 @@ final case class Graft(
         case "multi" => IncrementalAgg.maintainMultiToCurrent(store, b, pn(name), groups, values, derive)
         case "multiminmax" => IncrementalAgg.maintainMultiMinMaxToCurrent(store, b, pn(name), groups, values, derive)
         case "distinct" => IncrementalAgg.maintainDistinctToCurrent(store, b, pn(name), groups, values.head, k, derive)
-        case "distinctmulti" => IncrementalAgg.maintainDistinctMultiToCurrent(store, b, pn(name), groups, values, k)
+        case "distinctmulti" => IncrementalAgg.maintainDistinctMultiToCurrent(store, b, pn(name), groups, values, k, derive)
         case "quantile" => IncrementalAgg.maintainQuantileToCurrent(store, b, pn(name), groups, values.head, derive)
       }
     }

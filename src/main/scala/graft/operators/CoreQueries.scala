@@ -1222,6 +1222,55 @@ object CoreQueries {
     q.orderBy("o_orderstatus")
   }
 
+  // C41h×C47 (r14, VERDICT r13 "What's wrong #1"): multi-measure KMV
+  // over a DERIVED day column, auto-maintained — "distinct users and
+  // event types per day, always fresh". The r13 defect: define()
+  // accepted deriveCols for distinctmulti but the maintenance dispatch
+  // dropped them, so the first hook fold threw an unresolved-column
+  // error that autoMaintain swallowed — the summary silently stayed
+  // stale forever. This entry runs that exact lifecycle: define with
+  // deriveCols + autoMaintain, a user-shifting upsert (preimages force
+  // the rescan leg, which must ALSO derive) and a keyed delete with NO
+  // maintain() call, a status assert that the hook really folded, then
+  // the served read asserted in-plan. One measure above k (estimator
+  // path), one below (exact path) — both re-derived by the oracle.
+  def summaryKmvDailyRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val g = graft.Graft(s,
+      s"${sys.props("java.io.tmpdir")}/graft_store/summary_kmvday_${System.nanoTime()}")
+    try {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"), col("event_type"))
+      g.create.tableFromDataFrame("base", ev, Seq("event_id"), infer = false)
+      g.summaries.define("byday", "base", Seq("day"),
+        Seq("user_id", "event_type"), kind = "distinctmulti", k = 64,
+        deriveCols = Seq("day" -> "to_date(ts)"), autoMaintain = true)
+      // NO maintain() below — each commit's hook folds its own feed,
+      // including the delete's pinned rescan, through the derived view
+      g.write.merge("base", ev.filter(col("event_id") <= 2000)
+        .withColumn("user_id", col("user_id") + 1000000), upsert = true)
+      g.write.delete("base", ev.filter(col("event_id") <= 1000).select("event_id"))
+      val st = g.summaries.status("byday")
+      if (st("fresh") != "true")
+        throw new IllegalStateException(
+          s"auto-maintained derived KMV summary is not fresh (the r13 silent-stale trap): $st")
+      val q = g.read.table("base").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.plans.GraftFunctions.kmvDistinct(col("user_id"), 64).as("est_users"),
+          graft.plans.GraftFunctions.kmvDistinct(col("event_type"), 64).as("est_types"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      if (scans.isEmpty || !scans.forall(_.contains("byday")))
+        throw new IllegalStateException(
+          s"derived multi-KMV summary did not serve — plan scans $scans")
+      q.select(col("day").cast("string").as("day"), col("n_rows"),
+          col("est_users"), col("est_types"))
+        .orderBy("day")
+    } finally g.summaries.detach("base")
+  }
+
   // C48/C46b: AUTO-MAINTAINED summary end to end — define(autoMaintain)
   // arms a post-commit hook on the BASE, then an update and a keyed
   // delete land with NO maintain() call anywhere: each commit folds its
@@ -1743,6 +1792,7 @@ object CoreQueries {
     "summary_kmv_multi_read" -> summaryKmvMultiRead,
     "summary_automaintain_read" -> summaryAutoMaintainRead,
     "summary_rewrite_countdistinct" -> summaryRewriteCountDistinct,
+    "summary_kmv_daily_read" -> summaryKmvDailyRead,
   )
 
   /** The A45b md5-decode idiom: the first 8 hex digits of md5(`c`) as
@@ -2057,6 +2107,35 @@ object CoreQueries {
         |           ELSE (63 * 4294967296) // t2.kth END AS BIGINT) AS est_prio
         |FROM n JOIN t1 USING (o_orderstatus) JOIN t2 USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+    // C41h×C47: BOTH maintained KMV sketches re-derived from the
+    // mutated raw relation, grouped by the DERIVED day — exact iff the
+    // distinctmulti fold threads the derive list through feed AND
+    // rescan (the r13 defect) and the auto-maintain hook really ran
+    "summary_kmv_daily_read" ->
+      s"""WITH f AS (SELECT CAST(ts AS DATE) AS day,
+        |  CASE WHEN event_id <= 2000 THEN user_id + 1000000
+        |       ELSE user_id END AS uid,
+        |  event_type AS et
+        | FROM events WHERE event_id > 1000),
+        |n AS (SELECT day, COUNT(*) AS n_rows FROM f GROUP BY 1),
+        |h1 AS (SELECT DISTINCT day,
+        |  ${kmvHashSql("CAST(uid AS VARCHAR)")} AS hh FROM f),
+        |r1 AS (SELECT day, hh,
+        |  ROW_NUMBER() OVER (PARTITION BY day ORDER BY hh) AS rn FROM h1),
+        |t1 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS nh, MAX(hh) AS kth
+        |      FROM r1 WHERE rn <= 64 GROUP BY 1),
+        |h2 AS (SELECT DISTINCT day, ${kmvHashSql("et")} AS hh FROM f),
+        |r2 AS (SELECT day, hh,
+        |  ROW_NUMBER() OVER (PARTITION BY day ORDER BY hh) AS rn FROM h2),
+        |t2 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS nh, MAX(hh) AS kth
+        |      FROM r2 WHERE rn <= 64 GROUP BY 1)
+        |SELECT CAST(n.day AS VARCHAR) AS day, CAST(n.n_rows AS BIGINT) AS n_rows,
+        | CAST(CASE WHEN t1.nh < 64 THEN t1.nh
+        |           ELSE (63 * 4294967296) // t1.kth END AS BIGINT) AS est_users,
+        | CAST(CASE WHEN t2.nh < 64 THEN t2.nh
+        |           ELSE (63 * 4294967296) // t2.kth END AS BIGINT) AS est_types
+        |FROM n JOIN t1 USING (day) JOIN t2 USING (day)
+        |ORDER BY day""".stripMargin,
     // C48/C46b: raw recompute with the hook-folded update and delete
     // applied — exact iff every commit's auto-maintenance fold was
     "summary_automaintain_read" ->

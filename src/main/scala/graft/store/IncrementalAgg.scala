@@ -458,11 +458,13 @@ object IncrementalAgg {
   /** [[mergedDistinctDelta]] generalized over the measure list: groups
     * with only inserts union registers PER measure (exact set
     * algebra), groups any delete touched re-derive from the base
-    * pinned at the fold's target generation. */
+    * pinned at the fold's target generation. `derive` (C47) projects
+    * user-derived group columns over the feed AND the rescan reads,
+    * exactly like the single-measure path. */
   private def mergedDistinctMultiDelta(store: TableStore, base: String, summary: String,
       groupCols: Seq[String], valueCols: Seq[String], k: Int,
-      fromGen: Int, toGen: Int): DataFrame = {
-    val ch = store.readChanges(base, fromGen, toGen)
+      fromGen: Int, toGen: Int, derive: Seq[(String, String)] = Nil): DataFrame = {
+    val ch = derivedView(store.readChanges(base, fromGen, toGen), derive)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     val guard = coalesce(assert_true(
@@ -492,7 +494,8 @@ object IncrementalAgg {
         }: _*)
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
     val rescan = summarizeDistinctMulti(
-      store.readTableAt(base, toGen).join(touched, groupCols, "left_semi"),
+      derivedView(store.readTableAt(base, toGen), derive)
+        .join(touched, groupCols, "left_semi"),
       groupCols, valueCols, k)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :++
@@ -504,10 +507,11 @@ object IncrementalAgg {
 
   /** [[maintainToCurrent]] for a [[summarizeDistinctMulti]] summary. */
   def maintainDistinctMultiToCurrent(store: TableStore, base: String, summary: String,
-      groupCols: Seq[String], valueCols: Seq[String], k: Int = 64): Unit =
+      groupCols: Seq[String], valueCols: Seq[String], k: Int = 64,
+      derive: Seq[(String, String)] = Nil): Unit =
     maintainProtocol(store, base, summary) { (applied, cur) =>
       val merged = mergedDistinctMultiDelta(
-        store, base, summary, groupCols, valueCols, k, applied, cur)
+        store, base, summary, groupCols, valueCols, k, applied, cur, derive)
       if (merged.isEmpty) None
       else Some(() => store.applyChanges(summary, merged, "__dead", groupCols))
     }

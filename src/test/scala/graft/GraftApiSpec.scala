@@ -444,6 +444,64 @@ class GraftApiSpec extends AnyFunSuite {
     } finally { g.summaries.detach("base"); g.close() }
   }
 
+  test("C41h×C47: distinctmulti summaries over DERIVED group columns maintain through feed AND rescan") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions._
+    import graft.store.IncrementalAgg
+    val g = Graft(spark, Files.createTempDirectory("graft_mvkmd_").toString)
+    try {
+      val rows = (1L to 80L).map(i =>
+        (i, java.time.LocalDateTime.of(2026, 3, (i % 5 + 1).toInt, (i % 24).toInt, 0),
+          "u" + (i % 11), "t" + (i % 3)))
+      g.create.tableFromDataFrame("ev",
+        rows.toDF("event_id", "ts", "uid", "etype"), Seq("event_id"), infer = false)
+      // the r13 defect: define() accepted deriveCols for distinctmulti
+      // but maintain() dropped them — the first fold threw, and under
+      // autoMaintain the failure was swallowed (silently stale forever)
+      g.summaries.define("byday", "ev", Seq("day"), Seq("uid", "etype"),
+        kind = "distinctmulti", k = 4,
+        deriveCols = Seq("day" -> "to_date(ts)"), autoMaintain = true)
+      def converged(): Unit = {
+        val derived = IncrementalAgg.derivedView(
+          g.read.table("ev"), Seq("day" -> "to_date(ts)"))
+        assert(g.read.table("byday").orderBy("day").collect().map(_.toString).toSeq ==
+          IncrementalAgg.summarizeDistinctMulti(derived, Seq("day"), Seq("uid", "etype"), 4)
+            .orderBy("day").collect().map(_.toString).toSeq,
+          "maintained distinctmulti summary must equal the batch recompute")
+        assert(g.summaries.status("byday")("fresh") == "true",
+          "the auto-maintain hook must not die on the derived fold")
+      }
+      // insert-only commit: the register-union leg derives the feed
+      g.write.insert("ev", Seq((81L,
+        java.time.LocalDateTime.of(2026, 3, 2, 9, 0), "u99", "t9"))
+        .toDF("event_id", "ts", "uid", "etype"))
+      converged()
+      // upsert with preimages + keyed delete: the RESCAN leg must also
+      // run over the derived view (readTableAt has no day column)
+      g.write.merge("ev", rows.filter(_._1 <= 30)
+        .map { case (i, t, _, e) => (i, t, "w" + (i % 7), e) }
+        .toDF("event_id", "ts", "uid", "etype"), upsert = true)
+      converged()
+      g.write.delete("ev", (1L to 16L).toDF("event_id"))
+      converged()
+      // the served read: kmvDistinct per measure, grouped by the
+      // derived day, asserted in-plan onto the summary
+      val q = g.read.table("ev").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          graft.plans.GraftFunctions.kmvDistinct(col("uid"), 4).as("du"),
+          graft.plans.GraftFunctions.kmvDistinct(col("etype"), 4).as("de"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.forall(_.contains("byday")),
+        s"derived multi-KMV should serve: ${q.queryExecution.optimizedPlan}")
+      val served = q.orderBy("day").collect().map(_.toString).toSeq
+      g.summaries.detach("ev")
+      assert(q.orderBy("day").collect().map(_.toString).toSeq == served)
+    } finally { g.summaries.detach("ev"); g.close() }
+  }
+
   test("detach() disarms auto-maintenance; list() covers the ## session temp root") {
     import org.apache.spark.sql.functions._
     val g = Graft(spark, Files.createTempDirectory("graft_mvdet_").toString)
