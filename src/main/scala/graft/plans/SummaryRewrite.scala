@@ -3,10 +3,13 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualTo, Expression, If, IsNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualNullSafe, EqualTo, Expression, If, IsNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -179,6 +182,62 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   /** Store probes actually performed (cache misses) — the PlanAudit
     * hook proving consecutive compiles don't re-list the store. */
   private[graft] val freshnessProbes = new AtomicLong(0L)
+
+  // ── C46d: the servability probe ─────────────────────────────────────
+  //
+  // At 100 TB a silent fallback to a fact scan is an incident; the
+  // operator's question is "WHY didn't my MV serve this query". The
+  // rewrite already computes every answer on its way to standing down —
+  // when a probe buffer is armed (explainServe), each candidate attempt
+  // logs its first failing check (or "served"). Zero cost when not
+  // probing: one ThreadLocal read per candidate.
+  final case class ServeProbe(summary: String, base: String, outcome: String)
+  private val probe =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[ServeProbe]]()
+  private def logProbe(reg: Registration, outcome: String): Unit = {
+    val b = probe.get()
+    if (b != null) b += ServeProbe(reg.summary, reg.base, outcome)
+    ()
+  }
+
+  /** Re-optimize `df`'s plan with the probe armed and report, per
+    * registered summary, whether the rewrite served it and (if not)
+    * the FIRST check that stood it down — "served", "grouping
+    * mismatch: …", "unservable predicate: …", "unservable aggregate:
+    * …", "missing summary column(s): …", "stale …", or "not a
+    * candidate …" for registrations whose base the query never reads.
+    * Metadata-only: compiles the plan (freshness probes included), runs
+    * no job. A summary attempted more than once (e.g. with and without
+    * a HAVING pairing) reports its first attempt. */
+  def explainServe(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Seq[ServeProbe] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[ServeProbe]
+    probe.set(buf)
+    try org.apache.spark.sql.graftglue.Glue
+      .ofRows(spark, df.queryExecution.logical)
+      .queryExecution.optimizedPlan
+    finally probe.remove()
+    val attempted = buf.map(p => (p.summary, p.base)).toSet
+    val silent = registry.values().asScala.flatten
+      .filterNot(r => attempted.contains((r.summary, r.base)))
+      .map(r => ServeProbe(r.summary, r.base,
+        "not a candidate: the query has no servable aggregate over this base"))
+      .toSeq
+    // a summary may be attempted more than once (a Filter+Aggregate
+    // pairing, then the bare Aggregate during descent): a served
+    // attempt wins, else the first stand-down reason
+    val order = scala.collection.mutable.LinkedHashMap.empty[(String, String), ServeProbe]
+    buf.foreach { p =>
+      val k = (p.summary, p.base)
+      order.get(k) match {
+        case Some(prev) if prev.outcome == "served" =>
+        case Some(_) if p.outcome == "served" => order(k) = p
+        case Some(_) =>
+        case None => order(k) = p
+      }
+    }
+    order.values.toSeq ++ silent
+  }
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -636,7 +695,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate, groupings0: Seq[Expression],
       aggExprs0: Seq[NamedExpression], child: LogicalPlan,
       having: Seq[Expression]): Option[LogicalPlan] = {
-    val (paths, conds0, subst) = faithfulScan(child).getOrElse(return None)
+    val (paths, conds0, subst) = faithfulScan(child).getOrElse(
+      return rewriteExpand(agg, groupings0, aggExprs0, child, having)
+        .orElse(rewriteJoin(agg, groupings0, aggExprs0, child, having)))
     // inline computed projection columns so matching sees the real
     // expression trees (derived groupings; pulled-out grouping exprs)
     def inline(e: Expression): Expression = e.transform {
@@ -650,7 +711,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         Alias(subst(ar.exprId), ar.name)(exprId = ar.exprId)
       case ne => inline(ne).asInstanceOf[NamedExpression]
     }
-    val conds = conds0.map(inline)
+    // split into conjuncts: a Filter node carries `a AND b` as one
+    // expression, but baked-base-filter matching is per-conjunct (the
+    // r14 fix — a group-col filter ANDed onto the baked units filter
+    // used to fail the template match wholesale and stand down)
+    val conds = conds0.map(inline).flatMap(conjuncts)
     // EVERY root path must normalize to ONE registered base directory —
     // a scan of the base dir plus anything else covers more rows than
     // any summary and must never collapse
@@ -677,15 +742,20 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], conds: Seq[Expression],
       key: String, reg: Registration,
       having: Seq[Expression]): Option[LogicalPlan] = {
+    def no(why: String): Option[LogicalPlan] = { logProbe(reg, why); None }
     val groupNames: Seq[String] = groupings.map {
       // a bare attribute whose name collides with a registered
       // derivation must template-match it (true only for the identity
       // derivation) — registration already forbids shadowing, this is
       // the in-rule backstop for hand-built Registrations
       case ar: AttributeReference if !reg.derive.contains(ar.name) => ar.name
-      case e => deriveName(e, reg).getOrElse(return None)
+      case e => deriveName(e, reg).getOrElse(return no(
+        s"grouping mismatch: ${e.sql} is not a group column or registered derivation"))
     }
-    if (!groupNames.toSet.subsetOf(reg.groupCols.toSet)) return None
+    if (!groupNames.toSet.subsetOf(reg.groupCols.toSet))
+      return no("grouping mismatch: " +
+        groupNames.filterNot(reg.groupCols.contains).mkString(", ") +
+        " not in the summary's group columns")
     val exactGrouping = groupNames.sorted == reg.groupCols.sorted
     // scan-level filters: conds template-matching a registered BASE
     // filter are already baked into the summary's rows and DROP here;
@@ -698,13 +768,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if (reg.baseFilters.isEmpty) (Nil, conds)
       else conds.partition(c => reg.baseFilters.contains(normalizeExpr(c)))
     if (!reg.baseFilters.forall(bf => baked.exists(c => normalizeExpr(c) == bf)))
-      return None
+      return no("unservable predicate: the query lacks a filter baked " +
+        "into the summary (it ranges over more rows than the summary covers)")
     // a predicate reference hidden inside a registered DERIVED
     // expression is servable (the summary row carries the derived
     // column — e.g. HAVING day = X pushed down as to_date(ts) = X):
     // only the references NOT covered by a derived subtree count
-    if (!rest.forall(c => unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)))
-      return None
+    rest.find(c => !unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)) match {
+      case Some(c) => return no(
+        s"unservable predicate: ${c.sql} references non-group columns")
+      case None =>
+    }
     // classify every output — a grouping attribute, a derived
     // grouping, or a servable aggregate — collecting the summary
     // columns this query needs (min/max/kmv columns exist only on the
@@ -718,12 +792,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case e if deriveName(e, reg).exists(groupNames.contains) =>
         case e => matchAgg(e, reg) match {
           case Some(sa) => needCols ++= sa.needed
-          case None => return None
+          case None => return no(s"unservable aggregate: ${e.sql}")
         }
       }
-      case _ => return None
+      case other => return no(s"unservable output: ${other.sql}")
     }
-    if (!isFresh(key, reg)) return None
+    if (!isFresh(key, reg))
+      return no("stale: the maintenance watermark is behind the base's " +
+        "current generation (maintain() or autoMaintainOn() heals it)")
 
     // the OPTIMIZED read: the store's type-render projection is all
     // identity casts for a summary's SQL types, and optimizing them
@@ -734,7 +810,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val sumPlan = reg.store.readTable(reg.summary).queryExecution.optimizedPlan
     val byName = sumPlan.output.map(a => a.name -> a).toMap
     // the summary must carry the columns THIS query needs
-    if (!(reg.groupCols ++ needCols.toSeq).forall(byName.contains)) return None
+    if (!(reg.groupCols ++ needCols.toSeq).forall(byName.contains))
+      return no("missing summary column(s): " +
+        (reg.groupCols ++ needCols.toSeq).filterNot(byName.contains).mkString(", "))
 
     // a base-side attribute remapped to its summary twin; cast back to
     // the referenced type when a faithful (lossless) widening sat
@@ -895,6 +973,584 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         Aggregate(groupAttrs, groupAttrs ++ rolledAliases.values.toSeq, filteredSummary)
       }
     val rewritten = Project(projected, source)
+    logProbe(reg, "served")
     Some(if (above.isEmpty) rewritten else Filter(above.reduce(And), rewritten))
+  }
+
+  // ── C44s: ROLLUP / CUBE / GROUPING SETS serving ─────────────────────
+  //
+  // The optimizer compiles `GROUP BY ROLLUP(day, status)` into
+  // `Aggregate(groups..., gid) over Expand(projections, output, child)`
+  // where each Expand projection row is one grouping set: the child's
+  // output passes through verbatim (aggregate inputs), the group
+  // columns are re-emitted nulled-per-set under fresh attributes, and a
+  // literal `spark_grouping_id` tags the set. When the Expand's child
+  // is a faithful scan of a registered base and every grouping-set
+  // column is a summary group column, each grouping set is a SUBSET
+  // rollup of the summary's grain — the exact algebra the single-scan
+  // subset path already serves — so the whole shape collapses to the
+  // SAME Aggregate/Expand over the summary: group slots re-emit the
+  // summary's group columns (nulled per set identically), measure
+  // pass-through slots are replaced by the summary's cells, and the
+  // aggregates re-aggregate them (counts/sums add, avg divides the
+  // rolled pair, min-of-mins/max-of-maxes, KMV register union, exact
+  // COUNT(DISTINCT group col) over the preserved slot values). At
+  // 100 TB the Expand's input drops from every fact row × #sets to
+  // #groups × #sets. FILTER clauses stand down here (v1) — the
+  // single-scan path demonstrates that machinery; composing it with
+  // Expand multiplicities is deliberately out of scope.
+
+  /** One Expand output position, classified: a grouping-set id column
+    * (integer literals in every row), or one source expression emitted
+    * verbatim in some rows and NULL-literal in the rest. */
+  private sealed trait Slot
+  private final case class GidSlot(lits: Seq[Expression]) extends Slot
+  private final case class ExprSlot(e: Expression, nullRows: Set[Int]) extends Slot
+
+  private def rewriteExpand(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan,
+      having: Seq[Expression]): Option[LogicalPlan] = child match {
+    case Expand(projections, output, ech) =>
+      val (paths, conds0, subst) = faithfulScan(ech).getOrElse(return None)
+      if (paths.isEmpty) return None
+      val key = paths.map(normalize).distinct match {
+        case Seq(k) => k
+        case _      => return None
+      }
+      val candidates = Option(registry.get(key)).getOrElse(return None)
+      def inline(e: Expression): Expression = e.transform {
+        case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+      }
+      // classify every output position across the projection rows
+      val slots: Seq[Slot] = output.indices.map { p =>
+        val vals = projections.map(_(p))
+        if (vals.forall {
+              case Literal(v, t) => v != null && (t == LongType || t == IntegerType)
+              case _ => false
+            }) GidSlot(vals)
+        else {
+          val nullRows = vals.zipWithIndex.collect {
+            case (Literal(null, _), i) => i }.toSet
+          vals.collect { case v if !v.isInstanceOf[Literal] => inline(v) }
+            .distinct match {
+            case Seq(e) if e.deterministic => ExprSlot(e, nullRows)
+            case _ => return None
+          }
+        }
+      }
+      val conds = conds0.map(inline).flatMap(conjuncts)
+      candidates
+        .sortBy(_.groupCols.size)
+        .iterator
+        .map(c => tryExpandCandidate(agg, groupings, aggExprs, projections,
+          output, slots, conds, key, c, having))
+        .collectFirst { case Some(p) => p }
+    case _ => None
+  }
+
+  private def tryExpandCandidate(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], projections: Seq[Seq[Expression]],
+      output: Seq[Attribute], slots: Seq[Slot], conds: Seq[Expression],
+      key: String, reg: Registration,
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    // the summary group column an expression slot serves under
+    def slotName(e: Expression): Option[String] = e match {
+      case ar: AttributeReference if !reg.derive.contains(ar.name) =>
+        Some(ar.name).filter(reg.groupCols.contains)
+      case other => deriveName(other, reg).filter(reg.groupCols.contains)
+    }
+    val posOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+      output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    // groupings must be Expand output attributes (constructExpand's
+    // shape), each a group-column slot or the grouping-id slot
+    val groupingIds = groupings.map {
+      case ar: AttributeReference if posOf.contains(ar.exprId) => ar.exprId
+      case _ => return None
+    }.toSet
+    groupings.foreach {
+      case ar: AttributeReference =>
+        slots(posOf(ar.exprId)) match {
+          case _: GidSlot =>
+          case ExprSlot(e, _) => if (slotName(e).isEmpty) return None
+        }
+      case _ => return None
+    }
+    // scan-level filters: baked base filters drop, the rest must be
+    // answerable over summary rows
+    val (baked, rest) =
+      if (reg.baseFilters.isEmpty) (Nil, conds)
+      else conds.partition(c => reg.baseFilters.contains(normalizeExpr(c)))
+    if (!reg.baseFilters.forall(bf => baked.exists(c => normalizeExpr(c) == bf)))
+      return None
+    if (!rest.forall(c => unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)))
+      return None
+    // classify outputs; aggregates substitute their pass-through slot
+    // references with the slot's source expression before matching.
+    // needCols collects summary measure columns; keepDistinct collects
+    // group-column slots a COUNT(DISTINCT) reads verbatim.
+    val needCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    val keepDistinct = scala.collection.mutable.LinkedHashSet.empty[Int]
+    def substSlots(e: Expression): Option[Expression] = {
+      // NB: a pass-through slot KEEPS the child's exprId (constructExpand
+      // passes child.output verbatim), so substitution may map an
+      // attribute to itself — only a nulled/gid slot reference fails
+      var ok = true
+      val r = e.transform {
+        case ar: AttributeReference if posOf.contains(ar.exprId) =>
+          slots(posOf(ar.exprId)) match {
+            case ExprSlot(se, nulls) if nulls.isEmpty => se
+            case _ => ok = false; ar
+          }
+      }
+      if (ok) Some(r) else None
+    }
+    def servedOf(e: Expression): Option[(ServedAgg, Option[Int])] = e match {
+      case ae: AggregateExpression =>
+        substSlots(ae).flatMap {
+          case x: AggregateExpression => matchAgg(x, reg) match {
+            // FILTER clauses stand down on this path (multiplicity vs
+            // the Expand fan-out is the single-scan machinery's job)
+            case Some(sa) if sa.filter.isEmpty =>
+              sa match {
+                case SCountDistinctGroup(_, _) =>
+                  // the distinct aggregate reads its slot VERBATIM —
+                  // remember which position to keep
+                  ae.references.toSeq match {
+                    case Seq(one) if posOf.contains(one.exprId) =>
+                      Some((sa, Some(posOf(one.exprId))))
+                    case _ => None
+                  }
+                case _ => Some((sa, None))
+              }
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+    aggExprs.foreach {
+      case ar: AttributeReference if groupingIds.contains(ar.exprId) =>
+      case a: Alias => a.child match {
+        case e if e.references.nonEmpty &&
+            e.references.forall(r => groupingIds.contains(r.exprId)) &&
+            !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        case e => servedOf(e) match {
+          case Some((sa, keep)) => needCols ++= sa.needed; keepDistinct ++= keep
+          case None => return None
+        }
+      }
+      case _ => return None
+    }
+    keepDistinct.foreach { p =>
+      slots(p) match {
+        case ExprSlot(e, _) => if (slotName(e).isEmpty) return None
+        case _ => return None
+      }
+    }
+    if (!isFresh(key, reg)) {
+      logProbe(reg, "stale: the maintenance watermark is behind the base's " +
+        "current generation (maintain() or autoMaintainOn() heals it)")
+      return None
+    }
+
+    val sumPlan = reg.store.readTable(reg.summary).queryExecution.optimizedPlan
+    val byName = sumPlan.output.map(a => a.name -> a).toMap
+    // distinct-read slots resolve off the summary's group columns, not
+    // appended measures
+    val measures = needCols.toSeq.filterNot(reg.groupCols.contains)
+    if (!(reg.groupCols ++ measures).forall(byName.contains)) return None
+
+    def remap(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if byName.contains(ar.name) =>
+        val s = byName(ar.name)
+        if (s.dataType == ar.dataType) s else Cast(s, ar.dataType)
+    }
+    def remapCond(e: Expression): Expression = remap(e.transformDown {
+      case sub if deriveName(sub, reg).exists(n =>
+        reg.groupCols.contains(n) && byName.contains(n)) =>
+        byName(deriveName(sub, reg).get)
+    })
+    def remapSlot(e: Expression): Expression = e match {
+      case ar: AttributeReference =>
+        val s = byName(ar.name)
+        if (s.dataType == ar.dataType) s else Cast(s, ar.dataType)
+      case other => byName(deriveName(other, reg).get)
+    }
+
+    // the rebuilt Expand: kept positions re-emit the summary's group
+    // columns under the ORIGINAL output attributes (nulled per set
+    // identically), plus one pass-through slot per needed measure
+    val keepPos: Seq[Int] = output.indices.filter { p =>
+      slots(p) match {
+        case _: GidSlot => true
+        case _: ExprSlot => groupings.exists {
+            case ar: AttributeReference => posOf(ar.exprId) == p
+            case _ => false
+          } || keepDistinct.contains(p)
+      }
+    }
+    val measureAttrs: Map[String, AttributeReference] = measures.map { c =>
+      c -> AttributeReference("__s_" + c, byName(c).dataType, nullable = true)()
+    }.toMap
+    val newProjections: Seq[Seq[Expression]] = projections.indices.map { j =>
+      keepPos.map { p =>
+        slots(p) match {
+          case GidSlot(lits) => lits(j)
+          case ExprSlot(e, nulls) =>
+            if (nulls(j)) Literal.create(null, output(p).dataType)
+            else remapSlot(e)
+        }
+      } ++ measures.map(c => byName(c): Expression)
+    }
+    val newOutput: Seq[Attribute] = keepPos.map(output(_)) ++
+      measures.map(measureAttrs(_))
+    val summaryConds = rest.map(remapCond)
+    val filtered = summaryConds match {
+      case Nil => sumPlan
+      case cs  => Filter(cs.reduce(And), sumPlan)
+    }
+    val needed: Seq[NamedExpression] =
+      (keepPos.flatMap(p => slots(p) match {
+        case ExprSlot(e, _) => Some(byName(slotName(e).get))
+        case _ => None
+      }) ++ measures.map(byName(_))).distinct
+    val newExpand = Expand(newProjections, newOutput, Project(needed, filtered))
+
+    val newAggExprs: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
+      case (orig, src) =>
+        def under(e: Expression): NamedExpression = {
+          val cast = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
+          Alias(cast, orig.name)(exprId = orig.exprId)
+        }
+        src match {
+          case ar: AttributeReference => ar // grouping slot, preserved
+          case a: Alias => a.child match {
+            case e if e.references.nonEmpty &&
+                e.references.forall(r => groupingIds.contains(r.exprId)) &&
+                !e.exists(_.isInstanceOf[AggregateExpression]) =>
+              Alias(e, orig.name)(exprId = orig.exprId)
+            case e => servedOf(e) match {
+              case Some((SCountStar(_), _)) =>
+                under(Coalesce(Seq(Sum(measureAttrs("n_rows")).toAggregateExpression(),
+                  Literal(0L))))
+              case Some((SCountCol(nn, _), _)) =>
+                under(Coalesce(Seq(Sum(measureAttrs(nn)).toAggregateExpression(),
+                  Literal(0L))))
+              case Some((SSum(sc, _), _)) =>
+                under(Sum(measureAttrs(sc)).toAggregateExpression())
+              case Some((SAvg(sc, nn, _), _)) =>
+                under(avgFromSummary(
+                  Sum(measureAttrs(sc)).toAggregateExpression(),
+                  Coalesce(Seq(Sum(measureAttrs(nn)).toAggregateExpression(),
+                    Literal(0L)))))
+              case Some((SMin(c, _), _)) =>
+                under(Min(measureAttrs(c)).toAggregateExpression())
+              case Some((SMax(c, _), _)) =>
+                under(Max(measureAttrs(c)).toAggregateExpression())
+              case Some((SKmv(c, _), _)) =>
+                under(KmvEstimateStr(
+                  KmvMergeStrAgg(measureAttrs(c), reg.kmvK).toAggregateExpression(),
+                  reg.kmvK))
+              case Some((SCountDistinctGroup(_, _), Some(p))) =>
+                under(Count(Seq(output(p)))
+                  .toAggregateExpression(isDistinct = true))
+              case _ => return None
+            }
+          }
+          case _ => return None
+        }
+    }
+    val rewritten = Aggregate(groupings, newAggExprs, newExpand)
+    logProbe(reg, "served")
+    Some(if (having.isEmpty) rewritten else Filter(having.reduce(And), rewritten))
+  }
+
+  // ── C44r: JOIN-aware serving (star-schema MVs) ──────────────────────
+  //
+  // The most common 100 TB query is `agg(fact) JOIN dim GROUP BY
+  // dim.attr`. When the fact side of an INNER equi-join is a faithful
+  // scan of a registered base and every fact-side join key is a summary
+  // GROUP column, the classic MV expansion applies: the Aggregate over
+  // (fact ⋈ dim) is served as the same Aggregate over (summary ⋈ dim),
+  // re-aggregating the summary's cells. EXACT for every served shape:
+  // a summary row stands for n_rows fact rows that all carry identical
+  // group-column values, so it matches exactly the dim rows each of its
+  // fact rows matches — per joined (summary, dim) pair the cells
+  // contribute (n_rows, nn, sum, min, max, kmv registers) for precisely
+  // the fact×dim pairs they replace. Counts and sums scale with the
+  // join multiplicity on both sides of the equality; min/max and KMV
+  // set-union are idempotent under duplication; avg divides the two
+  // scaled sums through the same Average tree. At scale the rewritten
+  // join is summary-sized — AQE broadcasts it instead of shuffling the
+  // fact table.
+  //
+  // Conservative stand-downs (each costs nothing — the plain plan
+  // runs): non-inner or non-equi joins, a fact join key that is not a
+  // group column, aggregates or FILTER clauses touching the dim side
+  // (or mixing sides), mixed-side groupings, and everything the
+  // single-scan path already rejects (unservable fact filters, missing
+  // summary columns, staleness).
+
+  /** Strip faithful Project/SubqueryAlias layers above a Join,
+    * collecting computed-column substitutions like [[faithfulScan]]
+    * (EVERY deterministic alias is substituted — a dropped layer's
+    * attributes must all be re-expressible over the join's output). */
+  private def faithfulOverJoin(
+      p: LogicalPlan): Option[(Join, Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = p match {
+    case j @ Join(_, _, Inner, Some(_), _) => Some((j, Map.empty))
+    case SubqueryAlias(_, c) => faithfulOverJoin(c)
+    case Project(list, c) =>
+      faithfulOverJoin(c).flatMap { case (j, subst) =>
+        def inline(e: Expression): Expression = e.transform {
+          case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+        }
+        val extra = scala.collection.mutable.Map.empty[
+          org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+        val ok = list.forall {
+          case _: AttributeReference => true
+          case a @ Alias(e, _) if e.deterministic => extra += a.exprId -> inline(e); true
+          case _ => false
+        }
+        if (ok) Some((j, subst ++ extra)) else None
+      }
+    case _ => None
+  }
+
+  private def rewriteJoin(agg: Aggregate, groupings0: Seq[Expression],
+      aggExprs0: Seq[NamedExpression], child: LogicalPlan,
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    val (join, outer) = faithfulOverJoin(child).getOrElse(return None)
+    def inlineOuter(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if outer.contains(ar.exprId) => outer(ar.exprId)
+    }
+    val groupings = groupings0.map(inlineOuter)
+    val aggExprs: Seq[NamedExpression] = aggExprs0.map {
+      case ar: AttributeReference if outer.contains(ar.exprId) =>
+        Alias(outer(ar.exprId), ar.name)(exprId = ar.exprId)
+      case ne => inlineOuter(ne).asInstanceOf[NamedExpression]
+    }
+    val cond = join.condition.get
+    // either side may be the fact: try left-as-fact first, then right
+    Seq(true, false).iterator.flatMap { factOnLeft =>
+      val factPlan = if (factOnLeft) join.left else join.right
+      val dimPlan = if (factOnLeft) join.right else join.left
+      tryJoinSide(agg, groupings, aggExprs, factPlan, dimPlan, factOnLeft,
+        cond, join.hint, having)
+    }.nextOption()
+  }
+
+  private def tryJoinSide(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], factPlan: LogicalPlan, dimPlan: LogicalPlan,
+      factOnLeft: Boolean, cond: Expression,
+      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    val (paths, factConds0, factSubst) = faithfulScan(factPlan).getOrElse(return None)
+    if (paths.isEmpty) return None
+    val key = paths.map(normalize).distinct match {
+      case Seq(k) => k
+      case _      => return None
+    }
+    val candidates = Option(registry.get(key)).getOrElse(return None)
+    val factOut = factPlan.outputSet
+    val dimOut = dimPlan.outputSet
+    def inlineFact(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if factSubst.contains(ar.exprId) => factSubst(ar.exprId)
+    }
+    // every conjunct must be an equi-condition with one side referencing
+    // only the fact plan and the other only the dim plan (the optimizer
+    // pushes single-side predicates below the join, so a surviving
+    // mixed-but-not-equi conjunct is genuinely cross-side → stand down)
+    val factKeys: Seq[Expression] = conjuncts(cond).map {
+      case EqualTo(a, b) => (a, b)
+      case EqualNullSafe(a, b) => (a, b)
+      case _ => return None
+    }.map { case (a, b) =>
+      if (a.references.subsetOf(factOut) && b.references.subsetOf(dimOut)) inlineFact(a)
+      else if (b.references.subsetOf(factOut) && a.references.subsetOf(dimOut)) inlineFact(b)
+      else return None
+    }
+    candidates
+      .sortBy(_.groupCols.size)
+      .iterator
+      .map(c => tryJoinCandidate(agg, groupings, aggExprs,
+        factConds0.map(inlineFact).flatMap(conjuncts),
+        inlineFact, factKeys, dimPlan, dimOut, factOnLeft, cond, hint, key, c, having))
+      .collectFirst { case Some(p) => p }
+  }
+
+  private def tryJoinCandidate(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], factConds: Seq[Expression],
+      inlineFact: Expression => Expression, factKeys: Seq[Expression],
+      dimPlan: LogicalPlan, dimOut: AttributeSet, factOnLeft: Boolean,
+      cond: Expression,
+      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
+      key: String, reg: Registration,
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    // the name a fact-side expression serves under (bare group column
+    // or registered derivation) — the join keys and the fact-side
+    // groupings must all resolve to summary group columns
+    def factGroupName(e: Expression): Option[String] = e match {
+      case ar: AttributeReference if !reg.derive.contains(ar.name) =>
+        Some(ar.name).filter(reg.groupCols.contains)
+      case other => deriveName(other, reg).filter(reg.groupCols.contains)
+    }
+    val keyNames = factKeys.map(k => factGroupName(k).getOrElse(return None))
+    // fact-side scan filters: baked base filters drop, the rest must be
+    // answerable over summary rows (group columns only)
+    val (baked, rest) =
+      if (reg.baseFilters.isEmpty) (Nil, factConds)
+      else factConds.partition(c => reg.baseFilters.contains(normalizeExpr(c)))
+    if (!reg.baseFilters.forall(bf => baked.exists(c => normalizeExpr(c) == bf)))
+      return None
+    if (!rest.forall(c => unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)))
+      return None
+    // groupings: dim-side expressions pass through; fact-side ones must
+    // be summary group columns; mixed-side groupings stand down
+    val factGroupNames = groupings.flatMap { g =>
+      if (g.references.subsetOf(dimOut)) None
+      else if (g.references.exists(dimOut.contains)) return None
+      else Some(factGroupName(inlineFact(g)).getOrElse(return None))
+    }
+    // first pass: classify every output, collecting the summary columns
+    // this query needs. Aggregates must range over the fact side only
+    // (a dim-side or mixed measure is not in the summary), and FILTER
+    // clauses over fact group columns only (matchAgg's contract).
+    val needCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    def servedAggOf(e: Expression): Option[ServedAgg] = e match {
+      case ae: AggregateExpression
+          if !ae.references.exists(dimOut.contains) =>
+        inlineFact(ae) match {
+          case x: AggregateExpression => matchAgg(x, reg)
+          case _ => None
+        }
+      case _ => None
+    }
+    // a dim-side expression passes through ONLY when aggregate-free: an
+    // aggregate over dim values (sum(d.x)) scales with the fact-side
+    // join multiplicity, which the summary join collapses — stand down
+    def dimPassThrough(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(dimOut) &&
+        !e.exists(_.isInstanceOf[AggregateExpression])
+    aggExprs.foreach {
+      case ar: AttributeReference =>
+        if (!dimOut.contains(ar) && factGroupName(inlineFact(ar)).isEmpty) return None
+      case a: Alias => a.child match {
+        case e if dimPassThrough(e) =>
+        case e if !e.references.exists(dimOut.contains) &&
+            factGroupName(inlineFact(e)).exists(factGroupNames.contains) =>
+        case e => servedAggOf(e) match {
+          case Some(sa) => needCols ++= sa.needed
+          case None => return None
+        }
+      }
+      case _ => return None
+    }
+    if (!isFresh(key, reg)) {
+      logProbe(reg, "stale: the maintenance watermark is behind the base's " +
+        "current generation (maintain() or autoMaintainOn() heals it)")
+      return None
+    }
+
+    val sumPlan = reg.store.readTable(reg.summary).queryExecution.optimizedPlan
+    val byName = sumPlan.output.map(a => a.name -> a).toMap
+    if (!(reg.groupCols ++ needCols.toSeq).forall(byName.contains)) return None
+
+    // fact→summary attribute remap BY NAME, restricted to non-dim attrs
+    // (a dim column sharing a summary column's name must never remap);
+    // derived subtrees collapse to their summary column first
+    def remapJ(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if !dimOut.contains(ar) && byName.contains(ar.name) =>
+        val s = byName(ar.name)
+        if (s.dataType == ar.dataType) s else Cast(s, ar.dataType)
+    }
+    def remapCondJ(e: Expression): Expression = remapJ(e.transformDown {
+      case sub if sub.references.nonEmpty && !sub.references.exists(dimOut.contains) &&
+          deriveName(sub, reg).exists(n =>
+            reg.groupCols.contains(n) && byName.contains(n)) =>
+        byName(deriveName(sub, reg).get)
+    })
+
+    // the summary side of the rewritten join: servable fact filters
+    // remapped onto the summary scan (parquet row-group pruning), then
+    // pruned to exactly the columns the join + aggregate consume
+    val summaryConds = rest.map(remapCondJ)
+    val filtered = summaryConds match {
+      case Nil => sumPlan
+      case cs  => Filter(cs.reduce(And), sumPlan)
+    }
+    val keep: Seq[NamedExpression] =
+      ((keyNames ++ factGroupNames).distinct.map(byName(_)) ++
+        needCols.toSeq.map(byName(_))).distinct
+    val factSide: LogicalPlan = Project(keep, filtered)
+    val newCond = remapCondJ(inlineFact(cond))
+    val newJoin = Join(
+      if (factOnLeft) factSide else dimPlan,
+      if (factOnLeft) dimPlan else factSide,
+      Inner, Some(newCond), hint)
+
+    // re-aggregation cells over the joined relation — always the rollup
+    // algebra (each output group spans ≥1 (summary, dim) pairs)
+    val minCols = reg.mins.values.toSet
+    val maxCols = reg.maxs.values.toSet
+    val kmvCols = reg.kmv.values.toSet
+    def rolled(n: String, f: Option[Expression]): Expression = {
+      val raw = byName(n)
+      val child = f match {
+        case None => raw
+        case Some(p) => If(remapCondJ(inlineFact(p)), raw, Literal.create(null, raw.dataType))
+      }
+      if (minCols(n)) Min(child).toAggregateExpression()
+      else if (maxCols(n)) Max(child).toAggregateExpression()
+      else if (kmvCols(n)) KmvMergeStrAgg(child, reg.kmvK).toAggregateExpression()
+      else Sum(child).toAggregateExpression()
+    }
+    def countCell(n: String, f: Option[Expression]): Expression =
+      Coalesce(Seq(rolled(n, f), Literal(0L)))
+    def distinctCell(n: String, f: Option[Expression]): Expression = {
+      val raw = byName(n)
+      val child = f match {
+        case None => raw
+        case Some(p) => If(remapCondJ(inlineFact(p)), raw, Literal.create(null, raw.dataType))
+      }
+      Count(Seq(child)).toAggregateExpression(isDistinct = true)
+    }
+
+    val newGroupings: Seq[Expression] = groupings.map { g =>
+      if (g.references.subsetOf(dimOut)) g else remapCondJ(inlineFact(g))
+    }
+    val newAggExprs: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
+      case (orig, src) =>
+        def under(e: Expression): NamedExpression = {
+          val cast = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
+          Alias(cast, orig.name)(exprId = orig.exprId)
+        }
+        src match {
+          case ar: AttributeReference if dimOut.contains(ar) => ar
+          case ar: AttributeReference => under(remapCondJ(inlineFact(ar)))
+          case a: Alias => a.child match {
+            case e if dimPassThrough(e) =>
+              Alias(e, orig.name)(exprId = orig.exprId)
+            case e if !e.references.exists(dimOut.contains) &&
+                factGroupName(inlineFact(e)).exists(factGroupNames.contains) =>
+              under(remapCondJ(inlineFact(e)))
+            case e => servedAggOf(e) match {
+              case Some(SCountStar(f)) => under(countCell("n_rows", f))
+              case Some(SCountCol(nn, f)) => under(countCell(nn, f))
+              case Some(SSum(sc, f)) => under(rolled(sc, f))
+              case Some(SAvg(sc, nn, f)) =>
+                under(avgFromSummary(rolled(sc, f), countCell(nn, f)))
+              case Some(SMin(c, f)) => under(rolled(c, f))
+              case Some(SMax(c, f)) => under(rolled(c, f))
+              case Some(SKmv(c, f)) => under(KmvEstimateStr(rolled(c, f), reg.kmvK))
+              case Some(SCountDistinctGroup(c, f)) => under(distinctCell(c, f))
+              case None => return None
+            }
+          }
+          case _ => return None
+        }
+    }
+    val rewritten = Aggregate(newGroupings, newAggExprs, newJoin)
+    logProbe(reg, "served")
+    Some(if (having.isEmpty) rewritten else Filter(having.reduce(And), rewritten))
   }
 }

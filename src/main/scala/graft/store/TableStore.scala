@@ -141,7 +141,7 @@ final class TableStore(
   private def historyPath(name: String) = new Path(tablePath(name), "history")
 
   /** Cheap cross-process change signal for the SummaryRewrite freshness
-    * cache, CONTENT-DERIVED on the base side: generations are
+    * cache, CONTENT-DERIVED on both sides: generations are
     * sequential (m000042.json lands after m000041), so ANY foreign
     * commit past the probed generation CREATES the `m{baseGen+1}` file
     * — an existence check on that specific path is immune to mtime
@@ -150,25 +150,30 @@ final class TableStore(
     * that never bump directory mtimes at all (S3-style). First
     * component: 0 while no newer manifest exists, −1 once one does (or
     * on probe error) — −1 never matches a cached signature, forcing
-    * the full freshness probe. Second component: props.json mtime, the
-    * signal for props-only changes (watermark advance, write-ahead
-    * intent). Props-only transitions can only flip a summary
-    * STALE→fresh (every fresh→stale transition starts with a base
-    * commit, which the existence probe catches), so a same-tick props
-    * change can only DELAY serving, never serve stale. Two
-    * getFileStatus calls, O(1) — never the O(#generations) listing the
-    * full probe pays. */
+    * the full freshness probe. Second component: the summary's
+    * MONOTONIC props version (stamped into the payload by every
+    * [[setProperties]]), the signal for props-only changes (watermark
+    * advance, write-ahead intent) — since r14 content-derived too: a
+    * foreign maintenance write landing within the filesystem's mtime
+    * granularity used to be invisible on coarse-mtime stores (ADVICE
+    * r13 "What's missing #5"); the counter can never collide. One
+    * getFileStatus + one small props read, O(1) — never the
+    * O(#generations) listing the full probe pays. */
   private[graft] def stalenessSignature(base: String, summary: String,
       baseGen: Int): (Long, Long) = {
-    def mt(p: Path): Long =
-      try fs.getFileStatus(p).getModificationTime
-      catch {
-        case _: java.io.FileNotFoundException => 0L
-        case _: Exception => -1L
-      }
-    val next = mt(manifestPath(base, baseGen + 1))
-    (if (next == 0L) 0L else -1L, mt(propsPath(summary)))
+    val next =
+      try { if (fs.exists(manifestPath(base, baseGen + 1))) -1L else 0L }
+      catch { case _: Exception => -1L }
+    (next, propsVersion(summary))
   }
+
+  /** The table's monotonic props version (0 before any write, −1 on a
+    * read error — never matches a cached signature). */
+  private[graft] def propsVersion(name: String): Long =
+    try propertiesRaw(name).get(PropsVersion).map(_.toLong).getOrElse(0L)
+    catch { case _: Exception => -1L }
+
+  private[graft] val PropsVersion = "graft.props.version"
   private def manifestPath(name: String, gen: Int) =
     new Path(historyPath(name), f"m$gen%06d.json")
   private def removedPath(name: String, gen: Int) =
@@ -370,7 +375,13 @@ final class TableStore(
     * watermark and its write-ahead intent record, [[IncrementalAgg]]).
     * Written with the tmp-write + rename swap, so a reader never sees
     * a torn file; a crash mid-set leaves the previous version. */
-  def properties(name: String): Map[String, String] = {
+  def properties(name: String): Map[String, String] =
+    propertiesRaw(name) - PropsVersion
+
+  /** [[properties]] INCLUDING the internal monotonic version stamp —
+    * the read-modify-write and staleness-signature paths need it; the
+    * public view hides it (consumer-owned keys only). */
+  private def propertiesRaw(name: String): Map[String, String] = {
     if (!exists(name)) throw errors.TableDoesNotExist(name)
     // a missing main file with a complete tmp is the delete→rename
     // crash window of setProperties — the tmp IS the committed state
@@ -399,7 +410,13 @@ final class TableStore(
     // heal a previous delete→rename crash window BEFORE truncating the
     // tmp (which is the committed state in that window)
     if (!fs.exists(propsPath(name)) && fs.exists(tmp)) fs.rename(tmp, propsPath(name))
-    val merged = (properties(name) ++ kvs) -- remove
+    val prev = propertiesRaw(name)
+    // monotonic version stamp IN the payload: the cross-process change
+    // signal [[propsVersion]] reads — unlike the file's mtime, a foreign
+    // write landing within the filesystem's timestamp granularity (or on
+    // an object store that rounds mtimes) can never be invisible
+    val merged = ((prev ++ kvs) -- remove) + (PropsVersion ->
+      (prev.get(PropsVersion).map(_.toLong + 1L).getOrElse(1L)).toString)
     val node = mapper.createObjectNode()
     merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
     val out = fs.create(tmp, true)

@@ -502,6 +502,52 @@ class GraftApiSpec extends AnyFunSuite {
     } finally { g.summaries.detach("ev"); g.close() }
   }
 
+  test("C46d: summaries.explain names the reason a query did or did not serve") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val g = Graft(spark, Files.createTempDirectory("graft_mvexp_").toString)
+    try {
+      g.create.tableFromDataFrame("base",
+        Seq((1L, "a", "x", 10.0), (2L, "a", "y", 20.0), (3L, "b", "x", 30.0))
+          .toDF("k", "grp", "sub", "v"), Seq("k"))
+      g.create.tableFromDataFrame("other",
+        Seq((1L, 5.0)).toDF("k", "w"), Seq("k"))
+      g.summaries.define("s_g", "base", Seq("grp"), Seq("v"))
+      g.summaries.define("s_other", "other", Seq("k"), Seq("w"))
+      def reason(df: org.apache.spark.sql.DataFrame, summary: String): String =
+        g.summaries.explain(df).find(_.summary == summary)
+          .map(_.outcome).getOrElse(fail(s"no probe row for $summary"))
+      val base = g.read.table("base")
+      def q(d: org.apache.spark.sql.DataFrame) = d.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2))).as("s"))
+      // served
+      assert(reason(q(base), "s_g") == "served")
+      // an unrelated registration reports not-a-candidate
+      assert(reason(q(base), "s_other").startsWith("not a candidate"))
+      // grouping mismatch
+      assert(reason(base.groupBy("sub").agg(count(lit(1)).as("n")), "s_g")
+        .startsWith("grouping mismatch"), reason(base.groupBy("sub").agg(count(lit(1)).as("n")), "s_g"))
+      // unservable predicate (a measure filter)
+      assert(reason(q(base.filter(col("v") > 15)), "s_g")
+        .startsWith("unservable predicate"))
+      // unservable aggregate (a measure the summary does not carry)
+      assert(reason(base.groupBy("grp")
+          .agg(sum(col("k").cast(DecimalType(18, 2))).as("sk")), "s_g")
+        .startsWith("unservable aggregate"))
+      // min over a sum-only summary: matched aggregate, missing column
+      assert(reason(base.groupBy("grp")
+          .agg(min(col("v").cast(DecimalType(18, 2))).as("lo")), "s_g")
+        .startsWith("missing summary column"))
+      // stale after an unmaintained commit, served again after maintain
+      g.write.insert("base", Seq((4L, "c", "x", 40.0)).toDF("k", "grp", "sub", "v"))
+      assert(reason(q(g.read.table("base")), "s_g").startsWith("stale"))
+      g.summaries.maintain("s_g")
+      assert(reason(q(g.read.table("base")), "s_g") == "served")
+      // probing must not disturb normal serving (plan caches intact)
+      assert(q(g.read.table("base")).collect().length == 3)
+    } finally { g.summaries.detach("base"); g.summaries.detach("other"); g.close() }
+  }
+
   test("detach() disarms auto-maintenance; list() covers the ## session temp root") {
     import org.apache.spark.sql.functions._
     val g = Graft(spark, Files.createTempDirectory("graft_mvdet_").toString)

@@ -1345,6 +1345,219 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "base")
   }
 
+  test("C44r: JOIN-aware serving — agg(fact ⋈ dim) GROUP BY dim.attr reads summary ⋈ dim, exactly") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    // fact: PK k, group g (the dim key), measure v — g=42 has NO dim row
+    // (inner join drops it) and dim key "d" has NO fact rows
+    store.createTableFromDataFrame("fact",
+      Seq((1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 30.0), (4L, 2, 31.0),
+        (5L, 3, 50.0), (6L, 42, 99.0)).toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    // dim carries a DUPLICATE key (g=3 twice) — the multiplicity case
+    store.createTableFromDataFrame("dim",
+      Seq((1, "east", 1.5), (2, "west", 2.5), (3, "east", 3.5), (3, "east2", 3.6),
+        (4, "south", 4.5)).toDF("g", "attr", "w"),
+      Seq.empty, infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMinMax(store.readTable("fact"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "fact", "summary",
+      store.snapshots("fact").last._1)
+    SummaryRewrite.register(spark, store, "fact", "summary", Seq("g"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def checkServed(mk: => org.apache.spark.sql.DataFrame, by: String*): Unit = {
+        val paths = scanPaths(mk)
+        assert(!paths.exists(_.contains("fact")),
+          s"the fact table must NOT be scanned: ${mk.queryExecution.optimizedPlan}")
+        assert(paths.exists(_.contains("summary")), "the summary must be scanned")
+        SummaryRewrite.unregister(store, "fact")
+        val raw = mk.orderBy(by.map(col): _*).collect().toSeq.map(_.toString)
+        SummaryRewrite.register(spark, store, "fact", "summary", Seq("g"), "v")
+        val served = mk.orderBy(by.map(col): _*).collect().toSeq.map(_.toString)
+        assert(served == raw, s"served=$served raw=$raw")
+      }
+      val fact = store.readTable("fact")
+      val dim = store.readTable("dim")
+      // the star shape: group by dim attr, full aggregate menu
+      checkServed(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("a"),
+          min(col("v").cast(DecimalType(18, 2))).as("lo"),
+          max(col("v").cast(DecimalType(18, 2))).as("hi")), "attr")
+      // grouping by BOTH a dim attr and the fact group column
+      checkServed(fact.join(dim, fact("g") === dim("g")).groupBy(dim("attr"), fact("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2))).as("s")),
+        "attr", "g")
+      // GLOBAL aggregate over the join (empty grouping)
+      checkServed(fact.join(dim, fact("g") === dim("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2))).as("s")), "n")
+      // fact-side WHERE over a group column still serves (filter lands
+      // on the summary scan)
+      checkServed(fact.filter(col("g") =!= 2).join(dim, fact("g") === dim("g"))
+        .groupBy("attr").agg(count(lit(1)).as("n")), "attr")
+      // exact COUNT(DISTINCT fact group col) per dim attr
+      checkServed(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
+        .agg(count_distinct(fact("g")).as("ng"), count(lit(1)).as("n")), "attr")
+      // ── stand-downs ──
+      def standsDown(df: org.apache.spark.sql.DataFrame, why: String): Unit =
+        assert(scanPaths(df).exists(_.contains("fact")),
+          s"$why must fall back to the fact scan: ${df.queryExecution.optimizedPlan}")
+      // non-equi join
+      standsDown(fact.join(dim, fact("g") <= dim("g")).groupBy("attr")
+        .agg(count(lit(1)).as("n")), "a non-equi join")
+      // join key not a summary group column
+      standsDown(fact.join(dim, fact("k") === dim("g")).groupBy("attr")
+        .agg(count(lit(1)).as("n")), "a non-group join key")
+      // dim-side measure in the aggregate
+      standsDown(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
+        .agg(sum(col("w").cast(DecimalType(18, 2))).as("sw")), "a dim-side measure")
+      // mixed-side aggregate
+      standsDown(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
+        .agg(sum((col("v") * col("w")).cast(DecimalType(18, 2))).as("svw")),
+        "a mixed-side measure")
+      // fact-side filter on a MEASURE (not answerable over summary rows)
+      standsDown(fact.filter(col("v") > 15).join(dim, fact("g") === dim("g"))
+        .groupBy("attr").agg(count(lit(1)).as("n")), "a fact measure filter")
+      // outer join (unmatched dim rows would fabricate null groups)
+      standsDown(fact.join(dim, fact("g") === dim("g"), "left")
+        .groupBy("attr").agg(count(lit(1)).as("n")), "a left outer join")
+      // stale summary: a fact commit without maintenance stands down
+      store.insert("fact", Seq((7L, 1, 70.0)).toDF("k", "g", "v"))
+      standsDown(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
+        .agg(count(lit(1)).as("n")), "a stale summary")
+      IncrementalAgg.maintainMinMaxToCurrent(store, "fact", "summary", Seq("g"), "v")
+      val fact2 = store.readTable("fact")
+      checkServed(fact2.join(dim, fact2("g") === dim("g"))
+        .groupBy("attr").agg(count(lit(1)).as("n")), "attr")
+    } finally SummaryRewrite.unregister(store, "fact")
+  }
+
+  test("C44s: ROLLUP/CUBE/GROUPING SETS serve from the summary — Expand over cells, never the base") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", "x", 10.0), (2L, "a", "y", 20.0), (3L, "a", "y", 21.0),
+        (4L, "b", "x", 30.0), (5L, "c", "x", 50.0), (6L, "c", "z", 51.0))
+        .toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMinMax(store.readTable("base"), Seq("g", "h"), "v"),
+      Seq("g", "h"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def checkServed(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        assert(scanPaths(mk).forall(_.contains("summary")),
+          s"should serve: ${mk.queryExecution.optimizedPlan}")
+        SummaryRewrite.unregister(store, "base")
+        val raw = mk.collect().toSeq.map(_.toString).sorted
+        SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "h"), "v")
+        assert(mk.collect().toSeq.map(_.toString).sorted == raw)
+      }
+      val base = store.readTable("base")
+      // ROLLUP over both grains, full measure menu
+      checkServed(base.rollup("g", "h")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("a"),
+          min(col("v").cast(DecimalType(18, 2))).as("lo"),
+          max(col("v").cast(DecimalType(18, 2))).as("hi")))
+      // CUBE (adds the (h)-only set), count(v) non-null count rides
+      checkServed(base.cube("g", "h")
+        .agg(count(col("v")).as("nv"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s")))
+      // subset rollup (one group col), with a served WHERE on the other
+      checkServed(base.filter(col("h") =!= "z").rollup("g")
+        .agg(count(lit(1)).as("n"),
+          max(col("v").cast(DecimalType(18, 2))).as("hi")))
+      // grouping() marker functions ride over the grouping-id slot
+      checkServed(base.rollup("g", "h")
+        .agg(grouping(col("g")).as("gg"), count(lit(1)).as("n")))
+      // COUNT(DISTINCT h) under ROLLUP(g): h is a passthrough slot read
+      // verbatim off preserved summary values
+      checkServed(base.rollup("g")
+        .agg(count_distinct(col("h")).as("nh"), count(lit(1)).as("n")))
+      // ── stand-downs ──
+      def standsDown(df: org.apache.spark.sql.DataFrame, why: String): Unit =
+        assert(scanPaths(df).exists(_.contains("base")),
+          s"$why must fall back: ${df.queryExecution.optimizedPlan}")
+      // a grouping-set column that is NOT a summary group column
+      standsDown(base.rollup("g", "v").agg(count(lit(1)).as("n")),
+        "a non-group grouping-set column")
+      // a measure the summary does not carry
+      standsDown(base.rollup("g").agg(sum(col("k").cast(DecimalType(18, 2))).as("sk")),
+        "an unsummarized measure")
+      // a measure filter
+      standsDown(base.filter(col("v") > 15).rollup("g").agg(count(lit(1)).as("n")),
+        "a measure-filtered rollup")
+      // staleness
+      store.insert("base", Seq((7L, "a", "x", 70.0)).toDF("k", "g", "h", "v"))
+      standsDown(base.rollup("g", "h").agg(count(lit(1)).as("n")), "a stale summary")
+      IncrementalAgg.maintainMinMaxToCurrent(store, "base", "summary", Seq("g", "h"), "v")
+      checkServed(store.readTable("base").rollup("g", "h")
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2))).as("s")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("r14: content-derived props signature — a same-mtime foreign maintenance write still flips freshness") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.SummaryRewrite
+    val dir = Files.createTempDirectory("graft_propsv_").toString
+    val store = new TableStore(spark, dir)
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"), Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def q = store.readTable("base").groupBy("g").agg(count(lit(1)).as("n"))
+      assert(scans(q).forall(_.contains("summary")))
+      // stale it in-process, and compile twice so the not-fresh probe
+      // result is CACHED with the current signature
+      store.insert("base", Seq((3L, "c", 30.0)).toDF("k", "g", "v"))
+      assert(scans(q).exists(_.contains("base")))
+      assert(scans(q).exists(_.contains("base")))
+      val props = new java.io.File(dir, "summary/props.json")
+      val pinned = props.lastModified()
+      // FOREIGN maintenance (a second store instance = second process):
+      // advances the watermark through a props write this session's
+      // in-process commit epoch cannot see
+      val store2 = new TableStore(spark, dir)
+      IncrementalAgg.maintainToCurrent(store2, "base", "summary", Seq("g"), "v")
+      // pin the file's mtime back to the pre-write value — on a
+      // coarse-mtime store the write is invisible to any timestamp
+      // signature; the in-payload monotonic version is not
+      assert(props.setLastModified(pinned))
+      assert(scans(q).forall(_.contains("summary")),
+        "a same-mtime foreign maintenance write must still flip the summary fresh")
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
   test("C44q: exact-grain COUNT(DISTINCT group col) answers 0 for a NULL group (public register() path)") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import graft.plans.SummaryRewrite
