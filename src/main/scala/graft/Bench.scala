@@ -119,6 +119,10 @@ object Bench {
     "summary_rewrite_having" -> "swhv", // NEW r13 (C44n HAVING pushdown)
     "summary_automaintain_read" -> "swam", // NEW r13 (C48 auto-maintained MV)
     "summary_rewrite_countdistinct" -> "swcd", // NEW r13 (C44q count-distinct-group)
+    "summary_join_read" -> "swjn", // NEW r14 (C44r star-schema join serving)
+    "summary_rewrite_rollupsets" -> "swgs", // NEW r14 (C44s grouping-sets serving)
+    "summary_kmv_daily_read" -> "swkd", // NEW r14 (C41h-b distinctmulti×derive, auto-maintained)
+    "summary_quantile_filtered_read" -> "swqf", // NEW r14 (C41g-c filtered quantile)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualNullSafe, EqualTo, Expression, If, IsNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -1053,6 +1053,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       output: Seq[Attribute], slots: Seq[Slot], conds: Seq[Expression],
       key: String, reg: Registration,
       having: Seq[Expression]): Option[LogicalPlan] = {
+    def no(why: String): Option[LogicalPlan] = { logProbe(reg, why); None }
     // the summary group column an expression slot serves under
     def slotName(e: Expression): Option[String] = e match {
       case ar: AttributeReference if !reg.derive.contains(ar.name) =>
@@ -1071,9 +1072,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case ar: AttributeReference =>
         slots(posOf(ar.exprId)) match {
           case _: GidSlot =>
-          case ExprSlot(e, _) => if (slotName(e).isEmpty) return None
+          case ExprSlot(e, _) => if (slotName(e).isEmpty) return no(
+            s"grouping mismatch: grouping-set column ${e.sql} is not a summary group column")
         }
-      case _ => return None
+      case other => return no(s"grouping mismatch: ${other.sql} is not an Expand output")
     }
     // scan-level filters: baked base filters drop, the rest must be
     // answerable over summary rows
@@ -1081,9 +1083,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if (reg.baseFilters.isEmpty) (Nil, conds)
       else conds.partition(c => reg.baseFilters.contains(normalizeExpr(c)))
     if (!reg.baseFilters.forall(bf => baked.exists(c => normalizeExpr(c) == bf)))
-      return None
-    if (!rest.forall(c => unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)))
-      return None
+      return no("unservable predicate: the query lacks a filter baked " +
+        "into the summary (it ranges over more rows than the summary covers)")
+    rest.find(c => !unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)) match {
+      case Some(c) => return no(
+        s"unservable predicate: ${c.sql} references non-group columns")
+      case None =>
+    }
     // classify outputs; aggregates substitute their pass-through slot
     // references with the slot's source expression before matching.
     // needCols collects summary measure columns; keepDistinct collects
@@ -1136,15 +1142,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             !e.exists(_.isInstanceOf[AggregateExpression]) =>
         case e => servedOf(e) match {
           case Some((sa, keep)) => needCols ++= sa.needed; keepDistinct ++= keep
-          case None => return None
+          case None => return no(s"unservable aggregate: ${e.sql}")
         }
       }
-      case _ => return None
+      case other => return no(s"unservable output: ${other.sql}")
     }
     keepDistinct.foreach { p =>
       slots(p) match {
-        case ExprSlot(e, _) => if (slotName(e).isEmpty) return None
-        case _ => return None
+        case ExprSlot(e, _) => if (slotName(e).isEmpty) return no(
+          s"unservable aggregate: COUNT(DISTINCT ${e.sql}) — not a summary group column")
+        case _ => return no("unservable aggregate: COUNT(DISTINCT <grouping-set slot>)")
       }
     }
     if (!isFresh(key, reg)) {
@@ -1158,7 +1165,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // distinct-read slots resolve off the summary's group columns, not
     // appended measures
     val measures = needCols.toSeq.filterNot(reg.groupCols.contains)
-    if (!(reg.groupCols ++ measures).forall(byName.contains)) return None
+    if (!(reg.groupCols ++ measures).forall(byName.contains))
+      return no("missing summary column(s): " +
+        (reg.groupCols ++ measures).filterNot(byName.contains).mkString(", "))
 
     def remap(e: Expression): Expression = e.transform {
       case ar: AttributeReference if byName.contains(ar.name) =>
@@ -1297,7 +1306,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * attributes must all be re-expressible over the join's output). */
   private def faithfulOverJoin(
       p: LogicalPlan): Option[(Join, Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = p match {
-    case j @ Join(_, _, Inner, Some(_), _) => Some((j, Map.empty))
+    case j @ Join(_, _, Inner | LeftSemi | LeftAnti, Some(_), _) => Some((j, Map.empty))
     case SubqueryAlias(_, c) => faithfulOverJoin(c)
     case Project(list, c) =>
       faithfulOverJoin(c).flatMap { case (j, subst) =>
@@ -1329,63 +1338,108 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         Alias(outer(ar.exprId), ar.name)(exprId = ar.exprId)
       case ne => inlineOuter(ne).asInstanceOf[NamedExpression]
     }
-    val cond = join.condition.get
-    // either side may be the fact: try left-as-fact first, then right
-    Seq(true, false).iterator.flatMap { factOnLeft =>
-      val factPlan = if (factOnLeft) join.left else join.right
-      val dimPlan = if (factOnLeft) join.right else join.left
-      tryJoinSide(agg, groupings, aggExprs, factPlan, dimPlan, factOnLeft,
-        cond, join.hint, having)
+    // the SPINE: the tree of inner equi-joins — plus LEFT SEMI/ANTI
+    // nodes, whose RIGHT side filters the left (EXISTS / NOT EXISTS)
+    // without contributing rows — under the Aggregate, seen through
+    // pure column-pruning Projects (bare attributes only — the shape
+    // the optimizer inserts between the joins of a multi-dimension
+    // star). Any other node is an opaque LEAF: a candidate fact (if it
+    // faithfully scans a registered base) or a dim subtree kept
+    // verbatim. A semi/anti RIGHT subtree is condition context only —
+    // its leaves can never be the fact (the aggregate does not range
+    // over its rows).
+    def walk(p: LogicalPlan): (Seq[LogicalPlan], Seq[LogicalPlan]) = p match {
+      case Join(l, r, Inner, Some(_), _) =>
+        val (ll, lf) = walk(l); val (rl, rf) = walk(r)
+        (ll ++ rl, lf ++ rf)
+      case Join(l, r, LeftSemi | LeftAnti, Some(_), _) =>
+        val (ll, lf) = walk(l)
+        (ll, lf :+ r)
+      case Project(list, c) if list.forall(_.isInstanceOf[AttributeReference]) =>
+        walk(c)
+      case SubqueryAlias(_, c) => walk(c)
+      case other => (Seq(other), Nil)
+    }
+    val (leaves, filterOnly) = walk(join)
+    leaves.iterator.flatMap { factLeaf =>
+      tryFactLeaf(agg, groupings, aggExprs, join, factLeaf,
+        leaves ++ filterOnly, having)
     }.nextOption()
   }
 
-  private def tryJoinSide(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], factPlan: LogicalPlan, dimPlan: LogicalPlan,
-      factOnLeft: Boolean, cond: Expression,
-      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
+  private def tryFactLeaf(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], join: Join, factLeaf: LogicalPlan,
+      leaves: Seq[LogicalPlan],
       having: Seq[Expression]): Option[LogicalPlan] = {
-    val (paths, factConds0, factSubst) = faithfulScan(factPlan).getOrElse(return None)
+    val (paths, factConds0, factSubst) = faithfulScan(factLeaf).getOrElse(return None)
     if (paths.isEmpty) return None
     val key = paths.map(normalize).distinct match {
       case Seq(k) => k
       case _      => return None
     }
     val candidates = Option(registry.get(key)).getOrElse(return None)
-    val factOut = factPlan.outputSet
-    val dimOut = dimPlan.outputSet
+    val factOut = factLeaf.outputSet
+    val dimOut = AttributeSet(leaves.filterNot(_ eq factLeaf).flatMap(_.output))
     def inlineFact(e: Expression): Expression = e.transform {
       case ar: AttributeReference if factSubst.contains(ar.exprId) => factSubst(ar.exprId)
     }
-    // every conjunct must be an equi-condition with one side referencing
-    // only the fact plan and the other only the dim plan (the optimizer
-    // pushes single-side predicates below the join, so a surviving
-    // mixed-but-not-equi conjunct is genuinely cross-side → stand down)
-    val factKeys: Seq[Expression] = conjuncts(cond).map {
-      case EqualTo(a, b) => (a, b)
-      case EqualNullSafe(a, b) => (a, b)
-      case _ => return None
-    }.map { case (a, b) =>
-      if (a.references.subsetOf(factOut) && b.references.subsetOf(dimOut)) inlineFact(a)
-      else if (b.references.subsetOf(factOut) && a.references.subsetOf(dimOut)) inlineFact(b)
-      else return None
+    def containsFact(p: LogicalPlan): Boolean = p.exists(_ eq factLeaf)
+    // every conjunct TOUCHING the fact — at any join along the spine —
+    // must be an equi-condition with one side referencing only the fact
+    // leaf and the other fact-free (the optimizer pushes single-side
+    // predicates below joins, so a surviving mixed-but-not-equi
+    // fact-touching conjunct is genuinely cross-side → stand down).
+    // Fact-free conjuncts (dim⋈dim keys, dim predicates) pass verbatim.
+    val keyBuf = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    def factEqui(c: Expression): Boolean = conjuncts(c).forall {
+      case cj if !cj.references.exists(factOut.contains) => true
+      case EqualTo(a, b) =>
+        if (a.references.subsetOf(factOut) && !b.references.exists(factOut.contains)) {
+          keyBuf += inlineFact(a); true
+        } else if (b.references.subsetOf(factOut) && !a.references.exists(factOut.contains)) {
+          keyBuf += inlineFact(b); true
+        } else false
+      case EqualNullSafe(a, b) =>
+        if (a.references.subsetOf(factOut) && !b.references.exists(factOut.contains)) {
+          keyBuf += inlineFact(a); true
+        } else if (b.references.subsetOf(factOut) && !a.references.exists(factOut.contains)) {
+          keyBuf += inlineFact(b); true
+        } else false
+      case _ => false
     }
+    def collectKeys(p: LogicalPlan): Boolean = p match {
+      case Join(l, r, Inner, Some(c), _) if containsFact(p) =>
+        factEqui(c) && collectKeys(l) && collectKeys(r)
+      // a semi/anti keeps or drops left rows wholesale per key match —
+      // with fact keys that are group columns, whole GROUPS survive or
+      // die together (nulls too: a null key matches nothing under
+      // EqualTo on both the fact rows and their summary row), so the
+      // same semi/anti over the summary is exact. The fact must sit on
+      // the LEFT — the right side's rows never reach the aggregate.
+      case Join(l, r, LeftSemi | LeftAnti, Some(c), _) if containsFact(p) =>
+        !r.exists(_ eq factLeaf) && factEqui(c) && collectKeys(l)
+      case Project(_, c) if containsFact(p) => collectKeys(c)
+      case SubqueryAlias(_, c) if containsFact(p) => collectKeys(c)
+      case _ => true // a fact-free branch constrains nothing
+    }
+    if (!collectKeys(join)) return None
+    val factKeys = keyBuf.toSeq
     candidates
       .sortBy(_.groupCols.size)
       .iterator
       .map(c => tryJoinCandidate(agg, groupings, aggExprs,
         factConds0.map(inlineFact).flatMap(conjuncts),
-        inlineFact, factKeys, dimPlan, dimOut, factOnLeft, cond, hint, key, c, having))
+        inlineFact, factKeys, join, factLeaf, dimOut, key, c, having))
       .collectFirst { case Some(p) => p }
   }
 
   private def tryJoinCandidate(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], factConds: Seq[Expression],
       inlineFact: Expression => Expression, factKeys: Seq[Expression],
-      dimPlan: LogicalPlan, dimOut: AttributeSet, factOnLeft: Boolean,
-      cond: Expression,
-      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint,
+      join: Join, factLeaf: LogicalPlan, dimOut: AttributeSet,
       key: String, reg: Registration,
       having: Seq[Expression]): Option[LogicalPlan] = {
+    def no(why: String): Option[LogicalPlan] = { logProbe(reg, why); None }
     // the name a fact-side expression serves under (bare group column
     // or registered derivation) — the join keys and the fact-side
     // groupings must all resolve to summary group columns
@@ -1394,22 +1448,29 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         Some(ar.name).filter(reg.groupCols.contains)
       case other => deriveName(other, reg).filter(reg.groupCols.contains)
     }
-    val keyNames = factKeys.map(k => factGroupName(k).getOrElse(return None))
+    val keyNames = factKeys.map(k => factGroupName(k).getOrElse(return no(
+      s"grouping mismatch: join key ${k.sql} is not a summary group column")))
     // fact-side scan filters: baked base filters drop, the rest must be
     // answerable over summary rows (group columns only)
     val (baked, rest) =
       if (reg.baseFilters.isEmpty) (Nil, factConds)
       else factConds.partition(c => reg.baseFilters.contains(normalizeExpr(c)))
     if (!reg.baseFilters.forall(bf => baked.exists(c => normalizeExpr(c) == bf)))
-      return None
-    if (!rest.forall(c => unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)))
-      return None
+      return no("unservable predicate: the query lacks a filter baked " +
+        "into the summary (it ranges over more rows than the summary covers)")
+    rest.find(c => !unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)) match {
+      case Some(c) => return no(
+        s"unservable predicate: ${c.sql} references non-group columns")
+      case None =>
+    }
     // groupings: dim-side expressions pass through; fact-side ones must
     // be summary group columns; mixed-side groupings stand down
     val factGroupNames = groupings.flatMap { g =>
       if (g.references.subsetOf(dimOut)) None
-      else if (g.references.exists(dimOut.contains)) return None
-      else Some(factGroupName(inlineFact(g)).getOrElse(return None))
+      else if (g.references.exists(dimOut.contains))
+        return no(s"grouping mismatch: ${g.sql} mixes fact and dim columns")
+      else Some(factGroupName(inlineFact(g)).getOrElse(return no(
+        s"grouping mismatch: ${g.sql} is not a summary group column or derivation")))
     }
     // first pass: classify every output, collecting the summary columns
     // this query needs. Aggregates must range over the fact side only
@@ -1433,17 +1494,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         !e.exists(_.isInstanceOf[AggregateExpression])
     aggExprs.foreach {
       case ar: AttributeReference =>
-        if (!dimOut.contains(ar) && factGroupName(inlineFact(ar)).isEmpty) return None
+        if (!dimOut.contains(ar) && factGroupName(inlineFact(ar)).isEmpty)
+          return no(s"unservable output: ${ar.sql}")
       case a: Alias => a.child match {
         case e if dimPassThrough(e) =>
         case e if !e.references.exists(dimOut.contains) &&
             factGroupName(inlineFact(e)).exists(factGroupNames.contains) =>
         case e => servedAggOf(e) match {
           case Some(sa) => needCols ++= sa.needed
-          case None => return None
+          case None => return no(s"unservable aggregate: ${e.sql}")
         }
       }
-      case _ => return None
+      case other => return no(s"unservable output: ${other.sql}")
     }
     if (!isFresh(key, reg)) {
       logProbe(reg, "stale: the maintenance watermark is behind the base's " +
@@ -1453,7 +1515,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
     val sumPlan = reg.store.readTable(reg.summary).queryExecution.optimizedPlan
     val byName = sumPlan.output.map(a => a.name -> a).toMap
-    if (!(reg.groupCols ++ needCols.toSeq).forall(byName.contains)) return None
+    if (!(reg.groupCols ++ needCols.toSeq).forall(byName.contains))
+      return no("missing summary column(s): " +
+        (reg.groupCols ++ needCols.toSeq).filterNot(byName.contains).mkString(", "))
 
     // fact→summary attribute remap BY NAME, restricted to non-dim attrs
     // (a dim column sharing a summary column's name must never remap);
@@ -1482,11 +1546,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       ((keyNames ++ factGroupNames).distinct.map(byName(_)) ++
         needCols.toSeq.map(byName(_))).distinct
     val factSide: LogicalPlan = Project(keep, filtered)
-    val newCond = remapCondJ(inlineFact(cond))
-    val newJoin = Join(
-      if (factOnLeft) factSide else dimPlan,
-      if (factOnLeft) dimPlan else factSide,
-      Inner, Some(newCond), hint)
+    // rebuild the spine: the fact leaf becomes the summary read, every
+    // fact-touching join condition remaps to summary attributes,
+    // column-pruning Projects on the fact path drop (their lists
+    // reference the retired fact attributes), and every dim branch is
+    // kept verbatim — per-join hints included
+    def containsFact(p: LogicalPlan): Boolean = p.exists(_ eq factLeaf)
+    def rebuild(p: LogicalPlan): LogicalPlan = p match {
+      case q if q eq factLeaf => factSide
+      case j @ Join(l, r, Inner, cOpt, h) if containsFact(j) =>
+        Join(rebuild(l), rebuild(r), Inner,
+          cOpt.map(c => remapCondJ(inlineFact(c))), h)
+      case j @ Join(l, r, jt @ (LeftSemi | LeftAnti), cOpt, h) if containsFact(j) =>
+        // fact is on the left (enforced by collectKeys); the right side
+        // is condition context, kept verbatim
+        Join(rebuild(l), r, jt, cOpt.map(c => remapCondJ(inlineFact(c))), h)
+      case Project(_, c) if containsFact(p) => rebuild(c)
+      case SubqueryAlias(_, c) if containsFact(p) => rebuild(c)
+      case other => other
+    }
+    val newJoin = rebuild(join)
 
     // re-aggregation cells over the joined relation — always the rollup
     // algebra (each output group spans ≥1 (summary, dim) pairs)

@@ -1441,6 +1441,85 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally SummaryRewrite.unregister(store, "fact")
   }
 
+  test("C44r: multi-dimension star — the fact leaf swaps anywhere in the inner-join spine") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("fact",
+      Seq((1L, 1, 10, 10.0), (2L, 1, 20, 20.0), (3L, 2, 10, 30.0),
+        (4L, 2, 20, 31.0), (5L, 3, 10, 50.0)).toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("dim1",
+      Seq((1, "east"), (2, "west"), (3, "east")).toDF("g", "region"),
+      Seq.empty, infer = false)
+    store.createTableFromDataFrame("dim2",
+      Seq((10, "big"), (20, "small")).toDF("h", "size"),
+      Seq.empty, infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("fact"), Seq("g", "h"), "v"),
+      Seq("g", "h"), infer = false)
+    IncrementalAgg.markMaintained(store, "fact", "summary",
+      store.snapshots("fact").last._1)
+    SummaryRewrite.register(spark, store, "fact", "summary", Seq("g", "h"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def checkServed(mk: => org.apache.spark.sql.DataFrame, by: String*): Unit = {
+        val paths = scanPaths(mk)
+        assert(!paths.exists(_.contains("fact")),
+          s"the fact table must NOT be scanned: ${mk.queryExecution.optimizedPlan}")
+        SummaryRewrite.unregister(store, "fact")
+        val raw = mk.orderBy(by.map(col): _*).collect().toSeq.map(_.toString)
+        SummaryRewrite.register(spark, store, "fact", "summary", Seq("g", "h"), "v")
+        assert(mk.orderBy(by.map(col): _*).collect().toSeq.map(_.toString) == raw)
+      }
+      val fact = store.readTable("fact")
+      val d1 = store.readTable("dim1")
+      val d2 = store.readTable("dim2")
+      // two dims, grouped by one attribute from each
+      checkServed(fact.join(d1, fact("g") === d1("g")).join(d2, fact("h") === d2("h"))
+        .groupBy("region", "size")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("a")), "region", "size")
+      // fact joined LAST (the leaf sits deep on the right of the spine)
+      checkServed(d1.join(fact, fact("g") === d1("g")).join(d2, fact("h") === d2("h"))
+        .groupBy("region").agg(count(lit(1)).as("n")), "region")
+      // a dim-side filter composes (kept verbatim in the dim branch)
+      checkServed(fact.join(d1.filter(col("region") === "east"), fact("g") === d1("g"))
+        .join(d2, fact("h") === d2("h"))
+        .groupBy("size").agg(sum(col("v").cast(DecimalType(18, 2))).as("s")), "size")
+      // stand-down: one of the two join keys is not a group column
+      val bad = fact.join(d1, fact("g") === d1("g")).join(d2, fact("k") === d2("h"))
+        .groupBy("region").agg(count(lit(1)).as("n"))
+      assert(scanPaths(bad).exists(_.contains("fact")),
+        s"a non-group key in the spine must stand down: ${bad.queryExecution.optimizedPlan}")
+      // LEFT SEMI (EXISTS): whole groups survive per key match — the
+      // same semi over the summary is exact
+      checkServed(fact.join(d1.filter(col("region") === "east"),
+          fact("g") === d1("g"), "left_semi")
+        .groupBy("h").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s")), "h")
+      // LEFT ANTI (NOT EXISTS)
+      checkServed(fact.join(d1.filter(col("region") === "east"),
+          fact("g") === d1("g"), "left_anti")
+        .groupBy("h").agg(count(lit(1)).as("n")), "h")
+      // semi composed with an inner dim in one spine
+      checkServed(fact.join(d2, fact("h") === d2("h"))
+        .join(d1.filter(col("region") === "west"), fact("g") === d1("g"), "left_semi")
+        .groupBy("size").agg(count(lit(1)).as("n")), "size")
+      // stand-down: semi key not a group column
+      val badSemi = fact.join(d2, fact("k") === d2("h"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      assert(scanPaths(badSemi).exists(_.contains("fact")),
+        "a non-group semi key must stand down")
+    } finally SummaryRewrite.unregister(store, "fact")
+  }
+
   test("C44s: ROLLUP/CUBE/GROUPING SETS serve from the summary — Expand over cells, never the base") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.types.DecimalType
