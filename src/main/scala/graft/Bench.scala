@@ -123,6 +123,7 @@ object Bench {
     "summary_rewrite_rollupsets" -> "swgs", // NEW r14 (C44s grouping-sets serving)
     "summary_kmv_daily_read" -> "swkd", // NEW r14 (C41h-b distinctmulti×derive, auto-maintained)
     "summary_quantile_filtered_read" -> "swqf", // NEW r14 (C41g-c filtered quantile)
+    "summary_join_semi_read" -> "swsj", // NEW r14 (C44r-b EXISTS-gated serving)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)

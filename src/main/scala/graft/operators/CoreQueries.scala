@@ -1370,6 +1370,53 @@ object CoreQueries {
     } finally g.summaries.detach("base")
   }
 
+  // C44r-b (r14): EXISTS-gated summary serving — the decontamination
+  // shape: "aggregate the fact rows whose key EXISTS in a (filtered)
+  // reference set". The LEFT SEMI join keeps or drops whole groups per
+  // key match (the key is a summary group column), so the same semi
+  // over the summary is exact — asserted in-plan that the fact is
+  // never scanned; the oracle recomputes with IN (SELECT …).
+  def summaryJoinSemiRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val g = graft.Graft(s,
+      s"${sys.props("java.io.tmpdir")}/graft_store/summary_semi_${System.nanoTime()}")
+    try {
+      val ord = t(s, dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      g.create.tableFromDataFrame("base", ord, Seq("o_orderkey"), infer = false)
+      g.create.tableFromDataFrame("allowed",
+        ord.select(col("o_orderpriority")).distinct()
+          .withColumn("tier",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+              .otherwise("cold")),
+        Seq("o_orderpriority"), infer = false)
+      g.summaries.define("bygrain2", "base",
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+      g.write.update("base", t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), (col("o_totalprice") + 10).as("o_totalprice")))
+      g.summaries.maintain("bygrain2")
+      val fact = g.read.table("base")
+      val allow = g.read.table("allowed").filter(col("tier") === "hot")
+        .select("o_orderpriority")
+      val q = fact.join(allow,
+          fact("o_orderpriority") === allow("o_orderpriority"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      if (scans.exists(_.contains("/base/")) || !scans.exists(_.contains("bygrain2")))
+        throw new IllegalStateException(
+          s"EXISTS-gated aggregate must read the summary, never the fact — plan scans $scans")
+      q.select(col("o_orderstatus"), col("n_rows"),
+          col("sum_val").cast("double").as("sum_val"))
+        .orderBy("o_orderstatus")
+    } finally g.summaries.detach("base")
+  }
+
   // C41h×C47 (r14, VERDICT r13 "What's wrong #1"): multi-measure KMV
   // over a DERIVED day column, auto-maintained — "distinct users and
   // event types per day, always fresh". The r13 defect: define()
@@ -1944,6 +1991,7 @@ object CoreQueries {
     "summary_join_read" -> summaryJoinRead,
     "summary_rewrite_rollupsets" -> summaryRewriteRollupSets,
     "summary_quantile_filtered_read" -> summaryQuantileFilteredRead,
+    "summary_join_semi_read" -> summaryJoinSemiRead,
   )
 
   /** The A45b md5-decode idiom: the first 8 hex digits of md5(`c`) as
@@ -2323,6 +2371,20 @@ object CoreQueries {
         | CAST((2 * cents * 10000 + n) // (2 * n) AS BIGINT) AS avg_micros,
         | CAST(lo AS DOUBLE) AS min_val, CAST(hi AS DOUBLE) AS max_val
         |FROM a ORDER BY o_orderstatus, prio_class""".stripMargin,
+    // C44r-b: the EXISTS-gated aggregate recomputed from the mutated
+    // raw relation — exact iff the semi-join summary expansion is
+    "summary_join_semi_read" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        | CAST(SUM(p) AS DOUBLE) AS sum_val
+        |FROM f
+        |WHERE o_orderpriority IN (
+        |  SELECT DISTINCT o_orderpriority FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // C41h×C47: BOTH maintained KMV sketches re-derived from the
     // mutated raw relation, grouped by the DERIVED day — exact iff the
     // distinctmulti fold threads the derive list through feed AND
