@@ -27,8 +27,12 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
   import SparkTestSession.spark
   import spark.implicits._
 
+  // 6 samples over 9 query shapes (r14 added join/grouping-sets/semi):
+  // each sample drives real store commits, so the count stays small —
+  // the deterministic specs cover every shape exhaustively; this suite
+  // exists for the INTERLEAVINGS
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(3)
+    p.withMinSuccessfulTests(6)
 
   // one step: an upsert batch or a key-delete set, then maintenance or
   // not — unflagged commits leave the summary stale on purpose
@@ -49,21 +53,27 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
   private val opsGen: Gen[List[(Either[Map[Int, (String, Double)], Set[Int]], Boolean)]] =
     Gen.choose(1, 4).flatMap(Gen.listOfN(_, stepGen))
 
+  // "fired" = the fact/base table is not scanned and the summary is —
+  // join shapes legitimately ALSO scan the dim table
   private def scansSummaryOnly(df: DataFrame): Boolean = {
     val paths = df.queryExecution.optimizedPlan.collect {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString)
     }.flatten
-    paths.nonEmpty && paths.forall(_.contains("summary"))
+    paths.nonEmpty && !paths.exists(_.contains("/base/")) &&
+      paths.exists(_.contains("summary"))
   }
 
   property("rewrite fires iff fresh; rows ≡ plain aggregate on every shape") =
-    Prop.forAll(opsGen, Gen.choose(0, 5)) { (ops, shape) =>
+    Prop.forAll(opsGen, Gen.choose(0, 8)) { (ops, shape) =>
       val store = new TableStore(spark,
         Files.createTempDirectory("graft_srwprop_").toString)
       store.createTableFromDataFrame("base",
         Seq((0, "a", 1.0), (1, "b", 2.0)).toDF("k", "g", "v"),
         Seq("k"), infer = false)
+      store.createTableFromDataFrame("dim",
+        Seq(("a", "east"), ("b", "west"), ("c", "east")).toDF("g", "attr"),
+        Seq.empty, infer = false)
       store.createTableFromDataFrame("summary",
         IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
         Seq("g"), infer = false)
@@ -88,13 +98,29 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
             .agg(count(lit(1)).as("n_rows"),
               sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
             .filter(col("n_rows") >= 2 && col("g") =!= "c")
-          case _ => store.readTable("base") // C44l FILTER cells, global grain
+          case 5 => store.readTable("base") // C44l FILTER cells, global grain
             .agg(expr("sum(cast(v as decimal(18,2))) FILTER (WHERE g = 'a')").as("sum_a"),
               expr("count(1) FILTER (WHERE g <> 'b')").as("n_not_b"),
               count(lit(1)).as("n_rows"))
+          case 6 => // C44r star: group by the dim attribute
+            val f = store.readTable("base"); val d = store.readTable("dim")
+            f.join(d, f("g") === d("g")).groupBy("attr")
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("v").cast(DecimalType(18, 2))).as("sum_val"),
+                avg(col("v").cast(DecimalType(18, 2))).as("m"))
+              .withColumnRenamed("attr", "g") // rows() orders by g
+          case 7 => store.readTable("base").rollup("g") // C44s grouping sets
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+          case _ => // C44r-b EXISTS gate
+            val f = store.readTable("base"); val d = store.readTable("dim")
+            f.join(d.filter(col("attr") === "east"), f("g") === d("g"), "left_semi")
+              .groupBy("g")
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
         }
         def rows(df: DataFrame): Seq[String] =
-          (if (df.columns.contains("g")) df.orderBy("g") else df)
+          (if (df.columns.contains("g")) df.orderBy(asc_nulls_first("g")) else df)
             .collect().toSeq.map(_.toString)
         val checks = (ops :+ (Right(Set.empty[Int]), true)).map { case (op, maintain) =>
           op match {
