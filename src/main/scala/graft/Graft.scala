@@ -505,6 +505,27 @@ final case class Graft(
       }
     }
 
+    /** C46e: the MV ADVISOR — the inverse of [[explain]]: given an
+      * aggregate query over a managed table, the `define(...)` argument
+      * sets that would make it serve. Each entry names the base table,
+      * the group columns (query groupings + filter columns +
+      * COUNT(DISTINCT) columns — the last served EXACTLY via the C44q
+      * path, never swapped for a sketch), derived columns for
+      * expression groupings, the value columns and the kind
+      * (sum/multi/minmax/multiminmax/distinct/distinctmulti). A query
+      * mixing sketch and arithmetic measures yields two entries. Empty:
+      * nothing recommendable (no aggregate over a single managed table,
+      * or an unservable aggregate shape). Metadata-only. */
+    def recommend(df: DataFrame): Seq[(String, graft.plans.SummaryRewrite.Recommendation)] =
+      graft.plans.SummaryRewrite.recommend(df).flatMap { rec =>
+        val names = store.tableNames().filter(n =>
+          new org.apache.hadoop.fs.Path(store.dataLocation(n)).toUri.getPath == rec.basePath)
+        val tmp = tempStore.tableNames().filter(n =>
+          new org.apache.hadoop.fs.Path(tempStore.dataLocation(n)).toUri.getPath == rec.basePath)
+          .map(p => "##" + p.stripPrefix("tmp_"))
+        (names ++ tmp).headOption.map(_ -> rec)
+      }
+
     /** C46d: the servability probe — per summary registered with THIS
       * session, whether the rewrite would serve `df` and, if not, the
       * first check that stood it down ("grouping mismatch: …",

@@ -515,6 +515,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     def needed: Seq[String] = Seq(col)
   }
 
+  /** The same served aggregate under a different FILTER predicate —
+    * the join path validates dim-referencing filters itself and
+    * re-attaches them after the filter-free shape match. */
+  private def withFilter(sa: ServedAgg, f: Option[Expression]): ServedAgg =
+    if (f.isEmpty) sa
+    else sa match {
+      case SCountStar(_) => SCountStar(f)
+      case SCountCol(nn, _) => SCountCol(nn, f)
+      case SSum(c, _) => SSum(c, f)
+      case SAvg(s, nn, _) => SAvg(s, nn, f)
+      case SMin(c, _) => SMin(c, f)
+      case SMax(c, _) => SMax(c, f)
+      case SKmv(c, _) => SKmv(c, f)
+      case SCountDistinctGroup(c, _) => SCountDistinctGroup(c, f)
+    }
+
   /** `cast(<v> as decimal(18,2))` over a summarized value column or a
     * registered DERIVED value expression (sum(price*qty) — the measure
     * maintenance already takes through derivedView), or a bare `<v>`
@@ -977,6 +993,143 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     Some(if (above.isEmpty) rewritten else Filter(above.reduce(And), rewritten))
   }
 
+  // ── C46e: the MV advisor ────────────────────────────────────────────
+
+  /** A `summaries.define(...)` argument set that would make the probed
+    * query serve — the advisor's output. `basePath` is the scan's data
+    * directory; the facade resolves it to a table name. */
+  final case class Recommendation(basePath: String, groupCols: Seq[String],
+      deriveCols: Seq[(String, String)], valueCols: Seq[String],
+      kind: String, k: Int = 64)
+
+  /** C46e: analyze an AGGREGATE query and recommend the summary that
+    * would serve it — the inverse of [[explainServe]]: not "why didn't
+    * my MV serve" but "which MV should I define". Reads the first
+    * Aggregate over a faithful single-table scan: bare groupings become
+    * group columns, expression groupings become derived columns, scan
+    * filters contribute their referenced columns AS group columns (a
+    * group-column filter is servable; anything else would never serve),
+    * `COUNT(DISTINCT x)` adds x as a GROUP column (the C44q exact-serve
+    * path — never a sketch swap), kmvDistinct demands a distinct-kind
+    * summary, min/max demand a minmax kind. Measures must be the
+    * servable `cast(v as decimal(18,2))` shape. A query mixing sketch
+    * and arithmetic measures yields TWO recommendations (the kinds
+    * maintain different columns). A GLOBAL aggregate recommends the
+    * one-group constant derivation define() documents. Empty result:
+    * nothing recommendable (no aggregate, unfaithful scan, or an
+    * unservable aggregate shape). */
+  def recommend(df: org.apache.spark.sql.DataFrame): Seq[Recommendation] = {
+    val agg = df.queryExecution.optimizedPlan.collectFirst {
+      case a: Aggregate => a }.getOrElse(return Nil)
+    val (paths, conds, subst) = faithfulScan(agg.child).getOrElse(return Nil)
+    val basePath = paths.map(normalize).distinct match {
+      case Seq(p) => p
+      case _ => return Nil
+    }
+    def inline(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+    }
+    val groups = scala.collection.mutable.LinkedHashSet.empty[String]
+    val derive = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def groupOf(e: Expression): Boolean = inline(e) match {
+      case ar: AttributeReference => groups += ar.name; true
+      case other if other.deterministic =>
+        val name = derive.find(_._2 == other.sql).map(_._1).getOrElse {
+          val n = "d" + (derive.size + 1); derive += n -> other.sql; n
+        }
+        groups += name; true
+      case _ => false
+    }
+    if (!agg.groupingExpressions.forall(groupOf)) return Nil
+    // filters must gate whole groups to serve — promote their columns
+    conds.flatMap(conjuncts).foreach(c =>
+      inline(c).references.foreach(ar => groups += ar.name))
+    val sums = scala.collection.mutable.LinkedHashSet.empty[String]
+    val kmvs = scala.collection.mutable.LinkedHashSet.empty[String]
+    var needMinMax = false
+    var kmvK = 64
+    def measureOf(e: Expression): Option[String] = inline(e) match {
+      case c: Cast => (c.dataType, c.child) match {
+        case (d: DecimalType, ar: AttributeReference)
+            if d.precision == 18 && d.scale == 2 => Some(ar.name)
+        case _ => None
+      }
+      case ar: AttributeReference if ar.dataType == DecimalType(18, 2) => Some(ar.name)
+      case _ => None
+    }
+    val servable = agg.aggregateExpressions.forall {
+      case ar: AttributeReference => true // grouping output
+      case a: Alias => a.child match {
+        case ae: AggregateExpression if ae.filter.forall(_.deterministic) =>
+          ae.filter.foreach(p =>
+            inline(p).references.foreach(ar => groups += ar.name))
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(_, _))) => true
+            case Count(Seq(child)) if ae.isDistinct =>
+              inline(child) match { // C44q: exact via group membership
+                case ar: AttributeReference => groups += ar.name; true
+                case _ => false
+              }
+            case Count(Seq(child)) =>
+              measureOf(child).orElse(inline(child) match {
+                case ar: AttributeReference => Some(ar.name); case _ => None
+              }).exists { n => sums += n; true }
+            case s: Sum => measureOf(s.child).exists { n => sums += n; true }
+            case av: Average => measureOf(av.child).exists { n => sums += n; true }
+            case m: Min => measureOf(m.child).exists { n =>
+              sums += n; needMinMax = true; true }
+            case m: Max => measureOf(m.child).exists { n =>
+              sums += n; needMinMax = true; true }
+            case KmvDistinct(child, k, _, _) =>
+              inline(child) match {
+                case c: Cast if c.dataType == StringType => c.child match {
+                  case ar: AttributeReference => kmvs += ar.name; kmvK = k; true
+                  case _ => false
+                }
+                case ar: AttributeReference => kmvs += ar.name; kmvK = k; true
+                case _ => false
+              }
+            case _ => false
+          }
+        case e if groupOf(e) => true // grouping expression output
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!servable) return Nil
+    // a global aggregate needs the one-group constant derivation
+    if (groups.isEmpty && derive.isEmpty) { derive += "all" -> "1"; groups += "all" }
+    val g = groups.toSeq
+    val d = derive.toSeq
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Recommendation]
+    if (sums.nonEmpty || kmvs.isEmpty) {
+      val kind = (needMinMax, sums.size > 1) match {
+        case (true, true) => "multiminmax"
+        case (true, false) => "minmax"
+        case (false, true) => "multi"
+        case (false, false) => "sum"
+      }
+      // a pure-count query still needs one value column for the kinds'
+      // schemas (n_rows is what serves) — it must cast to decimal, so
+      // pick a NUMERIC base column (a group column if possible; under
+      // ANSI a string measure would fail the bootstrap cast)
+      val relSchema: Map[String, DataType] = agg.child.collectFirst {
+        case LogicalRelation(fs: HadoopFsRelation, out, _, _, _) =>
+          out.map(a => a.name -> a.dataType).toMap
+      }.getOrElse(Map.empty)
+      val vals =
+        if (sums.nonEmpty) sums.toSeq
+        else g.find(n => relSchema.get(n).exists(_.isInstanceOf[NumericType]))
+          .orElse(relSchema.collectFirst { case (n, _: NumericType) => n })
+          .toSeq
+      if (vals.nonEmpty) recs += Recommendation(basePath, g, d, vals, kind)
+    }
+    if (kmvs.nonEmpty)
+      recs += Recommendation(basePath, g, d, kmvs.toSeq,
+        if (kmvs.size > 1) "distinctmulti" else "distinct", kmvK)
+    recs.toSeq
+  }
+
   // ── C44s: ROLLUP / CUBE / GROUPING SETS serving ─────────────────────
   //
   // The optimizer compiles `GROUP BY ROLLUP(day, status)` into
@@ -1294,11 +1447,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   // fact table.
   //
   // Conservative stand-downs (each costs nothing — the plain plan
-  // runs): non-inner or non-equi joins, a fact join key that is not a
-  // group column, aggregates or FILTER clauses touching the dim side
-  // (or mixing sides), mixed-side groupings, and everything the
-  // single-scan path already rejects (unservable fact filters, missing
-  // summary columns, staleness).
+  // runs): non-inner/non-semi or non-equi joins, a fact join key that
+  // is not a group column, aggregates over dim or mixed columns,
+  // FILTER clauses touching fact MEASURES (dim attributes and fact
+  // group columns are fine — both are constant per (group, dim-row)
+  // pair), mixed-side groupings, and everything the single-scan path
+  // already rejects (unservable fact filters, missing summary columns,
+  // staleness).
 
   /** Strip faithful Project/SubqueryAlias layers above a Join,
     * collecting computed-column substitutions like [[faithfulScan]]
@@ -1477,11 +1632,29 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // (a dim-side or mixed measure is not in the summary), and FILTER
     // clauses over fact group columns only (matchAgg's contract).
     val needCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    // a FILTER clause may reference DIM attributes (present verbatim in
+    // the rewritten join row) and fact GROUP columns (constant within a
+    // group, remapped to the summary) — exact either way: the predicate
+    // keeps or drops each (group, dim-row) pair's cells wholesale,
+    // which is precisely what it did to that pair's fact rows. Only
+    // fact MEASURE references stand down.
+    def unservableJoinRefs(e: Expression): Set[String] =
+      if (!e.references.exists(dimOut.contains) &&
+          deriveName(e, reg).exists(reg.groupCols.contains)) Set.empty
+      else e match {
+        case ar: AttributeReference =>
+          if (dimOut.contains(ar)) Set.empty else Set(ar.name)
+        case other => other.children.flatMap(unservableJoinRefs).toSet
+      }
     def servedAggOf(e: Expression): Option[ServedAgg] = e match {
       case ae: AggregateExpression
-          if !ae.references.exists(dimOut.contains) =>
-        inlineFact(ae) match {
-          case x: AggregateExpression => matchAgg(x, reg)
+          if !ae.aggregateFunction.references.exists(dimOut.contains) =>
+        val filterOk = ae.filter.forall(p => p.deterministic &&
+          unservableJoinRefs(inlineFact(p)).subsetOf(reg.groupCols.toSet))
+        if (!filterOk) None
+        else inlineFact(ae.copy(filter = None)) match {
+          case x: AggregateExpression =>
+            matchAgg(x, reg).map(withFilter(_, ae.filter.map(inlineFact)))
           case _ => None
         }
       case _ => None

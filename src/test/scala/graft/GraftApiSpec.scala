@@ -548,6 +548,76 @@ class GraftApiSpec extends AnyFunSuite {
     } finally { g.summaries.detach("base"); g.summaries.detach("other"); g.close() }
   }
 
+  test("C46e: summaries.recommend names the define() that makes the query serve") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val g = Graft(spark, Files.createTempDirectory("graft_mvrec_").toString)
+    try {
+      val rows = (1L to 60L).map(i =>
+        (i, java.time.LocalDateTime.of(2026, 4, (i % 5 + 1).toInt, (i % 24).toInt, 0),
+          "t" + (i % 3), "u" + (i % 11), (i % 7).toDouble))
+      g.create.tableFromDataFrame("ev",
+        rows.toDF("event_id", "ts", "etype", "u", "v"), Seq("event_id"), infer = false)
+      def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def defineRec(name: String, rec: (String, graft.plans.SummaryRewrite.Recommendation)): Unit =
+        g.summaries.define(name, rec._1, rec._2.groupCols, rec._2.valueCols,
+          kind = rec._2.kind, k = rec._2.k, deriveCols = rec._2.deriveCols)
+      // derived day grouping + group-col filter + min → minmax kind
+      def q1 = g.read.table("ev").filter(col("etype") =!= "t9")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          min(col("v").cast(DecimalType(18, 2))).as("lo"))
+      // COUNT(DISTINCT u) promotes u to a GROUP column (exact via C44q)
+      def q2 = g.read.table("ev").groupBy("etype")
+        .agg(count_distinct(col("u")).as("du"), count(lit(1)).as("n"))
+      // kmvDistinct demands a distinct-kind summary at the query's k
+      def q3 = g.read.table("ev").groupBy("etype")
+        .agg(graft.plans.GraftFunctions.kmvDistinct(col("u"), 32).as("du"),
+          count(lit(1)).as("n"))
+      // a GLOBAL aggregate recommends the one-group constant derivation
+      def q4 = g.read.table("ev")
+        .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2))).as("s"))
+      // recommend ALL FOUR before defining anything — once adv1 exists
+      // it serves q4 too and there is no base aggregate left to probe
+      val r1 = g.summaries.recommend(q1)
+      assert(r1.size == 1 && r1.head._1 == "ev", r1.toString)
+      assert(r1.head._2.kind == "minmax" && r1.head._2.valueCols == Seq("v"), r1.toString)
+      assert(r1.head._2.deriveCols.nonEmpty, "the day grouping must recommend a derivation")
+      assert(r1.head._2.groupCols.contains("etype"), "the filter column must join the groups")
+      val r2 = g.summaries.recommend(q2)
+      assert(r2.size == 1 && r2.head._2.groupCols.toSet == Set("etype", "u"), r2.toString)
+      val r3 = g.summaries.recommend(q3)
+      assert(r3.size == 1 && r3.head._2.kind == "distinct" && r3.head._2.k == 32, r3.toString)
+      val r4 = g.summaries.recommend(q4)
+      assert(r4.size == 1 && r4.head._2.deriveCols.nonEmpty, r4.toString)
+      defineRec("adv1", r1.head)
+      assert(scans(q1).forall(_.contains("adv1")),
+        s"the recommended define must serve q1: ${q1.queryExecution.optimizedPlan}")
+      defineRec("adv2", r2.head)
+      assert(scans(q2).forall(_.contains("adv2")),
+        s"the recommended define must serve q2: ${q2.queryExecution.optimizedPlan}")
+      defineRec("adv3", r3.head)
+      assert(scans(q3).forall(_.contains("adv3")),
+        s"the recommended define must serve q3: ${q3.queryExecution.optimizedPlan}")
+      defineRec("adv4", r4.head)
+      assert(scans(q4).forall(_.contains("adv4")),
+        s"the recommended define must serve q4: ${q4.queryExecution.optimizedPlan}")
+      // values survive end to end on the recommended route
+      g.summaries.detach("ev")
+      val raw1 = q1.orderBy("day").collect().map(_.toString).toSeq
+      Seq("adv1", "adv2", "adv3", "adv4").foreach(g.summaries.attach)
+      assert(q1.orderBy("day").collect().map(_.toString).toSeq == raw1)
+      // nothing recommendable: a non-aggregate and a mixed-side shape
+      assert(g.summaries.recommend(g.read.table("ev")).isEmpty)
+    } finally { g.summaries.detach("ev"); g.close() }
+  }
+
   test("detach() disarms auto-maintenance; list() covers the ## session temp root") {
     import org.apache.spark.sql.functions._
     val g = Graft(spark, Files.createTempDirectory("graft_mvdet_").toString)

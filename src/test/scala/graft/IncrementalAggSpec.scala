@@ -1407,6 +1407,12 @@ class IncrementalAggSpec extends AnyFunSuite {
       // exact COUNT(DISTINCT fact group col) per dim attr
       checkServed(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
         .agg(count_distinct(fact("g")).as("ng"), count(lit(1)).as("n")), "attr")
+      // FILTER clauses over DIM attributes serve (constant per joined
+      // row — the predicate gates whole (group, dim-row) pairs)
+      checkServed(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
+        .agg(expr("sum(cast(v as decimal(18,2))) FILTER (WHERE w > 2)").as("s_hi"),
+          expr("count(1) FILTER (WHERE w <= 3)").as("n_lo"),
+          count(lit(1)).as("n")), "attr")
       // ── stand-downs ──
       def standsDown(df: org.apache.spark.sql.DataFrame, why: String): Unit =
         assert(scanPaths(df).exists(_.contains("fact")),
@@ -1427,6 +1433,10 @@ class IncrementalAggSpec extends AnyFunSuite {
       // fact-side filter on a MEASURE (not answerable over summary rows)
       standsDown(fact.filter(col("v") > 15).join(dim, fact("g") === dim("g"))
         .groupBy("attr").agg(count(lit(1)).as("n")), "a fact measure filter")
+      // FILTER clause over a fact MEASURE stands down too
+      standsDown(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
+        .agg(expr("count(1) FILTER (WHERE v > 15)").as("n_hi")),
+        "a fact-measure FILTER clause")
       // outer join (unmatched dim rows would fabricate null groups)
       standsDown(fact.join(dim, fact("g") === dim("g"), "left")
         .groupBy("attr").agg(count(lit(1)).as("n")), "a left outer join")
