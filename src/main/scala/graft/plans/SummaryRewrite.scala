@@ -6,9 +6,9 @@ import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualNullSafe, EqualTo, Expression, If, IsNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, DecimalDivideWithOverflowCheck, EqualNullSafe, EqualTo, Expression, If, IsNull, Literal, Multiply, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -176,7 +176,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   private val registry = new ConcurrentHashMap[String, List[Registration]]()
 
   private final case class Freshness(store: TableStore, epoch: Long,
-      baseGen: Int, sig: (Long, Long), fresh: Boolean)
+      baseGen: Int, sig: (Long, Long, Long), fresh: Boolean)
   private val freshCache = new ConcurrentHashMap[String, Freshness]()
 
   /** Store probes actually performed (cache misses) — the PlanAudit
@@ -703,7 +703,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // every compile re-probes until a probe sees a settled state
     val sig = if (baseGen >= 0)
       reg.store.stalenessSignature(reg.base, reg.summary, baseGen)
-    else (-1L, -1L)
+    else (-1L, -1L, -1L)
     freshCache.put(cacheKey, Freshness(reg.store, epoch, baseGen, sig, fresh))
     fresh
   }
@@ -1021,7 +1021,142 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   def recommend(df: org.apache.spark.sql.DataFrame): Seq[Recommendation] = {
     val agg = df.queryExecution.optimizedPlan.collectFirst {
       case a: Aggregate => a }.getOrElse(return Nil)
-    val (paths, conds, subst) = faithfulScan(agg.child).getOrElse(return Nil)
+    // 1) the single-table shape
+    faithfulScan(agg.child) match {
+      case Some((paths, conds, subst)) =>
+        return recommendCore(agg.groupingExpressions, agg.aggregateExpressions,
+          conds, subst, AttributeSet.empty, agg.child, paths)
+      case None =>
+    }
+    // 2) grouping sets: Aggregate over Expand over a faithful scan —
+    // the advisor maps grouping-set slots back to their source
+    // expressions and aggregate slot references to the pass-through
+    // sources, then recommends exactly as for the flat aggregate
+    // (r15 — the r14 advisor was blind to the Expand and join shapes
+    // the rewrite serves)
+    agg.child match {
+      case Expand(projections, output, ech) =>
+        faithfulScan(ech).foreach { case (paths, conds, subst) =>
+          def inline(e: Expression): Expression = e.transform {
+            case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+          }
+          val posOf = output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+          // slot p → Some(source expr) | None for a grouping-id slot
+          val slotSrc: Map[Int, Option[Expression]] = output.indices.map { p =>
+            val vals = projections.map(_(p))
+            if (vals.forall {
+                  case Literal(v, t) => v != null && (t == LongType || t == IntegerType)
+                  case _ => false
+                }) p -> (None: Option[Expression])
+            else vals.filter { case Literal(null, _) => false; case _ => true }
+              .map(inline).distinct match {
+              case Seq(e) if e.deterministic && !e.isInstanceOf[Literal] =>
+                p -> Some(e)
+              case _ => return Nil
+            }
+          }.toMap
+          val groupIds = agg.groupingExpressions.map {
+            case ar: AttributeReference if posOf.contains(ar.exprId) => ar.exprId
+            case _ => return Nil
+          }.toSet
+          val groupings2 = agg.groupingExpressions.flatMap {
+            case ar: AttributeReference => slotSrc(posOf(ar.exprId))
+          }
+          def substSlots(e: Expression): Option[Expression] = {
+            var ok = true
+            val r = e.transform {
+              case ar: AttributeReference if posOf.contains(ar.exprId) =>
+                slotSrc(posOf(ar.exprId)) match {
+                  case Some(se) => se
+                  case None => ok = false; ar
+                }
+            }
+            if (ok) Some(r) else None
+          }
+          val aggExprs2 = agg.aggregateExpressions.flatMap {
+            case ar: AttributeReference => None // grouping slot output
+            case a: Alias
+                if a.child.references.nonEmpty &&
+                  a.child.references.forall(r => groupIds.contains(r.exprId)) &&
+                  !a.child.exists(_.isInstanceOf[AggregateExpression]) =>
+              None // grouping()/grouping_id() marker output
+            case a: Alias =>
+              Some(Alias(substSlots(a.child).getOrElse(return Nil), a.name)())
+            case _ => return Nil
+          }
+          return recommendCore(groupings2, aggExprs2, conds, subst,
+            AttributeSet.empty, ech, paths)
+        }
+      case _ =>
+    }
+    // 3) a star join: recommend from the fact leaf — the leaf whose
+    // scan is faithful and whose join keys / groupings / measures all
+    // resolve on its side; dim-side groupings and pass-through outputs
+    // serve verbatim and contribute nothing to the summary's grain
+    faithfulOverJoin(agg.child).toSeq.flatMap { case (join, outer) =>
+      def inlineOuter(e: Expression): Expression = e.transform {
+        case ar: AttributeReference if outer.contains(ar.exprId) => outer(ar.exprId)
+      }
+      val (leaves, _) = walkSpine(join)
+      leaves.iterator.map { factLeaf =>
+        faithfulScan(factLeaf).toSeq.flatMap { case (paths, conds, subst) =>
+          val dimOut = AttributeSet(leaves.filterNot(_ eq factLeaf).flatMap(_.output))
+          def inlineFact(e: Expression): Expression = e.transform {
+            case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+          }
+          factKeysOf(join, factLeaf, inlineFact).toSeq.flatMap { factKeys =>
+            // fact-side groupings + join keys form the grain; a mixed
+            // grouping or a dim-referencing measure disqualifies this
+            // leaf (→ the next leaf is tried)
+            val factGroupings = scala.collection.mutable.ArrayBuffer.empty[Expression]
+            val ok = agg.groupingExpressions.forall { g0 =>
+              val g = inlineOuter(g0)
+              if (g.references.isEmpty) false
+              else if (g.references.subsetOf(dimOut)) true // dim: verbatim
+              else if (g.references.exists(dimOut.contains)) false // mixed
+              else { factGroupings += g; true }
+            }
+            val aggExprs2 = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+            val ok2 = ok && agg.aggregateExpressions.forall {
+              case ar: AttributeReference => true // grouping output
+              case a: Alias =>
+                val e = inlineOuter(a.child)
+                if (e.references.nonEmpty && e.references.subsetOf(dimOut) &&
+                    !e.exists(_.isInstanceOf[AggregateExpression])) true // dim verbatim
+                else e match {
+                  // a dim-referencing FILTER serves verbatim; only the
+                  // aggregate FUNCTION must be fact-side
+                  case ae: AggregateExpression
+                      if !ae.aggregateFunction.references.exists(dimOut.contains) &&
+                        ae.filter.forall(_.deterministic) =>
+                    aggExprs2 += Alias(ae, a.name)(); true
+                  case e2 if !e2.references.exists(dimOut.contains) &&
+                      !e2.exists(_.isInstanceOf[AggregateExpression]) =>
+                    factGroupings += e2; true // fact grouping expression
+                  case _ => false
+                }
+              case _ => false
+            }
+            if (!ok2) Nil
+            else recommendCore(factGroupings.toSeq ++ factKeys,
+              aggExprs2.toSeq, conds, subst, dimOut, factLeaf, paths)
+          }
+        }
+      }.find(_.nonEmpty).getOrElse(Nil)
+    }
+  }
+
+  /** The shared advisor core: derive the summary grain (bare groupings
+    * → group columns, expression groupings → derived columns, scan
+    * filters and FILTER clauses promote their fact-side columns) and
+    * the measure set from the servable aggregate shapes. `dimOut`
+    * references are verbatim-served join attributes: they never join
+    * the grain, and a FILTER over them needs nothing maintained. */
+  private def recommendCore(groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], conds0: Seq[Expression],
+      subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression],
+      dimOut: AttributeSet, leafPlan: LogicalPlan,
+      paths: Seq[String]): Seq[Recommendation] = {
     val basePath = paths.map(normalize).distinct match {
       case Seq(p) => p
       case _ => return Nil
@@ -1040,9 +1175,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         groups += name; true
       case _ => false
     }
-    if (!agg.groupingExpressions.forall(groupOf)) return Nil
+    if (!groupings.forall(groupOf)) return Nil
     // filters must gate whole groups to serve — promote their columns
-    conds.flatMap(conjuncts).foreach(c =>
+    conds0.flatMap(conjuncts).foreach(c =>
       inline(c).references.foreach(ar => groups += ar.name))
     val sums = scala.collection.mutable.LinkedHashSet.empty[String]
     val kmvs = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -1057,12 +1192,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case ar: AttributeReference if ar.dataType == DecimalType(18, 2) => Some(ar.name)
       case _ => None
     }
-    val servable = agg.aggregateExpressions.forall {
+    val servable = aggExprs.forall {
       case ar: AttributeReference => true // grouping output
       case a: Alias => a.child match {
         case ae: AggregateExpression if ae.filter.forall(_.deterministic) =>
+          // a FILTER over a dim attribute serves verbatim off the
+          // joined row — only fact-side references join the grain
           ae.filter.foreach(p =>
-            inline(p).references.foreach(ar => groups += ar.name))
+            inline(p).references.filterNot(dimOut.contains)
+              .foreach(ar => groups += ar.name))
           ae.aggregateFunction match {
             case Count(Seq(Literal(_, _))) => true
             case Count(Seq(child)) if ae.isDistinct =>
@@ -1071,8 +1209,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 case _ => false
               }
             case Count(Seq(child)) =>
+              // a bare count column must be able to BE a value column
+              // (the kinds sum it as decimal(18,2); a string measure
+              // would fail the define() bootstrap cast)
               measureOf(child).orElse(inline(child) match {
-                case ar: AttributeReference => Some(ar.name); case _ => None
+                case ar: AttributeReference
+                    if ar.dataType.isInstanceOf[NumericType] => Some(ar.name)
+                case _ => None
               }).exists { n => sums += n; true }
             case s: Sum => measureOf(s.child).exists { n => sums += n; true }
             case av: Average => measureOf(av.child).exists { n => sums += n; true }
@@ -1113,7 +1256,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // schemas (n_rows is what serves) — it must cast to decimal, so
       // pick a NUMERIC base column (a group column if possible; under
       // ANSI a string measure would fail the bootstrap cast)
-      val relSchema: Map[String, DataType] = agg.child.collectFirst {
+      val relSchema: Map[String, DataType] = leafPlan.collectFirst {
         case LogicalRelation(fs: HadoopFsRelation, out, _, _, _) =>
           out.map(a => a.name -> a.dataType).toMap
       }.getOrElse(Map.empty)
@@ -1149,9 +1292,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   // rolled pair, min-of-mins/max-of-maxes, KMV register union, exact
   // COUNT(DISTINCT group col) over the preserved slot values). At
   // 100 TB the Expand's input drops from every fact row × #sets to
-  // #groups × #sets. FILTER clauses stand down here (v1) — the
-  // single-scan path demonstrates that machinery; composing it with
-  // Expand multiplicities is deliberately out of scope.
+  // #groups × #sets. FILTER clauses over gid/group-column slots serve
+  // too (r15 — the v1 stand-down lifted): the predicate's value is
+  // constant per (group, set) pair, so gating the cells per rebuilt-
+  // Expand row keeps exactly the fact rows the real FILTER kept.
 
   /** One Expand output position, classified: a grouping-set id column
     * (integer literals in every row), or one source expression emitted
@@ -1164,7 +1308,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], child: LogicalPlan,
       having: Seq[Expression]): Option[LogicalPlan] = child match {
     case Expand(projections, output, ech) =>
-      val (paths, conds0, subst) = faithfulScan(ech).getOrElse(return None)
+      val (paths, conds0, subst) = faithfulScan(ech).getOrElse(
+        return rewriteExpandJoin(agg, groupings, aggExprs,
+          projections, output, ech, having))
       if (paths.isEmpty) return None
       val key = paths.map(normalize).distinct match {
         case Seq(k) => k
@@ -1184,9 +1330,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         else {
           val nullRows = vals.zipWithIndex.collect {
             case (Literal(null, _), i) => i }.toSet
-          vals.collect { case v if !v.isInstanceOf[Literal] => inline(v) }
-            .distinct match {
-            case Seq(e) if e.deterministic => ExprSlot(e, nullRows)
+          // every non-null-literal row must be the SAME source
+          // expression (ADVICE r14: a non-null literal row — possible
+          // from a non-constructExpand producer — was silently rewritten
+          // as the source expression; it must stand the rule down)
+          vals.filter { case Literal(null, _) => false; case _ => true }
+            .map(inline).distinct match {
+            case Seq(e) if e.deterministic && !e.isInstanceOf[Literal] =>
+              ExprSlot(e, nullRows)
             case _ => return None
           }
         }
@@ -1263,27 +1414,51 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }
       if (ok) Some(r) else None
     }
-    def servedOf(e: Expression): Option[(ServedAgg, Option[Int])] = e match {
+    // r15 (C44s×C44l): FILTER clauses serve on the Expand path too. The
+    // predicate references Expand OUTPUT slots; its value is constant
+    // per (group, grouping-set) pair — a preserved slot carries the
+    // group's constant, a nulled slot is null for set-j rows in the
+    // real plan AND in the rebuilt one, and a gid slot is the set tag —
+    // so gating the summary cells per rebuilt-Expand row keeps or drops
+    // exactly the fact rows the real FILTER kept. The predicate is kept
+    // VERBATIM (never slot-substituted): the rebuilt Expand re-emits
+    // the referenced positions under the same attributes. Only slots
+    // that are gid or summary-group columns qualify — a fact-measure
+    // pass-through reference stands down.
+    val keepFilter = scala.collection.mutable.LinkedHashSet.empty[Int]
+    def servedOf(e: Expression)
+        : Option[(ServedAgg, Option[Int], Option[Expression], Set[Int])] = e match {
       case ae: AggregateExpression =>
-        substSlots(ae).flatMap {
-          case x: AggregateExpression => matchAgg(x, reg) match {
-            // FILTER clauses stand down on this path (multiplicity vs
-            // the Expand fan-out is the single-scan machinery's job)
-            case Some(sa) if sa.filter.isEmpty =>
-              sa match {
-                case SCountDistinctGroup(_, _) =>
-                  // the distinct aggregate reads its slot VERBATIM —
-                  // remember which position to keep
-                  ae.references.toSeq match {
-                    case Seq(one) if posOf.contains(one.exprId) =>
-                      Some((sa, Some(posOf(one.exprId))))
-                    case _ => None
-                  }
-                case _ => Some((sa, None))
-              }
+        val filterOk: Option[(Option[Expression], Set[Int])] = ae.filter match {
+          case None => Some((None, Set.empty))
+          case Some(p) if p.deterministic &&
+              p.references.forall(r => posOf.contains(r.exprId) &&
+                (slots(posOf(r.exprId)) match {
+                  case _: GidSlot => true
+                  case ExprSlot(se, _) => slotName(se).isDefined
+                })) =>
+            Some((Some(p), p.references.map(r => posOf(r.exprId)).toSet))
+          case _ => None
+        }
+        filterOk.flatMap { case (f, fpos) =>
+          substSlots(ae.copy(filter = None)).flatMap {
+            case x: AggregateExpression => matchAgg(x, reg) match {
+              case Some(sa) => // sa.filter is None (stripped above)
+                sa match {
+                  case SCountDistinctGroup(_, _) =>
+                    // the distinct aggregate reads its slot VERBATIM —
+                    // remember which position to keep
+                    ae.copy(filter = None).references.toSeq match {
+                      case Seq(one) if posOf.contains(one.exprId) =>
+                        Some((sa, Some(posOf(one.exprId)), f, fpos))
+                      case _ => None
+                    }
+                  case _ => Some((sa, None, f, fpos))
+                }
+              case _ => None
+            }
             case _ => None
           }
-          case _ => None
         }
       case _ => None
     }
@@ -1294,7 +1469,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             e.references.forall(r => groupingIds.contains(r.exprId)) &&
             !e.exists(_.isInstanceOf[AggregateExpression]) =>
         case e => servedOf(e) match {
-          case Some((sa, keep)) => needCols ++= sa.needed; keepDistinct ++= keep
+          case Some((sa, keep, _, fpos)) =>
+            needCols ++= sa.needed; keepDistinct ++= keep; keepFilter ++= fpos
           case None => return no(s"unservable aggregate: ${e.sql}")
         }
       }
@@ -1348,7 +1524,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case _: ExprSlot => groupings.exists {
             case ar: AttributeReference => posOf(ar.exprId) == p
             case _ => false
-          } || keepDistinct.contains(p)
+          } || keepDistinct.contains(p) || keepFilter.contains(p)
       }
     }
     val measureAttrs: Map[String, AttributeReference] = measures.map { c =>
@@ -1378,6 +1554,13 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }) ++ measures.map(byName(_))).distinct
     val newExpand = Expand(newProjections, newOutput, Project(needed, filtered))
 
+    // a FILTER predicate gates the cell per rebuilt-Expand row — the
+    // kept positions re-emit the original output attributes, so the
+    // predicate applies verbatim
+    def gate(e: Expression, f: Option[Expression]): Expression = f match {
+      case None => e
+      case Some(p) => If(p, e, Literal.create(null, e.dataType))
+    }
     val newAggExprs: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
       case (orig, src) =>
         def under(e: Expression): NamedExpression = {
@@ -1392,29 +1575,385 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 !e.exists(_.isInstanceOf[AggregateExpression]) =>
               Alias(e, orig.name)(exprId = orig.exprId)
             case e => servedOf(e) match {
-              case Some((SCountStar(_), _)) =>
-                under(Coalesce(Seq(Sum(measureAttrs("n_rows")).toAggregateExpression(),
+              case Some((SCountStar(_), _, f, _)) =>
+                under(Coalesce(Seq(
+                  Sum(gate(measureAttrs("n_rows"), f)).toAggregateExpression(),
                   Literal(0L))))
-              case Some((SCountCol(nn, _), _)) =>
-                under(Coalesce(Seq(Sum(measureAttrs(nn)).toAggregateExpression(),
+              case Some((SCountCol(nn, _), _, f, _)) =>
+                under(Coalesce(Seq(
+                  Sum(gate(measureAttrs(nn), f)).toAggregateExpression(),
                   Literal(0L))))
-              case Some((SSum(sc, _), _)) =>
-                under(Sum(measureAttrs(sc)).toAggregateExpression())
-              case Some((SAvg(sc, nn, _), _)) =>
+              case Some((SSum(sc, _), _, f, _)) =>
+                under(Sum(gate(measureAttrs(sc), f)).toAggregateExpression())
+              case Some((SAvg(sc, nn, _), _, f, _)) =>
                 under(avgFromSummary(
-                  Sum(measureAttrs(sc)).toAggregateExpression(),
-                  Coalesce(Seq(Sum(measureAttrs(nn)).toAggregateExpression(),
+                  Sum(gate(measureAttrs(sc), f)).toAggregateExpression(),
+                  Coalesce(Seq(Sum(gate(measureAttrs(nn), f)).toAggregateExpression(),
                     Literal(0L)))))
-              case Some((SMin(c, _), _)) =>
-                under(Min(measureAttrs(c)).toAggregateExpression())
-              case Some((SMax(c, _), _)) =>
-                under(Max(measureAttrs(c)).toAggregateExpression())
-              case Some((SKmv(c, _), _)) =>
+              case Some((SMin(c, _), _, f, _)) =>
+                under(Min(gate(measureAttrs(c), f)).toAggregateExpression())
+              case Some((SMax(c, _), _, f, _)) =>
+                under(Max(gate(measureAttrs(c), f)).toAggregateExpression())
+              case Some((SKmv(c, _), _, f, _)) =>
                 under(KmvEstimateStr(
-                  KmvMergeStrAgg(measureAttrs(c), reg.kmvK).toAggregateExpression(),
+                  KmvMergeStrAgg(gate(measureAttrs(c), f), reg.kmvK)
+                    .toAggregateExpression(),
                   reg.kmvK))
-              case Some((SCountDistinctGroup(_, _), Some(p))) =>
-                under(Count(Seq(output(p)))
+              case Some((SCountDistinctGroup(_, _), Some(p), f, _)) =>
+                under(Count(Seq(gate(output(p), f)))
+                  .toAggregateExpression(isDistinct = true))
+              case _ => return None
+            }
+          }
+          case _ => return None
+        }
+    }
+    val rewritten = Aggregate(groupings, newAggExprs, newExpand)
+    logProbe(reg, "served")
+    Some(if (having.isEmpty) rewritten else Filter(having.reduce(And), rewritten))
+  }
+
+  // ── C44t (r15): grouping sets over a STAR ───────────────────────────
+  //
+  // `ROLLUP(dim.attr, fact.col)` over fact ⋈ dims — the r14 join and
+  // Expand features COMPOSED: when the Expand's child is a servable
+  // join spine, the Expand re-runs over (summary ⋈ dims) rows and the
+  // Aggregate re-aggregates the cells per grouping set. Grouping-set
+  // slots are per-side: a dim-expression slot re-emits VERBATIM (the
+  // dim branch survives the rebuild untouched), a fact slot must be a
+  // summary group column and re-emits the summary's column; measures
+  // ride as pass-through slots exactly like the single-scan Expand
+  // path; FILTER clauses gate cells per (group, dim-row, set) triple
+  // (constant within it on gid, dim and fact-group slots alike). At
+  // 100 TB this is the dashboard query — a rollup over a star — whose
+  // Expand input drops from (fact rows × #sets) to (summary ⋈ dim
+  // rows × #sets), with the fact table never scanned.
+
+  private def rewriteExpandJoin(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], projections: Seq[Seq[Expression]],
+      output: Seq[Attribute], ech: LogicalPlan,
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    val (join, outer) = faithfulOverJoin(ech).getOrElse(return None)
+    def inlineOuter(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if outer.contains(ar.exprId) => outer(ar.exprId)
+    }
+    val (leaves, filterOnly) = walkSpine(join)
+    leaves.iterator.flatMap { factLeaf =>
+      tryExpandFactLeaf(agg, groupings, aggExprs, projections, output,
+        inlineOuter, join, factLeaf, leaves ++ filterOnly, having)
+    }.nextOption()
+  }
+
+  private def tryExpandFactLeaf(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], projections: Seq[Seq[Expression]],
+      output: Seq[Attribute], inlineOuter: Expression => Expression,
+      join: Join, factLeaf: LogicalPlan, leaves: Seq[LogicalPlan],
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    val (paths, factConds0, factSubst) = faithfulScan(factLeaf).getOrElse(return None)
+    if (paths.isEmpty) return None
+    val key = paths.map(normalize).distinct match {
+      case Seq(k) => k
+      case _      => return None
+    }
+    val candidates = Option(registry.get(key)).getOrElse(return None)
+    val dimOut = AttributeSet(leaves.filterNot(_ eq factLeaf).flatMap(_.output))
+    def inlineFact(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if factSubst.contains(ar.exprId) => factSubst(ar.exprId)
+    }
+    // slot sources live above the join: inline the dropped outer
+    // Projects' aliases first, then the fact leaf's computed columns
+    def inline(e: Expression): Expression = inlineFact(inlineOuter(e))
+    val factKeys = factKeysOf(join, factLeaf, inlineFact).getOrElse(return None)
+    // classify every Expand output position (same shape — and same
+    // non-null-literal strictness — as the single-scan path)
+    val slots: Seq[Slot] = output.indices.map { p =>
+      val vals = projections.map(_(p))
+      if (vals.forall {
+            case Literal(v, t) => v != null && (t == LongType || t == IntegerType)
+            case _ => false
+          }) GidSlot(vals)
+      else {
+        val nullRows = vals.zipWithIndex.collect {
+          case (Literal(null, _), i) => i }.toSet
+        vals.filter { case Literal(null, _) => false; case _ => true }
+          .map(inline).distinct match {
+          case Seq(e) if e.deterministic && !e.isInstanceOf[Literal] =>
+            ExprSlot(e, nullRows)
+          case _ => return None
+        }
+      }
+    }
+    val factConds = factConds0.map(inlineFact).flatMap(conjuncts)
+    candidates
+      .sortBy(_.groupCols.size)
+      .iterator
+      .map(c => tryExpandJoinCandidate(agg, groupings, aggExprs, projections,
+        output, slots, factConds, inline, factKeys, join, factLeaf, dimOut,
+        key, c, having))
+      .collectFirst { case Some(p) => p }
+  }
+
+  private def tryExpandJoinCandidate(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], projections: Seq[Seq[Expression]],
+      output: Seq[Attribute], slots: Seq[Slot], factConds: Seq[Expression],
+      inline: Expression => Expression, factKeys: Seq[Expression],
+      join: Join, factLeaf: LogicalPlan, dimOut: AttributeSet,
+      key: String, reg: Registration,
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    def no(why: String): Option[LogicalPlan] = { logProbe(reg, why); None }
+    def factGroupName(e: Expression): Option[String] = e match {
+      case ar: AttributeReference if !reg.derive.contains(ar.name) =>
+        Some(ar.name).filter(reg.groupCols.contains)
+      case other => deriveName(other, reg).filter(reg.groupCols.contains)
+    }
+    // slot sides: a dim expression passes through the rebuilt plan
+    // verbatim; a fact slot must resolve to a summary group column
+    def isDimExpr(e: Expression): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(dimOut)
+    def isFactGroupExpr(e: Expression): Boolean =
+      !e.references.exists(dimOut.contains) && factGroupName(e).isDefined
+    val posOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+      output.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    val groupingIds = groupings.map {
+      case ar: AttributeReference if posOf.contains(ar.exprId) => ar.exprId
+      case _ => return None
+    }.toSet
+    groupings.foreach {
+      case ar: AttributeReference =>
+        slots(posOf(ar.exprId)) match {
+          case _: GidSlot =>
+          case ExprSlot(e, _) =>
+            if (!isDimExpr(e) && !isFactGroupExpr(e)) return no(
+              s"grouping mismatch: grouping-set column ${e.sql} is neither a " +
+                "dim expression nor a summary group column")
+        }
+      case other => return no(s"grouping mismatch: ${other.sql} is not an Expand output")
+    }
+    val keyNames = factKeys.map(k => factGroupName(k).getOrElse(return no(
+      s"grouping mismatch: join key ${k.sql} is not a summary group column")))
+    // fact-side scan filters: baked base filters drop, the rest must be
+    // answerable over summary rows
+    val (baked, rest) =
+      if (reg.baseFilters.isEmpty) (Nil, factConds)
+      else factConds.partition(c => reg.baseFilters.contains(normalizeExpr(c)))
+    if (!reg.baseFilters.forall(bf => baked.exists(c => normalizeExpr(c) == bf)))
+      return no("unservable predicate: the query lacks a filter baked " +
+        "into the summary (it ranges over more rows than the summary covers)")
+    rest.find(c => !unservableRefs(c, reg).subsetOf(reg.groupCols.toSet)) match {
+      case Some(c) => return no(
+        s"unservable predicate: ${c.sql} references non-group columns")
+      case None =>
+    }
+    val needCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    val keepDistinct = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val keepFilter = scala.collection.mutable.LinkedHashSet.empty[Int]
+    def substSlots(e: Expression): Option[Expression] = {
+      var ok = true
+      val r = e.transform {
+        case ar: AttributeReference if posOf.contains(ar.exprId) =>
+          slots(posOf(ar.exprId)) match {
+            case ExprSlot(se, nulls) if nulls.isEmpty => se
+            case _ => ok = false; ar
+          }
+      }
+      if (ok) Some(r) else None
+    }
+    // FILTER predicates over gid / dim / fact-group slots serve: the
+    // value is constant per (group, dim-row, set) triple, and the kept
+    // positions re-emit identical values in the rebuilt Expand
+    def filterOk(p: Expression): Option[Set[Int]] =
+      if (p.deterministic && p.references.forall(r => posOf.contains(r.exprId) &&
+          (slots(posOf(r.exprId)) match {
+            case _: GidSlot => true
+            case ExprSlot(se, _) => isDimExpr(se) || isFactGroupExpr(se)
+          }))) Some(p.references.map(r => posOf(r.exprId)).toSet)
+      else None
+    def servedOf(e: Expression)
+        : Option[(ServedAgg, Option[Int], Option[Expression], Set[Int])] = e match {
+      case ae: AggregateExpression =>
+        val fOk: Option[(Option[Expression], Set[Int])] = ae.filter match {
+          case None => Some((None, Set.empty))
+          case Some(p) => filterOk(p).map(ps => (Some(p), ps))
+        }
+        fOk.flatMap { case (f, fpos) =>
+          substSlots(ae.copy(filter = None)).flatMap {
+            // aggregates must range over the FACT side only (a dim or
+            // mixed measure is not in the summary) — count(1) has no
+            // references and rides n_rows
+            case x: AggregateExpression
+                if !x.aggregateFunction.references.exists(dimOut.contains) =>
+              matchAgg(x, reg) match {
+                case Some(sa) => sa match {
+                  case SCountDistinctGroup(_, _) =>
+                    // the distinct aggregate reads its slot VERBATIM —
+                    // it must be a fact group-column slot
+                    ae.copy(filter = None).references.toSeq match {
+                      case Seq(one) if posOf.contains(one.exprId) =>
+                        slots(posOf(one.exprId)) match {
+                          case ExprSlot(se, _) if isFactGroupExpr(se) =>
+                            Some((sa, Some(posOf(one.exprId)), f, fpos))
+                          case _ => None
+                        }
+                      case _ => None
+                    }
+                  case _ => Some((sa, None, f, fpos))
+                }
+                case None => None
+              }
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    aggExprs.foreach {
+      case ar: AttributeReference if groupingIds.contains(ar.exprId) =>
+      case a: Alias => a.child match {
+        case e if e.references.nonEmpty &&
+            e.references.forall(r => groupingIds.contains(r.exprId)) &&
+            !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        case e => servedOf(e) match {
+          case Some((sa, keep, _, fpos)) =>
+            needCols ++= sa.needed; keepDistinct ++= keep; keepFilter ++= fpos
+          case None => return no(s"unservable aggregate: ${e.sql}")
+        }
+      }
+      case other => return no(s"unservable output: ${other.sql}")
+    }
+    if (!isFresh(key, reg)) {
+      logProbe(reg, "stale: the maintenance watermark is behind the base's " +
+        "current generation (maintain() or autoMaintainOn() heals it)")
+      return None
+    }
+
+    val sumPlan = reg.store.readTable(reg.summary).queryExecution.optimizedPlan
+    val byName = sumPlan.output.map(a => a.name -> a).toMap
+    val measures = needCols.toSeq.filterNot(reg.groupCols.contains)
+    if (!(reg.groupCols ++ measures).forall(byName.contains))
+      return no("missing summary column(s): " +
+        (reg.groupCols ++ measures).filterNot(byName.contains).mkString(", "))
+
+    def remapJ(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if !dimOut.contains(ar) && byName.contains(ar.name) =>
+        val s = byName(ar.name)
+        if (s.dataType == ar.dataType) s else Cast(s, ar.dataType)
+    }
+    def remapCondJ(e: Expression): Expression = remapJ(e.transformDown {
+      case sub if sub.references.nonEmpty && !sub.references.exists(dimOut.contains) &&
+          deriveName(sub, reg).exists(n =>
+            reg.groupCols.contains(n) && byName.contains(n)) =>
+        byName(deriveName(sub, reg).get)
+    })
+
+    // the rebuilt Expand keeps grouping / distinct / filter positions
+    // and appends one pass-through slot per needed measure
+    val keepPos: Seq[Int] = output.indices.filter { p =>
+      slots(p) match {
+        case _: GidSlot => true
+        case _: ExprSlot => groupings.exists {
+            case ar: AttributeReference => posOf(ar.exprId) == p
+            case _ => false
+          } || keepDistinct.contains(p) || keepFilter.contains(p)
+      }
+    }
+    val factSlotNames: Seq[String] = keepPos.flatMap(p => slots(p) match {
+      case ExprSlot(e, _) if !e.references.exists(dimOut.contains) =>
+        factGroupName(e)
+      case _ => None
+    })
+
+    // the summary side of the rebuilt join: servable fact filters
+    // remapped onto the summary scan, pruned to join keys + kept fact
+    // slots + needed measures
+    val summaryConds = rest.map(remapCondJ)
+    val filtered = summaryConds match {
+      case Nil => sumPlan
+      case cs  => Filter(cs.reduce(And), sumPlan)
+    }
+    val keep: Seq[NamedExpression] =
+      ((keyNames ++ factSlotNames).distinct.map(byName(_)) ++
+        measures.map(byName(_))).distinct
+    val factSide: LogicalPlan = Project(keep, filtered)
+    def containsFact(p: LogicalPlan): Boolean = p.exists(_ eq factLeaf)
+    def rebuild(p: LogicalPlan): LogicalPlan = p match {
+      case q if q eq factLeaf => factSide
+      case j @ Join(l, r, Inner, cOpt, h) if containsFact(j) =>
+        Join(rebuild(l), rebuild(r), Inner,
+          cOpt.map(c => remapCondJ(inline(c))), h)
+      case j @ Join(l, r, jt @ (LeftSemi | LeftAnti | LeftOuter), cOpt, h)
+          if containsFact(j) =>
+        Join(rebuild(l), r, jt, cOpt.map(c => remapCondJ(inline(c))), h)
+      case Project(_, c) if containsFact(p) => rebuild(c)
+      case SubqueryAlias(_, c) if containsFact(p) => rebuild(c)
+      case other => other
+    }
+    val newJoin = rebuild(join)
+
+    val measureAttrs: Map[String, AttributeReference] = measures.map { c =>
+      c -> AttributeReference("__s_" + c, byName(c).dataType, nullable = true)()
+    }.toMap
+    val newProjections: Seq[Seq[Expression]] = projections.indices.map { j =>
+      keepPos.map { p =>
+        slots(p) match {
+          case GidSlot(lits) => lits(j)
+          case ExprSlot(e, nulls) =>
+            if (nulls(j)) Literal.create(null, output(p).dataType)
+            else if (isDimExpr(e)) e // dim slot: verbatim over the kept dim branch
+            else {
+              val s = byName(factGroupName(e).get)
+              if (s.dataType == output(p).dataType) s
+              else Cast(s, output(p).dataType)
+            }
+        }
+      } ++ measures.map(c => byName(c): Expression)
+    }
+    val newOutput: Seq[Attribute] = keepPos.map(output(_)) ++
+      measures.map(measureAttrs(_))
+    val newExpand = Expand(newProjections, newOutput, newJoin)
+
+    def gate(e: Expression, f: Option[Expression]): Expression = f match {
+      case None => e
+      case Some(p) => If(p, e, Literal.create(null, e.dataType))
+    }
+    val newAggExprs: Seq[NamedExpression] = agg.output.zip(aggExprs).map {
+      case (orig, src) =>
+        def under(e: Expression): NamedExpression = {
+          val cast = if (e.dataType == orig.dataType) e else Cast(e, orig.dataType)
+          Alias(cast, orig.name)(exprId = orig.exprId)
+        }
+        src match {
+          case ar: AttributeReference => ar // grouping slot, preserved
+          case a: Alias => a.child match {
+            case e if e.references.nonEmpty &&
+                e.references.forall(r => groupingIds.contains(r.exprId)) &&
+                !e.exists(_.isInstanceOf[AggregateExpression]) =>
+              Alias(e, orig.name)(exprId = orig.exprId)
+            case e => servedOf(e) match {
+              case Some((SCountStar(_), _, f, _)) =>
+                under(Coalesce(Seq(
+                  Sum(gate(measureAttrs("n_rows"), f)).toAggregateExpression(),
+                  Literal(0L))))
+              case Some((SCountCol(nn, _), _, f, _)) =>
+                under(Coalesce(Seq(
+                  Sum(gate(measureAttrs(nn), f)).toAggregateExpression(),
+                  Literal(0L))))
+              case Some((SSum(sc, _), _, f, _)) =>
+                under(Sum(gate(measureAttrs(sc), f)).toAggregateExpression())
+              case Some((SAvg(sc, nn, _), _, f, _)) =>
+                under(avgFromSummary(
+                  Sum(gate(measureAttrs(sc), f)).toAggregateExpression(),
+                  Coalesce(Seq(Sum(gate(measureAttrs(nn), f)).toAggregateExpression(),
+                    Literal(0L)))))
+              case Some((SMin(c, _), _, f, _)) =>
+                under(Min(gate(measureAttrs(c), f)).toAggregateExpression())
+              case Some((SMax(c, _), _, f, _)) =>
+                under(Max(gate(measureAttrs(c), f)).toAggregateExpression())
+              case Some((SKmv(c, _), _, f, _)) =>
+                under(KmvEstimateStr(
+                  KmvMergeStrAgg(gate(measureAttrs(c), f), reg.kmvK)
+                    .toAggregateExpression(),
+                  reg.kmvK))
+              case Some((SCountDistinctGroup(_, _), Some(p), f, _)) =>
+                under(Count(Seq(gate(output(p), f)))
                   .toAggregateExpression(isDistinct = true))
               case _ => return None
             }
@@ -1446,8 +1985,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   // join is summary-sized — AQE broadcasts it instead of shuffling the
   // fact table.
   //
+  // FACT-PRESERVED LEFT OUTER serves too (r15): an unmatched summary
+  // row survives the outer join with null dim attrs and its cells
+  // intact — exactly as each of its n_rows fact rows would.
+  //
+  // FACT-FACT joins serve BOTH registered sides (r15): a second leaf
+  // scanning a registered base swaps to its summary as a SECONDARY —
+  // consumed group columns re-aliased under their original attribute
+  // ids, the summary's n_rows exported as a multiplicity that scales
+  // the primary's count/sum cells (the classic MV-join algebra; see
+  // trySecondary below). Aggregates still range over one side only.
+  //
   // Conservative stand-downs (each costs nothing — the plain plan
-  // runs): non-inner/non-semi or non-equi joins, a fact join key that
+  // runs): non-equi joins, RightOuter/FullOuter, a LeftOuter with the
+  // fact on the null-supplying right side (an unmatched dim row
+  // contributes count 1, not n_rows — the summary cannot represent
+  // it), a fact join key that
   // is not a group column, aggregates over dim or mixed columns,
   // FILTER clauses touching fact MEASURES (dim attributes and fact
   // group columns are fine — both are constant per (group, dim-row)
@@ -1461,7 +2014,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * attributes must all be re-expressible over the join's output). */
   private def faithfulOverJoin(
       p: LogicalPlan): Option[(Join, Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = p match {
-    case j @ Join(_, _, Inner | LeftSemi | LeftAnti, Some(_), _) => Some((j, Map.empty))
+    case j @ Join(_, _, Inner | LeftSemi | LeftAnti | LeftOuter, Some(_), _) =>
+      Some((j, Map.empty))
     case SubqueryAlias(_, c) => faithfulOverJoin(c)
     case Project(list, c) =>
       faithfulOverJoin(c).flatMap { case (j, subst) =>
@@ -1493,58 +2047,52 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         Alias(outer(ar.exprId), ar.name)(exprId = ar.exprId)
       case ne => inlineOuter(ne).asInstanceOf[NamedExpression]
     }
-    // the SPINE: the tree of inner equi-joins — plus LEFT SEMI/ANTI
-    // nodes, whose RIGHT side filters the left (EXISTS / NOT EXISTS)
-    // without contributing rows — under the Aggregate, seen through
-    // pure column-pruning Projects (bare attributes only — the shape
-    // the optimizer inserts between the joins of a multi-dimension
-    // star). Any other node is an opaque LEAF: a candidate fact (if it
-    // faithfully scans a registered base) or a dim subtree kept
-    // verbatim. A semi/anti RIGHT subtree is condition context only —
-    // its leaves can never be the fact (the aggregate does not range
-    // over its rows).
-    def walk(p: LogicalPlan): (Seq[LogicalPlan], Seq[LogicalPlan]) = p match {
-      case Join(l, r, Inner, Some(_), _) =>
-        val (ll, lf) = walk(l); val (rl, rf) = walk(r)
-        (ll ++ rl, lf ++ rf)
-      case Join(l, r, LeftSemi | LeftAnti, Some(_), _) =>
-        val (ll, lf) = walk(l)
-        (ll, lf :+ r)
-      case Project(list, c) if list.forall(_.isInstanceOf[AttributeReference]) =>
-        walk(c)
-      case SubqueryAlias(_, c) => walk(c)
-      case other => (Seq(other), Nil)
-    }
-    val (leaves, filterOnly) = walk(join)
+    val (leaves, filterOnly) = walkSpine(join)
     leaves.iterator.flatMap { factLeaf =>
       tryFactLeaf(agg, groupings, aggExprs, join, factLeaf,
-        leaves ++ filterOnly, having)
+        leaves, filterOnly, having)
     }.nextOption()
   }
 
-  private def tryFactLeaf(agg: Aggregate, groupings: Seq[Expression],
-      aggExprs: Seq[NamedExpression], join: Join, factLeaf: LogicalPlan,
-      leaves: Seq[LogicalPlan],
-      having: Seq[Expression]): Option[LogicalPlan] = {
-    val (paths, factConds0, factSubst) = faithfulScan(factLeaf).getOrElse(return None)
-    if (paths.isEmpty) return None
-    val key = paths.map(normalize).distinct match {
-      case Seq(k) => k
-      case _      => return None
-    }
-    val candidates = Option(registry.get(key)).getOrElse(return None)
+  /** The SPINE: the tree of inner equi-joins — plus LEFT SEMI/ANTI
+    * nodes, whose RIGHT side filters the left (EXISTS / NOT EXISTS)
+    * without contributing rows — under the Aggregate, seen through
+    * pure column-pruning Projects (bare attributes only — the shape
+    * the optimizer inserts between the joins of a multi-dimension
+    * star). Any other node is an opaque LEAF: a candidate fact (if it
+    * faithfully scans a registered base) or a dim subtree kept
+    * verbatim. A semi/anti RIGHT subtree is condition context only —
+    * its leaves can never be the fact (the aggregate does not range
+    * over its rows). Returns (leaves, filter-only subtrees). */
+  private def walkSpine(p: LogicalPlan): (Seq[LogicalPlan], Seq[LogicalPlan]) = p match {
+    // LeftOuter rides the spine too (r15): its leaves are candidate
+    // facts (left, preserved side) or dims; factKeysOf enforces the
+    // fact never sits on the null-SUPPLYING right side
+    case Join(l, r, Inner | LeftOuter, Some(_), _) =>
+      val (ll, lf) = walkSpine(l); val (rl, rf) = walkSpine(r)
+      (ll ++ rl, lf ++ rf)
+    case Join(l, r, LeftSemi | LeftAnti, Some(_), _) =>
+      val (ll, lf) = walkSpine(l)
+      (ll, lf :+ r)
+    case Project(list, c) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      walkSpine(c)
+    case SubqueryAlias(_, c) => walkSpine(c)
+    case other => (Seq(other), Nil)
+  }
+
+  /** Every join conjunct TOUCHING the fact — at any join along the
+    * spine — must be an equi-condition with one side referencing only
+    * the fact leaf and the other fact-free (the optimizer pushes
+    * single-side predicates below joins, so a surviving
+    * mixed-but-not-equi fact-touching conjunct is genuinely
+    * cross-side → None). Fact-free conjuncts (dim⋈dim keys, dim
+    * predicates) pass verbatim. Semi/anti/outer joins require the
+    * fact on the LEFT (preserved / row-contributing) side. Returns
+    * the fact-side key expressions (inlined through `inlineFact`). */
+  private def factKeysOf(join: Join, factLeaf: LogicalPlan,
+      inlineFact: Expression => Expression): Option[Seq[Expression]] = {
     val factOut = factLeaf.outputSet
-    val dimOut = AttributeSet(leaves.filterNot(_ eq factLeaf).flatMap(_.output))
-    def inlineFact(e: Expression): Expression = e.transform {
-      case ar: AttributeReference if factSubst.contains(ar.exprId) => factSubst(ar.exprId)
-    }
     def containsFact(p: LogicalPlan): Boolean = p.exists(_ eq factLeaf)
-    // every conjunct TOUCHING the fact — at any join along the spine —
-    // must be an equi-condition with one side referencing only the fact
-    // leaf and the other fact-free (the optimizer pushes single-side
-    // predicates below joins, so a surviving mixed-but-not-equi
-    // fact-touching conjunct is genuinely cross-side → stand down).
-    // Fact-free conjuncts (dim⋈dim keys, dim predicates) pass verbatim.
     val keyBuf = scala.collection.mutable.ArrayBuffer.empty[Expression]
     def factEqui(c: Expression): Boolean = conjuncts(c).forall {
       case cj if !cj.references.exists(factOut.contains) => true
@@ -1573,25 +2121,54 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // the LEFT — the right side's rows never reach the aggregate.
       case Join(l, r, LeftSemi | LeftAnti, Some(c), _) if containsFact(p) =>
         !r.exists(_ eq factLeaf) && factEqui(c) && collectKeys(l)
+      // FACT-PRESERVED left outer (r15): exactly the inner algebra plus
+      // — an unmatched summary row survives with null dim attrs and its
+      // cells intact, standing for its n_rows fact rows which each
+      // survive null-padded the same way (groupings, FILTER predicates
+      // and cells all see identical values). The DIM-PRESERVED
+      // direction (fact on the null-supplying right) is NOT servable:
+      // an unmatched dim row contributes count 1, not n_rows — the
+      // summary cannot represent it — so the fact must sit on the LEFT.
+      case Join(l, r, LeftOuter, Some(c), _) if containsFact(p) =>
+        !r.exists(_ eq factLeaf) && factEqui(c) && collectKeys(l)
       case Project(_, c) if containsFact(p) => collectKeys(c)
       case SubqueryAlias(_, c) if containsFact(p) => collectKeys(c)
       case _ => true // a fact-free branch constrains nothing
     }
-    if (!collectKeys(join)) return None
-    val factKeys = keyBuf.toSeq
+    if (collectKeys(join)) Some(keyBuf.toSeq) else None
+  }
+
+  private def tryFactLeaf(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], join: Join, factLeaf: LogicalPlan,
+      rowLeaves: Seq[LogicalPlan], filterOnly: Seq[LogicalPlan],
+      having: Seq[Expression]): Option[LogicalPlan] = {
+    val (paths, factConds0, factSubst) = faithfulScan(factLeaf).getOrElse(return None)
+    if (paths.isEmpty) return None
+    val key = paths.map(normalize).distinct match {
+      case Seq(k) => k
+      case _      => return None
+    }
+    val candidates = Option(registry.get(key)).getOrElse(return None)
+    val dimOut = AttributeSet(
+      (rowLeaves ++ filterOnly).filterNot(_ eq factLeaf).flatMap(_.output))
+    def inlineFact(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if factSubst.contains(ar.exprId) => factSubst(ar.exprId)
+    }
+    val factKeys = factKeysOf(join, factLeaf, inlineFact).getOrElse(return None)
     candidates
       .sortBy(_.groupCols.size)
       .iterator
       .map(c => tryJoinCandidate(agg, groupings, aggExprs,
         factConds0.map(inlineFact).flatMap(conjuncts),
-        inlineFact, factKeys, join, factLeaf, dimOut, key, c, having))
+        inlineFact, factKeys, join, factLeaf, rowLeaves, dimOut, key, c, having))
       .collectFirst { case Some(p) => p }
   }
 
   private def tryJoinCandidate(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], factConds: Seq[Expression],
       inlineFact: Expression => Expression, factKeys: Seq[Expression],
-      join: Join, factLeaf: LogicalPlan, dimOut: AttributeSet,
+      join: Join, factLeaf: LogicalPlan, rowLeaves: Seq[LogicalPlan],
+      dimOut: AttributeSet,
       key: String, reg: Registration,
       having: Seq[Expression]): Option[LogicalPlan] = {
     def no(why: String): Option[LogicalPlan] = { logProbe(reg, why); None }
@@ -1659,6 +2236,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+    // summary group columns a servable FILTER predicate consumes —
+    // remapCondJ rewrites them onto summary attributes inside the
+    // re-aggregation cells, so the pruned fact-side Project must KEEP
+    // them even when they are neither join keys nor groupings (ADVICE
+    // r14: count(1) FILTER (WHERE h = 'x') over a (g, h) summary joined
+    // on g crashed with ATTRIBUTE_NOT_FOUND otherwise). Dim references
+    // pass through the join verbatim and need nothing kept.
+    def filterGroupNames(e: Expression): Set[String] =
+      if (!e.references.exists(dimOut.contains) &&
+          deriveName(e, reg).exists(reg.groupCols.contains))
+        Set(deriveName(e, reg).get)
+      else e match {
+        case ar: AttributeReference =>
+          if (dimOut.contains(ar)) Set.empty else Set(ar.name)
+        case other => other.children.flatMap(filterGroupNames).toSet
+      }
+    val filterNames = scala.collection.mutable.LinkedHashSet.empty[String]
     // a dim-side expression passes through ONLY when aggregate-free: an
     // aggregate over dim values (sum(d.x)) scales with the fact-side
     // join multiplicity, which the summary join collapses — stand down
@@ -1674,7 +2268,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case e if !e.references.exists(dimOut.contains) &&
             factGroupName(inlineFact(e)).exists(factGroupNames.contains) =>
         case e => servedAggOf(e) match {
-          case Some(sa) => needCols ++= sa.needed
+          case Some(sa) =>
+            needCols ++= sa.needed
+            sa.filter.foreach(p => filterNames ++= filterGroupNames(p))
           case None => return no(s"unservable aggregate: ${e.sql}")
         }
       }
@@ -1716,35 +2312,155 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case cs  => Filter(cs.reduce(And), sumPlan)
     }
     val keep: Seq[NamedExpression] =
-      ((keyNames ++ factGroupNames).distinct.map(byName(_)) ++
+      ((keyNames ++ factGroupNames ++ filterNames.toSeq).distinct.map(byName(_)) ++
         needCols.toSeq.map(byName(_))).distinct
     val factSide: LogicalPlan = Project(keep, filtered)
+
+    // ── r15: SECONDARY registered leaves (fact-fact joins) ────────────
+    // A second leaf that ALSO faithfully scans a registered base — with
+    // its join keys and every consumed attribute resolving to summary
+    // group columns — swaps to ITS summary too: the replacement Project
+    // re-aliases each consumed group column under the ORIGINAL
+    // attribute id (so conditions, groupings and pass-through outputs
+    // above resolve unchanged) and exports the summary's n_rows as a
+    // multiplicity. Each replaced summary row stands for n_rows base
+    // rows with identical consumed values, so the joined relation is
+    // exact once the PRIMARY's count/sum cells are scaled by the
+    // product of the secondaries' multiplicities (min/max/KMV/distinct
+    // cells are multiplicity-insensitive and stay unscaled). A leaf
+    // that fails any check just stays a verbatim scan — never a
+    // stand-down of the whole rewrite. Aggregates still range over the
+    // primary only (a measure over a secondary stands the rewrite down
+    // in classification, by design).
+    val consumed: AttributeSet = AttributeSet(
+      join.collect { case Join(_, _, _, Some(c), _) => c }.flatMap(_.references) ++
+        groupings.flatMap(_.references) ++ aggExprs.flatMap(_.references))
+    def trySecondary(s: LogicalPlan): Option[(LogicalPlan, Attribute)] = {
+      val (pathsS, condsS0, substS) = faithfulScan(s).getOrElse(return None)
+      if (pathsS.isEmpty) return None
+      val keyS = pathsS.map(normalize).distinct match {
+        case Seq(k) => k
+        case _      => return None
+      }
+      val candsS = Option(registry.get(keyS)).getOrElse(return None)
+      def inlineS(e: Expression): Expression = e.transform {
+        case ar: AttributeReference if substS.contains(ar.exprId) => substS(ar.exprId)
+      }
+      val keysS = factKeysOf(join, s, inlineS).getOrElse(return None)
+      val condsS = condsS0.map(inlineS).flatMap(conjuncts)
+      val used: Seq[Attribute] = s.output.filter(consumed.contains)
+      candsS.sortBy(_.groupCols.size).iterator.map { regS =>
+        def nameOf(e: Expression): Option[String] = inlineS(e) match {
+          case ar: AttributeReference if !regS.derive.contains(ar.name) =>
+            Some(ar.name).filter(regS.groupCols.contains)
+          case other => deriveName(other, regS).filter(regS.groupCols.contains)
+        }
+        val keyNamesS = keysS.map(nameOf)
+        val usedNames = used.map(a => a -> nameOf(a))
+        if (keyNamesS.exists(_.isEmpty) || usedNames.exists(_._2.isEmpty)) None
+        else {
+          val (bakedS, restS) =
+            if (regS.baseFilters.isEmpty) (Nil, condsS)
+            else condsS.partition(c => regS.baseFilters.contains(normalizeExpr(c)))
+          if (!regS.baseFilters.forall(bf => bakedS.exists(c => normalizeExpr(c) == bf)))
+            None
+          else if (restS.exists(c =>
+              !unservableRefs(c, regS).subsetOf(regS.groupCols.toSet))) None
+          else if (!isFresh(keyS, regS)) None
+          else {
+            val sumPlanS = regS.store.readTable(regS.summary)
+              .queryExecution.optimizedPlan
+            val byNameS = sumPlanS.output.map(a => a.name -> a).toMap
+            if (!regS.groupCols.forall(byNameS.contains) ||
+                !byNameS.contains("n_rows")) None
+            else {
+              def remapCondS(e: Expression): Expression =
+                e.transformDown {
+                  case sub if sub.references.nonEmpty &&
+                      deriveName(sub, regS).exists(n =>
+                        regS.groupCols.contains(n) && byNameS.contains(n)) =>
+                    byNameS(deriveName(sub, regS).get)
+                }.transform {
+                  case ar: AttributeReference if byNameS.contains(ar.name) =>
+                    val x = byNameS(ar.name)
+                    if (x.dataType == ar.dataType) x else Cast(x, ar.dataType)
+                }
+              val filteredS = restS.map(remapCondS) match {
+                case Nil => sumPlanS
+                case cs  => Filter(cs.reduce(And), sumPlanS)
+              }
+              val multAlias = Alias(byNameS("n_rows"), "__mult")()
+              val projList: Seq[NamedExpression] = usedNames.map {
+                case (a, nOpt) =>
+                  val src = byNameS(nOpt.get)
+                  val cx = if (src.dataType == a.dataType) src
+                           else Cast(src, a.dataType)
+                  Alias(cx, a.name)(exprId = a.exprId)
+              } :+ multAlias
+              logProbe(regS, "served")
+              Some((Project(projList, filteredS): LogicalPlan,
+                multAlias.toAttribute))
+            }
+          }
+        }
+      }.collectFirst { case Some(x) => x }
+    }
+    // keyed by REFERENCE (eq): self-joined leaves are distinct objects
+    val secondaries: Seq[(LogicalPlan, (LogicalPlan, Attribute))] =
+      rowLeaves.filter(s => !(s eq factLeaf))
+        .flatMap(s => trySecondary(s).map(s -> _))
+    def replOf(q: LogicalPlan): Option[(LogicalPlan, Attribute)] =
+      secondaries.collectFirst { case (s, r) if s eq q => r }
+    val multAttrs: Seq[Attribute] = secondaries.map(_._2._2)
+
     // rebuild the spine: the fact leaf becomes the summary read, every
     // fact-touching join condition remaps to summary attributes,
-    // column-pruning Projects on the fact path drop (their lists
-    // reference the retired fact attributes), and every dim branch is
+    // column-pruning Projects on replaced paths drop (a primary-path
+    // list references retired fact attributes; a secondary-path list
+    // is mere pruning the optimizer redoes), and every other branch is
     // kept verbatim — per-join hints included
-    def containsFact(p: LogicalPlan): Boolean = p.exists(_ eq factLeaf)
+    def containsRepl(p: LogicalPlan): Boolean =
+      p.exists(n => (n eq factLeaf) || replOf(n).isDefined)
     def rebuild(p: LogicalPlan): LogicalPlan = p match {
       case q if q eq factLeaf => factSide
-      case j @ Join(l, r, Inner, cOpt, h) if containsFact(j) =>
+      case q if replOf(q).isDefined => replOf(q).get._1
+      case j @ Join(l, r, Inner, cOpt, h) if containsRepl(j) =>
         Join(rebuild(l), rebuild(r), Inner,
           cOpt.map(c => remapCondJ(inlineFact(c))), h)
-      case j @ Join(l, r, jt @ (LeftSemi | LeftAnti), cOpt, h) if containsFact(j) =>
-        // fact is on the left (enforced by collectKeys); the right side
-        // is condition context, kept verbatim
+      case j @ Join(l, r, jt @ (LeftSemi | LeftAnti | LeftOuter), cOpt, h)
+          if containsRepl(j) =>
+        // the primary (and any replaced secondary) is on the left —
+        // factKeysOf rejects a fact on a semi/anti right side or an
+        // outer's null-supplying side — so the right side is kept
+        // verbatim (semi/anti condition context, or the outer's dim)
         Join(rebuild(l), r, jt, cOpt.map(c => remapCondJ(inlineFact(c))), h)
-      case Project(_, c) if containsFact(p) => rebuild(c)
-      case SubqueryAlias(_, c) if containsFact(p) => rebuild(c)
+      case Project(_, c) if containsRepl(p) => rebuild(c)
+      case SubqueryAlias(_, c) if containsRepl(p) => rebuild(c)
       case other => other
     }
     val newJoin = rebuild(join)
 
     // re-aggregation cells over the joined relation — always the rollup
-    // algebra (each output group spans ≥1 (summary, dim) pairs)
+    // algebra (each output group spans ≥1 (summary, dim) pairs); with
+    // secondaries, count/sum cells scale by the multiplicity product
     val minCols = reg.mins.values.toSet
     val maxCols = reg.maxs.values.toSet
     val kmvCols = reg.kmv.values.toSet
+    val mult: Option[Expression] = multAttrs match {
+      case Nil => None
+      case as  => Some(as.map(a => a: Expression).reduce(Multiply(_, _)))
+    }
+    def scaled(child: Expression): Expression = mult match {
+      case None => child
+      case Some(m) => child.dataType match {
+        // decimal multiply must be same-typed post-analysis: widen both
+        // sides to (38,2) — the product is exact in scale ≤ 4 and the
+        // outer cast restores the output type (values are whole cents)
+        case _: DecimalType =>
+          Multiply(Cast(child, DecimalType(38, 2)), Cast(m, DecimalType(38, 2)))
+        case _ => Multiply(child, m)
+      }
+    }
     def rolled(n: String, f: Option[Expression]): Expression = {
       val raw = byName(n)
       val child = f match {
@@ -1754,7 +2470,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if (minCols(n)) Min(child).toAggregateExpression()
       else if (maxCols(n)) Max(child).toAggregateExpression()
       else if (kmvCols(n)) KmvMergeStrAgg(child, reg.kmvK).toAggregateExpression()
-      else Sum(child).toAggregateExpression()
+      else Sum(scaled(child)).toAggregateExpression()
     }
     def countCell(n: String, f: Option[Expression]): Expression =
       Coalesce(Seq(rolled(n, f), Literal(0L)))

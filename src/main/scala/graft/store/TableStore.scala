@@ -119,6 +119,10 @@ final class TableStore(
     clock: () => Long = () => System.currentTimeMillis()) {
   import TableStore.Meta
 
+  /** The store's root directory (bench bootstrap cloning needs the
+    * table dir location; see CoreQueries.bootstrapBase). */
+  private[graft] def rootDir: String = root
+
   /** In-process change counter: bumped by every manifest commit and
     * every properties write through THIS instance. Cheap (no I/O)
     * invalidation signal for plan-time metadata caches
@@ -156,15 +160,26 @@ final class TableStore(
     * advance, write-ahead intent) — since r14 content-derived too: a
     * foreign maintenance write landing within the filesystem's mtime
     * granularity used to be invisible on coarse-mtime stores (ADVICE
-    * r13 "What's missing #5"); the counter can never collide. One
-    * getFileStatus + one small props read, O(1) — never the
+    * r13 "What's missing #5"); the counter can never collide. Third
+    * component (ADVICE r14): the props file's mtime⊕length — the
+    * version counter's increment runs under the per-table commit LOCK,
+    * but a writer bypassing the lock (a crashed-lock takeover, a
+    * foreign tool editing props.json) could clobber the counter back
+    * to a cached value; the physical file stamp still usually perturbs
+    * the compound signature, so the cache re-probes instead of serving
+    * stale. One getFileStatus + one small props read, O(1) — never the
     * O(#generations) listing the full probe pays. */
   private[graft] def stalenessSignature(base: String, summary: String,
-      baseGen: Int): (Long, Long) = {
+      baseGen: Int): (Long, Long, Long) = {
     val next =
       try { if (fs.exists(manifestPath(base, baseGen + 1))) -1L else 0L }
       catch { case _: Exception => -1L }
-    (next, propsVersion(summary))
+    val stamp =
+      try {
+        val st = fs.getFileStatus(propsPath(summary))
+        st.getModificationTime ^ (st.getLen << 20)
+      } catch { case _: Exception => 0L } // no props file yet
+    (next, propsVersion(summary), stamp)
   }
 
   /** The table's monotonic props version (0 before any write, −1 on a

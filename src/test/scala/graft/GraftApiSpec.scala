@@ -618,6 +618,73 @@ class GraftApiSpec extends AnyFunSuite {
     } finally { g.summaries.detach("ev"); g.close() }
   }
 
+  test("C46e-b (r15): recommend covers the join and grouping-sets shapes the rewrite serves") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val g = Graft(spark, Files.createTempDirectory("graft_mvrecj_").toString)
+    try {
+      val rows = (1L to 60L).map(i => (i, "t" + (i % 3), (i % 7).toDouble))
+      g.create.tableFromDataFrame("ev",
+        rows.toDF("event_id", "etype", "v"), Seq("event_id"), infer = false)
+      g.create.tableFromDataFrame("etype_dim",
+        Seq(("t0", "hot"), ("t1", "hot"), ("t2", "cold")).toDF("etype", "klass"),
+        Seq("etype"), infer = false)
+      def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def defineRec(name: String, rec: (String, graft.plans.SummaryRewrite.Recommendation)): Unit =
+        g.summaries.define(name, rec._1, rec._2.groupCols, rec._2.valueCols,
+          kind = rec._2.kind, k = rec._2.k, deriveCols = rec._2.deriveCols)
+      // the STAR: group by the dim attribute — the advisor must walk to
+      // the fact leaf and recommend (join key) as the grain (r14 bailed
+      // with Nil on any Join shape)
+      def q5 = {
+        val f = g.read.table("ev"); val d = g.read.table("etype_dim")
+        f.join(d, f("etype") === d("etype")).groupBy("klass")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(18, 2))).as("s"),
+            expr("count(1) FILTER (WHERE klass = 'hot')").as("n_hot"))
+      }
+      // grouping sets over the single table (r14 bailed on any Expand)
+      def q6 = g.read.table("ev").rollup("etype")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          grouping(col("etype")).as("ge"))
+      val r5 = g.summaries.recommend(q5)
+      assert(r5.size == 1 && r5.head._1 == "ev", r5.toString)
+      assert(r5.head._2.groupCols == Seq("etype") && r5.head._2.kind == "sum",
+        r5.toString)
+      val r6 = g.summaries.recommend(q6)
+      assert(r6.size == 1 && r6.head._1 == "ev" &&
+        r6.head._2.groupCols == Seq("etype"), r6.toString)
+      // the C46e closed loop, now over a join: define(returned args) →
+      // the star query serves with the fact never scanned
+      defineRec("adv5", r5.head)
+      assert(!scans(q5).exists(_.contains("/ev/")) &&
+        scans(q5).exists(_.contains("adv5")),
+        s"the recommended define must serve the star: ${q5.queryExecution.optimizedPlan}")
+      assert(scans(q6).forall(_.contains("adv5")),
+        s"the recommended define must serve the rollup: ${q6.queryExecution.optimizedPlan}")
+      // values survive on the recommended route
+      g.summaries.detach("ev")
+      val raw5 = q5.orderBy("klass").collect().map(_.toString).toSeq
+      val raw6 = q6.collect().map(_.toString).toSeq.sorted
+      g.summaries.attach("adv5")
+      assert(q5.orderBy("klass").collect().map(_.toString).toSeq == raw5)
+      assert(q6.collect().map(_.toString).toSeq.sorted == raw6)
+      // a dim-side measure stays unrecommendable (it cannot serve)
+      def qBad = {
+        val f = g.read.table("ev"); val d = g.read.table("etype_dim")
+        f.join(d, f("etype") === d("etype")).groupBy("klass")
+          .agg(count(col("klass")).as("nk"))
+      }
+      assert(g.summaries.recommend(qBad).isEmpty, "a dim-side measure must not recommend")
+    } finally { g.summaries.detach("ev"); g.close() }
+  }
+
   test("detach() disarms auto-maintenance; list() covers the ## session temp root") {
     import org.apache.spark.sql.functions._
     val g = Graft(spark, Files.createTempDirectory("graft_mvdet_").toString)

@@ -1437,9 +1437,30 @@ class IncrementalAggSpec extends AnyFunSuite {
       standsDown(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
         .agg(expr("count(1) FILTER (WHERE v > 15)").as("n_hi")),
         "a fact-measure FILTER clause")
-      // outer join (unmatched dim rows would fabricate null groups)
-      standsDown(fact.join(dim, fact("g") === dim("g"), "left")
-        .groupBy("attr").agg(count(lit(1)).as("n")), "a left outer join")
+      // FACT-PRESERVED LEFT OUTER serves (r15): g=42 has no dim row —
+      // its summary row survives the outer join null-padded with its
+      // cells intact, exactly as each of its fact rows would
+      checkServed(fact.join(dim, fact("g") === dim("g"), "left")
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("a"),
+          min(col("v").cast(DecimalType(18, 2))).as("lo"),
+          max(col("v").cast(DecimalType(18, 2))).as("hi")), "attr")
+      // the unmatched-group probe: FILTER over a dim attr that is NULL
+      // exactly for the outer-padded rows
+      checkServed(fact.join(dim, fact("g") === dim("g"), "left")
+        .groupBy(fact("g"))
+        .agg(expr("count(1) FILTER (WHERE attr IS NULL)").as("n_unmatched"),
+          count(lit(1)).as("n")), "g")
+      // DIM-PRESERVED left outer stands down (an unmatched dim row
+      // contributes count 1, not n_rows — unservable off the summary)
+      standsDown(dim.join(fact, fact("g") === dim("g"), "left")
+        .groupBy("attr").agg(count(lit(1)).as("n")), "a dim-preserved left outer")
+      standsDown(fact.join(dim, fact("g") === dim("g"), "right")
+        .groupBy("attr").agg(count(lit(1)).as("n")), "a right outer join")
+      standsDown(fact.join(dim, fact("g") === dim("g"), "full")
+        .groupBy("attr").agg(count(lit(1)).as("n")), "a full outer join")
       // stale summary: a fact commit without maintenance stands down
       store.insert("fact", Seq((7L, 1, 70.0)).toDF("k", "g", "v"))
       standsDown(fact.join(dim, fact("g") === dim("g")).groupBy("attr")
@@ -1527,6 +1548,13 @@ class IncrementalAggSpec extends AnyFunSuite {
         .groupBy("g").agg(count(lit(1)).as("n"))
       assert(scanPaths(badSemi).exists(_.contains("fact")),
         "a non-group semi key must stand down")
+      // ADVICE r14: a FILTER over a fact group column that is NEITHER a
+      // join key NOR a grouping — the pruned summary Project must keep
+      // it (this crashed with ATTRIBUTE_NOT_FOUND at execution before)
+      checkServed(fact.join(d1, fact("g") === d1("g")).groupBy("region")
+        .agg(expr("count(1) FILTER (WHERE h = 10)").as("n_h10"),
+          expr("sum(cast(v as decimal(18,2))) FILTER (WHERE h = 20)").as("s_h20"),
+          count(lit(1)).as("n")), "region")
     } finally SummaryRewrite.unregister(store, "fact")
   }
 
@@ -1583,10 +1611,36 @@ class IncrementalAggSpec extends AnyFunSuite {
       // verbatim off preserved summary values
       checkServed(base.rollup("g")
         .agg(count_distinct(col("h")).as("nh"), count(lit(1)).as("n")))
+      // r15: FILTER clauses serve on the Expand path — over the OTHER
+      // group column (a pass-through slot) and over the grouping col
+      checkServed(base.rollup("g")
+        .agg(expr("count(1) FILTER (WHERE h = 'x')").as("n_x"),
+          expr("sum(cast(v as decimal(18,2))) FILTER (WHERE g = 'a')").as("s_a"),
+          expr("min(cast(v as decimal(18,2))) FILTER (WHERE h <> 'z')").as("lo_nz"),
+          count(lit(1)).as("n")))
+      // FILTER over a rollup slot that is NULLED per set — null for
+      // subtotal rows in the real plan and the rebuilt one alike
+      checkServed(base.rollup("g", "h")
+        .agg(expr("count(1) FILTER (WHERE g IS NOT NULL)").as("n_gnn"),
+          expr("avg(cast(v as decimal(18,2))) FILTER (WHERE h = 'y')").as("a_y"),
+          count(lit(1)).as("n")))
       // ── stand-downs ──
       def standsDown(df: org.apache.spark.sql.DataFrame, why: String): Unit =
         assert(scanPaths(df).exists(_.contains("base")),
           s"$why must fall back: ${df.queryExecution.optimizedPlan}")
+      // COUNT(DISTINCT …) FILTER on grouping sets stands down: Spark's
+      // distinct-aggregate rewrite pre-projects `if(p, h, null)` into a
+      // Project BETWEEN the Aggregate and the Expand, so the rule sees
+      // neither a bare Expand child nor a servable aggregate — the
+      // plain plan runs (correct, just unserved)
+      standsDown(base.rollup("g")
+        .agg(expr("count(DISTINCT h) FILTER (WHERE g = 'a')").as("nh_a"),
+          count(lit(1)).as("n")),
+        "a filtered DISTINCT on the Expand path")
+      // a FILTER over a fact MEASURE pass-through slot stands down
+      standsDown(base.rollup("g")
+        .agg(expr("count(1) FILTER (WHERE v > 15)").as("n_hi")),
+        "a measure FILTER clause on the Expand path")
       // a grouping-set column that is NOT a summary group column
       standsDown(base.rollup("g", "v").agg(count(lit(1)).as("n")),
         "a non-group grouping-set column")
@@ -1602,6 +1656,322 @@ class IncrementalAggSpec extends AnyFunSuite {
       IncrementalAgg.maintainMinMaxToCurrent(store, "base", "summary", Seq("g", "h"), "v")
       checkServed(store.readTable("base").rollup("g", "h")
         .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2))).as("s")))
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C44t: ROLLUP/CUBE over a STAR — Expand over (summary ⋈ dim), never the fact") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    // g=42 has no dim row; dim g=3 duplicates (multiplicity); dim g=4
+    // has no fact rows. NB: the queries are SQL over temp views — the
+    // Dataset API's rollup-over-join trips Spark's
+    // DetectAmbiguousSelfJoin tag check before any optimizer rule runs
+    // (plain Spark, no graft); SQL is how the shape is written in
+    // practice and compiles to the same Aggregate-over-Expand-over-Join.
+    store.createTableFromDataFrame("fact",
+      Seq((1L, 1, 10, 10.0), (2L, 1, 20, 20.0), (3L, 2, 10, 30.0),
+        (4L, 2, 20, 31.0), (5L, 3, 10, 50.0), (6L, 42, 20, 99.0))
+        .toDF("k", "g", "h", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("dim",
+      Seq((1, "east", 1.5), (2, "west", 2.5), (3, "east", 3.5), (3, "east2", 3.6),
+        (4, "south", 4.5)).toDF("g", "region", "w"),
+      Seq.empty, infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarizeMinMax(store.readTable("fact"), Seq("g", "h"), "v"),
+      Seq("g", "h"), infer = false)
+    IncrementalAgg.markMaintained(store, "fact", "summary",
+      store.snapshots("fact").last._1)
+    SummaryRewrite.register(spark, store, "fact", "summary", Seq("g", "h"), "v")
+    store.readTable("fact").createOrReplaceTempView("c44t_f")
+    store.readTable("dim").createOrReplaceTempView("c44t_d")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def checkServed(sql: String): Unit = {
+        def mk = spark.sql(sql)
+        val paths = scanPaths(mk)
+        assert(!paths.exists(_.contains("fact")),
+          s"the fact table must NOT be scanned: ${mk.queryExecution.optimizedPlan}")
+        assert(paths.exists(_.contains("summary")), "the summary must be scanned")
+        SummaryRewrite.unregister(store, "fact")
+        val raw = mk.collect().toSeq.map(_.toString).sorted
+        SummaryRewrite.register(spark, store, "fact", "summary", Seq("g", "h"), "v")
+        assert(mk.collect().toSeq.map(_.toString).sorted == raw)
+      }
+      def standsDown(sql: String, why: String): Unit =
+        assert(scanPaths(spark.sql(sql)).exists(_.contains("fact")),
+          s"$why must fall back to the fact scan")
+      // the flagship compose: ROLLUP over (dim attr, fact group col),
+      // full measure menu
+      checkServed("""SELECT region, h, count(1) AS n,
+        sum(cast(v as decimal(18,2))) AS s, avg(cast(v as decimal(18,2))) AS a,
+        min(cast(v as decimal(18,2))) AS lo, max(cast(v as decimal(18,2))) AS hi
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(region, h)""")
+      // CUBE over the dim attr alone; count(v) rides the nn column
+      checkServed("""SELECT region, count(v) AS nv,
+        sum(cast(v as decimal(18,2))) AS s
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY CUBE(region)""")
+      // grouping() marker + grouping by the fact group col only
+      checkServed("""SELECT h, grouping(h) AS gh, count(1) AS n
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(h)""")
+      // FILTER clauses on the composed path: fact-slot and dim-slot refs
+      checkServed("""SELECT region,
+        count(1) FILTER (WHERE h = 10) AS n_h10,
+        sum(cast(v as decimal(18,2))) FILTER (WHERE w > 2) AS s_hi,
+        count(1) AS n
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(region)""")
+      // exact COUNT(DISTINCT fact group col) per set
+      checkServed("""SELECT region, count(DISTINCT h) AS nh, count(1) AS n
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(region)""")
+      // fact-side WHERE over a group column + a dim-side filter compose
+      checkServed("""SELECT region, count(1) AS n
+        FROM c44t_f JOIN c44t_d USING (g)
+        WHERE c44t_f.g <> 2 AND region <> 'south' GROUP BY ROLLUP(region)""")
+      // fact-preserved LEFT OUTER composes with the rollup
+      checkServed("""SELECT region, count(1) AS n,
+        sum(cast(v as decimal(18,2))) AS s
+        FROM c44t_f LEFT JOIN c44t_d USING (g) GROUP BY ROLLUP(region)""")
+      // GROUPING SETS with a mixed (dim, fact) set
+      checkServed("""SELECT region, h, count(1) AS n
+        FROM c44t_f JOIN c44t_d USING (g)
+        GROUP BY GROUPING SETS ((region, h), (region), ())""")
+      // ── stand-downs ──
+      standsDown("""SELECT region, sum(cast(w as decimal(18,2))) AS sw
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(region)""",
+        "a dim-side measure under a star rollup")
+      standsDown("""SELECT v, count(1) AS n
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(v)""",
+        "a fact-measure grouping-set column")
+      standsDown("""SELECT region, count(1) FILTER (WHERE v > 15) AS n_hi
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(region)""",
+        "a fact-measure FILTER on the composed path")
+      standsDown("""SELECT region, count(1) AS n
+        FROM c44t_f JOIN c44t_d ON c44t_f.k = c44t_d.g GROUP BY ROLLUP(region)""",
+        "a non-group join key under a rollup")
+      // staleness (the view re-reads the table so the raw compare and
+      // the scan both range over the post-insert generation)
+      store.insert("fact", Seq((7L, 1, 10, 70.0)).toDF("k", "g", "h", "v"))
+      store.readTable("fact").createOrReplaceTempView("c44t_f")
+      standsDown("""SELECT region, count(1) AS n
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(region)""",
+        "a stale summary under a star rollup")
+      IncrementalAgg.maintainMinMaxToCurrent(store, "fact", "summary",
+        Seq("g", "h"), "v")
+      checkServed("""SELECT region, h, count(1) AS n,
+        sum(cast(v as decimal(18,2))) AS s
+        FROM c44t_f JOIN c44t_d USING (g) GROUP BY ROLLUP(region, h)""")
+    } finally {
+      SummaryRewrite.unregister(store, "fact")
+      spark.catalog.dropTempView("c44t_f")
+      spark.catalog.dropTempView("c44t_d")
+      ()
+    }
+  }
+
+  test("C44u (r15): fact-fact joins serve BOTH registered sides with multiplicity scaling") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    // fa: g=42 has no fb rows; fb: per-g multiplicities 3 (g=1) / 1 (g=2)
+    store.createTableFromDataFrame("fa",
+      Seq((1L, 1, 10.0), (2L, 1, 20.0), (3L, 2, 30.0), (4L, 42, 99.0))
+        .toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("fb",
+      Seq((1L, 1, 7, "x", 1.0), (2L, 1, 8, "y", 2.0), (3L, 1, 9, "x", 3.0),
+        (4L, 2, 1, "x", 4.0)).toDF("k2", "g", "m", "st", "w"),
+      Seq("k2"), infer = false)
+    store.createTableFromDataFrame("suma",
+      IncrementalAgg.summarizeMinMax(store.readTable("fa"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    store.createTableFromDataFrame("sumb",
+      IncrementalAgg.summarize(store.readTable("fb"), Seq("g", "st"), "w"),
+      Seq("g", "st"), infer = false)
+    IncrementalAgg.markMaintained(store, "fa", "suma", store.snapshots("fa").last._1)
+    IncrementalAgg.markMaintained(store, "fb", "sumb", store.snapshots("fb").last._1)
+    def registerBoth(): Unit = {
+      SummaryRewrite.register(spark, store, "fa", "suma", Seq("g"), "v")
+      SummaryRewrite.register(spark, store, "fb", "sumb", Seq("g", "st"), "w")
+    }
+    def unregisterBoth(): Unit = {
+      SummaryRewrite.unregister(store, "fa")
+      SummaryRewrite.unregister(store, "fb")
+    }
+    registerBoth()
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def checkServed(mk: => org.apache.spark.sql.DataFrame,
+          expectB: Boolean = true): Unit = {
+        val paths = scanPaths(mk)
+        assert(!paths.exists(_.contains("/fa/")),
+          s"fa must NOT be scanned: ${mk.queryExecution.optimizedPlan}")
+        assert(!paths.exists(_.contains("/fb/")) == expectB,
+          s"fb scan expectation ($expectB) failed: ${mk.queryExecution.optimizedPlan}")
+        unregisterBoth()
+        val raw = mk.collect().toSeq.map(_.toString).sorted
+        registerBoth()
+        assert(mk.collect().toSeq.map(_.toString).sorted == raw,
+          s"served rows diverged: ${mk.queryExecution.optimizedPlan}")
+      }
+      val a = store.readTable("fa")
+      val b = store.readTable("fb")
+      // count/sum/avg scale by fb's per-(g,st) multiplicities; NEITHER
+      // base is scanned
+      checkServed(a.join(b, a("g") === b("g")).groupBy("st")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"),
+          avg(col("v").cast(DecimalType(18, 2))).as("m"),
+          min(col("v").cast(DecimalType(18, 2))).as("lo")))
+      // grouping by BOTH sides' group columns
+      checkServed(a.join(b, a("g") === b("g")).groupBy(b("st"), a("g"))
+        .agg(count(lit(1)).as("n"),
+          max(col("v").cast(DecimalType(18, 2))).as("hi")))
+      // GLOBAL aggregate; count(v) rides the scaled nn cell
+      checkServed(a.join(b, a("g") === b("g"))
+        .agg(count(col("v")).as("nv"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s")))
+      // exact COUNT(DISTINCT primary group col) — multiplicity-proof
+      checkServed(a.join(b, a("g") === b("g")).groupBy("st")
+        .agg(count_distinct(a("g")).as("ng"), count(lit(1)).as("n")))
+      // FILTER over the secondary's group column (consumed, re-aliased)
+      checkServed(a.join(b, a("g") === b("g"))
+        .agg(expr("count(1) FILTER (WHERE st = 'x')").as("n_x"),
+          count(lit(1)).as("n")))
+      // a WHERE on the secondary's group columns lands on ITS summary
+      checkServed(a.join(b.filter(col("st") =!= "y"), a("g") === b("g"))
+        .groupBy("st").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s")))
+      // a measure over the SECONDARY stands the whole rewrite down
+      // (aggregates range over one side only, by design)
+      val both = a.join(b, a("g") === b("g")).groupBy("st")
+        .agg(sum(col("v").cast(DecimalType(18, 2))).as("sv"),
+          sum(col("w").cast(DecimalType(18, 2))).as("sw"))
+      assert(scanPaths(both).exists(_.contains("/fa/")) ||
+        scanPaths(both).exists(_.contains("/fb/")),
+        "measures over both sides must stand down")
+      // a non-group fb join key (m, same type as g): fb stays a
+      // verbatim scan, fa STILL serves (secondary failure is never a
+      // stand-down of the whole rewrite)
+      checkServed(a.join(b, a("g") === b("m")).groupBy("st")
+        .agg(count(lit(1)).as("n")), expectB = false)
+      // fb stale: falls back to the verbatim fb scan, fa still serves
+      store.insert("fb", Seq((5L, 2, 2, "y", 5.0)).toDF("k2", "g", "m", "st", "w"))
+      val a2 = store.readTable("fa")
+      val b2 = store.readTable("fb")
+      checkServed(a2.join(b2, a2("g") === b2("g")).groupBy("st")
+        .agg(count(lit(1)).as("n")), expectB = false)
+    } finally unregisterBoth()
+  }
+
+  test("C44v (r15): exact COUNT(DISTINCT measure) — the distinct-grain summary (classic distinct-MV)") {
+    // the composition that serves it: a summary whose GRAIN includes
+    // the measure ((g, v), n_rows per pair) makes COUNT(DISTINCT v)
+    // GROUP BY g a C44q group-column distinct under a SUBSET grouping —
+    // counting summary rows per group, exact and maintained
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "a", 10.0), (3L, "a", 20.0),
+        (4L, "b", 10.0), (5L, "b", 30.0)).toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g", "v"), "v"),
+      Seq("g", "v"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "v"), "v")
+    try {
+      def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location.rootPaths.map(_.toString)
+        }.flatten
+      def checkServed(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        assert(scanPaths(mk).forall(_.contains("summary")),
+          s"should serve: ${mk.queryExecution.optimizedPlan}")
+        SummaryRewrite.unregister(store, "base")
+        val raw = mk.collect().toSeq.map(_.toString).sorted
+        SummaryRewrite.register(spark, store, "base", "summary", Seq("g", "v"), "v")
+        assert(mk.collect().toSeq.map(_.toString).sorted == raw)
+      }
+      def query = store.readTable("base").groupBy("g")
+        .agg(count_distinct(col("v")).as("nv"),
+          count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s"))
+      checkServed(query)
+      // the global distinct too (subset grouping = empty set)
+      checkServed(store.readTable("base")
+        .agg(count_distinct(col("v")).as("nv"), count(lit(1)).as("n")))
+      // maintenance property: value updates move pairs between grain
+      // rows; deletes kill pairs; the distinct count follows exactly
+      store.upsert("base", Seq((2L, "a", 20.0), (6L, "b", 40.0)).toDF("k", "g", "v"))
+      store.delete("base", Seq(5L).toDF("k"))
+      IncrementalAgg.maintainToCurrent(store, "base", "summary", Seq("g", "v"), "v")
+      checkServed(query)
+    } finally SummaryRewrite.unregister(store, "base")
+  }
+
+  test("C44s guard: an Expand slot carrying a NON-NULL literal row stands down (ADVICE r14)") {
+    // constructExpand only ever emits (source expr | null) per group
+    // slot, but the rule matches ANY Expand — a hand-built projection
+    // row holding a non-null literal (neither null nor the source
+    // expression) must stand the rewrite down instead of being silently
+    // rewritten as the source expression (wrong values)
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.LongType
+    import graft.plans.SummaryRewrite
+    val store = newStore()
+    store.createTableFromDataFrame("base",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"),
+      Seq("k"), infer = false)
+    store.createTableFromDataFrame("summary",
+      IncrementalAgg.summarize(store.readTable("base"), Seq("g"), "v"),
+      Seq("g"), infer = false)
+    IncrementalAgg.markMaintained(store, "base", "summary",
+      store.snapshots("base").last._1)
+    SummaryRewrite.register(spark, store, "base", "summary", Seq("g"), "v")
+    try {
+      val scan = store.readTable("base").queryExecution.optimizedPlan
+      val gAttr = scan.output.find(_.name == "g").get
+      val gOut = AttributeReference("g", gAttr.dataType)()
+      val gid = AttributeReference("spark_grouping_id", LongType, nullable = false)()
+      def mkPlan(row1: org.apache.spark.sql.catalyst.expressions.Expression) = {
+        val expand = Expand(
+          Seq(Seq(gAttr, Literal(0L)), Seq(row1, Literal(1L))),
+          Seq(gOut, gid), scan)
+        Aggregate(Seq(gOut, gid),
+          Seq(gOut, Alias(Count(Seq(Literal(1))).toAggregateExpression(), "n")()),
+          expand)
+      }
+      def scans(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+        org.apache.spark.sql.graftglue.Glue.ofRows(spark, p)
+          .queryExecution.optimizedPlan.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(_.toString)
+          }.flatten
+      // the legitimate shape (source expr | null) serves
+      val good = scans(mkPlan(Literal.create(null, gAttr.dataType)))
+      assert(good.nonEmpty && good.forall(_.contains("summary")),
+        s"the (expr | null) slot shape must serve — scans $good")
+      // a non-null literal row must stand down to the base scan
+      val bad = scans(mkPlan(Literal("zz")))
+      assert(bad.exists(_.contains("base")),
+        s"a non-null literal slot row must stand down — scans $bad")
     } finally SummaryRewrite.unregister(store, "base")
   }
 

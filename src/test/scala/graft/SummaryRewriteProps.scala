@@ -27,7 +27,8 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
   import SparkTestSession.spark
   import spark.implicits._
 
-  // 6 samples over 9 query shapes (r14 added join/grouping-sets/semi):
+  // 6 samples over 10 query shapes (r14 added join/grouping-sets/semi,
+  // r15 the fact-preserved left outer):
   // each sample drives real store commits, so the count stays small —
   // the deterministic specs cover every shape exhaustively; this suite
   // exists for the INTERLEAVINGS
@@ -65,7 +66,7 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
   }
 
   property("rewrite fires iff fresh; rows ≡ plain aggregate on every shape") =
-    Prop.forAll(opsGen, Gen.choose(0, 8)) { (ops, shape) =>
+    Prop.forAll(opsGen, Gen.choose(0, 9)) { (ops, shape) =>
       val store = new TableStore(spark,
         Files.createTempDirectory("graft_srwprop_").toString)
       store.createTableFromDataFrame("base",
@@ -112,12 +113,20 @@ object SummaryRewriteProps extends Properties("SummaryRewrite") {
           case 7 => store.readTable("base").rollup("g") // C44s grouping sets
             .agg(count(lit(1)).as("n_rows"),
               sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
-          case _ => // C44r-b EXISTS gate
+          case 8 => // C44r-b EXISTS gate
             val f = store.readTable("base"); val d = store.readTable("dim")
             f.join(d.filter(col("attr") === "east"), f("g") === d("g"), "left_semi")
               .groupBy("g")
               .agg(count(lit(1)).as("n_rows"),
                 sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+          case _ => // r15 fact-preserved LEFT OUTER (filtered dim →
+            // groups with g=b go unmatched and survive null-padded)
+            val f = store.readTable("base"); val d = store.readTable("dim")
+            f.join(d.filter(col("attr") === "east"), f("g") === d("g"), "left")
+              .groupBy("attr")
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("v").cast(DecimalType(18, 2))).as("sum_val"))
+              .withColumnRenamed("attr", "g")
         }
         def rows(df: DataFrame): Seq[String] =
           (if (df.columns.contains("g")) df.orderBy(asc_nulls_first("g")) else df)
