@@ -129,6 +129,7 @@ object Bench {
     "summary_rewrite_star_rollup" -> "swsr", // NEW r15 (C44t rollup over a star)
     "summary_join_factfact_read" -> "swff", // NEW r15 (C44u fact-fact both-sides serving)
     "summary_distinct_exact_read" -> "swde", // NEW r15 (C44v exact distinct-MV)
+    "summary_semi_ref_read" -> "swsf", // NEW r15 (C44r-d summarized EXISTS reference)
     "mirror_sync" -> "mirs", // NEW r11 (C39, un-benched in r10)
     "export_asof" -> "exas", // NEW r11 (C37, un-benched in r10)
     "join_skew" -> "jskw", // NEW r11 (A53, un-benched in r10)

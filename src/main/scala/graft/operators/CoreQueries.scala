@@ -1727,6 +1727,70 @@ object CoreQueries {
     }
   }
 
+  // C44r-d (r15): the EXISTS reference set served from ITS OWN summary
+  // — the decontamination shape with BOTH sides registered: the fact
+  // aggregates off its summary (C44r-b) AND the semi's right side
+  // swaps to the reference base's summary. Multiplicity-free: the
+  // EXISTS check needs only the key SET, which the grain projection
+  // preserves exactly (a group-column filter on the reference lands on
+  // its summary scan). In-plan asserted that NEITHER base is scanned.
+  // At 100 TB the reference read drops from the full corpus to its
+  // group-count-sized summary on the semi build side.
+  def summarySemiRefRead(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DecimalType
+    val rootDir =
+      s"${sys.props("java.io.tmpdir")}/graft_store/summary_semiref_${System.nanoTime()}"
+    val g = graft.Graft(s, rootDir)
+    try {
+      val ord = t(s, dir, "orders")
+      bootstrapBase(s, rootDir, "base",
+        ord.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderkey"), dir)(
+        g.create.tableFromDataFrame("base",
+          ord.select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+          Seq("o_orderkey"), infer = false))
+      bootstrapBase(s, rootDir, "refb",
+        ord.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderkey"), dir)(
+        g.create.tableFromDataFrame("refb",
+          ord.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          Seq("o_orderkey"), infer = false))
+      g.summaries.define("srf", "base",
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice"))
+      g.summaries.define("srr", "refb",
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+      g.write.update("base", ord.filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), (col("o_totalprice") + 10).as("o_totalprice")))
+      g.write.delete("refb", ord.filter(col("o_orderkey") <= 500)
+        .select("o_orderkey"))
+      g.summaries.maintain("srf")
+      g.summaries.maintain("srr")
+      val fact = g.read.table("base")
+      val ref = g.read.table("refb")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val q = fact.join(ref,
+          fact("o_orderpriority") === ref("o_orderpriority"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_val"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      if (scans.exists(p => p.contains("/base/") || p.contains("/refb/")) ||
+          !scans.exists(_.contains("srf")) || !scans.exists(_.contains("srr")))
+        throw new IllegalStateException(
+          s"EXISTS gate must read BOTH summaries, NEITHER base — plan scans $scans")
+      q.select(col("o_orderstatus"), col("n_rows"),
+          col("sum_val").cast("double").as("sum_val"))
+        .orderBy("o_orderstatus")
+    } finally {
+      g.summaries.detach("base")
+      g.summaries.detach("refb")
+    }
+  }
+
   // C44v (r15): EXACT COUNT(DISTINCT measure) — the classic
   // distinct-MV. A summary whose GRAIN includes the measure
   // ((status, custkey), n_rows per pair) makes COUNT(DISTINCT
@@ -2364,6 +2428,7 @@ object CoreQueries {
     "summary_rewrite_star_rollup" -> summaryRewriteStarRollup,
     "summary_join_factfact_read" -> summaryJoinFactFactRead,
     "summary_distinct_exact_read" -> summaryDistinctExactRead,
+    "summary_semi_ref_read" -> summarySemiRefRead,
   )
 
   /** The A45b md5-decode idiom: the first 8 hex digits of md5(`c`) as
@@ -2756,6 +2821,24 @@ object CoreQueries {
         |WHERE o_orderpriority IN (
         |  SELECT DISTINCT o_orderpriority FROM orders
         |  WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // C44r-d: the EXISTS aggregate recomputed from the mutated raw
+    // relations — exact iff the fact serving AND the reference-side
+    // summary swap (key-set preservation) both are. The deleted refb
+    // keys leave every priority populated, so the reference set is the
+    // hot pair
+    "summary_semi_ref_read" ->
+      """WITH f AS (SELECT o_orderstatus, o_orderpriority,
+        |  CAST(CASE WHEN o_orderkey <= 1000 THEN o_totalprice + 10
+        |            ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+        | FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        | CAST(SUM(p) AS DOUBLE) AS sum_val
+        |FROM f
+        |WHERE o_orderpriority IN (
+        |  SELECT DISTINCT o_orderpriority FROM orders
+        |  WHERE o_orderkey > 500
+        |    AND o_orderpriority IN ('1-URGENT','2-HIGH'))
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // C44v: the exact distinct counts recomputed from the mutated raw
     // relation — exact iff the distinct-grain maintenance (pair moves,

@@ -2160,7 +2160,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       .iterator
       .map(c => tryJoinCandidate(agg, groupings, aggExprs,
         factConds0.map(inlineFact).flatMap(conjuncts),
-        inlineFact, factKeys, join, factLeaf, rowLeaves, dimOut, key, c, having))
+        inlineFact, factKeys, join, factLeaf, rowLeaves, filterOnly,
+        dimOut, key, c, having))
       .collectFirst { case Some(p) => p }
   }
 
@@ -2168,7 +2169,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression], factConds: Seq[Expression],
       inlineFact: Expression => Expression, factKeys: Seq[Expression],
       join: Join, factLeaf: LogicalPlan, rowLeaves: Seq[LogicalPlan],
-      dimOut: AttributeSet,
+      filterOnly: Seq[LogicalPlan], dimOut: AttributeSet,
       key: String, reg: Registration,
       having: Seq[Expression]): Option[LogicalPlan] = {
     def no(why: String): Option[LogicalPlan] = { logProbe(reg, why); None }
@@ -2335,7 +2336,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val consumed: AttributeSet = AttributeSet(
       join.collect { case Join(_, _, _, Some(c), _) => c }.flatMap(_.references) ++
         groupings.flatMap(_.references) ++ aggExprs.flatMap(_.references))
-    def trySecondary(s: LogicalPlan): Option[(LogicalPlan, Attribute)] = {
+    // `semiRef = true` for a LEFT SEMI/ANTI right subtree: its rows
+    // only feed the EXISTS check, so multiplicity is irrelevant — no
+    // join-key equi requirement (the condition sees only VALUES and
+    // the set of consumed group-column tuples is preserved by the
+    // grain projection), no n_rows export, no scaling. Exact for any
+    // condition shape once every consumed attribute is a group column.
+    def trySecondary(s: LogicalPlan,
+        semiRef: Boolean): Option[(LogicalPlan, Option[Attribute])] = {
       val (pathsS, condsS0, substS) = faithfulScan(s).getOrElse(return None)
       if (pathsS.isEmpty) return None
       val keyS = pathsS.map(normalize).distinct match {
@@ -2346,7 +2354,9 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       def inlineS(e: Expression): Expression = e.transform {
         case ar: AttributeReference if substS.contains(ar.exprId) => substS(ar.exprId)
       }
-      val keysS = factKeysOf(join, s, inlineS).getOrElse(return None)
+      val keysS =
+        if (semiRef) Nil
+        else factKeysOf(join, s, inlineS).getOrElse(return None)
       val condsS = condsS0.map(inlineS).flatMap(conjuncts)
       val used: Seq[Attribute] = s.output.filter(consumed.contains)
       candsS.sortBy(_.groupCols.size).iterator.map { regS =>
@@ -2372,7 +2382,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
               .queryExecution.optimizedPlan
             val byNameS = sumPlanS.output.map(a => a.name -> a).toMap
             if (!regS.groupCols.forall(byNameS.contains) ||
-                !byNameS.contains("n_rows")) None
+                (!semiRef && !byNameS.contains("n_rows"))) None
             else {
               def remapCondS(e: Expression): Expression =
                 e.transformDown {
@@ -2389,29 +2399,33 @@ object SummaryRewrite extends Rule[LogicalPlan] {
                 case Nil => sumPlanS
                 case cs  => Filter(cs.reduce(And), sumPlanS)
               }
-              val multAlias = Alias(byNameS("n_rows"), "__mult")()
+              val multAlias =
+                if (semiRef) None else Some(Alias(byNameS("n_rows"), "__mult")())
               val projList: Seq[NamedExpression] = usedNames.map {
                 case (a, nOpt) =>
                   val src = byNameS(nOpt.get)
                   val cx = if (src.dataType == a.dataType) src
                            else Cast(src, a.dataType)
                   Alias(cx, a.name)(exprId = a.exprId)
-              } :+ multAlias
+              } ++ multAlias
               logProbe(regS, "served")
               Some((Project(projList, filteredS): LogicalPlan,
-                multAlias.toAttribute))
+                multAlias.map(_.toAttribute)))
             }
           }
         }
       }.collectFirst { case Some(x) => x }
     }
-    // keyed by REFERENCE (eq): self-joined leaves are distinct objects
-    val secondaries: Seq[(LogicalPlan, (LogicalPlan, Attribute))] =
+    // keyed by REFERENCE (eq): self-joined leaves are distinct objects.
+    // Row-contributing leaves need keys + multiplicity; semi/anti
+    // right subtrees replace value-set-preserving only.
+    val secondaries: Seq[(LogicalPlan, (LogicalPlan, Option[Attribute]))] =
       rowLeaves.filter(s => !(s eq factLeaf))
-        .flatMap(s => trySecondary(s).map(s -> _))
-    def replOf(q: LogicalPlan): Option[(LogicalPlan, Attribute)] =
+        .flatMap(s => trySecondary(s, semiRef = false).map(s -> _)) ++
+      filterOnly.flatMap(s => trySecondary(s, semiRef = true).map(s -> _))
+    def replOf(q: LogicalPlan): Option[(LogicalPlan, Option[Attribute])] =
       secondaries.collectFirst { case (s, r) if s eq q => r }
-    val multAttrs: Seq[Attribute] = secondaries.map(_._2._2)
+    val multAttrs: Seq[Attribute] = secondaries.flatMap(_._2._2)
 
     // rebuild the spine: the fact leaf becomes the summary read, every
     // fact-touching join condition remaps to summary attributes,
@@ -2429,11 +2443,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           cOpt.map(c => remapCondJ(inlineFact(c))), h)
       case j @ Join(l, r, jt @ (LeftSemi | LeftAnti | LeftOuter), cOpt, h)
           if containsRepl(j) =>
-        // the primary (and any replaced secondary) is on the left —
-        // factKeysOf rejects a fact on a semi/anti right side or an
-        // outer's null-supplying side — so the right side is kept
-        // verbatim (semi/anti condition context, or the outer's dim)
-        Join(rebuild(l), r, jt, cOpt.map(c => remapCondJ(inlineFact(c))), h)
+        // the primary (and any row-contributing secondary) is on the
+        // left — factKeysOf rejects a fact on a semi/anti right side
+        // or an outer's null-supplying side. A semi/anti RIGHT subtree
+        // that is itself a registered base swaps to ITS summary (the
+        // EXISTS reference set read group-count-sized); otherwise the
+        // right side is kept verbatim.
+        Join(rebuild(l), replOf(r).map(_._1).getOrElse(r), jt,
+          cOpt.map(c => remapCondJ(inlineFact(c))), h)
       case Project(_, c) if containsRepl(p) => rebuild(c)
       case SubqueryAlias(_, c) if containsRepl(p) => rebuild(c)
       case other => other

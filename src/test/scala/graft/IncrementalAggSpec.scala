@@ -1864,6 +1864,18 @@ class IncrementalAggSpec extends AnyFunSuite {
       // stand-down of the whole rewrite)
       checkServed(a.join(b, a("g") === b("m")).groupBy("st")
         .agg(count(lit(1)).as("n")), expectB = false)
+      // r15: a LEFT SEMI/ANTI reference set served from ITS summary —
+      // the EXISTS check needs only the key SET, which the grain
+      // projection preserves (multiplicity-free, no n_rows needed)
+      checkServed(a.join(b.filter(col("st") === "x"), a("g") === b("g"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).as("s")))
+      checkServed(a.join(b.filter(col("st") === "x"), a("g") === b("g"), "left_anti")
+        .groupBy("g").agg(count(lit(1)).as("n")))
+      // a reference filter on a NON-group column: the ref stays a
+      // verbatim scan, the fact still serves
+      checkServed(a.join(b.filter(col("w") > 1.5), a("g") === b("g"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("n")), expectB = false)
       // fb stale: falls back to the verbatim fb scan, fa still serves
       store.insert("fb", Seq((5L, 2, 2, "y", 5.0)).toDF("k2", "g", "m", "st", "w"))
       val a2 = store.readTable("fa")
