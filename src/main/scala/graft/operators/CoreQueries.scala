@@ -1718,7 +1718,18 @@ object CoreQueries {
           !scans.exists(_.contains("ffa")) || !scans.exists(_.contains("ffb")))
         throw new IllegalStateException(
           s"fact-fact join must read BOTH summaries, NEITHER base — plan scans $scans")
-      q.select(col("o_orderstatus"), col("n_pairs"),
+      // materialize the ASSERTED plan while registered: the returned
+      // DataFrame is re-optimized lazily by the caller AFTER the
+      // finally detaches the rewrite — for every other lifecycle entry
+      // the raw fallback is a cheap single-table aggregate, but here
+      // it is the raw fact×fact join (~4.5e9 pairs at sf0.1). NB the
+      // collect must run on q ITSELF: the select-with-casts wrapper
+      // collapses into the Aggregate (CollapseProject) and a
+      // cast-wrapped aggregate is not a servable shape — the casts and
+      // the ORDER BY run on the 3-row local relation instead.
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(q.collect(): _*), q.schema)
+      local.select(col("o_orderstatus"), col("n_pairs"),
           col("sum_val").cast("double").as("sum_val"))
         .orderBy("o_orderstatus")
     } finally {

@@ -86,13 +86,17 @@ def main():
     # the per-query trace that catches TRANSIENT contention in between
     # (round 4's driver run was contended during the dedup block only —
     # end-of-run probes looked clean while dedup timings ran 2-3x hot).
+    def cal(v):
+        # r9+ format: [start, end] arrays per probe; earlier: scalar
+        return min(v) if isinstance(v, list) else v
+
     for key in ("calib_start", "calib"):
         oc, nc = old.get(key) or {}, new.get(key) or {}
         for probe in sorted(set(oc) | set(nc)):
-            if probe in oc and probe in nc and oc[probe] > 0:
-                print(f"{key} {probe:22s} {oc[probe]:8.2f}s -> {nc[probe]:8.2f}s  ({nc[probe]/oc[probe]:5.2f}x)")
+            if probe in oc and probe in nc and cal(oc[probe]) > 0:
+                print(f"{key} {probe:22s} {cal(oc[probe]):8.2f}s -> {cal(nc[probe]):8.2f}s  ({cal(nc[probe])/cal(oc[probe]):5.2f}x)")
             elif probe in nc:
-                print(f"{key} {probe:22s}     new -> {nc[probe]:8.2f}s")
+                print(f"{key} {probe:22s}     new -> {cal(nc[probe]):8.2f}s")
     op, np_ = old.get("probe_34m") or {}, new.get("probe_34m") or {}
     if np_:
         base = min(np_.values())
