@@ -403,6 +403,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // fork-free local filesystem (r15): without libhadoop the stock
+      // local FS forks chmod/ls per file op — see NioLocalFileSystem
+      .config(graft.store.NioLocalFileSystem.ConfKey,
+        graft.store.NioLocalFileSystem.ConfValue)
+      .config(graft.store.NioLocalFileSystem.AbstractConfKey,
+        graft.store.NioLocalFileSystem.AbstractConfValue)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

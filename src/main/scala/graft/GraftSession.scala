@@ -31,6 +31,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // fork-free local filesystem — without libhadoop, the stock
+      // local FS shells out `chmod`/`ls` per file op (measured 210
+      // forks per one-file parquet write); see NioLocalFileSystem
+      .config(graft.store.NioLocalFileSystem.ConfKey,
+        graft.store.NioLocalFileSystem.ConfValue)
+      .config(graft.store.NioLocalFileSystem.AbstractConfKey,
+        graft.store.NioLocalFileSystem.AbstractConfValue)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

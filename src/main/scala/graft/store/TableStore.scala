@@ -808,9 +808,10 @@ final class TableStore(
     val m = meta(name)
     if (!hasDataFiles(name))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
-    // mergeSchema: files written before a metadata-only addColumn lack
-    // the new column; the merged footer schema keeps it visible.
-    val raw = spark.read.option("mergeSchema", "true").parquet(dataPath(name).toString)
+    // merged footer schema (cached): files written before a
+    // metadata-only addColumn lack the new column; the merged schema
+    // keeps it visible (they read as null).
+    val raw = mergedScan(name, Seq(dataPath(name)), basePath = false)
     alignTo(raw, m)
   }
 
@@ -952,9 +953,7 @@ final class TableStore(
     val scanned: Map[String, FileStats.FileStat] =
       if (toScan.isEmpty) Map.empty
       else {
-        val raw = spark.read.option("mergeSchema", "true")
-          .option("basePath", dataPath(name).toString)
-          .parquet(toScan.map(_.toString): _*)
+        val raw = mergedScan(name, toScan, basePath = true)
         val aligned = alignTo(raw, m, extra = Seq(input_file_name().as("__file")))
         val aggs = statKeys.flatMap { sk =>
           Seq(min(sk.value).cast("string").as(s"__min_${sk.key}"),
@@ -1031,9 +1030,7 @@ final class TableStore(
       .map(p => stats(FileStats.relativeKey(dataDir, p)).rows).sum
     val scanned =
       if (uncovered.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .option("basePath", dataDir.toString)
-        .parquet(uncovered.map(_.toString): _*).count()
+      else mergedScan(name, uncovered, basePath = true).count()
     fromStats + scanned
   }
 
@@ -1432,8 +1429,13 @@ final class TableStore(
   private def snapshotScan(name: String, gen: Int, mAt: Meta, rels: Seq[String]): DataFrame = {
     if (rels.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mAt.sparkSchema)
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(resolveSnapshotFiles(name, gen, rels): _*)
+    // per-(table, gen) schema cache: a snapshot's rel set is immutable,
+    // so its merged schema never invalidates (file LOCATIONS may still
+    // move from data/ into history/g<N> — the schema does not)
+    val paths = resolveSnapshotFiles(name, gen, rels)
+    val schema = snapshotSchemaCache.computeIfAbsent((name, gen), _ =>
+      mergedSchemaOf(paths.map(new Path(_))))
+    val raw = spark.read.schema(schema).parquet(paths: _*)
     alignTo(raw, mAt)
   }
 
@@ -1783,9 +1785,7 @@ final class TableStore(
     else if (surviving.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.sparkSchema)
     else {
-      val raw = spark.read.option("mergeSchema", "true")
-        .option("basePath", dataPath(name).toString)
-        .parquet(surviving.map(_.toString): _*)
+      val raw = mergedScan(name, surviving, basePath = true)
       alignTo(raw, m)
     }
   }
@@ -1867,6 +1867,68 @@ final class TableStore(
       if (p.getName.endsWith(".parquet")) out += p
     }
     out.toSeq
+  }
+
+  // ── merged-schema cache (r15 optimization, guide §1.2/§6) ──────────────
+  //
+  // Every raw scan used to go through `spark.read.option("mergeSchema",
+  // "true")`, and Spark's mergeSchema path launches a DISTRIBUTED footer
+  // job per read (SchemaMergeUtils.mergeSchemasInParallel) — measured at
+  // 16-23 jobs (~0.5-1 s plus driver gaps) per summary-lifecycle bench
+  // entry. Footers of immutable files never change and rel paths are
+  // never reused (append part-names embed the job UUID; retired files
+  // keep their paths under history/g<N>), so per-file schemas are
+  // cacheable by path forever. The TABLE-level merged schema changes
+  // only when the file set changes, and every file-set change commits a
+  // manifest generation (data writes, DDL, restore, foreign writers
+  // alike) — so (newest manifest gen, file count) keys it. Reads now
+  // pass the merged schema EXPLICITLY: Spark skips footer I/O at
+  // planning, missing columns null-fill exactly as under mergeSchema,
+  // and partition-column (__bucket) discovery appends the same column
+  // it would have (probe-verified). Incompatible footers still throw
+  // the same failed-to-merge error, now driver-side.
+  private val fileSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private val tableSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, StructType)]()
+  private val snapshotSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), StructType]()
+
+  private def footerSchema(p: Path): StructType =
+    fileSchemaCache.computeIfAbsent(p.toString, _ =>
+      org.apache.spark.sql.graftx.bridge.parquetFooterSchema(
+        spark, spark.sparkContext.hadoopConfiguration, fs.getFileStatus(p)))
+
+  private def mergedSchemaOf(paths: Seq[Path]): StructType =
+    paths.map(footerSchema).reduceLeft((a, b) =>
+      org.apache.spark.sql.graftx.bridge.mergeSchemas(spark, a, b))
+
+  /** Merged schema of the CURRENT data files, cached per committed
+    * generation (any writer's commit — this store or a foreign one —
+    * writes a new manifest, so the key observes them all). */
+  private def currentMergedSchema(name: String, files: Seq[Path]): StructType = {
+    val gen = manifestGens(name).lastOption.getOrElse(0)
+    val cached = tableSchemaCache.get(name)
+    if (cached != null && cached._1 == gen && cached._2 == files.length) cached._3
+    else {
+      val s = mergedSchemaOf(files)
+      tableSchemaCache.put(name, (gen, files.length, s))
+      s
+    }
+  }
+
+  /** Raw scan of current-layout `paths` (all of data/, or a pruned
+    * subset) under the table's cached merged schema — replaces the
+    * mergeSchema read. A SUBSET read under the full-set schema is
+    * equivalent to mergeSchema over the subset followed by [[alignTo]]:
+    * columns only the other files carry read as null either way, and
+    * shared columns must agree on the merged type or the full-set merge
+    * would have thrown. */
+  private def mergedScan(name: String, paths: Seq[Path], basePath: Boolean): DataFrame = {
+    val schema = currentMergedSchema(name, listDataFiles(name))
+    val r0 = spark.read.schema(schema)
+    val r = if (basePath) r0.option("basePath", dataPath(name).toString) else r0
+    r.parquet(paths.map(_.toString): _*)
   }
 
   /** Projection / where / order / limit read surface (reference
@@ -1991,87 +2053,104 @@ final class TableStore(
     if (nnMissing.nonEmpty)
       throw errors.InvalidValue(nnMissing.head, "NOT NULL column absent from insert batch")
 
-    // one-pass bounds + NOT NULL validation of incoming values against
-    // table types: a single aggregate over the batch
-    val violated = typeViolations(m, df)
-    if (violated.nonEmpty) {
-      if (!autoAdjust) raiseTypeError(m, violated)
-      // widen each violated column to cover the incoming data
-      val byName = df.select(violated.map(c => col(Identifiers.quote(c))): _*)
-      val widened = Infer.narrowSchema(byName)
-      widened.foreach { case (n, t) =>
-        val cur = m.columns.find(_._1 == n).get._2
-        audit(s"auto-adjust: widening $name.$n ${cur.render} -> ${widen(cur, t).render}")
-        alterColumn(name, n, widen(cur, t).render)
-      }
-      m = meta(name)
-    }
-
-    // CHECK constraints on the (possibly widened) batch — absent
-    // columns read as null → UNKNOWN → pass, so only fully-present
-    // constraints apply on an insert (SQL CHECK semantics)
-    enforceChecks(m, df, "insert", deferrable = false)
-
     if (timeInsert.isDefined && !m.columns.exists(_._1 == Mutations.TimeInsert)) {
       addColumn(name, Mutations.TimeInsert, "datetime2")
       m = meta(name)
     }
 
-    var df2 = df
-    if (m.sqlPk && !df.columns.contains("_pk")) {
-      // Single-writer semantics (like the reference's IDENTITY through one
-      // connection): max(_pk) read-then-append is not safe under concurrent
-      // inserts to the same table.
-      val maxPk = read(name).agg(coalesce(max(col("_pk")), lit(0L))).collect()(0).getLong(0)
-      df2 = TableStore.assignDenseIds(df, maxPk)
+    // r15 (guide §1.2, one pass instead of two): bounds / NOT NULL /
+    // unicode validation rides the append's OWN staged write as a
+    // per-row assert (withSourceValidation) instead of a separate
+    // aggregate job over the batch. The auto-widen ladder keeps its
+    // aggregate — but only on the RARE path where a bounds violation
+    // actually fired: the catch below re-runs typeViolations to learn
+    // the violated column set, widens, and retries the staged write
+    // under the new meta (append.tmp is wiped at the top of each
+    // attempt, so a failed attempt leaves nothing behind).
+    def stageAndCommit(m: Meta): Unit = {
+      // CHECK constraints on the (possibly widened) batch — absent
+      // columns read as null → UNKNOWN → pass, so only fully-present
+      // constraints apply on an insert (SQL CHECK semantics)
+      enforceChecks(m, df, "insert", deferrable = false)
+
+      val vdf = withSourceValidation(m, df)
+      var df2 = vdf
+      if (m.sqlPk && !df.columns.contains("_pk")) {
+        // Single-writer semantics (like the reference's IDENTITY through one
+        // connection): max(_pk) read-then-append is not safe under concurrent
+        // inserts to the same table.
+        val maxPk = read(name).agg(coalesce(max(col("_pk")), lit(0L))).collect()(0).getLong(0)
+        df2 = TableStore.assignDenseIds(vdf, maxPk)
+      }
+
+      val target = read(name)
+      val appended = Mutations.insertAll(target.limit(0), df2, timeInsert)
+      // Staged append: write the batch to append.tmp, then rename each
+      // committed file into data/ under its tmp-relative path. Two wins
+      // over a direct mode("append") write: data/ never sees a partial
+      // job's output, and the mover KNOWS its exact file list — so the
+      // manifest is derived as previous-manifest + delta (O(batch)), not
+      // by re-listing the table (O(#files)). Part-file names embed the
+      // job UUID, so renames cannot collide with existing files.
+      val prevRels = lastCommittedRels(name)
+      val tmp = new Path(tablePath(name), "append.tmp")
+      fs.delete(tmp, true)
+      if (m.buckets > 0)
+        appended.withColumn(BucketCol, bucketExpr(m))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+      else
+        appended.write.mode("overwrite").parquet(tmp.toString)
+      val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
+      // on any move failure, UNDO the already-moved part of the batch:
+      // half-moved files are visible to current reads but in no manifest,
+      // so leaving them would silently diverge snapshots from current
+      // reads for every later incremental commit. (A process CRASH in
+      // this window can still strand them — that's what the lock the
+      // crash leaves behind plus [[repair]] are for.)
+      try {
+        val it = fs.listFiles(tmp, true)
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet")) {
+            val rel = FileStats.relativeKey(tmp, p)
+            val dst = new Path(dataPath(name), rel)
+            fs.mkdirs(dst.getParent)
+            if (!fs.rename(p, dst))
+              throw new IllegalStateException(s"append move failed for table $name: $rel")
+            newRels += rel
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          newRels.foreach(rel => fs.delete(new Path(dataPath(name), rel), false))
+          fs.delete(tmp, true)
+          throw e
+      }
+      fs.delete(tmp, true)
+      // appends remove nothing; the commit extends the previous file set
+      commitSnapshot(name, nextGen(name), Some(prevRels ++ newRels))
     }
 
-    val target = read(name)
-    val appended = Mutations.insertAll(target.limit(0), df2, timeInsert)
-    // Staged append: write the batch to append.tmp, then rename each
-    // committed file into data/ under its tmp-relative path. Two wins
-    // over a direct mode("append") write: data/ never sees a partial
-    // job's output, and the mover KNOWS its exact file list — so the
-    // manifest is derived as previous-manifest + delta (O(batch)), not
-    // by re-listing the table (O(#files)). Part-file names embed the
-    // job UUID, so renames cannot collide with existing files.
-    val prevRels = lastCommittedRels(name)
-    val tmp = new Path(tablePath(name), "append.tmp")
-    fs.delete(tmp, true)
-    if (m.buckets > 0)
-      appended.withColumn(BucketCol, bucketExpr(m))
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-    else
-      appended.write.mode("overwrite").parquet(tmp.toString)
-    val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
-    // on any move failure, UNDO the already-moved part of the batch:
-    // half-moved files are visible to current reads but in no manifest,
-    // so leaving them would silently diverge snapshots from current
-    // reads for every later incremental commit. (A process CRASH in
-    // this window can still strand them — that's what the lock the
-    // crash leaves behind plus [[repair]] are for.)
-    try {
-      val it = fs.listFiles(tmp, true)
-      while (it.hasNext) {
-        val p = it.next().getPath
-        if (p.getName.endsWith(".parquet")) {
-          val rel = FileStats.relativeKey(tmp, p)
-          val dst = new Path(dataPath(name), rel)
-          fs.mkdirs(dst.getParent)
-          if (!fs.rename(p, dst))
-            throw new IllegalStateException(s"append move failed for table $name: $rel")
-          newRels += rel
-        }
+    try stageAndCommit(m)
+    catch {
+      case e: Throwable => validationMarkerOf(e) match {
+        case Some((kind, _, _)) if (kind == "size" || kind == "range") && autoAdjust =>
+          // the aggregate ladder, exactly as before r15 — now only on
+          // the path where a violation actually exists
+          val violated = typeViolations(m, df)
+          if (violated.isEmpty) throw e // marker without violation: re-raise
+          val byName = df.select(violated.map(c => col(Identifiers.quote(c))): _*)
+          val widened = Infer.narrowSchema(byName)
+          widened.foreach { case (n, t) =>
+            val cur = m.columns.find(_._1 == n).get._2
+            audit(s"auto-adjust: widening $name.$n ${cur.render} -> ${widen(cur, t).render}")
+            alterColumn(name, n, widen(cur, t).render)
+          }
+          stageAndCommit(meta(name))
+        case Some(marker) => throw validationError(marker)
+        case None => throw e
       }
-    } catch {
-      case e: Throwable =>
-        newRels.foreach(rel => fs.delete(new Path(dataPath(name), rel), false))
-        fs.delete(tmp, true)
-        throw e
     }
-    fs.delete(tmp, true)
-    // appends remove nothing; the commit extends the previous file set
-    commitSnapshot(name, nextGen(name), Some(prevRels ++ newRels))
   }
 
   /** Recovery after a writer CRASHED mid-commit (the lock it left
@@ -2143,18 +2222,57 @@ final class TableStore(
       row.schema.fieldNames.contains(n) && row.getAs[Long](n) > 0)
   }
 
-  private def raiseTypeError(m: Meta, violated: Seq[String]): Nothing = {
-    val (n, t) = m.columns.find(c => violated.contains(c._1)).get
-    if (t.maxLength.isDefined)
-      throw errors.InsufficientColumnSize(n, s"values exceed ${t.render}")
-    else throw errors.InvalidValue(n, s"values out of range for ${t.render}")
-  }
+  private[graft] val ValidateMarker = "__graft_validate"
 
-  /** Mutation-path validation (no auto-adjust ladder: widening happens
-    * on insert; a mutation source that violates the schema is an error). */
-  private def validateSource(m: Meta, source: DataFrame): Unit = {
-    val violated = typeViolations(m, source)
-    if (violated.nonEmpty) raiseTypeError(m, violated)
+  /** In-plan form of [[validateSource]] (r15 optimization, guide §1.2
+    * "don't compute things twice"): the same checks [[typeViolations]]
+    * counts, folded into the mutation's OWN source scan as a per-row
+    * task-side assert — the separate validation aggregate used to cost
+    * one full source pass + one Spark job PER mutation (measured 11-18
+    * jobs, 0.7-2 s, per summary-lifecycle bench entry; at 100 TB it is
+    * a full extra pass over every mutation batch). Same filter-rides-
+    * the-plan pattern as [[Mutations]]' dup-key guard, translated to
+    * the same typed errors by [[translatingDupKeys]].
+    *
+    * Within a row the error priority matches the aggregate path
+    * (NOT NULL > unicode > bounds, each in column order). Across ROWS
+    * the first violating task wins, so a source carrying violations of
+    * several kinds in DIFFERENT rows may surface a different — still
+    * correct — typed error than the aggregate path's fixed priority;
+    * single-kind sources (every pinned spec) are unchanged. `exempt`
+    * rows (applyChanges delete verdicts, which legitimately carry only
+    * a key) skip validation, as they did under the eager path's
+    * pre-filter. */
+  private def withSourceValidation(
+      m: Meta, source: DataFrame, exempt: Option[Column] = None): DataFrame = {
+    val fields = source.columns.toSet
+    val checks: Seq[(Column, String)] =
+      m.notNull.filter(fields.contains).map { n =>
+        (col(Identifiers.quote(n)).isNull,
+          s"$ValidateMarker:nn::$n:;")
+      } ++
+      m.columns.flatMap { case (n, t) =>
+        if (!fields(n)) None
+        else t.unicodeViolation(col(Identifiers.quote(n)))
+          .map(v => (v, s"$ValidateMarker:uni:${t.render}:$n:;"))
+      } ++
+      m.columns.flatMap { case (n, t) =>
+        if (!fields(n)) None
+        else t.violation(col(Identifiers.quote(n))).map { v =>
+          val kind = if (t.maxLength.isDefined) "size" else "range"
+          (v, s"$ValidateMarker:$kind:${t.render}:$n:;")
+        }
+      }
+    if (checks.isEmpty) return source
+    val anyViolation = checks.map { case (c, _) => coalesce(c, lit(false)) }.reduce(_ || _)
+    val marker = checks.foldRight(lit("")) { case ((c, msg), acc) =>
+      when(coalesce(c, lit(false)), lit(msg)).otherwise(acc)
+    }
+    val ok = exempt match {
+      case Some(del) => del || !anyViolation
+      case None => !anyViolation
+    }
+    source.filter(assert_true(ok, marker).isNull)
   }
 
   /** Smallest type covering both current and incoming (widening only). */
@@ -2183,10 +2301,10 @@ final class TableStore(
       timeUpdate: Option[Column] = None): Unit = withCommitLock(name) {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
-    validateSource(m, source)
+    val src0 = withSourceValidation(m, source)
     val partial = enforceChecks(m, source, "source", deferrable = true)
     translatingDupKeys(name, keys) {
-      prunedMutation(name, m, source, keys, timeUpdate.isDefined) { (target, src) =>
+      prunedMutation(name, m, src0, keys, timeUpdate.isDefined) { (target, src) =>
         val r = Mutations.update(target, src, keys, timeUpdate)
         validatePartialChecks(m, r, partial); r
       }
@@ -2202,10 +2320,10 @@ final class TableStore(
       timeUpdate: Option[Column] = None): Unit = withCommitLock(name) {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
-    validateSource(m, source)
+    val src0 = withSourceValidation(m, source)
     val partial = enforceChecks(m, source, "source", deferrable = true)
     translatingDupKeys(name, keys) {
-      prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
+      prunedMutation(name, m, src0, keys, timeInsert.isDefined || timeUpdate.isDefined) {
         (target, src) =>
           val r = Mutations.upsert(target, src, keys, timeInsert, timeUpdate)
           validatePartialChecks(m, r, partial); r
@@ -2234,11 +2352,13 @@ final class TableStore(
     if (!source.columns.contains(deleteCol))
       throw errors.DataFrameColumnDoesNotExist(Seq(s"source.$deleteCol"))
     val isDelete = coalesce(col(Identifiers.quote(deleteCol)).cast("boolean"), lit(false))
-    validateSource(m, source.filter(!isDelete).drop(deleteCol))
+    // delete verdicts carry just a key — they are exempt from source
+    // validation, as under the eager path's pre-filter
+    val src0 = withSourceValidation(m, source, exempt = Some(isDelete))
     val partial =
       enforceChecks(m, source.filter(!isDelete).drop(deleteCol), "source", deferrable = true)
     translatingDupKeys(name, keys) {
-      prunedMutation(name, m, source, keys, timeInsert.isDefined || timeUpdate.isDefined) {
+      prunedMutation(name, m, src0, keys, timeInsert.isDefined || timeUpdate.isDefined) {
         (target, src) =>
           val r = Mutations.applyChanges(target, src, keys, deleteCol, timeInsert, timeUpdate)
           validatePartialChecks(m, r, partial); r
@@ -2257,9 +2377,11 @@ final class TableStore(
       matchCols: Seq[String] = Seq.empty): Unit = withCommitLock(name) {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
-    validateSource(m, source)
-    prunedMutation(name, m, source, keys, mayAddTimeCols = false) {
-      (target, src) => Mutations.delete(target, src, keys)
+    val src0 = withSourceValidation(m, source)
+    translatingDupKeys(name, keys) {
+      prunedMutation(name, m, src0, keys, mayAddTimeCols = false) {
+        (target, src) => Mutations.delete(target, src, keys)
+      }
     }
   }
 
@@ -2275,9 +2397,9 @@ final class TableStore(
       timeUpdate: Option[Column] = None): Unit = withCommitLock(name) {
     val m = meta(name)
     val keys = resolveKeys(name, m, matchCols)
-    validateSource(m, source)
+    val src0 = withSourceValidation(m, source)
     val partial = enforceChecks(m, source, "source", deferrable = true)
-    val merged = Mutations.merge(read(name), source, keys, upsertOnly = false,
+    val merged = Mutations.merge(read(name), src0, keys, upsertOnly = false,
       deleteRequires, timeInsert, timeUpdate)
     translatingDupKeys(name, keys) {
       validatePartialChecks(m, merged, partial)
@@ -2302,9 +2424,9 @@ final class TableStore(
     Seq(Mutations.ValidFrom, Mutations.ValidTo).foreach { c =>
       if (!m.columns.exists(_._1 == c)) { addColumn(name, c, "datetime2"); m = meta(name) }
     }
-    validateSource(m, source)
+    val src0 = withSourceValidation(m, source)
     translatingDupKeys(name, keys) {
-      rewrite(name, Mutations.scd2Upsert(read(name), source, keys, clock), mayAddTimeCols = false)
+      rewrite(name, Mutations.scd2Upsert(read(name), src0, keys, clock), mayAddTimeCols = false)
     }
   }
 
@@ -2327,8 +2449,33 @@ final class TableStore(
               "PK columns and must be non-null")
         if (msgs.exists(_.contains(Mutations.DupKeyMsg)))
           throw errors.DuplicateSourceKey(name, keys)
+        // in-plan source-validation markers (see withSourceValidation)
+        // → the same typed errors the eager aggregate path raised
+        validationMarkerOf(e).foreach(m => throw validationError(m))
         throw e
     }
+
+  /** Parse a task-side validation marker
+    * (`__graft_validate:<kind>:<render>:<col>:;`) out of a failure's
+    * cause chain — the in-plan twin of [[typeViolations]]' result. */
+  private def validationMarkerOf(e: Throwable): Option[(String, String, String)] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(20)
+      .flatMap(t => Option(t.getMessage))
+      .collectFirst { case msg if msg.contains(ValidateMarker) &&
+          msg.indexOf(":;", msg.indexOf(ValidateMarker)) >= 0 =>
+        val body = msg.substring(msg.indexOf(ValidateMarker) + ValidateMarker.length + 1)
+        val parts = body.substring(0, body.indexOf(":;")).split(":", 3)
+        (parts(0), parts(1), parts(2))
+      }
+
+  private def validationError(m: (String, String, String)): Exception = m match {
+    case ("nn", _, c) => errors.InvalidValue(c, "NULL values in NOT NULL column")
+    case ("uni", _, c) => errors.NonUnicodeTypeColumn(c)
+    case ("size", r, c) => errors.InsufficientColumnSize(c, s"values exceed $r")
+    case ("range", r, c) => errors.InvalidValue(c, s"values out of range for $r")
+    case (k, r, c) => new IllegalStateException(
+      s"unrecognized validation marker kind '$k' ($r, $c)")
+  }
 
   private def resolveKeys(name: String, m: Meta, matchCols: Seq[String]): Seq[String] =
     if (matchCols.nonEmpty) matchCols
@@ -2357,9 +2504,7 @@ final class TableStore(
     val srcBuckets = source
       .select(pmod(xxhash64(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val raw = spark.read.option("mergeSchema", "true")
-      .option("basePath", dataPath(name).toString)
-      .parquet(dataPath(name).toString)
+    val raw = mergedScan(name, Seq(dataPath(name)), basePath = true)
       .filter(col(BucketCol).isin(srcBuckets.toIndexedSeq: _*)) // partition-pruned scan
     val affected = alignTo(raw, m)
     val result = algebra(affected, source)
