@@ -1905,14 +1905,19 @@ final class TableStore(
 
   /** Merged schema of the CURRENT data files, cached per committed
     * generation (any writer's commit — this store or a foreign one —
-    * writes a new manifest, so the key observes them all). */
+    * writes a new manifest, so the key observes them all). The file-set
+    * hash guards the windows a generation number alone cannot see
+    * (e.g. the pre-first-commit seed file of a re-created table after
+    * a failed create): part-file names embed job UUIDs, so a different
+    * file SET always perturbs the hash; a false miss only recomputes. */
   private def currentMergedSchema(name: String, files: Seq[Path]): StructType = {
     val gen = manifestGens(name).lastOption.getOrElse(0)
+    val setHash = files.map(_.toString).hashCode()
     val cached = tableSchemaCache.get(name)
-    if (cached != null && cached._1 == gen && cached._2 == files.length) cached._3
+    if (cached != null && cached._1 == gen && cached._2 == setHash) cached._3
     else {
       val s = mergedSchemaOf(files)
-      tableSchemaCache.put(name, (gen, files.length, s))
+      tableSchemaCache.put(name, (gen, setHash, s))
       s
     }
   }
