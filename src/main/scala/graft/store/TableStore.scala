@@ -1881,7 +1881,7 @@ final class TableStore(
   // cacheable by path forever. The TABLE-level merged schema changes
   // only when the file set changes, and every file-set change commits a
   // manifest generation (data writes, DDL, restore, foreign writers
-  // alike) — so (newest manifest gen, file count) keys it. Reads now
+  // alike) — so (newest manifest gen, file-set hash) keys it. Reads now
   // pass the merged schema EXPLICITLY: Spark skips footer I/O at
   // planning, missing columns null-fill exactly as under mergeSchema,
   // and partition-column (__bucket) discovery appends the same column
@@ -2237,15 +2237,15 @@ final class TableStore(
 
   private[graft] val ValidateMarker = "__graft_validate"
 
-  /** In-plan form of [[validateSource]] (r15 optimization, guide §1.2
-    * "don't compute things twice"): the same checks [[typeViolations]]
+  /** In-plan source validation (r15 optimization, guide §1.2 "don't
+    * compute things twice"): the same checks [[typeViolations]]
     * counts, folded into the mutation's OWN source scan as a per-row
     * task-side assert — the separate validation aggregate used to cost
     * one full source pass + one Spark job PER mutation (measured 11-18
     * jobs, 0.7-2 s, per summary-lifecycle bench entry; at 100 TB it is
-    * a full extra pass over every mutation batch). Same filter-rides-
-    * the-plan pattern as [[Mutations]]' dup-key guard, translated to
-    * the same typed errors by [[translatingDupKeys]].
+    * a full extra pass over every mutation batch). Same
+    * guard-rides-the-plan pattern as [[Mutations]]' dup-key guard,
+    * translated to the same typed errors by [[translatingDupKeys]].
     *
     * Within a row the error priority matches the aggregate path
     * (NOT NULL > unicode > bounds, each in column order). Across ROWS
