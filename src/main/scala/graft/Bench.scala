@@ -430,11 +430,16 @@ object Bench {
     // cannot accidentally reuse them.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      // clone-cache salt = the active data dir (defence in depth: a
+      // store-derived bootstrap cloned from the sf0.001 warmup must
+      // never alias the timed SF's — see BenchBootstrapClone)
+      sys.props(graft.store.BenchBootstrapClone.SaltKey) = warmDir
       selected.foreach { case (name, _) =>
         try SparkEntry.queries(name)(spark, warmDir).count()
         catch { case _: Throwable => }
       }
     }
+    sys.props(graft.store.BenchBootstrapClone.SaltKey) = sfDir
     Graft.clearOperatorCaches(); spark.catalog.clearCache()
 
     // per-query peak task memory (max over tasks of peakExecutionMemory,
@@ -592,6 +597,7 @@ object Bench {
     // drop the shared-bootstrap clone cache (same hygiene as cmt8's
     // temp stores — ADVICE r14 #4)
     sys.props.remove("graft.bench.cloneCache")
+    sys.props.remove(graft.store.BenchBootstrapClone.SaltKey)
     def rmTree(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)

