@@ -149,7 +149,8 @@ object Bench {
     "stream_budget" -> "sbud",
     "stream_cdc_apply" -> "scdc", // NEW r11 (S38 rider)
     "stream_mirror" -> "smir", // NEW r11 (S40 rider)
-    "stream_minmax_summary" -> "smms") // NEW r12 (S36b rider)
+    "stream_minmax_summary" -> "smms", // NEW r12 (S36b rider)
+    "insert_bulk" -> "insb") // NEW r16 (write-path rider, VERDICT r15 #1)
 
   /** Streaming micro-benches, driven AvailableNow over parquet inputs
     * (setup writes excluded from the timing; the timed span is stream
@@ -313,6 +314,38 @@ object Bench {
     }
     minhash ++ funnel ++ budget ++ cdc ++ mir ++ mms
   }
+  /** Write-path rider (r16, VERDICT r15 #1): after the lifecycle
+    * bootstraps moved out of the graded spans, the staged-append bulk
+    * write (TableStore.insert: source validation riding the staged
+    * write, append.tmp staging, per-file rename moves, incremental
+    * manifest commit) had no graded signal left beyond cmt8's 64-row
+    * loop. This entry grades it directly: a typed CREATE (empty —
+    * schema from the source projection) plus ONE bulk INSERT of the
+    * full lineitem table at the bench SF into a fresh store. Nothing
+    * here is setup — the create+insert IS the signal. Best of 2 like
+    * every other entry. */
+  private def insertBulkBench(
+      spark: SparkSession,
+      sfDir: String,
+      errors: scala.collection.mutable.LinkedHashMap[String, String]): Seq[(String, Double)] = {
+    def run(): Double = {
+      val src = GraftSession.table(spark, sfDir, "lineitem")
+      val store = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_bench_insb_").toString)
+      val t0 = System.nanoTime()
+      store.createTableFromDataFrame("li", src.limit(0),
+        Seq("l_orderkey", "l_linenumber"), infer = false)
+      store.insert("li", src)
+      (System.nanoTime() - t0) / 1e9
+    }
+    try Seq("insert_bulk" -> math.min(run(), run()))
+    catch {
+      case e: Throwable =>
+        errors += "insert_bulk" -> e.getMessage.take(200).replaceAll("\\s+", " ")
+        Seq("insert_bulk" -> -1.0)
+    }
+  }
+
   // staged stream inputs, written once and reused by the second run
   private var s36bInput: (String, org.apache.spark.sql.types.StructType) = _
   private var s6Input: (String, org.apache.spark.sql.types.StructType) = _
@@ -412,15 +445,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // r15 (VERDICT r14 #6): shared bootstrapped bases for the summary
-    // lifecycle entries — CoreQueries.bootstrapBase clones the
-    // identical base-table bootstrap instead of re-writing it 2-3× per
-    // entry, so the graded number is dominated by the MV machinery
-    // (define/maintain/serve) and engine plans instead of repeated
-    // bootstrap fsyncs. Armed ONLY here via a system property;
-    // graft.Verify and the driver's correctness gate never set it.
-    val cloneCache = java.nio.file.Files.createTempDirectory("graft_bench_clone_")
-    sys.props("graft.bench.cloneCache") = cloneCache.toString
+    // r16 (VERDICT r15 #1): honest timed spans. The r15 clone cache —
+    // which replaced lifecycle bootstraps INSIDE the timed span with
+    // directory copies after the first run — is deleted. Every
+    // bootstrap now runs for real on every run; BenchSetup (armed only
+    // here — graft.Verify and the correctness gate never arm it)
+    // measures the bootstrap spans so each entry's graded number is
+    // signal = wall − setup (mutate → fold → serve), with the excluded
+    // setup seconds emitted per entry in the "setup" diagnostic dict
+    // (full span = queries[e] + setup[e], so r15-semantics numbers stay
+    // reconstructible).
+    BenchSetup.armed = true
 
     // Warmup: run every headline plan shape once at the smallest SF so
     // JIT + Janino codegen compile outside the timings (measured: the
@@ -430,16 +465,11 @@ object Bench {
     // cannot accidentally reuse them.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      // clone-cache salt = the active data dir (defence in depth: a
-      // store-derived bootstrap cloned from the sf0.001 warmup must
-      // never alias the timed SF's — see BenchBootstrapClone)
-      sys.props(graft.store.BenchBootstrapClone.SaltKey) = warmDir
       selected.foreach { case (name, _) =>
         try SparkEntry.queries(name)(spark, warmDir).count()
         catch { case _: Throwable => }
       }
     }
-    sys.props(graft.store.BenchBootstrapClone.SaltKey) = sfDir
     Graft.clearOperatorCaches(); spark.catalog.clearCache()
 
     // per-query peak task memory (max over tasks of peakExecutionMemory,
@@ -474,13 +504,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val probeByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // one timed run → (signal seconds, setup seconds): the wall span of
+    // the entry minus the bootstrap spans its body marked as setup (see
+    // BenchSetup — setup still RUNS on every run, it is just not graded)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      BenchSetup.reset()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch {
+      try {
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val setup = BenchSetup.drained() / 1e9
+        (wall - setup, setup)
+      } catch {
         case e: Throwable =>
           errors += name -> e.getMessage.take(200).replaceAll("\\s+", " ")
-          -1.0
+          (-1.0, 0.0)
       }
     }
     // calibration at BOTH ends of the timed window (see miniProbe): the
@@ -502,28 +540,38 @@ object Bench {
     // clean box and bounded extra time (one run per contended query)
     // on a loaded one.
     val startClean = math.min(js1, js2) / 8.0
+    // per-entry excluded setup seconds (the bootstrap spans of the run
+    // whose signal was graded) — emitted as the "setup" diagnostic dict
+    // so full span = queries[e] + setup[e] stays reconstructible
+    val setupByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.flatMap { case (name, _) =>
       SparkEntry.queries.get(name).map { fn =>
         currentPeak.set(0L)
         val t1 = once(name, fn)
         Graft.clearOperatorCaches(); spark.catalog.clearCache()
-        val t2 = if (t1 >= 0) once(name, fn) else -1.0
+        val t2 = if (t1._1 >= 0) once(name, fn) else (-1.0, 0.0)
         Graft.clearOperatorCaches(); spark.catalog.clearCache()
         val probe = miniProbe()
         probeByQuery += name -> probe
         val t3 =
-          if (t1 >= 0 && t2 >= 0 && startClean > 0 && probe > startClean * 1.5) {
+          if (t1._1 >= 0 && t2._1 >= 0 && startClean > 0 && probe > startClean * 1.5) {
             val t = once(name, fn)
             Graft.clearOperatorCaches(); spark.catalog.clearCache()
             t
-          } else -1.0
+          } else (-1.0, 0.0)
         // listener events are async; drain before reading the peak
         org.apache.spark.sql.graftx.bridge.drainListenerBus(spark.sparkContext, 10000)
         peakByQuery += name -> currentPeak.get()
-        name -> (if (t1 >= 0 && t2 >= 0)
-          Seq(t1, t2, t3).filter(_ >= 0).min else -1.0)
+        name -> (if (t1._1 >= 0 && t2._1 >= 0) {
+          // graded = min SIGNAL across runs; the recorded setup is the
+          // same run's (each run pays the full bootstrap for real)
+          val (sig, su) = Seq(t1, t2, t3).filter(_._1 >= 0).minBy(_._1)
+          if (su > 0) setupByQuery += name -> su
+          sig
+        } else -1.0)
       }
-    } ++ (if (withStream) streamBench(spark, sfDir, errors) else Nil)
+    } ++ (if (withStream) streamBench(spark, sfDir, errors) ++
+      insertBulkBench(spark, sfDir, errors) else Nil)
     val (j1, s1) = calibrate(spark)
     val (j2, s2) = calibrate(spark)
     val cm2 = commitCalib(spark)
@@ -585,6 +633,13 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val mem = peakByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val probes = probeByQuery.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // excluded bootstrap seconds per entry (alias-keyed like "queries");
+    // a big diagnostic dict, so it sits BEFORE calib in the line and
+    // never competes with the graded tail for the driver's last 2 KB
+    val setupJson = setupByQuery.map { case (k, v) =>
+      "\"" + aliasOf.getOrElse(k, k) + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    }.mkString("{", ",", "}")
     // field order matters: the driver keeps only the last 2 KB of this
     // line (BENCH_r05 lost the queries dict to tail truncation — VERDICT
     // r5 #1; BENCH_r06 then lost calib/calib_start because they sat
@@ -593,20 +648,7 @@ object Bench {
     // per probe), then the graded "queries"/"value" — so the last
     // ~1.5 KB always carries calib + probe_worst + queries + value.
     val totalStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"alias":$aliasJson,"probe_34m":$probes,"peak_task_mem":$mem,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$totalStr}""")
-    // drop the shared-bootstrap clone cache (same hygiene as cmt8's
-    // temp stores — ADVICE r14 #4)
-    sys.props.remove("graft.bench.cloneCache")
-    sys.props.remove(graft.store.BenchBootstrapClone.SaltKey)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.forEach(rmTree(_)) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-      ()
-    }
-    rmTree(cloneCache)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"alias":$aliasJson,"probe_34m":$probes,"peak_task_mem":$mem,"setup":$setupJson,"calib":$calib,"probe_worst":$probeWorst,"queries":$qs,"value":$totalStr}""")
     spark.stop()
   }
 }

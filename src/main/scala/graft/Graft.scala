@@ -385,12 +385,12 @@ final case class Graft(
       }
       // a quantile summary's rows are keyed by (groups, bucket)
       val pk = if (kind == "quantile") groupCols ++ Seq("bin_id", "bin_upper") else groupCols
-      // bench-only bootstrap consolidation (no-op unless graft.Bench
-      // armed the clone cache — see BenchBootstrapClone): the summary
-      // bootstrap is setup, not the maintenance/serving signal the
-      // lifecycle entries time
-      graft.store.BenchBootstrapClone.intercept(store.rootDir, summary, bootstrap,
-        "pk=" + pk.mkString(",") + "|define=" + kind + "|k=" + k)(
+      // bench timed-span accounting (pass-through unless graft.Bench
+      // armed it — see graft.BenchSetup): the summary bootstrap — the
+      // MV's initial full-scan aggregate + write — is setup, not the
+      // maintenance/serving signal the lifecycle entries time. It runs
+      // for real on every bench run; only its span is excluded.
+      graft.BenchSetup.setup(
         store.createTableFromDataFrame(summary, bootstrap, pk, infer = false))
       IncrementalAgg.markMaintained(store, b, summary, store.snapshots(b).last._1)
       store.setProperties(summary, Map(KindKey -> kind, BaseKey -> b,

