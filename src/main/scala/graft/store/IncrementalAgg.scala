@@ -321,11 +321,17 @@ object IncrementalAgg {
       groupCols.map(col(_).isNotNull).reduce(_ && _),
       lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
         "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    // r16 (guide §1.2/§2.2 — profiled: the rescan families re-ran the
+    // change-feed aggregate and the base rescan once per CONSUMING
+    // branch; AQE's stage reuse does not span the grown/touched/dead
+    // DAG here): materialize the O(changes) delta ONCE, eagerly — the
+    // three branches then read memory instead of re-scanning the feed
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
         graft.plans.GraftFunctions.kmvSketch(
           when(sign === 1L, col(valueCol)), k).as("__ins"),
         sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"))
+      .localCheckpoint(true)
     val cur = store.readTable(summary)
     val grown = delta.filter(col("__dels") === 0L)
     val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
@@ -341,10 +347,13 @@ object IncrementalAgg {
         kmvToStr(slice(array_sort(array_distinct(
           concat(curArr, col("__ins")))), 1, k)).as("kmv_val"): _*)
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    // r16: the rescan feeds BOTH the union and the dead anti-join —
+    // materialized once so the pinned base is scanned once per fold
     val rescan = summarizeDistinct(
       derivedView(store.readTableAt(base, toGen), derive)
         .join(touched, groupCols, "left_semi"),
       groupCols, valueCol, k)
+      .localCheckpoint(true)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+
         lit(null).cast("string").as("kmv_val"): _*)
@@ -471,11 +480,14 @@ object IncrementalAgg {
       groupCols.map(col(_).isNotNull).reduce(_ && _),
       lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
         "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
+    // r16: one eager delta materialization for the three branches (see
+    // mergedDistinctDelta)
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
         valueCols.map(c => graft.plans.GraftFunctions.kmvSketch(
           when(sign === 1L, col(c)), k).as("__ins_" + c)) :+
           sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"): _*)
+      .localCheckpoint(true)
     val cur = store.readTable(summary)
     val grown = delta.filter(col("__dels") === 0L)
     val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
@@ -493,10 +505,12 @@ object IncrementalAgg {
             concat(curArr, col("__ins_" + c)))), 1, k)).as("kmv_" + c)
         }: _*)
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    // r16: materialized once — union + dead anti-join share one base scan
     val rescan = summarizeDistinctMulti(
       derivedView(store.readTableAt(base, toGen), derive)
         .join(touched, groupCols, "left_semi"),
       groupCols, valueCols, k)
+      .localCheckpoint(true)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :++
         valueCols.map(c => lit(null).cast("string").as("kmv_" + c)): _*)
@@ -552,6 +566,8 @@ object IncrementalAgg {
         "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
     val dec = DecimalType(18, 2)
     def v(c: String) = col(c).cast(dec)
+    // r16: one eager delta materialization for the three branches (see
+    // mergedDistinctDelta)
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
         valueCols.flatMap(c => Seq(
@@ -560,6 +576,7 @@ object IncrementalAgg {
           min(when(sign === 1L, v(c))).as("__imin_" + c),
           max(when(sign === 1L, v(c))).as("__imax_" + c))) :+
           sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"): _*)
+      .localCheckpoint(true)
     val cur = store.readTable(summary)
     val grown = delta.filter(col("__dels") === 0L)
     val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
@@ -578,10 +595,12 @@ object IncrementalAgg {
           least(cur("min_" + c), col("__imin_" + c)).cast(dec).as("min_" + c),
           greatest(cur("max_" + c), col("__imax_" + c)).cast(dec).as("max_" + c))): _*)
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    // r16: materialized once — union + dead anti-join share one base scan
     val rescan = summarizeMultiMinMax(
       derivedView(store.readTableAt(base, toGen), derive)
         .join(touched, groupCols, "left_semi"),
       groupCols, valueCols)
+      .localCheckpoint(true)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :++
         valueCols.flatMap(c => Seq(
@@ -642,6 +661,8 @@ object IncrementalAgg {
       lit(s"incremental aggregate: NULL group value in change feed of '$base' — " +
         "group columns are summary PK columns and must be non-null")).cast("long"), lit(0L))
     val v = col(valueCol).cast(DecimalType(18, 2))
+    // r16: one eager delta materialization for the three branches (see
+    // mergedDistinctDelta)
     val delta = ch.groupBy(groupCols.map(col): _*)
       .agg((sum(sign) + first(guard)).as("__dn"),
         sum(when(col(valueCol).isNotNull, sign).otherwise(0L)).as("__dnn"),
@@ -649,6 +670,7 @@ object IncrementalAgg {
         min(when(sign === 1L, v)).as("__imin"),
         max(when(sign === 1L, v)).as("__imax"),
         sum(when(sign === -1L, 1L).otherwise(0L)).as("__dels"))
+      .localCheckpoint(true)
     val cur = store.readTable(summary)
     val grown = delta.filter(col("__dels") === 0L)
     val nRows = coalesce(cur("n_rows"), lit(0L)) + col("__dn")
@@ -675,10 +697,12 @@ object IncrementalAgg {
     // with no surviving rows emits NO rescan row and must die — recover
     // it from the delta side
     val touched = delta.filter(col("__dels") > 0L).select(groupCols.map(col): _*)
+    // r16: materialized once — union + dead anti-join share one base scan
     val rescan = summarizeMinMax(
       derivedView(store.readTableAt(base, toGen), derive)
         .join(touched, groupCols, "left_semi"),
       groupCols, valueCol)
+      .localCheckpoint(true)
     val dead = touched.join(rescan.select(groupCols.map(col): _*), groupCols, "left_anti")
       .select(groupCols.map(col) :+ lit(0L).as("n_rows") :+ lit(0L).as("nn_val") :+
         lit(null).cast(dec).as("sum_val") :+ lit(null).cast(dec).as("min_val") :+
