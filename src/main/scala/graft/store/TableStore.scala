@@ -38,9 +38,11 @@ import graft.types.{Infer, SqlType}
   */
 object TableStore {
   /** buckets = 0 → flat layout; buckets > 0 → data partitioned into
-    * `__bucket=<pmod(xxhash64(pk), buckets)>` directories, which is what
-    * lets keyed update/upsert rewrite ONLY the buckets the source
-    * touches (SURVEY §5). */
+    * `__bucket=<pmod(hash(pk), buckets)>` directories (Murmur3 — see
+    * [[TableStore.bucketExpr]]), which is what lets keyed update/upsert
+    * rewrite ONLY the buckets the source touches (SURVEY §5) and lets
+    * the mutation scan advertise the layout as a Catalyst
+    * HashPartitioning (r16). */
   final case class Meta(
       columns: Seq[(String, SqlType)],
       primaryKey: Seq[String],
@@ -322,8 +324,15 @@ final class TableStore(
     m.columns.map { case (n, t) => n -> t.spark }.toMap ++
       dtoColsOf(m).map(n => (n + "#instant") -> (LongType: DataType))
 
+  /** Bucket id of a row: `pmod(hash(pk), buckets)` — EXACTLY Spark's
+    * `HashPartitioning.partitionIdExpression` (Murmur3, seed 42). r16:
+    * switched from xxhash64 so the physical layout IS a Catalyst
+    * HashPartitioning and [[bucketedRead]] can advertise it — the
+    * table side of a keyed mutation then needs no Exchange (guide
+    * §3.4). Every id computation (writer, source pruning, literal
+    * predicate pruning) derives from this one definition. */
   private def bucketExpr(m: Meta): Column =
-    pmod(xxhash64(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets))
+    pmod(hash(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets))
 
   // ── metadata ────────────────────────────────────────────────────────────
 
@@ -1793,7 +1802,7 @@ final class TableStore(
   /** Bucket ids a predicate can possibly hit: requires a bucketed table
     * whose EVERY PK column is pinned by a top-level equality or IN
     * conjunct. Hashes each candidate key tuple with the same
-    * xxhash64-pmod the writer uses (literal evaluation, no Spark job);
+    * Murmur3-pmod the writer uses (literal evaluation, no Spark job);
     * None = cannot prune. Candidate tuples are capped so a huge IN list
     * degrades to a full scan instead of a driver loop. */
   private def allowedBuckets(
@@ -1853,10 +1862,41 @@ final class TableStore(
         val lits = m.primaryKey.zip(tup).map { case (c, v) =>
           Literal(v, types(c)): Expression
         }
-        val h = XxHash64(lits, 42L).eval(null).asInstanceOf[Long] // 42 = functions.xxhash64's seed
-        math.floorMod(h, m.buckets.toLong)
+        // 42 = functions.hash's seed — the same Murmur3Hash instance
+        // [[bucketExpr]]'s pmod(hash(pk), n) evaluates (r16)
+        val h = Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int]
+        math.floorMod(h.toLong, m.buckets.toLong)
       }.toSet
     }.toOption
+  }
+
+  /** r16: embed each bucket's id into its part-file names (Spark's
+    * `_00003` bucketed-file convention) right after a bucketed
+    * partitionBy write — FileSourceScanExec groups a bucketed scan's
+    * files by the id parsed from the NAME, which is what lets
+    * [[prunedMutation]] claim the layout as a Catalyst
+    * HashPartitioning. Renames happen pre-commit inside the staging
+    * dir, so manifests and the stats sidecar only ever record the
+    * final names. */
+  private def embedBucketIds(dir: Path): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { d =>
+      if (d.isDirectory && d.getPath.getName.startsWith(BucketCol + "=")) {
+        val id = d.getPath.getName.substring(BucketCol.length + 1).toInt
+        val suffix = f"_$id%05d"
+        fs.listStatus(d.getPath).foreach { f =>
+          val n = f.getPath.getName
+          if (!f.isDirectory && n.endsWith(".parquet") && !n.contains(suffix)) {
+            val dot = n.indexOf('.')
+            val renamed =
+              if (dot < 0) n + suffix
+              else n.substring(0, dot) + suffix + n.substring(dot)
+            if (!fs.rename(f.getPath, new Path(d.getPath, renamed)))
+              throw new IllegalStateException(s"bucket-id rename failed: ${f.getPath}")
+          }
+        }
+      }
+    }
   }
 
   private def listDataFiles(name: String): Seq[Path] = {
@@ -2134,10 +2174,11 @@ final class TableStore(
       val prevRels = lastCommittedRels(name)
       val tmp = new Path(tablePath(name), "append.tmp")
       fs.delete(tmp, true)
-      if (m.buckets > 0)
+      if (m.buckets > 0) {
         appended.withColumn(BucketCol, bucketExpr(m))
           .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-      else
+        embedBucketIds(tmp)
+      } else
         appended.write.mode("overwrite").parquet(tmp.toString)
       val newRels = scala.collection.mutable.ArrayBuffer.empty[String]
       // on any move failure, UNDO the already-moved part of the batch:
@@ -2561,9 +2602,25 @@ final class TableStore(
     // source bucket ids: bounded by the bucket count, so the collect is
     // O(buckets), never O(source)
     val srcBuckets = source
-      .select(pmod(xxhash64(m.primaryKey.map(c => col(Identifiers.quote(c))): _*), lit(m.buckets)).as("b"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    val raw = mergedScan(name, Seq(dataPath(name)), basePath = true)
+      .select(bucketExpr(m).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    // r16 (guide §3.4): the table side of the mutation join reads
+    // through a scan that ADVERTISES the PK-hash bucket layout as
+    // HashPartitioning(pk, buckets) — the full-outer join then
+    // exchanges only the SOURCE side; the table's affected buckets
+    // stream straight from parquet with no table-side shuffle, at any
+    // scale. The claim is honest because bucketExpr IS Spark's
+    // partition-id expression (Murmur3 pmod) and every file's name
+    // embeds its bucket id (embedBucketIds). Files from a
+    // pre-convention writer (no parseable id) fall back to the plain
+    // merged scan — correctness never depends on the claim.
+    val allFiles = listDataFiles(name)
+    val raw = (if (allFiles.nonEmpty &&
+        allFiles.forall(p => org.apache.spark.sql.graftx.bridge.hasBucketId(p.getName)))
+      org.apache.spark.sql.graftx.bridge.bucketedParquetScan(spark,
+        dataPath(name).toString, currentMergedSchema(name, allFiles),
+        BucketCol, m.buckets, m.primaryKey)
+    else mergedScan(name, Seq(dataPath(name)), basePath = true))
       .filter(col(BucketCol).isin(srcBuckets.toIndexedSeq: _*)) // partition-pruned scan
     val affected = alignTo(raw, m)
     val result = algebra(affected, source)
@@ -2577,6 +2634,7 @@ final class TableStore(
     val tmp = new Path(tablePath(name), "data.tmp")
     result.withColumn(BucketCol, bucketExpr(m2))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
+    embedBucketIds(tmp)
     val written: Map[String, Path] = fs.listStatus(tmp)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
       .map(s => s.getPath.getName -> s.getPath).toMap
@@ -2648,10 +2706,11 @@ final class TableStore(
   private def overwriteData(name: String, df: DataFrame): Unit = {
     val m = meta(name)
     val tmp = new Path(tablePath(name), "data.tmp")
-    if (m.buckets > 0)
+    if (m.buckets > 0) {
       df.withColumn(BucketCol, bucketExpr(m))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp.toString)
-    else
+      embedBucketIds(tmp)
+    } else
       df.write.mode("overwrite").parquet(tmp.toString)
     val dst = dataPath(name)
     val gen = nextGen(name)

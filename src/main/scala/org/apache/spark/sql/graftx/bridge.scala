@@ -57,4 +57,51 @@ object bridge {
       a: org.apache.spark.sql.types.StructType,
       b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     a.merge(b, spark.sessionState.conf.caseSensitiveAnalysis)
+
+  /** r16 (guide §3.4, shuffle-free joins): a parquet scan of a
+    * PK-hash-bucketed store table that ADVERTISES its layout as a
+    * Catalyst output partitioning. The store writes bucketed tables as
+    * `__bucket=<pmod(hash(pk), n)>/part-…_<bucketid>.parquet` — rows
+    * are physically grouped by the SAME hash Spark's HashPartitioning
+    * computes (Murmur3, seed 42) — so a scan built over a
+    * [[HadoopFsRelation]] with a [[BucketSpec]] honestly reports
+    * `HashPartitioning(pk, n)`: EnsureRequirements then exchanges only
+    * the OTHER side of a keyed-mutation join and the table side streams
+    * straight from parquet — no table-side shuffle at any scale. The
+    * plain DataFrameReader cannot express this (bucket metadata lives
+    * in the catalog for saveAsTable tables only), hence the bridge.
+    *
+    * The caller guarantees every data file's name embeds its bucket id
+    * (Spark's `_00003` convention — BucketingUtils parses it back). */
+  def bucketedParquetScan(
+      spark: org.apache.spark.sql.SparkSession,
+      dataDir: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partitionCol: String,
+      numBuckets: Int,
+      bucketCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources._
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val full = StructType(dataSchema.fields :+ StructField(partitionCol, IntegerType))
+    val index = new InMemoryFileIndex(cs,
+      Seq(new org.apache.hadoop.fs.Path(dataDir)),
+      Map("basePath" -> dataDir), Some(full))
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Seq(StructField(partitionCol, IntegerType))),
+      dataSchema = dataSchema,
+      bucketSpec = Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        numBuckets, bucketCols, Nil)),
+      fileFormat = new parquet.ParquetFileFormat(),
+      options = Map.empty)(cs)
+    org.apache.spark.sql.classic.Dataset.ofRows(cs, LogicalRelation(relation))
+  }
+
+  /** True iff `fileName` carries a parseable Spark bucket id — the
+    * guard [[bucketedParquetScan]] callers use to fall back to a plain
+    * scan on any file a pre-convention writer produced. */
+  def hasBucketId(fileName: String): Boolean =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .getBucketId(fileName).isDefined
 }

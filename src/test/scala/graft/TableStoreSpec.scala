@@ -379,18 +379,21 @@ class TableStoreSpec extends AnyFunSuite {
   test("analyze on a bucketed table keys stats per bucket dir — pruned == unpruned") {
     val store = newStore()
     store.createTable("t", Seq("k" -> "bigint", "v" -> "bigint"), Seq("k"), buckets = 8)
-    // v's range is DISJOINT per bucket (derived from the same xxhash64
-    // the writer buckets k by). partitionBy emits the SAME part-file
-    // basename into every bucket dir a task touches, so basename-keyed
-    // stats would collide across dirs and evaluate a file against a
-    // sibling's [min,max] — silently dropping matching rows on v reads.
+    // v's range is DISJOINT per bucket (derived from the same Murmur3
+    // hash the writer buckets k by — r16 switched from xxhash64). The
+    // hazard this test pins: stats keyed by anything less than the
+    // dir-qualified rel path would evaluate a file against a sibling's
+    // [min,max] — silently dropping matching rows on v reads.
     val df = spark.range(0, 4000).select(col("id").as("k"),
-      (pmod(xxhash64(col("id")), lit(8)) * 100000L + col("id")).as("v"))
+      (pmod(hash(col("id")), lit(8)).cast("long") * 100000L + col("id")).as("v"))
     store.insert("t", df)
-    // precondition for the collision: a shared basename across >=2 dirs
+    // r16 invariant (embedBucketIds): every part-file name embeds the
+    // bucket id of the dir it lives in — the naming contract the
+    // HashPartitioning-advertising mutation scan depends on
     val parts = store.readTable("t").inputFiles.map(_.split("/").takeRight(2))
-    assert(parts.groupBy(_.last).exists(_._2.map(_.head).distinct.length > 1),
-      "expected shared part-file basenames across bucket dirs")
+    assert(parts.nonEmpty && parts.forall { case Array(dir, base) =>
+      base.contains(f"_${dir.stripPrefix("__bucket=").toInt}%05d")
+    }, s"part-file names must embed their dir's bucket id: ${parts.map(_.mkString("/")).take(3).mkString(", ")}")
     store.analyze("t", Seq("v"))
     val all = store.readTable("t").inputFiles.length
     val expect = store.readTable("t").orderBy("k").as[(Long, Long)].collect().toSeq
