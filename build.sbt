@@ -28,7 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // experiment passthrough (r16): extra -D flags for one-off conf
+  // A/Bs (e.g. AQE coalescing variants) without editing the mains;
+  // the driver never sets it, so graded runs are unaffected
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
 
 // Forked run output goes straight to stdout (no [info] prefix) so the
 // driver can parse Bench's single JSON line.
